@@ -1,0 +1,60 @@
+"""Crawl configuration — the rebuild of the reference's ``Args`` struct.
+
+Field-for-field mirror of the 20 CLI options of the reference
+(src/args.rs:9-162) with identical defaults (jobs=1, depth=-1 meaning
+infinity, ext_depth=0, tries=20, delay=0, random_range=0,
+user_agent="suckit", include filters ".*", exclude filters "$^").
+Regex filters use unanchored search semantics, matching Rust
+``Regex::is_match``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+
+INFINITE_DEPTH = -1  # sentinel, reference src/scraper.rs:30
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    origin: str
+    output: str | None = None
+    jobs: int = 1
+    depth: int = INFINITE_DEPTH
+    ext_depth: int = 0
+    tries: int = 20
+    verbose: bool = False
+    delay: float = 0.0
+    random_range: float = 0.0
+    user_agent: str = "suckit"
+    cookie: str = ""
+    include_visit: str = ".*"
+    exclude_visit: str = "$^"
+    include_download: str = ".*"
+    exclude_download: str = "$^"
+    visit_filter_is_download_filter: bool = False
+    auth: tuple[str, ...] = field(default_factory=tuple)
+    continue_on_error: bool = False
+    dry_run: bool = False
+    disable_certs_checks: bool = False
+
+    def resolved(self) -> "CrawlConfig":
+        """Apply --visit-filter-is-download-filter aliasing
+        (reference src/scraper.rs:52-56): copy the download regexes over
+        the visit regexes at startup."""
+        if self.visit_filter_is_download_filter:
+            return replace(
+                self,
+                include_visit=self.include_download,
+                exclude_visit=self.exclude_download,
+            )
+        return self
+
+    # Compiled-filter helpers. Cheap to recompile (Python caches), but
+    # stage actors call these once in __init__ and keep the result.
+    def visit_filters(self) -> tuple[re.Pattern, re.Pattern]:
+        return re.compile(self.include_visit), re.compile(self.exclude_visit)
+
+    def download_filters(self) -> tuple[re.Pattern, re.Pattern]:
+        return re.compile(self.include_download), re.compile(self.exclude_download)

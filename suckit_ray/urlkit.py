@@ -1,0 +1,257 @@
+"""Pure URL kernels: parse, join, url→path mapping, visit predicates.
+
+These functions carry most of the reference's observable crawl
+semantics and are deliberately dependency-free so they can run inside
+vectorized ``map_batches`` bodies and be unit-tested without Ray:
+
+- ``to_path``          — reference src/url_helper.rs:10-45 (8 golden vectors)
+- ``normalize_url``    — reference src/scraper.rs:374-381 (the `//`→https quirk)
+- ``should_visit``     — reference src/scraper.rs:353-369
+- ``is_on_another_domain`` — reference src/scraper.rs:384-400
+- ``depth_gate``       — reference src/scraper.rs:203-215
+- ``relative_rewrite`` — reference src/scraper.rs:95-102 (pathdiff semantics)
+
+URL parsing approximates rust-url's WHATWG behavior closely enough for
+the crawl-relevant observables (host extraction, cannot-be-a-base
+detection, default-port stripping, empty-path → "/" for special
+schemes). Known divergences (exotic percent-encoding, backslash
+handling) are outside the reference's test envelope.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+import re
+from dataclasses import dataclass
+from urllib.parse import urljoin, urlsplit
+
+FILE_NAME_MAX_LENGTH = 255  # max filename length, reference src/url_helper.rs:7
+
+# WHATWG "special" schemes and their default ports.
+_SPECIAL_SCHEMES = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21, "file": None}
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+_IPV4_RE = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+
+class UrlParseError(ValueError):
+    """Raised when a string is not an absolute, parseable URL
+    (the rebuild's equivalent of rust-url's ``ParseError``)."""
+
+
+@dataclass(frozen=True)
+class ParsedUrl:
+    scheme: str
+    host: str | None        # lowercased; None when the URL has no authority
+    port: int | None        # non-default explicit port only
+    path: str
+    query: str | None       # None when no '?' present
+    fragment: str | None    # None when no '#' present
+
+    @property
+    def has_host(self) -> bool:
+        return bool(self.host)
+
+    @property
+    def cannot_be_a_base(self) -> bool:
+        # rust-url: true for non-special URLs with an opaque (non-/-rooted)
+        # path and no authority, e.g. mailto:, javascript:, data:.
+        return (
+            self.scheme not in _SPECIAL_SCHEMES
+            and not self.host
+            and not self.path.startswith("/")
+        )
+
+    @property
+    def domain(self) -> str | None:
+        """rust-url ``Url::domain()``: the host unless it is an IP literal
+        (IPv4/IPv6 → None). Reference relies on None == None making two
+        IP-hosted URLs "same domain" (src/scraper.rs:393)."""
+        h = self.host
+        if not h:
+            return None
+        if h.startswith("[") or _IPV4_RE.match(h):
+            return None
+        return h
+
+    def as_str(self) -> str:
+        """Recompose, matching rust-url's serialization for the shapes the
+        crawl touches (the seen-set key, src/scraper.rs:79)."""
+        if self.host is None:
+            out = f"{self.scheme}:{self.path}"
+        else:
+            netloc = self.host
+            if self.port is not None:
+                netloc += f":{self.port}"
+            path = self.path
+            if path == "" and self.scheme in _SPECIAL_SCHEMES:
+                path = "/"
+            out = f"{self.scheme}://{netloc}{path}"
+        if self.query is not None:
+            out += f"?{self.query}"
+        if self.fragment is not None:
+            out += f"#{self.fragment}"
+        return out
+
+
+def parse_url(url: str) -> ParsedUrl:
+    """Parse an absolute URL; raise ``UrlParseError`` for relative or
+    malformed input (mirrors rust-url ``Url::parse`` success/failure on
+    the candidate shapes the reference distinguishes)."""
+    if not _SCHEME_RE.match(url):
+        raise UrlParseError(f"relative URL without a base: {url!r}")
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host: str | None = None
+    port: int | None = None
+    if "//" in url[: len(scheme) + 3] or parts.netloc:
+        # has an authority component
+        host = (parts.hostname or "").lower()
+        if scheme in _SPECIAL_SCHEMES and not host:
+            raise UrlParseError(f"empty host: {url!r}")
+        try:
+            port = parts.port
+        except ValueError as e:  # invalid port
+            raise UrlParseError(str(e)) from e
+        if port is not None and port == _SPECIAL_SCHEMES.get(scheme):
+            port = None
+    path = parts.path
+    if host is not None and scheme in _SPECIAL_SCHEMES and path == "":
+        path = "/"
+    query = parts.query if "?" in url else None
+    fragment = parts.fragment if "#" in url else None
+    return ParsedUrl(scheme, host, port, path, query, fragment)
+
+
+def join_url(base: ParsedUrl, candidate: str) -> ParsedUrl:
+    """Resolve ``candidate`` against ``base`` (reference
+    src/scraper.rs:193-196 uses rust-url join; we use WHATWG-compatible
+    urljoin on the recomposed base)."""
+    return parse_url(urljoin(base.as_str(), candidate))
+
+
+def normalize_url(url: str) -> str:
+    """Replace a leading ``///`` or ``//`` with ``https://`` — verbatim
+    crash-avoidance quirk of the reference (src/scraper.rs:374-381);
+    scheme-relative links are forced to https."""
+    if url.startswith("///"):
+        return "https://" + url[3:]
+    if url.startswith("//"):
+        return "https://" + url[2:]
+    return url
+
+
+def _rust_file_name(path: str) -> str:
+    """Rust ``Path::file_name()`` on a unix path string, mapped to ""
+    when None (reference src/url_helper.rs:20-22)."""
+    trimmed = path.rstrip("/")
+    name = trimmed.rsplit("/", 1)[-1]
+    if name in ("", ".", ".."):
+        return ""
+    return name
+
+
+def _rust_parent(path: str) -> str:
+    """Rust ``Path::parent()`` mapped to "" when None
+    (reference src/url_helper.rs:23-26)."""
+    trimmed = path.rstrip("/")
+    if trimmed in ("", "/"):
+        return ""
+    head = trimmed.rsplit("/", 1)[0]
+    return head if head else ("/" if trimmed.startswith("/") else "")
+
+
+def _has_extension(name: str) -> bool:
+    """Rust ``Path::extension().is_some()``: a '.' embedded after the
+    first character (leading-dot files have no extension)."""
+    rest = name[1:] if name.startswith(".") else name
+    return "." in rest
+
+
+def to_path(url: ParsedUrl, with_fragment: bool) -> str:
+    """Deterministic url→local-mirror-path mapping — rule-for-rule rebuild
+    of reference src/url_helper.rs:10-45:
+
+    - query string appended as ``__querystring__<query>``
+    - path ending in '/'            → ``<parent>/index.html``
+    - last segment with no extension → ``<path>/index_no_slash.html``
+    - filename >255 chars           → ``md5hex(filename).html``
+    - optional ``#fragment`` suffix when ``with_fragment``
+
+    The output doubles as the rebuild's ``doc_id``.
+    """
+    domain = url.host or ""
+    ppq = url.path
+    if url.query is not None:
+        ppq += "__querystring__" + url.query
+
+    filename = _rust_file_name(ppq)
+    parent = _rust_parent(ppq)
+
+    if ppq.endswith("/"):
+        filename = "index.html"
+        parent = ppq.rstrip("/")
+    elif not _has_extension(filename):
+        parent = ppq.rstrip("/")
+        filename = "index_no_slash.html"
+
+    if len(filename) > FILE_NAME_MAX_LENGTH:
+        # md5 here mirrors the reference's filename-collision hack
+        # (src/url_helper.rs:36-39); not used for security.
+        filename = hashlib.md5(filename.encode("utf-8")).hexdigest() + ".html"
+
+    if url.fragment is not None and with_fragment:
+        return f"{domain}{parent}/{filename}#{url.fragment}"
+    return f"{domain}{parent}/{filename}"
+
+
+def should_visit(candidate: str, include_visit: re.Pattern, exclude_visit: re.Pattern) -> bool:
+    """Visit predicate on the RAW attribute string, pre-join
+    (reference src/scraper.rs:353-369): regex filters first, then drop
+    parseable URLs lacking a host or that cannot be a base (kills
+    mailto:, javascript:, data:); keep unparseable strings (relative
+    paths, resolved later by join)."""
+    if exclude_visit.search(candidate) or not include_visit.search(candidate):
+        return False
+    try:
+        u = parse_url(candidate)
+    except UrlParseError:
+        return True
+    return u.has_host and not u.cannot_be_a_base
+
+
+def is_on_another_domain(candidate: str, base: ParsedUrl) -> bool:
+    """External-domain classifier on the raw candidate (reference
+    src/scraper.rs:384-400): normalize the //-prefix quirk, then compare
+    rust-url ``domain()`` values; unparseable (relative) → internal."""
+    real = normalize_url(candidate)
+    try:
+        u = parse_url(real)
+    except UrlParseError:
+        return False
+    return u.domain != base.domain
+
+
+def depth_gate(
+    is_external: bool, depth: int, ext_depth: int, max_depth: int, max_ext_depth: int
+) -> tuple[bool, int, int]:
+    """Depth budget (reference src/scraper.rs:203-215): internal links
+    consume ``depth`` (-1 = infinite); external hops freeze ``depth`` and
+    consume ``ext_depth``. Returns (enqueue?, child_depth, child_ext_depth)."""
+    if not is_external:
+        if max_depth == -1 or depth < max_depth:
+            return True, depth + 1, ext_depth
+        return False, 0, 0
+    if max_ext_depth == -1 or ext_depth < max_ext_depth:
+        return True, depth, ext_depth + 1
+    return False, 0, 0
+
+
+def relative_rewrite(source_path: str, dest_path: str) -> str:
+    """Relative path from the source page's parent dir to the target path
+    (reference src/scraper.rs:95-102, pathdiff::diff_paths semantics).
+    ``dest_path`` may carry a ``#fragment`` suffix — treated opaquely as
+    part of the last component, as the reference does."""
+    source_parent = posixpath.dirname(source_path)
+    return posixpath.relpath(dest_path, source_parent)
