@@ -1,0 +1,315 @@
+"""Wave-loop crawl driver — the deterministic rebuild of the
+reference's unbounded-channel + idle-poll scraper loop
+(src/scraper.rs:296-335):
+
+    seed → LOOP { finalize frontier wave → Dataset(fetch → process)
+                  → docs sink; candidates/ledger flow to shards }
+    until every shard is drained.
+
+Each BFS wave is a bounded ``ray.data.Dataset`` streaming through
+fetch and HTML-process ``map_batches`` stages; frontier/dedup/ledger
+state lives in hash-partitioned shard actors (state/frontier.py).
+Termination is exact (frontier empty), not the reference's racy
+10×500 ms idle-poll heuristic (src/scraper.rs:315-330).
+
+Checkpoint/resume (north_rule): after each ``finalize_wave`` the
+shards snapshot their full state (seen-set tiers, pending queues, the
+released-but-unfetched wave, ledger) plus a driver manifest with the
+lineage epoch. Resume restores the shards and re-runs the in-flight
+wave; per-wave output directories make the re-run idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from suckit_ray.config import CrawlConfig
+from suckit_ray.stages.fetch import make_fetch_fn
+from suckit_ray.stages.html_stage import DOC_SCHEMA, make_process_fn
+from suckit_ray.state.frontier import FrontierShard, shard_of
+from suckit_ray.urlkit import parse_url, to_path
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("ext_depth", pa.int32()),
+        ("seq", pa.int64()),
+    ]
+)
+
+LEDGER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("doc_id", pa.string()),
+        ("status", pa.int32()),
+        ("wave", pa.int32()),
+        ("is_html", pa.bool_()),
+        ("downloaded", pa.bool_()),
+        ("n_outlinks", pa.int32()),
+        ("error", pa.string()),
+    ]
+)
+
+
+@dataclass
+class CrawlResult:
+    docs: pa.Table | None          # collected documents (collect=True)
+    output_dir: str | None         # parquet mirror root (output_dir mode)
+    ledger: pa.Table               # every visited URL
+    metrics: dict = field(default_factory=dict)
+    waves: int = 0
+    wall_sec: float = 0.0
+
+    def downloaded_docs(self) -> pa.Table:
+        """Rows actually saved (download filter ∧ not dry-run) — the
+        reference's mirror file set."""
+        assert self.docs is not None
+        mask = self.docs.column("downloaded")
+        return self.docs.filter(mask)
+
+
+def _entries_table(entries: list[tuple]) -> pa.Table:
+    cols = list(zip(*entries)) if entries else [[], [], [], [], []]
+    return pa.Table.from_arrays(
+        [
+            pa.array(cols[0], type=pa.string()),
+            pa.array(cols[1], type=pa.string()),
+            pa.array([int(x) for x in cols[2]], type=pa.int32()),
+            pa.array([int(x) for x in cols[3]], type=pa.int32()),
+            pa.array([int(x) for x in cols[4]], type=pa.int64()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def _dataset_to_table(ds: rd.Dataset) -> pa.Table:
+    # iter_batches executes exactly once; to_arrow_refs would add a
+    # limit-1 schema-probe execution that re-runs side-effecting tasks
+    tables = [
+        t
+        for t in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows > 0
+    ]
+    if not tables:
+        return DOC_SCHEMA.empty_table()
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def crawl(
+    config: CrawlConfig,
+    store,
+    *,
+    seeds: list[str] | None = None,
+    num_shards: int = 4,
+    fetch_batch_size: int = 128,
+    fetch_num_cpus: float = 0.5,
+    proc_num_cpus: float = 0.5,
+    max_parallel_blocks: int = 64,
+    output_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    collect: bool | None = None,
+    max_waves: int | None = None,
+    spill_threshold: int = 2_000_000,
+) -> CrawlResult:
+    """Run a crawl to completion. ``store`` is any PageStore; it is put
+    into the object store once and read zero-copy by every fetch task.
+
+    ``collect`` defaults to True when no ``output_dir`` is given (test
+    mode, returns the docs table) and False otherwise (bench/scale mode,
+    streams each wave to ``output_dir/wave=K/`` partitioned parquet —
+    the resumable layout)."""
+    t0 = time.perf_counter()
+    cfg = config.resolved()
+    if collect is None:
+        collect = output_dir is None
+
+    store_ref = ray.put(store)
+    ShardActor = ray.remote(num_cpus=0)(FrontierShard)
+    shards = [
+        ShardActor.remote(i, num_shards, spill_threshold) for i in range(num_shards)
+    ]
+
+    start_wave = 0
+    if resume:
+        if not checkpoint_dir:
+            raise ValueError("resume=True requires checkpoint_dir")
+        manifest_path = os.path.join(checkpoint_dir, "MANIFEST.json")
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        start_wave = manifest["next_wave"]
+        ray.get(
+            [
+                s.restore.remote(os.path.join(checkpoint_dir, f"shard_{i:04d}.pkl"))
+                for i, s in enumerate(shards)
+            ]
+        )
+    else:
+        seed_urls = seeds if seeds is not None else [cfg.origin]
+        by_shard: dict[int, list[tuple[str, str]]] = {}
+        for s in seed_urls:
+            p = parse_url(s)
+            # seed enters the seen-map exactly like the reference's
+            # map_url_path(origin, to_path(origin, false)) (src/scraper.rs:298-302)
+            key = p.as_str()
+            to_path(p, False)  # validate it derives
+            by_shard.setdefault(shard_of(p.host or "", num_shards), []).append(
+                (key, p.host or "")
+            )
+        ray.get(
+            [shards[i].seed.remote(ents) for i, ents in by_shard.items()]
+        )
+
+    max_per_host = 1 if cfg.delay > 0 else None
+    wave = start_wave
+    docs_tables: list[pa.Table] = []
+    pages_total = 0
+    last_wave_started = 0.0
+
+    while True:
+        if resume and wave == start_wave:
+            # re-run the in-flight wave from the restored released state
+            released = ray.get([s.get_released.remote() for s in shards])
+        else:
+            released = ray.get(
+                [
+                    s.finalize_wave.remote(
+                        wave, cfg.depth, cfg.ext_depth, max_per_host
+                    )
+                    for s in shards
+                ]
+            )
+            if checkpoint_dir:
+                _checkpoint(checkpoint_dir, shards, wave)
+        entries = [e for part in released for e in part]
+        if not entries:
+            break
+        if max_waves is not None and wave - start_wave >= max_waves:
+            break
+
+        # politeness floor between waves (budget-equivalence: with
+        # max_per_host=1 a host is fetched at most once per `delay` sec)
+        if cfg.delay > 0 and last_wave_started:
+            sleep_left = cfg.delay - (time.perf_counter() - last_wave_started)
+            if sleep_left > 0:
+                time.sleep(sleep_left)
+        last_wave_started = time.perf_counter()
+
+        tbl = _entries_table(entries)
+        ds = rd.from_arrow(tbl)
+        nblocks = max(1, min(max_parallel_blocks, len(entries) // fetch_batch_size))
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        ds = ds.map_batches(
+            make_fetch_fn(store_ref, cfg),
+            batch_format="pyarrow",
+            batch_size=fetch_batch_size,
+            num_cpus=fetch_num_cpus,
+        )
+        ds = ds.map_batches(
+            make_process_fn(cfg, shards, wave),
+            batch_format="pyarrow",
+            batch_size=fetch_batch_size,
+            num_cpus=proc_num_cpus,
+        )
+
+        # Consume the wave EXACTLY ONCE — the process stage pushes
+        # candidates/ledger to the shard actors as a side effect, so a
+        # second consumption would re-run tasks and double-ingest.
+        if collect:
+            wave_tbl = _dataset_to_table(ds)
+            docs_tables.append(wave_tbl)
+            pages_total += wave_tbl.num_rows
+            if output_dir is not None and not cfg.dry_run:
+                import pyarrow.parquet as pq
+
+                wave_dir = os.path.join(output_dir, f"wave={wave:05d}")
+                _fresh_dir(wave_dir)
+                pq.write_table(
+                    wave_tbl.filter(wave_tbl.column("downloaded")),
+                    os.path.join(wave_dir, "part-0.parquet"),
+                )
+        elif output_dir is not None and not cfg.dry_run:
+            wave_dir = os.path.join(output_dir, f"wave={wave:05d}")
+            _fresh_dir(wave_dir)  # idempotent re-run of a resumed wave
+            saved = ds.map_batches(
+                lambda t: t.filter(t.column("downloaded")), batch_format="pyarrow"
+            )
+            saved.write_parquet(wave_dir)
+            pages_total += len(entries)
+        else:
+            # count-only consumption (dry-run semantics, S6)
+            pages_total += ds.count()
+
+        ray.get([s.ack_wave.remote() for s in shards])
+        wave += 1
+
+    ledger_rows = [r for part in ray.get([s.get_ledger.remote() for s in shards]) for r in part]
+    ledger_cols = list(zip(*ledger_rows)) if ledger_rows else [[]] * 8
+    ledger = pa.Table.from_arrays(
+        [
+            pa.array(list(ledger_cols[i]), type=LEDGER_SCHEMA.field(i).type)
+            for i in range(8)
+        ],
+        schema=LEDGER_SCHEMA,
+    )
+    counters: dict[str, int] = {}
+    for c in ray.get([s.get_counters.remote() for s in shards]):
+        for k, v in c.items():
+            counters[k] = counters.get(k, 0) + v
+    seen_total = sum(ray.get([s.seen_count.remote() for s in shards]))
+    counters["seen_urls"] = seen_total
+    counters["pages"] = pages_total
+
+    docs = None
+    if collect:
+        docs = (
+            pa.concat_tables(docs_tables, promote_options="default")
+            if docs_tables
+            else DOC_SCHEMA.empty_table()
+        )
+
+    for s in shards:
+        ray.kill(s)
+
+    return CrawlResult(
+        docs=docs,
+        output_dir=output_dir,
+        ledger=ledger,
+        metrics=counters,
+        waves=wave - start_wave,
+        wall_sec=time.perf_counter() - t0,
+    )
+
+
+def _fresh_dir(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+
+def _checkpoint(checkpoint_dir: str, shards: list, wave: int) -> None:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ray.get(
+        [
+            s.snapshot.remote(
+                os.path.join(checkpoint_dir, f"shard_{i:04d}.pkl"), wave
+            )
+            for i, s in enumerate(shards)
+        ]
+    )
+    manifest = {"next_wave": wave, "num_shards": len(shards), "epoch": wave}
+    tmp = os.path.join(checkpoint_dir, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(checkpoint_dir, "MANIFEST.json"))

@@ -1,0 +1,319 @@
+"""Page stores — what the fetch stage fetches from.
+
+The reference fetches over live HTTP (reqwest client,
+src/downloader.rs:116-171) and its tests stand up a local tiny_http
+server over tests/fixtures/ (tests/fixtures/mod.rs:11-62). The rebuild
+puts a store interface behind the fetch stage:
+
+- ``TablePageStore``     — explicit url→record dict; replicates the
+  reference's fixture server including basic-auth 401s and injected
+  Content-Type headers.
+- ``SyntheticPageStore`` — deterministic ON-DEMAND page renderer for
+  benchmarks: page bytes are a pure function of the URL, so a 10^10-URL
+  corpus needs O(1) memory per fetch worker and no corpus table ever
+  materializes. This is the scale path: bodies exist only inside fetch
+  batches streaming through the object store.
+- ``HttpPageStore``      — real network via urllib (same interface);
+  unused in this sandbox (no network) but keeps the fetch stage honest.
+
+All stores are small picklable objects shipped to fetch workers once.
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PageResponse:
+    status: int
+    content_type: str | None
+    content_disposition: str | None
+    body: bytes
+
+
+@dataclass(frozen=True)
+class PageRecord:
+    url: str
+    body: bytes
+    content_type: str | None = None
+    content_disposition: str | None = None
+    requires_auth: bool = False
+    status: int = 200
+
+
+_401_BODY = b"Invalid auth"
+
+
+@dataclass
+class TablePageStore:
+    """Dict-backed store; auth checked like the reference fixture server
+    (tests/fixtures/mod.rs:28-32: exact basic credentials match)."""
+
+    pages: dict[str, PageRecord] = field(default_factory=dict)
+    auth_user: str = "username"
+    auth_password: str = "password"
+
+    @classmethod
+    def from_records(cls, records: list[PageRecord], **kw) -> "TablePageStore":
+        return cls(pages={r.url: r for r in records}, **kw)
+
+    def fetch(self, url: str, auth: tuple[str, str | None] | None) -> PageResponse:
+        rec = self.pages.get(url)
+        if rec is None:
+            return PageResponse(404, None, None, b"")
+        if rec.requires_auth:
+            ok = auth is not None and auth[0] == self.auth_user and (
+                auth[1] or ""
+            ) == self.auth_password
+            if not ok:
+                # tiny_http Response::from_string defaults to text/plain
+                return PageResponse(401, "text/plain; charset=utf8", None, _401_BODY)
+        return PageResponse(rec.status, rec.content_type, rec.content_disposition, rec.body)
+
+
+# ---------------------------------------------------------------------------
+# Reference fixture site replica (tests/fixtures/*, FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+FIXTURE_HOST = "site.test"
+
+_INDEX_HTML = """<!DOCTYPE html>
+<html lang="en">
+<head>
+    <meta charset="UTF-8">
+    <meta name="viewport" content="width=device-width, initial-scale=1.0">
+    <title>Test page for suckit</title>
+</head>
+<body>
+    <a href="jpeg.jpg" download>JPG File</a>
+    <a href="mp3.mp3" download="">MP3 File</a>
+    <a href="file.txt" download="">Text File</a>
+    <a href="https://google.com" download="">Google</a>
+    <a href="no_download_no_visit.html">No download</a>
+</body>
+</html>
+"""
+
+_NO_DL_HTML = """<!DOCTYPE html>
+<html lang="en">
+<head></head>
+
+<body>
+  <a href="should_not_get_visited.html">Link</a>
+</body>
+</html>"""
+
+_W1252_TEXT = (
+    "<html><head>\n"
+    '<meta content="text/html; charset=windows-1252" http-equiv="Content-Type">\n'
+    "<title>Gamle Gjerpen - Ei Bygdebok for nett.</title>\n"
+    "</head>\n\n<body>\n"
+    "    <p>Gamle Valebø Redigering av sidene pågår.</p>\n"
+    "</body></html>"
+)
+
+_W1252_NO_META_TEXT = (
+    "<html><head>\n"
+    "<title>Gamle Gjerpen - Ei Bygdebok for nett.</title>\n"
+    "</head>\n\n<body>\n"
+    "    <p>Gamle Valebø Redigering av sidene pågår.</p>\n"
+    "</body></html>"
+)
+
+FIXTURE_W1252_BYTES = _W1252_TEXT.encode("cp1252")
+FIXTURE_W1252_NO_META_BYTES = _W1252_NO_META_TEXT.encode("cp1252")
+# deterministic fake binaries (reference uses a real jpg/mp3; bytes are opaque)
+FIXTURE_JPEG = b"\xff\xd8\xff\xe0" + bytes(range(100)) + b"\xff\xd9"
+FIXTURE_MP3 = b"ID3" + bytes(69)
+
+
+def fixture_pages(
+    host: str = FIXTURE_HOST,
+    *,
+    requires_auth: bool = False,
+    extra_headers_content_type: str | None = None,
+    page: str = "index",
+) -> TablePageStore:
+    """The reference fixture site as a table store.
+
+    ``page`` selects the origin page family served at ``/``:
+    "index" (filter/external/auth suites), "charset_meta",
+    "charset_no_meta" (charset suites). ``extra_headers_content_type``
+    replicates the injected Content-Type header of charset_http_*.rs.
+    """
+    base = f"http://{host}"
+    ct_html = extra_headers_content_type
+    records = [
+        PageRecord(f"{base}/jpeg.jpg", FIXTURE_JPEG, "image/jpeg", requires_auth=requires_auth),
+        PageRecord(f"{base}/mp3.mp3", FIXTURE_MP3, "audio/mpeg", requires_auth=requires_auth),
+        PageRecord(f"{base}/file.txt", b"Hello", "text/plain", requires_auth=requires_auth),
+        PageRecord(
+            f"{base}/no_download_no_visit.html",
+            _NO_DL_HTML.encode(),
+            ct_html,
+            requires_auth=requires_auth,
+        ),
+        PageRecord(
+            f"{base}/should_not_get_visited.html", b"", ct_html, requires_auth=requires_auth
+        ),
+        PageRecord("https://google.com/", b"<html><body>external</body></html>", None),
+    ]
+    if page == "index":
+        origin_body = _INDEX_HTML.encode()
+    elif page == "charset_meta":
+        origin_body = FIXTURE_W1252_BYTES
+    elif page == "charset_no_meta":
+        origin_body = FIXTURE_W1252_NO_META_BYTES
+    else:
+        raise ValueError(page)
+    records.append(
+        PageRecord(f"{base}/", origin_body, ct_html, requires_auth=requires_auth)
+    )
+    records.append(
+        PageRecord(f"{base}/index.html", origin_body, ct_html, requires_auth=requires_auth)
+    )
+    return TablePageStore.from_records(records)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic corpus (on-demand; the bench/scale store)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SyntheticCorpus:
+    """Parameters of a deterministic synthetic web.
+
+    ``n_hosts`` hosts named host{h:04d}.test; host h serves
+    ``docs_per_host(h)`` HTML pages p0..p{m-1} plus shared media assets.
+    Page j links to ``fanout`` other pages of the SAME host
+    ((j*MULT + k*STEP + 1) % m — an expander-ish graph so BFS waves grow
+    fast), one shared image asset (dedup pressure), and an external link
+    to another host (exercises the external classifier; only followed
+    when ext_depth allows). ``hot_share``>0 makes host 0 hold that share
+    of all docs — the skew knob.
+    """
+
+    n_hosts: int = 8
+    n_docs: int = 1000
+    fanout: int = 4
+    hot_share: float = 0.0
+    n_assets_per_host: int = 16
+    text_repeat: int = 3  # filler paragraphs per page
+
+    def docs_per_host(self, h: int) -> int:
+        if self.hot_share > 0.0:
+            hot = int(self.n_docs * self.hot_share)
+            rest = (self.n_docs - hot) // max(1, self.n_hosts - 1)
+            return hot if h == 0 else rest
+        base = self.n_docs // self.n_hosts
+        return base + (1 if h < self.n_docs % self.n_hosts else 0)
+
+    def host_name(self, h: int) -> str:
+        return f"host{h:04d}.test"
+
+    def page_url(self, h: int, j: int) -> str:
+        return f"http://{self.host_name(h)}/p{j}.html"
+
+    def asset_url(self, h: int, a: int) -> str:
+        return f"http://{self.host_name(h)}/img{a}.jpg"
+
+    def seeds(self) -> list[str]:
+        return [self.page_url(h, 0) for h in range(self.n_hosts)]
+
+    def links_of(self, h: int, j: int) -> list[tuple[str, str]]:
+        """[(attr, raw_candidate)] in document order for page (h, j)."""
+        m = self.docs_per_host(h)
+        out: list[tuple[str, str]] = []
+        out.append(("src", f"img{(j * 13 + 7) % self.n_assets_per_host}.jpg"))
+        for k in range(self.fanout):
+            t = (j * 2 + k * ((m // (self.fanout + 1)) or 1) + 1) % m
+            out.append(("href", f"p{t}.html"))
+        ext_h = (h + 1 + j) % self.n_hosts
+        if ext_h != h:
+            out.append(("href", self.page_url(ext_h, j % max(1, self.docs_per_host(ext_h)))))
+        return out
+
+    def render_page(self, h: int, j: int) -> bytes:
+        paras = "\n".join(
+            f"<p>host {h} doc {j} paragraph {p} — deterministic filler text "
+            f"{(j * 2654435761 + p) % 100000}</p>"
+            for p in range(self.text_repeat)
+        )
+        links = []
+        for attr, cand in self.links_of(h, j):
+            tag = "img" if attr == "src" else "a"
+            body = "" if attr == "src" else f">link {cand}</a"
+            links.append(f"<{tag} {attr}=\"{cand}\"{body}>")
+        html = (
+            "<!DOCTYPE html>\n<html><head><meta charset=\"UTF-8\">"
+            f"<title>h{h} p{j}</title></head>\n<body>\n{paras}\n"
+            + "\n".join(links)
+            + "\n</body></html>\n"
+        )
+        return html.encode()
+
+
+_ASSET_BODY = b"\xff\xd8\xff\xe0synthetic-jpeg-bytes" + bytes(64) + b"\xff\xd9"
+
+
+@dataclass(frozen=True)
+class SyntheticPageStore:
+    """On-demand store over a ``SyntheticCorpus`` — page bytes are a pure
+    function of the URL; nothing is precomputed or held in memory."""
+
+    corpus: SyntheticCorpus
+
+    def fetch(self, url: str, auth) -> PageResponse:
+        c = self.corpus
+        try:
+            hostpart, _, rest = url.partition("://")[2].partition("/")
+            h = int(hostpart[4:8])
+            if rest.startswith("img"):
+                return PageResponse(200, "image/jpeg", None, _ASSET_BODY)
+            j = int(rest[1 : rest.index(".")])
+            if h >= c.n_hosts or j >= c.docs_per_host(h):
+                return PageResponse(404, None, None, b"")
+            return PageResponse(200, "text/html; charset=utf-8", None, c.render_page(h, j))
+        except (ValueError, IndexError):
+            return PageResponse(404, None, None, b"")
+
+
+class HttpPageStore:
+    """Real-network store (urllib). Present for completeness; this
+    sandbox has no network, so it is exercised only by its interface."""
+
+    def __init__(self, user_agent: str = "suckit", cookie: str = "", timeout: float = 30.0):
+        self.user_agent = user_agent
+        self.cookie = cookie
+        self.timeout = timeout
+
+    def fetch(self, url: str, auth: tuple[str, str | None] | None) -> PageResponse:
+        import urllib.error
+        import urllib.request
+
+        headers = {"User-Agent": self.user_agent}
+        if self.cookie:
+            headers["Cookie"] = self.cookie
+        if auth is not None:
+            token = base64.b64encode(
+                f"{auth[0]}:{auth[1] or ''}".encode()
+            ).decode()
+            headers["Authorization"] = f"Basic {token}"
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return PageResponse(
+                    resp.status,
+                    resp.headers.get("Content-Type"),
+                    resp.headers.get("Content-Disposition"),
+                    resp.read(),
+                )
+        except urllib.error.HTTPError as e:
+            return PageResponse(
+                e.code,
+                e.headers.get("Content-Type"),
+                e.headers.get("Content-Disposition"),
+                e.read(),
+            )

@@ -1,0 +1,126 @@
+"""Fetch stage — the rebuild of the reference Downloader
+(src/downloader.rs:56-184) as a ``map_batches`` stage.
+
+Session-ish state (auth map, compiled config, the page store) is built
+ONCE PER WORKER PROCESS and cached in a module-level dict keyed by the
+store's object ref — the wave-loop driver builds a fresh Dataset per
+BFS wave, and stateless tasks + a worker-local cache amortize setup
+across waves without paying actor-pool startup per wave. (A callable
+class would re-create its actor pool every wave; Ray reuses worker
+processes across executions, so the cache survives.)
+
+Fetch is an application-level concern: HTTP retries stay INSIDE the
+stage (``tries`` attempts, no backoff — reference src/downloader.rs:
+174-184), while Ray task retries separately cover worker death. The
+reference conflates both (a panic aborts the process).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+from suckit_ray import textkit
+from suckit_ray.authkit import build_auth_map
+from suckit_ray.config import CrawlConfig
+from suckit_ray.urlkit import parse_url
+
+_WORKER_CACHE: dict = {}
+
+
+def _get_store(store_ref):
+    if isinstance(store_ref, ray.ObjectRef):
+        key = store_ref.hex()
+        if key not in _WORKER_CACHE:
+            _WORKER_CACHE[key] = ray.get(store_ref)
+        return _WORKER_CACHE[key]
+    return store_ref
+
+
+def _get_auth_map(config: CrawlConfig):
+    key = ("auth", config.auth, config.origin)
+    if key not in _WORKER_CACHE:
+        _WORKER_CACHE[key] = build_auth_map(config.auth, parse_url(config.origin))
+    return _WORKER_CACHE[key]
+
+
+FETCH_SCHEMA_FIELDS = [
+    ("status", pa.int32()),
+    ("data_type", pa.string()),
+    ("charset", pa.string()),
+    ("filename", pa.string()),
+    ("is_html", pa.bool_()),
+    ("body", pa.binary()),
+    ("fetch_error", pa.string()),
+]
+
+
+def make_fetch_fn(store_ref, config: CrawlConfig):
+    """Build the per-batch fetch function. Input batch columns:
+    url, host, depth, ext_depth, seq. Output adds FETCH_SCHEMA_FIELDS."""
+
+    tries = config.tries
+    continue_on_error = config.continue_on_error
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        store = _get_store(store_ref)
+        auth_map = _get_auth_map(config)
+
+        urls = batch.column("url").to_pylist()
+        status, data_types, charsets = [], [], []
+        filenames, is_htmls, bodies, errors = [], [], [], []
+
+        for url in urls:
+            # the fragment never goes on the wire (reqwest strips it);
+            # the frontier key keeps it (reference fragment quirk, A1)
+            request_url = url.split("#", 1)[0]
+            try:
+                host = parse_url(request_url).host or ""
+            except Exception:
+                host = ""
+            auth = auth_map.get(host)
+
+            resp = None
+            last_err: Exception | None = None
+            for _ in range(max(1, tries)):
+                try:
+                    resp = store.fetch(request_url, auth)
+                    last_err = None
+                    break
+                except Exception as e:  # transport-level failure
+                    last_err = e
+            if resp is None:
+                # reference: panic unless continue_on_error (src/scraper.rs:275-282)
+                if not continue_on_error:
+                    raise RuntimeError(f"Couldn't download {url}: {last_err}")
+                status.append(0)
+                data_types.append("")
+                charsets.append(None)
+                filenames.append(None)
+                is_htmls.append(False)
+                bodies.append(b"")
+                errors.append(str(last_err))
+                continue
+
+            data_type, charset = textkit.parse_content_type(resp.content_type)
+            html = textkit.is_html(data_type)
+            filename = (
+                textkit.extract_filename(resp.content_disposition) if not html else None
+            )
+            status.append(resp.status)
+            data_types.append(data_type)
+            charsets.append(charset)
+            filenames.append(filename)
+            is_htmls.append(html)
+            bodies.append(resp.body)
+            errors.append(None)
+
+        out = batch
+        for (name, typ), vals in zip(
+            FETCH_SCHEMA_FIELDS,
+            [status, data_types, charsets, filenames, is_htmls, bodies, errors],
+        ):
+            out = out.append_column(pa.field(name, typ), pa.array(vals, type=typ))
+        return out
+
+    return fetch_batch

@@ -1,0 +1,156 @@
+"""HTML-processing stage — handle_html/handle_url as a ``map_batches``
+stage (reference src/scraper.rs:145-293).
+
+Per fetched row: charset handling, link extraction + rewriting, span
+assembly (HTML), or single-media-span wrapping (assets). Discovered
+outlink candidates and fetch-ledger rows are pushed to the owning
+frontier shard actors from INSIDE the task (hash-partitioned by host)
+— the engine's only wide exchange, replacing the reference's global
+mutex. The task ray.gets the acks so the wave's candidate ingestion is
+complete when the Dataset finishes executing.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow as pa
+
+import ray
+from suckit_ray import htmlproc, textkit
+from suckit_ray.config import CrawlConfig
+from suckit_ray.state.frontier import shard_of
+from suckit_ray.urlkit import parse_url, to_path
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+SPAN_LIST = pa.list_(SPAN_STRUCT)
+
+DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("wave", pa.int32()),
+        ("seq", pa.int64()),
+        ("status", pa.int32()),
+        ("data_type", pa.string()),
+        ("charset", pa.string()),
+        ("is_html", pa.bool_()),
+        ("filename", pa.string()),  # Content-Disposition alias (S5 symlink column)
+        ("downloaded", pa.bool_()),
+        ("n_outlinks", pa.int32()),
+        ("spans", SPAN_LIST),
+        ("body", pa.binary()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def make_process_fn(config: CrawlConfig, shard_handles: list, wave: int):
+    """Build the per-batch HTML/asset processing function for one wave."""
+
+    cfg = config.resolved()
+    num_shards = len(shard_handles)
+
+    def process_batch(batch: pa.Table) -> pa.Table:
+        include_visit, exclude_visit = cfg.visit_filters()
+        include_download, exclude_download = cfg.download_filters()
+
+        cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
+        n = len(cols["url"])
+
+        out = {name: [] for name in DOC_SCHEMA.names}
+        cand_by_shard: dict[int, list[tuple]] = defaultdict(list)
+        ledger_by_shard: dict[int, list[tuple]] = defaultdict(list)
+
+        for i in range(n):
+            url = cols["url"][i]
+            seq = cols["seq"][i]
+            body = cols["body"][i] or b""
+            is_html = cols["is_html"][i]
+            status = cols["status"][i]
+            err = cols["fetch_error"][i]
+
+            parsed = parse_url(url)
+            doc_id = to_path(parsed, with_fragment=False)
+            host = parsed.host or ""
+            # download filter runs on the full URL; the page is fetched
+            # and parsed REGARDLESS so links are discovered
+            # (reference src/scraper.rs:238-241, M15)
+            downloaded = bool(
+                include_download.search(url) and not exclude_download.search(url)
+            )
+
+            charset = cols["charset"][i]
+            spans: list[dict] = []
+            body_out = body
+            n_outlinks = 0
+
+            if err is None and is_html:
+                res = htmlproc.process_html(
+                    parsed, doc_id, body, charset, include_visit, exclude_visit
+                )
+                body_out = res.body
+                spans = res.spans
+                n_outlinks = len(res.outlinks)
+                charset = res.charset
+                if res.errors:
+                    err = "; ".join(res.errors)
+                for o in res.outlinks:
+                    cand_by_shard[shard_of(o.host, num_shards)].append(
+                        (
+                            seq,
+                            o.ordinal,
+                            o.url,
+                            o.host,
+                            o.is_external,
+                            cols["depth"][i],
+                            cols["ext_depth"][i],
+                        )
+                    )
+            elif err is None:
+                spans = htmlproc.media_spans_for_asset(doc_id)
+
+            ledger_by_shard[shard_of(host, num_shards)].append(
+                (url, doc_id, status, wave, bool(is_html), downloaded, n_outlinks, err)
+            )
+
+            out["doc_id"].append(doc_id)
+            out["url"].append(url)
+            out["host"].append(host)
+            out["wave"].append(wave)
+            out["seq"].append(seq)
+            out["status"].append(status)
+            out["data_type"].append(cols["data_type"][i])
+            out["charset"].append(charset)
+            out["is_html"].append(bool(is_html))
+            out["filename"].append(cols["filename"][i])
+            out["downloaded"].append(downloaded)
+            out["n_outlinks"].append(n_outlinks)
+            out["spans"].append(spans)
+            out["body"].append(body_out)
+            out["error"].append(err)
+
+        # ship candidates + ledger to their owning shards; await acks so
+        # ingestion is complete when this task (and the wave) finishes
+        acks = []
+        for sid, cands in cand_by_shard.items():
+            acks.append(shard_handles[sid].add_candidates.remote(cands))
+        for sid, rows in ledger_by_shard.items():
+            acks.append(shard_handles[sid].add_ledger.remote(rows))
+        if acks:
+            ray.get(acks)
+
+        return pa.Table.from_pydict(
+            {name: pa.array(out[name], type=DOC_SCHEMA.field(name).type) for name in DOC_SCHEMA.names},
+            schema=DOC_SCHEMA,
+        )
+
+    return process_batch

@@ -1,0 +1,104 @@
+"""Unit tests for the seen-set tiers and frontier shard semantics
+(first-wins dedup, deterministic finalize, politeness release caps)."""
+
+from suckit_ray.state.frontier import FrontierShard, encode_seq, shard_of
+from suckit_ray.state.seenset import SpillableSet
+
+
+class TestSpillableSet:
+    def test_insert_if_absent_first_wins(self):
+        s = SpillableSet()
+        assert s.insert_if_absent("http://a.test/")
+        assert not s.insert_if_absent("http://a.test/")
+        assert "http://a.test/" in s
+        assert "http://b.test/" not in s
+        assert len(s) == 1
+
+    def test_spill_keeps_exactness(self):
+        s = SpillableSet(spill_threshold=10)
+        urls = [f"http://h.test/p{i}.html" for i in range(100)]
+        for u in urls:
+            assert s.insert_if_absent(u)
+        assert s.frozen_lo, "spill should have triggered"
+        for u in urls:
+            assert u in s
+            assert not s.insert_if_absent(u)
+        assert "http://h.test/p100.html" not in s
+        assert len(s) == 100
+
+    def test_state_round_trip(self):
+        s = SpillableSet(spill_threshold=5)
+        for i in range(20):
+            s.insert_if_absent(f"u{i}")
+        s2 = SpillableSet.from_state(s.state())
+        for i in range(20):
+            assert not s2.insert_if_absent(f"u{i}")
+        assert s2.insert_if_absent("fresh")
+
+
+class TestFrontierShard:
+    def cand(self, seq, ordinal, url, ext=False, d=0, e=0, host="h.test"):
+        return (seq, ordinal, url, host, ext, d, e)
+
+    def test_first_wins_and_depth_gate(self):
+        sh = FrontierShard(0, 1)
+        sh.add_candidates(
+            [
+                self.cand(1, 0, "http://h.test/a.html"),
+                self.cand(1, 1, "http://h.test/a.html"),  # same wave dup
+                self.cand(1, 2, "http://x.test/e.html", ext=True),  # ext_depth 0 → gated
+            ]
+        )
+        rel = sh.finalize_wave(1, max_depth=-1, max_ext_depth=0)
+        assert [r[0] for r in rel] == ["http://h.test/a.html"]
+        assert rel[0][2] == 1  # depth bumped
+        c = sh.get_counters()
+        assert c["new_urls"] == 2 and c["dup_urls"] == 1 and c["depth_gated"] == 1
+
+    def test_deterministic_order_regardless_of_arrival(self):
+        a = [self.cand(5, 0, "http://h.test/z.html"), self.cand(5, 1, "http://h.test/y.html")]
+        b = [self.cand(3, 0, "http://h.test/x.html")]
+        sh1 = FrontierShard(0, 1)
+        sh1.add_candidates(a)
+        sh1.add_candidates(b)
+        sh2 = FrontierShard(0, 1)
+        sh2.add_candidates(b)
+        sh2.add_candidates(a)
+        r1 = sh1.finalize_wave(1, -1, 0)
+        r2 = sh2.finalize_wave(1, -1, 0)
+        assert r1 == r2
+        assert [r[0] for r in r1] == [
+            "http://h.test/x.html",
+            "http://h.test/z.html",
+            "http://h.test/y.html",
+        ]  # parent_seq then ordinal order
+
+    def test_max_per_host_release_cap(self):
+        sh = FrontierShard(0, 1)
+        sh.add_candidates(
+            [self.cand(1, i, f"http://h.test/p{i}.html") for i in range(5)]
+            + [self.cand(1, 9, "http://other.test/q.html", host="other.test")]
+        )
+        rel = sh.finalize_wave(1, -1, 0, max_per_host=2)
+        hosts = [r[1] for r in rel]
+        assert hosts.count("h.test") == 2 and hosts.count("other.test") == 1
+        assert sh.pending_count() == 3  # overflow stays queued
+        rel2 = sh.finalize_wave(2, -1, 0, max_per_host=2)
+        assert len(rel2) == 2
+        rel3 = sh.finalize_wave(3, -1, 0, max_per_host=2)
+        assert len(rel3) == 1
+
+    def test_ledger_idempotent(self):
+        sh = FrontierShard(0, 1)
+        row = ("http://h.test/", "h.test/index.html", 200, 0, True, True, 3, None)
+        assert sh.add_ledger([row]) == 1
+        assert sh.add_ledger([row]) == 0  # task re-run is a no-op
+        assert len(sh.get_ledger()) == 1
+
+    def test_seq_encoding_orders_waves(self):
+        assert encode_seq(1, 0, 0) > encode_seq(0, 255, 2**30)
+        assert encode_seq(2, 3, 4) == (2 << 44) | (3 << 36) | 4
+
+    def test_shard_of_stable(self):
+        assert shard_of("site.test", 8) == shard_of("site.test", 8)
+        assert 0 <= shard_of("anything", 5) < 5
