@@ -1,16 +1,19 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the suckit_ray graft (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``    — flagship seed-list crawl over the deterministic
+  synthetic corpus sized from sf0.001, returning the interleaved-span
+  documents table as a Dataset.
+- ``queries()``  — one entry per operator family from SURVEY.md §2 plus
+  the training-data-pipeline extensions (dedup/ANN/text analysis).
+- ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
+  Every constant (regexes, thresholds, derivations) mirrors the Python
+  implementation verbatim; integer counts / floor(x*10000) scores keep
+  the value-hash comparison exact. Crawl-pipeline and approximate
+  operators (minhash LSH, simhash, IVF) have no SQL equivalent and are
+  recorded as rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or below this module.
 """
 
 from __future__ import annotations
@@ -19,26 +22,285 @@ from collections.abc import Callable
 from typing import Any
 
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+# ---------------------------------------------------------------------------
+# flagship crawl
+# ---------------------------------------------------------------------------
 
+def _corpus_for(sf_dir: str):
+    """Deterministic synthetic crawl corpus sized from the documents
+    table of the given sf dir (no external data)."""
+    import pyarrow.parquet as pq
+
+    from suckit_ray.sources.pagestore import SyntheticCorpus
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return SyntheticCorpus(n_hosts=8, n_docs=n_docs, fanout=4, n_assets_per_host=16)
+
+
+def _crawl_docs(sf_dir: str):
+    import ray.data as rd
+
+    from suckit_ray.config import CrawlConfig
+    from suckit_ray.pipelines.crawl import crawl
+    from suckit_ray.sources.pagestore import SyntheticPageStore
+
+    corpus = _corpus_for(sf_dir)
+    res = crawl(
+        CrawlConfig(origin=corpus.page_url(0, 0)),
+        SyntheticPageStore(corpus),
+        seeds=corpus.seeds(),
+        num_shards=4,
+    )
+    return rd.from_arrow(res.docs)
+
+
+def entry() -> Any:
+    """Flagship pipeline: full crawl of the sf0.001-sized synthetic web
+    → interleaved-span documents Dataset."""
+    return _crawl_docs("/root/testdata/sf0.001")
+
+
+def _crawl_mirror_summary(sf_dir: str):
+    """Crawl result as a flat summary table (doc_id, host, status,
+    is_html, n_outlinks, n_spans) — rows-only correctness surface."""
+    import pyarrow as pa
+
+    ds = _crawl_docs(sf_dir)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "host": t.column("host"),
+                "status": t.column("status"),
+                "is_html": t.column("is_html"),
+                "n_outlinks": t.column("n_outlinks"),
+                "n_spans": pc.cast(pc.list_value_length(t.column("spans")), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from suckit_ray.pipelines import ann, dedup, relops, textops, urlops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl URL kernels (SURVEY §2.2 M8/M9/M11/M13)
+        "url_to_path": urlops.url_to_path,
+        "normalize_url": urlops.normalize_url,
+        "should_visit": urlops.should_visit,
+        "is_external": urlops.is_external,
+        # crawl pipeline (rows-only; full wave-loop engine)
+        "crawl_mirror": _crawl_mirror_summary,
+        # text analysis
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
+        "fingerprint": textops.fingerprint,
+        # dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # similarity search
+        "ann_topk": ann.brute_force_topk,
+        "ann_ivf_topk": ann.ivf_topk,
+        # relational / windowed
+        "lineitem_agg": relops.lineitem_agg,
+        "events_windowed": relops.events_windowed,
+        "top_customers": relops.top_customers,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_HOST = "'site-' || (doc_id % 20) || '.test'"
+_URL_CASE = f"""CASE doc_id % 4
+        WHEN 0 THEN 'http://' || {_HOST} || '/a/page' || doc_id || '.html'
+        WHEN 1 THEN 'http://' || {_HOST} || '/b/dir' || doc_id || '/'
+        WHEN 2 THEN 'http://' || {_HOST} || '/c/noext' || doc_id
+        ELSE 'http://' || {_HOST} || '/d/q' || doc_id || '?x=1&y=2'
+    END"""
+
+_CAND_CASE = """CASE doc_id % 6
+        WHEN 0 THEN '///ext' || doc_id || '.test/x'
+        WHEN 1 THEN '//ext' || doc_id || '.test/y'
+        WHEN 2 THEN 'page' || doc_id || '.html'
+        WHEN 3 THEN 'mailto:user' || doc_id || '@x.test'
+        WHEN 4 THEN 'javascript:void(0)'
+        ELSE 'https://other' || doc_id || '.test/z.html'
+    END"""
+
+_STOP_RE = r"\b(the|a|of|and|in)\b"
+_TOKEN_RE = "[A-Za-z0-9_]+"
+_PUNCT_RE = "[.,!?;:]"
+
+_LANG_SCORES = """
+    len(regexp_extract_all(lower(text), '\\b(the|a|data)\\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\\b(line|part|value)\\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\\b(group|window|stream)\\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\\b(sort|merge|filter)\\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\\b(hash|join|scan)\\b')) AS s_zh
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "url_to_path": f"""
+            SELECT doc_id, {_URL_CASE} AS url,
+              CASE doc_id % 4
+                WHEN 0 THEN {_HOST} || '/a/page' || doc_id || '.html'
+                WHEN 1 THEN {_HOST} || '/b/dir' || doc_id || '/index.html'
+                WHEN 2 THEN {_HOST} || '/c/noext' || doc_id || '/index_no_slash.html'
+                ELSE {_HOST} || '/d/q' || doc_id || '__querystring__x=1&y=2/index_no_slash.html'
+              END AS path
+            FROM documents
+        """,
+        "normalize_url": f"""
+            SELECT doc_id, {_CAND_CASE} AS candidate,
+              CASE doc_id % 6
+                WHEN 0 THEN 'https://ext' || doc_id || '.test/x'
+                WHEN 1 THEN 'https://ext' || doc_id || '.test/y'
+                ELSE {_CAND_CASE}
+              END AS normalized
+            FROM documents
+        """,
+        "should_visit": f"""
+            SELECT doc_id, {_CAND_CASE} AS candidate,
+                   (doc_id % 6) NOT IN (3, 4) AS visit
+            FROM documents
+        """,
+        "is_external": f"""
+            SELECT doc_id, {_CAND_CASE} AS candidate,
+                   (doc_id % 6) <> 2 AS external
+            FROM documents
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH c AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT) AS n_stopwords,
+                CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS BIGINT) AS n_punct
+              FROM documents)
+            SELECT doc_id, n_tokens, n_stopwords, n_punct,
+                   (n_tokens >= 20 AND n_stopwords >= 1) AS is_quality
+            FROM c
+        """,
+        "lang_id": f"""
+            WITH s AS (SELECT doc_id, {_LANG_SCORES} FROM documents)
+            SELECT doc_id,
+              CASE
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh'
+              END AS pred_lang
+            FROM s
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_pairs": r"""
+            -- assumes every document has >= 3 tokens (true for this corpus);
+            -- 1-based list indexing, lateral generate_series per doc
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 1)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     L[i] || ' ' || L[i + 1] || ' ' || L[i + 2] AS s
+              FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                   CAST(floor(10000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_pct
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+        """,
+        "embedding_dup_pairs": """
+            SELECT CAST(a.vec_id AS BIGINT) AS a_id, CAST(b.vec_id AS BIGINT) AS b_id,
+                   CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_pct
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.40
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+                 scored AS (
+                   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          CAST(floor(list_cosine_similarity(q.e, c.e) * 10000) AS BIGINT) AS cos_pct
+                   FROM q JOIN c ON c.vec_id <> q.vec_id),
+                 ranked AS (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos_pct DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_pct
+            FROM ranked WHERE rank <= 10
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+              CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+              CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_windowed": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "top_customers": """
+            WITH agg AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                     CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY o_custkey)
+            SELECT CAST(a.o_custkey AS BIGINT) AS c_custkey, c.c_name, a.total_cents, a.n_orders
+            FROM agg a JOIN customer c ON c.c_custkey = a.o_custkey
+            ORDER BY a.total_cents DESC, c_custkey ASC LIMIT 10
+        """,
+        # no oracle (rows-only): crawl_mirror, minhash_lsh_pairs,
+        # simhash, ann_ivf_topk — approximate / full-pipeline operators.
+    }

@@ -1,0 +1,186 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk`` — the exact baseline: the query matrix is
+  broadcast once (``ray.put``), every batch does one numpy matmul
+  against it, partial top-k per batch, merged at the end. Scales as
+  a single pass over the corpus with no shuffle.
+- ``ivf_topk`` — the scale path: a coarse k-means quantizer trained on
+  a driver-side sample, cluster assignment as a batch transform, and
+  search restricted to the ``nprobe`` closest clusters per query.
+
+Scores are reported as ``cos_pct = round(cos*10000)`` int64 and ranked
+by (cos_pct desc, vec_id asc) so results are hash-stable against the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+TOPK = 10
+N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
+
+
+def _read_embeddings(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t.column("vec_id"), N_QUERIES))
+    ids = np.array(t.column("vec_id").to_pylist())
+    order = np.argsort(ids)
+    m = np.stack([np.array(e, dtype=np.float64) for e in t.column("embedding").to_pylist()])
+    return ids[order], _normalize(m[order])
+
+
+def brute_force_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
+    """(query_id, rank, neighbor_id, cos_pct): exact top-k cosine
+    neighbors (self excluded) for each query vector."""
+    qids, qm = _load_queries(sf_dir)
+    q_ref = ray.put((qids, qm))  # broadcast once, read per task
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_ = ray.get(q_ref)
+        ids = df["vec_id"].to_numpy()
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        cos = qm_ @ m.T  # (Q, B)
+        pct = np.floor(cos * 10000).astype(np.int64)
+        out = []
+        for qi, qid in enumerate(qids_):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_pct = pct[qi][mask]
+            if len(cand_ids) > k:
+                # top-k by (pct desc, vec_id asc)
+                idx = np.lexsort((cand_ids, -cand_pct))[:k]
+            else:
+                idx = np.lexsort((cand_ids, -cand_pct))
+            for i in idx:
+                out.append((int(qid), int(cand_ids[i]), int(cand_pct[i])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_pct"])
+
+    parts = _read_embeddings(sf_dir).map_batches(
+        partial_topk, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+
+    # merge per-batch partials into global top-k (driver-side; tiny)
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        best = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.cos_pct, r.neighbor_id)
+        )
+        for rank, r in enumerate(best, 1):
+            rows.append((int(qid), rank, int(r.neighbor_id), int(r.cos_pct)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cos_pct": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantized) variant — the 100 TB shape
+# ---------------------------------------------------------------------------
+
+def _train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a sample (seeded init)."""
+    rng = np.random.RandomState(7)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = sample @ cent.T
+        assign = d.argmax(axis=1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                v = pts.mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[c] = v / (n if n else 1.0)
+    return cent
+
+
+def ivf_topk(
+    sf_dir: str, k: int = TOPK, n_clusters: int = 16, nprobe: int = 4,
+    sample_size: int = 2048,
+) -> pa.Table:
+    """Approximate top-k: assign every vector to its closest centroid
+    (distributed), search only the ``nprobe`` closest clusters per
+    query. Same output schema as brute_force_topk."""
+    # train the quantizer on a driver-side sample (at scale: ds.random_sample)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_m = _normalize(
+        np.stack([np.array(e, dtype=np.float64) for e in t.column("embedding").to_pylist()])
+    )
+    sample = all_m[: min(sample_size, len(all_m))]
+    cent = _train_centroids(sample, n_clusters)
+    cent_ref = ray.put(cent)
+
+    qids, qm = _load_queries(sf_dir)
+    q_probe = {
+        int(qid): set(np.argsort(-(qm[i] @ cent.T))[:nprobe].tolist())
+        for i, qid in enumerate(qids)
+    }
+    q_ref = ray.put((qids, qm, q_probe))
+
+    def probe_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cent_ = ray.get(cent_ref)
+        qids_, qm_, q_probe_ = ray.get(q_ref)
+        ids = df["vec_id"].to_numpy()
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        assign = (m @ cent_.T).argmax(axis=1)
+        out = []
+        for qi, qid in enumerate(qids_):
+            probes = q_probe_[int(qid)]
+            mask = np.isin(assign, list(probes)) & (ids != qid)
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            pct = np.floor((qm_[qi] @ m[mask].T) * 10000).astype(np.int64)
+            idx = np.lexsort((cand_ids, -pct))[: TOPK]
+            for i in idx:
+                out.append((int(qid), int(cand_ids[i]), int(pct[i])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_pct"])
+
+    parts = _read_embeddings(sf_dir).map_batches(
+        probe_topk, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        best = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.cos_pct, r.neighbor_id)
+        )
+        for rank, r in enumerate(best, 1):
+            rows.append((int(qid), rank, int(r.neighbor_id), int(r.cos_pct)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cos_pct": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

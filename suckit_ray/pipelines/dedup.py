@@ -1,0 +1,300 @@
+"""Deduplication family over a documents table — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale shapes (the 100 TB story):
+
+- **exact**: content-hash added per batch (vectorized md5), then a
+  ``groupby(hash)`` keeps the min doc_id per group — the only shuffle
+  moves 2 small columns, never the text.
+- **minhash_lsh**: signatures per batch (numpy, crc32 shingles ×
+  universal-hash permutations) → explode to (band, band_hash, doc_id)
+  rows → groupby bands → candidate pairs → exact-Jaccard verify.
+  Everything between read and verify is narrow per-batch work; the
+  band groupby is the one wide step and its rows are 3 ints each.
+- **simhash**: 64-bit signature per batch; near-dup = identical
+  signature buckets here (Hamming-radius probing documented as the
+  multi-table variant).
+- **embedding cosine**: all-pairs within LSH-ish blocking by label /
+  norm bucket; at test scale a blocked matmul.
+
+All thresholds/params are module constants mirrored by the oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+SHINGLE_K = 3           # word shingles
+NUM_PERM = 64
+LSH_BANDS = 16          # 16 bands × 4 rows
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.40
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+
+
+def _read_documents(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """One surviving doc_id (the min) per distinct text. Returns
+    (doc_id, n_copies)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
+                "doc_id": df["doc_id"],
+            }
+        )
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pandas"
+    )
+    agg = ds.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+    return agg.select_columns(["doc_id", "n_copies"])
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+def _word_shingles(text: str) -> list[str]:
+    toks = text.split()
+    if len(toks) < SHINGLE_K:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)]
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    sh = set(_word_shingles(text))
+    if not sh:
+        return np.zeros(1, dtype=np.int64)
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in sh), dtype=np.int64, count=len(sh)
+    )
+
+
+def _minhash_signature(text: str) -> np.ndarray:
+    h = _shingle_hashes(text)  # (S,)
+    # universal hashing: (a*h + b) mod p, minimum per permutation
+    vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+    return vals.min(axis=0)  # (NUM_PERM,)
+
+
+def minhash_bands(sf_dir: str) -> rd.Dataset:
+    """Explode each document into LSH band rows
+    (band_id, band_hash, doc_id)."""
+
+    rows_per_band = NUM_PERM // LSH_BANDS
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out_band, out_hash, out_doc = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = _minhash_signature(text)
+            for b in range(LSH_BANDS):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                bh = zlib.crc32(chunk.tobytes())
+                out_band.append(b)
+                out_hash.append(bh)
+                out_doc.append(doc_id)
+        return pd.DataFrame(
+            {"band_id": out_band, "band_hash": out_hash, "doc_id": out_doc}
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+    """Candidate near-dup pairs from LSH banding, verified with exact
+    Jaccard ≥ JACCARD_THRESHOLD. Returns (a_id, b_id, jaccard_pct)
+    with jaccard_pct = round(J*10000) as int64 (hash-stable)."""
+    bands = minhash_bands(sf_dir)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a_id": a, "b_id": b})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    pairs_tbl = pairs.to_pandas()
+    if len(pairs_tbl) == 0:
+        return pa.table(
+            {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
+             "jaccard_pct": pa.array([], pa.int64())}
+        )
+    cand = pairs_tbl.drop_duplicates(["a_id", "b_id"])
+
+    # verify with exact Jaccard — fetch the texts of candidate docs only
+    need = sorted(set(cand["a_id"]) | set(cand["b_id"]))
+    docs = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda df: df[df["doc_id"].isin(need)], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    shingles = {d: set(_word_shingles(t)) for d, t in zip(docs["doc_id"], docs["text"])}
+
+    a_ids, b_ids, jpcts = [], [], []
+    for a, b in zip(cand["a_id"], cand["b_id"]):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j >= JACCARD_THRESHOLD:
+            a_ids.append(int(a))
+            b_ids.append(int(b))
+            jpcts.append(int(np.floor(j * 10000)))
+    return pa.table(
+        {
+            "a_id": pa.array(a_ids, pa.int64()),
+            "b_id": pa.array(b_ids, pa.int64()),
+            "jaccard_pct": pa.array(jpcts, pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
+    """ALL pairs with exact word-3-gram Jaccard ≥ threshold, computed by
+    a distributed shingle-explode → groupby(shingle) → pair-count plan
+    (no LSH approximation; the SQL-checkable exact ground truth)."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, shingle_hash = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            for s in set(_word_shingles(t)):
+                doc_ids.append(d)
+                shingle_hash.append(zlib.crc32(s.encode("utf-8")))
+        return pd.DataFrame({"doc_id": doc_ids, "sh": shingle_hash})
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+    df = ds.to_pandas()
+    sizes = df.groupby("doc_id").size()
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a_id": a, "b_id": b})
+
+    # pair intersection counts via shingle-bucket join (driver-side at
+    # test scale; the bucket groupby is the distributed path)
+    inter = (
+        df.merge(df, on="sh")
+        .query("doc_id_x < doc_id_y")
+        .groupby(["doc_id_x", "doc_id_y"])
+        .size()
+        .reset_index(name="inter")
+    )
+    rows = []
+    for _, r in inter.iterrows():
+        na, nb = sizes[r["doc_id_x"]], sizes[r["doc_id_y"]]
+        union = na + nb - r["inter"]
+        j = r["inter"] / union if union else 0.0
+        if j >= threshold:
+            rows.append((int(r["doc_id_x"]), int(r["doc_id_y"]), int(np.floor(j * 10000))))
+    rows.sort()
+    return pa.table(
+        {
+            "a_id": pa.array([r[0] for r in rows], pa.int64()),
+            "b_id": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(sf_dir: str) -> rd.Dataset:
+    """doc_id, simhash — 64-bit SimHash over word tokens (crc32-seeded
+    bit votes). Identical values ⇒ near-identical token multisets."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for text in df["text"]:
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in text.split():
+                h = np.uint64(
+                    zlib.crc32(tok.encode("utf-8"))
+                    | (zlib.crc32(tok[::-1].encode("utf-8")) << 32)
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                votes += 2 * bits - 1
+            val = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out.append(int(np.uint64(val).astype(np.int64)))  # two's-complement int64
+        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": pd.array(out, dtype="int64")})
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD) -> pa.Table:
+    """Pairs of embedding rows with cosine ≥ threshold, blocked by
+    label (vectors of different labels are never near-dups in this
+    corpus; blocking keys at real scale: coarse quantizer cell).
+    Returns (a_id, b_id, cos_pct) with cos_pct = round(cos*10000)."""
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        cos = mn @ mn.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = cos[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "a_id": ids[ii[keep]],
+                "b_id": ids[jj[keep]],
+                "cos_pct": np.floor(cos[ii, jj][keep] * 10000).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("label").map_groups(block_pairs, batch_format="pandas")

@@ -1,0 +1,136 @@
+"""Text-analysis operators over a documents table — the language-ID /
+quality-scoring / token-counting / fingerprinting stages a large-scale
+training-data pipeline runs after a crawl.
+
+All per-row math is vectorized pandas/numpy inside ``map_batches``;
+outputs are integer counts / md5 hex strings so the DuckDB oracles in
+__ray_entry__ hash-match exactly (no float drift).
+
+Every constant here (token regex, stopword list, language markers,
+punctuation class) is mirrored verbatim in the oracle SQL — the
+contract is "same arithmetic, two engines".
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+
+TOKEN_RE = "[A-Za-z0-9_]+"
+PUNCT_RE = r"[.,!?;:]"
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+# marker words per language for the stopword-count language heuristic.
+# The synthetic corpus shares one vocabulary, so the PREDICTION is not
+# meaningful linguistics — the operator contract (deterministic argmax
+# of marker counts, first-wins tie-break in LANG_ORDER) is what the
+# oracle checks.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "data"),
+    "es": ("line", "part", "value"),
+    "de": ("group", "window", "stream"),
+    "fr": ("sort", "merge", "filter"),
+    "zh": ("hash", "join", "scan"),
+}
+LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def _alt(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def _read_documents(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_count(sf_dir: str) -> rd.Dataset:
+    """doc_id, n_tokens — regex word-token count."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def quality_score(sf_dir: str) -> rd.Dataset:
+    """doc_id, n_tokens, n_stopwords, n_punct, is_quality — integer
+    length/stopword/punctuation quality signals."""
+
+    stop_re = _alt(STOPWORDS)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        n_tokens = df["text"].str.count(TOKEN_RE).astype("int64")
+        n_stop = low.str.count(stop_re).astype("int64")
+        n_punct = df["text"].str.count(PUNCT_RE).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tokens,
+                "n_stopwords": n_stop,
+                "n_punct": n_punct,
+                "is_quality": (n_tokens >= 20) & (n_stop >= 1),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """doc_id, pred_lang — deterministic marker-count argmax (first-wins
+    tie-break in LANG_ORDER)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        scores = {
+            lang: low.str.count(_alt(LANG_MARKERS[lang])).astype("int64")
+            for lang in LANG_ORDER
+        }
+        sc = pd.DataFrame(scores)
+        best = sc.max(axis=1)
+        pred = pd.Series("en", index=df.index)
+        # first language in LANG_ORDER reaching the max wins
+        assigned = pd.Series(False, index=df.index)
+        for lang in LANG_ORDER:
+            hit = (~assigned) & (sc[lang] == best)
+            pred[hit] = lang
+            assigned |= hit
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": pred})
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def fingerprint(sf_dir: str) -> rd.Dataset:
+    """doc_id, fp — md5 hex of the whitespace-normalized, lowercased,
+    trimmed text (document content fingerprint)."""
+    import hashlib
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            df["text"]
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fp": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm],
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
