@@ -1,0 +1,238 @@
+"""Benchmark harness for the suckit_ray graft.
+
+Default mode: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), run the
+headline pipeline (seed-list crawl of the deterministic synthetic web,
+~32 pages per documents-table row of $GRAFT_SF_DIR) plus a
+representative query set, print ONE JSON line:
+
+  {"metric": "crawl_wall_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ..., "urls_deduped_per_sec": ...}
+
+--scaling: run the headline crawl in FRESH processes at two
+parallelism levels (N=4 and 4N=16 — see BASELINE.md: this box's
+aggregate compute at 32 procs is only ~3.0x of 8 procs, so the
+4-vs-16 pair is the honest N-to-4N evidence; 8-vs-32 is also
+reported) and print throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def corpus_for_bench(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from suckit_ray.sources.pagestore import SyntheticCorpus
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return SyntheticCorpus(
+        n_hosts=16,
+        n_docs=n_rows * 32,
+        fanout=4,
+        hot_share=0.25,  # skew: host 0 holds a quarter of the web
+        n_assets_per_host=64,
+    )
+
+
+def warm_pool(num_cpus: int) -> None:
+    """Start every Ray worker and import the heavy modules before the
+    timed section (cold worker start dominates otherwise)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _warm():
+        import numpy  # noqa
+        import pandas  # noqa
+        import pyarrow  # noqa
+
+        return 1
+
+    ray.get([_warm.remote() for _ in range(num_cpus * 2)])
+
+
+def num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_headline(sf_dir: str) -> dict:
+    from suckit_ray.config import CrawlConfig
+    from suckit_ray.pipelines.crawl import crawl
+    from suckit_ray.sources.pagestore import SyntheticCorpus, SyntheticPageStore
+
+    # small untimed crawl: warms Ray Data code paths end to end
+    warm = SyntheticCorpus(n_hosts=4, n_docs=800, fanout=4)
+    crawl(
+        CrawlConfig(origin=warm.page_url(0, 0)),
+        SyntheticPageStore(warm),
+        seeds=warm.seeds(),
+        num_shards=4,
+        collect=False,
+    )
+
+    corpus = corpus_for_bench(sf_dir)
+    t0 = time.perf_counter()
+    res = crawl(
+        CrawlConfig(origin=corpus.page_url(0, 0)),
+        SyntheticPageStore(corpus),
+        seeds=corpus.seeds(per_host=16),
+        num_shards=max(2, num_cpus() // 4),
+        collect=False,
+        fetch_batch_size=512,
+        proc_num_cpus=1.0,
+    )
+    wall = time.perf_counter() - t0
+    # sustained throughput: the full-size waves (>= 10% of the largest
+    # wave) — the "frontier-sustained" metric of BASELINE.json; ramp-up
+    # and drain waves measure fixed overhead, not throughput
+    ws = res.metrics["wave_stats"]
+    big = max(w["entries"] for w in ws)
+    sus = [w for w in ws if w["entries"] >= max(1000, big * 0.1)]
+    sus_pages = sum(w["entries"] for w in sus)
+    sus_sec = sum(w["sec"] for w in sus) or 1e-9
+    return {
+        "crawl_wall_sec": wall,
+        "pages": res.metrics["pages"],
+        "urls_seen": res.metrics["seen_urls"],
+        "candidates": res.metrics["candidates_in"],
+        "waves": res.waves,
+        "pages_per_sec": res.metrics["pages"] / wall,
+        "urls_deduped_per_sec": res.metrics["candidates_in"] / wall,
+        "sustained_pages_per_sec": sus_pages / sus_sec,
+        "sustained_share": sus_pages / max(1, res.metrics["pages"]),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as E
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def consume(x):
+        if isinstance(x, rd.Dataset):
+            return x.count()
+        if isinstance(x, pa.Table):
+            return x.num_rows
+        return len(x)
+
+    names = [
+        "token_count",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "simhash",
+        "ann_topk",
+        "lineitem_agg",
+        "events_windowed",
+        "top_customers",
+    ]
+    qs = E.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        consume(qs[name](sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    warm_pool(num_cpus)
+    headline = run_headline(sf_dir)
+    queries = {} if headline_only else run_queries(sf_dir)
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_wall_sec",
+                "value": round(headline["crawl_wall_sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_of(sf_dir),
+                "num_cpus": num_cpus,
+                "pages": headline["pages"],
+                "waves": headline["waves"],
+                "pages_per_sec": round(headline["pages_per_sec"], 1),
+                "urls_deduped_per_sec": round(headline["urls_deduped_per_sec"], 1),
+                "sustained_pages_per_sec": round(headline["sustained_pages_per_sec"], 1),
+                "sustained_share": round(headline["sustained_share"], 3),
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
+        )
+        out = subprocess.run(
+            [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 4, 16
+    lo, hi = run(lo_n), run(hi_n)
+    eff = (hi["sustained_pages_per_sec"] / lo["sustained_pages_per_sec"]) / (hi_n / lo_n)
+    result = {
+        "n": lo_n,
+        "4n": hi_n,
+        "pages_per_sec_n": lo["pages_per_sec"],
+        "pages_per_sec_4n": hi["pages_per_sec"],
+        "sustained_pages_per_sec_n": lo["sustained_pages_per_sec"],
+        "sustained_pages_per_sec_4n": hi["sustained_pages_per_sec"],
+        "urls_deduped_per_sec_n": lo["urls_deduped_per_sec"],
+        "urls_deduped_per_sec_4n": hi["urls_deduped_per_sec"],
+        "sec_n": lo["value"],
+        "sec_4n": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "wall_clock_efficiency": round(
+            (hi["pages_per_sec"] / lo["pages_per_sec"]) / (hi_n / lo_n), 3
+        ),
+    }
+    # informational second pair
+    lo2, hi2 = run(8), run(32)
+    result["pages_per_sec_8"] = lo2["pages_per_sec"]
+    result["pages_per_sec_32"] = hi2["pages_per_sec"]
+    result["efficiency_8_32"] = round(
+        (hi2["pages_per_sec"] / lo2["pages_per_sec"]) / 4, 3
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 from suckit_ray.config import CrawlConfig
+from suckit_ray.stages.crawl_stage import make_crawl_fn
 from suckit_ray.stages.fetch import make_fetch_fn
 from suckit_ray.stages.html_stage import DOC_SCHEMA, make_process_fn
 from suckit_ray.state.frontier import FrontierShard, shard_of
@@ -114,6 +115,8 @@ def crawl(
     fetch_num_cpus: float = 0.5,
     proc_num_cpus: float = 0.5,
     max_parallel_blocks: int = 64,
+    fuse_stages: bool = True,
+    reserve_cpus: int | None = None,
     output_dir: str | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
@@ -134,6 +137,14 @@ def crawl(
         collect = output_dir is None
 
     store_ref = ray.put(store)
+    # leave headroom for the driver + shard actors: on a saturated node
+    # the wave loop is latency-sensitive and starving the orchestrator
+    # costs more than a few task slots (measured: 32 tasks on 32 cores
+    # is ~2x slower than 28 tasks + free orchestrator)
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    if reserve_cpus is None:
+        reserve_cpus = max(1, total_cpus // 8)
+    task_concurrency = max(2, total_cpus - reserve_cpus)
     ShardActor = ray.remote(num_cpus=0)(FrontierShard)
     shards = [
         ShardActor.remote(i, num_shards, spill_threshold) for i in range(num_shards)
@@ -174,12 +185,14 @@ def crawl(
     docs_tables: list[pa.Table] = []
     pages_total = 0
     last_wave_started = 0.0
+    wave_stats: list[dict] = []
 
     while True:
         if resume and wave == start_wave:
             # re-run the in-flight wave from the restored released state
             released = ray.get([s.get_released.remote() for s in shards])
         else:
+            t_fin = time.perf_counter()
             released = ray.get(
                 [
                     s.finalize_wave.remote(
@@ -188,6 +201,8 @@ def crawl(
                     for s in shards
                 ]
             )
+            if os.environ.get("GRAFT_CRAWL_DEBUG"):
+                print(f"[crawl] finalize wave={wave}: {time.perf_counter() - t_fin:.2f}s", flush=True)
             if checkpoint_dir:
                 _checkpoint(checkpoint_dir, shards, wave)
         entries = [e for part in released for e in part]
@@ -205,22 +220,36 @@ def crawl(
         last_wave_started = time.perf_counter()
 
         tbl = _entries_table(entries)
-        ds = rd.from_arrow(tbl)
+        # split driver-side into blocks (cheaper than a repartition op)
         nblocks = max(1, min(max_parallel_blocks, len(entries) // fetch_batch_size))
         if nblocks > 1:
-            ds = ds.repartition(nblocks)
-        ds = ds.map_batches(
-            make_fetch_fn(store_ref, cfg),
-            batch_format="pyarrow",
-            batch_size=fetch_batch_size,
-            num_cpus=fetch_num_cpus,
-        )
-        ds = ds.map_batches(
-            make_process_fn(cfg, shards, wave),
-            batch_format="pyarrow",
-            batch_size=fetch_batch_size,
-            num_cpus=proc_num_cpus,
-        )
+            step = -(-tbl.num_rows // nblocks)
+            ds = rd.from_arrow(
+                [tbl.slice(i * step, step) for i in range(nblocks)]
+            )
+        else:
+            ds = rd.from_arrow(tbl)
+        if fuse_stages:
+            ds = ds.map_batches(
+                make_crawl_fn(store_ref, cfg, shards, wave),
+                batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+                num_cpus=proc_num_cpus,
+                concurrency=task_concurrency,
+            )
+        else:
+            ds = ds.map_batches(
+                make_fetch_fn(store_ref, cfg),
+                batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+                num_cpus=fetch_num_cpus,
+            )
+            ds = ds.map_batches(
+                make_process_fn(cfg, shards, wave),
+                batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+                num_cpus=proc_num_cpus,
+            )
 
         # Consume the wave EXACTLY ONCE — the process stage pushes
         # candidates/ledger to the shard actors as a side effect, so a
@@ -250,7 +279,20 @@ def crawl(
             # count-only consumption (dry-run semantics, S6)
             pages_total += ds.count()
 
+        wave_stats.append(
+            {
+                "wave": wave,
+                "entries": len(entries),
+                "sec": round(time.perf_counter() - last_wave_started, 4),
+            }
+        )
         ray.get([s.ack_wave.remote() for s in shards])
+        if os.environ.get("GRAFT_CRAWL_DEBUG"):
+            print(
+                f"[crawl] wave={wave} entries={len(entries)} "
+                f"consume={time.perf_counter() - last_wave_started:.2f}s",
+                flush=True,
+            )
         wave += 1
 
     ledger_rows = [r for part in ray.get([s.get_ledger.remote() for s in shards]) for r in part]
@@ -269,6 +311,7 @@ def crawl(
     seen_total = sum(ray.get([s.seen_count.remote() for s in shards]))
     counters["seen_urls"] = seen_total
     counters["pages"] = pages_total
+    counters["wave_stats"] = wave_stats
 
     docs = None
     if collect:

@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from suckit_ray.stages.agg import bucketed_groupby_agg
 
 SHINGLE_K = 3           # word shingles
 NUM_PERM = 64
@@ -67,8 +67,11 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         add_hash, batch_format="pandas"
     )
-    agg = ds.groupby("h").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    agg = bucketed_groupby_agg(
+        ds,
+        keys=["h"],
+        aggs={"doc_id": ("doc_id", "min"), "n_copies": ("doc_id", "count")},
+        num_buckets=32,
     )
     return agg.select_columns(["doc_id", "n_copies"])
 

@@ -13,7 +13,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from suckit_ray.stages.agg import bucketed_groupby_agg
 
 
 def lineitem_agg(sf_dir: str) -> rd.Dataset:
@@ -21,33 +21,31 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
     integer-cent sums. Pre-aggregates inside map_batches so the shuffle
     moves one row per (batch × group) instead of every lineitem row."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            qty_c=(df["l_quantity"] * 100).round().astype("int64"),
-            price_c=(df["l_extendedprice"] * 100).round().astype("int64"),
-            disc_c=(df["l_discount"] * 100).round().astype("int64"),
-            one=1,
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
+                "price_c": (df["l_extendedprice"] * 100).round().astype("int64"),
+                "disc_c": (df["l_discount"] * 100).round().astype("int64"),
+            }
         )
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty_cents=("qty_c", "sum"),
-                sum_price_cents=("price_c", "sum"),
-                sum_disc_cents=("disc_c", "sum"),
-                n_rows=("one", "sum"),
-            )
-        )
-        return g
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(partial, batch_format="pandas")
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
-        Sum("sum_price_cents", alias_name="sum_price_cents"),
-        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
-        Sum("n_rows", alias_name="n_rows"),
+    ).map_batches(cents, batch_format="pandas")
+    return bucketed_groupby_agg(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty_cents": ("qty_c", "sum"),
+            "sum_price_cents": ("price_c", "sum"),
+            "sum_disc_cents": ("disc_c", "sum"),
+            "n_rows": ("qty_c", "count"),
+        },
+        num_buckets=8,
     )
 
 
@@ -66,16 +64,20 @@ def events_windowed(sf_dir: str) -> rd.Dataset:
                 "user_id": df["user_id"],
                 "hour_id": hour_id,
                 "value_c": (df["value"] * 100).round().astype("int64"),
-                "one": 1,
             }
         )
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     ).map_batches(win, batch_format="pandas")
-    return ds.groupby(["user_id", "hour_id"]).aggregate(
-        Sum("one", alias_name="n_events"),
-        Sum("value_c", alias_name="sum_value_cents"),
+    return bucketed_groupby_agg(
+        ds,
+        keys=["user_id", "hour_id"],
+        aggs={
+            "n_events": ("value_c", "count"),
+            "sum_value_cents": ("value_c", "sum"),
+        },
+        num_buckets=32,
     )
 
 
@@ -85,22 +87,23 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
     (small dimension table via ray.put — no shuffle join), deterministic
     (total desc, custkey asc) ranking."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(total_c=(df["o_totalprice"] * 100).round().astype("int64"), one=1)
-        return df.groupby("o_custkey", as_index=False).agg(
-            total_cents=("total_c", "sum"), n_orders=("one", "sum")
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "total_c": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
         )
 
-    agg = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("total_cents", alias_name="total_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
-        .to_pandas()
-    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(cents, batch_format="pandas")
+    agg = bucketed_groupby_agg(
+        ds,
+        keys=["o_custkey"],
+        aggs={"total_cents": ("total_c", "sum"), "n_orders": ("total_c", "count")},
+        num_buckets=16,
+    ).to_pandas()
     agg = agg.sort_values(
         ["total_cents", "o_custkey"], ascending=[False, True]
     ).head(k)

@@ -219,16 +219,30 @@ class SyntheticCorpus:
     def asset_url(self, h: int, a: int) -> str:
         return f"http://{self.host_name(h)}/img{a}.jpg"
 
-    def seeds(self) -> list[str]:
-        return [self.page_url(h, 0) for h in range(self.n_hosts)]
+    def seeds(self, per_host: int = 1) -> list[str]:
+        """Seed list: the first ``per_host`` pages of every host. More
+        seeds shallow the BFS tree (waves ≈ log2(m/per_host)) — the
+        bench uses this to keep per-wave fixed costs amortized."""
+        return [
+            self.page_url(h, j)
+            for h in range(self.n_hosts)
+            for j in range(min(per_host, self.docs_per_host(h)))
+        ]
 
     def links_of(self, h: int, j: int) -> list[tuple[str, str]]:
-        """[(attr, raw_candidate)] in document order for page (h, j)."""
+        """[(attr, raw_candidate)] in document order for page (h, j).
+
+        The first two internal links are the binary-tree children
+        (2j+1, 2j+2) so every page of a host is reachable from page 0
+        in ⌈log2 m⌉ BFS waves — frontier waves double until the host is
+        covered, which is what a throughput benchmark needs (no long
+        chains). Remaining links add graph density (dedup pressure)."""
         m = self.docs_per_host(h)
         out: list[tuple[str, str]] = []
         out.append(("src", f"img{(j * 13 + 7) % self.n_assets_per_host}.jpg"))
-        for k in range(self.fanout):
-            t = (j * 2 + k * ((m // (self.fanout + 1)) or 1) + 1) % m
+        tree = [(2 * j + 1) % m, (2 * j + 2) % m]
+        filler = [(j * 5 + k * 7 + 3) % m for k in range(max(0, self.fanout - 2))]
+        for t in (tree + filler)[: max(2, self.fanout)]:
             out.append(("href", f"p{t}.html"))
         ext_h = (h + 1 + j) % self.n_hosts
         if ext_h != h:

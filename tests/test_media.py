@@ -1,0 +1,46 @@
+"""Multimodal stage plumbing: schema, actor-pool signature, fake-decode
+determinism, and the stubbed real path."""
+
+import pytest
+
+from suckit_ray.config import CrawlConfig
+from suckit_ray.pipelines.crawl import crawl
+from suckit_ray.sources.pagestore import fixture_pages
+from suckit_ray.stages.media import (
+    DecodeImage,
+    ExtractImageFeatures,
+    FEATURE_DIM,
+    ResizeImage,
+    media_pipeline,
+)
+
+
+def test_real_codec_paths_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
+    with pytest.raises(NotImplementedError):
+        ExtractImageFeatures(fake=False)
+    with pytest.raises(NotImplementedError):
+        ResizeImage(2, 2, fake=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_pipeline_over_crawled_mirror():
+    import ray.data as rd
+
+    res = crawl(CrawlConfig(origin="http://site.test/"), fixture_pages(), num_shards=2)
+    docs = rd.from_arrow(res.docs)
+    out = media_pipeline(docs, concurrency=1, batch_size=8).to_pandas()
+
+    # the fixture mirror has 3 media rows (jpeg, mp3, txt)
+    assert len(out) == 3
+    assert set(out.columns) >= {"doc_id", "media_meta", "features"}
+    jpeg = out[out["doc_id"] == "site.test//jpeg.jpg"].iloc[0]
+    assert jpeg["media_meta"]["format"] == "jpeg"
+    assert jpeg["media_meta"]["n_bytes"] > 0
+    assert len(jpeg["features"]) == FEATURE_DIM
+
+    # determinism: same bytes -> same fake features
+    out2 = media_pipeline(docs, concurrency=1, batch_size=8).to_pandas()
+    j2 = out2[out2["doc_id"] == "site.test//jpeg.jpg"].iloc[0]
+    assert list(j2["features"]) == list(jpeg["features"])
