@@ -34,7 +34,15 @@ def _corpus_for(sf_dir: str):
     from suckit_ray.sources.pagestore import SyntheticCorpus
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return SyntheticCorpus(n_hosts=8, n_docs=n_docs, fanout=4, n_assets_per_host=16)
+    # ext_links=False: a URL first discovered via a depth-GATED external
+    # link is inserted into the seen-map before gating and poisons later
+    # internal discoveries (reference parity, src/scraper.rs:202-215;
+    # pinned by tests/test_frontier.py) — the SQL reachability oracle
+    # models the clean internal closure, so the oracle corpus omits
+    # cross-host links.
+    return SyntheticCorpus(
+        n_hosts=8, n_docs=n_docs, fanout=4, n_assets_per_host=16, ext_links=False
+    )
 
 
 def _crawl_docs(sf_dir: str):
@@ -116,7 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / windowed
         "lineitem_agg": relops.lineitem_agg,
         "events_windowed": relops.events_windowed,
+        "events_sessionize": relops.events_sessionize,
         "top_customers": relops.top_customers,
+        "docs_by_lang": textops.docs_by_lang,
     }
 
 
@@ -291,6 +301,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            o AS (
+              SELECT user_id, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            ),
+            ses AS (
+              SELECT user_id, ts_us,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(ts_us) AS BIGINT) AS start_us,
+                   CAST(max(ts_us) AS BIGINT) AS end_us
+            FROM ses GROUP BY user_id, session_id
+        """,
+        "docs_by_lang": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id
+            FROM documents GROUP BY lang
+        """,
         "top_customers": """
             WITH agg AS (
               SELECT o_custkey,
@@ -301,6 +338,55 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN customer c ON c.c_custkey = a.o_custkey
             ORDER BY a.total_cents DESC, c_custkey ASC LIMIT 10
         """,
-        # no oracle (rows-only): crawl_mirror, minhash_lsh_pairs,
-        # simhash, ann_ivf_topk — approximate / full-pipeline operators.
+        # The flagship: the WHOLE crawl engine (frontier waves, sharded
+        # dedup, depth gates, span assembly) checked against a DuckDB
+        # recursive-CTE BFS closure of the same deterministic link graph.
+        "crawl_mirror": r"""
+            WITH RECURSIVE
+            params AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     8 AS n_hosts, 16 AS n_assets
+            ),
+            hosts AS (
+              SELECT UNNEST(range(0, n_hosts)) AS h,
+                     n_docs // n_hosts
+                       + CASE WHEN UNNEST(range(0, n_hosts)) < n_docs % n_hosts
+                              THEN 1 ELSE 0 END AS m,
+                     n_hosts, n_assets
+              FROM params
+            ),
+            reach(h, j) AS (
+              SELECT h, 0 FROM hosts
+              UNION
+              SELECT e.h, e.t
+              FROM (
+                SELECT r.h AS h, x.t AS t
+                FROM reach r
+                JOIN hosts ho ON ho.h = r.h
+                CROSS JOIN LATERAL (VALUES
+                  ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                  ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              ) e
+            ),
+            hostname AS (
+              SELECT h, 'host' || lpad(CAST(h AS VARCHAR), 4, '0') || '.test' AS hn
+              FROM hosts
+            ),
+            pages AS (
+              SELECT hn.hn || '//p' || r.j || '.html' AS doc_id, hn.hn AS host,
+                     CAST(200 AS INT) AS status, TRUE AS is_html,
+                     CAST(5 AS INT) AS n_outlinks, CAST(11 AS INT) AS n_spans
+              FROM reach r JOIN hostname hn ON hn.h = r.h
+            ),
+            assets AS (
+              SELECT DISTINCT
+                     hn.hn || '//img' || ((13*r.j+7) % ho.n_assets) || '.jpg' AS doc_id,
+                     hn.hn AS host, CAST(200 AS INT) AS status, FALSE AS is_html,
+                     CAST(0 AS INT) AS n_outlinks, CAST(1 AS INT) AS n_spans
+              FROM reach r JOIN hostname hn ON hn.h = r.h JOIN hosts ho ON ho.h = r.h
+            )
+            SELECT * FROM pages UNION ALL SELECT * FROM assets
+        """,
+        # no oracle (rows-only): minhash_lsh_pairs, simhash,
+        # ann_ivf_topk — approximate operators.
     }

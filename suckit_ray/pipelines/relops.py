@@ -123,3 +123,41 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
             "n_orders": pa.array([int(x) for x in agg["n_orders"]], pa.int64()),
         }
     )
+
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min, in integer microseconds
+
+
+def events_sessionize(sf_dir: str) -> rd.Dataset:
+    """Gap-based session windows per user (new session when >30 min
+    passes between events): (user_id, session_id, n_events, start_us,
+    end_us). Users are bucketed for the shuffle; the per-user
+    sort + gap/cumsum sessionization is vectorized pandas inside each
+    bucket. Timestamps are integer microseconds end to end so the
+    DuckDB oracle hashes exactly."""
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "bucket": (df["user_id"] % 32).astype("int64"),
+            }
+        )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts_us"].diff() > SESSION_GAP_US
+        brk = (new_user | gap).cumsum()
+        out = g.groupby(["user_id", brk], as_index=False).agg(
+            n_events=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max")
+        )
+        out = out.sort_values(["user_id", "start_us"], kind="mergesort")
+        out["session_id"] = out.groupby("user_id").cumcount().astype("int64")
+        return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
+        to_us, batch_format="pandas"
+    )
+    return ds.groupby("bucket").map_groups(sessionize, batch_format="pandas")

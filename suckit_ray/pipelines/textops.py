@@ -134,3 +134,22 @@ def fingerprint(sf_dir: str) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def docs_by_lang(sf_dir: str):
+    """Per-language corpus stats: (lang, n_docs, sum_chars, min_doc_id)."""
+    import ray.data as rd
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"])
+    return bucketed_groupby_agg(
+        ds,
+        keys=["lang"],
+        aggs={
+            "n_docs": ("doc_id", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "min_doc_id": ("doc_id", "min"),
+        },
+        num_buckets=8,
+    )

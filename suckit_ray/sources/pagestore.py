@@ -201,6 +201,7 @@ class SyntheticCorpus:
     hot_share: float = 0.0
     n_assets_per_host: int = 16
     text_repeat: int = 3  # filler paragraphs per page
+    ext_links: bool = True  # emit one cross-host link per page
 
     def docs_per_host(self, h: int) -> int:
         if self.hot_share > 0.0:
@@ -245,7 +246,7 @@ class SyntheticCorpus:
         for t in (tree + filler)[: max(2, self.fanout)]:
             out.append(("href", f"p{t}.html"))
         ext_h = (h + 1 + j) % self.n_hosts
-        if ext_h != h:
+        if self.ext_links and ext_h != h:
             out.append(("href", self.page_url(ext_h, j % max(1, self.docs_per_host(ext_h)))))
         return out
 

@@ -102,3 +102,24 @@ class TestFrontierShard:
     def test_shard_of_stable(self):
         assert shard_of("site.test", 8) == shard_of("site.test", 8)
         assert 0 <= shard_of("anything", 5) < 5
+
+
+class TestGatePoisoning:
+    """Reference parity: map_url_path inserts BEFORE the depth gate
+    (src/scraper.rs:202-215), so a URL first discovered via a
+    depth-gated external link is never crawled even when an internal
+    link to it arrives later. The rebuild preserves this first-
+    discovery-wins quirk."""
+
+    def test_gated_discovery_poisons_later_internal_link(self):
+        sh = FrontierShard(0, 1)
+        url = "http://b.test/x.html"
+        # wave 1: external discovery, ext_depth budget 0 → gated
+        sh.add_candidates([(1, 0, url, "b.test", True, 0, 0)])
+        rel = sh.finalize_wave(1, max_depth=-1, max_ext_depth=0)
+        assert rel == []
+        # wave 2: internal discovery of the same URL → already seen
+        sh.add_candidates([(2, 0, url, "b.test", False, 1, 0)])
+        rel = sh.finalize_wave(2, max_depth=-1, max_ext_depth=0)
+        assert rel == []
+        assert sh.get_counters()["dup_urls"] == 1
