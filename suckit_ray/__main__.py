@@ -1,0 +1,139 @@
+"""CLI — drop-in command surface for the reference's binary.
+
+Mirrors every option of ``suckit <url>`` (reference src/args.rs:9-162,
+same names and defaults) and produces the same on-disk artifact: a
+``<output>/<host>/<path>`` mirror tree (plus the span-document
+parquet and fetch-ledger tables the rebuild adds).
+
+    python -m suckit_ray http://example.test/ -o /tmp/mirror -j 8
+
+Extra (rebuild-only) options: --shards, --checkpoint-dir, --resume,
+--num-cpus, and --synthetic N (crawl the deterministic synthetic web
+instead of the live network — the only mode usable in an offline
+sandbox).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="suckit_ray", description="Ray-Data-native recursive website mirror"
+    )
+    p.add_argument("url", help="Entry point of the scraping")
+    p.add_argument("-o", "--output", help="Output directory")
+    p.add_argument("-j", "--jobs", type=int, default=1,
+                   help="Maximum number of parallel fetch tasks")
+    p.add_argument("-d", "--depth", type=int, default=-1,
+                   help="Maximum recursion depth (-1 = infinity)")
+    p.add_argument("--ext-depth", type=int, default=0,
+                   help="Maximum external-domain recursion depth")
+    p.add_argument("-t", "--tries", type=int, default=20,
+                   help="Maximum retries on download failure")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--delay", type=float, default=0)
+    p.add_argument("--random-range", type=float, default=0)
+    p.add_argument("-u", "--user-agent", default="suckit")
+    p.add_argument("--cookie", default="")
+    p.add_argument("--include-visit", default=".*")
+    p.add_argument("--exclude-visit", default="$^")
+    p.add_argument("-i", "--include-download", default=".*")
+    p.add_argument("-e", "--exclude-download", default="$^")
+    p.add_argument("--visit-filter-is-download-filter", action="store_true")
+    p.add_argument("-a", "--auth", nargs="*", default=[],
+                   help='Space-separated "username password host" triples')
+    p.add_argument("-c", "--continue-on-error", action="store_true")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--disable-certs-checks", action="store_true")
+    # rebuild-only
+    p.add_argument("--shards", type=int, default=4, help="frontier shard actors")
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=8)
+    p.add_argument("--synthetic", type=int, metavar="N",
+                   help="crawl the deterministic N-page synthetic web (offline)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from suckit_ray.config import CrawlConfig
+
+    config = CrawlConfig(
+        origin=args.url,
+        output=args.output,
+        jobs=args.jobs,
+        depth=args.depth,
+        ext_depth=args.ext_depth,
+        tries=args.tries,
+        verbose=args.verbose,
+        delay=args.delay,
+        random_range=args.random_range,
+        user_agent=args.user_agent,
+        cookie=args.cookie,
+        include_visit=args.include_visit,
+        exclude_visit=args.exclude_visit,
+        include_download=args.include_download,
+        exclude_download=args.exclude_download,
+        visit_filter_is_download_filter=args.visit_filter_is_download_filter,
+        auth=tuple(args.auth),
+        continue_on_error=args.continue_on_error,
+        dry_run=args.dry_run,
+        disable_certs_checks=args.disable_certs_checks,
+    )
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+    seeds = None
+    if args.synthetic:
+        from suckit_ray.sources.pagestore import SyntheticCorpus, SyntheticPageStore
+
+        corpus = SyntheticCorpus(n_hosts=8, n_docs=args.synthetic, fanout=4)
+        store = SyntheticPageStore(corpus)
+        config = CrawlConfig(**{**config.__dict__, "origin": corpus.page_url(0, 0)})
+        seeds = corpus.seeds()
+    else:
+        from suckit_ray.sources.pagestore import HttpPageStore
+
+        store = HttpPageStore(user_agent=config.user_agent, cookie=config.cookie)
+
+    from suckit_ray.pipelines.crawl import crawl
+
+    res = crawl(
+        config,
+        store,
+        seeds=seeds,
+        num_shards=args.shards,
+        mirror_dir=args.output,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+        collect=False,
+        max_concurrency=args.jobs,
+    )
+    summary = {
+        "pages": res.metrics.get("pages", 0),
+        "urls_seen": res.metrics.get("seen_urls", 0),
+        "waves": res.waves,
+        "wall_sec": round(res.wall_sec, 2),
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

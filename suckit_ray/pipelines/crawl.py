@@ -117,6 +117,8 @@ def crawl(
     max_parallel_blocks: int = 64,
     fuse_stages: bool = True,
     reserve_cpus: int | None = None,
+    max_concurrency: int | None = None,
+    mirror_dir: str | None = None,
     output_dir: str | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
@@ -145,6 +147,8 @@ def crawl(
     if reserve_cpus is None:
         reserve_cpus = max(1, total_cpus // 8)
     task_concurrency = max(2, total_cpus - reserve_cpus)
+    if max_concurrency is not None:  # the reference's --jobs knob
+        task_concurrency = max(1, min(task_concurrency, max_concurrency))
     ShardActor = ray.remote(num_cpus=0)(FrontierShard)
     shards = [
         ShardActor.remote(i, num_shards, spill_threshold) for i in range(num_shards)
@@ -180,6 +184,9 @@ def crawl(
             [shards[i].seed.remote(ents) for i, ents in by_shard.items()]
         )
 
+    import random
+
+    politeness_rng = random.Random(42)  # seeded: reproducible politeness
     max_per_host = 1 if cfg.delay > 0 else None
     wave = start_wave
     docs_tables: list[pa.Table] = []
@@ -212,9 +219,12 @@ def crawl(
             break
 
         # politeness floor between waves (budget-equivalence: with
-        # max_per_host=1 a host is fetched at most once per `delay` sec)
+        # max_per_host=1 a host is fetched at most once per `delay` sec;
+        # random_range adds seeded jitter like the reference's
+        # per-worker delay + U(0..=random_range), src/scraper.rs:338-350)
         if cfg.delay > 0 and last_wave_started:
-            sleep_left = cfg.delay - (time.perf_counter() - last_wave_started)
+            jitter = politeness_rng.uniform(0, cfg.random_range) if cfg.random_range else 0.0
+            sleep_left = (cfg.delay + jitter) - (time.perf_counter() - last_wave_started)
             if sleep_left > 0:
                 time.sleep(sleep_left)
         last_wave_started = time.perf_counter()
@@ -250,6 +260,17 @@ def crawl(
                 batch_size=fetch_batch_size,
                 num_cpus=proc_num_cpus,
             )
+
+        if mirror_dir is not None and not cfg.dry_run:
+            from suckit_ray.sinks import write_mirror_batch
+
+            _mdir = mirror_dir
+
+            def _mirror_stage(b, _d=_mdir):
+                write_mirror_batch(b, _d)
+                return b
+
+            ds = ds.map_batches(_mirror_stage, batch_format="pyarrow")
 
         # Consume the wave EXACTLY ONCE — the process stage pushes
         # candidates/ledger to the shard actors as a side effect, so a
@@ -312,6 +333,11 @@ def crawl(
     counters["seen_urls"] = seen_total
     counters["pages"] = pages_total
     counters["wave_stats"] = wave_stats
+
+    if (output_dir or mirror_dir) and not cfg.dry_run:
+        from suckit_ray.sinks import write_ledger
+
+        write_ledger(ledger, output_dir or mirror_dir)
 
     docs = None
     if collect:

@@ -1,0 +1,78 @@
+"""Sinks: the parquet span-document tables (primary, resumable) and a
+filesystem mirror identical in layout to the reference's output tree.
+
+The reference writes each page to ``<output>/<host>/<path>`` and, when
+Content-Disposition names the file, saves under that name and symlinks
+the url-derived path to it (reference src/disk.rs:12-65, call site
+src/scraper.rs:262-270). ``write_mirror_batch`` reproduces that layout
+from inside a ``map_batches`` stage — each task writes its own rows, so
+the mirror write is distributed and idempotent (same doc_id → same
+path → same bytes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+
+def _safe_join(root: str, rel: str) -> str:
+    """Join defensively: mirror paths derive from crawled URLs, so strip
+    any rooted/upward components before touching the filesystem."""
+    parts = [p for p in rel.split("/") if p not in ("", ".", "..")]
+    return os.path.join(root, *parts)
+
+
+def write_mirror_batch(batch: pa.Table, output_dir: str) -> pa.Table:
+    """Write the downloaded rows of a docs batch as mirror files.
+    Returns a small (doc_id, path) table. Content-Disposition aliases:
+    bytes land under the alias name; the url-derived path becomes a
+    relative symlink to it (reference disk::symlink, src/disk.rs:35-65)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    bodies = batch.column("body").to_pylist()
+    downloaded = batch.column("downloaded").to_pylist()
+    filenames = batch.column("filename").to_pylist()
+
+    out_ids, out_paths = [], []
+    for doc_id, body, ok, alias in zip(doc_ids, bodies, downloaded, filenames):
+        if not ok:
+            continue
+        if alias:
+            target = _safe_join(output_dir, alias)
+            os.makedirs(os.path.dirname(target) or output_dir, exist_ok=True)
+            with open(target, "wb") as f:
+                f.write(body or b"")
+            link = _safe_join(output_dir, doc_id)
+            os.makedirs(os.path.dirname(link), exist_ok=True)
+            rel = os.path.relpath(target, os.path.dirname(link))
+            try:
+                if os.path.islink(link) or os.path.exists(link):
+                    os.remove(link)
+                os.symlink(rel, link)
+            except OSError:
+                # filesystems without symlink support: copy instead
+                with open(link, "wb") as f:
+                    f.write(body or b"")
+            out_paths.append(target)
+        else:
+            path = _safe_join(output_dir, doc_id)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(body or b"")
+            out_paths.append(path)
+        out_ids.append(doc_id)
+    return pa.table(
+        {"doc_id": pa.array(out_ids, pa.string()), "path": pa.array(out_paths, pa.string())}
+    )
+
+
+def write_ledger(ledger: pa.Table, output_dir: str) -> str:
+    """Persist the fetch ledger as parquet next to the mirror — the
+    queryable upgrade of the reference's write-only visited set."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "ledger.parquet")
+    pq.write_table(ledger, path)
+    return path

@@ -332,3 +332,27 @@ class HttpPageStore:
                 e.headers.get("Content-Disposition"),
                 e.read(),
             )
+
+
+@dataclass
+class FlakyPageStore:
+    """Chaos-testing wrapper: fail the first ``fail_times`` fetches of
+    each URL with a transport error (exercises the fetch stage's
+    ``tries`` retry budget and continue-on-error semantics). Failure
+    counts are per worker process — deterministic because the retry
+    loop retries within one task.
+
+    NOTE: stores shipped to Ray workers must be importable there —
+    define store classes in the library, not in test modules (a
+    test-module class hangs deserialization in workers)."""
+
+    inner: TablePageStore
+    fail_times: int = 2
+    counts: dict = field(default_factory=dict)
+
+    def fetch(self, url: str, auth) -> PageResponse:
+        n = self.counts.get(url, 0)
+        self.counts[url] = n + 1
+        if n < self.fail_times:
+            raise ConnectionError(f"transient failure #{n} for {url}")
+        return self.inner.fetch(url, auth)
