@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-cpus", type=int, default=8)
     p.add_argument("--synthetic", type=int, metavar="N",
                    help="crawl the deterministic N-page synthetic web (offline)")
+    p.add_argument("--respect-robots", action="store_true",
+                   help="honor robots.txt exclusion rules (rebuild-only)")
+    p.add_argument("--seeds-parquet", metavar="FILE",
+                   help="parquet file with a url column: the seed list")
     return p
 
 
@@ -85,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         continue_on_error=args.continue_on_error,
         dry_run=args.dry_run,
         disable_certs_checks=args.disable_certs_checks,
+        respect_robots=args.respect_robots,
     )
 
     import ray
@@ -98,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     seeds = None
+    if args.seeds_parquet:
+        import pyarrow.parquet as pq
+
+        seeds = pq.read_table(args.seeds_parquet, columns=["url"]).column("url").to_pylist()
     if args.synthetic:
         from suckit_ray.sources.pagestore import SyntheticCorpus, SyntheticPageStore
 

@@ -38,6 +38,9 @@ class CrawlConfig:
     continue_on_error: bool = False
     dry_run: bool = False
     disable_certs_checks: bool = False
+    # rebuild-only (north_rule): robots.txt exclusion; off by default
+    # for reference parity (the reference ignores robots entirely)
+    respect_robots: bool = False
 
     def resolved(self) -> "CrawlConfig":
         """Apply --visit-filter-is-download-filter aliasing

@@ -255,7 +255,7 @@ def crawl(
                 num_cpus=fetch_num_cpus,
             )
             ds = ds.map_batches(
-                make_process_fn(cfg, shards, wave),
+                make_process_fn(cfg, shards, wave, store_ref=store_ref),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
                 num_cpus=proc_num_cpus,
@@ -308,7 +308,7 @@ def crawl(
             }
         )
         ray.get([s.ack_wave.remote() for s in shards])
-        if os.environ.get("GRAFT_CRAWL_DEBUG"):
+        if cfg.verbose or os.environ.get("GRAFT_CRAWL_DEBUG"):
             print(
                 f"[crawl] wave={wave} entries={len(entries)} "
                 f"consume={time.perf_counter() - last_wave_started:.2f}s",

@@ -1,0 +1,122 @@
+"""robots.txt handling — a north_rule component the reference lacks
+(suckit ignores robots entirely; this engine makes it opt-in via
+``CrawlConfig.respect_robots`` so default behavior stays
+reference-parity).
+
+Model: one ``/robots.txt`` fetch per host, parsed once, cached in the
+fetch worker (worker-local cache keyed by host — at most
+hosts × workers fetches). Rules follow the original robots exclusion
+protocol subset most crawlers agree on:
+
+- group selection: the most specific ``User-agent`` match (exact agent
+  token beats ``*``), case-insensitive;
+- ``Disallow``/``Allow`` path prefixes; longest-match wins, ``Allow``
+  wins ties (Google/Bing semantics);
+- empty ``Disallow:`` means allow-all; a missing/failed robots.txt
+  (4xx/5xx/transport error) means allow-all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class RobotsRules:
+    # (path_prefix, allow) pairs, already filtered to our user-agent
+    rules: tuple[tuple[str, bool], ...] = ()
+
+    def allows(self, path: str) -> bool:
+        best_len = -1
+        best_allow = True
+        for prefix, allow in self.rules:
+            if path.startswith(prefix) and len(prefix) >= best_len:
+                # longest match wins; on equal length, Allow wins
+                if len(prefix) > best_len or allow:
+                    best_len = len(prefix)
+                    best_allow = allow
+        return best_allow
+
+
+ALLOW_ALL = RobotsRules()
+
+
+def parse_robots(text: str, user_agent: str) -> RobotsRules:
+    """Parse robots.txt for ``user_agent`` (first token, lowercased)."""
+    agent = user_agent.split("/")[0].strip().lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    seen_rule_in_group = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, seen_rule_in_group
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules, seen_rule_in_group = [], [], False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_rule_in_group:
+                flush()
+            cur_agents.append(val.lower())
+        elif key in ("disallow", "allow"):
+            seen_rule_in_group = True
+            if key == "disallow" and val == "":
+                continue  # empty Disallow = allow all
+            cur_rules.append((val, key == "allow"))
+    flush()
+
+    chosen: list[tuple[str, bool]] | None = None
+    wildcard: list[tuple[str, bool]] | None = None
+    for agents, rules in groups:
+        if agent in agents and chosen is None:
+            chosen = rules
+        if "*" in agents and wildcard is None:
+            wildcard = rules
+    rules = chosen if chosen is not None else (wildcard or [])
+    return RobotsRules(rules=tuple(rules))
+
+
+@dataclass
+class RobotsCache:
+    """Per-worker robots cache: host → RobotsRules, fetched through the
+    same page store as everything else."""
+
+    store: object
+    user_agent: str = "suckit"
+    _cache: dict = field(default_factory=dict)
+
+    def rules_for(self, scheme: str, host: str) -> RobotsRules:
+        if host in self._cache:
+            return self._cache[host]
+        try:
+            resp = self.store.fetch(f"{scheme}://{host}/robots.txt", None)
+            if resp.status == 200 and resp.body:
+                rules = parse_robots(
+                    resp.body.decode("utf-8", errors="replace"), self.user_agent
+                )
+            else:
+                rules = ALLOW_ALL
+        except Exception:
+            rules = ALLOW_ALL
+        self._cache[host] = rules
+        return rules
+
+    def allows(self, url: str) -> bool:
+        from suckit_ray.urlkit import UrlParseError, parse_url
+
+        try:
+            p = parse_url(url)
+        except UrlParseError:
+            return True
+        path = p.path or "/"
+        if p.query is not None:
+            path += "?" + p.query
+        return self.rules_for(p.scheme, p.host or "").allows(path)

@@ -20,7 +20,7 @@ from suckit_ray.stages.html_stage import make_process_fn
 
 def make_crawl_fn(store_ref, config: CrawlConfig, shard_handles: list, wave: int):
     fetch = make_fetch_fn(store_ref, config)
-    process = make_process_fn(config, shard_handles, wave)
+    process = make_process_fn(config, shard_handles, wave, store_ref=store_ref)
 
     def crawl_batch(batch: pa.Table) -> pa.Table:
         return process(fetch(batch))

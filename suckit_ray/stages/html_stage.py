@@ -53,8 +53,30 @@ DOC_SCHEMA = pa.schema(
 )
 
 
-def make_process_fn(config: CrawlConfig, shard_handles: list, wave: int):
-    """Build the per-batch HTML/asset processing function for one wave."""
+_ROBOTS_CACHE: dict = {}
+
+
+def _robots_for(store_ref, user_agent: str):
+    import ray as _ray
+
+    from suckit_ray.robots import RobotsCache
+    from suckit_ray.stages.fetch import _get_store
+
+    key = (store_ref.hex() if isinstance(store_ref, _ray.ObjectRef) else id(store_ref), user_agent)
+    if key not in _ROBOTS_CACHE:
+        _ROBOTS_CACHE[key] = RobotsCache(_get_store(store_ref), user_agent)
+    return _ROBOTS_CACHE[key]
+
+
+def make_process_fn(
+    config: CrawlConfig, shard_handles: list, wave: int, store_ref=None
+):
+    """Build the per-batch HTML/asset processing function for one wave.
+
+    With ``config.respect_robots`` (and a store to fetch robots.txt
+    from), discovered candidates whose host's robots rules disallow the
+    path are dropped before they reach the frontier — one robots fetch
+    per (worker, host), cached."""
 
     cfg = config.resolved()
     num_shards = len(shard_handles)
@@ -62,6 +84,11 @@ def make_process_fn(config: CrawlConfig, shard_handles: list, wave: int):
     def process_batch(batch: pa.Table) -> pa.Table:
         include_visit, exclude_visit = cfg.visit_filters()
         include_download, exclude_download = cfg.download_filters()
+        robots = (
+            _robots_for(store_ref, cfg.user_agent)
+            if (cfg.respect_robots and store_ref is not None)
+            else None
+        )
 
         cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
         n = len(cols["url"])
@@ -104,6 +131,8 @@ def make_process_fn(config: CrawlConfig, shard_handles: list, wave: int):
                 if res.errors:
                     err = "; ".join(res.errors)
                 for o in res.outlinks:
+                    if robots is not None and not robots.allows(o.url):
+                        continue
                     cand_by_shard[shard_of(o.host, num_shards)].append(
                         (
                             seq,
