@@ -7,11 +7,9 @@ cents so oracle hashes are exact.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray
 import ray.data as rd
 from suckit_ray.stages.agg import bucketed_groupby_agg
 

@@ -1,0 +1,85 @@
+"""Property-based invariants (hypothesis) over the URL kernels —
+randomized coverage beyond the reference's 8 golden vectors."""
+
+import posixpath
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from suckit_ray import urlkit
+
+hosts = st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True)
+segments = st.lists(
+    st.from_regex(r"[A-Za-z0-9_\-]{1,12}(\.[a-z]{1,4})?", fullmatch=True),
+    min_size=0,
+    max_size=4,
+)
+
+
+@st.composite
+def urls(draw):
+    host = draw(hosts)
+    segs = draw(segments)
+    trailing = draw(st.booleans())
+    path = "/" + "/".join(segs) + ("/" if trailing and segs else "")
+    query = draw(st.one_of(st.none(), st.from_regex(r"[a-z]=[a-z0-9]{1,6}", fullmatch=True)))
+    fragment = draw(st.one_of(st.none(), st.from_regex(r"[a-z0-9]{1,8}", fullmatch=True)))
+    u = f"http://{host}{path}"
+    if query:
+        u += f"?{query}"
+    if fragment:
+        u += f"#{fragment}"
+    return u
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_parse_as_str_round_trip(u):
+    p = urlkit.parse_url(u)
+    assert urlkit.parse_url(p.as_str()) == p
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_to_path_deterministic_and_rooted(u):
+    p = urlkit.parse_url(u)
+    path = urlkit.to_path(p, False)
+    assert path == urlkit.to_path(p, False)
+    assert path.startswith(p.host)
+    assert not path.endswith("/")
+    # fragment-free variant never contains '#'
+    assert "#" not in path
+
+
+@given(urls(), urls())
+@settings(max_examples=300, deadline=None)
+def test_rewrite_resolves_back_to_target(src, dst):
+    """M13/M14 linkage: joining the source page's directory with the
+    rewritten relative ref must resolve to the target's mirror path."""
+    sp = urlkit.to_path(urlkit.parse_url(src), False)
+    dp = urlkit.to_path(urlkit.parse_url(dst), False)
+    rel = urlkit.relative_rewrite(sp, dp)
+    resolved = posixpath.normpath(posixpath.join(posixpath.dirname(sp), rel))
+    assert resolved == posixpath.normpath(dp)
+
+
+@given(urls(), st.from_regex(r"[a-z0-9_\-./]{1,20}", fullmatch=True))
+@settings(max_examples=300, deadline=None)
+def test_join_never_escapes_scheme(base, cand):
+    b = urlkit.parse_url(base)
+    j = urlkit.join_url(b, cand)
+    assert j.scheme == "http"
+    assert j.has_host
+
+
+@given(st.text(alphabet="abc:/.#?=%", max_size=24))
+@settings(max_examples=500, deadline=None)
+def test_should_visit_and_normalize_total(cand):
+    """The predicates are total functions over arbitrary junk."""
+    import re
+
+    inc, exc = re.compile(".*"), re.compile("$^")
+    urlkit.should_visit(cand, inc, exc)  # must not raise
+    n = urlkit.normalize_url(cand)
+    if cand.startswith("//"):
+        assert n.startswith("https://")
