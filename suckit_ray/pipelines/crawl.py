@@ -171,15 +171,18 @@ def crawl(
     else:
         seed_urls = seeds if seeds is not None else [cfg.origin]
         by_shard: dict[int, list[tuple[str, str]]] = {}
+        route_by_host = cfg.delay > 0
         for s in seed_urls:
             p = parse_url(s)
             # seed enters the seen-map exactly like the reference's
             # map_url_path(origin, to_path(origin, false)) (src/scraper.rs:298-302)
             key = p.as_str()
             to_path(p, False)  # validate it derives
-            by_shard.setdefault(shard_of(p.host or "", num_shards), []).append(
-                (key, p.host or "")
-            )
+            from suckit_ray.state.frontier import shard_of_url
+
+            by_shard.setdefault(
+                shard_of_url(key, p.host or "", num_shards, route_by_host), []
+            ).append((key, p.host or ""))
         ray.get(
             [shards[i].seed.remote(ents) for i, ents in by_shard.items()]
         )

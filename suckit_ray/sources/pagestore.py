@@ -31,6 +31,7 @@ class PageResponse:
     content_type: str | None
     content_disposition: str | None
     body: bytes
+    location: str | None = None  # redirect target (3xx)
 
 
 @dataclass(frozen=True)
@@ -41,6 +42,7 @@ class PageRecord:
     content_disposition: str | None = None
     requires_auth: bool = False
     status: int = 200
+    location: str | None = None  # serve a 3xx redirect to this URL
 
 
 _401_BODY = b"Invalid auth"
@@ -63,6 +65,9 @@ class TablePageStore:
         rec = self.pages.get(url)
         if rec is None:
             return PageResponse(404, None, None, b"")
+        if rec.location is not None:
+            return PageResponse(rec.status if rec.status >= 300 else 302,
+                                None, None, b"", location=rec.location)
         if rec.requires_auth:
             ok = auth is not None and auth[0] == self.auth_user and (
                 auth[1] or ""

@@ -85,6 +85,22 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
             for _ in range(max(1, tries)):
                 try:
                     resp = store.fetch(request_url, auth)
+                    # follow redirects transparently, like the
+                    # reference's reqwest client (default policy, up to
+                    # 10 hops); the mirror path stays keyed on the
+                    # ORIGINAL url (path_map semantics)
+                    hops = 0
+                    while (
+                        resp is not None
+                        and resp.location
+                        and 300 <= resp.status < 400
+                        and hops < 10
+                    ):
+                        from urllib.parse import urljoin as _uj
+
+                        request_url = _uj(request_url, resp.location).split("#", 1)[0]
+                        resp = store.fetch(request_url, auth)
+                        hops += 1
                     last_err = None
                     break
                 except Exception as e:  # transport-level failure

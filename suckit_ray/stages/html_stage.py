@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 from suckit_ray import htmlproc, textkit
 from suckit_ray.config import CrawlConfig
-from suckit_ray.state.frontier import shard_of
+from suckit_ray.state.frontier import shard_of, shard_of_url
 from suckit_ray.urlkit import parse_url, to_path
 
 SPAN_STRUCT = pa.struct(
@@ -80,6 +80,7 @@ def make_process_fn(
 
     cfg = config.resolved()
     num_shards = len(shard_handles)
+    route_by_host = cfg.delay > 0  # politeness requires host co-location
 
     def process_batch(batch: pa.Table) -> pa.Table:
         include_visit, exclude_visit = cfg.visit_filters()
@@ -133,7 +134,9 @@ def make_process_fn(
                 for o in res.outlinks:
                     if robots is not None and not robots.allows(o.url):
                         continue
-                    cand_by_shard[shard_of(o.host, num_shards)].append(
+                    cand_by_shard[
+                        shard_of_url(o.url, o.host, num_shards, route_by_host)
+                    ].append(
                         (
                             seq,
                             o.ordinal,

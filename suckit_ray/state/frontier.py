@@ -39,6 +39,19 @@ def shard_of(host: str, num_shards: int) -> int:
     return zlib.crc32(host.encode("utf-8")) % num_shards
 
 
+def shard_of_url(url: str, host: str, num_shards: int, by_host: bool) -> int:
+    """Dedup-shard routing. First-wins dedup only needs each URL owned
+    by exactly ONE shard — any deterministic key works. Politeness needs
+    a host's release budget in one place, so with a delay budget we
+    route by host; otherwise we route by URL hash, which spreads a hot
+    host's candidate stream over every shard (skew-aware repartitioning
+    of hot domains, north_rule — a 25%-hot-host corpus otherwise funnels
+    a quarter of all dedup work through one actor)."""
+    if by_host:
+        return zlib.crc32(host.encode("utf-8")) % num_shards
+    return zlib.crc32(url.encode("utf-8")) % num_shards
+
+
 def encode_seq(wave: int, shard_id: int, idx: int) -> int:
     """Deterministic discovery sequence number: (wave, shard, idx) packed
     into an int64. Orders frontier entries globally."""

@@ -122,3 +122,24 @@ def test_cli_synthetic_crawl(tmp_path):
     assert summary["pages"] > 100
     assert os.path.isfile(os.path.join(out, "ledger.parquet"))
     assert os.path.isfile(os.path.join(out, "host0000.test", "p0.html"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_redirects_followed_body_under_original_url(tmp_path):
+    # reqwest follows redirects transparently; the mirror path stays
+    # keyed on the ORIGINAL url (reference path_map semantics)
+    store = TablePageStore.from_records(
+        [
+            PageRecord("http://site.test/", b'<a href="moved.html">m</a>', "text/html"),
+            PageRecord("http://site.test/moved.html", b"", location="/final.html"),
+            PageRecord("http://site.test/final.html", b"<p>landed</p>", "text/html"),
+        ]
+    )
+    res = crawl(CrawlConfig(origin="http://site.test/"), store, num_shards=1)
+    docs = res.downloaded_docs()
+    ids = docs.column("doc_id").to_pylist()
+    row = ids.index("site.test//moved.html")
+    assert docs.column("body").to_pylist()[row] == b"<p>landed</p>"
+    assert docs.column("status").to_pylist()[row] == 200
+    # final.html itself was also discovered? no link to it -> only via redirect
+    assert "site.test//final.html" not in ids
