@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_mirror": _crawl_mirror_summary,
         # text analysis
         "token_count": textops.token_count,
+        "bpe_token_count": textops.bpe_token_count,
+        "winnow_fingerprint": textops.winnow_fingerprint,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
@@ -198,6 +200,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "quality_score": f"""

@@ -153,3 +153,94 @@ def docs_by_lang(sf_dir: str):
         },
         num_buckets=8,
     )
+
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single non-space
+# symbol — the ASCII-stable core of GPT-2-style pretokenizers, chosen so
+# Python re and DuckDB RE2 count identically.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(sf_dir: str) -> rd.Dataset:
+    """doc_id, n_bpe_tokens — BPE-ish pre-token count (letters/digits/
+    symbol classes split separately, the way byte-pair tokenizers chunk
+    input before merges)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": df["text"].str.count(BPE_RE).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+WINNOW_K = 8      # rolling-hash gram size (bytes)
+WINNOW_W = 16     # winnowing window
+
+
+def _rolling_hashes(data: bytes, k: int = WINNOW_K) -> "np.ndarray":
+    """Rabin–Karp polynomial rolling hash over a byte string (base 257
+    mod 2^61-1), one hash per k-gram — vectorized with numpy."""
+    import numpy as np
+
+    if len(data) < k:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.object_)
+    # polynomial hash via cumulative evaluation in Python ints (exact)
+    mod = (1 << 61) - 1
+    base = 257
+    h = 0
+    out = []
+    power = pow(base, k - 1, mod)
+    for i, c in enumerate(data):
+        h = (h * base + c) % mod
+        if i >= k - 1:
+            out.append(h)
+            h = (h - data[i - k + 1] * power) % mod
+    import numpy as np
+
+    return np.array(out, dtype=np.uint64)
+
+
+def winnow_fingerprint(sf_dir: str) -> rd.Dataset:
+    """doc_id, n_grams, n_fps, min_fp — winnowing document fingerprints
+    (Schleimer/Wilkerson/Aiken): the minimum rolling k-gram hash of each
+    sliding window of W hashes, deduplicated. Deterministic; near-dup
+    docs share fingerprint sets. Reported as summary stats per doc
+    (full fingerprint sets feed a groupby at dedup time)."""
+    import numpy as np
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n_grams, n_fps, min_fp = [], [], []
+        for text in df["text"]:
+            h = _rolling_hashes(text.encode("utf-8"))
+            if len(h) == 0:
+                n_grams.append(0)
+                n_fps.append(0)
+                min_fp.append(0)
+                continue
+            if len(h) <= WINNOW_W:
+                fps = {int(h.min())}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+                fps = set(sw.min(axis=1).tolist())
+            n_grams.append(len(h))
+            n_fps.append(len(fps))
+            min_fp.append(int(np.int64(np.uint64(min(fps)).astype(np.int64))))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_grams": pd.array(n_grams, dtype="int64"),
+                "n_fps": pd.array(n_fps, dtype="int64"),
+                "min_fp": pd.array(min_fp, dtype="int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
