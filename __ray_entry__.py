@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": relops.lineitem_agg,
         "events_windowed": relops.events_windowed,
         "events_sessionize": relops.events_sessionize,
+        "events_sliding": relops.events_sliding,
         "top_customers": relops.top_customers,
         "docs_by_lang": textops.docs_by_lang,
     }
@@ -328,6 +329,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(ts_us) AS BIGINT) AS start_us,
                    CAST(max(ts_us) AS BIGINT) AS end_us
             FROM ses GROUP BY user_id, session_id
+        """,
+        "events_sliding": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) // 1000000 AS ts_s,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            x AS (SELECT event_type, ts_s, v, UNNEST([0, 1, 2, 3]) AS k FROM e),
+            w AS (SELECT event_type, ts_s // 900 - k AS slot_id, v FROM x)
+            SELECT event_type, CAST(slot_id AS BIGINT) AS slot_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(v) AS BIGINT) AS sum_value_cents
+            FROM w GROUP BY 1, 2
         """,
         "docs_by_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -33,7 +33,9 @@ from dataclasses import dataclass
 from suckit_ray import textkit, urlkit
 from suckit_ray.urlkit import ParsedUrl
 
-_RAWTEXT_TAGS = {"script", "style"}
+# script/style are rawtext; title/textarea are RCDATA — html5ever parses
+# none of their contents as tags, so neither do we
+_RAWTEXT_TAGS = {"script", "style", "title", "textarea"}
 
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)         # attribute name

@@ -159,3 +159,42 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
         to_us, batch_format="pandas"
     )
     return ds.groupby("bucket").map_groups(sessionize, batch_format="pandas")
+
+
+SLIDE_S = 900          # 15-min slide
+WINDOW_SLOTS = 4       # 4 slides = 1-hour window
+
+
+def events_sliding(sf_dir: str) -> rd.Dataset:
+    """Sliding-window aggregate per event_type: 1-hour windows sliding
+    every 15 min. Each event replicates into its 4 covering slots (a
+    vectorized flat-map), then a bucketed groupby — the standard
+    replicate-then-aggregate plan for sliding windows; no cross-batch
+    state needed. (event_type, slot_id, n_events, sum_value_cents);
+    window slot s covers [s*900, s*900+3600) epoch seconds."""
+    import numpy as np
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts_s = df["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        base = ts_s // SLIDE_S
+        v = (df["value"] * 100).round().astype("int64").to_numpy()
+        et = df["event_type"].to_numpy()
+        n = len(df)
+        ks = np.repeat(np.arange(WINDOW_SLOTS), n)
+        return pd.DataFrame(
+            {
+                "event_type": np.tile(et, WINDOW_SLOTS),
+                "slot_id": np.tile(base, WINDOW_SLOTS) - ks,
+                "value_c": np.tile(v, WINDOW_SLOTS),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(explode, batch_format="pandas")
+    return bucketed_groupby_agg(
+        ds,
+        keys=["event_type", "slot_id"],
+        aggs={"n_events": ("value_c", "count"), "sum_value_cents": ("value_c", "sum")},
+        num_buckets=16,
+    )

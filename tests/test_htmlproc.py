@@ -174,3 +174,12 @@ def test_asset_span():
     assert media_spans_for_asset("site.test/jpeg.jpg") == [
         {"kind": "media", "text": "", "media_ref": "site.test/jpeg.jpg", "offset": 0}
     ]
+
+
+def test_scan_skips_rcdata_title_textarea():
+    doc = (
+        "<title>not <a href='ghost.html'> a link</title>"
+        "<textarea><a href='ghost2.html'></textarea>"
+        '<a href="real.html">x</a>'
+    )
+    assert [r.value for r in scan_link_attributes(doc)] == ["real.html"]

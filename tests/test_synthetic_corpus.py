@@ -69,3 +69,19 @@ def test_hot_host_skew_completes():
     hosts = res.docs.column("host").to_pylist()
     assert hosts.count("host0000.test") > 10  # hot host crawled
     assert res.metrics["seen_urls"] >= res.docs.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_with_spilled_seen_set():
+    """End-to-end crawl with a tiny spill threshold: the frozen digest
+    tier must preserve exact first-wins dedup (same doc set as the
+    in-RAM run)."""
+    corpus = SyntheticCorpus(n_hosts=2, n_docs=120, fanout=3, n_assets_per_host=4)
+    store = SyntheticPageStore(corpus)
+    cfg = CrawlConfig(origin=corpus.page_url(0, 0))
+    base = crawl(cfg, store, seeds=corpus.seeds(), num_shards=2)
+    spilled = crawl(cfg, store, seeds=corpus.seeds(), num_shards=2, spill_threshold=10)
+    assert sorted(base.docs.column("doc_id").to_pylist()) == sorted(
+        spilled.docs.column("doc_id").to_pylist()
+    )
+    assert spilled.metrics["dup_urls"] == base.metrics["dup_urls"]
