@@ -249,3 +249,15 @@ def media_spans_for_asset(doc_id: str) -> list[dict]:
     """A non-HTML asset is one row with a single media span referencing
     its stored bytes (FIXTURES.md §3)."""
     return [{"kind": "media", "text": "", "media_ref": doc_id, "offset": 0}]
+
+
+def reassemble_spans(spans: list[dict]) -> str:
+    """Inverse of span assembly: concatenating text chunks and media
+    refs in offset order reproduces the rewritten document text exactly
+    (only EMPTY text chunks are ever omitted during assembly, so the
+    concatenation is lossless). This is what makes the interleaved-span
+    table a faithful document representation rather than a projection."""
+    return "".join(
+        s["text"] if s["kind"] == "text" else s["media_ref"]
+        for s in sorted(spans, key=lambda s: s["offset"])
+    )

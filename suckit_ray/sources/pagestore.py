@@ -361,3 +361,53 @@ class FlakyPageStore:
         if n < self.fail_times:
             raise ConnectionError(f"transient failure #{n} for {url}")
         return self.inner.fetch(url, auth)
+
+
+class SpanTableStore:
+    """Serve an interleaved-span documents table (the BASELINE.json
+    input_hint shape: doc_id + spans, optionally body/charset/data_type
+    columns from a previous crawl) as a crawlable web — the engine's
+    INPUT can be exactly the table shape it produces, closing the loop:
+    crawl → documents table → SpanTableStore → crawl reproduces the
+    same table (fixed point; see tests/test_span_roundtrip.py).
+
+    URLs are derived from doc_id via the ``url_of_path`` inverse; bodies
+    are the stored ``body`` bytes when present, else the reassembled
+    span text encoded UTF-8.
+    """
+
+    def __init__(self, table):
+        import pyarrow as pa  # noqa: F401
+
+        from suckit_ray.htmlproc import reassemble_spans
+        from suckit_ray.urlkit import url_of_path
+
+        names = table.schema.names
+        self.pages: dict[str, PageResponse] = {}
+        bodies = table.column("body").to_pylist() if "body" in names else [None] * table.num_rows
+        dtypes = (
+            table.column("data_type").to_pylist() if "data_type" in names else [None] * table.num_rows
+        )
+        charsets = (
+            table.column("charset").to_pylist() if "charset" in names else [None] * table.num_rows
+        )
+        for doc_id, spans, body, dt, cs in zip(
+            table.column("doc_id").to_pylist(),
+            table.column("spans").to_pylist(),
+            bodies,
+            dtypes,
+            charsets,
+        ):
+            url = url_of_path(doc_id)
+            if body is None:
+                body = reassemble_spans(spans).encode("utf-8")
+            ct = dt or "text/html"
+            if cs and "charset" not in ct:
+                ct = f"{ct}; charset={cs}"
+            self.pages[url] = PageResponse(200, ct, None, body)
+
+    def fetch(self, url: str, auth) -> PageResponse:
+        rec = self.pages.get(url.split("#", 1)[0])
+        if rec is None:
+            return PageResponse(404, None, None, b"")
+        return rec

@@ -255,3 +255,27 @@ def relative_rewrite(source_path: str, dest_path: str) -> str:
     part of the last component, as the reference does."""
     source_parent = posixpath.dirname(source_path)
     return posixpath.relpath(dest_path, source_parent)
+
+
+def url_of_path(doc_id: str, scheme: str = "http") -> str:
+    """Inverse of ``to_path`` for the standard shapes (modulo the
+    querystring/md5/fragment encodings, which are not invertible):
+
+    - ``host/a/index.html``          → ``http://host/a/``
+    - ``host/a/index_no_slash.html`` → ``http://host/a``
+    - ``host/a/b.ext``               → ``http://host/a/b.ext``
+
+    Double slashes from the root-file quirk collapse. Enables serving a
+    documents table (doc_id + spans) as a crawlable web (SpanTableStore).
+    """
+    parts = [p for p in doc_id.split("/") if p]
+    host, rest = parts[0], parts[1:]
+    if rest and rest[-1] == "index.html":
+        path = "/" + "/".join(rest[:-1])
+        if not path.endswith("/"):
+            path += "/"
+    elif rest and rest[-1] == "index_no_slash.html":
+        path = "/" + "/".join(rest[:-1])
+    else:
+        path = "/" + "/".join(rest)
+    return f"{scheme}://{host}{path}"
