@@ -131,7 +131,14 @@ def minhash_bands(sf_dir: str) -> rd.Dataset:
 def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     """Candidate near-dup pairs from LSH banding, verified with exact
     Jaccard ≥ JACCARD_THRESHOLD. Returns (a_id, b_id, jaccard_pct)
-    with jaccard_pct = round(J*10000) as int64 (hash-stable)."""
+    with jaccard_pct = floor(J*10000) as int64 (hash-stable).
+
+    Partitioning assumption: LSH bands make the candidate-pair set
+    sparse (that is the point of banding), so candidates and their
+    shingle sets are handled driver-side; the signature computation and
+    band groupby — the O(corpus) work — stay distributed. If a band
+    bucket degenerates (adversarial near-identical corpus), cap bucket
+    size or add a second salt band before the pair explosion."""
     bands = minhash_bands(sf_dir)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -187,49 +194,64 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
-    """ALL pairs with exact word-3-gram Jaccard ≥ threshold, computed by
-    a distributed shingle-explode → groupby(shingle) → pair-count plan
-    (no LSH approximation; the SQL-checkable exact ground truth)."""
+    """ALL pairs with exact word-3-gram Jaccard ≥ threshold — the
+    SQL-checkable exact ground truth, computed distributed:
+
+    explode docs to (shingle-hash, doc_id) rows → ``groupby(sh)`` emits
+    the co-occurrence pairs of each shingle bucket → a bucketed count
+    aggregation yields per-pair intersection sizes. Only the per-doc
+    shingle counts and the pair-intersection table (sparse by
+    construction) reach the driver for the final Jaccard arithmetic.
+    """
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         doc_ids, shingle_hash = [], []
         for d, t in zip(df["doc_id"], df["text"]):
-            for s in set(_word_shingles(t)):
+            for sh in set(_word_shingles(t)):
                 doc_ids.append(d)
-                shingle_hash.append(zlib.crc32(s.encode("utf-8")))
+                shingle_hash.append(zlib.crc32(sh.encode("utf-8")))
         return pd.DataFrame({"doc_id": doc_ids, "sh": shingle_hash})
 
     ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pandas"
     )
-    df = ds.to_pandas()
-    sizes = df.groupby("doc_id").size()
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a_id": a, "b_id": b})
+    # per-doc shingle counts (small: one row per doc)
+    from suckit_ray.stages.agg import bucketed_groupby_agg
 
-    # pair intersection counts via shingle-bucket join (driver-side at
-    # test scale; the bucket groupby is the distributed path)
-    inter = (
-        df.merge(df, on="sh")
-        .query("doc_id_x < doc_id_y")
-        .groupby(["doc_id_x", "doc_id_y"])
-        .size()
-        .reset_index(name="inter")
+    sizes_df = bucketed_groupby_agg(
+        ds, keys=["doc_id"], aggs={"n": ("sh", "count")}, num_buckets=16
+    ).to_pandas()
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n"]))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shb"] = (df["sh"] % 64).astype("int64")
+        return df
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one shuffle group per shingle-hash bucket; the per-shingle
+        # pairing is a vectorized pandas self-merge inside the bucket
+        m = g.merge(g, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"a_id": m["doc_id_x"], "b_id": m["doc_id_y"]})
+
+    pair_ds = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("shb")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
+    inter_df = bucketed_groupby_agg(
+        pair_ds, keys=["a_id", "b_id"], aggs={"inter": ("a_id", "count")},
+        num_buckets=32,
+    ).to_pandas()
+
     rows = []
-    for _, r in inter.iterrows():
-        na, nb = sizes[r["doc_id_x"]], sizes[r["doc_id_y"]]
-        union = na + nb - r["inter"]
-        j = r["inter"] / union if union else 0.0
+    for a, b, inter in zip(inter_df["a_id"], inter_df["b_id"], inter_df["inter"]):
+        union = sizes[a] + sizes[b] - inter
+        j = inter / union if union else 0.0
         if j >= threshold:
-            rows.append((int(r["doc_id_x"]), int(r["doc_id_y"]), int(np.floor(j * 10000))))
+            rows.append((int(a), int(b), int(np.floor(j * 10000))))
     rows.sort()
     return pa.table(
         {
