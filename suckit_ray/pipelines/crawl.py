@@ -34,31 +34,13 @@ from suckit_ray.config import CrawlConfig
 from suckit_ray.stages.crawl_stage import make_crawl_fn
 from suckit_ray.stages.fetch import make_fetch_fn
 from suckit_ray.stages.html_stage import DOC_SCHEMA, make_process_fn
-from suckit_ray.state.frontier import FrontierShard, shard_of
+from suckit_ray.state.frontier import (  # noqa: F401 (schemas re-exported)
+    FRONTIER_SCHEMA,
+    LEDGER_SCHEMA,
+    FrontierShard,
+    shard_of,
+)
 from suckit_ray.urlkit import parse_url, to_path
-
-FRONTIER_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("host", pa.string()),
-        ("depth", pa.int32()),
-        ("ext_depth", pa.int32()),
-        ("seq", pa.int64()),
-    ]
-)
-
-LEDGER_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("doc_id", pa.string()),
-        ("status", pa.int32()),
-        ("wave", pa.int32()),
-        ("is_html", pa.bool_()),
-        ("downloaded", pa.bool_()),
-        ("n_outlinks", pa.int32()),
-        ("error", pa.string()),
-    ]
-)
 
 
 @dataclass
@@ -76,20 +58,6 @@ class CrawlResult:
         assert self.docs is not None
         mask = self.docs.column("downloaded")
         return self.docs.filter(mask)
-
-
-def _entries_table(entries: list[tuple]) -> pa.Table:
-    cols = list(zip(*entries)) if entries else [[], [], [], [], []]
-    return pa.Table.from_arrays(
-        [
-            pa.array(cols[0], type=pa.string()),
-            pa.array(cols[1], type=pa.string()),
-            pa.array([int(x) for x in cols[2]], type=pa.int32()),
-            pa.array([int(x) for x in cols[3]], type=pa.int32()),
-            pa.array([int(x) for x in cols[4]], type=pa.int64()),
-        ],
-        schema=FRONTIER_SCHEMA,
-    )
 
 
 def _dataset_to_table(ds: rd.Dataset) -> pa.Table:
@@ -200,10 +168,10 @@ def crawl(
     while True:
         if resume and wave == start_wave:
             # re-run the in-flight wave from the restored released state
-            released = ray.get([s.get_released.remote() for s in shards])
+            counts = ray.get([s.released_count.remote() for s in shards])
         else:
             t_fin = time.perf_counter()
-            released = ray.get(
+            counts = ray.get(
                 [
                     s.finalize_wave.remote(
                         wave, cfg.depth, cfg.ext_depth, max_per_host
@@ -215,8 +183,8 @@ def crawl(
                 print(f"[crawl] finalize wave={wave}: {time.perf_counter() - t_fin:.2f}s", flush=True)
             if checkpoint_dir:
                 _checkpoint(checkpoint_dir, shards, wave)
-        entries = [e for part in released for e in part]
-        if not entries:
+        n_entries = sum(counts)
+        if n_entries == 0:
             break
         if max_waves is not None and wave - start_wave >= max_waves:
             break
@@ -232,16 +200,19 @@ def crawl(
                 time.sleep(sleep_left)
         last_wave_started = time.perf_counter()
 
-        tbl = _entries_table(entries)
-        # split driver-side into blocks (cheaper than a repartition op)
-        nblocks = max(1, min(max_parallel_blocks, len(entries) // fetch_batch_size))
-        if nblocks > 1:
-            step = -(-tbl.num_rows // nblocks)
-            ds = rd.from_arrow(
-                [tbl.slice(i * step, step) for i in range(nblocks)]
+        # shards put their released entries into the object store as
+        # Arrow table chunks; the wave Dataset is built straight from
+        # those refs — entries never transit driver memory (a 10^8-row
+        # wave stays distributed end to end)
+        block_rows = max(fetch_batch_size, -(-n_entries // max_parallel_blocks))
+        wave_refs = [
+            r
+            for part in ray.get(
+                [s.released_refs.remote(block_rows) for s in shards]
             )
-        else:
-            ds = rd.from_arrow(tbl)
+            for r in part
+        ]
+        ds = rd.from_arrow_refs(wave_refs)
         if fuse_stages:
             ds = ds.map_batches(
                 make_crawl_fn(store_ref, cfg, shards, wave),
@@ -298,7 +269,7 @@ def crawl(
                 lambda t: t.filter(t.column("downloaded")), batch_format="pyarrow"
             )
             saved.write_parquet(wave_dir)
-            pages_total += len(entries)
+            pages_total += n_entries
         else:
             # count-only consumption (dry-run semantics, S6)
             pages_total += ds.count()
@@ -306,28 +277,36 @@ def crawl(
         wave_stats.append(
             {
                 "wave": wave,
-                "entries": len(entries),
+                "entries": n_entries,
                 "sec": round(time.perf_counter() - last_wave_started, 4),
             }
         )
         ray.get([s.ack_wave.remote() for s in shards])
         if cfg.verbose or os.environ.get("GRAFT_CRAWL_DEBUG"):
             print(
-                f"[crawl] wave={wave} entries={len(entries)} "
+                f"[crawl] wave={wave} entries={n_entries} "
                 f"consume={time.perf_counter() - last_wave_started:.2f}s",
                 flush=True,
             )
         wave += 1
 
-    ledger_rows = [r for part in ray.get([s.get_ledger.remote() for s in shards]) for r in part]
-    ledger_cols = list(zip(*ledger_rows)) if ledger_rows else [[]] * 8
-    ledger = pa.Table.from_arrays(
-        [
-            pa.array(list(ledger_cols[i]), type=LEDGER_SCHEMA.field(i).type)
-            for i in range(8)
-        ],
-        schema=LEDGER_SCHEMA,
-    )
+    if output_dir is not None and not cfg.dry_run:
+        # scale path: each shard writes its ledger partition straight to
+        # parquet (never transits the driver); the driver reads the
+        # parts back only to satisfy the CrawlResult API
+        import pyarrow.parquet as pq
+
+        part_paths = [
+            os.path.join(output_dir, "ledger_parts", f"shard_{i:04d}.parquet")
+            for i in range(len(shards))
+        ]
+        ray.get(
+            [s.flush_ledger.remote(p) for s, p in zip(shards, part_paths)]
+        )
+        ledger = pa.concat_tables([pq.read_table(p) for p in part_paths])
+    else:
+        parts = ray.get([s.get_ledger.remote() for s in shards])
+        ledger = pa.concat_tables(parts) if parts else LEDGER_SCHEMA.empty_table()
     counters: dict[str, int] = {}
     for c in ray.get([s.get_counters.remote() for s in shards]):
         for k, v in c.items():

@@ -19,7 +19,13 @@ import pyarrow as pa
 import ray
 from suckit_ray import htmlproc, textkit
 from suckit_ray.config import CrawlConfig
-from suckit_ray.state.frontier import shard_of, shard_of_url
+from suckit_ray.state.frontier import (
+    CAND_SCHEMA,
+    LEDGER_SCHEMA,
+    rows_to_table,
+    shard_of,
+    shard_of_url,
+)
 from suckit_ray.urlkit import parse_url, to_path
 
 SPAN_STRUCT = pa.struct(
@@ -170,13 +176,19 @@ def make_process_fn(
             out["body"].append(body_out)
             out["error"].append(err)
 
-        # ship candidates + ledger to their owning shards; await acks so
-        # ingestion is complete when this task (and the wave) finishes
+        # ship candidates + ledger to their owning shards as Arrow
+        # tables (zero-copy object-store transfer — never pickled tuple
+        # lists); await acks so ingestion is complete when this task
+        # (and the wave) finishes
         acks = []
         for sid, cands in cand_by_shard.items():
-            acks.append(shard_handles[sid].add_candidates.remote(cands))
+            acks.append(
+                shard_handles[sid].add_candidates.remote(rows_to_table(cands, CAND_SCHEMA))
+            )
         for sid, rows in ledger_by_shard.items():
-            acks.append(shard_handles[sid].add_ledger.remote(rows))
+            acks.append(
+                shard_handles[sid].add_ledger.remote(rows_to_table(rows, LEDGER_SCHEMA))
+            )
         if acks:
             ray.get(acks)
 

@@ -18,14 +18,33 @@ Determinism: candidates buffered during a wave are sorted by
 accepted set AND the ordering are reproducible regardless of task
 interleaving — stronger than the reference, whose insertion order is
 thread-timing-dependent at jobs>1 (SURVEY.md §7.5 item 3).
+
+Scale shape (round 2): every bulk exchange is Arrow, and every
+unbounded collection has a spill tier —
+
+- candidates/ledger arrive as **Arrow tables** (zero-copy through the
+  object store), not pickled tuple lists;
+- the released wave leaves as **ObjectRefs of Arrow table chunks**
+  (``released_refs``) that the driver feeds straight to
+  ``ray.data.from_arrow_refs`` — a 10^8-row wave never transits
+  driver memory;
+- ``pending`` overflows to FIFO pickle chunks on local disk, the
+  ledger overflows to parquet runs, and the seen-set freezes to
+  digest arrays (seenset.py) — actor RSS is bounded by the
+  ``*_mem`` knobs regardless of frontier size (SURVEY §9 sizes a
+  10^10-URL frontier at ~12 GB/wave).
 """
 
 from __future__ import annotations
 
 import os
 import pickle
+import shutil
+import tempfile
 import zlib
 from collections import defaultdict
+
+import pyarrow as pa
 
 from suckit_ray.state.seenset import SpillableSet
 from suckit_ray.urlkit import depth_gate
@@ -33,6 +52,48 @@ from suckit_ray.urlkit import depth_gate
 # frontier entry: (url, host, depth, ext_depth, seq)
 # candidate:      (parent_seq, ordinal, url, host, is_external, parent_depth, parent_ext_depth)
 # ledger row:     (url, doc_id, status, wave, is_html, downloaded, n_outlinks, error)
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("ext_depth", pa.int32()),
+        ("seq", pa.int64()),
+    ]
+)
+
+CAND_SCHEMA = pa.schema(
+    [
+        ("parent_seq", pa.int64()),
+        ("ordinal", pa.int32()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("is_external", pa.bool_()),
+        ("parent_depth", pa.int32()),
+        ("parent_ext_depth", pa.int32()),
+    ]
+)
+
+LEDGER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("doc_id", pa.string()),
+        ("status", pa.int32()),
+        ("wave", pa.int32()),
+        ("is_html", pa.bool_()),
+        ("downloaded", pa.bool_()),
+        ("n_outlinks", pa.int32()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def rows_to_table(rows: list[tuple], schema: pa.Schema) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+    return pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema
+    )
 
 
 def shard_of(host: str, num_shards: int) -> int:
@@ -62,16 +123,60 @@ class FrontierShard:
     """One shard of the frontier + URL-seen set + ledger. Wrapped in a
     Ray actor by the crawl driver (``ray.remote(FrontierShard)``)."""
 
-    def __init__(self, shard_id: int, num_shards: int, spill_threshold: int = 2_000_000):
+    def __init__(
+        self,
+        shard_id: int,
+        num_shards: int,
+        spill_threshold: int = 2_000_000,
+        pending_mem_limit: int = 500_000,
+        ledger_mem_rows: int = 500_000,
+    ):
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.seen = SpillableSet(spill_threshold=spill_threshold)
         self.pending: list[tuple[str, str, int, int]] = []  # (url, host, depth, ext)
-        self.buffer: list[tuple] = []
-        self.released: list[tuple] = []  # in-flight wave entries (resume)
-        self.ledger: list[tuple] = []
-        self.ledger_keys: set[str] = set()
+        self.pending_mem_limit = pending_mem_limit
+        self._pending_files: list[str] = []  # FIFO spill chunks (oldest first)
+        self._pending_spilled = 0
+        self.buffer_tables: list[pa.Table] = []
+        self.released_tbl: pa.Table | None = None  # in-flight wave (resume)
+        self.ledger_tables: list[pa.Table] = []
+        self._ledger_mem_rows = 0
+        self.ledger_mem_rows = ledger_mem_rows
+        self._ledger_files: list[str] = []  # parquet spill runs
+        self.ledger_seen = SpillableSet(spill_threshold=spill_threshold)
         self.counters = defaultdict(int)
+        self._spill_dir: str | None = None
+        self._spill_seq = 0  # monotonic: spill filenames never collide
+
+    # -- spill plumbing ------------------------------------------------
+    def _spill_path(self, kind: str, ext: str) -> str:
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix=f"frontier{self.shard_id}_")
+        self._spill_seq += 1
+        return os.path.join(self._spill_dir, f"{kind}_{self._spill_seq:06d}.{ext}")
+
+    def _spill_pending(self) -> None:
+        path = self._spill_path("pending", "pkl")
+        with open(path, "wb") as f:
+            pickle.dump(self.pending, f, protocol=pickle.HIGHEST_PROTOCOL)
+        self._pending_files.append(path)
+        self._pending_spilled += len(self.pending)
+        self.pending = []
+
+    def _pending_append(self, ent: tuple) -> None:
+        self.pending.append(ent)
+        if len(self.pending) >= self.pending_mem_limit:
+            self._spill_pending()
+
+    def _spill_ledger(self) -> None:
+        import pyarrow.parquet as pq
+
+        path = self._spill_path("ledger", "parquet")
+        pq.write_table(pa.concat_tables(self.ledger_tables), path)
+        self._ledger_files.append(path)
+        self.ledger_tables = []
+        self._ledger_mem_rows = 0
 
     # -- seeding ------------------------------------------------------
     def seed(self, entries: list[tuple[str, str]]) -> int:
@@ -80,30 +185,44 @@ class FrontierShard:
         n = 0
         for url, host in entries:
             if self.seen.insert_if_absent(url):
-                self.pending.append((url, host, 0, 0))
+                self._pending_append((url, host, 0, 0))
                 n += 1
         self.counters["seeded"] += n
         return n
 
     # -- wave ingestion ----------------------------------------------
-    def add_candidates(self, cands: list[tuple]) -> int:
-        self.buffer.extend(cands)
-        self.counters["candidates_in"] += len(cands)
-        return len(cands)
+    def add_candidates(self, cands) -> int:
+        """``cands``: an Arrow table (CAND_SCHEMA — the process stage's
+        zero-copy shipping format) or a list of candidate tuples (test
+        convenience)."""
+        if not isinstance(cands, pa.Table):
+            cands = rows_to_table(cands, CAND_SCHEMA)
+        if cands.num_rows:
+            self.buffer_tables.append(cands)
+        self.counters["candidates_in"] += cands.num_rows
+        return cands.num_rows
 
-    def add_ledger(self, rows: list[tuple]) -> int:
+    def add_ledger(self, rows) -> int:
         """Idempotent by URL: Ray may re-run a side-effecting task
         (speculative probes, task retries, wave re-run on resume), so
-        duplicate ingestion must be a no-op."""
-        added = 0
-        for r in rows:
-            if r[0] in self.ledger_keys:
-                continue
-            self.ledger_keys.add(r[0])
-            self.ledger.append(r)
-            added += 1
-        self.counters["fetched"] += added
-        return added
+        duplicate ingestion must be a no-op. ``rows``: Arrow table
+        (LEDGER_SCHEMA) or list of tuples."""
+        if not isinstance(rows, pa.Table):
+            rows = rows_to_table(rows, LEDGER_SCHEMA)
+        keep = [
+            i
+            for i, url in enumerate(rows.column("url").to_pylist())
+            if self.ledger_seen.insert_if_absent(url)
+        ]
+        if len(keep) != rows.num_rows:
+            rows = rows.take(pa.array(keep, type=pa.int64()))
+        if rows.num_rows:
+            self.ledger_tables.append(rows)
+            self._ledger_mem_rows += rows.num_rows
+            if self._ledger_mem_rows >= self.ledger_mem_rows:
+                self._spill_ledger()
+        self.counters["fetched"] += rows.num_rows
+        return rows.num_rows
 
     # -- wave boundary ------------------------------------------------
     def finalize_wave(
@@ -112,55 +231,151 @@ class FrontierShard:
         max_depth: int,
         max_ext_depth: int,
         max_per_host: int | None = None,
-    ) -> list[tuple]:
+    ) -> int:
         """Dedup-gate the buffered candidates of the finished wave, then
         release the next wave's entries for this shard. ``max_per_host``
         caps per-host release (politeness/skew knob); the overflow stays
-        pending for later waves."""
-        self.buffer.sort(key=lambda c: (c[0], c[1], c[2]))
-        prev_cand = None
-        for cand in self.buffer:
-            if cand == prev_cand:  # re-ingested duplicate (task re-run)
-                continue
-            prev_cand = cand
-            parent_seq, ordinal, url, host, is_ext, pdepth, pext = cand
-            if not self.seen.insert_if_absent(url):
-                self.counters["dup_urls"] += 1
-                continue
-            self.counters["new_urls"] += 1
-            ok, d, e = depth_gate(is_ext, pdepth, pext, max_depth, max_ext_depth)
-            if ok:
-                self.pending.append((url, host, d, e))
-            else:
-                self.counters["depth_gated"] += 1
-        self.buffer.clear()
+        pending for later waves. Returns the released-entry count; the
+        entries themselves leave via ``released_refs``."""
+        if self.buffer_tables:
+            buf = pa.concat_tables(self.buffer_tables)
+            self.buffer_tables = []
+            buf = buf.sort_by(
+                [("parent_seq", "ascending"), ("ordinal", "ascending"), ("url", "ascending")]
+            )
+            pseqs = buf.column("parent_seq").to_pylist()
+            ords = buf.column("ordinal").to_pylist()
+            urls = buf.column("url").to_pylist()
+            hosts = buf.column("host").to_pylist()
+            exts = buf.column("is_external").to_pylist()
+            pds = buf.column("parent_depth").to_pylist()
+            pes = buf.column("parent_ext_depth").to_pylist()
+            prev_key = None
+            for i in range(buf.num_rows):
+                key = (pseqs[i], ords[i], urls[i])
+                if key == prev_key:  # re-ingested duplicate (task re-run)
+                    continue
+                prev_key = key
+                if not self.seen.insert_if_absent(urls[i]):
+                    self.counters["dup_urls"] += 1
+                    continue
+                self.counters["new_urls"] += 1
+                ok, d, e = depth_gate(exts[i], pds[i], pes[i], max_depth, max_ext_depth)
+                if ok:
+                    self._pending_append((urls[i], hosts[i], d, e))
+                else:
+                    self.counters["depth_gated"] += 1
 
+        take = self._drain_pending(max_per_host)
+        self.released_tbl = rows_to_table(
+            [
+                (url, host, d, e, encode_seq(wave, self.shard_id, i))
+                for i, (url, host, d, e) in enumerate(take)
+            ],
+            FRONTIER_SCHEMA,
+        )
+        self.counters["released"] += len(take)
+        return len(take)
+
+    def _drain_pending(self, max_per_host: int | None) -> list[tuple]:
+        """FIFO drain across spill chunks then memory; with a per-host
+        cap the overflow is re-queued in order (untouched spill chunks
+        stay on disk — a capped drain reads only as much as it must)."""
         if max_per_host is None:
-            take, rest = self.pending, []
-        else:
-            per_host: dict[str, int] = defaultdict(int)
-            take, rest = [], []
-            for ent in self.pending:
+            take: list[tuple] = []
+            for path in self._pending_files:
+                with open(path, "rb") as f:
+                    take.extend(pickle.load(f))
+                os.remove(path)
+            self._pending_files = []
+            self._pending_spilled = 0
+            take.extend(self.pending)
+            self.pending = []
+            return take
+
+        per_host: dict[str, int] = defaultdict(int)
+        take, rest_mem, rest_files = [], [], []
+        saturated = False  # once a whole chunk passes untouched, stop loading
+        for path in self._pending_files:
+            if saturated:
+                rest_files.append(path)
+                continue
+            with open(path, "rb") as f:
+                chunk = pickle.load(f)
+            kept = []
+            for ent in chunk:
                 if per_host[ent[1]] < max_per_host:
                     per_host[ent[1]] += 1
                     take.append(ent)
                 else:
-                    rest.append(ent)
-        self.pending = rest
-        self.released = [
-            (url, host, d, e, encode_seq(wave, self.shard_id, i))
-            for i, (url, host, d, e) in enumerate(take)
-        ]
-        self.counters["released"] += len(self.released)
-        return self.released
+                    kept.append(ent)
+            if len(kept) == len(chunk):
+                rest_files.append(path)
+                saturated = True
+                continue
+            os.remove(path)
+            rest_mem.extend(kept)
+        mem_kept = []
+        for ent in self.pending:
+            if not saturated and per_host[ent[1]] < max_per_host:
+                per_host[ent[1]] += 1
+                take.append(ent)
+            else:
+                mem_kept.append(ent)
+        # re-queue overflow preserving FIFO order: loaded-chunk leftovers
+        # first, then untouched files' contents precede memory leftovers —
+        # but untouched files stayed on disk, so prepend loaded leftovers
+        # as a new head chunk when any exist.
+        self.pending = mem_kept
+        self._pending_spilled = 0
+        if rest_mem:
+            head = self._spill_path("pending", "pkl")
+            with open(head, "wb") as f:
+                pickle.dump(rest_mem, f, protocol=pickle.HIGHEST_PROTOCOL)
+            rest_files.insert(0, head)
+        self._pending_files = rest_files
+        for path in self._pending_files:
+            with open(path, "rb") as f:
+                self._pending_spilled += len(pickle.load(f))
+        return take
+
+    def released_count(self) -> int:
+        return self.released_tbl.num_rows if self.released_tbl is not None else 0
+
+    def released_refs(self, max_block_rows: int = 0) -> list:
+        """The released wave as ObjectRefs of Arrow table chunks — the
+        driver passes these straight to ``ray.data.from_arrow_refs`` so
+        wave entries never transit driver memory."""
+        import ray
+
+        tbl = self.released_tbl
+        if tbl is None or tbl.num_rows == 0:
+            return []
+        if max_block_rows and tbl.num_rows > max_block_rows:
+            return [
+                ray.put(tbl.slice(off, max_block_rows))
+                for off in range(0, tbl.num_rows, max_block_rows)
+            ]
+        return [ray.put(tbl)]
+
+    def released_entries(self) -> list[tuple]:
+        """Released wave as tuples (tests / small-scale introspection)."""
+        if self.released_tbl is None:
+            return []
+        cols = [self.released_tbl.column(n).to_pylist() for n in FRONTIER_SCHEMA.names]
+        return list(zip(*cols))
 
     def ack_wave(self) -> None:
         """The wave's documents are durably written; drop resume state."""
-        self.released = []
+        self.released_tbl = None
 
     # -- introspection ------------------------------------------------
     def pending_count(self) -> int:
-        return len(self.pending) + len(self.buffer)
+        return (
+            len(self.pending)
+            + self._pending_spilled
+            + sum(t.num_rows for t in self.buffer_tables)
+        )
 
     def seen_count(self) -> int:
         return len(self.seen)
@@ -168,21 +383,52 @@ class FrontierShard:
     def get_counters(self) -> dict:
         return dict(self.counters)
 
-    def get_ledger(self) -> list[tuple]:
-        return self.ledger
+    def _ledger_parts(self) -> list[pa.Table]:
+        import pyarrow.parquet as pq
+
+        return [pq.read_table(p) for p in self._ledger_files] + self.ledger_tables
+
+    def get_ledger(self) -> pa.Table:
+        parts = self._ledger_parts()
+        return pa.concat_tables(parts) if parts else LEDGER_SCHEMA.empty_table()
+
+    def flush_ledger(self, path: str) -> int:
+        """Write this shard's ledger partition straight to parquet —
+        the scale path: the ledger never transits the driver."""
+        import pyarrow.parquet as pq
+
+        tbl = self.get_ledger()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(tbl, path)
+        return tbl.num_rows
 
     # -- checkpoint ----------------------------------------------------
     def snapshot(self, path: str, wave: int) -> str:
         """Write this shard's full state for exact resume (per-partition
-        checkpoint + lineage epoch, north_rule). Atomic via tmp+rename."""
+        checkpoint + lineage epoch, north_rule). Atomic via tmp+rename.
+        Spill chunks are copied alongside so the checkpoint is
+        self-contained."""
+        spill_copies = []
+        for i, p in enumerate(self._pending_files):
+            dst = f"{path}.pend{i:04d}"
+            shutil.copyfile(p, dst)
+            spill_copies.append(os.path.basename(dst))
+        ledger_copies = []
+        for i, p in enumerate(self._ledger_files):
+            dst = f"{path}.ledg{i:04d}"
+            shutil.copyfile(p, dst)
+            ledger_copies.append(os.path.basename(dst))
         st = {
             "shard_id": self.shard_id,
             "num_shards": self.num_shards,
             "wave": wave,
             "seen": self.seen.state(),  # freezes the active tier; neutral
+            "ledger_seen": self.ledger_seen.state(),
             "pending": self.pending,
-            "released": self.released,
-            "ledger": self.ledger,
+            "pending_files": spill_copies,
+            "released": self.released_tbl,
+            "ledger_tables": self.ledger_tables,
+            "ledger_files": ledger_copies,
             "counters": dict(self.counters),
         }
         tmp = f"{path}.tmp"
@@ -196,12 +442,24 @@ class FrontierShard:
             st = pickle.load(f)
         assert st["shard_id"] == self.shard_id and st["num_shards"] == self.num_shards
         self.seen = SpillableSet.from_state(st["seen"])
+        self.ledger_seen = SpillableSet.from_state(st["ledger_seen"])
         self.pending = [tuple(p) for p in st["pending"]]
-        self.released = [tuple(r) for r in st["released"]]
-        self.ledger = [tuple(r) for r in st["ledger"]]
-        self.ledger_keys = {r[0] for r in self.ledger}
+        self._pending_files = []
+        self._pending_spilled = 0
+        base = os.path.dirname(path)
+        for name in st["pending_files"]:
+            dst = self._spill_path("pending", "pkl")
+            shutil.copyfile(os.path.join(base, name), dst)
+            self._pending_files.append(dst)
+            with open(dst, "rb") as f:
+                self._pending_spilled += len(pickle.load(f))
+        self.released_tbl = st["released"]
+        self.ledger_tables = list(st["ledger_tables"])
+        self._ledger_mem_rows = sum(t.num_rows for t in self.ledger_tables)
+        self._ledger_files = []
+        for name in st["ledger_files"]:
+            dst = self._spill_path("ledger", "parquet")
+            shutil.copyfile(os.path.join(base, name), dst)
+            self._ledger_files.append(dst)
         self.counters = defaultdict(int, st["counters"])
         return st["wave"]
-
-    def get_released(self) -> list[tuple]:
-        return self.released

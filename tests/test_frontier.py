@@ -49,7 +49,8 @@ class TestFrontierShard:
                 self.cand(1, 2, "http://x.test/e.html", ext=True),  # ext_depth 0 → gated
             ]
         )
-        rel = sh.finalize_wave(1, max_depth=-1, max_ext_depth=0)
+        sh.finalize_wave(1, max_depth=-1, max_ext_depth=0)
+        rel = sh.released_entries()
         assert [r[0] for r in rel] == ["http://h.test/a.html"]
         assert rel[0][2] == 1  # depth bumped
         c = sh.get_counters()
@@ -64,8 +65,9 @@ class TestFrontierShard:
         sh2 = FrontierShard(0, 1)
         sh2.add_candidates(b)
         sh2.add_candidates(a)
-        r1 = sh1.finalize_wave(1, -1, 0)
-        r2 = sh2.finalize_wave(1, -1, 0)
+        sh1.finalize_wave(1, -1, 0)
+        sh2.finalize_wave(1, -1, 0)
+        r1, r2 = sh1.released_entries(), sh2.released_entries()
         assert r1 == r2
         assert [r[0] for r in r1] == [
             "http://h.test/x.html",
@@ -79,14 +81,12 @@ class TestFrontierShard:
             [self.cand(1, i, f"http://h.test/p{i}.html") for i in range(5)]
             + [self.cand(1, 9, "http://other.test/q.html", host="other.test")]
         )
-        rel = sh.finalize_wave(1, -1, 0, max_per_host=2)
-        hosts = [r[1] for r in rel]
+        sh.finalize_wave(1, -1, 0, max_per_host=2)
+        hosts = [r[1] for r in sh.released_entries()]
         assert hosts.count("h.test") == 2 and hosts.count("other.test") == 1
         assert sh.pending_count() == 3  # overflow stays queued
-        rel2 = sh.finalize_wave(2, -1, 0, max_per_host=2)
-        assert len(rel2) == 2
-        rel3 = sh.finalize_wave(3, -1, 0, max_per_host=2)
-        assert len(rel3) == 1
+        assert sh.finalize_wave(2, -1, 0, max_per_host=2) == 2
+        assert sh.finalize_wave(3, -1, 0, max_per_host=2) == 1
 
     def test_ledger_idempotent(self):
         sh = FrontierShard(0, 1)
@@ -116,10 +116,98 @@ class TestGatePoisoning:
         url = "http://b.test/x.html"
         # wave 1: external discovery, ext_depth budget 0 → gated
         sh.add_candidates([(1, 0, url, "b.test", True, 0, 0)])
-        rel = sh.finalize_wave(1, max_depth=-1, max_ext_depth=0)
-        assert rel == []
+        assert sh.finalize_wave(1, max_depth=-1, max_ext_depth=0) == 0
+        assert sh.released_entries() == []
         # wave 2: internal discovery of the same URL → already seen
         sh.add_candidates([(2, 0, url, "b.test", False, 1, 0)])
-        rel = sh.finalize_wave(2, max_depth=-1, max_ext_depth=0)
-        assert rel == []
+        assert sh.finalize_wave(2, max_depth=-1, max_ext_depth=0) == 0
         assert sh.get_counters()["dup_urls"] == 1
+
+
+class TestSpillTiers:
+    """Round-2 scale hardening: pending queue and ledger overflow to
+    disk chunks; actor memory stays bounded by the *_mem knobs while
+    semantics (FIFO order, politeness caps, idempotence, checkpoint)
+    are unchanged (VERDICT r1 items 4/6)."""
+
+    def cand(self, seq, ordinal, url, host="h.test"):
+        return (seq, ordinal, url, host, False, 0, 0)
+
+    def test_pending_spill_round_trip_full_drain(self):
+        sh = FrontierShard(0, 1, pending_mem_limit=10)
+        sh.add_candidates(
+            [self.cand(1, i, f"http://h.test/p{i:04d}.html") for i in range(55)]
+        )
+        sh.finalize_wave(1, -1, 0)
+        # ingestion happens at finalize; pending spilled then drained
+        rel = sh.released_entries()
+        assert [r[0] for r in rel] == [
+            f"http://h.test/p{i:04d}.html" for i in range(55)
+        ]  # FIFO order across spill chunks
+
+    def test_pending_spill_with_per_host_cap(self):
+        sh = FrontierShard(0, 1, pending_mem_limit=8)
+        cands = [
+            self.cand(1, i, f"http://h{i % 3}.test/p{i:04d}.html", host=f"h{i % 3}.test")
+            for i in range(30)
+        ]
+        sh.add_candidates(cands)
+        released = []
+        wave = 1
+        while True:
+            n = sh.finalize_wave(wave, -1, 0, max_per_host=2)
+            if n == 0:
+                break
+            rel = sh.released_entries()
+            hosts = [r[1] for r in rel]
+            for h in set(hosts):
+                assert hosts.count(h) <= 2
+            released.extend(r[0] for r in rel)
+            sh.ack_wave()
+            wave += 1
+        assert sorted(released) == sorted(c[2] for c in cands)
+        assert sh.pending_count() == 0
+
+    def test_ledger_spill_and_idempotence(self):
+        sh = FrontierShard(0, 1, ledger_mem_rows=16)
+        rows = [
+            (f"http://h.test/p{i}", f"h.test/p{i}", 200, 0, True, True, 1, None)
+            for i in range(100)
+        ]
+        assert sh.add_ledger(rows) == 100
+        assert sh._ledger_files, "ledger should have spilled to parquet runs"
+        assert sh.add_ledger(rows) == 0  # re-ingest is a no-op across spills
+        led = sh.get_ledger()
+        assert led.num_rows == 100
+        assert sorted(led.column("url").to_pylist()) == sorted(r[0] for r in rows)
+
+    def test_checkpoint_preserves_spilled_state(self, tmp_path):
+        sh = FrontierShard(0, 1, pending_mem_limit=10, ledger_mem_rows=10)
+        sh.add_candidates(
+            [self.cand(1, i, f"http://h.test/p{i:04d}.html") for i in range(40)]
+        )
+        sh.add_ledger(
+            [
+                (f"http://h.test/l{i}", f"h.test/l{i}", 200, 0, True, True, 0, None)
+                for i in range(30)
+            ]
+        )
+        sh.finalize_wave(1, -1, 0, max_per_host=5)  # leaves spilled pending
+        snap = str(tmp_path / "shard_0000.pkl")
+        sh.snapshot(snap, 1)
+
+        sh2 = FrontierShard(0, 1, pending_mem_limit=10, ledger_mem_rows=10)
+        sh2.restore(snap)
+        assert sh2.released_entries() == sh.released_entries()
+        assert sh2.pending_count() == sh.pending_count()
+        assert sh2.get_ledger().num_rows == 30
+        # drain the rest from the restored shard: nothing lost, no dups
+        seen_urls = {r[0] for r in sh2.released_entries()}
+        wave = 2
+        while sh2.finalize_wave(wave, -1, 0, max_per_host=5):
+            for r in sh2.released_entries():
+                assert r[0] not in seen_urls
+                seen_urls.add(r[0])
+            sh2.ack_wave()
+            wave += 1
+        assert len(seen_urls) == 40
