@@ -233,66 +233,104 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
-    """ALL pairs with exact word-3-gram Jaccard ≥ threshold — the
-    SQL-checkable exact ground truth, computed distributed:
+NGRAM_BUCKETS = 1024  # shingle-hash shuffle groups (≳ cluster cores)
 
-    explode docs to (shingle-hash, doc_id) rows → ``groupby(sh)`` emits
-    the co-occurrence pairs of each shingle bucket → a bucketed count
-    aggregation yields per-pair intersection sizes. Only the per-doc
-    shingle counts and the pair-intersection table (sparse by
-    construction) reach the driver for the final Jaccard arithmetic.
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_docs: int | None = None,
+) -> pa.Table:
+    """ALL pairs with exact word-3-gram Jaccard ≥ threshold — the
+    SQL-checkable exact ground truth, computed distributed end to end
+    (round 2, VERDICT r1 item 3 — no driver-side dicts):
+
+    explode docs to (doc_id, shingle-hash, doc-shingle-count) rows —
+    the per-doc set size rides along on every row, so no size join is
+    ever needed → ``groupby(sh % NGRAM_BUCKETS)`` emits co-occurrence
+    pairs per shingle via a vectorized self-merge, carrying both
+    sizes → a bucketed count aggregation yields per-pair intersection
+    sizes next to the sizes → the Jaccard arithmetic and threshold
+    filter run in the same tasks. The driver receives only the final
+    thresholded pairs.
+
+    ``max_shingle_docs``: optional hot-shingle cap for template-heavy
+    corpora — shingles shared by more than this many docs are skipped
+    during pair generation (an approximation: pairs supported ONLY by
+    ultra-common shingles are missed). Off by default for oracle
+    exactness.
     """
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, shingle_hash = [], []
+        doc_ids, shingle_hash, sizes = [], [], []
         for d, t in zip(df["doc_id"], df["text"]):
-            for sh in set(_word_shingles(t)):
+            sh_set = set(_word_shingles(t))
+            n = len(sh_set)
+            for sh in sh_set:
                 doc_ids.append(d)
                 shingle_hash.append(zlib.crc32(sh.encode("utf-8")))
-        return pd.DataFrame({"doc_id": doc_ids, "sh": shingle_hash})
+                sizes.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "sh": shingle_hash,
+                "n": pd.array(sizes, dtype="int64"),
+                "shb": pd.array(
+                    [s % NGRAM_BUCKETS for s in shingle_hash], dtype="int64"
+                ),
+            }
+        )
 
     ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pandas"
     )
 
-    # per-doc shingle counts (small: one row per doc)
-    from suckit_ray.stages.agg import bucketed_groupby_agg
-
-    sizes_df = bucketed_groupby_agg(
-        ds, keys=["doc_id"], aggs={"n": ("sh", "count")}, num_buckets=16
-    ).to_pandas()
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n"]))
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["shb"] = (df["sh"] % 64).astype("int64")
-        return df
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # one shuffle group per shingle-hash bucket; the per-shingle
         # pairing is a vectorized pandas self-merge inside the bucket
+        if max_shingle_docs is not None:
+            freq = g.groupby("sh")["doc_id"].transform("size")
+            g = g[freq <= max_shingle_docs]
         m = g.merge(g, on="sh")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame({"a_id": m["doc_id_x"], "b_id": m["doc_id_y"]})
+        return pd.DataFrame(
+            {
+                "a_id": m["doc_id_x"],
+                "b_id": m["doc_id_y"],
+                "na": m["n_x"],
+                "nb": m["n_y"],
+            }
+        )
 
-    pair_ds = (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("shb")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pair_ds = ds.groupby("shb").map_groups(bucket_pairs, batch_format="pandas")
+    inter_ds = bucketed_groupby_agg(
+        pair_ds,
+        keys=["a_id", "b_id"],
+        aggs={
+            "inter": ("a_id", "count"),
+            "na": ("na", "max"),  # constant within a pair group
+            "nb": ("nb", "max"),
+        },
+        num_buckets=64,
     )
-    inter_df = bucketed_groupby_agg(
-        pair_ds, keys=["a_id", "b_id"], aggs={"inter": ("a_id", "count")},
-        num_buckets=32,
-    ).to_pandas()
 
-    rows = []
-    for a, b, inter in zip(inter_df["a_id"], inter_df["b_id"], inter_df["inter"]):
-        union = sizes[a] + sizes[b] - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            rows.append((int(a), int(b), int(np.floor(j * 10000))))
-    rows.sort()
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        union = (df["na"] + df["nb"] - df["inter"]).clip(lower=1)
+        j = df["inter"] / union
+        keep = j >= threshold
+        return pd.DataFrame(
+            {
+                "a_id": df.loc[keep, "a_id"].astype("int64"),
+                "b_id": df.loc[keep, "b_id"].astype("int64"),
+                "jaccard_pct": np.floor(j[keep] * 10000).astype("int64"),
+            }
+        )
+
+    out = inter_ds.map_batches(finish, batch_format="pandas").to_pandas()
+    rows = sorted(
+        (int(a), int(b), int(p))
+        for a, b, p in zip(out["a_id"], out["b_id"], out["jaccard_pct"])
+    )
     return pa.table(
         {
             "a_id": pa.array([r[0] for r in rows], pa.int64()),
