@@ -236,6 +236,46 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents
         """,
+        # winnowing (Schleimer/Wilkerson/Aiken): k=8-gram polynomial
+        # hashes base 257 mod 2^61-1 (terms in HUGEINT — max term
+        # 255·257^7 ≈ 1.9e19 overflows BIGINT), window W=16 sliding
+        # min, distinct fingerprints per doc. ord(substr) == utf-8 byte
+        # because the corpus is ASCII (asserted in tests).
+        "winnow_fingerprint": """
+            WITH pos AS (
+              SELECT doc_id, len(text) - 7 AS g, text,
+                     UNNEST(range(1, len(text) - 6)) AS i
+              FROM documents WHERE len(text) >= 8
+            ),
+            h AS (
+              SELECT doc_id, g, i,
+                CAST((
+                  CAST(ord(substr(text, CAST(i + 0 AS INT), 1)) AS HUGEINT) * 74051159531521793
+                + CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) AS HUGEINT) * 288136807515649
+                + CAST(ord(substr(text, CAST(i + 2 AS INT), 1)) AS HUGEINT) * 1121154893057
+                + CAST(ord(substr(text, CAST(i + 3 AS INT), 1)) AS HUGEINT) * 4362470401
+                + CAST(ord(substr(text, CAST(i + 4 AS INT), 1)) AS HUGEINT) * 16974593
+                + CAST(ord(substr(text, CAST(i + 5 AS INT), 1)) AS HUGEINT) * 66049
+                + CAST(ord(substr(text, CAST(i + 6 AS INT), 1)) AS HUGEINT) * 257
+                + CAST(ord(substr(text, CAST(i + 7 AS INT), 1)) AS HUGEINT)
+                ) % 2305843009213693951 AS BIGINT) AS hv
+              FROM pos
+            ),
+            w AS (
+              SELECT doc_id, g, i,
+                     min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+              FROM h
+            ),
+            f AS (SELECT doc_id, g, wmin FROM w WHERE i <= greatest(1, g - 15))
+            SELECT doc_id, CAST(max(g) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT wmin) AS BIGINT) AS n_fps,
+                   CAST(min(wmin) AS BIGINT) AS min_fp
+            FROM f GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM documents WHERE len(text) < 8
+        """,
         "exact_dedup": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies
@@ -409,5 +449,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM pages UNION ALL SELECT * FROM assets
         """,
         # no oracle (rows-only): minhash_lsh_pairs, simhash,
-        # ann_ivf_topk — approximate operators.
+        # ann_ivf_topk — approximate operators (pinned-rows regression
+        # tests in tests/test_dedup_pins.py cover minhash + ivf).
     }
