@@ -46,6 +46,14 @@ def _corpus_for(sf_dir: str):
 
 
 def _crawl_docs(sf_dir: str):
+    """Run the flagship crawl through the STREAMING path: each wave's
+    documents are written to per-wave parquet partitions as the wave
+    executes (docs never accumulate on the driver — the resumable
+    100 TB layout), and the result Dataset is a lazy read of that
+    output."""
+    import os
+    import tempfile
+
     import ray.data as rd
 
     from suckit_ray.config import CrawlConfig
@@ -53,13 +61,16 @@ def _crawl_docs(sf_dir: str):
     from suckit_ray.sources.pagestore import SyntheticPageStore
 
     corpus = _corpus_for(sf_dir)
-    res = crawl(
+    out = tempfile.mkdtemp(prefix="suckit_flagship_")
+    crawl(
         CrawlConfig(origin=corpus.page_url(0, 0)),
         SyntheticPageStore(corpus),
         seeds=corpus.seeds(),
         num_shards=4,
+        output_dir=out,
+        collect=False,
     )
-    return rd.from_arrow(res.docs)
+    return rd.read_parquet(os.path.join(out, "docs"))
 
 
 def entry() -> Any:

@@ -117,7 +117,11 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from suckit_ray.sources.pagestore import HttpPageStore
 
-        store = HttpPageStore(user_agent=config.user_agent, cookie=config.cookie)
+        store = HttpPageStore(
+            user_agent=config.user_agent,
+            cookie=config.cookie,
+            disable_certs_checks=config.disable_certs_checks,
+        )
 
     from suckit_ray.pipelines.crawl import crawl
 

@@ -256,14 +256,14 @@ def crawl(
             if output_dir is not None and not cfg.dry_run:
                 import pyarrow.parquet as pq
 
-                wave_dir = os.path.join(output_dir, f"wave={wave:05d}")
+                wave_dir = os.path.join(output_dir, "docs", f"wave-{wave:05d}")
                 _fresh_dir(wave_dir)
                 pq.write_table(
                     wave_tbl.filter(wave_tbl.column("downloaded")),
                     os.path.join(wave_dir, "part-0.parquet"),
                 )
         elif output_dir is not None and not cfg.dry_run:
-            wave_dir = os.path.join(output_dir, f"wave={wave:05d}")
+            wave_dir = os.path.join(output_dir, "docs", f"wave-{wave:05d}")
             _fresh_dir(wave_dir)  # idempotent re-run of a resumed wave
             saved = ds.map_batches(
                 lambda t: t.filter(t.column("downloaded")), batch_format="pyarrow"

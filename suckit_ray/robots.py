@@ -86,27 +86,34 @@ def parse_robots(text: str, user_agent: str) -> RobotsRules:
 
 @dataclass
 class RobotsCache:
-    """Per-worker robots cache: host → RobotsRules, fetched through the
-    same page store as everything else."""
+    """Per-worker robots cache: (scheme, host) → RobotsRules, fetched
+    through the same page store — and the same ``tries`` retry budget —
+    as page fetches, so one transient failure can't permanently cache
+    ALLOW_ALL for a host (ADVICE r1)."""
 
     store: object
     user_agent: str = "suckit"
+    tries: int = 1
     _cache: dict = field(default_factory=dict)
 
     def rules_for(self, scheme: str, host: str) -> RobotsRules:
-        if host in self._cache:
-            return self._cache[host]
-        try:
-            resp = self.store.fetch(f"{scheme}://{host}/robots.txt", None)
-            if resp.status == 200 and resp.body:
-                rules = parse_robots(
-                    resp.body.decode("utf-8", errors="replace"), self.user_agent
-                )
-            else:
-                rules = ALLOW_ALL
-        except Exception:
+        key = (scheme, host)
+        if key in self._cache:
+            return self._cache[key]
+        resp = None
+        for _ in range(max(1, self.tries)):
+            try:
+                resp = self.store.fetch(f"{scheme}://{host}/robots.txt", None)
+                break
+            except Exception:  # transport error: retry, then allow-all
+                resp = None
+        if resp is not None and resp.status == 200 and resp.body:
+            rules = parse_robots(
+                resp.body.decode("utf-8", errors="replace"), self.user_agent
+            )
+        else:
             rules = ALLOW_ALL
-        self._cache[host] = rules
+        self._cache[key] = rules
         return rules
 
     def allows(self, url: str) -> bool:

@@ -76,3 +76,25 @@ def write_ledger(ledger: pa.Table, output_dir: str) -> str:
     path = os.path.join(output_dir, "ledger.parquet")
     pq.write_table(ledger, path)
     return path
+
+
+def write_lance(docs: pa.Table, output_dir: str, mode: str = "append"):
+    """North-star sink: a Lance table of interleaved text+media
+    documents (BASELINE.json names Lance as the target table format).
+
+    The sandbox image does not ship the ``lance`` package, so this is
+    feature-gated: when lance is importable the docs table lands as a
+    Lance dataset (append mode per crawl wave = the same resumable
+    layout as the parquet path); otherwise callers fall back to the
+    per-wave parquet partitions written by ``crawl(output_dir=...)``,
+    which carry the identical schema. The substitution is documented in
+    README.md / BASELINE.md."""
+    try:
+        import lance
+    except ImportError as e:
+        raise NotImplementedError(
+            "the 'lance' package is not installed in this environment; "
+            "use the per-wave parquet output (same schema, same "
+            "partition layout) written by crawl(output_dir=...)"
+        ) from e
+    return lance.write_dataset(docs, output_dir, mode=mode)

@@ -301,13 +301,53 @@ class SyntheticPageStore:
 
 
 class HttpPageStore:
-    """Real-network store (urllib). Present for completeness; this
-    sandbox has no network, so it is exercised only by its interface."""
+    """Real-network store (urllib), matching the reference's reqwest
+    client build (src/downloader.rs:75-84): a cookie STORE — responses
+    can Set-Cookie and later requests send the jar back
+    (``.cookie_store(true)``) — plus optional TLS-verification bypass
+    (``danger_accept_invalid_certs`` ⇔ ``--disable-certs-checks``).
 
-    def __init__(self, user_agent: str = "suckit", cookie: str = "", timeout: float = 30.0):
+    One jar per store instance; when the store is broadcast to Ray
+    workers each worker process deserializes its own copy, so cookies
+    are per-worker session state (same worker-local model as the auth
+    map — the reference is single-process and has exactly one jar).
+    The opener is built lazily because it is not picklable."""
+
+    def __init__(
+        self,
+        user_agent: str = "suckit",
+        cookie: str = "",
+        timeout: float = 30.0,
+        disable_certs_checks: bool = False,
+    ):
         self.user_agent = user_agent
         self.cookie = cookie
         self.timeout = timeout
+        self.disable_certs_checks = disable_certs_checks
+        self._opener = None
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_opener"] = None  # openers (and their jars) don't pickle
+        return d
+
+    def _get_opener(self):
+        if self._opener is None:
+            import http.cookiejar
+            import urllib.request
+
+            handlers = [
+                urllib.request.HTTPCookieProcessor(http.cookiejar.CookieJar())
+            ]
+            if self.disable_certs_checks:
+                import ssl
+
+                ctx = ssl.create_default_context()
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+                handlers.append(urllib.request.HTTPSHandler(context=ctx))
+            self._opener = urllib.request.build_opener(*handlers)
+        return self._opener
 
     def fetch(self, url: str, auth: tuple[str, str | None] | None) -> PageResponse:
         import urllib.error
@@ -323,7 +363,7 @@ class HttpPageStore:
             headers["Authorization"] = f"Basic {token}"
         req = urllib.request.Request(url, headers=headers)
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with self._get_opener().open(req, timeout=self.timeout) as resp:
                 return PageResponse(
                     resp.status,
                     resp.headers.get("Content-Type"),

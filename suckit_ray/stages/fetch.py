@@ -84,7 +84,8 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
             last_err: Exception | None = None
             for _ in range(max(1, tries)):
                 try:
-                    resp = store.fetch(request_url, auth)
+                    hop_url, hop_auth = request_url, auth
+                    resp = store.fetch(hop_url, hop_auth)
                     # follow redirects transparently, like the
                     # reference's reqwest client (default policy, up to
                     # 10 hops); the mirror path stays keyed on the
@@ -98,8 +99,17 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
                     ):
                         from urllib.parse import urljoin as _uj
 
-                        request_url = _uj(request_url, resp.location).split("#", 1)[0]
-                        resp = store.fetch(request_url, auth)
+                        hop_url = _uj(hop_url, resp.location).split("#", 1)[0]
+                        # re-resolve auth for the redirect TARGET host:
+                        # reqwest strips Authorization on cross-host
+                        # redirects, so credentials must never follow a
+                        # redirect to a different host (ADVICE r1)
+                        try:
+                            hop_host = parse_url(hop_url).host or ""
+                        except Exception:
+                            hop_host = ""
+                        hop_auth = auth_map.get(hop_host)
+                        resp = store.fetch(hop_url, hop_auth)
                         hops += 1
                     last_err = None
                     break

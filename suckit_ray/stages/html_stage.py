@@ -62,15 +62,19 @@ DOC_SCHEMA = pa.schema(
 _ROBOTS_CACHE: dict = {}
 
 
-def _robots_for(store_ref, user_agent: str):
+def _robots_for(store_ref, user_agent: str, tries: int = 1):
     import ray as _ray
 
     from suckit_ray.robots import RobotsCache
     from suckit_ray.stages.fetch import _get_store
 
-    key = (store_ref.hex() if isinstance(store_ref, _ray.ObjectRef) else id(store_ref), user_agent)
+    key = (
+        store_ref.hex() if isinstance(store_ref, _ray.ObjectRef) else id(store_ref),
+        user_agent,
+        tries,
+    )
     if key not in _ROBOTS_CACHE:
-        _ROBOTS_CACHE[key] = RobotsCache(_get_store(store_ref), user_agent)
+        _ROBOTS_CACHE[key] = RobotsCache(_get_store(store_ref), user_agent, tries)
     return _ROBOTS_CACHE[key]
 
 
@@ -92,7 +96,7 @@ def make_process_fn(
         include_visit, exclude_visit = cfg.visit_filters()
         include_download, exclude_download = cfg.download_filters()
         robots = (
-            _robots_for(store_ref, cfg.user_agent)
+            _robots_for(store_ref, cfg.user_agent, cfg.tries)
             if (cfg.respect_robots and store_ref is not None)
             else None
         )

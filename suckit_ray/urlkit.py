@@ -103,6 +103,19 @@ def parse_url(url: str) -> ParsedUrl:
         raise UrlParseError(f"relative URL without a base: {url!r}")
     parts = urlsplit(url)
     scheme = parts.scheme.lower()
+    if (
+        scheme in _SPECIAL_SCHEMES
+        and scheme != "file"
+        and not parts.netloc
+        and "//" not in url[: len(scheme) + 3]
+    ):
+        # WHATWG special-authority-ignore-slashes: 'http:page.html' /
+        # 'https:/x/y' DO carry an authority despite the missing '//';
+        # rust-url extracts a host here, so the rebuild must too
+        # (ADVICE r1). 'file:' takes the separate file-state path and
+        # is out of the crawl envelope.
+        rest = url[len(scheme) + 1 :].lstrip("/\\")
+        return parse_url(f"{scheme}://{rest}")
     host: str | None = None
     port: int | None = None
     if "//" in url[: len(scheme) + 3] or parts.netloc:
@@ -196,7 +209,10 @@ def to_path(url: ParsedUrl, with_fragment: bool) -> str:
         parent = ppq.rstrip("/")
         filename = "index_no_slash.html"
 
-    if len(filename) > FILE_NAME_MAX_LENGTH:
+    # BYTE length, not char count: the reference's filename.len() is a
+    # Rust String byte length, and 255 bytes is also the real
+    # filesystem name limit (ADVICE r1)
+    if len(filename.encode("utf-8")) > FILE_NAME_MAX_LENGTH:
         # md5 here mirrors the reference's filename-collision hack
         # (src/url_helper.rs:36-39); not used for security.
         filename = hashlib.md5(filename.encode("utf-8")).hexdigest() + ".html"

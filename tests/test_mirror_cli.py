@@ -143,3 +143,21 @@ def test_redirects_followed_body_under_original_url(tmp_path):
     assert docs.column("status").to_pylist()[row] == 200
     # final.html itself was also discovered? no link to it -> only via redirect
     assert "site.test//final.html" not in ids
+
+
+def test_write_lance_feature_gate():
+    """The Lance sink is real when `lance` is importable and a clean,
+    declared NotImplementedError otherwise (this sandbox has no lance)."""
+    import pyarrow as pa
+    import pytest
+
+    from suckit_ray.sinks import write_lance
+
+    tbl = pa.table({"doc_id": ["a"], "body": [b"x"]})
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            write_lance(tbl, "/tmp/suckit_lance_test")
+    else:
+        write_lance(tbl, "/tmp/suckit_lance_test", mode="overwrite")
