@@ -161,21 +161,26 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # distributed candidate-pair dedup (a pair can collide in several bands)
-    uniq = bucketed_groupby_agg(
-        pairs, keys=["a_id", "b_id"], aggs={"n_bands": ("a_id", "count")},
-        num_buckets=64,
-    )
+    # candidate-pair dedup: batch-local only — a pair colliding in
+    # several bands re-verifies (bounded ×LSH_BANDS, cheap set math)
+    # instead of paying a full sort-shuffle for exact dedup; the final
+    # thresholded rows are deduped driver-side (they are tiny).
+    # Materialized ONCE — sparse by banding, and both the id-set pass
+    # and the verify stage read it, so without materialize the whole
+    # upstream band pipeline would re-execute per consumer.
+    uniq = pairs.map_batches(
+        lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
+    ).materialize()
 
-    # candidate doc-id set: distributed distinct, tiny driver payload
-    def pair_ids(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": pd.concat([df["a_id"], df["b_id"]])})
-
-    cand_ids = bucketed_groupby_agg(
-        uniq.map_batches(pair_ids, batch_format="pandas"),
-        keys=["doc_id"], aggs={"c": ("doc_id", "count")}, num_buckets=16,
-    ).to_pandas()
-    need = frozenset(int(d) for d in cand_ids["doc_id"])
+    # candidate doc-id set: streamed id columns only, deduped into a
+    # driver set — O(candidate pairs) ids, never texts
+    need = set()
+    for part in uniq.select_columns(["a_id", "b_id"]).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        need.update(part.column("a_id").to_pylist())
+        need.update(part.column("b_id").to_pylist())
+    need = frozenset(int(d) for d in need)
     if not need:
         return pa.table(
             {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
@@ -221,8 +226,10 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
 
     out = uniq.map_batches(verify, batch_format="pandas").to_pandas()
     rows = sorted(
-        (int(a), int(b), int(p))
-        for a, b, p in zip(out["a_id"], out["b_id"], out["jaccard_pct"])
+        {
+            (int(a), int(b), int(p))
+            for a, b, p in zip(out["a_id"], out["b_id"], out["jaccard_pct"])
+        }
     )
     return pa.table(
         {
