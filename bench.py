@@ -101,7 +101,10 @@ def run_headline(sf_dir: str) -> dict:
     sus = [w for w in ws if w["entries"] >= max(1000, big * 0.1)]
     sus_pages = sum(w["entries"] for w in sus)
     sus_sec = sum(w["sec"] for w in sus) or 1e-9
+    rss = [w.get("driver_rss_mb", 0.0) for w in ws]
     return {
+        "driver_rss_mb_first": rss[0] if rss else 0.0,
+        "driver_rss_mb_max": max(rss) if rss else 0.0,
         "crawl_wall_sec": wall,
         "pages": res.metrics["pages"],
         "urls_seen": res.metrics["seen_urls"],
@@ -191,6 +194,8 @@ def main() -> None:
                 "urls_deduped_per_sec": round(headline["urls_deduped_per_sec"], 1),
                 "sustained_pages_per_sec": round(headline["sustained_pages_per_sec"], 1),
                 "sustained_share": round(headline["sustained_share"], 3),
+                "driver_rss_mb_first": headline["driver_rss_mb_first"],
+                "driver_rss_mb_max": headline["driver_rss_mb_max"],
             }
         )
     )

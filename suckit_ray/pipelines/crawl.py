@@ -93,6 +93,8 @@ def crawl(
     collect: bool | None = None,
     max_waves: int | None = None,
     spill_threshold: int = 2_000_000,
+    pending_mem_limit: int = 500_000,
+    ledger_mem_rows: int = 500_000,
 ) -> CrawlResult:
     """Run a crawl to completion. ``store`` is any PageStore; it is put
     into the object store once and read zero-copy by every fetch task.
@@ -119,7 +121,10 @@ def crawl(
         task_concurrency = max(1, min(task_concurrency, max_concurrency))
     ShardActor = ray.remote(num_cpus=0)(FrontierShard)
     shards = [
-        ShardActor.remote(i, num_shards, spill_threshold) for i in range(num_shards)
+        ShardActor.remote(
+            i, num_shards, spill_threshold, pending_mem_limit, ledger_mem_rows
+        )
+        for i in range(num_shards)
     ]
 
     start_wave = 0
@@ -279,6 +284,7 @@ def crawl(
                 "wave": wave,
                 "entries": n_entries,
                 "sec": round(time.perf_counter() - last_wave_started, 4),
+                "driver_rss_mb": _driver_rss_mb(),
             }
         )
         ray.get([s.ack_wave.remote() for s in shards])
@@ -340,6 +346,19 @@ def crawl(
         waves=wave - start_wave,
         wall_sec=time.perf_counter() - t0,
     )
+
+
+def _driver_rss_mb() -> float:
+    """Driver resident-set size in MB (per-wave evidence that frontier
+    entries/candidates no longer transit driver memory)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:
+        pass
+    return 0.0
 
 
 def _fresh_dir(path: str) -> None:
