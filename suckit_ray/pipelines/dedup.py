@@ -56,16 +56,23 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     """One surviving doc_id (the min) per distinct text. Returns
     (doc_id, n_copies)."""
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def add_hash(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow in/out; only the md5 itself touches Python
+        return pa.table(
             {
-                "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
-                "doc_id": df["doc_id"],
+                "h": pa.array(
+                    [
+                        hashlib.md5(x.encode("utf-8")).hexdigest()
+                        for x in t.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+                "doc_id": t.column("doc_id"),
             }
         )
 
     ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        add_hash, batch_format="pandas"
+        add_hash, batch_format="pyarrow"
     )
     agg = bucketed_groupby_agg(
         ds,
@@ -109,9 +116,11 @@ def minhash_bands(sf_dir: str) -> rd.Dataset:
 
     rows_per_band = NUM_PERM // LSH_BANDS
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
         out_band, out_hash, out_doc = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
             sig = _minhash_signature(text)
             for b in range(LSH_BANDS):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
@@ -119,12 +128,16 @@ def minhash_bands(sf_dir: str) -> rd.Dataset:
                 out_band.append(b)
                 out_hash.append(bh)
                 out_doc.append(doc_id)
-        return pd.DataFrame(
-            {"band_id": out_band, "band_hash": out_hash, "doc_id": out_doc}
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int64()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+            }
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -268,28 +281,28 @@ def ngram_jaccard_pairs(
     exactness.
     """
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def explode(t: pa.Table) -> pa.Table:
         doc_ids, shingle_hash, sizes = [], [], []
-        for d, t in zip(df["doc_id"], df["text"]):
-            sh_set = set(_word_shingles(t))
+        for d, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            sh_set = set(_word_shingles(txt))
             n = len(sh_set)
             for sh in sh_set:
                 doc_ids.append(d)
                 shingle_hash.append(zlib.crc32(sh.encode("utf-8")))
                 sizes.append(n)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": doc_ids,
-                "sh": shingle_hash,
-                "n": pd.array(sizes, dtype="int64"),
-                "shb": pd.array(
-                    [s % NGRAM_BUCKETS for s in shingle_hash], dtype="int64"
-                ),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sh": pa.array(shingle_hash, pa.int64()),
+                "n": pa.array(sizes, pa.int64()),
+                "shb": pa.array([s % NGRAM_BUCKETS for s in shingle_hash], pa.int64()),
             }
         )
 
     ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        explode, batch_format="pandas"
+        explode, batch_format="pyarrow"
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -351,22 +364,39 @@ def ngram_jaccard_pairs(
 # simhash
 # ---------------------------------------------------------------------------
 
+def _token_hash64(tok: str, _cache: dict = {}) -> int:
+    """64-bit token hash (two crc32 halves). Worker-local memo: web
+    corpora reuse vocabulary heavily; the cache is size-capped so an
+    adversarial vocab can't grow worker heaps unboundedly."""
+    h = _cache.get(tok)
+    if h is None:
+        h = zlib.crc32(tok.encode("utf-8")) | (
+            zlib.crc32(tok[::-1].encode("utf-8")) << 32
+        )
+        if len(_cache) < 1_000_000:
+            _cache[tok] = h
+    return h
+
+
 def simhash(sf_dir: str) -> rd.Dataset:
     """doc_id, simhash — 64-bit SimHash over word tokens (crc32-seeded
-    bit votes). Identical values ⇒ near-identical token multisets."""
+    bit votes). Identical values ⇒ near-identical token multisets.
+    Bit votes are one vectorized (T×64) expansion per document instead
+    of a per-token Python loop."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         shifts = np.arange(64, dtype=np.uint64)
         out = []
         for text in df["text"]:
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in text.split():
-                h = np.uint64(
-                    zlib.crc32(tok.encode("utf-8"))
-                    | (zlib.crc32(tok[::-1].encode("utf-8")) << 32)
-                )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
+            toks = text.split()
+            if not toks:
+                out.append(0)
+                continue
+            H = np.fromiter(
+                (_token_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            bits = ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
             val = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
             out.append(int(np.uint64(val).astype(np.int64)))  # two's-complement int64
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": pd.array(out, dtype="int64")})

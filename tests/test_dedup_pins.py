@@ -14,6 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 MINHASH_PIN = (28, "fbeaebb93539c5b7739e97223d15467d")
 IVF_PIN = (100, "459f6de7074f64c0721af3b356ea694a")
+SIMHASH_PIN = (500, "c0a1a27f7c24a8e16f7974f2cfbf5b75")
 
 
 def _pin(tbl) -> tuple[int, str]:
@@ -33,3 +34,13 @@ def test_ivf_topk_pinned():
     from suckit_ray.pipelines import ann
 
     assert _pin(ann.ivf_topk(SF)) == IVF_PIN
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pinned():
+    import pyarrow as pa
+
+    from suckit_ray.pipelines import dedup
+
+    tbl = pa.Table.from_pandas(dedup.simhash(SF).to_pandas())
+    assert _pin(tbl) == SIMHASH_PIN
