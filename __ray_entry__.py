@@ -8,9 +8,11 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. Crawl-pipeline and approximate
-  operators (minhash LSH, simhash, IVF) have no SQL equivalent and are
-  recorded as rows-only checks.
+  the value-hash comparison exact. 21 of 24 queries are SQL-oracled
+  (incl. the whole crawl engine via a recursive-CTE closure and the
+  winnowing fingerprint via a HUGEINT polynomial); the approximate
+  three (minhash LSH, simhash, IVF) are rows-only here and pinned-rows
+  tested in tests/test_dedup_pins.py.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or below this module.

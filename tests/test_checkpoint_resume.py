@@ -92,3 +92,46 @@ def test_politeness_rate_budget():
     n_waves = res.waves
     assert n_waves >= 4  # max_per_host=1 serializes the host
     assert wall >= 0.3 * (n_waves - 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_streaming_output_with_spilled_tiers(tmp_path):
+    """Exact resume through the STREAMING path with every frontier tier
+    spilling: kill after wave 1, resume with output_dir parquet, and
+    the union of wave partitions equals the uninterrupted crawl."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from suckit_ray.sources.pagestore import SyntheticCorpus, SyntheticPageStore
+
+    corpus = SyntheticCorpus(n_hosts=2, n_docs=80, fanout=3, n_assets_per_host=4)
+    store = SyntheticPageStore(corpus)
+    cfg = CrawlConfig(origin=corpus.page_url(0, 0))
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    spill = dict(spill_threshold=16, pending_mem_limit=8, ledger_mem_rows=8)
+
+    full = crawl(cfg, store, seeds=corpus.seeds(), num_shards=2)
+    full_ids = sorted(full.docs.column("doc_id").to_pylist())
+
+    crawl(cfg, store, seeds=corpus.seeds(), num_shards=2,
+          checkpoint_dir=ckpt, output_dir=out, collect=False,
+          max_waves=2, **spill)
+    part2 = crawl(cfg, store, seeds=corpus.seeds(), num_shards=2,
+                  checkpoint_dir=ckpt, output_dir=out, collect=False,
+                  resume=True, **spill)
+
+    docs_root = os.path.join(out, "docs")
+    waves = sorted(os.listdir(docs_root))
+    tables = [
+        pq.read_table(os.path.join(docs_root, w)) for w in waves
+    ]
+    streamed_ids = sorted(
+        d for t in tables for d in t.column("doc_id").to_pylist()
+    )
+    assert streamed_ids == full_ids  # no loss, no duplicates
+    assert part2.ledger.num_rows == full.ledger.num_rows
+    # per-shard ledger partitions exist (scale path)
+    assert sorted(os.listdir(os.path.join(out, "ledger_parts"))) == [
+        "shard_0000.parquet", "shard_0001.parquet",
+    ]
