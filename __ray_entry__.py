@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "near_dup_clusters": dedup.near_dup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -322,6 +323,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a_id
             JOIN sizes sb ON sb.doc_id = b_id
             WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+        """,
+        # connected components of the exact near-dup graph: min-label
+        # propagation to a fixpoint via recursive CTE (UNION dedups the
+        # frontier, so it converges); cluster_id = min doc_id reachable.
+        "near_dup_clusters": r"""
+            WITH RECURSIVE docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 1)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     L[i] || ' ' || L[i + 1] || ' ' || L[i + 2] AS s
+              FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a_id, b_id FROM inter
+              JOIN sizes sa ON sa.doc_id = a_id
+              JOIN sizes sb ON sb.doc_id = b_id
+              WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+            ),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+            )
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "embedding_dup_pairs": """
             SELECT CAST(a.vec_id AS BIGINT) AS a_id, CAST(b.vec_id AS BIGINT) AS b_id,

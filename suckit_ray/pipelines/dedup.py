@@ -438,3 +438,61 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD) -> pa.
         )
 
     return ds.groupby("label").map_groups(block_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components (the dedup "apply" step)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
+    """(doc_id, cluster_id): connected components of the exact n-gram
+    Jaccard ≥ threshold near-dup graph — the step that turns pair
+    evidence into a deduplicated corpus (keep cluster_id == doc_id,
+    drop the rest). cluster_id = min doc_id of the component.
+
+    Partitioning shape: edges come from the fully distributed
+    ngram_jaccard_pairs; union-find runs driver-side over the SPARSE
+    thresholded edge set (near-dup pairs ≪ corpus — at 10^10 docs with
+    a 1% dup rate the component map is ~10^8 small ints, and the
+    standard scale-out is iterated min-label propagation over the same
+    pair Dataset); the resulting sparse component map broadcasts once
+    via ray.put for a distributed assignment pass over all docs
+    (singletons assign to themselves without an entry)."""
+    import ray
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(
+        pairs.column("a_id").to_pylist(), pairs.column("b_id").to_pylist()
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # root = min id of the component
+    comp = {x: find(x) for x in list(parent)}
+    comp_ref = ray.put(comp)
+
+    def assign(t: pa.Table) -> pa.Table:
+        comp_ = ray.get(comp_ref)
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array([comp_.get(i, i) for i in ids], pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )

@@ -132,6 +132,54 @@ class ResizeImage:
         )
 
 
+class SampleVideoFrames:
+    """Actor-pool stage stub: video binary column → sampled frame rows
+    (flat_map shape: one output row per sampled frame, carrying
+    (doc_id, frame_idx, ts_ms, frame_bytes)). Real path: open the
+    container once per actor (__init__), seek+decode N uniformly-spaced
+    frames per row. Fake path: deterministic byte-slice "frames" so the
+    plumbing (fan-out row counts, schema, ordering) is fully testable.
+
+    Scale notes: video rows are the widest payloads in a corpus — run
+    with batch_size in the single digits and fractional num_cpus, and
+    let the fan-out (rows → frames) happen INSIDE the task so frame
+    bytes stream straight into the object store."""
+
+    def __init__(self, n_frames: int = 4, input_col: str = "body", fake: bool = True):
+        self.n_frames = n_frames
+        self.input_col = input_col
+        if not fake:
+            # real path: load the demuxer/codec ONCE per actor here
+            raise NotImplementedError(
+                "no video codec in this environment; construct with fake=True"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, ts, frames = [], [], [], []
+        for doc_id, data in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column(self.input_col).to_pylist(),
+        ):
+            data = data or b""
+            # fake duration: 1 ms per byte; uniform sampling like a real
+            # frame sampler would seek at duration * i / n
+            duration_ms = len(data)
+            for i in range(self.n_frames):
+                off = (len(data) * i) // self.n_frames
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                ts.append((duration_ms * i) // self.n_frames)
+                frames.append(data[off : off + 16])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "ts_ms": pa.array(ts, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
 def media_pipeline(docs_ds, *, concurrency: int = 2, batch_size: int = 32):
     """Decode + feature-extract the media rows of a crawled documents
     Dataset — the canonical actor-pool wiring (small batches for wide

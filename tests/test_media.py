@@ -44,3 +44,38 @@ def test_media_pipeline_over_crawled_mirror():
     out2 = media_pipeline(docs, concurrency=1, batch_size=8).to_pandas()
     j2 = out2[out2["doc_id"] == "site.test//jpeg.jpg"].iloc[0]
     assert list(j2["features"]) == list(jpeg["features"])
+
+
+def test_frame_sampler_stubbed_real_path():
+    from suckit_ray.stages.media import SampleVideoFrames
+
+    with pytest.raises(NotImplementedError):
+        SampleVideoFrames(fake=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frame_sampler_fanout_and_determinism():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from suckit_ray.stages.media import SampleVideoFrames
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array(["v1", "v2"], pa.string()),
+            "body": pa.array([bytes(range(200)), b"abcdefgh" * 10], pa.binary()),
+        }
+    )
+    ds = rd.from_arrow(rows).map_batches(
+        SampleVideoFrames,
+        fn_constructor_kwargs={"n_frames": 4, "fake": True},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=1,
+    )
+    out = ds.to_pandas().sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    assert len(out) == 8  # 2 videos x 4 frames
+    v1 = out[out["doc_id"] == "v1"]
+    assert list(v1["frame_idx"]) == [0, 1, 2, 3]
+    assert list(v1["ts_ms"]) == [0, 50, 100, 150]
+    assert v1.iloc[1]["frame"] == bytes(range(50, 66))  # deterministic slice
