@@ -133,7 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": dedup.near_dup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "embedding_dup_pairs_ivf": dedup.embedding_dup_pairs_ivf,
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -505,6 +507,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM pages UNION ALL SELECT * FROM assets
         """,
         # no oracle (rows-only): minhash_lsh_pairs, simhash,
-        # ann_ivf_topk — approximate operators (pinned-rows regression
-        # tests in tests/test_dedup_pins.py cover minhash + ivf).
+        # simhash_dup_pairs, embedding_dup_pairs_ivf, ann_ivf_topk —
+        # crc32-/quantizer-based operators DuckDB can't recompute.
+        # Each is verified another way (tests/test_dedup_pins.py):
+        # pinned rows (minhash, simhash, ivf_topk), brute-force O(n²)
+        # equality (simhash_dup_pairs — exact by pigeonhole), global
+        # brute-force recall≥0.7 + precision 1.0 (embedding ivf).
     }

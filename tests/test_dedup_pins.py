@@ -44,3 +44,72 @@ def test_simhash_pinned():
 
     tbl = pa.Table.from_pandas(dedup.simhash(SF).to_pandas())
     assert _pin(tbl) == SIMHASH_PIN
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_dup_pairs_equals_brute_force():
+    """Pigeonhole guarantee: the 4x16-bit multi-table LSH candidate
+    generation is EXACT for hamming <= 3, so the distributed result
+    must equal the O(n^2) brute force."""
+    import numpy as np
+
+    from suckit_ray.pipelines import dedup
+
+    got = [
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in dedup.simhash_dup_pairs(SF).to_pylist()
+    ]
+
+    sig = dedup.simhash(SF).to_pandas().sort_values("doc_id")
+    ids = sig["doc_id"].to_numpy()
+    sh = sig["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = dedup._popcount64(sh[ii] ^ sh[jj])
+    keep = ham <= dedup.HAMMING_K
+    want = sorted(
+        (int(ids[i]), int(ids[j]), int(h))
+        for i, j, h in zip(ii[keep], jj[keep], ham[keep])
+    )
+    assert got == want
+
+
+def _global_cosine_pairs(sf_dir, threshold):
+    """O(n²) brute-force reference: ALL pairs with cosine ≥ threshold,
+    regardless of label or cell."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist())
+    m = np.stack([np.array(e) for e in t.column("embedding").to_pylist()]).astype(
+        np.float64
+    )
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    mn = m / n[:, None]
+    cos = mn @ mn.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    keep = cos[ii, jj] >= threshold
+    return set(zip(ids[ii[keep]].tolist(), ids[jj[keep]].tolist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_ivf_recall_and_precision():
+    """Multi-probe quantizer-cell blocking: precision 1.0 by
+    construction (cells only limit which pairs are compared), recall
+    vs GLOBAL brute force ≥ 0.7 at the default nprobe=3 (measured
+    0.83 on this corpus; single-cell assignment measures 0.27)."""
+    from suckit_ray.pipelines import dedup
+
+    global_pairs = _global_cosine_pairs(SF, dedup.COSINE_THRESHOLD)
+    assert global_pairs
+    ivf = set(
+        map(
+            tuple,
+            dedup.embedding_dup_pairs_ivf(SF)
+            .to_pandas()[["a_id", "b_id"]]
+            .values.tolist(),
+        )
+    )
+    assert ivf <= global_pairs  # no false positives
+    assert len(ivf & global_pairs) / len(global_pairs) >= 0.7
