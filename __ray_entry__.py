@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "minhash_lsh_pairs_shuffled": dedup.minhash_lsh_pairs_shuffled,
         "simhash": dedup.simhash,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

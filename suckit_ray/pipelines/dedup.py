@@ -669,3 +669,101 @@ def embedding_dup_pairs_ivf(
             "cos_pct": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def minhash_lsh_pairs_shuffled(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
+    """Key-shuffled verify variant of ``minhash_lsh_pairs`` — ZERO
+    driver state: candidate pairs hash-join (``Dataset.join``) against
+    per-doc shingle-hash sets on a_id then b_id, and the exact Jaccard
+    computes per joined row in tasks. This is the documented fallback
+    for candidate sets too large to broadcast (template-heavy corpora).
+
+    Shingle sets travel as packed little-endian uint64 blobs (Arrow's
+    hash join rejects list-typed payload columns); Jaccard is over
+    crc32 shingle-hash sets — identical to the broadcast path's
+    string-set result absent crc32 collisions, asserted equal in
+    tests. The shingle Dataset is consumed by both joins and re-reads
+    the corpus rather than pinning corpus-sized state in the object
+    store."""
+    import ray
+
+    if num_partitions is None:
+        # each hash-join partition is an aggregator ACTOR: more
+        # partitions than CPU slots starves the pipeline (observed
+        # deadlock-slow at 32 partitions on 4 CPUs)
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    bands = minhash_bands(sf_dir)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a_id": a, "b_id": b})
+
+    uniq = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
+        )
+    )
+
+    def pack_shingles(t: pa.Table) -> pa.Table:
+        blobs = []
+        for txt in t.column("text").to_pylist():
+            h = np.unique(
+                np.fromiter(
+                    (zlib.crc32(s.encode("utf-8")) for s in set(_word_shingles(txt))),
+                    dtype=np.uint64,
+                )
+            )
+            blobs.append(h.astype("<u8").tobytes())
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "sh": pa.array(blobs, pa.binary())}
+        )
+
+    sh_ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        pack_shingles, batch_format="pyarrow"
+    )
+
+    joined = uniq.join(
+        sh_ds, "inner", num_partitions, on=("a_id",), right_on=("doc_id",)
+    ).join(
+        sh_ds, "inner", num_partitions, on=("b_id",), right_on=("doc_id",),
+        right_suffix="_b",
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids, jpcts = [], [], []
+        for a, b, sa_b, sb_b in zip(df["a_id"], df["b_id"], df["sh"], df["sh_b"]):
+            sa = np.frombuffer(sa_b, dtype="<u8")
+            sb = np.frombuffer(sb_b, dtype="<u8")
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= JACCARD_THRESHOLD:
+                a_ids.append(int(a))
+                b_ids.append(int(b))
+                jpcts.append(int(np.floor(j * 10000)))
+        return pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "jaccard_pct": jpcts})
+
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    rows = sorted(
+        {
+            (int(a), int(b), int(p))
+            for a, b, p in zip(out["a_id"], out["b_id"], out["jaccard_pct"])
+        }
+    )
+    return pa.table(
+        {
+            "a_id": pa.array([r[0] for r in rows], pa.int64()),
+            "b_id": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

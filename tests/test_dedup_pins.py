@@ -113,3 +113,15 @@ def test_embedding_ivf_recall_and_precision():
     )
     assert ivf <= global_pairs  # no false positives
     assert len(ivf & global_pairs) / len(global_pairs) >= 0.7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_shuffled_variant_equals_broadcast():
+    """The zero-driver-state shuffle-join verify must produce exactly
+    the broadcast path's pairs (hash-set vs string-set Jaccard only
+    diverges under crc32 collisions, absent here)."""
+    from suckit_ray.pipelines import dedup
+
+    shuffled = dedup.minhash_lsh_pairs_shuffled(SF)
+    assert dedup.minhash_lsh_pairs(SF).to_pylist() == shuffled.to_pylist()
+    assert _pin(shuffled) == MINHASH_PIN
