@@ -238,31 +238,33 @@ class FrontierShard:
         pending for later waves. Returns the released-entry count; the
         entries themselves leave via ``released_refs``."""
         if self.buffer_tables:
+            import numpy as np
+
             buf = pa.concat_tables(self.buffer_tables)
             self.buffer_tables = []
             buf = buf.sort_by(
                 [("parent_seq", "ascending"), ("ordinal", "ascending"), ("url", "ascending")]
             )
-            pseqs = buf.column("parent_seq").to_pylist()
-            ords = buf.column("ordinal").to_pylist()
-            urls = buf.column("url").to_pylist()
-            hosts = buf.column("host").to_pylist()
-            exts = buf.column("is_external").to_pylist()
-            pds = buf.column("parent_depth").to_pylist()
-            pes = buf.column("parent_ext_depth").to_pylist()
-            prev_key = None
-            for i in range(buf.num_rows):
-                key = (pseqs[i], ords[i], urls[i])
-                if key == prev_key:  # re-ingested duplicate (task re-run)
-                    continue
-                prev_key = key
-                if not self.seen.insert_if_absent(urls[i]):
-                    self.counters["dup_urls"] += 1
-                    continue
-                self.counters["new_urls"] += 1
-                ok, d, e = depth_gate(exts[i], pds[i], pes[i], max_depth, max_ext_depth)
+            # vectorized gate (order-preserving, so identical to the
+            # per-row loop): drop task-re-run duplicates (identical
+            # sort-key triples), keep each url's FIRST discovery in the
+            # wave, batch-insert those into the seen set, then run the
+            # (cheap, accepted-only) depth gate loop
+            df = buf.to_pandas()
+            df = df.drop_duplicates(["parent_seq", "ordinal", "url"])
+            first = ~df["url"].duplicated()
+            fresh = self.seen.insert_batch(df.loc[first, "url"].tolist())
+            n_new = int(np.count_nonzero(fresh))
+            self.counters["new_urls"] += n_new
+            self.counters["dup_urls"] += len(df) - n_new
+            acc = df.loc[first].loc[np.asarray(fresh, dtype=bool)]
+            for url, host, ext, d, e in zip(
+                acc["url"], acc["host"], acc["is_external"],
+                acc["parent_depth"], acc["parent_ext_depth"],
+            ):
+                ok, dd, ee = depth_gate(ext, d, e, max_depth, max_ext_depth)
                 if ok:
-                    self._pending_append((urls[i], hosts[i], d, e))
+                    self._pending_append((url, host, int(dd), int(ee)))
                 else:
                     self.counters["depth_gated"] += 1
 

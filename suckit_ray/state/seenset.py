@@ -79,6 +79,25 @@ class SpillableSet:
             self._freeze()
         return True
 
+    def insert_batch(self, urls: list[str]) -> list[bool]:
+        """Vectorized first-wins insert of a batch that is already
+        deduplicated within itself (caller keeps first occurrences).
+        Returns one accepted-flag per url. Equivalent to calling
+        ``insert_if_absent`` per url, but as one tight membership pass
+        with a single bulk update + spill check."""
+        active = self.active
+        fresh = [u not in active for u in urls]
+        if self.frozen_lo:
+            fresh = [
+                f and not self._in_frozen(u) for f, u in zip(fresh, urls)
+            ]
+        accepted = [u for u, f in zip(urls, fresh) if f]
+        self.active.update(accepted)
+        self.count += len(accepted)
+        if len(self.active) >= self.spill_threshold:
+            self._freeze()
+        return fresh
+
     def __contains__(self, url: str) -> bool:
         return url in self.active or (bool(self.frozen_lo) and self._in_frozen(url))
 
