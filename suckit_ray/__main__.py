@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="honor robots.txt exclusion rules (rebuild-only)")
     p.add_argument("--seeds-parquet", metavar="FILE",
                    help="parquet file with a url column: the seed list")
+    p.add_argument("--parquet-out", metavar="DIR",
+                   help="also stream per-wave span-document parquet "
+                        "partitions (+ per-shard ledger) to DIR")
     return p
 
 
@@ -92,15 +95,24 @@ def main(argv: list[str] | None = None) -> int:
         respect_robots=args.respect_robots,
     )
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        # `ray job submit` / existing-cluster mode: when RAY_ADDRESS
+        # points at a cluster, attach to it (num_cpus is a local-only
+        # knob); otherwise start a local session
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr and addr != "local":
+            ray.init(address=addr, logging_level="ERROR")
+        else:
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
 
     seeds = None
     if args.seeds_parquet:
@@ -131,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         seeds=seeds,
         num_shards=args.shards,
         mirror_dir=args.output,
+        output_dir=args.parquet_out,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         collect=False,

@@ -161,3 +161,30 @@ def test_write_lance_feature_gate():
             write_lance(tbl, "/tmp/suckit_lance_test")
     else:
         write_lance(tbl, "/tmp/suckit_lance_test", mode="overwrite")
+
+
+def test_cli_parquet_out_streams_docs(tmp_path):
+    """--parquet-out streams per-wave span-document partitions and
+    per-shard ledger parts next to the mirror tree."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "pq")
+    mirror = str(tmp_path / "mirror")
+    r = subprocess.run(
+        [sys.executable, "-m", "suckit_ray", "http://ignored.test/",
+         "--synthetic", "60", "-o", mirror, "--parquet-out", out,
+         "--num-cpus", "4", "--shards", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    waves = os.listdir(os.path.join(out, "docs"))
+    assert waves and all(w.startswith("wave-") for w in waves)
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_table(os.path.join(out, "docs", w)).num_rows for w in waves
+    )
+    assert n > 50
+    assert len(os.listdir(os.path.join(out, "ledger_parts"))) == 2
