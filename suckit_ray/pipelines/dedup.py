@@ -1,21 +1,29 @@
-"""Deduplication family over a documents table — exact, MinHash+LSH,
-SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+"""Deduplication family over a documents table — exact, MinHash+LSH
+(broadcast- and shuffle-join verify), SimHash + Hamming-LSH pairs,
+n-gram Jaccard, near-dup connected components, and embedding-cosine
+near-dup (label- or quantizer-cell-blocked).
 
-Scale shapes (the 100 TB story):
+Scale shapes (the 100 TB story) — every pipeline here is distributed
+end to end; the driver only ever holds sparse candidate/component
+state or final thresholded results:
 
-- **exact**: content-hash added per batch (vectorized md5), then a
-  ``groupby(hash)`` keeps the min doc_id per group — the only shuffle
+- **exact**: content-hash added per batch (Arrow-native md5), then a
+  bucketed groupby keeps the min doc_id per group — the only shuffle
   moves 2 small columns, never the text.
 - **minhash_lsh**: signatures per batch (numpy, crc32 shingles ×
   universal-hash permutations) → explode to (band, band_hash, doc_id)
-  rows → groupby bands → candidate pairs → exact-Jaccard verify.
-  Everything between read and verify is narrow per-batch work; the
-  band groupby is the one wide step and its rows are 3 ints each.
-- **simhash**: 64-bit signature per batch; near-dup = identical
-  signature buckets here (Hamming-radius probing documented as the
-  multi-table variant).
-- **embedding cosine**: all-pairs within LSH-ish blocking by label /
-  norm bucket; at test scale a blocked matmul.
+  rows → groupby bands → candidate pairs → exact-Jaccard verify in
+  tasks (broadcast shingle map of the sparse candidate set, or the
+  zero-driver-state ``_shuffled`` hash-join variant).
+- **ngram_jaccard**: per-doc set sizes ride on the exploded shingle
+  rows, so intersection, union and threshold all happen in tasks.
+- **simhash**: vectorized 64-bit signature per batch; exact
+  Hamming≤3 pairs via 4×16-bit multi-table LSH (pigeonhole).
+- **near_dup_clusters**: union-find over the sparse pair graph →
+  broadcast component map → distributed assignment.
+- **embedding cosine**: all-pairs matmul within label blocks (exact,
+  SQL-oracled) or multi-probe coarse-quantizer cells (the no-label
+  scale path; recall pinned vs global brute force).
 
 All thresholds/params are module constants mirrored by the oracles.
 """
@@ -154,8 +162,8 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     ``ray.put``, and (b) the final thresholded pairs. If a band bucket
     degenerates (adversarial near-identical corpus), cap bucket size
     or add a second salt band before the pair explosion; at that point
-    the broadcast verify should switch to a key-shuffled two-phase
-    join of pair→shingles."""
+    switch to ``minhash_lsh_pairs_shuffled`` — the key-shuffled
+    two-phase join verify with zero driver state."""
     import ray
 
     bands = minhash_bands(sf_dir)
