@@ -110,7 +110,7 @@ def _crawl_mirror_summary(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from suckit_ray.pipelines import ann, dedup, relops, textops, urlops
+    from suckit_ray.pipelines import ann, dedup, relops, textops, urlops, warcops
 
     return {
         # crawl URL kernels (SURVEY §2.2 M8/M9/M11/M13)
@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "is_external": urlops.is_external,
         # crawl pipeline (rows-only; full wave-loop engine)
         "crawl_mirror": _crawl_mirror_summary,
+        # WARC archive source+sink round-trip
+        "warc_roundtrip": warcops.warc_roundtrip,
         # text analysis
         "token_count": textops.token_count,
         "bpe_token_count": textops.bpe_token_count,
@@ -292,6 +294,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
             FROM documents WHERE len(text) < 8
+        """,
+        "warc_roundtrip": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "exact_dedup": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

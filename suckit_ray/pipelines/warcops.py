@@ -1,0 +1,51 @@
+"""WARC-backed pipeline ops: prove the archive source/sink end to end
+against the documents table (SQL-oracle-checkable)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyarrow as pa
+
+import ray.data as rd
+from suckit_ray.sources import warc
+
+
+def warc_roundtrip(sf_dir: str) -> rd.Dataset:
+    """documents → distributed WARC archive → ``read_warc`` →
+    (doc_id, n_bytes): every document travels through real WARC
+    response records (deterministic URL ``http://warc.test/doc/<id>``,
+    utf-8 body) and comes back byte-counted. Oracle:
+    ``octet_length(encode(text))`` per doc — any framing, gzip or
+    parsing defect in the WARC path breaks the hash match."""
+    out = tempfile.mkdtemp(prefix="suckit_warc_rt_")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"http://warc.test/doc/{i}" for i in ids]),
+                "status": pa.array([200] * len(ids), pa.int32()),
+                "data_type": pa.array(["text/plain; charset=utf-8"] * len(ids)),
+                "body": pa.array([x.encode("utf-8") for x in texts], pa.binary()),
+            }
+        )
+
+    warc.write_warc(docs.map_batches(to_docs, batch_format="pyarrow"), out)
+    back = warc.read_warc(out)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        bodies = t.column("body").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(u.rsplit("/", 1)[1]) for u in urls], pa.int64()
+                ),
+                "n_bytes": pa.array([len(b) for b in bodies], pa.int64()),
+            }
+        )
+
+    return back.map_batches(summarize, batch_format="pyarrow")
