@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parquet-out", metavar="DIR",
                    help="also stream per-wave span-document parquet "
                         "partitions (+ per-shard ledger) to DIR")
+    p.add_argument("--warc-out", metavar="DIR",
+                   help="also archive downloaded pages as gzipped WARC "
+                        "segments in DIR")
     return p
 
 
@@ -144,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
         num_shards=args.shards,
         mirror_dir=args.output,
         output_dir=args.parquet_out,
+        warc_dir=args.warc_out,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         collect=False,

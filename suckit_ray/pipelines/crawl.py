@@ -88,6 +88,7 @@ def crawl(
     max_concurrency: int | None = None,
     mirror_dir: str | None = None,
     output_dir: str | None = None,
+    warc_dir: str | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     collect: bool | None = None,
@@ -250,6 +251,19 @@ def crawl(
                 return b
 
             ds = ds.map_batches(_mirror_stage, batch_format="pyarrow")
+
+        if warc_dir is not None and not cfg.dry_run:
+            # Common-Crawl-style archive: each task writes its block's
+            # downloaded rows as one idempotent gzipped WARC segment
+            from suckit_ray.sources.warc import write_warc_batch
+
+            def _warc_stage(b, _d=warc_dir):
+                sel = b.filter(b.column("downloaded"))
+                if sel.num_rows:
+                    write_warc_batch(sel, _d)
+                return b
+
+            ds = ds.map_batches(_warc_stage, batch_format="pyarrow")
 
         # Consume the wave EXACTLY ONCE — the process stage pushes
         # candidates/ledger to the shard actors as a side effect, so a

@@ -94,3 +94,26 @@ def test_warc_segment_idempotent(tmp_path):
     write_warc_batch(t, out)
     (f2,) = glob.glob(os.path.join(out, "*.warc.gz"))
     assert f1 == f2 and open(f2, "rb").read() == bytes1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_with_native_warc_sink(tmp_path):
+    """crawl(warc_dir=...) archives every downloaded page during the
+    crawl itself; reading the archive back matches the docs table."""
+    from suckit_ray.config import CrawlConfig
+    from suckit_ray.pipelines.crawl import crawl
+    from suckit_ray.sources.pagestore import fixture_pages
+
+    out = str(tmp_path / "arch")
+    res = crawl(
+        CrawlConfig(origin="http://site.test/"),
+        fixture_pages(),
+        num_shards=2,
+        warc_dir=out,
+    )
+    back = read_warc(out).to_pandas()
+    want = res.downloaded_docs().to_pandas()
+    assert sorted(back["url"]) == sorted(want["url"])
+    got = dict(zip(back["url"], back["body"]))
+    for url, body in zip(want["url"], want["body"]):
+        assert got[url] == (body or b"")
