@@ -219,9 +219,10 @@ def crawl(
             for r in part
         ]
         ds = rd.from_arrow_refs(wave_refs)
+        _wdir = warc_dir if (warc_dir is not None and not cfg.dry_run) else None
         if fuse_stages:
             ds = ds.map_batches(
-                make_crawl_fn(store_ref, cfg, shards, wave),
+                make_crawl_fn(store_ref, cfg, shards, wave, warc_dir=_wdir),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
                 num_cpus=proc_num_cpus,
@@ -234,6 +235,10 @@ def crawl(
                 batch_size=fetch_batch_size,
                 num_cpus=fetch_num_cpus,
             )
+            if _wdir is not None:
+                from suckit_ray.stages.crawl_stage import make_warc_stage
+
+                ds = ds.map_batches(make_warc_stage(_wdir), batch_format="pyarrow")
             ds = ds.map_batches(
                 make_process_fn(cfg, shards, wave, store_ref=store_ref),
                 batch_format="pyarrow",
@@ -251,19 +256,6 @@ def crawl(
                 return b
 
             ds = ds.map_batches(_mirror_stage, batch_format="pyarrow")
-
-        if warc_dir is not None and not cfg.dry_run:
-            # Common-Crawl-style archive: each task writes its block's
-            # downloaded rows as one idempotent gzipped WARC segment
-            from suckit_ray.sources.warc import write_warc_batch
-
-            def _warc_stage(b, _d=warc_dir):
-                sel = b.filter(b.column("downloaded"))
-                if sel.num_rows:
-                    write_warc_batch(sel, _d)
-                return b
-
-            ds = ds.map_batches(_warc_stage, batch_format="pyarrow")
 
         # Consume the wave EXACTLY ONCE — the process stage pushes
         # candidates/ledger to the shard actors as a side effect, so a

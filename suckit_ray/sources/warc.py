@@ -200,3 +200,45 @@ def read_warc(paths: str | list[str]) -> rd.Dataset:
         )
 
     return files.map_batches(parse, batch_format="pyarrow", batch_size=4)
+
+
+class WarcPageStore:
+    """PageStore over a WARC archive: re-run the whole pipeline
+    (link re-extraction, mirror rebuild, different filters) from an
+    archive without touching the network — crawl → WARC →
+    crawl(WarcPageStore) reproduces the same documents table.
+
+    The url→record map loads once in ``__init__``; the store is
+    ``ray.put`` once by the crawl driver and each worker deserializes
+    it once (same broadcast lifecycle as every other store). At
+    100 TB-archive scale this becomes a sharded lookup service — an
+    actor pool keyed by url-hash holding per-shard maps — but the
+    fetch-stage interface stays identical."""
+
+    def __init__(self, paths: str | list[str]):
+        self.pages: dict[str, tuple[int, str | None, bytes]] = {}
+        if isinstance(paths, str):
+            if os.path.isdir(paths):
+                paths = sorted(
+                    os.path.join(paths, n)
+                    for n in os.listdir(paths)
+                    if n.endswith((".warc", ".warc.gz"))
+                )
+            else:
+                paths = [paths]
+        for p in paths:
+            with open(p, "rb") as f:
+                for url, status, ctype, body in parse_warc_bytes(f.read()):
+                    # frontier URLs keep fragments (reference quirk) and
+                    # are archived verbatim; requests go out defragmented
+                    # — key the lookup the way fetch asks
+                    self.pages[url.split("#", 1)[0]] = (status, ctype, body)
+
+    def fetch(self, url: str, auth):
+        from suckit_ray.sources.pagestore import PageResponse
+
+        rec = self.pages.get(url.split("#", 1)[0])
+        if rec is None:
+            return PageResponse(404, None, None, b"")
+        status, ctype, body = rec
+        return PageResponse(status, ctype, None, body)

@@ -7,6 +7,12 @@ the object store between them. Fusing halves the per-wave fixed cost
 and keeps bodies task-local; the separate stages (stages/fetch.py,
 stages/html_stage.py) remain for pipelines that need the intermediate
 fetched-pages table.
+
+``warc_dir`` hooks the WARC archive between fetch and process — WARC
+semantically stores WIRE bytes, so records capture the raw fetched
+body BEFORE link rewriting (re-crawling the archive is then a true
+fixed point; archiving the rewritten mirror bodies instead would turn
+cross-host rewritten hrefs into phantom internal URLs).
 """
 
 from __future__ import annotations
@@ -18,11 +24,52 @@ from suckit_ray.stages.fetch import make_fetch_fn
 from suckit_ray.stages.html_stage import make_process_fn
 
 
-def make_crawl_fn(store_ref, config: CrawlConfig, shard_handles: list, wave: int):
+def make_warc_stage(warc_dir: str):
+    """Archive a FETCH-output batch (raw bodies) as one WARC segment;
+    passes the batch through unchanged."""
+
+    def warc_stage(batch: pa.Table) -> pa.Table:
+        from suckit_ray.sources.warc import write_warc_batch
+
+        if batch.num_rows:
+            # reconstruct the on-the-wire content type from the parsed
+            # (data_type, charset) pair — parse_content_type is
+            # idempotent over this shape
+            ctypes = [
+                (f"{dt}; charset={cs}" if cs else dt)
+                for dt, cs in zip(
+                    batch.column("data_type").to_pylist(),
+                    batch.column("charset").to_pylist(),
+                )
+            ]
+            write_warc_batch(
+                batch.set_column(
+                    batch.schema.get_field_index("data_type"),
+                    pa.field("data_type", pa.string()),
+                    pa.array(ctypes, pa.string()),
+                ),
+                warc_dir,
+            )
+        return batch
+
+    return warc_stage
+
+
+def make_crawl_fn(
+    store_ref,
+    config: CrawlConfig,
+    shard_handles: list,
+    wave: int,
+    warc_dir: str | None = None,
+):
     fetch = make_fetch_fn(store_ref, config)
     process = make_process_fn(config, shard_handles, wave, store_ref=store_ref)
+    warc = make_warc_stage(warc_dir) if warc_dir else None
 
     def crawl_batch(batch: pa.Table) -> pa.Table:
-        return process(fetch(batch))
+        fetched = fetch(batch)
+        if warc is not None:
+            warc(fetched)
+        return process(fetched)
 
     return crawl_batch

@@ -98,8 +98,10 @@ def test_warc_segment_idempotent(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_crawl_with_native_warc_sink(tmp_path):
-    """crawl(warc_dir=...) archives every downloaded page during the
-    crawl itself; reading the archive back matches the docs table."""
+    """crawl(warc_dir=...) archives every fetched page's RAW wire
+    bytes during the crawl (WARC stores what came off the network, not
+    the rewritten mirror): URL set matches the docs table, and asset
+    bodies — which rewriting never touches — are byte-identical."""
     from suckit_ray.config import CrawlConfig
     from suckit_ray.pipelines.crawl import crawl
     from suckit_ray.sources.pagestore import fixture_pages
@@ -112,8 +114,34 @@ def test_crawl_with_native_warc_sink(tmp_path):
         warc_dir=out,
     )
     back = read_warc(out).to_pandas()
-    want = res.downloaded_docs().to_pandas()
+    want = res.docs.to_pandas()
     assert sorted(back["url"]) == sorted(want["url"])
     got = dict(zip(back["url"], back["body"]))
-    for url, body in zip(want["url"], want["body"]):
-        assert got[url] == (body or b"")
+    for url, body, is_html in zip(want["url"], want["body"], want["is_html"]):
+        if not is_html:
+            assert got[url] == (body or b"")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_recrawl_from_warc_archive(tmp_path):
+    """Fixed point: crawl → WARC → crawl(WarcPageStore) reproduces the
+    same documents (doc_id, status, spans) without any fetch from the
+    original store."""
+    from suckit_ray.config import CrawlConfig
+    from suckit_ray.pipelines.crawl import crawl
+    from suckit_ray.sources.pagestore import fixture_pages
+    from suckit_ray.sources.warc import WarcPageStore
+
+    out = str(tmp_path / "arch")
+    cfg = CrawlConfig(origin="http://site.test/")
+    first = crawl(cfg, fixture_pages(), num_shards=2, warc_dir=out)
+    second = crawl(cfg, WarcPageStore(out), num_shards=2)
+
+    key = lambda t: sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("status").to_pylist(),
+            [str(s) for s in t.column("spans").to_pylist()],
+        )
+    )
+    assert key(first.docs) == key(second.docs)
