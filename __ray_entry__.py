@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": textops.bpe_token_count,
         "winnow_fingerprint": textops.winnow_fingerprint,
         "quality_score": textops.quality_score,
+        "gopher_repetition": textops.gopher_repetition,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
         # dedup family
@@ -148,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relops.events_sessionize,
         "events_sliding": relops.events_sliding,
         "top_customers": relops.top_customers,
+        "events_distinct_users": relops.events_distinct_users,
+        "events_distinct_users_hll": relops.events_distinct_users_hll,
         "docs_by_lang": textops.docs_by_lang,
     }
 
@@ -237,6 +240,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, n_stopwords, n_punct,
                    (n_tokens >= 20 AND n_stopwords >= 1) AS is_quality
             FROM c
+        """,
+        # Gopher repetition signals (integer-scaled): most-frequent
+        # word/bigram share + mean word length per doc
+        "gopher_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            base AS (SELECT doc_id, len(L) AS n FROM toks),
+            words AS (SELECT doc_id, UNNEST(L) AS w FROM toks),
+            wcnt AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+            topw AS (SELECT doc_id, max(c) AS mc FROM wcnt GROUP BY 1),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L))) AS i
+              FROM toks WHERE len(L) >= 2
+            ),
+            bg AS (SELECT doc_id, L[i] || ' ' || L[i + 1] AS b FROM pos),
+            bcnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+            topb AS (SELECT doc_id, max(c) AS mc FROM bcnt GROUP BY 1),
+            lens AS (SELECT doc_id, sum(length(w)) AS tl FROM words GROUP BY 1)
+            SELECT b.doc_id,
+                   CAST(b.n AS BIGINT) AS n_words,
+                   CAST(CASE WHEN b.n = 0 THEN 0 ELSE 100 * l.tl // b.n END AS BIGINT)
+                     AS mean_word_len_c,
+                   CAST(CASE WHEN b.n = 0 THEN 0 ELSE 10000 * tw.mc // b.n END AS BIGINT)
+                     AS top_word_pct,
+                   CAST(COALESCE(10000 * tb.mc // (b.n - 1), 0) AS BIGINT)
+                     AS top_bigram_pct
+            FROM base b
+            LEFT JOIN lens l USING (doc_id)
+            LEFT JOIN topw tw USING (doc_id)
+            LEFT JOIN topb tb USING (doc_id)
         """,
         "lang_id": f"""
             WITH s AS (SELECT doc_id, {_LANG_SCORES} FROM documents)
@@ -448,6 +484,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(v) AS BIGINT) AS sum_value_cents
             FROM w GROUP BY 1, 2
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "docs_by_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

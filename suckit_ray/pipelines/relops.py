@@ -198,3 +198,76 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
         aggs={"n_events": ("value_c", "count"), "sum_value_cents": ("value_c", "sum")},
         num_buckets=16,
     )
+
+
+def events_distinct_users(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_users): EXACT distinct count, two-phase — each
+    batch drops its local duplicates, the bucketed groupby co-locates
+    the distinct (event_type, user_id) pairs exactly once, and the
+    count aggregates per type. The shuffle carries one row per distinct
+    pair (not per event)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).map_batches(
+        lambda df: df.drop_duplicates(["event_type", "user_id"]),
+        batch_format="pandas",
+    )
+    pairs = bucketed_groupby_agg(
+        ds,
+        keys=["event_type", "user_id"],
+        aggs={"c": ("user_id", "count")},
+        num_buckets=32,
+    )
+    return bucketed_groupby_agg(
+        pairs,
+        keys=["event_type"],
+        aggs={"n_users": ("user_id", "count")},
+        num_buckets=8,
+    )
+
+
+def events_distinct_users_hll(sf_dir: str) -> "pa.Table":
+    """(event_type, n_users_est): HyperLogLog distinct count — the
+    sketch path for 100 TB-scale cardinalities. Each batch emits one
+    4 KB register blob per event_type; the groupby moves blobs (not
+    values) and the merge is an elementwise max. Rows-only operator
+    (±1.04/√4096 ≈ 1.6% standard error — relative-error bound pinned
+    vs the exact count in tests)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from suckit_ray.stages.sketch import hll_estimate, hll_merge, hll_partial
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        types, blobs = [], []
+        for et, g in df.groupby("event_type"):
+            types.append(et)
+            blobs.append(hll_partial(g["user_id"].to_numpy(np.uint64)).tobytes())
+        return pd.DataFrame({"event_type": types, "reg": blobs})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        reg = hll_merge(list(g["reg"]))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_est": pd.array([hll_estimate(reg)], dtype="int64"),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n_users_est": pa.array(out["n_users_est"].tolist(), pa.int64()),
+        }
+    )

@@ -268,3 +268,51 @@ def winnow_fingerprint(sf_dir: str) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def gopher_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition/quality signals (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 quality heuristics) — the
+    repetition filters a training-data pipeline runs after crawling:
+
+    - ``n_words``            whitespace token count
+    - ``mean_word_len_c``    floor(100 × mean token length)
+    - ``top_word_pct``       floor(10000 × most-frequent-token share)
+    - ``top_bigram_pct``     floor(10000 × most-frequent-bigram share)
+
+    Integer-scaled so the DuckDB oracle hash-matches exactly. All
+    per-doc work is batch-local (no shuffle)."""
+    from collections import Counter
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n_words, mwl, topw, topb = [], [], [], []
+        for text in df["text"]:
+            toks = text.split()
+            n = len(toks)
+            n_words.append(n)
+            if n == 0:
+                mwl.append(0)
+                topw.append(0)
+                topb.append(0)
+                continue
+            total_len = sum(len(t) for t in toks)
+            mwl.append(100 * total_len // n)
+            topw.append(10000 * max(Counter(toks).values()) // n)
+            if n < 2:
+                topb.append(0)
+            else:
+                bigrams = Counter(zip(toks, toks[1:]))
+                topb.append(10000 * max(bigrams.values()) // (n - 1))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": pd.array(n_words, dtype="int64"),
+                "mean_word_len_c": pd.array(mwl, dtype="int64"),
+                "top_word_pct": pd.array(topw, dtype="int64"),
+                "top_bigram_pct": pd.array(topb, dtype="int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

@@ -1,0 +1,62 @@
+"""Distributed sketches — mergeable summaries for wide aggregations.
+
+HyperLogLog (Flajolet et al. 2007) distinct counting: each batch folds
+its values into 2^p 6-bit-max registers per group (all numpy); the
+shuffle then moves ONE small register blob per (batch, group) instead
+of the raw values, and merging is an elementwise max — the canonical
+sketch shape for 100 TB distinct-count queries where exact two-phase
+distinct would shuffle every distinct value once.
+
+Standard error ≈ 1.04/√(2^p): p=12 → ~1.6% at 4 KB per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # bias constant for m >= 128
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64: 64-bit avalanche hash of uint64 keys."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hll_partial(values: np.ndarray) -> np.ndarray:
+    """Fold integer keys into a fresh 2^p uint8 register array."""
+    reg = np.zeros(HLL_M, dtype=np.uint8)
+    if len(values) == 0:
+        return reg
+    h = _splitmix64(np.asarray(values, dtype=np.uint64))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    # rho = position of the leftmost 1-bit in the (64-p)-bit suffix
+    bits = np.zeros(len(w), dtype=np.int64)
+    nz = w > 0
+    bits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    rho = ((64 - HLL_P) - bits + 1).astype(np.uint8)  # w==0 → max rank
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def hll_merge(blobs: list[bytes]) -> np.ndarray:
+    """Elementwise-max merge of packed register blobs."""
+    out = np.zeros(HLL_M, dtype=np.uint8)
+    for b in blobs:
+        np.maximum(out, np.frombuffer(b, dtype=np.uint8), out=out)
+    return out
+
+
+def hll_estimate(reg: np.ndarray) -> int:
+    """Cardinality estimate with the standard small-range correction."""
+    est = _ALPHA * HLL_M * HLL_M / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * np.log(HLL_M / zeros)
+    return int(round(est))

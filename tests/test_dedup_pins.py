@@ -125,3 +125,35 @@ def test_minhash_shuffled_variant_equals_broadcast():
     shuffled = dedup.minhash_lsh_pairs_shuffled(SF)
     assert dedup.minhash_lsh_pairs(SF).to_pylist() == shuffled.to_pylist()
     assert _pin(shuffled) == MINHASH_PIN
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_error_bound():
+    """HLL sketch distinct counts stay within 3x the p=12 standard
+    error (~1.6%) of the exact two-phase distinct."""
+    from suckit_ray.pipelines import relops
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in relops.events_distinct_users(SF).to_pandas().to_dict("records")
+    }
+    est = {
+        r["event_type"]: r["n_users_est"]
+        for r in relops.events_distinct_users_hll(SF).to_pylist()
+    }
+    assert set(exact) == set(est)
+    for et, n in exact.items():
+        assert abs(est[et] - n) / max(1, n) <= 0.05, (et, n, est[et])
+
+
+def test_hll_kernel_accuracy():
+    """Pure-kernel check on a known cardinality, incl. merge."""
+    import numpy as np
+
+    from suckit_ray.stages.sketch import hll_estimate, hll_merge, hll_partial
+
+    vals = np.arange(100_000, dtype=np.uint64)
+    a = hll_partial(vals[:60_000])
+    b = hll_partial(vals[40_000:])  # overlap: merge must not double-count
+    est = hll_estimate(hll_merge([a.tobytes(), b.tobytes()]))
+    assert abs(est - 100_000) / 100_000 < 0.05
