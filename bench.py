@@ -132,13 +132,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     names = [
         "token_count",
+        "winnow_fingerprint",
+        "gopher_repetition",
         "exact_dedup",
         "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
         "simhash",
         "ann_topk",
         "lineitem_agg",
         "events_windowed",
+        "events_distinct_users_hll",
         "top_customers",
+        "warc_roundtrip",
     ]
     qs = E.queries()
     out = {}

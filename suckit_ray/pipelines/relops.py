@@ -81,9 +81,10 @@ def events_windowed(sf_dir: str) -> rd.Dataset:
 
 def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k customers by total order value: distributed partial
-    aggregation over orders, then a BROADCAST lookup of customer names
-    (small dimension table via ray.put — no shuffle join), deterministic
-    (total desc, custkey asc) ranking."""
+    aggregation over orders, per-block top-k (the driver merges at most
+    k rows per block, never the full per-customer table), then a name
+    lookup pruned to the k winners at the parquet read — no shuffle
+    join, deterministic (total desc, custkey asc) ranking."""
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -96,20 +97,32 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(cents, batch_format="pandas")
-    agg = bucketed_groupby_agg(
-        ds,
-        keys=["o_custkey"],
-        aggs={"total_cents": ("total_c", "sum"), "n_orders": ("total_c", "count")},
-        num_buckets=16,
-    ).to_pandas()
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["total_cents", "o_custkey"], ascending=[False, True]
+        ).head(k)
+
+    agg = (
+        bucketed_groupby_agg(
+            ds,
+            keys=["o_custkey"],
+            aggs={"total_cents": ("total_c", "sum"), "n_orders": ("total_c", "count")},
+            num_buckets=16,
+        )
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k rows per bucket block reach the driver
+    )
     agg = agg.sort_values(
         ["total_cents", "o_custkey"], ascending=[False, True]
     ).head(k)
 
     import pyarrow.parquet as pq
 
+    winners = [int(x) for x in agg["o_custkey"]]
     cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", winners)],  # prune at the read
     ).to_pandas()
     name_of = dict(zip(cust["c_custkey"], cust["c_name"]))
 

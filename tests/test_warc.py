@@ -145,3 +145,34 @@ def test_recrawl_from_warc_archive(tmp_path):
         )
     )
     assert key(first.docs) == key(second.docs)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    url=st.from_regex(r"http://[a-z]{1,10}\.test/[A-Za-z0-9_./-]{0,30}", fullmatch=True),
+    status=st.sampled_from([200, 301, 404, 500]),
+    ctype=st.one_of(st.none(), st.sampled_from(["text/html", "image/jpeg", "text/plain; charset=utf-8"])),
+    body=st.binary(max_size=2000),
+)
+@settings(max_examples=150, deadline=None)
+def test_warc_record_round_trip_property(url, status, ctype, body):
+    ((u, s, c, b),) = parse_warc_bytes(build_record(url, status, ctype, body))
+    assert (u, s, b) == (url, status, body)
+    assert c == (ctype or "application/octet-stream")
+
+
+@given(recs=st.lists(
+    st.tuples(
+        st.from_regex(r"http://h\.test/[a-z0-9]{1,12}", fullmatch=True),
+        st.binary(max_size=500),
+    ),
+    min_size=0, max_size=10,
+))
+@settings(max_examples=50, deadline=None)
+def test_warc_multi_record_stream_property(recs):
+    raw = b"".join(build_record(u, 200, "text/plain", b) for u, b in recs)
+    parsed = parse_warc_bytes(raw)
+    assert [(p[0], p[3]) for p in parsed] == recs
