@@ -41,6 +41,7 @@ import ray.data as rd
 from suckit_ray.stages.agg import bucketed_groupby_agg
 
 SHINGLE_K = 3           # word shingles
+MINHASH_BUCKETS = 256   # band-hash shuffle groups (≳ cluster cores)
 NUM_PERM = 64
 LSH_BANDS = 16          # 16 bands × 4 rows
 JACCARD_THRESHOLD = 0.5
@@ -52,8 +53,22 @@ _PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
 _PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
 
 
-def _read_documents(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+def _read_documents(
+    sf_dir: str, columns: list[str], blocks: int | None = None
+) -> rd.Dataset:
+    """``blocks``: split the read into this many blocks so compute-heavy
+    per-row stages parallelize even over a single small test file (a
+    100 TB corpus splits organically across files/row-groups; this
+    override only matters at test scale, where one 5k-row file would
+    otherwise become ONE task)."""
+    kw = {"override_num_blocks": blocks} if blocks else {}
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns, **kw)
+
+
+def _cpu_blocks() -> int:
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
 
 
 # ---------------------------------------------------------------------------
@@ -141,12 +156,18 @@ def minhash_bands(sf_dir: str) -> rd.Dataset:
                 "band_id": pa.array(out_band, pa.int64()),
                 "band_hash": pa.array(out_hash, pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
+                # shuffle bucket: grouping raw (band_id, band_hash) makes
+                # ~docs×bands tiny groups (one map_groups call each —
+                # measured 4s of pure per-group overhead at sf0.1);
+                # bucketing caps the group count and the within-bucket
+                # pairing is one vectorized self-merge
+                "bb": pa.array([h % MINHASH_BUCKETS for h in out_hash], pa.int64()),
             }
         )
 
-    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow"
-    )
+    return _read_documents(
+        sf_dir, ["doc_id", "text"], blocks=_cpu_blocks()
+    ).map_batches(f, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
@@ -169,19 +190,11 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     bands = minhash_bands(sf_dir)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a_id": a, "b_id": b})
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"a_id": m["doc_id_x"], "b_id": m["doc_id_y"]})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = bands.groupby("bb").map_groups(bucket_pairs, batch_format="pandas")
     # candidate-pair dedup: batch-local only — a pair colliding in
     # several bands re-verifies (bounded ×LSH_BANDS, cheap set math)
     # instead of paying a full sort-shuffle for exact dedup; the final
@@ -221,9 +234,9 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
-    sh_parts = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        cand_shingles, batch_format="pandas"
-    )
+    sh_parts = _read_documents(
+        sf_dir, ["doc_id", "text"], blocks=_cpu_blocks()
+    ).map_batches(cand_shingles, batch_format="pandas")
     shmap = {}
     for part in sh_parts.iter_batches(batch_size=None, batch_format="pandas"):
         for d, s in zip(part["doc_id"], part["shingles"]):
@@ -312,9 +325,9 @@ def ngram_jaccard_pairs(
             }
         )
 
-    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        explode, batch_format="pyarrow"
-    )
+    ds = _read_documents(
+        sf_dir, ["doc_id", "text"], blocks=_cpu_blocks()
+    ).map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # one shuffle group per shingle-hash bucket; the per-shingle
@@ -704,18 +717,12 @@ def minhash_lsh_pairs_shuffled(sf_dir: str, num_partitions: int | None = None) -
     bands = minhash_bands(sf_dir)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a_id": a, "b_id": b})
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"a_id": m["doc_id_x"], "b_id": m["doc_id_y"]})
 
     uniq = (
-        bands.groupby(["band_id", "band_hash"])
+        bands.groupby("bb")
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(
             lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
@@ -736,9 +743,9 @@ def minhash_lsh_pairs_shuffled(sf_dir: str, num_partitions: int | None = None) -
             {"doc_id": t.column("doc_id"), "sh": pa.array(blobs, pa.binary())}
         )
 
-    sh_ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        pack_shingles, batch_format="pyarrow"
-    )
+    sh_ds = _read_documents(
+        sf_dir, ["doc_id", "text"], blocks=_cpu_blocks()
+    ).map_batches(pack_shingles, batch_format="pyarrow")
 
     joined = uniq.join(
         sh_ds, "inner", num_partitions, on=("a_id",), right_on=("doc_id",)
