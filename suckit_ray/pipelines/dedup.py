@@ -709,10 +709,12 @@ def minhash_lsh_pairs_shuffled(sf_dir: str, num_partitions: int | None = None) -
     import ray
 
     if num_partitions is None:
-        # each hash-join partition is an aggregator ACTOR: more
-        # partitions than CPU slots starves the pipeline (observed
-        # deadlock-slow at 32 partitions on 4 CPUs)
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        # each hash-join partition is an aggregator ACTOR, and the two
+        # joins run back to back: partition count is an actor-setup
+        # cost, not parallelism (measured 4/8/16 partitions →
+        # 14/8/40 s at sf0.1 on 32 CPUs — 16+ actors contend with the
+        # producer tasks). On a real cluster size this ~per-node.
+        num_partitions = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
 
     bands = minhash_bands(sf_dir)
 
