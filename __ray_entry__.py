@@ -8,11 +8,13 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 21 of 24 queries are SQL-oracled
-  (incl. the whole crawl engine via a recursive-CTE closure and the
-  winnowing fingerprint via a HUGEINT polynomial); the approximate
-  three (minhash LSH, simhash, IVF) are rows-only here and pinned-rows
-  tested in tests/test_dedup_pins.py.
+  the value-hash comparison exact. 25 of 32 queries are SQL-oracled
+  (incl. the whole crawl engine via a recursive-CTE closure, the
+  winnowing fingerprint via a HUGEINT polynomial, near-dup connected
+  components via min-label propagation, and the WARC archive
+  round-trip); the 7 approximate/hash-seeded ones are rows-only here
+  and verified otherwise in tests/test_dedup_pins.py (pinned rows,
+  brute-force equality, recall/error bounds).
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or below this module.
