@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": textops.winnow_fingerprint,
         "quality_score": textops.quality_score,
         "gopher_repetition": textops.gopher_repetition,
+        "training_corpus": textops.training_corpus,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
         # dedup family
@@ -242,6 +243,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, n_stopwords, n_punct,
                    (n_tokens >= 20 AND n_stopwords >= 1) AS is_quality
             FROM c
+        """,
+        # end-to-end curation: quality gate ∧ near-dup-cluster
+        # representative (min-label propagation), per-lang accounting
+        "training_corpus": r"""
+            WITH RECURSIVE docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 1)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     L[i] || ' ' || L[i + 1] || ' ' || L[i + 2] AS s
+              FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            prs AS (
+              SELECT a_id, b_id FROM inter
+              JOIN sizes sa ON sa.doc_id = a_id
+              JOIN sizes sb ON sb.doc_id = b_id
+              WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+            ),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM prs
+              UNION SELECT b_id, a_id FROM prs
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+            ),
+            comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+            q AS (
+              SELECT doc_id, lang,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+                len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS n_stop
+              FROM documents
+            ),
+            keep AS (
+              SELECT q.lang, q.n_tokens FROM q
+              JOIN comp c ON c.id = q.doc_id
+              WHERE q.n_tokens >= 20 AND q.n_stop >= 1 AND c.root = q.doc_id
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM keep GROUP BY lang
         """,
         # Gopher repetition signals (integer-scaled): most-frequent
         # word/bigram share + mean word length per doc

@@ -316,3 +316,62 @@ def gopher_repetition(sf_dir: str) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def training_corpus(sf_dir: str) -> rd.Dataset:
+    """The end-to-end training-data curation pipeline, composed from
+    the verified pieces: quality gate (token/stopword thresholds of
+    ``quality_score``) ∧ near-dup removal (keep only each cluster's
+    representative from ``near_dup_clusters`` — exact dups are J=1.0
+    so they are subsumed) → per-language corpus accounting
+    (lang, n_docs, sum_tokens).
+
+    Scale shape: the cluster pass broadcasts only the DROPPED id set
+    (non-representatives — sparse: one id per removed near-dup), the
+    quality+token math is per-batch regex work, and the final
+    aggregation is the bucketed two-phase plan. A doc survives iff
+    is_quality AND cluster_id == doc_id (a filtered representative
+    takes its whole cluster down with it — curation semantics)."""
+    import ray
+
+    from suckit_ray.pipelines.dedup import near_dup_clusters
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    clusters = near_dup_clusters(sf_dir)
+    dropped = set()
+    for part in clusters.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for d, c in zip(
+            part.column("doc_id").to_pylist(), part.column("cluster_id").to_pylist()
+        ):
+            if d != c:
+                dropped.add(d)
+    dropped_ref = ray.put(frozenset(dropped))
+
+    stop_re = _alt(STOPWORDS)
+
+    def curate(df: pd.DataFrame) -> pd.DataFrame:
+        dropped_ = ray.get(dropped_ref)
+        n_tokens = df["text"].str.count(TOKEN_RE).astype("int64")
+        n_stop = df["text"].str.lower().str.count(stop_re).astype("int64")
+        keep = (
+            (n_tokens >= 20)
+            & (n_stop >= 1)
+            & ~df["doc_id"].isin(dropped_)
+        )
+        return pd.DataFrame(
+            {
+                "lang": df.loc[keep, "lang"],
+                "doc_id": df.loc[keep, "doc_id"],
+                "n_tokens": n_tokens[keep],
+            }
+        )
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        curate, batch_format="pandas"
+    )
+    return bucketed_groupby_agg(
+        ds,
+        keys=["lang"],
+        aggs={"n_docs": ("doc_id", "count"), "sum_tokens": ("n_tokens", "sum")},
+        num_buckets=8,
+    )
