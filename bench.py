@@ -144,6 +144,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_distinct_users_hll",
         "top_customers",
         "warc_roundtrip",
+        "training_corpus",
     ]
     qs = E.queries()
     out = {}
