@@ -137,6 +137,13 @@ class FrontierShard:
         self.pending: list[tuple[str, str, int, int]] = []  # (url, host, depth, ext)
         self.pending_mem_limit = pending_mem_limit
         self._pending_files: list[str] = []  # FIFO spill chunks (oldest first)
+        # per-chunk metadata parallel to _pending_files: (n_entries,
+        # host→count | None). Lets a capped drain decide WITHOUT loading
+        # whether a chunk contains any host with remaining budget, and
+        # makes the post-drain spilled recount pure arithmetic instead of
+        # re-unpickling every untouched file (ADVICE r2). None host map =
+        # "too many distinct hosts to summarize; must load to know".
+        self._pending_meta: list[tuple[int, dict | None]] = []
         self._pending_spilled = 0
         self.buffer_tables: list[pa.Table] = []
         self.released_tbl: pa.Table | None = None  # in-flight wave (resume)
@@ -156,11 +163,23 @@ class FrontierShard:
         self._spill_seq += 1
         return os.path.join(self._spill_dir, f"{kind}_{self._spill_seq:06d}.{ext}")
 
+    _META_HOST_CAP = 10_000  # above this many distinct hosts, skip the summary
+
+    @classmethod
+    def _chunk_meta(cls, chunk: list[tuple]) -> tuple[int, dict | None]:
+        hosts: dict[str, int] = {}
+        for ent in chunk:
+            hosts[ent[1]] = hosts.get(ent[1], 0) + 1
+            if len(hosts) > cls._META_HOST_CAP:
+                return (len(chunk), None)
+        return (len(chunk), hosts)
+
     def _spill_pending(self) -> None:
         path = self._spill_path("pending", "pkl")
         with open(path, "wb") as f:
             pickle.dump(self.pending, f, protocol=pickle.HIGHEST_PROTOCOL)
         self._pending_files.append(path)
+        self._pending_meta.append(self._chunk_meta(self.pending))
         self._pending_spilled += len(self.pending)
         self.pending = []
 
@@ -290,17 +309,30 @@ class FrontierShard:
                     take.extend(pickle.load(f))
                 os.remove(path)
             self._pending_files = []
+            self._pending_meta = []
             self._pending_spilled = 0
             take.extend(self.pending)
             self.pending = []
             return take
 
+        # Capped drain (politeness). Per-chunk host summaries decide
+        # without any IO whether a chunk can contribute — a head chunk
+        # dominated by one capped host no longer starves other hosts in
+        # later chunks, and untouched chunks are never re-read (their
+        # counts live in _pending_meta). Leftovers of a loaded chunk are
+        # re-spilled AT THE SAME POSITION, so per-host FIFO order is
+        # preserved exactly.
         per_host: dict[str, int] = defaultdict(int)
-        take, rest_mem, rest_files = [], [], []
-        saturated = False  # once a whole chunk passes untouched, stop loading
-        for path in self._pending_files:
-            if saturated:
-                rest_files.append(path)
+        take = []
+        new_files: list[str] = []
+        new_meta: list[tuple[int, dict | None]] = []
+        for path, meta in zip(self._pending_files, self._pending_meta):
+            hosts = meta[1]
+            if hosts is not None and all(
+                per_host[h] >= max_per_host for h in hosts
+            ):
+                new_files.append(path)
+                new_meta.append(meta)
                 continue
             with open(path, "rb") as f:
                 chunk = pickle.load(f)
@@ -311,34 +343,30 @@ class FrontierShard:
                     take.append(ent)
                 else:
                     kept.append(ent)
-            if len(kept) == len(chunk):
-                rest_files.append(path)
-                saturated = True
+            if len(kept) == len(chunk):  # None-meta chunk, fully capped
+                new_files.append(path)
+                new_meta.append(meta)
                 continue
             os.remove(path)
-            rest_mem.extend(kept)
+            if kept:
+                repl = self._spill_path("pending", "pkl")
+                with open(repl, "wb") as f:
+                    pickle.dump(kept, f, protocol=pickle.HIGHEST_PROTOCOL)
+                new_files.append(repl)
+                new_meta.append(self._chunk_meta(kept))
+        # the in-memory pending is ALWAYS scanned — hosts that only
+        # appear here must not be starved by saturated spill chunks
         mem_kept = []
         for ent in self.pending:
-            if not saturated and per_host[ent[1]] < max_per_host:
+            if per_host[ent[1]] < max_per_host:
                 per_host[ent[1]] += 1
                 take.append(ent)
             else:
                 mem_kept.append(ent)
-        # re-queue overflow preserving FIFO order: loaded-chunk leftovers
-        # first, then untouched files' contents precede memory leftovers —
-        # but untouched files stayed on disk, so prepend loaded leftovers
-        # as a new head chunk when any exist.
         self.pending = mem_kept
-        self._pending_spilled = 0
-        if rest_mem:
-            head = self._spill_path("pending", "pkl")
-            with open(head, "wb") as f:
-                pickle.dump(rest_mem, f, protocol=pickle.HIGHEST_PROTOCOL)
-            rest_files.insert(0, head)
-        self._pending_files = rest_files
-        for path in self._pending_files:
-            with open(path, "rb") as f:
-                self._pending_spilled += len(pickle.load(f))
+        self._pending_files = new_files
+        self._pending_meta = new_meta
+        self._pending_spilled = sum(m[0] for m in new_meta)
         return take
 
     def released_count(self) -> int:
@@ -409,15 +437,20 @@ class FrontierShard:
         """Write this shard's full state for exact resume (per-partition
         checkpoint + lineage epoch, north_rule). Atomic via tmp+rename.
         Spill chunks are copied alongside so the checkpoint is
-        self-contained."""
+        self-contained — under WAVE-STAMPED names ({path}.wNNNNN.pendKKKK)
+        referenced by the pickle, so the copies belong to the atomic
+        unit: a crash after writing wave N+1's copies but before the
+        pickle's os.replace leaves wave N's pickle still referencing
+        wave N's (untouched) copies. Prior waves' copies are
+        garbage-collected only AFTER the rename (ADVICE r2 medium)."""
         spill_copies = []
         for i, p in enumerate(self._pending_files):
-            dst = f"{path}.pend{i:04d}"
+            dst = f"{path}.w{wave:05d}.pend{i:04d}"
             shutil.copyfile(p, dst)
             spill_copies.append(os.path.basename(dst))
         ledger_copies = []
         for i, p in enumerate(self._ledger_files):
-            dst = f"{path}.ledg{i:04d}"
+            dst = f"{path}.w{wave:05d}.ledg{i:04d}"
             shutil.copyfile(p, dst)
             ledger_copies.append(os.path.basename(dst))
         st = {
@@ -437,6 +470,23 @@ class FrontierShard:
         with open(tmp, "wb") as f:
             pickle.dump(st, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)
+        # GC spill copies of prior waves: once the rename landed, the
+        # only referenced copies are this wave's. (A crash right here
+        # leaves orphans from older waves — harmless, collected on the
+        # next successful snapshot.)
+        base_dir = os.path.dirname(path) or "."
+        me = os.path.basename(path)
+        keep_prefix = f"{me}.w{wave:05d}."
+        for name in os.listdir(base_dir):
+            if (
+                name.startswith(f"{me}.w")
+                and (".pend" in name or ".ledg" in name)
+                and not name.startswith(keep_prefix)
+            ):
+                try:
+                    os.remove(os.path.join(base_dir, name))
+                except OSError:
+                    pass
         return path
 
     def restore(self, path: str) -> int:
@@ -447,6 +497,7 @@ class FrontierShard:
         self.ledger_seen = SpillableSet.from_state(st["ledger_seen"])
         self.pending = [tuple(p) for p in st["pending"]]
         self._pending_files = []
+        self._pending_meta = []
         self._pending_spilled = 0
         base = os.path.dirname(path)
         for name in st["pending_files"]:
@@ -454,7 +505,10 @@ class FrontierShard:
             shutil.copyfile(os.path.join(base, name), dst)
             self._pending_files.append(dst)
             with open(dst, "rb") as f:
-                self._pending_spilled += len(pickle.load(f))
+                chunk = pickle.load(f)
+            meta = self._chunk_meta(chunk)
+            self._pending_meta.append(meta)
+            self._pending_spilled += meta[0]
         self.released_tbl = st["released"]
         self.ledger_tables = list(st["ledger_tables"])
         self._ledger_mem_rows = sum(t.num_rows for t in self.ledger_tables)

@@ -211,3 +211,86 @@ class TestSpillTiers:
             sh2.ack_wave()
             wave += 1
         assert len(seen_urls) == 40
+
+    def test_snapshot_crash_between_spill_copies_and_rename(self, tmp_path, monkeypatch):
+        """ADVICE r2 (medium): a crash AFTER writing the next wave's
+        spill copies but BEFORE the pickle's os.replace must leave the
+        previous snapshot fully intact — wave-stamped copy names keep
+        the copies inside the atomic unit."""
+        import os as _os
+
+        sh = FrontierShard(0, 1, pending_mem_limit=10)
+        sh.add_candidates(
+            [self.cand(1, i, f"http://h.test/p{i:04d}.html") for i in range(40)]
+        )
+        sh.finalize_wave(1, -1, 0, max_per_host=5)  # spilled pending remains
+        snap = str(tmp_path / "shard_0000.pkl")
+        sh.snapshot(snap, 1)
+        want_released = sh.released_entries()
+        want_pending = sh.pending_count()
+
+        # advance the crawl: drain more, new spill chunks with DIFFERENT
+        # contents, then crash the wave-2 snapshot at the rename
+        sh.ack_wave()
+        sh.finalize_wave(2, -1, 0, max_per_host=5)
+        real_replace = _os.replace
+
+        def crash_replace(src, dst):
+            raise OSError("simulated crash before rename")
+
+        monkeypatch.setattr("suckit_ray.state.frontier.os.replace", crash_replace)
+        try:
+            sh.snapshot(snap, 2)
+        except OSError:
+            pass
+        monkeypatch.setattr("suckit_ray.state.frontier.os.replace", real_replace)
+
+        sh2 = FrontierShard(0, 1, pending_mem_limit=10)
+        assert sh2.restore(snap) == 1  # still the wave-1 snapshot
+        assert sh2.released_entries() == want_released
+        assert sh2.pending_count() == want_pending
+        # and a successful later snapshot garbage-collects stale copies
+        sh2.finalize_wave(2, -1, 0, max_per_host=5)
+        sh2.snapshot(snap, 2)
+        stale = [
+            n
+            for n in _os.listdir(tmp_path)
+            if ".w00001." in n or (".pend" in n and ".w" not in n)
+        ]
+        assert stale == []
+
+    def test_capped_drain_does_not_starve_hosts_in_later_chunks(self):
+        """ADVICE r2 (low): a head spill chunk saturated by one capped
+        host must not block releases for other hosts living in later
+        chunks or in memory."""
+        sh = FrontierShard(0, 1, pending_mem_limit=5)
+        # chunks 1+2: 10 urls of hot.test (chunk 2 will be FULLY capped
+        # after chunk 1 releases one — the old code's saturation
+        # short-circuit then skipped chunk 3 AND memory); chunk 3:
+        # 5 urls of cold.test; memory: 3 urls of warm.test
+        cands = (
+            [self.cand(1, i, f"http://hot.test/p{i}.html", host="hot.test") for i in range(10)]
+            + [self.cand(1, 10 + i, f"http://cold.test/p{i}.html", host="cold.test") for i in range(5)]
+            + [self.cand(1, 20 + i, f"http://warm.test/p{i}.html", host="warm.test") for i in range(3)]
+        )
+        sh.add_candidates(cands)
+        sh.finalize_wave(1, -1, 0, max_per_host=1)
+        hosts = sorted({r[1] for r in sh.released_entries()})
+        # one release per host — all three hosts progress in wave 1
+        assert hosts == ["cold.test", "hot.test", "warm.test"]
+        assert len(sh.released_entries()) == 3
+        # per-host FIFO: the released hot url is the chunk-1 head
+        rel_by_host = {r[1]: r[0] for r in sh.released_entries()}
+        assert rel_by_host["hot.test"] == "http://hot.test/p0.html"
+        # drain to completion: nothing lost, cap respected each wave
+        seen = {r[0] for r in sh.released_entries()}
+        wave = 2
+        sh.ack_wave()
+        while sh.finalize_wave(wave, -1, 0, max_per_host=1):
+            rel = sh.released_entries()
+            per = [r[1] for r in rel]
+            assert all(per.count(h) <= 1 for h in set(per))
+            seen.update(r[0] for r in rel)
+            sh.ack_wave()
+            wave += 1
+        assert len(seen) == 18
