@@ -11,14 +11,28 @@ import ray.data as rd
 from suckit_ray.sources import warc
 
 
-def warc_roundtrip(sf_dir: str) -> rd.Dataset:
+def warc_roundtrip(sf_dir: str, output_dir: str | None = None) -> rd.Dataset:
     """documents → distributed WARC archive → ``read_warc`` →
     (doc_id, n_bytes): every document travels through real WARC
     response records (deterministic URL ``http://warc.test/doc/<id>``,
     utf-8 body) and comes back byte-counted. Oracle:
     ``octet_length(encode(text))`` per doc — any framing, gzip or
-    parsing defect in the WARC path breaks the hash match."""
-    out = tempfile.mkdtemp(prefix="suckit_warc_rt_")
+    parsing defect in the WARC path breaks the hash match.
+
+    ``output_dir``: where the archive segments land. The write runs in
+    distributed ``map_batches`` tasks, so on a multi-node cluster this
+    MUST be shared storage visible to every node AND the driver (NFS,
+    object-store mount). Default: ``$GRAFT_SCRATCH_DIR`` if set, else a
+    driver-local mkdtemp — correct only single-node (ADVICE r2)."""
+    import os
+
+    if output_dir is None:
+        scratch = os.environ.get("GRAFT_SCRATCH_DIR")
+        if scratch:
+            output_dir = tempfile.mkdtemp(prefix="suckit_warc_rt_", dir=scratch)
+        else:
+            output_dir = tempfile.mkdtemp(prefix="suckit_warc_rt_")
+    out = output_dir
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_docs(t: pa.Table) -> pa.Table:

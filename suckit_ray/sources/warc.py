@@ -133,27 +133,38 @@ def write_warc(docs: rd.Dataset, output_dir: str, **cols) -> int:
 def parse_warc_bytes(data: bytes) -> list[tuple[str, int, str | None, bytes]]:
     """Parse one WARC file's bytes (gzip auto-detected) into
     (url, status, content_type, body) tuples; non-response records are
-    skipped."""
+    skipped.
+
+    Tolerant framing (ADVICE r2): the scanner seeks forward to the next
+    ``WARC/`` magic after each record's declared block, so a variable
+    number of inter-record CRLFs, stray padding, or an unparseable
+    foreign record doesn't silently truncate the rest of a Common
+    Crawl-style archive — it just skips to the next record boundary."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     out = []
     pos = 0
-    n = len(data)
-    while pos < n:
+    while True:
+        pos = data.find(b"WARC/", pos)
+        if pos < 0:
+            break
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
             break
         head = data[pos:head_end].decode("utf-8", errors="replace")
         lines = head.split("\r\n")
-        if not lines or not lines[0].startswith("WARC/"):
-            break
         fields = {}
         for line in lines[1:]:
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
-        length = int(fields.get("content-length", "0"))
+        try:
+            length = int(fields.get("content-length", "0"))
+        except ValueError:  # malformed foreign header: skip past it
+            pos = head_end + 4
+            continue
         block = data[head_end + 4 : head_end + 4 + length]
-        pos = head_end + 4 + length + 4  # skip the two CRLFs after the block
+        # next find() absorbs however many CRLFs/padding bytes follow
+        pos = head_end + 4 + length
         if fields.get("warc-type") != "response":
             continue
         url = fields.get("warc-target-uri", "")

@@ -48,6 +48,38 @@ def test_binary_body_safe():
     assert rows[0][3] == body
 
 
+def test_foreign_framing_does_not_truncate():
+    """ADVICE r2: warcinfo records, stray padding, and a variable number
+    of inter-record CRLFs (Common Crawl-style quirks) must not stop the
+    parse — every response record after the oddity is still returned."""
+    warcinfo = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 19\r\n"
+        b"\r\n"
+        b"software: foo/1.0\r\n"
+    )
+    r1 = build_record("http://a.test/1", 200, "text/plain", b"one")
+    r2 = build_record("http://a.test/2", 200, "text/plain", b"two")
+    r3 = build_record("http://a.test/3", 200, "text/plain", b"three")
+    stream = (
+        warcinfo
+        + b"\r\n\r\n\r\n"          # extra trailing CRLFs
+        + r1
+        + b"\r\n"                   # only ONE inter-record CRLF pair short
+        + b"some stray padding\r\n" # foreign tool junk between records
+        + r2
+        + b"WARC/1.0\r\nContent-Length: nonsense\r\n\r\n"  # malformed header
+        + r3
+    )
+    rows = parse_warc_bytes(stream)
+    assert [r[0] for r in rows] == [
+        "http://a.test/1", "http://a.test/2", "http://a.test/3"
+    ]
+    assert [r[3] for r in rows] == [b"one", b"two", b"three"]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_crawl_to_warc_round_trip(tmp_path):
     """crawl → distributed WARC sink → read_warc: the archive carries
