@@ -19,8 +19,9 @@ state or final thresholded results:
   rows, so intersection, union and threshold all happen in tasks.
 - **simhash**: vectorized 64-bit signature per batch; exact
   Hamming≤3 pairs via 4×16-bit multi-table LSH (pigeonhole).
-- **near_dup_clusters**: union-find over the sparse pair graph →
-  broadcast component map → distributed assignment.
+- **near_dup_clusters**: distributed min-label propagation over the
+  pair Dataset (no driver graph state) → sparse non-singleton label
+  broadcast → distributed assignment.
 - **embedding cosine**: all-pairs matmul within label blocks (exact,
   SQL-oracled) or multi-probe coarse-quantizer cells (the no-label
   scale path; recall pinned vs global brute force).
@@ -280,14 +281,19 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
 NGRAM_BUCKETS = 256
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_dataset(
     sf_dir: str,
     threshold: float = JACCARD_THRESHOLD,
     max_shingle_docs: int | None = None,
-) -> pa.Table:
-    """ALL pairs with exact word-3-gram Jaccard ≥ threshold — the
-    SQL-checkable exact ground truth, computed distributed end to end
-    (round 2, VERDICT r1 item 3 — no driver-side dicts):
+) -> rd.Dataset:
+    """ALL pairs with exact word-3-gram Jaccard ≥ threshold as a lazy
+    Dataset (a_id, b_id, jaccard_pct) — the distributed form consumed
+    by ``near_dup_clusters`` (whose label propagation must never
+    collect the pair graph on the driver). ``ngram_jaccard_pairs``
+    collects it into the sorted driver table the query API returns.
+
+    The SQL-checkable exact ground truth, computed distributed end to
+    end (round 2, VERDICT r1 item 3 — no driver-side dicts):
 
     explode docs to (doc_id, shingle-hash, doc-shingle-count) rows —
     the per-doc set size rides along on every row, so no size join is
@@ -370,7 +376,18 @@ def ngram_jaccard_pairs(
             }
         )
 
-    out = inter_ds.map_batches(finish, batch_format="pandas").to_pandas()
+    return inter_ds.map_batches(finish, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_docs: int | None = None,
+) -> pa.Table:
+    """Driver-collected, sorted form of ``_ngram_pair_dataset`` — see
+    that docstring for the distributed plan. The thresholded pair set
+    is sparse; only it reaches the driver."""
+    out = _ngram_pair_dataset(sf_dir, threshold, max_shingle_docs).to_pandas()
     rows = sorted(
         (int(a), int(b), int(p))
         for a, b, p in zip(out["a_id"], out["b_id"], out["jaccard_pct"])
@@ -468,43 +485,166 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD) -> pa.
 # near-dup connected components (the dedup "apply" step)
 # ---------------------------------------------------------------------------
 
+def _cc_labels(pairs_ds: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:
+    """Connected-component labels of an undirected edge Dataset
+    (a_id, b_id) by DISTRIBUTED iterated min-label propagation — the
+    scale-out of a driver union-find (VERDICT r2 item 1): the pair
+    graph, adjacency, and per-node labels only ever exist as Dataset
+    blocks; the driver sees one small changed-count per round.
+
+    Plan per round (labels monotonically decrease ⇒ converges in at
+    most component-diameter rounds; near-dup components are
+    clique-ish, so 2–3 rounds in practice):
+
+    1. co-group adjacency rows (node, peer) with label rows by
+       ``node % B`` and send each node's current label to every peer;
+    2. re-group messages ∪ own labels by node bucket, take the min per
+       node, and flag nodes whose label shrank.
+
+    Round 0 folds the first propagation into initialization
+    (label(n) = min(n, direct peers)). Each round's labels are
+    materialized — label datasets are O(nodes-in-pairs), sparse by
+    thresholding — so rounds don't re-execute upstream lineage.
+    Returns a materialized Dataset (node, label) covering every node
+    that appears in an edge. Adversarially long chains would pay
+    diameter rounds; the known accelerant (pointer-jumping /
+    large-star-small-star) drops that to O(log d) with the same
+    per-round plan shape."""
+    B = num_buckets or max(16, _cpu_blocks())
+
+    def explode_adj(t: pa.Table) -> pa.Table:
+        a = t.column("a_id").to_numpy()
+        b = t.column("b_id").to_numpy()
+        node = np.concatenate([a, b])
+        peer = np.concatenate([b, a])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "peer": pa.array(peer, pa.int64()),
+                "bucket": pa.array(node % B, pa.int64()),
+            }
+        )
+
+    adj = (
+        pairs_ds.select_columns(["a_id", "b_id"])
+        .map_batches(explode_adj, batch_format="pyarrow")
+        .materialize()
+    )
+    if adj.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["peer"].min()
+        lab = np.minimum(m["node"].to_numpy(), m["peer"].to_numpy())
+        return pd.DataFrame(
+            {
+                "node": m["node"].astype("int64"),
+                "label": lab.astype("int64"),
+                "chg": (lab < m["node"].to_numpy()).astype("int64"),
+            }
+        )
+
+    labels = adj.groupby("bucket").map_groups(init_labels, batch_format="pandas").materialize()
+
+    def as_label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype("int64"),
+                "peer": np.full(len(df), -1, dtype="int64"),  # self row
+                "label": df["label"].astype("int64"),
+                "bucket": (df["node"] % B).astype("int64"),
+            }
+        )
+
+    def as_adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype("int64"),
+                "peer": df["peer"].astype("int64"),
+                "label": np.full(len(df), -1, dtype="int64"),
+                "bucket": df["bucket"].astype("int64"),
+            }
+        )
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["peer"] < 0][["node", "label"]]
+        a = g[g["peer"] >= 0][["node", "peer"]].merge(lab, on="node")
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "node": a["peer"].astype("int64"),
+                        "label": a["label"].astype("int64"),
+                        "is_self": np.zeros(len(a), dtype="int64"),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "node": lab["node"].astype("int64"),
+                        "label": lab["label"].astype("int64"),
+                        "is_self": np.ones(len(lab), dtype="int64"),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("node")["label"].min()
+        own = g[g["is_self"] == 1].set_index("node")["label"]
+        chg = new < own.reindex(new.index)
+        return pd.DataFrame(
+            {
+                "node": new.index.astype("int64"),
+                "label": new.to_numpy().astype("int64"),
+                "chg": chg.to_numpy().astype("int64"),
+            }
+        )
+
+    while True:
+        if labels.sum("chg") == 0:
+            return labels.select_columns(["node", "label"])
+        staged = labels.map_batches(as_label_rows, batch_format="pandas").union(
+            adj.map_batches(as_adj_rows, batch_format="pandas")
+        )
+        msgs = staged.groupby("bucket").map_groups(send, batch_format="pandas")
+        labels = (
+            msgs.map_batches(
+                lambda df: df.assign(bucket=(df["node"] % B).astype("int64")),
+                batch_format="pandas",
+            )
+            .groupby("bucket")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+
+
 def near_dup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
     """(doc_id, cluster_id): connected components of the exact n-gram
     Jaccard ≥ threshold near-dup graph — the step that turns pair
     evidence into a deduplicated corpus (keep cluster_id == doc_id,
     drop the rest). cluster_id = min doc_id of the component.
 
-    Partitioning shape: edges come from the fully distributed
-    ngram_jaccard_pairs; union-find runs driver-side over the SPARSE
-    thresholded edge set (near-dup pairs ≪ corpus — at 10^10 docs with
-    a 1% dup rate the component map is ~10^8 small ints, and the
-    standard scale-out is iterated min-label propagation over the same
-    pair Dataset); the resulting sparse component map broadcasts once
-    via ray.put for a distributed assignment pass over all docs
-    (singletons assign to themselves without an entry)."""
+    Partitioning shape (round 3): edges stream from the fully
+    distributed ``_ngram_pair_dataset`` into ``_cc_labels`` — iterated
+    min-label propagation over Dataset blocks, so NO component state
+    (pairs, adjacency, union-find parents) ever lives on the driver.
+    Only the converged non-singleton label map — sparse: one entry per
+    removed near-dup — is collected and broadcast once via ``ray.put``
+    for the distributed assignment pass over all docs (singletons
+    assign to themselves without an entry)."""
     import ray
 
-    pairs = ngram_jaccard_pairs(sf_dir, threshold)
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(
-        pairs.column("a_id").to_pylist(), pairs.column("b_id").to_pylist()
-    ):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra  # root = min id of the component
-    comp = {x: find(x) for x in list(parent)}
+    labels = _cc_labels(_ngram_pair_dataset(sf_dir, threshold))
+    comp: dict[int, int] = {}
+    for part in labels.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for n, l in zip(
+            part.column("node").to_pylist(), part.column("label").to_pylist()
+        ):
+            if n != l:
+                comp[n] = l
     comp_ref = ray.put(comp)
 
     def assign(t: pa.Table) -> pa.Table:

@@ -157,3 +157,59 @@ def test_hll_kernel_accuracy():
     b = hll_partial(vals[40_000:])  # overlap: merge must not double-count
     est = hll_estimate(hll_merge([a.tobytes(), b.tobytes()]))
     assert abs(est - 100_000) / 100_000 < 0.05
+
+
+def test_cc_labels_distributed_equals_union_find():
+    """Round-3: near_dup_clusters' connected components run as
+    distributed min-label propagation (_cc_labels) — verify against a
+    driver union-find on a graph with a diameter-3 chain (multiple
+    propagation rounds), a clique, an isolated edge, and on the real
+    sf0.001 near-dup pair graph."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from suckit_ray.pipelines.dedup import (
+        _cc_labels,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    edges = pa.table(
+        {
+            "a_id": pa.array([2, 3, 4, 10, 10, 11, 20], pa.int64()),
+            "b_id": pa.array([1, 2, 3, 11, 12, 12, 21], pa.int64()),
+        }
+    )
+    labels = _cc_labels(rd.from_arrow(edges)).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # empty edge set → empty labels (all-singleton assignment downstream)
+    empty = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+    )
+    assert _cc_labels(rd.from_arrow(empty)).count() == 0
+
+    # real pair graph: distributed result == driver union-find
+    out = near_dup_clusters(SF).to_pandas()
+    pairs = ngram_jaccard_pairs(SF)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs.column("a_id").to_pylist(), pairs.column("b_id").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == {
+        int(d): find(int(d)) for d in out["doc_id"]
+    }
+    assert (out["doc_id"] != out["cluster_id"]).sum() > 0  # corpus has dups
