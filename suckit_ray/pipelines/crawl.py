@@ -93,6 +93,7 @@ def crawl(
     resume: bool = False,
     collect: bool | None = None,
     max_waves: int | None = None,
+    max_wave_entries: int | None = None,
     spill_threshold: int = 2_000_000,
     pending_mem_limit: int = 500_000,
     ledger_mem_rows: int = 500_000,
@@ -103,7 +104,16 @@ def crawl(
     ``collect`` defaults to True when no ``output_dir`` is given (test
     mode, returns the docs table) and False otherwise (bench/scale mode,
     streams each wave to ``output_dir/wave=K/`` partitioned parquet —
-    the resumable layout)."""
+    the resumable layout).
+
+    ``max_wave_entries`` bounds the TOTAL entries released per wave
+    (split evenly across shards): the memory bound that keeps a
+    10^8-URL BFS wave from materializing as one per-shard Arrow table —
+    overflow stays in the shards' pending spill tiers and drains as
+    additional sub-waves. Crawl-set equality is unaffected (pure FIFO
+    re-ordering across wave boundaries); only the depth-labeled wave
+    numbering of entries shifts, so leave it None when reproducing the
+    reference's exact per-wave grouping matters."""
     t0 = time.perf_counter()
     cfg = config.resolved()
     if collect is None:
@@ -165,6 +175,11 @@ def crawl(
 
     politeness_rng = random.Random(42)  # seeded: reproducible politeness
     max_per_host = 1 if cfg.delay > 0 else None
+    per_shard_cap = (
+        max(1, -(-max_wave_entries // num_shards))
+        if max_wave_entries is not None
+        else None
+    )
     wave = start_wave
     docs_tables: list[pa.Table] = []
     pages_total = 0
@@ -180,7 +195,7 @@ def crawl(
             counts = ray.get(
                 [
                     s.finalize_wave.remote(
-                        wave, cfg.depth, cfg.ext_depth, max_per_host
+                        wave, cfg.depth, cfg.ext_depth, max_per_host, per_shard_cap
                     )
                     for s in shards
                 ]

@@ -250,12 +250,18 @@ class FrontierShard:
         max_depth: int,
         max_ext_depth: int,
         max_per_host: int | None = None,
+        max_wave_entries: int | None = None,
     ) -> int:
         """Dedup-gate the buffered candidates of the finished wave, then
         release the next wave's entries for this shard. ``max_per_host``
-        caps per-host release (politeness/skew knob); the overflow stays
-        pending for later waves. Returns the released-entry count; the
-        entries themselves leave via ``released_refs``."""
+        caps per-host release (politeness/skew knob); ``max_wave_entries``
+        caps the TOTAL release for this shard — the wave-size bound that
+        keeps ``released_tbl`` (and the in-flight wave Dataset) from
+        growing with the frontier: a 10^8-entry BFS wave drains as
+        bounded sub-waves while untouched spill chunks stay on disk
+        (VERDICT r2 item 2). Overflow stays pending for later waves.
+        Returns the released-entry count; the entries themselves leave
+        via ``released_refs``."""
         if self.buffer_tables:
             import numpy as np
 
@@ -287,7 +293,7 @@ class FrontierShard:
                 else:
                     self.counters["depth_gated"] += 1
 
-        take = self._drain_pending(max_per_host)
+        take = self._drain_pending(max_per_host, max_wave_entries)
         self.released_tbl = rows_to_table(
             [
                 (url, host, d, e, encode_seq(wave, self.shard_id, i))
@@ -298,11 +304,14 @@ class FrontierShard:
         self.counters["released"] += len(take)
         return len(take)
 
-    def _drain_pending(self, max_per_host: int | None) -> list[tuple]:
+    def _drain_pending(
+        self, max_per_host: int | None, max_total: int | None = None
+    ) -> list[tuple]:
         """FIFO drain across spill chunks then memory; with a per-host
-        cap the overflow is re-queued in order (untouched spill chunks
-        stay on disk — a capped drain reads only as much as it must)."""
-        if max_per_host is None:
+        cap (politeness) and/or a total cap (wave-size bound) the
+        overflow is re-queued in order (untouched spill chunks stay on
+        disk — a capped drain reads only as much as it must)."""
+        if max_per_host is None and max_total is None:
             take: list[tuple] = []
             for path in self._pending_files:
                 with open(path, "rb") as f:
@@ -315,21 +324,24 @@ class FrontierShard:
             self.pending = []
             return take
 
-        # Capped drain (politeness). Per-chunk host summaries decide
-        # without any IO whether a chunk can contribute — a head chunk
-        # dominated by one capped host no longer starves other hosts in
-        # later chunks, and untouched chunks are never re-read (their
-        # counts live in _pending_meta). Leftovers of a loaded chunk are
-        # re-spilled AT THE SAME POSITION, so per-host FIFO order is
-        # preserved exactly.
+        # Capped drain. Per-chunk host summaries decide without any IO
+        # whether a chunk can contribute under the per-host cap — a head
+        # chunk dominated by one capped host no longer starves other
+        # hosts in later chunks — and once the total budget is spent the
+        # remaining chunks are never touched at all (their counts live
+        # in _pending_meta). Leftovers of a loaded chunk are re-spilled
+        # AT THE SAME POSITION, so FIFO order is preserved exactly.
         per_host: dict[str, int] = defaultdict(int)
+        budget = max_total if max_total is not None else float("inf")
         take = []
         new_files: list[str] = []
         new_meta: list[tuple[int, dict | None]] = []
         for path, meta in zip(self._pending_files, self._pending_meta):
             hosts = meta[1]
-            if hosts is not None and all(
-                per_host[h] >= max_per_host for h in hosts
+            if budget <= 0 or (
+                max_per_host is not None
+                and hosts is not None
+                and all(per_host[h] >= max_per_host for h in hosts)
             ):
                 new_files.append(path)
                 new_meta.append(meta)
@@ -338,8 +350,11 @@ class FrontierShard:
                 chunk = pickle.load(f)
             kept = []
             for ent in chunk:
-                if per_host[ent[1]] < max_per_host:
+                if budget > 0 and (
+                    max_per_host is None or per_host[ent[1]] < max_per_host
+                ):
                     per_host[ent[1]] += 1
+                    budget -= 1
                     take.append(ent)
                 else:
                     kept.append(ent)
@@ -354,12 +369,16 @@ class FrontierShard:
                     pickle.dump(kept, f, protocol=pickle.HIGHEST_PROTOCOL)
                 new_files.append(repl)
                 new_meta.append(self._chunk_meta(kept))
-        # the in-memory pending is ALWAYS scanned — hosts that only
-        # appear here must not be starved by saturated spill chunks
+        # the in-memory pending is ALWAYS scanned (budget permitting) —
+        # hosts that only appear here must not be starved by saturated
+        # spill chunks
         mem_kept = []
         for ent in self.pending:
-            if per_host[ent[1]] < max_per_host:
+            if budget > 0 and (
+                max_per_host is None or per_host[ent[1]] < max_per_host
+            ):
                 per_host[ent[1]] += 1
+                budget -= 1
                 take.append(ent)
             else:
                 mem_kept.append(ent)
