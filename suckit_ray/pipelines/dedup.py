@@ -102,7 +102,6 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
         ds,
         keys=["h"],
         aggs={"doc_id": ("doc_id", "min"), "n_copies": ("doc_id", "count")},
-        num_buckets=32,
     )
     return agg.select_columns(["doc_id", "n_copies"])
 
@@ -384,7 +383,6 @@ def _ngram_pair_dataset(
             "na": ("na", "max"),  # constant within a pair group
             "nb": ("nb", "max"),
         },
-        num_buckets=64,
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -43,7 +43,6 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
             "sum_disc_cents": ("disc_c", "sum"),
             "n_rows": ("qty_c", "count"),
         },
-        num_buckets=8,
     )
 
 
@@ -75,7 +74,6 @@ def events_windowed(sf_dir: str) -> rd.Dataset:
             "n_events": ("value_c", "count"),
             "sum_value_cents": ("value_c", "sum"),
         },
-        num_buckets=32,
     )
 
 
@@ -107,7 +105,6 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
             ds,
             keys=["o_custkey"],
             aggs={"total_cents": ("total_c", "sum"), "n_orders": ("total_c", "count")},
-            num_buckets=16,
         )
         .map_batches(block_topk, batch_format="pandas")
         .to_pandas()  # ≤ k rows per bucket block reach the driver
@@ -147,12 +144,16 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
     bucket. Timestamps are integer microseconds end to end so the
     DuckDB oracle hashes exactly."""
 
+    from suckit_ray.stages.agg import default_buckets
+
+    n_buckets = default_buckets()  # cluster-scaled (result-invariant)
+
     def to_us(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "user_id": df["user_id"],
                 "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
-                "bucket": (df["user_id"] % 32).astype("int64"),
+                "bucket": (df["user_id"] % n_buckets).astype("int64"),
             }
         )
 
@@ -209,7 +210,6 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
         ds,
         keys=["event_type", "slot_id"],
         aggs={"n_events": ("value_c", "count"), "sum_value_cents": ("value_c", "sum")},
-        num_buckets=16,
     )
 
 
@@ -231,13 +231,11 @@ def events_distinct_users(sf_dir: str) -> rd.Dataset:
         ds,
         keys=["event_type", "user_id"],
         aggs={"c": ("user_id", "count")},
-        num_buckets=32,
     )
     return bucketed_groupby_agg(
         pairs,
         keys=["event_type"],
         aggs={"n_users": ("user_id", "count")},
-        num_buckets=8,
     )
 
 

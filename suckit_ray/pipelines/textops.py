@@ -151,7 +151,6 @@ def docs_by_lang(sf_dir: str):
             "sum_chars": ("n_chars", "sum"),
             "min_doc_id": ("doc_id", "min"),
         },
-        num_buckets=8,
     )
 
 
@@ -373,5 +372,4 @@ def training_corpus(sf_dir: str) -> rd.Dataset:
         ds,
         keys=["lang"],
         aggs={"n_docs": ("doc_id", "count"), "sum_tokens": ("n_tokens", "sum")},
-        num_buckets=8,
     )
