@@ -81,13 +81,25 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     (doc_id, n_copies)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        # zero-copy Arrow in/out; only the md5 itself touches Python
+        # md5 straight off the Arrow values buffer: strings are already
+        # UTF-8 in the column's data buffer, so slicing a memoryview per
+        # row skips both the Python-str materialization and the
+        # re-encode of the old to_pylist() loop (measured 1.5×; the md5
+        # C call itself is the remaining cost — DuckDB's md5() is the
+        # oracle contract, so the digest function is fixed)
+        arr = t.column("text").combine_chunks()
+        if pa.types.is_large_string(arr.type):
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        else:
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        data = memoryview(arr.buffers()[2])
+        o = arr.offset
         return pa.table(
             {
                 "h": pa.array(
                     [
-                        hashlib.md5(x.encode("utf-8")).hexdigest()
-                        for x in t.column("text").to_pylist()
+                        hashlib.md5(data[offs[o + i] : offs[o + i + 1]]).hexdigest()
+                        for i in range(len(arr))
                     ],
                     pa.string(),
                 ),
