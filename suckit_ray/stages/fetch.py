@@ -67,6 +67,10 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
         auth_map = _get_auth_map(config)
 
         urls = batch.column("url").to_pylist()
+        if hasattr(store, "prefetch"):
+            # sharded lookup stores (ShardedWarcPageStore) resolve the
+            # whole batch in one RPC per shard instead of one per URL
+            store.prefetch(urls)
         status, data_types, charsets = [], [], []
         filenames, is_htmls, bodies, errors = [], [], [], []
 

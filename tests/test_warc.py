@@ -179,6 +179,38 @@ def test_recrawl_from_warc_archive(tmp_path):
     assert key(first.docs) == key(second.docs)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_recrawl_from_sharded_warc_store(tmp_path):
+    """VERDICT r2 item 6: the url-hash-sharded archive lookup service
+    behind the same fetch interface reproduces the whole-dict store's
+    fixed point (crawl → WARC → crawl(ShardedWarcPageStore))."""
+    from suckit_ray.config import CrawlConfig
+    from suckit_ray.pipelines.crawl import crawl
+    from suckit_ray.sources.pagestore import fixture_pages
+    from suckit_ray.sources.warc import ShardedWarcPageStore
+
+    out = str(tmp_path / "arch")
+    cfg = CrawlConfig(origin="http://site.test/")
+    first = crawl(cfg, fixture_pages(), num_shards=2, warc_dir=out)
+    store = ShardedWarcPageStore(out, num_shards=3)
+    assert store.n_records == first.docs.num_rows
+    # records are spread over the shard actors, not replicated
+    import ray
+
+    counts = ray.get([s.count.remote() for s in store._shards])
+    assert sum(counts) == store.n_records
+    second = crawl(cfg, store, num_shards=2)
+
+    key = lambda t: sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("status").to_pylist(),
+            [str(s) for s in t.column("spans").to_pylist()],
+        )
+    )
+    assert key(first.docs) == key(second.docs)
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
