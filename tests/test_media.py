@@ -15,13 +15,51 @@ from suckit_ray.stages.media import (
 )
 
 
-def test_real_codec_paths_are_stubbed():
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: real path active")
+def test_real_codec_paths_raise_without_codecs():
+    """Without PIL the real kernels must fail loudly at actor setup,
+    naming the missing dependency."""
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)
     with pytest.raises(NotImplementedError):
         ExtractImageFeatures(fake=False)
     with pytest.raises(NotImplementedError):
         ResizeImage(2, 2, fake=False)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="needs PIL")
+def test_real_image_kernels_with_pil():
+    """Round-3 (VERDICT r2 item 8): the moment the environment provides
+    PIL, fake=False runs real decode/resize/features end to end."""
+    import io
+
+    import pyarrow as pa
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), (255, 0, 0)).save(buf, format="PNG")
+    batch = pa.table(
+        {"doc_id": pa.array(["d1"]), "body": pa.array([buf.getvalue()], pa.binary())}
+    )
+    dec = DecodeImage(fake=False)(batch)
+    meta = dec.column("media_meta").to_pylist()[0]
+    assert (meta["width"], meta["height"], meta["format"]) == (20, 10, "png")
+    feat = ExtractImageFeatures(fake=False)(batch)
+    assert len(feat.column("features").to_pylist()[0]) == FEATURE_DIM
+    rez = ResizeImage(8, 8, fake=False)(dec)
+    m2 = rez.column("media_meta").to_pylist()[0]
+    assert (m2["width"], m2["height"]) == (8, 8)
+    img = Image.open(io.BytesIO(rez.column("body").to_pylist()[0]))
+    assert img.size == (8, 8)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -46,11 +84,16 @@ def test_media_pipeline_over_crawled_mirror():
     assert list(j2["features"]) == list(jpeg["features"])
 
 
-def test_frame_sampler_stubbed_real_path():
+def test_frame_sampler_real_path_requires_ffmpeg():
+    import shutil
+
     from suckit_ray.stages.media import SampleVideoFrames
 
-    with pytest.raises(NotImplementedError):
-        SampleVideoFrames(fake=False)
+    if shutil.which("ffmpeg") and shutil.which("ffprobe"):
+        SampleVideoFrames(fake=False)  # probes fine with the binaries
+    else:
+        with pytest.raises(NotImplementedError):
+            SampleVideoFrames(fake=False)
 
 
 @pytest.mark.usefixtures("ray_session")
