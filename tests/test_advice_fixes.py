@@ -100,11 +100,17 @@ class TestRedirectAuth:
 class TestFilenameByteLength:
     def test_multibyte_filename_over_255_bytes_hashes(self):
         # 130 chars × 2 bytes = 260 utf-8 bytes but only 134 chars total:
-        # Rust byte-length semantics must trigger the md5 fallback
+        # Rust byte-length semantics must trigger the md5 fallback.
+        # Since round 3 the parsed path is WHATWG percent-encoded the
+        # way rust-url's .path() is, so the md5 input is the ENCODED
+        # name — exactly what the reference hashes (url_helper.rs
+        # receives url.path()).
         name = "é" * 130
         url = parse_url(f"http://h.test/{name}.txt")
         path = to_path(url, with_fragment=False)
-        expected = hashlib.md5(f"{name}.txt".encode("utf-8")).hexdigest() + ".html"
+        encoded = "%C3%A9" * 130
+        assert url.path == f"/{encoded}.txt"
+        expected = hashlib.md5(f"{encoded}.txt".encode("utf-8")).hexdigest() + ".html"
         # root-level files keep the reference's double-slash quirk
         assert path == f"h.test//{expected}"
 
