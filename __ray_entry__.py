@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
+        "ann_lsh_topk": ann.lsh_topk,
         # relational / windowed
         "lineitem_agg": relops.lineitem_agg,
         "events_windowed": relops.events_windowed,
@@ -154,7 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relops.top_customers,
         "events_distinct_users": relops.events_distinct_users,
         "events_distinct_users_hll": relops.events_distinct_users_hll,
+        "events_value_quantiles": relops.events_value_quantiles,
+        "events_top_users": relops.events_top_users,
+        "events_top_users_cms": relops.events_top_users_cms,
         "docs_by_lang": textops.docs_by_lang,
+        "docs_top_terms": textops.docs_top_terms,
     }
 
 
@@ -545,6 +550,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # exact discrete quantiles of integer-cent values per type;
+        # quantile_disc = 1-based rank ceil(q*n), matching the Ray
+        # histogram walk bit for bit
+        "events_value_quantiles": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events
+            ),
+            a AS (
+              SELECT event_type,
+                     quantile_disc(value_c, 0.25) AS q25,
+                     quantile_disc(value_c, 0.50) AS q50,
+                     quantile_disc(value_c, 0.75) AS q75,
+                     quantile_disc(value_c, 0.90) AS q90,
+                     quantile_disc(value_c, 0.99) AS q99
+              FROM c GROUP BY event_type
+            )
+            SELECT event_type, CAST(25 AS BIGINT) AS q_pct, CAST(q25 AS BIGINT) AS value_cents FROM a
+            UNION ALL SELECT event_type, 50, CAST(q50 AS BIGINT) FROM a
+            UNION ALL SELECT event_type, 75, CAST(q75 AS BIGINT) FROM a
+            UNION ALL SELECT event_type, 90, CAST(q90 AS BIGINT) FROM a
+            UNION ALL SELECT event_type, 99, CAST(q99 AS BIGINT) FROM a
+        """,
+        "events_top_users": """
+            WITH agg AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY user_id
+            ),
+            ranked AS (
+              SELECT row_number() OVER (ORDER BY n_events DESC, user_id ASC)
+                       AS rank, user_id, n_events
+              FROM agg
+            )
+            SELECT CAST(rank AS BIGINT) AS rank,
+                   CAST(user_id AS BIGINT) AS user_id, n_events
+            FROM ranked WHERE rank <= 20
+        """,
+        "docs_top_terms": r"""
+            WITH terms AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(lower(text), '\s+')) AS term
+              FROM documents
+            ),
+            df AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM terms WHERE term <> '' GROUP BY term
+            ),
+            ranked AS (
+              SELECT row_number() OVER (ORDER BY n_docs DESC, term ASC)
+                       AS rank, term, n_docs
+              FROM df
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, term, n_docs
+            FROM ranked WHERE rank <= 50
         """,
         "docs_by_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

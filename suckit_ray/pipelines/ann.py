@@ -190,3 +190,101 @@ def ivf_topk(
             "cos_pct": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH variant — the bucketed alternative to IVF
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 8           # 2^8 = 256 buckets per table
+LSH_TABLES = 16          # independent tables OR-ed for recall
+LSH_PROBE_HAMMING = 1    # multi-probe: accept codes within 1 bit
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    """(tables, planes, dim) seeded Gaussian hyperplanes."""
+    rng = np.random.RandomState(17)
+    return rng.randn(LSH_TABLES, LSH_PLANES, dim)
+
+
+def _lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, tables) int codes: sign-bit signature per table."""
+    bits = (np.einsum("tpd,nd->ntp", planes, m) > 0).astype(np.int64)
+    weights = (1 << np.arange(LSH_PLANES, dtype=np.int64))[None, None, :]
+    return (bits * weights).sum(axis=2)
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+    """Elementwise popcount for values < 256 (8-bit LSH codes)."""
+    return _POP8[x]
+
+
+def lsh_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
+    """Approximate top-k via sign-random-projection LSH (Charikar 2002):
+    vectors whose 8-bit signature is within Hamming-1 of the query's in
+    ANY of 16 independent tables are candidates; exact cosine ranks the
+    candidates. Same output schema as brute_force_topk; recall vs the
+    exact baseline is pinned in tests.
+
+    Parameters are tuned to this corpus's weak similarity structure
+    (top-10 neighbor cosines only 0.24–0.39, so collision probability
+    per plane is barely above 1/2): measured on sf0.001, 10 planes × 4
+    tables exact-match screens 99.6% of rows but recalls 0.02; 8 planes
+    × 16 tables with 1-bit multi-probe recalls 0.83 while still
+    screening ~56% of rows. A corpus with real near-dups (cos ≥ 0.8)
+    supports far more aggressive screening.
+
+    Scale shape: the planes are a few KB broadcast once; candidate
+    selection is a per-batch einsum + XOR/popcount (no shuffle at all —
+    like brute force it is one streaming pass, but each batch ranks
+    only its bucket-colliding rows, which is the win when the scoring
+    kernel is expensive or k is large). The bucketed-groupby
+    alternative (explode to (table, code) rows, co-group with query
+    codes) trades the stream for a shuffle when candidate density is
+    tiny."""
+    qids, qm = _load_queries(sf_dir)
+    planes = _lsh_planes(qm.shape[1])
+    qcodes = _lsh_codes(qm, planes)  # (Q, tables)
+    q_ref = ray.put((qids, qm, planes, qcodes))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_, planes_, qcodes_ = ray.get(q_ref)
+        ids = df["vec_id"].to_numpy()
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        codes = _lsh_codes(m, planes_)  # (B, tables)
+        out = []
+        for qi, qid in enumerate(qids_):
+            ham = _popcount(codes ^ qcodes_[qi][None, :])
+            mask = (ham <= LSH_PROBE_HAMMING).any(axis=1) & (ids != qid)
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            pct = np.floor((qm_[qi] @ m[mask].T) * 10000).astype(np.int64)
+            idx = np.lexsort((cand_ids, -pct))[:k]
+            for i in idx:
+                out.append((int(qid), int(cand_ids[i]), int(pct[i])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_pct"])
+
+    parts = _read_embeddings(sf_dir).map_batches(
+        partial_topk, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        best = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.cos_pct, r.neighbor_id)
+        )
+        for rank, r in enumerate(best, 1):
+            rows.append((int(qid), rank, int(r.neighbor_id), int(r.cos_pct)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cos_pct": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

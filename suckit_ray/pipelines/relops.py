@@ -282,3 +282,150 @@ def events_distinct_users_hll(sf_dir: str) -> "pa.Table":
             "n_users_est": pa.array(out["n_users_est"].tolist(), pa.int64()),
         }
     )
+
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def events_value_quantiles(sf_dir: str) -> "pa.Table":
+    """(event_type, q_pct, value_cents): EXACT discrete quantiles of the
+    integer-cent event values per type, computed as a two-phase
+    HISTOGRAM aggregation — the scale shape for quantiles over bounded-
+    resolution values: each batch pre-counts its (type, cent) pairs, the
+    bucketed groupby moves one row per distinct pair (not per event),
+    and the per-type quantile walk runs over the compact sorted
+    histogram inside map_groups. Matches DuckDB ``quantile_disc``
+    exactly (1-based rank ceil(q*n)); a 100 TB stream with continuous
+    values would swap the histogram for a mergeable t-digest/KLL sketch
+    at the same pipeline shape."""
+    import numpy as np
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_c": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(cents, batch_format="pandas")
+    hist = bucketed_groupby_agg(
+        ds,
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    )
+
+    def type_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_c")
+        counts = g["n"].to_numpy()
+        values = g["value_c"].to_numpy()
+        cum = counts.cumsum()
+        n = int(cum[-1])
+        out = []
+        for pct in QUANTILE_PCTS:
+            rank = max(1, int(np.ceil(pct / 100.0 * n)))  # quantile_disc
+            out.append((g["event_type"].iloc[0], pct, int(values[np.searchsorted(cum, rank)])))
+        return pd.DataFrame(out, columns=["event_type", "q_pct", "value_cents"])
+
+    out = (
+        hist.groupby("event_type")
+        .map_groups(type_quantiles, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "q_pct"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "q_pct": pa.array(out["q_pct"].tolist(), pa.int64()),
+            "value_cents": pa.array(out["value_cents"].tolist(), pa.int64()),
+        }
+    )
+
+
+TOP_USERS_K = 20
+
+
+def events_top_users(sf_dir: str, k: int = TOP_USERS_K) -> pa.Table:
+    """Top-k users by event count — exact heavy hitters via the same
+    plan as top_customers: two-phase count per user, per-block top-k
+    (the driver merges at most k rows per bucket block, never the full
+    per-user table), deterministic (count desc, user_id asc) ranking."""
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    agg = bucketed_groupby_agg(
+        ds,
+        keys=["user_id"],
+        aggs={"n_events": ("user_id", "count")},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n_events", "user_id"], ascending=[False, True]
+        ).head(k)
+
+    out = (
+        agg.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n_events", "user_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = range(1, len(out) + 1)
+    return pa.table(
+        {
+            "rank": pa.array(out["rank"].tolist(), pa.int64()),
+            "user_id": pa.array([int(x) for x in out["user_id"]], pa.int64()),
+            "n_events": pa.array([int(x) for x in out["n_events"]], pa.int64()),
+        }
+    )
+
+
+def events_top_users_cms(sf_dir: str, k: int = TOP_USERS_K) -> pa.Table:
+    """Top-k users by event count via a Count-Min Sketch — the sketch
+    path for heavy hitters when the per-key table itself is too wide to
+    aggregate exactly: each batch emits ONE (depth × width) count blob
+    plus its local candidate top-k rows; blobs merge by elementwise sum
+    and the merged sketch scores the candidate union. Rows-only
+    operator (CMS overestimates by ≤ εN with ε = e/width; the top-k
+    overlap vs the exact operator is pinned in tests)."""
+    import numpy as np
+
+    from suckit_ray.stages.sketch import cms_estimate, cms_merge, cms_partial
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        users = df["user_id"].to_numpy(np.uint64)
+        blob = cms_partial(users).tobytes()
+        # local candidates: this batch's top-k users by local count
+        vc = df["user_id"].value_counts()
+        cand = vc.index.to_numpy()[: 4 * k]
+        return pd.DataFrame(
+            {
+                "kind": ["cms"] + ["cand"] * len(cand),
+                "payload": [blob] + [int(u).to_bytes(8, "little") for u in cand],
+            }
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )  # one 64 KB blob + ≤4k tiny candidate rows per batch reach the driver
+    sketch = cms_merge(list(parts.loc[parts["kind"] == "cms", "payload"]))
+    cands = sorted(
+        {
+            int.from_bytes(p, "little")
+            for p in parts.loc[parts["kind"] == "cand", "payload"]
+        }
+    )
+    est = cms_estimate(sketch, np.array(cands, dtype=np.uint64))
+    order = sorted(zip(cands, est), key=lambda t: (-t[1], t[0]))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+            "user_id": pa.array([u for u, _ in order], pa.int64()),
+            "n_events_est": pa.array([int(c) for _, c in order], pa.int64()),
+        }
+    )

@@ -373,3 +373,54 @@ def training_corpus(sf_dir: str) -> rd.Dataset:
         keys=["lang"],
         aggs={"n_docs": ("doc_id", "count"), "sum_tokens": ("n_tokens", "sum")},
     )
+
+
+TOP_TERMS_K = 50
+
+
+def docs_top_terms(sf_dir: str, k: int = TOP_TERMS_K) -> "pa.Table":
+    """(rank, term, n_docs): the corpus's top-k terms by DOCUMENT
+    frequency — the vocabulary/df statistic a tokenizer-training or
+    idf-weighting pipeline needs. Plan: per batch, each doc dissolves
+    into its distinct lowercased whitespace terms with per-batch
+    partial df counts (the shuffle moves one row per distinct
+    (batch, term), never per occurrence) → bucketed sum → per-block
+    top-k → driver merge of ≤ k rows per block. Deterministic
+    (n_docs desc, term asc) ranking; exact SQL oracle via
+    regexp_split_to_array + unnest."""
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def explode_terms(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(set(text.lower().split()))
+        return pd.DataFrame(
+            {"term": list(c.keys()), "n": pd.array(list(c.values()), dtype="int64")}
+        )
+
+    ds = _read_documents(sf_dir, ["text"]).map_batches(
+        explode_terms, batch_format="pandas"
+    )
+    agg = bucketed_groupby_agg(ds, keys=["term"], aggs={"n_docs": ("n", "sum")})
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_docs", "term"], ascending=[False, True]).head(k)
+
+    out = (
+        agg.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n_docs", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(out) + 1), pa.int64()),
+            "term": pa.array(out["term"].tolist(), pa.string()),
+            "n_docs": pa.array([int(x) for x in out["n_docs"]], pa.int64()),
+        }
+    )

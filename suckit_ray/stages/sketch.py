@@ -53,6 +53,63 @@ def hll_merge(blobs: list[bytes]) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) — mergeable frequency
+# counts for heavy hitters: depth d rows × width w counters; point
+# estimate = min over rows; overestimate ≤ e/w · N with prob 1-e^-d.
+# Blobs are d·w int64 = 64 KB at the defaults; merging is elementwise
+# sum, so partial sketches from every batch combine associatively.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 2048
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_indices(keys: np.ndarray) -> np.ndarray:
+    """(d, n) column indices for uint64 keys: one seeded splitmix64
+    per row."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    return np.stack(
+        [
+            _splitmix64(keys ^ _CMS_SEEDS[d]) % np.uint64(CMS_W)
+            for d in range(CMS_D)
+        ]
+    ).astype(np.int64)
+
+
+def cms_partial(keys: np.ndarray) -> np.ndarray:
+    """Fold integer keys into a fresh (d, w) int64 counter array."""
+    reg = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(keys) == 0:
+        return reg
+    idx = _cms_indices(keys)
+    for d in range(CMS_D):
+        np.add.at(reg[d], idx[d], 1)
+    return reg
+
+
+def cms_merge(blobs: list[bytes]) -> np.ndarray:
+    """Elementwise-sum merge of packed counter blobs."""
+    out = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for b in blobs:
+        out += np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W)
+    return out
+
+
+def cms_estimate(reg: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-estimate counts for uint64 keys (min over depth rows)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = _cms_indices(keys)
+    return np.min(
+        np.stack([reg[d][idx[d]] for d in range(CMS_D)]), axis=0
+    ).astype(np.int64)
+
+
 def hll_estimate(reg: np.ndarray) -> int:
     """Cardinality estimate with the standard small-range correction."""
     est = _ALPHA * HLL_M * HLL_M / np.sum(np.power(2.0, -reg.astype(np.float64)))

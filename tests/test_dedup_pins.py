@@ -219,3 +219,56 @@ def test_cc_labels_distributed_equals_union_find():
         int(d): find(int(d)) for d in out["doc_id"]
     }
     assert (out["doc_id"] != out["cluster_id"]).sum() > 0  # corpus has dups
+
+
+def test_cms_kernel_overestimate_bound():
+    """CMS point estimates never underestimate, and overestimate by at
+    most e/width * N for every key (deterministic seeded hashing)."""
+    import numpy as np
+
+    from suckit_ray.stages.sketch import CMS_W, cms_estimate, cms_merge, cms_partial
+
+    rng = np.random.RandomState(3)
+    keys = rng.zipf(1.5, size=20000).astype(np.uint64)  # skewed stream
+    half = len(keys) // 2
+    reg = cms_merge(
+        [cms_partial(keys[:half]).tobytes(), cms_partial(keys[half:]).tobytes()]
+    )
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(reg, uniq)
+    assert (est >= true).all()  # never under
+    assert (est - true).max() <= np.e / CMS_W * len(keys) * 2  # ε bound (2x slack)
+
+
+def test_events_top_users_cms_vs_exact():
+    """The CMS heavy-hitter path must (a) never under-count, and
+    (b) recover most of the exact top-k set."""
+    import numpy as np
+
+    from suckit_ray.pipelines.relops import events_top_users, events_top_users_cms
+
+    exact = events_top_users(SF).to_pandas()
+    approx = events_top_users_cms(SF).to_pandas()
+    true_counts = dict(zip(exact["user_id"], exact["n_events"]))
+    est_counts = dict(zip(approx["user_id"], approx["n_events_est"]))
+    for u, n in true_counts.items():
+        if u in est_counts:
+            assert est_counts[u] >= n  # CMS never underestimates
+    overlap = len(set(exact["user_id"]) & set(approx["user_id"])) / len(exact)
+    assert overlap >= 0.6, overlap
+
+
+def test_ann_lsh_recall_vs_brute_force():
+    from suckit_ray.pipelines.ann import brute_force_topk, lsh_topk
+
+    exact = brute_force_topk(SF).to_pandas()
+    approx = lsh_topk(SF).to_pandas()
+    # precision 1.0 by construction (LSH only limits which rows are
+    # scored); recall vs the exact baseline must clear the bar
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    got_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.7, recall  # measured 0.83 at 8 planes × 16 tables
+    # determinism
+    again = lsh_topk(SF).to_pandas()
+    assert again.equals(approx)
