@@ -308,7 +308,11 @@ def crawl(
                 "driver_rss_mb": _driver_rss_mb(),
             }
         )
-        ray.get([s.ack_wave.remote() for s in shards])
+        if checkpoint_dir:
+            # keep the in-flight wave restorable until durably written;
+            # without checkpoints the next finalize overwrites it anyway
+            # and the ack round-trip is pure inter-wave latency
+            ray.get([s.ack_wave.remote() for s in shards])
         if cfg.verbose or os.environ.get("GRAFT_CRAWL_DEBUG"):
             print(
                 f"[crawl] wave={wave} entries={n_entries} "

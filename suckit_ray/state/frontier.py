@@ -47,7 +47,6 @@ from collections import defaultdict
 import pyarrow as pa
 
 from suckit_ray.state.seenset import SpillableSet
-from suckit_ray.urlkit import depth_gate
 
 # frontier entry: (url, host, depth, ext_depth, seq)
 # candidate:      (parent_seq, ordinal, url, host, is_external, parent_depth, parent_ext_depth)
@@ -283,15 +282,29 @@ class FrontierShard:
             self.counters["new_urls"] += n_new
             self.counters["dup_urls"] += len(df) - n_new
             acc = df.loc[first].loc[np.asarray(fresh, dtype=bool)]
-            for url, host, ext, d, e in zip(
-                acc["url"], acc["host"], acc["is_external"],
-                acc["parent_depth"], acc["parent_ext_depth"],
-            ):
-                ok, dd, ee = depth_gate(ext, d, e, max_depth, max_ext_depth)
-                if ok:
-                    self._pending_append((url, host, int(dd), int(ee)))
-                else:
-                    self.counters["depth_gated"] += 1
+            # vectorized depth gate (same semantics as urlkit.depth_gate
+            # row-by-row): internal links consume depth, external hops
+            # freeze depth and consume ext_depth; -1 = infinite
+            ext = acc["is_external"].to_numpy(dtype=bool)
+            d = acc["parent_depth"].to_numpy()
+            e = acc["parent_ext_depth"].to_numpy()
+            ok = np.where(
+                ext,
+                (max_ext_depth == -1) | (e < max_ext_depth),
+                (max_depth == -1) | (d < max_depth),
+            )
+            self.counters["depth_gated"] += int(np.count_nonzero(~ok))
+            dd = np.where(ext, d, d + 1)[ok].tolist()
+            ee = np.where(ext, e + 1, e)[ok].tolist()
+            ents = list(zip(acc["url"].to_numpy()[ok], acc["host"].to_numpy()[ok], dd, ee))
+            # bulk append with the same spill cadence as _pending_append
+            pos = 0
+            while pos < len(ents):
+                room = self.pending_mem_limit - len(self.pending)
+                self.pending.extend(ents[pos : pos + room])
+                pos += room
+                if len(self.pending) >= self.pending_mem_limit:
+                    self._spill_pending()
 
         take = self._drain_pending(max_per_host, max_wave_entries)
         self.released_tbl = rows_to_table(
