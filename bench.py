@@ -142,7 +142,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "lineitem_agg",
         "events_windowed",
         "events_distinct_users_hll",
+        "events_value_quantiles",
         "top_customers",
+        "docs_top_terms",
         "warc_roundtrip",
         "training_corpus",
     ]
