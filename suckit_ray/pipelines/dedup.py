@@ -518,7 +518,12 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = COSINE_THRESHOLD) -> pa.
 # near-dup connected components (the dedup "apply" step)
 # ---------------------------------------------------------------------------
 
-def _cc_labels(pairs_ds: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:
+def _cc_labels(
+    pairs_ds: rd.Dataset,
+    num_buckets: int | None = None,
+    jump_after: int = 3,
+    stats: dict | None = None,
+) -> rd.Dataset:
     """Connected-component labels of an undirected edge Dataset
     (a_id, b_id) by DISTRIBUTED iterated min-label propagation — the
     scale-out of a driver union-find (VERDICT r2 item 1): the pair
@@ -539,10 +544,16 @@ def _cc_labels(pairs_ds: rd.Dataset, num_buckets: int | None = None) -> rd.Datas
     materialized — label datasets are O(nodes-in-pairs), sparse by
     thresholding — so rounds don't re-execute upstream lineage.
     Returns a materialized Dataset (node, label) covering every node
-    that appears in an edge. Adversarially long chains would pay
-    diameter rounds; the known accelerant (pointer-jumping /
-    large-star-small-star) drops that to O(log d) with the same
-    per-round plan shape."""
+    that appears in an edge.
+
+    Adversarially long chains: after ``jump_after`` propagation rounds
+    without convergence, every subsequent round ALSO pointer-jumps
+    (label(n) ← label(label(n)) via a second co-group keyed on the
+    label — labels only decrease along the pointer, so the jump is a
+    pure improvement), turning the remaining convergence from O(d)
+    rounds into O(log d). The common near-dup case (clique-ish
+    components, diameter ≤ 3) never pays the extra shuffle.
+    ``stats``: optional dict that receives {"rounds": N}."""
     B = num_buckets or max(16, _cpu_blocks())
 
     def explode_adj(t: pa.Table) -> pa.Table:
@@ -636,9 +647,49 @@ def _cc_labels(pairs_ds: rd.Dataset, num_buckets: int | None = None) -> rd.Datas
             }
         )
 
+    def as_jump_requests(df: pd.DataFrame) -> pd.DataFrame:
+        # ask the LABEL's owner bucket for label(label): rows keyed by
+        # the label value, carrying the requester in `peer`
+        return pd.DataFrame(
+            {
+                "node": df["label"].astype("int64"),
+                "peer": df["node"].astype("int64"),  # requester
+                "label": np.full(len(df), -1, dtype="int64"),
+                "bucket": (df["label"] % B).astype("int64"),
+            }
+        )
+
+    def answer_jumps(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["peer"] < 0][["node", "label"]]
+        req = g[g["peer"] >= 0][["node", "peer"]].merge(lab, on="node")
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        # answer: requester's candidate label = label(label)
+                        "node": req["peer"].astype("int64"),
+                        "label": req["label"].astype("int64"),
+                        "is_self": np.zeros(len(req), dtype="int64"),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "node": lab["node"].astype("int64"),
+                        "label": lab["label"].astype("int64"),
+                        "is_self": np.ones(len(lab), dtype="int64"),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    rounds = 0
     while True:
         if labels.sum("chg") == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels.select_columns(["node", "label"])
+        rounds += 1
         staged = labels.map_batches(as_label_rows, batch_format="pandas").union(
             adj.map_batches(as_adj_rows, batch_format="pandas")
         )
@@ -652,6 +703,23 @@ def _cc_labels(pairs_ds: rd.Dataset, num_buckets: int | None = None) -> rd.Datas
             .map_groups(reduce_min, batch_format="pandas")
             .materialize()
         )
+        if rounds >= jump_after:
+            # pointer-jumping phase: label(n) ← min(label(n), label(label(n)))
+            staged_j = labels.map_batches(
+                as_label_rows, batch_format="pandas"
+            ).union(labels.map_batches(as_jump_requests, batch_format="pandas"))
+            answers = staged_j.groupby("bucket").map_groups(
+                answer_jumps, batch_format="pandas"
+            )
+            labels = (
+                answers.map_batches(
+                    lambda df: df.assign(bucket=(df["node"] % B).astype("int64")),
+                    batch_format="pandas",
+                )
+                .groupby("bucket")
+                .map_groups(reduce_min, batch_format="pandas")
+                .materialize()
+            )
 
 
 def near_dup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:

@@ -272,3 +272,33 @@ def test_ann_lsh_recall_vs_brute_force():
     # determinism
     again = lsh_topk(SF).to_pandas()
     assert again.equals(approx)
+
+
+def test_cc_labels_pointer_jumping_on_long_chain():
+    """Adversarial chain components: after jump_after propagation
+    rounds, pointer-jumping (label(n) <- label(label(n))) kicks in and
+    convergence becomes O(log d) instead of O(d) rounds."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from suckit_ray.pipelines.dedup import _cc_labels
+
+    N = 41  # path graph 0-1-...-40, diameter 40
+    edges = pa.table(
+        {
+            "a_id": pa.array(list(range(1, N)), pa.int64()),
+            "b_id": pa.array(list(range(0, N - 1)), pa.int64()),
+        }
+    )
+    stats: dict = {}
+    labels = _cc_labels(rd.from_arrow(edges), stats=stats).to_pandas()
+    assert (labels["label"] == 0).all()
+    assert stats["rounds"] <= 12, stats  # plain propagation would need 40
+
+    # clique-ish components never pay the jump shuffle
+    cl = pa.table(
+        {"a_id": pa.array([10, 10, 11], pa.int64()), "b_id": pa.array([11, 12, 12], pa.int64())}
+    )
+    s2: dict = {}
+    _cc_labels(rd.from_arrow(cl), stats=s2)
+    assert s2["rounds"] <= 2
