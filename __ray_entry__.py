@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": relops.events_distinct_users,
         "events_distinct_users_hll": relops.events_distinct_users_hll,
         "events_value_quantiles": relops.events_value_quantiles,
+        "events_asof_join": relops.events_asof_join,
         "events_top_users": relops.events_top_users,
         "events_top_users_cms": relops.events_top_users_cms,
         "docs_by_lang": textops.docs_by_lang,
@@ -622,6 +623,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT event_type, 75, CAST(q75 AS BIGINT) FROM a
             UNION ALL SELECT event_type, 90, CAST(q90 AS BIGINT) FROM a
             UNION ALL SELECT event_type, 99, CAST(q99 AS BIGINT) FROM a
+        """,
+        # as-of join: each purchase matched to the user's latest click
+        # at-or-before (ties -> larger event_id); -1 sentinels keep the
+        # no-match rows integer-exact for the hash compare
+        "events_asof_join": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts_us,
+                   CAST(COALESCE(c2.event_id, -1) AS BIGINT) AS click_event_id,
+                   CAST(COALESCE(c2.ts_us, -1) AS BIGINT) AS click_ts_us
+            FROM p LEFT JOIN LATERAL (
+              SELECT event_id, ts_us FROM c
+              WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us
+              ORDER BY ts_us DESC, event_id DESC LIMIT 1
+            ) c2 ON TRUE
         """,
         "events_top_users": """
             WITH agg AS (

@@ -429,3 +429,74 @@ def events_top_users_cms(sf_dir: str, k: int = TOP_USERS_K) -> pa.Table:
             "n_events_est": pa.array([int(c) for _, c in order], pa.int64()),
         }
     )
+
+
+def events_asof_join(sf_dir: str) -> "pa.Table":
+    """AS-OF JOIN (an operator Ray Data lacks natively): every
+    'purchase' event matched to the same user's most recent 'click' at
+    or before it. Composition: filter both sides in one scan → bucket
+    by user (the partitioning assumption: BOTH sides of a user land in
+    one bucket — same key, same hash) → vectorized ``pandas.merge_asof``
+    inside each bucket (sorted backward search, ties broken toward the
+    larger event_id by sort order). No-match rows carry -1 sentinels so
+    the oracle hash stays integer-exact. Returns
+    (event_id, user_id, ts_us, click_event_id, click_ts_us)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    n_buckets = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "click"])]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "is_left": (df["event_type"] == "purchase").astype("int64"),
+                "bucket": (df["user_id"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"] == 1].sort_values(["ts_us", "event_id"], kind="mergesort")
+        right = (
+            g[g["is_left"] == 0]
+            .sort_values(["ts_us", "event_id"], kind="mergesort")
+            .rename(columns={"event_id": "click_event_id"})
+        )
+        right["click_ts_us"] = right["ts_us"]
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts_us", "click_event_id", "click_ts_us"]
+            )
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts_us"]],
+            right[["user_id", "ts_us", "click_event_id", "click_ts_us"]],
+            on="ts_us",
+            by="user_id",
+            direction="backward",
+        )
+        m["click_event_id"] = m["click_event_id"].fillna(-1).astype("int64")
+        m["click_ts_us"] = m["click_ts_us"].fillna(-1).astype("int64")
+        return m[["event_id", "user_id", "ts_us", "click_event_id", "click_ts_us"]]
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].tolist(), pa.int64()),
+            "user_id": pa.array(out["user_id"].tolist(), pa.int64()),
+            "ts_us": pa.array(out["ts_us"].tolist(), pa.int64()),
+            "click_event_id": pa.array(out["click_event_id"].tolist(), pa.int64()),
+            "click_ts_us": pa.array(out["click_ts_us"].tolist(), pa.int64()),
+        }
+    )
