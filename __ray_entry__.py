@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": relops.events_distinct_users_hll,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
+        "events_range_join": relops.events_range_join,
         "events_top_users": relops.events_top_users,
         "events_top_users_cms": relops.events_top_users_cms,
         "docs_by_lang": textops.docs_by_lang,
@@ -644,6 +645,24 @@ def oracle_sql() -> dict[str, str]:
               WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us
               ORDER BY ts_us DESC, event_id DESC LIMIT 1
             ) c2 ON TRUE
+        """,
+        # range join: clicks strictly after the purchase, within 1 hour
+        "events_range_join": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts_us,
+                   CAST(count(c.ts_us) AS BIGINT) AS n_clicks_1h
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id
+             AND c.ts_us > p.ts_us
+             AND c.ts_us <= p.ts_us + 3600000000
+            GROUP BY p.event_id, p.user_id, p.ts_us
         """,
         "events_top_users": """
             WITH agg AS (

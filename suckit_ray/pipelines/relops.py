@@ -500,3 +500,77 @@ def events_asof_join(sf_dir: str) -> "pa.Table":
             "click_ts_us": pa.array(out["click_ts_us"].tolist(), pa.int64()),
         }
     )
+
+
+RANGE_JOIN_WINDOW_US = 3600 * 1_000_000  # 1 hour
+
+
+def events_range_join(sf_dir: str) -> "pa.Table":
+    """RANGE JOIN: for every 'purchase' event, how many of the same
+    user's 'click' events fall in the hour AFTER it
+    (ts in (purchase_ts, purchase_ts + 1h]). Same bucketed-by-user
+    co-group shape as the as-of join; the per-bucket kernel is two
+    vectorized ``searchsorted`` passes over each user's sorted click
+    timestamps (never a per-row scan, never an exploded cross
+    product). Returns (event_id, user_id, ts_us, n_clicks_1h)."""
+    import numpy as np
+
+    from suckit_ray.stages.agg import default_buckets
+
+    n_buckets = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "click"])]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "is_left": (df["event_type"] == "purchase").astype("int64"),
+                "bucket": (df["user_id"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def count_in_range(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"] == 1]
+        out = []
+        for uid, lg in left.groupby("user_id"):
+            clicks = np.sort(
+                g.loc[(g["is_left"] == 0) & (g["user_id"] == uid), "ts_us"].to_numpy()
+            )
+            ts = lg["ts_us"].to_numpy()
+            lo = np.searchsorted(clicks, ts, side="right")        # strictly after
+            hi = np.searchsorted(clicks, ts + RANGE_JOIN_WINDOW_US, side="right")
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": lg["event_id"].to_numpy(),
+                        "user_id": lg["user_id"].to_numpy(),
+                        "ts_us": ts,
+                        "n_clicks_1h": (hi - lo).astype("int64"),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=["event_id", "user_id", "ts_us", "n_clicks_1h"])
+        return pd.concat(out, ignore_index=True)
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_in_range, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].tolist(), pa.int64()),
+            "user_id": pa.array(out["user_id"].tolist(), pa.int64()),
+            "ts_us": pa.array(out["ts_us"].tolist(), pa.int64()),
+            "n_clicks_1h": pa.array(out["n_clicks_1h"].tolist(), pa.int64()),
+        }
+    )
