@@ -8,16 +8,18 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 30 of 39 queries are SQL-oracled
+  the value-hash comparison exact. 32 of 42 queries are SQL-oracled
   (incl. the whole crawl engine via a recursive-CTE closure, the
   per-doc interleaved SPAN SEQUENCE (kind, media_ref, order) — the
   BASELINE.json row invariant — via ``crawl_spans``, the winnowing
   fingerprint via a HUGEINT polynomial, near-dup connected components
   via distributed min-label propagation, exact histogram quantiles,
-  and the WARC archive round-trip); the 9 approximate/hash-seeded ones
-  are rows-only here and verified otherwise in
-  tests/test_dedup_pins.py (pinned rows, brute-force equality,
-  recall/error bounds).
+  as-of and range joins via LATERAL / non-equi joins, and the WARC
+  archive round-trip); the 10 approximate/hash-seeded/float-iterative
+  ones are rows-only here and verified otherwise in
+  tests/test_dedup_pins.py and tests/test_graph.py (pinned rows,
+  brute-force equality, recall/error bounds, allclose vs a numpy
+  power-iteration reference).
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or below this module.
@@ -34,56 +36,22 @@ from typing import Any
 # ---------------------------------------------------------------------------
 
 def _corpus_for(sf_dir: str):
-    """Deterministic synthetic crawl corpus sized from the documents
-    table of the given sf dir (no external data)."""
-    import pyarrow.parquet as pq
+    """See suckit_ray.pipelines.flagship.corpus_for (moved there so
+    mirror-consuming pipelines can share it without importing this
+    driver module)."""
+    from suckit_ray.pipelines.flagship import corpus_for
 
-    from suckit_ray.sources.pagestore import SyntheticCorpus
-
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    # ext_links=False: a URL first discovered via a depth-GATED external
-    # link is inserted into the seen-map before gating and poisons later
-    # internal discoveries (reference parity, src/scraper.rs:202-215;
-    # pinned by tests/test_frontier.py) — the SQL reachability oracle
-    # models the clean internal closure, so the oracle corpus omits
-    # cross-host links.
-    return SyntheticCorpus(
-        n_hosts=8, n_docs=n_docs, fanout=4, n_assets_per_host=16, ext_links=False
-    )
-
-
-_CRAWL_OUT_CACHE: dict[str, str] = {}  # sf_dir → flagship output dir
+    return corpus_for(sf_dir)
 
 
 def _crawl_docs(sf_dir: str):
-    """Run the flagship crawl through the STREAMING path: each wave's
-    documents are written to per-wave parquet partitions as the wave
-    executes (docs never accumulate on the driver — the resumable
-    100 TB layout), and the result Dataset is a lazy read of that
-    output. Memoized per process so the two crawl-backed queries
-    (crawl_mirror, crawl_spans) share one crawl."""
-    import os
-    import tempfile
+    """Memoized flagship crawl through the STREAMING output path —
+    see suckit_ray.pipelines.flagship.crawl_docs. All crawl-backed
+    queries (crawl_mirror, crawl_spans, crawl_pagerank) and entry()
+    share one crawl per process."""
+    from suckit_ray.pipelines.flagship import crawl_docs
 
-    import ray.data as rd
-
-    from suckit_ray.config import CrawlConfig
-    from suckit_ray.pipelines.crawl import crawl
-    from suckit_ray.sources.pagestore import SyntheticPageStore
-
-    if sf_dir not in _CRAWL_OUT_CACHE:
-        corpus = _corpus_for(sf_dir)
-        out = tempfile.mkdtemp(prefix="suckit_flagship_")
-        crawl(
-            CrawlConfig(origin=corpus.page_url(0, 0)),
-            SyntheticPageStore(corpus),
-            seeds=corpus.seeds(),
-            num_shards=4,
-            output_dir=out,
-            collect=False,
-        )
-        _CRAWL_OUT_CACHE[sf_dir] = out
-    return rd.read_parquet(os.path.join(_CRAWL_OUT_CACHE[sf_dir], "docs"))
+    return crawl_docs(sf_dir)
 
 
 def entry() -> Any:
@@ -158,7 +126,15 @@ def _crawl_spans(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from suckit_ray.pipelines import ann, dedup, relops, textops, urlops, warcops
+    from suckit_ray.pipelines import (
+        ann,
+        dedup,
+        graph,
+        relops,
+        textops,
+        urlops,
+        warcops,
+    )
 
     return {
         # crawl URL kernels (SURVEY §2.2 M8/M9/M11/M13)
@@ -170,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interleaved span-sequence invariant per doc)
         "crawl_mirror": _crawl_mirror_summary,
         "crawl_spans": _crawl_spans,
+        "crawl_pagerank": graph.crawl_pagerank,
         # WARC archive source+sink round-trip
         "warc_roundtrip": warcops.warc_roundtrip,
         # text analysis

@@ -1,0 +1,45 @@
+"""Link-graph analytics: distributed PageRank over the crawled mirror
+must match a single-machine numpy power iteration on the same docs
+table (float reduction order differs, so allclose not hash)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_reference():
+    from suckit_ray.pipelines.flagship import crawl_docs
+    from suckit_ray.pipelines.graph import pagerank_from_docs, reference_pagerank
+
+    docs = crawl_docs(SF)
+    got = pagerank_from_docs(docs).to_pandas()
+    tbl = pa.concat_tables(
+        list(docs.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default",
+    )
+    ref = reference_pagerank(tbl)
+    assert set(got["doc_id"]) == set(ref)
+    g = dict(zip(got["doc_id"], got["rank"]))
+    assert np.allclose([g[k] for k in ref], [ref[k] for k in ref], atol=1e-12)
+    # ranks are a distribution over pages (links stay in the crawled
+    # closure, so no mass leaks beyond float error)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_resolve_link_inverts_relative_rewrite():
+    from suckit_ray.pipelines.graph import resolve_link
+    from suckit_ray.urlkit import relative_rewrite
+
+    cases = [
+        ("host.test//p3.html", "host.test//p7.html"),
+        ("host.test/a/b/page.html", "host.test/a/img.jpg"),
+        ("host.test/a/page.html", "other.test//x.html"),
+    ]
+    import posixpath
+
+    for src, dst in cases:
+        rel = relative_rewrite(src, dst)
+        assert resolve_link(src, rel) == posixpath.normpath(dst), (src, dst, rel)
