@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_cms": relops.events_top_users_cms,
         "docs_by_lang": textops.docs_by_lang,
         "docs_top_terms": textops.docs_top_terms,
+        "docs_stratified_sample": textops.docs_stratified_sample,
+        "quality_dedup_overlap": textops.quality_dedup_overlap,
     }
 
 
@@ -654,6 +656,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rank AS BIGINT) AS rank,
                    CAST(user_id AS BIGINT) AS user_id, n_events
             FROM ranked WHERE rank <= 20
+        """,
+        # deterministic stratified sample: same multiplicative-hash
+        # slice as the Ray side, per-lang accounting
+        "docs_stratified_sample": """
+            WITH s AS (
+              SELECT lang, doc_id, length(text) AS n_chars
+              FROM documents
+              WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 10
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY lang
+        """,
+        # set ops between the quality-gated set and the exact-dedup
+        # survivor set: intersection and both differences
+        "quality_dedup_overlap": f"""
+            WITH q AS (
+              SELECT doc_id FROM documents
+              WHERE len(regexp_extract_all(text, '{_TOKEN_RE}')) >= 20
+                AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) >= 1
+            ),
+            d AS (
+              SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+              FROM documents GROUP BY md5(text)
+            )
+            SELECT
+              CAST((SELECT count(*) FROM q) AS BIGINT) AS n_quality,
+              CAST((SELECT count(*) FROM d) AS BIGINT) AS n_dedup_survivors,
+              CAST((SELECT count(*) FROM q JOIN d USING (doc_id)) AS BIGINT)
+                AS n_both,
+              CAST((SELECT count(*) FROM q WHERE doc_id NOT IN (SELECT doc_id FROM d))
+                AS BIGINT) AS n_quality_only,
+              CAST((SELECT count(*) FROM d WHERE doc_id NOT IN (SELECT doc_id FROM q))
+                AS BIGINT) AS n_dedup_only
         """,
         "docs_top_terms": r"""
             WITH terms AS (

@@ -424,3 +424,72 @@ def docs_top_terms(sf_dir: str, k: int = TOP_TERMS_K) -> "pa.Table":
             "n_docs": pa.array([int(x) for x in out["n_docs"]], pa.int64()),
         }
     )
+
+
+SAMPLE_PCT = 10
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def docs_stratified_sample(sf_dir: str, pct: int = SAMPLE_PCT) -> rd.Dataset:
+    """Deterministic stratified sample: keep a ~pct% hash-slice of every
+    language stratum — the reproducible down-sampling a corpus-ablation
+    pipeline needs (same doc set on every run/cluster, no RNG state).
+    Selection key: ((doc_id mod 2^31) * Knuth) mod 2^32 mod 100 < pct —
+    exactly reproducible in SQL, and the pre-reduction keeps the
+    product inside int64 at any doc_id (2^31 · Knuth < 2^63). Returns
+    per-stratum accounting (lang, n_sampled, sum_chars) — a pure
+    distributed filter + bucketed aggregate; no shuffle carries text."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["doc_id"] % (1 << 31)) * _KNUTH % (1 << 32) % 100 < pct
+        out = df.loc[keep]
+        return pd.DataFrame(
+            {
+                "lang": out["lang"],
+                "doc_id": out["doc_id"],
+                "n_chars": out["text"].str.len().astype("int64"),
+            }
+        )
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        pick, batch_format="pandas"
+    )
+    return bucketed_groupby_agg(
+        ds,
+        keys=["lang"],
+        aggs={"n_sampled": ("doc_id", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+
+def quality_dedup_overlap(sf_dir: str) -> "pa.Table":
+    """Set operations between two derived doc sets — the quality-gated
+    docs (token/stopword thresholds of quality_score) and the exact-
+    dedup survivors: |A∩B|, |A\\B|, |B\\A| as one row. Each side is a
+    distributed id set (small int columns); the set algebra happens on
+    sorted id arrays driver-side (both sets are already thresholded
+    outputs — the same sparse shape every pair pipeline ends with)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from suckit_ray.pipelines.dedup import exact_dedup
+
+    q = quality_score(sf_dir)
+
+    def ids_only(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df.loc[df["is_quality"] == 1, "doc_id"]})
+
+    a = np.sort(
+        q.map_batches(ids_only, batch_format="pandas").to_pandas()["doc_id"].to_numpy()
+    )
+    b = np.sort(exact_dedup(sf_dir).to_pandas()["doc_id"].to_numpy())
+    inter = np.intersect1d(a, b, assume_unique=True)
+    return pa.table(
+        {
+            "n_quality": pa.array([len(a)], pa.int64()),
+            "n_dedup_survivors": pa.array([len(b)], pa.int64()),
+            "n_both": pa.array([len(inter)], pa.int64()),
+            "n_quality_only": pa.array([len(a) - len(inter)], pa.int64()),
+            "n_dedup_only": pa.array([len(b) - len(inter)], pa.int64()),
+        }
+    )
