@@ -8,7 +8,7 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 32 of 42 queries are SQL-oracled
+  the value-hash comparison exact. 34 of 44 queries are SQL-oracled
   (incl. the whole crawl engine via a recursive-CTE closure, the
   per-doc interleaved SPAN SEQUENCE (kind, media_ref, order) — the
   BASELINE.json row invariant — via ``crawl_spans``, the winnowing
