@@ -226,6 +226,112 @@ _LANG_SCORES = """
 """
 
 
+# word-3-gram shingle CTEs shared by the Jaccard-family oracles
+# (assumes every document has >= 3 tokens — true for this corpus)
+_SHINGLE_CTE = r"""docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 1)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     L[i] || ' ' || L[i + 1] || ' ' || L[i + 2] AS s
+              FROM pos
+            )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Bit-exact DuckDB replay of the FULL minhash pipeline — banding
+    included (round 3): md5-60-bit shingle hashes reduced mod 2^31−1,
+    the seeded (a, b) permutation table inlined as VALUES, per-band
+    hashes as md5 of the '|'-joined decimal minhash values, candidate
+    pairs from band-bucket equality, then the same exact string-shingle
+    Jaccard verify the Ray path runs. Every hash is md5-derived
+    precisely so this oracle can exist (suckit_ray/pipelines/dedup.py
+    ``_md5h60``); products a*h + b < 2^62 are exact in BIGINT."""
+    from suckit_ray.pipelines import dedup
+
+    perms = ", ".join(
+        f"({j}, {int(a)}, {int(b)})"
+        for j, (a, b) in enumerate(zip(dedup._PERM_A, dedup._PERM_B))
+    )
+    p = dedup.MINHASH_PRIME
+    rpb = dedup.NUM_PERM // dedup.LSH_BANDS
+    return rf"""
+            WITH {_SHINGLE_CTE},
+            shh AS (
+              SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h
+              FROM sh
+            ),
+            perms(j, a, b) AS (VALUES {perms}),
+            mh AS (
+              SELECT doc_id, j, min((a * h + b) % {p}) AS v
+              FROM shh CROSS JOIN perms GROUP BY doc_id, j
+            ),
+            bh AS (
+              SELECT doc_id, j // {rpb} AS band_id,
+                     ('0x' || substr(md5(array_to_string(list(v ORDER BY j), '|')), 1, 15))::BIGINT
+                       AS band_hash
+              FROM mh GROUP BY doc_id, j // {rpb}
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              FROM bh x
+              JOIN bh y ON x.band_id = y.band_id
+                       AND x.band_hash = y.band_hash
+                       AND x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a_id, c.b_id, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.a_id
+              JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+              GROUP BY 1, 2
+            )
+            SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                   CAST(floor(10000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_pct
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+        """
+
+
+# SimHash fingerprint replay: 60-bit md5 token hashes (bits 60–63
+# structurally 0), ±1 bit votes over the token MULTISET (UNNEST keeps
+# duplicates, matching Python's text.split() iteration), sign → bit.
+# Token-less docs fall out of the vote aggregation, so the LEFT JOIN
+# restores them with the Python path's simhash = 0.
+_SIMHASH_SIG_SQL = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+            ),
+            votes AS (
+              SELECT doc_id, k,
+                     sum(CASE WHEN (h // (1::BIGINT << k)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM th CROSS JOIN (SELECT UNNEST(range(0, 60)) AS k)
+              GROUP BY doc_id, k
+            ),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN (1::BIGINT << k) ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+            FROM documents d
+            LEFT JOIN sig s ON s.doc_id = d.doc_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "url_to_path": f"""
@@ -836,11 +942,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM page_spans UNION ALL SELECT * FROM asset_spans
         """,
-        # no oracle (rows-only): minhash_lsh_pairs, simhash,
-        # simhash_dup_pairs, embedding_dup_pairs_ivf, ann_ivf_topk —
-        # crc32-/quantizer-based operators DuckDB can't recompute.
-        # Each is verified another way (tests/test_dedup_pins.py):
-        # pinned rows (minhash, simhash, ivf_topk), brute-force O(n²)
-        # equality (simhash_dup_pairs — exact by pigeonhole), global
-        # brute-force recall≥0.7 + precision 1.0 (embedding ivf).
+        # round 3: the minhash/simhash families moved to md5-derived
+        # hashing (dedup._md5h60) and gained FULL bit-exact SQL
+        # oracles — banding, band hashes and bit votes included.
+        "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "minhash_lsh_pairs_shuffled": _minhash_oracle_sql(),
+        "simhash": _SIMHASH_SIG_SQL,
+        "simhash_dup_pairs": f"""
+            WITH s AS ({_SIMHASH_SIG_SQL})
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # no oracle (rows-only): embedding_dup_pairs_ivf, ann_ivf_topk,
+        # ann_lsh_topk, events_distinct_users_hll, events_top_users_cms,
+        # crawl_pagerank — quantizer-/sketch-/float-based operators
+        # DuckDB can't recompute bit for bit. Each is verified another
+        # way (tests/test_dedup_pins.py and friends): pinned rows
+        # (ivf_topk), global brute-force recall≥0.7 + precision 1.0
+        # (embedding ivf, lsh_topk), error-bound asserts (HLL, CMS),
+        # numpy-reference allclose (pagerank).
     }

@@ -10,11 +10,14 @@ state or final thresholded results:
 - **exact**: content-hash added per batch (Arrow-native md5), then a
   bucketed groupby keeps the min doc_id per group — the only shuffle
   moves 2 small columns, never the text.
-- **minhash_lsh**: signatures per batch (numpy, crc32 shingles ×
-  universal-hash permutations) → explode to (band, band_hash, doc_id)
-  rows → groupby bands → candidate pairs → exact-Jaccard verify in
-  tasks (broadcast shingle map of the sparse candidate set, or the
-  zero-driver-state ``_shuffled`` hash-join variant).
+- **minhash_lsh**: signatures per batch (numpy, md5-60-bit shingle
+  hashes × universal-hash permutations mod 2^31−1) → explode to
+  (band, band_hash, doc_id) rows → groupby bands → candidate pairs →
+  exact-Jaccard verify in tasks (broadcast shingle map of the sparse
+  candidate set, or the zero-driver-state ``_shuffled`` hash-join
+  variant). Every hash in the chain is md5-derived so the WHOLE
+  pipeline — banding included — has a bit-exact DuckDB oracle
+  (round 3; see ``__ray_entry__.oracle_sql``).
 - **ngram_jaccard**: per-doc set sizes ride on the exploded shingle
   rows, so intersection, union and threshold all happen in tasks.
 - **simhash**: vectorized 64-bit signature per batch; exact
@@ -32,7 +35,6 @@ All thresholds/params are module constants mirrored by the oracles.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -48,10 +50,29 @@ LSH_BANDS = 16          # 16 bands × 4 rows
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.40
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31−1: with 31-bit permutation coefficients and
+# 31-bit reduced shingle hashes, every product a*h + b stays < 2^62 —
+# exact in BOTH numpy int64 and DuckDB BIGINT, which is what makes the
+# LSH banding SQL-oracle-able (a 61-bit prime would need 128-bit
+# products: silent int64 wraparound in numpy, HUGEINT gymnastics in
+# SQL). 64 permutations at 2^-31 collision odds per pair per
+# permutation is far below the corpus scales where it could matter.
+MINHASH_PRIME = (1 << 31) - 1
 _rng = np.random.RandomState(42)
-_PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
-_PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+_PERM_A = _rng.randint(1, MINHASH_PRIME, size=NUM_PERM, dtype=np.int64)
+_PERM_B = _rng.randint(0, MINHASH_PRIME, size=NUM_PERM, dtype=np.int64)
+
+
+def _md5h60(s: str) -> int:
+    """60-bit hash: the first 15 hex chars of md5(s) as an int.
+
+    Chosen over crc32/xxhash because DuckDB reproduces it verbatim —
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` — so every signature
+    built on it (minhash, LSH band hashes, simhash bit votes) gets a
+    full SQL oracle instead of a rows-only check. hashlib.md5 is
+    C-backed; per-string cost is within 2× of crc32 and off the
+    per-row hot path (called once per DISTINCT shingle/token)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def _read_documents(
@@ -134,14 +155,16 @@ def _shingle_hashes(text: str) -> np.ndarray:
     if not sh:
         return np.zeros(1, dtype=np.int64)
     return np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in sh), dtype=np.int64, count=len(sh)
+        (_md5h60(s) for s in sh), dtype=np.int64, count=len(sh)
     )
 
 
 def _minhash_signature(text: str) -> np.ndarray:
-    h = _shingle_hashes(text)  # (S,)
-    # universal hashing: (a*h + b) mod p, minimum per permutation
-    vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+    h = _shingle_hashes(text) % MINHASH_PRIME  # (S,) 31-bit
+    # universal hashing: (a*h + b) mod p, minimum per permutation;
+    # products < 2^62 — int64-exact, mirrored term for term by the
+    # SQL oracle's BIGINT arithmetic
+    vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % MINHASH_PRIME
     return vals.min(axis=0)  # (NUM_PERM,)
 
 
@@ -159,7 +182,10 @@ def minhash_bands(sf_dir: str) -> rd.Dataset:
             sig = _minhash_signature(text)
             for b in range(LSH_BANDS):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = zlib.crc32(chunk.tobytes())
+                # band hash = md5 of the '|'-joined decimal minhash
+                # values — reproduced by the SQL oracle with
+                # md5(array_to_string(list(v ORDER BY j), '|'))
+                bh = _md5h60("|".join(map(str, chunk.tolist())))
                 out_band.append(b)
                 out_hash.append(bh)
                 out_doc.append(doc_id)
@@ -354,7 +380,7 @@ def _ngram_pair_dataset(
             n = len(sh_set)
             for sh in sh_set:
                 doc_ids.append(d)
-                shingle_hash.append(zlib.crc32(sh.encode("utf-8")))
+                shingle_hash.append(_md5h60(sh))
                 sizes.append(n)
         return pa.table(
             {
@@ -438,23 +464,24 @@ def ngram_jaccard_pairs(
 # simhash
 # ---------------------------------------------------------------------------
 
-def _token_hash64(tok: str, _cache: dict = {}) -> int:
-    """64-bit token hash (two crc32 halves). Worker-local memo: web
-    corpora reuse vocabulary heavily; the cache is size-capped so an
-    adversarial vocab can't grow worker heaps unboundedly."""
+def _token_hash60(tok: str, _cache: dict = {}) -> int:
+    """60-bit md5-derived token hash (SQL-reproducible; simhash bits
+    60–63 are therefore structurally 0 — a 60-effective-bit
+    fingerprint, which the Hamming-LSH banding and the oracle both
+    model). Worker-local memo: web corpora reuse vocabulary heavily;
+    the cache is size-capped so an adversarial vocab can't grow worker
+    heaps unboundedly."""
     h = _cache.get(tok)
     if h is None:
-        h = zlib.crc32(tok.encode("utf-8")) | (
-            zlib.crc32(tok[::-1].encode("utf-8")) << 32
-        )
+        h = _md5h60(tok)
         if len(_cache) < 1_000_000:
             _cache[tok] = h
     return h
 
 
 def simhash(sf_dir: str) -> rd.Dataset:
-    """doc_id, simhash — 64-bit SimHash over word tokens (crc32-seeded
-    bit votes). Identical values ⇒ near-identical token multisets.
+    """doc_id, simhash — 64-bit SimHash over word tokens (md5-60-bit
+    bit votes; bits 60-63 structurally 0, see _token_hash60). Identical values ⇒ near-identical token multisets.
     Bit votes are one vectorized (T×64) expansion per document instead
     of a per-token Python loop."""
 
@@ -467,7 +494,7 @@ def simhash(sf_dir: str) -> rd.Dataset:
                 out.append(0)
                 continue
             H = np.fromiter(
-                (_token_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+                (_token_hash60(t) for t in toks), dtype=np.uint64, count=len(toks)
             )
             bits = ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
@@ -951,8 +978,8 @@ def _verify_shuffled(
 
     Shingle sets travel as packed little-endian uint64 blobs (Arrow's
     hash join rejects list-typed payload columns); Jaccard is over
-    crc32 shingle-hash sets — identical to the broadcast path's
-    string-set result absent crc32 collisions, asserted equal in
+    md5-60-bit shingle-hash sets — identical to the broadcast path's
+    string-set result absent 60-bit collisions, asserted equal in
     tests. The shingle Dataset is consumed by both joins and re-reads
     the corpus rather than pinning corpus-sized state in the object
     store."""
@@ -969,12 +996,7 @@ def _verify_shuffled(
     def pack_shingles(t: pa.Table) -> pa.Table:
         blobs = []
         for txt in t.column("text").to_pylist():
-            h = np.unique(
-                np.fromiter(
-                    (zlib.crc32(s.encode("utf-8")) for s in set(_word_shingles(txt))),
-                    dtype=np.uint64,
-                )
-            )
+            h = np.unique(_shingle_hashes(txt).astype(np.uint64))
             blobs.append(h.astype("<u8").tobytes())
         return pa.table(
             {"doc_id": t.column("doc_id"), "sh": pa.array(blobs, pa.binary())}

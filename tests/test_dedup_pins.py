@@ -1,10 +1,13 @@
-"""Pinned-rows regression for the approximate operators that have no
-SQL oracle (VERDICT r1 items 2/4): minhash_lsh_pairs and ann_ivf_topk
-are deterministic by construction (seeded permutations / seeded
-k-means, floor-scaled integer scores), so their sf0.001 output is
-pinned by md5 of the sorted row tuples. The minhash pin was generated
-from the round-1 driver-side implementation and verified equal against
-the round-2 distributed one — the refactor is output-identical."""
+"""Pinned-rows regression for the deterministic-but-approximate
+operators: sf0.001 output pinned by md5 of the sorted row tuples.
+Round 3 gave minhash/simhash full DuckDB oracles (md5-derived hashes,
+checked at sf0.01 by the driver); these pins remain as fast
+regressions at sf0.001. The MINHASH pin survived the crc32→md5 hash
+swap unchanged — the verified output is the true-Jaccard pair set
+(string-shingle math, hash-independent) intersected with the banding
+candidates, and banding catches all 28 pairs under both hash
+families. The SIMHASH pin is the fingerprint itself, regenerated for
+the md5 token hash."""
 
 import hashlib
 
@@ -14,7 +17,7 @@ SF = "/root/testdata/sf0.001"
 
 MINHASH_PIN = (28, "fbeaebb93539c5b7739e97223d15467d")
 IVF_PIN = (100, "459f6de7074f64c0721af3b356ea694a")
-SIMHASH_PIN = (500, "c0a1a27f7c24a8e16f7974f2cfbf5b75")
+SIMHASH_PIN = (500, "06418ec9105ee43e0b00e25f114f8c29")
 
 
 def _pin(tbl) -> tuple[int, str]:
