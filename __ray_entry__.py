@@ -8,18 +8,21 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 34 of 44 queries are SQL-oracled
+  the value-hash comparison exact. 42 of 48 queries are SQL-oracled
   (incl. the whole crawl engine via a recursive-CTE closure, the
   per-doc interleaved SPAN SEQUENCE (kind, media_ref, order) — the
-  BASELINE.json row invariant — via ``crawl_spans``, the winnowing
-  fingerprint via a HUGEINT polynomial, near-dup connected components
-  via distributed min-label propagation, exact histogram quantiles,
-  as-of and range joins via LATERAL / non-equi joins, and the WARC
-  archive round-trip); the 10 approximate/hash-seeded/float-iterative
-  ones are rows-only here and verified otherwise in
-  tests/test_dedup_pins.py and tests/test_graph.py (pinned rows,
-  brute-force equality, recall/error bounds, allclose vs a numpy
-  power-iteration reference).
+  BASELINE.json row invariant — via ``crawl_spans``, per-host mirror
+  stats over the same closure, the winnowing fingerprint via a HUGEINT
+  polynomial, the FULL minhash-LSH and simhash pipelines — banding and
+  bit votes included — via md5-derived hashing, near-dup connected
+  components via distributed min-label propagation, exact histogram
+  quantiles, benchmark decontamination and duplicate-n-gram fractions,
+  grouped top-k windows, as-of and range joins via LATERAL / non-equi
+  joins, and the WARC archive round-trip); the 6
+  approximate/sketch/float-iterative ones are rows-only here and
+  verified otherwise in tests/test_dedup_pins.py and
+  tests/test_graph.py (pinned rows, brute-force equality, recall/error
+  bounds, allclose vs a numpy power-iteration reference).
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or below this module.
@@ -52,6 +55,14 @@ def _crawl_docs(sf_dir: str):
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return crawl_docs(sf_dir)
+
+
+def _crawl_hoststats(sf_dir: str):
+    """Per-host mirror aggregates — see
+    suckit_ray.pipelines.flagship.crawl_hoststats."""
+    from suckit_ray.pipelines.flagship import crawl_hoststats
+
+    return crawl_hoststats(sf_dir)
 
 
 def entry() -> Any:
@@ -147,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_mirror": _crawl_mirror_summary,
         "crawl_spans": _crawl_spans,
         "crawl_pagerank": graph.crawl_pagerank,
+        "crawl_hoststats": _crawl_hoststats,
         # WARC archive source+sink round-trip
         "warc_roundtrip": warcops.warc_roundtrip,
         # text analysis
@@ -185,10 +197,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": relops.events_range_join,
         "events_top_users": relops.events_top_users,
         "events_top_users_cms": relops.events_top_users_cms,
+        "events_top_k_per_user": relops.events_top_k_per_user,
         "docs_by_lang": textops.docs_by_lang,
         "docs_top_terms": textops.docs_top_terms,
         "docs_stratified_sample": textops.docs_stratified_sample,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
+        "docs_decontaminate": textops.docs_decontaminate,
+        "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
     }
 
 
@@ -330,6 +345,40 @@ _SIMHASH_SIG_SQL = r"""
             FROM documents d
             LEFT JOIN sig s ON s.doc_id = d.doc_id
         """
+
+
+# synthetic-web reachability closure (BFS from page 0 of every host
+# over the deterministic links_of() fanout), shared by every
+# crawl-backed oracle: crawl_mirror, crawl_spans, crawl_hoststats
+_CRAWL_REACH_CTE = r"""params AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     8 AS n_hosts, 16 AS n_assets
+            ),
+            hosts AS (
+              SELECT UNNEST(range(0, n_hosts)) AS h,
+                     n_docs // n_hosts
+                       + CASE WHEN UNNEST(range(0, n_hosts)) < n_docs % n_hosts
+                              THEN 1 ELSE 0 END AS m,
+                     n_hosts, n_assets
+              FROM params
+            ),
+            reach(h, j) AS (
+              SELECT h, 0 FROM hosts
+              UNION
+              SELECT e.h, e.t
+              FROM (
+                SELECT r.h AS h, x.t AS t
+                FROM reach r
+                JOIN hosts ho ON ho.h = r.h
+                CROSS JOIN LATERAL (VALUES
+                  ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                  ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              ) e
+            ),
+            hostname AS (
+              SELECT h, 'host' || lpad(CAST(h AS VARCHAR), 4, '0') || '.test' AS hn
+              FROM hosts
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -834,37 +883,9 @@ def oracle_sql() -> dict[str, str]:
         # The flagship: the WHOLE crawl engine (frontier waves, sharded
         # dedup, depth gates, span assembly) checked against a DuckDB
         # recursive-CTE BFS closure of the same deterministic link graph.
-        "crawl_mirror": r"""
+        "crawl_mirror": rf"""
             WITH RECURSIVE
-            params AS (
-              SELECT (SELECT count(*) FROM documents) AS n_docs,
-                     8 AS n_hosts, 16 AS n_assets
-            ),
-            hosts AS (
-              SELECT UNNEST(range(0, n_hosts)) AS h,
-                     n_docs // n_hosts
-                       + CASE WHEN UNNEST(range(0, n_hosts)) < n_docs % n_hosts
-                              THEN 1 ELSE 0 END AS m,
-                     n_hosts, n_assets
-              FROM params
-            ),
-            reach(h, j) AS (
-              SELECT h, 0 FROM hosts
-              UNION
-              SELECT e.h, e.t
-              FROM (
-                SELECT r.h AS h, x.t AS t
-                FROM reach r
-                JOIN hosts ho ON ho.h = r.h
-                CROSS JOIN LATERAL (VALUES
-                  ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
-                  ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
-              ) e
-            ),
-            hostname AS (
-              SELECT h, 'host' || lpad(CAST(h AS VARCHAR), 4, '0') || '.test' AS hn
-              FROM hosts
-            ),
+            {_CRAWL_REACH_CTE},
             pages AS (
               SELECT hn.hn || '//p' || r.j || '.html' AS doc_id, hn.hn AS host,
                      CAST(200 AS INT) AS status, TRUE AS is_html,
@@ -884,37 +905,9 @@ def oracle_sql() -> dict[str, str]:
         # regenerate the rewritten link targets of every crawled page
         # in document order — img first (src), then the 4 hrefs in
         # links_of() order; assets carry one media span of themselves
-        "crawl_spans": r"""
+        "crawl_spans": rf"""
             WITH RECURSIVE
-            params AS (
-              SELECT (SELECT count(*) FROM documents) AS n_docs,
-                     8 AS n_hosts, 16 AS n_assets
-            ),
-            hosts AS (
-              SELECT UNNEST(range(0, n_hosts)) AS h,
-                     n_docs // n_hosts
-                       + CASE WHEN UNNEST(range(0, n_hosts)) < n_docs % n_hosts
-                              THEN 1 ELSE 0 END AS m,
-                     n_hosts, n_assets
-              FROM params
-            ),
-            reach(h, j) AS (
-              SELECT h, 0 FROM hosts
-              UNION
-              SELECT e.h, e.t
-              FROM (
-                SELECT r.h AS h, x.t AS t
-                FROM reach r
-                JOIN hosts ho ON ho.h = r.h
-                CROSS JOIN LATERAL (VALUES
-                  ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
-                  ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
-              ) e
-            ),
-            hostname AS (
-              SELECT h, 'host' || lpad(CAST(h AS VARCHAR), 4, '0') || '.test' AS hn
-              FROM hosts
-            ),
+            {_CRAWL_REACH_CTE},
             page_spans AS (
               SELECT hn.hn || '//p' || r.j || '.html' AS doc_id,
                      CAST(x.ord AS BIGINT) AS ord,
@@ -954,6 +947,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # per-host mirror aggregates over the same reachability closure
+        "crawl_hoststats": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            pages AS (
+              SELECT hn.hn AS host, count(*) AS n_pages
+              FROM reach r JOIN hostname hn ON hn.h = r.h GROUP BY 1
+            ),
+            assets AS (
+              SELECT host, count(*) AS n_assets FROM (
+                SELECT DISTINCT hn.hn AS host,
+                       ((13*r.j+7) % ho.n_assets) AS a
+                FROM reach r
+                JOIN hostname hn ON hn.h = r.h
+                JOIN hosts ho ON ho.h = r.h
+              ) GROUP BY 1
+            )
+            SELECT p.host,
+                   CAST(p.n_pages AS BIGINT) AS n_pages,
+                   CAST(a.n_assets AS BIGINT) AS n_assets,
+                   CAST(5 * p.n_pages AS BIGINT) AS n_outlinks,
+                   CAST(11 * p.n_pages + a.n_assets AS BIGINT) AS n_spans
+            FROM pages p JOIN assets a USING (host)
+        """,
+        # grouped top-k window: row_number per user over (value DESC,
+        # event_id) — ties on value break deterministically on event_id
+        "events_top_k_per_user": """
+            SELECT user_id, event_id, rnk FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                     ) AS rnk
+              FROM events
+            ) WHERE rnk <= 3
+        """,
+        # decontamination: training docs (doc_id % 23 != 0) sharing any
+        # word-4-gram with the eval slice (doc_id % 23 == 0); n_shared
+        # counts the doc's DISTINCT 4-grams that occur in the eval set
+        "docs_decontaminate": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 2)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(L[i:i+3], ' ') AS s
+              FROM pos
+            ),
+            ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS n
+              FROM sh JOIN ev USING (s)
+              WHERE sh.doc_id % 23 <> 0 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared,
+                   CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
+            FROM documents d
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE d.doc_id % 23 <> 0
+        """,
+        # corpus-wide duplicate-4-gram fraction per doc
+        "docs_dup_ngram_fraction": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 2)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(L[i:i+3], ' ') AS s
+              FROM pos
+            ),
+            freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+            SELECT sh.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   CAST(floor(10000.0 * sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                              / count(*)) AS BIGINT) AS dup_pct
+            FROM sh JOIN freq f USING (s)
+            GROUP BY sh.doc_id
         """,
         # no oracle (rows-only): embedding_dup_pairs_ivf, ann_ivf_topk,
         # ann_lsh_topk, events_distinct_users_hll, events_top_users_cms,

@@ -53,3 +53,50 @@ def crawl_docs(sf_dir: str) -> rd.Dataset:
         )
         _CRAWL_OUT_CACHE[sf_dir] = out
     return rd.read_parquet(os.path.join(_CRAWL_OUT_CACHE[sf_dir], "docs"))
+
+
+def crawl_hoststats(sf_dir: str) -> rd.Dataset:
+    """(host, n_pages, n_assets, n_outlinks, n_spans): per-host mirror
+    aggregates over the flagship crawl — the operational per-domain
+    report a crawl at 10^10-URL scale is monitored by (coverage per
+    host, asset ratio, outlink mass). Consumes the STREAMED per-wave
+    parquet (no driver materialization); one bucketed groupby on host,
+    which is also the frontier's shard key, so at scale this aggregation
+    aligns with the crawl's own partitioning."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_html = t.column("is_html")
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "is_page": pc.cast(is_html, pa.int64()),
+                "is_asset": pc.cast(pc.invert(is_html), pa.int64()),
+                "n_outlinks": pc.cast(t.column("n_outlinks"), pa.int64()),
+                "n_spans": pc.cast(
+                    pc.list_value_length(t.column("spans")), pa.int64()
+                ),
+            }
+        )
+
+    ds = crawl_docs(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+    agg = bucketed_groupby_agg(
+        ds,
+        keys=["host"],
+        aggs={
+            "n_pages": ("is_page", "sum"),
+            "n_assets": ("is_asset", "sum"),
+            "n_outlinks": ("n_outlinks", "sum"),
+            "n_spans": ("n_spans", "sum"),
+        },
+    )
+
+    def order_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["host", "n_pages", "n_assets", "n_outlinks", "n_spans"]]
+
+    return agg.map_batches(order_cols, batch_format="pandas")

@@ -574,3 +574,55 @@ def events_range_join(sf_dir: str) -> "pa.Table":
             "n_clicks_1h": pa.array(out["n_clicks_1h"].tolist(), pa.int64()),
         }
     )
+
+
+TOPK_PER_USER = 3
+
+
+def events_top_k_per_user(sf_dir: str, k: int = TOPK_PER_USER) -> rd.Dataset:
+    """(user_id, event_id, rnk): each user's top-k events by value —
+    the grouped top-k window (SQL's row_number() OVER (PARTITION BY
+    user_id ORDER BY value DESC, event_id)) Ray Data has no native
+    operator for. Deterministic: ties on value break on event_id.
+
+    Scale shape: per-BLOCK partial top-k per user first (sort +
+    groupby-head is vectorized pandas; the final per-user top-k is a
+    subset of the union of per-block top-ks), so the exchange carries
+    at most k rows per (user, block) instead of every event; then one
+    bucketed groupby on user hash finishes the rank inside each
+    bucket. Skewed users cost k rows per block, not their full event
+    history."""
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True]
+        ).groupby("user_id", as_index=False).head(k)
+        p = p.assign(bucket=(p["user_id"] % B).astype("int64"))
+        return p
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True]
+        )
+        s = s.groupby("user_id", as_index=False).head(k)
+        rnk = s.groupby("user_id").cumcount() + 1
+        return pd.DataFrame(
+            {
+                "user_id": s["user_id"].astype("int64"),
+                "event_id": s["event_id"].astype("int64"),
+                "rnk": rnk.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(block_topk, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+    )

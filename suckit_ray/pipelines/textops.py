@@ -493,3 +493,167 @@ def quality_dedup_overlap(sf_dir: str) -> "pa.Table":
             "n_dedup_only": pa.array([len(b) - len(inter)], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a broadcast eval set)
+# ---------------------------------------------------------------------------
+
+DECONTAM_K = 4          # word n-gram length for overlap matching
+DECONTAM_EVAL_MOD = 23  # eval/benchmark docs: doc_id % MOD == 0
+
+
+def _ngram_hashes(text: str, k: int) -> "np.ndarray":
+    """Distinct word-k-gram hashes of a doc (md5-60-bit, the repo-wide
+    SQL-reproducible hash — suckit_ray.pipelines.dedup._md5h60)."""
+    import numpy as np
+
+    from suckit_ray.pipelines.dedup import _md5h60
+
+    toks = text.split()
+    grams = {
+        " ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))
+    } or ({" ".join(toks)} if toks else set())
+    return np.fromiter(
+        (_md5h60(g) for g in grams), dtype=np.int64, count=len(grams)
+    )
+
+
+def docs_decontaminate(
+    sf_dir: str, k: int = DECONTAM_K, eval_mod: int = DECONTAM_EVAL_MOD
+) -> rd.Dataset:
+    """(doc_id, n_shared, contaminated) for every TRAINING doc — the
+    eval-set decontamination step of a training-data pipeline: a
+    training doc is contaminated if it shares any word-k-gram with the
+    benchmark/eval set (here the deterministic in-corpus slice
+    doc_id % eval_mod == 0; in production, the held-out benchmark
+    suite). n_shared = number of DISTINCT k-grams of the doc that also
+    occur anywhere in the eval set.
+
+    Scale shape: the eval side is small by nature (benchmarks are
+    bounded, unlike the corpus), so this is the canonical broadcast
+    anti-join — the eval k-gram hash set is computed distributed,
+    collected once (sorted int64 array), ``ray.put`` once, and each
+    training batch runs ONE vectorized ``np.isin`` against it; the
+    O(corpus) side never shuffles. Hashing is md5-60-bit so the DuckDB
+    oracle replays the overlap with string equality (collision odds
+    ~2^-60 per gram pair)."""
+    import numpy as np
+    import ray
+
+    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % eval_mod == 0]
+        hs = (
+            np.unique(np.concatenate([_ngram_hashes(t, k) for t in sub["text"]]))
+            if len(sub)
+            else np.array([], dtype=np.int64)
+        )
+        return pd.DataFrame({"h": hs})
+
+    eval_parts = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        eval_grams, batch_format="pandas"
+    )
+    ev = np.unique(eval_parts.to_pandas()["h"].to_numpy())  # sorted
+    ev_ref = ray.put(ev)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ev_ = ray.get(ev_ref)
+        sub = df[df["doc_id"] % eval_mod != 0]
+        if not len(sub):
+            return pd.DataFrame(
+                {"doc_id": [], "n_shared": [], "contaminated": []}
+            ).astype("int64")
+        # one flat isin per batch: concatenate all docs' gram hashes,
+        # then segment-sum the membership mask back per doc
+        grams = [_ngram_hashes(t, k) for t in sub["text"]]
+        lens = np.array([len(g) for g in grams])
+        flat = np.concatenate(grams) if len(grams) else np.array([], dtype=np.int64)
+        hit = np.isin(flat, ev_, assume_unique=False)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        n_shared = np.add.reduceat(hit.astype(np.int64), bounds[:-1]) if len(flat) else np.array([], dtype=np.int64)
+        n_shared = np.where(lens > 0, n_shared, 0)
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].astype("int64"),
+                "n_shared": n_shared.astype("int64"),
+                "contaminated": (n_shared > 0).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide duplicate n-gram fraction (exact-substring dup signal)
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_K = 4        # word n-gram length
+DUP_NGRAM_MIN_DOCS = 2 # a gram is "duplicated" if it occurs in >= 2 docs
+
+
+def docs_dup_ngram_fraction(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
+    """(doc_id, n_grams, n_dup, dup_pct): for each doc, how many of
+    its DISTINCT word-k-grams occur in at least one OTHER doc —
+    the corpus-level exact-substring duplication signal (the scalable
+    stand-in for suffix-array substring dedup: a doc whose k-grams are
+    mostly shared is a copy/template). dup_pct = floor(10000*n_dup/
+    n_grams).
+
+    Scale shape — two bounded shuffles, no driver state: explode docs
+    to (doc_id, gram-hash, per-doc total) rows; groupby gram-hash
+    bucket computes each gram's doc-frequency INSIDE the bucket
+    (grams of one hash always co-locate) and emits per-(doc, bucket)
+    partial dup counts; a bucketed per-doc aggregation sums the
+    partials. Both exchanges carry 3 int64 columns."""
+    import numpy as np
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, hs, ns = [], [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            g = _ngram_hashes(t, k)
+            doc_ids.extend([d] * len(g))
+            hs.extend(g.tolist())
+            ns.extend([len(g)] * len(g))
+        out = pd.DataFrame(
+            {"doc_id": doc_ids, "h": hs, "n": ns}, dtype="int64"
+        )
+        out["hb"] = (out["h"] % B).astype("int64")
+        return out
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        freq = g.groupby("h")["doc_id"].transform("size")
+        g = g.assign(dup=(freq >= DUP_NGRAM_MIN_DOCS).astype("int64"))
+        return g.groupby("doc_id", as_index=False).agg(
+            n_dup=("dup", "sum"), n_grams=("n", "max")
+        )
+
+    partials = ds.groupby("hb").map_groups(bucket_partial, batch_format="pandas")
+    agg = bucketed_groupby_agg(
+        partials,
+        keys=["doc_id"],
+        aggs={"n_dup": ("n_dup", "sum"), "n_grams": ("n_grams", "max")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_grams": df["n_grams"].astype("int64"),
+                "n_dup": df["n_dup"].astype("int64"),
+                "dup_pct": np.floor(
+                    10000.0 * df["n_dup"] / df["n_grams"].clip(lower=1)
+                ).astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,100 @@
+"""Semantic tests for the late round-3 operators (decontamination,
+duplicate-n-gram fraction, grouped top-k, per-host crawl stats) —
+each op also carries a full SQL oracle in __ray_entry__ checked by the
+driver at sf0.01; these tests pin the SEMANTICS against independent
+pandas/numpy references at sf0.001 so a same-bug-both-engines slip
+in the SQL mirror can't hide."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_k_per_user_equals_pandas_window():
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.events_top_k_per_user(SF)
+        .to_pandas()
+        .sort_values(["user_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "value", "event_id"],
+                        ascending=[True, False, True])
+    ev["rnk"] = ev.groupby("user_id").cumcount() + 1
+    want = (
+        ev[ev["rnk"] <= relops.TOPK_PER_USER][["user_id", "event_id", "rnk"]]
+        .sort_values(["user_id", "rnk"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_excludes_eval_and_flags_consistent():
+    from suckit_ray.pipelines import textops
+
+    df = textops.docs_decontaminate(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    n_eval = sum(
+        1 for i in range(n_docs) if i % textops.DECONTAM_EVAL_MOD == 0
+    )
+    # every training doc present exactly once, no eval docs
+    assert len(df) == n_docs - n_eval
+    assert not (df["doc_id"] % textops.DECONTAM_EVAL_MOD == 0).any()
+    assert df["doc_id"].is_unique
+    # the flag is exactly n_shared > 0
+    assert (df["contaminated"] == (df["n_shared"] > 0).astype(int)).all()
+    # exact text copies of an eval doc MUST be contaminated
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    eval_texts = set(
+        docs.loc[docs["doc_id"] % textops.DECONTAM_EVAL_MOD == 0, "text"]
+    )
+    train = docs[docs["doc_id"] % textops.DECONTAM_EVAL_MOD != 0]
+    copies = set(train.loc[train["text"].isin(eval_texts), "doc_id"])
+    flagged = set(df.loc[df["contaminated"] == 1, "doc_id"])
+    assert copies <= flagged
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_fraction_exact_copies_hit_10000():
+    from suckit_ray.pipelines import textops
+
+    df = textops.docs_dup_ngram_fraction(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(df) == n_docs and df["doc_id"].is_unique
+    assert (df["n_dup"] <= df["n_grams"]).all()
+    assert (df["dup_pct"] == (10000 * df["n_dup"] // df["n_grams"])).all()
+    # every doc whose full text occurs in >= 2 docs shares ALL its
+    # 4-grams with another doc -> dup_pct == 10000
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    sizes = docs.groupby("text")["doc_id"].transform("size")
+    dup_ids = set(docs.loc[sizes >= 2, "doc_id"])
+    got = df.set_index("doc_id")
+    assert all(got.loc[i, "dup_pct"] == 10000 for i in dup_ids)
+    # and some docs must be clean (corpus is not all template)
+    assert (df["dup_pct"] == 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_hoststats_consistent_with_mirror():
+    from suckit_ray.pipelines import flagship
+
+    hs = flagship.crawl_hoststats(SF).to_pandas()
+    docs = flagship.crawl_docs(SF).to_pandas()
+    assert len(hs) == docs["host"].nunique()
+    assert hs["n_pages"].sum() == int(docs["is_html"].sum())
+    assert hs["n_assets"].sum() == int((~docs["is_html"]).sum())
+    # synthetic pages carry 5 outlinks each, assets none
+    assert (hs["n_outlinks"] == 5 * hs["n_pages"]).all()
+    per_host = docs.assign(n_spans=docs["spans"].map(len)).groupby("host")[
+        "n_spans"
+    ].sum()
+    merged = hs.set_index("host")["n_spans"]
+    assert merged.sort_index().equals(per_host.sort_index().astype("int64"))
