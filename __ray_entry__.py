@@ -8,11 +8,12 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 42 of 48 queries are SQL-oracled
+  the value-hash comparison exact. 43 of 49 queries are SQL-oracled
   (incl. the whole crawl engine via a recursive-CTE closure, the
   per-doc interleaved SPAN SEQUENCE (kind, media_ref, order) — the
   BASELINE.json row invariant — via ``crawl_spans``, per-host mirror
-  stats over the same closure, the winnowing fingerprint via a HUGEINT
+  stats over the same closure, incremental recrawl diffs via a
+  two-closure FULL OUTER JOIN, the winnowing fingerprint via a HUGEINT
   polynomial, the FULL minhash-LSH and simhash pipelines — banding and
   bit votes included — via md5-derived hashing, near-dup connected
   components via distributed min-label propagation, exact histogram
@@ -63,6 +64,14 @@ def _crawl_hoststats(sf_dir: str):
     from suckit_ray.pipelines.flagship import crawl_hoststats
 
     return crawl_hoststats(sf_dir)
+
+
+def _crawl_diff(sf_dir: str):
+    """Incremental recrawl diff — see
+    suckit_ray.pipelines.flagship.crawl_diff."""
+    from suckit_ray.pipelines.flagship import crawl_diff
+
+    return crawl_diff(sf_dir)
 
 
 def entry() -> Any:
@@ -159,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_spans": _crawl_spans,
         "crawl_pagerank": graph.crawl_pagerank,
         "crawl_hoststats": _crawl_hoststats,
+        "crawl_diff": _crawl_diff,
         # WARC archive source+sink round-trip
         "warc_roundtrip": warcops.warc_roundtrip,
         # text analysis
@@ -345,6 +355,38 @@ _SIMHASH_SIG_SQL = r"""
             FROM documents d
             LEFT JOIN sig s ON s.doc_id = d.doc_id
         """
+
+
+def _reach_cte(sfx: str, n_docs_expr: str, n_hosts: int = 8) -> str:
+    """A parameterized copy of the reachability closure with suffixed
+    table names — lets one oracle hold TWO closures (crawl_diff diffs
+    the flagship web against the grown-but-one-host-down v2 web).
+    ``n_docs_expr`` is a SQL expression over
+    ``(SELECT count(*) FROM documents)``."""
+    return rf"""params{sfx} AS (
+              SELECT {n_docs_expr} AS n_docs, {n_hosts} AS n_hosts, 16 AS n_assets
+            ),
+            hosts{sfx} AS (
+              SELECT UNNEST(range(0, n_hosts)) AS h,
+                     n_docs // n_hosts
+                       + CASE WHEN UNNEST(range(0, n_hosts)) < n_docs % n_hosts
+                              THEN 1 ELSE 0 END AS m,
+                     n_hosts, n_assets
+              FROM params{sfx}
+            ),
+            reach{sfx}(h, j) AS (
+              SELECT h, 0 FROM hosts{sfx}
+              UNION
+              SELECT e.h, e.t
+              FROM (
+                SELECT r.h AS h, x.t AS t
+                FROM reach{sfx} r
+                JOIN hosts{sfx} ho ON ho.h = r.h
+                CROSS JOIN LATERAL (VALUES
+                  ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                  ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              ) e
+            )"""
 
 
 # synthetic-web reachability closure (BFS from page 0 of every host
@@ -971,6 +1013,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 * p.n_pages AS BIGINT) AS n_outlinks,
                    CAST(11 * p.n_pages + a.n_assets AS BIGINT) AS n_spans
             FROM pages p JOIN assets a USING (host)
+        """,
+        # incremental recrawl diff: two reachability closures (flagship
+        # web vs the v2 web — 25% more pages, one host gone), FULL
+        # OUTER JOIN on page id;
+        # 'changed' compares the rewritten link-span target sequence —
+        # the same string the Ray path hashes per page
+        "crawl_diff": rf"""
+            WITH RECURSIVE
+            {_reach_cte('_a', '(SELECT count(*) FROM documents)')},
+            {_reach_cte('_b', '(SELECT count(*) FROM documents) + (SELECT count(*) FROM documents) // 4', n_hosts=7)},
+            sig_a AS (
+              SELECT 'host' || lpad(CAST(r.h AS VARCHAR), 4, '0') || '.test//p'
+                       || r.j || '.html' AS doc_id,
+                     'media:img' || ((13*r.j+7) % ho.n_assets) || '.jpg'
+                       || '|link:p' || ((2*r.j+1) % ho.m) || '.html'
+                       || '|link:p' || ((2*r.j+2) % ho.m) || '.html'
+                       || '|link:p' || ((5*r.j+3) % ho.m) || '.html'
+                       || '|link:p' || ((5*r.j+10) % ho.m) || '.html' AS sig
+              FROM reach_a r JOIN hosts_a ho ON ho.h = r.h
+            ),
+            sig_b AS (
+              SELECT 'host' || lpad(CAST(r.h AS VARCHAR), 4, '0') || '.test//p'
+                       || r.j || '.html' AS doc_id,
+                     'media:img' || ((13*r.j+7) % ho.n_assets) || '.jpg'
+                       || '|link:p' || ((2*r.j+1) % ho.m) || '.html'
+                       || '|link:p' || ((2*r.j+2) % ho.m) || '.html'
+                       || '|link:p' || ((5*r.j+3) % ho.m) || '.html'
+                       || '|link:p' || ((5*r.j+10) % ho.m) || '.html' AS sig
+              FROM reach_b r JOIN hosts_b ho ON ho.h = r.h
+            )
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE
+                     WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.sig <> b.sig THEN 'changed'
+                     ELSE 'same'
+                   END AS status
+            FROM sig_a a FULL OUTER JOIN sig_b b ON a.doc_id = b.doc_id
         """,
         # grouped top-k window: row_number per user over (value DESC,
         # event_id) — ties on value break deterministically on event_id

@@ -100,3 +100,133 @@ def crawl_hoststats(sf_dir: str) -> rd.Dataset:
         return df[["host", "n_pages", "n_assets", "n_outlinks", "n_spans"]]
 
     return agg.map_batches(order_cols, batch_format="pandas")
+
+
+_CRAWL_V2_CACHE: dict[str, str] = {}  # sf_dir → v2 (re-crawl) output dir
+
+
+def corpus_for_v2(sf_dir: str):
+    """The 'later' version of the synthetic web for incremental-crawl
+    operators: 25% MORE pages but one host GONE (site shut down).
+    Growing m changes every surviving page's mod-m link targets, so
+    the recrawl sees new pages (added), pages whose outlinks moved
+    (changed), pages whose span sequence is m-invariant (same), and
+    the dead host's pages (removed) — all four diff statuses are
+    exercised by construction."""
+    import pyarrow.parquet as pq
+
+    from suckit_ray.sources.pagestore import SyntheticCorpus
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return SyntheticCorpus(
+        n_hosts=7,
+        n_docs=n_docs + n_docs // 4,
+        fanout=4,
+        n_assets_per_host=16,
+        ext_links=False,
+    )
+
+
+def crawl_docs_v2(sf_dir: str) -> rd.Dataset:
+    """Lazy Dataset over the RE-crawl (v2 corpus) — memoized like the
+    flagship crawl so diff consumers share one recrawl per process."""
+    from suckit_ray.config import CrawlConfig
+    from suckit_ray.pipelines.crawl import crawl
+    from suckit_ray.sources.pagestore import SyntheticPageStore
+
+    if sf_dir not in _CRAWL_V2_CACHE:
+        corpus = corpus_for_v2(sf_dir)
+        out = tempfile.mkdtemp(prefix="suckit_flagship_v2_")
+        crawl(
+            CrawlConfig(origin=corpus.page_url(0, 0)),
+            SyntheticPageStore(corpus),
+            seeds=corpus.seeds(),
+            num_shards=4,
+            output_dir=out,
+            collect=False,
+        )
+        _CRAWL_V2_CACHE[sf_dir] = out
+    return rd.read_parquet(os.path.join(_CRAWL_V2_CACHE[sf_dir], "docs"))
+
+
+def _page_sigs(ds: rd.Dataset, side: str) -> rd.Dataset:
+    """(doc_id, side, sig) for every HTML page of a crawled mirror.
+    sig = md5 of the NON-TEXT span sequence 'kind:media_ref|...' —
+    the rewritten link/media targets in document order, i.e. the
+    BASELINE.json row invariant reduced to one hash. Text paragraphs
+    are page-local (m-invariant), so sig equality across crawls is
+    exactly 'this page's links did not move'."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        doc_ids, sigs = [], []
+        for doc_id, is_html, spans in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("is_html").to_pylist(),
+            t.column("spans").to_pylist(),
+        ):
+            if not is_html:
+                continue
+            parts = [
+                f"{s['kind']}:{s['media_ref']}"
+                for s in spans
+                if s["kind"] != "text"
+            ]
+            doc_ids.append(doc_id)
+            sigs.append(hashlib.md5("|".join(parts).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "side": pa.array([side] * len(doc_ids), pa.string()),
+                "sig": pa.array(sigs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def crawl_diff(sf_dir: str) -> rd.Dataset:
+    """(doc_id, status) incremental-crawl diff between the flagship
+    mirror and the v2 recrawl: 'added' (only in v2), 'removed' (only
+    in v1), 'changed' (both, link spans moved), 'same' (both,
+    identical span sequence).
+
+    Scale shape: both mirrors stay as streamed parquet; the diff is a
+    tagged union of (doc_id, side, sig) rows — 3 short string columns
+    — into ONE bucketed groupby on doc_id hash. No join actors, no
+    driver state; at 10^10 URLs this is the same single-exchange shape
+    as exact dedup."""
+    import pandas as pd
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    both = _page_sigs(crawl_docs(sf_dir), "a").union(
+        _page_sigs(crawl_docs_v2(sf_dir), "b")
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["doc_id"], index=False).astype("uint64")
+        return df.assign(bucket=(h % B).astype("int64"))
+
+    def diff_group(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(
+            index="doc_id", columns="side", values="sig", aggfunc="first"
+        )
+        a = p["a"] if "a" in p else pd.Series(index=p.index, dtype="object")
+        b = p["b"] if "b" in p else pd.Series(index=p.index, dtype="object")
+        status = pd.Series("same", index=p.index, dtype="object")
+        status[a.isna()] = "added"
+        status[b.isna()] = "removed"
+        status[a.notna() & b.notna() & (a != b)] = "changed"
+        return pd.DataFrame(
+            {"doc_id": p.index.astype(str), "status": status.to_numpy()}
+        )
+
+    return (
+        both.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(diff_group, batch_format="pandas")
+    )

@@ -98,3 +98,51 @@ def test_crawl_hoststats_consistent_with_mirror():
     ].sum()
     merged = hs.set_index("host")["n_spans"]
     assert merged.sort_index().equals(per_host.sort_index().astype("int64"))
+
+
+def _closure_sigs(corpus):
+    """Independent BFS closure + per-page link-span signature computed
+    straight from the corpus link formula (no crawl involved)."""
+    sigs = {}
+    for h in range(corpus.n_hosts):
+        m = corpus.docs_per_host(h)
+        seen, stack = {0}, [0]
+        while stack:
+            j = stack.pop()
+            for t in ((2 * j + 1) % m, (2 * j + 2) % m,
+                      (5 * j + 3) % m, (5 * j + 10) % m):
+                if t not in seen:
+                    seen.add(t)
+                    stack.append(t)
+        for j in seen:
+            sig = (
+                (13 * j + 7) % corpus.n_assets_per_host,
+                (2 * j + 1) % m, (2 * j + 2) % m,
+                (5 * j + 3) % m, (5 * j + 10) % m,
+            )
+            sigs[f"{corpus.host_name(h)}//p{j}.html"] = sig
+    return sigs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_diff_matches_independent_closure():
+    from suckit_ray.pipelines import flagship
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in flagship.crawl_diff(SF).to_pandas().to_dict("records")
+    }
+
+    a = _closure_sigs(flagship.corpus_for(SF))
+    b = _closure_sigs(flagship.corpus_for_v2(SF))
+    want = {}
+    for d in set(a) | set(b):
+        if d not in b:
+            want[d] = "removed"
+        elif d not in a:
+            want[d] = "added"
+        else:
+            want[d] = "changed" if a[d] != b[d] else "same"
+    assert got == want
+    # the v2 corpus exercises every status by construction
+    assert set(want.values()) == {"added", "removed", "changed", "same"}
