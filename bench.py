@@ -145,6 +145,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_quantiles",
         "top_customers",
         "docs_top_terms",
+        "events_top_k_per_user",
+        "docs_decontaminate",
+        "docs_dup_ngram_fraction",
         "warc_roundtrip",
         "training_corpus",
     ]
