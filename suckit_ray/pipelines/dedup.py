@@ -749,30 +749,84 @@ def _cc_labels(
             )
 
 
-def near_dup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
+# Below this many thresholded pairs the connected components run as a
+# driver union-find over the (already-sparse) edge list instead of
+# 2–4 distributed label-propagation rounds — the same bounded-cutover
+# pattern as minhash's BROADCAST_PAIR_LIMIT: the small side is O(limit)
+# ints by construction, and skipping the per-round materialize barriers
+# saves ~2–3 s per call at test scale. Above the cap the zero-driver
+# propagation path (_cc_labels) takes over.
+CC_DRIVER_PAIR_LIMIT = 200_000
+
+
+def _cc_union_find(pairs: "pa.Table") -> dict[int, int]:
+    """Union-find over a SMALL collected edge table — only ever called
+    under CC_DRIVER_PAIR_LIMIT. Returns the sparse non-root map
+    {node: min-id root} (singletons and roots omitted)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(
+        pairs.column("a_id").to_pylist(), pairs.column("b_id").to_pylist()
+    ):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # root at the smaller id so cluster_id = min of component
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in list(parent) if find(n) != n}
+
+
+def near_dup_clusters(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    cc_driver_limit: int = CC_DRIVER_PAIR_LIMIT,
+) -> rd.Dataset:
     """(doc_id, cluster_id): connected components of the exact n-gram
     Jaccard ≥ threshold near-dup graph — the step that turns pair
     evidence into a deduplicated corpus (keep cluster_id == doc_id,
     drop the rest). cluster_id = min doc_id of the component.
 
     Partitioning shape (round 3): edges stream from the fully
-    distributed ``_ngram_pair_dataset`` into ``_cc_labels`` — iterated
-    min-label propagation over Dataset blocks, so NO component state
-    (pairs, adjacency, union-find parents) ever lives on the driver.
-    Only the converged non-singleton label map — sparse: one entry per
-    removed near-dup — is collected and broadcast once via ``ray.put``
-    for the distributed assignment pass over all docs (singletons
-    assign to themselves without an entry)."""
+    distributed ``_ngram_pair_dataset``; the component labels come
+    from ``_cc_labels`` — iterated min-label propagation over Dataset
+    blocks, so NO component state (pairs, adjacency, union-find
+    parents) ever lives on the driver — UNLESS the thresholded pair
+    count is under ``CC_DRIVER_PAIR_LIMIT``, in which case the edges
+    (already a sparse, bounded final output — ``ngram_jaccard_pairs``
+    collects the same rows by design) union-find on the driver,
+    skipping the propagation rounds' materialize barriers (auto-
+    cutover, equality-tested against the propagation path). Either
+    way only the sparse non-singleton label map — one entry per
+    removed near-dup — broadcasts via ``ray.put`` for the distributed
+    assignment pass over all docs (singletons assign to themselves
+    without an entry)."""
     import ray
 
-    labels = _cc_labels(_ngram_pair_dataset(sf_dir, threshold))
-    comp: dict[int, int] = {}
-    for part in labels.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for n, l in zip(
-            part.column("node").to_pylist(), part.column("label").to_pylist()
-        ):
-            if n != l:
-                comp[n] = l
+    pair_ds = _ngram_pair_dataset(sf_dir, threshold).materialize()
+    comp: dict[int, int]
+    if pair_ds.count() <= cc_driver_limit:
+        comp = _cc_union_find(
+            pa.Table.from_pandas(
+                pair_ds.select_columns(["a_id", "b_id"]).to_pandas()
+            )
+        )
+    else:
+        labels = _cc_labels(pair_ds)
+        comp = {}
+        for part in labels.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for n, l in zip(
+                part.column("node").to_pylist(), part.column("label").to_pylist()
+            ):
+                if n != l:
+                    comp[n] = l
     comp_ref = ray.put(comp)
 
     def assign(t: pa.Table) -> pa.Table:

@@ -199,8 +199,14 @@ def test_cc_labels_distributed_equals_union_find():
     )
     assert _cc_labels(rd.from_arrow(empty)).count() == 0
 
-    # real pair graph: distributed result == driver union-find
-    out = near_dup_clusters(SF).to_pandas()
+    # real pair graph, BOTH cutover routes (late round 3: pair counts
+    # under CC_DRIVER_PAIR_LIMIT take a bounded driver union-find, the
+    # propagation path stays the scale route) == reference union-find
+    out = near_dup_clusters(SF).to_pandas()  # driver route at sf0.001
+    out_prop = near_dup_clusters(SF, cc_driver_limit=0).to_pandas()
+    assert sorted(map(tuple, out.to_numpy())) == sorted(
+        map(tuple, out_prop.to_numpy())
+    )
     pairs = ngram_jaccard_pairs(SF)
     parent: dict = {}
 
