@@ -8,7 +8,7 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 43 of 49 queries are SQL-oracled
+  the value-hash comparison exact. 45 of 51 queries are SQL-oracled
   (incl. the whole crawl engine via a recursive-CTE closure, the
   per-doc interleaved SPAN SEQUENCE (kind, media_ref, order) — the
   BASELINE.json row invariant — via ``crawl_spans``, per-host mirror
@@ -72,6 +72,14 @@ def _crawl_diff(sf_dir: str):
     from suckit_ray.pipelines.flagship import crawl_diff
 
     return crawl_diff(sf_dir)
+
+
+def _crawl_media_manifest(sf_dir: str):
+    """Per-asset reference counts — see
+    suckit_ray.pipelines.flagship.crawl_media_manifest."""
+    from suckit_ray.pipelines.flagship import crawl_media_manifest
+
+    return crawl_media_manifest(sf_dir)
 
 
 def entry() -> Any:
@@ -169,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": graph.crawl_pagerank,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_diff": _crawl_diff,
+        "crawl_media_manifest": _crawl_media_manifest,
         # WARC archive source+sink round-trip
         "warc_roundtrip": warcops.warc_roundtrip,
         # text analysis
@@ -208,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": relops.events_top_users,
         "events_top_users_cms": relops.events_top_users_cms,
         "events_top_k_per_user": relops.events_top_k_per_user,
+        "events_funnel": relops.events_funnel,
         "docs_by_lang": textops.docs_by_lang,
         "docs_top_terms": textops.docs_top_terms,
         "docs_stratified_sample": textops.docs_stratified_sample,
@@ -1051,6 +1061,47 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'same'
                    END AS status
             FROM sig_a a FULL OUTER JOIN sig_b b ON a.doc_id = b.doc_id
+        """,
+        # per-asset reference counts: every reachable page embeds ONE
+        # img span, (13j+7) % n_assets, so the manifest is a grouped
+        # count over the closure
+        "crawl_media_manifest": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE}
+            SELECT hn.hn AS host,
+                   'img' || ((13*r.j+7) % ho.n_assets) || '.jpg' AS media_ref,
+                   CAST(count(*) AS BIGINT) AS n_refs
+            FROM reach r
+            JOIN hostname hn ON hn.h = r.h
+            JOIN hosts ho ON ho.h = r.h
+            GROUP BY 1, 2
+        """,
+        # ordered funnel: stage k needs a step-k event STRICTLY after
+        # the first qualifying step-(k-1) event
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             WHEN v.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v ON v.user_id = u.user_id
+            LEFT JOIN c ON c.user_id = u.user_id
+            LEFT JOIN p ON p.user_id = u.user_id
         """,
         # grouped top-k window: row_number per user over (value DESC,
         # event_id) — ties on value break deterministically on event_id

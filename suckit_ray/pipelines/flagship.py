@@ -230,3 +230,53 @@ def crawl_diff(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(diff_group, batch_format="pandas")
     )
+
+
+def crawl_media_manifest(sf_dir: str) -> rd.Dataset:
+    """(host, media_ref, n_refs): per-asset reference counts across the
+    mirror's HTML pages — the media-side accounting of the interleaved
+    corpus (which binary objects exist per host and how many documents
+    embed each; the input to media dedup / hot-asset caching at scale).
+    media_ref is the REWRITTEN relative target exactly as stored in the
+    span sequence, so the manifest keys match the mirror layout.
+
+    Scale shape: one flat_map of media spans off the streamed mirror
+    (2 short string columns) into one bucketed count — the same
+    single-exchange shape as exact dedup, keyed on (host, ref) whose
+    host prefix matches the frontier's shard key."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def media_rows(t: pa.Table) -> pa.Table:
+        hosts, refs = [], []
+        for host, is_html, spans in zip(
+            t.column("host").to_pylist(),
+            t.column("is_html").to_pylist(),
+            t.column("spans").to_pylist(),
+        ):
+            if not is_html:
+                continue
+            for s in spans:
+                if s["kind"] == "media":
+                    hosts.append(host)
+                    refs.append(s["media_ref"])
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "media_ref": pa.array(refs, pa.string()),
+            }
+        )
+
+    ds = crawl_docs(sf_dir).map_batches(media_rows, batch_format="pyarrow")
+    agg = bucketed_groupby_agg(
+        ds,
+        keys=["host", "media_ref"],
+        aggs={"n_refs": ("media_ref", "count")},
+    )
+
+    def order_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["host", "media_ref", "n_refs"]]
+
+    return agg.map_batches(order_cols, batch_format="pandas")

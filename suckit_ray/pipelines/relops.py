@@ -626,3 +626,51 @@ def events_top_k_per_user(sf_dir: str, k: int = TOPK_PER_USER) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str) -> rd.Dataset:
+    """(user_id, stage): how far each user progressed through the
+    ordered view → click → purchase funnel — stage 1 requires a view,
+    stage 2 a click STRICTLY AFTER that first view, stage 3 a purchase
+    strictly after that first qualifying click (the classic ordered-
+    sequence conversion, which plain groupby counts get wrong: a
+    purchase BEFORE the first view must not count).
+
+    Scale shape: one bucketed groupby on user hash; inside each bucket
+    the three steps are vectorized pandas passes (per-user min-ts of
+    step k events gated on the step k-1 timestamp via a map join) —
+    no per-user Python loop, no global sort."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(df["user_id"] % B).astype("int64"))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].unique()
+        prev = None  # per-user gate timestamp from the previous step
+        stage = pd.Series(0, index=users, dtype="int64")
+        for i, step in enumerate(FUNNEL_STEPS, start=1):
+            ev = g[g["event_type"] == step]
+            if prev is not None:
+                gate = ev["user_id"].map(prev)
+                ev = ev[gate.notna() & (ev["ts"] > gate)]
+            cur = ev.groupby("user_id")["ts"].min()
+            stage.loc[stage.index.isin(cur.index)] = i
+            prev = cur
+        return pd.DataFrame(
+            {"user_id": stage.index.astype("int64"), "stage": stage.to_numpy()}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )

@@ -146,3 +146,49 @@ def test_crawl_diff_matches_independent_closure():
     assert got == want
     # the v2 corpus exercises every status by construction
     assert set(want.values()) == {"added", "removed", "changed", "same"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_funnel_matches_per_user_reference():
+    from suckit_ray.pipelines import relops
+
+    got = {
+        r["user_id"]: r["stage"]
+        for r in relops.events_funnel(SF).to_pandas().to_dict("records")
+    }
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        gate, stage = None, 0
+        for i, step in enumerate(relops.FUNNEL_STEPS, start=1):
+            sub = g[g["event_type"] == step]
+            if gate is not None:
+                sub = sub[sub["ts"] > gate]
+            if sub.empty:
+                break
+            gate, stage = sub["ts"].min(), i
+        want[int(uid)] = stage
+    assert got == want
+    # at sf0.001 every user has ~130 events, so all complete the
+    # funnel — the stage VALUES are pinned by the equality above; just
+    # sanity-check the range
+    assert set(want.values()) <= {0, 1, 2, 3} and 3 in want.values()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_manifest_matches_closure_formula():
+    from suckit_ray.pipelines import flagship
+
+    got = {
+        (r["host"], r["media_ref"]): r["n_refs"]
+        for r in flagship.crawl_media_manifest(SF).to_pandas().to_dict("records")
+    }
+
+    corpus = flagship.corpus_for(SF)
+    want: dict = {}
+    for doc_id, sig in _closure_sigs(corpus).items():
+        host = doc_id.split("//")[0]
+        key = (host, f"img{sig[0]}.jpg")
+        want[key] = want.get(key, 0) + 1
+    assert got == want
