@@ -8,7 +8,7 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 45 of 51 queries are SQL-oracled
+  the value-hash comparison exact. 45 of 52 queries are SQL-oracled (7 rows-only)
   (incl. the whole crawl engine via a recursive-CTE closure, the
   per-doc interleaved SPAN SEQUENCE (kind, media_ref, order) — the
   BASELINE.json row invariant — via ``crawl_spans``, per-host mirror
@@ -19,8 +19,8 @@
   components via distributed min-label propagation, exact histogram
   quantiles, benchmark decontamination and duplicate-n-gram fractions,
   grouped top-k windows, as-of and range joins via LATERAL / non-equi
-  joins, and the WARC archive round-trip); the 6
-  approximate/sketch/float-iterative ones are rows-only here and
+  joins, and the WARC archive round-trip); the 7
+  approximate/sketch/codec/float-iterative ones are rows-only here and
   verified otherwise in tests/test_dedup_pins.py and
   tests/test_graph.py (pinned rows, brute-force equality, recall/error
   bounds, allclose vs a numpy power-iteration reference).
@@ -80,6 +80,16 @@ def _crawl_media_manifest(sf_dir: str):
     from suckit_ray.pipelines.flagship import crawl_media_manifest
 
     return crawl_media_manifest(sf_dir)
+
+
+def _crawl_media_features(sf_dir: str):
+    """Actor-pool media decode + features over the mirror's assets —
+    see suckit_ray.pipelines.flagship.crawl_media_features. Rows-only
+    (media decode is not SQL-expressible); determinism pinned in
+    tests/test_round3b_ops.py."""
+    from suckit_ray.pipelines.flagship import crawl_media_features
+
+    return crawl_media_features(sf_dir)
 
 
 def entry() -> Any:
@@ -178,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hoststats": _crawl_hoststats,
         "crawl_diff": _crawl_diff,
         "crawl_media_manifest": _crawl_media_manifest,
+        "crawl_media_features": _crawl_media_features,
         # WARC archive source+sink round-trip
         "warc_roundtrip": warcops.warc_roundtrip,
         # text analysis

@@ -280,3 +280,50 @@ def crawl_media_manifest(sf_dir: str) -> rd.Dataset:
         return df[["host", "media_ref", "n_refs"]]
 
     return agg.map_batches(order_cols, batch_format="pandas")
+
+
+def crawl_media_features(sf_dir: str) -> rd.Dataset:
+    """(doc_id, width, height, channels, format, n_bytes, feat_fp):
+    the multimodal stage family run over the mirror's ASSET rows —
+    actor-pool decode + feature extraction (suckit_ray.stages.media;
+    deterministic fake kernels in this codec-free container, real
+    PIL/ffmpeg kernels when the environment provides them) reduced to
+    a flat integer/string table: feat_fp is the md5-low-60 fingerprint
+    of the feature vector's float64 bytes, so the whole decode →
+    feature path is pinned by value without floats in the output.
+
+    Rows-only correctness (media decode is not SQL-expressible); the
+    determinism and row-count invariants are pinned in tests."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from suckit_ray.stages.media import media_pipeline
+
+    feats = media_pipeline(crawl_docs(sf_dir), concurrency=2, batch_size=32)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        metas = t.column("media_meta").to_pylist()
+        vecs = t.column("features").to_pylist()
+        fps = [
+            int(
+                hashlib.md5(
+                    b"".join(float(x).hex().encode() for x in v)
+                ).hexdigest()[:15],
+                16,
+            )
+            for v in vecs
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "width": pa.array([m["width"] for m in metas], pa.int64()),
+                "height": pa.array([m["height"] for m in metas], pa.int64()),
+                "channels": pa.array([m["channels"] for m in metas], pa.int64()),
+                "format": pa.array([m["format"] for m in metas], pa.string()),
+                "n_bytes": pa.array([m["n_bytes"] for m in metas], pa.int64()),
+                "feat_fp": pa.array(fps, pa.int64()),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")

@@ -272,10 +272,24 @@ class SampleVideoFrames:
         )
 
 
-def media_pipeline(docs_ds, *, concurrency: int = 2, batch_size: int = 32, fake: bool = True):
+def media_pipeline(
+    docs_ds,
+    *,
+    concurrency: int = 2,
+    batch_size: int = 32,
+    fake: bool = True,
+    num_cpus: float = 0.5,
+):
     """Decode + feature-extract the media rows of a crawled documents
     Dataset — the canonical actor-pool wiring (small batches for wide
-    binary rows; classes so setup happens once per actor)."""
+    binary rows; classes so setup happens once per actor).
+
+    ``num_cpus`` defaults to 0.5 per actor: two chained actor-pool
+    stages at whole-CPU reservations can reserve the ENTIRE cluster
+    (2 stages × concurrency actors) and starve the upstream read into
+    a deadlock — observed at concurrency=2 on a 4-CPU test cluster.
+    Fractional reservations leave scheduler headroom; size
+    concurrency × num_cpus ≲ cluster CPUs − 1 when tuning."""
     media = docs_ds.filter(lambda row: not row["is_html"])
     media = media.map_batches(
         DecodeImage,
@@ -283,6 +297,7 @@ def media_pipeline(docs_ds, *, concurrency: int = 2, batch_size: int = 32, fake:
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
     )
     media = media.map_batches(
         ExtractImageFeatures,
@@ -290,5 +305,6 @@ def media_pipeline(docs_ds, *, concurrency: int = 2, batch_size: int = 32, fake:
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
     )
     return media

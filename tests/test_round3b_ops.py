@@ -192,3 +192,22 @@ def test_media_manifest_matches_closure_formula():
         key = (host, f"img{sig[0]}.jpg")
         want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_features_deterministic_over_assets():
+    """The actor-pool media path as a query surface: one row per asset
+    doc, metadata/fingerprint identical across invocations (the fake
+    kernels are pure functions of the bytes), and — since every
+    synthetic asset serves the same bytes — one distinct fingerprint."""
+    from suckit_ray.pipelines import flagship
+
+    a = flagship.crawl_media_features(SF).to_pandas().sort_values("doc_id")
+    b = flagship.crawl_media_features(SF).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    docs = flagship.crawl_docs(SF).to_pandas()
+    assert len(a) == int((~docs["is_html"]).sum())
+    assert a["feat_fp"].nunique() == 1 and a["n_bytes"].nunique() == 1
+    assert (a["width"] > 0).all() and (a["height"] > 0).all()
