@@ -8,7 +8,7 @@
 - ``oracle_sql()`` — DuckDB equivalents over the same parquet views.
   Every constant (regexes, thresholds, derivations) mirrors the Python
   implementation verbatim; integer counts / floor(x*10000) scores keep
-  the value-hash comparison exact. 45 of 53 queries are SQL-oracled
+  the value-hash comparison exact. 46 of 54 queries are SQL-oracled
   (incl. the whole crawl engine via a recursive-CTE closure, the
   per-doc interleaved SPAN SEQUENCE (kind, media_ref, order) — the
   BASELINE.json row invariant — via ``crawl_spans``, per-host mirror
@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": ann.kmeans_assign,
         # relational / windowed
         "lineitem_agg": relops.lineitem_agg,
+        "revenue_by_nation": relops.revenue_by_nation,
         "events_windowed": relops.events_windowed,
         "events_sessionize": relops.events_sessionize,
         "events_sliding": relops.events_sliding,
@@ -744,6 +745,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
                    CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_pct
             FROM ranked WHERE rank <= 10
+        """,
+        # TPC-H-Q5 shape: the big-big equi-join (lineitem x orders)
+        "revenue_by_nation": """
+            SELECT n_name AS nation,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                AS sum_rev,
+              CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            JOIN orders   ON o_orderkey  = l_orderkey
+            JOIN customer ON c_custkey   = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            GROUP BY 1
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

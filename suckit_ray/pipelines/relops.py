@@ -674,3 +674,108 @@ def events_funnel(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(funnel, batch_format="pandas")
     )
+
+
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """(nation, sum_rev, n_lines): TPC-H-Q5-shaped revenue rollup —
+    the BIG ⋈ BIG equi-join shape (lineitem ⋈ orders on order key;
+    at 100 TB BOTH sides are too large to broadcast) the other
+    relational queries don't exercise.
+
+    Plan: lineitem pre-aggregates per (batch, orderkey) inside
+    map_batches (revenue in integer 10^-4 dollars: price-cents ×
+    (100 − discount-percent), exact in int64 and mirrored by the
+    oracle), then both tables stream into ONE tagged-union bucketed
+    co-group on ``orderkey % B`` — each bucket holds every row of its
+    orderkeys from both sides, so the within-bucket join is one
+    vectorized pandas merge. customer→nation is the dimension-side
+    broadcast (at full TPC-H scale customer would take the same
+    co-group pattern on custkey; nation is 25 rows forever). The
+    final per-nation rollup is the usual two-phase bucketed agg."""
+    import ray
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    cust = pd.merge(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas(),
+        rd.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas(),
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+    )
+    nation_of = dict(zip(cust["c_custkey"].astype(int), cust["n_name"]))
+    nation_ref = ray.put(nation_of)
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (df["l_discount"] * 100).round().astype("int64")
+        )
+        p = (
+            pd.DataFrame({"orderkey": df["l_orderkey"].astype("int64"), "rev": rev})
+            .groupby("orderkey", as_index=False)
+            .agg(rev=("rev", "sum"), n=("rev", "size"))
+        )
+        p["custkey"] = -1
+        p["side"] = "l"
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p[["orderkey", "side", "custkey", "rev", "n", "bucket"]]
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "orderkey": df["o_orderkey"].astype("int64"),
+                "side": "o",
+                "custkey": df["o_custkey"].astype("int64"),
+                "rev": 0,
+                "n": 0,
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_partial, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_rows, batch_format="pandas")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        nation_ = ray.get(nation_ref)
+        li = g[g["side"] == "l"][["orderkey", "rev", "n"]]
+        od = g[g["side"] == "o"][["orderkey", "custkey"]]
+        m = li.merge(od, on="orderkey")
+        if not len(m):
+            return pd.DataFrame({"nation": [], "rev": [], "n": []})
+        m["nation"] = m["custkey"].map(nation_)
+        return m.groupby("nation", as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum")
+        )
+
+    joined = (
+        lines.union(orders)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+    )
+    agg = bucketed_groupby_agg(
+        joined,
+        keys=["nation"],
+        aggs={"sum_rev": ("rev", "sum"), "n_lines": ("n", "sum")},
+    )
+
+    def order_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nation": df["nation"],
+                "sum_rev": df["sum_rev"].astype("int64"),
+                "n_lines": df["n_lines"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(order_cols, batch_format="pandas")

@@ -247,3 +247,38 @@ def test_kmeans_assign_matches_numpy_reference():
     agree = sum(g[int(i)] == int(a) for i, a in zip(ids, want_assign))
     assert agree / len(ids) >= 0.99
     assert len(set(g.values())) > 1  # a real partition, not one blob
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_by_nation_matches_pandas_join():
+    """The big-big co-group join == a plain pandas 4-table join."""
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.revenue_by_nation(SF)
+        .to_pandas()
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    li["rev"] = (li["l_extendedprice"] * 100).round().astype("int64") * (
+        100 - (li["l_discount"] * 100).round().astype("int64")
+    )
+    m = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    want = (
+        m.groupby("n_name", as_index=False)
+        .agg(sum_rev=("rev", "sum"), n_lines=("rev", "size"))
+        .rename(columns={"n_name": "nation"})
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    want[["sum_rev", "n_lines"]] = want[["sum_rev", "n_lines"]].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
