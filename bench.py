@@ -140,6 +140,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "simhash",
         "ann_topk",
         "lineitem_agg",
+        "revenue_by_nation",
+        "events_funnel",
         "events_windowed",
         "events_distinct_users_hll",
         "events_value_quantiles",
