@@ -381,11 +381,13 @@ _SIMHASH_SIG_SQL = r"""
 
 
 def _reach_cte(sfx: str, n_docs_expr: str, n_hosts: int = 8) -> str:
-    """A parameterized copy of the reachability closure with suffixed
-    table names — lets one oracle hold TWO closures (crawl_diff diffs
-    the flagship web against the grown-but-one-host-down v2 web).
-    ``n_docs_expr`` is a SQL expression over
-    ``(SELECT count(*) FROM documents)``."""
+    """The synthetic-web reachability closure (BFS from page 0 of every
+    host over the deterministic links_of() fanout) as a CTE block —
+    THE single source of truth for the link formula across every
+    crawl-backed oracle. ``sfx`` suffixes the table names so one oracle
+    can hold TWO closures (crawl_diff diffs the flagship web against
+    the grown-but-one-host-down v2 web); ``n_docs_expr`` is a SQL
+    expression over ``(SELECT count(*) FROM documents)``."""
     return rf"""params{sfx} AS (
               SELECT {n_docs_expr} AS n_docs, {n_hosts} AS n_hosts, 16 AS n_assets
             ),
@@ -409,41 +411,32 @@ def _reach_cte(sfx: str, n_docs_expr: str, n_hosts: int = 8) -> str:
                   ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
                   ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
               ) e
-            )"""
-
-
-# synthetic-web reachability closure (BFS from page 0 of every host
-# over the deterministic links_of() fanout), shared by every
-# crawl-backed oracle: crawl_mirror, crawl_spans, crawl_hoststats
-_CRAWL_REACH_CTE = r"""params AS (
-              SELECT (SELECT count(*) FROM documents) AS n_docs,
-                     8 AS n_hosts, 16 AS n_assets
             ),
-            hosts AS (
-              SELECT UNNEST(range(0, n_hosts)) AS h,
-                     n_docs // n_hosts
-                       + CASE WHEN UNNEST(range(0, n_hosts)) < n_docs % n_hosts
-                              THEN 1 ELSE 0 END AS m,
-                     n_hosts, n_assets
-              FROM params
-            ),
-            reach(h, j) AS (
-              SELECT h, 0 FROM hosts
-              UNION
-              SELECT e.h, e.t
-              FROM (
-                SELECT r.h AS h, x.t AS t
-                FROM reach r
-                JOIN hosts ho ON ho.h = r.h
-                CROSS JOIN LATERAL (VALUES
-                  ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
-                  ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
-              ) e
-            ),
-            hostname AS (
+            hostname{sfx} AS (
               SELECT h, 'host' || lpad(CAST(h AS VARCHAR), 4, '0') || '.test' AS hn
-              FROM hosts
+              FROM hosts{sfx}
             )"""
+
+
+def _sig_cte(sfx: str) -> str:
+    """Per-page rewritten link-span target sequence of closure ``sfx``
+    — the string the Ray path hashes per page in crawl_diff."""
+    return rf"""sig{sfx} AS (
+              SELECT hn.hn || '//p' || r.j || '.html' AS doc_id,
+                     'media:img' || ((13*r.j+7) % ho.n_assets) || '.jpg'
+                       || '|link:p' || ((2*r.j+1) % ho.m) || '.html'
+                       || '|link:p' || ((2*r.j+2) % ho.m) || '.html'
+                       || '|link:p' || ((5*r.j+3) % ho.m) || '.html'
+                       || '|link:p' || ((5*r.j+10) % ho.m) || '.html' AS sig
+              FROM reach{sfx} r
+              JOIN hostname{sfx} hn ON hn.h = r.h
+              JOIN hosts{sfx} ho ON ho.h = r.h
+            )"""
+
+
+# unsuffixed instance shared by crawl_mirror / crawl_spans /
+# crawl_hoststats / crawl_media_manifest
+_CRAWL_REACH_CTE = _reach_cte("", "(SELECT count(*) FROM documents)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1059,26 +1052,8 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE
             {_reach_cte('_a', '(SELECT count(*) FROM documents)')},
             {_reach_cte('_b', '(SELECT count(*) FROM documents) + (SELECT count(*) FROM documents) // 4', n_hosts=7)},
-            sig_a AS (
-              SELECT 'host' || lpad(CAST(r.h AS VARCHAR), 4, '0') || '.test//p'
-                       || r.j || '.html' AS doc_id,
-                     'media:img' || ((13*r.j+7) % ho.n_assets) || '.jpg'
-                       || '|link:p' || ((2*r.j+1) % ho.m) || '.html'
-                       || '|link:p' || ((2*r.j+2) % ho.m) || '.html'
-                       || '|link:p' || ((5*r.j+3) % ho.m) || '.html'
-                       || '|link:p' || ((5*r.j+10) % ho.m) || '.html' AS sig
-              FROM reach_a r JOIN hosts_a ho ON ho.h = r.h
-            ),
-            sig_b AS (
-              SELECT 'host' || lpad(CAST(r.h AS VARCHAR), 4, '0') || '.test//p'
-                       || r.j || '.html' AS doc_id,
-                     'media:img' || ((13*r.j+7) % ho.n_assets) || '.jpg'
-                       || '|link:p' || ((2*r.j+1) % ho.m) || '.html'
-                       || '|link:p' || ((2*r.j+2) % ho.m) || '.html'
-                       || '|link:p' || ((5*r.j+3) % ho.m) || '.html'
-                       || '|link:p' || ((5*r.j+10) % ho.m) || '.html' AS sig
-              FROM reach_b r JOIN hosts_b ho ON ho.h = r.h
-            )
+            {_sig_cte('_a')},
+            {_sig_cte('_b')}
             SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                    CASE
                      WHEN a.doc_id IS NULL THEN 'added'

@@ -710,12 +710,15 @@ def _cc_labels(
             ignore_index=True,
         )
 
+    # Convergence: the round's change signal must combine BOTH phases.
+    # The jump phase recomputes `chg` from its own reduce_min, so a
+    # round where propagation changed labels but the jump was a no-op
+    # would otherwise read as converged and terminate early — splitting
+    # long-chain components (caught by a diameter-5 path graph in
+    # tests/test_dedup_pins.py).
     rounds = 0
-    while True:
-        if labels.sum("chg") == 0:
-            if stats is not None:
-                stats["rounds"] = rounds
-            return labels.select_columns(["node", "label"])
+    pending_chg = labels.sum("chg")
+    while pending_chg:
         rounds += 1
         staged = labels.map_batches(as_label_rows, batch_format="pandas").union(
             adj.map_batches(as_adj_rows, batch_format="pandas")
@@ -730,6 +733,7 @@ def _cc_labels(
             .map_groups(reduce_min, batch_format="pandas")
             .materialize()
         )
+        pending_chg = labels.sum("chg")
         if rounds >= jump_after:
             # pointer-jumping phase: label(n) ← min(label(n), label(label(n)))
             staged_j = labels.map_batches(
@@ -747,6 +751,10 @@ def _cc_labels(
                 .map_groups(reduce_min, batch_format="pandas")
                 .materialize()
             )
+            pending_chg += labels.sum("chg")
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels.select_columns(["node", "label"])
 
 
 # Below this many thresholded pairs the connected components run as a

@@ -285,12 +285,17 @@ def crawl_media_manifest(sf_dir: str) -> rd.Dataset:
 def crawl_media_features(sf_dir: str) -> rd.Dataset:
     """(doc_id, width, height, channels, format, n_bytes, feat_fp):
     the multimodal stage family run over the mirror's ASSET rows —
-    actor-pool decode + feature extraction (suckit_ray.stages.media;
-    deterministic fake kernels in this codec-free container, real
-    PIL/ffmpeg kernels when the environment provides them) reduced to
-    a flat integer/string table: feat_fp is the md5-low-60 fingerprint
-    of the feature vector's float64 bytes, so the whole decode →
+    actor-pool decode + feature extraction (suckit_ray.stages.media)
+    reduced to a flat integer/string table: feat_fp is the md5-low-60
+    fingerprint of the feature vector's bytes, so the whole decode →
     feature path is pinned by value without floats in the output.
+
+    This query runs the deterministic FAKE kernels unconditionally:
+    the synthetic corpus's asset bytes are filler, not decodable
+    images, so the real-codec path would fail even where PIL exists.
+    Pipelines over real crawls opt into the real kernels with
+    ``media_pipeline(docs, fake=False)`` (tests/test_media.py covers
+    that path, skipping unless the codec imports).
 
     Rows-only correctness (media decode is not SQL-expressible); the
     determinism and row-count invariants are pinned in tests."""

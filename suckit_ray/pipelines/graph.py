@@ -25,7 +25,6 @@ edge — the same volume the crawl's candidate routing already moved.
 from __future__ import annotations
 
 import posixpath
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -99,7 +98,10 @@ def pagerank_from_docs(
     B = num_buckets
 
     def bucket_of(col: pd.Series) -> pd.Series:
-        return col.map(lambda s: zlib.crc32(s.encode("utf-8")) % B).astype("int64")
+        # vectorized (this runs per rank/message row EVERY iteration —
+        # a per-row Python hash here multiplies interpreter time ×iters)
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
 
     # out-degree rides on each edge so the contribution is computable
     # batch-locally once ranks are co-grouped in
@@ -182,17 +184,31 @@ def pagerank_from_docs(
             {
                 "node": a["dst"],
                 "contrib": (a["rank"] / a["deg"]).astype("float64"),
+                "is_node": np.zeros(len(a), dtype="int64"),
             }
         )
         # every node passes through with zero contribution so nodes
-        # with no in-links still appear in the reduce
+        # with no in-links still appear in the reduce; is_node marks
+        # MEMBERSHIP in the crawled set
         selfs = pd.DataFrame(
-            {"node": lab["src"], "contrib": np.zeros(len(lab))}
+            {
+                "node": lab["src"],
+                "contrib": np.zeros(len(lab)),
+                "is_node": np.ones(len(lab), dtype="int64"),
+            }
         )
         return pd.concat([msgs, selfs], ignore_index=True)
 
     def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("node", as_index=False)["contrib"].sum()
+        s = g.groupby("node", as_index=False).agg(
+            contrib=("contrib", "sum"), is_node=("is_node", "max")
+        )
+        # drop contributions addressed to targets OUTSIDE the crawled
+        # node set (depth-/wave-capped crawls emit such links): their
+        # mass falls to the teleport term, matching reference_pagerank —
+        # without this filter a phantom rank row is invented for every
+        # un-crawled link target and persists via its own self row
+        s = s[s["is_node"] == 1]
         return pd.DataFrame(
             {
                 "node": s["node"],

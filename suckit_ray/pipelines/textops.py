@@ -505,15 +505,17 @@ DECONTAM_EVAL_MOD = 23  # eval/benchmark docs: doc_id % MOD == 0
 
 def _ngram_hashes(text: str, k: int) -> "np.ndarray":
     """Distinct word-k-gram hashes of a doc (md5-60-bit, the repo-wide
-    SQL-reproducible hash — suckit_ray.pipelines.dedup._md5h60)."""
+    SQL-reproducible hash — suckit_ray.pipelines.dedup._md5h60). Docs
+    with fewer than k tokens yield NO grams — matching the SQL
+    oracles' range() CTE exactly (no whole-text pseudo-gram fallback;
+    a <k-token doc scores n_shared = 0 in decontamination and drops
+    out of the dup-fraction table in BOTH engines)."""
     import numpy as np
 
     from suckit_ray.pipelines.dedup import _md5h60
 
     toks = text.split()
-    grams = {
-        " ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))
-    } or ({" ".join(toks)} if toks else set())
+    grams = {" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))}
     return np.fromiter(
         (_md5h60(g) for g in grams), dtype=np.int64, count=len(grams)
     )
@@ -564,14 +566,14 @@ def docs_decontaminate(
                 {"doc_id": [], "n_shared": [], "contaminated": []}
             ).astype("int64")
         # one flat isin per batch: concatenate all docs' gram hashes,
-        # then segment-sum the membership mask back per doc
+        # then bincount the membership mask back per doc (robust to
+        # gram-less short docs, unlike reduceat on their boundaries)
         grams = [_ngram_hashes(t, k) for t in sub["text"]]
-        lens = np.array([len(g) for g in grams])
+        lens = np.array([len(g) for g in grams], dtype=np.int64)
         flat = np.concatenate(grams) if len(grams) else np.array([], dtype=np.int64)
         hit = np.isin(flat, ev_, assume_unique=False)
-        bounds = np.concatenate([[0], np.cumsum(lens)])
-        n_shared = np.add.reduceat(hit.astype(np.int64), bounds[:-1]) if len(flat) else np.array([], dtype=np.int64)
-        n_shared = np.where(lens > 0, n_shared, 0)
+        doc_idx = np.repeat(np.arange(len(grams)), lens)
+        n_shared = np.bincount(doc_idx[hit], minlength=len(grams)).astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": sub["doc_id"].astype("int64"),

@@ -150,8 +150,17 @@ def parse_url(url: str) -> ParsedUrl:
     if not m:
         raise UrlParseError(f"relative URL without a base: {url!r}")
     if m.group(0)[:-1].lower() in _SPECIAL_SCHEMES:
-        # WHATWG: '\' is '/' everywhere in special-scheme URLs
-        url = url[: m.end()] + url[m.end() :].replace("\\", "/")
+        # WHATWG: '\' is '/' in the authority/path STATES of
+        # special-scheme URLs only — query and fragment keep
+        # backslashes verbatim (rust-url does the same), so the
+        # rewrite stops at the first '?' or '#'
+        rest = url[m.end() :]
+        cut = len(rest)
+        for ch in ("?", "#"):
+            i = rest.find(ch)
+            if i != -1:
+                cut = min(cut, i)
+        url = url[: m.end()] + rest[:cut].replace("\\", "/") + rest[cut:]
     parts = urlsplit(url)
     scheme = parts.scheme.lower()
     if (

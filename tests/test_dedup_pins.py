@@ -311,3 +311,25 @@ def test_cc_labels_pointer_jumping_on_long_chain():
     s2: dict = {}
     _cc_labels(rd.from_arrow(cl), stats=s2)
     assert s2["rounds"] <= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cc_labels_path_graph_converges_past_noop_jump():
+    """Regression: a diameter-5 path whose propagation still changes
+    labels in the round where the pointer-jump is a no-op — the jump
+    phase's reduce_min used to overwrite the propagation's chg flags,
+    terminating one round early and splitting the component."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from suckit_ray.pipelines.dedup import _cc_labels
+
+    edges = pa.table(
+        {
+            "a_id": pa.array([0, 5, 6, 7, 8], pa.int64()),
+            "b_id": pa.array([5, 6, 7, 8, 1], pa.int64()),
+        }
+    )
+    labels = _cc_labels(rd.from_arrow(edges)).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == {0: 0, 1: 0, 5: 0, 6: 0, 7: 0, 8: 0}

@@ -43,3 +43,33 @@ def test_resolve_link_inverts_relative_rewrite():
     for src, dst in cases:
         rel = relative_rewrite(src, dst)
         assert resolve_link(src, rel) == posixpath.normpath(dst), (src, dst, rel)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_drops_links_outside_crawled_set():
+    """Regression: a link whose target was never crawled (depth- or
+    wave-capped crawls emit these) must NOT invent a rank row — its
+    mass falls to the teleport term, as in reference_pagerank."""
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import pagerank_from_docs, reference_pagerank
+
+    def page(doc_id, refs):
+        return {
+            "doc_id": doc_id,
+            "is_html": True,
+            "spans": [{"kind": "link", "text": "", "media_ref": r, "offset": 0}
+                      for r in refs],
+        }
+
+    tbl = pa.Table.from_pylist(
+        [
+            page("h.test/a.html", ["b.html", "missing.html"]),
+            page("h.test/b.html", ["a.html"]),
+        ]
+    )
+    got = pagerank_from_docs(rd.from_arrow(tbl), num_buckets=2).to_pandas()
+    ref = reference_pagerank(tbl)
+    assert set(got["doc_id"]) == set(ref) == {"h.test/a.html", "h.test/b.html"}
+    g = dict(zip(got["doc_id"], got["rank"]))
+    assert np.allclose([g[k] for k in ref], [ref[k] for k in ref], atol=1e-12)

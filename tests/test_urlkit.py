@@ -210,9 +210,14 @@ class TestWhatwgEdgeVectors:
         ("http://h.test/a/./b/../c", "http://h.test/a/c"),
         ("http://h.test/a/b/..", "http://h.test/a/"),
         ("http://h.test/..", "http://h.test/"),
-        # backslashes are slashes in special-scheme URLs
+        # backslashes are slashes in special-scheme URLs — but ONLY in
+        # the authority/path states; query and fragment keep them
+        # (percent-encoded on serialize), as rust-url does
         ("http:\\\\h.test\\x\\y", "http://h.test/x/y"),
         ("http://h.test\\x", "http://h.test/x"),
+        ("http://h.test/p?a\\b", "http://h.test/p?a\\b"),
+        ("http://h.test/p#f\\g", "http://h.test/p#f\\g"),
+        ("http://h.test/p?x=1#\\q", "http://h.test/p?x=1#\\q"),
         # empty path -> "/"
         ("http://h.test", "http://h.test/"),
     ]
