@@ -27,6 +27,14 @@ class CrawlConfig:
     verbose: bool = False
     delay: float = 0.0
     random_range: float = 0.0
+
+    @property
+    def politeness_on(self) -> bool:
+        """The reference rate-limits whenever EITHER delay or
+        random_range is nonzero (src/scraper.rs:342) — host-co-located
+        routing and the per-host wave cap key off this, not delay
+        alone."""
+        return self.delay > 0 or self.random_range > 0
     user_agent: str = "suckit"
     cookie: str = ""
     include_visit: str = ".*"

@@ -145,17 +145,30 @@ def crawl(
         manifest_path = os.path.join(checkpoint_dir, "MANIFEST.json")
         with open(manifest_path) as f:
             manifest = json.load(f)
+        if manifest["num_shards"] != num_shards:
+            # an explicit raise, not an assert: python -O strips asserts
+            # and a silent mismatch re-routes candidates modulo the
+            # wrong shard count, dropping half the restored frontier
+            raise ValueError(
+                f"checkpoint was written with num_shards="
+                f"{manifest['num_shards']}, resume got {num_shards}"
+            )
         start_wave = manifest["next_wave"]
-        ray.get(
+        restored = ray.get(
             [
-                s.restore.remote(os.path.join(checkpoint_dir, f"shard_{i:04d}.pkl"))
+                s.restore.remote(_snap_path(checkpoint_dir, i, start_wave))
                 for i, s in enumerate(shards)
             ]
         )
+        if any(w != start_wave for w in restored):
+            raise RuntimeError(
+                f"torn checkpoint: manifest next_wave={start_wave} but "
+                f"shard snapshots restored waves {sorted(set(restored))}"
+            )
     else:
         seed_urls = seeds if seeds is not None else [cfg.origin]
         by_shard: dict[int, list[tuple[str, str]]] = {}
-        route_by_host = cfg.delay > 0
+        route_by_host = cfg.politeness_on
         for s in seed_urls:
             p = parse_url(s)
             # seed enters the seen-map exactly like the reference's
@@ -174,7 +187,10 @@ def crawl(
     import random
 
     politeness_rng = random.Random(42)  # seeded: reproducible politeness
-    max_per_host = 1 if cfg.delay > 0 else None
+    # the reference sleeps delay + U(0..=random_range) whenever EITHER
+    # knob is nonzero (src/scraper.rs:342) — a random_range-only config
+    # is still a rate limit, not a no-op
+    max_per_host = 1 if cfg.politeness_on else None
     per_shard_cap = (
         max(1, -(-max_wave_entries // num_shards))
         if max_wave_entries is not None
@@ -184,6 +200,7 @@ def crawl(
     docs_tables: list[pa.Table] = []
     pages_total = 0
     last_wave_started = 0.0
+    last_wave_finished = 0.0
     wave_stats: list[dict] = []
 
     while True:
@@ -211,12 +228,16 @@ def crawl(
             break
 
         # politeness floor between waves (budget-equivalence: with
-        # max_per_host=1 a host is fetched at most once per `delay` sec;
-        # random_range adds seeded jitter like the reference's
-        # per-worker delay + U(0..=random_range), src/scraper.rs:338-350)
-        if cfg.delay > 0 and last_wave_started:
+        # max_per_host=1 a host is fetched at most once per wave, so
+        # spacing >= delay needs the gap anchored to the PREVIOUS
+        # wave's END — anchoring to its start lets a host fetched late
+        # in wave N be re-hit early in wave N+1 with near-zero spacing
+        # whenever a wave runs longer than the delay. random_range adds
+        # seeded jitter like the reference's per-worker
+        # delay + U(0..=random_range), src/scraper.rs:338-350)
+        if cfg.politeness_on and last_wave_finished:
             jitter = politeness_rng.uniform(0, cfg.random_range) if cfg.random_range else 0.0
-            sleep_left = (cfg.delay + jitter) - (time.perf_counter() - last_wave_started)
+            sleep_left = (cfg.delay + jitter) - (time.perf_counter() - last_wave_finished)
             if sleep_left > 0:
                 time.sleep(sleep_left)
         last_wave_started = time.perf_counter()
@@ -300,11 +321,12 @@ def crawl(
             # count-only consumption (dry-run semantics, S6)
             pages_total += ds.count()
 
+        last_wave_finished = time.perf_counter()
         wave_stats.append(
             {
                 "wave": wave,
                 "entries": n_entries,
-                "sec": round(time.perf_counter() - last_wave_started, 4),
+                "sec": round(last_wave_finished - last_wave_started, 4),
                 "driver_rss_mb": _driver_rss_mb(),
             }
         )
@@ -393,13 +415,22 @@ def _fresh_dir(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
+def _snap_path(checkpoint_dir: str, shard_id: int, wave: int) -> str:
+    return os.path.join(checkpoint_dir, f"shard_{shard_id:04d}.w{wave:05d}.pkl")
+
+
 def _checkpoint(checkpoint_dir: str, shards: list, wave: int) -> None:
+    """Checkpoint = wave-stamped shard pickles + MANIFEST rename, in
+    that order. The pickles are NEW files per wave (never overwrites),
+    so a crash anywhere before the manifest's os.replace leaves the
+    previous manifest still pointing at its own intact wave files —
+    the manifest IS the commit point. Prior waves' files (and their
+    spill copies, which share the pickle's basename prefix) are
+    garbage-collected only after the rename lands."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     ray.get(
         [
-            s.snapshot.remote(
-                os.path.join(checkpoint_dir, f"shard_{i:04d}.pkl"), wave
-            )
+            s.snapshot.remote(_snap_path(checkpoint_dir, i, wave), wave)
             for i, s in enumerate(shards)
         ]
     )
@@ -408,3 +439,10 @@ def _checkpoint(checkpoint_dir: str, shards: list, wave: int) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(checkpoint_dir, "MANIFEST.json"))
+    keep = f".w{wave:05d}."
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("shard_") and ".w" in name and keep not in name:
+            try:
+                os.remove(os.path.join(checkpoint_dir, name))
+            except OSError:
+                pass

@@ -29,8 +29,15 @@ def make_warc_stage(warc_dir: str):
     passes the batch through unchanged."""
 
     def warc_stage(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from suckit_ray.sources.warc import write_warc_batch
 
+        # the archive is RAW WIRE TRUTH: transport-failure rows
+        # (fetch_error set, status 0, empty body) never touched the
+        # wire, and archiving them would make recrawl-from-archive
+        # serve fabricated status-0 pages instead of missing (refetch)
+        batch = batch.filter(pc.is_null(batch.column("fetch_error")))
         if batch.num_rows:
             # reconstruct the on-the-wire content type from the parsed
             # (data_type, charset) pair — parse_content_type is

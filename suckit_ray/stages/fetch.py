@@ -30,10 +30,15 @@ _WORKER_CACHE: dict = {}
 
 def _get_store(store_ref):
     if isinstance(store_ref, ray.ObjectRef):
+        # single-slot: repeated crawl() calls in one Ray session put a
+        # fresh store ref each time — caching per hex key would pin
+        # every past crawl's store in every worker for the session's
+        # lifetime (linear RSS growth across bench loops)
         key = store_ref.hex()
-        if key not in _WORKER_CACHE:
-            _WORKER_CACHE[key] = ray.get(store_ref)
-        return _WORKER_CACHE[key]
+        cached = _WORKER_CACHE.get("store")
+        if cached is None or cached[0] != key:
+            _WORKER_CACHE["store"] = (key, ray.get(store_ref))
+        return _WORKER_CACHE["store"][1]
     return store_ref
 
 
@@ -115,9 +120,24 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
                         hop_auth = auth_map.get(hop_host)
                         resp = store.fetch(hop_url, hop_auth)
                         hops += 1
+                    if (
+                        resp is not None
+                        and resp.location
+                        and 300 <= resp.status < 400
+                    ):
+                        # still redirecting after 10 hops (loop or deep
+                        # chain): reqwest's default policy errors here —
+                        # surface it instead of recording the 3xx as the
+                        # final page
+                        raise RuntimeError(f"too many redirects for {url}")
                     last_err = None
                     break
                 except Exception as e:  # transport-level failure
+                    # a stale response from THIS attempt (e.g. the 301
+                    # whose hop fetch raised) must not survive the
+                    # retry loop — it would record the intermediate
+                    # redirect as the final page and swallow last_err
+                    resp = None
                     last_err = e
             if resp is None:
                 # reference: panic unless continue_on_error (src/scraper.rs:275-282)

@@ -74,6 +74,10 @@ def _robots_for(store_ref, user_agent: str, tries: int = 1):
         tries,
     )
     if key not in _ROBOTS_CACHE:
+        # single-slot: each crawl() puts a fresh store ref; keeping old
+        # crawls' RobotsCache (and their store copies) alive would grow
+        # worker RSS linearly across crawl invocations in one session
+        _ROBOTS_CACHE.clear()
         _ROBOTS_CACHE[key] = RobotsCache(_get_store(store_ref), user_agent, tries)
     return _ROBOTS_CACHE[key]
 
@@ -90,7 +94,7 @@ def make_process_fn(
 
     cfg = config.resolved()
     num_shards = len(shard_handles)
-    route_by_host = cfg.delay > 0  # politeness requires host co-location
+    route_by_host = cfg.politeness_on  # politeness requires host co-location
 
     def process_batch(batch: pa.Table) -> pa.Table:
         include_visit, exclude_visit = cfg.visit_filters()
@@ -121,9 +125,15 @@ def make_process_fn(
             host = parsed.host or ""
             # download filter runs on the full URL; the page is fetched
             # and parsed REGARDLESS so links are discovered
-            # (reference src/scraper.rs:238-241, M15)
+            # (reference src/scraper.rs:238-241, M15). Transport-failure
+            # rows (fetch_error set) are never "downloaded": the
+            # reference's Err arm saves nothing (src/scraper.rs:275-282)
+            # — without this a failed fetch leaves a zero-byte file in
+            # the mirror.
             downloaded = bool(
-                include_download.search(url) and not exclude_download.search(url)
+                err is None
+                and include_download.search(url)
+                and not exclude_download.search(url)
             )
 
             charset = cols["charset"][i]

@@ -112,10 +112,29 @@ def shard_of_url(url: str, host: str, num_shards: int, by_host: bool) -> int:
     return zlib.crc32(url.encode("utf-8")) % num_shards
 
 
+# encode_seq packing widths: 10 bits of shard (<= 1024 shards), 34 bits
+# of per-(wave, shard) index (<= 1.7e10 entries), the rest (19 bits of
+# int63) for the wave. Validated at pack time — a silent overflow would
+# collide seq values across shards/waves and break the deterministic
+# first-wins ordering the module promises.
+_SEQ_SHARD_BITS = 10
+_SEQ_IDX_BITS = 34
+MAX_SHARDS = 1 << _SEQ_SHARD_BITS
+
+
 def encode_seq(wave: int, shard_id: int, idx: int) -> int:
     """Deterministic discovery sequence number: (wave, shard, idx) packed
     into an int64. Orders frontier entries globally."""
-    return (wave << 44) | (shard_id << 36) | idx
+    if shard_id >= MAX_SHARDS or idx >= (1 << _SEQ_IDX_BITS):
+        raise ValueError(
+            f"seq overflow: shard_id={shard_id} (max {MAX_SHARDS - 1}), "
+            f"idx={idx} (max {(1 << _SEQ_IDX_BITS) - 1})"
+        )
+    return (
+        (wave << (_SEQ_SHARD_BITS + _SEQ_IDX_BITS))
+        | (shard_id << _SEQ_IDX_BITS)
+        | idx
+    )
 
 
 class FrontierShard:
@@ -524,7 +543,14 @@ class FrontierShard:
     def restore(self, path: str) -> int:
         with open(path, "rb") as f:
             st = pickle.load(f)
-        assert st["shard_id"] == self.shard_id and st["num_shards"] == self.num_shards
+        if st["shard_id"] != self.shard_id or st["num_shards"] != self.num_shards:
+            # explicit raise (python -O strips asserts): restoring the
+            # wrong shard layout silently re-routes candidates and
+            # drops frontier state
+            raise ValueError(
+                f"snapshot is shard {st['shard_id']}/{st['num_shards']}, "
+                f"this actor is shard {self.shard_id}/{self.num_shards}"
+            )
         self.seen = SpillableSet.from_state(st["seen"])
         self.ledger_seen = SpillableSet.from_state(st["ledger_seen"])
         self.pending = [tuple(p) for p in st["pending"]]

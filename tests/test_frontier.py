@@ -97,7 +97,16 @@ class TestFrontierShard:
 
     def test_seq_encoding_orders_waves(self):
         assert encode_seq(1, 0, 0) > encode_seq(0, 255, 2**30)
-        assert encode_seq(2, 3, 4) == (2 << 44) | (3 << 36) | 4
+        assert encode_seq(2, 3, 4) == (2 << 44) | (3 << 34) | 4
+        # 10 bits of shard (round 3: was 8 — 512-shard scale runs
+        # silently collided), 34 bits of idx, bounds validated
+        assert encode_seq(0, 1023, 0) < encode_seq(1, 0, 0)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            encode_seq(0, 1024, 0)
+        with _pytest.raises(ValueError):
+            encode_seq(0, 0, 1 << 34)
 
     def test_shard_of_stable(self):
         assert shard_of("site.test", 8) == shard_of("site.test", 8)
