@@ -66,6 +66,7 @@ def scan_link_attributes(text: str) -> list[AttrRef]:
     refs: list[AttrRef] = []
     pos = 0
     n = len(text)
+    lower = text.lower()  # once: per-rawtext-tag lowering is O(n·tags)
     while pos < n:
         lt = text.find("<", pos)
         if lt < 0:
@@ -118,7 +119,7 @@ def scan_link_attributes(text: str) -> list[AttrRef]:
                 refs.append(found[name])
         pos = tag_end + 1
         if tag_name in _RAWTEXT_TAGS and not tag_body.rstrip().endswith("/"):
-            close = text.lower().find(f"</{tag_name}", pos)
+            close = lower.find(f"</{tag_name}", pos)
             if close < 0:
                 break
             gt = text.find(">", close)
@@ -189,6 +190,12 @@ def process_html(
                 {"kind": "text", "text": chunk, "media_ref": "", "offset": len(spans)}
             )
 
+    # Pass 1 in refs order — src-before-href per element (kuchiki
+    # CSS_ATTRIBUTES order) — so OUTLINK ordinals keep reference
+    # parity. The splice itself must run in ascending text position
+    # (pass 2): a tag written `<a href=.. src=..>` otherwise rewinds
+    # `prev` and duplicates page bytes into the output.
+    kept: list[tuple[AttrRef, str]] = []
     for ref in refs:
         if not urlkit.should_visit(ref.value, include_visit, exclude_visit):
             continue
@@ -215,6 +222,10 @@ def process_html(
                 host=joined.host or "",
             )
         )
+        kept.append((ref, rewritten))
+        ordinal += 1
+
+    for ref, rewritten in sorted(kept, key=lambda kr: kr[0].start):
         emit_text(text[prev : ref.start])
         spans.append(
             {
@@ -227,7 +238,6 @@ def process_html(
         pieces.append(text[prev : ref.start])
         pieces.append(rewritten)
         prev = ref.end
-        ordinal += 1
 
     emit_text(text[prev:])
     pieces.append(text[prev:])

@@ -96,14 +96,33 @@ class RobotsCache:
     tries: int = 1
     _cache: dict = field(default_factory=dict)
 
-    def rules_for(self, scheme: str, host: str) -> RobotsRules:
-        key = (scheme, host)
+    def rules_for(self, scheme: str, authority: str) -> RobotsRules:
+        """``authority`` includes any non-default port — two sites on
+        one host but different ports have independent robots files and
+        must not share a cache entry."""
+        key = (scheme, authority)
         if key in self._cache:
             return self._cache[key]
         resp = None
         for _ in range(max(1, self.tries)):
             try:
-                resp = self.store.fetch(f"{scheme}://{host}/robots.txt", None)
+                resp = self.store.fetch(f"{scheme}://{authority}/robots.txt", None)
+                # robots.txt itself very commonly redirects (http→https
+                # is near-universal); the page-fetch redirect loop lives
+                # in the fetch stage, so follow here too — RFC 9309
+                # says to use the redirect target's rules
+                hops = 0
+                while (
+                    resp is not None
+                    and resp.location
+                    and 300 <= resp.status < 400
+                    and hops < 10
+                ):
+                    from urllib.parse import urljoin as _uj
+
+                    target = _uj(f"{scheme}://{authority}/robots.txt", resp.location)
+                    resp = self.store.fetch(target, None)
+                    hops += 1
                 break
             except Exception:  # transport error: retry, then allow-all
                 resp = None
@@ -126,4 +145,7 @@ class RobotsCache:
         path = p.path or "/"
         if p.query is not None:
             path += "?" + p.query
-        return self.rules_for(p.scheme, p.host or "").allows(path)
+        authority = p.host or ""
+        if p.port is not None:
+            authority += f":{p.port}"
+        return self.rules_for(p.scheme, authority).allows(path)

@@ -41,8 +41,15 @@ def write_mirror_batch(batch: pa.Table, output_dir: str) -> pa.Table:
         if alias:
             target = _safe_join(output_dir, alias)
             os.makedirs(os.path.dirname(target) or output_dir, exist_ok=True)
-            with open(target, "wb") as f:
+            # tmp+rename: the alias path is keyed by the served
+            # filename alone (reference parity, src/disk.rs:35-65), so
+            # two docs claiming one filename race on this path — the
+            # rename makes that race last-writer-wins instead of a
+            # torn interleave of both bodies
+            tmp = f"{target}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(body or b"")
+            os.replace(tmp, target)
             link = _safe_join(output_dir, doc_id)
             os.makedirs(os.path.dirname(link), exist_ok=True)
             rel = os.path.relpath(target, os.path.dirname(link))

@@ -48,6 +48,7 @@ WARC_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("status", pa.int32()),
         ("content_type", pa.string()),
+        ("content_disposition", pa.string()),
         ("body", pa.binary()),
     ]
 )
@@ -60,12 +61,23 @@ def _record_id(url: str, body: bytes) -> str:
     return f"<urn:suckit:{h.hexdigest()}>"
 
 
-def build_record(url: str, status: int, content_type: str | None, body: bytes) -> bytes:
-    """One WARC response record (bytes), deterministic for its inputs."""
+def build_record(
+    url: str,
+    status: int,
+    content_type: str | None,
+    body: bytes,
+    disposition: str | None = None,
+) -> bytes:
+    """One WARC response record (bytes), deterministic for its inputs.
+    ``disposition`` archives the Content-Disposition header so the
+    crawl → WARC → recrawl round-trip reproduces the documents table's
+    ``filename`` column (it used to come back None)."""
+    disp = f"Content-Disposition: {disposition}\r\n" if disposition else ""
     http_head = (
         f"HTTP/1.1 {status} {_REASONS.get(status, 'Unknown')}\r\n"
         f"Content-Type: {content_type or 'application/octet-stream'}\r\n"
-        f"Content-Length: {len(body)}\r\n"
+        + disp
+        + f"Content-Length: {len(body)}\r\n"
         "\r\n"
     ).encode("utf-8")
     block = http_head + body
@@ -90,21 +102,32 @@ def write_warc_batch(
     status_col: str = "status",
     ctype_col: str = "data_type",
     body_col: str = "body",
+    filename_col: str = "filename",
 ) -> pa.Table:
     """map_batches sink: write this batch's rows as one gzipped WARC
     segment named after the content hash (idempotent: a re-run of the
     same block overwrites the same file with the same bytes). Returns a
     small (segment, n_records) table."""
     os.makedirs(output_dir, exist_ok=True)
+    # extracted filenames round-trip as a reconstructed header; the
+    # reference's extract_filename takes everything after the first
+    # '=', so the unquoted form reparses to the same value
+    fnames = (
+        batch.column(filename_col).to_pylist()
+        if filename_col in batch.schema.names
+        else [None] * batch.num_rows
+    )
     buf = io.BytesIO()
     n = 0
-    for url, status, ctype, body in zip(
+    for url, status, ctype, body, fname in zip(
         batch.column(url_col).to_pylist(),
         batch.column(status_col).to_pylist(),
         batch.column(ctype_col).to_pylist(),
         batch.column(body_col).to_pylist(),
+        fnames,
     ):
-        buf.write(build_record(url, int(status), ctype, body or b""))
+        disp = f"attachment; filename={fname}" if fname else None
+        buf.write(build_record(url, int(status), ctype, body or b"", disp))
         n += 1
     raw = buf.getvalue()
     name = f"segment-{hashlib.blake2b(raw, digest_size=8).hexdigest()}.warc.gz"
@@ -130,10 +153,12 @@ def write_warc(docs: rd.Dataset, output_dir: str, **cols) -> int:
 # reading
 # ---------------------------------------------------------------------------
 
-def parse_warc_bytes(data: bytes) -> list[tuple[str, int, str | None, bytes]]:
+def parse_warc_bytes(
+    data: bytes,
+) -> list[tuple[str, int, str | None, str | None, bytes]]:
     """Parse one WARC file's bytes (gzip auto-detected) into
-    (url, status, content_type, body) tuples; non-response records are
-    skipped.
+    (url, status, content_type, content_disposition, body) tuples;
+    non-response records are skipped.
 
     Tolerant framing (ADVICE r2): the scanner seeks forward to the next
     ``WARC/`` magic after each record's declared block, so a variable
@@ -169,7 +194,7 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, int, str | None, bytes]]:
             continue
         url = fields.get("warc-target-uri", "")
         http_end = block.find(b"\r\n\r\n")
-        status, ctype = 0, None
+        status, ctype, disp = 0, None, None
         body = b""
         if http_end >= 0:
             http_head = block[:http_end].decode("utf-8", errors="replace")
@@ -180,9 +205,12 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, int, str | None, bytes]]:
                 status = int(parts[1])
             for hl in hlines[1:]:
                 k, _, v = hl.partition(":")
-                if k.strip().lower() == "content-type":
+                kl = k.strip().lower()
+                if kl == "content-type":
                     ctype = v.strip()
-        out.append((url, status, ctype, body))
+                elif kl == "content-disposition":
+                    disp = v.strip()
+        out.append((url, status, ctype, disp, body))
     return out
 
 
@@ -190,21 +218,25 @@ def read_warc(paths: str | list[str]) -> rd.Dataset:
     """Dataset of (url, status, content_type, body) from WARC file(s) or
     a directory of them — one read+parse task per file; records stream
     as Arrow blocks and never visit the driver."""
-    files = rd.read_binary_files(paths, include_paths=False)
+    # resolve to .warc/.warc.gz only: a crashed writer's *.tmp or a
+    # stray file in the directory must not be ingested as an archive
+    files = rd.read_binary_files(_resolve_warc_paths(paths), include_paths=False)
 
     def parse(batch: pa.Table) -> pa.Table:
-        urls, statuses, ctypes, bodies = [], [], [], []
+        urls, statuses, ctypes, disps, bodies = [], [], [], [], []
         for data in batch.column("bytes").to_pylist():
-            for url, status, ctype, body in parse_warc_bytes(data):
+            for url, status, ctype, disp, body in parse_warc_bytes(data):
                 urls.append(url)
                 statuses.append(status)
                 ctypes.append(ctype)
+                disps.append(disp)
                 bodies.append(body)
         return pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
                 pa.array(statuses, pa.int32()),
                 pa.array(ctypes, pa.string()),
+                pa.array(disps, pa.string()),
                 pa.array(bodies, pa.binary()),
             ],
             schema=WARC_SCHEMA,
@@ -239,15 +271,15 @@ class WarcPageStore:
     sharded lookup service behind the same fetch interface."""
 
     def __init__(self, paths: str | list[str]):
-        self.pages: dict[str, tuple[int, str | None, bytes]] = {}
+        self.pages: dict[str, tuple[int, str | None, str | None, bytes]] = {}
         paths = _resolve_warc_paths(paths)
         for p in paths:
             with open(p, "rb") as f:
-                for url, status, ctype, body in parse_warc_bytes(f.read()):
+                for url, status, ctype, disp, body in parse_warc_bytes(f.read()):
                     # frontier URLs keep fragments (reference quirk) and
                     # are archived verbatim; requests go out defragmented
                     # — key the lookup the way fetch asks
-                    self.pages[url.split("#", 1)[0]] = (status, ctype, body)
+                    self.pages[url.split("#", 1)[0]] = (status, ctype, disp, body)
 
     def fetch(self, url: str, auth):
         from suckit_ray.sources.pagestore import PageResponse
@@ -255,8 +287,8 @@ class WarcPageStore:
         rec = self.pages.get(url.split("#", 1)[0])
         if rec is None:
             return PageResponse(404, None, None, b"")
-        status, ctype, body = rec
-        return PageResponse(status, ctype, None, body)
+        status, ctype, disp, body = rec
+        return PageResponse(status, ctype, disp, body)
 
 
 # ---------------------------------------------------------------------------
@@ -268,16 +300,17 @@ class _WarcLookupShard:
     ``ShardedWarcPageStore``. Holds only its 1/N of the records."""
 
     def __init__(self):
-        self.pages: dict[str, tuple[int, str | None, bytes]] = {}
+        self.pages: dict[str, tuple[int, str | None, str | None, bytes]] = {}
 
     def add(self, tbl: pa.Table) -> int:
-        for url, status, ctype, body in zip(
+        for url, status, ctype, disp, body in zip(
             tbl.column("url").to_pylist(),
             tbl.column("status").to_pylist(),
             tbl.column("content_type").to_pylist(),
+            tbl.column("content_disposition").to_pylist(),
             tbl.column("body").to_pylist(),
         ):
-            self.pages[url] = (int(status), ctype, body)
+            self.pages[url] = (int(status), ctype, disp, body)
         return len(self.pages)
 
     def get_many(self, urls: list[str]) -> list:
@@ -321,10 +354,10 @@ class ShardedWarcPageStore:
             buckets: list[list] = [[] for _ in range(n)]
             import zlib
 
-            for url, status, ctype, body in recs:
+            for url, status, ctype, disp, body in recs:
                 key = _shard_key(url)
                 buckets[zlib.crc32(key.encode("utf-8")) % n].append(
-                    (key, status, ctype, body)
+                    (key, status, ctype, disp, body)
                 )
             pending = []
             for i, rows in enumerate(buckets):
@@ -336,7 +369,10 @@ class ShardedWarcPageStore:
                             "content_type": pa.array(
                                 [r[2] for r in rows], pa.string()
                             ),
-                            "body": pa.array([r[3] for r in rows], pa.binary()),
+                            "content_disposition": pa.array(
+                                [r[3] for r in rows], pa.string()
+                            ),
+                            "body": pa.array([r[4] for r in rows], pa.binary()),
                         }
                     )
                     pending.append(shards[i].add.remote(tbl))
@@ -388,5 +424,5 @@ class ShardedWarcPageStore:
             (rec,) = ray.get(self._shards[self._shard_of(key)].get_many.remote([key]))
         if rec is None:
             return PageResponse(404, None, None, b"")
-        status, ctype, body = rec
-        return PageResponse(status, ctype, None, body)
+        status, ctype, disp, body = rec
+        return PageResponse(status, ctype, disp, body)

@@ -78,7 +78,10 @@ def bucketed_groupby_agg(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame(columns=[*keys, *aggs, "bucket"])
-        p = df.groupby(keys, as_index=False).agg(**partial_spec)
+        # dropna=False: Dataset.groupby keeps null-key groups, so the
+        # two-phase plan must too (a ledger grouped by a nullable host
+        # would otherwise silently drop its failure rows)
+        p = df.groupby(keys, as_index=False, dropna=False).agg(**partial_spec)
         h = None
         for k in keys:
             hk = pd.util.hash_pandas_object(p[k], index=False).astype("uint64")
@@ -87,7 +90,7 @@ def bucketed_groupby_agg(
         return p
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(keys, as_index=False).agg(**final_spec)
+        return g.groupby(keys, as_index=False, dropna=False).agg(**final_spec)
 
     return ds.map_batches(partial, batch_format="pandas").groupby("bucket").map_groups(
         final, batch_format="pandas"

@@ -36,7 +36,13 @@ def hll_partial(values: np.ndarray) -> np.ndarray:
     h = _splitmix64(np.asarray(values, dtype=np.uint64))
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     w = h & np.uint64((1 << (64 - HLL_P)) - 1)
-    # rho = position of the leftmost 1-bit in the (64-p)-bit suffix
+    # rho = position of the leftmost 1-bit in the (64-p)-bit suffix.
+    # float64 log2 is EXACT here only because w < 2^(64-p) = 2^52 fits
+    # float64's integer range; at p <= 11 the suffix would exceed 2^53
+    # and values just under a power of two would round UP, understating
+    # rho by 1 — guard the precondition rather than pay an integer
+    # bit-twiddling path.
+    assert 64 - HLL_P <= 52, "float64 log2 rho needs w within exact range"
     bits = np.zeros(len(w), dtype=np.int64)
     nz = w > 0
     bits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1

@@ -101,6 +101,14 @@ class SpillableSet:
     def __contains__(self, url: str) -> bool:
         return url in self.active or (bool(self.frozen_lo) and self._in_frozen(url))
 
+    # compaction bound: checkpoints freeze the active tier every wave,
+    # so without merging, a 1000-wave crawl accumulates ~1000 tiny runs
+    # and membership pays ~1000 searchsorted calls per bloom-positive
+    # URL. Above this many runs they merge into one sorted array (runs
+    # are disjoint — membership is checked before insert — so a plain
+    # concatenate+lexsort is a correct k-way merge).
+    MAX_FROZEN_RUNS = 8
+
     def _freeze(self) -> None:
         if not self.active:
             return
@@ -114,6 +122,12 @@ class SpillableSet:
             self.bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
         self._bloom_add(lo, hi)
         self.active = set()
+        if len(self.frozen_lo) > self.MAX_FROZEN_RUNS:
+            all_lo = np.concatenate(self.frozen_lo)
+            all_hi = np.concatenate(self.frozen_hi)
+            order = np.lexsort((all_lo, all_hi))
+            self.frozen_lo = [np.ascontiguousarray(all_lo[order])]
+            self.frozen_hi = [np.ascontiguousarray(all_hi[order])]
 
     def __len__(self) -> int:
         return self.count
@@ -125,8 +139,11 @@ class SpillableSet:
             "spill_threshold": self.spill_threshold,
             "bloom_bits": self.bloom_bits,
             "bloom": self.bloom,
-            "frozen_lo": self.frozen_lo,
-            "frozen_hi": self.frozen_hi,
+            # list COPIES: the returned dict must not alias the live
+            # run lists — a freeze after state() would otherwise mutate
+            # a checkpoint that hasn't been pickled yet
+            "frozen_lo": list(self.frozen_lo),
+            "frozen_hi": list(self.frozen_hi),
             "count": self.count,
         }
 

@@ -347,3 +347,31 @@ class TestSpillTiers:
             sh.ack_wave()
             wave += 1
         assert len(seen) == 18
+
+
+class TestSeenSetCompaction:
+    def test_frozen_runs_compact_and_state_does_not_alias(self):
+        """Round-3 review fixes: per-checkpoint freezes must not grow
+        the frozen-run list without bound (membership cost per URL is
+        linear in runs), and state() must return run lists the live set
+        can't mutate afterwards."""
+        s = SpillableSet(spill_threshold=10**9)
+        for r in range(30):  # 30 "checkpoints", a few URLs each
+            for k in range(5):
+                assert s.insert_if_absent(f"http://h.test/w{r}k{k}")
+            st = s.state()  # freezes the active tier
+        assert len(s.frozen_lo) <= SpillableSet.MAX_FROZEN_RUNS + 1
+        # every URL is still a member after compaction
+        for r in range(30):
+            for k in range(5):
+                assert f"http://h.test/w{r}k{k}" in s
+                assert not s.insert_if_absent(f"http://h.test/w{r}k{k}")
+        # state() snapshot is isolated from later freezes
+        n_runs = len(st["frozen_lo"])
+        s.insert_if_absent("http://h.test/new")
+        s.state()
+        assert len(st["frozen_lo"]) == n_runs
+        # and a restore from it round-trips membership
+        s2 = SpillableSet.from_state(st)
+        assert "http://h.test/w29k4" in s2
+        assert "http://h.test/never" not in s2

@@ -120,6 +120,34 @@ def test_process_index_html_spans_interleaved():
     assert reassembled.count("../google.com/index.html") == 1
 
 
+def test_href_written_before_src_splices_in_text_order():
+    """Round-3 review fix: a tag written `href=.. src=..` yields refs in
+    kuchiki priority order (src first) but MUST splice in text position
+    order — the old single-pass loop rewound `prev` and duplicated the
+    bytes between the two attributes into the output."""
+    url = parse_url("http://site.test/dir/page.html")
+    doc = '<p>A</p><a href="one.html" src="two.png">x</a><p>B</p>'
+    res = process_html(url, "site.test/dir/page.html", doc.encode(), None,
+                       MATCH_ALL, MATCH_NONE)
+    out = res.body.decode()
+    # no duplicated markup: each literal chunk appears exactly once
+    assert out.count("<p>A</p>") == 1
+    assert out.count('">x</a>') == 1
+    # rewritten values land in their own attribute slots
+    href_val = re.search(r'href="([^"]*)"', out).group(1)
+    src_val = re.search(r'src="([^"]*)"', out).group(1)
+    assert href_val.endswith("one.html") and src_val.endswith("two.png")
+    # ordinals keep kuchiki priority order: src outlink first
+    assert [(o.ordinal, o.raw) for o in res.outlinks] == [
+        (0, "two.png"), (1, "one.html")
+    ]
+    # spans are in text position order (href attr comes first in text)
+    media_refs = [s["media_ref"] for s in res.spans if s["kind"] != "text"]
+    assert media_refs == [href_val, src_val]
+    kinds = [s["kind"] for s in res.spans]
+    assert kinds == ["text", "link", "text", "media", "text"]
+
+
 def test_visit_filter_leaves_attribute_untouched():
     url = parse_url("http://site.test/")
     include = re.compile(r"mp[3-4]")

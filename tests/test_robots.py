@@ -86,3 +86,45 @@ class TestCrawlIntegration:
         )
         ids = set(res.docs.column("doc_id").to_pylist())
         assert "site.test/private/secret.html" in ids
+
+
+class TestRobotsFetchHardening:
+    """Round-3 review fixes: robots.txt redirects are followed (the
+    http→https hop is near-universal; a cached ALLOW_ALL on the 301
+    made respect_robots a silent no-op on such hosts), and the cache
+    keys on authority INCLUDING the port."""
+
+    def test_redirecting_robots_is_followed(self):
+        from suckit_ray.robots import RobotsCache
+
+        recs = [
+            PageRecord(
+                "http://site.test/robots.txt", b"", None,
+                location="https://site.test/robots.txt", status=301,
+            ),
+            PageRecord(
+                "https://site.test/robots.txt",
+                b"User-agent: *\nDisallow: /private/\n", "text/plain",
+            ),
+        ]
+        cache = RobotsCache(TablePageStore.from_records(recs))
+        assert not cache.allows("http://site.test/private/x.html")
+        assert cache.allows("http://site.test/public.html")
+
+    def test_port_is_part_of_the_robots_identity(self):
+        from suckit_ray.robots import RobotsCache
+
+        recs = [
+            PageRecord(
+                "http://site.test:8080/robots.txt",
+                b"User-agent: *\nDisallow: /\n", "text/plain",
+            ),
+            # port 80 robots allows everything
+            PageRecord(
+                "http://site.test/robots.txt",
+                b"User-agent: *\nDisallow:\n", "text/plain",
+            ),
+        ]
+        cache = RobotsCache(TablePageStore.from_records(recs))
+        assert not cache.allows("http://site.test:8080/x.html")
+        assert cache.allows("http://site.test/x.html")

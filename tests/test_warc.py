@@ -20,7 +20,9 @@ from suckit_ray.sources.warc import (
 def test_record_framing_parses_back():
     rec = build_record("http://a.test/x.html", 200, "text/html", b"<html>hi</html>")
     rows = parse_warc_bytes(rec)
-    assert rows == [("http://a.test/x.html", 200, "text/html", b"<html>hi</html>")]
+    assert rows == [
+        ("http://a.test/x.html", 200, "text/html", None, b"<html>hi</html>")
+    ]
 
 
 def test_multi_record_and_gzip():
@@ -30,7 +32,7 @@ def test_multi_record_and_gzip():
     rows = parse_warc_bytes(gzip.compress(raw))
     assert [r[0] for r in rows] == ["http://a.test/1", "http://a.test/2"]
     assert rows[1][1] == 404
-    assert rows[0][3] == b"one"
+    assert rows[0][4] == b"one"
 
 
 def test_record_bytes_deterministic():
@@ -45,7 +47,7 @@ def test_binary_body_safe():
     rows = parse_warc_bytes(
         build_record("http://a.test/bin", 200, "application/octet-stream", body)
     )
-    assert rows[0][3] == body
+    assert rows[0][4] == body
 
 
 def test_foreign_framing_does_not_truncate():
@@ -77,7 +79,7 @@ def test_foreign_framing_does_not_truncate():
     assert [r[0] for r in rows] == [
         "http://a.test/1", "http://a.test/2", "http://a.test/3"
     ]
-    assert [r[3] for r in rows] == [b"one", b"two", b"three"]
+    assert [r[4] for r in rows] == [b"one", b"two", b"three"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -251,7 +253,7 @@ from hypothesis import strategies as st
 )
 @settings(max_examples=150, deadline=None)
 def test_warc_record_round_trip_property(url, status, ctype, body):
-    ((u, s, c, b),) = parse_warc_bytes(build_record(url, status, ctype, body))
+    ((u, s, c, _d, b),) = parse_warc_bytes(build_record(url, status, ctype, body))
     assert (u, s, b) == (url, status, body)
     assert c == (ctype or "application/octet-stream")
 
@@ -267,4 +269,4 @@ def test_warc_record_round_trip_property(url, status, ctype, body):
 def test_warc_multi_record_stream_property(recs):
     raw = b"".join(build_record(u, 200, "text/plain", b) for u, b in recs)
     parsed = parse_warc_bytes(raw)
-    assert [(p[0], p[3]) for p in parsed] == recs
+    assert [(p[0], p[4]) for p in parsed] == recs
