@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="crawl the deterministic N-page synthetic web (offline)")
     p.add_argument("--respect-robots", action="store_true",
                    help="honor robots.txt exclusion rules (rebuild-only)")
+    p.add_argument("--priority", action="append", default=[],
+                   metavar="REGEX",
+                   help="frontier release precedence (rebuild-only): "
+                        "URLs matching the first --priority regex "
+                        "release before the second, etc.; repeatable")
     p.add_argument("--seeds-parquet", metavar="FILE",
                    help="parquet file with a url column: the seed list")
     p.add_argument("--parquet-out", metavar="DIR",
@@ -96,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         dry_run=args.dry_run,
         disable_certs_checks=args.disable_certs_checks,
         respect_robots=args.respect_robots,
+        priority_patterns=tuple(args.priority),
     )
 
     import os

@@ -49,6 +49,14 @@ class CrawlConfig:
     # rebuild-only (north_rule): robots.txt exclusion; off by default
     # for reference parity (the reference ignores robots entirely)
     respect_robots: bool = False
+    # rebuild-only (north_rule "per-host politeness priority queues"):
+    # frontier release precedence. URLs matching patterns[i] (first
+    # match wins, unanchored search) release before anything matching
+    # only patterns[j>i]; non-matching URLs release last. Empty = pure
+    # FIFO waves (reference parity). The crawl SET is unchanged — only
+    # the wave in which a URL is fetched moves — so leave it empty when
+    # reproducing the reference's exact per-wave grouping matters.
+    priority_patterns: tuple[str, ...] = field(default_factory=tuple)
 
     def resolved(self) -> "CrawlConfig":
         """Apply --visit-filter-is-download-filter aliasing

@@ -133,7 +133,12 @@ def crawl(
     ShardActor = ray.remote(num_cpus=0)(FrontierShard)
     shards = [
         ShardActor.remote(
-            i, num_shards, spill_threshold, pending_mem_limit, ledger_mem_rows
+            i,
+            num_shards,
+            spill_threshold,
+            pending_mem_limit,
+            ledger_mem_rows,
+            priority_patterns=cfg.priority_patterns,
         )
         for i in range(num_shards)
     ]

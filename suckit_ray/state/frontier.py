@@ -4,7 +4,10 @@ reference's shared mutable state:
 - ``Mutex<HashMap>`` url→path mirror map + first-wins dedup gate
   (reference src/scraper.rs:44,76-85,202)  → per-shard ``SpillableSet``
 - unbounded MPMC work channel (src/scraper.rs:40-41,50) → per-shard
-  pending queues drained in deterministic BFS waves
+  pending queues drained in deterministic BFS waves, optionally
+  priority-bucketed (``priority_patterns``): level = first matching
+  pattern, level-0 releases first under the shared per-host politeness
+  budget — per-host politeness priority queues (north_rule)
 - write-only ``visited_urls`` (src/scraper.rs:43,284) → a real fetch
   ledger powering exact resume (north_rule)
 
@@ -148,21 +151,38 @@ class FrontierShard:
         spill_threshold: int = 2_000_000,
         pending_mem_limit: int = 500_000,
         ledger_mem_rows: int = 500_000,
+        priority_patterns: tuple[str, ...] = (),
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.seen = SpillableSet(spill_threshold=spill_threshold)
-        self.pending: list[tuple[str, str, int, int]] = []  # (url, host, depth, ext)
+        # Per-host politeness PRIORITY queues (north_rule): pending is a
+        # small fixed set of priority-bucketed FIFO chains, level =
+        # index of the first matching pattern in ``priority_patterns``
+        # (no match → lowest level). Releases drain level 0 first, so a
+        # comparison-based heap over spilled data is never needed —
+        # bucketed precedence is the scale-honest priority queue (each
+        # level keeps the bounded FIFO spill machinery; cf. Heritrix
+        # precedence queues). With no patterns there is one level and
+        # behavior is exactly the round-2 FIFO — reference parity.
+        import re as _re
+
+        self._priority_res = [_re.compile(p) for p in priority_patterns]
+        self.num_levels = len(self._priority_res) + 1
+        L = self.num_levels
+        # per level: (url, host, depth, ext) FIFO + spill chain
+        self.pending: list[list[tuple[str, str, int, int]]] = [[] for _ in range(L)]
         self.pending_mem_limit = pending_mem_limit
-        self._pending_files: list[str] = []  # FIFO spill chunks (oldest first)
-        # per-chunk metadata parallel to _pending_files: (n_entries,
-        # host→count | None). Lets a capped drain decide WITHOUT loading
-        # whether a chunk contains any host with remaining budget, and
-        # makes the post-drain spilled recount pure arithmetic instead of
-        # re-unpickling every untouched file (ADVICE r2). None host map =
-        # "too many distinct hosts to summarize; must load to know".
-        self._pending_meta: list[tuple[int, dict | None]] = []
-        self._pending_spilled = 0
+        self._pending_files: list[list[str]] = [[] for _ in range(L)]
+        # per-chunk metadata parallel to _pending_files[level]:
+        # (n_entries, host→count | None). Lets a capped drain decide
+        # WITHOUT loading whether a chunk contains any host with
+        # remaining budget, and makes the post-drain spilled recount
+        # pure arithmetic instead of re-unpickling every untouched file
+        # (ADVICE r2). None host map = "too many distinct hosts to
+        # summarize; must load to know".
+        self._pending_meta: list[list[tuple[int, dict | None]]] = [[] for _ in range(L)]
+        self._pending_spilled: list[int] = [0] * L
         self.buffer_tables: list[pa.Table] = []
         self.released_tbl: pa.Table | None = None  # in-flight wave (resume)
         self.ledger_tables: list[pa.Table] = []
@@ -192,19 +212,28 @@ class FrontierShard:
                 return (len(chunk), None)
         return (len(chunk), hosts)
 
-    def _spill_pending(self) -> None:
-        path = self._spill_path("pending", "pkl")
-        with open(path, "wb") as f:
-            pickle.dump(self.pending, f, protocol=pickle.HIGHEST_PROTOCOL)
-        self._pending_files.append(path)
-        self._pending_meta.append(self._chunk_meta(self.pending))
-        self._pending_spilled += len(self.pending)
-        self.pending = []
+    def _priority_of(self, url: str) -> int:
+        for i, rx in enumerate(self._priority_res):
+            if rx.search(url):
+                return i
+        return self.num_levels - 1
 
-    def _pending_append(self, ent: tuple) -> None:
-        self.pending.append(ent)
-        if len(self.pending) >= self.pending_mem_limit:
-            self._spill_pending()
+    def _spill_pending(self, level: int) -> None:
+        path = self._spill_path(f"pending{level}", "pkl")
+        chain = self.pending[level]
+        with open(path, "wb") as f:
+            pickle.dump(chain, f, protocol=pickle.HIGHEST_PROTOCOL)
+        self._pending_files[level].append(path)
+        self._pending_meta[level].append(self._chunk_meta(chain))
+        self._pending_spilled[level] += len(chain)
+        self.pending[level] = []
+
+    def _pending_append(self, ent: tuple, level: int | None = None) -> None:
+        if level is None:
+            level = self._priority_of(ent[0])
+        self.pending[level].append(ent)
+        if len(self.pending[level]) >= self.pending_mem_limit:
+            self._spill_pending(level)
 
     def _spill_ledger(self) -> None:
         import pyarrow.parquet as pq
@@ -282,6 +311,7 @@ class FrontierShard:
         via ``released_refs``."""
         if self.buffer_tables:
             import numpy as np
+            import pandas as pd
 
             buf = pa.concat_tables(self.buffer_tables)
             self.buffer_tables = []
@@ -315,15 +345,34 @@ class FrontierShard:
             self.counters["depth_gated"] += int(np.count_nonzero(~ok))
             dd = np.where(ext, d, d + 1)[ok].tolist()
             ee = np.where(ext, e + 1, e)[ok].tolist()
-            ents = list(zip(acc["url"].to_numpy()[ok], acc["host"].to_numpy()[ok], dd, ee))
-            # bulk append with the same spill cadence as _pending_append
-            pos = 0
-            while pos < len(ents):
-                room = self.pending_mem_limit - len(self.pending)
-                self.pending.extend(ents[pos : pos + room])
-                pos += room
-                if len(self.pending) >= self.pending_mem_limit:
-                    self._spill_pending()
+            urls_ok = acc["url"].to_numpy()[ok]
+            ents = list(zip(urls_ok, acc["host"].to_numpy()[ok], dd, ee))
+            if self.num_levels > 1:
+                # first-match-wins level per URL, vectorized: start at
+                # the lowest level and claim still-unmatched URLs from
+                # the LAST pattern backwards so earlier patterns win
+                s = pd.Series(urls_ok, dtype=object)
+                levels = np.full(len(ents), self.num_levels - 1, dtype=np.int64)
+                for i in range(len(self._priority_res) - 1, -1, -1):
+                    m = s.str.contains(self._priority_res[i], regex=True).to_numpy()
+                    levels[m] = i
+            else:
+                levels = np.zeros(len(ents), dtype=np.int64)
+            # bulk append per level with the same spill cadence as
+            # _pending_append (FIFO within level preserved: stable order)
+            for lvl in range(self.num_levels):
+                lvl_ents = (
+                    ents
+                    if self.num_levels == 1
+                    else [e for e, l in zip(ents, levels) if l == lvl]
+                )
+                pos = 0
+                while pos < len(lvl_ents):
+                    room = self.pending_mem_limit - len(self.pending[lvl])
+                    self.pending[lvl].extend(lvl_ents[pos : pos + room])
+                    pos += room
+                    if len(self.pending[lvl]) >= self.pending_mem_limit:
+                        self._spill_pending(lvl)
 
         take = self._drain_pending(max_per_host, max_wave_entries)
         self.released_tbl = rows_to_table(
@@ -345,43 +394,72 @@ class FrontierShard:
         disk — a capped drain reads only as much as it must)."""
         if max_per_host is None and max_total is None:
             take: list[tuple] = []
-            for path in self._pending_files:
-                with open(path, "rb") as f:
-                    take.extend(pickle.load(f))
-                os.remove(path)
-            self._pending_files = []
-            self._pending_meta = []
-            self._pending_spilled = 0
-            take.extend(self.pending)
-            self.pending = []
+            for lvl in range(self.num_levels):
+                for path in self._pending_files[lvl]:
+                    with open(path, "rb") as f:
+                        take.extend(pickle.load(f))
+                    os.remove(path)
+                self._pending_files[lvl] = []
+                self._pending_meta[lvl] = []
+                self._pending_spilled[lvl] = 0
+                take.extend(self.pending[lvl])
+                self.pending[lvl] = []
             return take
 
-        # Capped drain. Per-chunk host summaries decide without any IO
-        # whether a chunk can contribute under the per-host cap — a head
-        # chunk dominated by one capped host no longer starves other
-        # hosts in later chunks — and once the total budget is spent the
-        # remaining chunks are never touched at all (their counts live
-        # in _pending_meta). Leftovers of a loaded chunk are re-spilled
-        # AT THE SAME POSITION, so FIFO order is preserved exactly.
+        # Capped drain, levels in priority order sharing one per-host/
+        # total budget (level 0 claims host slots first — that IS the
+        # priority-queue semantics under politeness). Per-chunk host
+        # summaries decide without any IO whether a chunk can contribute
+        # under the per-host cap — a head chunk dominated by one capped
+        # host no longer starves other hosts in later chunks — and once
+        # the total budget is spent the remaining chunks are never
+        # touched at all (their counts live in _pending_meta). Leftovers
+        # of a loaded chunk are re-spilled AT THE SAME POSITION, so FIFO
+        # order within a level is preserved exactly.
         per_host: dict[str, int] = defaultdict(int)
         budget = max_total if max_total is not None else float("inf")
         take = []
-        new_files: list[str] = []
-        new_meta: list[tuple[int, dict | None]] = []
-        for path, meta in zip(self._pending_files, self._pending_meta):
-            hosts = meta[1]
-            if budget <= 0 or (
-                max_per_host is not None
-                and hosts is not None
-                and all(per_host[h] >= max_per_host for h in hosts)
-            ):
-                new_files.append(path)
-                new_meta.append(meta)
-                continue
-            with open(path, "rb") as f:
-                chunk = pickle.load(f)
-            kept = []
-            for ent in chunk:
+        for lvl in range(self.num_levels):
+            new_files: list[str] = []
+            new_meta: list[tuple[int, dict | None]] = []
+            for path, meta in zip(self._pending_files[lvl], self._pending_meta[lvl]):
+                hosts = meta[1]
+                if budget <= 0 or (
+                    max_per_host is not None
+                    and hosts is not None
+                    and all(per_host[h] >= max_per_host for h in hosts)
+                ):
+                    new_files.append(path)
+                    new_meta.append(meta)
+                    continue
+                with open(path, "rb") as f:
+                    chunk = pickle.load(f)
+                kept = []
+                for ent in chunk:
+                    if budget > 0 and (
+                        max_per_host is None or per_host[ent[1]] < max_per_host
+                    ):
+                        per_host[ent[1]] += 1
+                        budget -= 1
+                        take.append(ent)
+                    else:
+                        kept.append(ent)
+                if len(kept) == len(chunk):  # None-meta chunk, fully capped
+                    new_files.append(path)
+                    new_meta.append(meta)
+                    continue
+                os.remove(path)
+                if kept:
+                    repl = self._spill_path(f"pending{lvl}", "pkl")
+                    with open(repl, "wb") as f:
+                        pickle.dump(kept, f, protocol=pickle.HIGHEST_PROTOCOL)
+                    new_files.append(repl)
+                    new_meta.append(self._chunk_meta(kept))
+            # the in-memory pending is ALWAYS scanned (budget permitting)
+            # — hosts that only appear here must not be starved by
+            # saturated spill chunks
+            mem_kept = []
+            for ent in self.pending[lvl]:
                 if budget > 0 and (
                     max_per_host is None or per_host[ent[1]] < max_per_host
                 ):
@@ -389,35 +467,11 @@ class FrontierShard:
                     budget -= 1
                     take.append(ent)
                 else:
-                    kept.append(ent)
-            if len(kept) == len(chunk):  # None-meta chunk, fully capped
-                new_files.append(path)
-                new_meta.append(meta)
-                continue
-            os.remove(path)
-            if kept:
-                repl = self._spill_path("pending", "pkl")
-                with open(repl, "wb") as f:
-                    pickle.dump(kept, f, protocol=pickle.HIGHEST_PROTOCOL)
-                new_files.append(repl)
-                new_meta.append(self._chunk_meta(kept))
-        # the in-memory pending is ALWAYS scanned (budget permitting) —
-        # hosts that only appear here must not be starved by saturated
-        # spill chunks
-        mem_kept = []
-        for ent in self.pending:
-            if budget > 0 and (
-                max_per_host is None or per_host[ent[1]] < max_per_host
-            ):
-                per_host[ent[1]] += 1
-                budget -= 1
-                take.append(ent)
-            else:
-                mem_kept.append(ent)
-        self.pending = mem_kept
-        self._pending_files = new_files
-        self._pending_meta = new_meta
-        self._pending_spilled = sum(m[0] for m in new_meta)
+                    mem_kept.append(ent)
+            self.pending[lvl] = mem_kept
+            self._pending_files[lvl] = new_files
+            self._pending_meta[lvl] = new_meta
+            self._pending_spilled[lvl] = sum(m[0] for m in new_meta)
         return take
 
     def released_count(self) -> int:
@@ -453,8 +507,8 @@ class FrontierShard:
     # -- introspection ------------------------------------------------
     def pending_count(self) -> int:
         return (
-            len(self.pending)
-            + self._pending_spilled
+            sum(len(c) for c in self.pending)
+            + sum(self._pending_spilled)
             + sum(t.num_rows for t in self.buffer_tables)
         )
 
@@ -494,11 +548,14 @@ class FrontierShard:
         pickle's os.replace leaves wave N's pickle still referencing
         wave N's (untouched) copies. Prior waves' copies are
         garbage-collected only AFTER the rename (ADVICE r2 medium)."""
-        spill_copies = []
-        for i, p in enumerate(self._pending_files):
-            dst = f"{path}.w{wave:05d}.pend{i:04d}"
-            shutil.copyfile(p, dst)
-            spill_copies.append(os.path.basename(dst))
+        spill_copies: list[list[str]] = []
+        for lvl, files in enumerate(self._pending_files):
+            lvl_copies = []
+            for i, p in enumerate(files):
+                dst = f"{path}.w{wave:05d}.pend{lvl:02d}_{i:04d}"
+                shutil.copyfile(p, dst)
+                lvl_copies.append(os.path.basename(dst))
+            spill_copies.append(lvl_copies)
         ledger_copies = []
         for i, p in enumerate(self._ledger_files):
             dst = f"{path}.w{wave:05d}.ledg{i:04d}"
@@ -553,20 +610,33 @@ class FrontierShard:
             )
         self.seen = SpillableSet.from_state(st["seen"])
         self.ledger_seen = SpillableSet.from_state(st["ledger_seen"])
-        self.pending = [tuple(p) for p in st["pending"]]
-        self._pending_files = []
-        self._pending_meta = []
-        self._pending_spilled = 0
+        pend = st["pending"]
+        pfiles = st["pending_files"]
+        if not pend or not isinstance(pend[0], list):
+            # pre-priority (round ≤3 early) flat snapshot → level 0
+            pend, pfiles = [list(pend)], [list(pfiles)]
+        L = self.num_levels
+        if len(pend) != L:
+            raise ValueError(
+                f"snapshot has {len(pend)} priority levels, this actor "
+                f"is configured with {L} — resume must keep the same "
+                "priority_patterns"
+            )
+        self.pending = [[tuple(p) for p in chain] for chain in pend]
+        self._pending_files = [[] for _ in range(L)]
+        self._pending_meta = [[] for _ in range(L)]
+        self._pending_spilled = [0] * L
         base = os.path.dirname(path)
-        for name in st["pending_files"]:
-            dst = self._spill_path("pending", "pkl")
-            shutil.copyfile(os.path.join(base, name), dst)
-            self._pending_files.append(dst)
-            with open(dst, "rb") as f:
-                chunk = pickle.load(f)
-            meta = self._chunk_meta(chunk)
-            self._pending_meta.append(meta)
-            self._pending_spilled += meta[0]
+        for lvl in range(L):
+            for name in pfiles[lvl]:
+                dst = self._spill_path(f"pending{lvl}", "pkl")
+                shutil.copyfile(os.path.join(base, name), dst)
+                self._pending_files[lvl].append(dst)
+                with open(dst, "rb") as f:
+                    chunk = pickle.load(f)
+                meta = self._chunk_meta(chunk)
+                self._pending_meta[lvl].append(meta)
+                self._pending_spilled[lvl] += meta[0]
         self.released_tbl = st["released"]
         self.ledger_tables = list(st["ledger_tables"])
         self._ledger_mem_rows = sum(t.num_rows for t in self.ledger_tables)

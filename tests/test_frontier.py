@@ -375,3 +375,121 @@ class TestSeenSetCompaction:
         s2 = SpillableSet.from_state(st)
         assert "http://h.test/w29k4" in s2
         assert "http://h.test/never" not in s2
+
+
+class TestPriorityQueues:
+    """Round-3: per-host politeness PRIORITY queues (north_rule) —
+    pending is priority-bucketed by first-matching pattern; releases
+    drain level 0 first while keeping per-host caps, FIFO-within-level
+    across spill chunks, checkpoint round-trip, and crawl-set
+    equality with the FIFO frontier."""
+
+    def cand(self, seq, ordinal, url, host="h.test"):
+        return (seq, ordinal, url, host, False, 0, 0)
+
+    def mixed_urls(self, n=30):
+        exts = ["html", "css", "bin"]
+        return [f"http://h.test/p{i:04d}.{exts[i % 3]}" for i in range(n)]
+
+    def test_wave_cap_releases_high_priority_first(self):
+        sh = FrontierShard(
+            0, 1, pending_mem_limit=7,
+            priority_patterns=(r"\.html", r"\.css"),
+        )
+        urls = self.mixed_urls(30)  # 10 html, 10 css, 10 bin
+        sh.add_candidates([self.cand(1, i, u) for i, u in enumerate(urls)])
+        waves = []
+        wave, total = 1, 0
+        while True:
+            n = sh.finalize_wave(wave, -1, 0, max_wave_entries=10)
+            if n == 0:
+                break
+            waves.append([r[0] for r in sh.released_entries()])
+            total += n
+            sh.ack_wave()
+            wave += 1
+        assert total == 30
+        # sub-wave 1 = all html (level 0), 2 = all css, 3 = the rest
+        assert all(u.endswith(".html") for u in waves[0]) and len(waves[0]) == 10
+        assert all(u.endswith(".css") for u in waves[1]) and len(waves[1]) == 10
+        assert all(u.endswith(".bin") for u in waves[2]) and len(waves[2]) == 10
+        # FIFO preserved within each level across spill chunks
+        for w in waves:
+            assert w == sorted(w)
+
+    def test_first_matching_pattern_wins(self):
+        sh = FrontierShard(0, 1, priority_patterns=(r"alpha", r"a"))
+        assert sh._priority_of("http://h.test/alpha.bin") == 0
+        assert sh._priority_of("http://h.test/art.bin") == 1
+        assert sh._priority_of("http://h.test/zz.bin") == 2
+
+    def test_per_host_cap_spans_levels(self):
+        """Level 0 claims a host's politeness slot first; the shared
+        budget means a host never exceeds the cap per wave even when
+        it has entries at several levels."""
+        sh = FrontierShard(0, 1, priority_patterns=(r"\.html",))
+        cands = [
+            self.cand(1, i, f"http://h{i % 2}.test/p{i:04d}.{'html' if i < 6 else 'bin'}",
+                      host=f"h{i % 2}.test")
+            for i in range(12)
+        ]
+        sh.add_candidates(cands)
+        released = []
+        wave = 1
+        while True:
+            n = sh.finalize_wave(wave, -1, 0, max_per_host=2)
+            if n == 0:
+                break
+            rel = sh.released_entries()
+            hosts = [r[1] for r in rel]
+            for h in set(hosts):
+                assert hosts.count(h) <= 2
+            # any html still pending must release before this wave's bin
+            released.append([r[0] for r in rel])
+            sh.ack_wave()
+            wave += 1
+        flat = [u for w in released for u in w]
+        assert sorted(flat) == sorted(c[2] for c in cands)
+        # all html released strictly before any bin for the same host
+        for h in ("h0.test", "h1.test"):
+            host_seq = [u for u in flat if f"//{h}/" in u]
+            kinds = [u.rsplit(".", 1)[1] for u in host_seq]
+            assert kinds == sorted(kinds, key=lambda k: k != "html")
+
+    def test_checkpoint_round_trips_priority_chains(self, tmp_path):
+        sh = FrontierShard(
+            0, 1, pending_mem_limit=5,
+            priority_patterns=(r"\.html",),
+        )
+        urls = self.mixed_urls(24)
+        sh.add_candidates([self.cand(1, i, u) for i, u in enumerate(urls)])
+        sh.finalize_wave(1, -1, 0, max_wave_entries=4)  # leaves spilled chains
+        snap = str(tmp_path / "shard_0000.pkl")
+        sh.snapshot(snap, 1)
+        sh2 = FrontierShard(
+            0, 1, pending_mem_limit=5, priority_patterns=(r"\.html",)
+        )
+        sh2.restore(snap)
+        assert sh2.pending_count() == sh.pending_count()
+        # identical continuation from the snapshot
+        seen = [r[0] for r in sh2.released_entries()]
+        wave = 2
+        while sh2.finalize_wave(wave, -1, 0, max_wave_entries=4):
+            seen.extend(r[0] for r in sh2.released_entries())
+            sh2.ack_wave()
+            wave += 1
+        assert sorted(seen) == sorted(urls)
+        html_last = max(i for i, u in enumerate(seen) if u.endswith(".html"))
+        other_first = min(i for i, u in enumerate(seen) if not u.endswith(".html"))
+        assert html_last < other_first
+
+    def test_restore_rejects_mismatched_level_count(self, tmp_path):
+        sh = FrontierShard(0, 1, priority_patterns=(r"\.html",))
+        sh.seed([("http://h.test/a.html", "h.test")])
+        snap = str(tmp_path / "shard_0000.pkl")
+        sh.snapshot(snap, 0)
+        import pytest
+
+        sh2 = FrontierShard(0, 1)  # 1 level vs snapshot's 2
+        with pytest.raises(ValueError, match="priority levels"):
+            sh2.restore(snap)

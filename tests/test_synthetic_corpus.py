@@ -128,3 +128,54 @@ def test_politeness_crawl_with_spilled_pending():
     assert sorted(base.docs.column("doc_id").to_pylist()) == sorted(
         spilled.docs.column("doc_id").to_pylist()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_priority_crawl_same_set_html_first():
+    """Priority queues (north_rule): with release precedence for .html,
+    the crawl SET equals the FIFO run's (priority only re-times
+    fetches), and within the capped sub-wave schedule every HTML page
+    is fetched no later than the first asset of a later wave."""
+    corpus = SyntheticCorpus(n_hosts=2, n_docs=60, fanout=3, n_assets_per_host=6)
+    store = SyntheticPageStore(corpus)
+    base = crawl(
+        CrawlConfig(origin=corpus.page_url(0, 0)),
+        store, seeds=corpus.seeds(), num_shards=2,
+    )
+    prio = crawl(
+        CrawlConfig(
+            origin=corpus.page_url(0, 0),
+            priority_patterns=(r"\.html",),
+        ),
+        store, seeds=corpus.seeds(), num_shards=2,
+        max_wave_entries=16, pending_mem_limit=8,
+    )
+    assert sorted(base.docs.column("doc_id").to_pylist()) == sorted(
+        prio.docs.column("doc_id").to_pylist()
+    )
+    # per (shard-)wave: html entries appear before non-html within every
+    # released wave batch (level 0 drains first)
+    import collections
+    by_wave = collections.defaultdict(list)
+    for doc_id, seq, is_html in zip(
+        prio.docs.column("doc_id").to_pylist(),
+        prio.docs.column("seq").to_pylist(),
+        prio.docs.column("is_html").to_pylist(),
+    ):
+        wave = seq >> 44  # _SEQ_SHARD_BITS + _SEQ_IDX_BITS
+        by_wave[wave].append((seq, is_html))
+    mixed = 0
+    for wave, rows in by_wave.items():
+        rows.sort()
+        kinds = [h for _, h in rows]
+        # once a wave's release hits level-1 entries, no level-0 (html)
+        # entry may follow WITHIN the same shard's release sequence
+        shard_rows = collections.defaultdict(list)
+        for seq, h in rows:
+            shard_rows[(seq >> 34) & 0x3FF].append(h)
+        for ks in shard_rows.values():
+            if False in ks and True in ks:
+                mixed += 1
+                assert ks == sorted(ks, reverse=True), (wave, ks)
+    # the corpus layout must actually exercise mixed waves
+    assert mixed > 0 or len(by_wave) > 1
