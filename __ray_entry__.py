@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_pairs_ivf": dedup.embedding_dup_pairs_ivf,
+        # SemDeDup: eps at this corpus's near-dup threshold (max pair
+        # cosine is ~0.48; the paper's 0.95+ regime assumes web-scale
+        # embedding density) — rows-only, numpy-reference pinned
+        "semantic_dedup": lambda sf: dedup.semantic_dedup(sf, eps=0.40),
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,

@@ -1022,6 +1022,109 @@ def embedding_dup_pairs_ivf(
     )
 
 
+def semantic_dedup(
+    sf_dir: str,
+    n_clusters: int = 8,
+    eps: float = 0.95,
+    sample_size: int = 2048,
+) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over the embedding table — cluster with spherical
+    k-means, then within each cluster greedily drop every vector whose
+    cosine to an already-kept vector is ≥ ``eps``. Scan order is
+    ascending similarity-to-centroid (vec_id tiebreak), so the kept
+    representative of each ε-ball is its most "edge" member — the
+    paper's choice, which preserves diversity.
+
+    Shape: quantizer trains on a bounded ``limit()`` sample
+    (deterministic, seeded); assignment is one ``map_batches`` with the
+    centroid matrix broadcast via ``ray.put``; pruning is one
+    ``groupby(cluster).map_groups`` whose per-group work is
+    O(cluster²) vector dot products — at corpus scale the cluster
+    count is sized so clusters stay bounded (SemDeDup uses ~50k
+    clusters for LAION-scale; the groupby is the only shuffle and it
+    carries each vector exactly once). Deterministic for a fixed
+    input regardless of block layout: assignment is per-row, pruning
+    sorts within group. Rows-only correctness (k-means isn't
+    SQL-expressible); pinned against an independent single-process
+    numpy reference in tests.
+
+    Returns (vec_id, cluster, kept, rep_id): ``rep_id`` = the kept
+    vector that shadowed a dropped one (-1 for kept rows).
+    """
+    import ray
+
+    from suckit_ray.pipelines.ann import _normalize, _train_centroids
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample_df = ds.limit(sample_size).to_pandas()
+    cent = _train_centroids(
+        _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)),
+        n_clusters,
+    )
+    cent_ref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        sims = m @ c.T
+        cell = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "embedding": df["embedding"].to_numpy(),
+                "cluster": cell.astype(np.int64),
+                "cent_cos": sims[np.arange(len(cell)), cell],
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        # ascending cos-to-centroid: edge members are scanned (and
+        # therefore kept) first; exact float ties break on vec_id
+        g = g.sort_values(["cent_cos", "vec_id"]).reset_index(drop=True)
+        ids = g["vec_id"].to_numpy()
+        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        kept_rows: list[int] = []
+        rep = np.full(len(g), -1, dtype=np.int64)
+        kept_flag = np.zeros(len(g), dtype=bool)
+        for i in range(len(g)):
+            if kept_rows:
+                cos = m[kept_rows] @ m[i]
+                j = int(cos.argmax())
+                if cos[j] >= eps:
+                    rep[i] = ids[kept_rows[j]]
+                    continue
+            kept_rows.append(i)
+            kept_flag[i] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(),
+                "kept": kept_flag,
+                "rep_id": rep,
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+            "cluster": pa.array(out["cluster"].astype("int64")),
+            "kept": pa.array(out["kept"].astype(bool)),
+            "rep_id": pa.array(out["rep_id"].astype("int64")),
+        }
+    )
+
+
 def minhash_lsh_pairs_shuffled(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
     """Key-shuffled verify variant of ``minhash_lsh_pairs`` — ZERO
     driver state; the path ``minhash_lsh_pairs`` auto-routes to when

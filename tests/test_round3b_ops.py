@@ -282,3 +282,59 @@ def test_revenue_by_nation_matches_pandas_join():
     )
     want[["sum_rev", "n_lines"]] = want[["sum_rev", "n_lines"]].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_matches_numpy_reference():
+    """SemDeDup (cluster + within-cluster greedy eps-cosine pruning)
+    == an independent single-process numpy implementation: same seeded
+    sample-trained quantizer, same ascending-cos-to-centroid scan
+    order, exact (vec_id, cluster, kept, rep_id) agreement."""
+    import numpy as np
+
+    from suckit_ray.pipelines import dedup
+
+    got = dedup.semantic_dedup(SF, n_clusters=6, eps=0.40).to_pandas()
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    ids = emb["vec_id"].to_numpy()
+    # quantizer: seeded init on the first sample_size rows, 8 iters
+    sample = X[:2048]
+    rng = np.random.RandomState(7)
+    idx = rng.choice(len(sample), size=6, replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(8):
+        a = (sample @ cent.T).argmax(axis=1)
+        for k in range(6):
+            pts = sample[a == k]
+            if len(pts):
+                v = pts.mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[k] = v / (n if n else 1.0)
+    sims = X @ cent.T
+    cell = sims.argmax(axis=1)
+    cent_cos = sims[np.arange(len(cell)), cell]
+    want = {}
+    for c in np.unique(cell):
+        rows = np.where(cell == c)[0]
+        order = rows[np.lexsort((ids[rows], cent_cos[rows]))]
+        kept = []
+        for r in order:
+            rep = -1
+            if kept:
+                cos = X[kept] @ X[r]
+                j = int(cos.argmax())
+                if cos[j] >= 0.40:
+                    rep = int(ids[kept[j]])
+            if rep == -1:
+                kept.append(r)
+            want[int(ids[r])] = (int(c), rep == -1, rep)
+    assert len(got) == len(ids)
+    for vid, cl, kp, rp in zip(
+        got["vec_id"], got["cluster"], got["kept"], got["rep_id"]
+    ):
+        assert want[int(vid)] == (int(cl), bool(kp), int(rp)), vid
+    # the eps actually bites on this corpus (some rows pruned, most kept)
+    assert 0 < (~got["kept"]).sum() < len(got)
