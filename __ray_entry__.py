@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
+        "docs_dup_spans": textops.docs_dup_spans,
     }
 
 
@@ -1170,6 +1171,34 @@ def oracle_sql() -> dict[str, str]:
                               / count(*)) AS BIGINT) AS dup_pct
             FROM sh JOIN freq f USING (s)
             GROUP BY sh.doc_id
+        """,
+        "docs_dup_spans": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 2)) AS i FROM docs2
+            ),
+            grams AS (
+              SELECT doc_id, i, array_to_string(L[i:i+3], ' ') AS s FROM pos
+            ),
+            freq AS (SELECT s, count(DISTINCT doc_id) AS df FROM grams GROUP BY s),
+            dup AS (
+              SELECT g.doc_id, g.i FROM grams g JOIN freq f USING (s)
+              WHERE f.df >= 2
+            ),
+            isl AS (
+              SELECT doc_id, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM dup
+            )
+            SELECT doc_id,
+                   CAST(min(i) - 1 AS BIGINT) AS start_pos,
+                   CAST(max(i) - 1 AS BIGINT) AS end_pos,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM isl GROUP BY doc_id, grp
         """,
         # no oracle (rows-only): embedding_dup_pairs_ivf, ann_ivf_topk,
         # ann_lsh_topk, events_distinct_users_hll, events_top_users_cms,

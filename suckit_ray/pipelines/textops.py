@@ -659,3 +659,74 @@ def docs_dup_ngram_fraction(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def docs_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
+    """(doc_id, start_pos, end_pos, n_grams): MAXIMAL runs of
+    consecutive duplicated word-k-gram positions per doc — the span
+    form of exact-substring duplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": the
+    actionable output is *which byte ranges* to cut, not just a
+    fraction). A position is duplicated when its k-gram occurs in
+    ≥ ``DUP_NGRAM_MIN_DOCS`` distinct docs; consecutive positions
+    merge by the gaps-and-islands rule (pos − rank is constant within
+    a run). ``start_pos``/``end_pos`` are 0-based positions of the
+    run's first/last gram; the duplicated token range is
+    [start_pos, end_pos + k - 1].
+
+    Scale shape — two bounded shuffles, no driver state: explode to
+    (doc_id, pos, gram-hash) rows bucketed by hash (a gram's
+    doc-frequency computes entirely inside its bucket); only the
+    DUPLICATED positions — sparse on a healthy corpus — ride the
+    second shuffle, bucketed by doc, where the island merge is one
+    sort + cumcount + groupby per doc. Both exchanges carry 3 int64
+    columns."""
+    import numpy as np
+
+    from suckit_ray.pipelines.dedup import _md5h60
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, poss, hs = [], [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            toks = t.split()
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            doc_ids.extend([d] * n)
+            poss.extend(range(n))
+            hs.extend(_md5h60(" ".join(toks[i : i + k])) for i in range(n))
+        out = pd.DataFrame({"doc_id": doc_ids, "pos": poss, "h": hs}, dtype="int64")
+        out["hb"] = (out["h"] % B).astype("int64")
+        return out
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct-DOC frequency (a gram repeating inside one doc is
+        # not corpus duplication) — grams of one hash co-locate here
+        df_docs = g.groupby("h")["doc_id"].transform("nunique")
+        keep = g[df_docs >= DUP_NGRAM_MIN_DOCS]
+        out = keep[["doc_id", "pos"]].copy()
+        out["db"] = (out["doc_id"] % B).astype("int64")
+        return out
+
+    dup = ds.groupby("hb").map_groups(dup_positions, batch_format="pandas")
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=["doc_id", "start_pos", "end_pos", "n_grams"]
+            ).astype("int64")
+        g = g.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        g["grp"] = g["pos"] - g.groupby("doc_id").cumcount()
+        out = g.groupby(["doc_id", "grp"], as_index=False).agg(
+            start_pos=("pos", "min"), end_pos=("pos", "max"), n_grams=("pos", "size")
+        )
+        return out[["doc_id", "start_pos", "end_pos", "n_grams"]].astype("int64")
+
+    return dup.groupby("db").map_groups(islands, batch_format="pandas")

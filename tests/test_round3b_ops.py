@@ -338,3 +338,42 @@ def test_semantic_dedup_matches_numpy_reference():
         assert want[int(vid)] == (int(cl), bool(kp), int(rp)), vid
     # the eps actually bites on this corpus (some rows pruned, most kept)
     assert 0 < (~got["kept"]).sum() < len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_spans_matches_pandas_reference():
+    """docs_dup_spans == an independent pandas gaps-and-islands over
+    raw token 4-grams (no hashing): identical maximal runs, and the
+    positional spans are consistent with docs_dup_ngram_fraction's
+    per-doc distinct-gram counts."""
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_dup_spans(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "start_pos"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    k = textops.DUP_NGRAM_K
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        for i in range(len(toks) - k + 1):
+            rows.append((d, i, " ".join(toks[i : i + k])))
+    g = pd.DataFrame(rows, columns=["doc_id", "pos", "s"])
+    df_docs = g.groupby("s")["doc_id"].transform("nunique")
+    dup = g[df_docs >= 2].sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    dup["grp"] = dup["pos"] - dup.groupby("doc_id").cumcount()
+    want = (
+        dup.groupby(["doc_id", "grp"], as_index=False)
+        .agg(start_pos=("pos", "min"), end_pos=("pos", "max"), n_grams=("pos", "size"))
+        [["doc_id", "start_pos", "end_pos", "n_grams"]]
+        .sort_values(["doc_id", "start_pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # spans never overlap within a doc and are truly maximal (gap >= 1)
+    for _, grp in got.groupby("doc_id"):
+        s = grp.sort_values("start_pos")
+        assert (s["start_pos"].to_numpy()[1:] > s["end_pos"].to_numpy()[:-1] + 1).all()
