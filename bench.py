@@ -150,6 +150,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_top_k_per_user",
         "docs_decontaminate",
         "docs_dup_ngram_fraction",
+        "docs_dup_spans",
+        "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",
     ]

@@ -188,3 +188,32 @@ def test_cli_parquet_out_streams_docs(tmp_path):
     )
     assert n > 50
     assert len(os.listdir(os.path.join(out, "ledger_parts"))) == 2
+
+
+def test_cli_priority_flag_same_mirror(tmp_path):
+    """--priority re-times fetches but must not change the mirrored
+    set: the prioritized synthetic crawl produces the same page count
+    and the same on-disk tree as the FIFO default."""
+    fifo, prio = str(tmp_path / "fifo"), str(tmp_path / "prio")
+    runs = {}
+    for out, extra in ((fifo, []), (prio, ["--priority", r"\.html"])):
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "suckit_ray",
+                "http://ignored.test/", "--synthetic", "120",
+                "-o", out, "--shards", "2", "--num-cpus", "4", *extra,
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        runs[out] = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert runs[fifo]["pages"] == runs[prio]["pages"]
+
+    def tree(root):
+        return sorted(
+            os.path.relpath(os.path.join(d, f), root)
+            for d, _, fs in os.walk(root) for f in fs
+            if f != "ledger.parquet"
+        )
+
+    assert tree(fifo) == tree(prio)
