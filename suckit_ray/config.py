@@ -53,9 +53,15 @@ class CrawlConfig:
     # frontier release precedence. URLs matching patterns[i] (first
     # match wins, unanchored search) release before anything matching
     # only patterns[j>i]; non-matching URLs release last. Empty = pure
-    # FIFO waves (reference parity). The crawl SET is unchanged — only
-    # the wave in which a URL is fetched moves — so leave it empty when
-    # reproducing the reference's exact per-wave grouping matters.
+    # FIFO waves (reference parity). With unlimited depth (the default)
+    # the crawl SET is unchanged — only the wave in which a URL is
+    # fetched moves. With a FINITE --depth/--ext-depth combined with
+    # politeness or wave caps, reordering can flip which same-wave
+    # parent wins the first-seen race, recording a different depth and
+    # therefore a (slightly) different reachable set — depth recording
+    # is first-wins to match the reference, not min-over-parents. Leave
+    # patterns empty when exact reference grouping or finite-depth set
+    # equality matters.
     priority_patterns: tuple[str, ...] = field(default_factory=tuple)
 
     def resolved(self) -> "CrawlConfig":

@@ -1054,11 +1054,13 @@ def semantic_dedup(
     """
     import ray
 
-    from suckit_ray.pipelines.ann import _normalize, _train_centroids
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    from suckit_ray.pipelines.ann import (
+        _normalize,
+        _read_embeddings,
+        _train_centroids,
     )
+
+    ds = _read_embeddings(sf_dir)
     sample_df = ds.limit(sample_size).to_pandas()
     cent = _train_centroids(
         _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)),

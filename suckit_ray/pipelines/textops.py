@@ -690,6 +690,10 @@ def docs_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         doc_ids, poss, hs = [], [], []
+        # md5 once per DISTINCT gram in the batch, not per occurrence —
+        # repetitive docs (this operator's very target) would otherwise
+        # pay the digest per position
+        memo: dict[str, int] = {}
         for d, t in zip(df["doc_id"], df["text"]):
             toks = t.split()
             n = len(toks) - k + 1
@@ -697,7 +701,12 @@ def docs_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
                 continue
             doc_ids.extend([d] * n)
             poss.extend(range(n))
-            hs.extend(_md5h60(" ".join(toks[i : i + k])) for i in range(n))
+            for i in range(n):
+                g = " ".join(toks[i : i + k])
+                h = memo.get(g)
+                if h is None:
+                    h = memo[g] = _md5h60(g)
+                hs.append(h)
         out = pd.DataFrame({"doc_id": doc_ids, "pos": poss, "h": hs}, dtype="int64")
         out["hb"] = (out["h"] % B).astype("int64")
         return out

@@ -167,7 +167,8 @@ class FrontierShard:
         # behavior is exactly the round-2 FIFO — reference parity.
         import re as _re
 
-        self._priority_res = [_re.compile(p) for p in priority_patterns]
+        self.priority_patterns = tuple(priority_patterns)
+        self._priority_res = [_re.compile(p) for p in self.priority_patterns]
         self.num_levels = len(self._priority_res) + 1
         L = self.num_levels
         # per level: (url, host, depth, ext) FIFO + spill chain
@@ -569,6 +570,7 @@ class FrontierShard:
             "ledger_seen": self.ledger_seen.state(),
             "pending": self.pending,
             "pending_files": spill_copies,
+            "priority_patterns": self.priority_patterns,
             "released": self.released_tbl,
             "ledger_tables": self.ledger_tables,
             "ledger_files": ledger_copies,
@@ -621,6 +623,18 @@ class FrontierShard:
                 f"snapshot has {len(pend)} priority levels, this actor "
                 f"is configured with {L} — resume must keep the same "
                 "priority_patterns"
+            )
+        # Same COUNT is not enough: pending entries were bucketed by the
+        # snapshot-time patterns, so resuming with different regexes of
+        # equal count would silently apply the old precedence to old
+        # entries and the new one to new entries. Snapshots that predate
+        # pattern recording carry no key and skip the check.
+        snap_pats = st.get("priority_patterns")
+        if snap_pats is not None and tuple(snap_pats) != self.priority_patterns:
+            raise ValueError(
+                f"snapshot was taken with priority_patterns={tuple(snap_pats)!r}, "
+                f"this actor is configured with {self.priority_patterns!r} — "
+                "resume must keep the same priority_patterns"
             )
         self.pending = [[tuple(p) for p in chain] for chain in pend]
         self._pending_files = [[] for _ in range(L)]

@@ -493,3 +493,20 @@ class TestPriorityQueues:
         sh2 = FrontierShard(0, 1)  # 1 level vs snapshot's 2
         with pytest.raises(ValueError, match="priority levels"):
             sh2.restore(snap)
+
+    def test_restore_rejects_same_count_different_patterns(self, tmp_path):
+        """Equal level COUNT with different regexes must still be
+        rejected: pending entries were bucketed by the snapshot-time
+        patterns, so accepting would silently invert precedence."""
+        sh = FrontierShard(0, 1, priority_patterns=(r"\.css",))
+        sh.seed([("http://h.test/a.css", "h.test")])
+        snap = str(tmp_path / "shard_0000.pkl")
+        sh.snapshot(snap, 0)
+        import pytest
+
+        sh2 = FrontierShard(0, 1, priority_patterns=(r"\.html",))
+        with pytest.raises(ValueError, match="priority_patterns"):
+            sh2.restore(snap)
+        # identical patterns still round-trip
+        sh3 = FrontierShard(0, 1, priority_patterns=(r"\.css",))
+        assert sh3.restore(snap) == 0
