@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
         "docs_dup_spans": textops.docs_dup_spans,
+        "docs_segment_dedup": textops.docs_segment_dedup,
+        "docs_lm_score": textops.docs_lm_score,
     }
 
 
@@ -1199,6 +1201,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(i) - 1 AS BIGINT) AS end_pos,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM isl GROUP BY doc_id, grp
+        """,
+        # corpus-wide exact segment (paragraph-style) dedup: first
+        # occurrence by (doc_id, seg_idx) wins; segments are 8-word
+        # windows, last keeps the remainder (textops.SEGMENT_W)
+        "docs_segment_dedup": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            segs AS (
+              SELECT doc_id, L,
+                     UNNEST(range(0, CAST(ceil(len(L) / 8.0) AS BIGINT))) AS s
+              FROM docs2
+            ),
+            seg2 AS (
+              SELECT doc_id, s AS seg_idx,
+                     array_to_string(L[s*8+1 : least((s+1)*8, len(L))], ' ') AS seg
+              FROM segs
+            )
+            SELECT doc_id,
+                   CAST(seg_idx AS BIGINT) AS seg_idx,
+                   CAST(CASE WHEN ROW_NUMBER() OVER (
+                          PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM seg2
+        """,
+        # add-one-smoothed bigram LM score in integer MICRONATS:
+        # per-bigram floor(-ln((c2+1)/(c1+V))*1e6) quantized BEFORE the
+        # per-doc sum, so the float reduction is order-free and
+        # bit-reproducible (textops.docs_lm_score mirrors term by term)
+        "docs_lm_score": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (SELECT doc_id, L, UNNEST(range(1, len(L))) AS i FROM docs2),
+            big AS (SELECT doc_id, L[i] AS w1, L[i+1] AS w2 FROM pos),
+            c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc FROM c2 GROUP BY w1),
+            vv AS (SELECT count(DISTINCT t) AS V
+                   FROM (SELECT UNNEST(L) AS t FROM docs2)),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(floor(-ln((c2.c + 1.0) / (c1.cc + vv.V))
+                                * 1000000.0) AS BIGINT) AS nll
+              FROM big b
+              JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              JOIN c1 ON b.w1 = c1.w1
+              CROSS JOIN vv
+            )
+            SELECT d.doc_id,
+                   CAST(count(s.nll) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(sum(s.nll), 0) AS BIGINT) AS nll_micro,
+                   CAST(coalesce(sum(s.nll), 0)
+                        // greatest(count(s.nll), 1) AS BIGINT) AS avg_nll_micro
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            GROUP BY d.doc_id
         """,
         # no oracle (rows-only): embedding_dup_pairs_ivf, ann_ivf_topk,
         # ann_lsh_topk, events_distinct_users_hll, events_top_users_cms,

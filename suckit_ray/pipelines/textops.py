@@ -739,3 +739,215 @@ def docs_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
         return out[["doc_id", "start_pos", "end_pos", "n_grams"]].astype("int64")
 
     return dup.groupby("db").map_groups(islands, batch_format="pandas")
+
+
+SEGMENT_W = 8  # words per dedup segment (CCNet dedups paragraphs;
+# the synthetic docs are single-line, so fixed-width word windows
+# stand in for paragraph boundaries)
+
+
+def docs_segment_dedup(sf_dir: str, w: int = SEGMENT_W) -> rd.Dataset:
+    """(doc_id, seg_idx, kept): corpus-wide exact SEGMENT dedup — the
+    paragraph/line-level pass CCNet (Wenzek et al. 2020) runs before
+    any fuzzy dedup: split every doc into fixed ``w``-word segments
+    (last segment keeps the remainder), drop every segment whose exact
+    text occurred earlier, where "earlier" is the deterministic
+    (doc_id, seg_idx) order — first occurrence wins, matching
+    ``ROW_NUMBER() OVER (PARTITION BY segment ORDER BY doc_id,
+    seg_idx)`` in the oracle.
+
+    Scale shape — ONE bounded shuffle, no driver state: explode to
+    (doc_id, seg_idx, segment-hash) int64 rows bucketed by hash; all
+    occurrences of a segment co-locate, so the keep/drop decision is a
+    per-group sort + first-wins flag. The shuffle carries 3 int64
+    columns regardless of segment text size."""
+    import numpy as np
+
+    from suckit_ray.pipelines.dedup import _md5h60
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, hs = [], [], []
+        memo: dict[str, int] = {}
+        for d, t in zip(df["doc_id"], df["text"]):
+            toks = t.split()
+            for s in range((len(toks) + w - 1) // w):
+                seg = " ".join(toks[s * w : (s + 1) * w])
+                h = memo.get(seg)
+                if h is None:
+                    h = memo[seg] = _md5h60(seg)
+                doc_ids.append(d)
+                idxs.append(s)
+                hs.append(h)
+        out = pd.DataFrame(
+            {"doc_id": doc_ids, "seg_idx": idxs, "h": hs}, dtype="int64"
+        )
+        out["hb"] = (out["h"] % B).astype("int64")
+        return out
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(columns=["doc_id", "seg_idx", "kept"]).astype(
+                "int64"
+            )
+        g = g.sort_values(["h", "doc_id", "seg_idx"]).reset_index(drop=True)
+        kept = (g.groupby("h").cumcount() == 0).astype("int64")
+        out = g[["doc_id", "seg_idx"]].copy()
+        out["kept"] = np.asarray(kept, dtype="int64")
+        return out
+
+    return ds.groupby("hb").map_groups(first_wins, batch_format="pandas")
+
+
+LM_NLL_SCALE = 1_000_000  # micronats: floor(-ln(p) * 1e6) as int64
+
+
+def docs_lm_score(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bigrams, nll_micro, avg_nll_micro): corpus-trained
+    add-one-smoothed bigram language-model score per doc — the
+    CCNet-style (Wenzek et al. 2020) perplexity quality signal, where
+    high avg negative-log-likelihood marks gibberish/outlier docs.
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with V = corpus distinct
+    tokens; each bigram contributes floor(-ln(p) × 1e6) MICRONATS, an
+    int64 — quantizing per token BEFORE the reduction makes the float
+    sum order-free and bit-reproducible in SQL (the same trick the
+    revenue rollup uses for money). avg_nll_micro = nll_micro //
+    n_bigrams (0 for docs with < 2 tokens).
+
+    Scale shape — count-and-attach co-groups, ZERO driver model state:
+    a broadcast bigram table is O(distinct corpus bigrams), which
+    grows with corpus size at web scale, so instead each count is
+    computed where the rows already are: bucket by bigram hash (all
+    occurrences of a bigram co-locate → c2 is a group-local size),
+    re-bucket by context-word hash (→ c1 likewise), then one bucketed
+    per-doc sum. Three shuffles, each carrying ≤ 4 int64 columns per
+    token occurrence. V comes from an exact distinct-count pre-pass
+    (bounded per-bucket partials; only per-bucket counts reach the
+    driver)."""
+    import numpy as np
+
+    from suckit_ray.pipelines.dedup import _md5h60
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    # --- pre-pass: V = exact distinct tokens over all positions ---
+    def tok_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        hs: set[int] = set()
+        memo: dict[str, int] = {}
+        for t in df["text"]:
+            for tok in t.split():
+                h = memo.get(tok)
+                if h is None:
+                    h = memo[tok] = _md5h60(tok)
+                hs.add(h)
+        out = pd.DataFrame({"h": sorted(hs)}, dtype="int64")
+        out["hb"] = (out["h"] % B).astype("int64")
+        return out
+
+    def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g["h"].nunique()]}, dtype="int64")
+
+    V = int(
+        _read_documents(sf_dir, ["text"])
+        .map_batches(tok_hashes, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(bucket_nunique, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+
+    # --- main pass: explode bigram occurrences + per-doc sentinels ---
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, bghs, w1hs, cnts = [], [], [], []
+        memo: dict[str, int] = {}
+
+        def h(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = memo[s] = _md5h60(s)
+            return v
+
+        for d, t in zip(df["doc_id"], df["text"]):
+            toks = t.split()
+            # sentinel row (cnt=0, hash −1): keeps <2-token docs in the
+            # final per-doc table with (0, 0, 0), mirroring the
+            # oracle's LEFT JOIN; −1 can never collide with a real
+            # md5-60 hash (those are ≥ 0) and its nll stays masked
+            doc_ids.append(d)
+            bghs.append(-1)
+            w1hs.append(-1)
+            cnts.append(0)
+            for i in range(len(toks) - 1):
+                doc_ids.append(d)
+                bghs.append(h(toks[i] + " " + toks[i + 1]))
+                w1hs.append(h(toks[i]))
+                cnts.append(1)
+        out = pd.DataFrame(
+            {"doc_id": doc_ids, "bgh": bghs, "w1h": w1hs, "cnt": cnts},
+            dtype="int64",
+        )
+        out["bb"] = (out["bgh"] % B).astype("int64")
+        return out
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def attach_c2(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a bigram are in this group → c2 is local
+        out = g[["doc_id", "w1h", "cnt"]].copy()
+        out["c2"] = (
+            g.groupby("bgh")["cnt"].transform("sum").astype("int64")
+        )
+        out["wb"] = (out["w1h"] % B).astype("int64")
+        return out
+
+    stage1 = ds.groupby("bb").map_groups(attach_c2, batch_format="pandas")
+
+    def attach_c1_score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(columns=["doc_id", "nll", "cnt"]).astype("int64")
+        c1 = g.groupby("w1h")["cnt"].transform("sum").to_numpy()
+        c2 = g["c2"].to_numpy()
+        real = g["cnt"].to_numpy() == 1
+        nll = np.zeros(len(g), dtype=np.int64)
+        p = (c2[real] + 1.0) / (c1[real] + float(V))
+        nll[real] = np.floor(-np.log(p) * LM_NLL_SCALE).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "nll": nll,
+                "cnt": g["cnt"].to_numpy(),
+            }
+        )
+
+    scored = stage1.groupby("wb").map_groups(
+        attach_c1_score, batch_format="pandas"
+    )
+
+    agg = bucketed_groupby_agg(
+        scored,
+        keys=["doc_id"],
+        aggs={"nll_micro": ("nll", "sum"), "n_bigrams": ("cnt", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_bigrams"].astype("int64")
+        s = df["nll_micro"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_bigrams": n,
+                "nll_micro": s,
+                "avg_nll_micro": (s // n.clip(lower=1)).astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -377,3 +377,82 @@ def test_dup_spans_matches_pandas_reference():
     for _, grp in got.groupby("doc_id"):
         s = grp.sort_values("start_pos")
         assert (s["start_pos"].to_numpy()[1:] > s["end_pos"].to_numpy()[:-1] + 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_segment_dedup_equals_pandas_first_wins():
+    """Independent pandas reference: enumerate 8-word segments, keep
+    the first occurrence by (doc_id, seg_idx), flag the rest."""
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_segment_dedup(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "seg_idx"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    rows = []
+    w = textops.SEGMENT_W
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        for s in range((len(toks) + w - 1) // w):
+            rows.append((int(d), s, " ".join(toks[s * w : (s + 1) * w])))
+    ref = pd.DataFrame(rows, columns=["doc_id", "seg_idx", "seg"])
+    ref = ref.sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    ref["kept"] = (ref.groupby("seg").cumcount() == 0).astype("int64")
+    want = ref[["doc_id", "seg_idx", "kept"]].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # sanity: the corpus actually exercises both branches
+    assert (got["kept"] == 0).any() and (got["kept"] == 1).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_score_equals_numpy_bigram_reference():
+    """Independent numpy reference: full-corpus add-one bigram LM,
+    per-token micronat quantization, per-doc integer sums."""
+    import numpy as np
+
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_lm_score(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    from collections import Counter
+
+    c2, c1 = Counter(), Counter()
+    vocab = set()
+    toks_of = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        toks_of[int(d)] = toks
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    rows = []
+    for d, toks in toks_of.items():
+        nll = 0
+        n = max(0, len(toks) - 1)
+        for a, b in zip(toks, toks[1:]):
+            p = (c2[(a, b)] + 1.0) / (c1[a] + float(V))
+            nll += int(np.floor(-np.log(p) * textops.LM_NLL_SCALE))
+        rows.append((d, n, nll, nll // n if n else 0))
+    want = (
+        pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "nll_micro", "avg_nll_micro"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the quantity is a real signal: scores vary across docs
+    assert got["avg_nll_micro"].nunique() > 1
