@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": textops.docs_dup_spans,
         "docs_segment_dedup": textops.docs_segment_dedup,
         "docs_lm_score": textops.docs_lm_score,
+        "docs_cut_dup_spans": textops.docs_cut_dup_spans,
     }
 
 
@@ -1201,6 +1202,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(i) - 1 AS BIGINT) AS end_pos,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM isl GROUP BY doc_id, grp
+        """,
+        # APPLY the duplicated-span cuts: drop every token covered by a
+        # docs_dup_spans range [start, end + k - 1], rejoin survivors
+        "docs_cut_dup_spans": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 2)) AS i FROM docs2
+            ),
+            grams AS (
+              SELECT doc_id, i, array_to_string(L[i:i+3], ' ') AS s FROM pos
+            ),
+            freq AS (SELECT s, count(DISTINCT doc_id) AS df FROM grams GROUP BY s),
+            dup AS (
+              SELECT g.doc_id, g.i FROM grams g JOIN freq f USING (s)
+              WHERE f.df >= 2
+            ),
+            isl AS (
+              SELECT doc_id, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM dup
+            ),
+            spans AS (
+              SELECT doc_id, min(i) AS s, max(i) + 3 AS e
+              FROM isl GROUP BY doc_id, grp
+            ),
+            toks AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) + 1)) AS p FROM docs2
+            ),
+            cutpos AS (
+              SELECT t.doc_id, t.p
+              FROM toks t JOIN spans sp
+                ON t.doc_id = sp.doc_id AND t.p BETWEEN sp.s AND sp.e
+              GROUP BY t.doc_id, t.p
+            ),
+            kept AS (
+              SELECT t.doc_id, t.p, t.L[t.p] AS tok
+              FROM toks t LEFT JOIN cutpos c
+                ON t.doc_id = c.doc_id AND t.p = c.p
+              WHERE c.p IS NULL
+            )
+            SELECT d2.doc_id,
+                   CAST(len(d2.L) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(cnt.n_cut, 0) AS BIGINT) AS n_cut,
+                   coalesce(agg.text_clean, '') AS text_clean
+            FROM docs2 d2
+            LEFT JOIN (
+              SELECT doc_id, count(*) AS n_cut FROM cutpos GROUP BY doc_id
+            ) cnt ON d2.doc_id = cnt.doc_id
+            LEFT JOIN (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+              FROM kept GROUP BY doc_id
+            ) agg ON d2.doc_id = agg.doc_id
         """,
         # corpus-wide exact segment (paragraph-style) dedup: first
         # occurrence by (doc_id, seg_idx) wins; segments are 8-word

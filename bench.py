@@ -151,6 +151,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_decontaminate",
         "docs_dup_ngram_fraction",
         "docs_dup_spans",
+        "docs_cut_dup_spans",
         "docs_segment_dedup",
         "docs_lm_score",
         "semantic_dedup",

@@ -951,3 +951,82 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def docs_cut_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
+    """(doc_id, n_tokens, n_cut, text_clean): APPLY the duplicated-span
+    cuts — the final step of exact-substring dedup (Lee et al. 2021):
+    every token covered by a ``docs_dup_spans`` run (token range
+    [start_pos, end_pos + k − 1]) is removed and the survivors are
+    rejoined with single spaces. Docs with no duplicated spans pass
+    through whole (whitespace-normalized by the same join).
+
+    Scale shape — the span pipeline's two bounded shuffles plus ONE
+    doc-bucketed co-group where the cut ranges meet their text: spans
+    and documents stream in as a tagged union bucketed by doc, so each
+    group holds a doc's text and all its ranges; masking is one numpy
+    pass per doc. Text crosses the wire once."""
+    import numpy as np
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    spans = docs_dup_spans(sf_dir, k)
+
+    def tag_spans(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "a": df["start_pos"].astype("int64"),
+                "b": (df["end_pos"] + (k - 1)).astype("int64"),
+                "text": "",
+            }
+        )
+        out["db"] = (out["doc_id"] % B).astype("int64")
+        return out
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "a": -1,
+                "b": -1,
+                "text": df["text"],
+            }
+        )
+        out["db"] = (out["doc_id"] % B).astype("int64")
+        return out
+
+    tagged = spans.map_batches(tag_spans, batch_format="pandas").union(
+        _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            tag_docs, batch_format="pandas"
+        )
+    )
+
+    def apply_cuts(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["a"] < 0]
+        cuts = g[g["a"] >= 0]
+        ranges = {
+            d: list(zip(sub["a"].to_numpy(), sub["b"].to_numpy()))
+            for d, sub in cuts.groupby("doc_id")
+        }
+        doc_ids, n_toks, n_cuts, texts = [], [], [], []
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            toks = t.split()
+            mask = np.zeros(len(toks), dtype=bool)
+            for a, b in ranges.get(d, ()):
+                mask[a : b + 1] = True
+            doc_ids.append(d)
+            n_toks.append(len(toks))
+            n_cuts.append(int(mask.sum()))
+            texts.append(" ".join(tok for tok, m in zip(toks, mask) if not m))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_tokens": pd.Series(n_toks, dtype="int64"),
+                "n_cut": pd.Series(n_cuts, dtype="int64"),
+                "text_clean": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return tagged.groupby("db").map_groups(apply_cuts, batch_format="pandas")

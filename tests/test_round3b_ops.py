@@ -456,3 +456,56 @@ def test_lm_score_equals_numpy_bigram_reference():
     pd.testing.assert_frame_equal(got, want)
     # the quantity is a real signal: scores vary across docs
     assert got["avg_nll_micro"].nunique() > 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cut_dup_spans_equals_pandas_reference():
+    """Independent reference: recompute duplicated 4-gram positions
+    with plain Python sets, expand to token ranges, cut, rejoin."""
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_cut_dup_spans(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    k = textops.DUP_NGRAM_K
+    gram_docs: dict[str, set] = {}
+    toks_of = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        toks_of[int(d)] = toks
+        for i in range(max(0, len(toks) - k + 1)):
+            gram_docs.setdefault(" ".join(toks[i : i + k]), set()).add(int(d))
+    rows = []
+    for d, toks in toks_of.items():
+        cut = [False] * len(toks)
+        for i in range(max(0, len(toks) - k + 1)):
+            if len(gram_docs[" ".join(toks[i : i + k])]) >= textops.DUP_NGRAM_MIN_DOCS:
+                for p in range(i, i + k):
+                    cut[p] = True
+        rows.append(
+            (
+                d,
+                len(toks),
+                sum(cut),
+                " ".join(t_ for t_, c in zip(toks, cut) if not c),
+            )
+        )
+    want = (
+        pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_cut", "text_clean"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got[["doc_id", "n_tokens", "n_cut"]] = got[
+        ["doc_id", "n_tokens", "n_cut"]
+    ].astype("int64")
+    want[["doc_id", "n_tokens", "n_cut"]] = want[
+        ["doc_id", "n_tokens", "n_cut"]
+    ].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # the corpus exercises the operator: some docs are actually cut
+    assert (got["n_cut"] > 0).any() and (got["n_cut"] == 0).any()
