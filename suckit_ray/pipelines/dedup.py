@@ -75,6 +75,23 @@ def _md5h60(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def _md5h60_memo():
+    """Per-batch memoizing wrapper around ``_md5h60``: hash each
+    DISTINCT string once. The shared idiom of every explode loop that
+    hashes grams/segments/tokens per occurrence (docs_dup_spans,
+    docs_segment_dedup, docs_lm_score) — one helper so a hash-scheme
+    or memo fix lands everywhere at once."""
+    memo: dict[str, int] = {}
+
+    def h(s: str) -> int:
+        v = memo.get(s)
+        if v is None:
+            v = memo[s] = _md5h60(s)
+        return v
+
+    return h
+
+
 def _read_documents(
     sf_dir: str, columns: list[str], blocks: int | None = None
 ) -> rd.Dataset:

@@ -683,7 +683,7 @@ def docs_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
     columns."""
     import numpy as np
 
-    from suckit_ray.pipelines.dedup import _md5h60
+    from suckit_ray.pipelines.dedup import _md5h60_memo
     from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
@@ -693,7 +693,7 @@ def docs_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
         # md5 once per DISTINCT gram in the batch, not per occurrence —
         # repetitive docs (this operator's very target) would otherwise
         # pay the digest per position
-        memo: dict[str, int] = {}
+        h = _md5h60_memo()
         for d, t in zip(df["doc_id"], df["text"]):
             toks = t.split()
             n = len(toks) - k + 1
@@ -701,12 +701,7 @@ def docs_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
                 continue
             doc_ids.extend([d] * n)
             poss.extend(range(n))
-            for i in range(n):
-                g = " ".join(toks[i : i + k])
-                h = memo.get(g)
-                if h is None:
-                    h = memo[g] = _md5h60(g)
-                hs.append(h)
+            hs.extend(h(" ".join(toks[i : i + k])) for i in range(n))
         out = pd.DataFrame({"doc_id": doc_ids, "pos": poss, "h": hs}, dtype="int64")
         out["hb"] = (out["h"] % B).astype("int64")
         return out
@@ -763,24 +758,20 @@ def docs_segment_dedup(sf_dir: str, w: int = SEGMENT_W) -> rd.Dataset:
     columns regardless of segment text size."""
     import numpy as np
 
-    from suckit_ray.pipelines.dedup import _md5h60
+    from suckit_ray.pipelines.dedup import _md5h60_memo
     from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         doc_ids, idxs, hs = [], [], []
-        memo: dict[str, int] = {}
+        h = _md5h60_memo()
         for d, t in zip(df["doc_id"], df["text"]):
             toks = t.split()
             for s in range((len(toks) + w - 1) // w):
-                seg = " ".join(toks[s * w : (s + 1) * w])
-                h = memo.get(seg)
-                if h is None:
-                    h = memo[seg] = _md5h60(seg)
                 doc_ids.append(d)
                 idxs.append(s)
-                hs.append(h)
+                hs.append(h(" ".join(toks[s * w : (s + 1) * w])))
         out = pd.DataFrame(
             {"doc_id": doc_ids, "seg_idx": idxs, "h": hs}, dtype="int64"
         )
@@ -816,9 +807,13 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
     p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with V = corpus distinct
     tokens; each bigram contributes floor(-ln(p) × 1e6) MICRONATS, an
     int64 — quantizing per token BEFORE the reduction makes the float
-    sum order-free and bit-reproducible in SQL (the same trick the
-    revenue rollup uses for money). avg_nll_micro = nll_micro //
-    n_bigrams (0 for docs with < 2 tokens).
+    sum ORDER-FREE (the same trick the revenue rollup uses for
+    money); cross-engine equality additionally needs libm's log and
+    DuckDB's ln to agree at every floor boundary, a ~1e-9-per-bigram
+    last-ULP risk the scalar-libm scoring below minimizes (and the
+    fixed test corpora pin). avg_nll_micro = nll_micro // n_bigrams
+    (0 for docs with < 2 tokens; those ride a zero-row stream that
+    joins at the final per-doc sum, not through the hash co-groups).
 
     Scale shape — count-and-attach co-groups, ZERO driver model state:
     a broadcast bigram table is O(distinct corpus bigrams), which
@@ -832,21 +827,15 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
     driver)."""
     import numpy as np
 
-    from suckit_ray.pipelines.dedup import _md5h60
+    from suckit_ray.pipelines.dedup import _md5h60_memo
     from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
 
     B = default_buckets()
 
     # --- pre-pass: V = exact distinct tokens over all positions ---
     def tok_hashes(df: pd.DataFrame) -> pd.DataFrame:
-        hs: set[int] = set()
-        memo: dict[str, int] = {}
-        for t in df["text"]:
-            for tok in t.split():
-                h = memo.get(tok)
-                if h is None:
-                    h = memo[tok] = _md5h60(tok)
-                hs.add(h)
+        h = _md5h60_memo()
+        hs = {h(tok) for t in df["text"] for tok in t.split()}
         out = pd.DataFrame({"h": sorted(hs)}, dtype="int64")
         out["hb"] = (out["h"] % B).astype("int64")
         return out
@@ -863,38 +852,38 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
         .sum()
     )
 
-    # --- main pass: explode bigram occurrences + per-doc sentinels ---
+    # --- main pass: explode bigram occurrences ---
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, bghs, w1hs, cnts = [], [], [], []
-        memo: dict[str, int] = {}
-
-        def h(s: str) -> int:
-            v = memo.get(s)
-            if v is None:
-                v = memo[s] = _md5h60(s)
-            return v
-
+        doc_ids, bghs, w1hs = [], [], []
+        h = _md5h60_memo()
         for d, t in zip(df["doc_id"], df["text"]):
             toks = t.split()
-            # sentinel row (cnt=0, hash −1): keeps <2-token docs in the
-            # final per-doc table with (0, 0, 0), mirroring the
-            # oracle's LEFT JOIN; −1 can never collide with a real
-            # md5-60 hash (those are ≥ 0) and its nll stays masked
-            doc_ids.append(d)
-            bghs.append(-1)
-            w1hs.append(-1)
-            cnts.append(0)
             for i in range(len(toks) - 1):
                 doc_ids.append(d)
                 bghs.append(h(toks[i] + " " + toks[i + 1]))
                 w1hs.append(h(toks[i]))
-                cnts.append(1)
         out = pd.DataFrame(
-            {"doc_id": doc_ids, "bgh": bghs, "w1h": w1hs, "cnt": cnts},
-            dtype="int64",
+            {"doc_id": doc_ids, "bgh": bghs, "w1h": w1hs}, dtype="int64"
         )
+        out["cnt"] = 1
+        out["cnt"] = out["cnt"].astype("int64")
         out["bb"] = (out["bgh"] % B).astype("int64")
         return out
+
+    # per-doc zero rows ride straight to the FINAL per-doc sum —
+    # they keep <2-token docs in the output with (0, 0, 0), mirroring
+    # the oracle's LEFT JOIN, WITHOUT touching the two hash co-groups
+    # (an earlier sentinel-row design put one row per document into
+    # hash bucket −1 % B of both shuffles — an O(corpus-docs)
+    # straggler group at scale)
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "nll": 0,
+                "cnt": 0,
+            }
+        ).astype({"nll": "int64", "cnt": "int64"})
 
     ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pandas"
@@ -912,18 +901,33 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
     stage1 = ds.groupby("bb").map_groups(attach_c2, batch_format="pandas")
 
     def attach_c1_score(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         if len(g) == 0:
             return pd.DataFrame(columns=["doc_id", "nll", "cnt"]).astype("int64")
         c1 = g.groupby("w1h")["cnt"].transform("sum").to_numpy()
         c2 = g["c2"].to_numpy()
-        real = g["cnt"].to_numpy() == 1
-        nll = np.zeros(len(g), dtype=np.int64)
-        p = (c2[real] + 1.0) / (c1[real] + float(V))
-        nll[real] = np.floor(-np.log(p) * LM_NLL_SCALE).astype(np.int64)
+        # scalar libm log per DISTINCT (c2, c1) pair, gathered back:
+        # counts are small ints so distinct pairs are few, and
+        # math.log (libm) tracks DuckDB's ln closer than numpy's SIMD
+        # float64 log — shrinking the (already ~1e-9/bigram) risk of a
+        # last-ULP difference flipping a floor at an integer boundary
+        pairs = np.stack([c2, c1], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        nll_u = np.fromiter(
+            (
+                math.floor(
+                    -math.log((a + 1.0) / (b + float(V))) * LM_NLL_SCALE
+                )
+                for a, b in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
         return pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(),
-                "nll": nll,
+                "nll": nll_u[inv],
                 "cnt": g["cnt"].to_numpy(),
             }
         )
@@ -933,7 +937,11 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
     )
 
     agg = bucketed_groupby_agg(
-        scored,
+        scored.union(
+            _read_documents(sf_dir, ["doc_id"]).map_batches(
+                zeros, batch_format="pandas"
+            )
+        ),
         keys=["doc_id"],
         aggs={"nll_micro": ("nll", "sum"), "n_bigrams": ("cnt", "sum")},
     )

@@ -610,8 +610,6 @@ class FrontierShard:
                 f"snapshot is shard {st['shard_id']}/{st['num_shards']}, "
                 f"this actor is shard {self.shard_id}/{self.num_shards}"
             )
-        self.seen = SpillableSet.from_state(st["seen"])
-        self.ledger_seen = SpillableSet.from_state(st["ledger_seen"])
         pend = st["pending"]
         pfiles = st["pending_files"]
         if not pend or not isinstance(pend[0], list):
@@ -636,6 +634,11 @@ class FrontierShard:
                 f"this actor is configured with {self.priority_patterns!r} — "
                 "resume must keep the same priority_patterns"
             )
+        # ALL validation precedes ANY mutation: a rejected resume must
+        # leave the shard exactly as it was (a caller catching the
+        # ValueError may legitimately continue the current crawl)
+        self.seen = SpillableSet.from_state(st["seen"])
+        self.ledger_seen = SpillableSet.from_state(st["ledger_seen"])
         self.pending = [[tuple(p) for p in chain] for chain in pend]
         self._pending_files = [[] for _ in range(L)]
         self._pending_meta = [[] for _ in range(L)]

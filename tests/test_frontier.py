@@ -505,8 +505,12 @@ class TestPriorityQueues:
         import pytest
 
         sh2 = FrontierShard(0, 1, priority_patterns=(r"\.html",))
+        sh2.seed([("http://other.test/x.html", "other.test")])
+        before = (sh2.pending_count(), sh2.seen_count(), sh2.get_counters())
         with pytest.raises(ValueError, match="priority_patterns"):
             sh2.restore(snap)
+        # a rejected resume must leave the shard exactly as it was
+        assert (sh2.pending_count(), sh2.seen_count(), sh2.get_counters()) == before
         # identical patterns still round-trip
         sh3 = FrontierShard(0, 1, priority_patterns=(r"\.css",))
         assert sh3.restore(snap) == 0
