@@ -1,0 +1,106 @@
+"""Oracle-vs-Ray equality on an ADVERSARIAL documents corpus — the
+synthetic sf tables never exercise empty texts, one-token docs, or
+whole-doc duplicates, so the driver's sf0.01 parity check can't catch
+an edge divergence there. Here the same DuckDB oracle SQL that the
+driver runs is evaluated against a hand-built corpus of edge rows and
+compared to the Ray operators on the same parquet file."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+EDGE_DOCS = [
+    (0, ""),  # empty text
+    (1, "solo"),  # single token: no bigram, no 4-gram, one segment
+    (2, "a b"),  # one bigram, below 4-gram threshold
+    (3, "x y x y x y x y x y"),  # intra-doc repetition only
+    # exact whole-doc duplicates (12 tokens → 4-gram dups + shared
+    # 8-word segment + every cut applied)
+    (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    # shares doc 4's first 4 tokens mid-doc (span, not whole doc)
+    (6, "one two three alpha beta gamma delta four five six seven eight"),
+    (7, "  a   b  "),  # messy whitespace: split() vs \s+ must agree
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_corpus"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in EDGE_DOCS], pa.int64()),
+            "text": pa.array([t for _, t in EDGE_DOCS], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _oracle(edge_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(edge_dir, 'documents.parquet')}')"
+    )
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "name",
+    ["docs_dup_spans", "docs_cut_dup_spans", "docs_segment_dedup", "docs_lm_score"],
+)
+def test_edge_corpus_matches_oracle(edge_dir, name):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[name](edge_dir)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = _oracle(edge_dir, entry.oracle_sql()[name])
+    a, b = _norm(pd.DataFrame(got)), _norm(want)
+    assert a.shape == b.shape, (name, a.shape, b.shape)
+    assert (a.astype(str).values == b.astype(str).values).all(), (
+        name,
+        a.head(10),
+        b.head(10),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_edge_corpus_expected_semantics(edge_dir):
+    """Spot semantics the corpus was built to trigger."""
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+
+    cut = q["docs_cut_dup_spans"](edge_dir).to_pandas().set_index("doc_id")
+    # the exact-duplicate pair: one doc fully cut (second occurrence),
+    # and the duplicated-span rule is symmetric so BOTH lose the text
+    assert cut.loc[5, "n_cut"] == 12 and cut.loc[5, "text_clean"] == ""
+    assert cut.loc[4, "n_cut"] == 12
+    # empty + short docs pass through untouched
+    assert cut.loc[0, "n_tokens"] == 0 and cut.loc[0, "text_clean"] == ""
+    assert cut.loc[1, "n_cut"] == 0 and cut.loc[1, "text_clean"] == "solo"
+
+    seg = q["docs_segment_dedup"](edge_dir).to_pandas()
+    # doc 4's segments kept (first occurrence), doc 5's all dropped
+    assert (seg[seg["doc_id"] == 4]["kept"] == 1).all()
+    assert (seg[seg["doc_id"] == 5]["kept"] == 0).all()
+
+    lm = q["docs_lm_score"](edge_dir).to_pandas().set_index("doc_id")
+    # <2-token docs surface with the zero row, not dropped
+    assert lm.loc[0, "n_bigrams"] == 0 and lm.loc[0, "avg_nll_micro"] == 0
+    assert lm.loc[1, "n_bigrams"] == 0
+    # the repeated bigram "x y" is the most predictable transition in
+    # the corpus: doc 3 must score lower than the all-unique doc 4
+    assert lm.loc[3, "avg_nll_micro"] < lm.loc[4, "avg_nll_micro"]
