@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_segment_dedup": textops.docs_segment_dedup,
         "docs_lm_score": textops.docs_lm_score,
         "docs_cut_dup_spans": textops.docs_cut_dup_spans,
+        "docs_pack_sequences": textops.docs_pack_sequences,
     }
 
 
@@ -1202,6 +1203,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(i) - 1 AS BIGINT) AS end_pos,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM isl GROUP BY doc_id, grp
+        """,
+        # sequence packing: global token offset per doc (a prefix sum
+        # in doc_id order) and the packed seq_len=32 sequence range
+        "docs_pack_sequences": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            cnt AS (SELECT doc_id, len(L) AS n FROM docs2),
+            sc AS (
+              SELECT doc_id, n,
+                     coalesce(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_off
+              FROM cnt
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(start_off AS BIGINT) AS start_off,
+                   CAST(CASE WHEN n = 0 THEN -1
+                        ELSE start_off // 32 END AS BIGINT) AS first_seq,
+                   CAST(CASE WHEN n = 0 THEN -1
+                        ELSE (start_off + n - 1) // 32 END AS BIGINT) AS last_seq
+            FROM sc
         """,
         # APPLY the duplicated-span cuts: drop every token covered by a
         # docs_dup_spans range [start, end + k - 1], rejoin survivors

@@ -154,6 +154,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_cut_dup_spans",
         "docs_segment_dedup",
         "docs_lm_score",
+        "docs_pack_sequences",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

@@ -1038,3 +1038,89 @@ def docs_cut_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
         )
 
     return tagged.groupby("db").map_groups(apply_cuts, batch_format="pandas")
+
+
+PACK_SEQ_LEN = 32     # tokens per packed training sequence
+PACK_BUCKET = 4096    # doc_ids per scan bucket (driver prefix length
+# = max_doc_id / PACK_BUCKET: 10^10 docs at 10^6-doc buckets → 10^4
+# partials; raise it with corpus size to keep the prefix tiny)
+
+
+def docs_pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> rd.Dataset:
+    """(doc_id, n_tokens, start_off, first_seq, last_seq): SEQUENCE
+    PACKING — the step that turns a curated corpus into fixed-length
+    training examples: concatenate all docs in doc_id order and cut
+    every ``seq_len`` tokens, so each doc lands in sequences
+    [start_off // seq_len, (start_off + n − 1) // seq_len] where
+    start_off is the doc's global token offset (−1/−1 for empty docs).
+
+    This is the repo's distributed PREFIX SUM (scan) primitive — an
+    inherently order-dependent quantity no single co-group can
+    produce. Shape: (1) per-batch partial token sums per doc_id-range
+    bucket (a combiner: one row per bucket per batch); (2) the
+    BOUNDED per-bucket totals come to the driver — O(max_doc_id /
+    PACK_BUCKET) ints, not O(docs) — for one numpy exclusive prefix,
+    broadcast back via ``ray.put``; (3) one groupby co-group per
+    bucket computes the within-bucket running sum on top of its
+    bucket's base. One shuffle carrying 3 int64 columns; the driver
+    holds only the bucket prefix."""
+    import numpy as np
+    import ray
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split().str.len().fillna(0).astype("int64")
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n": n}
+        )
+        out["kb"] = (out["doc_id"] // PACK_BUCKET).astype("int64")
+        return out
+
+    cnt = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas"
+    )
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("kb", as_index=False).agg(bn=("n", "sum"))
+
+    parts = (
+        cnt.map_batches(bucket_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("kb", as_index=False)
+        .agg(bn=("bn", "sum"))
+        .sort_values("kb")
+    )
+    kbs = parts["kb"].to_numpy()
+    bases = np.concatenate(([0], np.cumsum(parts["bn"].to_numpy())[:-1]))
+    base_ref = ray.put(dict(zip(kbs.tolist(), bases.tolist())))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=["doc_id", "n_tokens", "start_off", "first_seq", "last_seq"]
+            ).astype("int64")
+        base = ray.get(base_ref)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n"].to_numpy()
+        off = int(base[int(g["kb"].iloc[0])]) + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        first = np.where(n > 0, off // seq_len, -1)
+        last = np.where(n > 0, (off + n - 1) // seq_len, -1)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "start_off": off.astype("int64"),
+                "first_seq": first.astype("int64"),
+                "last_seq": last.astype("int64"),
+            }
+        )
+
+    # group key is the RANGE bucket itself: each group is one
+    # contiguous doc_id range, so the within-group sort is the global
+    # order restricted to the bucket
+    return cnt.groupby("kb").map_groups(scan, batch_format="pandas")

@@ -509,3 +509,41 @@ def test_cut_dup_spans_equals_pandas_reference():
     pd.testing.assert_frame_equal(got, want)
     # the corpus exercises the operator: some docs are actually cut
     assert (got["n_cut"] > 0).any() and (got["n_cut"] == 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_equals_pandas_scan():
+    """Independent reference: single-process cumulative sum over
+    doc_id-ordered token counts."""
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_pack_sequences(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+    docs = (
+        pq.read_table(f"{SF}/documents.parquet")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = docs["text"].str.split().str.len().fillna(0).astype("int64")
+    off = n.cumsum().shift(1, fill_value=0)
+    S = textops.PACK_SEQ_LEN
+    want = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "n_tokens": n,
+            "start_off": off,
+            "first_seq": (off // S).where(n > 0, -1),
+            "last_seq": ((off + n - 1) // S).where(n > 0, -1),
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # packing is tight: consecutive docs abut exactly
+    assert (got["start_off"].iloc[1:].to_numpy()
+            == (got["start_off"] + got["n_tokens"]).iloc[:-1].to_numpy()).all()

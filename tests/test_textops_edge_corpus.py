@@ -58,7 +58,13 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize(
     "name",
-    ["docs_dup_spans", "docs_cut_dup_spans", "docs_segment_dedup", "docs_lm_score"],
+    [
+        "docs_dup_spans",
+        "docs_cut_dup_spans",
+        "docs_segment_dedup",
+        "docs_lm_score",
+        "docs_pack_sequences",
+    ],
 )
 def test_edge_corpus_matches_oracle(edge_dir, name):
     import __ray_entry__ as entry
