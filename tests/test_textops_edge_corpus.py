@@ -110,3 +110,46 @@ def test_edge_corpus_expected_semantics(edge_dir):
     # the repeated bigram "x y" is the most predictable transition in
     # the corpus: doc 3 must score lower than the all-unique doc 4
     assert lm.loc[3, "avg_nll_micro"] < lm.loc[4, "avg_nll_micro"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_spans_multiple_scan_buckets(tmp_path):
+    """doc_ids spread across several PACK_BUCKET ranges exercise the
+    cross-bucket base-offset path (the sf tables are dense and land in
+    ONE bucket, leaving the prefix broadcast untested there)."""
+    import numpy as np
+
+    from suckit_ray.pipelines import textops
+
+    ids = [10, 4095, 4096, 8200, 8201]  # buckets 0, 0, 1, 2, 2
+    texts = ["w " * k for k in (5, 40, 7, 0, 33)]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([t.strip() for t in texts], pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = (
+        textops.docs_pack_sequences(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    n = pd.Series([5, 40, 7, 0, 33], dtype="int64")
+    off = n.cumsum().shift(1, fill_value=0)
+    S = textops.PACK_SEQ_LEN
+    want = pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_tokens": n,
+            "start_off": off,
+            "first_seq": (off // S).where(n > 0, -1),
+            "last_seq": ((off + n - 1) // S).where(n > 0, -1),
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
