@@ -815,16 +815,20 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
     (0 for docs with < 2 tokens; those ride a zero-row stream that
     joins at the final per-doc sum, not through the hash co-groups).
 
-    Scale shape — count-and-attach co-groups, ZERO driver model state:
-    a broadcast bigram table is O(distinct corpus bigrams), which
-    grows with corpus size at web scale, so instead each count is
-    computed where the rows already are: bucket by bigram hash (all
-    occurrences of a bigram co-locate → c2 is a group-local size),
-    re-bucket by context-word hash (→ c1 likewise), then one bucketed
-    per-doc sum. Three shuffles, each carrying ≤ 4 int64 columns per
-    token occurrence. V comes from an exact distinct-count pre-pass
-    (bounded per-bucket partials; only per-bucket counts reach the
-    driver)."""
+    Scale shape — ONE count-and-attach co-group, ZERO driver model
+    state: a broadcast bigram table is O(distinct corpus bigrams),
+    which grows with corpus size at web scale, so instead both counts
+    are computed where the rows already are. Bucketing by CONTEXT-WORD
+    hash co-locates every occurrence of w1-as-context AND every
+    occurrence of each w1-starting bigram, so c1 and c2 are two
+    group-local sizes in a single shuffle; a bucketed per-doc sum
+    finishes. V comes from an exact distinct-count pre-pass (bounded
+    per-bucket partials; only per-bucket counts reach the driver).
+    Known skew bound: the hottest context word's occurrences form one
+    group (same bound the two-stage variant had) — at true web scale
+    the standard configuration is instead a PRUNED/pretrained LM
+    broadcast once (CCNet ships a fixed KenLM), which this co-group
+    path deliberately avoids needing for the corpus-trained case."""
     import numpy as np
 
     from suckit_ray.pipelines.dedup import _md5h60_memo
@@ -867,14 +871,20 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
         )
         out["cnt"] = 1
         out["cnt"] = out["cnt"].astype("int64")
-        out["bb"] = (out["bgh"] % B).astype("int64")
+        # ONE co-group key: every occurrence of a bigram shares its
+        # context word, so bucketing by w1h co-locates both the c1
+        # population (all occurrences of w1-as-context) AND the c2
+        # population (all occurrences of each w1-starting bigram) —
+        # a separate bigram-hash co-group would be a second full
+        # all-to-all for nothing
+        out["wb"] = (out["w1h"] % B).astype("int64")
         return out
 
     # per-doc zero rows ride straight to the FINAL per-doc sum —
     # they keep <2-token docs in the output with (0, 0, 0), mirroring
-    # the oracle's LEFT JOIN, WITHOUT touching the two hash co-groups
+    # the oracle's LEFT JOIN, WITHOUT touching the hash co-group
     # (an earlier sentinel-row design put one row per document into
-    # hash bucket −1 % B of both shuffles — an O(corpus-docs)
+    # hash bucket −1 % B of the shuffles — an O(corpus-docs)
     # straggler group at scale)
     def zeros(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -889,24 +899,14 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
         explode, batch_format="pandas"
     )
 
-    def attach_c2(g: pd.DataFrame) -> pd.DataFrame:
-        # all occurrences of a bigram are in this group → c2 is local
-        out = g[["doc_id", "w1h", "cnt"]].copy()
-        out["c2"] = (
-            g.groupby("bgh")["cnt"].transform("sum").astype("int64")
-        )
-        out["wb"] = (out["w1h"] % B).astype("int64")
-        return out
-
-    stage1 = ds.groupby("bb").map_groups(attach_c2, batch_format="pandas")
-
-    def attach_c1_score(g: pd.DataFrame) -> pd.DataFrame:
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
         import math
 
         if len(g) == 0:
             return pd.DataFrame(columns=["doc_id", "nll", "cnt"]).astype("int64")
+        # both counts are group-local under the w1h bucketing above
         c1 = g.groupby("w1h")["cnt"].transform("sum").to_numpy()
-        c2 = g["c2"].to_numpy()
+        c2 = g.groupby("bgh")["cnt"].transform("sum").to_numpy()
         # scalar libm log per DISTINCT (c2, c1) pair, gathered back:
         # counts are small ints so distinct pairs are few, and
         # math.log (libm) tracks DuckDB's ln closer than numpy's SIMD
@@ -932,8 +932,8 @@ def docs_lm_score(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    scored = stage1.groupby("wb").map_groups(
-        attach_c1_score, batch_format="pandas"
+    scored = ds.groupby("wb").map_groups(
+        score_group, batch_format="pandas"
     )
 
     agg = bucketed_groupby_agg(
