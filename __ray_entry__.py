@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": relops.events_top_users,
         "events_top_users_cms": relops.events_top_users_cms,
         "events_top_k_per_user": relops.events_top_k_per_user,
+        "events_value_rank": relops.events_value_rank,
         "events_funnel": relops.events_funnel,
         "docs_by_lang": textops.docs_by_lang,
         "docs_top_terms": textops.docs_top_terms,
@@ -1203,6 +1204,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(i) - 1 AS BIGINT) AS end_pos,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM isl GROUP BY doc_id, grp
+        """,
+        # global rank by (value, event_id): the distributed-sort shape
+        # (sampled range splits + per-bucket scan) checked exactly
+        "events_value_rank": r"""
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY value, event_id)
+                        AS BIGINT) AS rnk
+            FROM events
         """,
         # sequence packing: global token offset per doc (a prefix sum
         # in doc_id order) and the packed seq_len=32 sequence range

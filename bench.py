@@ -148,6 +148,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "top_customers",
         "docs_top_terms",
         "events_top_k_per_user",
+        "events_value_rank",
         "docs_decontaminate",
         "docs_dup_ngram_fraction",
         "docs_dup_spans",

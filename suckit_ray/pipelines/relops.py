@@ -777,3 +777,80 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
         .astype({"sum_rev": "int64", "n_lines": "int64"})
     )
     return rd.from_pandas(out[["nation", "sum_rev", "n_lines"]])
+
+
+RANK_SPLIT_SAMPLE = 10_000  # rows sampled to train the range splits
+
+
+def events_value_rank(sf_dir: str) -> rd.Dataset:
+    """(event_id, rnk): GLOBAL rank of every event by (value,
+    event_id) — ``ROW_NUMBER() OVER (ORDER BY value, event_id)`` —
+    via the distributed-sort recipe: a sample-trained RANGE
+    partitioner plus the prefix-sum scan.
+
+    Scale shape: split points come from quantiles of a bounded
+    ``limit()`` sample (broadcast once — the skew-aware part: splits
+    follow the data distribution, so hot value ranges spread across
+    buckets up to tie granularity); every row buckets by
+    ``searchsorted`` (order-preserving: bucket i's values all ≤
+    bucket i+1's); per-bucket counts — O(buckets), not O(rows) —
+    take one exclusive prefix on the driver exactly like
+    ``docs_pack_sequences``; one range-bucketed co-group sorts
+    locally and adds its bucket's base. ONE shuffle carrying
+    (event_id, value, bucket); ranks never require a global sort
+    materialization."""
+    import numpy as np
+    import ray
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    sample = ds.limit(RANK_SPLIT_SAMPLE).to_pandas()
+    qs = np.linspace(0.0, 1.0, B + 1)[1:-1]
+    splits = np.unique(
+        np.quantile(sample["value"].to_numpy(), qs, method="lower")
+    )
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "value": df["value"].astype("float64"),
+                "vb": np.searchsorted(
+                    sp, df["value"].to_numpy(), side="left"
+                ).astype("int64"),
+            }
+        )
+
+    bk = ds.map_batches(bucketize, batch_format="pandas")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("vb", as_index=False).agg(n=("value", "size"))
+
+    parts = (
+        bk.map_batches(bucket_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("vb", as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values("vb")
+    )
+    bases = np.concatenate(([0], np.cumsum(parts["n"].to_numpy())[:-1]))
+    base_ref = ray.put(dict(zip(parts["vb"].tolist(), bases.tolist())))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(columns=["event_id", "rnk"]).astype("int64")
+        base = int(ray.get(base_ref)[int(g["vb"].iloc[0])])
+        g = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "rnk": (np.arange(len(g), dtype=np.int64) + base + 1),
+            }
+        )
+
+    return bk.groupby("vb").map_groups(rank_group, batch_format="pandas")

@@ -547,3 +547,47 @@ def test_pack_sequences_equals_pandas_scan():
     # packing is tight: consecutive docs abut exactly
     assert (got["start_off"].iloc[1:].to_numpy()
             == (got["start_off"] + got["n_tokens"]).iloc[:-1].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_rank_equals_pandas_sort():
+    """Independent reference: single-process global sort + arange; and
+    the sampled range partitioner must actually spread the data over
+    several buckets (otherwise the 'distributed sort' is one group)."""
+    import numpy as np
+
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.events_value_rank(SF)
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    ev = (
+        pq.read_table(f"{SF}/events.parquet")
+        .to_pandas()
+        .sort_values(["value", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "event_id": ev["event_id"].astype("int64"),
+            "rnk": np.arange(1, len(ev) + 1, dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    sample = (
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])
+        .to_pandas()["value"]
+        .to_numpy()[: relops.RANK_SPLIT_SAMPLE]
+    )
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    splits = np.unique(
+        np.quantile(sample, np.linspace(0.0, 1.0, B + 1)[1:-1], method="lower")
+    )
+    assert len(splits) >= 8  # real spread, not a degenerate partitioner
