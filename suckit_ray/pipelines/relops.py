@@ -779,7 +779,35 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     return rd.from_pandas(out[["nation", "sum_rev", "n_lines"]])
 
 
-RANK_SPLIT_SAMPLE = 10_000  # rows sampled to train the range splits
+RANK_SPLIT_PER_BLOCK = 64  # split-training rows kept per block
+# (hash-min selection: order-independent, so value-correlated file
+# layouts can't starve the sample the way a head-of-file limit()
+# would; the driver sees O(64 × blocks) values — shrink per-block K
+# or add a second-level subsample as block count grows)
+
+
+def _train_rank_splits(ds: rd.Dataset, B: int):
+    """Quantile split points for the range partitioner, trained on a
+    per-block hash-min sample of ``value`` (order-independent —
+    robust to value-correlated file layouts). None for an empty
+    table."""
+    import numpy as np
+
+    def sample_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["event_id"].to_numpy().astype(np.uint64)
+            * np.uint64(2654435761)
+        ) & np.uint64(0xFFFFFFFF)
+        idx = np.argsort(h, kind="stable")[:RANK_SPLIT_PER_BLOCK]
+        return pd.DataFrame({"value": df["value"].to_numpy()[idx]})
+
+    sample = ds.map_batches(sample_rows, batch_format="pandas").to_pandas()
+    if len(sample) == 0:
+        return None
+    qs = np.linspace(0.0, 1.0, B + 1)[1:-1]
+    return np.unique(
+        np.quantile(sample["value"].to_numpy(), qs, method="lower")
+    )
 
 
 def events_value_rank(sf_dir: str) -> rd.Dataset:
@@ -789,9 +817,11 @@ def events_value_rank(sf_dir: str) -> rd.Dataset:
     partitioner plus the prefix-sum scan.
 
     Scale shape: split points come from quantiles of a bounded
-    ``limit()`` sample (broadcast once — the skew-aware part: splits
-    follow the data distribution, so hot value ranges spread across
-    buckets up to tie granularity); every row buckets by
+    per-block hash-min sample (broadcast once — the skew-aware part:
+    splits follow the data distribution across the WHOLE table, so
+    hot or drifting value ranges spread across buckets up to tie
+    granularity; a head-of-file ``limit()`` would degenerate on
+    time-ordered data whose values drift); every row buckets by
     ``searchsorted`` (order-preserving: bucket i's values all ≤
     bucket i+1's); per-bucket counts — O(buckets), not O(rows) —
     take one exclusive prefix on the driver exactly like
@@ -807,11 +837,16 @@ def events_value_rank(sf_dir: str) -> rd.Dataset:
     B = default_buckets()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
 
-    sample = ds.limit(RANK_SPLIT_SAMPLE).to_pandas()
-    qs = np.linspace(0.0, 1.0, B + 1)[1:-1]
-    splits = np.unique(
-        np.quantile(sample["value"].to_numpy(), qs, method="lower")
-    )
+    splits = _train_rank_splits(ds, B)
+    if splits is None:  # empty table → empty result, same schema
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        )
     splits_ref = ray.put(splits)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
@@ -826,7 +861,10 @@ def events_value_rank(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    bk = ds.map_batches(bucketize, batch_format="pandas")
+    # materialize: bk feeds BOTH the count pass and the final
+    # co-group — without this the read + bucketize lineage re-executes
+    # for the second consumer (lazy datasets are not cached)
+    bk = ds.map_batches(bucketize, batch_format="pandas").materialize()
 
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("vb", as_index=False).agg(n=("value", "size"))

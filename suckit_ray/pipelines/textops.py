@@ -728,8 +728,6 @@ def docs_dup_spans(sf_dir: str, k: int = DUP_NGRAM_K) -> rd.Dataset:
     second shuffle, bucketed by doc, where the island merge is one
     sort + cumcount + groupby per doc. Both exchanges carry 3 int64
     columns."""
-    import numpy as np
-
     dup = _dup_positions(sf_dir, k)
 
     def islands(g: pd.DataFrame) -> pd.DataFrame:

@@ -579,15 +579,77 @@ def test_value_rank_equals_pandas_sort():
     )
     pd.testing.assert_frame_equal(got, want)
 
-    sample = (
-        pq.read_table(f"{SF}/events.parquet", columns=["value"])
-        .to_pandas()["value"]
-        .to_numpy()[: relops.RANK_SPLIT_SAMPLE]
-    )
+    import ray.data as rd
+
     from suckit_ray.stages.agg import default_buckets
 
-    B = default_buckets()
-    splits = np.unique(
-        np.quantile(sample, np.linspace(0.0, 1.0, B + 1)[1:-1], method="lower")
+    splits = relops._train_rank_splits(
+        rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"]),
+        default_buckets(),
     )
     assert len(splits) >= 8  # real spread, not a degenerate partitioner
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_rank_empty_and_drifting_tables(tmp_path):
+    """Empty events table → empty result (not a crash); and on a
+    value-DRIFTING file layout (values grow with row order — typical
+    time-ordered event logs) the hash-min split sample must span the
+    whole range, where a head-of-file limit() sample would degenerate
+    every split into the low end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from suckit_ray.pipelines import relops
+    from suckit_ray.stages.agg import default_buckets
+
+    empty = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty)
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        os.path.join(empty, "events.parquet"),
+    )
+    out = relops.events_value_rank(empty)
+    # (.to_pandas() drops column names on an empty Dataset — a Ray
+    # 2.49 quirk — so check count + schema on the Dataset itself)
+    assert out.count() == 0
+    assert sorted(out.schema().names) == ["event_id", "rnk"]
+
+    drift = str(tmp_path / "drift")
+    os.makedirs(drift)
+    n = 30_000
+    vals = np.arange(n, dtype="float64")  # strictly drifting
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        os.path.join(drift, "events.parquet"),
+    )
+    splits = relops._train_rank_splits(
+        rd.read_parquet(
+            os.path.join(drift, "events.parquet"),
+            columns=["event_id", "value"],
+        ),
+        default_buckets(),
+    )
+    # the sample must reach deep into the tail of the file
+    assert splits.max() > 0.8 * n
+    # and ranks must still be exactly right end to end
+    got = relops.events_value_rank(drift).to_pandas().sort_values("rnk")
+    assert (got["event_id"].to_numpy() == np.arange(n)).all()
