@@ -17,7 +17,7 @@ from collections import defaultdict
 import pyarrow as pa
 
 import ray
-from suckit_ray import htmlproc, textkit
+from suckit_ray import htmlproc
 from suckit_ray.config import CrawlConfig
 from suckit_ray.state.frontier import (
     CAND_SCHEMA,
