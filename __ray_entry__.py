@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from suckit_ray.pipelines import (
         ann,
         dedup,
+        flagship,
         graph,
         relops,
         textops,
@@ -189,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _crawl_diff,
         "crawl_media_manifest": _crawl_media_manifest,
         "crawl_media_features": _crawl_media_features,
+        "crawl_text_extract": flagship.crawl_text_extract,
         # WARC archive source+sink round-trip
         "warc_roundtrip": warcops.warc_roundtrip,
         # text analysis
@@ -1353,7 +1355,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
             GROUP BY d.doc_id
         """,
-        # no oracle (rows-only): embedding_dup_pairs_ivf, ann_ivf_topk,
+        # no oracle (rows-only): crawl_text_extract (page text is not
+        # SQL-derivable; pinned by a spans-vs-body cross-representation
+        # equality test), embedding_dup_pairs_ivf, ann_ivf_topk,
         # ann_lsh_topk, events_distinct_users_hll, events_top_users_cms,
         # crawl_pagerank — quantizer-/sketch-/float-based operators
         # DuckDB can't recompute bit for bit. Each is verified another

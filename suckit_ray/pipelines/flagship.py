@@ -332,3 +332,48 @@ def crawl_media_features(sf_dir: str) -> rd.Dataset:
         )
 
     return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+def crawl_text_extract(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_text_spans, n_chars, text): plain TRAINING TEXT from
+    the interleaved representation — concatenate ``kind == 'text'``
+    spans in offset order, strip tags, collapse whitespace. This is
+    the bridge from the crawl's interleaved docs to every
+    documents-table operator (dedup / quality / LM scoring run
+    downstream of exactly this output at corpus scale).
+
+    Rows-only correctness (page text is not SQL-derivable), pinned by
+    a cross-representation test: the visible text reassembled from the
+    SPANS must equal the visible text of the independently stored
+    original BODY bytes — links were rewritten in the spans but tags
+    are stripped, so any splice/ordering defect breaks the equality.
+    One map_batches over the streamed mirror; no shuffle."""
+    import re
+
+    import pandas as pd
+
+    tag_re = re.compile(r"<[^>]*>")
+    ws_re = re.compile(r"\s+")
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, n_spans, n_chars, texts = [], [], [], []
+        for d, is_html, spans in zip(df["doc_id"], df["is_html"], df["spans"]):
+            if not is_html:
+                continue
+            parts = sorted(spans, key=lambda s: s["offset"])
+            raw = "".join(s["text"] for s in parts if s["kind"] == "text")
+            clean = ws_re.sub(" ", tag_re.sub(" ", raw)).strip()
+            doc_ids.append(d)
+            n_spans.append(sum(1 for s in parts if s["kind"] == "text"))
+            n_chars.append(len(clean))
+            texts.append(clean)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="object"),
+                "n_text_spans": pd.Series(n_spans, dtype="int64"),
+                "n_chars": pd.Series(n_chars, dtype="int64"),
+                "text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return crawl_docs(sf_dir).map_batches(extract, batch_format="pandas")

@@ -653,3 +653,35 @@ def test_value_rank_empty_and_drifting_tables(tmp_path):
     # and ranks must still be exactly right end to end
     got = relops.events_value_rank(drift).to_pandas().sort_values("rnk")
     assert (got["event_id"].to_numpy() == np.arange(n)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_extract_matches_stripped_body():
+    """Cross-representation invariant: visible text reassembled from
+    the interleaved SPANS must equal the visible text of the
+    independently stored original BODY bytes (tags stripped both
+    sides — rewritten links are invisible after stripping, so any
+    splice/order defect in the span representation breaks this)."""
+    import re
+
+    from suckit_ray.pipelines import flagship
+
+    got = (
+        flagship.crawl_text_extract(SF)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = flagship.crawl_docs(SF).to_pandas()
+    html = docs[docs["is_html"]]
+    assert len(got) == len(html)
+
+    tag_re, ws_re = re.compile(r"<[^>]*>"), re.compile(r"\s+")
+    for _, row in html.iterrows():
+        body_text = ws_re.sub(
+            " ", tag_re.sub(" ", row["body"].decode("utf-8"))
+        ).strip()
+        assert got.loc[row["doc_id"], "text"] == body_text
+    # the text is real training text: no markup survives
+    assert not got["text"].str.contains("<").any()
+    assert (got["n_chars"] == got["text"].str.len()).all()
