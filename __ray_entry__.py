@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_segment_dedup": textops.docs_segment_dedup,
         "docs_lm_score": textops.docs_lm_score,
         "docs_cut_dup_spans": textops.docs_cut_dup_spans,
+        "docs_redact_pii": textops.docs_redact_pii,
+        "docs_tfidf_topk": textops.docs_tfidf_topk,
         "docs_pack_sequences": textops.docs_pack_sequences,
     }
 
@@ -946,6 +948,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(rank AS BIGINT) AS rank, term, n_docs
             FROM ranked WHERE rank <= 50
+        """,
+        # PII redaction: the injection expression below derives the
+        # SAME deterministic PII-bearing input as the Ray kernel (the
+        # synthetic corpus has no PII), so the regexes / application
+        # order / counts are what the hash compares.
+        "docs_redact_pii": r"""
+            WITH pii AS (
+              SELECT doc_id,
+                     text || ' Contact u' || CAST(doc_id AS VARCHAR)
+                          || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.com or +1-'
+                          || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id * 13 % 256 AS VARCHAR)
+                          || ' now.' AS t
+              FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\+\d{1,2}-\d{3}-\d{4}', '[PHONE]', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+                     AS clean_text,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(t,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ips
+            FROM pii
+        """,
+        # TF-IDF: idf quantized to integer micro-nats per term BEFORE
+        # the tf multiply (the docs_lm_score trick) so ranking is an
+        # exact-int comparison in both engines.
+        "docs_tfidf_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(lower(text), '\s+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dfx AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                     tf.tf * CAST(floor(ln(
+                       (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                       / CAST(dfx.df AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS tfidf_micro
+              FROM tf JOIN dfx USING (term)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tfidf_micro DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(rank AS BIGINT) AS rank, term, tf, df,
+                   CAST(tfidf_micro AS BIGINT) AS tfidf_micro
+            FROM ranked WHERE rank <= 3
         """,
         "docs_by_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -156,6 +156,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_segment_dedup",
         "docs_lm_score",
         "docs_pack_sequences",
+        "docs_redact_pii",
+        "docs_tfidf_topk",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

@@ -1138,3 +1138,158 @@ def docs_pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> rd.Dataset:
     # contiguous doc_id range, so the within-group sort is the global
     # order restricted to the bucket
     return cnt.groupby("kb").map_groups(scan, batch_format="pandas")
+
+
+# --- PII redaction (docs_redact_pii) --------------------------------
+# Patterns are mirrored VERBATIM in the oracle SQL (RE2); both engines
+# use leftmost-first matching and ASCII \b on these classes, so the
+# match sets agree. No lookarounds (RE2 has none).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def docs_redact_pii(sf_dir: str) -> rd.Dataset:
+    """(doc_id, clean_text, n_emails, n_phones, n_ips): scrub
+    email / phone / IPv4 literals from document text — the PII-removal
+    pass a training-corpus pipeline runs before packing (cf. C4 /
+    RefinedWeb postprocessing). The synthetic corpus carries no PII, so
+    the harness first DERIVES a PII-bearing input deterministically
+    from (text, doc_id) — the SAME derivation expression appears in the
+    oracle SQL, making the redaction KERNEL (the three regexes, their
+    application order, and the match counts) the thing under test.
+
+    Scale shape: a pure ``map_batches`` stage — no shuffle, no state;
+    all three substitutions and counts are vectorized pandas ``.str``
+    kernels over the batch. At 100 TB this is embarrassingly parallel
+    and I/O-bound.
+    """
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        # deterministic PII injection — mirrored in the oracle SQL
+        pii = (
+            df["text"].astype(str)
+            + " Contact u"
+            + d.astype(str)
+            + "@ex"
+            + (d % 7).astype(str)
+            + ".com or +1-"
+            + (100 + d % 900).astype(str)
+            + "-"
+            + (d % 10000).astype(str).str.zfill(4)
+            + " from 10."
+            + (d % 256).astype(str)
+            + "."
+            + (d * 7 % 256).astype(str)
+            + "."
+            + (d * 13 % 256).astype(str)
+            + " now."
+        )
+        out = pd.DataFrame({"doc_id": d})
+        out["n_emails"] = pii.str.count(EMAIL_RE).astype("int64")
+        out["n_phones"] = pii.str.count(PHONE_RE).astype("int64")
+        out["n_ips"] = pii.str.count(IPV4_RE).astype("int64")
+        clean = pii.str.replace(EMAIL_RE, "[EMAIL]", regex=True)
+        clean = clean.str.replace(PHONE_RE, "[PHONE]", regex=True)
+        clean = clean.str.replace(IPV4_RE, "[IP]", regex=True)
+        out["clean_text"] = clean
+        return out[["doc_id", "clean_text", "n_emails", "n_phones", "n_ips"]]
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pandas"
+    )
+
+
+# --- per-document TF-IDF top-k (docs_tfidf_topk) ---------------------
+TFIDF_K = 3
+IDF_MICRO = 1_000_000  # quantization unit; mirrored in the oracle
+
+
+def docs_tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> rd.Dataset:
+    """(doc_id, rank, term, tf, df, tfidf_micro): each document's top-k
+    terms by TF-IDF — the keyword/topic signal a corpus-indexing or
+    domain-mixing pipeline derives per doc. tfidf_micro =
+    tf × floor(ln(N/df) × 1e6): the idf is quantized to integer
+    MICRO-nats per term BEFORE the multiply (the docs_lm_score trick),
+    so the score is an exact int64 and ranking is bit-stable across
+    engines; ties break (tfidf_micro desc, term asc).
+
+    Scale shape — no broadcast vocabulary: (1) one streaming pass
+    explodes distinct (doc, term, tf) rows (one row per distinct term
+    per doc, never per occurrence); (2) a TERM-hash-bucketed co-group
+    computes each term's df from group size and attaches idf where the
+    rows already are (a broadcast DF table would be O(vocab), which at
+    web scale is billions of entries); (3) a DOC-hash-bucketed group
+    takes the per-doc top-k. Two bounded shuffles of narrow int/str
+    rows; N comes from a streaming count.
+    """
+    import math
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    N = _read_documents(sf_dir, ["doc_id"]).count()
+
+    from suckit_ray.pipelines.dedup import _md5h60_memo
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        h = _md5h60_memo()
+        rows_d: list[int] = []
+        rows_t: list[str] = []
+        rows_tf: list[int] = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            for term, tf in Counter(t.lower().split()).items():
+                rows_d.append(d)
+                rows_t.append(term)
+                rows_tf.append(tf)
+        out = pd.DataFrame({"doc_id": rows_d, "term": rows_t, "tf": rows_tf})
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["tf"] = out["tf"].astype("int64")
+        # term-hash bucket for the df co-group (python hash is not
+        # stable across workers — use a stable digest)
+        out["tb"] = out["term"].map(lambda s: h(s) % B).astype("int64")
+        return out
+
+    def attach_idf(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=["doc_id", "term", "tf", "df", "tfidf_micro", "db"]
+            ).astype("int64")
+        df_counts = g.groupby("term")["doc_id"].transform("size").astype("int64")
+        g = g.assign(df=df_counts)
+        idf = g["df"].map(
+            lambda dfv: math.floor(math.log(N / dfv) * IDF_MICRO)
+        ).astype("int64")
+        g = g.assign(tfidf_micro=(g["tf"] * idf).astype("int64"))
+        g["db"] = (g["doc_id"] % B).astype("int64")
+        return g[["doc_id", "term", "tf", "df", "tfidf_micro", "db"]]
+
+    def per_doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "rank": pd.array([], dtype="int64"),
+                    "term": pd.array([], dtype="str"),
+                    "tf": pd.array([], dtype="int64"),
+                    "df": pd.array([], dtype="int64"),
+                    "tfidf_micro": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(
+            ["doc_id", "tfidf_micro", "term"], ascending=[True, False, True]
+        )
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1).astype(
+            "int64"
+        )
+        return g[["doc_id", "rank", "term", "tf", "df", "tfidf_micro"]]
+
+    exploded = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+    scored = exploded.groupby("tb").map_groups(attach_idf, batch_format="pandas")
+    return scored.groupby("db").map_groups(per_doc_topk, batch_format="pandas")

@@ -25,6 +25,12 @@ EDGE_DOCS = [
     # shares doc 4's first 4 tokens mid-doc (span, not whole doc)
     (6, "one two three alpha beta gamma delta four five six seven eight"),
     (7, "  a   b  "),  # messy whitespace: split() vs \s+ must agree
+    # near-PII bodies: regex edge cases for docs_redact_pii (emails
+    # with subdomains/specials, 1-char TLD non-match, >3-digit octet,
+    # 1-2 digit phone country code boundary)
+    (8, "mail a.b+c_d%e@sub.domain.co or me@@x.com or a@b.c now"),
+    (9, "ip 999.1.2.3 then 1.2.3.4567 then 10.0.0.1 end"),
+    (10, "+12-345-6789 call +1-23-4567 and +123-456-7890 stop"),
 ]
 
 
@@ -64,6 +70,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
         "docs_segment_dedup",
         "docs_lm_score",
         "docs_pack_sequences",
+        "docs_redact_pii",
+        "docs_tfidf_topk",
     ],
 )
 def test_edge_corpus_matches_oracle(edge_dir, name):
