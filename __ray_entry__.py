@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cut_dup_spans": textops.docs_cut_dup_spans,
         "docs_redact_pii": textops.docs_redact_pii,
         "docs_tfidf_topk": textops.docs_tfidf_topk,
+        "docs_global_shuffle": textops.docs_global_shuffle,
         "docs_pack_sequences": textops.docs_pack_sequences,
     }
 
@@ -983,6 +984,17 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
                      AS BIGINT) AS n_ips
             FROM pii
+        """,
+        # deterministic seeded global shuffle: position under
+        # ORDER BY md5(seed || ':' || doc_id) — seed 42 mirrored from
+        # textops.SHUFFLE_SEED.
+        "docs_global_shuffle": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5('42:' || CAST(doc_id AS VARCHAR)) AS key,
+                   CAST(row_number() OVER (
+                     ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS BIGINT) AS pos
+            FROM documents
         """,
         # TF-IDF: idf quantized to integer micro-nats per term BEFORE
         # the tf multiply (the docs_lm_score trick) so ranking is an

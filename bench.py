@@ -158,6 +158,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_pack_sequences",
         "docs_redact_pii",
         "docs_tfidf_topk",
+        "docs_global_shuffle",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

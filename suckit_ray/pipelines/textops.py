@@ -1293,3 +1293,88 @@ def docs_tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> rd.Dataset:
     )
     scored = exploded.groupby("tb").map_groups(attach_idf, batch_format="pandas")
     return scored.groupby("db").map_groups(per_doc_topk, batch_format="pandas")
+
+
+# --- deterministic global shuffle (docs_global_shuffle) --------------
+SHUFFLE_SEED = 42  # mirrored in the oracle SQL
+
+
+def docs_global_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> rd.Dataset:
+    """(doc_id, key, pos): a DETERMINISTIC seeded global shuffle —
+    every doc gets the position it holds under ``ORDER BY
+    md5(seed || ':' || doc_id)`` — the reproducible corpus shuffle a
+    training dataloader needs (same seed ⇒ same epoch order on any
+    cluster size, resumable mid-epoch by position range).
+
+    Scale shape — a distributed sort with NO sampling pass: md5 keys
+    are uniform by construction, so FIXED range splits on the first
+    32 key bits give balanced buckets (the sample-trained partitioner
+    of ``events_value_rank`` exists for value distributions that are
+    NOT uniform; here uniformity is cryptographic). Per-bucket counts
+    (O(buckets)) take one driver prefix-sum, broadcast back; one
+    range-bucketed co-group sorts locally and adds its base. ONE
+    shuffle carrying (doc_id, key, bucket)."""
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    pre = f"{seed}:"
+
+    def keyize(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            hashlib.md5((pre + str(int(d))).encode()).hexdigest()
+            for d in df["doc_id"]
+        ]
+        kb = [int(k[:8], 16) * B >> 32 for k in keys]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "key": pd.array(keys, dtype="str"),
+                "kb": pd.array(kb, dtype="int64"),
+            }
+        )
+
+    # materialize: feeds BOTH the count pass and the final co-group
+    keyed = (
+        _read_documents(sf_dir, ["doc_id"])
+        .map_batches(keyize, batch_format="pandas")
+        .materialize()
+    )
+
+    parts = (
+        keyed.map_batches(
+            lambda df: df.groupby("kb", as_index=False).agg(n=("doc_id", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("kb", as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values("kb")
+    )
+    bases = np.concatenate(([0], np.cumsum(parts["n"].to_numpy())[:-1]))
+    base_ref = ray.put(dict(zip(parts["kb"].tolist(), bases.tolist())))
+
+    def position_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "key": pd.array([], dtype="str"),
+                    "pos": pd.array([], dtype="int64"),
+                }
+            )
+        base = int(ray.get(base_ref)[int(g["kb"].iloc[0])])
+        g = g.sort_values(["key", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "key": g["key"],
+                "pos": (np.arange(len(g), dtype=np.int64) + base + 1),
+            }
+        )
+
+    return keyed.groupby("kb").map_groups(position_group, batch_format="pandas")

@@ -72,6 +72,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
         "docs_pack_sequences",
         "docs_redact_pii",
         "docs_tfidf_topk",
+        "docs_global_shuffle",
     ],
 )
 def test_edge_corpus_matches_oracle(edge_dir, name):
