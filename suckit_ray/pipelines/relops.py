@@ -866,18 +866,9 @@ def events_value_rank(sf_dir: str) -> rd.Dataset:
     # for the second consumer (lazy datasets are not cached)
     bk = ds.map_batches(bucketize, batch_format="pandas").materialize()
 
-    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("vb", as_index=False).agg(n=("value", "size"))
+    from suckit_ray.stages.agg import bucket_prefix_bases
 
-    parts = (
-        bk.map_batches(bucket_counts, batch_format="pandas")
-        .to_pandas()
-        .groupby("vb", as_index=False)
-        .agg(n=("n", "sum"))
-        .sort_values("vb")
-    )
-    bases = np.concatenate(([0], np.cumsum(parts["n"].to_numpy())[:-1]))
-    base_ref = ray.put(dict(zip(parts["vb"].tolist(), bases.tolist())))
+    base_ref = bucket_prefix_bases(bk, "vb")
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:

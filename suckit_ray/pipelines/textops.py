@@ -1097,19 +1097,9 @@ def docs_pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> rd.Dataset:
         counts, batch_format="pandas"
     )
 
-    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("kb", as_index=False).agg(bn=("n", "sum"))
+    from suckit_ray.stages.agg import bucket_prefix_bases
 
-    parts = (
-        cnt.map_batches(bucket_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("kb", as_index=False)
-        .agg(bn=("bn", "sum"))
-        .sort_values("kb")
-    )
-    kbs = parts["kb"].to_numpy()
-    bases = np.concatenate(([0], np.cumsum(parts["bn"].to_numpy())[:-1]))
-    base_ref = ray.put(dict(zip(kbs.tolist(), bases.tolist())))
+    base_ref = bucket_prefix_bases(cnt, "kb", weight_col="n")
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1141,9 +1131,11 @@ def docs_pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> rd.Dataset:
 
 
 # --- PII redaction (docs_redact_pii) --------------------------------
-# Patterns are mirrored VERBATIM in the oracle SQL (RE2); both engines
-# use leftmost-first matching and ASCII \b on these classes, so the
-# match sets agree. No lookarounds (RE2 has none).
+# Patterns are mirrored VERBATIM in the oracle SQL (RE2). RE2's \d/\b
+# are ASCII; Python's default is Unicode (é counts as a word char, ١
+# as a digit), so every Python application below passes re.ASCII —
+# without it the match sets diverge on non-ASCII text near digits.
+# Both engines are leftmost-first; no lookarounds (RE2 has none).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -1187,12 +1179,15 @@ def docs_redact_pii(sf_dir: str) -> rd.Dataset:
             + " now."
         )
         out = pd.DataFrame({"doc_id": d})
-        out["n_emails"] = pii.str.count(EMAIL_RE).astype("int64")
-        out["n_phones"] = pii.str.count(PHONE_RE).astype("int64")
-        out["n_ips"] = pii.str.count(IPV4_RE).astype("int64")
-        clean = pii.str.replace(EMAIL_RE, "[EMAIL]", regex=True)
-        clean = clean.str.replace(PHONE_RE, "[PHONE]", regex=True)
-        clean = clean.str.replace(IPV4_RE, "[IP]", regex=True)
+        import re
+
+        A = re.ASCII
+        out["n_emails"] = pii.str.count(EMAIL_RE, flags=A).astype("int64")
+        out["n_phones"] = pii.str.count(PHONE_RE, flags=A).astype("int64")
+        out["n_ips"] = pii.str.count(IPV4_RE, flags=A).astype("int64")
+        clean = pii.str.replace(EMAIL_RE, "[EMAIL]", regex=True, flags=A)
+        clean = clean.str.replace(PHONE_RE, "[PHONE]", regex=True, flags=A)
+        clean = clean.str.replace(IPV4_RE, "[IP]", regex=True, flags=A)
         out["clean_text"] = clean
         return out[["doc_id", "clean_text", "n_emails", "n_phones", "n_ips"]]
 
@@ -1233,6 +1228,12 @@ def docs_tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> rd.Dataset:
 
     from suckit_ray.pipelines.dedup import _md5h60_memo
 
+    import re
+
+    # split on ASCII \s+ to mirror the oracle's RE2 split — Python's
+    # argless split() is Unicode-whitespace and diverges on e.g. \xa0
+    ws = re.compile(r"\s+", re.ASCII)
+
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
 
@@ -1241,10 +1242,20 @@ def docs_tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> rd.Dataset:
         rows_t: list[str] = []
         rows_tf: list[int] = []
         for d, t in zip(df["doc_id"], df["text"]):
-            for term, tf in Counter(t.lower().split()).items():
+            terms = Counter(tok for tok in ws.split(t.lower()) if tok)
+            for term, tf in terms.items():
                 rows_d.append(d)
                 rows_t.append(term)
                 rows_tf.append(tf)
+        if not rows_d:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "term": pd.array([], dtype="str"),
+                    "tf": pd.array([], dtype="int64"),
+                    "tb": pd.array([], dtype="int64"),
+                }
+            )
         out = pd.DataFrame({"doc_id": rows_d, "term": rows_t, "tf": rows_tf})
         out["doc_id"] = out["doc_id"].astype("int64")
         out["tf"] = out["tf"].astype("int64")
@@ -1256,13 +1267,24 @@ def docs_tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> rd.Dataset:
     def attach_idf(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return pd.DataFrame(
-                columns=["doc_id", "term", "tf", "df", "tfidf_micro", "db"]
-            ).astype("int64")
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "term": pd.array([], dtype="str"),
+                    "tf": pd.array([], dtype="int64"),
+                    "df": pd.array([], dtype="int64"),
+                    "tfidf_micro": pd.array([], dtype="int64"),
+                    "db": pd.array([], dtype="int64"),
+                }
+            )
         df_counts = g.groupby("term")["doc_id"].transform("size").astype("int64")
         g = g.assign(df=df_counts)
-        idf = g["df"].map(
-            lambda dfv: math.floor(math.log(N / dfv) * IDF_MICRO)
-        ).astype("int64")
+        # one libm call per DISTINCT df value, not per row (the
+        # docs_lm_score idiom)
+        idf_map = {
+            int(v): math.floor(math.log(N / int(v)) * IDF_MICRO)
+            for v in df_counts.unique()
+        }
+        idf = g["df"].map(idf_map).astype("int64")
         g = g.assign(tfidf_micro=(g["tf"] * idf).astype("int64"))
         g["db"] = (g["doc_id"] % B).astype("int64")
         return g[["doc_id", "term", "tf", "df", "tfidf_micro", "db"]]
@@ -1319,7 +1341,7 @@ def docs_global_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> rd.Dataset:
     import numpy as np
     import ray
 
-    from suckit_ray.stages.agg import default_buckets
+    from suckit_ray.stages.agg import bucket_prefix_bases, default_buckets
 
     B = default_buckets()
     pre = f"{seed}:"
@@ -1345,18 +1367,7 @@ def docs_global_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> rd.Dataset:
         .materialize()
     )
 
-    parts = (
-        keyed.map_batches(
-            lambda df: df.groupby("kb", as_index=False).agg(n=("doc_id", "size")),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .groupby("kb", as_index=False)
-        .agg(n=("n", "sum"))
-        .sort_values("kb")
-    )
-    bases = np.concatenate(([0], np.cumsum(parts["n"].to_numpy())[:-1]))
-    base_ref = ray.put(dict(zip(parts["kb"].tolist(), bases.tolist())))
+    base_ref = bucket_prefix_bases(keyed, "kb")
 
     def position_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:

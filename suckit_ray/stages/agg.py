@@ -95,3 +95,37 @@ def bucketed_groupby_agg(
     return ds.map_batches(partial, batch_format="pandas").groupby("bucket").map_groups(
         final, batch_format="pandas"
     )
+
+
+def bucket_prefix_bases(ds: rd.Dataset, bucket_col: str, weight_col: str | None = None):
+    """Exclusive prefix-sum over per-bucket totals — the shared
+    scaffolding of the distributed SCAN/RANK recipe
+    (``docs_pack_sequences``, ``events_value_rank``,
+    ``docs_global_shuffle``): per-batch partial totals per bucket (a
+    combiner — one row per bucket per batch), O(buckets) rows to the
+    driver, one numpy exclusive prefix in bucket order, broadcast as a
+    ``ray.put`` dict {bucket: base}. ``weight_col=None`` counts rows;
+    otherwise sums ``weight_col``. The driver never holds O(rows)
+    state — only O(buckets) ints."""
+    import numpy as np
+
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if weight_col is None:
+            return df.groupby(bucket_col, as_index=False).size().rename(
+                columns={"size": "n"}
+            )
+        return df.groupby(bucket_col, as_index=False).agg(n=(weight_col, "sum"))
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(bucket_col, as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(bucket_col)
+    )
+    bases = np.concatenate(([0], np.cumsum(parts["n"].to_numpy())[:-1]))
+    return ray.put(
+        dict(zip(parts[bucket_col].tolist(), [int(b) for b in bases]))
+    )
