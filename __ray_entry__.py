@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": textops.docs_by_lang,
         "docs_top_terms": textops.docs_top_terms,
         "docs_stratified_sample": textops.docs_stratified_sample,
+        "docs_domain_mix": textops.docs_domain_mix,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -909,6 +910,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM s GROUP BY lang
+        """,
+        # budget-constrained domain mixing: integer weights 1+(idx%4),
+        # token budget w_s*T//sum(w), docs kept in multiplicative-hash
+        # order while the EXCLUSIVE cumulative stays under budget —
+        # all-integer arithmetic, mirrored exactly in the Ray scan
+        "docs_domain_mix": f"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_toks,
+                     ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hkey
+              FROM documents
+            ),
+            w AS (
+              SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_toks,
+                     1 + (CAST(substr(source, 4) AS BIGINT) % 4) AS wgt
+              FROM tok GROUP BY source
+            ),
+            tot AS (
+              SELECT CAST(SUM(src_toks) AS BIGINT) * 40 // 100 AS t,
+                     CAST(SUM(wgt) AS BIGINT) AS all_w
+              FROM w
+            ),
+            b AS (
+              SELECT w.source, w.wgt * tot.t // tot.all_w AS budget
+              FROM w, tot
+            ),
+            cum AS (
+              SELECT tok.*,
+                     CAST(SUM(n_toks) OVER (
+                       PARTITION BY source ORDER BY hkey, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+              FROM tok
+            )
+            SELECT c.doc_id, c.source, c.n_toks, c.cum_toks
+            FROM cum c JOIN b ON c.source = b.source
+            WHERE c.cum_toks - c.n_toks < b.budget
         """,
         # set ops between the quality-gated set and the exact-dedup
         # survivor set: intersection and both differences

@@ -159,6 +159,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_redact_pii",
         "docs_tfidf_topk",
         "docs_global_shuffle",
+        "docs_domain_mix",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

@@ -1389,3 +1389,137 @@ def docs_global_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> rd.Dataset:
         )
 
     return keyed.groupby("kb").map_groups(position_group, batch_format="pandas")
+
+
+# --- domain-mixture sampling (docs_domain_mix) ----------------------
+MIX_PCT = 40        # share of total corpus tokens the mixture keeps
+MIX_HASH_BUCKETS = 64  # hash-range sub-buckets per source for the scan
+
+
+def docs_domain_mix(sf_dir: str, pct: int = MIX_PCT) -> rd.Dataset:
+    """Budget-constrained domain mixing: keep docs per ``source`` until
+    that source's token budget is spent — the mixture-reweighting step
+    a training-data pipeline runs to hit a target domain composition
+    (cf. The Pile / DoReMi-style mixing), here with deterministic
+    integer weights ``1 + (src_index % 4)`` and selection in
+    multiplicative-hash order (reproducible across runs/clusters, no
+    RNG state).
+
+    Each source's budget is ``w_s * T // sum(w)`` with
+    ``T = total_tokens * pct // 100`` — all-integer arithmetic mirrored
+    exactly in the SQL oracle. A doc is kept while the tokens consumed
+    BEFORE it are under budget, so the doc that crosses the budget line
+    is included (every source with a nonzero budget keeps ≥1 doc).
+
+    Scale shape — a per-GROUP prefix-sum scan, the third member of the
+    scan family (global: ``docs_pack_sequences``; value-ordered:
+    ``events_value_rank``; this one: per-key ordered with a broadcast
+    stop condition). Text is dropped at the read (shuffle carries 4 int
+    cols + source); per-source totals are a bucketed aggregate
+    (O(sources) rows to the driver); cumulative order within a source
+    is split across MIX_HASH_BUCKETS hash-RANGE sub-buckets (hkey is
+    multiplicative-hash-uniform, so fixed ranges are balanced by
+    construction — the ``docs_global_shuffle`` argument), with the
+    per-(source, sub-bucket) exclusive prefix computed from O(sources ×
+    buckets) count rows on the driver. No group ever holds a whole
+    source; no driver state is O(docs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    def keyize(df: pd.DataFrame) -> pd.DataFrame:
+        hkey = (
+            (df["doc_id"].to_numpy().astype(np.int64) % (1 << 31)) * _KNUTH
+        ) % (1 << 32)
+        hb = (hkey * MIX_HASH_BUCKETS) // (1 << 32)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "n_toks": df["text"].str.count(TOKEN_RE).astype("int64"),
+                "hkey": hkey.astype("int64"),
+                "hb": hb.astype("int64"),
+            }
+        )
+
+    keyed = (
+        _read_documents(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(keyize, batch_format="pandas")
+        .materialize()  # feeds the count pass AND the final co-group
+    )
+
+    # per-(source, hb) token sums — O(sources × MIX_HASH_BUCKETS) rows
+    # to the driver; one pandas pass derives budgets AND exclusive
+    # prefix bases, broadcast once
+    parts = (
+        keyed.map_batches(
+            lambda df: df.groupby(["source", "hb"], as_index=False).agg(
+                n=("n_toks", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["source", "hb"], as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(["source", "hb"])
+    )
+    if len(parts) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_toks": pa.array([], pa.int64()),
+                    "cum_toks": pa.array([], pa.int64()),
+                }
+            )
+        )
+    src_tot = parts.groupby("source")["n"].sum()
+    wgt = {s: 1 + (int(s[3:]) % 4) for s in src_tot.index}
+    T = int(src_tot.sum()) * pct // 100
+    all_w = sum(wgt.values())
+    budgets = {s: wgt[s] * T // all_w for s in src_tot.index}
+    bases: dict[tuple[str, int], int] = {}
+    for s, grp in parts.groupby("source"):
+        run = 0
+        for hb, n in zip(grp["hb"], grp["n"]):
+            bases[(s, int(hb))] = run
+            run += int(n)
+    ref = ray.put((budgets, bases))
+
+    def pick_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "source": pd.array([], dtype="str"),
+                "n_toks": pd.array([], dtype="int64"),
+                "cum_toks": pd.array([], dtype="int64"),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        budgets, bases = ray.get(ref)
+        src = g["source"].iloc[0]
+        base = bases[(src, int(g["hb"].iloc[0]))]
+        if base >= budgets[src]:  # whole sub-bucket past the budget
+            return empty
+        g = g.sort_values(["hkey", "doc_id"]).reset_index(drop=True)
+        cum = base + g["n_toks"].to_numpy().cumsum()
+        keep = (cum - g["n_toks"].to_numpy()) < budgets[src]
+        out = g.loc[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "source": out["source"],
+                "n_toks": out["n_toks"].astype("int64"),
+                "cum_toks": pd.Series(cum[keep], dtype="int64"),
+            }
+        )
+
+    keyed = keyed.map_batches(
+        lambda df: df.assign(sb=df["source"] + ":" + df["hb"].astype(str)),
+        batch_format="pandas",
+    )
+    return keyed.groupby("sb").map_groups(
+        pick_group, batch_format="pandas"
+    ).select_columns(["doc_id", "source", "n_toks", "cum_toks"])

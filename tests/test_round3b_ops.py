@@ -685,3 +685,60 @@ def test_text_extract_matches_stripped_body():
     # the text is real training text: no markup survives
     assert not got["text"].str.contains("<").any()
     assert (got["n_chars"] == got["text"].str.len()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_domain_mix_equals_pandas_budget_scan():
+    """Independent reference: single-process per-source hash-ordered
+    budget scan with the same integer weight/budget arithmetic."""
+    import re
+
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_domain_mix(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    tok = re.compile(textops.TOKEN_RE)
+    docs["n_toks"] = docs["text"].map(lambda t: len(tok.findall(t)))
+    docs["hkey"] = (docs["doc_id"] % (1 << 31)) * textops._KNUTH % (1 << 32)
+    wgt = {s: 1 + (int(s[3:]) % 4) for s in docs["source"].unique()}
+    T = int(docs["n_toks"].sum()) * textops.MIX_PCT // 100
+    all_w = sum(wgt.values())
+    rows = []
+    for s, grp in docs.groupby("source"):
+        budget = wgt[s] * T // all_w
+        grp = grp.sort_values(["hkey", "doc_id"])
+        cum = grp["n_toks"].cumsum()
+        keep = (cum - grp["n_toks"]) < budget
+        sel = grp.loc[keep]
+        rows.append(
+            pd.DataFrame(
+                {
+                    "doc_id": sel["doc_id"],
+                    "source": sel["source"],
+                    "n_toks": sel["n_toks"],
+                    "cum_toks": cum[keep],
+                }
+            )
+        )
+    want = (
+        pd.concat(rows)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_toks": "int64", "cum_toks": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # every source with a nonzero budget keeps at least one doc, and
+    # the kept token mass per source lands within one doc of budget
+    per_src = want.groupby("source").agg(
+        kept=("n_toks", "sum"), last=("cum_toks", "max")
+    )
+    for s, r in per_src.iterrows():
+        budget = wgt[s] * T // all_w
+        assert r["last"] >= budget  # crossing doc included
+        assert r["last"] - budget < int(docs.loc[docs["source"] == s, "n_toks"].max())
