@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_media_manifest": _crawl_media_manifest,
         "crawl_media_features": _crawl_media_features,
         "crawl_text_extract": flagship.crawl_text_extract,
+        "crawl_pack_multimodal": flagship.crawl_pack_multimodal,
         # WARC archive source+sink round-trip
         "warc_roundtrip": warcops.warc_roundtrip,
         # text analysis

@@ -377,3 +377,111 @@ def crawl_text_extract(sf_dir: str) -> rd.Dataset:
         )
 
     return crawl_docs(sf_dir).map_batches(extract, batch_format="pandas")
+
+
+PACK_MM_SEQ_LEN = 64   # tokens per packed multimodal training sequence
+MEDIA_TOKENS = 16      # fixed token cost of a media span / asset doc
+LINK_TOKENS = 1        # anchor-token cost of a rewritten link span
+
+
+def crawl_pack_multimodal(sf_dir: str, seq_len: int = PACK_MM_SEQ_LEN) -> rd.Dataset:
+    """(doc_id, n_tokens, start_off, first_seq, last_seq): pack the
+    INTERLEAVED mirror into fixed-length multimodal training sequences
+    — the step that turns the crawl's text+media documents into a
+    dataloader-ready epoch. Per-doc token cost prices each modality:
+    text spans cost their visible whitespace-token count (tags
+    stripped, the ``crawl_text_extract`` cleaning), media spans and
+    asset docs cost ``MEDIA_TOKENS`` placeholder tokens, rewritten
+    link spans cost ``LINK_TOKENS`` anchor token. Docs are packed in
+    deterministic md5('pack:'+doc_id) order — the seeded-shuffle epoch
+    order of ``docs_global_shuffle`` composed with the
+    ``docs_pack_sequences`` scan, i.e. exactly what a training
+    dataloader does (shuffle, then pack).
+
+    Scale shape: md5 uniformity makes FIXED 32-bit range buckets
+    balanced by construction (no sampling pass); per-bucket token
+    totals → one O(buckets) driver prefix → one range-bucketed
+    co-group assigns offsets. Span text never shuffles — the exchange
+    carries (doc_id, n_tokens, hkey, kb). Rows-only correctness (page
+    text is not SQL-derivable); pinned by a pandas reference scan and
+    abutting-offset invariants in tests/test_round3b_ops.py."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from suckit_ray.stages.agg import bucket_prefix_bases, default_buckets
+
+    B = default_buckets()
+    tag_re = re.compile(r"<[^>]*>")
+    ws_re = re.compile(r"\s+")
+
+    def cost_batch(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, toks, hkeys = [], [], []
+        for d, is_html, spans in zip(df["doc_id"], df["is_html"], df["spans"]):
+            if is_html:
+                parts = sorted(spans, key=lambda s: s["offset"])
+                raw = "".join(s["text"] for s in parts if s["kind"] == "text")
+                clean = ws_re.sub(" ", tag_re.sub(" ", raw)).strip()
+                n = len(clean.split()) if clean else 0
+                n += sum(
+                    MEDIA_TOKENS if s["kind"] == "media" else LINK_TOKENS
+                    for s in parts
+                    if s["kind"] != "text"
+                )
+            else:
+                n = MEDIA_TOKENS
+            doc_ids.append(d)
+            toks.append(n)
+            hkeys.append(
+                int(hashlib.md5(f"pack:{d}".encode()).hexdigest()[:8], 16)
+            )
+        hk = np.asarray(hkeys, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="object"),
+                "n_tokens": pd.Series(toks, dtype="int64"),
+                "hkey": hk,
+                "kb": (hk * B) >> 32,
+            }
+        )
+
+    costed = (
+        crawl_docs(sf_dir)
+        .map_batches(cost_batch, batch_format="pandas")
+        .materialize()  # feeds the count pass AND the final co-group
+    )
+    base_ref = bucket_prefix_bases(costed, "kb", weight_col="n_tokens")
+
+    def offset_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="str"),
+                    "n_tokens": pd.array([], dtype="int64"),
+                    "start_off": pd.array([], dtype="int64"),
+                    "first_seq": pd.array([], dtype="int64"),
+                    "last_seq": pd.array([], dtype="int64"),
+                }
+            )
+        base = int(ray.get(base_ref)[int(g["kb"].iloc[0])])
+        g = g.sort_values(["hkey", "doc_id"]).reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        off = base + np.concatenate(([0], n.cumsum()[:-1]))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"].astype("int64"),
+                "start_off": pd.Series(off, dtype="int64"),
+                "first_seq": pd.Series(
+                    np.where(n > 0, off // seq_len, -1), dtype="int64"
+                ),
+                "last_seq": pd.Series(
+                    np.where(n > 0, (off + n - 1) // seq_len, -1), dtype="int64"
+                ),
+            }
+        )
+
+    return costed.groupby("kb").map_groups(offset_group, batch_format="pandas")

@@ -742,3 +742,79 @@ def test_domain_mix_equals_pandas_budget_scan():
         budget = wgt[s] * T // all_w
         assert r["last"] >= budget  # crossing doc included
         assert r["last"] - budget < int(docs.loc[docs["source"] == s, "n_toks"].max())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_multimodal_equals_pandas_reference():
+    """Independent reference: single-process modality pricing + md5
+    shuffle order + cumulative scan over the materialized mirror."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from suckit_ray.pipelines import flagship
+
+    got = (
+        flagship.crawl_pack_multimodal(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    docs = flagship.crawl_docs(SF).to_pandas()
+    tag_re = re.compile(r"<[^>]*>")
+    ws_re = re.compile(r"\s+")
+    rows = []
+    for d, is_html, spans in zip(docs["doc_id"], docs["is_html"], docs["spans"]):
+        if is_html:
+            parts = sorted(spans, key=lambda s: s["offset"])
+            raw = "".join(s["text"] for s in parts if s["kind"] == "text")
+            clean = ws_re.sub(" ", tag_re.sub(" ", raw)).strip()
+            n = len(clean.split()) if clean else 0
+            n += sum(
+                flagship.MEDIA_TOKENS
+                if s["kind"] == "media"
+                else flagship.LINK_TOKENS
+                for s in parts
+                if s["kind"] != "text"
+            )
+        else:
+            n = flagship.MEDIA_TOKENS
+        hk = int(hashlib.md5(f"pack:{d}".encode()).hexdigest()[:8], 16)
+        rows.append((d, n, hk))
+    ref = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "hkey"])
+    ref = ref.sort_values(["hkey", "doc_id"]).reset_index(drop=True)
+    n = ref["n_tokens"].to_numpy()
+    off = np.concatenate(([0], n.cumsum()[:-1]))
+    S = flagship.PACK_MM_SEQ_LEN
+    want = pd.DataFrame(
+        {
+            "doc_id": ref["doc_id"],
+            "n_tokens": ref["n_tokens"].astype("int64"),
+            "start_off": pd.Series(off, dtype="int64"),
+            "first_seq": pd.Series(np.where(n > 0, off // S, -1), dtype="int64"),
+            "last_seq": pd.Series(
+                np.where(n > 0, (off + n - 1) // S, -1), dtype="int64"
+            ),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # packing is tight in shuffle order: consecutive docs abut exactly
+    chk = got.assign(
+        hkey=[
+            int(hashlib.md5(f"pack:{d}".encode()).hexdigest()[:8], 16)
+            for d in got["doc_id"]
+        ]
+    ).sort_values(["hkey", "doc_id"])
+    assert (
+        chk["start_off"].iloc[1:].to_numpy()
+        == (chk["start_off"] + chk["n_tokens"]).iloc[:-1].to_numpy()
+    ).all()
+    # every mirror doc is packed once; media assets price at MEDIA_TOKENS
+    assert len(got) == len(docs)
+    assets = docs.loc[~docs["is_html"], "doc_id"]
+    assert (
+        got.set_index("doc_id").loc[assets, "n_tokens"]
+        == flagship.MEDIA_TOKENS
+    ).all()
