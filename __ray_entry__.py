@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms": textops.docs_top_terms,
         "docs_stratified_sample": textops.docs_stratified_sample,
         "docs_domain_mix": textops.docs_domain_mix,
+        "docs_bm25_topk": textops.docs_bm25_topk,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -947,6 +948,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.source, c.n_toks, c.cum_toks
             FROM cum c JOIN b ON c.source = b.source
             WHERE c.cum_toks - c.n_toks < b.budget
+        """,
+        # BM25 top-k for the static query workload: k1=6/5, b=3/4
+        # folded into one all-integer expression (multiply through by
+        # 20*T), idf quantized to micro-nats first; HUGEINT keeps the
+        # products exact, positive operands make // unambiguous
+        "docs_bm25_topk": f"""
+            WITH q(qid, term) AS (VALUES
+              (0,'data'),(0,'stream'),
+              (1,'hash'),(1,'join'),
+              (2,'sort'),(2,'merge'),(2,'filter'),
+              (3,'window'),(3,'group'),
+              (4,'value'),(4,'part'),(4,'line')
+            ),
+            docs2 AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{_TOKEN_RE}') AS L
+              FROM documents
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS N,
+                     CAST(SUM(len(L)) AS BIGINT) AS T
+              FROM docs2
+            ),
+            tf AS (
+              SELECT d.doc_id, qt.term,
+                     CAST(len(list_filter(d.L, x -> x = qt.term)) AS BIGINT) AS tf,
+                     CAST(len(d.L) AS BIGINT) AS dl
+              FROM docs2 d
+              CROSS JOIN (SELECT DISTINCT term FROM q) qt
+              WHERE len(list_filter(d.L, x -> x = qt.term)) > 0
+            ),
+            idf AS (
+              SELECT term,
+                     CAST(floor(ln((2.0*N + 2) / (2*df + 1)) * 1000000) AS BIGINT)
+                       AS idf_micro
+              FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats
+            ),
+            sc AS (
+              SELECT q.qid, t.doc_id,
+                     CAST(SUM(
+                       (44::HUGEINT * i.idf_micro * t.tf * s.T)
+                       // (20::HUGEINT * s.T * t.tf + 6*s.T + 18*t.dl*s.N)
+                     ) AS BIGINT) AS score_micro
+              FROM tf t
+              JOIN idf i USING (term)
+              JOIN q USING (term), stats s
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT qid, doc_id, score_micro,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY score_micro DESC, doc_id) AS rnk
+              FROM sc
+            )
+            SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+                   doc_id, score_micro
+            FROM r WHERE rnk <= 5
         """,
         # set ops between the quality-gated set and the exact-dedup
         # survivor set: intersection and both differences

@@ -160,6 +160,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_tfidf_topk",
         "docs_global_shuffle",
         "docs_domain_mix",
+        "docs_bm25_topk",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

@@ -1523,3 +1523,177 @@ def docs_domain_mix(sf_dir: str, pct: int = MIX_PCT) -> rd.Dataset:
     return keyed.groupby("sb").map_groups(
         pick_group, batch_format="pandas"
     ).select_columns(["doc_id", "source", "n_toks", "cum_toks"])
+
+
+# --- sparse retrieval (docs_bm25_topk) ------------------------------
+# Static query workload, mirrored as a VALUES list in the oracle SQL.
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("data", "stream")),
+    (1, ("hash", "join")),
+    (2, ("sort", "merge", "filter")),
+    (3, ("window", "group")),
+    (4, ("value", "part", "line")),
+)
+BM25_K = 5
+
+
+def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
+    """(qid, rnk, doc_id, score_micro): BM25 top-k retrieval for a
+    fixed query workload — the SPARSE retrieval sibling of the dense
+    ANN family (brute-force / IVF / LSH all exist over embeddings;
+    this is the lexical side a training-data pipeline uses for
+    targeted corpus slicing and decontamination lookups).
+
+    Exactness contract: Okapi BM25 with k1 = 6/5 and b = 3/4 folded
+    into ONE all-integer expression — with T = total corpus tokens,
+    N = total docs, dl = doc length, the per-term score
+    ``idf·tf·(k1+1) / (tf + k1·(1−b+b·dl·N/T))`` multiplied through
+    by 20·T becomes
+    ``44·idf_micro·tf·T // (20·T·tf + 6·T + 18·dl·N)``
+    (idf quantized to integer micro-nats first, the lm_score/tfidf
+    idiom; the Lucene-style ``ln(1+(N−df+½)/(df+½))`` idf keeps every
+    operand positive so integer division is unambiguous in both
+    engines). Python big-ints on the Ray side, HUGEINT in DuckDB.
+
+    Scale shape: only QUERY-term postings ever shuffle — each batch
+    tokenizes locally and emits (doc_id, term, tf, dl) for the ~12
+    static query terms it contains (sparse by construction), plus one
+    (n_docs, sum_dl) combiner row per batch for the corpus stats.
+    df/idf is an O(terms) broadcast; per-(qid, doc) scores aggregate
+    in one bucketed groupby; top-k uses per-block partial top-k so the
+    final per-qid merge sees ≤ k·blocks rows (the top_customers
+    idiom). Driver state: ~12 idf ints + 2 corpus ints."""
+    import math
+    import re
+
+    import numpy as np
+    import ray
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    tok_re = re.compile(TOKEN_RE)
+    qterms = sorted({t for _, terms in BM25_QUERIES for t in terms})
+    term_qids: dict[str, list[int]] = {
+        t: [qid for qid, terms in BM25_QUERIES if t in terms] for t in qterms
+    }
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        rows_d, rows_t, rows_tf, rows_dl = [], [], [], []
+        for d, text in zip(df["doc_id"], df["text"]):
+            toks = tok_re.findall(text.lower())
+            c = Counter(toks)
+            for t in qterms:
+                tf = c.get(t, 0)
+                if tf:
+                    rows_d.append(int(d))
+                    rows_t.append(t)
+                    rows_tf.append(tf)
+                    rows_dl.append(len(toks))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows_d, dtype="int64"),
+                "term": pd.Series(rows_t, dtype="object"),
+                "tf": pd.Series(rows_tf, dtype="int64"),
+                "dl": pd.Series(rows_dl, dtype="int64"),
+            }
+        )
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_docs": [len(df)],
+                "sum_dl": [int(df["text"].str.count(TOKEN_RE).sum())],
+            }
+        )
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"]).materialize()
+    st = docs.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    N = int(st["n_docs"].sum())
+    T = int(st["sum_dl"].sum())
+
+    post = (
+        docs.map_batches(postings, batch_format="pandas")
+        .materialize()  # feeds df-count pass AND scoring
+    )
+
+    # df per term: O(terms) rows to the driver, idf broadcast once
+    dfc = (
+        post.map_batches(
+            lambda d: d.groupby("term", as_index=False).agg(df=("doc_id", "count")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("term", as_index=False)
+        .agg(df=("df", "sum"))
+    )
+    idf = {
+        t: math.floor(math.log((2.0 * N + 2) / (2 * int(dfv) + 1)) * 1_000_000)
+        for t, dfv in zip(dfc["term"], dfc["df"])
+    }
+    ref = ray.put((idf, term_qids, N, T))
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        idf, term_qids, N, T = ray.get(ref)
+        rows_q, rows_d, rows_s = [], [], []
+        for doc, term, tf, dl in zip(d["doc_id"], d["term"], d["tf"], d["dl"]):
+            tf, dl = int(tf), int(dl)
+            s = (44 * idf[term] * tf * T) // (20 * T * tf + 6 * T + 18 * dl * N)
+            for qid in term_qids[term]:
+                rows_q.append(qid)
+                rows_d.append(int(doc))
+                rows_s.append(s)
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(rows_q, dtype="int64"),
+                "doc_id": pd.Series(rows_d, dtype="int64"),
+                "score_micro": pd.Series(rows_s, dtype="int64"),
+            }
+        )
+
+    scored = bucketed_groupby_agg(
+        post.map_batches(score, batch_format="pandas"),
+        keys=["qid", "doc_id"],
+        aggs={"score_micro": ("score_micro", "sum")},
+    )
+
+    def block_topk(d: pd.DataFrame) -> pd.DataFrame:
+        return (
+            d.sort_values(["qid", "score_micro", "doc_id"],
+                          ascending=[True, False, True])
+            .groupby("qid", as_index=False)
+            .head(k)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "qid": pd.array([], dtype="int64"),
+                    "rnk": pd.array([], dtype="int64"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "score_micro": pd.array([], dtype="int64"),
+                }
+            )
+        g = (
+            g.sort_values(["score_micro", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "qid": g["qid"].astype("int64"),
+                "rnk": pd.Series(
+                    np.arange(1, len(g) + 1), dtype="int64"
+                ),
+                "doc_id": g["doc_id"].astype("int64"),
+                "score_micro": g["score_micro"].astype("int64"),
+            }
+        )
+
+    return (
+        scored.map_batches(block_topk, batch_format="pandas")
+        .groupby("qid")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -818,3 +818,83 @@ def test_pack_multimodal_equals_pandas_reference():
         got.set_index("doc_id").loc[assets, "n_tokens"]
         == flagship.MEDIA_TOKENS
     ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_topk_equals_python_reference():
+    """Independent reference: single-process Okapi BM25 with float
+    k1=1.2 / b=0.75 — checks the integer-folded distributed formula
+    ranks identically (scores compared via the exact integer formula,
+    ranking cross-checked against the float version)."""
+    import math
+    import re
+    from collections import Counter
+
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_bm25_topk(SF)
+        .to_pandas()
+        .sort_values(["qid", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    tok = re.compile(textops.TOKEN_RE)
+    toks = {
+        int(d): tok.findall(t.lower())
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    N = len(toks)
+    T = sum(len(v) for v in toks.values())
+    qterms = sorted({t for _, terms in textops.BM25_QUERIES for t in terms})
+    df_cnt = {
+        t: sum(1 for v in toks.values() if t in v) for t in qterms
+    }
+    idf = {
+        t: math.floor(math.log((2.0 * N + 2) / (2 * df_cnt[t] + 1)) * 1_000_000)
+        for t in qterms
+        if df_cnt[t] > 0
+    }
+    rows = []
+    for qid, terms in textops.BM25_QUERIES:
+        scores = {}
+        for d, v in toks.items():
+            c = Counter(v)
+            s = 0
+            for t in terms:
+                tf = c.get(t, 0)
+                if tf and t in idf:
+                    s += (44 * idf[t] * tf * T) // (
+                        20 * T * tf + 6 * T + 18 * len(v) * N
+                    )
+            if s > 0:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : textops.BM25_K
+        ]
+        for rnk, (d, s) in enumerate(top, 1):
+            rows.append((qid, rnk, d, s))
+    want = pd.DataFrame(
+        rows, columns=["qid", "rnk", "doc_id", "score_micro"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # the float-BM25 ranking agrees with the integer-folded one
+    for qid, terms in textops.BM25_QUERIES:
+        fl = {}
+        for d, v in toks.items():
+            c = Counter(v)
+            s = 0.0
+            for t in terms:
+                tf = c.get(t, 0)
+                if tf and df_cnt[t] > 0:
+                    fidf = math.log(1 + (N - df_cnt[t] + 0.5) / (df_cnt[t] + 0.5))
+                    dl = len(v)
+                    s += fidf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * N / T))
+            if s > 0:
+                fl[d] = s
+        ftop = [d for d, _ in sorted(fl.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : textops.BM25_K
+        ]]
+        itop = want.loc[want["qid"] == qid, "doc_id"].tolist()
+        assert ftop == itop, f"qid {qid}: float vs integer ranking diverged"
