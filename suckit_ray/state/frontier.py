@@ -152,10 +152,16 @@ class FrontierShard:
         pending_mem_limit: int = 500_000,
         ledger_mem_rows: int = 500_000,
         priority_patterns: tuple[str, ...] = (),
+        seen_filter: str = "bloom",
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
-        self.seen = SpillableSet(spill_threshold=spill_threshold)
+        # seen_filter="cuckoo" swaps the frozen-tier pre-screen for the
+        # delete-capable cuckoo filter (state/cuckoo.py) so incremental
+        # recrawls can retire dead URLs via retire_batch
+        self.seen = SpillableSet(
+            spill_threshold=spill_threshold, filter_kind=seen_filter
+        )
         # Per-host politeness PRIORITY queues (north_rule): pending is a
         # small fixed set of priority-bucketed FIFO chains, level =
         # index of the first matching pattern in ``priority_patterns``
@@ -515,6 +521,14 @@ class FrontierShard:
 
     def seen_count(self) -> int:
         return len(self.seen)
+
+    def retire_seen(self, urls: list[str]) -> int:
+        """Unlearn URLs from this shard's seen set (incremental-recrawl
+        retirement of crawl_diff status='removed' pages). Needs
+        ``seen_filter='cuckoo'`` once the set has frozen runs — the
+        default bloom pre-screen cannot delete. Caller routes each URL
+        to its owner shard (same shard key as candidates)."""
+        return self.seen.retire_batch(urls)
 
     def get_counters(self) -> dict:
         return dict(self.counters)

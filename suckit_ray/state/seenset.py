@@ -32,13 +32,29 @@ def url_digest128(url: str) -> tuple[int, int]:
 
 
 class SpillableSet:
-    def __init__(self, spill_threshold: int = 2_000_000, bloom_bits: int = 1 << 23):
+    def __init__(
+        self,
+        spill_threshold: int = 2_000_000,
+        bloom_bits: int = 1 << 23,
+        filter_kind: str = "bloom",
+    ):
+        """``filter_kind`` selects the frozen-tier pre-screen:
+        ``"bloom"`` (default — vectorized bulk build, append-only) or
+        ``"cuckoo"`` (state/cuckoo.py — sequential build but
+        delete-capable: ``retire_batch`` lets an incremental recrawl
+        unlearn dead URLs, which a Bloom cannot). Membership semantics
+        are identical; the frozen digest runs remain the truth."""
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown filter_kind {filter_kind!r}")
         self.spill_threshold = spill_threshold
         self.bloom_bits = bloom_bits
+        self.filter_kind = filter_kind
         self.bloom: np.ndarray | None = None  # built lazily at first freeze
+        self.cuckoo = None  # CuckooFilter, built lazily at first freeze
         self.active: set[str] = set()
         self.frozen_lo: list[np.ndarray] = []
         self.frozen_hi: list[np.ndarray] = []
+        self.retired: list[tuple[int, int]] = []  # cuckoo-deleted digests
         self.count = 0
 
     # -- frozen-regime helpers ---------------------------------------
@@ -56,7 +72,10 @@ class SpillableSet:
 
     def _in_frozen(self, url: str) -> bool:
         lo, hi = url_digest128(url)
-        if not self._bloom_maybe(lo, hi):
+        if self.filter_kind == "cuckoo":
+            if self.cuckoo is None or not self.cuckoo.contains_digest(lo, hi):
+                return False
+        elif not self._bloom_maybe(lo, hi):
             return False
         for flo, fhi in zip(self.frozen_lo, self.frozen_hi):
             i = np.searchsorted(fhi, hi)
@@ -64,6 +83,62 @@ class SpillableSet:
             if i < j and lo in flo[i:j]:
                 return True
         return False
+
+    def _cuckoo_add(self, lo: np.ndarray, hi: np.ndarray) -> None:
+        """Insert a frozen run's digests; rebuild at double capacity on
+        placement failure (rare below ~95% load — the exact digests in
+        the frozen runs make a from-scratch rebuild always possible)."""
+        from suckit_ray.state.cuckoo import CuckooFilter
+
+        if self.cuckoo is None:
+            self.cuckoo = CuckooFilter(max(len(lo) * 2, 1024))
+        if self.cuckoo.insert_many(lo, hi):
+            return
+        # rebuild from scratch at growing capacity until every frozen
+        # run fits (the exact digests make this always possible), then
+        # re-apply retirements so deleted URLs stay deleted
+        cap = self.cuckoo.nbuckets * 4 * 2
+        while True:
+            f = CuckooFilter(cap)
+            if all(
+                f.insert_many(flo, fhi)
+                for flo, fhi in zip(self.frozen_lo, self.frozen_hi)
+            ):
+                for rlo, rhi in self.retired:
+                    f.delete_digest(rlo, rhi)
+                self.cuckoo = f
+                return
+            cap *= 2
+
+    def retire_batch(self, urls: list[str]) -> int:
+        """Unlearn URLs (incremental-recrawl retirement: crawl_diff
+        status='removed'). Active-tier entries drop exactly; frozen
+        entries drop their cuckoo fingerprint, which makes the
+        pre-screen a definite NO for them (the stale digest in the
+        frozen run becomes unreachable). Returns how many were
+        present. Requires filter_kind='cuckoo' once anything is
+        frozen — a Bloom cannot unlearn."""
+        gone = 0
+        for u in urls:
+            if u in self.active:
+                self.active.discard(u)
+                self.count -= 1
+                gone += 1
+                continue
+            if not self.frozen_lo:
+                continue
+            if self.filter_kind != "cuckoo":
+                raise ValueError(
+                    "retire_batch over frozen entries needs "
+                    "filter_kind='cuckoo' (bloom cannot delete)"
+                )
+            if self._in_frozen(u):
+                lo, hi = url_digest128(u)
+                self.cuckoo.delete_digest(lo, hi)
+                self.retired.append((lo, hi))  # survives filter rebuilds
+                self.count -= 1
+                gone += 1
+        return gone
 
     # -- public API ----------------------------------------------------
     def insert_if_absent(self, url: str) -> bool:
@@ -118,9 +193,12 @@ class SpillableSet:
         hi = np.ascontiguousarray(digs[order, 1])
         self.frozen_lo.append(lo)
         self.frozen_hi.append(hi)
-        if self.bloom is None:
-            self.bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
-        self._bloom_add(lo, hi)
+        if self.filter_kind == "cuckoo":
+            self._cuckoo_add(lo, hi)
+        else:
+            if self.bloom is None:
+                self.bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
+            self._bloom_add(lo, hi)
         self.active = set()
         if len(self.frozen_lo) > self.MAX_FROZEN_RUNS:
             all_lo = np.concatenate(self.frozen_lo)
@@ -138,20 +216,32 @@ class SpillableSet:
         return {
             "spill_threshold": self.spill_threshold,
             "bloom_bits": self.bloom_bits,
+            "filter_kind": self.filter_kind,
             "bloom": self.bloom,
+            "cuckoo": self.cuckoo.state() if self.cuckoo is not None else None,
             # list COPIES: the returned dict must not alias the live
             # run lists — a freeze after state() would otherwise mutate
             # a checkpoint that hasn't been pickled yet
             "frozen_lo": list(self.frozen_lo),
             "frozen_hi": list(self.frozen_hi),
+            "retired": list(self.retired),
             "count": self.count,
         }
 
     @classmethod
     def from_state(cls, st: dict) -> "SpillableSet":
-        s = cls(st["spill_threshold"], st["bloom_bits"])
+        s = cls(
+            st["spill_threshold"],
+            st["bloom_bits"],
+            filter_kind=st.get("filter_kind", "bloom"),
+        )
         s.bloom = st["bloom"]
+        if st.get("cuckoo") is not None:
+            from suckit_ray.state.cuckoo import CuckooFilter
+
+            s.cuckoo = CuckooFilter.from_state(st["cuckoo"])
         s.frozen_lo = list(st["frozen_lo"])
         s.frozen_hi = list(st["frozen_hi"])
+        s.retired = list(st.get("retired", []))
         s.count = st["count"]
         return s
