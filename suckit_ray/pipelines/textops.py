@@ -1555,14 +1555,17 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
     operand positive so integer division is unambiguous in both
     engines). Python big-ints on the Ray side, HUGEINT in DuckDB.
 
-    Scale shape: only QUERY-term postings ever shuffle — each batch
-    tokenizes locally and emits (doc_id, term, tf, dl) for the ~12
-    static query terms it contains (sparse by construction), plus one
-    (n_docs, sum_dl) combiner row per batch for the corpus stats.
-    df/idf is an O(terms) broadcast; per-(qid, doc) scores aggregate
-    in one bucketed groupby; top-k uses per-block partial top-k so the
-    final per-qid merge sees ≤ k·blocks rows (the top_customers
-    idiom). Driver state: ~12 idf ints + 2 corpus ints."""
+    Scale shape: ONE pass over the text — each batch tokenizes
+    locally and emits (doc_id, term, tf, dl) for the ~12 static query
+    terms it contains (sparse by construction) plus one tagged
+    (term='') combiner row carrying the batch's (n_docs, sum_dl)
+    corpus stats, all materialized together so stats/df/scoring never
+    rescan the corpus. df/idf is an O(terms) broadcast; scores
+    pre-reduce batch-locally, then ONE bucketed (qid, doc) groupby is
+    the query's only shuffle; per-block partial top-k bounds the
+    driver-side final merge to ≤ k·qids·blocks rows (the
+    top_customers idiom — no second shuffle for 25 output rows).
+    Driver state: ~12 idf ints + 2 corpus ints + the top-k merge."""
     import math
     import re
 
@@ -1571,60 +1574,85 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
 
     from suckit_ray.stages.agg import bucketed_groupby_agg
 
-    tok_re = re.compile(TOKEN_RE)
     qterms = sorted({t for _, terms in BM25_QUERIES for t in terms})
     term_qids: dict[str, list[int]] = {
         t: [qid for qid, terms in BM25_QUERIES if t in terms] for t in qterms
     }
+    # token-equality as a vectorized count: lookaround-delimited exact
+    # term (Python re has lookarounds; only the RE2 oracle mirrors this
+    # as an explicit list_filter equality)
+    term_res = {
+        t: rf"(?<![A-Za-z0-9_]){re.escape(t)}(?![A-Za-z0-9_])" for t in qterms
+    }
 
     def postings(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        rows_d, rows_t, rows_tf, rows_dl = [], [], [], []
-        for d, text in zip(df["doc_id"], df["text"]):
-            toks = tok_re.findall(text.lower())
-            c = Counter(toks)
-            for t in qterms:
-                tf = c.get(t, 0)
-                if tf:
-                    rows_d.append(int(d))
-                    rows_t.append(t)
-                    rows_tf.append(tf)
-                    rows_dl.append(len(toks))
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(rows_d, dtype="int64"),
-                "term": pd.Series(rows_t, dtype="object"),
-                "tf": pd.Series(rows_tf, dtype="int64"),
-                "dl": pd.Series(rows_dl, dtype="int64"),
-            }
-        )
-
-    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "n_docs": [len(df)],
-                "sum_dl": [int(df["text"].str.count(TOKEN_RE).sum())],
-            }
-        )
-
-    docs = _read_documents(sf_dir, ["doc_id", "text"]).materialize()
-    st = docs.map_batches(stats_partial, batch_format="pandas").to_pandas()
-    N = int(st["n_docs"].sum())
-    T = int(st["sum_dl"].sum())
+        low = df["text"].str.lower()
+        dl = low.str.count(TOKEN_RE).astype("int64")
+        # tagged stats row (term='') rides along with the postings so
+        # the corpus never gets a second text scan
+        parts = [
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([-1], dtype="int64"),
+                    "term": pd.Series([""], dtype="object"),
+                    "tf": pd.Series([len(df)], dtype="int64"),
+                    "dl": pd.Series([int(dl.sum())], dtype="int64"),
+                }
+            )
+        ]
+        for t in qterms:
+            tf = low.str.count(term_res[t]).astype("int64")
+            hit = tf > 0
+            if hit.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": df.loc[hit, "doc_id"].astype("int64"),
+                            "term": t,
+                            "tf": tf[hit],
+                            "dl": dl[hit],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True)
 
     post = (
-        docs.map_batches(postings, batch_format="pandas")
-        .materialize()  # feeds df-count pass AND scoring
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(postings, batch_format="pandas")
+        .materialize()  # sparse; feeds stats/df pass AND scoring
     )
 
-    # df per term: O(terms) rows to the driver, idf broadcast once
-    dfc = (
-        post.map_batches(
-            lambda d: d.groupby("term", as_index=False).agg(df=("doc_id", "count")),
-            batch_format="pandas",
+    # corpus stats + df per term in ONE tiny pass over the postings:
+    # O(terms) rows per batch to the driver, idf broadcast once
+    def meta_partial(d: pd.DataFrame) -> pd.DataFrame:
+        s = d[d["term"] == ""]
+        t = (
+            d[d["term"] != ""]
+            .groupby("term", as_index=False)
+            .agg(df=("doc_id", "count"))
         )
-        .to_pandas()
+        t["n_docs"] = 0
+        t["sum_dl"] = 0
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "term": [""],
+                        "df": [0],
+                        "n_docs": [int(s["tf"].sum())],
+                        "sum_dl": [int(s["dl"].sum())],
+                    }
+                ),
+                t,
+            ],
+            ignore_index=True,
+        )
+
+    meta = post.map_batches(meta_partial, batch_format="pandas").to_pandas()
+    N = int(meta["n_docs"].sum())
+    T = int(meta["sum_dl"].sum())
+    dfc = (
+        meta[meta["term"] != ""]
         .groupby("term", as_index=False)
         .agg(df=("df", "sum"))
     )
@@ -1635,21 +1663,31 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
     ref = ray.put((idf, term_qids, N, T))
 
     def score(d: pd.DataFrame) -> pd.DataFrame:
+        # python big-ints on purpose: 44·idf·tf·T overflows int64 once
+        # the corpus passes ~10^12 tokens; the loop is O(postings),
+        # which is sparse by construction
         idf, term_qids, N, T = ray.get(ref)
         rows_q, rows_d, rows_s = [], [], []
         for doc, term, tf, dl in zip(d["doc_id"], d["term"], d["tf"], d["dl"]):
+            if not term:
+                continue
             tf, dl = int(tf), int(dl)
             s = (44 * idf[term] * tf * T) // (20 * T * tf + 6 * T + 18 * dl * N)
             for qid in term_qids[term]:
                 rows_q.append(qid)
                 rows_d.append(int(doc))
                 rows_s.append(s)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "qid": pd.Series(rows_q, dtype="int64"),
                 "doc_id": pd.Series(rows_d, dtype="int64"),
                 "score_micro": pd.Series(rows_s, dtype="int64"),
             }
+        )
+        # batch-local pre-reduce: a doc's terms usually co-reside, so
+        # most (qid, doc) sums finish here and the shuffle shrinks
+        return out.groupby(["qid", "doc_id"], as_index=False).agg(
+            score_micro=("score_micro", "sum")
         )
 
     scored = bucketed_groupby_agg(
@@ -1663,37 +1701,27 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
             d.sort_values(["qid", "score_micro", "doc_id"],
                           ascending=[True, False, True])
             .groupby("qid", as_index=False)
-            .head(k)
+            .head(k)[["qid", "doc_id", "score_micro"]]
         )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(
-                {
-                    "qid": pd.array([], dtype="int64"),
-                    "rnk": pd.array([], dtype="int64"),
-                    "doc_id": pd.array([], dtype="int64"),
-                    "score_micro": pd.array([], dtype="int64"),
-                }
-            )
-        g = (
-            g.sort_values(["score_micro", "doc_id"], ascending=[False, True])
-            .head(k)
-            .reset_index(drop=True)
-        )
+    # ≤ k·qids·blocks partial rows: the final merge is a bounded
+    # driver-side combine, not a second shuffle
+    parts = scored.map_batches(block_topk, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
         return pd.DataFrame(
             {
-                "qid": g["qid"].astype("int64"),
-                "rnk": pd.Series(
-                    np.arange(1, len(g) + 1), dtype="int64"
-                ),
-                "doc_id": g["doc_id"].astype("int64"),
-                "score_micro": g["score_micro"].astype("int64"),
+                "qid": pd.array([], dtype="int64"),
+                "rnk": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+                "score_micro": pd.array([], dtype="int64"),
             }
         )
-
-    return (
-        scored.map_batches(block_topk, batch_format="pandas")
-        .groupby("qid")
-        .map_groups(final_topk, batch_format="pandas")
+    top = (
+        parts.sort_values(["qid", "score_micro", "doc_id"],
+                          ascending=[True, False, True])
+        .groupby("qid", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
     )
+    top["rnk"] = top.groupby("qid").cumcount().astype("int64") + 1
+    return top[["qid", "rnk", "doc_id", "score_micro"]].astype("int64")

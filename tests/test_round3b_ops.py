@@ -833,8 +833,7 @@ def test_bm25_topk_equals_python_reference():
     from suckit_ray.pipelines import textops
 
     got = (
-        textops.docs_bm25_topk(SF)
-        .to_pandas()
+        textops.docs_bm25_topk(SF)  # returns pandas (driver-side merge)
         .sort_values(["qid", "rnk"])
         .reset_index(drop=True)
     )
