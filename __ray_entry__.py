@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_cms": relops.events_top_users_cms,
         "events_top_k_per_user": relops.events_top_k_per_user,
         "events_value_rank": relops.events_value_rank,
+        "events_retention": relops.events_retention,
         "events_funnel": relops.events_funnel,
         "docs_by_lang": textops.docs_by_lang,
         "docs_top_terms": textops.docs_top_terms,
@@ -847,6 +848,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT event_type, 75, CAST(q75 AS BIGINT) FROM a
             UNION ALL SELECT event_type, 90, CAST(q90 AS BIGINT) FROM a
             UNION ALL SELECT event_type, 99, CAST(q99 AS BIGINT) FROM a
+        """,
+        # cohort retention: users bucketed by first-event day, counted
+        # per later active day; day = epoch_us // 86400000000 exactly
+        # as the Ray side computes it (no calendar functions)
+        "events_retention": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+            )
+            SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+                   CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         # as-of join: each purchase matched to the user's latest click
         # at-or-before (ties -> larger event_id); -1 sentinels keep the

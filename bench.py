@@ -149,6 +149,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_top_terms",
         "events_top_k_per_user",
         "events_value_rank",
+        "events_retention",
         "docs_decontaminate",
         "docs_dup_ngram_fraction",
         "docs_dup_spans",

@@ -883,3 +883,77 @@ def events_value_rank(sf_dir: str) -> rd.Dataset:
         )
 
     return bk.groupby("vb").map_groups(rank_group, batch_format="pandas")
+
+
+US_PER_DAY = 86_400_000_000  # epoch-us → epoch-day divisor (mirrored in SQL)
+
+
+def events_retention(sf_dir: str) -> rd.Dataset:
+    """(cohort_day, day_offset, n_users): classic cohort retention —
+    users grouped by their FIRST-event day, counted on each later
+    active day. The per-key-anchor + join-back shape: every row's
+    contribution depends on an aggregate (the user's min day) computed
+    across the whole table.
+
+    Scale shape: one USER-hash co-group does everything per-user —
+    cohort (min day), distinct active days, and the (cohort, offset)
+    pairs — because all of a user's rows co-locate under the user key;
+    each batch pre-shrinks to distinct (user_id, day) first so the
+    shuffle carries distinct pairs, not raw events. The co-group emits
+    partial (cohort, offset, n) counts, and one bucketed aggregate
+    sums them — two exchanges total, both carrying small int rows.
+    Day arithmetic is pure integer division on epoch-µs (mirrored
+    verbatim in the oracle SQL) — no timezone/calendar dependency."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def user_days(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // US_PER_DAY
+        )
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "day": day}
+        ).drop_duplicates()
+        out["ub"] = (out["user_id"] % B).astype("int64")
+        return out
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(user_days, batch_format="pandas")
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_day": pd.array([], dtype="int64"),
+                    "day_offset": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min")
+        part = pd.DataFrame(
+            {
+                "cohort_day": cohort.astype("int64"),
+                "day_offset": (g["day"] - cohort).astype("int64"),
+            }
+        )
+        # distinct days per user ⇒ one row per (user, cohort, offset):
+        # counting rows counts users
+        return part.groupby(
+            ["cohort_day", "day_offset"], as_index=False
+        ).agg(n=("day_offset", "size"))
+
+    partials = ds.groupby("ub").map_groups(cohortize, batch_format="pandas")
+    agg = bucketed_groupby_agg(
+        partials,
+        keys=["cohort_day", "day_offset"],
+        aggs={"n_users": ("n", "sum")},
+    )
+
+    def order_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["cohort_day", "day_offset", "n_users"]]
+
+    return agg.map_batches(order_cols, batch_format="pandas")

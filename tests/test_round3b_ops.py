@@ -897,3 +897,53 @@ def test_bm25_topk_equals_python_reference():
         ]]
         itop = want.loc[want["qid"] == qid, "doc_id"].tolist()
         assert ftop == itop, f"qid {qid}: float vs integer ranking diverged"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_equals_pandas_reference():
+    """Independent reference: single-process cohort computation over
+    the raw events table."""
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.events_retention(SF)
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    d = pd.DataFrame(
+        {
+            "user_id": ev["user_id"].astype("int64"),
+            "day": ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // relops.US_PER_DAY,
+        }
+    ).drop_duplicates()
+    cohort = d.groupby("user_id")["day"].transform("min")
+    want = (
+        pd.DataFrame(
+            {
+                "cohort_day": cohort.astype("int64"),
+                "day_offset": (d["day"] - cohort).astype("int64"),
+            }
+        )
+        .groupby(["cohort_day", "day_offset"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .astype("int64")
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # offset-0 row of each cohort counts exactly the cohort's users,
+    # and retention never exceeds the cohort size
+    day0 = want[want["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    coh_sizes = (
+        d.assign(c=cohort).groupby("c")["user_id"].nunique()
+    )
+    for c, n in day0.items():
+        assert n == coh_sizes[c]
+    mx = want.groupby("cohort_day")["n_users"].max()
+    for c, m in mx.items():
+        assert m <= coh_sizes[c]
