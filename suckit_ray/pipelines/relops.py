@@ -902,17 +902,20 @@ def events_retention(sf_dir: str) -> rd.Dataset:
     shuffle carries distinct pairs, not raw events. The co-group emits
     partial (cohort, offset, n) counts, and one bucketed aggregate
     sums them — two exchanges total, both carrying small int rows.
-    Day arithmetic is pure integer division on epoch-µs (mirrored
-    verbatim in the oracle SQL) — no timezone/calendar dependency."""
+    Day arithmetic is pure TRUNCATING integer division on epoch-µs
+    (DuckDB's `//` semantics, emulated sign-exactly on the numpy
+    side) — no timezone/calendar dependency."""
     from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
 
     def user_days(df: pd.DataFrame) -> pd.DataFrame:
-        day = (
-            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-            // US_PER_DAY
-        )
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        # TRUNCATING division to mirror DuckDB's integer `//` exactly:
+        # numpy // floors, so pre-epoch (negative) timestamps with a
+        # remainder need +1 to land on the same day as the oracle
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))
         out = pd.DataFrame(
             {"user_id": df["user_id"].astype("int64"), "day": day}
         ).drop_duplicates()

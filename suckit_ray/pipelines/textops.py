@@ -1520,9 +1520,7 @@ def docs_domain_mix(sf_dir: str, pct: int = MIX_PCT) -> rd.Dataset:
         lambda df: df.assign(sb=df["source"] + ":" + df["hb"].astype(str)),
         batch_format="pandas",
     )
-    return keyed.groupby("sb").map_groups(
-        pick_group, batch_format="pandas"
-    ).select_columns(["doc_id", "source", "n_toks", "cum_toks"])
+    return keyed.groupby("sb").map_groups(pick_group, batch_format="pandas")
 
 
 # --- sparse retrieval (docs_bm25_topk) ------------------------------
@@ -1569,7 +1567,7 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
     import math
     import re
 
-    import numpy as np
+    import pyarrow as pa
     import ray
 
     from suckit_ray.stages.agg import bucketed_groupby_agg
@@ -1708,13 +1706,15 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
     # driver-side combine, not a second shuffle
     parts = scored.map_batches(block_topk, batch_format="pandas").to_pandas()
     if len(parts) == 0:
-        return pd.DataFrame(
-            {
-                "qid": pd.array([], dtype="int64"),
-                "rnk": pd.array([], dtype="int64"),
-                "doc_id": pd.array([], dtype="int64"),
-                "score_micro": pd.array([], dtype="int64"),
-            }
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            )
         )
     top = (
         parts.sort_values(["qid", "score_micro", "doc_id"],
@@ -1724,4 +1724,8 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
         .reset_index(drop=True)
     )
     top["rnk"] = top.groupby("qid").cumcount().astype("int64") + 1
-    return top[["qid", "rnk", "doc_id", "score_micro"]].astype("int64")
+    # back into a (single-block) Dataset: queries() uniformly returns
+    # Dataset so consumers can .count()/.take()/.materialize() alike
+    return rd.from_pandas(
+        top[["qid", "rnk", "doc_id", "score_micro"]].astype("int64")
+    )

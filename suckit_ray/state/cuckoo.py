@@ -74,10 +74,12 @@ class CuckooFilter:
         i = i1 if (self._kick_rot & 1) == 0 else i2
         self._kick_rot += 1
         cur = fp
+        chain: list[tuple[int, int, int]] = []  # (bucket, slot, displaced)
         for _ in range(self.max_kicks):
             slot = self._kick_rot % 4
             self._kick_rot += 1
             victim = int(self.table[i, slot])
+            chain.append((i, slot, victim))
             self.table[i, slot] = cur
             cur = victim
             h = (cur * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
@@ -88,8 +90,11 @@ class CuckooFilter:
                 row[free[0]] = cur
                 self.count += 1
                 return True
-        # the displaced chain is all real fingerprints; only `cur` is
-        # homeless — report failure so the caller rebuilds larger
+        # unwind the chain so failure leaves the table EXACTLY as it
+        # was (no member fingerprint may be dropped — the filter's
+        # no-false-negative contract); the caller rebuilds larger
+        for b, s, displaced in reversed(chain):
+            self.table[b, s] = displaced
         return False
 
     def contains_digest(self, lo: int, hi: int) -> bool:
@@ -138,7 +143,9 @@ class CuckooFilter:
         f = cls.__new__(cls)
         f.nbuckets = st["nbuckets"]
         f.max_kicks = st["max_kicks"]
-        f.table = st["table"]
+        # copy: a restored filter must not alias the checkpoint dict's
+        # array (mirrors state()'s copy — same hazard seenset documents)
+        f.table = st["table"].copy()
         f.count = st["count"]
         f._kick_rot = st["kick_rot"]
         return f

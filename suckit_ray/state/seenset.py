@@ -54,7 +54,12 @@ class SpillableSet:
         self.active: set[str] = set()
         self.frozen_lo: list[np.ndarray] = []
         self.frozen_hi: list[np.ndarray] = []
-        self.retired: list[tuple[int, int]] = []  # cuckoo-deleted digests
+        # EXACT tombstones for retired frozen digests: the cuckoo
+        # delete alone is not sufficient (another live URL sharing the
+        # retired URL's (bucket, 16-bit fingerprint) keeps the
+        # pre-screen positive ~0.012% of the time), so _in_frozen
+        # consults this set for the definite answer
+        self.retired: set[tuple[int, int]] = set()
         self.count = 0
 
     # -- frozen-regime helpers ---------------------------------------
@@ -75,6 +80,8 @@ class SpillableSet:
         if self.filter_kind == "cuckoo":
             if self.cuckoo is None or not self.cuckoo.contains_digest(lo, hi):
                 return False
+            if self.retired and (lo, hi) in self.retired:
+                return False  # exact tombstone beats a filter collision
         elif not self._bloom_maybe(lo, hi):
             return False
         for flo, fhi in zip(self.frozen_lo, self.frozen_hi):
@@ -113,11 +120,12 @@ class SpillableSet:
     def retire_batch(self, urls: list[str]) -> int:
         """Unlearn URLs (incremental-recrawl retirement: crawl_diff
         status='removed'). Active-tier entries drop exactly; frozen
-        entries drop their cuckoo fingerprint, which makes the
-        pre-screen a definite NO for them (the stale digest in the
-        frozen run becomes unreachable). Returns how many were
-        present. Requires filter_kind='cuckoo' once anything is
-        frozen — a Bloom cannot unlearn."""
+        entries drop their cuckoo fingerprint AND gain an exact
+        128-bit tombstone (the fingerprint delete alone can be masked
+        by a (bucket, fp) collision with a live URL), so membership is
+        a definite NO afterwards. Returns how many were present.
+        Requires filter_kind='cuckoo' once anything is frozen — a
+        Bloom cannot unlearn."""
         gone = 0
         for u in urls:
             if u in self.active:
@@ -134,8 +142,11 @@ class SpillableSet:
                 )
             if self._in_frozen(u):
                 lo, hi = url_digest128(u)
+                # the delete keeps the filter tight; the tombstone is
+                # what makes the retirement exact (filter-fp collision
+                # with a live URL would otherwise mask it)
                 self.cuckoo.delete_digest(lo, hi)
-                self.retired.append((lo, hi))  # survives filter rebuilds
+                self.retired.add((lo, hi))
                 self.count -= 1
                 gone += 1
         return gone
@@ -224,7 +235,7 @@ class SpillableSet:
             # a checkpoint that hasn't been pickled yet
             "frozen_lo": list(self.frozen_lo),
             "frozen_hi": list(self.frozen_hi),
-            "retired": list(self.retired),
+            "retired": set(self.retired),
             "count": self.count,
         }
 
@@ -242,6 +253,6 @@ class SpillableSet:
             s.cuckoo = CuckooFilter.from_state(st["cuckoo"])
         s.frozen_lo = list(st["frozen_lo"])
         s.frozen_hi = list(st["frozen_hi"])
-        s.retired = list(st.get("retired", []))
+        s.retired = set(st.get("retired", ()))
         s.count = st["count"]
         return s

@@ -146,3 +146,60 @@ def test_frontier_shard_cuckoo_retire_then_recrawl():
     sh.finalize_wave(3, max_depth=-1, max_ext_depth=0)
     assert sh.seen_count() == 17
     assert sh.released_count() >= n_before
+
+
+def test_retire_exact_under_fingerprint_collision():
+    """The fingerprint delete alone can be masked by another live URL
+    sharing the retired URL's (bucket, 16-bit fingerprint); the exact
+    128-bit tombstone must make retirement a definite NO anyway."""
+    # find two URLs colliding in (bucket, fp) for the nb=512 table a
+    # 2-entry freeze builds (capacity max(4, 1024) -> 512 buckets)
+    nb = 512
+    seen: dict[tuple[int, int], str] = {}
+    pair = None
+    i = 0
+    while pair is None:
+        u = f"https://c.test/p{i}"
+        lo, hi = url_digest128(u)
+        key = (lo & (nb - 1), (hi % 0xFFFF) + 1)
+        if key in seen and seen[key] != u:
+            pair = (seen[key], u)
+        seen[key] = u
+        i += 1
+        assert i < 500_000, "no collision found (unexpected)"
+
+    u1, u2 = pair
+    s = SpillableSet(spill_threshold=10**9, filter_kind="cuckoo")
+    assert s.insert_if_absent(u1) and s.insert_if_absent(u2)
+    s.state()  # forces the freeze: both URLs now live in the filter
+    assert s.cuckoo is not None and s.cuckoo.nbuckets == nb
+    assert u1 in s and u2 in s
+
+    assert s.retire_batch([u1]) == 1
+    assert u1 not in s, "collision masked the retirement"
+    assert u2 in s, "collider was retired collaterally"
+    # the retired URL is re-learnable, the collider stays deduped
+    assert s.insert_if_absent(u1)
+    assert not s.insert_if_absent(u2)
+
+
+def test_insert_failure_rolls_back_eviction_chain():
+    """A failed insert must leave the table exactly as it was — no
+    member fingerprint may be dropped (no-false-negative contract)."""
+    f = CuckooFilter(16, max_kicks=8)
+    urls = [f"https://full.test/{i}" for i in range(2_000)]
+    inserted = []
+    failed_at = None
+    for u in urls:
+        lo, hi = url_digest128(u)
+        before = f.table.copy()
+        if f.insert_digest(lo, hi):
+            inserted.append((lo, hi))
+        else:
+            failed_at = (lo, hi, before)
+            break
+    assert failed_at is not None, "filter never filled (unexpected)"
+    # the failed insert changed NOTHING
+    assert np.array_equal(f.table, failed_at[2])
+    # and every previously inserted member is still present
+    assert all(f.contains_digest(a, b) for a, b in inserted)

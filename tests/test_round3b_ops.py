@@ -833,7 +833,8 @@ def test_bm25_topk_equals_python_reference():
     from suckit_ray.pipelines import textops
 
     got = (
-        textops.docs_bm25_topk(SF)  # returns pandas (driver-side merge)
+        textops.docs_bm25_topk(SF)
+        .to_pandas()
         .sort_values(["qid", "rnk"])
         .reset_index(drop=True)
     )
@@ -860,14 +861,17 @@ def test_bm25_topk_equals_python_reference():
         scores = {}
         for d, v in toks.items():
             c = Counter(v)
-            s = 0
+            s, matched = 0, False
             for t in terms:
                 tf = c.get(t, 0)
                 if tf and t in idf:
+                    matched = True
                     s += (44 * idf[t] * tf * T) // (
                         20 * T * tf + 6 * T + 18 * len(v) * N
                     )
-            if s > 0:
+            # any tf>0 posting ranks, even if the integer score floors
+            # to 0 — mirroring the product and the SQL oracle
+            if matched:
                 scores[d] = s
         top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
             : textops.BM25_K
@@ -883,14 +887,15 @@ def test_bm25_topk_equals_python_reference():
         fl = {}
         for d, v in toks.items():
             c = Counter(v)
-            s = 0.0
+            s, matched = 0.0, False
             for t in terms:
                 tf = c.get(t, 0)
                 if tf and df_cnt[t] > 0:
+                    matched = True
                     fidf = math.log(1 + (N - df_cnt[t] + 0.5) / (df_cnt[t] + 0.5))
                     dl = len(v)
                     s += fidf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * N / T))
-            if s > 0:
+            if matched:
                 fl[d] = s
         ftop = [d for d, _ in sorted(fl.items(), key=lambda kv: (-kv[1], kv[0]))[
             : textops.BM25_K
@@ -913,12 +918,11 @@ def test_retention_equals_pandas_reference():
     )
 
     ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    us = ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    day = us // relops.US_PER_DAY
+    day = day + ((us < 0) & (day * relops.US_PER_DAY != us))  # trunc, like DuckDB //
     d = pd.DataFrame(
-        {
-            "user_id": ev["user_id"].astype("int64"),
-            "day": ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-            // relops.US_PER_DAY,
-        }
+        {"user_id": ev["user_id"].astype("int64"), "day": day}
     ).drop_duplicates()
     cohort = d.groupby("user_id")["day"].transform("min")
     want = (
