@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": textops.docs_stratified_sample,
         "docs_domain_mix": textops.docs_domain_mix,
         "docs_bm25_topk": textops.docs_bm25_topk,
+        "docs_bpe_pairs": textops.docs_bpe_pairs,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1025,6 +1026,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
                    doc_id, score_micro
             FROM r WHERE rnk <= 5
+        """,
+        # BPE training, first iteration: adjacent char pairs within
+        # [a-z0-9_]+ words of the lowercased corpus, top-20 by count
+        "docs_bpe_pairs": """
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+              FROM documents
+            ),
+            pairs AS (
+              SELECT substr(w, CAST(i AS INT), 2) AS pair
+              FROM words, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 2
+            ),
+            c AS (
+              SELECT pair, CAST(count(*) AS BIGINT) AS n
+              FROM pairs GROUP BY pair
+            ),
+            r AS (
+              SELECT pair, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+              FROM c
+            )
+            SELECT CAST(rnk AS BIGINT) AS rnk, pair, n
+            FROM r WHERE rnk <= 20
         """,
         # set ops between the quality-gated set and the exact-dedup
         # survivor set: intersection and both differences

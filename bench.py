@@ -162,6 +162,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_global_shuffle",
         "docs_domain_mix",
         "docs_bm25_topk",
+        "docs_bpe_pairs",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

@@ -1729,3 +1729,84 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
     return rd.from_pandas(
         top[["qid", "rnk", "doc_id", "score_micro"]].astype("int64")
     )
+
+
+# --- BPE-training pair counts (docs_bpe_pairs) ----------------------
+BPE_PAIRS_K = 20
+
+
+def docs_bpe_pairs(sf_dir: str, k: int = BPE_PAIRS_K) -> rd.Dataset:
+    """(rnk, pair, n): the top-k adjacent CHARACTER pairs across the
+    lowercased corpus — the first iteration of BPE tokenizer training
+    (Sennrich et al. 2016: count symbol pairs, merge the most
+    frequent). ``bpe_token_count`` applies a tokenizer; this is the
+    corpus-scale counting step that TRAINS one.
+
+    Contract: words are maximal ``[a-z0-9_]+`` runs of the lowercased
+    text; every adjacent character pair within a word counts once per
+    occurrence. Rank by (count DESC, pair ASC).
+
+    Scale shape: a word-char pair in the RAW text is exactly a pair of
+    adjacent word bytes (words are maximal runs), so each batch counts
+    pairs with one numpy byte mask + bincount over 2^16 codes — no
+    tokenization loop, no per-word explode. The partial is ≤ 37² rows
+    per batch (the word alphabet is 37 symbols); one bucketed groupby
+    sums partials and the ≤ 37² totals rank on the driver. utf-8
+    continuation bytes are non-word, so multi-byte characters break
+    pairs exactly like the oracle's regex word extraction."""
+    import numpy as np
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        blob = "\x00".join(df["text"].str.lower()).encode("utf-8")
+        b = np.frombuffer(blob, dtype=np.uint8)
+        if len(b) < 2:
+            return pd.DataFrame(
+                {
+                    "pair": pd.array([], dtype="str"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        is_word = (
+            ((b >= 97) & (b <= 122))
+            | ((b >= 48) & (b <= 57))
+            | (b == 95)
+        )
+        ok = is_word[:-1] & is_word[1:]
+        codes = b[:-1].astype(np.int32) * 256 + b[1:]
+        cnt = np.bincount(codes[ok], minlength=1 << 16)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {
+                "pair": [chr(c >> 8) + chr(c & 255) for c in nz],
+                "n": cnt[nz].astype("int64"),
+            }
+        )
+
+    parts = _read_documents(sf_dir, ["text"]).map_batches(
+        pair_partial, batch_format="pandas"
+    )
+    agg = bucketed_groupby_agg(parts, keys=["pair"], aggs={"n": ("n", "sum")})
+
+    # ≤ 37² total rows: rank on the driver
+    tot = agg.to_pandas()
+    if len(tot) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "rnk": pa.array([], pa.int64()),
+                    "pair": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    top = (
+        tot.sort_values(["n", "pair"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rnk"] = pd.Series(range(1, len(top) + 1), dtype="int64")
+    top["n"] = top["n"].astype("int64")
+    return rd.from_pandas(top[["rnk", "pair", "n"]])

@@ -951,3 +951,38 @@ def test_retention_equals_pandas_reference():
     mx = want.groupby("cohort_day")["n_users"].max()
     for c, m in mx.items():
         assert m <= coh_sizes[c]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_pairs_equals_python_word_reference():
+    """Independent reference: explicit regex word tokenization + char
+    bigrams per word (a different algorithm than the product's byte
+    mask over raw text — same answer required)."""
+    import re
+    from collections import Counter
+
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_bpe_pairs(SF)
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    word_re = re.compile(r"[a-z0-9_]+")
+    c: Counter = Counter()
+    for t in docs["text"]:
+        for w in word_re.findall(t.lower()):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: textops.BPE_PAIRS_K]
+    want = pd.DataFrame(
+        {
+            "rnk": pd.Series(range(1, len(top) + 1), dtype="int64"),
+            "pair": [p for p, _ in top],
+            "n": pd.Series([n for _, n in top], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
