@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frontier release precedence (rebuild-only): "
                         "URLs matching the first --priority regex "
                         "release before the second, etc.; repeatable")
+    p.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
+                   default="bloom",
+                   help="frozen-tier seen-set pre-screen (rebuild-only):"
+                        " cuckoo supports URL retirement for recrawls")
     p.add_argument("--seeds-parquet", metavar="FILE",
                    help="parquet file with a url column: the seed list")
     p.add_argument("--parquet-out", metavar="DIR",
@@ -102,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         disable_certs_checks=args.disable_certs_checks,
         respect_robots=args.respect_robots,
         priority_patterns=tuple(args.priority),
+        seen_filter=args.seen_filter,
     )
 
     import os

@@ -63,6 +63,11 @@ class CrawlConfig:
     # patterns empty when exact reference grouping or finite-depth set
     # equality matters.
     priority_patterns: tuple[str, ...] = field(default_factory=tuple)
+    # rebuild-only (north_rule "bloom/cuckoo URL-seen"): frozen-tier
+    # pre-screen of the seen set. "bloom" (default, vectorized
+    # append-only build) or "cuckoo" (delete-capable: incremental
+    # recrawls can retire dead URLs via FrontierShard.retire_seen)
+    seen_filter: str = "bloom"
 
     def resolved(self) -> "CrawlConfig":
         """Apply --visit-filter-is-download-filter aliasing

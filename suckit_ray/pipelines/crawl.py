@@ -139,6 +139,7 @@ def crawl(
             pending_mem_limit,
             ledger_mem_rows,
             priority_patterns=cfg.priority_patterns,
+            seen_filter=cfg.seen_filter,
         )
         for i in range(num_shards)
     ]

@@ -203,3 +203,31 @@ def test_insert_failure_rolls_back_eviction_chain():
     assert np.array_equal(f.table, failed_at[2])
     # and every previously inserted member is still present
     assert all(f.contains_digest(a, b) for a, b in inserted)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_with_cuckoo_seen_filter_matches_bloom():
+    """Full crawl through the engine with seen_filter='cuckoo': the
+    mirrored doc set must equal the default-bloom crawl exactly."""
+
+    from suckit_ray.config import CrawlConfig
+    from suckit_ray.pipelines.crawl import crawl
+    from suckit_ray.sources.pagestore import SyntheticCorpus, SyntheticPageStore
+
+    corpus = SyntheticCorpus(n_hosts=3, n_docs=600, fanout=4)
+    res = {}
+    for kind in ("bloom", "cuckoo"):
+        r = crawl(
+            CrawlConfig(origin=corpus.page_url(0, 0), seen_filter=kind),
+            SyntheticPageStore(corpus),
+            seeds=corpus.seeds(),
+            num_shards=3,
+            spill_threshold=50,  # force the frozen tier + filter
+        )
+        res[kind] = {
+            "pages": r.metrics["pages"],
+            "seen": r.metrics["seen_urls"],
+            "docs": sorted(r.docs.to_pandas()["doc_id"]),
+        }
+    assert res["bloom"] == res["cuckoo"]
+    assert res["bloom"]["pages"] > 0
