@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_mix": textops.docs_domain_mix,
         "docs_bm25_topk": textops.docs_bm25_topk,
         "docs_bpe_pairs": textops.docs_bpe_pairs,
+        "docs_bpe_train": textops.docs_bpe_train,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -457,6 +458,39 @@ def _sig_cte(sfx: str) -> str:
 # unsuffixed instance shared by crawl_mirror / crawl_spans /
 # crawl_hoststats / crawl_media_manifest
 _CRAWL_REACH_CTE = _reach_cte("", "(SELECT count(*) FROM documents)")
+
+
+def _bpe_train_oracle_sql(steps: int = 5) -> str:
+    """Chained-CTE mirror of docs_bpe_train: per step, weighted
+    char-pair counts over the current vocabulary, argmax by
+    (n DESC, pair ASC), then replace(pair -> chr(0x100+step)) rewrites
+    the vocabulary for the next round — the same surrogate-symbol
+    representation the Ray side uses, so merges are bit-identical."""
+    ctes = [
+        "w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w "
+        "FROM documents) GROUP BY w)"
+    ]
+    for i in range(steps):
+        ctes.append(
+            f"p{i} AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, "
+            f"CAST(SUM(f) AS BIGINT) AS n "
+            f"FROM w{i}, LATERAL unnest(generate_series(1, len(w) - 1)) t(i) "
+            f"WHERE len(w) >= 2 GROUP BY 1)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        if i < steps - 1:
+            ctes.append(
+                f"w{i + 1} AS (SELECT replace(w, (SELECT pair FROM t{i}), "
+                f"chr({0x100 + i})) AS w, f FROM w{i})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, pair, n FROM t{i}"
+        for i in range(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1027,6 +1061,9 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, score_micro
             FROM r WHERE rnk <= 5
         """,
+        # full BPE training loop: 5 merge rounds over the word
+        # vocabulary via chained CTEs (see _bpe_train_oracle_sql)
+        "docs_bpe_train": _bpe_train_oracle_sql(),
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count
         "docs_bpe_pairs": """

@@ -163,6 +163,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_domain_mix",
         "docs_bm25_topk",
         "docs_bpe_pairs",
+        "docs_bpe_train",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

@@ -1810,3 +1810,108 @@ def docs_bpe_pairs(sf_dir: str, k: int = BPE_PAIRS_K) -> rd.Dataset:
     top["rnk"] = pd.Series(range(1, len(top) + 1), dtype="int64")
     top["n"] = top["n"].astype("int64")
     return rd.from_pandas(top[["rnk", "pair", "n"]])
+
+
+# --- iterative BPE training (docs_bpe_train) ------------------------
+BPE_TRAIN_STEPS = 5
+
+
+def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
+    """(step, pair, n): ``steps`` iterations of BPE merge training
+    (Sennrich et al. 2016) — per step, the corpus-wide most frequent
+    adjacent symbol pair (count DESC, pair ASC tie-break) merges into
+    a fresh surrogate symbol ``chr(0x100 + step)``, and counting
+    repeats over the rewritten vocabulary. ``docs_bpe_pairs`` is one
+    iteration over raw characters; this is the full training loop.
+
+    Representation trick shared with the oracle: merged symbols are
+    single surrogate CHARS, so a word stays a plain string and
+    ``str.replace(pair, surrogate)`` IS the left-to-right
+    non-overlapping merge in both engines (source words never contain
+    surrogates, so no two distinct words collide after a merge — the
+    vocabulary needs no re-grouping).
+
+    Scale shape: BPE trains on the word VOCABULARY weighted by
+    frequency, not the corpus — ONE corpus-scale word-count groupby
+    up front, then every iteration touches only the hash-partitioned
+    (word, freq) vocabulary: per-batch weighted pair counts (bounded
+    by the symbol alphabet², ≤ (37+steps)² rows), a tiny driver
+    argmax, one broadcast merge applied vectorized
+    (``.str.replace``). Iterations cost O(vocab), not O(corpus)."""
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        w = (
+            df["text"]
+            .str.lower()
+            .str.findall(re.compile(r"[a-z0-9_]+"))
+            .explode()
+            .dropna()
+        )
+        return pd.DataFrame({"w": w.astype("object")})
+
+    vocab = bucketed_groupby_agg(
+        _read_documents(sf_dir, ["text"]).map_batches(
+            words, batch_format="pandas"
+        ),
+        keys=["w"],
+        aggs={"f": ("w", "count")},
+    ).materialize()
+
+    merges: list[tuple[int, str, int]] = []
+    for step in range(steps):
+
+        def pair_counts(d: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+
+            c: Counter = Counter()
+            for w, f in zip(d["w"], d["f"]):
+                f = int(f)
+                for i in range(len(w) - 1):
+                    c[w[i : i + 2]] += f
+            if not c:
+                return pd.DataFrame(
+                    {
+                        "pair": pd.array([], dtype="str"),
+                        "n": pd.array([], dtype="int64"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "pair": pd.Series(list(c.keys()), dtype="object"),
+                    "n": pd.Series(list(c.values()), dtype="int64"),
+                }
+            )
+
+        tot = (
+            vocab.map_batches(pair_counts, batch_format="pandas")
+            .to_pandas()
+            .groupby("pair", as_index=False)
+            .agg(n=("n", "sum"))
+        )
+        if len(tot) == 0:
+            break
+        top = tot.sort_values(["n", "pair"], ascending=[False, True]).iloc[0]
+        pair, n = str(top["pair"]), int(top["n"])
+        merges.append((step, pair, n))
+        mc = chr(0x100 + step)
+        vocab = vocab.map_batches(
+            lambda d, _p=pair, _m=mc: d.assign(
+                w=d["w"].str.replace(_p, _m, regex=False)
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array([m[0] for m in merges], pa.int64()),
+                "pair": pa.array([m[1] for m in merges], pa.string()),
+                "n": pa.array([m[2] for m in merges], pa.int64()),
+            }
+        )
+    )
