@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk": textops.docs_bm25_topk,
         "docs_bpe_pairs": textops.docs_bpe_pairs,
         "docs_bpe_train": textops.docs_bpe_train,
+        "docs_bpe_encode": textops.docs_bpe_encode,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -460,8 +461,8 @@ def _sig_cte(sfx: str) -> str:
 _CRAWL_REACH_CTE = _reach_cte("", "(SELECT count(*) FROM documents)")
 
 
-def _bpe_train_oracle_sql(steps: int = 5) -> str:
-    """Chained-CTE mirror of docs_bpe_train: per step, weighted
+def _bpe_ctes(steps: int = 5) -> str:
+    """Shared chained CTEs mirroring docs_bpe_train: per step, weighted
     char-pair counts over the current vocabulary, argmax by
     (n DESC, pair ASC), then replace(pair -> chr(0x100+step)) rewrites
     the vocabulary for the next round — the same surrogate-symbol
@@ -486,11 +487,36 @@ def _bpe_train_oracle_sql(steps: int = 5) -> str:
                 f"w{i + 1} AS (SELECT replace(w, (SELECT pair FROM t{i}), "
                 f"chr({0x100 + i})) AS w, f FROM w{i})"
             )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_train_oracle_sql(steps: int = 5) -> str:
     union = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS step, pair, n FROM t{i}"
         for i in range(steps)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return _bpe_ctes(steps) + "\n" + union
+
+
+def _bpe_encode_oracle_sql(steps: int = 5) -> str:
+    """docs_bpe_encode mirror: nested replace() applies the learned
+    merges to every doc's lowercased text (merge pairs contain only
+    word/surrogate chars, so whole-text replace == per-word replace),
+    then count remaining word-or-surrogate symbols."""
+    x = "lower(text)"
+    for i in range(steps):
+        x = f"replace({x}, (SELECT pair FROM t{i}), chr({0x100 + i}))"
+    hi = 0x100 + steps - 1
+    return (
+        _bpe_ctes(steps)
+        + f""",
+        enc AS (SELECT doc_id, {x} AS x FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(x,
+                 '[a-z0-9_\\x{{0100}}-\\x{{{hi:04x}}}]')) AS BIGINT)
+                 AS n_symbols
+        FROM enc"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1064,6 +1090,8 @@ def oracle_sql() -> dict[str, str]:
         # full BPE training loop: 5 merge rounds over the word
         # vocabulary via chained CTEs (see _bpe_train_oracle_sql)
         "docs_bpe_train": _bpe_train_oracle_sql(),
+        # encode with the learned merges + count post-merge symbols
+        "docs_bpe_encode": _bpe_encode_oracle_sql(),
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count
         "docs_bpe_pairs": """

@@ -164,6 +164,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_bm25_topk",
         "docs_bpe_pairs",
         "docs_bpe_train",
+        "docs_bpe_encode",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

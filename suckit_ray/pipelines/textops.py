@@ -1915,3 +1915,39 @@ def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
             }
         )
     )
+
+
+def docs_bpe_encode(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
+    """(doc_id, n_symbols): encode the corpus with the BPE merges
+    ``docs_bpe_train`` just learned — the apply side of tokenizer
+    training (count → train → ENCODE closes the loop;
+    ``bpe_token_count`` applies a fixed regex tokenizer instead).
+
+    A merge pair never contains a non-word char, so every occurrence
+    in the raw lowercased text lies within a word — the 5 merges
+    apply as plain vectorized ``.str.replace`` over whole texts, no
+    per-word loop. ``n_symbols`` counts remaining word-or-surrogate
+    chars, i.e. the post-merge symbol count of every word summed.
+
+    Scale shape: the trained merge list is O(steps) driver state
+    (produced by the vocab-partitioned training pass); encoding is
+    one embarrassingly-parallel map over the corpus."""
+    merges = docs_bpe_train(sf_dir, steps).to_pandas()
+    pairs = list(merges["pair"])
+    hi = 0x100 + max(len(pairs), 1) - 1
+    sym_re = rf"[a-z0-9_Ā-{chr(hi)}]"
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        for step, p in enumerate(pairs):
+            low = low.str.replace(p, chr(0x100 + step), regex=False)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_symbols": low.str.count(sym_re).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pandas"
+    )

@@ -1046,3 +1046,64 @@ def test_bpe_train_equals_python_reference():
     top1 = textops.docs_bpe_pairs(SF).to_pandas().iloc[0]
     assert got.iloc[0]["pair"] == top1["pair"]
     assert got.iloc[0]["n"] == top1["n"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_encode_equals_symbol_list_reference():
+    """Independent reference: per-word symbol-list merge application
+    (the classic BPE encoder) summed per doc."""
+    import re
+
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_bpe_encode(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    merges = textops.docs_bpe_train(SF).to_pandas()
+    # each merge is a pair of single-char symbols (surrogates included)
+    pair_seq = []
+    for step, p in zip(merges["step"], merges["pair"]):
+        a, b = p[0], p[1]
+        pair_seq.append((a, b, chr(0x100 + int(step))))
+
+    def encode_len(w: str) -> int:
+        syms = list(w)
+        for a, b, m in pair_seq:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    word_re = re.compile(r"[a-z0-9_]+")
+    memo: dict[str, int] = {}
+    n_syms = []
+    for t in docs["text"]:
+        total = 0
+        for w in word_re.findall(t.lower()):
+            if w not in memo:
+                memo[w] = encode_len(w)
+            total += memo[w]
+        n_syms.append(total)
+    want = (
+        pd.DataFrame(
+            {"doc_id": docs["doc_id"].astype("int64"),
+             "n_symbols": pd.Series(n_syms, dtype="int64")}
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # merges strictly shrink the corpus symbol count
+    raw = docs["text"].str.lower().str.count(r"[a-z0-9_]").sum()
+    assert got["n_symbols"].sum() < raw
