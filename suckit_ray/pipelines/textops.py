@@ -1732,6 +1732,14 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
 
 
 # --- BPE-training pair counts (docs_bpe_pairs) ----------------------
+# Oracle-parity note for the whole BPE family (and every oracle that
+# pairs pandas .str.lower() with SQL lower()): Python lowercases with
+# full Unicode SpecialCasing ('İ' → 'i' + combining dot) while DuckDB
+# uses simple case mapping ('İ' → 'i'), so NON-ASCII UPPERCASE input
+# can shift word boundaries differently in the two engines. The
+# operator semantics are well-defined either way; only oracle
+# bit-parity assumes effectively-ASCII casing (true of the test
+# corpus, and of the reference's charset-transcoded output).
 BPE_PAIRS_K = 20
 
 
@@ -1862,37 +1870,37 @@ def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
         aggs={"f": ("w", "count")},
     ).materialize()
 
-    merges: list[tuple[int, str, int]] = []
-    for step in range(steps):
+    def pair_counts(d: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
 
-        def pair_counts(d: pd.DataFrame) -> pd.DataFrame:
-            from collections import Counter
-
-            c: Counter = Counter()
-            for w, f in zip(d["w"], d["f"]):
-                f = int(f)
-                for i in range(len(w) - 1):
-                    c[w[i : i + 2]] += f
-            if not c:
-                return pd.DataFrame(
-                    {
-                        "pair": pd.array([], dtype="str"),
-                        "n": pd.array([], dtype="int64"),
-                    }
-                )
+        c: Counter = Counter()
+        for w, f in zip(d["w"], d["f"]):
+            f = int(f)
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += f
+        if not c:
             return pd.DataFrame(
                 {
-                    "pair": pd.Series(list(c.keys()), dtype="object"),
-                    "n": pd.Series(list(c.values()), dtype="int64"),
+                    "pair": pd.array([], dtype="str"),
+                    "n": pd.array([], dtype="int64"),
                 }
             )
-
-        tot = (
-            vocab.map_batches(pair_counts, batch_format="pandas")
-            .to_pandas()
-            .groupby("pair", as_index=False)
-            .agg(n=("n", "sum"))
+        return pd.DataFrame(
+            {
+                "pair": pd.Series(list(c.keys()), dtype="object"),
+                "n": pd.Series(list(c.values()), dtype="int64"),
+            }
         )
+
+    merges: list[tuple[int, str, int]] = []
+    for step in range(steps):
+        pc = vocab.map_batches(pair_counts, batch_format="pandas").to_pandas()
+        # an all-empty Dataset comes back as a COLUMN-LESS frame (Ray
+        # drops the schema), so guard before the groupby — the pair
+        # supply runs dry when every word is a single symbol
+        if len(pc) == 0 or "pair" not in pc.columns:
+            break
+        tot = pc.groupby("pair", as_index=False).agg(n=("n", "sum"))
         if len(tot) == 0:
             break
         top = tot.sort_values(["n", "pair"], ascending=[False, True]).iloc[0]

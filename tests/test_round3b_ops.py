@@ -1008,7 +1008,6 @@ def test_bpe_train_equals_python_reference():
         vocab.update(word_re.findall(t.lower()))
     # symbol-list representation; merged symbols tracked as strings
     vw = {tuple(w): f for w, f in vocab.items()}
-    sym_of_pair: dict[str, str] = {}
     merges = []
     for step in range(textops.BPE_TRAIN_STEPS):
         pc: Counter = Counter()
@@ -1019,7 +1018,6 @@ def test_bpe_train_equals_python_reference():
             break
         (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         new_sym = chr(0x100 + step)
-        sym_of_pair[new_sym] = a + b
         merges.append((step, a + b, n))
         nv = {}
         for syms, f in vw.items():
@@ -1107,3 +1105,25 @@ def test_bpe_encode_equals_symbol_list_reference():
     # merges strictly shrink the corpus symbol count
     raw = docs["text"].str.lower().str.count(r"[a-z0-9_]").sum()
     assert got["n_symbols"].sum() < raw
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_breaks_early_when_pairs_run_dry(tmp_path):
+    """A vocabulary that collapses to single symbols before all steps
+    must return the partial merge list, not crash (an all-empty Ray
+    dataset loses its schema, which the groupby has to survive)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from suckit_ray.pipelines import textops
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_mod.write_table(
+        pa.table({"doc_id": [0], "text": ["ab ab ab"]}),
+        str(d / "documents.parquet"),
+    )
+    got = textops.docs_bpe_train(str(d)).to_pandas()
+    assert got.to_dict("records") == [{"step": 0, "pair": "ab", "n": 3}]
+    enc = textops.docs_bpe_encode(str(d)).to_pandas()
+    assert enc.to_dict("records") == [{"doc_id": 0, "n_symbols": 3}]
