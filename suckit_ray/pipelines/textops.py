@@ -1879,10 +1879,12 @@ def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
             for i in range(len(w) - 1):
                 c[w[i : i + 2]] += f
         if not c:
+            # typed empty frame (Ray's size estimator still logs one
+            # benign vectorize line for any size-0 object column)
             return pd.DataFrame(
                 {
-                    "pair": pd.array([], dtype="str"),
-                    "n": pd.array([], dtype="int64"),
+                    "pair": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
                 }
             )
         return pd.DataFrame(
