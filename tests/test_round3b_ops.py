@@ -1127,3 +1127,64 @@ def test_bpe_train_breaks_early_when_pairs_run_dry(tmp_path):
     assert got.to_dict("records") == [{"step": 0, "pair": "ab", "n": 3}]
     enc = textops.docs_bpe_encode(str(d)).to_pandas()
     assert enc.to_dict("records") == [{"doc_id": 0, "n_symbols": 3}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_trunc_division_matches_duckdb_pre_epoch(tmp_path):
+    """Pre-epoch (negative epoch-µs) timestamps: the Ray side's
+    truncating day division must match DuckDB's `//` exactly — checked
+    by running the REAL oracle SQL on a synthetic pre-1970 table."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    import __ray_entry__ as E
+    from suckit_ray.pipelines import relops
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # users straddling the epoch, with sub-day remainders both sides
+    us = np.array(
+        [
+            -3 * 86_400_000_000 - 5,      # pre-epoch, remainder
+            -86_400_000_000,              # exact pre-epoch boundary
+            -1,                           # just before epoch
+            0,                            # epoch
+            86_400_000_000 + 7,           # post-epoch, remainder
+        ],
+        dtype="int64",
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(us, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "event_type": pa.array(["click"] * 5, pa.string()),
+            "value": pa.array([1.0] * 5, pa.float64()),
+            "props": pa.array(["{}"] * 5, pa.string()),
+        }
+    )
+    pq_mod.write_table(tbl, str(d / "events.parquet"))
+
+    got = (
+        relops.events_retention(str(d))
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["events_retention"])
+        .df()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    # DuckDB // truncates toward zero: -1 µs lands on day 0, and a
+    # pre-epoch ts with a remainder truncates UP (-3d-5µs -> day -3)
+    assert -3 in set(got["cohort_day"]) and 0 in set(got["cohort_day"])
