@@ -1535,7 +1535,9 @@ BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 BM25_K = 5
 
 
-def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
+def docs_bm25_topk(
+    sf_dir: str, k: int = BM25_K
+) -> "rd.Dataset | pd.DataFrame":
     """(qid, rnk, doc_id, score_micro): BM25 top-k retrieval for a
     fixed query workload — the SPARSE retrieval sibling of the dense
     ANN family (brute-force / IVF / LSH all exist over embeddings;
@@ -1706,15 +1708,16 @@ def docs_bm25_topk(sf_dir: str, k: int = BM25_K) -> rd.Dataset:
     # driver-side combine, not a second shuffle
     parts = scored.map_batches(block_topk, batch_format="pandas").to_pandas()
     if len(parts) == 0:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "qid": pa.array([], pa.int64()),
-                    "rnk": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "score_micro": pa.array([], pa.int64()),
-                }
-            )
+        # typed empty PANDAS frame (allowed by the driver contract):
+        # an empty Ray Dataset loses its schema in to_pandas, so a
+        # Dataset return could not carry the 4 columns to the compare
+        return pd.DataFrame(
+            {
+                "qid": pd.array([], dtype="int64"),
+                "rnk": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+                "score_micro": pd.array([], dtype="int64"),
+            }
         )
     top = (
         parts.sort_values(["qid", "score_micro", "doc_id"],

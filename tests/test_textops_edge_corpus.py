@@ -41,6 +41,10 @@ def edge_dir(tmp_path_factory):
         {
             "doc_id": pa.array([i for i, _ in EDGE_DOCS], pa.int64()),
             "text": pa.array([t for _, t in EDGE_DOCS], pa.string()),
+            # source column for docs_domain_mix (weights 1+(idx%4))
+            "source": pa.array(
+                [f"src{i % 3}" for i, _ in EDGE_DOCS], pa.string()
+            ),
         }
     )
     pq.write_table(tbl, os.path.join(d, "documents.parquet"))
@@ -73,6 +77,11 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
         "docs_redact_pii",
         "docs_tfidf_topk",
         "docs_global_shuffle",
+        "docs_domain_mix",
+        "docs_bm25_topk",  # no query term appears: empty both sides
+        "docs_bpe_pairs",
+        "docs_bpe_train",
+        "docs_bpe_encode",
     ],
 )
 def test_edge_corpus_matches_oracle(edge_dir, name):
