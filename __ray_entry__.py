@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pairs": textops.docs_bpe_pairs,
         "docs_bpe_train": textops.docs_bpe_train,
         "docs_bpe_encode": textops.docs_bpe_encode,
+        "docs_nb_classify": textops.docs_nb_classify,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1092,6 +1093,58 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": _bpe_train_oracle_sql(),
         # encode with the learned merges + count post-merge symbols
         "docs_bpe_encode": _bpe_encode_oracle_sql(),
+        # corpus-trained multinomial Naive Bayes, applied back per
+        # doc: per-occurrence micronat factors floor(ln·1e6) summed
+        # as ints (order-free), argmax (score DESC, lang ASC)
+        "docs_nb_classify": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     UNNEST(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ),
+            vv AS (SELECT count(DISTINCT w) AS v FROM tok),
+            tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS t
+                   FROM tok GROUP BY lang),
+            dl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+                   FROM documents GROUP BY lang),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            cw AS (SELECT w, lang, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY w, lang),
+            cl AS (SELECT DISTINCT lang FROM documents),
+            sc AS (
+              SELECT t.doc_id, cl.lang AS cand,
+                     CAST(SUM(CAST(floor(
+                       ln((COALESCE(cw.c, 0) + 1.0) / (tl.t + vv.v))
+                       * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+              FROM tok t
+              CROSS JOIN cl
+              LEFT JOIN cw ON cw.w = t.w AND cw.lang = cl.lang
+              JOIN tl ON tl.lang = cl.lang
+              CROSS JOIN vv
+              GROUP BY 1, 2
+            ),
+            pr AS (SELECT dl.lang,
+                          CAST(floor(ln(dl.nd * 1.0 / nn.n) * 1000000.0)
+                               AS BIGINT) AS p
+                   FROM dl CROSS JOIN nn),
+            base AS (
+              SELECT d.doc_id, cl.lang AS cand,
+                     COALESCE(sc.s, 0) + pr.p AS score
+              FROM documents d
+              CROSS JOIN cl
+              LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cand = cl.lang
+              JOIN pr ON pr.lang = cl.lang
+            ),
+            r AS (SELECT doc_id, cand, score,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, cand) AS rn
+                  FROM base)
+            SELECT doc_id, cand AS pred_lang,
+                   CAST(score AS BIGINT) AS score_micro
+            FROM r WHERE rn = 1
+        """,
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count
         "docs_bpe_pairs": """

@@ -165,6 +165,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_bpe_pairs",
         "docs_bpe_train",
         "docs_bpe_encode",
+        "docs_nb_classify",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

@@ -1973,3 +1973,176 @@ def docs_bpe_encode(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         encode, batch_format="pandas"
     )
+
+
+# --- Naive Bayes lang classifier (docs_nb_classify) -----------------
+NB_SCALE = 1_000_000  # micronat quantization, the lm_score idiom
+
+
+def docs_nb_classify(sf_dir: str) -> rd.Dataset:
+    """(doc_id, pred_lang, score_micro): multinomial Naive Bayes
+    trained ON the corpus's lang labels and applied back to every doc
+    — the fastText-style classifier stage (CCNet / Gopher pipelines
+    gate corpora with exactly this shape of model: cheap linear
+    text classifier, trained once, applied corpus-wide).
+
+    Model: P(L|d) ∝ P(L)·Π P(w|L) with add-one smoothing
+    P(w|L) = (c(w,L)+1)/(tok(L)+V); every factor is quantized to
+    floor(ln·1e6) micronats BEFORE the reduction (order-free integer
+    sums, bit-exact in DuckDB), prediction = argmax with
+    (score DESC, lang ASC) tie-break.
+
+    Scale shape — the ``docs_lm_score`` count-and-attach pattern,
+    ZERO driver model state: a broadcast (word, lang) count table is
+    O(vocab) at web scale, so c(w,L) is computed where the
+    occurrence rows already are — ONE token-hash co-group co-locates
+    every occurrence of w with its doc's label, emits the 5 per-lang
+    micronat contributions per occurrence, and a bucketed per-doc
+    sum + broadcast priors (O(langs) ints) finish. Zero-token docs
+    ride a zeros stream straight to the final sum (prior-only
+    prediction), mirroring the oracle's LEFT JOIN."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from suckit_ray.pipelines.dedup import _md5h60_memo
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    # --- smalls: tok(L), docs(L), N; V via the distinct pre-pass ---
+    def lang_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split().str.len().fillna(0).astype("int64")
+        return pd.DataFrame(
+            {"lang": df["lang"], "n_tok": n_tok, "n_doc": 1}
+        ).groupby("lang", as_index=False).agg(
+            n_tok=("n_tok", "sum"), n_doc=("n_doc", "sum")
+        )
+
+    smalls = (
+        _read_documents(sf_dir, ["text", "lang"])
+        .map_batches(lang_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .agg(n_tok=("n_tok", "sum"), n_doc=("n_doc", "sum"))
+        .sort_values("lang")
+    )
+    langs = list(smalls["lang"])
+    tokL = dict(zip(smalls["lang"], smalls["n_tok"].astype(int)))
+    docL = dict(zip(smalls["lang"], smalls["n_doc"].astype(int)))
+    N = int(smalls["n_doc"].sum())
+
+    def tok_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5h60_memo()
+        hs = {h(tok) for t in df["text"] for tok in t.split()}
+        out = pd.DataFrame({"h": sorted(hs)}, dtype="int64")
+        out["hb"] = (out["h"] % B).astype("int64")
+        return out
+
+    def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g["h"].nunique()]}, dtype="int64")
+
+    V = int(
+        _read_documents(sf_dir, ["text"])
+        .map_batches(tok_hashes, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(bucket_nunique, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+
+    priors = {
+        L: math.floor(math.log(docL[L] / N) * NB_SCALE) for L in langs
+    }
+    ref = ray.put((langs, tokL, V, priors))
+    scol = [f"s_{i}" for i in range(len(langs))]
+
+    # --- occurrence rows: (doc_id, wh, lang) bucketed by token hash ---
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5h60_memo()
+        doc_ids, whs, lgs = [], [], []
+        for d, t, lg in zip(df["doc_id"], df["text"], df["lang"]):
+            for tok in t.split():
+                doc_ids.append(d)
+                whs.append(h(tok))
+                lgs.append(lg)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "wh": pd.Series(whs, dtype="int64"),
+                "lang": pd.Series(lgs, dtype="object"),
+            }
+        )
+        out["wb"] = (out["wh"] % B).astype("int64")
+        return out
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        for c in scol:
+            out[c] = pd.Series(0, index=out.index, dtype="int64")
+        return out
+
+    occ = _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64")}
+                | {c: pd.array([], dtype="int64") for c in scol}
+            )
+        langs, tokL, V, _ = ray.get(ref)
+        out = pd.DataFrame({"doc_id": g["doc_id"].astype("int64")})
+        # c(w,L) is group-local: all occurrences of w co-locate here
+        for i, L in enumerate(langs):
+            cw = (
+                g.assign(is_l=(g["lang"] == L).astype("int64"))
+                .groupby("wh")["is_l"]
+                .transform("sum")
+                .to_numpy()
+            )
+            denom = tokL[L] + V
+            # one libm call per DISTINCT count (lm_score idiom)
+            uniq, inv = np.unique(cw, return_inverse=True)
+            q = np.fromiter(
+                (
+                    math.floor(math.log((c + 1.0) / denom) * NB_SCALE)
+                    for c in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            out[scol[i]] = q[inv]
+        return out
+
+    scored = occ.groupby("wb").map_groups(attach, batch_format="pandas")
+    zero_rows = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        zeros, batch_format="pandas"
+    )
+    per_doc = bucketed_groupby_agg(
+        scored.union(zero_rows),
+        keys=["doc_id"],
+        aggs={c: (c, "sum") for c in scol},
+    )
+
+    def predict(df: pd.DataFrame) -> pd.DataFrame:
+        langs, _, _, priors = ray.get(ref)
+        m = df[scol].to_numpy(dtype="int64") + np.array(
+            [priors[L] for L in langs], dtype="int64"
+        )
+        best = m.argmax(axis=1)  # argmax takes the FIRST max: lang ASC
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "pred_lang": pd.Series(
+                    [langs[i] for i in best], dtype="object"
+                ),
+                "score_micro": pd.Series(
+                    m[np.arange(len(m)), best], dtype="int64"
+                ),
+            }
+        )
+
+    return per_doc.map_batches(predict, batch_format="pandas")

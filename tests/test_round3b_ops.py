@@ -1188,3 +1188,65 @@ def test_retention_trunc_division_matches_duckdb_pre_epoch(tmp_path):
     # DuckDB // truncates toward zero: -1 µs lands on day 0, and a
     # pre-epoch ts with a remainder truncates UP (-3d-5µs -> day -3)
     assert -3 in set(got["cohort_day"]) and 0 in set(got["cohort_day"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nb_classify_equals_python_reference():
+    """Independent reference: dict-counted multinomial Naive Bayes on
+    raw token strings (no hashing, no co-groups) with the same
+    micronat quantization."""
+    import math
+    from collections import Counter, defaultdict
+
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_nb_classify(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    langs = sorted(docs["lang"].unique())
+    cw: dict = defaultdict(Counter)  # lang -> token counts
+    tokL: Counter = Counter()
+    vocab = set()
+    toks_of = {}
+    for d, t, lg in zip(docs["doc_id"], docs["text"], docs["lang"]):
+        toks = t.split()
+        toks_of[int(d)] = toks
+        cw[lg].update(toks)
+        tokL[lg] += len(toks)
+        vocab.update(toks)
+    V = len(vocab)
+    N = len(docs)
+    ndL = docs.groupby("lang").size()
+    priors = {
+        L: math.floor(math.log(int(ndL[L]) / N) * textops.NB_SCALE)
+        for L in langs
+    }
+    rows = []
+    for d, lg in zip(docs["doc_id"], docs["lang"]):
+        best = None
+        for L in langs:
+            s = priors[L]
+            denom = tokL[L] + V
+            for tok in toks_of[int(d)]:
+                s += math.floor(
+                    math.log((cw[L][tok] + 1.0) / denom) * textops.NB_SCALE
+                )
+            if best is None or s > best[1]:
+                best = (L, s)
+        rows.append((int(d), best[0], best[1]))
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "pred_lang", "score_micro"]
+    ).astype({"doc_id": "int64", "score_micro": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    # the labels are the generator's lang column; self-prediction on a
+    # shared-vocabulary corpus is noisy but must beat the prior-only
+    # majority guess
+    acc = (got["pred_lang"] == docs.set_index("doc_id").loc[
+        got["doc_id"], "lang"].to_numpy()).mean()
+    maj = docs["lang"].value_counts(normalize=True).iloc[0]
+    assert acc >= maj
