@@ -2000,7 +2000,10 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
     micronat contributions per occurrence, and a bucketed per-doc
     sum + broadcast priors (O(langs) ints) finish. Zero-token docs
     ride a zeros stream straight to the final sum (prior-only
-    prediction), mirroring the oracle's LEFT JOIN."""
+    prediction), mirroring the oracle's LEFT JOIN. The corpus text is
+    scanned ONCE: the explode pre-collapses duplicate (doc, word)
+    occurrences into counted rows, and V / per-lang token totals
+    derive from the materialized postings, not extra text passes."""
     import math
 
     import numpy as np
@@ -2011,42 +2014,73 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
 
     B = default_buckets()
 
-    # --- smalls: tok(L), docs(L), N; V via the distinct pre-pass ---
-    def lang_partial(df: pd.DataFrame) -> pd.DataFrame:
-        n_tok = df["text"].str.split().str.len().fillna(0).astype("int64")
-        return pd.DataFrame(
-            {"lang": df["lang"], "n_tok": n_tok, "n_doc": 1}
-        ).groupby("lang", as_index=False).agg(
-            n_tok=("n_tok", "sum"), n_doc=("n_doc", "sum")
-        )
+    # --- occurrence rows: (doc_id, wh, lang, cnt) by token hash ---
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
 
-    smalls = (
-        _read_documents(sf_dir, ["text", "lang"])
-        .map_batches(lang_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("lang", as_index=False)
-        .agg(n_tok=("n_tok", "sum"), n_doc=("n_doc", "sum"))
-        .sort_values("lang")
-    )
-    langs = list(smalls["lang"])
-    tokL = dict(zip(smalls["lang"], smalls["n_tok"].astype(int)))
-    docL = dict(zip(smalls["lang"], smalls["n_doc"].astype(int)))
-    N = int(smalls["n_doc"].sum())
-
-    def tok_hashes(df: pd.DataFrame) -> pd.DataFrame:
         h = _md5h60_memo()
-        hs = {h(tok) for t in df["text"] for tok in t.split()}
-        out = pd.DataFrame({"h": sorted(hs)}, dtype="int64")
-        out["hb"] = (out["h"] % B).astype("int64")
+        doc_ids, whs, lgs, cnts = [], [], [], []
+        for d, t, lg in zip(df["doc_id"], df["text"], df["lang"]):
+            for tok, c in Counter(t.split()).items():
+                doc_ids.append(d)
+                whs.append(h(tok))
+                lgs.append(lg)
+                cnts.append(c)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "wh": pd.Series(whs, dtype="int64"),
+                "lang": pd.Series(lgs, dtype="object"),
+                "cnt": pd.Series(cnts, dtype="int64"),
+            }
+        )
+        out["wb"] = (out["wh"] % B).astype("int64")
         return out
 
+    occ = (
+        _read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(explode, batch_format="pandas")
+        .materialize()  # feeds smalls, V AND the scoring co-group
+    )
+
+    # --- smalls off the postings (no second text scan) ---
+    smalls = (
+        occ.map_batches(
+            lambda d: d.groupby("lang", as_index=False).agg(
+                n_tok=("cnt", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .agg(n_tok=("n_tok", "sum"))
+    )
+    tokL = dict(zip(smalls["lang"], smalls["n_tok"].astype(int)))
+    # doc counts + the lang universe come from the pruned lang column
+    # (docs with zero tokens have no postings but still count)
+    dlang = (
+        _read_documents(sf_dir, ["lang"])
+        .map_batches(
+            lambda d: d.groupby("lang", as_index=False).agg(n=("lang", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values("lang")
+    )
+    langs = list(dlang["lang"])
+    docL = dict(zip(dlang["lang"], dlang["n"].astype(int)))
+    N = int(dlang["n"].sum())
+    tokL = {L: tokL.get(L, 0) for L in langs}
+
+    # V = distinct tokens: per-bucket nunique over the already-bucketed
+    # postings (rows for one wh all share a bucket)
     def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n": [g["h"].nunique()]}, dtype="int64")
+        return pd.DataFrame({"n": [g["wh"].nunique()]}, dtype="int64")
 
     V = int(
-        _read_documents(sf_dir, ["text"])
-        .map_batches(tok_hashes, batch_format="pandas")
-        .groupby("hb")
+        occ.groupby("wb")
         .map_groups(bucket_nunique, batch_format="pandas")
         .to_pandas()["n"]
         .sum()
@@ -2058,34 +2092,11 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
     ref = ray.put((langs, tokL, V, priors))
     scol = [f"s_{i}" for i in range(len(langs))]
 
-    # --- occurrence rows: (doc_id, wh, lang) bucketed by token hash ---
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        h = _md5h60_memo()
-        doc_ids, whs, lgs = [], [], []
-        for d, t, lg in zip(df["doc_id"], df["text"], df["lang"]):
-            for tok in t.split():
-                doc_ids.append(d)
-                whs.append(h(tok))
-                lgs.append(lg)
-        out = pd.DataFrame(
-            {
-                "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "wh": pd.Series(whs, dtype="int64"),
-                "lang": pd.Series(lgs, dtype="object"),
-            }
-        )
-        out["wb"] = (out["wh"] % B).astype("int64")
-        return out
-
     def zeros(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
         for c in scol:
             out[c] = pd.Series(0, index=out.index, dtype="int64")
         return out
-
-    occ = _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        explode, batch_format="pandas"
-    )
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -2095,17 +2106,25 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
             )
         langs, tokL, V, _ = ray.get(ref)
         out = pd.DataFrame({"doc_id": g["doc_id"].astype("int64")})
-        # c(w,L) is group-local: all occurrences of w co-locate here
+        # c(w,L) is group-local: ONE pivot gives the per-lang counts
+        # for every word in the group, gathered back per row
+        cw = g.pivot_table(
+            index="wh", columns="lang", values="cnt",
+            aggfunc="sum", fill_value=0,
+        )
+        pos = cw.index.get_indexer(g["wh"])
+        mult = g["cnt"].to_numpy()
         for i, L in enumerate(langs):
-            cw = (
-                g.assign(is_l=(g["lang"] == L).astype("int64"))
-                .groupby("wh")["is_l"]
-                .transform("sum")
-                .to_numpy()
+            col = (
+                cw[L].to_numpy()
+                if L in cw.columns
+                else np.zeros(len(cw), dtype="int64")
             )
+            row_c = col[pos]
             denom = tokL[L] + V
-            # one libm call per DISTINCT count (lm_score idiom)
-            uniq, inv = np.unique(cw, return_inverse=True)
+            # one libm call per DISTINCT count (lm_score idiom); each
+            # collapsed row contributes cnt × the per-occurrence factor
+            uniq, inv = np.unique(row_c, return_inverse=True)
             q = np.fromiter(
                 (
                     math.floor(math.log((c + 1.0) / denom) * NB_SCALE)
@@ -2114,7 +2133,7 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
                 dtype=np.int64,
                 count=len(uniq),
             )
-            out[scol[i]] = q[inv]
+            out[scol[i]] = q[inv] * mult
         return out
 
     scored = occ.groupby("wb").map_groups(attach, batch_format="pandas")
