@@ -2074,13 +2074,20 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
     N = int(dlang["n"].sum())
     tokL = {L: tokL.get(L, 0) for L in langs}
 
-    # V = distinct tokens: per-bucket nunique over the already-bucketed
-    # postings (rows for one wh all share a bucket)
+    # V = distinct tokens: batches pre-shrink to their distinct hashes
+    # so the dedup shuffle carries ~per-batch-vocab rows, not postings
+    def batch_unique(d: pd.DataFrame) -> pd.DataFrame:
+        u = d[["wh", "wb"]].drop_duplicates("wh")
+        return pd.DataFrame(
+            {"wh": u["wh"].astype("int64"), "wb": u["wb"].astype("int64")}
+        )
+
     def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [g["wh"].nunique()]}, dtype="int64")
 
     V = int(
-        occ.groupby("wb")
+        occ.map_batches(batch_unique, batch_format="pandas")
+        .groupby("wb")
         .map_groups(bucket_nunique, batch_format="pandas")
         .to_pandas()["n"]
         .sum()
