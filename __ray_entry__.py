@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_k_per_user": relops.events_top_k_per_user,
         "events_value_rank": relops.events_value_rank,
         "events_retention": relops.events_retention,
+        "events_outliers": relops.events_outliers,
         "events_funnel": relops.events_funnel,
         "docs_by_lang": textops.docs_by_lang,
         "docs_top_terms": textops.docs_top_terms,
@@ -910,6 +911,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT event_type, 75, CAST(q75 AS BIGINT) FROM a
             UNION ALL SELECT event_type, 90, CAST(q90 AS BIGINT) FROM a
             UNION ALL SELECT event_type, 99, CAST(q99 AS BIGINT) FROM a
+        """,
+        # per-user 3-sigma outliers with the sigma threshold in EXACT
+        # integer algebra over cents: |v-mu|>3*sigma iff
+        # (n*v - S1)^2 > 9*(n*S2 - S1^2); no float sigma exists
+        "events_outliers": """
+            WITH c AS (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(v) AS BIGINT) AS s1,
+                     CAST(SUM(v * v) AS BIGINT) AS s2
+              FROM c GROUP BY user_id
+            )
+            SELECT c.event_id, c.user_id, c.v AS value_cents
+            FROM c JOIN s USING (user_id)
+            WHERE (s.n * c.v - s.s1) * (s.n * c.v - s.s1)
+                  > 9 * (s.n * s.s2 - s.s1 * s.s1)
         """,
         # cohort retention: users bucketed by first-event day, counted
         # per later active day; day = epoch_us // 86400000000 exactly

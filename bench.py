@@ -150,6 +150,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_top_k_per_user",
         "events_value_rank",
         "events_retention",
+        "events_outliers",
         "docs_decontaminate",
         "docs_dup_ngram_fraction",
         "docs_dup_spans",

@@ -960,3 +960,69 @@ def events_retention(sf_dir: str) -> rd.Dataset:
         return df[["cohort_day", "day_offset", "n_users"]]
 
     return agg.map_batches(order_cols, batch_format="pandas")
+
+
+def events_outliers(sf_dir: str) -> rd.Dataset:
+    """(event_id, user_id, value_cents): events more than 3 population
+    standard deviations from their USER's mean value — per-entity
+    anomaly flagging, with the σ-threshold done in EXACT integer
+    algebra: |v − S1/n| > 3σ with σ² = (n·S2 − S1²)/n² is equivalent
+    to (n·v − S1)² > 9·(n·S2 − S1²) over integer cents, so no float σ
+    ever exists and both engines compare the same integers
+    (HUGEINT in SQL; int64 here — bounded because cents ≤ ~10^5 and
+    per-user counts ≤ ~10^4 keep every product under 2^63).
+
+    Scale shape: one USER-hash co-group computes (n, S1, S2) where
+    the user's rows already are and flags group-locally — no stats
+    broadcast (O(users) at web scale) and no join; batches pre-shrink
+    nothing (every event is a candidate), so the single exchange
+    carries (event_id, user_id, v)."""
+    import numpy as np
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        v = (df["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "v": v,
+                "ub": (df["user_id"] % B).astype("int64"),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(cents, batch_format="pandas")
+
+    def flag_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "value_cents": pd.array([], dtype="int64"),
+                }
+            )
+        v = g["v"].to_numpy()
+        grp = g.groupby("user_id")["v"]
+        n = grp.transform("size").to_numpy().astype("int64")
+        s1 = grp.transform("sum").to_numpy()
+        s2 = g.assign(v2=g["v"] * g["v"]).groupby("user_id")["v2"].transform(
+            "sum"
+        ).to_numpy()
+        dev = n * v - s1
+        keep = dev * dev > 9 * (n * s2 - s1 * s1)
+        out = g.loc[keep]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "user_id": out["user_id"].astype("int64"),
+                "value_cents": out["v"].astype("int64"),
+            }
+        )
+
+    return ds.groupby("ub").map_groups(flag_group, batch_format="pandas")

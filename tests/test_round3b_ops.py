@@ -1250,3 +1250,30 @@ def test_nb_classify_equals_python_reference():
         got["doc_id"], "lang"].to_numpy()).mean()
     maj = docs["lang"].value_counts(normalize=True).iloc[0]
     assert acc >= maj
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_outliers_equals_float_sigma_reference():
+    """Independent reference: plain FLOAT mean/std computation — the
+    integer-folded threshold must select exactly the same events
+    (strict > keeps the algebra and the float compare aligned away
+    from exact-boundary ties, which cents + squares cannot produce
+    at float64 precision for these magnitudes)."""
+    from suckit_ray.pipelines import relops
+
+    got = set(
+        relops.events_outliers(SF).to_pandas()["event_id"].astype(int)
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["v"] = (ev["value"] * 100).round().astype("int64")
+    want = set()
+    for uid, g in ev.groupby("user_id"):
+        v = g["v"].to_numpy(dtype="float64")
+        mu = v.mean()
+        sig = v.std(ddof=0)  # population sigma, like the oracle
+        for eid, x in zip(g["event_id"], v):
+            if abs(x - mu) > 3 * sig:
+                want.add(int(eid))
+    assert got == want
+    assert len(got) > 0, "corpus produced no outliers (test is vacuous)"
