@@ -922,9 +922,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ),
             s AS (
-              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-                     CAST(SUM(v) AS BIGINT) AS s1,
-                     CAST(SUM(v * v) AS BIGINT) AS s2
+              -- HUGEINT throughout the threshold algebra: 9·n·S2
+              -- exceeds BIGINT for heavy users (the Ray side settles
+              -- the same cases with exact Python ints)
+              SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+                     CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
               FROM c GROUP BY user_id
             )
             SELECT c.event_id, c.user_id, c.v AS value_cents
@@ -1136,12 +1139,16 @@ def oracle_sql() -> dict[str, str]:
             sc AS (
               SELECT t.doc_id, cl.lang AS cand,
                      CAST(SUM(CAST(floor(
-                       ln((COALESCE(cw.c, 0) + 1.0) / (tl.t + vv.v))
+                       ln((COALESCE(cw.c, 0) + 1.0)
+                          / (COALESCE(tl.t, 0) + vv.v))
                        * 1000000.0) AS BIGINT)) AS BIGINT) AS s
               FROM tok t
               CROSS JOIN cl
               LEFT JOIN cw ON cw.w = t.w AND cw.lang = cl.lang
-              JOIN tl ON tl.lang = cl.lang
+              -- LEFT: a candidate lang whose docs are all empty has no
+              -- tok rows; smoothing must still apply (t=0), matching
+              -- the Ray side's tokL.get(lang, 0)
+              LEFT JOIN tl ON tl.lang = cl.lang
               CROSS JOIN vv
               GROUP BY 1, 2
             ),

@@ -7,11 +7,27 @@ cents so oracle hashes are exact.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
 from suckit_ray.stages.agg import bucketed_groupby_agg
+
+
+def to_cents(s: pd.Series) -> pd.Series:
+    """float money → int64 cents, rounding half AWAY FROM ZERO to
+    match DuckDB's round() (pandas .round() is half-to-even: 0.125
+    would become 12 here but 13 in the oracle). The generators avoid
+    exact half-cents, but threshold ops (events_outliers) flip set
+    membership on a 1-cent shift, so the idiom must match exactly."""
+    x = s.to_numpy(dtype="float64") * 100.0
+    return pd.Series(
+        np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+            "int64"
+        ),
+        index=s.index,
+    )
 
 
 def lineitem_agg(sf_dir: str) -> rd.Dataset:
@@ -24,9 +40,9 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
             {
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
-                "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
-                "price_c": (df["l_extendedprice"] * 100).round().astype("int64"),
-                "disc_c": (df["l_discount"] * 100).round().astype("int64"),
+                "qty_c": to_cents(df["l_quantity"]),
+                "price_c": to_cents(df["l_extendedprice"]),
+                "disc_c": to_cents(df["l_discount"]),
             }
         )
 
@@ -60,7 +76,7 @@ def events_windowed(sf_dir: str) -> rd.Dataset:
             {
                 "user_id": df["user_id"],
                 "hour_id": hour_id,
-                "value_c": (df["value"] * 100).round().astype("int64"),
+                "value_c": to_cents(df["value"]),
             }
         )
 
@@ -88,7 +104,7 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
         return pd.DataFrame(
             {
                 "o_custkey": df["o_custkey"],
-                "total_c": (df["o_totalprice"] * 100).round().astype("int64"),
+                "total_c": to_cents(df["o_totalprice"]),
             }
         )
 
@@ -191,7 +207,7 @@ def events_sliding(sf_dir: str) -> rd.Dataset:
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         ts_s = df["ts"].to_numpy().astype("datetime64[s]").astype("int64")
         base = ts_s // SLIDE_S
-        v = (df["value"] * 100).round().astype("int64").to_numpy()
+        v = to_cents(df["value"]).to_numpy()
         et = df["event_type"].to_numpy()
         n = len(df)
         ks = np.repeat(np.arange(WINDOW_SLOTS), n)
@@ -304,7 +320,7 @@ def events_value_quantiles(sf_dir: str) -> "pa.Table":
         return pd.DataFrame(
             {
                 "event_type": df["event_type"],
-                "value_c": (df["value"] * 100).round().astype("int64"),
+                "value_c": to_cents(df["value"]),
             }
         )
 
@@ -712,8 +728,8 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     nation_ref = ray.put(nation_of)
 
     def line_partial(df: pd.DataFrame) -> pd.DataFrame:
-        rev = (df["l_extendedprice"] * 100).round().astype("int64") * (
-            100 - (df["l_discount"] * 100).round().astype("int64")
+        rev = to_cents(df["l_extendedprice"]) * (
+            100 - to_cents(df["l_discount"])
         )
         p = (
             pd.DataFrame({"orderkey": df["l_orderkey"].astype("int64"), "rev": rev})
@@ -968,23 +984,25 @@ def events_outliers(sf_dir: str) -> rd.Dataset:
     anomaly flagging, with the σ-threshold done in EXACT integer
     algebra: |v − S1/n| > 3σ with σ² = (n·S2 − S1²)/n² is equivalent
     to (n·v − S1)² > 9·(n·S2 − S1²) over integer cents, so no float σ
-    ever exists and both engines compare the same integers
-    (HUGEINT in SQL; int64 here — bounded because cents ≤ ~10^5 and
-    per-user counts ≤ ~10^4 keep every product under 2^63).
+    ever exists and both engines compare the same integers. The
+    products exceed int64 for plausible inputs (n=10^4 events at
+    v≈10^5 cents puts 9·n·S2 past 2^63), so the SQL side computes in
+    HUGEINT and this side runs a vectorized float64 prefilter with an
+    error margin, resolving only margin-ambiguous rows with exact
+    Python ints — the hot path stays numpy, the exact path touches
+    ~0 rows.
 
     Scale shape: one USER-hash co-group computes (n, S1, S2) where
     the user's rows already are and flags group-locally — no stats
     broadcast (O(users) at web scale) and no join; batches pre-shrink
     nothing (every event is a candidate), so the single exchange
     carries (event_id, user_id, v)."""
-    import numpy as np
-
     from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
-        v = (df["value"] * 100).round().astype("int64")
+        v = to_cents(df["value"])
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].astype("int64"),
@@ -1011,11 +1029,40 @@ def events_outliers(sf_dir: str) -> rd.Dataset:
         grp = g.groupby("user_id")["v"]
         n = grp.transform("size").to_numpy().astype("int64")
         s1 = grp.transform("sum").to_numpy()
-        s2 = g.assign(v2=g["v"] * g["v"]).groupby("user_id")["v2"].transform(
-            "sum"
-        ).to_numpy()
-        dev = n * v - s1
-        keep = dev * dev > 9 * (n * s2 - s1 * s1)
+        # S2 = Σv² can pass 2^63 for heavy users: sum in float64 for
+        # the prefilter, re-derive exactly only where the margin is
+        # ambiguous. v² itself stays well inside float64's 53-bit
+        # exact-integer range (v ≤ ~10^7 cents → v² ≤ 10^14).
+        v2f = v.astype("float64") ** 2
+        s2f = (
+            pd.Series(v2f, index=g.index)
+            .groupby(g["user_id"].to_numpy())
+            .transform("sum")
+            .to_numpy()
+        )
+        nf = n.astype("float64")
+        s1f = s1.astype("float64")
+        devf = nf * v.astype("float64") - s1f
+        lhs = devf * devf
+        rhs = 9.0 * (nf * s2f - s1f * s1f)
+        # float64 carries 53 significant bits; after a handful of
+        # multiply/subtract steps the relative error is ≲ 2^-48
+        margin = 2.0**-40 * np.maximum(np.abs(lhs), np.abs(rhs)) + 1.0
+        keep = lhs > rhs + margin
+        amb = np.flatnonzero(
+            ~keep & ~(lhs < rhs - margin)
+        )  # |lhs−rhs| inside the error band: settle with exact ints
+        if len(amb) > 0:
+            uid = g["user_id"].to_numpy()
+            s2_exact: dict[int, int] = {}
+            for i in amb:
+                u = int(uid[i])
+                if u not in s2_exact:
+                    uv = v[uid == u]
+                    s2_exact[u] = sum(int(x) * int(x) for x in uv)
+                ni, vi, s1i = int(n[i]), int(v[i]), int(s1[i])
+                d = ni * vi - s1i
+                keep[i] = d * d > 9 * (ni * s2_exact[u] - s1i * s1i)
         out = g.loc[keep]
         return pd.DataFrame(
             {

@@ -13,6 +13,8 @@ contract is "same arithmetic, two engines".
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 import ray.data as rd
@@ -1825,10 +1827,28 @@ def docs_bpe_pairs(sf_dir: str, k: int = BPE_PAIRS_K) -> rd.Dataset:
 
 # --- iterative BPE training (docs_bpe_train) ------------------------
 BPE_TRAIN_STEPS = 5
-# (sf_dir, steps) → trained merge list; training is deterministic, so
-# consumers (docs_bpe_encode, repeated bench/driver calls) reuse it —
-# the flagship-crawl memoization pattern
-_BPE_MERGES_CACHE: dict[tuple[str, int], list[tuple[int, str, int]]] = {}
+# (sf_dir, fingerprint, steps) → trained merge list; training is
+# deterministic, so consumers (docs_bpe_encode, repeated bench/driver
+# calls) reuse it — the flagship-crawl memoization pattern. The
+# fingerprint (mtime+size of documents.parquet) invalidates the memo
+# if the data at the same path is regenerated in-process.
+_BPE_MERGES_CACHE: dict[tuple, list[tuple[int, str, int]]] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0, 0)
+    if os.path.isdir(path):
+        tot_size = tot_mtime = 0
+        for name in sorted(os.listdir(path)):
+            s = os.stat(os.path.join(path, name))
+            tot_size += s.st_size
+            tot_mtime = max(tot_mtime, s.st_mtime_ns)
+        return (tot_mtime, tot_size)
+    return (st.st_mtime_ns, st.st_size)
 
 
 def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
@@ -1923,7 +1943,9 @@ def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
             batch_format="pandas",
         ).materialize()
 
-    _BPE_MERGES_CACHE[(sf_dir, steps)] = list(merges)
+    _BPE_MERGES_CACHE[(sf_dir, _docs_fingerprint(sf_dir), steps)] = list(
+        merges
+    )
     return rd.from_arrow(
         pa.table(
             {
@@ -1951,11 +1973,12 @@ def docs_bpe_encode(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
     (produced by the vocab-partitioned training pass, memoized per
     (sf_dir, steps)); encoding is one embarrassingly-parallel map
     over the corpus."""
-    if (sf_dir, steps) not in _BPE_MERGES_CACHE:
+    key = (sf_dir, _docs_fingerprint(sf_dir), steps)
+    if key not in _BPE_MERGES_CACHE:
         # the training loop runs eagerly in the call (driver-side
         # argmax per round), filling the cache as a side effect
         docs_bpe_train(sf_dir, steps)
-    pairs = [p for _, p, _n in _BPE_MERGES_CACHE[(sf_dir, steps)]]
+    pairs = [p for _, p, _n in _BPE_MERGES_CACHE[key]]
     hi = 0x100 + max(len(pairs), 1) - 1
     sym_re = rf"[a-z0-9_Ā-{chr(hi)}]"
 
@@ -2044,18 +2067,22 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
     )
 
     # --- smalls off the postings (no second text scan) ---
-    smalls = (
-        occ.map_batches(
-            lambda d: d.groupby("lang", as_index=False).agg(
-                n_tok=("cnt", "sum")
-            ),
-            batch_format="pandas",
+    smalls = occ.map_batches(
+        lambda d: d.groupby("lang", as_index=False).agg(
+            n_tok=("cnt", "sum")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    # an all-empty corpus yields a COLUMN-LESS frame (Ray drops the
+    # schema of an empty Dataset) — no postings means every lang's
+    # token total is 0
+    if "lang" in smalls.columns:
+        smalls = smalls.groupby("lang", as_index=False).agg(
+            n_tok=("n_tok", "sum")
         )
-        .to_pandas()
-        .groupby("lang", as_index=False)
-        .agg(n_tok=("n_tok", "sum"))
-    )
-    tokL = dict(zip(smalls["lang"], smalls["n_tok"].astype(int)))
+        tokL = dict(zip(smalls["lang"], smalls["n_tok"].astype(int)))
+    else:
+        tokL = {}
     # doc counts + the lang universe come from the pruned lang column
     # (docs with zero tokens have no postings but still count)
     dlang = (
@@ -2085,13 +2112,14 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
     def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [g["wh"].nunique()]}, dtype="int64")
 
-    V = int(
+    vparts = (
         occ.map_batches(batch_unique, batch_format="pandas")
         .groupby("wb")
         .map_groups(bucket_nunique, batch_format="pandas")
-        .to_pandas()["n"]
-        .sum()
+        .to_pandas()
     )
+    # same column-less-empty-frame guard as smalls above
+    V = int(vparts["n"].sum()) if "n" in vparts.columns else 0
 
     priors = {
         L: math.floor(math.log(docL[L] / N) * NB_SCALE) for L in langs

@@ -1277,3 +1277,169 @@ def test_outliers_equals_float_sigma_reference():
                 want.add(int(eid))
     assert got == want
     assert len(got) > 0, "corpus produced no outliers (test is vacuous)"
+
+
+def test_outliers_overflow_heavy_user_matches_duckdb(tmp_path):
+    """Regression (r3 review): a heavy user whose 9·n·S2 exceeds
+    2^63 must NOT wrap — the old int64 algebra flagged every event of
+    such a user; the oracle's old BIGINT math raised instead. Both
+    sides now agree exactly (HUGEINT SQL / margin-checked prefilter +
+    exact-int settlement here)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    from suckit_ray.pipelines import relops
+
+    rng = np.random.default_rng(7)
+    n_heavy = 10_000
+    heavy_val = rng.integers(90_000, 110_000, n_heavy) / 100.0
+    heavy_val[0] = 900_000.0  # one true outlier: result is non-empty
+    other_val = rng.integers(100, 5_000, 500) / 100.0
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(n_heavy + 500), dtype="int64"),
+            "user_id": pd.array(
+                [0] * n_heavy + list(rng.integers(1, 50, 500)),
+                dtype="int64",
+            ),
+            "value": list(heavy_val) + list(other_val),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(n_heavy + 500), unit="s"),
+            "event_type": "click",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+
+    got = relops.events_outliers(str(tmp_path)).to_pandas()
+    assert len(got) > 0
+    got = got.sort_values("event_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    ora = (
+        con.execute(entry.oracle_sql()["events_outliers"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["event_id"]) == list(ora["event_id"])
+    assert list(got["value_cents"]) == list(ora["value_cents"])
+
+
+def test_nb_classify_zero_token_lang_and_empty_corpus(tmp_path):
+    """Regression (r3 review): a candidate lang whose docs are all
+    empty has no token rows — the oracle's inner JOIN used to drop it
+    (zeroing its smoothed word factors); this side used to KeyError on
+    an ALL-empty corpus. Both paths must produce prior-correct
+    predictions that match DuckDB."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    from suckit_ray.pipelines import textops
+
+    def run(docs: pd.DataFrame, sub: str) -> tuple:
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(docs), str(d / "documents.parquet"))
+        got = (
+            textops.docs_nb_classify(str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        ora = (
+            con.execute(entry.oracle_sql()["docs_nb_classify"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return got, ora
+
+    got, ora = run(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([0, 1, 2], dtype="int64"),
+                "text": ["hello world hello", "bonjour monde", ""],
+                "lang": ["en", "fr", "zz"],
+            }
+        ),
+        "zerotok",
+    )
+    assert list(got["pred_lang"]) == list(ora["pred_lang"])
+    assert list(got["score_micro"]) == list(ora["score_micro"])
+    assert "zz" not in set(got["pred_lang"])  # the old oracle bug's tell
+
+    got2, ora2 = run(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([0, 1], dtype="int64"),
+                "text": ["", "   "],
+                "lang": ["en", "fr"],
+            }
+        ),
+        "allempty",
+    )
+    assert list(got2["pred_lang"]) == list(ora2["pred_lang"])
+    assert list(got2["score_micro"]) == list(ora2["score_micro"])
+
+
+def test_bpe_merges_cache_invalidates_on_rewrite(tmp_path):
+    """Regression (r3 review): rewriting documents.parquet at the same
+    path must retrain — the memo key carries a content fingerprint."""
+    import pyarrow as pa
+
+    from suckit_ray.pipelines import textops
+
+    def write(texts):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+                        "text": texts,
+                        "lang": ["en"] * len(texts),
+                    }
+                )
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+
+    write(["aa ab aa ab aa"])
+    before = len(textops._BPE_MERGES_CACHE)
+    textops.docs_bpe_train(str(tmp_path))
+    write(["zz zy zz zy zz zz"])
+    enc = textops.docs_bpe_encode(str(tmp_path)).to_pandas()
+    assert len(textops._BPE_MERGES_CACHE) >= before + 2
+    assert len(enc) == 1
+
+
+def test_to_cents_rounds_half_away_from_zero():
+    """to_cents must match DuckDB round(): half AWAY from zero, not
+    pandas' half-to-even."""
+    from suckit_ray.pipelines.relops import to_cents
+
+    s = pd.Series([0.125, 0.135, -0.125, 1.005, 0.0, 2.675])
+    import duckdb
+
+    # CAST the literal: parquet money columns are DOUBLE (a bare
+    # 1.005 would parse as exact DECIMAL and round differently)
+    want = [
+        int(
+            duckdb.sql(
+                f"SELECT CAST(round(CAST({x!r} AS DOUBLE) * 100) AS BIGINT)"
+            ).fetchone()[0]
+        )
+        for x in s
+    ]
+    assert list(to_cents(s)) == want
