@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_train": textops.docs_bpe_train,
         "docs_bpe_encode": textops.docs_bpe_encode,
         "docs_nb_classify": textops.docs_nb_classify,
+        "docs_dsir_weights": textops.docs_dsir_weights,
+        "docs_nfc_normalize": textops.docs_nfc_normalize,
+        "docs_weighted_sample": textops.docs_weighted_sample,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1172,6 +1175,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cand AS pred_lang,
                    CAST(score AS BIGINT) AS score_micro
             FROM r WHERE rn = 1
+        """,
+        # DSIR importance weights: per-occurrence micronat factors
+        # floor(ln p_target · 1e6) − floor(ln p_raw · 1e6), add-one
+        # smoothed over the shared vocab, summed per doc as ints
+        # (target domain = lang 'en'); zero-token docs weight 0
+        "docs_dsir_weights": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     UNNEST(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ),
+            vv AS (SELECT count(DISTINCT w) AS v FROM tok),
+            tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok
+                   WHERE lang = 'en'),
+            tr AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+            cwt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+                    WHERE lang = 'en' GROUP BY w),
+            cwr AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+                    GROUP BY w),
+            sc AS (
+              SELECT t.doc_id,
+                     CAST(SUM(
+                       CAST(floor(ln((COALESCE(cwt.c, 0) + 1.0)
+                                     / (tt.t + vv.v))
+                                  * 1000000.0) AS BIGINT)
+                       - CAST(floor(ln((cwr.c + 1.0) / (tr.t + vv.v))
+                                    * 1000000.0) AS BIGINT)
+                     ) AS BIGINT) AS s
+              FROM tok t
+              LEFT JOIN cwt ON cwt.w = t.w
+              JOIN cwr ON cwr.w = t.w
+              CROSS JOIN tt CROSS JOIN tr CROSS JOIN vv
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.s, 0) AS BIGINT) AS weight_micro
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # Unicode NFC normalization + touched flag
+        "docs_nfc_normalize": """
+            SELECT doc_id, nfc_normalize(text) AS text_nfc,
+                   CAST(nfc_normalize(text) <> text AS BIGINT) AS changed
+            FROM documents
+        """,
+        # A-ES weighted sampling: top-20 by floor(−ln(u)·1e9/w) with
+        # u md5-derived from doc_id, w = token count + 1
+        "docs_weighted_sample": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       string_split_regex(text, '\s+'), x -> x <> ''))
+                       AS BIGINT) + 1 AS wt,
+                     ('0x' || substr(
+                        md5('ws|' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT AS h
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, wt,
+                     CAST(floor(
+                       -ln((h + 1.0) / 1152921504606846976.0)
+                       * 1000000000.0 / wt) AS BIGINT) AS key_micro
+              FROM w
+            ),
+            r AS (
+              SELECT doc_id, wt, key_micro,
+                     ROW_NUMBER() OVER (ORDER BY key_micro, doc_id)
+                       AS rnk
+              FROM k
+            )
+            SELECT CAST(rnk AS BIGINT) AS rnk, doc_id,
+                   wt AS weight, key_micro
+            FROM r WHERE rnk <= 20
         """,
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count

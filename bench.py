@@ -167,6 +167,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_bpe_train",
         "docs_bpe_encode",
         "docs_nb_classify",
+        "docs_dsir_weights",
+        "docs_nfc_normalize",
+        "docs_weighted_sample",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

@@ -2200,3 +2200,272 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
         )
 
     return per_doc.map_batches(predict, batch_format="pandas")
+
+
+def docs_dsir_weights(sf_dir: str, target_lang: str = "en") -> rd.Dataset:
+    """(doc_id, weight_micro): DSIR-style importance weights — each
+    doc scored by how much more likely its tokens are under the
+    TARGET domain's unigram distribution than under the RAW corpus's
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling": hashed n-gram features, importance weight
+    = log p_target(doc) − log p_raw(doc); resample raw data
+    proportionally). The target domain here is the docs labelled
+    ``target_lang`` — the realistic shape where a small trusted slice
+    steers selection over the whole crawl.
+
+    Both distributions use add-one smoothing over the shared vocab
+    (p(w) = (c(w)+1)/(T+V)), and every per-occurrence factor is
+    quantized BEFORE the reduction — floor(ln·1e6) micronats, the
+    ``docs_nb_classify`` idiom — so the per-doc sum is an order-free
+    integer both engines reproduce bit-exactly.
+
+    Scale shape — ZERO driver model state (a broadcast unigram table
+    is O(vocab)): ONE token-hash co-group co-locates every occurrence
+    of a word with the target/raw labels, computes c_target(w) and
+    c_raw(w) group-locally, and emits each posting's integer
+    contribution cnt·(f_t − f_r); a bucketed per-doc sum finishes.
+    Zero-token docs ride a zeros stream (weight 0), mirroring the
+    oracle's LEFT JOIN. The corpus text is scanned once."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from suckit_ray.pipelines.dedup import _md5h60_memo
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        h = _md5h60_memo()
+        doc_ids, whs, tgt, cnts = [], [], [], []
+        for d, t, lg in zip(df["doc_id"], df["text"], df["lang"]):
+            is_t = lg == target_lang
+            for tok, c in Counter(t.split()).items():
+                doc_ids.append(d)
+                whs.append(h(tok))
+                tgt.append(is_t)
+                cnts.append(c)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "wh": pd.Series(whs, dtype="int64"),
+                "tgt": pd.Series(tgt, dtype="bool"),
+                "cnt": pd.Series(cnts, dtype="int64"),
+            }
+        )
+        out["wb"] = (out["wh"] % B).astype("int64")
+        return out
+
+    occ = (
+        _read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(explode, batch_format="pandas")
+        .materialize()  # feeds the totals AND the scoring co-group
+    )
+
+    # --- global scalars off the postings (no second text scan) ---
+    def partial_totals(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "t_tgt": pd.array([int(d.loc[d["tgt"], "cnt"].sum())],
+                                  dtype="int64"),
+                "t_raw": pd.array([int(d["cnt"].sum())], dtype="int64"),
+            }
+        )
+
+    tot = occ.map_batches(partial_totals, batch_format="pandas").to_pandas()
+    # column-less guard for an all-empty corpus (the NB idiom)
+    T_tgt = int(tot["t_tgt"].sum()) if "t_tgt" in tot.columns else 0
+    T_raw = int(tot["t_raw"].sum()) if "t_raw" in tot.columns else 0
+
+    def batch_unique(d: pd.DataFrame) -> pd.DataFrame:
+        u = d[["wh", "wb"]].drop_duplicates("wh")
+        return pd.DataFrame(
+            {"wh": u["wh"].astype("int64"), "wb": u["wb"].astype("int64")}
+        )
+
+    def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g["wh"].nunique()]}, dtype="int64")
+
+    vparts = (
+        occ.map_batches(batch_unique, batch_format="pandas")
+        .groupby("wb")
+        .map_groups(bucket_nunique, batch_format="pandas")
+        .to_pandas()
+    )
+    V = int(vparts["n"].sum()) if "n" in vparts.columns else 0
+
+    ref = ray.put((T_tgt, T_raw, V))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "w_part": pd.array([], dtype="int64"),
+                }
+            )
+        T_tgt, T_raw, V = ray.get(ref)
+        # group-local corpus counts per word: every occurrence of a
+        # word lands in this group by construction (wb = wh % B)
+        grp = g.groupby("wh")["cnt"]
+        cr = grp.transform("sum").to_numpy()
+        ct = (
+            g.assign(tc=g["cnt"].to_numpy() * g["tgt"].to_numpy())
+            .groupby("wh")["tc"]
+            .transform("sum")
+            .to_numpy()
+        )
+        # the factor decomposes as f_t(ct) − f_r(cr): one libm call
+        # per DISTINCT count on each side (the lm_score idiom), no
+        # (ct, cr) pair packing that could overflow at corpus scale
+        ut, it = np.unique(ct, return_inverse=True)
+        ur, ir = np.unique(cr, return_inverse=True)
+        ft = np.fromiter(
+            (
+                math.floor(math.log((c + 1.0) / (T_tgt + V)) * NB_SCALE)
+                for c in ut
+            ),
+            dtype=np.int64,
+            count=len(ut),
+        )
+        fr = np.fromiter(
+            (
+                math.floor(math.log((c + 1.0) / (T_raw + V)) * NB_SCALE)
+                for c in ur
+            ),
+            dtype=np.int64,
+            count=len(ur),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "w_part": (ft[it] - fr[ir]) * g["cnt"].to_numpy(),
+            }
+        )
+
+    scored = occ.groupby("wb").map_groups(attach, batch_format="pandas")
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "w_part": pd.Series(0, index=df.index, dtype="int64"),
+            }
+        )
+
+    zero_rows = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        zeros, batch_format="pandas"
+    )
+    agg = bucketed_groupby_agg(
+        scored.union(zero_rows),
+        keys=["doc_id"],
+        aggs={"weight_micro": ("w_part", "sum")},
+    )
+
+    def order_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "weight_micro"]]
+
+    return agg.map_batches(order_cols, batch_format="pandas")
+
+
+def docs_nfc_normalize(sf_dir: str) -> rd.Dataset:
+    """(doc_id, text_nfc, changed): Unicode NFC normalization of the
+    corpus text — the canonical first step of any multilingual
+    cleaning pipeline (decomposed é = e+◌́ vs precomposed é must
+    collapse before dedup/hashing, or byte-identical texts hash
+    apart). ``changed`` flags docs the normalization actually touched
+    (1/0 as int64), so a downstream stage can count or isolate them.
+
+    Fully vectorized: pandas ``.str.normalize('NFC')`` runs the ICU
+    algorithm per batch with no Python-level row loop; embarrassingly
+    parallel, no shuffle."""
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        nfc = df["text"].str.normalize("NFC")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text_nfc": nfc,
+                "changed": (nfc != df["text"]).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pandas"
+    )
+
+
+WSAMPLE_K = 20
+WSAMPLE_SCALE = 1_000_000_000  # nano-quantized priority keys
+_WSAMPLE_DENOM = float(1 << 60)  # 60-bit hash → u ∈ (0, 1]
+
+
+def docs_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> "pa.Table":
+    """(rnk, doc_id, weight, key_micro): deterministic weighted
+    sampling without replacement — the top-k docs by exponential-jitter
+    priority (Efraimidis & Spirakis 2006 A-ES: priority u^(1/w), here
+    as the equivalent key −ln(u)/w, smallest first). Weight = token
+    count + 1, so longer docs are proportionally likelier; u is
+    md5-derived from the doc_id, so the "randomness" is a pure
+    function of the row and both engines draw the SAME sample — the
+    seeded-shuffle trick applied to weighted selection.
+
+    key_micro quantizes the priority to integer nanos the way every
+    micronat op does: floor((−ln(u))·1e9 / w). Tie-break doc_id asc.
+
+    Scale shape: per-block key computation + per-block top-k; the
+    driver merges ≤ k rows per block (the ``top_customers`` idiom),
+    never the full keyed table. One text scan, no shuffle."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from suckit_ray.pipelines.dedup import _md5h60
+
+    def keyed_topk(df: pd.DataFrame) -> pd.DataFrame:
+        wt = (
+            df["text"].str.count(r"\S+").astype("int64").to_numpy() + 1
+        )
+        keys = np.fromiter(
+            (
+                math.floor(
+                    -math.log((float(_md5h60(f"ws|{d}")) + 1.0)
+                              / _WSAMPLE_DENOM)
+                    * WSAMPLE_SCALE
+                    / int(w)
+                )
+                for d, w in zip(df["doc_id"], wt)
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "weight": pd.Series(wt, index=df.index, dtype="int64"),
+                "key_micro": pd.Series(keys, index=df.index, dtype="int64"),
+            }
+        )
+        return out.sort_values(["key_micro", "doc_id"]).head(k)
+
+    merged = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(keyed_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k rows per block reach the driver
+        .sort_values(["key_micro", "doc_id"])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    merged["rnk"] = pd.Series(range(1, len(merged) + 1), dtype="int64")
+    return pa.table(
+        {
+            "rnk": pa.array(merged["rnk"], pa.int64()),
+            "doc_id": pa.array(merged["doc_id"], pa.int64()),
+            "weight": pa.array(merged["weight"], pa.int64()),
+            "key_micro": pa.array(merged["key_micro"], pa.int64()),
+        }
+    )

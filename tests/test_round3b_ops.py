@@ -1443,3 +1443,180 @@ def test_to_cents_rounds_half_away_from_zero():
         for x in s
     ]
     assert list(to_cents(s)) == want
+
+
+def test_dsir_weights_equals_python_reference():
+    """Independent reference: dict-counted unigram distributions on
+    raw token strings, same add-one smoothing + micronat quantization
+    (no hashing, no co-groups)."""
+    import math
+    from collections import Counter
+
+    from suckit_ray.pipelines import textops
+
+    got = (
+        textops.docs_dsir_weights(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    toks_of = {}
+    for d, t, lg in zip(docs["doc_id"], docs["text"], docs["lang"]):
+        toks = t.split()
+        toks_of[int(d)] = toks
+        cr.update(toks)
+        if lg == "en":
+            ct.update(toks)
+    V = len(set(cr))
+    Tt, Tr = sum(ct.values()), sum(cr.values())
+    want = {}
+    for d in docs["doc_id"]:
+        s = 0
+        for w in toks_of[int(d)]:
+            s += math.floor(
+                math.log((ct.get(w, 0) + 1.0) / (Tt + V)) * textops.NB_SCALE
+            ) - math.floor(
+                math.log((cr[w] + 1.0) / (Tr + V)) * textops.NB_SCALE
+            )
+        want[int(d)] = s
+    assert len(got) == len(docs)
+    for d, w in zip(got["doc_id"], got["weight_micro"]):
+        assert int(w) == want[int(d)], int(d)
+    # target-domain docs should on average score higher than raw ones
+    m = dict(zip(got["doc_id"].astype(int), got["weight_micro"].astype(int)))
+    en = [m[int(d)] for d, lg in zip(docs["doc_id"], docs["lang"]) if lg == "en"]
+    rest = [m[int(d)] for d, lg in zip(docs["doc_id"], docs["lang"]) if lg != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_dsir_weights_empty_target_and_empty_corpus(tmp_path):
+    """A target lang with zero docs must still produce finite weights
+    (smoothed with T_target=0); an all-empty corpus yields weight 0."""
+    import pyarrow as pa
+
+    from suckit_ray.pipelines import textops
+
+    d1 = tmp_path / "notgt"
+    d1.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.array([0, 1], dtype="int64"),
+                    "text": ["bonjour monde", "hola mundo"],
+                    "lang": ["fr", "es"],
+                }
+            )
+        ),
+        str(d1 / "documents.parquet"),
+    )
+    got = textops.docs_dsir_weights(str(d1)).to_pandas()
+    assert len(got) == 2
+    assert got["weight_micro"].notna().all()
+
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.array([0], dtype="int64"),
+                    "text": [""],
+                    "lang": ["en"],
+                }
+            )
+        ),
+        str(d2 / "documents.parquet"),
+    )
+    got2 = textops.docs_dsir_weights(str(d2)).to_pandas()
+    assert list(got2["weight_micro"]) == [0]
+
+
+def test_nfc_normalize_parity_on_decomposed_unicode(tmp_path):
+    """The sf corpora are ASCII (changed=0 everywhere), so pin the op
+    where it matters: decomposed NFD accents, Hangul jamo, and
+    singleton substitutions must normalize identically in pandas and
+    DuckDB, with the changed flag set."""
+    import unicodedata
+
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    from suckit_ray.pipelines import textops
+
+    texts = [
+        "café menu",                 # e + combining acute → é
+        "café menu",                  # already NFC
+        unicodedata.normalize("NFD", "한국어 텍스트"),  # decomposed jamo
+        "Å ring",                     # Å (angstrom sign) → U+00C5
+        "plain ascii",
+        "",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+
+    got = (
+        textops.docs_nfc_normalize(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = (
+        con.execute(entry.oracle_sql()["docs_nfc_normalize"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["text_nfc"]) == list(ora["text_nfc"])
+    assert list(got["changed"]) == list(ora["changed"])
+    assert list(got["changed"]) == [1, 0, 1, 1, 0, 0]
+    # and the normalized text matches Python's own unicodedata
+    assert list(got["text_nfc"]) == [
+        unicodedata.normalize("NFC", t) for t in texts
+    ]
+
+
+def test_weighted_sample_equals_python_reference():
+    """Independent reference: pure-Python A-ES over the whole corpus
+    (no blocks, no top-k merge), same md5 jitter and quantization."""
+    import math
+
+    from suckit_ray.pipelines import textops
+    from suckit_ray.pipelines.dedup import _md5h60
+
+    got = textops.docs_weighted_sample(SF).to_pandas()
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        w = len(t.split()) + 1
+        u = (float(_md5h60(f"ws|{int(d)}")) + 1.0) / float(1 << 60)
+        key = math.floor(-math.log(u) * textops.WSAMPLE_SCALE / w)
+        rows.append((key, int(d), w))
+    rows.sort()
+    want = rows[: textops.WSAMPLE_K]
+    assert len(got) == textops.WSAMPLE_K
+    for i, (key, d, w) in enumerate(want):
+        assert int(got.loc[i, "rnk"]) == i + 1
+        assert int(got.loc[i, "doc_id"]) == d
+        assert int(got.loc[i, "weight"]) == w
+        assert int(got.loc[i, "key_micro"]) == key
+    # weighted selection must overrepresent heavy docs vs uniform
+    mean_all = (docs["text"].str.split().str.len() + 1).mean()
+    assert got["weight"].mean() > mean_all
