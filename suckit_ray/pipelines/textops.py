@@ -2060,31 +2060,14 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
         out["wb"] = (out["wh"] % B).astype("int64")
         return out
 
-    occ = (
-        _read_documents(sf_dir, ["doc_id", "text", "lang"])
-        .map_batches(explode, batch_format="pandas")
-        .materialize()  # feeds smalls, V AND the scoring co-group
+    occ = _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        explode, batch_format="pandas"
     )
 
-    # --- smalls off the postings (no second text scan) ---
-    smalls = occ.map_batches(
-        lambda d: d.groupby("lang", as_index=False).agg(
-            n_tok=("cnt", "sum")
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    # an all-empty corpus yields a COLUMN-LESS frame (Ray drops the
-    # schema of an empty Dataset) — no postings means every lang's
-    # token total is 0
-    if "lang" in smalls.columns:
-        smalls = smalls.groupby("lang", as_index=False).agg(
-            n_tok=("n_tok", "sum")
-        )
-        tokL = dict(zip(smalls["lang"], smalls["n_tok"].astype(int)))
-    else:
-        tokL = {}
     # doc counts + the lang universe come from the pruned lang column
-    # (docs with zero tokens have no postings but still count)
+    # (docs with zero tokens have no postings but still count); known
+    # BEFORE the shuffle because the co-group's output columns are
+    # one per lang
     dlang = (
         _read_documents(sf_dir, ["lang"])
         .map_batches(
@@ -2099,48 +2082,30 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
     langs = list(dlang["lang"])
     docL = dict(zip(dlang["lang"], dlang["n"].astype(int)))
     N = int(dlang["n"].sum())
-    tokL = {L: tokL.get(L, 0) for L in langs}
-
-    # V = distinct tokens: batches pre-shrink to their distinct hashes
-    # so the dedup shuffle carries ~per-batch-vocab rows, not postings
-    def batch_unique(d: pd.DataFrame) -> pd.DataFrame:
-        u = d[["wh", "wb"]].drop_duplicates("wh")
-        return pd.DataFrame(
-            {"wh": u["wh"].astype("int64"), "wb": u["wb"].astype("int64")}
-        )
-
-    def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n": [g["wh"].nunique()]}, dtype="int64")
-
-    vparts = (
-        occ.map_batches(batch_unique, batch_format="pandas")
-        .groupby("wb")
-        .map_groups(bucket_nunique, batch_format="pandas")
-        .to_pandas()
-    )
-    # same column-less-empty-frame guard as smalls above
-    V = int(vparts["n"].sum()) if "n" in vparts.columns else 0
-
-    priors = {
-        L: math.floor(math.log(docL[L] / N) * NB_SCALE) for L in langs
-    }
-    ref = ray.put((langs, tokL, V, priors))
+    ccol = [f"c_{i}" for i in range(len(langs))]
     scol = [f"s_{i}" for i in range(len(langs))]
+    langs_ref = ray.put(langs)
 
-    def zeros(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
-        for c in scol:
-            out[c] = pd.Series(0, index=out.index, dtype="int64")
-        return out
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-posting rows (doc_id, mult, c_0..c_L: the word's
+        group-local per-lang counts) + ONE marker row (doc_id = −1,
+        mult = group vocab size, c_i = group's per-lang token total)
+        — V and tokL fall out of the SAME shuffle instead of separate
+        smalls / distinct-count passes (the docs_dsir_weights marker
+        fusion; dataset-execution count dominates the wall time)."""
         if len(g) == 0:
             return pd.DataFrame(
                 {"doc_id": pd.array([], dtype="int64")}
-                | {c: pd.array([], dtype="int64") for c in scol}
+                | {"mult": pd.array([], dtype="int64")}
+                | {c: pd.array([], dtype="int64") for c in ccol}
             )
-        langs, tokL, V, _ = ray.get(ref)
-        out = pd.DataFrame({"doc_id": g["doc_id"].astype("int64")})
+        langs = ray.get(langs_ref)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "mult": g["cnt"].astype("int64"),
+            }
+        )
         # c(w,L) is group-local: ONE pivot gives the per-lang counts
         # for every word in the group, gathered back per row
         cw = g.pivot_table(
@@ -2148,14 +2113,59 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
             aggfunc="sum", fill_value=0,
         )
         pos = cw.index.get_indexer(g["wh"])
-        mult = g["cnt"].to_numpy()
+        marker = {"doc_id": [-1], "mult": [int(g["wh"].nunique())]}
         for i, L in enumerate(langs):
             col = (
                 cw[L].to_numpy()
                 if L in cw.columns
                 else np.zeros(len(cw), dtype="int64")
             )
-            row_c = col[pos]
+            out[ccol[i]] = col[pos]
+            marker[ccol[i]] = [int(col.sum())]
+        return pd.concat(
+            [out, pd.DataFrame(marker)], ignore_index=True
+        ).astype({"doc_id": "int64", "mult": "int64"})
+
+    merged = (
+        occ.groupby("wb")
+        .map_groups(group_counts, batch_format="pandas")
+        .materialize()  # feeds the marker scan AND the factor map
+    )
+
+    marks = merged.map_batches(
+        lambda d: d[d["doc_id"] < 0], batch_format="pandas"
+    ).to_pandas()
+    # an all-empty corpus yields a COLUMN-LESS frame (Ray drops the
+    # schema of an empty Dataset) — no postings means V = tokL = 0
+    V = int(marks["mult"].sum()) if "mult" in marks.columns else 0
+    tokL = {
+        L: (int(marks[ccol[i]].sum()) if ccol[i] in marks.columns else 0)
+        for i, L in enumerate(langs)
+    }
+
+    priors = {
+        L: math.floor(math.log(docL[L] / N) * NB_SCALE) for L in langs
+    }
+    ref = ray.put((langs, tokL, V, priors))
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        for c in scol:
+            out[c] = pd.Series(0, index=out.index, dtype="int64")
+        return out
+
+    def factors(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["doc_id"] >= 0]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64")}
+                | {c: pd.array([], dtype="int64") for c in scol}
+            )
+        langs, tokL, V, _ = ray.get(ref)
+        out = pd.DataFrame({"doc_id": d["doc_id"].astype("int64")})
+        mult = d["mult"].to_numpy()
+        for i, L in enumerate(langs):
+            row_c = d[ccol[i]].to_numpy()
             denom = tokL[L] + V
             # one libm call per DISTINCT count (lm_score idiom); each
             # collapsed row contributes cnt × the per-occurrence factor
@@ -2171,7 +2181,7 @@ def docs_nb_classify(sf_dir: str) -> rd.Dataset:
             out[scol[i]] = q[inv] * mult
         return out
 
-    scored = occ.groupby("wb").map_groups(attach, batch_format="pandas")
+    scored = merged.map_batches(factors, batch_format="pandas")
     zero_rows = _read_documents(sf_dir, ["doc_id"]).map_batches(
         zeros, batch_format="pandas"
     )
@@ -2221,9 +2231,14 @@ def docs_dsir_weights(sf_dir: str, target_lang: str = "en") -> rd.Dataset:
 
     Scale shape — ZERO driver model state (a broadcast unigram table
     is O(vocab)): ONE token-hash co-group co-locates every occurrence
-    of a word with the target/raw labels, computes c_target(w) and
-    c_raw(w) group-locally, and emits each posting's integer
-    contribution cnt·(f_t − f_r); a bucketed per-doc sum finishes.
+    of a word with the target/raw labels and computes c_target(w),
+    c_raw(w) group-locally; each group also emits ONE marker row with
+    its vocab size and token totals, so V / T_target / T_raw fall out
+    of the SAME shuffle (measured: folding the separate totals + V
+    passes into the co-group cut the best-of-3 warm op 8.5 → 4.6 s at
+    sf0.1/32 — dataset-execution count, not pandas time, dominates).
+    A post-broadcast map turns counts into integer factor
+    contributions cnt·(f_t − f_r); a bucketed per-doc sum finishes.
     Zero-token docs ride a zeros stream (weight 0), mirroring the
     oracle's LEFT JOIN. The corpus text is scanned once."""
     import math
@@ -2259,55 +2274,20 @@ def docs_dsir_weights(sf_dir: str, target_lang: str = "en") -> rd.Dataset:
         out["wb"] = (out["wh"] % B).astype("int64")
         return out
 
-    occ = (
-        _read_documents(sf_dir, ["doc_id", "text", "lang"])
-        .map_batches(explode, batch_format="pandas")
-        .materialize()  # feeds the totals AND the scoring co-group
+    occ = _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        explode, batch_format="pandas"
     )
 
-    # --- global scalars off the postings (no second text scan) ---
-    def partial_totals(d: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "t_tgt": pd.array([int(d.loc[d["tgt"], "cnt"].sum())],
-                                  dtype="int64"),
-                "t_raw": pd.array([int(d["cnt"].sum())], dtype="int64"),
-            }
-        )
-
-    tot = occ.map_batches(partial_totals, batch_format="pandas").to_pandas()
-    # column-less guard for an all-empty corpus (the NB idiom)
-    T_tgt = int(tot["t_tgt"].sum()) if "t_tgt" in tot.columns else 0
-    T_raw = int(tot["t_raw"].sum()) if "t_raw" in tot.columns else 0
-
-    def batch_unique(d: pd.DataFrame) -> pd.DataFrame:
-        u = d[["wh", "wb"]].drop_duplicates("wh")
-        return pd.DataFrame(
-            {"wh": u["wh"].astype("int64"), "wb": u["wb"].astype("int64")}
-        )
-
-    def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n": [g["wh"].nunique()]}, dtype="int64")
-
-    vparts = (
-        occ.map_batches(batch_unique, batch_format="pandas")
-        .groupby("wb")
-        .map_groups(bucket_nunique, batch_format="pandas")
-        .to_pandas()
-    )
-    V = int(vparts["n"].sum()) if "n" in vparts.columns else 0
-
-    ref = ray.put((T_tgt, T_raw, V))
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-posting (doc_id, cnt, ct, cr) + ONE marker row
+        (doc_id = −1) carrying the group's vocab size and token
+        totals — words partition across groups by hash, so the
+        global V / T_target / T_raw are plain sums of the markers."""
+        cols = ["doc_id", "cnt", "ct", "cr"]
         if len(g) == 0:
             return pd.DataFrame(
-                {
-                    "doc_id": pd.array([], dtype="int64"),
-                    "w_part": pd.array([], dtype="int64"),
-                }
+                {c: pd.array([], dtype="int64") for c in cols}
             )
-        T_tgt, T_raw, V = ray.get(ref)
         # group-local corpus counts per word: every occurrence of a
         # word lands in this group by construction (wb = wh % B)
         grp = g.groupby("wh")["cnt"]
@@ -2318,6 +2298,52 @@ def docs_dsir_weights(sf_dir: str, target_lang: str = "en") -> rd.Dataset:
             .transform("sum")
             .to_numpy()
         )
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                "cnt": g["cnt"].to_numpy(),
+                "ct": ct,
+                "cr": cr,
+            }
+        )
+        marker = pd.DataFrame(
+            {
+                "doc_id": [-1],
+                "cnt": [int(g["wh"].nunique())],
+                "ct": [int((g["cnt"].to_numpy() * g["tgt"].to_numpy()).sum())],
+                "cr": [int(g["cnt"].sum())],
+            }
+        )
+        return pd.concat([out, marker], ignore_index=True).astype("int64")
+
+    merged = (
+        occ.groupby("wb")
+        .map_groups(group_counts, batch_format="pandas")
+        .materialize()  # feeds the marker scan AND the factor map
+    )
+
+    marks = merged.map_batches(
+        lambda d: d[d["doc_id"] < 0], batch_format="pandas"
+    ).to_pandas()
+    # column-less guard for an all-empty corpus (the NB idiom)
+    V = int(marks["cnt"].sum()) if "cnt" in marks.columns else 0
+    T_tgt = int(marks["ct"].sum()) if "ct" in marks.columns else 0
+    T_raw = int(marks["cr"].sum()) if "cr" in marks.columns else 0
+
+    ref = ray.put((T_tgt, T_raw, V))
+
+    def factors(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["doc_id"] >= 0]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "w_part": pd.array([], dtype="int64"),
+                }
+            )
+        T_tgt, T_raw, V = ray.get(ref)
+        ct = d["ct"].to_numpy()
+        cr = d["cr"].to_numpy()
         # the factor decomposes as f_t(ct) − f_r(cr): one libm call
         # per DISTINCT count on each side (the lm_score idiom), no
         # (ct, cr) pair packing that could overflow at corpus scale
@@ -2341,12 +2367,12 @@ def docs_dsir_weights(sf_dir: str, target_lang: str = "en") -> rd.Dataset:
         )
         return pd.DataFrame(
             {
-                "doc_id": g["doc_id"].astype("int64"),
-                "w_part": (ft[it] - fr[ir]) * g["cnt"].to_numpy(),
+                "doc_id": d["doc_id"].astype("int64"),
+                "w_part": (ft[it] - fr[ir]) * d["cnt"].to_numpy(),
             }
         )
 
-    scored = occ.groupby("wb").map_groups(attach, batch_format="pandas")
+    scored = merged.map_batches(factors, batch_format="pandas")
 
     def zeros(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
