@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": textops.docs_dsir_weights,
         "docs_nfc_normalize": textops.docs_nfc_normalize,
         "docs_weighted_sample": textops.docs_weighted_sample,
+        "q3_shipping_priority": relops.q3_shipping_priority,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1249,6 +1250,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rnk AS BIGINT) AS rnk, doc_id,
                    wt AS weight, key_micro
             FROM r WHERE rnk <= 20
+        """,
+        # TPC-H-Q3-shaped: top-10 unshipped orders by revenue for one
+        # market segment; revenue in integer 10^-4 dollars
+        "q3_shipping_priority": """
+            WITH li AS (
+              SELECT l_orderkey,
+                     SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS revenue
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY l_orderkey
+            ),
+            o AS (
+              SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us,
+                     o_orderpriority
+              FROM orders
+              JOIN customer ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-06-01'
+            ),
+            r AS (
+              SELECT li.l_orderkey AS o_orderkey, li.revenue,
+                     o.odate_us, o.o_orderpriority,
+                     ROW_NUMBER() OVER (
+                       ORDER BY li.revenue DESC, li.l_orderkey) AS rnk
+              FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+            )
+            SELECT o_orderkey, CAST(revenue AS BIGINT) AS revenue,
+                   odate_us, o_orderpriority
+            FROM r WHERE rnk <= 10
         """,
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count

@@ -1073,3 +1073,148 @@ def events_outliers(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.groupby("ub").map_groups(flag_group, batch_format="pandas")
+
+
+Q3_CUTOFF = "1998-06-01"     # orders strictly before, shipments after
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def q3_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> "pa.Table":
+    """TPC-H-Q3-shaped pipeline: top-k unshipped orders by revenue for
+    one market segment — customer(filter) ⋈ orders(filter) ⋈
+    lineitem(filter), group by order, ORDER BY revenue DESC LIMIT k.
+    Exercises the filtered THREE-table join shape with predicate
+    pushdown the other relational queries don't: both date filters run
+    INSIDE the parquet read (pyarrow row-group filter via
+    ``filter=``), so non-qualifying rows never leave storage.
+
+    Plan: the segment's custkeys are a broadcast membership set (the
+    one dimension-side reduction; at full TPC-H scale customer⋈orders
+    would take the same orderkey-style co-group on custkey — the
+    revenue_by_nation tradeoff, same documentation). Qualifying
+    orders and per-order lineitem revenue partials stream into ONE
+    tagged-union co-group on ``orderkey % B``; per-bucket top-k, then
+    a ≤ k·B-row driver merge (the top_customers idiom). Revenue is
+    integer 10^-4 dollars: price-cents × (100 − discount-percent),
+    exact in int64 and mirrored by the oracle."""
+    import pyarrow.dataset as pds
+    import ray
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+    cutoff_us = cutoff.value // 1000
+
+    import pyarrow.parquet as pq_
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "=", Q3_SEGMENT)],  # prune at read
+    )
+    seg_custkeys = set(cust["c_custkey"].to_pylist())
+    seg_ref = ray.put(seg_custkeys)
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["o_custkey"].isin(ray.get(seg_ref))
+        d = df.loc[keep]
+        p = pd.DataFrame(
+            {
+                "orderkey": d["o_orderkey"].astype("int64"),
+                "side": "o",
+                "odate_us": d["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "priority": d["o_orderpriority"],
+                "rev": pd.Series(0, index=d.index, dtype="int64"),
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = to_cents(df["l_extendedprice"]) * (
+            100 - to_cents(df["l_discount"])
+        )
+        p = (
+            pd.DataFrame(
+                {"orderkey": df["l_orderkey"].astype("int64"), "rev": rev}
+            )
+            .groupby("orderkey", as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+        p["side"] = "l"
+        p["odate_us"] = pd.Series(0, index=p.index, dtype="int64")
+        p["priority"] = ""
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p[["orderkey", "side", "odate_us", "priority", "rev", "bucket"]]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pds.field("o_orderdate") < pds.scalar(cutoff),
+    ).map_batches(order_rows, batch_format="pandas")
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pds.field("l_shipdate") > pds.scalar(cutoff),
+    ).map_batches(line_partial, batch_format="pandas")
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        li = (
+            g[g["side"] == "l"]
+            .groupby("orderkey", as_index=False)
+            .agg(revenue=("rev", "sum"))
+        )
+        od = g[g["side"] == "o"][["orderkey", "odate_us", "priority"]]
+        m = li.merge(od, on="orderkey")
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "orderkey": pd.array([], dtype="int64"),
+                    "revenue": pd.array([], dtype="int64"),
+                    "odate_us": pd.array([], dtype="int64"),
+                    "priority": pd.array([], dtype="str"),
+                }
+            )
+        m = m.sort_values(
+            ["revenue", "orderkey"], ascending=[False, True]
+        ).head(k)
+        return m[["orderkey", "revenue", "odate_us", "priority"]]
+
+    merged = (
+        orders.union(lines)
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k rows per bucket reach the driver
+    )
+    if "revenue" not in merged.columns:
+        # nothing qualified: Ray returns a COLUMN-LESS empty frame
+        merged = pd.DataFrame(
+            {
+                "orderkey": pd.array([], dtype="int64"),
+                "revenue": pd.array([], dtype="int64"),
+                "odate_us": pd.array([], dtype="int64"),
+                "priority": pd.array([], dtype="str"),
+            }
+        )
+    merged = (
+        merged.sort_values(["revenue", "orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(
+                merged["orderkey"].astype("int64"), pa.int64()
+            ),
+            "revenue": pa.array(merged["revenue"].astype("int64"), pa.int64()),
+            "odate_us": pa.array(
+                merged["odate_us"].astype("int64"), pa.int64()
+            ),
+            "o_orderpriority": pa.array(merged["priority"], pa.string()),
+        }
+    )

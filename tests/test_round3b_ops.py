@@ -1620,3 +1620,75 @@ def test_weighted_sample_equals_python_reference():
     # weighted selection must overrepresent heavy docs vs uniform
     mean_all = (docs["text"].str.split().str.len() + 1).mean()
     assert got["weight"].mean() > mean_all
+
+
+def test_q3_shipping_priority_equals_pandas_reference():
+    """Independent reference: plain pandas three-table join with the
+    same filters, integer revenue, and (revenue desc, orderkey asc)
+    top-k — no co-groups, no predicate pushdown."""
+    import numpy as np
+
+    from suckit_ray.pipelines import relops
+
+    got = relops.q3_shipping_priority(SF).to_pandas()
+
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp(relops.Q3_CUTOFF)
+
+    seg = set(cust.loc[cust["c_mktsegment"] == relops.Q3_SEGMENT, "c_custkey"])
+    o = orders[
+        (orders["o_orderdate"] < cutoff) & orders["o_custkey"].isin(seg)
+    ]
+    l = li[li["l_shipdate"] > cutoff].copy()
+
+    def cents(s):
+        x = s.to_numpy(dtype="float64") * 100.0
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+            "int64"
+        )
+
+    l["rev"] = cents(l["l_extendedprice"]) * (100 - cents(l["l_discount"]))
+    rev = l.groupby("l_orderkey", as_index=False).agg(revenue=("rev", "sum"))
+    m = rev.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m = m.sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True]
+    ).head(relops.Q3_TOPK)
+
+    assert list(got["o_orderkey"]) == list(m["o_orderkey"])
+    assert list(got["revenue"]) == list(m["revenue"])
+    assert list(got["o_orderpriority"]) == list(m["o_orderpriority"])
+    want_us = (
+        m["o_orderdate"].to_numpy().astype("datetime64[us]").astype("int64")
+    )
+    assert list(got["odate_us"]) == list(want_us)
+    assert len(got) == relops.Q3_TOPK  # corpus yields a full top-k
+
+
+def test_q3_shipping_priority_empty_when_nothing_qualifies(tmp_path):
+    """All rows filtered out (segment absent) → empty table, stable
+    schema, no crash in the tagged-union co-group."""
+    import pyarrow as pa
+
+    from suckit_ray.pipelines import relops
+
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cust["c_mktsegment"] = "NOSUCHSEG"
+    cust.loc[:, "c_mktsegment"] = "NOSUCHSEG"
+    pq.write_table(
+        pa.Table.from_pandas(
+            cust.assign(c_mktsegment="NOSUCHSEG").iloc[0:0]
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    # copy orders/lineitem unchanged
+    for t in ("orders", "lineitem"):
+        pq.write_table(
+            pq.read_table(f"{SF}/{t}.parquet"), str(tmp_path / f"{t}.parquet")
+        )
+    got = relops.q3_shipping_priority(str(tmp_path)).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == [
+        "o_orderkey", "revenue", "odate_us", "o_orderpriority",
+    ]
