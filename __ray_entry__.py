@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nfc_normalize": textops.docs_nfc_normalize,
         "docs_weighted_sample": textops.docs_weighted_sample,
         "q3_shipping_priority": relops.q3_shipping_priority,
+        "orders_unshipped": relops.orders_unshipped,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1281,6 +1282,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, CAST(revenue AS BIGINT) AS revenue,
                    odate_us, o_orderpriority
             FROM r WHERE rnk <= 10
+        """,
+        # distributed anti-join: orders with no lineitem shipped
+        # before the cutoff
+        "orders_unshipped": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                     AS total_cents
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            )
         """,
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count

@@ -168,6 +168,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_bpe_encode",
         "docs_nb_classify",
         "q3_shipping_priority",
+        "orders_unshipped",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -1218,3 +1218,79 @@ def q3_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> "pa.Table":
             "o_orderpriority": pa.array(merged["priority"], pa.string()),
         }
     )
+
+
+ANTI_CUTOFF = "1997-01-01"
+
+
+def orders_unshipped(sf_dir: str) -> rd.Dataset:
+    """(o_orderkey, o_custkey, total_cents): orders with NO lineitem
+    shipped before the cutoff — the distributed ANTI-JOIN (NOT
+    EXISTS) shape. decontamination does this over broadcast n-grams;
+    this is the big-big variant where NEITHER side broadcasts.
+
+    Plan: the lineitem side is filtered at the parquet read (pyarrow
+    row-group filter) and pre-shrunk inside map_batches to its
+    DISTINCT orderkeys, so the shuffle carries ~|qualifying orders|
+    rows, not lineitems. One tagged-union co-group on orderkey % B
+    subtracts the ship-side keys from the order side group-locally —
+    no driver state, no broadcast."""
+    import pyarrow.dataset as pds
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    cutoff = pd.Timestamp(ANTI_CUTOFF)
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "orderkey": df["o_orderkey"].astype("int64"),
+                "side": "o",
+                "custkey": df["o_custkey"].astype("int64"),
+                "total_c": to_cents(df["o_totalprice"]),
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    def shipped_keys(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["l_orderkey"].drop_duplicates().astype("int64")
+        p = pd.DataFrame(
+            {
+                "orderkey": u,
+                "side": "l",
+                "custkey": pd.Series(-1, index=u.index, dtype="int64"),
+                "total_c": pd.Series(0, index=u.index, dtype="int64"),
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(order_rows, batch_format="pandas")
+    shipped = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        filter=pds.field("l_shipdate") < pds.scalar(cutoff),
+    ).map_batches(shipped_keys, batch_format="pandas")
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["side"] == "o"]
+        hit = set(g.loc[g["side"] == "l", "orderkey"])
+        keep = od[~od["orderkey"].isin(hit)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["orderkey"].astype("int64"),
+                "o_custkey": keep["custkey"].astype("int64"),
+                "total_cents": keep["total_c"].astype("int64"),
+            }
+        )
+
+    return (
+        orders.union(shipped)
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+    )

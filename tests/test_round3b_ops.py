@@ -1692,3 +1692,31 @@ def test_q3_shipping_priority_empty_when_nothing_qualifies(tmp_path):
     assert list(got.columns) == [
         "o_orderkey", "revenue", "odate_us", "o_orderpriority",
     ]
+
+
+def test_orders_unshipped_equals_pandas_antijoin():
+    """Independent reference: pandas isin-based NOT EXISTS with the
+    same date predicate; also pins that true orphan orders (no
+    lineitems at all) appear in the result."""
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.orders_unshipped(SF)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp(relops.ANTI_CUTOFF)
+    shipped = set(li.loc[li["l_shipdate"] < cutoff, "l_orderkey"])
+    want = orders[~orders["o_orderkey"].isin(shipped)].sort_values(
+        "o_orderkey"
+    )
+    assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+    assert list(got["o_custkey"]) == list(want["o_custkey"])
+    assert len(got) > 0
+    # orphans (orders with zero lineitem rows) must all be present
+    orphans = set(orders["o_orderkey"]) - set(li["l_orderkey"])
+    assert orphans <= set(got["o_orderkey"])
