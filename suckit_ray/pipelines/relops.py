@@ -22,10 +22,17 @@ def to_cents(s: pd.Series) -> pd.Series:
     exact half-cents, but threshold ops (events_outliers) flip set
     membership on a 1-cent shift, so the idiom must match exactly."""
     x = s.to_numpy(dtype="float64") * 100.0
+    # NOT floor(x+0.5): for x just below k+0.5 (e.g.
+    # 0.49999999999999994) the ADDITION itself rounds up to k+1 and
+    # floor then overshoots C round(). frac = x − floor(x) is exact
+    # for |x| < 2^53 (the low mantissa bits), so comparing it to 0.5
+    # replicates half-away-from-zero bit-exactly.
+    fl = np.floor(x)
+    ce = np.ceil(x)
     return pd.Series(
-        np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
-            "int64"
-        ),
+        np.where(
+            x >= 0, fl + ((x - fl) >= 0.5), ce - ((ce - x) >= 0.5)
+        ).astype("int64"),
         index=s.index,
     )
 
@@ -1045,9 +1052,18 @@ def events_outliers(sf_dir: str) -> rd.Dataset:
         devf = nf * v.astype("float64") - s1f
         lhs = devf * devf
         rhs = 9.0 * (nf * s2f - s1f * s1f)
-        # float64 carries 53 significant bits; after a handful of
-        # multiply/subtract steps the relative error is ≲ 2^-48
-        margin = 2.0**-40 * np.maximum(np.abs(lhs), np.abs(rhs)) + 1.0
+        # the rounding error scales with the PRE-cancellation
+        # intermediates (n·S2 and S1² can be ~1e22 while their
+        # difference is ~1e13 for low-variance high-mean users), and
+        # s2f is a float sum of n terms (error ∝ n·2^-53·ΣvI²) — so
+        # the margin must carry both the intermediate magnitudes and
+        # an n factor, not max(|lhs|,|rhs|)
+        margin = (
+            (nf + 1024.0)
+            * 2.0**-50
+            * (np.abs(lhs) + 9.0 * (nf * s2f + s1f * s1f))
+            + 1.0
+        )
         keep = lhs > rhs + margin
         amb = np.flatnonzero(
             ~keep & ~(lhs < rhs - margin)
@@ -1105,7 +1121,6 @@ def q3_shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> "pa.Table":
 
     B = default_buckets()
     cutoff = pd.Timestamp(Q3_CUTOFF)
-    cutoff_us = cutoff.value // 1000
 
     import pyarrow.parquet as pq_
 

@@ -1870,16 +1870,19 @@ def _docs_fingerprint(sf_dir: str) -> tuple:
     path = f"{sf_dir}/documents.parquet"
     try:
         st = os.stat(path)
+        if os.path.isdir(path):
+            tot_size = tot_mtime = 0
+            for name in sorted(os.listdir(path)):
+                s = os.stat(os.path.join(path, name))
+                tot_size += s.st_size
+                tot_mtime = max(tot_mtime, s.st_mtime_ns)
+            return (tot_mtime, tot_size)
+        return (st.st_mtime_ns, st.st_size)
     except OSError:
+        # a part file vanished mid-listing (concurrent regeneration —
+        # the situation the fingerprint exists for): sentinel key,
+        # the next call re-stats
         return (0, 0)
-    if os.path.isdir(path):
-        tot_size = tot_mtime = 0
-        for name in sorted(os.listdir(path)):
-            s = os.stat(os.path.join(path, name))
-            tot_size += s.st_size
-            tot_mtime = max(tot_mtime, s.st_mtime_ns)
-        return (tot_mtime, tot_size)
-    return (st.st_mtime_ns, st.st_size)
 
 
 def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
@@ -1907,6 +1910,11 @@ def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
     import pyarrow as pa
 
     from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    # fingerprint BEFORE reading: if the corpus is regenerated during
+    # the multi-second training loop, the merges are recorded under
+    # the data they (mostly) read, and the caller's key still resolves
+    fp_key = (sf_dir, _docs_fingerprint(sf_dir), steps)
 
     def words(df: pd.DataFrame) -> pd.DataFrame:
         import re
@@ -1974,9 +1982,15 @@ def docs_bpe_train(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
             batch_format="pandas",
         ).materialize()
 
-    _BPE_MERGES_CACHE[(sf_dir, _docs_fingerprint(sf_dir), steps)] = list(
-        merges
-    )
+    # evict stale fingerprints for this (sf_dir, steps) so repeated
+    # regenerations don't leak one merge list per rewrite
+    for k in [
+        k
+        for k in _BPE_MERGES_CACHE
+        if k[0] == sf_dir and k[2] == steps and k != fp_key
+    ]:
+        del _BPE_MERGES_CACHE[k]
+    _BPE_MERGES_CACHE[fp_key] = list(merges)
     return rd.from_arrow(
         pa.table(
             {
@@ -2007,8 +2021,18 @@ def docs_bpe_encode(sf_dir: str, steps: int = BPE_TRAIN_STEPS) -> rd.Dataset:
     key = (sf_dir, _docs_fingerprint(sf_dir), steps)
     if key not in _BPE_MERGES_CACHE:
         # the training loop runs eagerly in the call (driver-side
-        # argmax per round), filling the cache as a side effect
+        # argmax per round), filling the cache as a side effect;
+        # re-fingerprint afterwards in case the corpus was rewritten
+        # DURING training (train stores under its own start-of-run
+        # key, which is the one that resolves)
         docs_bpe_train(sf_dir, steps)
+        if key not in _BPE_MERGES_CACHE:
+            # eviction keeps exactly one entry per (sf_dir, steps)
+            key = next(
+                k
+                for k in _BPE_MERGES_CACHE
+                if k[0] == sf_dir and k[2] == steps
+            )
     pairs = [p for _, p, _n in _BPE_MERGES_CACHE[key]]
     hi = 0x100 + max(len(pairs), 1) - 1
     sym_re = rf"[a-z0-9_Ā-{chr(hi)}]"
@@ -2436,9 +2460,13 @@ def docs_nfc_normalize(sf_dir: str) -> rd.Dataset:
     apart). ``changed`` flags docs the normalization actually touched
     (1/0 as int64), so a downstream stage can count or isolate them.
 
-    Fully vectorized: pandas ``.str.normalize('NFC')`` runs the ICU
-    algorithm per batch with no Python-level row loop; embarrassingly
-    parallel, no shuffle."""
+    Fully vectorized: pandas ``.str.normalize('NFC')`` applies
+    CPython's ``unicodedata`` (UCD tables) per batch with no
+    Python-level row loop; embarrassingly parallel, no shuffle.
+    Parity caveat: the DuckDB oracle normalizes via its bundled
+    utf8proc — code points whose normalization changed between the
+    two libraries' Unicode versions could diverge (none observed;
+    the accents/jamo/singleton cases are pinned by test)."""
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
         nfc = df["text"].str.normalize("NFC")

@@ -1416,11 +1416,16 @@ def test_bpe_merges_cache_invalidates_on_rewrite(tmp_path):
         )
 
     write(["aa ab aa ab aa"])
-    before = len(textops._BPE_MERGES_CACHE)
     textops.docs_bpe_train(str(tmp_path))
+    k1 = [k for k in textops._BPE_MERGES_CACHE if k[0] == str(tmp_path)]
+    assert len(k1) == 1
     write(["zz zy zz zy zz zz"])
     enc = textops.docs_bpe_encode(str(tmp_path)).to_pandas()
-    assert len(textops._BPE_MERGES_CACHE) >= before + 2
+    k2 = [k for k in textops._BPE_MERGES_CACHE if k[0] == str(tmp_path)]
+    # retrained under the new fingerprint, stale entry evicted
+    assert len(k2) == 1 and k2 != k1
+    merges = textops._BPE_MERGES_CACHE[k2[0]]
+    assert any("z" in p for _, p, _n in merges)  # new-corpus pairs
     assert len(enc) == 1
 
 
@@ -1673,14 +1678,12 @@ def test_q3_shipping_priority_empty_when_nothing_qualifies(tmp_path):
 
     from suckit_ray.pipelines import relops
 
+    # full customer table whose segment never matches: exercises the
+    # read-time filters= returning no rows on a POPULATED table
     cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
     cust["c_mktsegment"] = "NOSUCHSEG"
-    cust.loc[:, "c_mktsegment"] = "NOSUCHSEG"
     pq.write_table(
-        pa.Table.from_pandas(
-            cust.assign(c_mktsegment="NOSUCHSEG").iloc[0:0]
-        ),
-        str(tmp_path / "customer.parquet"),
+        pa.Table.from_pandas(cust), str(tmp_path / "customer.parquet")
     )
     # copy orders/lineitem unchanged
     for t in ("orders", "lineitem"):
@@ -1720,3 +1723,45 @@ def test_orders_unshipped_equals_pandas_antijoin():
     # orphans (orders with zero lineitem rows) must all be present
     orphans = set(orders["o_orderkey"]) - set(li["l_orderkey"])
     assert orphans <= set(got["o_orderkey"])
+
+
+def test_outliers_cancellation_regime_matches_duckdb(tmp_path):
+    """Regression (r3 review #2): low-variance HIGH-MEAN users put
+    n·S2 and S1² near 1e22 while their difference is ~1e12 — the
+    float error exceeds the old max(|lhs|,|rhs|)-scaled margin, so
+    boundary events were confidently misclassified without ever
+    entering the exact-int settlement band. Events sit 1 cent around
+    the 3σ boundary by construction."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    from suckit_ray.pipelines import relops
+
+    m = 10_000_000  # $100k in cents
+    n_half = 5_000
+    vals_c = [m - 100] * n_half + [m + 100] * n_half + [m + 301, m + 299]
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(len(vals_c)), dtype="int64"),
+            "user_id": pd.array([7] * len(vals_c), dtype="int64"),
+            "value": [v / 100.0 for v in vals_c],
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(len(vals_c)), unit="s"),
+            "event_type": "click",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+
+    got = relops.events_outliers(str(tmp_path)).to_pandas()
+    got_ids = sorted(got["event_id"]) if "event_id" in got.columns else []
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    ora = con.execute(entry.oracle_sql()["events_outliers"]).df()
+    assert got_ids == sorted(ora["event_id"])
+    # the +301 event is a genuine outlier under the exact algebra
+    assert len(got_ids) >= 1
