@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": textops.docs_dsir_weights,
         "docs_nfc_normalize": textops.docs_nfc_normalize,
         "docs_weighted_sample": textops.docs_weighted_sample,
+        "docs_stratum_sample": textops.docs_stratum_sample,
         "q3_shipping_priority": relops.q3_shipping_priority,
         "orders_unshipped": relops.orders_unshipped,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
@@ -1251,6 +1252,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rnk AS BIGINT) AS rnk, doc_id,
                    wt AS weight, key_micro
             FROM r WHERE rnk <= 20
+        """,
+        # per-stratum A-ES: same jitter/key, top-5 within each lang
+        "docs_stratum_sample": r"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(
+                       string_split_regex(text, '\s+'), x -> x <> ''))
+                       AS BIGINT) + 1 AS wt,
+                     ('0x' || substr(
+                        md5('ws|' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT AS h
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, lang, wt,
+                     CAST(floor(
+                       -ln((h + 1.0) / 1152921504606846976.0)
+                       * 1000000000.0 / wt) AS BIGINT) AS key_micro
+              FROM w
+            ),
+            r AS (
+              SELECT lang, doc_id, wt, key_micro,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY key_micro, doc_id) AS rnk
+              FROM k
+            )
+            SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
+                   wt AS weight, key_micro
+            FROM r WHERE rnk <= 5
         """,
         # TPC-H-Q3-shaped: top-10 unshipped orders by revenue for one
         # market segment; revenue in integer 10^-4 dollars

@@ -172,6 +172,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",
+        "docs_stratum_sample",
         "semantic_dedup",
         "warc_roundtrip",
         "training_corpus",

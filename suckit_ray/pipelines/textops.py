@@ -2554,3 +2554,82 @@ def docs_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> "pa.Table":
             "key_micro": pa.array(merged["key_micro"], pa.int64()),
         }
     )
+
+
+WSAMPLE_PER_STRATUM = 5
+
+
+def docs_stratum_sample(
+    sf_dir: str, k: int = WSAMPLE_PER_STRATUM
+) -> rd.Dataset:
+    """(lang, rnk, doc_id, weight, key_micro): per-STRATUM weighted
+    sampling — the ``docs_weighted_sample`` A-ES draw run
+    independently inside every lang, k winners each. This is the
+    balanced-mixture builder's shape: a deterministic quota per
+    stratum regardless of stratum skew (``docs_domain_mix`` budgets by
+    token mass; this samples by per-doc weight within the stratum).
+
+    Same md5 jitter / key quantization as the global variant, so a
+    doc's key is stratum-independent; the tie-break and ranking are
+    (key asc, doc_id asc) within lang.
+
+    Scale shape: per-block per-lang top-k inside map_batches, then ONE
+    tiny lang co-group merges ≤ k·blocks rows per lang and re-ranks —
+    the shuffle carries only block winners, never the corpus."""
+    import math
+
+    import numpy as np
+
+    from suckit_ray.pipelines.dedup import _md5h60
+
+    def keyed_topk(df: pd.DataFrame) -> pd.DataFrame:
+        wt = df["text"].str.count(r"\S+").astype("int64").to_numpy() + 1
+        keys = np.fromiter(
+            (
+                math.floor(
+                    -math.log((float(_md5h60(f"ws|{d}")) + 1.0)
+                              / _WSAMPLE_DENOM)
+                    * WSAMPLE_SCALE
+                    / int(w)
+                )
+                for d, w in zip(df["doc_id"], wt)
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"].astype("int64"),
+                "weight": pd.Series(wt, index=df.index, dtype="int64"),
+                "key_micro": pd.Series(keys, index=df.index, dtype="int64"),
+            }
+        )
+        return (
+            out.sort_values(["key_micro", "doc_id"])
+            .groupby("lang", as_index=False, sort=False)
+            .head(k)
+        )
+
+    def stratum_rank(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.array([], dtype="str"),
+                    "rnk": pd.array([], dtype="int64"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "weight": pd.array([], dtype="int64"),
+                    "key_micro": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["lang", "key_micro", "doc_id"])
+        g = g.groupby("lang", as_index=False, sort=False).head(k).copy()
+        g["rnk"] = (g.groupby("lang").cumcount() + 1).astype("int64")
+        return g[["lang", "rnk", "doc_id", "weight", "key_micro"]]
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(keyed_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(stratum_rank, batch_format="pandas")
+    )

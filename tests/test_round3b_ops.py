@@ -1765,3 +1765,49 @@ def test_outliers_cancellation_regime_matches_duckdb(tmp_path):
     assert got_ids == sorted(ora["event_id"])
     # the +301 event is a genuine outlier under the exact algebra
     assert len(got_ids) >= 1
+
+
+def test_stratum_sample_equals_python_reference():
+    """Independent reference: pure-Python per-lang A-ES with the same
+    jitter; also pins consistency with the global variant (a doc's
+    key is stratum-independent)."""
+    import math
+
+    from suckit_ray.pipelines import textops
+    from suckit_ray.pipelines.dedup import _md5h60
+
+    got = (
+        textops.docs_stratum_sample(SF)
+        .to_pandas()
+        .sort_values(["lang", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    rows = []
+    for d, t, lg in zip(docs["doc_id"], docs["text"], docs["lang"]):
+        w = len(t.split()) + 1
+        u = (float(_md5h60(f"ws|{int(d)}")) + 1.0) / float(1 << 60)
+        rows.append(
+            (lg, math.floor(-math.log(u) * textops.WSAMPLE_SCALE / w),
+             int(d), w)
+        )
+    want = []
+    for lg in sorted(set(docs["lang"])):
+        sub = sorted(r for r in rows if r[0] == lg)
+        for i, (L, key, d, w) in enumerate(
+            sub[: textops.WSAMPLE_PER_STRATUM]
+        ):
+            want.append((L, i + 1, d, w, key))
+    assert len(got) == len(want)
+    for row, (L, rnk, d, w, key) in zip(got.itertuples(index=False), want):
+        assert (row.lang, row.rnk, row.doc_id, row.weight, row.key_micro) \
+            == (L, rnk, d, w, key)
+    # every lang present with a full quota (corpus has >=5 docs/lang)
+    assert got.groupby("lang").size().eq(textops.WSAMPLE_PER_STRATUM).all()
+    # stratum-independence: the global sample's keys agree per doc
+    glob = textops.docs_weighted_sample(SF).to_pandas()
+    km = dict(zip(got["doc_id"], got["key_micro"]))
+    for d, k in zip(glob["doc_id"], glob["key_micro"]):
+        if int(d) in km:
+            assert km[int(d)] == int(k)
