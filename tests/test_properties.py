@@ -83,3 +83,77 @@ def test_should_visit_and_normalize_total(cand):
     n = urlkit.normalize_url(cand)
     if cand.startswith("//"):
         assert n.startswith("https://")
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_to_cents_matches_duckdb_round(vals):
+    """Engine-parity fuzz: to_cents must equal DuckDB's
+    CAST(round(v * 100) AS BIGINT) for arbitrary DOUBLE money values
+    (incl. the x-just-below-k+0.5 addition-rounding edge)."""
+    import duckdb
+    import pandas as pd
+
+    from suckit_ray.pipelines.relops import to_cents
+
+    got = list(to_cents(pd.Series(vals, dtype="float64")))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = [
+        int(x)
+        for (x,) in con.execute(
+            "SELECT CAST(round(v * 100) AS BIGINT) FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 60) - 1),
+            st.integers(min_value=1, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_wsample_key_matches_duckdb(pairs):
+    """Engine-parity fuzz for the A-ES priority key: Python
+    floor(−log(u)·1e9/w) must equal DuckDB's floor(−ln(u)·1e9/w) for
+    arbitrary 60-bit hashes and weights (the BIGINT→DOUBLE h+1.0
+    promotion happens in both engines)."""
+    import math
+
+    import duckdb
+
+    got = [
+        math.floor(
+            -math.log((float(h) + 1.0) / float(1 << 60)) * 1e9 / int(w)
+        )
+        for h, w in pairs
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(h BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(h, w) for h, w in pairs])
+    want = [
+        int(x)
+        for (x,) in con.execute(
+            "SELECT CAST(floor(-ln((h + 1.0) / 1152921504606846976.0)"
+            " * 1000000000.0 / w) AS BIGINT) FROM t"
+        ).fetchall()
+    ]
+    assert got == want
