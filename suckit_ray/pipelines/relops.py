@@ -1070,15 +1070,23 @@ def events_outliers(sf_dir: str) -> rd.Dataset:
         )  # |lhs−rhs| inside the error band: settle with exact ints
         if len(amb) > 0:
             uid = g["user_id"].to_numpy()
-            s2_exact: dict[int, int] = {}
+            exact: dict[int, tuple[int, int]] = {}
             for i in amb:
                 u = int(uid[i])
-                if u not in s2_exact:
+                if u not in exact:
                     uv = v[uid == u]
-                    s2_exact[u] = sum(int(x) * int(x) for x in uv)
-                ni, vi, s1i = int(n[i]), int(v[i]), int(s1[i])
+                    # recompute BOTH sums as Python ints — the int64
+                    # transform sums above could themselves wrap for
+                    # extreme users, and this path exists precisely to
+                    # be exact
+                    exact[u] = (
+                        sum(int(x) for x in uv),
+                        sum(int(x) * int(x) for x in uv),
+                    )
+                s1i, s2i = exact[u]
+                ni, vi = int(n[i]), int(v[i])
                 d = ni * vi - s1i
-                keep[i] = d * d > 9 * (ni * s2_exact[u] - s1i * s1i)
+                keep[i] = d * d > 9 * (ni * s2i - s1i * s1i)
         out = g.loc[keep]
         return pd.DataFrame(
             {
