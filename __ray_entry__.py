@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_mirror": _crawl_mirror_summary,
         "crawl_spans": _crawl_spans,
         "crawl_pagerank": graph.crawl_pagerank,
+        "crawl_triangles": graph.crawl_triangles,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_diff": _crawl_diff,
         "crawl_media_manifest": _crawl_media_manifest,
@@ -1543,6 +1544,34 @@ def oracle_sql() -> dict[str, str]:
               JOIN hosts ho ON ho.h = r.h
             )
             SELECT * FROM page_spans UNION ALL SELECT * FROM asset_spans
+        """,
+        # per-host triangle counts of the same closure's undirected
+        # link graph: compact-forward as a 3-way self-join (every
+        # triangle u<v<w once, via its smallest vertex)
+        "crawl_triangles": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            edges AS (
+              SELECT DISTINCT r.h,
+                     LEAST(r.j, x.t) AS a, GREATEST(r.j, x.t) AS b
+              FROM reach r
+              JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            tri AS (
+              SELECT e1.h, CAST(count(*) AS BIGINT) AS n_triangles
+              FROM edges e1
+              JOIN edges e2 ON e2.h = e1.h AND e2.a = e1.a
+                           AND e2.b > e1.b
+              JOIN edges e3 ON e3.h = e1.h AND e3.a = e1.b
+                           AND e3.b = e2.b
+              GROUP BY e1.h
+            )
+            SELECT hn.hn AS host, t.n_triangles
+            FROM tri t JOIN hostname hn ON hn.h = t.h
         """,
         # round 3: the minhash/simhash families moved to md5-derived
         # hashing (dedup._md5h60) and gained FULL bit-exact SQL

@@ -174,6 +174,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_weighted_sample",
         "docs_stratum_sample",
         "semantic_dedup",
+        "crawl_triangles",
         "warc_roundtrip",
         "training_corpus",
     ]

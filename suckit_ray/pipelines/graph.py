@@ -293,3 +293,166 @@ def crawl_pagerank(sf_dir: str):
         )
 
     return ranks.map_batches(scale, batch_format="pandas")
+
+
+def triangles_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, n_triangles): exact triangle count of each host's
+    undirected page-link graph — compact-forward (node-iterator over
+    oriented edges): every triangle u<v<w is found exactly once, as
+    the wedge (v, w) centered at its SMALLEST vertex u matched
+    against the edge set.
+
+    Scale shape, three bounded exchanges and no driver state:
+    (1) hash-dedup the oriented edge set (links arrive from both
+    endpoints' pages); (2) group by (host, u) and emit each
+    neighbor pair of u's forward-adjacency as a wedge row — O(deg⁺²)
+    per vertex, the known skew bound of every triangle algorithm
+    (orientation by vertex id caps deg⁺ at the synthetic corpus's
+    constant fanout; at web scale orient by DEGREE first, which
+    provably bounds deg⁺ at O(√edges)); (3) a tagged-union co-group
+    on the wedge/edge key counts matches. Per-host sums are the only
+    driver-visible result."""
+    import re
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+    # normpath collapses the root-file double slash: host.test/pJ.html
+    page_re = re.compile(r"/p(\d+)\.html$")
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        hosts, a_, b_ = [], [], []
+        for doc_id, host, is_html, spans in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("host").to_pylist(),
+            t.column("is_html").to_pylist(),
+            t.column("spans").to_pylist(),
+        ):
+            if not is_html:
+                continue
+            m = page_re.search(posixpath.normpath(doc_id))
+            if not m:
+                continue
+            j = int(m.group(1))
+            for s in spans:
+                if s["kind"] != "link":
+                    continue
+                tgt = resolve_link(doc_id, s["media_ref"])
+                mt = page_re.search(tgt)
+                if not mt:
+                    continue
+                k = int(mt.group(1))
+                if k == j:
+                    continue
+                hosts.append(host)
+                a_.append(min(j, k))
+                b_.append(max(j, k))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "a": pa.array(a_, pa.int64()),
+                "b": pa.array(b_, pa.int64()),
+            }
+        )
+
+    def batch_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["host", "a", "b"]).copy()
+        out["eb"] = (
+            out["a"].astype("int64") * 1_000_003 + out["b"]
+        ) % default_buckets()
+        return out
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["host", "a", "b"])[["host", "a", "b"]]
+
+    edges = (
+        docs.map_batches(edge_rows, batch_format="pyarrow")
+        .map_batches(batch_dedup, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(bucket_dedup, batch_format="pandas")
+        .materialize()  # feeds both the wedge build and the probe side
+    )
+
+    def to_wedge_groups(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["ub"] = (out["a"].astype("int64") % B).astype("int64")
+        return out
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        """All forward-neighbor pairs per (host, u): wedge rows tagged
+        side=1 keyed by the candidate closing edge (v1, v2)."""
+        hosts, v1s, v2s = [], [], []
+        for (h, _u), grp in g.groupby(["host", "a"], sort=False):
+            nb = sorted(grp["b"])
+            for i in range(len(nb) - 1):
+                for jj in range(i + 1, len(nb)):
+                    hosts.append(h)
+                    v1s.append(nb[i])
+                    v2s.append(nb[jj])
+        return pd.DataFrame(
+            {
+                "host": pd.Series(hosts, dtype="object"),
+                "a": pd.Series(v1s, dtype="int64"),
+                "b": pd.Series(v2s, dtype="int64"),
+                "side": pd.Series(1, index=range(len(hosts)), dtype="int64"),
+            }
+        )
+
+    wedge_rows = (
+        edges.map_batches(to_wedge_groups, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def edge_side(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["host", "a", "b"]].copy()
+        out["side"] = pd.Series(0, index=out.index, dtype="int64")
+        return out
+
+    def key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["kb"] = (
+            (out["a"].astype("int64") * 1_000_003 + out["b"]) % B
+        ).astype("int64")
+        return out
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        w = g[g["side"] == 1]
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame(
+                {
+                    "host": pd.array([], dtype="str"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        closed = w.merge(e[["host", "a", "b"]], on=["host", "a", "b"])
+        if len(closed) == 0:
+            return pd.DataFrame(
+                {
+                    "host": pd.array([], dtype="str"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        out = closed.groupby("host", as_index=False).size()
+        return pd.DataFrame(
+            {"host": out["host"], "n": out["size"].astype("int64")}
+        )
+
+    counted = (
+        wedge_rows.union(edges.map_batches(edge_side, batch_format="pandas"))
+        .map_batches(key_bucket, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(close_count, batch_format="pandas")
+    )
+    return bucketed_groupby_agg(
+        counted, keys=["host"], aggs={"n_triangles": ("n", "sum")}
+    )
+
+
+def crawl_triangles(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-host triangle counts of the flagship
+    crawl's link graph (hosts with ≥1 triangle)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return triangles_from_docs(crawl_docs(sf_dir))

@@ -1811,3 +1811,45 @@ def test_stratum_sample_equals_python_reference():
     for d, k in zip(glob["doc_id"], glob["key_micro"]):
         if int(d) in km:
             assert km[int(d)] == int(k)
+
+
+def test_crawl_triangles_equals_python_reference():
+    """Independent reference: brute-force per-host triangle count over
+    the closure's undirected edge set (set-intersection per edge)."""
+    from suckit_ray.pipelines import flagship, graph
+
+    got = {
+        r["host"]: r["n_triangles"]
+        for r in graph.crawl_triangles(SF).to_pandas().to_dict("records")
+    }
+
+    corpus = flagship.corpus_for(SF)
+    want = {}
+    for h in range(corpus.n_hosts):
+        m = corpus.docs_per_host(h)
+        seen, stack = {0}, [0]
+        while stack:
+            j = stack.pop()
+            for t in ((2 * j + 1) % m, (2 * j + 2) % m,
+                      (5 * j + 3) % m, (5 * j + 10) % m):
+                if t not in seen:
+                    seen.add(t)
+                    stack.append(t)
+        adj: dict = {}
+        for j in seen:
+            for t in ((2 * j + 1) % m, (2 * j + 2) % m,
+                      (5 * j + 3) % m, (5 * j + 10) % m):
+                if t != j:
+                    adj.setdefault(j, set()).add(t)
+                    adj.setdefault(t, set()).add(j)
+        n = 0
+        for u, nb in adj.items():
+            for v in nb:
+                if v > u:
+                    n += len(
+                        {w for w in adj[u] & adj[v] if w > v}
+                    )
+        if n:
+            want[corpus.host_name(h)] = n
+    assert got == want
+    assert sum(want.values()) > 0  # the corpus actually has triangles
