@@ -341,6 +341,11 @@ def triangles_from_docs(docs: rd.Dataset) -> rd.Dataset:
                 mt = page_re.search(tgt)
                 if not mt:
                     continue
+                # cross-host links (corpora with ext_links) are NOT
+                # intra-host edges — the page number alone would
+                # fabricate one on the wrong host
+                if tgt.split("/", 1)[0] != host:
+                    continue
                 k = int(mt.group(1))
                 if k == j:
                     continue
@@ -359,7 +364,7 @@ def triangles_from_docs(docs: rd.Dataset) -> rd.Dataset:
         out = df.drop_duplicates(["host", "a", "b"]).copy()
         out["eb"] = (
             out["a"].astype("int64") * 1_000_003 + out["b"]
-        ) % default_buckets()
+        ) % B
         return out
 
     def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:

@@ -1033,23 +1033,31 @@ def events_outliers(sf_dir: str) -> rd.Dataset:
                 }
             )
         v = g["v"].to_numpy()
+        uid_np = g["user_id"].to_numpy()
         grp = g.groupby("user_id")["v"]
         n = grp.transform("size").to_numpy().astype("int64")
-        s1 = grp.transform("sum").to_numpy()
-        # S2 = Σv² can pass 2^63 for heavy users: sum in float64 for
-        # the prefilter, re-derive exactly only where the margin is
-        # ambiguous. v² itself stays well inside float64's 53-bit
+        # BOTH prefilter sums run in float64: an int64 transform sum
+        # would WRAP for a user with Σv ≥ 2^63 and push the wrapped
+        # value confidently OUTSIDE the ambiguity band (the exact
+        # path never fires on values it never sees). Float sums don't
+        # wrap; their rounding error is what the margin's n factor
+        # covers. v and v² themselves stay inside float64's 53-bit
         # exact-integer range (v ≤ ~10^7 cents → v² ≤ 10^14).
-        v2f = v.astype("float64") ** 2
+        vf = v.astype("float64")
+        s1f = (
+            pd.Series(vf, index=g.index)
+            .groupby(uid_np)
+            .transform("sum")
+            .to_numpy()
+        )
         s2f = (
-            pd.Series(v2f, index=g.index)
-            .groupby(g["user_id"].to_numpy())
+            pd.Series(vf * vf, index=g.index)
+            .groupby(uid_np)
             .transform("sum")
             .to_numpy()
         )
         nf = n.astype("float64")
-        s1f = s1.astype("float64")
-        devf = nf * v.astype("float64") - s1f
+        devf = nf * vf - s1f
         lhs = devf * devf
         rhs = 9.0 * (nf * s2f - s1f * s1f)
         # the rounding error scales with the PRE-cancellation
@@ -1069,16 +1077,12 @@ def events_outliers(sf_dir: str) -> rd.Dataset:
             ~keep & ~(lhs < rhs - margin)
         )  # |lhs−rhs| inside the error band: settle with exact ints
         if len(amb) > 0:
-            uid = g["user_id"].to_numpy()
             exact: dict[int, tuple[int, int]] = {}
             for i in amb:
-                u = int(uid[i])
+                u = int(uid_np[i])
                 if u not in exact:
-                    uv = v[uid == u]
-                    # recompute BOTH sums as Python ints — the int64
-                    # transform sums above could themselves wrap for
-                    # extreme users, and this path exists precisely to
-                    # be exact
+                    uv = v[uid_np == u]
+                    # Python-int sums: this path exists to be exact
                     exact[u] = (
                         sum(int(x) for x in uv),
                         sum(int(x) * int(x) for x in uv),

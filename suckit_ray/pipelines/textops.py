@@ -2488,6 +2488,36 @@ WSAMPLE_SCALE = 1_000_000_000  # nano-quantized priority keys
 _WSAMPLE_DENOM = float(1 << 60)  # 60-bit hash → u ∈ (0, 1]
 
 
+def _wsample_keys(df: pd.DataFrame):
+    """(weight, key_micro) arrays for the A-ES draw — THE single
+    definition of the jitter prefix, weight rule, and quantization
+    shared by the global and per-stratum samplers (and mirrored by
+    both SQL oracles): any tweak must land in all four places at
+    once, so the Python side lives here alone."""
+    import math
+
+    import numpy as np
+
+    from suckit_ray.pipelines.dedup import _md5h60
+
+    wt = df["text"].str.count(r"\S+").astype("int64").to_numpy() + 1
+    keys = np.fromiter(
+        (
+            math.floor(
+                -math.log(
+                    (float(_md5h60(f"ws|{d}")) + 1.0) / _WSAMPLE_DENOM
+                )
+                * WSAMPLE_SCALE
+                / int(w)
+            )
+            for d, w in zip(df["doc_id"], wt)
+        ),
+        dtype=np.int64,
+        count=len(df),
+    )
+    return wt, keys
+
+
 def docs_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> "pa.Table":
     """(rnk, doc_id, weight, key_micro): deterministic weighted
     sampling without replacement — the top-k docs by exponential-jitter
@@ -2504,30 +2534,10 @@ def docs_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> "pa.Table":
     Scale shape: per-block key computation + per-block top-k; the
     driver merges ≤ k rows per block (the ``top_customers`` idiom),
     never the full keyed table. One text scan, no shuffle."""
-    import math
-
-    import numpy as np
     import pyarrow as pa
 
-    from suckit_ray.pipelines.dedup import _md5h60
-
     def keyed_topk(df: pd.DataFrame) -> pd.DataFrame:
-        wt = (
-            df["text"].str.count(r"\S+").astype("int64").to_numpy() + 1
-        )
-        keys = np.fromiter(
-            (
-                math.floor(
-                    -math.log((float(_md5h60(f"ws|{d}")) + 1.0)
-                              / _WSAMPLE_DENOM)
-                    * WSAMPLE_SCALE
-                    / int(w)
-                )
-                for d, w in zip(df["doc_id"], wt)
-            ),
-            dtype=np.int64,
-            count=len(df),
-        )
+        wt, keys = _wsample_keys(df)
         out = pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
@@ -2576,27 +2586,9 @@ def docs_stratum_sample(
     Scale shape: per-block per-lang top-k inside map_batches, then ONE
     tiny lang co-group merges ≤ k·blocks rows per lang and re-ranks —
     the shuffle carries only block winners, never the corpus."""
-    import math
-
-    import numpy as np
-
-    from suckit_ray.pipelines.dedup import _md5h60
 
     def keyed_topk(df: pd.DataFrame) -> pd.DataFrame:
-        wt = df["text"].str.count(r"\S+").astype("int64").to_numpy() + 1
-        keys = np.fromiter(
-            (
-                math.floor(
-                    -math.log((float(_md5h60(f"ws|{d}")) + 1.0)
-                              / _WSAMPLE_DENOM)
-                    * WSAMPLE_SCALE
-                    / int(w)
-                )
-                for d, w in zip(df["doc_id"], wt)
-            ),
-            dtype=np.int64,
-            count=len(df),
-        )
+        wt, keys = _wsample_keys(df)
         out = pd.DataFrame(
             {
                 "lang": df["lang"],

@@ -1853,3 +1853,44 @@ def test_crawl_triangles_equals_python_reference():
             want[corpus.host_name(h)] = n
     assert got == want
     assert sum(want.values()) > 0  # the corpus actually has triangles
+
+
+def test_triangles_ignore_cross_host_links():
+    """Regression (r3 review): a cross-host link whose page NUMBER
+    would close a triangle on the source host must not fabricate an
+    intra-host edge. Hand-built graph: hostA has edges 0-1, 1-2 and a
+    cross-host link 0→hostB/p2 — a triangle exists only if that link
+    is (wrongly) treated as 0-2."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import triangles_from_docs
+
+    def page(host, j, link_targets):
+        spans = []
+        for t in link_targets:
+            spans.append({"kind": "link", "text": "", "media_ref": t,
+                          "offset": len(spans)})
+        return {
+            "doc_id": f"{host}//p{j}.html",
+            "host": host,
+            "is_html": True,
+            "spans": spans,
+        }
+
+    rows = [
+        page("hosta.test", 0, ["p1.html", "../hostb.test/p2.html"]),
+        page("hosta.test", 1, ["p2.html"]),
+        page("hosta.test", 2, []),
+        page("hostb.test", 2, []),
+    ]
+    docs = rd.from_arrow(pa.Table.from_pylist(rows))
+    got = triangles_from_docs(docs).to_pandas()
+    assert len(got) == 0 or (got["n_triangles"] == 0).all()
+
+    # control: make 0-2 a REAL intra-host edge -> exactly one triangle
+    rows[0] = page("hosta.test", 0, ["p1.html", "p2.html"])
+    docs2 = rd.from_arrow(pa.Table.from_pylist(rows))
+    got2 = triangles_from_docs(docs2).to_pandas()
+    assert list(got2["host"]) == ["hosta.test"]
+    assert list(got2["n_triangles"]) == [1]
