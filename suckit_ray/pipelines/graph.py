@@ -385,21 +385,19 @@ def triangles_from_docs(docs: rd.Dataset) -> rd.Dataset:
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         """All forward-neighbor pairs per (host, u): wedge rows tagged
-        side=1 keyed by the candidate closing edge (v1, v2)."""
-        hosts, v1s, v2s = [], [], []
-        for (h, _u), grp in g.groupby(["host", "a"], sort=False):
-            nb = sorted(grp["b"])
-            for i in range(len(nb) - 1):
-                for jj in range(i + 1, len(nb)):
-                    hosts.append(h)
-                    v1s.append(nb[i])
-                    v2s.append(nb[jj])
+        side=1 keyed by the candidate closing edge (v1, v2). One
+        vectorized self-merge per bucket — no Python loop over
+        vertices (the deg⁺² output volume is inherent; the loop over
+        it need not be)."""
+        lhs = g[["host", "a", "b"]]
+        m = lhs.merge(lhs, on=["host", "a"], suffixes=("_x", "_y"))
+        m = m[m["b_x"] < m["b_y"]]
         return pd.DataFrame(
             {
-                "host": pd.Series(hosts, dtype="object"),
-                "a": pd.Series(v1s, dtype="int64"),
-                "b": pd.Series(v2s, dtype="int64"),
-                "side": pd.Series(1, index=range(len(hosts)), dtype="int64"),
+                "host": m["host"],
+                "a": m["b_x"].astype("int64"),
+                "b": m["b_y"].astype("int64"),
+                "side": pd.Series(1, index=m.index, dtype="int64"),
             }
         )
 
