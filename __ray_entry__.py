@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nfc_normalize": textops.docs_nfc_normalize,
         "docs_weighted_sample": textops.docs_weighted_sample,
         "docs_stratum_sample": textops.docs_stratum_sample,
+        "docs_pmi_topk": textops.docs_pmi_topk,
         "q3_shipping_priority": relops.q3_shipping_priority,
         "orders_unshipped": relops.orders_unshipped,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
@@ -1283,6 +1284,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
                    wt AS weight, key_micro
             FROM r WHERE rnk <= 5
+        """,
+        # top-20 PMI collocations, pair count >= 5; float64 products
+        # in both engines (N·c(a,b) can pass 2^63 at scale)
+        "docs_pmi_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, UNNEST(ws) AS w,
+                     generate_subscripts(ws, 1) AS pos
+              FROM toks
+            ),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                    FROM tok GROUP BY w),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+            big AS (
+              SELECT a.w AS w1, b.w AS w2,
+                     CAST(count(*) AS BIGINT) AS cab
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1, 2
+              HAVING count(*) >= 5
+            ),
+            sc AS (
+              SELECT big.w1, big.w2, big.cab,
+                     ua.c AS ca, ub.c AS cb,
+                     CAST(floor(ln(
+                       (CAST(nn.n AS DOUBLE) * big.cab)
+                       / (CAST(ua.c AS DOUBLE) * ub.c))
+                       * 1000000.0) AS BIGINT) AS pmi_micro
+              FROM big
+              JOIN uni ua ON ua.w = big.w1
+              JOIN uni ub ON ub.w = big.w2
+              CROSS JOIN nn
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                ORDER BY pmi_micro DESC, w1, w2) AS rnk
+              FROM sc
+            )
+            SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2,
+                   cab AS n_pair, ca AS n_w1, cb AS n_w2, pmi_micro
+            FROM r WHERE rnk <= 20
         """,
         # TPC-H-Q3-shaped: top-10 unshipped orders by revenue for one
         # market segment; revenue in integer 10^-4 dollars

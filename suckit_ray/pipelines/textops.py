@@ -2625,3 +2625,221 @@ def docs_stratum_sample(
         .groupby("lang")
         .map_groups(stratum_rank, batch_format="pandas")
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def docs_pmi_topk(
+    sf_dir: str, k: int = PMI_TOPK, min_count: int = PMI_MIN_COUNT
+) -> "pa.Table":
+    """(rnk, w1, w2, n_pair, n_w1, n_w2, pmi_micro): top-k collocations
+    — adjacent word pairs ranked by pointwise mutual information
+    PMI = ln(N·c(a,b) / (c(a)·c(b))), count ≥ ``min_count`` (the
+    classic Church & Hanks 1990 association measure; a tokenizer /
+    phrase-mining pipeline's candidate stage). pmi_micro is
+    floor(·1e6) with the products taken in float64 IDENTICALLY in
+    both engines (N·c(a,b) can pass 2^63 at corpus scale, so neither
+    side multiplies in integers).
+
+    Scale shape — TWO bounded exchanges, no driver vocab state:
+    exchange 1 co-locates each bigram with its FIRST word's unigram
+    occurrences (the lm_score context-hash trick), so c(a,b) and c(a)
+    are two group-local sums; the ``min_count`` filter prunes there,
+    BEFORE anything wide. Exchange 2 ships the surviving bigrams to
+    their SECOND word's bucket alongside the per-word count rows to
+    attach c(b). N rides exchange-1 marker rows. The final ranking is
+    per-block top-k + a ≤ k·blocks driver merge."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from suckit_ray.pipelines.dedup import _md5h60_memo
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        h = _md5h60_memo()
+        bg: Counter = Counter()
+        ug: Counter = Counter()
+        for t in df["text"]:
+            toks = t.split()
+            ug.update(toks)
+            bg.update(zip(toks, toks[1:]))
+        w1s, w2s, cnts, sides, keys = [], [], [], [], []
+        for (a, b), c in bg.items():
+            w1s.append(a)
+            w2s.append(b)
+            cnts.append(c)
+            sides.append(0)
+            keys.append(h(a) % B)
+        for w, c in ug.items():
+            w1s.append(w)
+            w2s.append("")
+            cnts.append(c)
+            sides.append(1)
+            keys.append(h(w) % B)
+        return pd.DataFrame(
+            {
+                "w1": pd.Series(w1s, dtype="object"),
+                "w2": pd.Series(w2s, dtype="object"),
+                "cnt": pd.Series(cnts, dtype="int64"),
+                "side": pd.Series(sides, dtype="int64"),
+                "kb": pd.Series(keys, dtype="int64"),
+            }
+        )
+
+    def attach_ca(g: pd.DataFrame) -> pd.DataFrame:
+        """c(a,b), c(a) group-local; marker (side=2) carries the
+        group's token total for N."""
+        cols = ["w1", "w2", "cab", "ca", "side"]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "w1": pd.array([], dtype="str"),
+                    "w2": pd.array([], dtype="str"),
+                    "cab": pd.array([], dtype="int64"),
+                    "ca": pd.array([], dtype="int64"),
+                    "side": pd.array([], dtype="int64"),
+                }
+            )
+        uni = (
+            g[g["side"] == 1]
+            .groupby("w1", as_index=False)["cnt"]
+            .sum()
+            .rename(columns={"cnt": "ca"})
+        )
+        n_tok = int(uni["ca"].sum())
+        big = (
+            g[g["side"] == 0]
+            .groupby(["w1", "w2"], as_index=False)["cnt"]
+            .sum()
+            .rename(columns={"cnt": "cab"})
+        )
+        big = big[big["cab"] >= min_count].merge(uni, on="w1")
+        big["side"] = 0
+        uni_rows = pd.DataFrame(
+            {
+                "w1": uni["w1"],
+                "w2": "",
+                "cab": uni["ca"].astype("int64"),
+                "ca": 0,
+                "side": 1,
+            }
+        )
+        marker = pd.DataFrame(
+            {"w1": [""], "w2": [""], "cab": [n_tok], "ca": [0], "side": [2]}
+        )
+        out = pd.concat([big, uni_rows, marker], ignore_index=True)
+        return out[cols].astype(
+            {"cab": "int64", "ca": "int64", "side": "int64"}
+        )
+
+    stage1 = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(attach_ca, batch_format="pandas")
+        .materialize()  # feeds the N scan AND exchange 2
+    )
+
+    marks = stage1.map_batches(
+        lambda d: d[d["side"] == 2], batch_format="pandas"
+    ).to_pandas()
+    N = int(marks["cab"].sum()) if "cab" in marks.columns else 0
+    n_ref = ray.put(float(N))
+
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5h60_memo()
+        d = df[df["side"] != 2].copy()
+        # bigrams route to their SECOND word's bucket; unigram count
+        # rows to their own word's
+        keyw = d["w2"].where(d["side"] == 0, d["w1"])
+        d["kb"] = pd.Series(
+            [h(w) % B for w in keyw], index=d.index, dtype="int64"
+        )
+        return d
+
+    def attach_cb(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["w1", "w2", "cab", "ca", "cb"]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "w1": pd.array([], dtype="str"),
+                    "w2": pd.array([], dtype="str"),
+                    "cab": pd.array([], dtype="int64"),
+                    "ca": pd.array([], dtype="int64"),
+                    "cb": pd.array([], dtype="int64"),
+                }
+            )
+        uni = (
+            g[g["side"] == 1]
+            .groupby("w1", as_index=False)["cab"]
+            .sum()
+            .rename(columns={"w1": "w2", "cab": "cb"})
+        )
+        big = g[g["side"] == 0][["w1", "w2", "cab", "ca"]]
+        out = big.merge(uni, on="w2")
+        return out[cols]
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        n = ray.get(n_ref)
+        pmi = np.fromiter(
+            (
+                math.floor(
+                    math.log(
+                        (n * int(cab)) / (float(ca) * int(cb))
+                    )
+                    * NB_SCALE
+                )
+                for cab, ca, cb in zip(df["cab"], df["ca"], df["cb"])
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        out = df.copy()
+        out["pmi_micro"] = pmi
+        return out.sort_values(
+            ["pmi_micro", "w1", "w2"], ascending=[False, True, True]
+        ).head(k)
+
+    merged = (
+        stage1.map_batches(rekey, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(attach_cb, batch_format="pandas")
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k rows per block reach the driver
+    )
+    if "pmi_micro" not in merged.columns:
+        merged = pd.DataFrame(
+            {
+                c: pd.array([], dtype="str" if c in ("w1", "w2") else "int64")
+                for c in ["w1", "w2", "cab", "ca", "cb", "pmi_micro"]
+            }
+        )
+    merged = (
+        merged.sort_values(
+            ["pmi_micro", "w1", "w2"], ascending=[False, True, True]
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "rnk": pa.array(range(1, len(merged) + 1), pa.int64()),
+            "w1": pa.array(merged["w1"], pa.string()),
+            "w2": pa.array(merged["w2"], pa.string()),
+            "n_pair": pa.array(merged["cab"].astype("int64"), pa.int64()),
+            "n_w1": pa.array(merged["ca"].astype("int64"), pa.int64()),
+            "n_w2": pa.array(merged["cb"].astype("int64"), pa.int64()),
+            "pmi_micro": pa.array(
+                merged["pmi_micro"].astype("int64"), pa.int64()
+            ),
+        }
+    )

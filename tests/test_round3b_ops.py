@@ -1894,3 +1894,43 @@ def test_triangles_ignore_cross_host_links():
     got2 = triangles_from_docs(docs2).to_pandas()
     assert list(got2["host"]) == ["hosta.test"]
     assert list(got2["n_triangles"]) == [1]
+
+
+def test_pmi_topk_equals_python_reference():
+    """Independent reference: dict-counted unigrams/bigrams over raw
+    token strings with the same float64 product order and micronat
+    quantization."""
+    import math
+    from collections import Counter
+
+    from suckit_ray.pipelines import textops
+
+    got = textops.docs_pmi_topk(SF).to_pandas()
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in docs["text"]:
+        toks = t.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    N = float(sum(uni.values()))
+    rows = []
+    for (a, b), cab in big.items():
+        if cab < textops.PMI_MIN_COUNT:
+            continue
+        pmi = math.floor(
+            math.log((N * cab) / (float(uni[a]) * uni[b]))
+            * textops.NB_SCALE
+        )
+        rows.append((-pmi, a, b, cab, uni[a], uni[b]))
+    rows.sort()
+    want = rows[: textops.PMI_TOPK]
+    assert len(got) == min(len(rows), textops.PMI_TOPK)
+    for i, (negp, a, b, cab, ca, cb) in enumerate(want):
+        r = got.iloc[i]
+        assert (r["rnk"], r["w1"], r["w2"]) == (i + 1, a, b)
+        assert (r["n_pair"], r["n_w1"], r["n_w2"]) == (cab, ca, cb)
+        assert r["pmi_micro"] == -negp
+    # PMI must actually discriminate: top pair beats the median pair
+    assert len(want) > 2
