@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_topk": textops.docs_pmi_topk,
         "q3_shipping_priority": relops.q3_shipping_priority,
         "orders_unshipped": relops.orders_unshipped,
+        "q17_small_qty_revenue": relops.q17_small_qty_revenue,
+        "q13_order_histogram": relops.q13_order_histogram,
+        "q8_market_share": relops.q8_market_share,
+        "events_markov": relops.events_markov,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1374,6 +1378,115 @@ def oracle_sql() -> dict[str, str]:
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate < TIMESTAMP '1997-01-01'
             )
+        """,
+        # TPC-H-Q17-shaped correlated-AVG subquery: revenue from
+        # lineitems below 20% of their part's average quantity, one
+        # brand; threshold exact-integer (5·qty·n < sum_qty)
+        "q17_small_qty_revenue": """
+            WITH l AS (
+              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS price_c
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#4'
+            ),
+            s AS (
+              SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_tot
+              FROM l GROUP BY l_partkey
+            ),
+            sm AS (
+              SELECT l.price_c
+              FROM l JOIN s USING (l_partkey)
+              WHERE 5 * l.qty * s.n_tot < s.sum_qty
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_small,
+                   CAST(COALESCE(sum(price_c), 0) AS BIGINT)
+                     AS total_cents,
+                   CAST((CAST(COALESCE(sum(price_c), 0) AS HUGEINT)
+                         * 1000) // 7 AS BIGINT) AS avg_yearly_milli
+            FROM sm
+        """,
+        # TPC-H-Q13-shaped: customers-per-order-count distribution,
+        # zero bucket via LEFT OUTER JOIN
+        "q13_order_histogram": """
+            WITH c AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON o_custkey = c_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM c GROUP BY c_count
+        """,
+        # TPC-H-Q8-shaped market share: one nation's fraction of
+        # region revenue per order year; HUGEINT share arithmetic
+        "q8_market_share": """
+            WITH rk AS (
+              SELECT n_nationkey FROM nation
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA'
+            ),
+            o AS (
+              SELECT o_orderkey,
+                     CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS o_year
+              FROM orders
+              JOIN customer ON c_custkey = o_custkey
+              JOIN rk ON rk.n_nationkey = c_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+            ),
+            l AS (
+              SELECT l_orderkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev,
+                     CASE WHEN s_nationkey IN (
+                       SELECT n_nationkey FROM nation
+                       WHERE n_name = 'NATION_12'
+                     ) THEN 1 ELSE 0 END AS is_nat
+              FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+            ),
+            y AS (
+              SELECT o.o_year,
+                     CAST(SUM(CASE WHEN l.is_nat = 1 THEN l.rev
+                              ELSE 0 END) AS HUGEINT) AS nat_rev,
+                     CAST(SUM(l.rev) AS HUGEINT) AS tot_rev
+              FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+              GROUP BY o.o_year
+            ),
+            yy AS (SELECT UNNEST([1996, 1997]) AS o_year)
+            SELECT CAST(yy.o_year AS BIGINT) AS o_year,
+                   CAST(COALESCE(y.nat_rev, 0) AS BIGINT) AS nation_rev,
+                   CAST(COALESCE(y.tot_rev, 0) AS BIGINT) AS total_rev,
+                   CAST(CASE WHEN COALESCE(y.tot_rev, 0) = 0 THEN 0
+                        ELSE (1000000 * y.nat_rev) // y.tot_rev
+                        END AS BIGINT) AS share_micro
+            FROM yy LEFT JOIN y ON y.o_year = yy.o_year
+        """,
+        # first-order Markov transition matrix over per-user event
+        # streams; probabilities in integer micro-units (HUGEINT)
+        "events_markov": """
+            WITH s AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS dst
+              FROM events
+            ),
+            p AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS n_pair
+              FROM s WHERE dst IS NOT NULL GROUP BY src, dst
+            ),
+            t AS (SELECT src, SUM(n_pair) AS tot FROM p GROUP BY src)
+            SELECT p.src, p.dst, p.n_pair,
+                   CAST((CAST(1000000 AS HUGEINT) * p.n_pair) // t.tot
+                        AS BIGINT) AS prob_micro
+            FROM p JOIN t USING (src)
         """,
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count

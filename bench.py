@@ -169,6 +169,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_nb_classify",
         "q3_shipping_priority",
         "orders_unshipped",
+        "q17_small_qty_revenue",
+        "q13_order_histogram",
+        "q8_market_share",
+        "events_markov",
+        "docs_pmi_topk",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

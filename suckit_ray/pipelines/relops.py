@@ -1321,3 +1321,437 @@ def orders_unshipped(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(anti, batch_format="pandas")
     )
+
+
+Q17_BRAND = "Brand#4"
+
+
+def q17_small_qty_revenue(sf_dir: str, brand: str = Q17_BRAND) -> pa.Table:
+    """TPC-H-Q17-shaped: total revenue from 'small-quantity' orders —
+    lineitems of one brand's parts whose quantity is below 20% of
+    that part's average order quantity. One row:
+    (n_small, total_cents, avg_yearly_milli).
+
+    The correlated-AVG-subquery shape: each row's filter threshold is
+    an aggregate over the SAME rows, so rows and their group
+    statistic must meet once. Plan: the brand's partkeys come from a
+    parquet read with the brand filter pushed into the row-group scan
+    and broadcast via ``ray.put`` (dimension side; at a hotter
+    selectivity the part rows would ride the co-group as a tagged
+    union instead, the q3 tradeoff). The lineitem side pre-aggregates
+    per (partkey, qty) INSIDE map_batches — quantity has a bounded
+    integer domain, so this is a true combiner: the exchange carries
+    at most |parts|×|qty domain| rows per block, never raw lineitems.
+    Within each partkey-hash group the threshold test is exact
+    integer math: qty < 0.2·avg ⇔ 5·qty·n < sum_qty (strict
+    inequality preserved; no floats anywhere). avg_yearly_milli =
+    total_cents·1000 // 7 mirrors the oracle's floor division."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    parts = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_brand", "=", brand)],
+    )
+    keys_ref = ray.put(set(parts["p_partkey"].to_pylist()))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["l_partkey"].isin(ray.get(keys_ref))]
+        p = (
+            pd.DataFrame(
+                {
+                    "partkey": d["l_partkey"].astype("int64"),
+                    # quantities are integral in this corpus (the
+                    # oracle casts exactly; a fractional qty would
+                    # hash-mismatch loudly, not silently truncate)
+                    "qty": d["l_quantity"].astype("int64"),
+                    "price_c": to_cents(d["l_extendedprice"]),
+                }
+            )
+            .groupby(["partkey", "qty"], as_index=False)
+            .agg(n=("price_c", "size"), price_c=("price_c", "sum"))
+        )
+        p["bucket"] = (p["partkey"] % B).astype("int64")
+        return p
+
+    def small_sum(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["partkey", "qty"], as_index=False).agg(
+            n=("n", "sum"), price_c=("price_c", "sum")
+        )
+        a["qn"] = a["qty"] * a["n"]
+        stats = a.groupby("partkey", as_index=False).agg(
+            sum_qty=("qn", "sum"), n_tot=("n", "sum")
+        )
+        m = a.merge(stats, on="partkey")
+        small = m[5 * m["qty"] * m["n_tot"] < m["sum_qty"]]
+        return pd.DataFrame(
+            {
+                "n_small": [int(small["n"].sum())],
+                "total_cents": [int(small["price_c"].sum())],
+            }
+        )
+
+    per_bucket = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(small_sum, batch_format="pandas")
+        .to_pandas()  # one row per bucket reaches the driver
+    )
+    n_small = int(per_bucket["n_small"].sum()) if len(per_bucket) else 0
+    total = int(per_bucket["total_cents"].sum()) if len(per_bucket) else 0
+    return pa.table(
+        {
+            "n_small": pa.array([n_small], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "avg_yearly_milli": pa.array([total * 1000 // 7], pa.int64()),
+        }
+    )
+
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def q13_order_histogram(sf_dir: str) -> pa.Table:
+    """TPC-H-Q13-shaped: distribution of customers by order count,
+    excluding one order priority — (c_count, custdist) sorted by
+    custdist DESC, c_count DESC, including the zero-order bucket that
+    Q13 gets from its LEFT OUTER JOIN.
+
+    Plan: NO join at all — per-batch partial counts by custkey feed
+    one custkey-hash groupby for exact per-customer counts; each
+    group emits its count-of-counts histogram plus its distinct-
+    customer total, and those ≤ max-orders-per-customer rows merge on
+    the driver. The zero bucket is total customers (parquet metadata,
+    zero rows scanned) minus customers that ordered — the outer-join-
+    free formulation, exact because o_custkey is a foreign key into
+    customer. At 10^10 customers the same plan holds: the exchange
+    carries one row per (custkey, block) and the driver merge stays
+    bounded by the histogram domain × buckets."""
+    import pyarrow.parquet as pq_
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["o_orderpriority"] != Q13_EXCLUDE_PRIORITY]
+        p = (
+            pd.DataFrame({"custkey": d["o_custkey"].astype("int64")})
+            .groupby("custkey", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        p["bucket"] = (p["custkey"] % B).astype("int64")
+        return p
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("custkey")["n"].sum()
+        h = per_cust.value_counts()
+        return pd.DataFrame(
+            {
+                "bucket": np.repeat(
+                    np.int64(g["bucket"].iat[0] if len(g) else -1), len(h)
+                ),
+                "c_count": h.index.astype("int64"),
+                "custdist": h.to_numpy().astype("int64"),
+                # group-local distinct customers, summable on the
+                # driver because buckets partition custkeys
+                "n_cust": np.repeat(np.int64(len(per_cust)), len(h)),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(hist, batch_format="pandas")
+        .to_pandas()  # ≤ histogram-domain rows per bucket
+    )
+    n_customers = pq_.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if len(parts):
+        ordered = int(parts.drop_duplicates("bucket")["n_cust"].sum())
+        final = (
+            parts.groupby("c_count", as_index=False)["custdist"]
+            .sum()
+        )
+    else:
+        ordered = 0
+        final = pd.DataFrame(
+            {
+                "c_count": pd.array([], dtype="int64"),
+                "custdist": pd.array([], dtype="int64"),
+            }
+        )
+    zero = n_customers - ordered
+    if zero > 0:
+        final = pd.concat(
+            [final, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    final = final.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "c_count": pa.array(final["c_count"].astype("int64"), pa.int64()),
+            "custdist": pa.array(
+                final["custdist"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_12"
+Q8_YEARS = (1996, 1997)
+
+
+def q8_market_share(
+    sf_dir: str, region: str = Q8_REGION, nation: str = Q8_NATION
+) -> pa.Table:
+    """TPC-H-Q8-shaped market share: of all revenue from orders placed
+    by customers in one REGION during two years, the fraction
+    supplied by one NATION, per order year — (o_year, nation_rev,
+    total_rev, share_micro). Revenue is integer 10^-4 dollars
+    (price-cents × (100−discount-percent)); share_micro is
+    floor(10^6·nation/total) taken in unbounded integers on both
+    sides (the oracle goes through HUGEINT — at corpus scale
+    10^6·revenue overflows int64, so neither engine multiplies in
+    64-bit).
+
+    The five-table join collapses to ONE big-big co-group: region ⋈
+    nation resolves to a nationkey set driver-side (25-row tables),
+    the region's custkeys and the supplier→nationkey map broadcast
+    via ``ray.put`` (dimension sides, the q3/top_customers tradeoff —
+    at a scale where customer can't broadcast, custkey becomes a
+    second co-group exactly like this one). Orders carry (orderkey,
+    year) after a read-pushed date filter; lineitems pre-reduce to
+    per-(orderkey, is-target-nation) revenue partials inside
+    map_batches. The orderkey-hash co-group emits per-year partial
+    sums — four int64s per bucket reach the driver."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq_
+    import ray
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = pq_.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    region_keys = set(
+        nat.merge(
+            reg[reg["r_name"] == region], left_on="n_regionkey",
+            right_on="r_regionkey",
+        )["n_nationkey"]
+    )
+    target_keys = set(nat.loc[nat["n_name"] == nation, "n_nationkey"])
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust.to_pandas()
+    cust_ref = ray.put(
+        set(ck.loc[ck["c_nationkey"].isin(region_keys), "c_custkey"])
+    )
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    target_supp_ref = ray.put(
+        set(sup.loc[sup["s_nationkey"].isin(target_keys), "s_suppkey"])
+    )
+
+    lo = pd.Timestamp(f"{Q8_YEARS[0]}-01-01")
+    hi = pd.Timestamp(f"{Q8_YEARS[1] + 1}-01-01")
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["o_custkey"].isin(ray.get(cust_ref))]
+        p = pd.DataFrame(
+            {
+                "orderkey": d["o_orderkey"].astype("int64"),
+                "side": 0,
+                "year": pd.DatetimeIndex(d["o_orderdate"]).year.astype(
+                    "int64"
+                ),
+                "rev": pd.Series(0, index=d.index, dtype="int64"),
+                "is_nat": pd.Series(0, index=d.index, dtype="int64"),
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = to_cents(df["l_extendedprice"]) * (
+            100 - to_cents(df["l_discount"])
+        )
+        is_nat = (
+            df["l_suppkey"].isin(ray.get(target_supp_ref)).astype("int64")
+        )
+        p = (
+            pd.DataFrame(
+                {
+                    "orderkey": df["l_orderkey"].astype("int64"),
+                    "is_nat": is_nat,
+                    "rev": rev,
+                }
+            )
+            .groupby(["orderkey", "is_nat"], as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+        p["side"] = 1
+        p["year"] = pd.Series(0, index=p.index, dtype="int64")
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p[["orderkey", "side", "year", "rev", "is_nat", "bucket"]]
+
+    def per_year(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["side"] == 0][["orderkey", "year"]]
+        li = g[g["side"] == 1][["orderkey", "rev", "is_nat"]]
+        m = li.merge(od, on="orderkey")
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "year": pd.array([], dtype="int64"),
+                    "nat_rev": pd.array([], dtype="int64"),
+                    "tot_rev": pd.array([], dtype="int64"),
+                }
+            )
+        m["nat_rev"] = m["rev"].where(m["is_nat"] == 1, 0)
+        out = m.groupby("year", as_index=False).agg(
+            nat_rev=("nat_rev", "sum"), tot_rev=("rev", "sum")
+        )
+        return out[["year", "nat_rev", "tot_rev"]].astype("int64")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= pds.scalar(lo))
+        & (pds.field("o_orderdate") < pds.scalar(hi)),
+    ).map_batches(order_rows, batch_format="pandas")
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_partial, batch_format="pandas")
+
+    merged = (
+        orders.union(lines)
+        .groupby("bucket")
+        .map_groups(per_year, batch_format="pandas")
+        .to_pandas()  # ≤ 2 rows per bucket reach the driver
+    )
+    years, nats, tots, shares = [], [], [], []
+    for y in Q8_YEARS:
+        sel = merged[merged["year"] == y] if len(merged) else merged
+        nat_rev = int(sel["nat_rev"].sum()) if len(sel) else 0
+        tot_rev = int(sel["tot_rev"].sum()) if len(sel) else 0
+        years.append(y)
+        nats.append(nat_rev)
+        tots.append(tot_rev)
+        # Python ints: exact at any magnitude, mirrors HUGEINT
+        shares.append((1_000_000 * nat_rev) // tot_rev if tot_rev else 0)
+    return pa.table(
+        {
+            "o_year": pa.array(years, pa.int64()),
+            "nation_rev": pa.array(nats, pa.int64()),
+            "total_rev": pa.array(tots, pa.int64()),
+            "share_micro": pa.array(shares, pa.int64()),
+        }
+    )
+
+
+def events_markov(sf_dir: str) -> pa.Table:
+    """First-order Markov transition matrix over per-user event
+    streams: (src, dst, n_pair, prob_micro) for every observed
+    consecutive event-type pair, prob_micro =
+    floor(10^6·c(src→dst)/Σ_d c(src→d)) — the user-behavior-model /
+    session-language-model estimation shape.
+
+    Plan: the ONLY wide step is the sessionize-style user-hash
+    co-group (consecutive pairs need each user's events totally
+    ordered in one place; ties broken by event_id exactly as the
+    oracle's window ORDER BY does). Each group reduces to its local
+    (src, dst) pair counts — at most |event types|² rows — so the
+    driver merge is bounded by the type-domain, not the corpus. The
+    division happens once on ≤25 merged rows in unbounded Python
+    ints (oracle: HUGEINT)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "bucket": (df["user_id"] % B).astype("int64"),
+            }
+        )
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        same_user = g["user_id"].eq(g["user_id"].shift(-1))
+        src = g["event_type"]
+        dst = g["event_type"].shift(-1)
+        p = (
+            pd.DataFrame({"src": src[same_user], "dst": dst[same_user]})
+            .groupby(["src", "dst"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_pair"})
+        )
+        p["n_pair"] = p["n_pair"].astype("int64")
+        return p
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .map_batches(to_us, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pair_counts, batch_format="pandas")
+        .to_pandas()  # ≤ |types|² rows per bucket reach the driver
+    )
+    if not len(parts) or "src" not in parts.columns:
+        return pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+                "n_pair": pa.array([], pa.int64()),
+                "prob_micro": pa.array([], pa.int64()),
+            }
+        )
+    agg = parts.groupby(["src", "dst"], as_index=False)["n_pair"].sum()
+    tot = agg.groupby("src")["n_pair"].sum().to_dict()
+    agg = agg.sort_values(["src", "dst"]).reset_index(drop=True)
+    prob = [
+        (1_000_000 * int(n)) // int(tot[s])
+        for s, n in zip(agg["src"], agg["n_pair"])
+    ]
+    return pa.table(
+        {
+            "src": pa.array(agg["src"], pa.string()),
+            "dst": pa.array(agg["dst"], pa.string()),
+            "n_pair": pa.array(agg["n_pair"].astype("int64"), pa.int64()),
+            "prob_micro": pa.array(prob, pa.int64()),
+        }
+    )

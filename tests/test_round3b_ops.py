@@ -1934,3 +1934,130 @@ def test_pmi_topk_equals_python_reference():
         assert r["pmi_micro"] == -negp
     # PMI must actually discriminate: top pair beats the median pair
     assert len(want) > 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q17_small_qty_matches_pandas_reference():
+    """Independent reference: pandas join + per-part mean threshold in
+    FLOAT (qty < 0.2*mean) — must agree with the engine's exact
+    integer reformulation (5*qty*n < sum_qty) on this corpus."""
+    from suckit_ray.pipelines import relops
+
+    got = relops.q17_small_qty_revenue(SF).to_pandas()
+
+    part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    keys = set(part.loc[part["p_brand"] == relops.Q17_BRAND, "p_partkey"])
+    d = li[li["l_partkey"].isin(keys)].copy()
+    d["price_c"] = relops.to_cents(d["l_extendedprice"])
+    thresh = d.groupby("l_partkey")["l_quantity"].transform("mean") * 0.2
+    small = d[d["l_quantity"] < thresh]
+    assert int(got["n_small"].iloc[0]) == len(small)
+    assert int(got["total_cents"].iloc[0]) == int(small["price_c"].sum())
+    assert (
+        int(got["avg_yearly_milli"].iloc[0])
+        == int(small["price_c"].sum()) * 1000 // 7
+    )
+    assert len(small) > 0  # the filter must actually select something
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q13_histogram_covers_all_customers_with_zero_bucket():
+    from suckit_ray.pipelines import relops
+
+    got = relops.q13_order_histogram(SF).to_pandas()
+
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    q = orders[orders["o_orderpriority"] != relops.Q13_EXCLUDE_PRIORITY]
+    per = q.groupby("o_custkey").size()
+    per = per.reindex(cust["c_custkey"], fill_value=0)
+    want = (
+        per.value_counts()
+        .rename_axis("c_count")
+        .reset_index(name="custdist")
+        .astype("int64")
+        .sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    # the distribution must cover every customer exactly once
+    assert int(got["custdist"].sum()) == len(cust)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q8_share_matches_pandas_reference():
+    from suckit_ray.pipelines import relops
+
+    got = relops.q8_market_share(SF).to_pandas()
+
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+
+    rkeys = set(
+        nat.merge(
+            reg[reg["r_name"] == relops.Q8_REGION],
+            left_on="n_regionkey", right_on="r_regionkey",
+        )["n_nationkey"]
+    )
+    ckeys = set(cust.loc[cust["c_nationkey"].isin(rkeys), "c_custkey"])
+    tnat = set(nat.loc[nat["n_name"] == relops.Q8_NATION, "n_nationkey"])
+    tsupp = set(sup.loc[sup["s_nationkey"].isin(tnat), "s_suppkey"])
+
+    o = orders[
+        orders["o_custkey"].isin(ckeys)
+        & (orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+        & (orders["o_orderdate"] < pd.Timestamp("1998-01-01"))
+    ].copy()
+    o["o_year"] = o["o_orderdate"].dt.year
+    m = li.merge(o[["o_orderkey", "o_year"]],
+                 left_on="l_orderkey", right_on="o_orderkey")
+    m["rev"] = relops.to_cents(m["l_extendedprice"]) * (
+        100 - relops.to_cents(m["l_discount"])
+    )
+    m["nat_rev"] = m["rev"].where(m["l_suppkey"].isin(tsupp), 0)
+    for _, row in got.iterrows():
+        sel = m[m["o_year"] == row["o_year"]]
+        nr, tr = int(sel["nat_rev"].sum()), int(sel["rev"].sum())
+        assert row["nation_rev"] == nr
+        assert row["total_rev"] == tr
+        assert row["share_micro"] == ((1_000_000 * nr) // tr if tr else 0)
+    assert list(got["o_year"]) == list(relops.Q8_YEARS)
+    assert (got["total_rev"] > 0).all()
+    # the target nation must contribute a nonzero, strict-minority share
+    assert (got["share_micro"] > 0).all()
+    assert (got["share_micro"] < 1_000_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_rows_and_probabilities():
+    from suckit_ray.pipelines import relops
+
+    got = relops.events_markov(SF).to_pandas()
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    same = ev["user_id"].eq(ev["user_id"].shift(-1))
+    pairs = pd.DataFrame(
+        {"src": ev["event_type"], "dst": ev["event_type"].shift(-1)}
+    )[same.to_numpy()]
+    want = (
+        pairs.groupby(["src", "dst"]).size().rename("n_pair").reset_index()
+    )
+    tot = want.groupby("src")["n_pair"].sum().to_dict()
+    want["prob_micro"] = [
+        (1_000_000 * int(n)) // int(tot[s])
+        for s, n in zip(want["src"], want["n_pair"])
+    ]
+    want = want.sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["src", "dst"]).reset_index(drop=True),
+        want.astype({"n_pair": "int64", "prob_micro": "int64"}),
+    )
+    # each src row's probabilities must sum to ~1 (floor rounding)
+    s = got.groupby("src")["prob_micro"].sum()
+    assert ((s > 999_900) & (s <= 1_000_000)).all()
