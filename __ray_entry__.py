@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_order_histogram": relops.q13_order_histogram,
         "q8_market_share": relops.q8_market_share,
         "events_markov": relops.events_markov,
+        "q22_global_sales_opportunity": relops.q22_global_sales_opportunity,
+        "lineitem_rollup": relops.lineitem_rollup,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1487,6 +1489,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CAST(1000000 AS HUGEINT) * p.n_pair) // t.tot
                         AS BIGINT) AS prob_micro
             FROM p JOIN t USING (src)
+        """,
+        # TPC-H-Q22-shaped: above-average-balance customers with no
+        # orders, per nation; threshold exact (bal·n > sum, no division)
+        "q22_global_sales_opportunity": """
+            WITH a AS (
+              SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_c,
+                     COUNT(*) AS n
+              FROM customer
+              WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+            ),
+            q AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+              FROM customer, a
+              WHERE CAST(round(c_acctbal * 100) AS BIGINT) * a.n > a.sum_c
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01'
+                )
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(SUM(bal_c) AS BIGINT) AS totacctbal_cents
+            FROM q GROUP BY c_nationkey
+        """,
+        # ROLLUP(l_returnflag, l_linestatus): finest grain + per-flag
+        # subtotals + grand total; NULL group values carried as ''
+        "lineitem_rollup": """
+            SELECT CAST(GROUPING(l_returnflag)
+                        + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+                   COALESCE(l_returnflag, '') AS l_returnflag,
+                   COALESCE(l_linestatus, '') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count

@@ -174,6 +174,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q8_market_share",
         "events_markov",
         "docs_pmi_topk",
+        "q22_global_sales_opportunity",
+        "lineitem_rollup",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

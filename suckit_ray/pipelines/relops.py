@@ -1755,3 +1755,217 @@ def events_markov(sf_dir: str) -> pa.Table:
             "prob_micro": pa.array(prob, pa.int64()),
         }
     )
+
+
+Q22_LAPSE_CUTOFF = "1999-01-01"
+
+
+def q22_global_sales_opportunity(sf_dir: str) -> pa.Table:
+    """TPC-H-Q22-shaped: per nation, count and total balance of
+    customers with an above-average account balance and NO order
+    since the lapse cutoff — (c_nationkey, numcust,
+    totacctbal_cents). The scalar-subquery + anti-join shape: a
+    corpus-wide aggregate gates a row filter, then NOT EXISTS against
+    a second big table (Q22 proper anti-joins all orders; this corpus
+    gives every customer at least one lifetime order, so the lapse
+    cutoff keeps the anti-join non-vacuous AND pushes a date filter
+    into the orders read).
+
+    Plan: the global average is a two-phase reduction (per-batch
+    (sum_cents, n) partials, driver-merged to two ints — no shuffle)
+    broadcast back into the filter, which keeps the comparison exact:
+    bal_cents·n > sum_cents avoids the division both engines would
+    round differently. The anti-join is the orders_unshipped co-group
+    on custkey-hash: qualifying customers and order custkeys meet in
+    one exchange; per-nation partials then merge on the driver
+    (≤ |nations| rows per bucket)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = to_cents(df["c_acctbal"])
+        pos = c[c > 0]
+        return pd.DataFrame(
+            {"sum_c": [int(pos.sum())], "n": [int(len(pos))]}
+        )
+
+    stats = cust.map_batches(bal_partial, batch_format="pandas").to_pandas()
+    sum_c, n_pos = int(stats["sum_c"].sum()), int(stats["n"].sum())
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        c = to_cents(df["c_acctbal"])
+        # bal > avg ⇔ bal·n > sum (ints exact; avg of the POSITIVE
+        # balances, the Q22 convention)
+        keep = (c * n_pos) > sum_c
+        d = df.loc[keep]
+        p = pd.DataFrame(
+            {
+                "custkey": d["c_custkey"].astype("int64"),
+                "side": 0,
+                "nationkey": d["c_nationkey"].astype("int64"),
+                "bal_c": c[keep].astype("int64"),
+            }
+        )
+        p["bucket"] = (p["custkey"] % B).astype("int64")
+        return p
+
+    def order_keys(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {"custkey": df["o_custkey"].unique().astype("int64")}
+        )
+        p["side"] = 1
+        p["nationkey"] = pd.Series(0, index=p.index, dtype="int64")
+        p["bal_c"] = pd.Series(0, index=p.index, dtype="int64")
+        p["bucket"] = (p["custkey"] % B).astype("int64")
+        return p[["custkey", "side", "nationkey", "bal_c", "bucket"]]
+
+    def anti_agg(g: pd.DataFrame) -> pd.DataFrame:
+        cs = g[g["side"] == 0]
+        ordered = set(g.loc[g["side"] == 1, "custkey"])
+        keep = cs[~cs["custkey"].isin(ordered)]
+        if not len(keep):
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.array([], dtype="int64"),
+                    "numcust": pd.array([], dtype="int64"),
+                    "totacctbal_cents": pd.array([], dtype="int64"),
+                }
+            )
+        out = keep.groupby("nationkey", as_index=False).agg(
+            numcust=("custkey", "size"), totacctbal_cents=("bal_c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "c_nationkey": out["nationkey"].astype("int64"),
+                "numcust": out["numcust"].astype("int64"),
+                "totacctbal_cents": out["totacctbal_cents"].astype("int64"),
+            }
+        )
+
+    import pyarrow.dataset as pds
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=pds.field("o_orderdate")
+        >= pds.scalar(pd.Timestamp(Q22_LAPSE_CUTOFF)),
+    ).map_batches(order_keys, batch_format="pandas")
+    parts = (
+        cust.map_batches(cust_rows, batch_format="pandas")
+        .union(orders)
+        .groupby("bucket")
+        .map_groups(anti_agg, batch_format="pandas")
+        .to_pandas()  # ≤ |nations| rows per bucket reach the driver
+    )
+    if not len(parts) or "c_nationkey" not in parts.columns:
+        return pa.table(
+            {
+                "c_nationkey": pa.array([], pa.int64()),
+                "numcust": pa.array([], pa.int64()),
+                "totacctbal_cents": pa.array([], pa.int64()),
+            }
+        )
+    final = parts.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"),
+        totacctbal_cents=("totacctbal_cents", "sum"),
+    )
+    return pa.table(
+        {
+            "c_nationkey": pa.array(
+                final["c_nationkey"].astype("int64"), pa.int64()
+            ),
+            "numcust": pa.array(final["numcust"].astype("int64"), pa.int64()),
+            "totacctbal_cents": pa.array(
+                final["totacctbal_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+def lineitem_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over lineitem —
+    (lvl, l_returnflag, l_linestatus, n_rows, sum_qty,
+    sum_price_cents) with subtotal rows per flag and a grand total
+    (lvl = number of rolled-up columns; NULL group values carried as
+    '' so the hash compare is stable).
+
+    Plan: the ROLLUP levels are DERIVED, not re-scanned — one
+    two-phase aggregation produces the finest grain (≤ |flags|×
+    |status| rows after per-batch combiners), and the coarser levels
+    are arithmetic over that tiny frame on the driver. At any corpus
+    size the wide work is identical to lineitem_agg; rollup adds zero
+    exchanges — the point of the operator."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": df["l_returnflag"],
+                    "l_linestatus": df["l_linestatus"],
+                    "qty": df["l_quantity"].astype("int64"),
+                    "price_c": to_cents(df["l_extendedprice"]),
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                n_rows=("qty", "size"),
+                sum_qty=("qty", "sum"),
+                sum_price_cents=("price_c", "sum"),
+            )
+        )
+        return p
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()  # ≤ flag×status rows per block reach the driver
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(
+            n_rows=("n_rows", "sum"),
+            sum_qty=("sum_qty", "sum"),
+            sum_price_cents=("sum_price_cents", "sum"),
+        )
+    )
+    fine["lvl"] = 0
+    sub = fine.groupby("l_returnflag", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        sum_qty=("sum_qty", "sum"),
+        sum_price_cents=("sum_price_cents", "sum"),
+    )
+    sub["l_linestatus"] = ""
+    sub["lvl"] = 1
+    tot = pd.DataFrame(
+        {
+            "l_returnflag": [""],
+            "l_linestatus": [""],
+            "n_rows": [int(fine["n_rows"].sum())],
+            "sum_qty": [int(fine["sum_qty"].sum())],
+            "sum_price_cents": [int(fine["sum_price_cents"].sum())],
+            "lvl": [2],
+        }
+    )
+    cols = ["lvl", "l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+            "sum_price_cents"]
+    out = pd.concat([fine[cols], sub[cols], tot[cols]], ignore_index=True)
+    return pa.table(
+        {
+            "lvl": pa.array(out["lvl"].astype("int64"), pa.int64()),
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "n_rows": pa.array(out["n_rows"].astype("int64"), pa.int64()),
+            "sum_qty": pa.array(out["sum_qty"].astype("int64"), pa.int64()),
+            "sum_price_cents": pa.array(
+                out["sum_price_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )

@@ -2061,3 +2061,77 @@ def test_markov_rows_and_probabilities():
     # each src row's probabilities must sum to ~1 (floor rounding)
     s = got.groupby("src")["prob_micro"].sum()
     assert ((s > 999_900) & (s <= 1_000_000)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q22_matches_pandas_reference():
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.q22_global_sales_opportunity(SF)
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    bal = relops.to_cents(cust["c_acctbal"])
+    pos = bal[bal > 0]
+    # float avg reference vs the engine's exact-int cross-multiplied
+    # threshold — must agree on this corpus
+    keep = bal > (pos.sum() / len(pos))
+    recent = set(
+        orders.loc[
+            orders["o_orderdate"] >= pd.Timestamp(relops.Q22_LAPSE_CUTOFF),
+            "o_custkey",
+        ]
+    )
+    sel = cust[keep & ~cust["c_custkey"].isin(recent)].copy()
+    sel["bal_c"] = bal[keep]
+    want = (
+        sel.groupby("c_nationkey", as_index=False)
+        .agg(numcust=("c_custkey", "size"), totacctbal_cents=("bal_c", "sum"))
+        .astype("int64")
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    assert int(got["numcust"].sum()) > 0  # non-vacuous anti-join
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_levels_consistent():
+    from suckit_ray.pipelines import relops
+
+    got = relops.lineitem_rollup(SF).to_pandas()
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    fine = got[got["lvl"] == 0]
+    sub = got[got["lvl"] == 1]
+    tot = got[got["lvl"] == 2]
+    # finest grain equals a direct pandas groupby
+    want = (
+        li.assign(
+            qty=li["l_quantity"].astype("int64"),
+            price_c=relops.to_cents(li["l_extendedprice"]),
+        )
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(n_rows=("qty", "size"), sum_qty=("qty", "sum"),
+             sum_price_cents=("price_c", "sum"))
+    )
+    m = fine.merge(want, on=["l_returnflag", "l_linestatus"],
+                   suffixes=("", "_w"))
+    assert len(m) == len(want) == len(fine)
+    for c in ["n_rows", "sum_qty", "sum_price_cents"]:
+        assert (m[c] == m[f"{c}_w"]).all()
+    # subtotals and grand total are exact sums of the finer level
+    for flag, grp in fine.groupby("l_returnflag"):
+        row = sub[sub["l_returnflag"] == flag]
+        assert len(row) == 1
+        for c in ["n_rows", "sum_qty", "sum_price_cents"]:
+            assert int(row[c].iloc[0]) == int(grp[c].sum())
+    assert len(tot) == 1
+    for c in ["n_rows", "sum_qty", "sum_price_cents"]:
+        assert int(tot[c].iloc[0]) == int(fine[c].sum())
+    assert int(tot["n_rows"].iloc[0]) == len(li)
