@@ -74,6 +74,14 @@ def _crawl_diff(sf_dir: str):
     return crawl_diff(sf_dir)
 
 
+def _crawl_depths(sf_dir: str):
+    """Per-document fetch wave (= BFS depth) — see
+    suckit_ray.pipelines.flagship.crawl_depths."""
+    from suckit_ray.pipelines.flagship import crawl_depths
+
+    return crawl_depths(sf_dir)
+
+
 def _crawl_media_manifest(sf_dir: str):
     """Per-asset reference counts — see
     suckit_ray.pipelines.flagship.crawl_media_manifest."""
@@ -188,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": graph.crawl_pagerank,
         "crawl_triangles": graph.crawl_triangles,
         "crawl_hoststats": _crawl_hoststats,
+        "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,
         "crawl_media_manifest": _crawl_media_manifest,
         "crawl_media_features": _crawl_media_features,
@@ -1811,6 +1820,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 * p.n_pages AS BIGINT) AS n_outlinks,
                    CAST(11 * p.n_pages + a.n_assets AS BIGINT) AS n_spans
             FROM pages p JOIN assets a USING (host)
+        """,
+        # per-document fetch wave: min-depth BFS over the same link
+        # formula (depth-labeled reach, bounded by ho.m so the
+        # recursion terminates; MIN(d) is exact because every true
+        # depth < m). Pages take their BFS distance from the host
+        # seed; an asset lands one wave after the first page that
+        # references it — hash-equality pins the frontier's wave
+        # SCHEDULING, not just the crawl set.
+        "crawl_depths": r"""
+            WITH RECURSIVE
+            params AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     8 AS n_hosts, 16 AS n_assets
+            ),
+            hosts AS (
+              SELECT UNNEST(range(0, n_hosts)) AS h,
+                     n_docs // n_hosts
+                       + CASE WHEN UNNEST(range(0, n_hosts)) < n_docs % n_hosts
+                              THEN 1 ELSE 0 END AS m,
+                     n_hosts, n_assets
+              FROM params
+            ),
+            reachd(h, j, d) AS (
+              SELECT h, 0, 0 FROM hosts
+              UNION
+              SELECT e.h, e.t, e.d
+              FROM (
+                SELECT r.h AS h, x.t AS t, r.d + 1 AS d
+                FROM reachd r
+                JOIN hosts ho ON ho.h = r.h
+                CROSS JOIN LATERAL (VALUES
+                  ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                  ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+                WHERE r.d < ho.m
+              ) e
+            ),
+            hostname AS (
+              SELECT h, 'host' || lpad(CAST(h AS VARCHAR), 4, '0')
+                       || '.test' AS hn
+              FROM hosts
+            ),
+            pdep AS (
+              SELECT h, j, CAST(MIN(d) AS BIGINT) AS depth
+              FROM reachd GROUP BY h, j
+            ),
+            adep AS (
+              SELECT p.h, (13*p.j+7) % ho.n_assets AS a,
+                     CAST(MIN(p.depth) + 1 AS BIGINT) AS depth
+              FROM pdep p JOIN hosts ho ON ho.h = p.h
+              GROUP BY p.h, (13*p.j+7) % ho.n_assets
+            )
+            SELECT hn.hn || '//p' || p.j || '.html' AS doc_id, p.depth
+            FROM pdep p JOIN hostname hn ON hn.h = p.h
+            UNION ALL
+            SELECT hn.hn || '//img' || a.a || '.jpg' AS doc_id, a.depth
+            FROM adep a JOIN hostname hn ON hn.h = a.h
         """,
         # incremental recrawl diff: two reachability closures (flagship
         # web vs the v2 web — 25% more pages, one host gone), FULL

@@ -485,3 +485,30 @@ def crawl_pack_multimodal(sf_dir: str, seq_len: int = PACK_MM_SEQ_LEN) -> rd.Dat
         )
 
     return costed.groupby("kb").map_groups(offset_group, batch_format="pandas")
+
+
+def crawl_depths(sf_dir: str) -> rd.Dataset:
+    """(doc_id, depth): the frontier wave at which each document was
+    fetched. Under the flagship budget (no politeness caps, delay=0)
+    a wave IS a BFS level, so hash-equality against the min-depth
+    recursive-CTE oracle pins the frontier's wave SCHEDULING end to
+    end — crawl_mirror proves the engine fetched the right SET,
+    crawl_depths proves it fetched everything at the EARLIEST wave
+    the link graph allows (a seen-set admitting a URL late, a wave
+    releasing early, or an asset queued before its page would all
+    shift a depth and break the hash). Pages take their BFS distance
+    from the host seed; an asset lands one wave after the first page
+    that references it."""
+    import pyarrow as pa
+
+    def proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "depth": pc.cast(t.column("wave"), pa.int64()),
+            }
+        )
+
+    return crawl_docs(sf_dir).map_batches(proj, batch_format="pyarrow")

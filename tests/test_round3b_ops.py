@@ -2135,3 +2135,38 @@ def test_rollup_levels_consistent():
     for c in ["n_rows", "sum_qty", "sum_price_cents"]:
         assert int(tot[c].iloc[0]) == int(fine[c].sum())
     assert int(tot["n_rows"].iloc[0]) == len(li)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_depths_seed_zero_and_asset_lag():
+    """Semantics pin beside the SQL oracle: host seeds sit at depth 0,
+    every other doc deeper; each asset's depth is exactly one more
+    than the shallowest page that references it."""
+    from suckit_ray.pipelines.flagship import crawl_depths, crawl_docs
+
+    dep = crawl_depths(SF).to_pandas().set_index("doc_id")["depth"]
+    docs = crawl_docs(SF).to_pandas()
+
+    seeds = docs[docs["doc_id"].str.endswith("//p0.html")]["doc_id"]
+    assert len(seeds) == 8
+    assert (dep.loc[seeds] == 0).all()
+    assert (dep.drop(seeds) >= 1).all()
+
+    # recompute asset lag from the span tables themselves
+    import posixpath
+
+    best = {}
+    for _, r in docs[docs["is_html"]].iterrows():
+        for s in r["spans"]:
+            if s["kind"] == "media":
+                ref = posixpath.normpath(
+                    posixpath.join(posixpath.dirname(r["doc_id"]),
+                                   s["media_ref"])
+                )
+                d = int(dep[r["doc_id"]])
+                best[ref] = min(best.get(ref, 1 << 30), d)
+    assets = docs[~docs["is_html"]]["doc_id"]
+    assert len(assets) > 0
+    for a in assets:
+        norm = posixpath.normpath(a)
+        assert int(dep[a]) == best[norm] + 1
