@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": relops.events_markov,
         "q22_global_sales_opportunity": relops.q22_global_sales_opportunity,
         "lineitem_rollup": relops.lineitem_rollup,
+        "events_running_total": relops.events_running_total,
+        "events_value_quantiles_kll": relops.events_value_quantiles_kll,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1538,6 +1540,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # per-user running value total in time order (partitioned
+        # prefix sum; cumulative window-function shape)
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS run_total_cents
+            FROM events
         """,
         # BPE training, first iteration: adjacent char pairs within
         # [a-z0-9_]+ words of the lowercased corpus, top-20 by count

@@ -176,6 +176,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_pmi_topk",
         "q22_global_sales_opportunity",
         "lineitem_rollup",
+        "events_running_total",
+        "events_value_quantiles_kll",
+        "crawl_depths",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -1969,3 +1969,125 @@ def lineitem_rollup(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def events_running_total(sf_dir: str) -> rd.Dataset:
+    """(user_id, event_id, run_total_cents): per-user running sum of
+    event values in time order — the cumulative window-function shape
+    (SUM OVER PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING). One user-hash co-group totally orders each user's
+    events in one place; the cumsum inside the group is one
+    vectorized pandas pass, and ties break on event_id exactly as the
+    oracle's window ORDER BY. Unlike docs_pack_sequences (a GLOBAL
+    prefix sum needing a two-stage offset exchange), a PARTITIONED
+    prefix sum needs no cross-group communication at all — the
+    co-group IS the whole plan, which is why output rows never
+    converge on the driver (the result stays a Dataset)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "value_c": to_cents(df["value"]),
+                "bucket": (df["user_id"] % B).astype("int64"),
+            }
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "run_total_cents": g.groupby("user_id")["value_c"]
+                .cumsum()
+                .astype("int64"),
+            }
+        )
+        return out
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+def events_value_quantiles_kll(sf_dir: str) -> pa.Table:
+    """(event_type, q_pct, value_cents): APPROXIMATE per-type
+    quantiles via mergeable KLL sketches — the scale path named by
+    ``events_value_quantiles``' docstring for when the value domain
+    stops being bounded and a histogram row per distinct value is no
+    longer small. Each batch folds its values into one sketch per
+    type (a few KB), the event_type groupby moves blobs instead of
+    values, and the merged sketch answers all percentiles at once.
+    No SQL oracle (sketch answers are approximate and fold-order
+    dependent); tests/test_round3b_ops.py pins the rank error of
+    every answer against the exact data."""
+    from suckit_ray.stages.sketch import KLLSketch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = to_cents(df["value"]).to_numpy()
+        types, blobs = [], []
+        for t, idx in df.groupby("event_type", sort=False).indices.items():
+            s = KLLSketch()
+            s.add(c[idx])
+            types.append(t)
+            blobs.append(s.to_bytes())
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(types, dtype="object"),
+                "blob": pd.Series(blobs, dtype="object"),
+            }
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        s = KLLSketch.from_bytes(g["blob"].iloc[0])
+        for b in g["blob"].iloc[1:]:
+            s.merge(KLLSketch.from_bytes(b))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(QUANTILE_PCTS),
+                "q_pct": pd.Series(QUANTILE_PCTS, dtype="int64"),
+                "value_cents": pd.Series(
+                    [s.quantile(p / 100.0) for p in QUANTILE_PCTS],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    merged = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()  # |types| × |pcts| rows
+    )
+    merged = merged.sort_values(["event_type", "q_pct"]).reset_index(
+        drop=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(merged["event_type"], pa.string()),
+            "q_pct": pa.array(merged["q_pct"].astype("int64"), pa.int64()),
+            "value_cents": pa.array(
+                merged["value_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )

@@ -123,3 +123,109 @@ def hll_estimate(reg: np.ndarray) -> int:
     if est <= 2.5 * HLL_M and zeros:
         est = HLL_M * np.log(HLL_M / zeros)
     return int(round(est))
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin, Lang & Liberty 2016, simplified) —
+# mergeable streaming quantiles: level i holds items of weight 2^i;
+# a full level sorts and promotes every other item. Rank error is
+# O(1/k) with k=KLL_K items at the top level; blobs are a few KB, so
+# the quantile exchange moves one small blob per (block, group)
+# instead of a histogram row per distinct value — the scale path the
+# exact events_value_quantiles histogram cannot take when the value
+# domain stops being bounded (continuous payments, latencies).
+# Compaction offsets come from a splitmix64 of (n, level): random
+# enough for the error bound, reproducible for a given fold order.
+# ---------------------------------------------------------------------------
+
+KLL_K = 200
+
+
+class KLLSketch:
+    """Weighted multi-level sample over int64 values."""
+
+    __slots__ = ("k", "levels", "n")
+
+    def __init__(self, k: int = KLL_K):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
+        self.n = 0
+
+    def _capacity(self, lvl: int) -> int:
+        # geometric schedule: deepest (highest-weight) levels get the
+        # full k, shallow levels shrink by 2/3 per step below the top
+        h = len(self.levels)
+        return max(8, int(self.k * (2.0 / 3.0) ** (h - 1 - lvl)))
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.int64)
+        if len(v) == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += len(v)
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.int64))
+        for i, arr in enumerate(other.levels):
+            if len(arr):
+                self.levels[i] = np.concatenate([self.levels[i], arr])
+        self.n += other.n
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            arr = self.levels[i]
+            if len(arr) <= self._capacity(i):
+                i += 1
+                continue
+            arr = np.sort(arr, kind="stable")
+            off = int(
+                _splitmix64(np.array([self.n ^ (i << 48)], dtype=np.uint64))[0]
+                & np.uint64(1)
+            )
+            promote = arr[off::2]
+            self.levels[i] = np.empty(0, dtype=np.int64)
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.int64))
+            self.levels[i + 1] = np.concatenate(
+                [self.levels[i + 1], promote]
+            )
+            i += 1
+
+    def quantile(self, q: float) -> int:
+        """Smallest sampled value whose cumulative weight reaches
+        ceil(q·n) — the quantile_disc convention on the weighted
+        sample."""
+        vals = []
+        wts = []
+        for i, arr in enumerate(self.levels):
+            if len(arr):
+                vals.append(arr)
+                wts.append(np.full(len(arr), 1 << i, dtype=np.int64))
+        if not vals:
+            raise ValueError("empty sketch")
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        target = max(1, int(np.ceil(q * cum[-1])))
+        return int(v[np.searchsorted(cum, target)])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, self.levels), protocol=4)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KLLSketch":
+        import pickle
+
+        k, n, levels = pickle.loads(b)
+        s = cls(k)
+        s.n = n
+        s.levels = levels
+        return s

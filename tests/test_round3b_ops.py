@@ -5,6 +5,7 @@ driver at sf0.01; these tests pin the SEMANTICS against independent
 pandas/numpy references at sf0.001 so a same-bug-both-engines slip
 in the SQL mirror can't hide."""
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -2170,3 +2171,91 @@ def test_crawl_depths_seed_zero_and_asset_lag():
     for a in assets:
         norm = posixpath.normpath(a)
         assert int(dep[a]) == best[norm] + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_running_total_matches_pandas_cumsum():
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.events_running_total(SF)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["value_c"] = relops.to_cents(ev["value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["run_total_cents"] = (
+        ev.groupby("user_id")["value_c"].cumsum().astype("int64")
+    )
+    want = (
+        ev[["user_id", "event_id", "run_total_cents"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_kll_sketch_rank_error_bound():
+    """Pure-sketch property: on 50k adversarially ordered values the
+    sketch's answer at every percentile has rank error ≤ 2% of n,
+    and merging two sketches equals sketching the concatenation
+    within the same bound."""
+    import numpy as np
+
+    from suckit_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(7)
+    data = np.concatenate(
+        [
+            rng.integers(0, 10_000, 20_000),
+            np.arange(20_000),           # sorted run
+            np.arange(10_000)[::-1],     # reversed run
+        ]
+    ).astype(np.int64)
+    s = KLLSketch()
+    for chunk in np.array_split(data, 37):
+        s.add(chunk)
+    srt = np.sort(data)
+    n = len(data)
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        v = s.quantile(q)
+        lo = np.searchsorted(srt, v, side="left")
+        hi = np.searchsorted(srt, v, side="right")
+        target = q * n
+        err = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+        assert err <= 0.02 * n, (q, v, err)
+    a, b = KLLSketch(), KLLSketch()
+    a.add(data[: n // 2])
+    b.add(data[n // 2:])
+    a.merge(b)
+    for q in (0.5, 0.9):
+        v = a.quantile(q)
+        lo = np.searchsorted(srt, v, side="left")
+        hi = np.searchsorted(srt, v, side="right")
+        target = q * n
+        err = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+        assert err <= 0.02 * n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kll_quantiles_close_to_exact():
+    """Pipeline pin: every KLL per-type percentile lands within 5%
+    RANK error of the exact per-type distribution."""
+    from suckit_ray.pipelines import relops
+
+    got = relops.events_value_quantiles_kll(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["value_c"] = relops.to_cents(ev["value"])
+    assert len(got) == ev["event_type"].nunique() * len(relops.QUANTILE_PCTS)
+    for (t, p), grp in got.groupby(["event_type", "q_pct"]):
+        vals = np.sort(ev.loc[ev["event_type"] == t, "value_c"].to_numpy())
+        n = len(vals)
+        v = int(grp["value_cents"].iloc[0])
+        lo = np.searchsorted(vals, v, side="left")
+        hi = np.searchsorted(vals, v, side="right")
+        target = p / 100.0 * n
+        err = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+        assert err <= 0.05 * n, (t, p, v, err, n)
