@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_mirror": _crawl_mirror_summary,
         "crawl_spans": _crawl_spans,
         "crawl_pagerank": graph.crawl_pagerank,
+        "crawl_pagerank_exact": graph.crawl_pagerank_exact,
         "crawl_triangles": graph.crawl_triangles,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
@@ -486,6 +487,60 @@ def _sig_cte(sfx: str) -> str:
 # unsuffixed instance shared by crawl_mirror / crawl_spans /
 # crawl_hoststats / crawl_media_manifest
 _CRAWL_REACH_CTE = _reach_cte("", "(SELECT count(*) FROM documents)")
+
+
+def _pagerank_exact_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
+    """All-integer PageRank over the reachability closure, mirrored
+    step by step: rank in 10^-12 units, per-edge contribution
+    (85·r)//(100·deg) and teleport (15·S)//(100·n) — every division a
+    floor, so integer sums make the result reduction-order-exact and
+    the unrolled ``iters`` CTE steps hash-match the distributed run
+    (suckit_ray.pipelines.graph.pagerank_exact_from_docs). Node ids
+    are normpath'd (single slash), unlike the mirror's raw doc_ids."""
+    head = rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            nodes AS (SELECT h, j FROM reach),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            edges AS (
+              SELECT r.h AS h, r.j AS src, x.t AS dst
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+            ),
+            deg AS (
+              SELECT h, src, CAST(count(*) AS BIGINT) AS d
+              FROM edges GROUP BY h, src
+            ),
+            r0 AS (
+              SELECT h, j, {scale} // (SELECT n FROM nn) AS r FROM nodes
+            )"""
+    steps = []
+    for k in range(iters):
+        steps.append(
+            f""",
+            r{k + 1} AS (
+              SELECT n.h, n.j,
+                     (15 * {scale}) // (100 * nn.n)
+                       + COALESCE(m.s, 0) AS r
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.h, e.dst AS j,
+                       SUM((85 * rk.r) // (100 * dg.d)) AS s
+                FROM edges e
+                JOIN r{k} rk ON rk.h = e.h AND rk.j = e.src
+                JOIN deg dg ON dg.h = e.h AND dg.src = e.src
+                GROUP BY e.h, e.dst
+              ) m ON m.h = n.h AND m.j = n.j
+            )"""
+        )
+    tail = f"""
+            SELECT hn.hn || '/p' || r.j || '.html' AS doc_id,
+                   CAST(r.r AS BIGINT) AS rank_pico
+            FROM r{iters} r JOIN hostname hn ON hn.h = r.h
+        """
+    return head + "".join(steps) + tail
 
 
 def _bpe_ctes(steps: int = 5) -> str:
@@ -1833,6 +1888,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(11 * p.n_pages + a.n_assets AS BIGINT) AS n_spans
             FROM pages p JOIN assets a USING (host)
         """,
+        # all-integer PageRank (10 unrolled steps; reduction-order
+        # exact, so the distributed run hash-matches)
+        "crawl_pagerank_exact": _pagerank_exact_oracle_sql(),
         # per-document fetch wave: min-depth BFS over the same link
         # formula (depth-labeled reach, bounded by ho.m so the
         # recursion terminates; MIN(d) is exact because every true

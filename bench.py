@@ -179,6 +179,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_running_total",
         "events_value_quantiles_kll",
         "crawl_depths",
+        "crawl_pagerank_exact",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

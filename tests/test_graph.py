@@ -73,3 +73,33 @@ def test_pagerank_drops_links_outside_crawled_set():
     assert set(got["doc_id"]) == set(ref) == {"h.test/a.html", "h.test/b.html"}
     g = dict(zip(got["doc_id"], got["rank"]))
     assert np.allclose([g[k] for k in ref], [ref[k] for k in ref], atol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_exact_tracks_float_reference():
+    """The integer-quantized ranks must approximate the float power
+    iteration (per-edge floors leak ≤ |edges| picounits per round) and
+    conserve total mass up to that rounding."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+    from suckit_ray.pipelines.graph import (
+        PAGERANK_PICO,
+        pagerank_exact_from_docs,
+        reference_pagerank,
+    )
+
+    import pyarrow as pa
+
+    docs = crawl_docs("/root/testdata/sf0.001")
+    got = pagerank_exact_from_docs(docs).to_pandas()
+    ref = reference_pagerank(pa.Table.from_pandas(docs.to_pandas()))
+    assert len(got) == len(ref)
+    for _, r in got.iterrows():
+        approx = r["rank_pico"] / PAGERANK_PICO
+        want = ref[r["doc_id"]]
+        assert abs(approx - want) <= 5e-6 + 1e-3 * want, (
+            r["doc_id"], approx, want)
+    # mass conservation: floors only ever LOSE mass, bounded by
+    # iters × (edges + n) picounits
+    total = int(got["rank_pico"].sum())
+    assert total <= PAGERANK_PICO
+    assert total >= PAGERANK_PICO - 10 * (5 * len(ref) + len(ref) + 1000)
