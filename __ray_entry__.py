@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": relops.lineitem_rollup,
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
+        "embeddings_pca": ann.embeddings_pca,
+        "docs_train_test_split": textops.docs_train_test_split,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1595,6 +1597,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # deterministic hash-based train/test split (leakage-safe:
+        # membership is a pure function of doc_id)
+        "docs_train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(
+                     '0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 80
+                   THEN 'train' ELSE 'test' END AS split
+            FROM documents
         """,
         # per-user running value total in time order (partitioned
         # prefix sum; cumulative window-function shape)

@@ -180,6 +180,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_quantiles_kll",
         "crawl_depths",
         "crawl_pagerank_exact",
+        "embeddings_pca",
+        "docs_train_test_split",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -378,3 +378,79 @@ def kmeans_assign(
             "cluster": pa.array(out["cluster"].tolist(), pa.int64()),
         }
     )
+
+
+def embeddings_pca(sf_dir: str) -> pa.Table:
+    """(vec_id, pc1_micro): every embedding's projection onto the
+    corpus's top principal component, in integer micro-units — the
+    ONE-PASS distributed PCA: each batch emits the d×d second-moment
+    partial Σ x·xᵀ plus (Σx, n); the driver reduces partials in
+    sorted block-key order (the kmeans determinism convention), forms
+    the centered covariance, and eigendecomposes the tiny d×d matrix
+    locally. The exchange is d² floats per batch ONCE, independent of
+    corpus size — at d=64 that is 32 KB/batch; this beats distributed
+    power iteration outright whenever d² partials are affordable
+    (here the covariance spectrum is nearly flat — λ₂/λ₁ ≈ 0.93 —
+    so power iteration would need ~200 full corpus scans to converge
+    where one scan + a driver eigh is exact; at d ≳ 10⁴, where d²
+    blobs stop being shippable, the per-round matvec streaming shape
+    of ``kmeans_assign`` takes over). The component's sign is fixed
+    by making its largest-|coordinate| positive; rows-only
+    correctness, pinned against single-process numpy
+    eigendecomposition in tests."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+
+    def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "key": [int(df["vec_id"].min())],
+                "n": [len(m)],
+                "s1": [m.sum(axis=0).tobytes()],
+                "s2": [(m.T @ m).tobytes()],
+            }
+        )
+
+    mp = (
+        ds.map_batches(moment_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values("key")
+    )
+    n = int(mp["n"].sum())
+    dim = len(np.frombuffer(mp["s1"].iloc[0], dtype=np.float64))
+    s1 = np.zeros(dim)
+    s2 = np.zeros((dim, dim))
+    for b1, b2 in zip(mp["s1"], mp["s2"]):
+        s1 += np.frombuffer(b1, dtype=np.float64)
+        s2 += np.frombuffer(b2, dtype=np.float64).reshape(dim, dim)
+    mu = s1 / n
+    cov = s2 / n - np.outer(mu, mu)
+    _, eigvecs = np.linalg.eigh(cov)
+    v = eigvecs[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+
+    v_ref = ray.put((mu, v))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        mu_, v_ = ray.get(v_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        p = np.floor((m - mu_) @ v_ * 1_000_000).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"), "pc1_micro": p}
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].tolist(), pa.int64()),
+            "pc1_micro": pa.array(out["pc1_micro"].tolist(), pa.int64()),
+        }
+    )

@@ -2848,3 +2848,45 @@ def docs_pmi_topk(
             ),
         }
     )
+
+
+SPLIT_TRAIN_PCT = 80
+
+
+def docs_train_test_split(sf_dir: str) -> rd.Dataset:
+    """(doc_id, split): deterministic hash-based corpus split — the
+    canonical leakage-safe train/test assignment (membership is a
+    pure function of doc_id, so re-runs, resharding and incremental
+    additions never move a document across the boundary; contrast
+    with docs_weighted_sample's rate-based A-ES draw). Embarrassingly
+    parallel: one map_batches, no exchange at all; the md5 is the
+    same batch-local digest loop exact_dedup uses, mirrored by the
+    oracle's md5() so the assignment is hash-checkable."""
+    import hashlib
+
+    import numpy as np
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.fromiter(
+            (
+                int(
+                    hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16
+                )
+                % 100
+                for i in df["doc_id"]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "split": np.where(
+                    buckets < SPLIT_TRAIN_PCT, "train", "test"
+                ),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pandas"
+    )

@@ -2259,3 +2259,45 @@ def test_kll_quantiles_close_to_exact():
         target = p / 100.0 * n
         err = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
         assert err <= 0.05 * n, (t, p, v, err, n)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_matches_numpy_eig():
+    """The distributed power iteration's projections must match the
+    exact top eigenvector of the centered covariance (numpy eigh),
+    up to the shared sign convention and power-iteration tolerance."""
+    from suckit_ray.pipelines import ann
+
+    got = ann.embeddings_pca(SF).to_pandas()
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(
+        np.float64
+    )
+    mu = m.mean(axis=0)
+    c = (m - mu).T @ (m - mu) / len(m)
+    w, v = np.linalg.eigh(c)
+    top = v[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    want = np.floor((m - mu) @ top * 1_000_000).astype(np.int64)
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    # same eigh on both sides; slack covers float reduction-order
+    # differences between the partial merge and one flat matmul
+    diff = np.abs(got["pc1_micro"].to_numpy() - want)
+    assert (diff <= 2).all(), diff.max()
+    # eigenvalue sanity: projections actually carry variance
+    assert got["pc1_micro"].std() > 1000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_train_test_split_deterministic_and_sized():
+    from suckit_ray.pipelines import textops
+
+    a = textops.docs_train_test_split(SF).to_pandas()
+    b = textops.docs_train_test_split(SF).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # pure function of doc_id
+    frac = (a["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
