@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
         "embeddings_pca": ann.embeddings_pca,
+        "orders_priority_pivot": relops.orders_priority_pivot,
         "docs_train_test_split": textops.docs_train_test_split,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
@@ -1597,6 +1598,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # pivot/crosstab: order counts by year × priority, one column
+        # per priority (conditional aggregation mirror)
+        "orders_priority_pivot": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                   CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+                   CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_not_specified,
+                   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(count(*) AS BIGINT) AS total
+            FROM orders GROUP BY 1
         """,
         # deterministic hash-based train/test split (leakage-safe:
         # membership is a pure function of doc_id)

@@ -182,6 +182,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_pagerank_exact",
         "embeddings_pca",
         "docs_train_test_split",
+        "orders_priority_pivot",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -2091,3 +2091,70 @@ def events_value_quantiles_kll(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+PIVOT_PRIORITIES = (
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_not_specified"),
+    ("5-LOW", "n_low"),
+)
+
+
+def orders_priority_pivot(sf_dir: str) -> pa.Table:
+    """(o_year, n_urgent, ..., n_low, total): order counts pivoted to
+    one column per priority — the reshape/crosstab operator. The wide
+    work is ONE two-phase count over (year, priority) (per-batch
+    combiners, then the bucketed groupby); the pivot itself touches
+    only the ≤ |years|·|priorities| aggregated rows on the driver, so
+    the reshape is free at any corpus size — the point of pivoting
+    AFTER aggregation rather than carrying wide rows through the
+    exchange."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            pd.DataFrame(
+                {
+                    "o_year": pd.DatetimeIndex(df["o_orderdate"]).year.astype(
+                        "int64"
+                    ),
+                    "priority": df["o_orderpriority"],
+                }
+            )
+            .groupby(["o_year", "priority"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        p["n"] = p["n"].astype("int64")
+        return p
+
+    counts = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_orderpriority"],
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["o_year", "priority"],
+        aggs={"n": ("n", "sum")},
+    ).to_pandas()  # ≤ |years|·|priorities| rows
+
+    wide = (
+        counts.pivot_table(
+            index="o_year", columns="priority", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        .reset_index()
+        .sort_values("o_year")
+    )
+    cols = {"o_year": pa.array(wide["o_year"].astype("int64"), pa.int64())}
+    total = np.zeros(len(wide), dtype="int64")
+    for prio, name in PIVOT_PRIORITIES:
+        v = (
+            wide[prio].to_numpy().astype("int64")
+            if prio in wide.columns
+            else np.zeros(len(wide), dtype="int64")
+        )
+        cols[name] = pa.array(v, pa.int64())
+        total += v
+    cols["total"] = pa.array(total, pa.int64())
+    return pa.table(cols)

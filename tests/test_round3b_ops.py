@@ -2301,3 +2301,22 @@ def test_train_test_split_deterministic_and_sized():
     pd.testing.assert_frame_equal(a, b)  # pure function of doc_id
     frac = (a["split"] == "train").mean()
     assert 0.7 < frac < 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_priority_pivot_row_sums_and_crosstab():
+    from suckit_ray.pipelines import relops
+
+    got = relops.orders_priority_pivot(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    want = pd.crosstab(
+        orders["o_orderdate"].dt.year, orders["o_orderpriority"]
+    )
+    assert list(got["o_year"]) == sorted(want.index)
+    for prio, name in relops.PIVOT_PRIORITIES:
+        for _, r in got.iterrows():
+            w = int(want.loc[r["o_year"], prio]) if prio in want.columns else 0
+            assert int(r[name]) == w
+    names = [n for _, n in relops.PIVOT_PRIORITIES]
+    assert (got[names].sum(axis=1) == got["total"]).all()
+    assert int(got["total"].sum()) == len(orders)
