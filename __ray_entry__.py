@@ -492,6 +492,18 @@ def _sig_cte(sfx: str) -> str:
 _CRAWL_REACH_CTE = _reach_cte("", "(SELECT count(*) FROM documents)")
 
 
+def _fanout_values(r: str, ho: str) -> str:
+    """The synthetic links_of() fanout as a LATERAL VALUES block —
+    the same formula `_reach_cte` recurses over, factored out so the
+    depth-labeled and edge-multiset oracles below can't drift from
+    it (aliases parameterized because each oracle binds its own
+    reach/hosts rows)."""
+    return (
+        f"(VALUES ((2*{r}.j+1) % {ho}.m), ((2*{r}.j+2) % {ho}.m), "
+        f"((5*{r}.j+3) % {ho}.m), ((5*{r}.j+10) % {ho}.m))"
+    )
+
+
 def _pagerank_exact_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
     """All-integer PageRank over the reachability closure, mirrored
     step by step: rank in 10^-12 units, per-edge contribution
@@ -508,9 +520,7 @@ def _pagerank_exact_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
             edges AS (
               SELECT r.h AS h, r.j AS src, x.t AS dst
               FROM reach r JOIN hosts ho ON ho.h = r.h
-              CROSS JOIN LATERAL (VALUES
-                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
-                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
             ),
             deg AS (
               SELECT h, src, CAST(count(*) AS BIGINT) AS d
@@ -1929,7 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         # seed; an asset lands one wave after the first page that
         # references it — hash-equality pins the frontier's wave
         # SCHEDULING, not just the crawl set.
-        "crawl_depths": r"""
+        "crawl_depths": rf"""
             WITH RECURSIVE
             params AS (
               SELECT (SELECT count(*) FROM documents) AS n_docs,
@@ -1951,9 +1961,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.h AS h, x.t AS t, r.d + 1 AS d
                 FROM reachd r
                 JOIN hosts ho ON ho.h = r.h
-                CROSS JOIN LATERAL (VALUES
-                  ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
-                  ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+                CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
                 WHERE r.d < ho.m
               ) e
             ),

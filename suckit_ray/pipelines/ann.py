@@ -403,6 +403,15 @@ def embeddings_pca(sf_dir: str) -> pa.Table:
     ds = _read_embeddings(sf_dir)
 
     def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "key": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                    "s1": pd.Series([], dtype="object"),
+                    "s2": pd.Series([], dtype="object"),
+                }
+            )
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         return pd.DataFrame(
             {
@@ -418,7 +427,14 @@ def embeddings_pca(sf_dir: str) -> pa.Table:
         .to_pandas()
         .sort_values("key")
     )
-    n = int(mp["n"].sum())
+    n = int(mp["n"].sum()) if len(mp) else 0
+    if n == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "pc1_micro": pa.array([], pa.int64()),
+            }
+        )
     dim = len(np.frombuffer(mp["s1"].iloc[0], dtype=np.float64))
     s1 = np.zeros(dim)
     s2 = np.zeros((dim, dim))

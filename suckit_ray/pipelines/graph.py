@@ -74,28 +74,48 @@ def _link_edges(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(edges, batch_format="pyarrow")
 
 
-def pagerank_from_docs(
+PAGERANK_PICO = 1_000_000_000_000  # integer rank scale (10^-12 units)
+
+
+def _pagerank_plan(
     docs: rd.Dataset,
-    damping: float = PAGERANK_DAMPING,
-    iters: int = PAGERANK_ITERS,
-    num_buckets: int | None = None,
+    damping: float,
+    iters: int,
+    num_buckets: int | None,
+    integer: bool,
 ) -> rd.Dataset:
-    """Distributed power iteration over the doc link graph. Returns a
-    Dataset (doc_id, rank) over every HTML doc (uniform init 1/N;
-    links out of the crawled set and dangling mass fall to the
-    teleport term — same convention as ``reference_pagerank``).
+    """The ONE power-iteration plan both PageRank variants run —
+    (rank ∪ adjacency) co-group per round, O(pages) rank rows
+    materialized between rounds. ``integer`` selects the arithmetic
+    kernel only:
+
+    - float: contrib = d·r(u)/deg(u), teleport (1−d)/n — fast,
+      reduction-order-sensitive (rows-only correctness);
+    - integer: rank in 10^-12 units, contrib
+      (d₁₀₀·r(u))//(100·deg(u)) and teleport ((100−d₁₀₀)·S)//(100·n)
+      with every division a floor on int64 — associative sums make
+      the result BIT-IDENTICAL under any reduction order, which is
+      what lets the unrolled-CTE SQL oracle hash-match a distributed
+      run. Per-edge floors leak ≤ |edges| picounits of mass per
+      round, mirrored exactly by the oracle.
+
+    Returns (node, rank) with rank float64 or int64 by kernel.
 
     ``num_buckets`` defaults to ~1 bucket per 10k edges (capped at the
     cluster-scaled default): an iterative pipeline pays per-BLOCK fixed
     costs EVERY round, so over-bucketing a small graph multiplies task
     overhead ×iters (measured 10× wall on the sf0.001 graph at B=64 vs
-    B=4); a 10^8-edge graph gets the full cluster fan-out."""
+    B=4); a 10^8-edge graph gets the full cluster fan-out. Duplicate
+    links and self-links carry multiplicity (the ``_link_edges``
+    convention); links out of the crawled set and dangling mass fall
+    to the teleport term, same as ``reference_pagerank``."""
     edges = _link_edges(docs).materialize()
     if num_buckets is None:
         from suckit_ray.stages.agg import default_buckets
 
         num_buckets = max(2, min(default_buckets(), edges.count() // 10_000 + 1))
     B = num_buckets
+    d100 = round(damping * 100)
 
     def bucket_of(col: pd.Series) -> pd.Series:
         # vectorized (this runs per rank/message row EVERY iteration —
@@ -137,17 +157,29 @@ def pagerank_from_docs(
 
     nodes = docs.map_batches(nodes_of, batch_format="pyarrow").materialize()
     n_nodes = nodes.count()
+    rank_dtype = "int64" if integer else "float64"
     if n_nodes == 0:
         return rd.from_arrow(
-            pa.table({"doc_id": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "rank": pa.array(
+                        [], pa.int64() if integer else pa.float64()
+                    ),
+                }
+            )
         )
-    init = 1.0 / n_nodes
-    teleport = (1.0 - damping) / n_nodes
+    if integer:
+        init = PAGERANK_PICO // n_nodes
+        teleport = ((100 - d100) * PAGERANK_PICO) // (100 * n_nodes)
+    else:
+        init = 1.0 / n_nodes
+        teleport = (1.0 - damping) / n_nodes
 
     ranks = (
         nodes.map_batches(
             lambda df: pd.DataFrame(
-                {"node": df["node"], "rank": np.full(len(df), init)}
+                {"node": df["node"], "rank": np.full(len(df), init, dtype=rank_dtype)}
             ),
             batch_format="pandas",
         )
@@ -161,7 +193,7 @@ def pagerank_from_docs(
                 "src": df["node"],
                 "dst": "",  # self marker
                 "deg": np.full(len(df), -1, dtype="int64"),
-                "rank": df["rank"].astype("float64"),
+                "rank": df["rank"].astype(rank_dtype),
                 "bucket": bucket_of(df["node"]),
             }
         )
@@ -172,7 +204,7 @@ def pagerank_from_docs(
                 "src": df["src"],
                 "dst": df["dst"],
                 "deg": df["deg"].astype("int64"),
-                "rank": np.zeros(len(df)),
+                "rank": np.zeros(len(df), dtype=rank_dtype),
                 "bucket": df["bucket"].astype("int64"),
             }
         )
@@ -180,10 +212,17 @@ def pagerank_from_docs(
     def send(g: pd.DataFrame) -> pd.DataFrame:
         lab = g[g["deg"] < 0][["src", "rank"]]
         a = g[g["deg"] >= 0][["src", "dst", "deg"]].merge(lab, on="src")
+        if integer:
+            # per-edge floor — the quantization both engines share
+            contrib = (
+                (d100 * a["rank"].to_numpy()) // (100 * a["deg"].to_numpy())
+            ).astype("int64")
+        else:
+            contrib = (a["rank"] / a["deg"]).astype("float64").to_numpy()
         msgs = pd.DataFrame(
             {
                 "node": a["dst"],
-                "contrib": (a["rank"] / a["deg"]).astype("float64"),
+                "contrib": contrib,
                 "is_node": np.zeros(len(a), dtype="int64"),
             }
         )
@@ -193,7 +232,7 @@ def pagerank_from_docs(
         selfs = pd.DataFrame(
             {
                 "node": lab["src"],
-                "contrib": np.zeros(len(lab)),
+                "contrib": np.zeros(len(lab), dtype=rank_dtype),
                 "is_node": np.ones(len(lab), dtype="int64"),
             }
         )
@@ -209,15 +248,15 @@ def pagerank_from_docs(
         # without this filter a phantom rank row is invented for every
         # un-crawled link target and persists via its own self row
         s = s[s["is_node"] == 1]
-        return pd.DataFrame(
-            {
-                "node": s["node"],
-                "rank": (teleport + damping * s["contrib"]).astype("float64"),
-            }
-        )
+        if integer:
+            rank = (teleport + s["contrib"]).astype("int64")
+        else:
+            rank = (teleport + damping * s["contrib"]).astype("float64")
+        return pd.DataFrame({"node": s["node"], "rank": rank})
 
+    adj_rows = adj.map_batches(as_adj_rows, batch_format="pandas")
     for _ in range(iters):
-        staged = ranks.map_batches(as_rank_rows, batch_format="pandas").union(adj)
+        staged = ranks.map_batches(as_rank_rows, batch_format="pandas").union(adj_rows)
         msgs = staged.groupby("bucket").map_groups(send, batch_format="pandas")
         # repartition before materializing: the sort-groupby emits
         # blocks proportional to its INPUT blocks, so without coalescing
@@ -234,9 +273,40 @@ def pagerank_from_docs(
             .repartition(B)
             .materialize()
         )
+    return ranks
 
+
+def pagerank_from_docs(
+    docs: rd.Dataset,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Float power iteration over the doc link graph — (doc_id, rank)
+    over every HTML doc. Rows-only correctness (float sums are
+    reduction-order-sensitive); see ``_pagerank_plan``."""
+    ranks = _pagerank_plan(docs, damping, iters, num_buckets, integer=False)
     return ranks.map_batches(
         lambda df: pd.DataFrame({"doc_id": df["node"], "rank": df["rank"]}),
+        batch_format="pandas",
+    )
+
+
+def pagerank_exact_from_docs(
+    docs: rd.Dataset, iters: int = PAGERANK_ITERS,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """ALL-INTEGER power iteration — the hash-oracle-able PageRank,
+    (doc_id, rank_pico) in 10^-12 units. Bit-identical under any
+    reduction order, so the 10-step unrolled CTE oracle hash-matches
+    a distributed run; see ``_pagerank_plan``."""
+    ranks = _pagerank_plan(
+        docs, PAGERANK_DAMPING, iters, num_buckets, integer=True
+    )
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["node"], "rank_pico": df["rank"].astype("int64")}
+        ),
         batch_format="pandas",
     )
 
@@ -459,188 +529,6 @@ def crawl_triangles(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return triangles_from_docs(crawl_docs(sf_dir))
-
-
-PAGERANK_PICO = 1_000_000_000_000  # integer rank scale (10^-12 units)
-
-
-def pagerank_exact_from_docs(
-    docs: rd.Dataset, iters: int = PAGERANK_ITERS,
-    num_buckets: int | None = None,
-) -> rd.Dataset:
-    """ALL-INTEGER power iteration — the hash-oracle-able PageRank.
-    Ranks live in 10^-12 units; each iteration computes
-
-        r'(v) = (15·S)//(100·n) + Σ_{u→v} (85·r(u))//(100·deg(u))
-
-    with every division a floor on int64. Integer addition is
-    associative, so unlike the float variant the result is
-    BIT-IDENTICAL under any reduction order / block layout — which is
-    what lets the SQL oracle (10 unrolled CTE steps over the same
-    reachability closure) hash-match a distributed run. Per-edge
-    floors mean ~|edges| picounits of mass leak per round (lost to
-    rounding, exactly mirrored by the oracle); the plan shape is
-    identical to ``pagerank_from_docs`` — a (rank ∪ adjacency)
-    co-group per iteration, O(pages) rank rows materialized between
-    rounds. Duplicate links and self-links carry multiplicity, the
-    same convention the float path inherits from ``_link_edges``."""
-    edges = _link_edges(docs).materialize()
-    if num_buckets is None:
-        from suckit_ray.stages.agg import default_buckets
-
-        num_buckets = max(2, min(default_buckets(), edges.count() // 10_000 + 1))
-    B = num_buckets
-    S = PAGERANK_PICO
-
-    def bucket_of(col: pd.Series) -> pd.Series:
-        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
-        return (h % B).astype("int64")
-
-    def add_deg(g: pd.DataFrame) -> pd.DataFrame:
-        deg = g.groupby("src")["dst"].transform("size").astype("int64")
-        return pd.DataFrame({"src": g["src"], "dst": g["dst"], "deg": deg})
-
-    adj = (
-        edges.map_batches(
-            lambda df: df.assign(bucket=bucket_of(df["src"])),
-            batch_format="pandas",
-        )
-        .groupby("bucket")
-        .map_groups(add_deg, batch_format="pandas")
-        .map_batches(
-            lambda df: df.assign(bucket=bucket_of(df["src"])),
-            batch_format="pandas",
-        )
-        .repartition(B)
-        .materialize()
-    )
-
-    def nodes_of(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = t.filter(pc.field("is_html"))
-        return pa.table(
-            {
-                "node": pa.array(
-                    [
-                        posixpath.normpath(d)
-                        for d in keep.column("doc_id").to_pylist()
-                    ],
-                    pa.string(),
-                )
-            }
-        )
-
-    nodes = docs.map_batches(nodes_of, batch_format="pyarrow").materialize()
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], pa.string()),
-                    "rank_pico": pa.array([], pa.int64()),
-                }
-            )
-        )
-    init = S // n_nodes
-    teleport = (15 * S) // (100 * n_nodes)
-
-    ranks = (
-        nodes.map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "node": df["node"],
-                    "rank": np.full(len(df), init, dtype="int64"),
-                }
-            ),
-            batch_format="pandas",
-        )
-        .repartition(B)
-        .materialize()
-    )
-
-    def as_rank_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": df["node"],
-                "dst": "",  # self marker
-                "deg": np.full(len(df), -1, dtype="int64"),
-                "rank": df["rank"].astype("int64"),
-                "bucket": bucket_of(df["node"]),
-            }
-        )
-
-    def as_adj_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": df["src"],
-                "dst": df["dst"],
-                "deg": df["deg"].astype("int64"),
-                "rank": np.zeros(len(df), dtype="int64"),
-                "bucket": df["bucket"].astype("int64"),
-            }
-        )
-
-    def send(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["deg"] < 0][["src", "rank"]]
-        a = g[g["deg"] >= 0][["src", "dst", "deg"]].merge(lab, on="src")
-        msgs = pd.DataFrame(
-            {
-                "node": a["dst"],
-                # per-edge floor — the quantization both engines share
-                "contrib": (
-                    (85 * a["rank"].to_numpy())
-                    // (100 * a["deg"].to_numpy())
-                ).astype("int64"),
-                "is_node": np.zeros(len(a), dtype="int64"),
-            }
-        )
-        selfs = pd.DataFrame(
-            {
-                "node": lab["src"],
-                "contrib": np.zeros(len(lab), dtype="int64"),
-                "is_node": np.ones(len(lab), dtype="int64"),
-            }
-        )
-        return pd.concat([msgs, selfs], ignore_index=True)
-
-    def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("node", as_index=False).agg(
-            contrib=("contrib", "sum"), is_node=("is_node", "max")
-        )
-        s = s[s["is_node"] == 1]
-        return pd.DataFrame(
-            {
-                "node": s["node"],
-                "rank": (teleport + s["contrib"]).astype("int64"),
-            }
-        )
-
-    adj_rows = adj.map_batches(as_adj_rows, batch_format="pandas")
-    for _ in range(iters):
-        staged = ranks.map_batches(
-            as_rank_rows, batch_format="pandas"
-        ).union(adj_rows)
-        msgs = staged.groupby("bucket").map_groups(
-            send, batch_format="pandas"
-        )
-        ranks = (
-            msgs.map_batches(
-                lambda df: df.assign(bucket=bucket_of(df["node"])),
-                batch_format="pandas",
-            )
-            .groupby("bucket")
-            .map_groups(reduce_sum, batch_format="pandas")
-            .repartition(B)
-            .materialize()
-        )
-
-    return ranks.map_batches(
-        lambda df: pd.DataFrame(
-            {"doc_id": df["node"], "rank_pico": df["rank"].astype("int64")}
-        ),
-        batch_format="pandas",
-    )
 
 
 def crawl_pagerank_exact(sf_dir: str):

@@ -2263,9 +2263,9 @@ def test_kll_quantiles_close_to_exact():
 
 @pytest.mark.usefixtures("ray_session")
 def test_pca_matches_numpy_eig():
-    """The distributed power iteration's projections must match the
-    exact top eigenvector of the centered covariance (numpy eigh),
-    up to the shared sign convention and power-iteration tolerance."""
+    """The one-pass distributed moments (d² partials merged on the
+    driver) must reproduce a flat single-matmul eigendecomposition up
+    to the shared sign convention and float reduction-order slack."""
     from suckit_ray.pipelines import ann
 
     got = ann.embeddings_pca(SF).to_pandas()
