@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
+        "docs_dedup_keep_best": dedup.docs_dedup_keep_best,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "minhash_lsh_pairs_shuffled": dedup.minhash_lsh_pairs_shuffled,
         "simhash": dedup.simhash,
@@ -490,6 +491,52 @@ def _sig_cte(sfx: str) -> str:
 # unsuffixed instance shared by crawl_mirror / crawl_spans /
 # crawl_hoststats / crawl_media_manifest
 _CRAWL_REACH_CTE = _reach_cte("", "(SELECT count(*) FROM documents)")
+
+
+_NEAR_DUP_CTES = r"""
+            WITH RECURSIVE docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 1)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     L[i] || ' ' || L[i + 1] || ' ' || L[i + 2] AS s
+              FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a_id, b_id FROM inter
+              JOIN sizes sa ON sa.doc_id = a_id
+              JOIN sizes sb ON sb.doc_id = b_id
+              WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+            ),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+            ),
+            clusters AS (
+              SELECT CAST(id AS BIGINT) AS doc_id,
+                     CAST(min(r) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY id
+            )"""
+"""The exact-Jaccard near-dup closure ending in a ``clusters`` CTE —
+shared by the near_dup_clusters oracle and every oracle that composes
+on top of the cluster labels (docs_dedup_keep_best), so the pair
+threshold and BFS can't drift between them."""
 
 
 def _fanout_values(r: str, ho: str) -> str:
@@ -851,44 +898,33 @@ def oracle_sql() -> dict[str, str]:
         # connected components of the exact near-dup graph: min-label
         # propagation to a fixpoint via recursive CTE (UNION dedups the
         # frontier, so it converges); cluster_id = min doc_id reachable.
-        "near_dup_clusters": r"""
-            WITH RECURSIVE docs2 AS (
+        "near_dup_clusters": _NEAR_DUP_CTES + """
+            SELECT doc_id, cluster_id FROM clusters
+        """,
+        # canonical-doc selection: per near-dup cluster keep the
+        # most-token member (ties to smallest doc_id) — argmax join
+        "docs_dedup_keep_best": _NEAR_DUP_CTES + f""",
+            tok AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+                     CAST(len(regexp_extract_all(text, '{_TOKEN_RE}'))
+                          AS BIGINT) AS n_tokens
               FROM documents
             ),
-            pos AS (
-              SELECT doc_id, L, UNNEST(range(1, len(L) - 1)) AS i FROM docs2
+            j AS (
+              SELECT c.cluster_id, c.doc_id, t.n_tokens
+              FROM clusters c JOIN tok t USING (doc_id)
             ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     L[i] || ' ' || L[i + 1] || ' ' || L[i + 2] AS s
-              FROM pos
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
-              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-              GROUP BY 1, 2
-            ),
-            pairs AS (
-              SELECT a_id, b_id FROM inter
-              JOIN sizes sa ON sa.doc_id = a_id
-              JOIN sizes sb ON sb.doc_id = b_id
-              WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
-            ),
-            edges AS (
-              SELECT a_id AS u, b_id AS v FROM pairs
-              UNION SELECT b_id, a_id FROM pairs
-            ),
-            reach(id, r) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+            rk AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_tokens DESC, doc_id) AS rnk,
+                     COUNT(*) OVER (PARTITION BY cluster_id) AS nd
+              FROM j
             )
-            SELECT CAST(id AS BIGINT) AS doc_id,
-                   CAST(min(r) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY id
+            SELECT cluster_id, doc_id AS keep_doc_id, n_tokens,
+                   CAST(nd AS BIGINT) AS n_docs
+            FROM rk WHERE rnk = 1
         """,
         "embedding_dup_pairs": """
             SELECT CAST(a.vec_id AS BIGINT) AS a_id, CAST(b.vec_id AS BIGINT) AS b_id,

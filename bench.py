@@ -183,6 +183,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_pca",
         "docs_train_test_split",
         "orders_priority_pivot",
+        "docs_dedup_keep_best",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -1225,3 +1225,97 @@ def _verify_shuffled(
             "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def docs_dedup_keep_best(sf_dir: str) -> "rd.Dataset":
+    """(cluster_id, keep_doc_id, n_tokens, n_docs): canonical-document
+    selection — for every near-dup cluster keep the member with the
+    MOST tokens (ties to the smallest doc_id), the curation step that
+    turns ``near_dup_clusters``' labels into a deduplicated corpus
+    that keeps the richest copy instead of an arbitrary one (the
+    ``training_corpus`` pipeline keeps cluster_id == doc_id; this is
+    the quality-aware alternative).
+
+    The argmax-per-group join shape in two exchanges, no driver
+    state: (1) cluster labels and per-doc token counts meet in a
+    doc_id-hash tagged-union co-group; (2) the cluster-hash co-group
+    receives PER-BLOCK argmax partials — argmax is associative, so
+    each block pre-reduces to one candidate row per (block, cluster)
+    and the group-local winner is exact."""
+    import pandas as pd
+
+    from suckit_ray.pipelines.textops import token_count
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def cl_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "cluster_id": df["cluster_id"].astype("int64"),
+                "n_tokens": pd.Series(-1, index=df.index, dtype="int64"),
+                "bucket": (df["doc_id"] % B).astype("int64"),
+            }
+        )
+
+    def tk_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "cluster_id": pd.Series(-1, index=df.index, dtype="int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "bucket": (df["doc_id"] % B).astype("int64"),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        cl = g[g["cluster_id"] >= 0][["doc_id", "cluster_id"]]
+        tk = g[g["n_tokens"] >= 0][["doc_id", "n_tokens"]]
+        m = cl.merge(tk, on="doc_id")
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.array([], dtype="int64"),
+                    "keep_doc_id": pd.array([], dtype="int64"),
+                    "n_tokens": pd.array([], dtype="int64"),
+                    "n_docs": pd.array([], dtype="int64"),
+                    "bucket2": pd.array([], dtype="int64"),
+                }
+            )
+        # per-block combiner: one candidate + member count per cluster
+        m = m.sort_values(
+            ["cluster_id", "n_tokens", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        best = m.groupby("cluster_id", as_index=False).agg(
+            keep_doc_id=("doc_id", "first"),
+            n_tokens=("n_tokens", "first"),
+            n_docs=("doc_id", "size"),
+        )
+        best["bucket2"] = (best["cluster_id"] % B).astype("int64")
+        return best.astype("int64")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cluster_id", "n_tokens", "keep_doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("cluster_id", as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "first"),
+            n_tokens=("n_tokens", "first"),
+            n_docs=("n_docs", "sum"),
+        )
+        return out.astype("int64")
+
+    cl = near_dup_clusters(sf_dir).map_batches(cl_rows, batch_format="pandas")
+    tk = token_count(sf_dir).map_batches(tk_rows, batch_format="pandas")
+    return (
+        cl.union(tk)
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(final, batch_format="pandas")
+    )

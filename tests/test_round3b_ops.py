@@ -2320,3 +2320,26 @@ def test_priority_pivot_row_sums_and_crosstab():
     names = [n for _, n in relops.PIVOT_PRIORITIES]
     assert (got[names].sum(axis=1) == got["total"]).all()
     assert int(got["total"].sum()) == len(orders)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keep_best_picks_highest_token_member():
+    """Beside the SQL oracle: the kept doc really is its cluster's
+    argmax by (n_tokens, -doc_id), every cluster appears exactly once,
+    and member counts add back up to the corpus."""
+    from suckit_ray.pipelines import dedup, textops
+
+    got = dedup.docs_dedup_keep_best(SF).to_pandas()
+    cl = dedup.near_dup_clusters(SF).to_pandas()
+    tk = textops.token_count(SF).to_pandas()
+    m = cl.merge(tk, on="doc_id")
+    assert got["cluster_id"].is_unique
+    assert int(got["n_docs"].sum()) == len(m)
+    for _, r in got[got["n_docs"] > 1].iterrows():
+        grp = m[m["cluster_id"] == r["cluster_id"]].sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        assert int(r["keep_doc_id"]) == int(grp["doc_id"].iloc[0])
+        assert int(r["n_tokens"]) == int(grp["n_tokens"].iloc[0])
+        assert int(r["n_docs"]) == len(grp)
+    assert (got["n_docs"] > 1).any()  # clusters actually merged docs
