@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": textops.docs_dup_spans,
         "docs_segment_dedup": textops.docs_segment_dedup,
         "docs_lm_score": textops.docs_lm_score,
+        "docs_ccnet_buckets": textops.docs_ccnet_buckets,
         "docs_cut_dup_spans": textops.docs_cut_dup_spans,
         "docs_redact_pii": textops.docs_redact_pii,
         "docs_tfidf_topk": textops.docs_tfidf_topk,
@@ -537,6 +538,40 @@ _NEAR_DUP_CTES = r"""
 shared by the near_dup_clusters oracle and every oracle that composes
 on top of the cluster labels (docs_dedup_keep_best), so the pair
 threshold and BFS can't drift between them."""
+
+
+_LM_SCORE_SQL = r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (SELECT doc_id, L, UNNEST(range(1, len(L))) AS i FROM docs2),
+            big AS (SELECT doc_id, L[i] AS w1, L[i+1] AS w2 FROM pos),
+            c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc FROM c2 GROUP BY w1),
+            vv AS (SELECT count(DISTINCT t) AS V
+                   FROM (SELECT UNNEST(L) AS t FROM docs2)),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(floor(-ln((c2.c + 1.0) / (c1.cc + vv.V))
+                                * 1000000.0) AS BIGINT) AS nll
+              FROM big b
+              JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              JOIN c1 ON b.w1 = c1.w1
+              CROSS JOIN vv
+            )
+            SELECT d.doc_id,
+                   CAST(count(s.nll) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(sum(s.nll), 0) AS BIGINT) AS nll_micro,
+                   CAST(coalesce(sum(s.nll), 0)
+                        // greatest(count(s.nll), 1) AS BIGINT) AS avg_nll_micro
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            GROUP BY d.doc_id
+        """
+"""Per-doc bigram-LM scores — docs_lm_score's full oracle, shared by
+every oracle that composes on the scores (docs_ccnet_buckets), so the
+smoothing and quantization can't drift between them."""
 
 
 def _fanout_values(r: str, ho: str) -> str:
@@ -2293,34 +2328,22 @@ def oracle_sql() -> dict[str, str]:
         # per-bigram floor(-ln((c2+1)/(c1+V))*1e6) quantized BEFORE the
         # per-doc sum, so the float reduction is order-free and
         # bit-reproducible (textops.docs_lm_score mirrors term by term)
-        "docs_lm_score": r"""
-            WITH docs2 AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
-              FROM documents
-            ),
-            pos AS (SELECT doc_id, L, UNNEST(range(1, len(L))) AS i FROM docs2),
-            big AS (SELECT doc_id, L[i] AS w1, L[i+1] AS w2 FROM pos),
-            c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
-            c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc FROM c2 GROUP BY w1),
-            vv AS (SELECT count(DISTINCT t) AS V
-                   FROM (SELECT UNNEST(L) AS t FROM docs2)),
-            scored AS (
-              SELECT b.doc_id,
-                     CAST(floor(-ln((c2.c + 1.0) / (c1.cc + vv.V))
-                                * 1000000.0) AS BIGINT) AS nll
-              FROM big b
-              JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-              JOIN c1 ON b.w1 = c1.w1
-              CROSS JOIN vv
+        "docs_lm_score": _LM_SCORE_SQL,
+        # CCNet head/middle/tail: rank every doc by its avg LM score
+        # and cut in exact integer thirds — bucket = rownum0·3 // n
+        "docs_ccnet_buckets": f"""
+            WITH lm AS ({_LM_SCORE_SQL}),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lm),
+            rk AS (
+              SELECT doc_id, avg_nll_micro,
+                     ROW_NUMBER() OVER (
+                       ORDER BY avg_nll_micro, doc_id) AS rnk
+              FROM lm
             )
-            SELECT d.doc_id,
-                   CAST(count(s.nll) AS BIGINT) AS n_bigrams,
-                   CAST(coalesce(sum(s.nll), 0) AS BIGINT) AS nll_micro,
-                   CAST(coalesce(sum(s.nll), 0)
-                        // greatest(count(s.nll), 1) AS BIGINT) AS avg_nll_micro
-            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-            GROUP BY d.doc_id
+            SELECT rk.doc_id, rk.avg_nll_micro,
+                   CAST(((rk.rnk - 1) * 3) // nn.n AS BIGINT)
+                     AS ccnet_bucket
+            FROM rk CROSS JOIN nn
         """,
         # no oracle (rows-only): crawl_text_extract (page text is not
         # SQL-derivable; pinned by a spans-vs-body cross-representation

@@ -184,6 +184,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_train_test_split",
         "orders_priority_pivot",
         "docs_dedup_keep_best",
+        "docs_ccnet_buckets",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -809,20 +809,23 @@ RANK_SPLIT_PER_BLOCK = 64  # split-training rows kept per block
 # or add a second-level subsample as block count grows)
 
 
-def _train_rank_splits(ds: rd.Dataset, B: int):
+def _train_rank_splits(
+    ds: rd.Dataset, B: int, id_col: str = "event_id",
+    value_col: str = "value",
+):
     """Quantile split points for the range partitioner, trained on a
-    per-block hash-min sample of ``value`` (order-independent —
+    per-block hash-min sample of ``value_col`` (order-independent —
     robust to value-correlated file layouts). None for an empty
     table."""
     import numpy as np
 
     def sample_rows(df: pd.DataFrame) -> pd.DataFrame:
         h = (
-            df["event_id"].to_numpy().astype(np.uint64)
+            df[id_col].to_numpy().astype(np.uint64)
             * np.uint64(2654435761)
         ) & np.uint64(0xFFFFFFFF)
         idx = np.argsort(h, kind="stable")[:RANK_SPLIT_PER_BLOCK]
-        return pd.DataFrame({"value": df["value"].to_numpy()[idx]})
+        return pd.DataFrame({"value": df[value_col].to_numpy()[idx]})
 
     sample = ds.map_batches(sample_rows, batch_format="pandas").to_pandas()
     if len(sample) == 0:

@@ -2890,3 +2890,82 @@ def docs_train_test_split(sf_dir: str) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pandas"
     )
+
+
+CCNET_BUCKETS = 3
+
+
+def docs_ccnet_buckets(sf_dir: str) -> rd.Dataset:
+    """(doc_id, avg_nll_micro, ccnet_bucket): the CCNet head/middle/
+    tail split (Wenzek et al. 2020) — every document ranked by its
+    bigram-LM average negative log-likelihood (``docs_lm_score``) and
+    cut into thirds: bucket 0 = head (most fluent), 2 = tail.
+    bucket = (rank−1)·3 // n with rank = ROW_NUMBER() over
+    (avg_nll_micro, doc_id), all integers, so the cut is exact on
+    both engines.
+
+    Scale shape: the scores stream straight out of lm_score's
+    exchanges into the distributed-sort recipe shared with
+    ``events_value_rank`` — sample-trained range partitioner
+    (hash-min per block, broadcast once), O(buckets) counts → one
+    driver prefix, one range-bucketed co-group that sorts locally and
+    adds its base. No global sort materialization; the driver never
+    sees a score row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from suckit_ray.pipelines.relops import _train_rank_splits
+    from suckit_ray.stages.agg import bucket_prefix_bases, default_buckets
+
+    B = default_buckets()
+    scores = docs_lm_score(sf_dir)
+
+    splits = _train_rank_splits(
+        scores, B, id_col="doc_id", value_col="avg_nll_micro"
+    )
+    if splits is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "avg_nll_micro": pa.array([], pa.int64()),
+                    "ccnet_bucket": pa.array([], pa.int64()),
+                }
+            )
+        )
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "avg": df["avg_nll_micro"].astype("int64"),
+                "vb": np.searchsorted(
+                    sp, df["avg_nll_micro"].to_numpy(), side="left"
+                ).astype("int64"),
+            }
+        )
+
+    bk = scores.map_batches(bucketize, batch_format="pandas").materialize()
+    base_ref = bucket_prefix_bases(bk, "vb")
+    n_docs = bk.count()
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=["doc_id", "avg_nll_micro", "ccnet_bucket"]
+            ).astype("int64")
+        base = int(ray.get(base_ref)[int(g["vb"].iloc[0])])
+        g = g.sort_values(["avg", "doc_id"]).reset_index(drop=True)
+        rnk = np.arange(len(g), dtype=np.int64) + base  # 0-based rank
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "avg_nll_micro": g["avg"].astype("int64"),
+                "ccnet_bucket": (rnk * CCNET_BUCKETS) // n_docs,
+            }
+        )
+
+    return bk.groupby("vb").map_groups(rank_group, batch_format="pandas")

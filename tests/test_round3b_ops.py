@@ -2343,3 +2343,32 @@ def test_keep_best_picks_highest_token_member():
         assert int(r["n_tokens"]) == int(grp["n_tokens"].iloc[0])
         assert int(r["n_docs"]) == len(grp)
     assert (got["n_docs"] > 1).any()  # clusters actually merged docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ccnet_buckets_are_exact_thirds_of_the_score_order():
+    from suckit_ray.pipelines import textops
+
+    got = textops.docs_ccnet_buckets(SF).to_pandas()
+    scores = textops.docs_lm_score(SF).to_pandas()
+    n = len(scores)
+    assert len(got) == n
+    want = scores.sort_values(["avg_nll_micro", "doc_id"]).reset_index(
+        drop=True
+    )
+    want["ccnet_bucket"] = (
+        (np.arange(n, dtype="int64") * textops.CCNET_BUCKETS) // n
+    )
+    m = got.merge(
+        want[["doc_id", "ccnet_bucket"]], on="doc_id",
+        suffixes=("", "_w"),
+    )
+    assert len(m) == n
+    assert (m["ccnet_bucket"] == m["ccnet_bucket_w"]).all()
+    sizes = got.groupby("ccnet_bucket").size()
+    assert len(sizes) == textops.CCNET_BUCKETS
+    assert sizes.max() - sizes.min() <= 1  # thirds are exact
+    # head really is more fluent than tail
+    head = got[got["ccnet_bucket"] == 0]["avg_nll_micro"]
+    tail = got[got["ccnet_bucket"] == 2]["avg_nll_micro"]
+    assert head.max() <= tail.min()
