@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_spans": _crawl_spans,
         "crawl_pagerank": graph.crawl_pagerank,
         "crawl_pagerank_exact": graph.crawl_pagerank_exact,
+        "crawl_hits": graph.crawl_hits,
         "crawl_triangles": graph.crawl_triangles,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
@@ -586,6 +587,75 @@ def _fanout_values(r: str, ho: str) -> str:
     )
 
 
+def _hits_oracle_sql(iters: int = 5, scale: int = 10**9) -> str:
+    """Integer HITS over the reachability closure, mirrored half-round
+    by half-round: raw in-sums along edges, then one global scalar
+    divisor d = max(Σ // S, 1) — all floors, so the distributed run
+    (suckit_ray.pipelines.graph.hits_from_docs) hash-matches."""
+    head = rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            nodes AS MATERIALIZED (SELECT h, j FROM reach),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            edges AS MATERIALIZED (
+              SELECT r.h AS h, r.j AS src, x.t AS dst
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+            ),
+            h0 AS (
+              SELECT h, j, {scale} // (SELECT n FROM nn) AS r FROM nodes
+            )"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f""",
+            ar{k}r AS MATERIALIZED (
+              SELECT e.h, e.dst AS j, SUM(hk.r) AS r
+              FROM edges e
+              JOIN h{k - 1} hk ON hk.h = e.h AND hk.j = e.src
+              JOIN nodes n2 ON n2.h = e.h AND n2.j = e.dst
+              GROUP BY e.h, e.dst
+            ),
+            ar{k}t AS (
+              SELECT GREATEST(COALESCE(SUM(r), 0) // {scale}, 1) AS d
+              FROM ar{k}r
+            ),
+            a{k} AS MATERIALIZED (
+              SELECT n.h, n.j,
+                     COALESCE(ar.r, 0) // (SELECT d FROM ar{k}t) AS r
+              FROM nodes n
+              LEFT JOIN ar{k}r ar ON ar.h = n.h AND ar.j = n.j
+            ),
+            hr{k}r AS MATERIALIZED (
+              SELECT e.h, e.src AS j, SUM(ak.r) AS r
+              FROM edges e
+              JOIN a{k} ak ON ak.h = e.h AND ak.j = e.dst
+              JOIN nodes n2 ON n2.h = e.h AND n2.j = e.src
+              GROUP BY e.h, e.src
+            ),
+            hr{k}t AS (
+              SELECT GREATEST(COALESCE(SUM(r), 0) // {scale}, 1) AS d
+              FROM hr{k}r
+            ),
+            h{k} AS MATERIALIZED (
+              SELECT n.h, n.j,
+                     COALESCE(hr.r, 0) // (SELECT d FROM hr{k}t) AS r
+              FROM nodes n
+              LEFT JOIN hr{k}r hr ON hr.h = n.h AND hr.j = n.j
+            )"""
+        )
+    tail = f"""
+            SELECT hn.hn || '/p' || n.j || '.html' AS doc_id,
+                   CAST(hh.r AS BIGINT) AS hub_nano,
+                   CAST(aa.r AS BIGINT) AS auth_nano
+            FROM nodes n
+            JOIN h{iters} hh ON hh.h = n.h AND hh.j = n.j
+            JOIN a{iters} aa ON aa.h = n.h AND aa.j = n.j
+            JOIN hostname hn ON hn.h = n.h
+        """
+    return head + "".join(steps) + tail
+
+
 def _pagerank_exact_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
     """All-integer PageRank over the reachability closure, mirrored
     step by step: rank in 10^-12 units, per-edge contribution
@@ -597,14 +667,14 @@ def _pagerank_exact_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
     head = rf"""
             WITH RECURSIVE
             {_CRAWL_REACH_CTE},
-            nodes AS (SELECT h, j FROM reach),
+            nodes AS MATERIALIZED (SELECT h, j FROM reach),
             nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-            edges AS (
+            edges AS MATERIALIZED (
               SELECT r.h AS h, r.j AS src, x.t AS dst
               FROM reach r JOIN hosts ho ON ho.h = r.h
               CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
             ),
-            deg AS (
+            deg AS MATERIALIZED (
               SELECT h, src, CAST(count(*) AS BIGINT) AS d
               FROM edges GROUP BY h, src
             ),
@@ -615,7 +685,7 @@ def _pagerank_exact_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
     for k in range(iters):
         steps.append(
             f""",
-            r{k + 1} AS (
+            r{k + 1} AS MATERIALIZED (
               SELECT n.h, n.j,
                      (15 * {scale}) // (100 * nn.n)
                        + COALESCE(m.s, 0) AS r
@@ -2003,6 +2073,9 @@ def oracle_sql() -> dict[str, str]:
         # all-integer PageRank (10 unrolled steps; reduction-order
         # exact, so the distributed run hash-matches)
         "crawl_pagerank_exact": _pagerank_exact_oracle_sql(),
+        # all-integer HITS (5 unrolled rounds, two halves each with a
+        # global scalar renormalization)
+        "crawl_hits": _hits_oracle_sql(),
         # per-document fetch wave: min-depth BFS over the same link
         # formula (depth-labeled reach, bounded by ho.m so the
         # recursion terminates; MIN(d) is exact because every true

@@ -185,6 +185,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_priority_pivot",
         "docs_dedup_keep_best",
         "docs_ccnet_buckets",
+        "crawl_hits",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -538,3 +538,249 @@ def crawl_pagerank_exact(sf_dir: str):
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return pagerank_exact_from_docs(crawl_docs(sf_dir))
+
+
+HITS_SCALE = 1_000_000_000  # integer hub/authority scale (10^-9 units)
+HITS_ITERS = 5
+
+
+def hits_from_docs(
+    docs: rd.Dataset, iters: int = HITS_ITERS,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """(doc_id, hub_nano, auth_nano): Kleinberg's HITS in all-integer
+    arithmetic — the second hash-oracle-able iterative graph op. Each
+    round is two sparse matvecs with a SCALAR renormalization:
+
+        a'(v) = Σ_{u→v} h(u);  d = max(Σ a' // S, 1);  a ← a' // d
+        h'(u) = Σ_{u→v} a(v);  d = max(Σ h' // S, 1);  h ← h' // d
+
+    Integer sums are associative and the divisor is one global
+    scalar, so the result is bit-identical under any reduction order
+    — the property the unrolled-CTE oracle needs. S = 10^9 keeps
+    Σ-over-in-edges ≤ max_degree·S safely inside int64 even at
+    hub-heavy web degree distributions (10^8 in-links × 10^9 < 2^63).
+
+    Scale shape per half-round: one co-group ships scores along
+    edges (adjacency bucketed by the EMITTING side — src for the
+    authority half, dst for the hub half), one O(blocks) partial-sum
+    reduce produces the scalar divisor. Score rows are O(pages) and
+    materialize between rounds exactly like ``_pagerank_plan``'s."""
+    import ray
+
+    edges = _link_edges(docs).materialize()
+    if num_buckets is None:
+        from suckit_ray.stages.agg import default_buckets
+
+        num_buckets = max(2, min(default_buckets(), edges.count() // 10_000 + 1))
+    B = num_buckets
+    S = HITS_SCALE
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.field("is_html"))
+        return pa.table(
+            {
+                "node": pa.array(
+                    [
+                        posixpath.normpath(d)
+                        for d in keep.column("doc_id").to_pylist()
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    nodes = docs.map_batches(nodes_of, batch_format="pyarrow").materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "hub_nano": pa.array([], pa.int64()),
+                    "auth_nano": pa.array([], pa.int64()),
+                }
+            )
+        )
+    init = S // n_nodes
+
+    # adjacency bucketed by the side whose score the half-round reads
+    adj_by_src = (
+        edges.map_batches(
+            lambda df: df.assign(bucket=bucket_of(df["src"])),
+            batch_format="pandas",
+        )
+        .repartition(B)
+        .materialize()
+    )
+    adj_by_dst = (
+        edges.map_batches(
+            lambda df: df.assign(bucket=bucket_of(df["dst"])),
+            batch_format="pandas",
+        )
+        .repartition(B)
+        .materialize()
+    )
+
+    def init_scores() -> rd.Dataset:
+        return (
+            nodes.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "node": df["node"],
+                        "score": np.full(len(df), init, dtype="int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .repartition(B)
+            .materialize()
+        )
+
+    def half_round(
+        scores: rd.Dataset, adj: rd.Dataset, read_col: str, emit_col: str
+    ) -> rd.Dataset:
+        """One matvec: co-locate ``scores`` with edges on ``read_col``,
+        emit (node=``emit_col`` endpoint, contrib=score), reduce by
+        node, then divide by the global scalar."""
+
+        def as_score_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "src": df["node"] if read_col == "src" else "",
+                    "dst": df["node"] if read_col == "dst" else "",
+                    "score": df["score"].astype("int64"),
+                    "is_score": np.ones(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["node"]),
+                }
+            )
+
+        def as_edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "src": df["src"],
+                    "dst": df["dst"],
+                    "score": np.zeros(len(df), dtype="int64"),
+                    "is_score": np.zeros(len(df), dtype="int64"),
+                    "bucket": df["bucket"].astype("int64"),
+                }
+            )
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["is_score"] == 1][[read_col, "score"]].rename(
+                columns={read_col: "key"}
+            )
+            e = g[g["is_score"] == 0][["src", "dst"]]
+            m = e.merge(lab, left_on=read_col, right_on="key")
+            return pd.DataFrame(
+                {
+                    "node": m[emit_col],
+                    "contrib": m["score"].astype("int64"),
+                }
+            )
+
+        msgs = (
+            scores.map_batches(as_score_rows, batch_format="pandas")
+            .union(adj.map_batches(as_edge_rows, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(send, batch_format="pandas")
+        )
+
+        def pre_reduce(df: pd.DataFrame) -> pd.DataFrame:
+            p = df.groupby("node", as_index=False)["contrib"].sum()
+            p["is_node"] = np.zeros(len(p), dtype="int64")
+            p["bucket"] = bucket_of(p["node"])
+            return p
+
+        # nodes ride the same co-group as zero-contribution marker
+        # rows so every node persists AND the tag filters MEMBERSHIP:
+        # a contribution addressed outside the crawled node set
+        # (depth-capped crawls emit such links) must neither invent a
+        # phantom score row nor count toward the normalization mass —
+        # the same convention as _pagerank_plan's is_node filter
+        def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "contrib": np.zeros(len(df), dtype="int64"),
+                    "is_node": np.ones(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["node"]),
+                }
+            )
+
+        def merge_members(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("node", as_index=False).agg(
+                contrib=("contrib", "sum"), is_node=("is_node", "max")
+            )
+            return out[out["is_node"] == 1][["node", "contrib"]]
+
+        raw = (
+            msgs.map_batches(pre_reduce, batch_format="pandas")
+            .union(nodes.map_batches(zero_rows, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(merge_members, batch_format="pandas")
+            .repartition(B)
+            .materialize()
+        )
+        totals = raw.map_batches(
+            lambda df: pd.DataFrame({"t": [int(df["contrib"].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        total = int(totals["t"].sum()) if len(totals) else 0
+        d = max(total // S, 1)
+
+        def normalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "score": (df["contrib"].to_numpy() // d).astype("int64"),
+                }
+            )
+
+        return raw.map_batches(normalize, batch_format="pandas").materialize()
+
+    hubs = init_scores()
+    auths = init_scores()
+    for _ in range(iters):
+        auths = half_round(hubs, adj_by_src, "src", "dst")
+        hubs = half_round(auths, adj_by_dst, "dst", "src")
+
+    def tag(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": df["node"],
+                "hub_nano": df["score"] if col == "hub" else 0,
+                "auth_nano": df["score"] if col == "auth" else 0,
+                "bucket": bucket_of(df["node"]),
+            }
+        )
+        return out.astype({"hub_nano": "int64", "auth_nano": "int64"})
+
+    return (
+        hubs.map_batches(lambda df: tag(df, "hub"), batch_format="pandas")
+        .union(
+            auths.map_batches(lambda df: tag(df, "auth"), batch_format="pandas")
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: g.groupby("node", as_index=False)
+            .agg(hub_nano=("hub_nano", "sum"), auth_nano=("auth_nano", "sum"))
+            .rename(columns={"node": "doc_id"}),
+            batch_format="pandas",
+        )
+    )
+
+
+def crawl_hits(sf_dir: str):
+    """queries() entry: integer HITS of the flagship mirror —
+    (doc_id, hub_nano, auth_nano), hash-compared against an unrolled
+    two-halves-per-round CTE oracle."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return hits_from_docs(crawl_docs(sf_dir))

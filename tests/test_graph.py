@@ -103,3 +103,77 @@ def test_pagerank_exact_tracks_float_reference():
     total = int(got["rank_pico"].sum())
     assert total <= PAGERANK_PICO
     assert total >= PAGERANK_PICO - 10 * (5 * len(ref) + len(ref) + 1000)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_on_irregular_graph_matches_integer_reference():
+    """The flagship web is exactly 4-in-regular (its linear link maps
+    partition in-degree evenly), which makes HITS uniform there — so
+    this pin uses a hand-built IRREGULAR graph with a clear hub and a
+    clear authority, plus a dangling page and a link to an un-crawled
+    target, and checks the distributed run against a direct Python
+    implementation of the same integer rules."""
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import HITS_SCALE, hits_from_docs
+
+    def page(doc_id, refs):
+        return {
+            "doc_id": doc_id,
+            "is_html": True,
+            "spans": [{"kind": "link", "text": "", "media_ref": r, "offset": 0}
+                      for r in refs],
+        }
+
+    pages = {
+        "h.test/hub.html": ["auth.html", "b.html", "c.html", "auth.html"],
+        "h.test/b.html": ["auth.html", "missing.html"],
+        "h.test/c.html": ["auth.html"],
+        "h.test/auth.html": ["hub.html"],
+        "h.test/dangling.html": [],
+    }
+    tbl = pa.Table.from_pylist(
+        [page(k, v) for k, v in sorted(pages.items())]
+    )
+    got = hits_from_docs(rd.from_arrow(tbl), num_buckets=2).to_pandas()
+
+    # direct integer reference (same rules: multiplicity kept, edges
+    # to un-crawled targets contribute nothing, scalar divisor floors)
+    import posixpath
+
+    nodes = sorted(pages)
+    edges = []
+    for u, refs in pages.items():
+        for r in refs:
+            v = posixpath.normpath(
+                posixpath.join(posixpath.dirname(u), r)
+            ).split("#", 1)[0]
+            edges.append((u, v))
+    S = HITS_SCALE
+    h = {u: S // len(nodes) for u in nodes}
+    a = dict(h)
+    for _ in range(5):
+        raw = {}
+        for u, v in edges:
+            if v in h:
+                raw[v] = raw.get(v, 0) + h[u]
+        d = max(sum(raw.values()) // S, 1)
+        a = {v: raw.get(v, 0) // d for v in nodes}
+        raw2 = {}
+        for u, v in edges:
+            if v in a and u in a:
+                raw2[u] = raw2.get(u, 0) + a[v]
+        d2 = max(sum(raw2.values()) // S, 1)
+        h = {u: raw2.get(u, 0) // d2 for u in nodes}
+
+    assert len(got) == len(nodes)
+    g = got.set_index("doc_id")
+    for u in nodes:
+        assert int(g.loc[u, "hub_nano"]) == h[u], (u, "hub")
+        assert int(g.loc[u, "auth_nano"]) == a[u], (u, "auth")
+    # the graph actually discriminates: hub out-scores everyone as a
+    # hub, auth as an authority, and the dangling page scores 0/0
+    assert g["hub_nano"].idxmax() == "h.test/hub.html"
+    assert g["auth_nano"].idxmax() == "h.test/auth.html"
+    assert int(g.loc["h.test/dangling.html", "hub_nano"]) == 0
+    assert int(g.loc["h.test/dangling.html", "auth_nano"]) == 0
