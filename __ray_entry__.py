@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": relops.events_markov,
         "q22_global_sales_opportunity": relops.q22_global_sales_opportunity,
         "lineitem_rollup": relops.lineitem_rollup,
+        "events_cube": relops.events_cube,
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
         "embeddings_pca": ann.embeddings_pca,
@@ -1749,6 +1750,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # CUBE(event_type, weekday): all four grouping levels; lvl is
+        # the GROUPING bitmask, rolled-up keys carried as ''/-1
+        "events_cube": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT CAST(GROUPING(event_type) * 2
+                        + GROUPING(weekday) AS BIGINT) AS lvl,
+                   COALESCE(event_type, '') AS event_type,
+                   CAST(COALESCE(weekday, -1) AS BIGINT) AS weekday,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(v) AS BIGINT) AS sum_value_cents
+            FROM e GROUP BY CUBE(event_type, weekday)
         """,
         # pivot/crosstab: order counts by year × priority, one column
         # per priority (conditional aggregation mirror)

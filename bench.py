@@ -186,6 +186,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_dedup_keep_best",
         "docs_ccnet_buckets",
         "crawl_hits",
+        "events_cube",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -2161,3 +2161,87 @@ def orders_priority_pivot(sf_dir: str) -> pa.Table:
         total += v
     cols["total"] = pa.array(total, pa.int64())
     return pa.table(cols)
+
+
+def events_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(event_type, weekday) over events — (lvl,
+    event_type, weekday, n_events, sum_value_cents) with all four
+    grouping levels: finest grain, per-type, per-weekday, grand
+    total (lvl = GROUPING bitmask: bit 0 = weekday rolled up, bit 1
+    = event_type rolled up; rolled-up strings carried as '' and
+    weekday as -1 so hashes are stable).
+
+    Same discipline as ``lineitem_rollup``: ONE two-phase exchange
+    computes the finest grain (bounded by |types|·7 after per-batch
+    combiners) and every coarser level is arithmetic over that tiny
+    frame on the driver — CUBE adds zero exchanges."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        # days since epoch → weekday, epoch day 0 = Thursday = ISO 3
+        days = ts.astype("datetime64[D]").astype("int64")
+        weekday = (days + 3) % 7  # 0 = Monday … 6 = Sunday
+        p = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "weekday": weekday.astype("int64"),
+                    "value_c": to_cents(df["value"]),
+                }
+            )
+            .groupby(["event_type", "weekday"], as_index=False)
+            .agg(n_events=("value_c", "size"), sum_value_cents=("value_c", "sum"))
+        )
+        return p
+
+    fine = (
+        bucketed_groupby_agg(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+            ).map_batches(partial, batch_format="pandas"),
+            keys=["event_type", "weekday"],
+            aggs={
+                "n_events": ("n_events", "sum"),
+                "sum_value_cents": ("sum_value_cents", "sum"),
+            },
+        )
+        .to_pandas()  # ≤ |types|·7 rows
+        .astype({"weekday": "int64", "n_events": "int64",
+                 "sum_value_cents": "int64"})
+    )
+    fine["lvl"] = 0
+    by_type = fine.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum")
+    )
+    by_type["weekday"] = -1
+    by_type["lvl"] = 1
+    by_day = fine.groupby("weekday", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum")
+    )
+    by_day["event_type"] = ""
+    by_day["lvl"] = 2
+    tot = pd.DataFrame(
+        {
+            "event_type": [""],
+            "weekday": [-1],
+            "n_events": [int(fine["n_events"].sum())],
+            "sum_value_cents": [int(fine["sum_value_cents"].sum())],
+            "lvl": [3],
+        }
+    )
+    cols = ["lvl", "event_type", "weekday", "n_events", "sum_value_cents"]
+    out = pd.concat(
+        [fine[cols], by_type[cols], by_day[cols], tot[cols]],
+        ignore_index=True,
+    )
+    return pa.table(
+        {
+            "lvl": pa.array(out["lvl"].astype("int64"), pa.int64()),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "weekday": pa.array(out["weekday"].astype("int64"), pa.int64()),
+            "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+            "sum_value_cents": pa.array(
+                out["sum_value_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )

@@ -2372,3 +2372,29 @@ def test_ccnet_buckets_are_exact_thirds_of_the_score_order():
     head = got[got["ccnet_bucket"] == 0]["avg_nll_micro"]
     tail = got[got["ccnet_bucket"] == 2]["avg_nll_micro"]
     assert head.max() <= tail.min()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_cube_levels_consistent():
+    from suckit_ray.pipelines import relops
+
+    got = relops.events_cube(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["weekday"] = ((ev["ts"].dt.dayofweek)).astype("int64")  # 0=Mon
+    ev["v"] = relops.to_cents(ev["value"])
+
+    fine = got[got["lvl"] == 0]
+    want = ev.groupby(["event_type", "weekday"], as_index=False).agg(
+        n_events=("v", "size"), sum_value_cents=("v", "sum")
+    )
+    m = fine.merge(want, on=["event_type", "weekday"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(fine)
+    assert (m["n_events"] == m["n_events_w"]).all()
+    assert (m["sum_value_cents"] == m["sum_value_cents_w"]).all()
+    # every level's totals add back to the corpus
+    for lvl in (0, 1, 2):
+        sub = got[got["lvl"] == lvl]
+        assert int(sub["n_events"].sum()) == len(ev), lvl
+        assert int(sub["sum_value_cents"].sum()) == int(ev["v"].sum()), lvl
+    tot = got[got["lvl"] == 3]
+    assert len(tot) == 1 and int(tot["n_events"].iloc[0]) == len(ev)
