@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_global_sales_opportunity": relops.q22_global_sales_opportunity,
         "lineitem_rollup": relops.lineitem_rollup,
         "events_cube": relops.events_cube,
+        "q4_order_priority": relops.q4_order_priority,
+        "q14_promo_revenue": relops.q14_promo_revenue,
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
         "embeddings_pca": ann.embeddings_pca,
@@ -1750,6 +1752,45 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # TPC-H-Q4-shaped semi-join: orders of one quarter with a
+        # lineitem shipped after the order date (EXISTS ⇔ max > odate)
+        "q4_order_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        # TPC-H-Q14-shaped: PROMO-type share of one month's shipped
+        # revenue, HUGEINT micro share
+        "q14_promo_revenue": """
+            WITH l AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev,
+                     CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END
+                       AS is_promo
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+                AND l_shipdate < TIMESTAMP '1997-07-01'
+            )
+            SELECT CAST(COALESCE(SUM(CASE WHEN is_promo = 1 THEN rev
+                                     ELSE 0 END), 0) AS BIGINT)
+                     AS promo_rev,
+                   CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS total_rev,
+                   CAST(CASE WHEN COALESCE(SUM(rev), 0) = 0 THEN 0
+                        ELSE (CAST(1000000 AS HUGEINT)
+                              * SUM(CASE WHEN is_promo = 1 THEN rev
+                                    ELSE 0 END)) // SUM(rev)
+                        END AS BIGINT) AS promo_micro
+            FROM l
         """,
         # CUBE(event_type, weekday): all four grouping levels; lvl is
         # the GROUPING bitmask, rolled-up keys carried as ''/-1

@@ -187,6 +187,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_ccnet_buckets",
         "crawl_hits",
         "events_cube",
+        "q4_order_priority",
+        "q14_promo_revenue",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -2245,3 +2245,174 @@ def events_cube(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+Q4_LO, Q4_HI = "1997-01-01", "1997-04-01"
+
+
+def q4_order_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q4-shaped: (o_orderpriority, n_orders) for one quarter's
+    orders that had at least one lineitem shipped AFTER the order
+    date — the distributed SEMI-JOIN (EXISTS) shape, the complement
+    of orders_unshipped's anti-join. The correlated predicate
+    (l_shipdate > o_orderdate) collapses to a per-order aggregate:
+    EXISTS(ship > odate) ⇔ max(ship) > odate, and max is a perfect
+    combiner — each lineitem batch pre-reduces to one
+    (orderkey, max_ship) row, so the co-group never carries raw
+    lineitems. Orders are date-filtered AT THE READ; the final
+    priority histogram is ≤ |priorities| rows per bucket merged on
+    the driver."""
+    import pyarrow.dataset as pds
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    lo, hi = pd.Timestamp(Q4_LO), pd.Timestamp(Q4_HI)
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "orderkey": df["o_orderkey"].astype("int64"),
+                "side": 0,
+                "odate_us": df["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "priority": df["o_orderpriority"],
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            pd.DataFrame(
+                {
+                    "orderkey": df["l_orderkey"].astype("int64"),
+                    "odate_us": df["l_shipdate"]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64"),
+                }
+            )
+            .groupby("orderkey", as_index=False)
+            .agg(odate_us=("odate_us", "max"))  # max-ship combiner
+        )
+        p["side"] = 1
+        p["priority"] = ""
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p[["orderkey", "side", "odate_us", "priority", "bucket"]]
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["side"] == 0]
+        ms = (
+            g[g["side"] == 1]
+            .groupby("orderkey", as_index=False)
+            .agg(max_ship=("odate_us", "max"))
+        )
+        m = od.merge(ms, on="orderkey")
+        keep = m[m["max_ship"] > m["odate_us"]]
+        out = (
+            keep.groupby("priority", as_index=False)
+            .size()
+            .rename(columns={"size": "n_orders"})
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pds.field("o_orderdate") >= pds.scalar(lo))
+        & (pds.field("o_orderdate") < pds.scalar(hi)),
+    ).map_batches(order_rows, batch_format="pandas")
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(line_partial, batch_format="pandas")
+
+    parts = (
+        orders.union(lines)
+        .groupby("bucket")
+        .map_groups(semi, batch_format="pandas")
+        .to_pandas()  # ≤ |priorities| rows per bucket
+    )
+    if not len(parts) or "priority" not in parts.columns:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    final = (
+        parts.groupby("priority", as_index=False)["n_orders"]
+        .sum()
+        .sort_values("priority")
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(final["priority"], pa.string()),
+            "n_orders": pa.array(final["n_orders"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+Q14_MONTH_LO, Q14_MONTH_HI = "1997-06-01", "1997-07-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+def q14_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q14-shaped: one row (promo_rev, total_rev, promo_micro)
+    — the share of one month's shipped revenue coming from parts of
+    the PROMO type, promo_micro = floor(10^6·promo/total) in
+    unbounded integers (HUGEINT in the oracle). The conditional-
+    aggregation-over-a-join shape: the part side reduces to a
+    broadcast promo-partkey set (read with the type filter pushed
+    down; at part cardinalities beyond broadcast this becomes the q17
+    partkey co-group), the lineitem side is date-filtered at the read
+    and pre-reduces per batch to TWO int64 partial sums — nothing
+    else moves."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq_
+    import ray
+
+    lo, hi = pd.Timestamp(Q14_MONTH_LO), pd.Timestamp(Q14_MONTH_HI)
+    promo = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_type", "=", Q14_PROMO_TYPE)],
+    )
+    promo_ref = ray.put(set(promo["p_partkey"].to_pylist()))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = to_cents(df["l_extendedprice"]) * (
+            100 - to_cents(df["l_discount"])
+        )
+        is_promo = df["l_partkey"].isin(ray.get(promo_ref))
+        return pd.DataFrame(
+            {
+                "promo_rev": [int(rev[is_promo].sum())],
+                "total_rev": [int(rev.sum())],
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+            filter=(pds.field("l_shipdate") >= pds.scalar(lo))
+            & (pds.field("l_shipdate") < pds.scalar(hi)),
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # one row per block
+    )
+    promo_rev = int(parts["promo_rev"].sum()) if len(parts) else 0
+    total_rev = int(parts["total_rev"].sum()) if len(parts) else 0
+    share = (1_000_000 * promo_rev) // total_rev if total_rev else 0
+    return pa.table(
+        {
+            "promo_rev": pa.array([promo_rev], pa.int64()),
+            "total_rev": pa.array([total_rev], pa.int64()),
+            "promo_micro": pa.array([share], pa.int64()),
+        }
+    )

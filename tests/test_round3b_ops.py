@@ -2398,3 +2398,60 @@ def test_events_cube_levels_consistent():
         assert int(sub["sum_value_cents"].sum()) == int(ev["v"].sum()), lvl
     tot = got[got["lvl"] == 3]
     assert len(tot) == 1 and int(tot["n_events"].iloc[0]) == len(ev)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q4_semi_join_matches_pandas():
+    from suckit_ray.pipelines import relops
+
+    got = relops.q4_order_priority(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    o = orders[
+        (orders["o_orderdate"] >= pd.Timestamp(relops.Q4_LO))
+        & (orders["o_orderdate"] < pd.Timestamp(relops.Q4_HI))
+    ]
+    mx = li.groupby("l_orderkey")["l_shipdate"].max()
+    m = o.merge(
+        mx.rename("max_ship"), left_on="o_orderkey", right_index=True
+    )
+    keep = m[m["max_ship"] > m["o_orderdate"]]
+    want = (
+        keep.groupby("o_orderpriority")
+        .size()
+        .rename("n_orders")
+        .reset_index()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    got = got.sort_values("o_orderpriority").reset_index(drop=True)
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+    assert list(got["n_orders"]) == list(want["n_orders"])
+    # the semi-join must actually filter (some quarter orders shipped
+    # everything on/before the order date or had no lineitem at all)
+    assert int(got["n_orders"].sum()) < len(o)
+    assert int(got["n_orders"].sum()) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q14_promo_share_matches_pandas():
+    from suckit_ray.pipelines import relops
+
+    got = relops.q14_promo_revenue(SF).to_pandas()
+    part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    promo = set(part.loc[part["p_type"] == relops.Q14_PROMO_TYPE,
+                         "p_partkey"])
+    d = li[
+        (li["l_shipdate"] >= pd.Timestamp(relops.Q14_MONTH_LO))
+        & (li["l_shipdate"] < pd.Timestamp(relops.Q14_MONTH_HI))
+    ].copy()
+    rev = relops.to_cents(d["l_extendedprice"]) * (
+        100 - relops.to_cents(d["l_discount"])
+    )
+    p = int(rev[d["l_partkey"].isin(promo)].sum())
+    t = int(rev.sum())
+    assert int(got["promo_rev"].iloc[0]) == p
+    assert int(got["total_rev"].iloc[0]) == t
+    assert int(got["promo_micro"].iloc[0]) == (1_000_000 * p) // t
+    assert 0 < p < t  # the share is a real strict fraction
