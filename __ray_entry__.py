@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": relops.events_cube,
         "q4_order_priority": relops.q4_order_priority,
         "q14_promo_revenue": relops.q14_promo_revenue,
+        "events_daily_gapfill": relops.events_daily_gapfill,
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
         "embeddings_pca": ann.embeddings_pca,
@@ -1752,6 +1753,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # densification: daily counts per type with explicit zero
+        # rows for every silent day in the corpus span
+        "events_daily_gapfill": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            c AS (
+              SELECT event_type, day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(v) AS BIGINT) AS s
+              FROM e GROUP BY event_type, day
+            ),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+            days AS (
+              SELECT UNNEST(generate_series(lo, hi)) AS day FROM b
+            ),
+            types AS (SELECT DISTINCT event_type FROM e)
+            SELECT t.event_type, CAST(d.day AS BIGINT) AS day,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_value_cents
+            FROM types t
+            CROSS JOIN days d
+            LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
         """,
         # TPC-H-Q4-shaped semi-join: orders of one quarter with a
         # lineitem shipped after the order date (EXISTS ⇔ max > odate)

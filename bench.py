@@ -189,6 +189,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_cube",
         "q4_order_priority",
         "q14_promo_revenue",
+        "events_daily_gapfill",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

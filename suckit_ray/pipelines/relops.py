@@ -2416,3 +2416,96 @@ def q14_promo_revenue(sf_dir: str) -> pa.Table:
             "promo_micro": pa.array([share], pa.int64()),
         }
     )
+
+
+def events_daily_gapfill(sf_dir: str) -> rd.Dataset:
+    """(event_type, day, n_events, sum_value_cents) for EVERY day in
+    the corpus's [min, max] span — the densification / gap-fill shape
+    (time-series features need explicit zero rows for silent days;
+    a groupby alone can't produce rows for data that isn't there).
+
+    Plan: the same two-phase (type, day) count every windowed query
+    uses, plus a driver-held pair of scalars (global min/max day,
+    reduced from O(blocks) partials) broadcast into the per-type
+    groups, where a vectorized reindex fills the holes with zeros.
+    The grid is emitted INSIDE the per-type groups — the driver never
+    holds a row of it; at web scale the group key would widen to
+    (type, year) to keep any one group's slice of the grid bounded."""
+    import numpy as np
+    import ray
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    US_PER_DAY_ = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // US_PER_DAY_
+        )
+        p = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "day": day.astype("int64"),
+                    "value_c": to_cents(df["value"]),
+                }
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .agg(n_events=("value_c", "size"), sum_value_cents=("value_c", "sum"))
+        )
+        return p
+
+    counts = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={
+            "n_events": ("n_events", "sum"),
+            "sum_value_cents": ("sum_value_cents", "sum"),
+        },
+    ).materialize()  # feeds the bounds scan AND the gap-fill groups
+
+    bounds = counts.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [int(df["day"].min())], "hi": [int(df["day"].max())]}
+        )
+        if len(df)
+        else pd.DataFrame({"lo": pd.array([], dtype="int64"),
+                           "hi": pd.array([], dtype="int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(bounds):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    span_ref = ray.put((lo, hi))
+
+    def gap_fill(g: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_ = ray.get(span_ref)
+        days = np.arange(lo_, hi_ + 1, dtype="int64")
+        idx = g.set_index("day").reindex(days)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "day": days,
+                "n_events": idx["n_events"].fillna(0).astype("int64").to_numpy(),
+                "sum_value_cents": idx["sum_value_cents"]
+                .fillna(0)
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        gap_fill, batch_format="pandas"
+    )

@@ -2455,3 +2455,35 @@ def test_q14_promo_share_matches_pandas():
     assert int(got["total_rev"].iloc[0]) == t
     assert int(got["promo_micro"].iloc[0]) == (1_000_000 * p) // t
     assert 0 < p < t  # the share is a real strict fraction
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gapfill_grid_complete_and_totals_preserved():
+    from suckit_ray.pipelines import relops
+
+    got = relops.events_daily_gapfill(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    day = (
+        ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    ev = ev.assign(day=day, v=relops.to_cents(ev["value"]))
+    lo, hi = int(ev["day"].min()), int(ev["day"].max())
+    types = ev["event_type"].nunique()
+    # grid is complete: every (type, day) exactly once over the span
+    assert len(got) == types * (hi - lo + 1)
+    assert got.groupby("event_type")["day"].apply(
+        lambda d: sorted(d) == list(range(lo, hi + 1))
+    ).all()
+    # counts add back up and match a direct groupby where present
+    assert int(got["n_events"].sum()) == len(ev)
+    assert int(got["sum_value_cents"].sum()) == int(ev["v"].sum())
+    want = ev.groupby(["event_type", "day"]).size()
+    m = got.set_index(["event_type", "day"])["n_events"]
+    for k, v in want.items():
+        assert int(m[k]) == int(v)
+    # the zero-fill path is real on this corpus OR the grid is dense —
+    # either way silent cells must be exactly 0
+    silent = got[~got.set_index(["event_type", "day"]).index.isin(want.index)]
+    assert (silent["n_events"] == 0).all()
+    assert (silent["sum_value_cents"] == 0).all()
