@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": relops.q4_order_priority,
         "q14_promo_revenue": relops.q14_promo_revenue,
         "events_daily_gapfill": relops.events_daily_gapfill,
+        "events_moving_avg": relops.events_moving_avg,
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
         "embeddings_pca": ann.embeddings_pca,
@@ -1753,6 +1754,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # bounded-frame window: per-user 3-row moving average in
+        # integer milli-cents (sum*1000 // rows, floors both engines)
+        "events_moving_avg": """
+            WITH w AS (
+              SELECT user_id, event_id,
+                     SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                     ) AS s,
+                     COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                     ) AS c
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST((s * 1000) // c AS BIGINT) AS mov_avg_milli
+            FROM w
         """,
         # densification: daily counts per type with explicit zero
         # rows for every silent day in the corpus span

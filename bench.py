@@ -190,6 +190,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q4_order_priority",
         "q14_promo_revenue",
         "events_daily_gapfill",
+        "events_moving_avg",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

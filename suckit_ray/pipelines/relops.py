@@ -2509,3 +2509,65 @@ def events_daily_gapfill(sf_dir: str) -> rd.Dataset:
     return counts.groupby("event_type").map_groups(
         gap_fill, batch_format="pandas"
     )
+
+
+MOVAVG_WINDOW = 3  # current row + 2 preceding
+
+
+def events_moving_avg(sf_dir: str) -> rd.Dataset:
+    """(user_id, event_id, mov_avg_milli): per-user moving average of
+    the last 3 event values in time order — the BOUNDED-frame window
+    shape (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), complementing
+    ``events_running_total``'s unbounded frame. Same single user-hash
+    co-group; the rolling sum inside each group is one vectorized
+    pandas pass, and the average is floor-divided in integer
+    milli-cents so both engines quantize identically (sum·1000 //
+    frame_rows — DuckDB's AVG would be float)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "value_c": to_cents(df["value"]),
+                "bucket": (df["user_id"] % B).astype("int64"),
+            }
+        )
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        grp = g.groupby("user_id")["value_c"]
+        rsum = grp.rolling(MOVAVG_WINDOW, min_periods=1).sum().reset_index(
+            level=0, drop=True
+        )
+        rcnt = grp.rolling(MOVAVG_WINDOW, min_periods=1).count().reset_index(
+            level=0, drop=True
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "mov_avg_milli": (
+                    rsum.astype("int64") * 1000 // rcnt.astype("int64")
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rolling, batch_format="pandas")
+    )

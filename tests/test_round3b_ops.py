@@ -2487,3 +2487,38 @@ def test_gapfill_grid_complete_and_totals_preserved():
     silent = got[~got.set_index(["event_type", "day"]).index.isin(want.index)]
     assert (silent["n_events"] == 0).all()
     assert (silent["sum_value_cents"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_moving_avg_matches_pandas_rolling():
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.events_moving_avg(SF)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["value_c"] = relops.to_cents(ev["value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    grp = ev.groupby("user_id")["value_c"]
+    s = grp.rolling(relops.MOVAVG_WINDOW, min_periods=1).sum().reset_index(
+        level=0, drop=True
+    )
+    c = grp.rolling(relops.MOVAVG_WINDOW, min_periods=1).count().reset_index(
+        level=0, drop=True
+    )
+    ev["mov_avg_milli"] = (s.astype("int64") * 1000) // c.astype("int64")
+    want = (
+        ev[["user_id", "event_id", "mov_avg_milli"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    # short-prefix frames really use fewer rows (first event = value)
+    first = ev.groupby("user_id").head(1)
+    m = got.merge(first[["user_id", "event_id", "value_c"]],
+                  on=["user_id", "event_id"])
+    assert (m["mov_avg_milli"] == m["value_c"] * 1000).all()
