@@ -566,8 +566,6 @@ def hits_from_docs(
     authority half, dst for the hub half), one O(blocks) partial-sum
     reduce produces the scalar divisor. Score rows are O(pages) and
     materialize between rounds exactly like ``_pagerank_plan``'s."""
-    import ray
-
     edges = _link_edges(docs).materialize()
     if num_buckets is None:
         from suckit_ray.stages.agg import default_buckets
@@ -746,7 +744,9 @@ def hits_from_docs(
         return raw.map_batches(normalize, batch_format="pandas").materialize()
 
     hubs = init_scores()
-    auths = init_scores()
+    # auths is overwritten by the first half-round; only build the
+    # initial (full nodes pass + repartition) dataset when iters == 0.
+    auths = init_scores() if iters == 0 else None
     for _ in range(iters):
         auths = half_round(hubs, adj_by_src, "src", "dst")
         hubs = half_round(auths, adj_by_dst, "dst", "src")

@@ -2194,21 +2194,30 @@ def events_cube(sf_dir: str) -> pa.Table:
         )
         return p
 
-    fine = (
-        bucketed_groupby_agg(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
-            ).map_batches(partial, batch_format="pandas"),
-            keys=["event_type", "weekday"],
-            aggs={
-                "n_events": ("n_events", "sum"),
-                "sum_value_cents": ("sum_value_cents", "sum"),
-            },
+    fine = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "weekday"],
+        aggs={
+            "n_events": ("n_events", "sum"),
+            "sum_value_cents": ("sum_value_cents", "sum"),
+        },
+    ).to_pandas()  # ≤ |types|·7 rows
+    if not len(fine):
+        # CUBE over an empty table still yields the () grouping set:
+        # one grand-total row with count 0 and a NULL sum.
+        return pa.table(
+            {
+                "lvl": pa.array([3], pa.int64()),
+                "event_type": pa.array([""], pa.string()),
+                "weekday": pa.array([-1], pa.int64()),
+                "n_events": pa.array([0], pa.int64()),
+                "sum_value_cents": pa.array([None], pa.int64()),
+            }
         )
-        .to_pandas()  # ≤ |types|·7 rows
-        .astype({"weekday": "int64", "n_events": "int64",
-                 "sum_value_cents": "int64"})
-    )
+    fine = fine.astype({"weekday": "int64", "n_events": "int64",
+                        "sum_value_cents": "int64"})
     fine["lvl"] = 0
     by_type = fine.groupby("event_type", as_index=False).agg(
         n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum")
@@ -2436,13 +2445,13 @@ def events_daily_gapfill(sf_dir: str) -> rd.Dataset:
 
     from suckit_ray.stages.agg import bucketed_groupby_agg
 
-    US_PER_DAY_ = 86_400_000_000
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        day = (
-            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-            // US_PER_DAY_
-        )
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        # TRUNCATING division mirroring DuckDB's `//` (same idiom as
+        # events_retention): numpy floors, so negative (pre-epoch)
+        # timestamps with a remainder need +1 to match the oracle.
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))
         p = (
             pd.DataFrame(
                 {
@@ -2520,9 +2529,10 @@ def events_moving_avg(sf_dir: str) -> rd.Dataset:
     shape (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), complementing
     ``events_running_total``'s unbounded frame. Same single user-hash
     co-group; the rolling sum inside each group is one vectorized
-    pandas pass, and the average is floor-divided in integer
-    milli-cents so both engines quantize identically (sum·1000 //
-    frame_rows — DuckDB's AVG would be float)."""
+    pandas pass, and the average is integer-divided in milli-cents
+    with DuckDB's TRUNCATING `//` semantics emulated sign-exactly
+    (sum·1000 // frame_rows — DuckDB's AVG would be float; pandas //
+    floors, so negative window sums need the +1 correction)."""
     from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
@@ -2552,13 +2562,15 @@ def events_moving_avg(sf_dir: str) -> rd.Dataset:
         rcnt = grp.rolling(MOVAVG_WINDOW, min_periods=1).count().reset_index(
             level=0, drop=True
         )
+        num = rsum.astype("int64") * 1000
+        den = rcnt.astype("int64")
+        q = num // den  # pandas floors; correct to DuckDB's truncation
+        q = q + ((num < 0) & (q * den != num))
         return pd.DataFrame(
             {
                 "user_id": g["user_id"],
                 "event_id": g["event_id"],
-                "mov_avg_milli": (
-                    rsum.astype("int64") * 1000 // rcnt.astype("int64")
-                ).astype("int64"),
+                "mov_avg_milli": q.astype("int64"),
             }
         )
 

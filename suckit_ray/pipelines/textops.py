@@ -2919,7 +2919,9 @@ def docs_ccnet_buckets(sf_dir: str) -> rd.Dataset:
     from suckit_ray.stages.agg import bucket_prefix_bases, default_buckets
 
     B = default_buckets()
-    scores = docs_lm_score(sf_dir)
+    # materialize: consumed twice (splits training + bucketize) — a lazy
+    # dataset would re-execute lm_score's whole lineage per consumer
+    scores = docs_lm_score(sf_dir).materialize()
 
     splits = _train_rank_splits(
         scores, B, id_col="doc_id", value_col="avg_nll_micro"

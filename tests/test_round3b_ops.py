@@ -2522,3 +2522,82 @@ def test_moving_avg_matches_pandas_rolling():
     m = got.merge(first[["user_id", "event_id", "value_c"]],
                   on=["user_id", "event_id"])
     assert (m["mov_avg_milli"] == m["value_c"] * 1000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_moving_avg_truncates_negative_window_sums(tmp_path):
+    """Negative window sums must TRUNCATE like DuckDB's `//`, not
+    floor like pandas — the fixture corpus is all-positive, so pin
+    the divergence with synthetic refund-shaped values."""
+    import pyarrow as pa
+
+    from suckit_ray.pipelines import relops
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ts = np.datetime64("2024-01-01", "us") + rng.integers(
+        0, 10 * 86_400_000_000, n
+    ).astype("timedelta64[us]")
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+                "event_type": pa.array(["a"] * n),
+                "ts": pa.array(ts),
+                "value": pa.array(rng.uniform(-50, 20, n).round(2)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = (
+        relops.events_moving_avg(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(tmp_path / "events.parquet")
+    ev["v"] = np.round(ev["value"].to_numpy() * 100).astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    grp = ev.groupby("user_id")["v"]
+    num = (
+        grp.rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+    ).astype("int64") * 1000
+    den = (
+        grp.rolling(3, min_periods=1).count().reset_index(level=0, drop=True)
+    ).astype("int64")
+    want = (num / den).apply(np.trunc).astype("int64")  # DuckDB truncation
+    ref = pd.DataFrame(
+        {"user_id": ev["user_id"], "event_id": ev["event_id"], "m": want}
+    ).sort_values(["user_id", "event_id"])
+    assert (num < 0).any(), "fixture must exercise negative sums"
+    assert (
+        got["mov_avg_milli"].to_numpy() == ref["m"].to_numpy()
+    ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_cube_empty_input_grand_total(tmp_path):
+    """CUBE over an empty table = one () grouping-set row (count 0,
+    NULL sum) — must not crash on the schema-less empty frame."""
+    import pyarrow as pa
+
+    from suckit_ray.pipelines import relops
+
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = relops.events_cube(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert int(row["lvl"]) == 3 and int(row["n_events"]) == 0
+    assert pd.isna(row["sum_value_cents"])
