@@ -837,7 +837,10 @@ def near_dup_clusters(
 
     pair_ds = _ngram_pair_dataset(sf_dir, threshold).materialize()
     comp: dict[int, int]
-    if pair_ds.count() <= cc_driver_limit:
+    n_pairs = pair_ds.count()
+    if n_pairs == 0:
+        comp = {}  # every doc a singleton (empty to_pandas loses schema)
+    elif n_pairs <= cc_driver_limit:
         comp = _cc_union_find(
             pa.Table.from_pandas(
                 pair_ds.select_columns(["a_id", "b_id"]).to_pandas()

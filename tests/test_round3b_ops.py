@@ -2601,3 +2601,26 @@ def test_events_cube_empty_input_grand_total(tmp_path):
     row = out.iloc[0]
     assert int(row["lvl"]) == 3 and int(row["n_events"]) == 0
     assert pd.isna(row["sum_value_cents"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_clusters_empty_corpus(tmp_path):
+    """Empty documents table → empty cluster assignment, no crash
+    (the empty pair Dataset's to_pandas loses its schema)."""
+    import pyarrow as pa
+
+    from suckit_ray.pipelines import dedup
+
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    assert len(dedup.near_dup_clusters(str(tmp_path)).to_pandas()) == 0
+    assert len(dedup.docs_dedup_keep_best(str(tmp_path)).to_pandas()) == 0
