@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": relops.q14_promo_revenue,
         "events_daily_gapfill": relops.events_daily_gapfill,
         "events_moving_avg": relops.events_moving_avg,
+        "events_interarrival": relops.events_interarrival,
+        "q10_returned_revenue": relops.q10_returned_revenue,
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
         "embeddings_pca": ann.embeddings_pca,
@@ -1755,8 +1757,52 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
+        # LAG window: time since the user's previous event (first
+        # event per user omitted — no predecessor)
+        "events_interarrival": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap_us
+              FROM events
+            )
+            SELECT user_id, event_id, CAST(gap_us AS BIGINT) AS gap_us
+            FROM e WHERE gap_us IS NOT NULL
+        """,
+        # bloom-prefiltered join: top-20 customers by returned-item
+        # revenue (10^-4 dollars) for one quarter's orders
+        "q10_returned_revenue": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-04-01'
+            ),
+            li AS (
+              SELECT l_orderkey,
+                     SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev
+              FROM lineitem WHERE l_returnflag = 'R'
+              GROUP BY l_orderkey
+            ),
+            c AS (
+              SELECT o.o_custkey AS ck, SUM(li.rev) AS revenue
+              FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+              GROUP BY o.o_custkey
+            ),
+            r AS (
+              SELECT ck, revenue,
+                     ROW_NUMBER() OVER (ORDER BY revenue DESC, ck) AS rnk
+              FROM c
+            )
+            SELECT r.ck AS c_custkey, cu.c_name,
+                   CAST(r.revenue AS BIGINT) AS revenue
+            FROM r JOIN customer cu ON cu.c_custkey = r.ck
+            WHERE rnk <= 20
+        """,
         # bounded-frame window: per-user 3-row moving average in
-        # integer milli-cents (sum*1000 // rows, floors both engines)
+        # integer milli-cents (TRUNCATING // on both engines)
         "events_moving_avg": """
             WITH w AS (
               SELECT user_id, event_id,

@@ -191,6 +191,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q14_promo_revenue",
         "events_daily_gapfill",
         "events_moving_avg",
+        "events_interarrival",
+        "q10_returned_revenue",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -2583,3 +2583,253 @@ def events_moving_avg(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(rolling, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered distributed join (TPC-H-Q10-shaped)
+# ---------------------------------------------------------------------------
+
+Q10_LO, Q10_HI = "1997-01-01", "1997-04-01"
+Q10_TOPK = 20
+BLOOM_BITS = 1 << 20   # 128 KB bitmap; ~10 bits/key up to ~10^5 keys
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(keys: "np.ndarray", m_bits: int, k: int):
+    """k probe positions per key via double hashing over two
+    splitmix64-style avalanche mixes — vectorized, no Python loop.
+    Yields k arrays of bit indices in [0, m_bits)."""
+    import numpy as np
+
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = x * np.uint64(0x9E3779B97F4A7C15)
+        h1 ^= h1 >> np.uint64(32)
+        h1 *= np.uint64(0xBF58476D1CE4E5B9)
+        h1 ^= h1 >> np.uint64(29)
+        h2 = (x + np.uint64(0x94D049BB133111EB)) * np.uint64(0xD6E8FEB86659FD93)
+        h2 ^= h2 >> np.uint64(31)
+        h2 |= np.uint64(1)  # odd stride
+        for i in range(k):
+            yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(
+                np.int64
+            )
+
+
+def q10_returned_revenue(sf_dir: str, k: int = Q10_TOPK) -> "pa.Table":
+    """TPC-H-Q10-shaped: top-k customers by revenue from RETURNED
+    lineitems (l_returnflag = 'R') whose order landed in one quarter
+    — the BLOOM-PREFILTERED distributed join. The quarter's orderkeys
+    build a Bloom bitmap (per-block partial bitmaps OR-merged — a
+    mergeable sketch, like the HLL registers), the bitmap broadcasts
+    once via ``ray.put``, and every lineitem batch probes it
+    VECTORIZED before the shuffle — so the orderkey exchange carries
+    ~selectivity·|lineitem| rows instead of all of them. False
+    positives are harmless: the per-bucket merge is an exact join and
+    drops them; the result is exact, the bloom only saves shuffle
+    bytes. At 100 TB the bitmap for 10^8 quarter-orders at 10
+    bits/key is ~125 MB — broadcast once per node (and the driver
+    OR-merge of O(blocks) partials becomes a ray-task tree reduce;
+    here O(blocks)·128 KB is trivial). Revenue is integer 10^-4
+    dollars (cents × (100 − discount-percent)) exactly as q3; final
+    name lookup reads ≤ k customer rows by predicate pushdown."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+    import ray
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    lo, hi = pd.Timestamp(Q10_LO), pd.Timestamp(Q10_HI)
+
+    import pyarrow.dataset as pds
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= pds.scalar(lo))
+        & (pds.field("o_orderdate") < pds.scalar(hi)),
+    ).materialize()  # consumed twice: bloom build + join side
+
+    # --- distributed bloom build: one partial bitmap per block, OR-merged
+    def bitmap_partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        keys = t.column("o_orderkey").to_numpy()
+        for pos in _bloom_positions(keys, BLOOM_BITS, BLOOM_HASHES):
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bloom = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for part in orders.map_batches(
+        bitmap_partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in part.column("bm").to_pylist():
+            bloom |= np.frombuffer(blob, dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "orderkey": df["o_orderkey"].astype("int64"),
+                "custkey": df["o_custkey"].astype("int64"),
+                "rev": pd.Series(0, index=df.index, dtype="int64"),
+                "side": "o",
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["l_orderkey"].to_numpy().astype("int64")
+        bm = ray.get(bloom_ref)
+        keep = np.ones(len(keys), dtype=bool)
+        for pos in _bloom_positions(keys, BLOOM_BITS, BLOOM_HASHES):
+            keep &= (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+        d = df.loc[keep]
+        rev = to_cents(d["l_extendedprice"]) * (100 - to_cents(d["l_discount"]))
+        p = (
+            pd.DataFrame(
+                {"orderkey": d["l_orderkey"].astype("int64"), "rev": rev}
+            )
+            .groupby("orderkey", as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+        p["custkey"] = pd.Series(0, index=p.index, dtype="int64")
+        p["side"] = "l"
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p[["orderkey", "custkey", "rev", "side", "bucket"]]
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_returnflag") == pds.scalar("R"),
+    ).map_batches(line_partial, batch_format="pandas")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        li = (
+            g[g["side"] == "l"]
+            .groupby("orderkey", as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+        od = g[g["side"] == "o"][["orderkey", "custkey"]]
+        m = li.merge(od, on="orderkey")  # exact join: bloom FPs die here
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "custkey": pd.array([], dtype="int64"),
+                    "rev": pd.array([], dtype="int64"),
+                    "cb": pd.array([], dtype="int64"),
+                }
+            )
+        p = m.groupby("custkey", as_index=False).agg(rev=("rev", "sum"))
+        p["cb"] = (p["custkey"] % B).astype("int64")
+        return p[["custkey", "rev", "cb"]]
+
+    def cust_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "custkey": pd.array([], dtype="int64"),
+                    "revenue": pd.array([], dtype="int64"),
+                }
+            )
+        p = g.groupby("custkey", as_index=False).agg(revenue=("rev", "sum"))
+        return p.sort_values(
+            ["revenue", "custkey"], ascending=[False, True]
+        ).head(k)
+
+    merged = (
+        orders.map_batches(order_rows, batch_format="pandas")
+        .union(lines)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(cust_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k rows per bucket reach the driver
+    )
+    if "revenue" not in merged.columns:
+        merged = pd.DataFrame(
+            {
+                "custkey": pd.array([], dtype="int64"),
+                "revenue": pd.array([], dtype="int64"),
+            }
+        )
+    merged = (
+        merged.sort_values(["revenue", "custkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    # name lookup: ≤ k keys, predicate pushdown — never a shuffle join
+    want = merged["custkey"].astype("int64").tolist()
+    names = (
+        pq_.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filters=[("c_custkey", "in", want)] if want else None,
+        ).to_pandas()
+        if want
+        else pd.DataFrame({"c_custkey": pd.array([], dtype="int64"),
+                           "c_name": pd.array([], dtype="str")})
+    )
+    out = merged.merge(
+        names, left_on="custkey", right_on="c_custkey", how="left"
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["custkey"].astype("int64"), pa.int64()),
+            "c_name": pa.array(out["c_name"].astype("str"), pa.string()),
+            "revenue": pa.array(out["revenue"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def events_interarrival(sf_dir: str) -> rd.Dataset:
+    """(user_id, event_id, gap_us): time since the user's PREVIOUS
+    event — the LAG window shape (LAG(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)), completing the window-function family
+    (rank, running total, bounded frame, session, sliding). Each
+    user's first event has no predecessor and is omitted, keeping the
+    output all-int64.
+
+    Scale shape: the same single user-hash co-group every per-user
+    window uses — all of a user's rows co-locate, one mergesort +
+    vectorized groupby-diff per bucket, the shuffle carries three
+    int64 columns."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "bucket": (df["user_id"] % B).astype("int64"),
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        gap = g.groupby("user_id")["ts_us"].diff()
+        keep = gap.notna()
+        return pd.DataFrame(
+            {
+                "user_id": g.loc[keep, "user_id"],
+                "event_id": g.loc[keep, "event_id"],
+                "gap_us": gap[keep].astype("int64"),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+    )

@@ -2624,3 +2624,94 @@ def test_near_dup_clusters_empty_corpus(tmp_path):
     )
     assert len(dedup.near_dup_clusters(str(tmp_path)).to_pandas()) == 0
     assert len(dedup.docs_dedup_keep_best(str(tmp_path)).to_pandas()) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interarrival_matches_pandas_lag():
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.events_interarrival(SF)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["ts_us"] = ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    gap = ev.groupby("user_id")["ts_us"].diff()
+    ref = (
+        pd.DataFrame(
+            {
+                "user_id": ev["user_id"],
+                "event_id": ev["event_id"],
+                "gap_us": gap,
+            }
+        )
+        .dropna()
+        .astype({"gap_us": "int64"})
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref) and len(got) > 0
+    assert (got["gap_us"].to_numpy() == ref["gap_us"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q10_bloom_join_matches_pandas_reference():
+    """The bloom prefilter must not change the result — exact join
+    semantics, bloom only saves shuffle rows."""
+    from suckit_ray.pipelines import relops
+
+    got = relops.q10_returned_revenue(SF).to_pandas()
+    ords = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    o = ords[
+        (ords["o_orderdate"] >= pd.Timestamp(relops.Q10_LO))
+        & (ords["o_orderdate"] < pd.Timestamp(relops.Q10_HI))
+    ][["o_orderkey", "o_custkey"]]
+    r = li[li["l_returnflag"] == "R"].copy()
+    r["rev"] = relops.to_cents(r["l_extendedprice"]) * (
+        100 - relops.to_cents(r["l_discount"])
+    )
+    m = r.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    agg = (
+        m.groupby("o_custkey", as_index=False)
+        .agg(revenue=("rev", "sum"))
+        .sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(relops.Q10_TOPK)
+        .merge(cust[["c_custkey", "c_name"]],
+               left_on="o_custkey", right_on="c_custkey")
+    )
+    assert (got["c_custkey"].to_numpy() == agg["c_custkey"].to_numpy()).all()
+    assert (got["revenue"].to_numpy() == agg["revenue"].to_numpy()).all()
+    assert (got["c_name"].to_numpy() == agg["c_name"].to_numpy()).all()
+
+
+def test_bloom_positions_no_false_negatives():
+    """Membership probe of every inserted key must pass (bloom
+    guarantees no false negatives)."""
+    import numpy as np
+
+    from suckit_ray.pipelines.relops import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        _bloom_positions,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**62, 5000).astype("int64")
+    bm = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for pos in _bloom_positions(keys, BLOOM_BITS, BLOOM_HASHES):
+        np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    keep = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys, BLOOM_BITS, BLOOM_HASHES):
+        keep &= (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+    assert keep.all()
+    # and the filter actually filters: random non-members mostly rejected
+    other = rng.integers(2**62, 2**63 - 1, 5000).astype("int64")
+    hit = np.ones(len(other), dtype=bool)
+    for pos in _bloom_positions(other, BLOOM_BITS, BLOOM_HASHES):
+        hit &= (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+    assert hit.mean() < 0.01
