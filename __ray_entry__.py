@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_gapfill": relops.events_daily_gapfill,
         "events_moving_avg": relops.events_moving_avg,
         "events_interarrival": relops.events_interarrival,
+        "events_props_hist": relops.events_props_hist,
         "q10_returned_revenue": relops.q10_returned_revenue,
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
@@ -1756,6 +1757,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # semi-structured: JSON props field extracted and binned
+        "events_props_hist": """
+            SELECT event_type,
+                   CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10
+                        AS BIGINT) AS k_bin,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
         """,
         # LAG window: time since the user's previous event (first
         # event per user omitted — no predecessor)

@@ -193,6 +193,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_moving_avg",
         "events_interarrival",
         "q10_returned_revenue",
+        "events_props_hist",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -2833,3 +2833,43 @@ def events_interarrival(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(gaps, batch_format="pandas")
     )
+
+
+def events_props_hist(sf_dir: str) -> rd.Dataset:
+    """(event_type, k_bin, n_events): histogram of the JSON ``props``
+    payload's ``k`` field binned by decile — the SEMI-STRUCTURED
+    extraction shape (JSON column → typed value → relational
+    aggregate). The corpus's props are flat single-key objects, so
+    extraction is one VECTORIZED regex capture per batch (the
+    generic-JSON fallback would be an actor-pool stage with a real
+    parser — same pipeline shape, slower kernel); the oracle extracts
+    with DuckDB's json_extract, so a Ray-side parse slip can't hide.
+    Two-phase bucketed aggregate as every counting query — the
+    shuffle carries (type, bin, partial-count) rows only."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+        assert not k.isna().any(), "unexpected props shape"
+        kv = k.astype("int64").to_numpy()
+        kb = kv // 10  # pandas floors; correct to DuckDB's truncation
+        kb = kb + ((kv < 0) & (kb * 10 != kv))
+        p = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "k_bin": kb.astype("int64"),
+                }
+            )
+            .groupby(["event_type", "k_bin"], as_index=False)
+            .agg(n_events=("k_bin", "size"))
+        )
+        return p
+
+    return bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "k_bin"],
+        aggs={"n_events": ("n_events", "sum")},
+    )

@@ -2715,3 +2715,30 @@ def test_bloom_positions_no_false_negatives():
     for pos in _bloom_positions(other, BLOOM_BITS, BLOOM_HASHES):
         hit &= (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
     assert hit.mean() < 0.01
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_props_hist_matches_pandas_json_parse():
+    """Ray's regex extraction vs a REAL json.loads reference — a
+    format drift in props would break the regex silently."""
+    import json
+
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.events_props_hist(SF)
+        .to_pandas()
+        .sort_values(["event_type", "k_bin"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    k = ev["props"].map(lambda s: int(json.loads(s)["k"]))
+    ref = (
+        pd.DataFrame({"event_type": ev["event_type"], "k_bin": k // 10})
+        .groupby(["event_type", "k_bin"], as_index=False)
+        .agg(n_events=("k_bin", "size"))
+        .sort_values(["event_type", "k_bin"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    assert (got["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
