@@ -229,6 +229,38 @@ def crawl(
                 _checkpoint(checkpoint_dir, shards, wave)
         n_entries = sum(counts)
         if n_entries == 0:
+            # Nothing released — but robots Crawl-delay gating may be
+            # holding pending hosts. Sleep until the nearest deadline
+            # and re-drain (same wave: the previous release was empty,
+            # so seq numbering cannot collide). Terminate only when
+            # pending is truly empty or no deadline explains the block.
+            stale_retries = 0
+            while True:
+                info = ray.get([s.delay_block_info.remote() for s in shards])
+                n_pending = sum(i[0] for i in info)
+                waits = [i[1] for i in info if i[1] is not None]
+                if n_pending == 0:
+                    break
+                if waits:
+                    time.sleep(min(waits) + 0.005)
+                elif stale_retries >= 2:
+                    break  # pending without any deadline: not delay-blocked
+                else:
+                    # a deadline may have expired between finalize and
+                    # the info call — re-drain before concluding
+                    stale_retries += 1
+                counts = ray.get(
+                    [
+                        s.finalize_wave.remote(
+                            wave, cfg.depth, cfg.ext_depth, max_per_host, per_shard_cap
+                        )
+                        for s in shards
+                    ]
+                )
+                n_entries = sum(counts)
+                if n_entries:
+                    break
+        if n_entries == 0:
             break
         if max_waves is not None and wave - start_wave >= max_waves:
             break

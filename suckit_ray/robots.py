@@ -25,6 +25,10 @@ from dataclasses import dataclass, field
 class RobotsRules:
     # (path_prefix, allow) pairs, already filtered to our user-agent
     rules: tuple[tuple[str, bool], ...] = ()
+    # Crawl-delay (seconds) from the chosen group, None when absent —
+    # a de-facto extension most large crawlers honor (Bing/Yandex do,
+    # Google ignores it); exposed so the frontier can space releases
+    crawl_delay: float | None = None
 
     def allows(self, path: str) -> bool:
         best_len = -1
@@ -44,16 +48,18 @@ ALLOW_ALL = RobotsRules()
 def parse_robots(text: str, user_agent: str) -> RobotsRules:
     """Parse robots.txt for ``user_agent`` (first token, lowercased)."""
     agent = user_agent.split("/")[0].strip().lower()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
     seen_rule_in_group = False
 
     def flush():
-        nonlocal cur_agents, cur_rules, seen_rule_in_group
+        nonlocal cur_agents, cur_rules, cur_delay, seen_rule_in_group
         if cur_agents:
-            groups.append((cur_agents, cur_rules))
-        cur_agents, cur_rules, seen_rule_in_group = [], [], False
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+        seen_rule_in_group = False
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -71,17 +77,25 @@ def parse_robots(text: str, user_agent: str) -> RobotsRules:
             if key == "disallow" and val == "":
                 continue  # empty Disallow = allow all
             cur_rules.append((val, key == "allow"))
+        elif key == "crawl-delay":
+            seen_rule_in_group = True
+            try:
+                d = float(val)
+                if d >= 0:
+                    cur_delay = d
+            except ValueError:
+                pass  # malformed delay: ignore the directive
     flush()
 
-    chosen: list[tuple[str, bool]] | None = None
-    wildcard: list[tuple[str, bool]] | None = None
-    for agents, rules in groups:
+    chosen: tuple[list[tuple[str, bool]], float | None] | None = None
+    wildcard: tuple[list[tuple[str, bool]], float | None] | None = None
+    for agents, rules, delay in groups:
         if agent in agents and chosen is None:
-            chosen = rules
+            chosen = (rules, delay)
         if "*" in agents and wildcard is None:
-            wildcard = rules
-    rules = chosen if chosen is not None else (wildcard or [])
-    return RobotsRules(rules=tuple(rules))
+            wildcard = (rules, delay)
+    rules, delay = chosen if chosen is not None else (wildcard or ([], None))
+    return RobotsRules(rules=tuple(rules), crawl_delay=delay)
 
 
 @dataclass
@@ -136,16 +150,23 @@ class RobotsCache:
         return rules
 
     def allows(self, url: str) -> bool:
+        return self.allows_and_delay_ms(url)[0]
+
+    def allows_and_delay_ms(self, url: str) -> tuple[bool, int]:
+        """One parse + one rules lookup for both the visit decision and
+        the host's Crawl-delay (milliseconds; 0 = no directive)."""
         from suckit_ray.urlkit import UrlParseError, parse_url
 
         try:
             p = parse_url(url)
         except UrlParseError:
-            return True
+            return True, 0
         path = p.path or "/"
         if p.query is not None:
             path += "?" + p.query
         authority = p.host or ""
         if p.port is not None:
             authority += f":{p.port}"
-        return self.rules_for(p.scheme, authority).allows(path)
+        rules = self.rules_for(p.scheme, authority)
+        delay_ms = int(rules.crawl_delay * 1000) if rules.crawl_delay else 0
+        return rules.allows(path), delay_ms

@@ -111,6 +111,7 @@ def make_process_fn(
         out = {name: [] for name in DOC_SCHEMA.names}
         cand_by_shard: dict[int, list[tuple]] = defaultdict(list)
         ledger_by_shard: dict[int, list[tuple]] = defaultdict(list)
+        host_delays: dict[str, int] = {}  # robots Crawl-delay, ms
 
         for i in range(n):
             url = cols["url"][i]
@@ -152,8 +153,12 @@ def make_process_fn(
                 if res.errors:
                     err = "; ".join(res.errors)
                 for o in res.outlinks:
-                    if robots is not None and not robots.allows(o.url):
-                        continue
+                    if robots is not None:
+                        ok, delay_ms = robots.allows_and_delay_ms(o.url)
+                        if not ok:
+                            continue
+                        if delay_ms > host_delays.get(o.host, 0):
+                            host_delays[o.host] = delay_ms
                     cand_by_shard[
                         shard_of_url(o.url, o.host, num_shards, route_by_host)
                     ].append(
@@ -203,6 +208,14 @@ def make_process_fn(
             acks.append(
                 shard_handles[sid].add_ledger.remote(rows_to_table(rows, LEDGER_SCHEMA))
             )
+        if host_delays:
+            # Crawl-delay directives go to EVERY shard (max-merged,
+            # idempotent): without politeness host-routing a host's
+            # entries may live on any shard. The dict is tiny (hosts
+            # with a directive seen in THIS batch) and most batches
+            # ship nothing.
+            for sh in shard_handles:
+                acks.append(sh.add_host_delays.remote(host_delays))
         if acks:
             ray.get(acks)
 

@@ -44,6 +44,7 @@ import os
 import pickle
 import shutil
 import tempfile
+import time
 import zlib
 from collections import defaultdict
 
@@ -200,6 +201,14 @@ class FrontierShard:
         self.counters = defaultdict(int)
         self._spill_dir: str | None = None
         self._spill_seq = 0  # monotonic: spill filenames never collide
+        # robots Crawl-delay support: host → delay (ms), fed by the
+        # process stage (max-merged, idempotent), and host → shard-local
+        # monotonic release deadline. Durations — never timestamps —
+        # cross process boundaries, so this works multi-node; the clock
+        # is an attribute so tests can inject a fake.
+        self.host_delay_ms: dict[str, int] = {}
+        self.host_next_allowed: dict[str, float] = {}
+        self._clock = time.monotonic
 
     # -- spill plumbing ------------------------------------------------
     def _spill_path(self, kind: str, ext: str) -> str:
@@ -274,6 +283,31 @@ class FrontierShard:
             self.buffer_tables.append(cands)
         self.counters["candidates_in"] += cands.num_rows
         return cands.num_rows
+
+    def add_host_delays(self, delays: dict[str, int]) -> int:
+        """Merge robots Crawl-delay directives (host → ms) discovered by
+        the process stage. Max-merge makes re-delivery (task retries,
+        per-batch resends) idempotent."""
+        for host, ms in delays.items():
+            if ms > 0 and ms > self.host_delay_ms.get(host, 0):
+                self.host_delay_ms[host] = int(ms)
+        return len(self.host_delay_ms)
+
+    def _host_delay_blocked(self, host: str, now_s: float | None) -> bool:
+        if now_s is None or host not in self.host_delay_ms:
+            return False
+        return now_s < self.host_next_allowed.get(host, 0.0)
+
+    def delay_block_info(self) -> tuple[int, float | None]:
+        """(pending_count, seconds until the nearest delayed host may
+        release — None when no host is deadline-blocked). The driver
+        uses this to sleep-retry instead of terminating when a wave
+        releases nothing but delayed work remains. Returns a DURATION
+        on purpose: shard-local monotonic deadlines are meaningless off
+        this node."""
+        now = self._clock()
+        waits = [t - now for t in self.host_next_allowed.values() if t > now]
+        return self.pending_count(), (min(waits) if waits else None)
 
     def add_ledger(self, rows) -> int:
         """Idempotent by URL: Ray may re-run a side-effecting task
@@ -381,7 +415,11 @@ class FrontierShard:
                     if len(self.pending[lvl]) >= self.pending_mem_limit:
                         self._spill_pending(lvl)
 
-        take = self._drain_pending(max_per_host, max_wave_entries)
+        take = self._drain_pending(
+            max_per_host,
+            max_wave_entries,
+            now_s=self._clock() if self.host_delay_ms else None,
+        )
         self.released_tbl = rows_to_table(
             [
                 (url, host, d, e, encode_seq(wave, self.shard_id, i))
@@ -393,13 +431,25 @@ class FrontierShard:
         return len(take)
 
     def _drain_pending(
-        self, max_per_host: int | None, max_total: int | None = None
+        self,
+        max_per_host: int | None,
+        max_total: int | None = None,
+        now_s: float | None = None,
     ) -> list[tuple]:
         """FIFO drain across spill chunks then memory; with a per-host
         cap (politeness) and/or a total cap (wave-size bound) the
         overflow is re-queued in order (untouched spill chunks stay on
-        disk — a capped drain reads only as much as it must)."""
-        if max_per_host is None and max_total is None:
+        disk — a capped drain reads only as much as it must).
+
+        ``now_s`` (shard-local monotonic) engages robots Crawl-delay
+        gating: a host whose release deadline lies in the future is
+        skipped (entries stay pending), and releasing a delayed host
+        sets its next deadline — so a delayed host releases at most
+        once per drain and consecutive releases are spaced >= its
+        delay. Exact per-host spacing additionally needs politeness
+        host-routing (all of a host's entries on one shard); without
+        it the gate is shard-local best effort."""
+        if max_per_host is None and max_total is None and now_s is None:
             take: list[tuple] = []
             for lvl in range(self.num_levels):
                 for path in self._pending_files[lvl]:
@@ -432,9 +482,16 @@ class FrontierShard:
             for path, meta in zip(self._pending_files[lvl], self._pending_meta[lvl]):
                 hosts = meta[1]
                 if budget <= 0 or (
-                    max_per_host is not None
-                    and hosts is not None
-                    and all(per_host[h] >= max_per_host for h in hosts)
+                    hosts is not None
+                    and all(
+                        (
+                            max_per_host is not None
+                            and per_host[h] >= max_per_host
+                        )
+                        or self._host_delay_blocked(h, now_s)
+                        for h in hosts
+                    )
+                    and (max_per_host is not None or now_s is not None)
                 ):
                     new_files.append(path)
                     new_meta.append(meta)
@@ -443,12 +500,19 @@ class FrontierShard:
                     chunk = pickle.load(f)
                 kept = []
                 for ent in chunk:
-                    if budget > 0 and (
-                        max_per_host is None or per_host[ent[1]] < max_per_host
+                    h = ent[1]
+                    if (
+                        budget > 0
+                        and (max_per_host is None or per_host[h] < max_per_host)
+                        and not self._host_delay_blocked(h, now_s)
                     ):
-                        per_host[ent[1]] += 1
+                        per_host[h] += 1
                         budget -= 1
                         take.append(ent)
+                        if now_s is not None and h in self.host_delay_ms:
+                            self.host_next_allowed[h] = (
+                                now_s + self.host_delay_ms[h] / 1000.0
+                            )
                     else:
                         kept.append(ent)
                 if len(kept) == len(chunk):  # None-meta chunk, fully capped
@@ -467,12 +531,19 @@ class FrontierShard:
             # saturated spill chunks
             mem_kept = []
             for ent in self.pending[lvl]:
-                if budget > 0 and (
-                    max_per_host is None or per_host[ent[1]] < max_per_host
+                h = ent[1]
+                if (
+                    budget > 0
+                    and (max_per_host is None or per_host[h] < max_per_host)
+                    and not self._host_delay_blocked(h, now_s)
                 ):
-                    per_host[ent[1]] += 1
+                    per_host[h] += 1
                     budget -= 1
                     take.append(ent)
+                    if now_s is not None and h in self.host_delay_ms:
+                        self.host_next_allowed[h] = (
+                            now_s + self.host_delay_ms[h] / 1000.0
+                        )
                 else:
                     mem_kept.append(ent)
             self.pending[lvl] = mem_kept
@@ -589,6 +660,7 @@ class FrontierShard:
             "ledger_tables": self.ledger_tables,
             "ledger_files": ledger_copies,
             "counters": dict(self.counters),
+            "host_delay_ms": dict(self.host_delay_ms),
         }
         tmp = f"{path}.tmp"
         with open(tmp, "wb") as f:
@@ -677,4 +749,10 @@ class FrontierShard:
             shutil.copyfile(os.path.join(base, name), dst)
             self._ledger_files.append(dst)
         self.counters = defaultdict(int, st["counters"])
+        # Crawl-delay state: delays persist; deadlines are shard-local
+        # monotonic and meaningless across process restarts, so they
+        # reset — the first post-resume release per host may come
+        # early, then spacing resumes (conservative, bounded breach).
+        self.host_delay_ms = dict(st.get("host_delay_ms", {}))
+        self.host_next_allowed = {}
         return st["wave"]

@@ -128,3 +128,117 @@ class TestRobotsFetchHardening:
         cache = RobotsCache(TablePageStore.from_records(recs))
         assert not cache.allows("http://site.test:8080/x.html")
         assert cache.allows("http://site.test/x.html")
+
+
+ROBOTS_DELAY = """
+User-agent: evilbot
+Crawl-delay: 99
+
+User-agent: *
+Crawl-delay: 0.2
+Disallow: /private/secret.html
+"""
+
+
+class TestCrawlDelayParse:
+    def test_delay_from_wildcard_group(self):
+        r = parse_robots(ROBOTS_DELAY, "suckit")
+        assert r.crawl_delay == 0.2
+
+    def test_delay_specific_group_wins(self):
+        r = parse_robots(ROBOTS_DELAY, "evilbot/2.0")
+        assert r.crawl_delay == 99.0
+
+    def test_absent_delay_is_none(self):
+        assert parse_robots(ROBOTS, "suckit").crawl_delay is None
+        assert ALLOW_ALL.crawl_delay is None
+
+    def test_malformed_delay_ignored(self):
+        r = parse_robots("User-agent: *\nCrawl-delay: soon\n", "suckit")
+        assert r.crawl_delay is None
+        r = parse_robots("User-agent: *\nCrawl-delay: -3\n", "suckit")
+        assert r.crawl_delay is None
+
+    def test_delay_starts_a_new_group_like_a_rule(self):
+        # a User-agent line AFTER a crawl-delay begins a NEW group
+        txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots(txt, "a").crawl_delay == 5.0
+        assert parse_robots(txt, "b").crawl_delay is None
+        assert parse_robots(txt, "b").allows("/y")
+        assert not parse_robots(txt, "b").allows("/x")
+
+
+class TestCrawlDelayGating:
+    """Deterministic shard-level gating with an injected clock."""
+
+    def _shard(self):
+        from suckit_ray.state.frontier import FrontierShard
+
+        sh = FrontierShard(0, 1)
+        self.t = [0.0]
+        sh._clock = lambda: self.t[0]
+        return sh
+
+    def _cands(self, host, urls):
+        return [
+            (1, i, f"http://{host}/{u}", host, False, 0, 0)
+            for i, u in enumerate(urls)
+        ]
+
+    def test_delayed_host_releases_one_per_drain_and_spaces(self):
+        sh = self._shard()
+        sh.add_host_delays({"a.test": 1000})
+        sh.add_candidates(self._cands("a.test", ["1", "2", "3"]))
+        sh.add_candidates(self._cands("b.test", ["1", "2"]))
+        # t=0: host a releases ONE entry (deadline set), b releases all
+        n = sh.finalize_wave(1, -1, 0)
+        assert n == 3  # a/1 + b/1 + b/2
+        # t=0.5: a still blocked
+        self.t[0] = 0.5
+        assert sh.finalize_wave(2, -1, 0) == 0
+        pend, wait = sh.delay_block_info()
+        assert pend == 2 and wait == pytest.approx(0.5, abs=1e-6)
+        # t=1.01: next entry releases, deadline advances
+        self.t[0] = 1.01
+        assert sh.finalize_wave(3, -1, 0) == 1
+        self.t[0] = 2.02
+        assert sh.finalize_wave(4, -1, 0) == 1
+        assert sh.pending_count() == 0
+
+    def test_max_merge_and_snapshot_roundtrip(self, tmp_path):
+        from suckit_ray.state.frontier import FrontierShard
+
+        sh = self._shard()
+        sh.add_host_delays({"a.test": 500})
+        sh.add_host_delays({"a.test": 300})  # max-merge keeps 500
+        assert sh.host_delay_ms["a.test"] == 500
+        p = str(tmp_path / "snap.pkl")
+        sh.snapshot(p, wave=1)
+        sh2 = FrontierShard(0, 1)
+        sh2.restore(p)
+        assert sh2.host_delay_ms == {"a.test": 500}
+        assert sh2.host_next_allowed == {}  # deadlines reset on resume
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlDelayE2E:
+    def test_crawl_completes_and_spaces_delayed_host(self):
+        import time as _time
+
+        store = _store(robots_body=ROBOTS_DELAY.encode())
+        t0 = _time.perf_counter()
+        res = crawl(
+            CrawlConfig(origin="http://site.test/", respect_robots=True),
+            store,
+            num_shards=1,
+        )
+        wall = _time.perf_counter() - t0
+        ids = set(res.docs.column("doc_id").to_pylist())
+        # same SET as a robots run without the delay directive (minus
+        # the disallowed page), just spaced out
+        assert "site.test//public.html" in ids
+        assert "site.test/private/ok.html" in ids
+        assert "site.test/private/secret.html" not in ids
+        # two discovered same-host pages at 0.2 s spacing: the second
+        # waits for the first's deadline
+        assert wall >= 0.2
