@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="crawl the deterministic N-page synthetic web (offline)")
     p.add_argument("--respect-robots", action="store_true",
                    help="honor robots.txt exclusion rules (rebuild-only)")
+    p.add_argument("--sitemaps", action="store_true",
+                   help="seed from the origin host's sitemaps "
+                        "(robots.txt Sitemap: directives, else "
+                        "/sitemap.xml; rebuild-only)")
     p.add_argument("--priority", action="append", default=[],
                    metavar="REGEX",
                    help="frontier release precedence (rebuild-only): "
@@ -105,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         dry_run=args.dry_run,
         disable_certs_checks=args.disable_certs_checks,
         respect_robots=args.respect_robots,
+        use_sitemaps=args.sitemaps,
         priority_patterns=tuple(args.priority),
         seen_filter=args.seen_filter,
     )

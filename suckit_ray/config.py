@@ -49,6 +49,10 @@ class CrawlConfig:
     # rebuild-only (north_rule): robots.txt exclusion; off by default
     # for reference parity (the reference ignores robots entirely)
     respect_robots: bool = False
+    # rebuild-only: seed from the origin host's sitemaps (robots.txt
+    # Sitemap: directives, else /sitemap.xml) before the first wave —
+    # reaches pages no link points to. Off by default (parity).
+    use_sitemaps: bool = False
     # rebuild-only (north_rule "per-host politeness priority queues"):
     # frontier release precedence. URLs matching patterns[i] (first
     # match wins, unanchored search) release before anything matching

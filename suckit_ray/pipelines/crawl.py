@@ -173,6 +173,12 @@ def crawl(
             )
     else:
         seed_urls = seeds if seeds is not None else [cfg.origin]
+        if cfg.use_sitemaps and store is not None:
+            from suckit_ray.sitemap import gather_sitemap_seeds
+
+            extra = gather_sitemap_seeds(store, cfg.origin, tries=cfg.tries)
+            have = set(seed_urls)
+            seed_urls = seed_urls + [u for u in extra if u not in have]
         by_shard: dict[int, list[tuple[str, str]]] = {}
         route_by_host = cfg.politeness_on
         for s in seed_urls:
