@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank_exact": graph.crawl_pagerank_exact,
         "crawl_hits": graph.crawl_hits,
         "crawl_triangles": graph.crawl_triangles,
+        "crawl_degrees": graph.crawl_degrees,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,
@@ -2195,6 +2196,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT hn.hn AS host, t.n_triangles
             FROM tri t JOIN hostname hn ON hn.h = t.h
+        """,
+        # degree histogram of the same link graph: simple-graph
+        # semantics (distinct neighbors, self-loops dropped)
+        "crawl_degrees": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            edges AS (
+              SELECT DISTINCT r.h, r.j AS s, x.t AS t
+              FROM reach r
+              JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            outd AS (SELECT h, s, count(*) AS d FROM edges GROUP BY 1, 2),
+            ind  AS (SELECT h, t, count(*) AS d FROM edges GROUP BY 1, 2)
+            SELECT 'out' AS direction, CAST(d AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM outd GROUP BY 2
+            UNION ALL
+            SELECT 'in' AS direction, CAST(d AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM ind GROUP BY 2
         """,
         # round 3: the minhash/simhash families moved to md5-derived
         # hashing (dedup._md5h60) and gained FULL bit-exact SQL

@@ -200,6 +200,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_stratum_sample",
         "semantic_dedup",
         "crawl_triangles",
+        "crawl_degrees",
         "warc_roundtrip",
         "training_corpus",
     ]

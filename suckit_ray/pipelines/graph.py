@@ -784,3 +784,78 @@ def crawl_hits(sf_dir: str):
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return hits_from_docs(crawl_docs(sf_dir))
+
+
+def degrees_from_docs(docs: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:
+    """(direction, degree, n_nodes): in-/out-degree histogram of the
+    link graph — simple-graph semantics (distinct neighbors,
+    self-loops dropped), the standard first look at a crawl's
+    power-law shape.
+
+    Scale shape: ONE tagged exchange carries two rows per edge
+    ((src,'out',dst) and (dst,'in',src)), node-hash bucketed so a
+    node's rows co-locate and the per-group distinct-neighbor count
+    is exact global dedup; the per-(direction,degree) histogram is a
+    second exchange over ≤ |distinct degrees| partial rows per
+    bucket. The degree histogram itself is tiny by construction —
+    the driver never sees an edge."""
+    import pandas as pd
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst  # self-loops out
+        src, dst = src[keep], dst[keep]
+        node = np.concatenate([src, dst])
+        nbr = np.concatenate([dst, src])
+        dirs = np.concatenate(
+            [np.full(len(src), "out"), np.full(len(dst), "in")]
+        )
+        df = pd.DataFrame({"node": node, "dir": dirs, "nbr": nbr})
+        df = df.drop_duplicates()  # batch-local pre-shrink
+        h = pd.util.hash_pandas_object(df["node"], index=False).astype("uint64")
+        df["bucket"] = (h % B).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_degrees(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "direction": pd.array([], dtype="str"),
+                    "degree": pd.array([], dtype="int64"),
+                    "n_nodes": pd.array([], dtype="int64"),
+                }
+            )
+        d = (
+            g.drop_duplicates(["node", "dir", "nbr"])  # exact: node-co-located
+            .groupby(["node", "dir"], as_index=False)
+            .agg(degree=("nbr", "size"))
+        )
+        p = d.groupby(["dir", "degree"], as_index=False).agg(
+            n_nodes=("degree", "size")
+        )
+        return p.rename(columns={"dir": "direction"})
+
+    tagged = _link_edges(docs).map_batches(tag, batch_format="pyarrow")
+    partial = tagged.groupby("bucket").map_groups(
+        count_degrees, batch_format="pandas"
+    )
+    return bucketed_groupby_agg(
+        partial,
+        keys=["direction", "degree"],
+        aggs={"n_nodes": ("n_nodes", "sum")},
+    )
+
+
+def crawl_degrees(sf_dir: str) -> rd.Dataset:
+    """queries() entry: degree histogram of the flagship mirror's
+    link graph, hash-compared against the closure-formula oracle."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return degrees_from_docs(crawl_docs(sf_dir))

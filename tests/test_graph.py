@@ -177,3 +177,37 @@ def test_hits_on_irregular_graph_matches_integer_reference():
     assert g["auth_nano"].idxmax() == "h.test/auth.html"
     assert int(g.loc["h.test/dangling.html", "hub_nano"]) == 0
     assert int(g.loc["h.test/dangling.html", "auth_nano"]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degrees_match_python_reference():
+    """Degree histogram vs a brute-force dict reference over the same
+    edge list (simple-graph: distinct neighbors, self-loops out)."""
+    from collections import Counter, defaultdict
+
+    from suckit_ray.pipelines.flagship import crawl_docs
+    from suckit_ray.pipelines.graph import _link_edges, degrees_from_docs
+
+    docs = crawl_docs(SF)
+    got = (
+        degrees_from_docs(docs)
+        .to_pandas()
+        .sort_values(["direction", "degree"])
+        .reset_index(drop=True)
+    )
+    ed = _link_edges(crawl_docs(SF)).to_pandas()
+    pairs = {
+        (s, d) for s, d in zip(ed["src"], ed["dst"]) if s != d
+    }
+    outs, ins = defaultdict(set), defaultdict(set)
+    for s, d in pairs:
+        outs[s].add(d)
+        ins[d].add(s)
+    ref = []
+    for dirname, m in (("in", ins), ("out", outs)):
+        for deg, n in sorted(Counter(len(v) for v in m.values()).items()):
+            ref.append((dirname, deg, n))
+    got_rows = list(
+        zip(got["direction"], got["degree"].astype(int), got["n_nodes"].astype(int))
+    )
+    assert got_rows == ref and len(ref) > 0
