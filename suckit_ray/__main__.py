@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parquet-out", metavar="DIR",
                    help="also stream per-wave span-document parquet "
                         "partitions (+ per-shard ledger) to DIR")
+    p.add_argument("--delta-hashes", action="store_true",
+                   help="record per-url body fingerprints "
+                        "(hashes_parts/) for later --recrawl-from; "
+                        "needs --parquet-out")
+    p.add_argument("--recrawl-from", metavar="DIR",
+                   help="delta recrawl against a prior --parquet-out "
+                        "run: seed from its ledger, skip unchanged "
+                        "pages, write only the changed/new delta")
     p.add_argument("--warc-out", metavar="DIR",
                    help="also archive downloaded pages as gzipped WARC "
                         "segments in DIR")
@@ -168,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         collect=False,
         max_concurrency=args.jobs,
+        delta_hashes=args.delta_hashes,
+        recrawl_from=args.recrawl_from,
     )
     summary = {
         "pages": res.metrics.get("pages", 0),

@@ -97,6 +97,8 @@ def crawl(
     spill_threshold: int = 2_000_000,
     pending_mem_limit: int = 500_000,
     ledger_mem_rows: int = 500_000,
+    delta_hashes: bool = False,
+    recrawl_from: str | None = None,
 ) -> CrawlResult:
     """Run a crawl to completion. ``store`` is any PageStore; it is put
     into the object store once and read zero-copy by every fetch task.
@@ -113,11 +115,26 @@ def crawl(
     additional sub-waves. Crawl-set equality is unaffected (pure FIFO
     re-ordering across wave boundaries); only the depth-labeled wave
     numbering of entries shifts, so leave it None when reproducing the
-    reference's exact per-wave grouping matters."""
+    reference's exact per-wave grouping matters.
+
+    ``delta_hashes`` / ``recrawl_from``: delta recrawl. With
+    ``delta_hashes`` (needs ``output_dir``) the run records per-url
+    body fingerprints as ``hashes_parts/shard_NNNN.parquet``. A later
+    run passing ``recrawl_from=<that output_dir>`` seeds from the
+    prior ledger, attaches each url's prior hash to its frontier entry
+    at release (shard-partitioned — no broadcast), and pages whose
+    bodies are unchanged skip parsing/spans/candidates/doc rows: the
+    docs output is the DELTA (changed + new pages), the ledger still
+    records every fetch, and a fresh hashes_parts is written for the
+    next increment."""
     t0 = time.perf_counter()
     cfg = config.resolved()
     if collect is None:
         collect = output_dir is None
+    # delta recrawl: ``recrawl_from`` points at a prior run's
+    # output_dir (its hashes_parts/ + ledger_parts/); implies hash
+    # recording so THIS run can seed the next increment.
+    _delta = delta_hashes or recrawl_from is not None
 
     store_ref = ray.put(store)
     # leave headroom for the driver + shard actors: on a saturated node
@@ -173,6 +190,43 @@ def crawl(
             )
     else:
         seed_urls = seeds if seeds is not None else [cfg.origin]
+        if recrawl_from is not None:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            hash_parts = sorted(
+                glob.glob(os.path.join(recrawl_from, "hashes_parts", "*.parquet"))
+            )
+            if len(hash_parts) == num_shards:
+                # unchanged shard layout: part i IS shard i's urls
+                ray.get(
+                    [
+                        s.load_recrawl_hashes.remote([p])
+                        for s, p in zip(shards, hash_parts)
+                    ]
+                )
+            elif hash_parts:
+                # layout changed: every shard loads every part —
+                # correct, ×num_shards memory; re-shard offline for
+                # big-layout changes at archive scale
+                ray.get(
+                    [s.load_recrawl_hashes.remote(hash_parts) for s in shards]
+                )
+            # seed from the prior ledger so unchanged pages (which emit
+            # no candidates) still cover their outlink targets
+            if seeds is None:
+                prior = set()
+                for p in sorted(
+                    glob.glob(
+                        os.path.join(recrawl_from, "ledger_parts", "*.parquet")
+                    )
+                ):
+                    prior.update(
+                        pq.read_table(p, columns=["url"]).column("url").to_pylist()
+                    )
+                have = set(seed_urls)
+                seed_urls = seed_urls + sorted(u for u in prior if u not in have)
         if cfg.use_sitemaps and store is not None:
             from suckit_ray.sitemap import gather_sitemap_seeds
 
@@ -302,7 +356,8 @@ def crawl(
         _wdir = warc_dir if (warc_dir is not None and not cfg.dry_run) else None
         if fuse_stages:
             ds = ds.map_batches(
-                make_crawl_fn(store_ref, cfg, shards, wave, warc_dir=_wdir),
+                make_crawl_fn(store_ref, cfg, shards, wave, warc_dir=_wdir,
+                              delta_hashes=_delta),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
                 num_cpus=proc_num_cpus,
@@ -320,7 +375,8 @@ def crawl(
 
                 ds = ds.map_batches(make_warc_stage(_wdir), batch_format="pyarrow")
             ds = ds.map_batches(
-                make_process_fn(cfg, shards, wave, store_ref=store_ref),
+                make_process_fn(cfg, shards, wave, store_ref=store_ref,
+                                delta_hashes=_delta),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
                 num_cpus=proc_num_cpus,
@@ -401,6 +457,17 @@ def crawl(
             [s.flush_ledger.remote(p) for s, p in zip(shards, part_paths)]
         )
         ledger = pa.concat_tables([pq.read_table(p) for p in part_paths])
+        if _delta:
+            hdir = os.path.join(output_dir, "hashes_parts")
+            os.makedirs(hdir, exist_ok=True)
+            ray.get(
+                [
+                    s.flush_hashes.remote(
+                        os.path.join(hdir, f"shard_{i:04d}.parquet")
+                    )
+                    for i, s in enumerate(shards)
+                ]
+            )
     else:
         parts = ray.get([s.get_ledger.remote() for s in shards])
         ledger = pa.concat_tables(parts) if parts else LEDGER_SCHEMA.empty_table()

@@ -68,9 +68,13 @@ def make_crawl_fn(
     shard_handles: list,
     wave: int,
     warc_dir: str | None = None,
+    delta_hashes: bool = False,
 ):
     fetch = make_fetch_fn(store_ref, config)
-    process = make_process_fn(config, shard_handles, wave, store_ref=store_ref)
+    process = make_process_fn(
+        config, shard_handles, wave, store_ref=store_ref,
+        delta_hashes=delta_hashes,
+    )
     warc = make_warc_stage(warc_dir) if warc_dir else None
 
     def crawl_batch(batch: pa.Table) -> pa.Table:

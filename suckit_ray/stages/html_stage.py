@@ -21,12 +21,25 @@ from suckit_ray import htmlproc
 from suckit_ray.config import CrawlConfig
 from suckit_ray.state.frontier import (
     CAND_SCHEMA,
+    HASH_SCHEMA,
     LEDGER_SCHEMA,
     rows_to_table,
     shard_of,
     shard_of_url,
 )
 from suckit_ray.urlkit import parse_url, to_path
+
+
+def body_hash(body: bytes) -> int:
+    """63-bit blake2b content fingerprint (int64-safe, vectorizable
+    enough: one C call per body). Collision ⇒ a missed re-process in a
+    delta recrawl — at 2^-63 per pair, negligible against fetch-level
+    noise."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(body, digest_size=8).digest(), "big"
+    ) & ((1 << 63) - 1)
 
 SPAN_STRUCT = pa.struct(
     [
@@ -83,14 +96,28 @@ def _robots_for(store_ref, user_agent: str, tries: int = 1):
 
 
 def make_process_fn(
-    config: CrawlConfig, shard_handles: list, wave: int, store_ref=None
+    config: CrawlConfig,
+    shard_handles: list,
+    wave: int,
+    store_ref=None,
+    delta_hashes: bool = False,
 ):
     """Build the per-batch HTML/asset processing function for one wave.
 
     With ``config.respect_robots`` (and a store to fetch robots.txt
     from), discovered candidates whose host's robots rules disallow the
     path are dropped before they reach the frontier — one robots fetch
-    per (worker, host), cached."""
+    per (worker, host), cached.
+
+    ``delta_hashes`` (delta recrawl): every fetched body is
+    fingerprinted and the (url, hash) rows ship to the url's owner
+    shard; rows whose wave entry carries a matching ``prev_hash`` (the
+    prior run's fingerprint, attached at release) SKIP parsing, span
+    assembly, candidate emission and the doc row entirely — the docs
+    output becomes a DELTA (changed + new pages only) while the ledger
+    still records every fetch. Discovery stays correct because a
+    recrawl seeds from the prior ledger: an unchanged page's outlinks
+    are by definition already in that seed set."""
 
     cfg = config.resolved()
     num_shards = len(shard_handles)
@@ -111,7 +138,9 @@ def make_process_fn(
         out = {name: [] for name in DOC_SCHEMA.names}
         cand_by_shard: dict[int, list[tuple]] = defaultdict(list)
         ledger_by_shard: dict[int, list[tuple]] = defaultdict(list)
+        hash_by_shard: dict[int, list[tuple]] = defaultdict(list)
         host_delays: dict[str, int] = {}  # robots Crawl-delay, ms
+        prev_hashes = cols.get("prev_hash")  # wave column (delta recrawl)
 
         for i in range(n):
             url = cols["url"][i]
@@ -124,6 +153,19 @@ def make_process_fn(
             parsed = parse_url(url)
             doc_id = to_path(parsed, with_fragment=False)
             host = parsed.host or ""
+            if delta_hashes and err is None:
+                bh = body_hash(body)
+                hash_by_shard[
+                    shard_of_url(url, host, num_shards, route_by_host)
+                ].append((url, bh))
+                if prev_hashes is not None and prev_hashes[i] == bh:
+                    # unchanged since the prior run: ledger only — no
+                    # parse, no doc row, no candidates (the recrawl's
+                    # seed set already covers this page's outlinks)
+                    ledger_by_shard[shard_of(host, num_shards)].append(
+                        (url, doc_id, status, wave, bool(is_html), False, 0, None)
+                    )
+                    continue
             # download filter runs on the full URL; the page is fetched
             # and parsed REGARDLESS so links are discovered
             # (reference src/scraper.rs:238-241, M15). Transport-failure
@@ -207,6 +249,12 @@ def make_process_fn(
         for sid, rows in ledger_by_shard.items():
             acks.append(
                 shard_handles[sid].add_ledger.remote(rows_to_table(rows, LEDGER_SCHEMA))
+            )
+        for sid, hrows in hash_by_shard.items():
+            acks.append(
+                shard_handles[sid].add_hashes.remote(
+                    rows_to_table(hrows, HASH_SCHEMA)
+                )
             )
         if host_delays:
             # Crawl-delay directives go to EVERY shard (max-merged,

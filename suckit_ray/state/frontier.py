@@ -63,7 +63,16 @@ FRONTIER_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("ext_depth", pa.int32()),
         ("seq", pa.int64()),
+        # delta recrawl: the url's body hash from the PRIOR run (0 =
+        # new/unknown). Attached at release by the shard that owns the
+        # url — the hash map is partitioned exactly like the frontier,
+        # so no broadcast and no driver-side map.
+        ("prev_hash", pa.int64()),
     ]
+)
+
+HASH_SCHEMA = pa.schema(
+    [("url", pa.string()), ("body_hash", pa.int64())]
 )
 
 CAND_SCHEMA = pa.schema(
@@ -209,6 +218,13 @@ class FrontierShard:
         self.host_delay_ms: dict[str, int] = {}
         self.host_next_allowed: dict[str, float] = {}
         self._clock = time.monotonic
+        # delta recrawl: url → prior-run body hash (release-time
+        # lookup), and this run's recorded hashes (flushed to a
+        # per-shard parquet at crawl end). Per-shard memory is
+        # O(shard urls) ≈ 15 MB at 10^10 urls / 16k shards — the same
+        # class as the ledger tier.
+        self.recrawl_hashes: dict[str, int] = {}
+        self.hash_tables: list[pa.Table] = []
 
     # -- spill plumbing ------------------------------------------------
     def _spill_path(self, kind: str, ext: str) -> str:
@@ -308,6 +324,49 @@ class FrontierShard:
         now = self._clock()
         waits = [t - now for t in self.host_next_allowed.values() if t > now]
         return self.pending_count(), (min(waits) if waits else None)
+
+    def add_hashes(self, rows) -> int:
+        """Record (url, body_hash) rows fetched this run (delta
+        recrawl). Last-write-wins per url; re-delivery is idempotent."""
+        if not isinstance(rows, pa.Table):
+            rows = rows_to_table(rows, HASH_SCHEMA)
+        if rows.num_rows:
+            self.hash_tables.append(rows)
+        return rows.num_rows
+
+    def flush_hashes(self, path: str) -> int:
+        """Write this run's (url, body_hash) rows as one per-shard
+        parquet — the artifact the NEXT recrawl's shard i loads
+        directly (same layout → zero filtering)."""
+        import pyarrow.parquet as pq_
+
+        tbl = (
+            pa.concat_tables(self.hash_tables)
+            if self.hash_tables
+            else HASH_SCHEMA.empty_table()
+        )
+        if tbl.num_rows:
+            # last-write-wins dedup by url (task re-runs)
+            df = tbl.to_pandas().drop_duplicates("url", keep="last")
+            tbl = pa.Table.from_pandas(df, preserve_index=False).cast(HASH_SCHEMA)
+        pq_.write_table(tbl, path)
+        return tbl.num_rows
+
+    def load_recrawl_hashes(self, paths: list[str]) -> int:
+        """Load the PRIOR run's hash parts into the release-time
+        lookup. With an unchanged shard layout each shard is handed
+        exactly its own part; on layout change the caller hands every
+        part to every shard (correct, more memory — documented
+        fallback)."""
+        import pyarrow.parquet as pq_
+
+        for p in paths:
+            t = pq_.read_table(p, columns=["url", "body_hash"])
+            for u, h in zip(
+                t.column("url").to_pylist(), t.column("body_hash").to_pylist()
+            ):
+                self.recrawl_hashes[u] = h
+        return len(self.recrawl_hashes)
 
     def add_ledger(self, rows) -> int:
         """Idempotent by URL: Ray may re-run a side-effecting task
@@ -422,7 +481,14 @@ class FrontierShard:
         )
         self.released_tbl = rows_to_table(
             [
-                (url, host, d, e, encode_seq(wave, self.shard_id, i))
+                (
+                    url,
+                    host,
+                    d,
+                    e,
+                    encode_seq(wave, self.shard_id, i),
+                    self.recrawl_hashes.get(url, 0),
+                )
                 for i, (url, host, d, e) in enumerate(take)
             ],
             FRONTIER_SCHEMA,
@@ -575,7 +641,12 @@ class FrontierShard:
         """Released wave as tuples (tests / small-scale introspection)."""
         if self.released_tbl is None:
             return []
-        cols = [self.released_tbl.column(n).to_pylist() for n in FRONTIER_SCHEMA.names]
+        names = [
+            n
+            for n in FRONTIER_SCHEMA.names
+            if n in self.released_tbl.schema.names  # pre-prev_hash snapshots
+        ]
+        cols = [self.released_tbl.column(n).to_pylist() for n in names]
         return list(zip(*cols))
 
     def ack_wave(self) -> None:
@@ -661,6 +732,8 @@ class FrontierShard:
             "ledger_files": ledger_copies,
             "counters": dict(self.counters),
             "host_delay_ms": dict(self.host_delay_ms),
+            "recrawl_hashes": self.recrawl_hashes,
+            "hash_tables": self.hash_tables,
         }
         tmp = f"{path}.tmp"
         with open(tmp, "wb") as f:
@@ -755,4 +828,6 @@ class FrontierShard:
         # early, then spacing resumes (conservative, bounded breach).
         self.host_delay_ms = dict(st.get("host_delay_ms", {}))
         self.host_next_allowed = {}
+        self.recrawl_hashes = dict(st.get("recrawl_hashes", {}))
+        self.hash_tables = list(st.get("hash_tables", []))
         return st["wave"]
