@@ -135,6 +135,12 @@ def crawl(
     # output_dir (its hashes_parts/ + ledger_parts/); implies hash
     # recording so THIS run can seed the next increment.
     _delta = delta_hashes or recrawl_from is not None
+    if _delta and output_dir is None:
+        raise ValueError(
+            "delta_hashes/recrawl_from require output_dir: the body "
+            "fingerprints are written as output_dir/hashes_parts/ and "
+            "a recrawl without them would silently be a full crawl"
+        )
 
     store_ref = ray.put(store)
     # leave headroom for the driver + shard actors: on a saturated node
@@ -190,43 +196,46 @@ def crawl(
             )
     else:
         seed_urls = seeds if seeds is not None else [cfg.origin]
+        _recrawl_seed = False
         if recrawl_from is not None:
             import glob
-
-            import pyarrow.parquet as pq
 
             hash_parts = sorted(
                 glob.glob(os.path.join(recrawl_from, "hashes_parts", "*.parquet"))
             )
-            if len(hash_parts) == num_shards:
-                # unchanged shard layout: part i IS shard i's urls
+            meta_path = os.path.join(recrawl_from, "hashes_parts", "META.json")
+            same_layout = False
+            if os.path.exists(meta_path) and len(hash_parts) == num_shards:
+                with open(meta_path) as f:
+                    hmeta = json.load(f)
+                same_layout = (
+                    hmeta.get("num_shards") == num_shards
+                    and hmeta.get("route_by_host") == cfg.politeness_on
+                )
+            if hash_parts:
+                # ownership is ALWAYS re-derived shard-side under the
+                # current routing, so a changed shard count — or a
+                # politeness toggle flipping url-hash ↔ host-hash
+                # routing — can never mis-place an entry; the layout
+                # check only decides whether shard i reads one part or
+                # all of them
                 ray.get(
                     [
-                        s.load_recrawl_hashes.remote([p])
+                        s.load_recrawl_hashes.remote(
+                            [p] if same_layout else hash_parts,
+                            cfg.politeness_on,
+                        )
                         for s, p in zip(shards, hash_parts)
                     ]
+                    if same_layout
+                    else [
+                        s.load_recrawl_hashes.remote(
+                            hash_parts, cfg.politeness_on
+                        )
+                        for s in shards
+                    ]
                 )
-            elif hash_parts:
-                # layout changed: every shard loads every part —
-                # correct, ×num_shards memory; re-shard offline for
-                # big-layout changes at archive scale
-                ray.get(
-                    [s.load_recrawl_hashes.remote(hash_parts) for s in shards]
-                )
-            # seed from the prior ledger so unchanged pages (which emit
-            # no candidates) still cover their outlink targets
-            if seeds is None:
-                prior = set()
-                for p in sorted(
-                    glob.glob(
-                        os.path.join(recrawl_from, "ledger_parts", "*.parquet")
-                    )
-                ):
-                    prior.update(
-                        pq.read_table(p, columns=["url"]).column("url").to_pylist()
-                    )
-                have = set(seed_urls)
-                seed_urls = seed_urls + sorted(u for u in prior if u not in have)
+                _recrawl_seed = True
         if cfg.use_sitemaps and store is not None:
             from suckit_ray.sitemap import gather_sitemap_seeds
 
@@ -249,6 +258,11 @@ def crawl(
         ray.get(
             [shards[i].seed.remote(ents) for i, ents in by_shard.items()]
         )
+        if _recrawl_seed:
+            # prior-run urls enter at their RECORDED (depth, ext_depth)
+            # so finite --depth/--ext-depth gate exactly like a fresh
+            # crawl; explicit seeds above win first-seen at depth 0
+            ray.get([s.seed_recrawl.remote() for s in shards])
 
     import random
 
@@ -468,6 +482,14 @@ def crawl(
                     for i, s in enumerate(shards)
                 ]
             )
+            with open(os.path.join(hdir, "META.json"), "w") as f:
+                json.dump(
+                    {
+                        "num_shards": num_shards,
+                        "route_by_host": cfg.politeness_on,
+                    },
+                    f,
+                )
     else:
         parts = ray.get([s.get_ledger.remote() for s in shards])
         ledger = pa.concat_tables(parts) if parts else LEDGER_SCHEMA.empty_table()

@@ -44,6 +44,10 @@ class RobotsRules:
 
 ALLOW_ALL = RobotsRules()
 
+# Crawl-delay clamp (seconds): one hostile/typo'd robots.txt must not
+# be able to stall the whole crawl arbitrarily long
+CRAWL_DELAY_CAP_S = 60.0
+
 
 def parse_robots(text: str, user_agent: str) -> RobotsRules:
     """Parse robots.txt for ``user_agent`` (first token, lowercased)."""
@@ -81,8 +85,13 @@ def parse_robots(text: str, user_agent: str) -> RobotsRules:
             seen_rule_in_group = True
             try:
                 d = float(val)
-                if d >= 0:
-                    cur_delay = d
+                # clamp like the big crawlers do (Bing caps effective
+                # delays around the minute mark): an 'inf' or absurd
+                # value must not overflow int-ms conversion or park the
+                # driver's sleep-retry loop for years on one hostile
+                # robots.txt
+                if 0 <= d == d:  # rejects NaN
+                    cur_delay = min(d, CRAWL_DELAY_CAP_S)
             except ValueError:
                 pass  # malformed delay: ignore the directive
     flush()

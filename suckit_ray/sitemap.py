@@ -88,9 +88,25 @@ def gather_sitemap_seeds(
     root = f"{op.scheme}://{op.host}" + (f":{op.port}" if op.port else "")
 
     def fetch(url: str) -> bytes | None:
+        from urllib.parse import urljoin as _uj
+
         for _ in range(max(1, tries)):
             try:
                 resp = store.fetch(url, None)
+                # follow redirects like RobotsCache does — the
+                # http→https hop is near-universal and a 301 on
+                # robots.txt/sitemap.xml must not silently zero the
+                # seed set
+                hops, cur = 0, url
+                while (
+                    resp is not None
+                    and resp.location
+                    and 300 <= resp.status < 400
+                    and hops < 10
+                ):
+                    cur = _uj(cur, resp.location)
+                    resp = store.fetch(cur, None)
+                    hops += 1
             except Exception:
                 continue
             if resp is not None and resp.status == 200 and resp.body:

@@ -30,6 +30,9 @@ from suckit_ray.state.frontier import (
 from suckit_ray.urlkit import parse_url, to_path
 
 
+_SENT_DELAYS: dict[str, dict[str, int]] = {}  # crawl-run → host → ms sent
+
+
 def body_hash(body: bytes) -> int:
     """63-bit blake2b content fingerprint (int64-safe, vectorizable
     enough: one C call per body). Collision ⇒ a missed re-process in a
@@ -153,12 +156,14 @@ def make_process_fn(
             parsed = parse_url(url)
             doc_id = to_path(parsed, with_fragment=False)
             host = parsed.host or ""
-            if delta_hashes and err is None:
-                bh = body_hash(body)
+            if delta_hashes:
+                # errored fetches record hash 0 (never matches) so the
+                # NEXT recrawl's seed set still covers them for retry
+                bh = body_hash(body) if err is None else 0
                 hash_by_shard[
                     shard_of_url(url, host, num_shards, route_by_host)
-                ].append((url, bh))
-                if prev_hashes is not None and prev_hashes[i] == bh:
+                ].append((url, bh, cols["depth"][i], cols["ext_depth"][i]))
+                if err is None and prev_hashes is not None and prev_hashes[i] == bh:
                     # unchanged since the prior run: ledger only — no
                     # parse, no doc row, no candidates (the recrawl's
                     # seed set already covers this page's outlinks)
@@ -259,11 +264,18 @@ def make_process_fn(
         if host_delays:
             # Crawl-delay directives go to EVERY shard (max-merged,
             # idempotent): without politeness host-routing a host's
-            # entries may live on any shard. The dict is tiny (hosts
-            # with a directive seen in THIS batch) and most batches
-            # ship nothing.
-            for sh in shard_handles:
-                acks.append(sh.add_host_delays.remote(host_delays))
+            # entries may live on any shard. A worker-local sent-cache
+            # suppresses the rebroadcast every later batch of a
+            # delayed host would otherwise trigger (an O(num_shards)
+            # RPC fan-out per batch on the hot path).
+            sent = _SENT_DELAYS.setdefault(repr(shard_handles[0]), {})
+            fresh = {
+                h: ms for h, ms in host_delays.items() if ms > sent.get(h, 0)
+            }
+            if fresh:
+                sent.update(fresh)
+                for sh in shard_handles:
+                    acks.append(sh.add_host_delays.remote(fresh))
         if acks:
             ray.get(acks)
 

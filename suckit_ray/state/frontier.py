@@ -72,7 +72,15 @@ FRONTIER_SCHEMA = pa.schema(
 )
 
 HASH_SCHEMA = pa.schema(
-    [("url", pa.string()), ("body_hash", pa.int64())]
+    [
+        ("url", pa.string()),
+        ("body_hash", pa.int64()),  # 0 = fetch errored (never matches)
+        # the url's depth budget when fetched — a recrawl re-seeds at
+        # these depths so --depth/--ext-depth gate exactly like a
+        # fresh crawl of the same site would
+        ("depth", pa.int32()),
+        ("ext_depth", pa.int32()),
+    ]
 )
 
 CAND_SCHEMA = pa.schema(
@@ -224,6 +232,7 @@ class FrontierShard:
         # O(shard urls) ≈ 15 MB at 10^10 urls / 16k shards — the same
         # class as the ledger tier.
         self.recrawl_hashes: dict[str, int] = {}
+        self.recrawl_depths: dict[str, tuple[int, int]] = {}
         self.hash_tables: list[pa.Table] = []
 
     # -- spill plumbing ------------------------------------------------
@@ -352,21 +361,67 @@ class FrontierShard:
         pq_.write_table(tbl, path)
         return tbl.num_rows
 
-    def load_recrawl_hashes(self, paths: list[str]) -> int:
+    def load_recrawl_hashes(self, paths: list[str], route_by_host: bool) -> int:
         """Load the PRIOR run's hash parts into the release-time
-        lookup. With an unchanged shard layout each shard is handed
-        exactly its own part; on layout change the caller hands every
-        part to every shard (correct, more memory — documented
-        fallback)."""
+        lookup, keeping ONLY urls this shard owns under the CURRENT
+        routing (ownership is re-derived, so a changed shard count or
+        a politeness toggle that flips url-hash ↔ host-hash routing
+        can never mis-place or double-place an entry). With an
+        unchanged layout the caller hands shard i only part i and the
+        filter is a cheap identity pass; on layout change every shard
+        gets every part."""
         import pyarrow.parquet as pq_
 
+        from suckit_ray.urlkit import UrlParseError, parse_url
+
         for p in paths:
-            t = pq_.read_table(p, columns=["url", "body_hash"])
-            for u, h in zip(
-                t.column("url").to_pylist(), t.column("body_hash").to_pylist()
+            t = pq_.read_table(p)
+            depths = (
+                zip(
+                    t.column("depth").to_pylist(),
+                    t.column("ext_depth").to_pylist(),
+                )
+                if "depth" in t.schema.names
+                else ((0, 0) for _ in range(t.num_rows))
+            )
+            for u, h, (d, e) in zip(
+                t.column("url").to_pylist(),
+                t.column("body_hash").to_pylist(),
+                depths,
             ):
+                try:
+                    host = parse_url(u).host or ""
+                except UrlParseError:
+                    continue
+                if (
+                    shard_of_url(u, host, self.num_shards, route_by_host)
+                    != self.shard_id
+                ):
+                    continue
                 self.recrawl_hashes[u] = h
+                self.recrawl_depths[u] = (d, e)
         return len(self.recrawl_hashes)
+
+    def seed_recrawl(self) -> int:
+        """Enqueue every prior-run url this shard owns at its RECORDED
+        (depth, ext_depth) — the recrawl's seed set. Depth budgets
+        therefore gate exactly as a fresh crawl would: an external page
+        fetched at ext-hop 1 re-enters at ext-hop 1, not 0. First-wins
+        seen-dedup keeps explicitly-passed seeds (inserted first) at
+        their own depths."""
+        from suckit_ray.urlkit import UrlParseError, parse_url
+
+        n = 0
+        for url, (d, e) in self.recrawl_depths.items():
+            try:
+                host = parse_url(url).host or ""
+            except UrlParseError:
+                continue
+            if self.seen.insert_if_absent(url):
+                self._pending_append((url, host, d, e))
+                n += 1
+        self.counters["seeded"] += n
+        return n
 
     def add_ledger(self, rows) -> int:
         """Idempotent by URL: Ray may re-run a side-effecting task

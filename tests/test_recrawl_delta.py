@@ -60,7 +60,7 @@ class TestDeltaRecrawl:
 
     def test_first_run_records_hashes(self, tmp_path):
         out1, res1 = self._first(tmp_path)
-        parts = sorted((tmp_path / "run1" / "hashes_parts").iterdir())
+        parts = sorted((tmp_path / "run1" / "hashes_parts").glob("*.parquet"))
         assert len(parts) == 2
         rows = pq.read_table(str(parts[0])).num_rows + pq.read_table(
             str(parts[1])
@@ -84,7 +84,7 @@ class TestDeltaRecrawl:
         # the fresh hashes still cover the full url set for the NEXT run
         rows = sum(
             pq.read_table(str(p)).num_rows
-            for p in sorted((tmp_path / "run2" / "hashes_parts").iterdir())
+            for p in sorted((tmp_path / "run2" / "hashes_parts").glob("*.parquet"))
         )
         assert rows == 3
 
@@ -117,3 +117,88 @@ class TestDeltaRecrawl:
         )
         ids = set(res2.docs.column("doc_id").to_pylist())
         assert ids == {"site.test//a.html", "site.test//new.html"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeltaDepthBudgets:
+    """Recrawl seeds enter at their RECORDED depths: finite --depth /
+    --ext-depth gate a recrawl exactly like a fresh crawl would."""
+
+    def _chain(self, c_links_d=False):
+        # root -> a -> b -> c ; with depth=2, c is gated in a fresh crawl
+        recs = [
+            PageRecord(
+                "http://site.test/", b'<a href="a.html">a</a>', "text/html"
+            ),
+            PageRecord(
+                "http://site.test/a.html", b'<a href="b.html">b</a>', "text/html"
+            ),
+            PageRecord(
+                "http://site.test/b.html",
+                b'stable v2 <a href="c.html">c</a>'
+                if c_links_d
+                else b'<a href="c.html">c</a>',
+                "text/html",
+            ),
+            PageRecord("http://site.test/c.html", b"deep", "text/html"),
+        ]
+        return TablePageStore.from_records(recs)
+
+    def test_recrawl_respects_finite_depth(self, tmp_path):
+        out1 = str(tmp_path / "r1")
+        res1 = crawl(
+            CrawlConfig(origin="http://site.test/", depth=2),
+            self._chain(),
+            num_shards=2,
+            output_dir=out1,
+            delta_hashes=True,
+            collect=True,
+        )
+        ids1 = set(res1.ledger.column("url").to_pylist())
+        assert "http://site.test/c.html" not in ids1  # gated at depth 2
+        # recrawl: b.html CHANGED and still links to c — a fresh crawl
+        # of the same site still gates c at depth 2; the recrawl must
+        # too (b re-enters at its recorded depth 2, not 0)
+        res2 = crawl(
+            CrawlConfig(origin="http://site.test/", depth=2),
+            self._chain(c_links_d=True),
+            num_shards=2,
+            output_dir=str(tmp_path / "r2"),
+            recrawl_from=out1,
+            collect=True,
+        )
+        ids2 = set(res2.ledger.column("url").to_pylist())
+        assert "http://site.test/c.html" not in ids2
+        assert set(res2.docs.column("doc_id").to_pylist()) == {
+            "site.test//b.html"
+        }
+
+    def test_delta_without_output_dir_raises(self):
+        with pytest.raises(ValueError, match="output_dir"):
+            crawl(
+                CrawlConfig(origin="http://site.test/"),
+                self._chain(),
+                delta_hashes=True,
+            )
+
+    def test_politeness_toggle_keeps_skip_working(self, tmp_path):
+        """Routing flip (url-hash -> host-hash) between runs: ownership
+        is re-derived, so unchanged pages are still skipped."""
+        out1 = str(tmp_path / "r1")
+        crawl(
+            CrawlConfig(origin="http://site.test/"),
+            self._chain(),
+            num_shards=2,
+            output_dir=out1,
+            delta_hashes=True,
+            collect=True,
+        )
+        res2 = crawl(
+            CrawlConfig(origin="http://site.test/", delay=0.01),  # politeness on
+            self._chain(),
+            num_shards=2,
+            output_dir=str(tmp_path / "r2"),
+            recrawl_from=out1,
+            collect=True,
+        )
+        assert res2.docs.num_rows == 0  # every page detected unchanged

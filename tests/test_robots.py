@@ -132,7 +132,7 @@ class TestRobotsFetchHardening:
 
 ROBOTS_DELAY = """
 User-agent: evilbot
-Crawl-delay: 99
+Crawl-delay: 30
 
 User-agent: *
 Crawl-delay: 0.2
@@ -147,7 +147,7 @@ class TestCrawlDelayParse:
 
     def test_delay_specific_group_wins(self):
         r = parse_robots(ROBOTS_DELAY, "evilbot/2.0")
-        assert r.crawl_delay == 99.0
+        assert r.crawl_delay == 30.0
 
     def test_absent_delay_is_none(self):
         assert parse_robots(ROBOTS, "suckit").crawl_delay is None
@@ -242,3 +242,24 @@ class TestCrawlDelayE2E:
         # two discovered same-host pages at 0.2 s spacing: the second
         # waits for the first's deadline
         assert wall >= 0.2
+
+
+class TestCrawlDelayClamp:
+    def test_inf_and_huge_values_clamped(self):
+        from suckit_ray.robots import CRAWL_DELAY_CAP_S
+
+        assert (
+            parse_robots("User-agent: *\nCrawl-delay: inf\n", "s").crawl_delay
+            == CRAWL_DELAY_CAP_S
+        )
+        assert (
+            parse_robots("User-agent: *\nCrawl-delay: 1e9\n", "s").crawl_delay
+            == CRAWL_DELAY_CAP_S
+        )
+        assert parse_robots(
+            "User-agent: *\nCrawl-delay: nan\n", "s"
+        ).crawl_delay is None
+        assert (
+            parse_robots("User-agent: *\nCrawl-delay: 2.5\n", "s").crawl_delay
+            == 2.5
+        )

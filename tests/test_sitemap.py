@@ -158,3 +158,24 @@ class TestCrawlIntegration:
         ids = set(res.docs.column("doc_id").to_pylist())
         assert "site.test//island.html" not in ids
         assert "site.test//linked.html" in ids
+
+
+class TestRedirects:
+    def test_redirecting_sitemap_followed(self):
+        # http→https hop on both robots.txt and the sitemap itself
+        st = _store(
+            [
+                PageRecord(
+                    "http://site.test/sitemap.xml", b"", None,
+                    location="https://site.test/sitemap.xml", status=301,
+                ),
+                PageRecord(
+                    "https://site.test/sitemap.xml",
+                    b"<urlset><url><loc>http://site.test/p.html</loc></url></urlset>",
+                    "text/xml",
+                ),
+            ]
+        )
+        assert gather_sitemap_seeds(st, "http://site.test/") == [
+            "http://site.test/p.html"
+        ]
