@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="crawl the deterministic N-page synthetic web (offline)")
     p.add_argument("--respect-robots", action="store_true",
                    help="honor robots.txt exclusion rules (rebuild-only)")
+    p.add_argument("--host-error-budget", type=int, metavar="N",
+                   help="per-host circuit breaker: after N consecutive "
+                        "transport failures, drop the host's remaining "
+                        "frontier entries (rebuild-only)")
     p.add_argument("--sitemaps", action="store_true",
                    help="seed from the origin host's sitemaps "
                         "(robots.txt Sitemap: directives, else "
@@ -118,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         disable_certs_checks=args.disable_certs_checks,
         respect_robots=args.respect_robots,
         use_sitemaps=args.sitemaps,
+        host_error_budget=args.host_error_budget,
         priority_patterns=tuple(args.priority),
         seen_filter=args.seen_filter,
     )

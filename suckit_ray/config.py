@@ -53,6 +53,12 @@ class CrawlConfig:
     # Sitemap: directives, else /sitemap.xml) before the first wave —
     # reaches pages no link points to. Off by default (parity).
     use_sitemaps: bool = False
+    # rebuild-only: per-host circuit breaker. After N CONSECUTIVE
+    # transport failures (status 0 after the full ``tries`` budget)
+    # the host's remaining frontier entries are dropped instead of
+    # hammering a dead server with tries×pages attempts. None = off
+    # (parity: the reference retries every URL of a dead host).
+    host_error_budget: int | None = None
     # rebuild-only (north_rule "per-host politeness priority queues"):
     # frontier release precedence. URLs matching patterns[i] (first
     # match wins, unanchored search) release before anything matching

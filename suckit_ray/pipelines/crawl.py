@@ -163,6 +163,7 @@ def crawl(
             ledger_mem_rows,
             priority_patterns=cfg.priority_patterns,
             seen_filter=cfg.seen_filter,
+            host_error_budget=cfg.host_error_budget,
         )
         for i in range(num_shards)
     ]
@@ -444,6 +445,18 @@ def crawl(
                 "driver_rss_mb": _driver_rss_mb(),
             }
         )
+        if cfg.host_error_budget is not None:
+            opened: set[str] = set()
+            for part in ray.get(
+                [s.take_opened_breakers.remote() for s in shards]
+            ):
+                opened.update(part)
+            if opened:
+                # wave-synchronous broadcast: every shard drops the
+                # tripped hosts' entries starting with the NEXT release
+                ray.get(
+                    [s.open_breakers.remote(sorted(opened)) for s in shards]
+                )
         if checkpoint_dir:
             # keep the in-flight wave restorable until durably written;
             # without checkpoints the next finalize overwrites it anyway

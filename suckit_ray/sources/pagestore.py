@@ -403,6 +403,27 @@ class FlakyPageStore:
         return self.inner.fetch(url, auth)
 
 
+@dataclass
+class DeadHostPageStore:
+    """Chaos wrapper: every fetch to ``dead_hosts`` raises a transport
+    error (exercises the per-host circuit breaker). Library-defined so
+    Ray workers can deserialize it (see FlakyPageStore note)."""
+
+    inner: TablePageStore
+    dead_hosts: tuple[str, ...] = ()
+
+    def fetch(self, url: str, auth) -> "PageResponse":
+        from suckit_ray.urlkit import UrlParseError, parse_url
+
+        try:
+            h = parse_url(url).host or ""
+        except UrlParseError:
+            h = ""
+        if h in self.dead_hosts:
+            raise ConnectionError(f"host down: {h}")
+        return self.inner.fetch(url, auth)
+
+
 class SpanTableStore:
     """Serve an interleaved-span documents table (the BASELINE.json
     input_hint shape: doc_id + spans, optionally body/charset/data_type

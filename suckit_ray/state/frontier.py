@@ -171,6 +171,7 @@ class FrontierShard:
         ledger_mem_rows: int = 500_000,
         priority_patterns: tuple[str, ...] = (),
         seen_filter: str = "bloom",
+        host_error_budget: int | None = None,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -234,6 +235,16 @@ class FrontierShard:
         self.recrawl_hashes: dict[str, int] = {}
         self.recrawl_depths: dict[str, tuple[int, int]] = {}
         self.hash_tables: list[pa.Table] = []
+        # per-host circuit breaker: consecutive transport-failure
+        # counts tracked on the LEDGER-owning shard; the driver
+        # collects newly tripped hosts each wave boundary and
+        # broadcasts them to every shard (wave-synchronous, so the
+        # drop set is deterministic). Open hosts' frontier entries are
+        # DROPPED at release (counter: breaker_dropped).
+        self.host_error_budget = host_error_budget
+        self._host_consec_errors: dict[str, int] = {}
+        self._newly_open: list[str] = []
+        self.open_hosts: set[str] = set()
 
     # -- spill plumbing ------------------------------------------------
     def _spill_path(self, kind: str, ext: str) -> str:
@@ -438,12 +449,44 @@ class FrontierShard:
         if len(keep) != rows.num_rows:
             rows = rows.take(pa.array(keep, type=pa.int64()))
         if rows.num_rows:
+            if self.host_error_budget is not None:
+                from suckit_ray.urlkit import UrlParseError, parse_url
+
+                for u, st in zip(
+                    rows.column("url").to_pylist(),
+                    rows.column("status").to_pylist(),
+                ):
+                    try:
+                        h = parse_url(u).host or ""
+                    except UrlParseError:
+                        continue
+                    if st == 0:  # transport failure after full tries
+                        c = self._host_consec_errors.get(h, 0) + 1
+                        self._host_consec_errors[h] = c
+                        if (
+                            c >= self.host_error_budget
+                            and h not in self.open_hosts
+                            and h not in self._newly_open
+                        ):
+                            self._newly_open.append(h)
+                    else:
+                        self._host_consec_errors[h] = 0
             self.ledger_tables.append(rows)
             self._ledger_mem_rows += rows.num_rows
             if self._ledger_mem_rows >= self.ledger_mem_rows:
                 self._spill_ledger()
         self.counters["fetched"] += rows.num_rows
         return rows.num_rows
+
+    def take_opened_breakers(self) -> list[str]:
+        """Hosts whose error budget tripped since the last call (the
+        driver broadcasts them to every shard at the wave boundary)."""
+        out, self._newly_open = self._newly_open, []
+        return out
+
+    def open_breakers(self, hosts: list[str]) -> int:
+        self.open_hosts.update(hosts)
+        return len(self.open_hosts)
 
     # -- wave boundary ------------------------------------------------
     def finalize_wave(
@@ -498,6 +541,12 @@ class FrontierShard:
                 (max_depth == -1) | (d < max_depth),
             )
             self.counters["depth_gated"] += int(np.count_nonzero(~ok))
+            if self.open_hosts:
+                hmask = ~acc["host"].isin(self.open_hosts).to_numpy()
+                self.counters["breaker_dropped"] += int(
+                    np.count_nonzero(ok & ~hmask)
+                )
+                ok = ok & hmask
             dd = np.where(ext, d, d + 1)[ok].tolist()
             ee = np.where(ext, e + 1, e)[ok].tolist()
             urls_ok = acc["url"].to_numpy()[ok]
@@ -570,7 +619,12 @@ class FrontierShard:
         delay. Exact per-host spacing additionally needs politeness
         host-routing (all of a host's entries on one shard); without
         it the gate is shard-local best effort."""
-        if max_per_host is None and max_total is None and now_s is None:
+        if (
+            max_per_host is None
+            and max_total is None
+            and now_s is None
+            and not self.open_hosts
+        ):
             take: list[tuple] = []
             for lvl in range(self.num_levels):
                 for path in self._pending_files[lvl]:
@@ -602,17 +656,23 @@ class FrontierShard:
             new_meta: list[tuple[int, dict | None]] = []
             for path, meta in zip(self._pending_files[lvl], self._pending_meta[lvl]):
                 hosts = meta[1]
-                if budget <= 0 or (
-                    hosts is not None
-                    and all(
-                        (
-                            max_per_host is not None
-                            and per_host[h] >= max_per_host
+                has_open = hosts is not None and any(
+                    h in self.open_hosts for h in hosts
+                )
+                if not has_open and (
+                    budget <= 0
+                    or (
+                        hosts is not None
+                        and all(
+                            (
+                                max_per_host is not None
+                                and per_host[h] >= max_per_host
+                            )
+                            or self._host_delay_blocked(h, now_s)
+                            for h in hosts
                         )
-                        or self._host_delay_blocked(h, now_s)
-                        for h in hosts
+                        and (max_per_host is not None or now_s is not None)
                     )
-                    and (max_per_host is not None or now_s is not None)
                 ):
                     new_files.append(path)
                     new_meta.append(meta)
@@ -622,6 +682,9 @@ class FrontierShard:
                 kept = []
                 for ent in chunk:
                     h = ent[1]
+                    if h in self.open_hosts:
+                        self.counters["breaker_dropped"] += 1
+                        continue
                     if (
                         budget > 0
                         and (max_per_host is None or per_host[h] < max_per_host)
@@ -653,6 +716,9 @@ class FrontierShard:
             mem_kept = []
             for ent in self.pending[lvl]:
                 h = ent[1]
+                if h in self.open_hosts:
+                    self.counters["breaker_dropped"] += 1
+                    continue
                 if (
                     budget > 0
                     and (max_per_host is None or per_host[h] < max_per_host)
@@ -789,6 +855,8 @@ class FrontierShard:
             "host_delay_ms": dict(self.host_delay_ms),
             "recrawl_hashes": self.recrawl_hashes,
             "hash_tables": self.hash_tables,
+            "host_consec_errors": self._host_consec_errors,
+            "open_hosts": sorted(self.open_hosts),
         }
         tmp = f"{path}.tmp"
         with open(tmp, "wb") as f:
@@ -885,4 +953,6 @@ class FrontierShard:
         self.host_next_allowed = {}
         self.recrawl_hashes = dict(st.get("recrawl_hashes", {}))
         self.hash_tables = list(st.get("hash_tables", []))
+        self._host_consec_errors = dict(st.get("host_consec_errors", {}))
+        self.open_hosts = set(st.get("open_hosts", []))
         return st["wave"]

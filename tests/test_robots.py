@@ -263,3 +263,81 @@ class TestCrawlDelayClamp:
             parse_robots("User-agent: *\nCrawl-delay: 2.5\n", "s").crawl_delay
             == 2.5
         )
+
+
+class TestHostBreakerShard:
+    """Deterministic shard-level breaker semantics."""
+
+    def test_trips_after_budget_and_drops_pending(self):
+        from suckit_ray.state.frontier import FrontierShard
+
+        sh = FrontierShard(0, 1, host_error_budget=2)
+        row = lambda u, st: (u, "d", st, 1, True, False, 0, None)
+        sh.add_ledger([row("http://bad.test/1", 0)])
+        assert sh.take_opened_breakers() == []
+        # a success resets the consecutive count
+        sh.add_ledger([row("http://bad.test/2", 200)])
+        sh.add_ledger([row("http://bad.test/3", 0)])
+        assert sh.take_opened_breakers() == []
+        sh.add_ledger([row("http://bad.test/4", 0)])
+        assert sh.take_opened_breakers() == ["bad.test"]
+        assert sh.take_opened_breakers() == []  # drained once
+        sh.open_breakers(["bad.test"])
+        sh.add_candidates(
+            [
+                (1, 0, "http://bad.test/x.html", "bad.test", False, 0, 0),
+                (1, 1, "http://ok.test/y.html", "ok.test", False, 0, 0),
+            ]
+        )
+        n = sh.finalize_wave(1, -1, 0)
+        assert n == 1  # only the healthy host released
+        assert sh.get_counters()["breaker_dropped"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHostBreakerE2E:
+    def test_dead_host_stops_after_budget(self):
+        from suckit_ray.sources.pagestore import DeadHostPageStore
+
+        base = _store(robots_body=None)
+        recs = [
+            PageRecord(
+                "http://site.test/",
+                b'<a href="http://down.test/a.html">a</a>'
+                b'<a href="http://down.test/b.html">b</a>'
+                b'<a href="http://down.test/c.html">c</a>'
+                b'<a href="http://down.test/d.html">d</a>'
+                b'<a href="public.html">p</a>',
+                "text/html",
+            ),
+            PageRecord("http://site.test/public.html", b"pub", "text/html"),
+        ]
+        from suckit_ray.sources.pagestore import TablePageStore
+
+        store = DeadHostPageStore(
+            TablePageStore.from_records(recs), dead_hosts=("down.test",)
+        )
+        res = crawl(
+            CrawlConfig(
+                origin="http://site.test/",
+                ext_depth=1,
+                tries=1,
+                continue_on_error=True,
+                random_range=0.001,  # politeness on: 1 host-fetch/wave
+                host_error_budget=2,
+            ),
+            store,
+            num_shards=2,
+        )
+        bad_rows = [
+            u
+            for u in res.ledger.column("url").to_pylist()
+            if u.startswith("http://down.test/")
+        ]
+        # budget=2 with 1 fetch/host/wave: exactly 2 attempts, the
+        # remaining 2 frontier entries dropped by the breaker
+        assert len(bad_rows) == 2
+        assert res.metrics.get("breaker_dropped", 0) == 2
+        # the healthy site is fully mirrored
+        ids = set(res.docs.column("doc_id").to_pylist())
+        assert "site.test//public.html" in ids
