@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="crawl the deterministic N-page synthetic web (offline)")
     p.add_argument("--respect-robots", action="store_true",
                    help="honor robots.txt exclusion rules (rebuild-only)")
+    p.add_argument("--max-page-size", type=int, metavar="BYTES",
+                   help="skip responses larger than BYTES (soft skip, "
+                        "recorded in the ledger; rebuild-only)")
     p.add_argument("--host-error-budget", type=int, metavar="N",
                    help="per-host circuit breaker: after N consecutive "
                         "transport failures, drop the host's remaining "
@@ -123,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         respect_robots=args.respect_robots,
         use_sitemaps=args.sitemaps,
         host_error_budget=args.host_error_budget,
+        max_page_bytes=args.max_page_size,
         priority_patterns=tuple(args.priority),
         seen_filter=args.seen_filter,
     )

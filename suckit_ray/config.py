@@ -53,6 +53,10 @@ class CrawlConfig:
     # Sitemap: directives, else /sitemap.xml) before the first wave —
     # reaches pages no link points to. Off by default (parity).
     use_sitemaps: bool = False
+    # rebuild-only: drop responses larger than this many bytes (soft
+    # skip with a ledger error — no body stored, no links extracted).
+    # None = unbounded (parity). The per-page memory guard at scale.
+    max_page_bytes: int | None = None
     # rebuild-only: per-host circuit breaker. After N CONSECUTIVE
     # transport failures (status 0 after the full ``tries`` budget)
     # the host's remaining frontier entries are dropped instead of

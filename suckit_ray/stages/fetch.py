@@ -66,6 +66,7 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
 
     tries = config.tries
     continue_on_error = config.continue_on_error
+    max_page_bytes = config.max_page_bytes
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
         store = _get_store(store_ref)
@@ -150,6 +151,28 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
                 is_htmls.append(False)
                 bodies.append(b"")
                 errors.append(str(last_err))
+                continue
+
+            if (
+                max_page_bytes is not None
+                and resp.body is not None
+                and len(resp.body) > max_page_bytes
+            ):
+                # oversized response: SOFT skip (no panic even without
+                # continue_on_error) — ledger records why, no body is
+                # stored, no links are extracted. The memory guard that
+                # keeps one pathological page from blowing a worker's
+                # batch budget at scale.
+                status.append(resp.status)
+                data_types.append("")
+                charsets.append(None)
+                filenames.append(None)
+                is_htmls.append(False)
+                bodies.append(b"")
+                errors.append(
+                    f"body {len(resp.body)} B exceeds "
+                    f"max_page_bytes={max_page_bytes}"
+                )
                 continue
 
             data_type, charset = textkit.parse_content_type(resp.content_type)

@@ -232,3 +232,48 @@ class TestWaveCap:
         waves = capped.metrics["wave_stats"]
         assert len(waves) > len(full.metrics["wave_stats"])  # sub-waves happened
         assert all(w["entries"] <= 8 for w in waves)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMaxPageBytes:
+    def test_oversized_page_soft_skipped(self):
+        from suckit_ray.sources.pagestore import PageRecord, TablePageStore
+
+        recs = [
+            PageRecord(
+                "http://site.test/",
+                b'<a href="big.html">b</a><a href="small.html">s</a>',
+                "text/html",
+            ),
+            PageRecord(
+                "http://site.test/big.html",
+                b'<a href="hidden.html">h</a>' + b"x" * 5000,
+                "text/html",
+            ),
+            PageRecord("http://site.test/small.html", b"ok", "text/html"),
+            PageRecord("http://site.test/hidden.html", b"no", "text/html"),
+        ]
+        res = crawl(
+            CrawlConfig(origin="http://site.test/", max_page_bytes=1000),
+            TablePageStore.from_records(recs),
+            num_shards=1,
+        )
+        led = {
+            u: e
+            for u, e in zip(
+                res.ledger.column("url").to_pylist(),
+                res.ledger.column("error").to_pylist(),
+            )
+        }
+        assert "max_page_bytes" in (led["http://site.test/big.html"] or "")
+        # oversized page: fetched but not stored, links NOT followed
+        assert "http://site.test/hidden.html" not in led
+        docs = {
+            d: dl
+            for d, dl in zip(
+                res.docs.column("doc_id").to_pylist(),
+                res.docs.column("downloaded").to_pylist(),
+            )
+        }
+        assert docs["site.test//big.html"] is False  # error row, no body
+        assert docs["site.test//small.html"] is True
