@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="crawl the deterministic N-page synthetic web (offline)")
     p.add_argument("--respect-robots", action="store_true",
                    help="honor robots.txt exclusion rules (rebuild-only)")
+    p.add_argument("--canonicalize", action="store_true",
+                   help="canonical URL dedup keys: drop fragments and "
+                        "tracking params, sort query pairs "
+                        "(rebuild-only)")
     p.add_argument("--max-page-size", type=int, metavar="BYTES",
                    help="skip responses larger than BYTES (soft skip, "
                         "recorded in the ledger; rebuild-only)")
@@ -127,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         use_sitemaps=args.sitemaps,
         host_error_budget=args.host_error_budget,
         max_page_bytes=args.max_page_size,
+        canonicalize_urls=args.canonicalize,
         priority_patterns=tuple(args.priority),
         seen_filter=args.seen_filter,
     )

@@ -53,6 +53,12 @@ class CrawlConfig:
     # Sitemap: directives, else /sitemap.xml) before the first wave —
     # reaches pages no link points to. Off by default (parity).
     use_sitemaps: bool = False
+    # rebuild-only: canonical URL dedup keys — fragment dropped,
+    # tracking params (utm_*, gclid, ...) removed, query pairs sorted
+    # — so spurious variants of one page fetch once. The FETCHED url
+    # stays the first-discovered original. Off by default (parity:
+    # the reference dedups raw fragment-inclusive strings).
+    canonicalize_urls: bool = False
     # rebuild-only: drop responses larger than this many bytes (soft
     # skip with a ledger error — no body stored, no links extracted).
     # None = unbounded (parity). The per-page memory guard at scale.

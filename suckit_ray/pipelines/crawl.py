@@ -164,6 +164,7 @@ def crawl(
             priority_patterns=cfg.priority_patterns,
             seen_filter=cfg.seen_filter,
             host_error_budget=cfg.host_error_budget,
+            canonicalize=cfg.canonicalize_urls,
         )
         for i in range(num_shards)
     ]
@@ -252,9 +253,11 @@ def crawl(
             key = p.as_str()
             to_path(p, False)  # validate it derives
             from suckit_ray.state.frontier import shard_of_url
+            from suckit_ray.urlkit import canonical_url
 
+            rk = canonical_url(key) if cfg.canonicalize_urls else key
             by_shard.setdefault(
-                shard_of_url(key, p.host or "", num_shards, route_by_host), []
+                shard_of_url(rk, p.host or "", num_shards, route_by_host), []
             ).append((key, p.host or ""))
         ray.get(
             [shards[i].seed.remote(ents) for i, ents in by_shard.items()]

@@ -172,6 +172,7 @@ class FrontierShard:
         priority_patterns: tuple[str, ...] = (),
         seen_filter: str = "bloom",
         host_error_budget: int | None = None,
+        canonicalize: bool = False,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -242,6 +243,7 @@ class FrontierShard:
         # drop set is deterministic). Open hosts' frontier entries are
         # DROPPED at release (counter: breaker_dropped).
         self.host_error_budget = host_error_budget
+        self.canonicalize = canonicalize
         self._host_consec_errors: dict[str, int] = {}
         self._newly_open: list[str] = []
         self.open_hosts: set[str] = set()
@@ -302,7 +304,12 @@ class FrontierShard:
         depth 0 bypassing all filters, src/scraper.rs:298-302)."""
         n = 0
         for url, host in entries:
-            if self.seen.insert_if_absent(url):
+            key = url
+            if self.canonicalize:
+                from suckit_ray.urlkit import canonical_url
+
+                key = canonical_url(url)
+            if self.seen.insert_if_absent(key):
                 self._pending_append((url, host, 0, 0))
                 n += 1
         self.counters["seeded"] += n
@@ -523,8 +530,14 @@ class FrontierShard:
             # (cheap, accepted-only) depth gate loop
             df = buf.to_pandas()
             df = df.drop_duplicates(["parent_seq", "ordinal", "url"])
-            first = ~df["url"].duplicated()
-            fresh = self.seen.insert_batch(df.loc[first, "url"].tolist())
+            if self.canonicalize:
+                from suckit_ray.urlkit import canonical_url
+
+                keys = df["url"].map(canonical_url)
+            else:
+                keys = df["url"]
+            first = ~keys.duplicated()
+            fresh = self.seen.insert_batch(keys.loc[first].tolist())
             n_new = int(np.count_nonzero(fresh))
             self.counters["new_urls"] += n_new
             self.counters["dup_urls"] += len(df) - n_new

@@ -363,3 +363,48 @@ def url_of_path(doc_id: str, scheme: str = "http") -> str:
     else:
         path = "/" + "/".join(rest)
     return f"{scheme}://{host}{path}"
+
+
+# tracking parameters stripped by --canonicalize (the common
+# analytics/click identifiers that create spurious URL variants)
+TRACKING_PARAMS = frozenset(
+    {
+        "utm_source", "utm_medium", "utm_campaign", "utm_term",
+        "utm_content", "utm_id", "gclid", "fbclid", "msclkid",
+        "mc_cid", "mc_eid",
+    }
+)
+
+
+def canonical_url(url: str) -> str:
+    """Canonical DEDUP KEY for opt-in ``--canonicalize`` mode: the
+    parse already lowercases the host and drops default ports; on top
+    of that the fragment is dropped, tracking parameters removed, and
+    the remaining query pairs sorted — so ``?b=2&a=1&utm_source=x``
+    and ``?a=1&b=2`` dedup to one fetch. Unparseable input returns
+    unchanged (it will fail later stages on its own). The FETCHED url
+    stays the first-discovered original; only the seen-key and shard
+    routing use the canonical form."""
+    try:
+        p = parse_url(url)
+    except UrlParseError:
+        return url
+    q = ""
+    if p.query:
+        pairs = [
+            kv
+            for kv in p.query.split("&")
+            if kv and kv.split("=", 1)[0] not in TRACKING_PARAMS
+        ]
+        pairs.sort()
+        q = "&".join(pairs)
+    out = f"{p.scheme}://"
+    if p.userinfo:
+        out += p.userinfo + "@"
+    out += p.host or ""
+    if p.port:
+        out += f":{p.port}"
+    out += p.path or "/"
+    if q:
+        out += "?" + q
+    return out

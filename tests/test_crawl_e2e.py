@@ -277,3 +277,70 @@ class TestMaxPageBytes:
         }
         assert docs["site.test//big.html"] is False  # error row, no body
         assert docs["site.test//small.html"] is True
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCanonicalize:
+    def _site(self):
+        from suckit_ray.sources.pagestore import PageRecord, TablePageStore
+
+        return TablePageStore.from_records(
+            [
+                PageRecord(
+                    "http://site.test/",
+                    b'<a href="p.html?b=2&a=1">one</a>'
+                    b'<a href="p.html?a=1&b=2&utm_source=mail">two</a>'
+                    b'<a href="p.html?a=1&b=2#frag">three</a>',
+                    "text/html",
+                ),
+                PageRecord("http://site.test/p.html?b=2&a=1", b"P", "text/html"),
+                PageRecord("http://site.test/p.html?a=1&b=2", b"P", "text/html"),
+                PageRecord(
+                    "http://site.test/p.html?a=1&b=2&utm_source=mail",
+                    b"P",
+                    "text/html",
+                ),
+            ]
+        )
+
+    def test_variants_fetch_once_when_on(self):
+        res = crawl(
+            CrawlConfig(origin="http://site.test/", canonicalize_urls=True),
+            self._site(),
+            num_shards=2,
+        )
+        fetched = [
+            u
+            for u in res.ledger.column("url").to_pylist()
+            if "p.html" in u
+        ]
+        assert len(fetched) == 1  # ONE fetch for the three variants
+        assert fetched[0] == "http://site.test/p.html?b=2&a=1"  # first wins
+
+    def test_parity_mode_fetches_variants(self):
+        res = crawl(
+            CrawlConfig(origin="http://site.test/"), self._site(), num_shards=2
+        )
+        fetched = {
+            u
+            for u in res.ledger.column("url").to_pylist()
+            if "p.html" in u
+        }
+        assert len(fetched) == 3  # reference parity: raw-string dedup
+
+
+def test_canonical_url_vectors():
+    from suckit_ray.urlkit import canonical_url
+
+    assert (
+        canonical_url("HTTP://Site.Test:80/a?b=2&a=1&utm_source=x#f")
+        == "http://site.test/a?a=1&b=2"
+    )
+    assert canonical_url("http://s.test/p?utm_source=x&gclid=1") == "http://s.test/p"
+    assert canonical_url("http://s.test/p?") == "http://s.test/p"
+    assert canonical_url("not a url") == "not a url"
+    # non-tracking params survive, sorted, values intact
+    assert (
+        canonical_url("http://s.test/p?z=9&a=1&a=0")
+        == "http://s.test/p?a=0&a=1&z=9"
+    )
