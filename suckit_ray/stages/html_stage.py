@@ -126,6 +126,8 @@ def make_process_fn(
     num_shards = len(shard_handles)
     route_by_host = cfg.politeness_on  # politeness requires host co-location
     canonicalize = cfg.canonicalize_urls
+    if canonicalize:
+        from suckit_ray.urlkit import canonical_url as _canon
 
     def process_batch(batch: pa.Table) -> pa.Table:
         include_visit, exclude_visit = cfg.visit_filters()
@@ -207,15 +209,10 @@ def make_process_fn(
                             continue
                         if delay_ms > host_delays.get(o.host, 0):
                             host_delays[o.host] = delay_ms
-                    if canonicalize:
-                        # route by the CANONICAL key: two variants of
-                        # one page must land on the same owner shard
-                        # or first-wins dedup silently splits
-                        from suckit_ray.urlkit import canonical_url
-
-                        rk = canonical_url(o.url)
-                    else:
-                        rk = o.url
+                    # route by the CANONICAL key when on: two variants
+                    # of one page must land on the same owner shard or
+                    # first-wins dedup silently splits
+                    rk = _canon(o.url) if canonicalize else o.url
                     cand_by_shard[
                         shard_of_url(rk, o.host, num_shards, route_by_host)
                     ].append(

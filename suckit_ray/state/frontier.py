@@ -51,6 +51,7 @@ from collections import defaultdict
 import pyarrow as pa
 
 from suckit_ray.state.seenset import SpillableSet
+from suckit_ray.urlkit import UrlParseError, canonical_url, parse_url
 
 # frontier entry: (url, host, depth, ext_depth, seq)
 # candidate:      (parent_seq, ordinal, url, host, is_external, parent_depth, parent_ext_depth)
@@ -243,9 +244,9 @@ class FrontierShard:
         # drop set is deterministic). Open hosts' frontier entries are
         # DROPPED at release (counter: breaker_dropped).
         self.host_error_budget = host_error_budget
+        self._wave_tally: dict[str, tuple[int, int]] = {}
         self.canonicalize = canonicalize
         self._host_consec_errors: dict[str, int] = {}
-        self._newly_open: list[str] = []
         self.open_hosts: set[str] = set()
 
     # -- spill plumbing ------------------------------------------------
@@ -304,11 +305,7 @@ class FrontierShard:
         depth 0 bypassing all filters, src/scraper.rs:298-302)."""
         n = 0
         for url, host in entries:
-            key = url
-            if self.canonicalize:
-                from suckit_ray.urlkit import canonical_url
-
-                key = canonical_url(url)
+            key = canonical_url(url) if self.canonicalize else url
             if self.seen.insert_if_absent(key):
                 self._pending_append((url, host, 0, 0))
                 n += 1
@@ -387,10 +384,11 @@ class FrontierShard:
         can never mis-place or double-place an entry). With an
         unchanged layout the caller hands shard i only part i and the
         filter is a cheap identity pass; on layout change every shard
-        gets every part."""
+        gets every part. Under ``canonicalize`` ownership is derived
+        from the CANONICAL key — the same key candidates route by, so
+        a variant candidate and its prior-run original always meet on
+        one shard."""
         import pyarrow.parquet as pq_
-
-        from suckit_ray.urlkit import UrlParseError, parse_url
 
         for p in paths:
             t = pq_.read_table(p)
@@ -411,8 +409,9 @@ class FrontierShard:
                     host = parse_url(u).host or ""
                 except UrlParseError:
                     continue
+                rk = canonical_url(u) if self.canonicalize else u
                 if (
-                    shard_of_url(u, host, self.num_shards, route_by_host)
+                    shard_of_url(rk, host, self.num_shards, route_by_host)
                     != self.shard_id
                 ):
                     continue
@@ -426,16 +425,17 @@ class FrontierShard:
         therefore gate exactly as a fresh crawl would: an external page
         fetched at ext-hop 1 re-enters at ext-hop 1, not 0. First-wins
         seen-dedup keeps explicitly-passed seeds (inserted first) at
-        their own depths."""
-        from suckit_ray.urlkit import UrlParseError, parse_url
-
+        their own depths. Under ``canonicalize`` the seen KEY is the
+        canonical form (matching candidate dedup), while the fetched
+        url stays the prior run's recorded original."""
         n = 0
         for url, (d, e) in self.recrawl_depths.items():
             try:
                 host = parse_url(url).host or ""
             except UrlParseError:
                 continue
-            if self.seen.insert_if_absent(url):
+            key = canonical_url(url) if self.canonicalize else url
+            if self.seen.insert_if_absent(key):
                 self._pending_append((url, host, d, e))
                 n += 1
         self.counters["seeded"] += n
@@ -457,27 +457,24 @@ class FrontierShard:
             rows = rows.take(pa.array(keep, type=pa.int64()))
         if rows.num_rows:
             if self.host_error_budget is not None:
-                from suckit_ray.urlkit import UrlParseError, parse_url
-
-                for u, st in zip(
-                    rows.column("url").to_pylist(),
+                # tally the WINDOW (between take_opened_breakers calls
+                # = one wave); folding happens deterministically at the
+                # wave boundary so parallel batch arrival order cannot
+                # change whether a host trips. Host comes from the
+                # doc_id prefix (to_path emits host + path) — no
+                # re-parse on the shard's single-threaded hot path.
+                for d, st in zip(
+                    rows.column("doc_id").to_pylist(),
                     rows.column("status").to_pylist(),
                 ):
-                    try:
-                        h = parse_url(u).host or ""
-                    except UrlParseError:
+                    h = (d or "").split("/", 1)[0]
+                    if not h:
                         continue
+                    ok, fail = self._wave_tally.get(h, (0, 0))
                     if st == 0:  # transport failure after full tries
-                        c = self._host_consec_errors.get(h, 0) + 1
-                        self._host_consec_errors[h] = c
-                        if (
-                            c >= self.host_error_budget
-                            and h not in self.open_hosts
-                            and h not in self._newly_open
-                        ):
-                            self._newly_open.append(h)
+                        self._wave_tally[h] = (ok, fail + 1)
                     else:
-                        self._host_consec_errors[h] = 0
+                        self._wave_tally[h] = (ok + 1, fail)
             self.ledger_tables.append(rows)
             self._ledger_mem_rows += rows.num_rows
             if self._ledger_mem_rows >= self.ledger_mem_rows:
@@ -486,9 +483,23 @@ class FrontierShard:
         return rows.num_rows
 
     def take_opened_breakers(self) -> list[str]:
-        """Hosts whose error budget tripped since the last call (the
-        driver broadcasts them to every shard at the wave boundary)."""
-        out, self._newly_open = self._newly_open, []
+        """Fold the window's per-host tallies into the consecutive
+        counters (a window with ≥1 failure and NO success counts one
+        step; any success resets) and return the hosts whose budget
+        just tripped. Called by the driver at the wave boundary, so
+        the fold — and therefore the drop set — is deterministic
+        regardless of how parallel ledger batches interleaved."""
+        out: list[str] = []
+        for h in sorted(self._wave_tally):
+            ok, fail = self._wave_tally[h]
+            if ok > 0:
+                self._host_consec_errors[h] = 0
+            elif fail > 0:
+                c = self._host_consec_errors.get(h, 0) + 1
+                self._host_consec_errors[h] = c
+                if c >= self.host_error_budget and h not in self.open_hosts:
+                    out.append(h)
+        self._wave_tally = {}
         return out
 
     def open_breakers(self, hosts: list[str]) -> int:
@@ -531,8 +542,6 @@ class FrontierShard:
             df = buf.to_pandas()
             df = df.drop_duplicates(["parent_seq", "ordinal", "url"])
             if self.canonicalize:
-                from suckit_ray.urlkit import canonical_url
-
                 keys = df["url"].map(canonical_url)
             else:
                 keys = df["url"]
@@ -870,6 +879,7 @@ class FrontierShard:
             "hash_tables": self.hash_tables,
             "host_consec_errors": self._host_consec_errors,
             "open_hosts": sorted(self.open_hosts),
+            "canonicalize": self.canonicalize,
         }
         tmp = f"{path}.tmp"
         with open(tmp, "wb") as f:
@@ -928,6 +938,14 @@ class FrontierShard:
                 f"snapshot was taken with priority_patterns={tuple(snap_pats)!r}, "
                 f"this actor is configured with {self.priority_patterns!r} — "
                 "resume must keep the same priority_patterns"
+            )
+        snap_canon = st.get("canonicalize")
+        if snap_canon is not None and snap_canon != self.canonicalize:
+            raise ValueError(
+                f"snapshot was taken with canonicalize={snap_canon}, "
+                f"this actor is configured with {self.canonicalize} — "
+                "toggling canonicalization mid-crawl would mix raw and "
+                "canonical seen keys and flip shard routing"
             )
         # ALL validation precedes ANY mutation: a rejected resume must
         # leave the shard exactly as it was (a caller catching the

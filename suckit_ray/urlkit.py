@@ -365,15 +365,17 @@ def url_of_path(doc_id: str, scheme: str = "http") -> str:
     return f"{scheme}://{host}{path}"
 
 
-# tracking parameters stripped by --canonicalize (the common
-# analytics/click identifiers that create spurious URL variants)
+# non-utm tracking parameters stripped by --canonicalize; any key
+# starting with "utm_" (case-insensitive) is also stripped — GA4 keeps
+# minting new utm_* names, so a prefix match is what the docs promise
 TRACKING_PARAMS = frozenset(
-    {
-        "utm_source", "utm_medium", "utm_campaign", "utm_term",
-        "utm_content", "utm_id", "gclid", "fbclid", "msclkid",
-        "mc_cid", "mc_eid",
-    }
+    {"gclid", "fbclid", "msclkid", "mc_cid", "mc_eid"}
 )
+
+
+def _is_tracking_param(key: str) -> bool:
+    k = key.lower()
+    return k.startswith("utm_") or k in TRACKING_PARAMS
 
 
 def canonical_url(url: str) -> str:
@@ -394,7 +396,7 @@ def canonical_url(url: str) -> str:
         pairs = [
             kv
             for kv in p.query.split("&")
-            if kv and kv.split("=", 1)[0] not in TRACKING_PARAMS
+            if kv and not _is_tracking_param(kv.split("=", 1)[0])
         ]
         pairs.sort()
         q = "&".join(pairs)

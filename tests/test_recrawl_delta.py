@@ -202,3 +202,47 @@ class TestDeltaDepthBudgets:
             collect=True,
         )
         assert res2.docs.num_rows == 0  # every page detected unchanged
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCanonicalRecrawl:
+    def test_canonicalize_recrawl_fetches_variants_once(self, tmp_path):
+        """Canonical keys must govern BOTH the recrawl seed inserts
+        and the hash-ownership routing, or a still-linked variant of
+        an unchanged page re-fetches (review finding)."""
+        recs = [
+            PageRecord(
+                "http://site.test/",
+                b'<a href="p.html?b=2&a=1">one</a>'
+                b'<a href="p.html?a=1&b=2&utm_source=mail">two</a>',
+                "text/html",
+            ),
+            PageRecord("http://site.test/p.html?b=2&a=1", b"P", "text/html"),
+            PageRecord(
+                "http://site.test/p.html?a=1&b=2&utm_source=mail",
+                b"P",
+                "text/html",
+            ),
+        ]
+        store = TablePageStore.from_records(recs)
+        out1 = str(tmp_path / "r1")
+        res1 = crawl(
+            CrawlConfig(origin="http://site.test/", canonicalize_urls=True),
+            store,
+            num_shards=2,
+            output_dir=out1,
+            delta_hashes=True,
+            collect=True,
+        )
+        assert res1.ledger.num_rows == 2  # root + ONE variant
+        res2 = crawl(
+            CrawlConfig(origin="http://site.test/", canonicalize_urls=True),
+            store,
+            num_shards=2,
+            output_dir=str(tmp_path / "r2"),
+            recrawl_from=out1,
+            collect=True,
+        )
+        # unchanged: both pages skipped, no variant re-fetch
+        assert res2.ledger.num_rows == 2
+        assert res2.docs.num_rows == 0

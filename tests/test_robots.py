@@ -269,18 +269,25 @@ class TestHostBreakerShard:
     """Deterministic shard-level breaker semantics."""
 
     def test_trips_after_budget_and_drops_pending(self):
+        """Wave-folded counting: a window (between take calls) with
+        failures and NO success counts one step; ANY success in the
+        window resets — deterministic regardless of how parallel
+        ledger batches interleaved within the window."""
         from suckit_ray.state.frontier import FrontierShard
 
         sh = FrontierShard(0, 1, host_error_budget=2)
-        row = lambda u, st: (u, "d", st, 1, True, False, 0, None)
+        row = lambda u, st: (u, f"bad.test/{u[-1]}", st, 1, True, False, 0, None)
         sh.add_ledger([row("http://bad.test/1", 0)])
-        assert sh.take_opened_breakers() == []
-        # a success resets the consecutive count
+        assert sh.take_opened_breakers() == []  # consec 1 < 2
+        # a success ANYWHERE in the window resets, even alongside a
+        # failure (arrival order within the window is irrelevant)
         sh.add_ledger([row("http://bad.test/2", 200)])
         sh.add_ledger([row("http://bad.test/3", 0)])
-        assert sh.take_opened_breakers() == []
+        assert sh.take_opened_breakers() == []  # reset → consec 0
         sh.add_ledger([row("http://bad.test/4", 0)])
-        assert sh.take_opened_breakers() == ["bad.test"]
+        assert sh.take_opened_breakers() == []  # consec 1
+        sh.add_ledger([row("http://bad.test/5", 0)])
+        assert sh.take_opened_breakers() == ["bad.test"]  # consec 2: trip
         assert sh.take_opened_breakers() == []  # drained once
         sh.open_breakers(["bad.test"])
         sh.add_candidates(
