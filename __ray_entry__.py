@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": relops.events_moving_avg,
         "events_interarrival": relops.events_interarrival,
         "events_props_hist": relops.events_props_hist,
+        "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
         "events_running_total": relops.events_running_total,
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
@@ -1758,6 +1759,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # ordered string aggregation: per-customer priority sequence
+        "customer_order_paths": """
+            SELECT o_custkey AS c_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   string_agg(o_orderpriority, '>'
+                              ORDER BY o_orderdate, o_orderkey) AS path
+            FROM orders
+            GROUP BY o_custkey
         """,
         # semi-structured: JSON props field extracted and binned
         "events_props_hist": """

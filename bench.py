@@ -194,6 +194,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_interarrival",
         "q10_returned_revenue",
         "events_props_hist",
+        "customer_order_paths",
         "docs_dsir_weights",
         "docs_nfc_normalize",
         "docs_weighted_sample",

@@ -2873,3 +2873,59 @@ def events_props_hist(sf_dir: str) -> rd.Dataset:
         keys=["event_type", "k_bin"],
         aggs={"n_events": ("n_events", "sum")},
     )
+
+
+def customer_order_paths(sf_dir: str) -> rd.Dataset:
+    """(c_custkey, n_orders, path): each customer's order priorities
+    concatenated in (o_orderdate, o_orderkey) order — the ORDERED
+    STRING AGGREGATION / sequence-assembly shape (the input form for
+    journey mining; the Markov op consumes pairs, this emits whole
+    per-entity sequences).
+
+    Scale shape: one custkey-hash co-group; each batch pre-projects
+    to 3 small columns, the group kernel is one mergesort + one
+    vectorized join per customer via pandas groupby-agg. Path length
+    is bounded by orders-per-customer (TPC-H ~10; a web-scale
+    sessions table would cap or bucket the sequence)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype("int64"),
+                "okey": df["o_orderkey"].astype("int64"),
+                "odate_us": df["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "prio": df["o_orderpriority"],
+                "bucket": (df["o_custkey"] % B).astype("int64"),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.array([], dtype="int64"),
+                    "n_orders": pd.array([], dtype="int64"),
+                    "path": pd.array([], dtype="str"),
+                }
+            )
+        g = g.sort_values(["c_custkey", "odate_us", "okey"], kind="mergesort")
+        out = g.groupby("c_custkey").agg(
+            n_orders=("prio", "size"), path=("prio", ">".join)
+        )
+        return out.reset_index().astype({"n_orders": "int64"})
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pandas")
+    )

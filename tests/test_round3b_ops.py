@@ -2744,3 +2744,28 @@ def test_props_hist_matches_pandas_json_parse():
     )
     assert len(got) == len(ref)
     assert (got["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_paths_match_pandas_reference():
+    from suckit_ray.pipelines import relops
+
+    got = (
+        relops.customer_order_paths(SF)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    ref = (
+        o.groupby("o_custkey")
+        .agg(n_orders=("o_orderpriority", "size"),
+             path=("o_orderpriority", ">".join))
+        .reset_index()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref) and len(got) > 0
+    assert (got["path"].to_numpy() == ref["path"].to_numpy()).all()
+    assert (got["n_orders"].to_numpy() == ref["n_orders"].to_numpy()).all()
