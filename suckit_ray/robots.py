@@ -18,6 +18,7 @@ protocol subset most crawlers agree on:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -34,12 +35,32 @@ class RobotsRules:
         best_len = -1
         best_allow = True
         for prefix, allow in self.rules:
-            if path.startswith(prefix) and len(prefix) >= best_len:
-                # longest match wins; on equal length, Allow wins
+            if _rule_matches(prefix, path) and len(prefix) >= best_len:
+                # most-specific (longest pattern) wins; on equal
+                # length, Allow wins (Google/Bing semantics)
                 if len(prefix) > best_len or allow:
                     best_len = len(prefix)
                     best_allow = allow
         return best_allow
+
+
+_WILDCARD_CACHE: dict[str, "re.Pattern"] = {}
+
+
+def _rule_matches(rule: str, path: str) -> bool:
+    """Path-rule match with the REP wildcard extension every major
+    crawler honors: ``*`` matches any char sequence, a trailing ``$``
+    anchors the end (``/*.pdf$``). Rules without either are plain
+    prefixes (original 1994 semantics, the fast path)."""
+    if "*" not in rule and not rule.endswith("$"):
+        return path.startswith(rule)
+    pat = _WILDCARD_CACHE.get(rule)
+    if pat is None:
+        body = rule[:-1] if rule.endswith("$") else rule
+        rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+        rx = rx + "$" if rule.endswith("$") else rx
+        pat = _WILDCARD_CACHE[rule] = re.compile(rx)
+    return pat.match(path) is not None
 
 
 ALLOW_ALL = RobotsRules()

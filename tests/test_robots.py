@@ -348,3 +348,35 @@ class TestHostBreakerE2E:
         # the healthy site is fully mirrored
         ids = set(res.docs.column("doc_id").to_pylist())
         assert "site.test//public.html" in ids
+
+
+class TestWildcardRules:
+    """REP wildcard extension (* and $) — Google's documented
+    examples; plain-prefix rules keep the original fast path."""
+
+    def test_star_and_anchor(self):
+        r = parse_robots(
+            "User-agent: *\nDisallow: /*.pdf$\nDisallow: /private*/x\n", "s"
+        )
+        assert not r.allows("/docs/report.pdf")
+        assert r.allows("/docs/report.pdf?download=1")  # $ anchors END
+        assert r.allows("/docs/report.pdfx")
+        assert not r.allows("/private123/x")
+        assert r.allows("/private123/y")
+
+    def test_allow_wildcard_beats_shorter_disallow(self):
+        r = parse_robots(
+            "User-agent: *\nDisallow: /p\nAllow: /p*.html$\n", "s"
+        )
+        assert not r.allows("/page")
+        assert r.allows("/page.html")  # longer Allow pattern wins
+
+    def test_fishing_star_mid_pattern(self):
+        r = parse_robots("User-agent: *\nDisallow: /fish*.php\n", "s")
+        assert not r.allows("/fishheads/catfish.php?parameters")
+        assert r.allows("/fish.html")
+
+    def test_regex_metachars_in_rule_are_literal(self):
+        r = parse_robots("User-agent: *\nDisallow: /a+b(c)\n", "s")
+        assert not r.allows("/a+b(c)/d")
+        assert r.allows("/aab(c)")
