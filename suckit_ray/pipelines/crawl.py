@@ -213,6 +213,8 @@ def crawl(
                 same_layout = (
                     hmeta.get("num_shards") == num_shards
                     and hmeta.get("route_by_host") == cfg.politeness_on
+                    and hmeta.get("canonicalize", False)
+                    == cfg.canonicalize_urls
                 )
             if hash_parts:
                 # ownership is ALWAYS re-derived shard-side under the
@@ -224,8 +226,7 @@ def crawl(
                 ray.get(
                     [
                         s.load_recrawl_hashes.remote(
-                            [p] if same_layout else hash_parts,
-                            cfg.politeness_on,
+                            [p], cfg.politeness_on, verify_ownership=False
                         )
                         for s, p in zip(shards, hash_parts)
                     ]
@@ -503,6 +504,7 @@ def crawl(
                     {
                         "num_shards": num_shards,
                         "route_by_host": cfg.politeness_on,
+                        "canonicalize": cfg.canonicalize_urls,
                     },
                     f,
                 )

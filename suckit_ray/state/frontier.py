@@ -376,18 +376,22 @@ class FrontierShard:
         pq_.write_table(tbl, path)
         return tbl.num_rows
 
-    def load_recrawl_hashes(self, paths: list[str], route_by_host: bool) -> int:
+    def load_recrawl_hashes(
+        self,
+        paths: list[str],
+        route_by_host: bool,
+        verify_ownership: bool = True,
+    ) -> int:
         """Load the PRIOR run's hash parts into the release-time
-        lookup, keeping ONLY urls this shard owns under the CURRENT
-        routing (ownership is re-derived, so a changed shard count or
-        a politeness toggle that flips url-hash ↔ host-hash routing
-        can never mis-place or double-place an entry). With an
-        unchanged layout the caller hands shard i only part i and the
-        filter is a cheap identity pass; on layout change every shard
-        gets every part. Under ``canonicalize`` ownership is derived
-        from the CANONICAL key — the same key candidates route by, so
-        a variant candidate and its prior-run original always meet on
-        one shard."""
+        lookup. ``verify_ownership=False`` is the same-layout fast
+        path: part i was WRITTEN by shard i under identical
+        (num_shards, routing, canonicalize), so every row is owned by
+        construction and no per-url parse/hash runs. On any layout
+        change the caller hands every part to every shard with
+        ``verify_ownership=True`` and ownership is re-derived under
+        the CURRENT routing (canonical key when ``canonicalize`` —
+        the same key candidates route by, so a variant candidate and
+        its prior-run original always meet on one shard)."""
         import pyarrow.parquet as pq_
 
         for p in paths:
@@ -405,16 +409,17 @@ class FrontierShard:
                 t.column("body_hash").to_pylist(),
                 depths,
             ):
-                try:
-                    host = parse_url(u).host or ""
-                except UrlParseError:
-                    continue
-                rk = canonical_url(u) if self.canonicalize else u
-                if (
-                    shard_of_url(rk, host, self.num_shards, route_by_host)
-                    != self.shard_id
-                ):
-                    continue
+                if verify_ownership:
+                    try:
+                        host = parse_url(u).host or ""
+                    except UrlParseError:
+                        continue
+                    rk = canonical_url(u) if self.canonicalize else u
+                    if (
+                        shard_of_url(rk, host, self.num_shards, route_by_host)
+                        != self.shard_id
+                    ):
+                        continue
                 self.recrawl_hashes[u] = h
                 self.recrawl_depths[u] = (d, e)
         return len(self.recrawl_hashes)

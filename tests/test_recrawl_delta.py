@@ -246,3 +246,36 @@ class TestCanonicalRecrawl:
         # unchanged: both pages skipped, no variant re-fetch
         assert res2.ledger.num_rows == 2
         assert res2.docs.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_canonicalize_toggle_falls_back_to_verified_load(tmp_path):
+    """Toggling --canonicalize between runs flips the routing key, so
+    the same-layout fast path must NOT engage (META records it)."""
+    recs = [
+        PageRecord(
+            "http://site.test/", b'<a href="a.html">a</a>', "text/html"
+        ),
+        PageRecord("http://site.test/a.html", b"A", "text/html"),
+    ]
+    store = TablePageStore.from_records(recs)
+    out1 = str(tmp_path / "r1")
+    crawl(
+        CrawlConfig(origin="http://site.test/"),
+        store,
+        num_shards=2,
+        output_dir=out1,
+        delta_hashes=True,
+        collect=True,
+    )
+    res2 = crawl(
+        CrawlConfig(origin="http://site.test/", canonicalize_urls=True),
+        store,
+        num_shards=2,
+        output_dir=str(tmp_path / "r2"),
+        recrawl_from=out1,
+        collect=True,
+    )
+    # verified fallback still detects both pages unchanged
+    assert res2.docs.num_rows == 0
+    assert res2.ledger.num_rows == 2
