@@ -68,3 +68,54 @@ def test_everything_on(tmp_path):
     assert sorted(res2.docs.column("url").to_pylist()) == sorted(
         res.ledger.column("url").to_pylist()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_round3_features_compose(tmp_path):
+    """Sitemap seeding + URL canonicalization + delta recrawl in ONE
+    crawl pair: the island page is reached via the sitemap, query
+    variants dedup to one fetch, and the unchanged rerun emits an
+    empty delta while still covering the full url set."""
+    from suckit_ray.sources.pagestore import PageRecord, TablePageStore
+
+    recs = [
+        PageRecord(
+            "http://site.test/",
+            b'<a href="p.html?b=2&a=1">one</a>'
+            b'<a href="p.html?a=1&b=2&utm_source=m">two</a>',
+            "text/html",
+        ),
+        PageRecord("http://site.test/p.html?b=2&a=1", b"P", "text/html"),
+        PageRecord(
+            "http://site.test/p.html?a=1&b=2&utm_source=m", b"P", "text/html"
+        ),
+        PageRecord("http://site.test/island.html", b"I", "text/html"),
+        PageRecord(
+            "http://site.test/sitemap.xml",
+            b"<urlset><url><loc>http://site.test/island.html</loc></url>"
+            b"</urlset>",
+            "text/xml",
+        ),
+    ]
+    store = TablePageStore.from_records(recs)
+    cfg = CrawlConfig(
+        origin="http://site.test/",
+        use_sitemaps=True,
+        canonicalize_urls=True,
+    )
+    out1 = str(tmp_path / "r1")
+    res1 = crawl(
+        cfg, store, num_shards=2, output_dir=out1,
+        delta_hashes=True, collect=True,
+    )
+    urls1 = set(res1.ledger.column("url").to_pylist())
+    assert "http://site.test/island.html" in urls1  # sitemap reach
+    assert len([u for u in urls1 if "p.html" in u]) == 1  # canonical dedup
+    assert len(urls1) == 3  # root + one variant + island
+
+    res2 = crawl(
+        cfg, store, num_shards=2, output_dir=str(tmp_path / "r2"),
+        recrawl_from=out1, collect=True,
+    )
+    assert res2.ledger.num_rows == 3  # full coverage re-fetched
+    assert res2.docs.num_rows == 0   # empty delta: nothing changed
