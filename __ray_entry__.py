@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hits": graph.crawl_hits,
         "crawl_triangles": graph.crawl_triangles,
         "crawl_degrees": graph.crawl_degrees,
+        "crawl_kcore": graph.crawl_kcore,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,

@@ -202,6 +202,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "semantic_dedup",
         "crawl_triangles",
         "crawl_degrees",
+        "crawl_kcore",
         "warc_roundtrip",
         "training_corpus",
     ]

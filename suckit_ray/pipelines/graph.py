@@ -859,3 +859,195 @@ def crawl_degrees(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return degrees_from_docs(crawl_docs(sf_dir))
+
+
+def kcore_from_docs(
+    docs: rd.Dataset, k: int = 2, max_rounds: int = 50,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """(doc_id, core_degree): the k-CORE of the link graph — the
+    maximal subgraph where every node keeps ≥ k (simple, undirected)
+    neighbors — via distributed ITERATIVE PEELING, the graph shape no
+    other operator here exercises (pagerank/HITS run a fixed round
+    count; peeling runs data-dependent rounds to a fixpoint).
+
+    Per round: one node-hash co-group marks edges whose BOTH endpoints
+    are still alive (each edge row visits its two endpoint buckets as
+    two half-rows; an edge survives iff both halves find their
+    endpoint alive), a second co-group counts surviving degrees and
+    drops nodes under k. Alive-set rows are O(nodes) and materialize
+    between rounds exactly like the pagerank plan; convergence = no
+    node dropped this round (an O(blocks) count, not a driver scan).
+    No SQL oracle: the round count is data-dependent (the unrolled-CTE
+    trick needs a fixed depth) — pinned instead against a brute-force
+    Python peel on the same edge list."""
+    import pandas as pd
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def und(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    # batch-local pre-dedup; exact dedup happens inside the first
+    # co-group of every round (all of a node's half-rows co-locate)
+    edges = _link_edges(docs).map_batches(und, batch_format="pyarrow").materialize()
+
+    def half_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        )
+        out["bucket"] = bucket_of(out["node"])
+        return out
+
+    halves = edges.map_batches(half_rows, batch_format="pandas").materialize()
+
+    # round 0 shortcut: with EVERYONE alive the liveness check is a
+    # no-op, so the initial degrees come from one direct co-group (the
+    # dense-graph / low-k case then skips the loop entirely — its
+    # full degrees ARE the core degrees when nothing pruned)
+    def init_deg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["node", "peer"]).groupby(
+            "node", as_index=False
+        ).agg(deg=("peer", "size"))
+        d["bucket"] = bucket_of(d["node"])
+        return d
+
+    deg0 = (
+        halves.groupby("bucket")
+        .map_groups(init_deg, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = deg0.count()
+
+    def keep0(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["deg"] >= k]
+
+    alive = deg0.map_batches(keep0, batch_format="pandas").materialize()
+    n_alive = alive.count()
+    rounds = range(0) if n_alive == n_nodes else range(max_rounds)
+
+    for _ in rounds:
+        if n_alive == 0:
+            break
+        # round part 1: per-node liveness stamp on each half row (the
+        # node side); an edge is alive iff BOTH its half rows survive
+        # part 2's peer check — equivalently, count for each alive
+        # node its alive peers. Do it in ONE co-group keyed by node:
+        # the group sees the node's half rows + its alive marker; a
+        # second co-group keyed by PEER subtracts dead peers.
+        tagged = (
+            halves.union(
+                alive.map_batches(
+                    lambda df: pd.DataFrame(
+                        {
+                            "node": df["node"],
+                            "peer": "",  # alive marker
+                            "bucket": df["bucket"],
+                        }
+                    ),
+                    batch_format="pandas",
+                )
+            )
+            .groupby("bucket")
+            .map_groups(
+                lambda g: g[
+                    g["node"].isin(set(g.loc[g["peer"] == "", "node"]))
+                    & (g["peer"] != "")
+                ][["node", "peer"]].drop_duplicates(),
+                batch_format="pandas",
+            )
+        )
+        # part 2: re-key by peer, drop halves whose peer is dead, then
+        # count per NODE (the peer-keyed group emits (node) rows for
+        # halves whose peer is alive; a final node-keyed count gives
+        # the within-alive degree)
+        def by_peer(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"node": df["node"], "peer": df["peer"]})
+            out["bucket"] = bucket_of(out["peer"])
+            return out
+
+        def peer_filter(g: pd.DataFrame) -> pd.DataFrame:
+            ok = g["peer"].isin(set(g.loc[g["node"] == "", "peer"]))
+            out = g[ok & (g["node"] != "")][["node"]].copy()
+            return out
+
+        surv = (
+            tagged.map_batches(by_peer, batch_format="pandas")
+            .union(
+                alive.map_batches(
+                    lambda df: pd.DataFrame(
+                        {
+                            "node": "",
+                            "peer": df["node"],
+                            "bucket": df["bucket"],
+                        }
+                    ),
+                    batch_format="pandas",
+                )
+            )
+            .groupby("bucket")
+            .map_groups(peer_filter, batch_format="pandas")
+        )
+
+        def count_deg(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("node", as_index=False).agg(deg=("node", "size"))
+            out["bucket"] = bucket_of(out["node"])
+            return out
+
+        def keep_core(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.groupby("node", as_index=False).agg(deg=("deg", "sum"))
+            d = d[d["deg"] >= k]
+            d["bucket"] = bucket_of(d["node"])
+            return d[["node", "deg", "bucket"]]
+
+        new_alive = (
+            surv.map_batches(count_deg, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(keep_core, batch_format="pandas")
+            .materialize()
+        )
+        n_new = new_alive.count()
+        converged = n_new == n_alive
+        alive = new_alive
+        n_alive = n_new
+        if converged:
+            break
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if "deg" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="str"),
+                    "core_degree": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {"doc_id": df["node"], "core_degree": df["deg"].astype("int64")}
+        )
+
+    return alive.map_batches(finish, batch_format="pandas")
+
+
+def crawl_kcore(sf_dir: str, k: int = 2) -> rd.Dataset:
+    """queries() entry: the 2-core of the flagship mirror's link graph
+    (rows-only in CORRECTNESS; pinned against a Python peel)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return kcore_from_docs(crawl_docs(sf_dir), k=k)

@@ -211,3 +211,47 @@ def test_degrees_match_python_reference():
         zip(got["direction"], got["degree"].astype(int), got["n_nodes"].astype(int))
     )
     assert got_rows == ref and len(ref) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("k", [2, 6])
+def test_kcore_matches_python_peel(k):
+    """k=2 converges in one round on this dense graph; k=6 PEELS
+    (500 → 492 nodes with cascade) — the data-dependent-rounds path."""
+    from collections import defaultdict
+
+    from suckit_ray.pipelines.flagship import crawl_docs
+    from suckit_ray.pipelines.graph import _link_edges, kcore_from_docs
+
+    got = (
+        kcore_from_docs(crawl_docs(SF), k=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ed = _link_edges(crawl_docs(SF)).to_pandas()
+    pairs = {
+        (min(s, d), max(s, d))
+        for s, d in zip(ed["src"], ed["dst"])
+        if s != d
+    }
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    # brute-force peel
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for p in adj.pop(n):
+                    adj[p].discard(n)
+                changed = True
+    ref = sorted((n, len(ps)) for n, ps in adj.items())
+    got_rows = sorted(
+        zip(got["doc_id"], got["core_degree"].astype(int))
+    )
+    assert got_rows == ref and len(ref) > 0
+    if k == 6:
+        assert len(ref) < 500  # genuine pruning exercised
