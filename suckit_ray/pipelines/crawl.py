@@ -217,12 +217,12 @@ def crawl(
                     == cfg.canonicalize_urls
                 )
             if hash_parts:
-                # ownership is ALWAYS re-derived shard-side under the
-                # current routing, so a changed shard count — or a
-                # politeness toggle flipping url-hash ↔ host-hash
-                # routing — can never mis-place an entry; the layout
-                # check only decides whether shard i reads one part or
-                # all of them
+                # same_layout (META num_shards + routing + canonicalize
+                # all match): part i was WRITTEN by shard i under this
+                # exact routing, so it loads verification-free; ANY
+                # layout difference routes every part to every shard
+                # with shard-side ownership re-derivation under the
+                # CURRENT routing
                 ray.get(
                     [
                         s.load_recrawl_hashes.remote(

@@ -885,8 +885,6 @@ def kcore_from_docs(
 
     from suckit_ray.stages.agg import default_buckets
 
-    B = num_buckets or default_buckets()
-
     def und(t: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -905,6 +903,12 @@ def kcore_from_docs(
     # batch-local pre-dedup; exact dedup happens inside the first
     # co-group of every round (all of a node's half-rows co-locate)
     edges = _link_edges(docs).map_batches(und, batch_format="pyarrow").materialize()
+    if num_buckets is None:
+        # iterative pipelines pay per-BLOCK fixed costs EVERY round —
+        # scale buckets to the graph like _pagerank_plan (a tiny graph
+        # at cluster fan-out spends minutes on pure task overhead)
+        num_buckets = max(2, min(default_buckets(), edges.count() // 10_000 + 1))
+    B = num_buckets
 
     def half_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -941,10 +945,12 @@ def kcore_from_docs(
 
     alive = deg0.map_batches(keep0, batch_format="pandas").materialize()
     n_alive = alive.count()
-    rounds = range(0) if n_alive == n_nodes else range(max_rounds)
+    converged = n_alive == n_nodes
+    cur_halves = halves  # shrinks each round to the surviving subgraph
 
-    for _ in rounds:
+    for _ in range(0 if converged else max_rounds):
         if n_alive == 0:
+            converged = True
             break
         # round part 1: per-node liveness stamp on each half row (the
         # node side); an edge is alive iff BOTH its half rows survive
@@ -953,7 +959,7 @@ def kcore_from_docs(
         # the group sees the node's half rows + its alive marker; a
         # second co-group keyed by PEER subtracts dead peers.
         tagged = (
-            halves.union(
+            cur_halves.union(
                 alive.map_batches(
                     lambda df: pd.DataFrame(
                         {
@@ -985,9 +991,13 @@ def kcore_from_docs(
 
         def peer_filter(g: pd.DataFrame) -> pd.DataFrame:
             ok = g["peer"].isin(set(g.loc[g["node"] == "", "peer"]))
-            out = g[ok & (g["node"] != "")][["node"]].copy()
+            out = g[ok & (g["node"] != "")][["node", "peer"]].copy()
             return out
 
+        # surv = the round's SURVIVING half rows (both endpoints
+        # alive) — materialized once and reused as the NEXT round's
+        # input, so per-round work tracks the shrinking live subgraph
+        # instead of re-scanning every original edge each round
         surv = (
             tagged.map_batches(by_peer, batch_format="pandas")
             .union(
@@ -1004,6 +1014,7 @@ def kcore_from_docs(
             )
             .groupby("bucket")
             .map_groups(peer_filter, batch_format="pandas")
+            .materialize()
         )
 
         def count_deg(df: pd.DataFrame) -> pd.DataFrame:
@@ -1029,6 +1040,22 @@ def kcore_from_docs(
         n_alive = n_new
         if converged:
             break
+
+        def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"node": df["node"], "peer": df["peer"]})
+            out["bucket"] = bucket_of(out["node"])
+            return out
+
+        cur_halves = surv.map_batches(rebucket, batch_format="pandas")
+
+    if not converged:
+        # an exhausted loop returns a SUPERSET with overcounted degrees
+        # (a 2R-node path peels 2 nodes/round) — never silently
+        raise RuntimeError(
+            f"k-core peeling did not converge within max_rounds="
+            f"{max_rounds} ({n_alive} nodes still alive); raise "
+            "max_rounds — rounds needed equal the graph's peel depth"
+        )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if "deg" not in df.columns:

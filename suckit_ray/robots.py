@@ -45,6 +45,10 @@ class RobotsRules:
 
 
 _WILDCARD_CACHE: dict[str, "re.Pattern"] = {}
+_WILDCARD_CACHE_MAX = 10_000  # rules are attacker-controlled strings —
+# a hostile crawl of many robots.txt files with unique wildcard rules
+# must not grow worker RSS unboundedly; on overflow the cache resets
+# (correctness unaffected: entries recompile on demand)
 
 
 def _rule_matches(rule: str, path: str) -> bool:
@@ -59,6 +63,8 @@ def _rule_matches(rule: str, path: str) -> bool:
         body = rule[:-1] if rule.endswith("$") else rule
         rx = ".*".join(re.escape(seg) for seg in body.split("*"))
         rx = rx + "$" if rule.endswith("$") else rx
+        if len(_WILDCARD_CACHE) >= _WILDCARD_CACHE_MAX:
+            _WILDCARD_CACHE.clear()
         pat = _WILDCARD_CACHE[rule] = re.compile(rx)
     return pat.match(path) is not None
 

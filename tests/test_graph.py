@@ -255,3 +255,40 @@ def test_kcore_matches_python_peel(k):
     assert got_rows == ref and len(ref) > 0
     if k == 6:
         assert len(ref) < 500  # genuine pruning exercised
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_chain_peels_to_empty_and_raises_when_capped():
+    """A path graph peels 2 endpoints per round — the data-dependent
+    multi-round case; an insufficient max_rounds must RAISE, never
+    return the truncated superset (review finding)."""
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import kcore_from_docs
+
+    n = 8  # path graph: peels 2 endpoints per round, 2-core empty
+    rows = [
+        {
+            "doc_id": f"h.test/p{i}.html",
+            "is_html": True,
+            "spans": [
+                {
+                    "kind": "link",
+                    "text": "",
+                    "media_ref": f"p{i + 1}.html",
+                    "offset": 0,
+                }
+            ]
+            if i + 1 < n
+            else [],
+        }
+        for i in range(n)
+    ]
+    docs = rd.from_items(rows).repartition(2)
+    out = kcore_from_docs(docs, k=2).to_pandas()
+    assert len(out) == 0  # a path has an empty 2-core
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_from_docs(
+            rd.from_items(rows).repartition(2), k=2, max_rounds=1
+        ).to_pandas()
