@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_kll": relops.events_value_quantiles_kll,
         "embeddings_pca": ann.embeddings_pca,
         "orders_priority_pivot": relops.orders_priority_pivot,
+        "orders_priority_unpivot": relops.orders_priority_unpivot,
         "docs_train_test_split": textops.docs_train_test_split,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
@@ -1760,6 +1761,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # UNPIVOT: the pivot melted back — must equal the direct GROUP BY
+        "orders_priority_unpivot": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY 1, 2
         """,
         # ordered string aggregation: per-customer priority sequence
         "customer_order_paths": """

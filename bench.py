@@ -183,6 +183,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_pca",
         "docs_train_test_split",
         "orders_priority_pivot",
+        "orders_priority_unpivot",
         "docs_dedup_keep_best",
         "docs_ccnet_buckets",
         "crawl_hits",

@@ -2929,3 +2929,32 @@ def customer_order_paths(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def orders_priority_unpivot(sf_dir: str) -> pa.Table:
+    """(o_year, o_orderpriority, n_orders): the INVERSE reshape of
+    ``orders_priority_pivot`` — melt the wide year×priority crosstab
+    back to tall rows (UNPIVOT). Like the pivot, the reshape touches
+    only the ≤ |years|·|priorities| aggregated rows; the oracle is the
+    direct GROUP BY, so the melt is checked to be lossless (pivot
+    then unpivot == the original aggregation, zero-count cells
+    dropped like rows absent from the groupby)."""
+    wide = orders_priority_pivot(sf_dir).to_pandas()
+    slug_to_name = {name: prio for prio, name in PIVOT_PRIORITIES}
+    tall = wide.melt(
+        id_vars=["o_year"],
+        value_vars=list(slug_to_name),
+        var_name="prio_col",
+        value_name="n_orders",
+    )
+    # zero-count cells drop — the direct GROUP BY has no such rows
+    tall = tall[tall["n_orders"] > 0]
+    tall["o_orderpriority"] = tall["prio_col"].map(slug_to_name)
+    tall = tall.sort_values(["o_year", "o_orderpriority"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "o_year": pa.array(tall["o_year"].astype("int64"), pa.int64()),
+            "o_orderpriority": pa.array(tall["o_orderpriority"], pa.string()),
+            "n_orders": pa.array(tall["n_orders"].astype("int64"), pa.int64()),
+        }
+    )

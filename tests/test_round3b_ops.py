@@ -2769,3 +2769,15 @@ def test_order_paths_match_pandas_reference():
     assert len(got) == len(ref) and len(got) > 0
     assert (got["path"].to_numpy() == ref["path"].to_numpy()).all()
     assert (got["n_orders"].to_numpy() == ref["n_orders"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unpivot_is_lossless_inverse_of_pivot():
+    from suckit_ray.pipelines import relops
+
+    wide = relops.orders_priority_pivot(SF).to_pandas()
+    tall = relops.orders_priority_unpivot(SF).to_pandas()
+    per_year = tall.groupby("o_year")["n_orders"].sum()
+    for _, row in wide.iterrows():
+        assert per_year[row["o_year"]] == row["total"]
+    assert tall["n_orders"].gt(0).all()
