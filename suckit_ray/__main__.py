@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-page-size", type=int, metavar="BYTES",
                    help="skip responses larger than BYTES (soft skip, "
                         "recorded in the ledger; rebuild-only)")
+    p.add_argument("--host-url-budget", type=int, metavar="N",
+                   help="crawler-trap guard: cap total URLs accepted "
+                        "per host; excess frontier entries dropped "
+                        "(rebuild-only)")
     p.add_argument("--host-error-budget", type=int, metavar="N",
                    help="per-host circuit breaker: after N consecutive "
                         "transport failures, drop the host's remaining "
@@ -130,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
         respect_robots=args.respect_robots,
         use_sitemaps=args.sitemaps,
         host_error_budget=args.host_error_budget,
+        host_url_budget=args.host_url_budget,
         max_page_bytes=args.max_page_size,
         canonicalize_urls=args.canonicalize,
         priority_patterns=tuple(args.priority),

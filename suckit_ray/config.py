@@ -63,6 +63,12 @@ class CrawlConfig:
     # skip with a ledger error — no body stored, no links extracted).
     # None = unbounded (parity). The per-page memory guard at scale.
     max_page_bytes: int | None = None
+    # rebuild-only: crawler-trap guard. Cap the TOTAL URLs accepted
+    # per host; hosts exceeding it (parameter-explosion traps,
+    # calendar pages, infinite pagination) have their remaining
+    # frontier entries dropped, wave-synchronously like the breaker.
+    # None = unbounded (parity).
+    host_url_budget: int | None = None
     # rebuild-only: per-host circuit breaker. After N CONSECUTIVE
     # transport failures (status 0 after the full ``tries`` budget)
     # the host's remaining frontier entries are dropped instead of

@@ -164,6 +164,7 @@ def crawl(
             priority_patterns=cfg.priority_patterns,
             seen_filter=cfg.seen_filter,
             host_error_budget=cfg.host_error_budget,
+            host_url_budget=cfg.host_url_budget,
             canonicalize=cfg.canonicalize_urls,
         )
         for i in range(num_shards)
@@ -449,12 +450,29 @@ def crawl(
                 "driver_rss_mb": _driver_rss_mb(),
             }
         )
-        if cfg.host_error_budget is not None:
+        if cfg.host_error_budget is not None or cfg.host_url_budget is not None:
             opened: set[str] = set()
-            for part in ray.get(
-                [s.take_opened_breakers.remote() for s in shards]
-            ):
-                opened.update(part)
+            if cfg.host_error_budget is not None:
+                for part in ray.get(
+                    [s.take_opened_breakers.remote() for s in shards]
+                ):
+                    opened.update(part)
+            if cfg.host_url_budget is not None:
+                # crawler-trap guard: sum per-shard accept counts for
+                # hosts that could plausibly exceed the global budget
+                # (a host's accepts split ~uniformly across shards
+                # under url-hash routing, so a low per-shard hint is
+                # statistically safe and keeps the report tiny)
+                hint = max(1, cfg.host_url_budget // (num_shards * 2))
+                totals: dict[str, int] = {}
+                for part in ray.get(
+                    [s.host_accept_counts.remote(hint) for s in shards]
+                ):
+                    for h, c in part.items():
+                        totals[h] = totals.get(h, 0) + c
+                opened.update(
+                    h for h, c in totals.items() if c > cfg.host_url_budget
+                )
             if opened:
                 # wave-synchronous broadcast: every shard drops the
                 # tripped hosts' entries starting with the NEXT release

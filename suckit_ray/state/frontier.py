@@ -173,6 +173,7 @@ class FrontierShard:
         priority_patterns: tuple[str, ...] = (),
         seen_filter: str = "bloom",
         host_error_budget: int | None = None,
+        host_url_budget: int | None = None,
         canonicalize: bool = False,
     ):
         self.shard_id = shard_id
@@ -244,6 +245,15 @@ class FrontierShard:
         # drop set is deterministic). Open hosts' frontier entries are
         # DROPPED at release (counter: breaker_dropped).
         self.host_error_budget = host_error_budget
+        # crawler-trap guard: total accepted-URL count per host on
+        # THIS shard. Under url-hash routing a host's accepts split
+        # ~uniformly across shards (crc32 of the url), so the driver
+        # sums shard counts at the wave boundary and trips hosts over
+        # the global budget — reusing the breaker's open-host drop
+        # machinery. Exact under host routing; statistically tight
+        # (binomial split) under url-hash routing.
+        self.host_url_budget = host_url_budget
+        self.host_accepts: dict[str, int] = {}
         self._wave_tally: dict[str, tuple[int, int]] = {}
         self.canonicalize = canonicalize
         self._host_consec_errors: dict[str, int] = {}
@@ -511,6 +521,17 @@ class FrontierShard:
         self.open_hosts.update(hosts)
         return len(self.open_hosts)
 
+    def host_accept_counts(self, min_count: int) -> dict[str, int]:
+        """Per-host accepted-URL counts at or above ``min_count`` (the
+        driver's candidate filter: hosts that could plausibly sum over
+        the global url budget). Open hosts are excluded — already
+        tripped."""
+        return {
+            h: c
+            for h, c in self.host_accepts.items()
+            if c >= min_count and h not in self.open_hosts
+        }
+
     # -- wave boundary ------------------------------------------------
     def finalize_wave(
         self,
@@ -578,6 +599,10 @@ class FrontierShard:
             ee = np.where(ext, e + 1, e)[ok].tolist()
             urls_ok = acc["url"].to_numpy()[ok]
             ents = list(zip(urls_ok, acc["host"].to_numpy()[ok], dd, ee))
+            if self.host_url_budget is not None and ents:
+                vc = pd.Series(acc["host"].to_numpy()[ok]).value_counts()
+                for h_, c_ in vc.items():
+                    self.host_accepts[h_] = self.host_accepts.get(h_, 0) + int(c_)
             if self.num_levels > 1:
                 # first-match-wins level per URL, vectorized: start at
                 # the lowest level and claim still-unmatched URLs from
@@ -883,6 +908,7 @@ class FrontierShard:
             "recrawl_hashes": self.recrawl_hashes,
             "hash_tables": self.hash_tables,
             "host_consec_errors": self._host_consec_errors,
+            "host_accepts": self.host_accepts,
             "open_hosts": sorted(self.open_hosts),
             "canonicalize": self.canonicalize,
         }
@@ -990,5 +1016,6 @@ class FrontierShard:
         self.recrawl_hashes = dict(st.get("recrawl_hashes", {}))
         self.hash_tables = list(st.get("hash_tables", []))
         self._host_consec_errors = dict(st.get("host_consec_errors", {}))
+        self.host_accepts = dict(st.get("host_accepts", {}))
         self.open_hosts = set(st.get("open_hosts", []))
         return st["wave"]

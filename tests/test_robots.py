@@ -380,3 +380,58 @@ class TestWildcardRules:
         r = parse_robots("User-agent: *\nDisallow: /a+b(c)\n", "s")
         assert not r.allows("/a+b(c)/d")
         assert r.allows("/aab(c)")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHostUrlBudget:
+    def test_trap_host_capped(self):
+        """A 'trap' host generating endless pages is cut off at the
+        budget (wave-synchronously) while the healthy site completes."""
+        from suckit_ray.sources.pagestore import PageRecord, TablePageStore
+
+        # trap.test: a chain where every page links to the next two —
+        # without the budget the crawl fetches all 40
+        recs = [
+            PageRecord(
+                "http://site.test/",
+                b'<a href="http://trap.test/p0.html">t</a>'
+                b'<a href="ok.html">ok</a>',
+                "text/html",
+            ),
+            PageRecord("http://site.test/ok.html", b"OK", "text/html"),
+        ]
+        for i in range(40):
+            recs.append(
+                PageRecord(
+                    f"http://trap.test/p{i}.html",
+                    (
+                        f'<a href="p{2 * i + 1}.html">a</a>'
+                        f'<a href="p{2 * i + 2}.html">b</a>'
+                    ).encode()
+                    if 2 * i + 2 < 40
+                    else b"leaf",
+                    "text/html",
+                )
+            )
+        store = TablePageStore.from_records(recs)
+        res = crawl(
+            CrawlConfig(
+                origin="http://site.test/",
+                ext_depth=-1,
+                host_url_budget=6,
+            ),
+            store,
+            num_shards=2,
+        )
+        trap_fetched = [
+            u
+            for u in res.ledger.column("url").to_pylist()
+            if u.startswith("http://trap.test/")
+        ]
+        # wave-synchronous: the budget trips at a wave boundary, so a
+        # small overshoot within the tripping wave is allowed — but the
+        # 40-page trap must NOT be exhausted
+        assert 0 < len(trap_fetched) < 20
+        assert res.metrics.get("breaker_dropped", 0) > 0
+        ids = set(res.docs.column("doc_id").to_pylist())
+        assert "site.test//ok.html" in ids  # healthy site unaffected
