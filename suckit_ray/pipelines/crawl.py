@@ -458,21 +458,35 @@ def crawl(
                 ):
                     opened.update(part)
             if cfg.host_url_budget is not None:
-                # crawler-trap guard: sum per-shard accept counts for
-                # hosts that could plausibly exceed the global budget
-                # (a host's accepts split ~uniformly across shards
-                # under url-hash routing, so a low per-shard hint is
-                # statistically safe and keeps the report tiny)
-                hint = max(1, cfg.host_url_budget // (num_shards * 2))
+                # crawler-trap guard, two phases: (1) shards report
+                # hosts at/above a coarse hint — the summed counts
+                # UNDERCOUNT (sub-hint shards are missing), so any sum
+                # already over budget trips with certainty; (2) hosts
+                # whose undercounted sum lands NEAR the budget get an
+                # exact per-host count round so a plateauing trap
+                # cannot hide in the undercount gap forever
+                budget = cfg.host_url_budget
+                hint = max(1, budget // (num_shards * 2))
                 totals: dict[str, int] = {}
                 for part in ray.get(
                     [s.host_accept_counts.remote(hint) for s in shards]
                 ):
                     for h, c in part.items():
                         totals[h] = totals.get(h, 0) + c
-                opened.update(
-                    h for h, c in totals.items() if c > cfg.host_url_budget
-                )
+                opened.update(h for h, c in totals.items() if c > budget)
+                near = [
+                    h
+                    for h, c in totals.items()
+                    if budget // 2 < c <= budget and h not in opened
+                ]
+                if near:
+                    exact: dict[str, int] = {}
+                    for part in ray.get(
+                        [s.host_counts_for.remote(near) for s in shards]
+                    ):
+                        for h, c in part.items():
+                            exact[h] = exact.get(h, 0) + c
+                    opened.update(h for h, c in exact.items() if c > budget)
             if opened:
                 # wave-synchronous broadcast: every shard drops the
                 # tripped hosts' entries starting with the NEXT release

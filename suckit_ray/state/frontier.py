@@ -319,6 +319,12 @@ class FrontierShard:
             if self.seen.insert_if_absent(key):
                 self._pending_append((url, host, 0, 0))
                 n += 1
+                if self.host_url_budget is not None:
+                    # seeds are fetched regardless (reference: the
+                    # origin bypasses filters) but CONSUME the budget,
+                    # so a sitemap-flooded host has no fresh allowance
+                    # left for link-discovered accepts
+                    self.host_accepts[host] = self.host_accepts.get(host, 0) + 1
         self.counters["seeded"] += n
         return n
 
@@ -453,6 +459,8 @@ class FrontierShard:
             if self.seen.insert_if_absent(key):
                 self._pending_append((url, host, d, e))
                 n += 1
+                if self.host_url_budget is not None:
+                    self.host_accepts[host] = self.host_accepts.get(host, 0) + 1
         self.counters["seeded"] += n
         return n
 
@@ -521,16 +529,32 @@ class FrontierShard:
         self.open_hosts.update(hosts)
         return len(self.open_hosts)
 
+    _ACCEPT_REPORT_CAP = 10_000  # top-K hosts per report: traps are by
+    # definition high-count, so truncation cannot hide one; it bounds
+    # the per-wave transfer when a tight budget forces min_count=1 on
+    # a million-host crawl
+
     def host_accept_counts(self, min_count: int) -> dict[str, int]:
         """Per-host accepted-URL counts at or above ``min_count`` (the
-        driver's candidate filter: hosts that could plausibly sum over
-        the global url budget). Open hosts are excluded — already
-        tripped."""
-        return {
-            h: c
+        driver's phase-1 candidate filter), truncated to the top
+        ``_ACCEPT_REPORT_CAP`` by count. Open hosts are excluded —
+        already tripped. Phase-1 sums UNDERCOUNT (shards below
+        min_count are missing); the driver resolves near-budget hosts
+        with the exact ``host_counts_for`` second phase."""
+        cand = [
+            (h, c)
             for h, c in self.host_accepts.items()
             if c >= min_count and h not in self.open_hosts
-        }
+        ]
+        if len(cand) > self._ACCEPT_REPORT_CAP:
+            cand.sort(key=lambda t: -t[1])
+            cand = cand[: self._ACCEPT_REPORT_CAP]
+        return dict(cand)
+
+    def host_counts_for(self, hosts: list[str]) -> dict[str, int]:
+        """EXACT counts for specific hosts (phase 2: resolves hosts
+        whose phase-1 undercounted sum landed near the budget)."""
+        return {h: self.host_accepts.get(h, 0) for h in hosts}
 
     # -- wave boundary ------------------------------------------------
     def finalize_wave(
@@ -595,14 +619,34 @@ class FrontierShard:
                     np.count_nonzero(ok & ~hmask)
                 )
                 ok = ok & hmask
+            if self.host_url_budget is not None and np.count_nonzero(ok):
+                # ACCEPT-TIME shard-local cap: without it a single wide
+                # trap page (50k same-host links) sails through before
+                # the wave-boundary trip can fire. One shard accepts at
+                # most ``budget`` URLs per host — EXACT under politeness
+                # host-routing (one shard owns the host), overshoot
+                # bounded by shards×budget under url-hash routing, with
+                # the wave-synchronous global trip mopping up the rest.
+                hosts_all = pd.Series(acc["host"].to_numpy()[ok])
+                prior = hosts_all.map(self.host_accepts).fillna(0).to_numpy()
+                within = (
+                    prior + hosts_all.groupby(hosts_all).cumcount().to_numpy()
+                ) < self.host_url_budget
+                if not within.all():
+                    self.counters["breaker_dropped"] += int(
+                        np.count_nonzero(~within)
+                    )
+                    ok_idx = np.flatnonzero(ok)
+                    ok = ok.copy()
+                    ok[ok_idx[~within]] = False
+                vc = hosts_all[within].value_counts()
+                for h_, c_ in vc.items():
+                    self.host_accepts[h_] = self.host_accepts.get(h_, 0) + int(c_)
             dd = np.where(ext, d, d + 1)[ok].tolist()
             ee = np.where(ext, e + 1, e)[ok].tolist()
             urls_ok = acc["url"].to_numpy()[ok]
-            ents = list(zip(urls_ok, acc["host"].to_numpy()[ok], dd, ee))
-            if self.host_url_budget is not None and ents:
-                vc = pd.Series(acc["host"].to_numpy()[ok]).value_counts()
-                for h_, c_ in vc.items():
-                    self.host_accepts[h_] = self.host_accepts.get(h_, 0) + int(c_)
+            hosts_ok = acc["host"].to_numpy()[ok]
+            ents = list(zip(urls_ok, hosts_ok, dd, ee))
             if self.num_levels > 1:
                 # first-match-wins level per URL, vectorized: start at
                 # the lowest level and claim still-unmatched URLs from
