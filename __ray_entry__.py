@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         relops,
         textops,
+        tpch,
         urlops,
         warcops,
     )
@@ -305,6 +306,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_topk": textops.docs_tfidf_topk,
         "docs_global_shuffle": textops.docs_global_shuffle,
         "docs_pack_sequences": textops.docs_pack_sequences,
+        # TPC-H batch two (pipelines/tpch.py): the remaining classic
+        # shapes feasible over these tables — q19/q21 adapted to the
+        # columns that exist, mirrored in their oracles
+        "q5_local_supplier_volume": tpch.q5_local_supplier_volume,
+        "q6_forecast_revenue": tpch.q6_forecast_revenue,
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q18_large_volume_customers": tpch.q18_large_volume_customers,
+        "q19_discounted_revenue": tpch.q19_discounted_revenue,
+        "q21_suppliers_kept_waiting": tpch.q21_suppliers_kept_waiting,
     }
 
 
@@ -2625,6 +2636,134 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((rk.rnk - 1) * 3) // nn.n AS BIGINT)
                      AS ccnet_bucket
             FROM rk CROSS JOIN nn
+        """,
+        # TPC-H batch two (pipelines/tpch.py) — constants mirror the
+        # module's Q*_ globals verbatim
+        "q6_forecast_revenue": """
+            SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                     AS BIGINT) AS revenue_i4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 3 AND 5
+              AND l_quantity < 24
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS sum_rev,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_i4
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS total
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(total AS BIGINT) AS total_revenue_i4
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total = (SELECT max(total) FROM r)
+        """,
+        "q18_large_volume_customers": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+              FROM lineitem
+              GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   epoch_us(o_orderdate) AS odate_us,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+                   q.sum_qty
+            FROM q
+            JOIN orders ON o_orderkey = q.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+        """,
+        "q19_discounted_revenue": """
+            SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)
+                     AS BIGINT) AS revenue_i4
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q21_suppliers_kept_waiting": """
+            WITH w AS (
+              SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait
+              FROM lineitem l1
+              JOIN orders ON o_orderkey = l1.l_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+              GROUP BY l1.l_suppkey
+            ),
+            rk AS (
+              SELECT s_suppkey, numwait,
+                     ROW_NUMBER() OVER (
+                       ORDER BY numwait DESC, s_suppkey) AS rnk
+              FROM w
+            )
+            SELECT rk.s_suppkey, s.s_name,
+                   CAST(rk.numwait AS BIGINT) AS numwait
+            FROM rk JOIN supplier s ON s.s_suppkey = rk.s_suppkey
+            WHERE rk.rnk <= 20
         """,
         # no oracle (rows-only): crawl_text_extract (page text is not
         # SQL-derivable; pinned by a spans-vs-body cross-representation
