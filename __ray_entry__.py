@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relops,
         textops,
         tpch,
+        tpch2,
         urlops,
         warcops,
     )
@@ -316,6 +317,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": tpch.q18_large_volume_customers,
         "q19_discounted_revenue": tpch.q19_discounted_revenue,
         "q21_suppliers_kept_waiting": tpch.q21_suppliers_kept_waiting,
+        # TPC-H batch three (pipelines/tpch2.py): the partsupp family,
+        # adapted — lineitem's distinct (partkey, suppkey) pairs stand
+        # in as the part↔supplier relation; completes all 22 shapes
+        "q2_min_cost_supplier": tpch2.q2_min_cost_supplier,
+        "q9_product_profit": tpch2.q9_product_profit,
+        "q11_important_stock": tpch2.q11_important_stock,
+        "q12_shipmode_priority": tpch2.q12_shipmode_priority,
+        "q16_supplier_part_count": tpch2.q16_supplier_part_count,
+        "q20_promo_suppliers": tpch2.q20_promo_suppliers,
     }
 
 
@@ -2764,6 +2774,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk.numwait AS BIGINT) AS numwait
             FROM rk JOIN supplier s ON s.s_suppkey = rk.s_suppkey
             WHERE rk.rnk <= 20
+        """,
+        # TPC-H batch three (pipelines/tpch2.py) — the partsupp family
+        # adapted: lineitem's distinct (partkey, suppkey) pairs are the
+        # part↔supplier relation; constants mirror the Q*_ globals
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey AS pk, l_suppkey AS sk,
+                     CAST(MIN(round(l_extendedprice * 100)) AS BIGINT)
+                       AS cost_c
+              FROM lineitem GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT cost.* FROM cost
+              JOIN part ON p_partkey = pk
+              JOIN supplier ON s_suppkey = sk
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE' AND p_size <= 10
+                AND p_type = 'SMALL'
+            ),
+            mn AS (SELECT pk, MIN(cost_c) AS m FROM cand GROUP BY 1)
+            SELECT cand.pk AS p_partkey, cand.sk AS s_suppkey,
+                   s_name, n_name, cost_c
+            FROM cand JOIN mn USING (pk)
+            JOIN supplier ON s_suppkey = cand.sk
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE cost_c = m
+        """,
+        "q9_product_profit": """
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     - CAST(round(l_quantity) AS BIGINT)
+                       * CAST(round(p_retailprice * 100) AS BIGINT) * 100
+                   ) AS BIGINT) AS profit_i4
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "q11_important_stock": """
+            WITH v AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS value_c
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_12'
+              GROUP BY 1
+            )
+            SELECT l_partkey, value_c FROM v
+            WHERE value_c * 1000 > (SELECT SUM(value_c) FROM v)
+        """,
+        "q12_shipmode_priority": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q16_supplier_part_count": """
+            WITH ps AS (
+              SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+              FROM lineitem
+            )
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT sk) AS BIGINT) AS supplier_cnt
+            FROM ps JOIN part ON p_partkey = pk
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+              AND p_size IN (1, 5, 9, 15, 20, 25, 30, 36)
+              AND sk NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q20_promo_suppliers": """
+            WITH q AS (
+              SELECT l_partkey AS pk, l_suppkey AS sk,
+                     CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE 'red %'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT pk, SUM(qty) AS t FROM q GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM q JOIN tot USING (pk)
+            JOIN supplier ON s_suppkey = sk
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE q.qty * 2 > t AND n_name = 'NATION_12'
         """,
         # no oracle (rows-only): crawl_text_extract (page text is not
         # SQL-derivable; pinned by a spans-vs-body cross-representation

@@ -1,0 +1,697 @@
+"""TPC-H-shaped relational pipelines, batch three: the partsupp family.
+
+Batch two (``tpch.py``) covered every classic shape expressible over
+the driver's tables directly; this module ADAPTS the six remaining
+queries whose reference form needs columns that don't exist here
+(partsupp, ship modes, commit/receipt dates). The adaptation rule is
+the one q19/q21 established: keep the distinguishing LOGICAL shape —
+the correlated-min, the scalar subquery against a derived view's own
+total, the anti-join exclusion list — and re-express its predicates
+over columns that exist, mirrored verbatim in the oracles:
+
+- q2_min_cost_supplier   — correlated MIN subquery: partsupp becomes
+                           the OBSERVED-PRICE relation min(price) per
+                           distinct (l_partkey, l_suppkey)
+- q9_product_profit      — profit per (nation, order-year); supply
+                           cost becomes qty × p_retailprice
+- q11_important_stock    — derived view filtered against a fraction
+                           of its OWN global total (scalar broadcast)
+- q12_shipmode_priority  — conditional two-way counts; ship mode
+                           becomes l_returnflag, lateness becomes
+                           shipdate > orderdate + 90 days
+- q16_supplier_part_count — count DISTINCT suppliers per part class
+                           with a NOT-IN exclusion subquery
+                           (complaint suppliers → s_acctbal < 0)
+- q20_promo_suppliers    — nested correlated aggregate: suppliers who
+                           DOMINATE a part's yearly supply (share of
+                           the part's own total — availqty has no
+                           column here)
+
+Together with relops.py (q1/q3/q4/q8/q10/q13/q14/q17/q22) and
+tpch.py (q5/q6/q7/q15/q18/q19/q21) this completes all 22 TPC-H query
+shapes. Shared plan vocabulary (rationale in relops.py): exact money
+as integer cents via ``to_cents``, dimension tables broadcast once
+via ``ray.put``, big⋈big joins as ONE tagged-union co-group on a
+``key % default_buckets()`` bucket, every read pruned to the needed
+columns with row filters pushed into the scan.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from suckit_ray.pipelines.relops import to_cents
+from suckit_ray.stages.agg import default_buckets
+
+# ---------------------------------------------------------------------------
+# q2 — min-cost supplier (correlated MIN subquery over the observed-
+#      price relation)
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_SIZE_LE = 10
+Q2_TYPE = "SMALL"
+
+
+def q2_min_cost_supplier(sf_dir: str) -> pa.Table:
+    """(p_partkey, s_suppkey, s_name, n_name, cost_c): for each
+    qualifying part, the supplier(s) achieving the MINIMUM observed
+    price — TPC-H Q2's correlated-subquery shape (cost = MIN cost over
+    that part's suppliers), with partsupp adapted to the observed-price
+    relation min(l_extendedprice) per distinct (l_partkey, l_suppkey)
+    and the region predicate on the supplier's nation.
+
+    Plan: the part slice (size/type filter pushed into the read) and
+    the region's suppkeys broadcast as dimension maps; lineitem
+    pre-shrinks per block to (partkey, suppkey, min-price) partials
+    restricted to candidate parts × region suppliers, then ONE partkey
+    co-group finishes the pairwise MIN and resolves the correlated
+    per-part minimum group-locally, ties kept. Qualifying rows are
+    sparse (candidate parts × ties), so the driver joins names with
+    predicate-pushdown dimension reads."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    B = default_buckets()
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq_.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat = nat.merge(
+        reg[reg["r_name"] == Q2_REGION],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(name_of)]
+    supp_keys_ref = ray.put(set(supp["s_suppkey"].astype(int)))
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_size", "<=", Q2_SIZE_LE), ("p_type", "=", Q2_TYPE)],
+    ).to_pandas()
+    part_keys_ref = ray.put(set(part["p_partkey"].astype(int)))
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_partkey"].isin(ray.get(part_keys_ref)) & df[
+            "l_suppkey"
+        ].isin(ray.get(supp_keys_ref))
+        d = df.loc[keep]
+        p = (
+            pd.DataFrame(
+                {
+                    "pk": d["l_partkey"].astype("int64"),
+                    "sk": d["l_suppkey"].astype("int64"),
+                    "cost": to_cents(d["l_extendedprice"]),
+                }
+            )
+            .groupby(["pk", "sk"], as_index=False)
+            .agg(cost=("cost", "min"))
+        )
+        p["bucket"] = (p["pk"] % B).astype("int64")
+        return p
+
+    def bucket_argmin(g: pd.DataFrame) -> pd.DataFrame:
+        # finish the per-(pk, sk) MIN across blocks, then the
+        # correlated per-part minimum — all suppliers of one part
+        # share its bucket, so both steps are group-local
+        cost = g.groupby(["pk", "sk"], as_index=False).agg(
+            cost=("cost", "min")
+        )
+        mn = cost.groupby("pk")["cost"].transform("min")
+        return cost[cost["cost"] == mn]
+
+    hits = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(line_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_argmin, batch_format="pandas")
+        .to_pandas()  # sparse: candidate parts × min-cost ties
+    )
+    if not len(hits):
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "cost_c": pa.array([], pa.int64()),
+            }
+        )
+    names = pq_.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        filters=[
+            ("s_suppkey", "in", sorted(set(int(k) for k in hits["sk"])))
+        ],
+    ).to_pandas()
+    m = hits.merge(names, left_on="sk", right_on="s_suppkey")
+    m["n_name"] = m["s_nationkey"].astype(int).map(name_of)
+    m = m.sort_values(["pk", "sk"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "p_partkey": pa.array(m["pk"].astype("int64"), pa.int64()),
+            "s_suppkey": pa.array(m["sk"].astype("int64"), pa.int64()),
+            "s_name": pa.array(m["s_name"], pa.string()),
+            "n_name": pa.array(m["n_name"], pa.string()),
+            "cost_c": pa.array(m["cost"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-type profit by nation and order year
+# ---------------------------------------------------------------------------
+
+Q9_NAME_CONTAINS = "gear"
+
+
+def q9_product_profit(sf_dir: str) -> rd.Dataset:
+    """(n_name, o_year, profit_i4): profit per supplier nation per
+    order year over parts whose name contains a word — TPC-H Q9. The
+    reference's ps_supplycost is adapted to the part's own
+    p_retailprice, so profit = extprice × (1 − discount) − qty ×
+    retailprice, exact in 10^-4 dollars.
+
+    Plan: supplier→nationkey and the matching-part partkey→retail-cents
+    slice broadcast as dimension maps; lineitem computes per-block
+    (orderkey, nation, profit) partials (non-matching parts die before
+    the shuffle); ONE orderkey co-group attaches each order's year and
+    aggregates (nation, year) group-locally; the driver combines
+    ≤ B × |nations| × |years| partial rows."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    B = default_buckets()
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nat_ref = ray.put(
+        dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int)))
+    )
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).to_pandas()
+    part = part[part["p_name"].str.contains(Q9_NAME_CONTAINS, regex=False)]
+    retail_ref = ray.put(
+        dict(
+            zip(part["p_partkey"].astype(int), to_cents(part["p_retailprice"]))
+        )
+    )
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        retail = df["l_partkey"].map(ray.get(retail_ref))
+        d = df.loc[retail.notna()]
+        retail_c = retail[retail.notna()].astype("int64")
+        amount = to_cents(d["l_extendedprice"]) * (
+            100 - to_cents(d["l_discount"])
+        ) - d["l_quantity"].astype("int64") * retail_c * 100
+        p = (
+            pd.DataFrame(
+                {
+                    "orderkey": d["l_orderkey"].astype("int64"),
+                    "nat": d["l_suppkey"].astype("int64").map(
+                        ray.get(supp_nat_ref)
+                    ),
+                    "profit": amount,
+                }
+            )
+            .groupby(["orderkey", "nat"], as_index=False)
+            .agg(profit=("profit", "sum"))
+        )
+        p["side"] = "l"
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p[["orderkey", "side", "nat", "profit", "bucket"]]
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "orderkey": df["o_orderkey"].astype("int64"),
+                "side": "o",
+                "nat": df["o_orderdate"].dt.year.astype("int64"),  # year rides nat
+                "profit": 0,
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(line_partial, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pandas")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == "l"][["orderkey", "nat", "profit"]]
+        od = g[g["side"] == "o"][["orderkey", "nat"]].rename(
+            columns={"nat": "year"}
+        )
+        m = li.merge(od, on="orderkey")
+        if not len(m):
+            return pd.DataFrame({"nat": [], "year": [], "profit": []})
+        return m.groupby(["nat", "year"], as_index=False).agg(
+            profit=("profit", "sum")
+        )
+
+    parts = (
+        lines.union(orders)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+        .to_pandas()  # ≤ B × |nations| × |years| tiny rows
+    )
+    if not len(parts):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "n_name": pd.array([], dtype="str"),
+                    "o_year": pd.array([], dtype="int64"),
+                    "profit_i4": pd.array([], dtype="int64"),
+                }
+            )
+        )
+    out = parts.groupby(["nat", "year"], as_index=False).agg(
+        profit_i4=("profit", "sum")
+    )
+    out["n_name"] = out["nat"].astype(int).map(name_of)
+    out = out.rename(columns={"year": "o_year"}).astype(
+        {"o_year": "int64", "profit_i4": "int64"}
+    )
+    return rd.from_pandas(out[["n_name", "o_year", "profit_i4"]])
+
+
+# ---------------------------------------------------------------------------
+# q11 — important stock (derived view vs its own global total)
+# ---------------------------------------------------------------------------
+
+Q11_NATION = "NATION_12"
+Q11_FRACTION_DEN = 1000  # keep parts with value × DEN > view total
+
+
+def q11_important_stock(sf_dir: str) -> rd.Dataset:
+    """(l_partkey, value_c): parts whose traded value from one
+    nation's suppliers exceeds a fraction of the view's OWN global
+    total — TPC-H Q11's distinguishing shape: the HAVING threshold is
+    a scalar subquery over the same derived view, so the aggregate
+    must complete before any row can be kept (availqty × supplycost is
+    adapted to summed extended price, exact cents).
+
+    Plan: the nation's suppkeys broadcast; per-block (partkey, value)
+    partials → one partkey co-group finishes the view. The view is
+    O(|parts|) — dimension-scale next to lineitem — so materializing
+    it once is the honest cost of the self-referential threshold: the
+    global total comes from a streaming ``sum`` over the materialized
+    view, broadcast into a vectorized filter pass. Two passes over
+    the SMALL view, zero extra passes over the fact table."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    keys = nat.loc[nat["n_name"] == Q11_NATION, "n_nationkey"].astype(int)
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(set(keys))]
+    supp_keys_ref = ray.put(set(supp["s_suppkey"].astype(int)))
+
+    B = default_buckets()
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["l_suppkey"].isin(ray.get(supp_keys_ref))]
+        p = (
+            pd.DataFrame(
+                {
+                    "l_partkey": d["l_partkey"].astype("int64"),
+                    "value_c": to_cents(d["l_extendedprice"]),
+                }
+            )
+            .groupby("l_partkey", as_index=False)
+            .agg(value_c=("value_c", "sum"))
+        )
+        p["bucket"] = (p["l_partkey"] % B).astype("int64")
+        return p
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_partkey", as_index=False).agg(
+            value_c=("value_c", "sum")
+        )
+
+    view = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(line_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_final, batch_format="pandas")
+        .materialize()  # O(|parts|) rows — the view, not the facts
+    )
+    if view.count() == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_partkey": pd.array([], dtype="int64"),
+                    "value_c": pd.array([], dtype="int64"),
+                }
+            )
+        )
+    total = int(view.sum("value_c"))
+
+    def keep_important(df: pd.DataFrame) -> pd.DataFrame:
+        # integer-exact threshold: value × DEN > total (no float frac)
+        return df.loc[
+            df["value_c"].astype("int64") * Q11_FRACTION_DEN > total,
+            ["l_partkey", "value_c"],
+        ]
+
+    return view.map_batches(keep_important, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# q12 — shipping priority by mode (conditional two-way counts)
+# ---------------------------------------------------------------------------
+
+Q12_LATE_DAYS = 90
+Q12_SHIP_LO = "1996-01-01"
+Q12_SHIP_HI = "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+_US_PER_DAY = 86_400_000_000
+
+
+def q12_shipmode_priority(sf_dir: str) -> pa.Table:
+    """(l_returnflag, high_line_count, low_line_count): late lines per
+    "mode", split by order priority — TPC-H Q12's shape: a big⋈big
+    join whose aggregate is a pair of CASE-WHEN conditional counts.
+    No ship-mode/commit/receipt columns exist, so mode is ADAPTED to
+    l_returnflag and lateness to shipdate > orderdate + 90 days; the
+    conditional-count structure is unchanged and the oracle mirrors it.
+
+    Plan: the ship-year window is pushed into the lineitem read;
+    per-block (orderkey, flag, ship-date) line-count partials meet the
+    orders stream (orderkey, date, is-high-priority) in one orderkey
+    co-group; lateness and both conditional sums run group-locally.
+    The driver combines ≤ B × |flags| rows."""
+    import pyarrow.dataset as pds
+
+    B = default_buckets()
+    late_us = Q12_LATE_DAYS * _US_PER_DAY
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            pd.DataFrame(
+                {
+                    "orderkey": df["l_orderkey"].astype("int64"),
+                    "flag": df["l_returnflag"],
+                    "ship_us": df["l_shipdate"]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64"),
+                }
+            )
+            .groupby(["orderkey", "flag", "ship_us"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        p["side"] = "l"
+        p["high"] = 0
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p[["orderkey", "side", "flag", "ship_us", "n", "high", "bucket"]]
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "orderkey": df["o_orderkey"].astype("int64"),
+                "side": "o",
+                "flag": "",
+                "ship_us": df["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "n": 0,
+                "high": df["o_orderpriority"]
+                .isin(Q12_HIGH)
+                .astype("int64"),
+            }
+        )
+        p["bucket"] = (p["orderkey"] % B).astype("int64")
+        return p
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=(
+            (pds.field("l_shipdate") >= pds.scalar(pd.Timestamp(Q12_SHIP_LO)))
+            & (pds.field("l_shipdate") < pds.scalar(pd.Timestamp(Q12_SHIP_HI)))
+        ),
+    ).map_batches(line_partial, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pandas")
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == "l"][["orderkey", "flag", "ship_us", "n"]]
+        od = g[g["side"] == "o"][["orderkey", "ship_us", "high"]].rename(
+            columns={"ship_us": "odate_us"}
+        )
+        m = li.merge(od, on="orderkey")
+        m = m[m["ship_us"] > m["odate_us"] + late_us]
+        if not len(m):
+            return pd.DataFrame({"flag": [], "high_n": [], "low_n": []})
+        m["high_n"] = m["n"] * m["high"]
+        m["low_n"] = m["n"] * (1 - m["high"])
+        return m.groupby("flag", as_index=False).agg(
+            high_n=("high_n", "sum"), low_n=("low_n", "sum")
+        )
+
+    parts = (
+        lines.union(orders)
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()  # ≤ B × |flags| rows
+    )
+    if not len(parts):
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "high_line_count": pa.array([], pa.int64()),
+                "low_line_count": pa.array([], pa.int64()),
+            }
+        )
+    out = (
+        parts.groupby("flag", as_index=False)
+        .agg(high_n=("high_n", "sum"), low_n=("low_n", "sum"))
+        .sort_values("flag")
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["flag"], pa.string()),
+            "high_line_count": pa.array(
+                out["high_n"].astype("int64"), pa.int64()
+            ),
+            "low_line_count": pa.array(
+                out["low_n"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier count by part class (distinct-count + NOT-IN anti-join)
+# ---------------------------------------------------------------------------
+
+Q16_BRAND_NOT = "Brand#1"
+Q16_TYPE_NOT = "ECONOMY"
+Q16_SIZES = (1, 5, 9, 15, 20, 25, 30, 36)
+
+
+def q16_supplier_part_count(sf_dir: str) -> rd.Dataset:
+    """(p_brand, p_type, p_size, supplier_cnt): how many DISTINCT
+    suppliers can supply each qualifying part class — TPC-H Q16:
+    a distinct-count over the part↔supplier relation with negated
+    dimension predicates and a NOT-IN exclusion subquery. partsupp is
+    adapted to distinct (l_partkey, l_suppkey) pairs and the
+    complaint-supplier exclusion to s_acctbal < 0.
+
+    Plan: the qualifying-part slice (partkey→class) and the exclusion
+    suppkeys broadcast; per-block distinct (class, suppkey) partials
+    shuffle on a class-hash bucket so distinctness across parts OF THE
+    SAME CLASS is bucket-local (bucketing by partkey would not be: one
+    supplier serving two parts of a class must count once). Class
+    space is dimension-sized (brand × type × size), so the result is
+    small by construction."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    B = default_buckets()
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filters=[("p_size", "in", list(Q16_SIZES))],
+    ).to_pandas()
+    part = part[
+        (part["p_brand"] != Q16_BRAND_NOT) & (part["p_type"] != Q16_TYPE_NOT)
+    ]
+    cls = (
+        part["p_brand"] + "|" + part["p_type"] + "|"
+        + part["p_size"].astype(str)
+    )
+    cls_ref = ray.put(dict(zip(part["p_partkey"].astype(int), cls)))
+    bad = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    bad_ref = ray.put(set(bad.loc[bad["s_acctbal"] < 0, "s_suppkey"].astype(int)))
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["l_partkey"].map(ray.get(cls_ref))
+        keep = c.notna() & ~df["l_suppkey"].isin(ray.get(bad_ref))
+        p = pd.DataFrame(
+            {"cls": c[keep], "sk": df.loc[keep, "l_suppkey"].astype("int64")}
+        ).drop_duplicates()
+        p["bucket"] = (
+            p["cls"].map(lambda s: zlib.crc32(s.encode())).astype("int64") % B
+        )
+        return p
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["cls", "sk"]].drop_duplicates()
+        out = d.groupby("cls", as_index=False).agg(supplier_cnt=("sk", "nunique"))
+        split = out["cls"].str.split("|", expand=True)
+        return pd.DataFrame(
+            {
+                "p_brand": split[0],
+                "p_type": split[1],
+                "p_size": split[2].astype("int64"),
+                "supplier_cnt": out["supplier_cnt"].astype("int64"),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        .map_batches(line_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — part-dominating suppliers (nested correlated aggregate semi-join)
+# ---------------------------------------------------------------------------
+
+Q20_NAME_PREFIX = "red "
+Q20_SHIP_LO = "1996-01-01"
+Q20_SHIP_HI = "1997-01-01"
+Q20_NATION = "NATION_12"
+
+
+def q20_promo_suppliers(sf_dir: str) -> pa.Table:
+    """(s_suppkey, s_name): suppliers in one nation who DOMINATED some
+    matching part's supply in a year (their shipped quantity more than
+    half the part's total) — TPC-H Q20's shape: a semi-join driven by
+    a nested correlated aggregate (the reference compares availqty to
+    half the part's shipped total; no availqty column exists, so the
+    supplier's OWN shipped quantity stands in — the per-part correlated
+    total, which is the hard part, is unchanged).
+
+    Plan: the matching-part keys and the nation's suppkeys broadcast;
+    the ship window is pushed into the read; per-block (partkey,
+    suppkey, qty) partials → one partkey co-group computes each part's
+    total AND each supplier's share group-locally, emitting qualifying
+    suppkeys. The driver dedups a dimension-sized set and resolves
+    names with a pushdown read."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq_
+    import ray
+
+    B = default_buckets()
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    part = part[part["p_name"].str.startswith(Q20_NAME_PREFIX)]
+    part_keys_ref = ray.put(set(part["p_partkey"].astype(int)))
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    keys = nat.loc[nat["n_name"] == Q20_NATION, "n_nationkey"].astype(int)
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(set(keys))]
+    nation_supp_ref = ray.put(set(supp["s_suppkey"].astype(int)))
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["l_partkey"].isin(ray.get(part_keys_ref))]
+        p = (
+            pd.DataFrame(
+                {
+                    "pk": d["l_partkey"].astype("int64"),
+                    "sk": d["l_suppkey"].astype("int64"),
+                    "qty": d["l_quantity"].astype("int64"),
+                }
+            )
+            .groupby(["pk", "sk"], as_index=False)
+            .agg(qty=("qty", "sum"))
+        )
+        p["bucket"] = (p["pk"] % B).astype("int64")
+        return p
+
+    def bucket_dominators(g: pd.DataFrame) -> pd.DataFrame:
+        q = g.groupby(["pk", "sk"], as_index=False).agg(qty=("qty", "sum"))
+        tot = q.groupby("pk")["qty"].transform("sum")
+        q = q[(q["qty"] * 2 > tot) & q["sk"].isin(ray.get(nation_supp_ref))]
+        return q[["sk"]].drop_duplicates()
+
+    hits = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+            filter=(
+                (pds.field("l_shipdate") >= pds.scalar(pd.Timestamp(Q20_SHIP_LO)))
+                & (pds.field("l_shipdate") < pds.scalar(pd.Timestamp(Q20_SHIP_HI)))
+            ),
+        )
+        .map_batches(line_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_dominators, batch_format="pandas")
+        .to_pandas()  # ≤ |nation's suppliers| rows — a dimension
+    )
+    if not len(hits):
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+            }
+        )
+    win = sorted(set(int(k) for k in hits["sk"]))
+    names = pq_.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", win)],
+    ).to_pandas()
+    names = names.sort_values("s_suppkey").reset_index(drop=True)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(names["s_suppkey"].astype("int64"), pa.int64()),
+            "s_name": pa.array(names["s_name"], pa.string()),
+        }
+    )
