@@ -206,6 +206,20 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_kcore",
         "warc_roundtrip",
         "training_corpus",
+        # TPC-H batches two + three (all 22 shapes now covered)
+        "q2_min_cost_supplier",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q12_shipmode_priority",
+        "q15_top_supplier",
+        "q16_supplier_part_count",
+        "q18_large_volume_customers",
+        "q19_discounted_revenue",
+        "q20_promo_suppliers",
+        "q21_suppliers_kept_waiting",
     ]
     qs = E.queries()
     out = {}

@@ -1,12 +1,12 @@
 """TPC-H-shaped relational pipelines, batch two.
 
 The first TPC-H batch (q3/q4/q8/q10/q13/q14/q17/q22) lives in
-``relops.py``; this module adds the remaining classic shapes feasible
-over the driver's tables (there is no partsupp, so q2/q9/q11/q16/q20
-are out of reach, and lineitem carries no commit/receipt dates or ship
-modes, so q12 is out and q19/q21 are ADAPTED — same logical shape,
+``relops.py``; this module adds the classic shapes feasible over the
+driver's tables directly (q19/q21 are ADAPTED — same logical shape,
 predicates re-expressed over the columns that exist, mirrored verbatim
-in the oracles):
+in the oracles). The partsupp-dependent family (q2/q9/q11/q16/q20)
+plus q12 is adapted the same way in ``tpch2.py``, completing all 22
+shapes. This batch:
 
 - q6_forecast_revenue      — scalar filter-aggregate, full read pushdown
 - q5_local_supplier_volume — the classic 6-table join with the
