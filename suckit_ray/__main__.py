@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="canonical URL dedup keys: drop fragments and "
                         "tracking params, sort query pairs "
                         "(rebuild-only)")
+    p.add_argument("--opic", action="store_true",
+                   help="adaptive frontier scheduling: release "
+                        "highest-cash (most-linked-to) URLs first "
+                        "(OPIC, WWW'03; rebuild-only)")
     p.add_argument("--max-page-size", type=int, metavar="BYTES",
                    help="skip responses larger than BYTES (soft skip, "
                         "recorded in the ledger; rebuild-only)")
@@ -137,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         host_url_budget=args.host_url_budget,
         max_page_bytes=args.max_page_size,
         canonicalize_urls=args.canonicalize,
+        opic=args.opic,
         priority_patterns=tuple(args.priority),
         seen_filter=args.seen_filter,
     )

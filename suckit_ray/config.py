@@ -59,6 +59,15 @@ class CrawlConfig:
     # stays the first-discovered original. Off by default (parity:
     # the reference dedups raw fragment-inclusive strings).
     canonicalize_urls: bool = False
+    # rebuild-only: OPIC adaptive frontier scheduling (Abiteboul/
+    # Preda/Cobena, "Adaptive On-Line Page Importance Computation",
+    # WWW 2003). Seeds start with cash 1.0; each fetched page's cash
+    # splits evenly over its emitted outlink candidates; pending URLs
+    # accrue cash per sighting and each wave releases the in-memory
+    # hot tier highest-cash-first. Changes SCHEDULING ORDER only —
+    # the crawled set is identical (crawl_mirror stays green either
+    # way). Off by default (parity: the reference is strict FIFO).
+    opic: bool = False
     # rebuild-only: drop responses larger than this many bytes (soft
     # skip with a ledger error — no body stored, no links extracted).
     # None = unbounded (parity). The per-page memory guard at scale.

@@ -166,6 +166,7 @@ def crawl(
             host_error_budget=cfg.host_error_budget,
             host_url_budget=cfg.host_url_budget,
             canonicalize=cfg.canonicalize_urls,
+            opic=cfg.opic,
         )
         for i in range(num_shards)
     ]

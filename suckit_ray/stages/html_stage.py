@@ -147,6 +147,7 @@ def make_process_fn(
         hash_by_shard: dict[int, list[tuple]] = defaultdict(list)
         host_delays: dict[str, int] = {}  # robots Crawl-delay, ms
         prev_hashes = cols.get("prev_hash")  # wave column (delta recrawl)
+        cashes = cols.get("cash")  # wave column (OPIC; all-0.0 when off)
 
         for i in range(n):
             url = cols["url"][i]
@@ -202,6 +203,7 @@ def make_process_fn(
                 charset = res.charset
                 if res.errors:
                     err = "; ".join(res.errors)
+                row_cands = []
                 for o in res.outlinks:
                     if robots is not None:
                         ok, delay_ms = robots.allows_and_delay_ms(o.url)
@@ -213,6 +215,16 @@ def make_process_fn(
                     # of one page must land on the same owner shard or
                     # first-wins dedup silently splits
                     rk = _canon(o.url) if canonicalize else o.url
+                    row_cands.append((o, rk))
+                # OPIC: the page's cash splits evenly over its EMITTED
+                # candidates (cash routed at robots-dropped links would
+                # leak out of the system); 0.0 when opic is off
+                share = (
+                    cashes[i] / len(row_cands)
+                    if cashes is not None and row_cands and cashes[i] > 0.0
+                    else 0.0
+                )
+                for o, rk in row_cands:
                     cand_by_shard[
                         shard_of_url(rk, o.host, num_shards, route_by_host)
                     ].append(
@@ -224,6 +236,7 @@ def make_process_fn(
                             o.is_external,
                             cols["depth"][i],
                             cols["ext_depth"][i],
+                            share,
                         )
                     )
             elif err is None:

@@ -69,6 +69,10 @@ FRONTIER_SCHEMA = pa.schema(
         # url — the hash map is partitioned exactly like the frontier,
         # so no broadcast and no driver-side map.
         ("prev_hash", pa.int64()),
+        # OPIC (Abiteboul/Preda/Cobena, WWW'03): the page's accumulated
+        # cash at release. The process stage divides it among the
+        # page's emitted outlink candidates; 0.0 when opic is off.
+        ("cash", pa.float64()),
     ]
 )
 
@@ -93,6 +97,9 @@ CAND_SCHEMA = pa.schema(
         ("is_external", pa.bool_()),
         ("parent_depth", pa.int32()),
         ("parent_ext_depth", pa.int32()),
+        # OPIC cash share from the linking page (parent cash divided
+        # among its emitted candidates); 0.0 when opic is off
+        ("cash", pa.float64()),
     ]
 )
 
@@ -175,6 +182,7 @@ class FrontierShard:
         host_error_budget: int | None = None,
         host_url_budget: int | None = None,
         canonicalize: bool = False,
+        opic: bool = False,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -256,6 +264,19 @@ class FrontierShard:
         self.host_accepts: dict[str, int] = {}
         self._wave_tally: dict[str, tuple[int, int]] = {}
         self.canonicalize = canonicalize
+        # OPIC adaptive scheduling (opt-in): pending-URL cash accrued
+        # from link sightings (seeds start at 1.0; each fetched page's
+        # cash splits evenly over its emitted candidates). Releases
+        # drain the in-memory tier highest-cash-first (stable, so FIFO
+        # breaks ties) BEFORE spill chunks; spill chunks stay FIFO —
+        # the cash map is a bounded HOT SET (_CASH_CAP), which is the
+        # scale-honest shape: scheduler priority only ever matters at
+        # the head of the queue, and overflow beyond the cap degrades
+        # to the parity FIFO rather than growing shard RSS. Accrual
+        # and ordering happen wave-synchronously in finalize_wave, so
+        # the schedule is deterministic for a given corpus.
+        self.opic = opic
+        self.url_cash: dict[str, float] = {}
         self._host_consec_errors: dict[str, int] = {}
         self.open_hosts: set[str] = set()
 
@@ -267,6 +288,7 @@ class FrontierShard:
         return os.path.join(self._spill_dir, f"{kind}_{self._spill_seq:06d}.{ext}")
 
     _META_HOST_CAP = 10_000  # above this many distinct hosts, skip the summary
+    _CASH_CAP = 500_000  # OPIC hot-set bound (same class as pending_mem_limit)
 
     @classmethod
     def _chunk_meta(cls, chunk: list[tuple]) -> tuple[int, dict | None]:
@@ -276,6 +298,21 @@ class FrontierShard:
             if len(hosts) > cls._META_HOST_CAP:
                 return (len(chunk), None)
         return (len(chunk), hosts)
+
+    def _cash_key(self, url: str) -> str:
+        """The url_cash key — the SEEN key, so sightings of canonical
+        variants accrue to one pending entry when canonicalize is on."""
+        return canonical_url(url) if self.canonicalize else url
+
+    def _accrue_cash(self, key: str, amount: float, fresh: bool) -> None:
+        """Add sighting cash. ``fresh`` (first acceptance) may create
+        the entry (bounded by _CASH_CAP); duplicate sightings only
+        accrue to urls still pending — cash aimed at already-crawled
+        or capped-out urls is discarded (one-shot crawl semantics)."""
+        if key in self.url_cash:
+            self.url_cash[key] += amount
+        elif fresh and len(self.url_cash) < self._CASH_CAP:
+            self.url_cash[key] = amount
 
     def _priority_of(self, url: str) -> int:
         for i, rx in enumerate(self._priority_res):
@@ -318,6 +355,8 @@ class FrontierShard:
             key = canonical_url(url) if self.canonicalize else url
             if self.seen.insert_if_absent(key):
                 self._pending_append((url, host, 0, 0))
+                if self.opic:
+                    self._accrue_cash(key, 1.0, fresh=True)
                 n += 1
                 if self.host_url_budget is not None:
                     # seeds are fetched regardless (reference: the
@@ -334,6 +373,9 @@ class FrontierShard:
         zero-copy shipping format) or a list of candidate tuples (test
         convenience)."""
         if not isinstance(cands, pa.Table):
+            # tolerate pre-cash 7-tuples (tests, older callers)
+            if cands and len(cands[0]) == len(CAND_SCHEMA.names) - 1:
+                cands = [c + (0.0,) for c in cands]
             cands = rows_to_table(cands, CAND_SCHEMA)
         if cands.num_rows:
             self.buffer_tables.append(cands)
@@ -458,6 +500,8 @@ class FrontierShard:
             key = canonical_url(url) if self.canonicalize else url
             if self.seen.insert_if_absent(key):
                 self._pending_append((url, host, d, e))
+                if self.opic:
+                    self._accrue_cash(key, 1.0, fresh=True)
                 n += 1
                 if self.host_url_budget is not None:
                     self.host_accepts[host] = self.host_accepts.get(host, 0) + 1
@@ -601,6 +645,20 @@ class FrontierShard:
             self.counters["new_urls"] += n_new
             self.counters["dup_urls"] += len(df) - n_new
             acc = df.loc[first].loc[np.asarray(fresh, dtype=bool)]
+            cash_sums = None
+            if self.opic and "cash" in df.columns:
+                # wave-synchronous accrual over EVERY sighting (dups
+                # included — that is the point of OPIC: each reference
+                # contributes its share). df is sorted, groupby-sum is
+                # order-fixed → deterministic float totals. Duplicate
+                # sightings accrue to urls STILL PENDING here; fresh
+                # entries are created further down, only for urls that
+                # survive the depth/breaker/budget gates (otherwise the
+                # hot set fills with entries that are never released).
+                cash_sums = df.groupby(keys.values)["cash"].sum()
+                for k, c in cash_sums.items():
+                    if c > 0.0:
+                        self._accrue_cash(k, float(c), fresh=False)
             # vectorized depth gate (same semantics as urlkit.depth_gate
             # row-by-row): internal links consume depth, external hops
             # freeze depth and consume ext_depth; -1 = infinite
@@ -647,6 +705,13 @@ class FrontierShard:
             urls_ok = acc["url"].to_numpy()[ok]
             hosts_ok = acc["host"].to_numpy()[ok]
             ents = list(zip(urls_ok, hosts_ok, dd, ee))
+            if cash_sums is not None:
+                # fresh cash entries for the urls that actually became
+                # pending (their full wave sighting total)
+                for k in keys.loc[acc.index].to_numpy()[ok]:
+                    c = float(cash_sums.get(k, 0.0))
+                    if c > 0.0:
+                        self._accrue_cash(k, c, fresh=True)
             if self.num_levels > 1:
                 # first-match-wins level per URL, vectorized: start at
                 # the lowest level and claim still-unmatched URLs from
@@ -688,6 +753,11 @@ class FrontierShard:
                     e,
                     encode_seq(wave, self.shard_id, i),
                     self.recrawl_hashes.get(url, 0),
+                    # released urls leave the cash hot set; their cash
+                    # rides the wave row to be split among outlinks
+                    self.url_cash.pop(self._cash_key(url), 0.0)
+                    if self.opic
+                    else 0.0,
                 )
                 for i, (url, host, d, e) in enumerate(take)
             ],
@@ -715,6 +785,14 @@ class FrontierShard:
         delay. Exact per-host spacing additionally needs politeness
         host-routing (all of a host's entries on one shard); without
         it the gate is shard-local best effort."""
+        if self.opic:
+            # stable sort (FIFO breaks ties) puts the highest-cash
+            # in-memory entries at the head of each level's hot tier
+            for lvl in range(self.num_levels):
+                if self.pending[lvl]:
+                    self.pending[lvl].sort(
+                        key=lambda e: -self.url_cash.get(self._cash_key(e[0]), 0.0)
+                    )
         if (
             max_per_host is None
             and max_total is None
@@ -723,6 +801,9 @@ class FrontierShard:
         ):
             take: list[tuple] = []
             for lvl in range(self.num_levels):
+                if self.opic:  # hot tier (cash-ordered) ahead of spill
+                    take.extend(self.pending[lvl])
+                    self.pending[lvl] = []
                 for path in self._pending_files[lvl]:
                     with open(path, "rb") as f:
                         take.extend(pickle.load(f))
@@ -747,9 +828,40 @@ class FrontierShard:
         per_host: dict[str, int] = defaultdict(int)
         budget = max_total if max_total is not None else float("inf")
         take = []
+
+        def scan_mem(lvl: int) -> None:
+            # the in-memory pending is ALWAYS scanned (budget
+            # permitting) — hosts that only appear here must not be
+            # starved by saturated spill chunks. Under opic it runs
+            # BEFORE the spill chunks (cash-ordered hot tier first).
+            nonlocal budget
+            mem_kept = []
+            for ent in self.pending[lvl]:
+                h = ent[1]
+                if h in self.open_hosts:
+                    self.counters["breaker_dropped"] += 1
+                    continue
+                if (
+                    budget > 0
+                    and (max_per_host is None or per_host[h] < max_per_host)
+                    and not self._host_delay_blocked(h, now_s)
+                ):
+                    per_host[h] += 1
+                    budget -= 1
+                    take.append(ent)
+                    if now_s is not None and h in self.host_delay_ms:
+                        self.host_next_allowed[h] = (
+                            now_s + self.host_delay_ms[h] / 1000.0
+                        )
+                else:
+                    mem_kept.append(ent)
+            self.pending[lvl] = mem_kept
+
         for lvl in range(self.num_levels):
             new_files: list[str] = []
             new_meta: list[tuple[int, dict | None]] = []
+            if self.opic:
+                scan_mem(lvl)
             for path, meta in zip(self._pending_files[lvl], self._pending_meta[lvl]):
                 hosts = meta[1]
                 has_open = hosts is not None and any(
@@ -806,30 +918,8 @@ class FrontierShard:
                         pickle.dump(kept, f, protocol=pickle.HIGHEST_PROTOCOL)
                     new_files.append(repl)
                     new_meta.append(self._chunk_meta(kept))
-            # the in-memory pending is ALWAYS scanned (budget permitting)
-            # — hosts that only appear here must not be starved by
-            # saturated spill chunks
-            mem_kept = []
-            for ent in self.pending[lvl]:
-                h = ent[1]
-                if h in self.open_hosts:
-                    self.counters["breaker_dropped"] += 1
-                    continue
-                if (
-                    budget > 0
-                    and (max_per_host is None or per_host[h] < max_per_host)
-                    and not self._host_delay_blocked(h, now_s)
-                ):
-                    per_host[h] += 1
-                    budget -= 1
-                    take.append(ent)
-                    if now_s is not None and h in self.host_delay_ms:
-                        self.host_next_allowed[h] = (
-                            now_s + self.host_delay_ms[h] / 1000.0
-                        )
-                else:
-                    mem_kept.append(ent)
-            self.pending[lvl] = mem_kept
+            if not self.opic:
+                scan_mem(lvl)
             self._pending_files[lvl] = new_files
             self._pending_meta[lvl] = new_meta
             self._pending_spilled[lvl] = sum(m[0] for m in new_meta)
@@ -955,6 +1045,8 @@ class FrontierShard:
             "host_accepts": self.host_accepts,
             "open_hosts": sorted(self.open_hosts),
             "canonicalize": self.canonicalize,
+            "opic": self.opic,
+            "url_cash": self.url_cash,
         }
         tmp = f"{path}.tmp"
         with open(tmp, "wb") as f:
@@ -1022,6 +1114,14 @@ class FrontierShard:
                 "toggling canonicalization mid-crawl would mix raw and "
                 "canonical seen keys and flip shard routing"
             )
+        snap_opic = st.get("opic")
+        if snap_opic is not None and snap_opic != self.opic:
+            raise ValueError(
+                f"snapshot was taken with opic={snap_opic}, this actor "
+                f"is configured with {self.opic} — toggling adaptive "
+                "scheduling mid-crawl would change sub-wave membership "
+                "and break the resumed run's determinism"
+            )
         # ALL validation precedes ANY mutation: a rejected resume must
         # leave the shard exactly as it was (a caller catching the
         # ValueError may legitimately continue the current crawl)
@@ -1062,4 +1162,5 @@ class FrontierShard:
         self._host_consec_errors = dict(st.get("host_consec_errors", {}))
         self.host_accepts = dict(st.get("host_accepts", {}))
         self.open_hosts = set(st.get("open_hosts", []))
+        self.url_cash = dict(st.get("url_cash", {}))
         return st["wave"]
