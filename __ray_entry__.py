@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         dedup,
         flagship,
+        formats,
         graph,
         relops,
         textops,
@@ -326,6 +327,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_shipmode_priority": tpch2.q12_shipmode_priority,
         "q16_supplier_part_count": tpch2.q16_supplier_part_count,
         "q20_promo_suppliers": tpch2.q20_promo_suppliers,
+        # text-format source/sink round-trips (pipelines/formats.py):
+        # identity oracles — any quoting/escaping/dtype defect in the
+        # distributed JSONL/CSV write+read breaks the hash
+        "docs_jsonl_roundtrip": formats.docs_jsonl_roundtrip,
+        "docs_csv_roundtrip": formats.docs_csv_roundtrip,
     }
 
 
@@ -2879,6 +2885,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = sk
             JOIN nation ON n_nationkey = s_nationkey
             WHERE q.qty * 2 > t AND n_name = 'NATION_12'
+        """,
+        # text-format round-trips: the oracle is the identity select —
+        # the Ray side must return documents EXACTLY after the full
+        # distributed write+read cycle
+        "docs_jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "docs_csv_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # no oracle (rows-only): crawl_text_extract (page text is not
         # SQL-derivable; pinned by a spans-vs-body cross-representation

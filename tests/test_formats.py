@@ -1,0 +1,67 @@
+"""JSONL/CSV round-trip pins (suckit_ray/pipelines/formats.py):
+hostile content — embedded newlines, CR, quotes, commas, tabs,
+unicode, empty strings, JSON-looking text — must survive the full
+distributed write+read cycle byte-for-byte. The sf-table identity
+oracles live in __ray_entry__; these cover what the synthetic corpus
+text never exercises."""
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+from suckit_ray.pipelines import formats
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+NASTY = pd.DataFrame(
+    {
+        "doc_id": list(range(8)),
+        "text": [
+            "plain",
+            "comma, separated, values",
+            'quo"ted "and" more',
+            "line\nbreak\nand another",
+            "cr\r\nlf mix",
+            "tab\there",
+            "unicode: pågår – 日本語 🦀",
+            "",
+        ],
+        "lang": ["en"] * 8,
+        "n": [7, 0, -3, 2**40, 1, 2, 3, 4],
+    }
+)
+
+
+def _assert_roundtrip(back: rd.Dataset):
+    got = (
+        back.to_pandas()[list(NASTY.columns)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = NASTY.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "n": "int64"}),
+        want.astype({"doc_id": "int64", "n": "int64"}),
+    )
+
+
+def test_jsonl_roundtrip_hostile_content(tmp_path):
+    ds = rd.from_pandas(NASTY)
+    _assert_roundtrip(formats.roundtrip_jsonl(ds, str(tmp_path / "j")))
+
+
+def test_csv_roundtrip_hostile_content(tmp_path):
+    ds = rd.from_pandas(NASTY)
+    _assert_roundtrip(formats.roundtrip_csv(ds, str(tmp_path / "c")))
+
+
+def test_roundtrip_is_distributed_multiblock(tmp_path):
+    # several blocks → several files; the read must reassemble all of
+    # them (a single-file assumption would silently drop rows)
+    import os
+
+    ds = rd.from_pandas(NASTY).repartition(4)
+    out = str(tmp_path / "multi")
+    back = formats.roundtrip_jsonl(ds, out)
+    assert len(os.listdir(out)) > 1
+    _assert_roundtrip(back)
