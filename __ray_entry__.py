@@ -106,12 +106,13 @@ def entry() -> Any:
     return _crawl_docs("/root/testdata/sf0.001")
 
 
-def _crawl_mirror_summary(sf_dir: str):
+def _crawl_mirror_summary(sf_dir: str, docs=None):
     """Crawl result as a flat summary table (doc_id, host, status,
-    is_html, n_outlinks, n_spans) — rows-only correctness surface."""
+    is_html, n_outlinks, n_spans) — rows-only correctness surface.
+    ``docs`` overrides the docs source (compaction check)."""
     import pyarrow as pa
 
-    ds = _crawl_docs(sf_dir)
+    ds = _crawl_docs(sf_dir) if docs is None else docs
 
     def summarize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -128,6 +129,17 @@ def _crawl_mirror_summary(sf_dir: str):
         )
 
     return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+def _crawl_mirror_compacted(sf_dir: str):
+    """The flagship mirror summary read through a COMPACTED copy of
+    the per-wave parquet tree (sinks.compact_parquet: streaming
+    block-coalesce repartition + atomic staging-dir swap). Shares the
+    crawl_mirror recursive-CTE oracle verbatim — a compaction that
+    drops, duplicates or corrupts one row hash-fails."""
+    from suckit_ray.pipelines.flagship import crawl_docs_compacted
+
+    return _crawl_mirror_summary(sf_dir, docs=crawl_docs_compacted(sf_dir))
 
 
 def _crawl_spans(sf_dir: str):
@@ -332,6 +344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed JSONL/CSV write+read breaks the hash
         "docs_jsonl_roundtrip": formats.docs_jsonl_roundtrip,
         "docs_csv_roundtrip": formats.docs_csv_roundtrip,
+        # compaction: bin-pack the per-wave small files, then pass the
+        # SAME recursive-CTE mirror oracle over the compacted tree
+        "crawl_mirror_compacted": _crawl_mirror_compacted,
     }
 
 
@@ -806,7 +821,7 @@ def _bpe_encode_oracle_sql(steps: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "url_to_path": f"""
             SELECT doc_id, {_URL_CASE} AS url,
               CASE doc_id % 4
@@ -2906,3 +2921,8 @@ def oracle_sql() -> dict[str, str]:
         # (embedding ivf, lsh_topk), error-bound asserts (HLL, CMS),
         # numpy-reference allclose (pagerank).
     }
+    # the compacted mirror must satisfy the EXACT same recursive-CTE
+    # reachability oracle as the uncompacted one — compaction proven
+    # lossless by the strongest oracle in the suite
+    d["crawl_mirror_compacted"] = d["crawl_mirror"]
+    return d

@@ -512,3 +512,19 @@ def crawl_depths(sf_dir: str) -> rd.Dataset:
         )
 
     return crawl_docs(sf_dir).map_batches(proj, batch_format="pyarrow")
+
+
+def crawl_docs_compacted(sf_dir: str) -> rd.Dataset:
+    """Flagship docs after a ``sinks.compact_parquet`` pass (memoized
+    per process like the crawl itself). Small target_bytes on the test
+    corpus so the pass genuinely coalesces multiple wave files."""
+    crawl_docs(sf_dir)  # ensure the crawl ran and cached its output
+    key = sf_dir + "#compacted"
+    if key not in _CRAWL_OUT_CACHE:
+        from suckit_ray.sinks import compact_parquet
+
+        src = os.path.join(_CRAWL_OUT_CACHE[sf_dir], "docs")
+        out = os.path.join(tempfile.mkdtemp(prefix="suckit_compact_"), "docs")
+        compact_parquet(src, out, target_bytes=64 * 1024 * 1024)
+        _CRAWL_OUT_CACHE[key] = out
+    return rd.read_parquet(_CRAWL_OUT_CACHE[key])

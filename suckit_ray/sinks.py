@@ -105,3 +105,66 @@ def write_lance(docs: pa.Table, output_dir: str, mode: str = "append"):
             "partition layout) written by crawl(output_dir=...)"
         ) from e
     return lance.write_dataset(docs, output_dir, mode=mode)
+
+
+def compact_parquet(
+    src_dir: str,
+    out_dir: str,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> dict:
+    """Bin-pack a small-files parquet tree (the crawl's per-wave
+    partitions: one file per shard per wave) into ~``target_bytes``
+    files — the compaction pass a 10^10-page crawl needs before its
+    output is query-efficient (row-group pruning, fewer file opens).
+
+    One streaming Ray Data pass: read → ``repartition(n,
+    shuffle=False)`` (block coalescing, NO all-to-all exchange) →
+    write to a staging dir, then an ATOMIC swap (staging dir renamed
+    into place after _COMPACT_MANIFEST.json is fully written inside
+    it) so a crashed compaction leaves either the old tree or the
+    complete new one, never a half-written mix. Returns the manifest.
+
+    At 100 TB one global repartition is still a single pipeline but
+    its output granule is the whole corpus; run this per key-range
+    partition (e.g. per host bucket) and swap per-partition manifests
+    so a failed run skips finished partitions — same primitive, keyed
+    resumability."""
+    import json
+    import math
+    import shutil
+
+    import ray.data as rd
+
+    src_bytes = 0
+    src_files = 0
+    for root, _, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                src_bytes += os.path.getsize(os.path.join(root, f))
+                src_files += 1
+    n_out = max(1, math.ceil(src_bytes / target_bytes))
+
+    staging = f"{out_dir}.staging-{os.getpid()}"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    ds = rd.read_parquet(src_dir)
+    n_rows = ds.count()
+    ds.repartition(n_out, shuffle=False).write_parquet(staging)
+    manifest = {
+        "src_dir": src_dir,
+        "src_files": src_files,
+        "src_bytes": src_bytes,
+        "n_rows": n_rows,
+        "target_bytes": target_bytes,
+        "out_files": len(
+            [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        ),
+    }
+    with open(os.path.join(staging, "_COMPACT_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(staging, out_dir)
+    return manifest
