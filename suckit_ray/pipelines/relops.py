@@ -37,6 +37,23 @@ def to_cents(s: pd.Series) -> pd.Series:
     )
 
 
+def round_half_away(s: pd.Series) -> pd.Series:
+    """float → int64, half away from zero — the unit-scale sibling of
+    ``to_cents`` for quantity columns, matching DuckDB's
+    round()/CAST-to-BIGINT. The generators emit integral quantities,
+    but .astype('int64') TRUNCATES (12.5 → 12 where the oracle says
+    13), so any engine site the oracle rounds must use this."""
+    x = s.to_numpy(dtype="float64")
+    fl = np.floor(x)
+    ce = np.ceil(x)
+    return pd.Series(
+        np.where(
+            x >= 0, fl + ((x - fl) >= 0.5), ce - ((ce - x) >= 0.5)
+        ).astype("int64"),
+        index=s.index,
+    )
+
+
 def lineitem_agg(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1-shaped aggregate: per (l_returnflag, l_linestatus),
     integer-cent sums. Pre-aggregates inside map_batches so the shuffle
@@ -1369,10 +1386,10 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = Q17_BRAND) -> pa.Table:
             pd.DataFrame(
                 {
                     "partkey": d["l_partkey"].astype("int64"),
-                    # quantities are integral in this corpus (the
-                    # oracle casts exactly; a fractional qty would
-                    # hash-mismatch loudly, not silently truncate)
-                    "qty": d["l_quantity"].astype("int64"),
+                    # DuckDB CAST(double AS BIGINT) ROUNDS — match it
+                    # (quantities are integral today, but truncation
+                    # here would silently diverge on fractional input)
+                    "qty": round_half_away(d["l_quantity"]),
                     "price_c": to_cents(d["l_extendedprice"]),
                 }
             )
@@ -1916,7 +1933,7 @@ def lineitem_rollup(sf_dir: str) -> pa.Table:
                 {
                     "l_returnflag": df["l_returnflag"],
                     "l_linestatus": df["l_linestatus"],
-                    "qty": df["l_quantity"].astype("int64"),
+                    "qty": round_half_away(df["l_quantity"]),
                     "price_c": to_cents(df["l_extendedprice"]),
                 }
             )

@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from suckit_ray.pipelines.relops import to_cents
+from suckit_ray.pipelines.relops import round_half_away, to_cents
 from suckit_ray.stages.agg import default_buckets
 
 # ---------------------------------------------------------------------------
@@ -506,7 +506,7 @@ def q18_large_volume_customers(sf_dir: str) -> pa.Table:
             pd.DataFrame(
                 {
                     "orderkey": df["l_orderkey"].astype("int64"),
-                    "qty": df["l_quantity"].astype("int64"),
+                    "qty": round_half_away(df["l_quantity"]),
                 }
             )
             .groupby("orderkey", as_index=False)

@@ -44,7 +44,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from suckit_ray.pipelines.relops import to_cents
+from suckit_ray.pipelines.relops import round_half_away, to_cents
 from suckit_ray.stages.agg import default_buckets
 
 # ---------------------------------------------------------------------------
@@ -218,7 +218,7 @@ def q9_product_profit(sf_dir: str) -> rd.Dataset:
         retail_c = retail[retail.notna()].astype("int64")
         amount = to_cents(d["l_extendedprice"]) * (
             100 - to_cents(d["l_discount"])
-        ) - d["l_quantity"].astype("int64") * retail_c * 100
+        ) - round_half_away(d["l_quantity"]) * retail_c * 100
         p = (
             pd.DataFrame(
                 {
@@ -646,7 +646,7 @@ def q20_promo_suppliers(sf_dir: str) -> pa.Table:
                 {
                     "pk": d["l_partkey"].astype("int64"),
                     "sk": d["l_suppkey"].astype("int64"),
-                    "qty": d["l_quantity"].astype("int64"),
+                    "qty": round_half_away(d["l_quantity"]),
                 }
             )
             .groupby(["pk", "sk"], as_index=False)

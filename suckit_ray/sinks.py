@@ -119,10 +119,12 @@ def compact_parquet(
 
     One streaming Ray Data pass: read → ``repartition(n,
     shuffle=False)`` (block coalescing, NO all-to-all exchange) →
-    write to a staging dir, then an ATOMIC swap (staging dir renamed
-    into place after _COMPACT_MANIFEST.json is fully written inside
-    it) so a crashed compaction leaves either the old tree or the
-    complete new one, never a half-written mix. Returns the manifest.
+    write to a staging dir, then a two-rename swap (old tree aside,
+    complete staging tree — manifest already fsynced inside — into
+    place, THEN delete the retired tree): a crash leaves the old tree
+    (possibly under its .retired-<pid> name, recovered by the next
+    run's stale-dir sweep) or the complete new one, never a
+    half-written mix. Returns the manifest.
 
     At 100 TB one global repartition is still a single pipeline but
     its output granule is the whole corpus; run this per key-range
@@ -144,6 +146,14 @@ def compact_parquet(
                 src_files += 1
     n_out = max(1, math.ceil(src_bytes / target_bytes))
 
+    # clean stale staging/retired dirs from ANY prior pid (a crashed
+    # run must not strand disk forever)
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    base = os.path.basename(out_dir)
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(f"{base}.staging-") or d.startswith(f"{base}.retired-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     staging = f"{out_dir}.staging-{os.getpid()}"
     if os.path.exists(staging):
         shutil.rmtree(staging)
@@ -164,7 +174,16 @@ def compact_parquet(
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
+    # swap via two renames, not rmtree-then-rename: the only crash
+    # window is the instant between the two metadata ops (the old tree
+    # survives intact under .retired-<pid> and a rerun both recovers
+    # disk and rebuilds the output); deleting the old tree — the slow,
+    # interruptible part — happens strictly AFTER the new tree is live
+    retired = None
     if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+        retired = f"{out_dir}.retired-{os.getpid()}"
+        os.replace(out_dir, retired)
     os.replace(staging, out_dir)
+    if retired:
+        shutil.rmtree(retired, ignore_errors=True)
     return manifest

@@ -217,8 +217,14 @@ def make_process_fn(
                     rk = _canon(o.url) if canonicalize else o.url
                     row_cands.append((o, rk))
                 # OPIC: the page's cash splits evenly over its EMITTED
-                # candidates (cash routed at robots-dropped links would
-                # leak out of the system); 0.0 when opic is off
+                # candidates (robots-dropped links get no share). Cash
+                # reaching a dead end — assets, errored fetches, pages
+                # with zero emitted links — RETIRES rather than
+                # recirculating (the paper's virtual-node feedback is
+                # deliberately omitted: for a one-shot crawl the
+                # ordering signal is relative cash among live pending
+                # urls, which uniform decay does not change). 0.0 when
+                # opic is off.
                 share = (
                     cashes[i] / len(row_cands)
                     if cashes is not None and row_cands and cashes[i] > 0.0

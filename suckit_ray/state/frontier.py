@@ -785,9 +785,13 @@ class FrontierShard:
         delay. Exact per-host spacing additionally needs politeness
         host-routing (all of a host's entries on one shard); without
         it the gate is shard-local best effort."""
-        if self.opic:
+        if self.opic and self.url_cash:
             # stable sort (FIFO breaks ties) puts the highest-cash
-            # in-memory entries at the head of each level's hot tier
+            # in-memory entries at the head of each level's hot tier;
+            # skipped entirely when the hot set is empty (pure FIFO).
+            # Cost: O(n log n) per wave over ≤ pending_mem_limit
+            # entries, plus one canonical_url parse per entry under
+            # --canonicalize — acceptable next to the release itself.
             for lvl in range(self.num_levels):
                 if self.pending[lvl]:
                     self.pending[lvl].sort(
@@ -840,6 +844,8 @@ class FrontierShard:
                 h = ent[1]
                 if h in self.open_hosts:
                     self.counters["breaker_dropped"] += 1
+                    if self.opic:  # dropped entries retire their cash
+                        self.url_cash.pop(self._cash_key(ent[0]), None)
                     continue
                 if (
                     budget > 0
@@ -892,6 +898,8 @@ class FrontierShard:
                     h = ent[1]
                     if h in self.open_hosts:
                         self.counters["breaker_dropped"] += 1
+                        if self.opic:  # dropped entries retire their cash
+                            self.url_cash.pop(self._cash_key(ent[0]), None)
                         continue
                     if (
                         budget > 0

@@ -90,6 +90,24 @@ class TestOpicShard:
         assert sh.released_tbl.num_rows == 0
         assert sh.url_cash == {}  # no leaked entry for the gated url
 
+    def test_breaker_dropped_entries_retire_their_cash(self):
+        sh = FrontierShard(0, 1, opic=True)
+        sh.add_candidates(
+            [
+                cand(1, 0, "http://bad.test/a.html", 0.8, host="bad.test"),
+                cand(1, 1, "http://ok.test/b.html", 0.2, host="ok.test"),
+            ]
+        )
+        sh.finalize_wave(1, -1, -1, None, 0)  # cap 0: both stay pending
+        sh.open_breakers(["bad.test"])
+        sh.finalize_wave(2, -1, -1)
+        assert sh.released_tbl.column("url").to_pylist() == [
+            "http://ok.test/b.html"
+        ]
+        # the dropped url's cash must not linger in the hot set
+        assert sh.url_cash == {}
+        assert sh.counters["breaker_dropped"] == 1
+
     def test_snapshot_roundtrip_and_toggle_guard(self, tmp_path):
         sh = FrontierShard(0, 1, opic=True)
         sh.add_candidates([cand(1, 0, "http://h.test/a.html", 0.7)])

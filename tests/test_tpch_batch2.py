@@ -13,6 +13,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from suckit_ray.pipelines import tpch
+from suckit_ray.pipelines.relops import to_cents
 
 SF = "/root/testdata/sf0.001"
 
@@ -20,10 +21,9 @@ pytestmark = pytest.mark.usefixtures("ray_session")
 
 
 def cents(s: pd.Series) -> np.ndarray:
-    x = s.to_numpy(dtype="float64") * 100.0
-    return np.where(
-        x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
-    ).astype("int64")
+    # the engine's own half-away-from-zero idiom (floor(x+0.5) is
+    # subtly wrong near representation boundaries — see to_cents)
+    return to_cents(s).to_numpy()
 
 
 def _tables(*names):
