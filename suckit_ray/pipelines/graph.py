@@ -741,6 +741,12 @@ def hits_from_docs(
                 }
             )
 
+        # materialized even though the normalized scores have ONE
+        # downstream consumer: that consumer is a groupby, and Ray
+        # Data's sort-based shuffle runs a boundary-SAMPLING pass
+        # before the exchange — a lazy input gets re-executed per
+        # pass (measured 17 → 59 s for the full HITS when this
+        # barrier was dropped).
         return raw.map_batches(normalize, batch_format="pandas").materialize()
 
     hubs = init_scores()
