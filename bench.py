@@ -220,6 +220,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q19_discounted_revenue",
         "q20_promo_suppliers",
         "q21_suppliers_kept_waiting",
+        # format round-trips + compaction (distributed IO both ways)
+        "docs_jsonl_roundtrip",
+        "docs_csv_roundtrip",
+        "crawl_mirror_compacted",
     ]
     qs = E.queries()
     out = {}
