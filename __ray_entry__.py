@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_triangles": graph.crawl_triangles,
         "crawl_degrees": graph.crawl_degrees,
         "crawl_kcore": graph.crawl_kcore,
+        "crawl_components": graph.crawl_components,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,
@@ -2900,6 +2901,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = sk
             JOIN nation ON n_nationkey = s_nationkey
             WHERE q.qty * 2 > t AND n_name = 'NATION_12'
+        """,
+        # connected components: ext_links=False means no cross-host
+        # edges, and every crawled page is link-reachable from its
+        # host's seed, so each host's reachable page set is EXACTLY
+        # one component — the closure CTE counts them per host
+        "crawl_components": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            per_host AS (
+              SELECT h, CAST(count(*) AS BIGINT) AS size
+              FROM reach GROUP BY h
+            )
+            SELECT size, CAST(count(*) AS BIGINT) AS n_components
+            FROM per_host GROUP BY size
         """,
         # text-format round-trips: the oracle is the identity select —
         # the Ray side must return documents EXACTLY after the full

@@ -597,12 +597,23 @@ def _cc_labels(
     pure improvement), turning the remaining convergence from O(d)
     rounds into O(log d). The common near-dup case (clique-ish
     components, diameter ≤ 3) never pays the extra shuffle.
-    ``stats``: optional dict that receives {"rounds": N}."""
+    ``stats``: optional dict that receives {"rounds": N}.
+
+    Node ids MUST be non-negative: the tagged-row encoding uses
+    ``peer < 0`` and ``label = -1`` as sentinels, so a negative id
+    masquerades as a sentinel row and silently corrupts labels (a
+    caller hashing strings to int64 must mask to 63 bits — see
+    graph.components_from_docs). Guarded loudly below."""
     B = num_buckets or max(16, _cpu_blocks())
 
     def explode_adj(t: pa.Table) -> pa.Table:
         a = t.column("a_id").to_numpy()
         b = t.column("b_id").to_numpy()
+        if len(a) and (a.min() < 0 or b.min() < 0):
+            raise ValueError(
+                "_cc_labels requires non-negative node ids (negative "
+                "values collide with the peer<0 / label=-1 sentinels)"
+            )
         node = np.concatenate([a, b])
         peer = np.concatenate([b, a])
         return pa.table(

@@ -1078,6 +1078,134 @@ def kcore_from_docs(
     return alive.map_batches(finish, batch_format="pandas")
 
 
+def components_from_docs(
+    docs: rd.Dataset, num_buckets: int | None = None
+) -> rd.Dataset:
+    """(size, n_components): weakly-connected-component size histogram
+    of the crawl's HTML link graph — the structural question a
+    web-scale corpus asks first ("is this one web or many islands?").
+
+    Plan: edges hash to int64 node ids (pd.util.hash_pandas_object —
+    deterministic 64-bit; a collision merging two components needs
+    ~2^32 nodes per partition, and the OUTPUT is size-level, so ids
+    never surface); labels come from ``dedup._cc_labels`` — the same
+    distributed min-label propagation (+ pointer jumping on long
+    chains) the near-dup clusters use, now over a full link graph.
+    Isolated HTML pages (no edges at all) ride a tagged co-group as
+    singleton components. Per-label sizes and the size histogram are
+    two bucketed aggregations over O(nodes) rows; the driver never
+    sees an edge or a label."""
+    import pandas as pd
+
+    from suckit_ray.pipelines.dedup import _cc_labels
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def to_ids(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.util.hash_pandas_object(df["src"], index=False)
+        b = pd.util.hash_pandas_object(df["dst"], index=False)
+        # >> 1: 63-bit NON-NEGATIVE ids — _cc_labels' tagged rows use
+        # peer<0 / label=-1 sentinels, so signed views of uint64
+        # hashes would masquerade as sentinels and corrupt labels
+        out = pd.DataFrame(
+            {
+                "a_id": (a.to_numpy() >> np.uint64(1)).astype("int64"),
+                "b_id": (b.to_numpy() >> np.uint64(1)).astype("int64"),
+            }
+        )
+        # _cc_labels expects a near-dup-shaped pair list: no self-loops
+        # (a page linking to itself is component-neutral) and no exact
+        # duplicates (repeated links in one document). Batch-local
+        # dedup; cross-batch duplicates are harmless to the adjacency
+        # but self-pairs would double a node's self-label row and break
+        # reduce_min's unique-index reindex.
+        out = out[out["a_id"] != out["b_id"]].drop_duplicates()
+        return out
+
+    edges = _link_edges(docs)
+    labels = _cc_labels(
+        edges.map_batches(to_ids, batch_format="pandas"), num_buckets
+    )
+    sizes = bucketed_groupby_agg(
+        labels, keys=["label"], aggs={"size": ("node", "count")}, num_buckets=B
+    ).select_columns(["size"])
+
+    # singleton components: HTML nodes that appear in NO edge. Tagged
+    # co-group on the node hash: edge endpoints mark presence, doc
+    # nodes mark membership; members without presence are size-1.
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas out like endpoint_rows: the union feeding a groupby
+        # must be format-homogeneous (mixed arrow+pandas blocks break
+        # the sort-shuffle's group slicing)
+        keep = df.loc[df["is_html"].astype(bool), "doc_id"]
+        ids = (
+            pd.util.hash_pandas_object(
+                keep.map(posixpath.normpath), index=False
+            ).to_numpy()
+            >> np.uint64(1)  # same 63-bit ids as to_ids
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "node": ids,
+                "in_edge": np.zeros(len(ids), dtype=np.int64),
+                "bucket": ids % B,
+            }
+        )
+
+    def endpoint_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.unique(
+            pd.concat([df["a_id"], df["b_id"]], ignore_index=True)
+        )
+        return pd.DataFrame(
+            {
+                "node": ids,
+                "in_edge": np.ones(len(ids), dtype=np.int64),
+                "bucket": ids % B,
+            }
+        )
+
+    def count_singletons(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node")["in_edge"].max()
+        n = int((m == 0).sum())
+        return pd.DataFrame({"n": pd.array([n] if n else [], dtype="int64")})
+
+    singles = (
+        docs.select_columns(["doc_id", "is_html"])
+        .map_batches(node_rows, batch_format="pandas")
+        .union(
+            edges.map_batches(to_ids, batch_format="pandas").map_batches(
+                endpoint_rows, batch_format="pandas"
+            )
+        )
+        .groupby("bucket")
+        .map_groups(count_singletons, batch_format="pandas")
+        .to_pandas()  # ≤ B tiny rows
+    )
+    n_single = int(singles["n"].sum()) if len(singles) else 0
+
+    single_rows = rd.from_arrow(
+        pa.table({"size": pa.array([1] * n_single, pa.int64())})
+    )
+    all_sizes = sizes.union(single_rows) if n_single else sizes
+    return bucketed_groupby_agg(
+        all_sizes,
+        keys=["size"],
+        aggs={"n_components": ("size", "count")},
+        num_buckets=B,
+    )
+
+
+def crawl_components(sf_dir: str) -> rd.Dataset:
+    """queries() entry: component-size histogram of the flagship
+    mirror's link graph. The oracle corpus has no cross-host links
+    (ext_links=False), so each host's reachable page set is exactly
+    one component — the closure CTE counts them per host."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return components_from_docs(crawl_docs(sf_dir))
+
+
 def crawl_kcore(sf_dir: str, k: int = 2) -> rd.Dataset:
     """queries() entry: the 2-core of the flagship mirror's link graph
     (rows-only in CORRECTNESS; pinned against a Python peel)."""

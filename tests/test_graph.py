@@ -292,3 +292,73 @@ def test_kcore_chain_peels_to_empty_and_raises_when_capped():
         kcore_from_docs(
             rd.from_items(rows).repartition(2), k=2, max_rounds=1
         ).to_pandas()
+
+
+class TestComponents:
+    def _docs(self, rows):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "is_html": [True] * len(rows),
+                    "spans": [
+                        [
+                            {"kind": "link", "text": "", "media_ref": m, "offset": 0}
+                            for m in r[1]
+                        ]
+                        for r in rows
+                    ],
+                }
+            )
+        )
+
+    def test_sizes_with_singleton_and_two_islands(self):
+        from suckit_ray.pipelines.graph import components_from_docs
+
+        docs = self._docs(
+            [
+                ("h//a.html", ["b.html"]),
+                ("h//b.html", ["a.html"]),
+                ("h//c.html", ["a.html"]),
+                ("h//iso.html", []),  # no edges at all → singleton
+                ("g//x.html", ["y.html"]),
+                ("g//y.html", []),
+            ]
+        )
+        out = (
+            components_from_docs(docs)
+            .to_pandas()
+            .sort_values("size")
+            .reset_index(drop=True)
+        )
+        assert out.to_dict("list") == {
+            "size": [1, 2, 3],
+            "n_components": [1, 1, 1],
+        }
+
+    def test_self_loops_and_duplicate_links_are_neutral(self):
+        from suckit_ray.pipelines.graph import components_from_docs
+
+        docs = self._docs(
+            [
+                ("h//a.html", ["a.html", "b.html", "b.html"]),  # self + dup
+                ("h//b.html", []),
+            ]
+        )
+        out = components_from_docs(docs).to_pandas()
+        assert out.to_dict("list") == {"size": [2], "n_components": [1]}
+
+    def test_cc_labels_rejects_negative_ids(self):
+        import pandas as pd
+        import pytest as pt
+
+        import ray.data as rd
+        from suckit_ray.pipelines.dedup import _cc_labels
+
+        ids = rd.from_pandas(pd.DataFrame({"a_id": [-5], "b_id": [3]}))
+        with pt.raises(Exception, match="non-negative"):
+            _cc_labels(ids).to_pandas()
