@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_gapfill": relops.events_daily_gapfill,
         "events_moving_avg": relops.events_moving_avg,
         "events_interarrival": relops.events_interarrival,
+        "events_first_last": relops.events_first_last,
+        "events_latest_state": relops.events_latest_state,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -2901,6 +2903,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = sk
             JOIN nation ON n_nationkey = s_nationkey
             WHERE q.qty * 2 > t AND n_name = 'NATION_12'
+        """,
+        # argmin/argmax-by-ordering: first/last value per user and the
+        # CDC last-write-wins compaction, (ts, event_id) tiebreak
+        "events_first_last": """
+            WITH o AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_c,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rz
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(MAX(CASE WHEN ra = 1 THEN value_c END) AS BIGINT)
+                     AS first_value_c,
+                   CAST(MAX(CASE WHEN rz = 1 THEN value_c END) AS BIGINT)
+                     AS last_value_c,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id
+        """,
+        "events_latest_state": """
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS last_value_c
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) = 1
         """,
         # connected components: ext_links=False means no cross-host
         # edges, and every crawled page is link-reachable from its

@@ -2975,3 +2975,136 @@ def orders_priority_unpivot(sf_dir: str) -> pa.Table:
             "n_orders": pa.array(tall["n_orders"].astype("int64"), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# argmin/argmax-by-ordering aggregations: first/last value per group and
+# CDC-style last-write-wins compaction
+# ---------------------------------------------------------------------------
+
+
+def events_first_last(sf_dir: str) -> rd.Dataset:
+    """(user_id, first_value_c, last_value_c, n_events): each user's
+    first and last event VALUE by (ts, event_id) order — the
+    argmin-by-key aggregation shape (the aggregate returns a column
+    OTHER than the one being ordered on, so min/max combiners must
+    carry the full ordering key + payload).
+
+    Plan: per-block partials keep each user's local argmin/argmax row
+    (ordering key = (ts_us, event_id) — event_id breaks timestamp
+    ties deterministically) plus a count; one user-bucket co-group
+    finishes with the same comparison. The shuffle carries ≤ 2 rows ×
+    4 ints per (block × user). Values are exact integer cents."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "value_c": to_cents(df["value"]),
+            }
+        )
+        d = d.sort_values(["ts_us", "event_id"], kind="mergesort")
+        g = d.groupby("user_id")
+        first = g.head(1).rename(
+            columns={"ts_us": "a_ts", "event_id": "a_id", "value_c": "a_val"}
+        )
+        last = g.tail(1).rename(
+            columns={"ts_us": "z_ts", "event_id": "z_id", "value_c": "z_val"}
+        )
+        n = g.size().rename("n").reset_index()
+        p = first.merge(last, on="user_id").merge(n, on="user_id")
+        p["bucket"] = (p["user_id"] % B).astype("int64")
+        return p
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["a_ts", "a_id"], kind="mergesort")
+        first = g.groupby("user_id", as_index=False).first()[
+            ["user_id", "a_val"]
+        ]
+        g2 = g.sort_values(["z_ts", "z_id"], kind="mergesort")
+        last = g2.groupby("user_id", as_index=False).last()[
+            ["user_id", "z_val"]
+        ]
+        n = g.groupby("user_id", as_index=False).agg(n_events=("n", "sum"))
+        out = first.merge(last, on="user_id").merge(n, on="user_id")
+        return out.rename(
+            columns={"a_val": "first_value_c", "z_val": "last_value_c"}
+        ).astype(
+            {
+                "first_value_c": "int64",
+                "last_value_c": "int64",
+                "n_events": "int64",
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def events_latest_state(sf_dir: str) -> rd.Dataset:
+    """(user_id, event_type, last_ts_us, last_value_c): the LATEST
+    record per (user, event_type) by (ts, event_id) — CDC / upsert
+    log compaction: the table a changelog stream collapses to. Same
+    argmax-by-key plan as events_first_last with a composite group
+    key; at changelog scale this is the standard "compact the log
+    into current state" pass, one partial per block then one
+    co-group on the group-key hash."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "value_c": to_cents(df["value"]),
+            }
+        )
+        d = d.sort_values(["ts_us", "event_id"], kind="mergesort")
+        p = d.groupby(["user_id", "event_type"], as_index=False).tail(1)
+        h = pd.util.hash_pandas_object(
+            p["event_type"], index=False
+        ).astype("uint64")
+        p = p.copy()
+        p["bucket"] = (
+            (p["user_id"].to_numpy().astype("uint64") * np.uint64(1000003) + h.to_numpy())
+            % np.uint64(B)
+        ).astype("int64")
+        return p
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        out = g.groupby(["user_id", "event_type"], as_index=False).tail(1)
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "event_type": out["event_type"],
+                "last_ts_us": out["ts_us"].astype("int64"),
+                "last_value_c": out["value_c"].astype("int64"),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id", "value"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+    )

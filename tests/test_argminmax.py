@@ -1,0 +1,68 @@
+"""Tie-break pins for the argmin/argmax-by-ordering operators
+(relops.events_first_last / events_latest_state): tied timestamps
+must resolve by event_id on BOTH the engine and oracle side — the
+synthetic events table rarely has exact ts collisions, so these feed
+a hand-built parquet where every interesting case is a tie."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from suckit_ray.pipelines import relops
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture()
+def tied_events(tmp_path):
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": [5, 2, 9, 1, 7],
+            "ts": [ts, ts, ts, ts + pd.Timedelta(hours=1), ts],
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["a", "a", "b", "a", "a"],
+            "value": [1.10, 2.20, 3.30, 4.40, 5.50],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_first_last_breaks_ts_ties_by_event_id(tied_events):
+    out = (
+        relops.events_first_last(tied_events)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # user 1: all three events tie on ts → first = event_id 2 (220),
+    # last = event_id 9 (330). user 2: event 7 ties-at-t0 precedes
+    # event 1 at t0+1h despite the smaller event_id.
+    assert out.to_dict("list") == {
+        "user_id": [1, 2],
+        "first_value_c": [220, 550],
+        "last_value_c": [330, 440],
+        "n_events": [3, 2],
+    }
+
+
+def test_latest_state_breaks_ts_ties_by_event_id(tied_events):
+    out = (
+        relops.events_latest_state(tied_events)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    t0 = 1_704_067_200_000_000  # 2024-01-01 in epoch us
+    # user 1/a: ids 5 and 2 tie on ts → id 5 wins (110); user 2/a:
+    # id 1 at t0+1h beats id 7 at t0 despite the smaller event_id
+    assert out.to_dict("list") == {
+        "user_id": [1, 1, 2],
+        "event_type": ["a", "b", "a"],
+        "last_ts_us": [t0, t0, t0 + 3_600_000_000],
+        "last_value_c": [110, 330, 440],
+    }
