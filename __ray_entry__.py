@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": relops.events_interarrival,
         "events_first_last": relops.events_first_last,
         "events_latest_state": relops.events_latest_state,
+        "events_peak_concurrency": relops.events_peak_concurrency,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -2903,6 +2904,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = sk
             JOIN nation ON n_nationkey = s_nationkey
             WHERE q.qty * 2 > t AND n_name = 'NATION_12'
+        """,
+        # sweep-line max-overlap over the sessionize intervals: +1/−1
+        # endpoint deltas, running sum ordered by (ts, +1 first), max
+        # and its earliest instant — chains the sessionize CTE
+        "events_peak_concurrency": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            o AS (
+              SELECT user_id, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            ),
+            ses AS (
+              SELECT user_id, ts_us,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o
+            ),
+            sess AS (
+              SELECT min(ts_us) AS s, max(ts_us) AS t
+              FROM ses GROUP BY user_id, session_id
+            ),
+            pts AS (
+              SELECT s AS ts_us, 1 AS d FROM sess
+              UNION ALL
+              SELECT t AS ts_us, -1 AS d FROM sess
+            ),
+            run AS (
+              SELECT ts_us,
+                SUM(d) OVER (ORDER BY ts_us, d DESC
+                             ROWS UNBOUNDED PRECEDING) AS conc
+              FROM pts
+            )
+            SELECT CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+                   CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM run)
+                            THEN ts_us END) AS BIGINT) AS first_peak_us
+            FROM run
         """,
         # argmin/argmax-by-ordering: first/last value per user and the
         # CDC last-write-wins compaction, (ts, event_id) tiebreak

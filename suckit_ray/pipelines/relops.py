@@ -3108,3 +3108,89 @@ def events_latest_state(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def events_peak_concurrency(sf_dir: str) -> "pa.Table":
+    """(max_concurrent, first_peak_us): the maximum number of
+    simultaneously-active sessions (inclusive [start_us, end_us]
+    intervals from ``events_sessionize``) and the earliest instant it
+    is reached — the interval-stabbing / sweep-line shape: +1/−1
+    endpoint deltas, one GLOBAL ordered prefix sum, max of the
+    running count.
+
+    Plan: session endpoints become (ts_us, ±1) rows; a sample-trained
+    range partitioner (the ``events_value_rank`` recipe) buckets them
+    order-preservingly; per-bucket delta TOTALS — O(buckets) ints —
+    take one exclusive prefix on the driver, giving each bucket the
+    concurrency ENTERING it; each bucket then sorts locally by
+    (ts, +1-before-−1) and scans. The driver reduces ≤ B (max, ts)
+    partials. Ties at one instant count as overlapping (a session
+    starting exactly when another ends sees it still active)."""
+    import numpy as np
+    import ray
+
+    from suckit_ray.stages.agg import bucket_prefix_bases, default_buckets
+
+    B = default_buckets()
+    sessions = events_sessionize(sf_dir)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ts_us": np.concatenate(
+                    [df["start_us"].to_numpy(), df["end_us"].to_numpy()]
+                ).astype("int64"),
+                "d": np.concatenate(
+                    [
+                        np.ones(len(df), dtype="int64"),
+                        -np.ones(len(df), dtype="int64"),
+                    ]
+                ),
+            }
+        )
+
+    pts = sessions.map_batches(endpoints, batch_format="pandas")
+    splits = _train_rank_splits(pts, B, id_col="ts_us", value_col="ts_us")
+    if splits is None:
+        return pa.table(
+            {
+                "max_concurrent": pa.array([], pa.int64()),
+                "first_peak_us": pa.array([], pa.int64()),
+            }
+        )
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        out = df.copy()
+        out["bucket"] = np.searchsorted(
+            sp, df["ts_us"].to_numpy(), side="right"
+        ).astype("int64")
+        return out
+
+    bucketed = pts.map_batches(bucketize, batch_format="pandas").materialize()
+    bases_ref = bucket_prefix_bases(bucketed, "bucket", weight_col="d")
+
+    def bucket_peak(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bases_ref).get(int(g["bucket"].iloc[0]), 0)
+        g = g.sort_values(
+            ["ts_us", "d"], ascending=[True, False], kind="mergesort"
+        )
+        run = base + g["d"].cumsum().to_numpy()
+        mx = int(run.max())
+        first_ts = int(g["ts_us"].to_numpy()[run == mx][0])
+        return pd.DataFrame({"max_c": [mx], "at_us": [first_ts]})
+
+    peaks = (
+        bucketed.groupby("bucket")
+        .map_groups(bucket_peak, batch_format="pandas")
+        .to_pandas()  # ≤ B rows
+    )
+    mx = int(peaks["max_c"].max())
+    first = int(peaks.loc[peaks["max_c"] == mx, "at_us"].min())
+    return pa.table(
+        {
+            "max_concurrent": pa.array([mx], pa.int64()),
+            "first_peak_us": pa.array([first], pa.int64()),
+        }
+    )

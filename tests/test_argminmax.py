@@ -66,3 +66,31 @@ def test_latest_state_breaks_ts_ties_by_event_id(tied_events):
         "last_ts_us": [t0, t0, t0 + 3_600_000_000],
         "last_value_c": [110, 330, 440],
     }
+
+
+def test_peak_concurrency_counts_touching_intervals_as_overlap(tmp_path):
+    # three users, single-session each: u1 [0min, 10min],
+    # u2 [5min, 20min], u3 starts EXACTLY when u1 ends (10min) —
+    # inclusive semantics: at t=10min all three are active
+    t0 = pd.Timestamp("2024-06-01 12:00:00")
+    rows = [
+        (1, 1, t0), (2, 1, t0 + pd.Timedelta(minutes=10)),
+        (3, 2, t0 + pd.Timedelta(minutes=5)),
+        (4, 2, t0 + pd.Timedelta(minutes=20)),
+        (5, 3, t0 + pd.Timedelta(minutes=10)),
+        (6, 3, t0 + pd.Timedelta(minutes=15)),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[2] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": ["a"] * len(rows),
+            "value": [1.0] * len(rows),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    out = relops.events_peak_concurrency(str(tmp_path)).to_pandas()
+    assert out["max_concurrent"].tolist() == [3]
+    peak_us = int((t0 + pd.Timedelta(minutes=10)).value // 1000)
+    assert out["first_peak_us"].tolist() == [peak_us]
