@@ -66,6 +66,30 @@ def num_cpus() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def box_health() -> dict:
+    """Cheap host-capacity probe recorded alongside every bench line
+    so a reading taken in a throttled window is self-describing: the
+    sandbox's visible CPU count has been observed to drop to 1 for
+    stretches (BASELINE.md documents the interference pattern), and a
+    wall-clock next to ``os.cpu_count() == 1`` means the HOST, not
+    the engine, was slow. ``burn_1cpu_mops``: single-process float
+    throughput (healthy ≈ 3.3-3.6 Mops; heavily-shared windows read
+    lower)."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    x, n = 1.0, 0
+    while _t.perf_counter() - t0 < 0.5:
+        for _ in range(10000):
+            x = x * 1.0000001 % 10.0
+        n += 10000
+    dt = _t.perf_counter() - t0
+    return {
+        "os_cpu_count": os.cpu_count(),
+        "burn_1cpu_mops": round(n / dt / 1e6, 2),
+    }
+
+
 def run_headline(sf_dir: str) -> dict:
     from suckit_ray.config import CrawlConfig
     from suckit_ray.pipelines.crawl import crawl
@@ -281,6 +305,7 @@ def main() -> None:
                 "sustained_share": round(headline["sustained_share"], 3),
                 "driver_rss_mb_first": headline["driver_rss_mb_first"],
                 "driver_rss_mb_max": headline["driver_rss_mb_max"],
+                **box_health(),
             }
         )
     )
