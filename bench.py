@@ -68,13 +68,12 @@ def num_cpus() -> int:
 
 def box_health() -> dict:
     """Cheap host-capacity probe recorded alongside every bench line
-    so a reading taken in a throttled window is self-describing: the
-    sandbox's visible CPU count has been observed to drop to 1 for
-    stretches (BASELINE.md documents the interference pattern), and a
-    wall-clock next to ``os.cpu_count() == 1`` means the HOST, not
-    the engine, was slow. ``burn_1cpu_mops``: single-process float
-    throughput (healthy ≈ 3.3-3.6 Mops; heavily-shared windows read
-    lower)."""
+    so a reading taken in a contended window is self-describing
+    (BASELINE.md documents the bursty shared-host interference): a
+    slow wall-clock next to a low ``burn_1cpu_mops`` (healthy ≈ 19-20
+    on this box) or a shrunken affinity mask means the HOST was slow,
+    not the engine. NB ``nproc`` honors OMP_NUM_THREADS (=1 here) and
+    under-reports; the affinity mask is the real signal."""
     import time as _t
 
     t0 = _t.perf_counter()
@@ -84,8 +83,12 @@ def box_health() -> dict:
             x = x * 1.0000001 % 10.0
         n += 10000
     dt = _t.perf_counter() - t0
+    try:
+        usable = len(os.sched_getaffinity(0))
+    except AttributeError:
+        usable = os.cpu_count()
     return {
-        "os_cpu_count": os.cpu_count(),
+        "usable_cpus": usable,
         "burn_1cpu_mops": round(n / dt / 1e6, 2),
     }
 
