@@ -632,7 +632,7 @@ def hits_from_docs(
                 lambda df: pd.DataFrame(
                     {
                         "node": df["node"],
-                        "score": np.full(len(df), init, dtype="int64"),
+                        "contrib": np.full(len(df), init, dtype="int64"),
                     }
                 ),
                 batch_format="pandas",
@@ -642,18 +642,26 @@ def hits_from_docs(
         )
 
     def half_round(
-        scores: rd.Dataset, adj: rd.Dataset, read_col: str, emit_col: str
-    ) -> rd.Dataset:
+        scores: rd.Dataset, div: int, adj: rd.Dataset, read_col: str,
+        emit_col: str,
+    ) -> tuple[rd.Dataset, int]:
         """One matvec: co-locate ``scores`` with edges on ``read_col``,
         emit (node=``emit_col`` endpoint, contrib=score), reduce by
-        node, then divide by the global scalar."""
+        node. ``scores`` is the PREVIOUS half-round's raw (node,
+        contrib) with its pending scalar divisor ``div`` — the
+        division folds into this round's first map over the
+        materialized raw, so each half-round pays ONE materialization
+        barrier instead of two (score normalize + raw; measured
+        44.8 → 26.7 s for the full HITS at sf0.1, idle box). Returns
+        (raw, d) with the division pending for the consumer."""
 
         def as_score_rows(df: pd.DataFrame) -> pd.DataFrame:
+            score = (df["contrib"].to_numpy() // div).astype("int64")
             return pd.DataFrame(
                 {
                     "src": df["node"] if read_col == "src" else "",
                     "dst": df["node"] if read_col == "dst" else "",
-                    "score": df["score"].astype("int64"),
+                    "score": score,
                     "is_score": np.ones(len(df), dtype="int64"),
                     "bucket": bucket_of(df["node"]),
                 }
@@ -718,6 +726,11 @@ def hits_from_docs(
             )
             return out[out["is_node"] == 1][["node", "contrib"]]
 
+        # the ONE materialization per half-round: raw is consumed
+        # twice (native sum + next round's maps), and its consumer
+        # chain includes a groupby whose sort-based shuffle runs a
+        # boundary-SAMPLING pass — a lazy input would re-execute per
+        # pass (measured 17 → 59 s when this barrier was dropped).
         raw = (
             msgs.map_batches(pre_reduce, batch_format="pandas")
             .union(nodes.map_batches(zero_rows, batch_format="pandas"))
@@ -726,52 +739,37 @@ def hits_from_docs(
             .repartition(B)
             .materialize()
         )
-        totals = raw.map_batches(
-            lambda df: pd.DataFrame({"t": [int(df["contrib"].sum())]}),
-            batch_format="pandas",
-        ).to_pandas()
-        total = int(totals["t"].sum()) if len(totals) else 0
-        d = max(total // S, 1)
+        total = int(raw.sum("contrib") or 0)
+        return raw, max(total // S, 1)
 
-        def normalize(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "node": df["node"],
-                    "score": (df["contrib"].to_numpy() // d).astype("int64"),
-                }
-            )
-
-        # materialized even though the normalized scores have ONE
-        # downstream consumer: that consumer is a groupby, and Ray
-        # Data's sort-based shuffle runs a boundary-SAMPLING pass
-        # before the exchange — a lazy input gets re-executed per
-        # pass (measured 17 → 59 s for the full HITS when this
-        # barrier was dropped).
-        return raw.map_batches(normalize, batch_format="pandas").materialize()
-
-    hubs = init_scores()
+    hubs, hd = init_scores(), 1
     # auths is overwritten by the first half-round; only build the
     # initial (full nodes pass + repartition) dataset when iters == 0.
-    auths = init_scores() if iters == 0 else None
+    auths, ad = (init_scores(), 1) if iters == 0 else (None, 1)
     for _ in range(iters):
-        auths = half_round(hubs, adj_by_src, "src", "dst")
-        hubs = half_round(auths, adj_by_dst, "dst", "src")
+        auths, ad = half_round(hubs, hd, adj_by_src, "src", "dst")
+        hubs, hd = half_round(auths, ad, adj_by_dst, "dst", "src")
 
-    def tag(df: pd.DataFrame, col: str) -> pd.DataFrame:
+    def tag(df: pd.DataFrame, col: str, d: int) -> pd.DataFrame:
+        score = (df["contrib"].to_numpy() // d).astype("int64")
         out = pd.DataFrame(
             {
                 "node": df["node"],
-                "hub_nano": df["score"] if col == "hub" else 0,
-                "auth_nano": df["score"] if col == "auth" else 0,
+                "hub_nano": score if col == "hub" else 0,
+                "auth_nano": score if col == "auth" else 0,
                 "bucket": bucket_of(df["node"]),
             }
         )
         return out.astype({"hub_nano": "int64", "auth_nano": "int64"})
 
     return (
-        hubs.map_batches(lambda df: tag(df, "hub"), batch_format="pandas")
+        hubs.map_batches(
+            lambda df: tag(df, "hub", hd), batch_format="pandas"
+        )
         .union(
-            auths.map_batches(lambda df: tag(df, "auth"), batch_format="pandas")
+            auths.map_batches(
+                lambda df: tag(df, "auth", ad), batch_format="pandas"
+            )
         )
         .groupby("bucket")
         .map_groups(
