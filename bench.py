@@ -251,6 +251,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_jsonl_roundtrip",
         "docs_csv_roundtrip",
         "crawl_mirror_compacted",
+        # argmin/argmax, CDC compaction, sweep-line, components
+        "events_first_last",
+        "events_latest_state",
+        "events_peak_concurrency",
+        "crawl_components",
     ]
     qs = E.queries()
     out = {}
