@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "docs_dedup_keep_best": dedup.docs_dedup_keep_best,
+        "docs_incremental_dedup": dedup.docs_incremental_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "minhash_lsh_pairs_shuffled": dedup.minhash_lsh_pairs_shuffled,
         "simhash": dedup.simhash,
@@ -303,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last": relops.events_first_last,
         "events_latest_state": relops.events_latest_state,
         "events_peak_concurrency": relops.events_peak_concurrency,
+        "events_watermark_agg": relops.events_watermark_agg,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -2904,6 +2906,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = sk
             JOIN nation ON n_nationkey = s_nationkey
             WHERE q.qty * 2 > t AND n_name = 'NATION_12'
+        """,
+        # streaming watermark: running-max event time over the
+        # md5-jittered arrival order, minus 36 h allowed lateness;
+        # events older than the watermark AT ARRIVAL are dropped
+        # (constants mirror WATERMARK_* in relops.py)
+        "events_watermark_agg": """
+            WITH e AS (
+              SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v,
+                     epoch_us(ts)
+                       + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                         1, 15))::BIGINT % 172800000000
+                       - 86400000000 AS arr
+              FROM events
+            ),
+            w AS (
+              SELECT *, MAX(ts_us) OVER (
+                ORDER BY arr, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM e
+            )
+            SELECT event_type,
+                   CAST(ts_us // 86400000000 * 86400000000 AS BIGINT)
+                     AS day_us,
+                   CAST(count(*) AS BIGINT) AS n_accepted,
+                   CAST(SUM(v) AS BIGINT) AS sum_value_c
+            FROM w
+            WHERE pm IS NULL OR ts_us >= pm - 129600000000
+            GROUP BY 1, 2
+        """,
+        # incremental ingest: new (odd doc_id) docs surviving dedup
+        # against the old (even) corpus AND within themselves
+        "docs_incremental_dedup": """
+            WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+            old AS (SELECT DISTINCT hh FROM h WHERE doc_id % 2 = 0),
+            new AS (SELECT doc_id, hh FROM h WHERE doc_id % 2 = 1)
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+            FROM new WHERE hh NOT IN (SELECT hh FROM old)
+            GROUP BY hh
         """,
         # sweep-line max-overlap over the sessionize intervals: +1/−1
         # endpoint deltas, running sum ordered by (ts, +1 first), max

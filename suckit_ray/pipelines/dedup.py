@@ -1333,3 +1333,80 @@ def docs_dedup_keep_best(sf_dir: str) -> "rd.Dataset":
         .groupby("bucket2")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental-ingest dedup: new snapshot vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def docs_incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """(doc_id): the NEW documents that survive incremental ingestion
+    against an EXISTING corpus — the continuous-crawl pattern: every
+    ingest batch dedups (a) against the already-ingested corpus and
+    (b) within itself (first-wins by doc_id). Here the deterministic
+    even/odd doc_id split stands in for old/new snapshots; a real
+    deployment reads the persisted fingerprint table the prior ingest
+    wrote (the same (hash) relation this computes for the old half)
+    instead of re-hashing the corpus.
+
+    Plan: one pass hashes both halves (the exact_dedup md5-off-the-
+    Arrow-buffer kernel), tagging rows old/new; ONE hash-bucketed
+    co-group answers both membership questions group-locally — any
+    old row kills the hash, else the min-doc_id new row survives. The
+    shuffle carries (hash, doc_id, tag); the old side at scale is the
+    pre-aggregated fingerprint table (one row per distinct hash), not
+    the corpus."""
+    import hashlib as _hl
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def add_hash_tagged(t: pa.Table) -> pa.Table:
+        arr = t.column("text").combine_chunks()
+        if pa.types.is_large_string(arr.type):
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        else:
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        data = memoryview(arr.buffers()[2])
+        o = arr.offset
+        ids = t.column("doc_id").to_numpy()
+        hs = [
+            _hl.md5(data[offs[o + i] : offs[o + i + 1]]).hexdigest()
+            for i in range(len(arr))
+        ]
+        buck = [int(h[:8], 16) % B for h in hs]
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_new": pa.array(
+                    (ids % 2 == 1).astype(np.int64), pa.int64()
+                ),
+                "bucket": pa.array(buck, pa.int64()),
+            }
+        )
+
+    def survivors(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        agg = g.groupby("h").agg(
+            any_old=("is_new", "min"),  # 0 present ⇔ an old row exists
+            doc_id=(
+                "doc_id",
+                "min",
+            ),  # min over the group; only used when all-new
+        )
+        new_only = g[g["is_new"] == 1].groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min")
+        )
+        keep = new_only[new_only["h"].map(agg["any_old"]) == 1]
+        return keep[["doc_id"]]
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(add_hash_tagged, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(survivors, batch_format="pandas")
+    )

@@ -3194,3 +3194,140 @@ def events_peak_concurrency(sf_dir: str) -> "pa.Table":
             "first_peak_us": pa.array([first], pa.int64()),
         }
     )
+
+
+WATERMARK_JITTER_US = 172_800_000_000   # arrival = event time ± 1 day
+WATERMARK_LATENESS_US = 129_600_000_000  # 36 h allowed lateness
+_DAY_US_WM = 86_400_000_000
+
+
+def events_watermark_agg(sf_dir: str) -> rd.Dataset:
+    """(event_type, day_us, n_accepted, sum_value_c): per-type daily
+    aggregates of the events a STREAMING ingester would accept under
+    a watermark — the late-data semantics every streaming pipeline
+    needs: events arrive out of order (arrival = event time plus a
+    deterministic md5-derived ±1-day skew, SQL-reproducible), the
+    watermark is the running max event time seen so far minus a 36 h
+    allowed lateness, and an event older than the watermark AT ITS
+    ARRIVAL is dropped (≈20% of the synthetic table — non-degenerate).
+
+    Plan: the running max over arrival order is a prefix SCAN — the
+    same sample-trained range-partitioner recipe as
+    ``events_value_rank``, but with an exclusive prefix MAX of
+    per-bucket maxima (O(buckets) ints on the driver) instead of a
+    prefix sum: each bucket seeds its local cummax with the max of
+    all earlier buckets, judges its rows locally, and emits
+    (type, day) partials into the shared bucketed aggregation. The
+    watermark state a real stream would carry actor-side is exactly
+    this per-range maximum."""
+    import numpy as np
+    import ray
+
+    from suckit_ray.pipelines.dedup import _md5h60
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        jit = np.fromiter(
+            (_md5h60(str(int(i))) for i in df["event_id"]),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": ts_us,
+                "arr": ts_us
+                + jit % WATERMARK_JITTER_US
+                - WATERMARK_JITTER_US // 2,
+                "event_type": df["event_type"],
+                "v": to_cents(df["value"]),
+            }
+        )
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        .map_batches(prep, batch_format="pandas")
+        .materialize()  # consumed twice: split training + bucketize
+    )
+    splits = _train_rank_splits(ds, B, id_col="event_id", value_col="arr")
+    if splits is None:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_type": pd.array([], dtype="str"),
+                    "day_us": pd.array([], dtype="int64"),
+                    "n_accepted": pd.array([], dtype="int64"),
+                    "sum_value_c": pd.array([], dtype="int64"),
+                }
+            )
+        )
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        out = df.copy()
+        out["bucket"] = np.searchsorted(
+            sp, df["arr"].to_numpy(), side="right"
+        ).astype("int64")
+        return out
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()
+
+    # exclusive running MAX of per-bucket event-time maxima: the
+    # watermark each bucket's first row sees
+    per_bucket = (
+        bucketed.map_batches(
+            lambda df: df.groupby("bucket", as_index=False).agg(
+                m=("ts_us", "max")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("bucket", as_index=False)
+        .agg(m=("m", "max"))
+        .sort_values("bucket")
+    )
+    maxes = per_bucket["m"].to_numpy()
+    # sentinel −2^62, NOT int64 min: the scan subtracts the lateness
+    # from it, and int64-min − L would wrap around
+    bases = np.concatenate(
+        ([-(1 << 62)], np.maximum.accumulate(maxes)[:-1])
+    )
+    bases_ref = ray.put(
+        dict(zip(per_bucket["bucket"].tolist(), [int(b) for b in bases]))
+    )
+
+    def accept_and_partial(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bases_ref).get(int(g["bucket"].iloc[0]))
+        g = g.sort_values(["arr", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        # exclusive prefix max seeded with the prior buckets' max
+        pm = np.maximum.accumulate(np.concatenate(([base], ts[:-1])))
+        ok = ts >= pm - WATERMARK_LATENESS_US
+        d = g.loc[ok]
+        day = (d["ts_us"].to_numpy() // _DAY_US_WM) * _DAY_US_WM
+        return (
+            pd.DataFrame(
+                {"event_type": d["event_type"], "day_us": day, "v": d["v"]}
+            )
+            .groupby(["event_type", "day_us"], as_index=False)
+            .agg(n_accepted=("v", "size"), sum_value_c=("v", "sum"))
+        )
+
+    partials = bucketed.groupby("bucket").map_groups(
+        accept_and_partial, batch_format="pandas"
+    )
+    return bucketed_groupby_agg(
+        partials,
+        keys=["event_type", "day_us"],
+        aggs={
+            "n_accepted": ("n_accepted", "sum"),
+            "sum_value_c": ("sum_value_c", "sum"),
+        },
+    )

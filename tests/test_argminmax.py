@@ -94,3 +94,17 @@ def test_peak_concurrency_counts_touching_intervals_as_overlap(tmp_path):
     assert out["max_concurrent"].tolist() == [3]
     peak_us = int((t0 + pd.Timedelta(minutes=10)).value // 1000)
     assert out["first_peak_us"].tolist() == [peak_us]
+
+
+def test_watermark_actually_drops_late_events():
+    # guard against the degenerate regression where the watermark
+    # never advances (everything accepted = a plain groupby)
+    import pyarrow.parquet as pq_
+
+    sf = "/root/testdata/sf0.001"
+    total = pq_.read_metadata(f"{sf}/events.parquet").num_rows
+    out = relops.events_watermark_agg(sf).to_pandas()
+    accepted = int(out["n_accepted"].sum())
+    assert 0 < accepted < total  # some dropped, not all
+    # and the dropped fraction is material, not rounding noise
+    assert (total - accepted) / total > 0.05

@@ -333,3 +333,36 @@ def test_cc_labels_path_graph_converges_past_noop_jump():
     labels = _cc_labels(rd.from_arrow(edges)).to_pandas()
     got = dict(zip(labels["node"], labels["label"]))
     assert got == {0: 0, 1: 0, 5: 0, 6: 0, 7: 0, 8: 0}
+
+
+def test_incremental_dedup_engineered_duplicates(tmp_path):
+    # the sf corpora have no exact duplicates, so the oracle alone
+    # never exercises the anti-join — engineer all three cases:
+    # new-dup-of-old (drop), new-dup-within-new (keep min), unique new
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from suckit_ray.pipelines import dedup
+
+    rows = [
+        (0, "shared old/new"),     # old
+        (2, "old only"),           # old
+        (1, "shared old/new"),     # new, dup of old -> dropped
+        (3, "twin"),               # new, min of the twins -> kept
+        (5, "twin"),               # new, dup within new -> dropped
+        (7, "fresh"),              # unique new -> kept
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["t"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = dedup.docs_incremental_dedup(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [3, 7]
