@@ -256,6 +256,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_latest_state",
         "events_peak_concurrency",
         "crawl_components",
+        # incremental ingest + streaming watermark
+        "docs_incremental_dedup",
+        "events_watermark_agg",
     ]
     qs = E.queries()
     out = {}
