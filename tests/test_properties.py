@@ -157,3 +157,63 @@ def test_wsample_key_matches_duckdb(pairs):
         ).fetchall()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# FrontierShard invariants under random candidate streams (OPIC on/off,
+# random wave caps): conservation, exactly-once release, cash accounting
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def candidate_waves(draw):
+    n_waves = draw(st.integers(1, 4))
+    waves = []
+    seq = 1
+    for _ in range(n_waves):
+        n = draw(st.integers(0, 12))
+        cands = []
+        for i in range(n):
+            u = draw(st.integers(0, 15))  # small url space → many dups
+            h = draw(st.sampled_from(["a.test", "b.test"]))
+            cash = draw(
+                st.floats(0.0, 2.0, allow_nan=False, allow_infinity=False)
+            )
+            cands.append(
+                (seq, i, f"http://{h}/p{u}.html", h, False, 0, 0, cash)
+            )
+        seq += 1
+        waves.append(cands)
+    return waves
+
+
+@given(
+    waves=candidate_waves(),
+    opic=st.booleans(),
+    cap=st.one_of(st.none(), st.integers(1, 5)),
+)
+@settings(max_examples=60, deadline=None)
+def test_frontier_conservation_and_exactly_once(waves, opic, cap):
+    from suckit_ray.state.frontier import FrontierShard
+
+    sh = FrontierShard(0, 1, opic=opic)
+    sh.seed([("http://a.test/", "a.test")])
+    released = []
+    for w, cands in enumerate(waves):
+        sh.add_candidates(list(cands))
+        sh.finalize_wave(w, -1, -1, None, cap)
+        released.extend(sh.released_tbl.column("url").to_pylist())
+    # drain whatever the caps held back
+    for w in range(len(waves), len(waves) + 64):
+        if sh.pending_count() == 0:
+            break
+        sh.finalize_wave(w, -1, -1, None, cap)
+        released.extend(sh.released_tbl.column("url").to_pylist())
+    assert sh.pending_count() == 0
+    # exactly-once: no url released twice
+    assert len(released) == len(set(released))
+    # conservation: released = accepted = seed + every first-seen url
+    accepted = {"http://a.test/"} | {c[2] for w in waves for c in w}
+    assert set(released) == accepted
+    # cash accounting: the hot set fully drains with the queue
+    assert sh.url_cash == {}
