@@ -94,6 +94,32 @@ def build_record(
     return warc_head + block + b"\r\n\r\n"
 
 
+def build_revisit_record(url: str, payload_digest: int) -> bytes:
+    """One WARC revisit record (ISO 28500 §6.7.2, identical-payload-
+    digest profile): the delta-recrawl archive entry for a page whose
+    body is byte-identical to the prior capture — a few hundred bytes
+    of headers pointing at the earlier record instead of re-storing
+    the payload. The digest is the crawl's own 63-bit blake2b body
+    fingerprint labeled ``blake2b63:`` (the standard's example digest
+    is base32 sha1; any scheme is allowed as long as it is declared,
+    and using the SAME fingerprint the delta skip decision used makes
+    archive and skip semantics provably consistent)."""
+    warc_head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: revisit\r\n"
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+        "identical-payload-digest\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Refers-To-Target-URI: {url}\r\n"
+        f"WARC-Date: {_FIXED_DATE}\r\n"
+        f"WARC-Record-ID: {_record_id(url, str(payload_digest).encode())}\r\n"
+        f"WARC-Payload-Digest: blake2b63:{payload_digest}\r\n"
+        "Content-Length: 0\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return warc_head + b"\r\n\r\n"
+
+
 def write_warc_batch(
     batch: pa.Table,
     output_dir: str,
@@ -103,11 +129,14 @@ def write_warc_batch(
     ctype_col: str = "data_type",
     body_col: str = "body",
     filename_col: str = "filename",
+    revisit_col: str | None = None,
 ) -> pa.Table:
     """map_batches sink: write this batch's rows as one gzipped WARC
     segment named after the content hash (idempotent: a re-run of the
     same block overwrites the same file with the same bytes). Returns a
-    small (segment, n_records) table."""
+    small (segment, n_records) table. ``revisit_col`` (bool, optional):
+    rows flagged true write REVISIT records — headers + payload digest,
+    no body — the delta-recrawl archive form for unchanged pages."""
     os.makedirs(output_dir, exist_ok=True)
     # extracted filenames round-trip as a reconstructed header; the
     # reference's extract_filename takes everything after the first
@@ -117,17 +146,28 @@ def write_warc_batch(
         if filename_col in batch.schema.names
         else [None] * batch.num_rows
     )
+    revisits = (
+        batch.column(revisit_col).to_pylist()
+        if revisit_col is not None and revisit_col in batch.schema.names
+        else [False] * batch.num_rows
+    )
+    from suckit_ray.stages.html_stage import body_hash
+
     buf = io.BytesIO()
     n = 0
-    for url, status, ctype, body, fname in zip(
+    for url, status, ctype, body, fname, rev in zip(
         batch.column(url_col).to_pylist(),
         batch.column(status_col).to_pylist(),
         batch.column(ctype_col).to_pylist(),
         batch.column(body_col).to_pylist(),
         fnames,
+        revisits,
     ):
-        disp = f"attachment; filename={fname}" if fname else None
-        buf.write(build_record(url, int(status), ctype, body or b"", disp))
+        if rev:
+            buf.write(build_revisit_record(url, body_hash(body or b"")))
+        else:
+            disp = f"attachment; filename={fname}" if fname else None
+            buf.write(build_record(url, int(status), ctype, body or b"", disp))
         n += 1
     raw = buf.getvalue()
     name = f"segment-{hashlib.blake2b(raw, digest_size=8).hexdigest()}.warc.gz"
@@ -426,3 +466,37 @@ class ShardedWarcPageStore:
             return PageResponse(404, None, None, b"")
         status, ctype, disp, body = rec
         return PageResponse(status, ctype, disp, body)
+
+
+def count_warc_types(paths: str | list[str]) -> dict[str, int]:
+    """{warc-type: record count} across archive file(s)/dir — the
+    cheap integrity probe for delta archives (how many full response
+    records vs revisit pointers). Driver-side helper: reads headers
+    with the same tolerant scanner, skips every payload."""
+    counts: dict[str, int] = {}
+    for p in _resolve_warc_paths(paths):
+        with open(p, "rb") as f:
+            data = f.read()
+        if data[:2] == b"\x1f\x8b":
+            data = gzip.decompress(data)
+        pos = 0
+        while True:
+            pos = data.find(b"WARC/", pos)
+            if pos < 0:
+                break
+            head_end = data.find(b"\r\n\r\n", pos)
+            if head_end < 0:
+                break
+            head = data[pos:head_end].decode("utf-8", errors="replace")
+            fields = {}
+            for line in head.split("\r\n")[1:]:
+                k, _, v = line.partition(":")
+                fields[k.strip().lower()] = v.strip()
+            t = fields.get("warc-type", "unknown")
+            counts[t] = counts.get(t, 0) + 1
+            try:
+                length = int(fields.get("content-length", "0"))
+            except ValueError:
+                length = 0
+            pos = head_end + 4 + length
+    return counts

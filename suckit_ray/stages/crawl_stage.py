@@ -24,9 +24,15 @@ from suckit_ray.stages.fetch import make_fetch_fn
 from suckit_ray.stages.html_stage import make_process_fn
 
 
-def make_warc_stage(warc_dir: str):
+def make_warc_stage(warc_dir: str, delta: bool = False):
     """Archive a FETCH-output batch (raw bodies) as one WARC segment;
-    passes the batch through unchanged."""
+    passes the batch through unchanged. With ``delta`` (a delta
+    recrawl), pages whose body fingerprint matches the wave's
+    ``prev_hash`` archive as WARC REVISIT records — headers + payload
+    digest pointing at the prior capture, no body — so an incremental
+    archive stores bytes only for changed/new pages, exactly like the
+    skip decision stores docs only for them (Common Crawl's dedupe
+    convention, ISO 28500 revisit profile)."""
 
     def warc_stage(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -38,6 +44,20 @@ def make_warc_stage(warc_dir: str):
         # wire, and archiving them would make recrawl-from-archive
         # serve fabricated status-0 pages instead of missing (refetch)
         batch = batch.filter(pc.is_null(batch.column("fetch_error")))
+        if delta and batch.num_rows and "prev_hash" in batch.schema.names:
+            from suckit_ray.stages.html_stage import body_hash
+
+            rev = [
+                int(ph) != 0 and body_hash(b or b"") == int(ph)
+                for ph, b in zip(
+                    batch.column("prev_hash").to_pylist(),
+                    batch.column("body").to_pylist(),
+                )
+            ]
+            batch = batch.append_column(
+                pa.field("warc_revisit", pa.bool_()),
+                pa.array(rev, pa.bool_()),
+            )
         if batch.num_rows:
             # reconstruct the on-the-wire content type from the parsed
             # (data_type, charset) pair — parse_content_type is
@@ -56,7 +76,10 @@ def make_warc_stage(warc_dir: str):
                     pa.array(ctypes, pa.string()),
                 ),
                 warc_dir,
+                revisit_col="warc_revisit" if delta else None,
             )
+        if "warc_revisit" in batch.schema.names:
+            batch = batch.drop_columns(["warc_revisit"])
         return batch
 
     return warc_stage
@@ -75,7 +98,7 @@ def make_crawl_fn(
         config, shard_handles, wave, store_ref=store_ref,
         delta_hashes=delta_hashes,
     )
-    warc = make_warc_stage(warc_dir) if warc_dir else None
+    warc = make_warc_stage(warc_dir, delta=delta_hashes) if warc_dir else None
 
     def crawl_batch(batch: pa.Table) -> pa.Table:
         fetched = fetch(batch)

@@ -279,3 +279,48 @@ def test_canonicalize_toggle_falls_back_to_verified_load(tmp_path):
     # verified fallback still detects both pages unchanged
     assert res2.docs.num_rows == 0
     assert res2.ledger.num_rows == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeltaWarcRevisit:
+    def test_unchanged_pages_archive_as_revisit_records(self, tmp_path):
+        from suckit_ray.sources.warc import count_warc_types, read_warc
+
+        out1 = str(tmp_path / "run1")
+        warc1 = str(tmp_path / "warc1")
+        crawl(
+            CrawlConfig(origin="http://site.test/"),
+            _v1(),
+            num_shards=2,
+            output_dir=out1,
+            warc_dir=warc1,
+            delta_hashes=True,
+            collect=True,
+        )
+        # first crawl: everything is new → all response records
+        t1 = count_warc_types(warc1)
+        assert t1.get("revisit", 0) == 0 and t1["response"] == 3
+
+        out2 = str(tmp_path / "run2")
+        warc2 = str(tmp_path / "warc2")
+        crawl(
+            CrawlConfig(origin="http://site.test/"),
+            _v2(),
+            num_shards=2,
+            output_dir=out2,
+            warc_dir=warc2,
+            recrawl_from=out1,
+            delta_hashes=True,
+            collect=True,
+        )
+        # v2: index + b.html unchanged → revisit; a.html changed and
+        # new.html discovered → full response records
+        t2 = count_warc_types(warc2)
+        assert t2 == {"revisit": 2, "response": 2}
+        # read_warc over the delta archive yields only the full pages
+        # (revisit pointers carry no payload to re-serve)
+        urls = set(read_warc(warc2).to_pandas()["url"])
+        assert urls == {
+            "http://site.test/a.html",
+            "http://site.test/new.html",
+        }
