@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_state": relops.events_latest_state,
         "events_peak_concurrency": relops.events_peak_concurrency,
         "events_watermark_agg": relops.events_watermark_agg,
+        "events_trailing_7d": relops.events_trailing_7d,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -2906,6 +2907,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = sk
             JOIN nation ON n_nationkey = s_nationkey
             WHERE q.qty * 2 > t AND n_name = 'NATION_12'
+        """,
+        # RANGE-interval frame: trailing 7-day per-user window found
+        # by VALUE (not position) — ties at the current instant all
+        # included, per SQL RANGE semantics
+        "events_trailing_7d": """
+            SELECT event_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                     AS BIGINT) AS trail_sum_c
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
         """,
         # streaming watermark: running-max event time over the
         # md5-jittered arrival order, minus 36 h allowed lateness;

@@ -3331,3 +3331,81 @@ def events_watermark_agg(sf_dir: str) -> rd.Dataset:
             "sum_value_c": ("sum_value_c", "sum"),
         },
     )
+
+
+TRAILING_WINDOW_US = 7 * 86_400_000_000  # 7-day RANGE frame
+
+
+def events_trailing_7d(sf_dir: str) -> rd.Dataset:
+    """(event_id, trail_n, trail_sum_c): for EVERY event, the count
+    and value sum of the same user's events in the trailing 7-day
+    RANGE window (inclusive of the current row's instant) — the
+    variable-width RANGE frame, a different shape from the fixed
+    ROWS frame of events_moving_avg: each row's window is found by
+    VALUE, not position.
+
+    Plan: user-bucketed co-group (each user's history is one group);
+    inside a group, sort by (ts, event_id), take one prefix-sum pass,
+    and find each row's window start with ``searchsorted(ts − 7d)``
+    — O(n log n) per user, fully vectorized, no per-row loops. Ties
+    at the window edge: RANGE semantics include ALL rows at the
+    boundary instant, which searchsorted('left') reproduces."""
+    import numpy as np
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def to_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "v": to_cents(df["value"]),
+            }
+        )
+        p["bucket"] = (p["user_id"] % B).astype("int64")
+        return p
+
+    def trail(g: pd.DataFrame) -> pd.DataFrame:
+        out_frames = []
+        for _, u in g.groupby("user_id"):
+            u = u.sort_values(["ts_us", "event_id"], kind="mergesort")
+            ts = u["ts_us"].to_numpy()
+            v = u["v"].to_numpy()
+            csum = np.concatenate(([0], np.cumsum(v)))
+            # RANGE frame: rows with ts' in [ts_i − 7d, ts_i]. The
+            # upper edge must include ALL rows at the current instant
+            # (even those ordered after by event_id) — that is RANGE,
+            # not ROWS: use searchsorted right/left on the VALUES.
+            lo = np.searchsorted(ts, ts - TRAILING_WINDOW_US, side="left")
+            hi = np.searchsorted(ts, ts, side="right")
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": u["event_id"].to_numpy(),
+                        "trail_n": (hi - lo).astype("int64"),
+                        "trail_sum_c": (csum[hi] - csum[lo]).astype("int64"),
+                    }
+                )
+            )
+        if not out_frames:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "trail_n": pd.array([], dtype="int64"),
+                    "trail_sum_c": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(out_frames, ignore_index=True)
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(to_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(trail, batch_format="pandas")
+    )
