@@ -256,9 +256,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_latest_state",
         "events_peak_concurrency",
         "crawl_components",
-        # incremental ingest + streaming watermark
+        # incremental ingest + streaming watermark + RANGE frame
         "docs_incremental_dedup",
         "events_watermark_agg",
+        "events_trailing_7d",
     ]
     qs = E.queries()
     out = {}
