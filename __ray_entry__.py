@@ -1667,7 +1667,7 @@ def oracle_sql() -> dict[str, str]:
         # brand; threshold exact-integer (5·qty·n < sum_qty)
         "q17_small_qty_revenue": """
             WITH l AS (
-              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+              SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
                      CAST(round(l_extendedprice * 100) AS BIGINT)
                        AS price_c
               FROM lineitem
@@ -1804,7 +1804,7 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(l_returnflag, '') AS l_returnflag,
                    COALESCE(l_linestatus, '') AS l_linestatus,
                    CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
                      AS sum_qty,
                    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                         AS BIGINT) AS sum_price_cents
@@ -2744,11 +2744,11 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customers": """
             WITH q AS (
               SELECT l_orderkey,
-                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
                        AS sum_qty
               FROM lineitem
               GROUP BY l_orderkey
-              HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+              HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300
             )
             SELECT c_custkey, c_name, o_orderkey,
                    epoch_us(o_orderdate) AS odate_us,

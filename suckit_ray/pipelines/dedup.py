@@ -114,33 +114,36 @@ def _cpu_blocks() -> int:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def _md5_hex_rows(col) -> list[str]:
+    """md5 hexdigest per row, straight off the Arrow values buffer:
+    strings are already UTF-8 in the column's data buffer, so slicing
+    a memoryview per row skips both the Python-str materialization and
+    a re-encode (measured 1.5× over to_pylist; the md5 C call is the
+    remaining cost — DuckDB's md5() is the oracle contract, so the
+    digest function is fixed). Shared by exact_dedup and
+    docs_incremental_dedup — the offset/large-string handling is the
+    trickiest low-level code in the module and must live once."""
+    arr = col.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    else:
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    data = memoryview(arr.buffers()[2])
+    o = arr.offset
+    return [
+        hashlib.md5(data[offs[o + i] : offs[o + i + 1]]).hexdigest()
+        for i in range(len(arr))
+    ]
+
+
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """One surviving doc_id (the min) per distinct text. Returns
     (doc_id, n_copies)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        # md5 straight off the Arrow values buffer: strings are already
-        # UTF-8 in the column's data buffer, so slicing a memoryview per
-        # row skips both the Python-str materialization and the
-        # re-encode of the old to_pylist() loop (measured 1.5×; the md5
-        # C call itself is the remaining cost — DuckDB's md5() is the
-        # oracle contract, so the digest function is fixed)
-        arr = t.column("text").combine_chunks()
-        if pa.types.is_large_string(arr.type):
-            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
-        else:
-            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
-        data = memoryview(arr.buffers()[2])
-        o = arr.offset
         return pa.table(
             {
-                "h": pa.array(
-                    [
-                        hashlib.md5(data[offs[o + i] : offs[o + i + 1]]).hexdigest()
-                        for i in range(len(arr))
-                    ],
-                    pa.string(),
-                ),
+                "h": pa.array(_md5_hex_rows(t.column("text")), pa.string()),
                 "doc_id": t.column("doc_id"),
             }
         )
@@ -1357,25 +1360,13 @@ def docs_incremental_dedup(sf_dir: str) -> rd.Dataset:
     shuffle carries (hash, doc_id, tag); the old side at scale is the
     pre-aggregated fingerprint table (one row per distinct hash), not
     the corpus."""
-    import hashlib as _hl
-
     from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
 
     def add_hash_tagged(t: pa.Table) -> pa.Table:
-        arr = t.column("text").combine_chunks()
-        if pa.types.is_large_string(arr.type):
-            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
-        else:
-            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
-        data = memoryview(arr.buffers()[2])
-        o = arr.offset
         ids = t.column("doc_id").to_numpy()
-        hs = [
-            _hl.md5(data[offs[o + i] : offs[o + i + 1]]).hexdigest()
-            for i in range(len(arr))
-        ]
+        hs = _md5_hex_rows(t.column("text"))
         buck = [int(h[:8], 16) % B for h in hs]
         return pa.table(
             {
@@ -1389,19 +1380,15 @@ def docs_incremental_dedup(sf_dir: str) -> rd.Dataset:
         )
 
     def survivors(g: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        agg = g.groupby("h").agg(
-            any_old=("is_new", "min"),  # 0 present ⇔ an old row exists
-            doc_id=(
-                "doc_id",
-                "min",
-            ),  # min over the group; only used when all-new
+        # the anti-join, spelled as one: hashes with ANY old row die;
+        # among the rest, the min new doc_id per hash survives
+        old_h = set(g.loc[g["is_new"] == 0, "h"])
+        new = g[g["is_new"] == 1]
+        keep = (
+            new[~new["h"].isin(old_h)]
+            .groupby("h", as_index=False)
+            .agg(doc_id=("doc_id", "min"))
         )
-        new_only = g[g["is_new"] == 1].groupby("h", as_index=False).agg(
-            doc_id=("doc_id", "min")
-        )
-        keep = new_only[new_only["h"].map(agg["any_old"]) == 1]
         return keep[["doc_id"]]
 
     return (

@@ -1121,10 +1121,15 @@ def components_from_docs(
         out = out[out["a_id"] != out["b_id"]].drop_duplicates()
         return out
 
-    edges = _link_edges(docs)
-    labels = _cc_labels(
-        edges.map_batches(to_ids, batch_format="pandas"), num_buckets
+    # materialized ONCE: consumed by _cc_labels AND the singleton
+    # branch, whose groupby's sampling pass would otherwise re-run
+    # the span-explode link extraction (the CLAUDE.md lazy-input trap)
+    ids = (
+        _link_edges(docs)
+        .map_batches(to_ids, batch_format="pandas")
+        .materialize()
     )
+    labels = _cc_labels(ids, num_buckets)
     sizes = bucketed_groupby_agg(
         labels, keys=["label"], aggs={"size": ("node", "count")}, num_buckets=B
     ).select_columns(["size"])
@@ -1171,11 +1176,7 @@ def components_from_docs(
     singles = (
         docs.select_columns(["doc_id", "is_html"])
         .map_batches(node_rows, batch_format="pandas")
-        .union(
-            edges.map_batches(to_ids, batch_format="pandas").map_batches(
-                endpoint_rows, batch_format="pandas"
-            )
-        )
+        .union(ids.map_batches(endpoint_rows, batch_format="pandas"))
         .groupby("bucket")
         .map_groups(count_singletons, batch_format="pandas")
         .to_pandas()  # ≤ B tiny rows

@@ -39,10 +39,12 @@ def to_cents(s: pd.Series) -> pd.Series:
 
 def round_half_away(s: pd.Series) -> pd.Series:
     """float → int64, half away from zero — the unit-scale sibling of
-    ``to_cents`` for quantity columns, matching DuckDB's
-    round()/CAST-to-BIGINT. The generators emit integral quantities,
-    but .astype('int64') TRUNCATES (12.5 → 12 where the oracle says
-    13), so any engine site the oracle rounds must use this."""
+    ``to_cents`` for quantity columns, matching DuckDB's ``round()``
+    (NOT its plain CAST: ``CAST(2.5e0 AS BIGINT)`` is half-to-EVEN
+    → 2, so every quantity oracle spells ``CAST(round(l_quantity) AS
+    BIGINT)``). The generators emit integral quantities, but
+    .astype('int64') TRUNCATES (12.5 → 12 where round() says 13), so
+    any engine site the oracle rounds must use this."""
     x = s.to_numpy(dtype="float64")
     fl = np.floor(x)
     ce = np.ceil(x)

@@ -121,10 +121,14 @@ def compact_parquet(
     shuffle=False)`` (block coalescing, NO all-to-all exchange) →
     write to a staging dir, then a two-rename swap (old tree aside,
     complete staging tree — manifest already fsynced inside — into
-    place, THEN delete the retired tree): a crash leaves the old tree
-    (possibly under its .retired-<pid> name, recovered by the next
-    run's stale-dir sweep) or the complete new one, never a
-    half-written mix. Returns the manifest.
+    place, THEN delete the retired tree). Crash safety: the only
+    no-readable-output window is the instant between the two renames;
+    the next run RESTORES the retired tree before rebuilding, so the
+    old data reappears even if that run also dies early. Concurrency:
+    stale staging/retired dirs are swept only when their owning pid
+    is dead — two live runs never delete each other's trees (the
+    final swap is still last-writer-wins, as any overwrite is).
+    Returns the manifest.
 
     At 100 TB one global repartition is still a single pipeline but
     its output granule is the whole corpus; run this per key-range
@@ -146,14 +150,37 @@ def compact_parquet(
                 src_files += 1
     n_out = max(1, math.ceil(src_bytes / target_bytes))
 
-    # clean stale staging/retired dirs from ANY prior pid (a crashed
-    # run must not strand disk forever)
+    # recover + clean up after crashed runs, without racing a LIVE
+    # concurrent run: stale staging/retired dirs are swept only when
+    # their embedded pid is dead (/proc check), and if a crash in the
+    # two-rename window left NO out_dir, the newest dead retired tree
+    # is restored first so readers regain the old data even if THIS
+    # run also fails before its swap
+    def _pid_of(name: str) -> int | None:
+        try:
+            return int(name.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            return None
+
     parent = os.path.dirname(os.path.abspath(out_dir)) or "."
     base = os.path.basename(out_dir)
     if os.path.isdir(parent):
+        dead = []
         for d in os.listdir(parent):
             if d.startswith(f"{base}.staging-") or d.startswith(f"{base}.retired-"):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                pid = _pid_of(d)
+                if pid is not None and os.path.exists(f"/proc/{pid}"):
+                    continue  # a live run owns this dir — hands off
+                dead.append(d)
+        retired_dead = sorted(
+            (d for d in dead if f"{base}.retired-" in d),
+            key=lambda d: os.path.getmtime(os.path.join(parent, d)),
+        )
+        if not os.path.exists(out_dir) and retired_dead:
+            os.replace(os.path.join(parent, retired_dead[-1]), out_dir)
+            retired_dead = retired_dead[:-1]
+        for d in [d for d in dead if f"{base}.staging-" in d] + retired_dead:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     staging = f"{out_dir}.staging-{os.getpid()}"
     if os.path.exists(staging):
         shutil.rmtree(staging)

@@ -151,20 +151,33 @@ def write_warc_batch(
         if revisit_col is not None and revisit_col in batch.schema.names
         else [False] * batch.num_rows
     )
-    from suckit_ray.stages.html_stage import body_hash
+    # precomputed digests (crawl_stage hashes each body exactly once);
+    # standalone callers without the column fall back to hashing here
+    if "body_digest" in batch.schema.names:
+        digests = batch.column("body_digest").to_pylist()
+    else:
+        from suckit_ray.stages.html_stage import body_hash
+
+        digests = None
 
     buf = io.BytesIO()
     n = 0
-    for url, status, ctype, body, fname, rev in zip(
-        batch.column(url_col).to_pylist(),
-        batch.column(status_col).to_pylist(),
-        batch.column(ctype_col).to_pylist(),
-        batch.column(body_col).to_pylist(),
-        fnames,
-        revisits,
+    for i, (url, status, ctype, body, fname, rev) in enumerate(
+        zip(
+            batch.column(url_col).to_pylist(),
+            batch.column(status_col).to_pylist(),
+            batch.column(ctype_col).to_pylist(),
+            batch.column(body_col).to_pylist(),
+            fnames,
+            revisits,
+        )
     ):
         if rev:
-            buf.write(build_revisit_record(url, body_hash(body or b"")))
+            dig = (
+                int(digests[i]) if digests is not None
+                else body_hash(body or b"")
+            )
+            buf.write(build_revisit_record(url, dig))
         else:
             disp = f"attachment; filename={fname}" if fname else None
             buf.write(build_record(url, int(status), ctype, body or b"", disp))
@@ -193,6 +206,40 @@ def write_warc(docs: rd.Dataset, output_dir: str, **cols) -> int:
 # reading
 # ---------------------------------------------------------------------------
 
+def _iter_warc_records(data: bytes):
+    """Tolerant WARC record scanner shared by ``parse_warc_bytes`` and
+    ``count_warc_types`` — ONE home for the framing rules (gzip sniff,
+    seek to the next ``WARC/`` magic, malformed Content-Length
+    handling). Yields (fields, block) per record; ``block`` is None
+    when the header's Content-Length is unparseable (the scanner then
+    resumes at the next magic — a foreign record never truncates the
+    rest of the file)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    pos = 0
+    while True:
+        pos = data.find(b"WARC/", pos)
+        if pos < 0:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        head = data[pos:head_end].decode("utf-8", errors="replace")
+        fields = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", "0"))
+        except ValueError:  # malformed foreign header: skip past it
+            pos = head_end + 4
+            yield fields, None
+            continue
+        # the next find() absorbs trailing CRLFs/padding
+        yield fields, data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+
+
 def parse_warc_bytes(
     data: bytes,
 ) -> list[tuple[str, int, str | None, str | None, bytes]]:
@@ -205,32 +252,9 @@ def parse_warc_bytes(
     number of inter-record CRLFs, stray padding, or an unparseable
     foreign record doesn't silently truncate the rest of a Common
     Crawl-style archive — it just skips to the next record boundary."""
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
     out = []
-    pos = 0
-    while True:
-        pos = data.find(b"WARC/", pos)
-        if pos < 0:
-            break
-        head_end = data.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            break
-        head = data[pos:head_end].decode("utf-8", errors="replace")
-        lines = head.split("\r\n")
-        fields = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            fields[k.strip().lower()] = v.strip()
-        try:
-            length = int(fields.get("content-length", "0"))
-        except ValueError:  # malformed foreign header: skip past it
-            pos = head_end + 4
-            continue
-        block = data[head_end + 4 : head_end + 4 + length]
-        # next find() absorbs however many CRLFs/padding bytes follow
-        pos = head_end + 4 + length
-        if fields.get("warc-type") != "response":
+    for fields, block in _iter_warc_records(data):
+        if block is None or fields.get("warc-type") != "response":
             continue
         url = fields.get("warc-target-uri", "")
         http_end = block.find(b"\r\n\r\n")
@@ -477,26 +501,7 @@ def count_warc_types(paths: str | list[str]) -> dict[str, int]:
     for p in _resolve_warc_paths(paths):
         with open(p, "rb") as f:
             data = f.read()
-        if data[:2] == b"\x1f\x8b":
-            data = gzip.decompress(data)
-        pos = 0
-        while True:
-            pos = data.find(b"WARC/", pos)
-            if pos < 0:
-                break
-            head_end = data.find(b"\r\n\r\n", pos)
-            if head_end < 0:
-                break
-            head = data[pos:head_end].decode("utf-8", errors="replace")
-            fields = {}
-            for line in head.split("\r\n")[1:]:
-                k, _, v = line.partition(":")
-                fields[k.strip().lower()] = v.strip()
+        for fields, _block in _iter_warc_records(data):
             t = fields.get("warc-type", "unknown")
             counts[t] = counts.get(t, 0) + 1
-            try:
-                length = int(fields.get("content-length", "0"))
-            except ValueError:
-                length = 0
-            pos = head_end + 4 + length
     return counts

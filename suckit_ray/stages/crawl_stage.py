@@ -44,14 +44,19 @@ def make_warc_stage(warc_dir: str, delta: bool = False):
         # wire, and archiving them would make recrawl-from-archive
         # serve fabricated status-0 pages instead of missing (refetch)
         batch = batch.filter(pc.is_null(batch.column("fetch_error")))
-        if delta and batch.num_rows and "prev_hash" in batch.schema.names:
-            from suckit_ray.stages.html_stage import body_hash
-
+        if (
+            delta
+            and batch.num_rows
+            and "prev_hash" in batch.schema.names
+            and "body_digest" in batch.schema.names
+        ):
+            # digests were computed ONCE in crawl_batch; revisit iff
+            # the prior run recorded the same non-zero fingerprint
             rev = [
-                int(ph) != 0 and body_hash(b or b"") == int(ph)
-                for ph, b in zip(
+                int(ph) != 0 and int(d) == int(ph)
+                for ph, d in zip(
                     batch.column("prev_hash").to_pylist(),
-                    batch.column("body").to_pylist(),
+                    batch.column("body_digest").to_pylist(),
                 )
             ]
             batch = batch.append_column(
@@ -102,6 +107,23 @@ def make_crawl_fn(
 
     def crawl_batch(batch: pa.Table) -> pa.Table:
         fetched = fetch(batch)
+        if delta_hashes:
+            # one blake2b per body, shared by the WARC revisit
+            # decision AND html_stage's skip/record path (review r3:
+            # the naive wiring hashed unchanged bodies three times)
+            from suckit_ray.stages.html_stage import body_hash
+
+            digs = [
+                0 if err is not None else body_hash(b or b"")
+                for err, b in zip(
+                    fetched.column("fetch_error").to_pylist(),
+                    fetched.column("body").to_pylist(),
+                )
+            ]
+            fetched = fetched.append_column(
+                pa.field("body_digest", pa.int64()),
+                pa.array(digs, pa.int64()),
+            )
         if warc is not None:
             warc(fetched)
         return process(fetched)

@@ -162,8 +162,16 @@ def make_process_fn(
             host = parsed.host or ""
             if delta_hashes:
                 # errored fetches record hash 0 (never matches) so the
-                # NEXT recrawl's seed set still covers them for retry
-                bh = body_hash(body) if err is None else 0
+                # NEXT recrawl's seed set still covers them for retry.
+                # The fused crawl stage precomputes digests (shared
+                # with the WARC revisit decision); standalone callers
+                # hash here.
+                pre = cols.get("body_digest")
+                bh = (
+                    int(pre[i])
+                    if pre is not None
+                    else (body_hash(body) if err is None else 0)
+                )
                 hash_by_shard[
                     shard_of_url(url, host, num_shards, route_by_host)
                 ].append((url, bh, cols["depth"][i], cols["ext_depth"][i]))
