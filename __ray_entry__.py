@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_concurrency": relops.events_peak_concurrency,
         "events_watermark_agg": relops.events_watermark_agg,
         "events_trailing_7d": relops.events_trailing_7d,
+        "customer_rfm": relops.customer_rfm,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -2907,6 +2908,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = sk
             JOIN nation ON n_nationkey = s_nationkey
             WHERE q.qty * 2 > t AND n_name = 'NATION_12'
+        """,
+        # RFM segmentation: three independent exact NTILE(4)s over the
+        # per-customer aggregate, ties broken by custkey
+        "customer_rfm": """
+            WITH a AS (
+              SELECT o_custkey AS c_custkey,
+                     MAX(epoch_us(o_orderdate)) AS r_us,
+                     COUNT(*) AS f,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_c
+              FROM orders GROUP BY 1
+            )
+            SELECT c_custkey,
+                   CAST(NTILE(4) OVER (ORDER BY r_us, c_custkey) AS BIGINT)
+                     AS r_tile,
+                   CAST(NTILE(4) OVER (ORDER BY f, c_custkey) AS BIGINT)
+                     AS f_tile,
+                   CAST(NTILE(4) OVER (ORDER BY m_c, c_custkey) AS BIGINT)
+                     AS m_tile
+            FROM a
         """,
         # RANGE-interval frame: trailing 7-day per-user window found
         # by VALUE (not position) — ties at the current instant all

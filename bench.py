@@ -260,6 +260,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_incremental_dedup",
         "events_watermark_agg",
         "events_trailing_7d",
+        "customer_rfm",
     ]
     qs = E.queries()
     out = {}

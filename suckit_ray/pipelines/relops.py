@@ -3411,3 +3411,148 @@ def events_trailing_7d(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(trail, batch_format="pandas")
     )
+
+
+RFM_TILES = 4
+
+
+def _ntile_assign(ds: rd.Dataset, value_col: str, n_rows: int, k: int,
+                  id_col: str = "cust") -> rd.Dataset:
+    """(id, tile): exact SQL NTILE(k) over ORDER BY (value, id) for a
+    Dataset of unique ids — the distributed-sort recipe again: range
+    partition on value, per-bucket counts → exclusive prefix (the
+    bucket's global base rank), then the in-bucket scan converts each
+    row's global rank to its tile with DuckDB's remainder rule (the
+    first n%k tiles get one extra row)."""
+    import numpy as np
+    import ray
+
+    from suckit_ray.stages.agg import bucket_prefix_bases, default_buckets
+
+    B = default_buckets()
+    splits = _train_rank_splits(ds, B, id_col=id_col, value_col=value_col)
+    if splits is None:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {id_col: pd.array([], dtype="int64"),
+                 "tile": pd.array([], dtype="int64")}
+            )
+        )
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        out = df[[id_col, value_col]].copy()
+        out["bucket"] = np.searchsorted(
+            sp, df[value_col].to_numpy(), side="right"
+        ).astype("int64")
+        return out
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()
+    bases_ref = bucket_prefix_bases(bucketed, "bucket")
+    q, r = divmod(n_rows, k)
+
+    def to_tiles(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bases_ref).get(int(g["bucket"].iloc[0]), 0)
+        g = g.sort_values([value_col, id_col], kind="mergesort")
+        rank = base + np.arange(1, len(g) + 1)  # global 1-based rank
+        # DuckDB/SQL NTILE remainder rule: tiles 1..r hold q+1 rows
+        cut = r * (q + 1)
+        tile = np.where(
+            rank <= cut,
+            (rank - 1) // (q + 1) + 1,
+            r + (rank - 1 - cut) // max(q, 1) + 1,
+        )
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "tile": tile.astype("int64")}
+        )
+
+    return bucketed.groupby("bucket").map_groups(
+        to_tiles, batch_format="pandas"
+    )
+
+
+def customer_rfm(sf_dir: str) -> rd.Dataset:
+    """(c_custkey, r_tile, f_tile, m_tile): the classic RFM
+    segmentation — every customer WITH orders quartiled independently
+    on Recency (last order date), Frequency (order count) and
+    Monetary (total spend, exact cents), each an EXACT SQL
+    NTILE(4) OVER (ORDER BY metric, c_custkey).
+
+    Plan: one custkey co-group builds the O(customers) aggregate
+    (max date, count, cent sum) from the orders stream; three
+    ``_ntile_assign`` passes (range partition + prefix base + local
+    scan — never a global sort materialization) tile the three
+    metrics; one final custkey co-group zips the tiles back
+    together. Ties inside a metric break by custkey, making every
+    tile assignment deterministic and oracle-exact including
+    NTILE's first-tiles-get-the-remainder rule."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "cust": df["o_custkey"].astype("int64"),
+                    "r_us": df["o_orderdate"]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64"),
+                    "m_c": to_cents(df["o_totalprice"]),
+                }
+            )
+            .groupby("cust", as_index=False)
+            .agg(r_us=("r_us", "max"), f=("r_us", "size"), m_c=("m_c", "sum"))
+        )
+
+    agg = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["cust"],
+        aggs={"r_us": ("r_us", "max"), "f": ("f", "sum"), "m_c": ("m_c", "sum")},
+    ).materialize()
+    n = agg.count()
+
+    tiles = {
+        "r_tile": _ntile_assign(agg, "r_us", n, RFM_TILES),
+        "f_tile": _ntile_assign(agg, "f", n, RFM_TILES),
+        "m_tile": _ntile_assign(agg, "m_c", n, RFM_TILES),
+    }
+
+    def tag(name):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "cust": df["cust"].astype("int64"),
+                    "r_tile": 0, "f_tile": 0, "m_tile": 0,
+                }
+            )
+            out[name] = df["tile"].astype("int64")
+            out["bucket"] = (out["cust"] % B).astype("int64")
+            return out
+
+        return f
+
+    def zip_tiles(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cust", as_index=False).agg(
+            r_tile=("r_tile", "max"),
+            f_tile=("f_tile", "max"),
+            m_tile=("m_tile", "max"),
+        )
+        return out.rename(columns={"cust": "c_custkey"})
+
+    streams = [
+        ds.map_batches(tag(name), batch_format="pandas")
+        for name, ds in tiles.items()
+    ]
+    return (
+        streams[0]
+        .union(streams[1])
+        .union(streams[2])
+        .groupby("bucket")
+        .map_groups(zip_tiles, batch_format="pandas")
+    )

@@ -108,3 +108,37 @@ def test_watermark_actually_drops_late_events():
     assert 0 < accepted < total  # some dropped, not all
     # and the dropped fraction is material, not rounding noise
     assert (total - accepted) / total > 0.05
+
+
+def test_rfm_ntile_remainder_rule(tmp_path):
+    # 7 customers → NTILE(4) tile sizes must be 2,2,2,1 (first n%k
+    # tiles get the extra row) — the sf tables have customer counts
+    # divisible by 4, so the oracle never exercises the remainder
+    t0 = pd.Timestamp("2023-01-01")
+    rows = []
+    for c in range(1, 8):
+        for j in range(c):  # frequency c, spend c*10, recency t0+c days
+            rows.append((c, t0 + pd.Timedelta(days=c), 10.0))
+    df = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [r[0] for r in rows],
+            "o_orderstatus": ["F"] * len(rows),
+            "o_totalprice": [r[2] for r in rows],
+            "o_orderdate": [r[1] for r in rows],
+            "o_orderpriority": ["3-MEDIUM"] * len(rows),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+    out = (
+        relops.customer_rfm(str(tmp_path))
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    # all three metrics order customers 1..7 identically → identical
+    # tiles; sizes 2,2,2,1 per the remainder rule
+    want = [1, 1, 2, 2, 3, 3, 4]
+    assert out["r_tile"].tolist() == want
+    assert out["f_tile"].tolist() == want
+    assert out["m_tile"].tolist() == want
