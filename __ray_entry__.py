@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_agg": relops.events_watermark_agg,
         "events_trailing_7d": relops.events_trailing_7d,
         "customer_rfm": relops.customer_rfm,
+        "part_type_price_stats": relops.part_type_price_stats,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -2908,6 +2909,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = sk
             JOIN nation ON n_nationkey = s_nationkey
             WHERE q.qty * 2 > t AND n_name = 'NATION_12'
+        """,
+        # mergeable sufficient statistics for per-type price variance
+        # (integer-exact; float moments would be order-dependent)
+        "part_type_price_stats": """
+            SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_c,
+                   CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)
+                            * CAST(round(p_retailprice * 100) AS BIGINT))
+                     AS BIGINT) AS sumsq_c2
+            FROM part GROUP BY 1
         """,
         # RFM segmentation: three independent exact NTILE(4)s over the
         # per-customer aggregate, ties broken by custkey

@@ -261,6 +261,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_watermark_agg",
         "events_trailing_7d",
         "customer_rfm",
+        "part_type_price_stats",
     ]
     qs = E.queries()
     out = {}

@@ -3556,3 +3556,42 @@ def customer_rfm(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(zip_tiles, batch_format="pandas")
     )
+
+
+def part_type_price_stats(sf_dir: str) -> rd.Dataset:
+    """(p_type, n, sum_c, sumsq_c2): MERGEABLE SUFFICIENT STATISTICS
+    for per-type price mean/variance — the scale-honest form of
+    distributed moments: count, integer-cent sum, and integer
+    sum-of-squares combine associatively across any partitioning, so
+    the variance ((n·Σx² − (Σx)²) / n²) is derivable exactly
+    downstream without a second pass. Emitting the statistics rather
+    than the float moments keeps the result hash-exact (a float
+    variance would be reduction-order-dependent). Squares stay well
+    inside int64 here (10^10 per row); a corpus where Σx² approaches
+    2^63 would shard the accumulator or move to HUGEINT-style
+    two-limb sums — the oracle's BIGINT would overflow LOUDLY, not
+    silently, at the same point."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = to_cents(df["p_retailprice"])
+        return pd.DataFrame(
+            {
+                "p_type": df["p_type"],
+                "n": 1,
+                "sum_c": c,
+                "sumsq_c2": c * c,
+            }
+        )
+
+    return bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["p_type"],
+        aggs={
+            "n": ("n", "sum"),
+            "sum_c": ("sum_c", "sum"),
+            "sumsq_c2": ("sumsq_c2", "sum"),
+        },
+    )
