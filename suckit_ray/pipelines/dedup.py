@@ -1367,17 +1367,25 @@ def docs_incremental_dedup(sf_dir: str) -> rd.Dataset:
     def add_hash_tagged(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
         hs = _md5_hex_rows(t.column("text"))
-        buck = [int(h[:8], 16) % B for h in hs]
-        return pa.table(
-            {
-                "h": pa.array(hs, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "is_new": pa.array(
-                    (ids % 2 == 1).astype(np.int64), pa.int64()
-                ),
-                "bucket": pa.array(buck, pa.int64()),
-            }
+        # batch-local combiner: the exchange needs only (hash, tag,
+        # min new doc_id) — one row per distinct (hash, tag) per
+        # batch instead of one per document (old-side rows are pure
+        # membership; new-side min-doc_id survives group-local)
+        p = (
+            pd.DataFrame(
+                {
+                    "h": hs,
+                    "doc_id": ids.astype("int64"),
+                    "is_new": (ids % 2 == 1).astype(np.int64),
+                }
+            )
+            .groupby(["h", "is_new"], as_index=False)
+            .agg(doc_id=("doc_id", "min"))
         )
+        p["bucket"] = (
+            p["h"].str.slice(0, 8).apply(int, base=16) % B
+        ).astype("int64")
+        return pa.Table.from_pandas(p, preserve_index=False)
 
     def survivors(g: "pd.DataFrame") -> "pd.DataFrame":
         # the anti-join, spelled as one: hashes with ANY old row die;
