@@ -187,3 +187,25 @@ class TestOpicE2E:
         assert _wave_of(prio, "star.test//hub.html") < _wave_of(
             prio, "star.test//leaf1.html"
         )
+
+
+def test_politeness_cap_releases_highest_cash_per_host():
+    from suckit_ray.state.frontier import FrontierShard
+
+    sh = FrontierShard(0, 1, opic=True)
+    sh.add_candidates(
+        [
+            cand(1, 0, "http://a.test/lo.html", 0.1, host="a.test"),
+            cand(1, 1, "http://a.test/hi.html", 0.9, host="a.test"),
+            cand(1, 2, "http://b.test/mid.html", 0.5, host="b.test"),
+            cand(1, 3, "http://b.test/top.html", 0.7, host="b.test"),
+        ]
+    )
+    # per-host cap 1: each host contributes its HIGHEST-cash url
+    sh.finalize_wave(1, -1, -1, 1)
+    urls = set(sh.released_tbl.column("url").to_pylist())
+    assert urls == {"http://a.test/hi.html", "http://b.test/top.html"}
+    # next wave drains the rest, still cash-first per host
+    sh.finalize_wave(2, -1, -1, 1)
+    urls2 = set(sh.released_tbl.column("url").to_pylist())
+    assert urls2 == {"http://a.test/lo.html", "http://b.test/mid.html"}
