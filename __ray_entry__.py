@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_7d": relops.events_trailing_7d,
         "customer_rfm": relops.customer_rfm,
         "part_type_price_stats": relops.part_type_price_stats,
+        "part_skyline": relops.part_skyline,
+        "events_new_vs_returning": relops.events_new_vs_returning,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -3073,6 +3075,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT size, CAST(count(*) AS BIGINT) AS n_components
             FROM per_host GROUP BY size
+        """,
+        # 2D skyline (Pareto frontier): min price, max size, one
+        # strict — the NOT EXISTS dominance shape; integer cents keep
+        # the frontier membership exact
+        "part_skyline": """
+            WITH p AS (
+              SELECT p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                     CAST(p_size AS BIGINT) AS p_size
+              FROM part
+            )
+            SELECT p_partkey, price_c, p_size FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+                AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+            )
+        """,
+        # growth accounting: per-day distinct actives split into
+        # first-ever-day (new) vs returning, plus the cumulative
+        # distinct user count (= running sum of new); day arithmetic
+        # is the shared truncating epoch-us // 86400000000 idiom
+        "events_new_vs_returning": """
+            WITH du AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            f AS (SELECT user_id, MIN(day) AS d0 FROM du GROUP BY 1),
+            d AS (
+              SELECT day,
+                     CAST(COUNT(*) AS BIGINT) AS active_users,
+                     CAST(COUNT(*) FILTER (WHERE day = d0) AS BIGINT)
+                       AS new_users
+              FROM du JOIN f USING (user_id) GROUP BY day
+            )
+            SELECT day, active_users, new_users,
+                   active_users - new_users AS returning_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM d
         """,
         # text-format round-trips: the oracle is the identity select —
         # the Ray side must return documents EXACTLY after the full

@@ -3595,3 +3595,157 @@ def part_type_price_stats(sf_dir: str) -> rd.Dataset:
             "sumsq_c2": ("sumsq_c2", "sum"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2D skyline of (price_c MINimized, p_size MAXimized):
+    keep p iff no q has (price ≤, size ≥) with one strict. Sorted by
+    price ascending, p survives iff its size equals the max size at
+    its exact price AND strictly exceeds the max size over all
+    strictly-cheaper prices — equal (price, size) duplicates neither
+    dominate each other and all survive, matching the NOT EXISTS
+    oracle. One lexsort + two grouped maxes + one running max."""
+    if len(df) == 0:
+        return df[["p_partkey", "price_c", "p_size"]]
+    d = df[["p_partkey", "price_c", "p_size"]].sort_values(
+        ["price_c", "p_size", "p_partkey"], ascending=[True, False, True]
+    )
+    codes = pd.factorize(d["price_c"], sort=False)[0]  # ascending groups
+    sz = d["p_size"].to_numpy()
+    gmax = pd.Series(sz).groupby(codes).transform("max").to_numpy()
+    permax = pd.Series(sz).groupby(codes).max().to_numpy()
+    incl = np.maximum.accumulate(permax)
+    prior = np.concatenate(([np.iinfo(np.int64).min], incl[:-1]))
+    keep = (sz == gmax) & (sz > prior[codes])
+    return d[keep]
+
+
+def part_skyline(sf_dir: str) -> rd.Dataset:
+    """(p_partkey, price_c, p_size): the Pareto frontier of parts —
+    cheapest-for-their-size / biggest-for-their-price, no part both
+    cheaper-or-equal AND bigger-or-equal (one strict) exists. The
+    multi-objective NOT EXISTS shape none of the other queries cover.
+
+    Scale shape: skyline(S) = skyline(∪ skyline(blocks)) — every
+    block-local non-skyline row is dominated by a row of the same
+    block, so a per-block vectorized skyline prunes the corpus down to
+    the union of local frontiers BEFORE the only exchange, and one
+    single-group map_groups pass computes the final frontier from that
+    union. For independent dims a block skyline is ~O(ln block) rows
+    (expected), so the exchange carries near-nothing; an adversarial
+    fully-anti-correlated corpus degrades the prune, not correctness —
+    the documented fallback is a second recursive merge level."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "p_partkey": pd.array([], dtype="int64"),
+                    "price_c": pd.array([], dtype="int64"),
+                    "p_size": pd.array([], dtype="int64"),
+                    "b": pd.array([], dtype="int64"),
+                }
+            )
+        out = _skyline_2d(
+            pd.DataFrame(
+                {
+                    "p_partkey": df["p_partkey"].astype("int64"),
+                    "price_c": to_cents(df["p_retailprice"]),
+                    "p_size": df["p_size"].astype("int64"),
+                }
+            )
+        ).copy()
+        out["b"] = 0
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return _skyline_2d(g)[["p_partkey", "price_c", "p_size"]]
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_retailprice", "p_size"],
+        )
+        .map_batches(local, batch_format="pandas")
+        .groupby("b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# growth accounting: daily new vs returning users
+# ---------------------------------------------------------------------------
+
+def events_new_vs_returning(sf_dir: str) -> pd.DataFrame:
+    """(day, active_users, new_users, returning_users, cum_users):
+    per-day growth accounting — distinct active users, first-ever-day
+    (new) users, returning = active − new, and the cumulative distinct
+    user count to date (= running sum of new, since each user is new
+    exactly once). The per-key-anchor shape (retention's min-day) fused
+    with a global running total.
+
+    Scale shape: batches pre-shrink to distinct (user, day); ONE
+    user-hash co-group computes each user's first day where their rows
+    already co-locate and emits per-day (active, new) partial counts;
+    one bucketed sum by day leaves O(days) rows, whose cumulative sum
+    is a driver-side numpy pass over that bounded frame (days, not
+    users — the watermark/prefix recipe's O(buckets) driver state)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def user_days(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "day": day}
+        ).drop_duplicates()
+        out["ub"] = (out["user_id"] % B).astype("int64")
+        return out
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(user_days, batch_format="pandas")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.array([], dtype="int64"),
+                    "active_n": pd.array([], dtype="int64"),
+                    "new_n": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id")["day"].transform("min")
+        part = pd.DataFrame(
+            {
+                "day": g["day"].astype("int64"),
+                "active_n": 1,
+                "new_n": (g["day"] == first).astype("int64"),
+            }
+        )
+        return part.groupby("day", as_index=False).agg(
+            active_n=("active_n", "sum"), new_n=("new_n", "sum")
+        )
+
+    partials = ds.groupby("ub").map_groups(per_user, batch_format="pandas")
+    agg = bucketed_groupby_agg(
+        partials,
+        keys=["day"],
+        aggs={
+            "active_users": ("active_n", "sum"),
+            "new_users": ("new_n", "sum"),
+        },
+    )
+    out = agg.to_pandas().sort_values("day").reset_index(drop=True)
+    out["returning_users"] = out["active_users"] - out["new_users"]
+    out["cum_users"] = out["new_users"].cumsum()
+    return out[
+        ["day", "active_users", "new_users", "returning_users", "cum_users"]
+    ].astype("int64")
