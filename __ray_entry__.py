@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_price_stats": relops.part_type_price_stats,
         "part_skyline": relops.part_skyline,
         "events_new_vs_returning": relops.events_new_vs_returning,
+        "events_trailing_7d_users": relops.events_trailing_7d_users,
+        "docs_inverted_index": textops.docs_inverted_index,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -3116,6 +3118,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
                      AS cum_users
             FROM d
+        """,
+        # sliding-window DISTINCT: for every calendar day, distinct
+        # users active in [day-6, day]; gap days report 0 via the
+        # LEFT JOIN (COUNT DISTINCT over NULLs)
+        "events_trailing_7d_users": """
+            WITH du AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            days AS (
+              SELECT UNNEST(generate_series(
+                       (SELECT MIN(day) FROM du),
+                       (SELECT MAX(day) FROM du))) AS day
+            )
+            SELECT d.day,
+                   CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+            FROM days d
+            LEFT JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        """,
+        # inverted index: every distinct lowercased whitespace term
+        # with document frequency and the first 20 doc_ids ascending
+        # as a comma-joined postings string (cap mirrors
+        # textops.INVIDX_POSTINGS_CAP)
+        "docs_inverted_index": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(lower(text), '\s+'))
+                       AS term
+              FROM documents
+            ),
+            p2 AS (
+              SELECT DISTINCT term, doc_id FROM t WHERE term <> ''
+            ),
+            dfc AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM p2 GROUP BY term
+            ),
+            ranked AS (
+              SELECT term, doc_id,
+                     row_number() OVER (
+                       PARTITION BY term ORDER BY doc_id) AS rn
+              FROM p2
+            ),
+            posts AS (
+              SELECT term,
+                     string_agg(CAST(doc_id AS VARCHAR), ','
+                                ORDER BY doc_id) AS postings
+              FROM ranked WHERE rn <= 20 GROUP BY term
+            )
+            SELECT term, df, postings FROM dfc JOIN posts USING (term)
         """,
         # text-format round-trips: the oracle is the identity select —
         # the Ray side must return documents EXACTLY after the full

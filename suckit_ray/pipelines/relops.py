@@ -3749,3 +3749,98 @@ def events_new_vs_returning(sf_dir: str) -> pd.DataFrame:
     return out[
         ["day", "active_users", "new_users", "returning_users", "cum_users"]
     ].astype("int64")
+
+
+def events_trailing_7d_users(sf_dir: str) -> pd.DataFrame:
+    """(day, n_users): for EVERY calendar day in the corpus's range,
+    the count of distinct users active in the trailing 7-day window
+    [day−6, day] — the sliding-window DISTINCT shape, which no prefix
+    sum can produce directly (distinct counts don't subtract).
+
+    Scale shape: the interval-union sweep — batches pre-shrink to
+    distinct (user, day); one USER-hash co-group turns each user's
+    sorted active days into DISJOINT coverage intervals
+    [dᵢ, min(dᵢ+6, dᵢ₊₁−1)] (each user contributes exactly once to
+    every day they cover, so summing interval indicators counts
+    distinct users) and emits ±1 boundary deltas; a bucketed sum
+    leaves O(distinct boundary days) rows, and the driver expands the
+    running sum across the calendar with one searchsorted — driver
+    state is O(calendar span), never O(users)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    W = 7  # trailing window, days
+
+    def user_days(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "day": day}
+        ).drop_duplicates()
+        out["ub"] = (out["user_id"] % B).astype("int64")
+        return out
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(user_days, batch_format="pandas")
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.array([], dtype="int64"),
+                    "delta": pd.array([], dtype="int64"),
+                    "act": pd.array([], dtype="int64"),
+                }
+            )
+        g = (
+            g.drop_duplicates(["user_id", "day"])
+            .sort_values(["user_id", "day"])
+            .reset_index(drop=True)
+        )
+        d = g["day"].to_numpy()
+        same_user = (
+            g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        )
+        nxt = np.empty_like(d)
+        nxt[:-1] = np.where(same_user, d[1:] - 1, np.iinfo(np.int64).max)
+        nxt[-1] = np.iinfo(np.int64).max
+        end = np.minimum(d + (W - 1), nxt)
+        # act marks true ACTIVE days (starts), so the driver can clip
+        # the report range to the observed calendar — coverage past
+        # the last active day is real but out of range
+        part = pd.DataFrame(
+            {
+                "day": np.concatenate([d, end + 1]),
+                "delta": np.concatenate(
+                    [np.ones(len(d), "int64"), -np.ones(len(d), "int64")]
+                ),
+                "act": np.concatenate(
+                    [np.ones(len(d), "int64"), np.zeros(len(d), "int64")]
+                ),
+            }
+        )
+        return part.groupby("day", as_index=False).agg(
+            delta=("delta", "sum"), act=("act", "max")
+        )
+
+    partials = ds.groupby("ub").map_groups(deltas, batch_format="pandas")
+    agg = (
+        bucketed_groupby_agg(
+            partials,
+            keys=["day"],
+            aggs={"delta": ("delta", "sum"), "act": ("act", "max")},
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    bdays = agg["day"].to_numpy()
+    run = np.cumsum(agg["delta"].to_numpy())
+    active = agg.loc[agg["act"] > 0, "day"]
+    lo, hi = int(active.min()), int(active.max())
+    days = np.arange(lo, hi + 1, dtype="int64")
+    idx = np.searchsorted(bdays, days, side="right") - 1
+    n = np.where(idx >= 0, run[idx], 0)
+    return pd.DataFrame({"day": days, "n_users": n.astype("int64")})

@@ -2971,3 +2971,71 @@ def docs_ccnet_buckets(sf_dir: str) -> rd.Dataset:
         )
 
     return bk.groupby("vb").map_groups(rank_group, batch_format="pandas")
+
+
+INVIDX_POSTINGS_CAP = 20
+
+
+def docs_inverted_index(sf_dir: str) -> rd.Dataset:
+    """(term, df, postings): the IR inverted-index build — every
+    distinct lowercased whitespace term with its document frequency
+    and the first ``INVIDX_POSTINGS_CAP`` doc_ids ascending as a
+    comma-joined postings string (capped so output rows stay bounded
+    regardless of how common a term is; df counts ALL docs).
+
+    Scale shape: batches dissolve docs into distinct (term, doc_id)
+    pairs — the only exchange carries one row per posting, never text
+    — and ONE term-hash co-group builds df + the capped postings list
+    where a term's postings already co-locate. Per-group work is a
+    sorted head + a join over ≤cap ids; the per-term Python ','.join
+    is O(vocab), not O(corpus)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        terms: list[str] = []
+        ids: list[int] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for t in set(text.lower().split()):
+                terms.append(t)
+                ids.append(doc_id)
+        out = pd.DataFrame(
+            {"term": pd.array(terms, dtype="object"),
+             "doc_id": pd.array(ids, dtype="int64")}
+        )
+        out["tb"] = (
+            pd.util.hash_pandas_object(out["term"], index=False).astype(
+                "uint64"
+            )
+            % B
+        ).astype("int64")
+        return out
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode_pairs, batch_format="pandas"
+    )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.array([], dtype="object"),
+                    "df": pd.array([], dtype="int64"),
+                    "postings": pd.array([], dtype="object"),
+                }
+            )
+        g = g.drop_duplicates(["term", "doc_id"]).sort_values(
+            ["term", "doc_id"]
+        )
+        dfc = g.groupby("term", as_index=False).agg(df=("doc_id", "size"))
+        top = g.groupby("term").head(INVIDX_POSTINGS_CAP).copy()
+        top["doc_str"] = top["doc_id"].astype(str)
+        posts = top.groupby("term", as_index=False).agg(
+            postings=("doc_str", ",".join)
+        )
+        out = dfc.merge(posts, on="term")
+        out["df"] = out["df"].astype("int64")
+        return out[["term", "df", "postings"]]
+
+    return ds.groupby("tb").map_groups(build, batch_format="pandas")

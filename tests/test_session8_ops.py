@@ -135,3 +135,100 @@ class TestNewVsReturning:
             out["active_users"]
             == out["new_users"] + out["returning_users"]
         ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrailing7dUsers:
+    def test_vs_brute_force_window(self):
+        """Literal per-day distinct scan over the raw events — no
+        interval/sweep machinery shared with the engine."""
+        from suckit_ray.pipelines import relops
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        us = ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // 86_400_000_000
+        day = day + ((us < 0) & (day * 86_400_000_000 != us))
+        du = pd.DataFrame(
+            {"u": ev["user_id"].astype("int64"), "day": day}
+        ).drop_duplicates()
+        lo, hi = int(du["day"].min()), int(du["day"].max())
+        ref = pd.DataFrame(
+            {
+                "day": range(lo, hi + 1),
+                "n_users": [
+                    du.loc[du["day"].between(d - 6, d), "u"].nunique()
+                    for d in range(lo, hi + 1)
+                ],
+            }
+        )
+        mine = relops.events_trailing_7d_users(SF).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            mine.astype("int64"), ref.astype("int64")
+        )
+
+    def test_gap_days_report_zero(self):
+        """A hand-built parquet with a >7-day silence must report 0
+        for the uncovered middle days (the diff-array's zero plateau)."""
+        import tempfile, os
+
+        from suckit_ray.pipelines import relops
+
+        with tempfile.TemporaryDirectory() as td:
+            ts = pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-20"], utc=False
+            )
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2, 3],
+                    "ts": ts,
+                    "user_id": [7, 8, 7],
+                    "event_type": ["a"] * 3,
+                    "value": [1.0] * 3,
+                    "props": ["{}"] * 3,
+                }
+            ).to_parquet(os.path.join(td, "events.parquet"))
+            out = relops.events_trailing_7d_users(td)
+        d0 = int(out["day"].min())
+        by_day = dict(zip(out["day"], out["n_users"]))
+        assert by_day[d0] == 1  # day 1: user 7
+        assert by_day[d0 + 1] == 2  # day 2: users 7+8
+        assert by_day[d0 + 7] == 1  # day 2's window end for user 8
+        assert by_day[d0 + 10] == 0  # silence
+        assert by_day[d0 + 19] == 1  # user 7 returns
+        assert len(out) == 20
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInvertedIndex:
+    def test_vs_dict_reference(self):
+        """Plain dict-of-sets postings build."""
+        from suckit_ray.pipelines import textops
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        post: dict[str, set[int]] = {}
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            for t in set(text.lower().split()):
+                post.setdefault(t, set()).add(int(doc_id))
+        ref = (
+            pd.DataFrame(
+                {
+                    "term": list(post.keys()),
+                    "df": [len(v) for v in post.values()],
+                    "postings": [
+                        ",".join(map(str, sorted(v)[:20]))
+                        for v in post.values()
+                    ],
+                }
+            )
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        mine = (
+            textops.docs_inverted_index(SF)
+            .to_pandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            mine.astype(str), ref.astype(str), check_dtype=False
+        )
