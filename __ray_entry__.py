@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_vs_returning": relops.events_new_vs_returning,
         "events_trailing_7d_users": relops.events_trailing_7d_users,
         "docs_inverted_index": textops.docs_inverted_index,
+        "customer_editdist_pairs": relops.customer_editdist_pairs,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -3170,6 +3171,17 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked WHERE rn <= 20 GROUP BY term
             )
             SELECT term, df, postings FROM dfc JOIN posts USING (term)
+        """,
+        # string-similarity self-join: every name pair at Levenshtein
+        # distance ≤ 1 — the oracle runs the O(n²) cross join the
+        # engine's deletion-neighborhood blocking avoids
+        "customer_editdist_pairs": """
+            SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                     AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         # text-format round-trips: the oracle is the identity select —
         # the Ray side must return documents EXACTLY after the full

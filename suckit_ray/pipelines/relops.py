@@ -3844,3 +3844,131 @@ def events_trailing_7d_users(sf_dir: str) -> pd.DataFrame:
     idx = np.searchsorted(bdays, days, side="right") - 1
     n = np.where(idx >= 0, run[idx], 0)
     return pd.DataFrame({"day": days, "n_users": n.astype("int64")})
+
+
+def _ed_le_1(a: str, b: str) -> int | None:
+    """Exact edit distance when ≤ 1, else None — the O(len) verify for
+    deletion-neighborhood candidates (full DP never runs): equal →
+    0; equal length → exactly one substitution; length ±1 → one
+    indel found by the first-mismatch splice check."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return 1 if diff == 1 else None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else None
+
+
+def customer_editdist_pairs(sf_dir: str) -> rd.Dataset:
+    """(a_custkey, b_custkey, dist): every customer-name pair with
+    Levenshtein distance ≤ 1 (a < b) — the string-similarity SELF-JOIN,
+    entity-resolution's blocking+verify shape, solved WITHOUT the O(n²)
+    cross join the SQL oracle runs.
+
+    Scale shape: FastSS deletion neighborhoods (Bocek et al. 2007,
+    public) — ed(a,b) ≤ 1 implies a and b share a member of
+    {s} ∪ {s minus one char}, so each name explodes into ≤ len+1
+    variant keys (the only corpus-scale exchange; rows are short
+    strings), one VARIANT-hash co-group emits same-variant candidate
+    pairs via a vectorized self-merge, and a second pair-keyed
+    co-group dedups candidates found under several variants and runs
+    the O(len) ≤1-verify — candidates are sparse by construction
+    (names sharing a deletion variant), never all-pairs. The verify
+    kills FastSS false positives like ("ab","ba") which share
+    variants but sit at distance 2."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        vks: list[str] = []
+        cks: list[int] = []
+        nms: list[str] = []
+        for ck, nm in zip(df["c_custkey"], df["c_name"]):
+            seen = {nm}
+            for i in range(len(nm)):
+                seen.add(nm[:i] + nm[i + 1 :])
+            for v in seen:
+                vks.append(v)
+                cks.append(int(ck))
+                nms.append(nm)
+        out = pd.DataFrame(
+            {
+                "vk": pd.array(vks, dtype="object"),
+                "ck": pd.array(cks, dtype="int64"),
+                "nm": pd.array(nms, dtype="object"),
+            }
+        )
+        out["vb"] = (
+            pd.util.hash_pandas_object(out["vk"], index=False).astype(
+                "uint64"
+            )
+            % B
+        ).astype("int64")
+        return out
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(variants, batch_format="pandas")
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "a_ck": pd.array([], dtype="int64"),
+            "b_ck": pd.array([], dtype="int64"),
+            "a_nm": pd.array([], dtype="object"),
+            "b_nm": pd.array([], dtype="object"),
+            "pb": pd.array([], dtype="int64"),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(cols)
+        g = g.drop_duplicates(["vk", "ck"])
+        m = g.merge(g, on="vk", suffixes=("_a", "_b"))
+        m = m[m["ck_a"] < m["ck_b"]]
+        if len(m) == 0:
+            return pd.DataFrame(cols)
+        out = pd.DataFrame(
+            {
+                "a_ck": m["ck_a"].astype("int64"),
+                "b_ck": m["ck_b"].astype("int64"),
+                "a_nm": m["nm_a"],
+                "b_nm": m["nm_b"],
+            }
+        ).drop_duplicates(["a_ck", "b_ck"])
+        out["pb"] = ((out["a_ck"] * 1000003 + out["b_ck"]) % B).astype(
+            "int64"
+        )
+        return out
+
+    cand = ds.groupby("vb").map_groups(candidates, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "a_custkey": pd.array([], dtype="int64"),
+                    "b_custkey": pd.array([], dtype="int64"),
+                    "dist": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.drop_duplicates(["a_ck", "b_ck"])
+        dists = [_ed_le_1(a, b) for a, b in zip(g["a_nm"], g["b_nm"])]
+        keep = [d is not None for d in dists]
+        return pd.DataFrame(
+            {
+                "a_custkey": g["a_ck"][keep].astype("int64"),
+                "b_custkey": g["b_ck"][keep].astype("int64"),
+                "dist": pd.array(
+                    [d for d in dists if d is not None], dtype="int64"
+                ),
+            }
+        )
+
+    return cand.groupby("pb").map_groups(verify, batch_format="pandas")

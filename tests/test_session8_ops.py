@@ -232,3 +232,88 @@ class TestInvertedIndex:
         pd.testing.assert_frame_equal(
             mine.astype(str), ref.astype(str), check_dtype=False
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEditdistPairs:
+    def test_vs_brute_force_dp(self):
+        """Full O(n²) pairs with a textbook DP — no deletion-
+        neighborhood or splice shortcut shared with the engine."""
+        from suckit_ray.pipelines import relops
+
+        def dp(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, x in enumerate(a, 1):
+                cur = [i]
+                for j, y in enumerate(b, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (x != y),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        cust = pd.read_parquet(f"{SF}/customer.parquet")
+        rows = []
+        recs = list(zip(cust["c_custkey"], cust["c_name"]))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                (ka, na), (kb, nb) = recs[i], recs[j]
+                a, b = (ka, kb) if ka < kb else (kb, ka)
+                d = dp(na, nb)
+                if d <= 1:
+                    rows.append((min(ka, kb), max(ka, kb), d))
+        ref = (
+            pd.DataFrame(
+                rows, columns=["a_custkey", "b_custkey", "dist"]
+            )
+            .sort_values(["a_custkey", "b_custkey"])
+            .reset_index(drop=True)
+        )
+        mine = (
+            relops.customer_editdist_pairs(SF)
+            .to_pandas()
+            .sort_values(["a_custkey", "b_custkey"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            mine.astype("int64"), ref.astype("int64")
+        )
+
+    def test_indel_and_duplicate_names(self):
+        """TPC-H names are fixed-length (substitution-only), so a
+        hand-built parquet pins the insert/delete and distance-0
+        branches plus the ("ab","ba") FastSS false positive."""
+        import os
+        import tempfile
+
+        from suckit_ray.pipelines import relops
+
+        with tempfile.TemporaryDirectory() as td:
+            pd.DataFrame(
+                {
+                    "c_custkey": [1, 2, 3, 4, 5, 6],
+                    "c_name": ["cust", "cust1", "cst", "cust", "ab", "ba"],
+                    "c_nationkey": [0] * 6,
+                    "c_acctbal": [0.0] * 6,
+                    "c_mktsegment": ["X"] * 6,
+                }
+            ).to_parquet(os.path.join(td, "customer.parquet"))
+            out = (
+                relops.customer_editdist_pairs(td)
+                .to_pandas()
+                .sort_values(["a_custkey", "b_custkey"])
+                .reset_index(drop=True)
+            )
+        got = set(map(tuple, out.to_numpy()))
+        assert got == {
+            (1, 2, 1),  # insert '1'
+            (1, 3, 1),  # delete 'u'
+            (1, 4, 0),  # duplicate name
+            (2, 4, 1),
+            (3, 4, 1),
+            # (5, 6) shares deletion variants but ed=2: verify kills it
+        }
