@@ -99,6 +99,8 @@ def crawl(
     ledger_mem_rows: int = 500_000,
     delta_hashes: bool = False,
     recrawl_from: str | None = None,
+    recrawl_seed: bool = True,
+    carry_prior_hashes: bool = False,
 ) -> CrawlResult:
     """Run a crawl to completion. ``store`` is any PageStore; it is put
     into the object store once and read zero-copy by every fetch task.
@@ -126,7 +128,11 @@ def crawl(
     bodies are unchanged skip parsing/spans/candidates/doc rows: the
     docs output is the DELTA (changed + new pages), the ledger still
     records every fetch, and a fresh hashes_parts is written for the
-    next increment."""
+    next increment. ``carry_prior_hashes`` makes that artifact carry
+    forward prior hashes for urls this run did not fetch — required
+    for BUDGETED revisits (depth=0 over a due-list from
+    ``pipelines.revisit.plan_revisit``), which refresh only their
+    seeds but must leave a complete fingerprint set behind."""
     t0 = time.perf_counter()
     cfg = config.resolved()
     if collect is None:
@@ -240,7 +246,10 @@ def crawl(
                         for s in shards
                     ]
                 )
-                _recrawl_seed = True
+                # recrawl_seed=False: a BUDGETED revisit — prior
+                # hashes still load (unchanged seeds skip), but only
+                # the explicit due-list seeds enter the frontier
+                _recrawl_seed = recrawl_seed
         if cfg.use_sitemaps and store is not None:
             from suckit_ray.sitemap import gather_sitemap_seeds
 
@@ -527,7 +536,8 @@ def crawl(
             ray.get(
                 [
                     s.flush_hashes.remote(
-                        os.path.join(hdir, f"shard_{i:04d}.parquet")
+                        os.path.join(hdir, f"shard_{i:04d}.parquet"),
+                        carry_prior=carry_prior_hashes,
                     )
                     for i, s in enumerate(shards)
                 ]

@@ -416,10 +416,16 @@ class FrontierShard:
             self.hash_tables.append(rows)
         return rows.num_rows
 
-    def flush_hashes(self, path: str) -> int:
+    def flush_hashes(self, path: str, carry_prior: bool = False) -> int:
         """Write this run's (url, body_hash) rows as one per-shard
         parquet — the artifact the NEXT recrawl's shard i loads
-        directly (same layout → zero filtering)."""
+        directly (same layout → zero filtering).
+
+        ``carry_prior``: also carry forward PRIOR-run hashes for urls
+        this run did not fetch (at their recorded depths) — a BUDGETED
+        revisit (depth=0 over a due-list) refreshes only its seeds, so
+        without the carry the next increment would see every untouched
+        url as brand new. Urls fetched this run always win."""
         import pyarrow.parquet as pq_
 
         tbl = (
@@ -431,6 +437,34 @@ class FrontierShard:
             # last-write-wins dedup by url (task re-runs)
             df = tbl.to_pandas().drop_duplicates("url", keep="last")
             tbl = pa.Table.from_pandas(df, preserve_index=False).cast(HASH_SCHEMA)
+        if carry_prior and self.recrawl_hashes:
+            fetched = set(tbl.column("url").to_pylist())
+            extra = [u for u in self.recrawl_hashes if u not in fetched]
+            if extra:
+                carried = pa.table(
+                    {
+                        "url": pa.array(extra, pa.string()),
+                        "body_hash": pa.array(
+                            [self.recrawl_hashes[u] for u in extra],
+                            pa.int64(),
+                        ),
+                        "depth": pa.array(
+                            [
+                                self.recrawl_depths.get(u, (0, 0))[0]
+                                for u in extra
+                            ],
+                            pa.int32(),
+                        ),
+                        "ext_depth": pa.array(
+                            [
+                                self.recrawl_depths.get(u, (0, 0))[1]
+                                for u in extra
+                            ],
+                            pa.int32(),
+                        ),
+                    }
+                ).cast(HASH_SCHEMA)
+                tbl = pa.concat_tables([tbl, carried])
         pq_.write_table(tbl, path)
         return tbl.num_rows
 

@@ -1,0 +1,164 @@
+"""Adaptive revisit scheduling: change-rate estimation from delta-
+recrawl fingerprint history, due-list ranking, and the budgeted
+depth-0 revisit leaving a complete fingerprint set behind."""
+
+import glob as globmod
+
+import pyarrow.parquet as pq
+import pytest
+
+from suckit_ray.config import CrawlConfig
+from suckit_ray.pipelines.crawl import crawl
+from suckit_ray.pipelines.revisit import plan_revisit, revisit_stats
+from suckit_ray.sources.pagestore import PageRecord, TablePageStore
+
+ROOT = "http://site.test/"
+A = "http://site.test/a.html"
+B = "http://site.test/b.html"
+C = "http://site.test/c.html"
+LINKS = b'<a href="a.html">a</a><a href="b.html">b</a><a href="c.html">c</a>'
+
+
+def _store(a: bytes, b: bytes, c: bytes) -> TablePageStore:
+    return TablePageStore.from_records(
+        [
+            PageRecord(ROOT, LINKS, "text/html"),
+            PageRecord(A, a, "text/html"),
+            PageRecord(B, b, "text/html"),
+            PageRecord(C, c, "text/html"),
+        ]
+    )
+
+
+def _history(tmp_path, versions):
+    """Run len(versions) chained delta crawls; return the output dirs."""
+    outs = []
+    for i, store in enumerate(versions):
+        out = str(tmp_path / f"run{i}")
+        crawl(
+            CrawlConfig(origin=ROOT),
+            store,
+            num_shards=2,
+            output_dir=out,
+            delta_hashes=True,
+            recrawl_from=outs[-1] if outs else None,
+            collect=True,
+        )
+        outs.append(out)
+    return outs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRevisitPlanning:
+    def _three_runs(self, tmp_path):
+        # a changes every version, c changes once then stabilizes,
+        # root/b never change
+        return _history(
+            tmp_path,
+            [
+                _store(b"alpha1", b"stable", b"c1"),
+                _store(b"alpha2", b"stable", b"c2"),
+                _store(b"alpha3", b"stable", b"c2"),
+            ],
+        )
+
+    def test_change_rates(self, tmp_path):
+        outs = self._three_runs(tmp_path)
+        stats = revisit_stats(outs).to_pandas().set_index("url")
+        assert len(stats) == 4
+        # a: 2 changes / 2 intervals → (2+1)e6 // 4
+        assert stats.loc[A, "changes"] == 2
+        assert stats.loc[A, "intervals"] == 2
+        assert stats.loc[A, "rate_micro"] == 750_000
+        # c: 1 change / 2 intervals
+        assert stats.loc[C, "rate_micro"] == 500_000
+        # root, b: 0 changes / 2 intervals
+        assert stats.loc[ROOT, "rate_micro"] == 250_000
+        assert stats.loc[B, "rate_micro"] == 250_000
+
+    def test_budget_ranks_changers_first(self, tmp_path):
+        outs = self._three_runs(tmp_path)
+        plan = plan_revisit(outs, budget=2)
+        assert plan["url"].tolist() == [A, C]
+        # full ranking: rate desc, url asc tie-break
+        full = plan_revisit(outs)
+        assert full["url"].tolist() == [A, C, ROOT, B]
+
+    def test_budgeted_revisit_and_carry(self, tmp_path):
+        outs = self._three_runs(tmp_path)
+        plan = plan_revisit(outs, budget=2)
+        # v4: a changed again (due-list catches it), b ALSO changed
+        # but sits outside the budget — the revisit must not touch it
+        v4 = _store(b"alpha4", b"sneaky", b"c2")
+        out4 = str(tmp_path / "run_budget")
+        res = crawl(
+            CrawlConfig(origin=ROOT, depth=0),
+            v4,
+            num_shards=2,
+            seeds=plan["url"].tolist(),
+            output_dir=out4,
+            recrawl_from=outs[-1],
+            recrawl_seed=False,
+            carry_prior_hashes=True,
+            collect=True,
+        )
+        # fetched exactly the due-list; delta docs = only the page
+        # that truly changed (c was due but unchanged → skipped)
+        fetched = set(res.ledger.column("url").to_pylist())
+        assert fetched == {A, C}
+        docs = res.downloaded_docs().column("doc_id").to_pylist()
+        assert docs == ["site.test//a.html"]
+        # the fingerprint artifact is COMPLETE: all 4 urls present,
+        # a refreshed, root/b carried verbatim from run3
+        def hashes(out):
+            t = pq.read_table(
+                sorted(globmod.glob(out + "/hashes_parts/*.parquet"))
+            )
+            return dict(
+                zip(t.column("url").to_pylist(), t.column("body_hash").to_pylist())
+            )
+
+        h3, h4 = hashes(outs[-1]), hashes(out4)
+        assert set(h4) == {ROOT, A, B, C}
+        assert h4[A] != h3[A]
+        assert h4[ROOT] == h3[ROOT]
+        assert h4[B] == h3[B]
+        assert h4[C] == h3[C]
+        # next FULL recrawl against v4 sees b (missed by the budget)
+        # as the only change — the carried hashes stay consistent
+        out5 = str(tmp_path / "run_full")
+        res5 = crawl(
+            CrawlConfig(origin=ROOT),
+            v4,
+            num_shards=2,
+            output_dir=out5,
+            recrawl_from=out4,
+            collect=True,
+        )
+        docs5 = res5.downloaded_docs().column("doc_id").to_pylist()
+        assert docs5 == ["site.test//b.html"]
+
+    def test_two_snapshots_minimum(self, tmp_path):
+        with pytest.raises(ValueError):
+            revisit_stats([str(tmp_path)])
+
+    def test_errored_fetch_counts_as_changed(self, tmp_path):
+        # an url that errors in run2 records hash 0 → counts changed
+        # (conservative: keep probing flaky pages)
+        outs = _history(
+            tmp_path,
+            [
+                _store(b"x", b"stable", b"c1"),
+                TablePageStore.from_records(
+                    [
+                        PageRecord(ROOT, LINKS, "text/html"),
+                        PageRecord(A, b"x", "text/html"),
+                        PageRecord(B, b"stable", "text/html"),
+                        # C missing → fetch error → hash 0
+                    ]
+                ),
+            ],
+        )
+        stats = revisit_stats(outs).to_pandas().set_index("url")
+        assert stats.loc[C, "changes"] == 1
+        assert stats.loc[A, "changes"] == 0
