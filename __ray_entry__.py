@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,
+        "crawl_revisit_plan": flagship.crawl_revisit_plan,
         "crawl_media_manifest": _crawl_media_manifest,
         "crawl_media_features": _crawl_media_features,
         "crawl_text_extract": flagship.crawl_text_extract,
@@ -3192,7 +3193,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_csv_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
-        # no oracle (rows-only): crawl_text_extract (page text is not
+        # no oracle (rows-only): crawl_revisit_plan (change rates
+        # derive from delta-recrawl fingerprint artifacts; pinned by
+        # the crawl_diff status cross-check in tests/test_revisit.py),
+        # crawl_text_extract (page text is not
         # SQL-derivable; pinned by a spans-vs-body cross-representation
         # equality test), embedding_dup_pairs_ivf, ann_ivf_topk,
         # ann_lsh_topk, events_distinct_users_hll, events_top_users_cms,

@@ -49,6 +49,7 @@ def crawl_docs(sf_dir: str) -> rd.Dataset:
             seeds=corpus.seeds(),
             num_shards=4,
             output_dir=out,
+            delta_hashes=True,
             collect=False,
         )
         _CRAWL_OUT_CACHE[sf_dir] = out
@@ -143,6 +144,7 @@ def crawl_docs_v2(sf_dir: str) -> rd.Dataset:
             seeds=corpus.seeds(),
             num_shards=4,
             output_dir=out,
+            delta_hashes=True,
             collect=False,
         )
         _CRAWL_V2_CACHE[sf_dir] = out
@@ -528,3 +530,22 @@ def crawl_docs_compacted(sf_dir: str) -> rd.Dataset:
         compact_parquet(src, out, target_bytes=64 * 1024 * 1024)
         _CRAWL_OUT_CACHE[key] = out
     return rd.read_parquet(_CRAWL_OUT_CACHE[key])
+
+
+def crawl_revisit_plan(sf_dir: str) -> rd.Dataset:
+    """(url, changes, intervals, rate_micro): the adaptive-revisit
+    change-rate table over the flagship mirror and its v2 recrawl —
+    ``pipelines.revisit.revisit_stats`` fed by the two runs' delta
+    fingerprints (both flagship crawls record ``hashes_parts``).
+    Rows-only (change rates derive from crawl artifacts, not the
+    parquet tables); pinned in tests/test_revisit.py by cross-checking
+    against ``crawl_diff`` statuses — a 'same' page must show 0
+    changes, a 'changed' page exactly 1, and single-snapshot pages
+    (added/removed) 0 intervals."""
+    from suckit_ray.pipelines.revisit import revisit_stats
+
+    crawl_docs(sf_dir)
+    crawl_docs_v2(sf_dir)
+    return revisit_stats(
+        [_CRAWL_OUT_CACHE[sf_dir], _CRAWL_V2_CACHE[sf_dir]]
+    )

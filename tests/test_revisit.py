@@ -4,6 +4,7 @@ depth-0 revisit leaving a complete fingerprint set behind."""
 
 import glob as globmod
 
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -162,3 +163,51 @@ class TestRevisitPlanning:
         stats = revisit_stats(outs).to_pandas().set_index("url")
         assert stats.loc[C, "changes"] == 1
         assert stats.loc[A, "changes"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFlagshipRevisitPlan:
+    def test_cross_check_vs_crawl_diff(self):
+        """The change-rate table and crawl_diff are two independent
+        views of the same v1→v2 pair: diff 'same' (span sequence
+        unchanged ⇒ identical bytes in the deterministic corpus) must
+        show 0 changes, 'changed' exactly 1, and 'added'/'removed'
+        (single-snapshot urls) 0 intervals."""
+        from suckit_ray.pipelines import flagship
+
+        sf = "/root/testdata/sf0.001"
+        plan = flagship.crawl_revisit_plan(sf).to_pandas()
+        diff = flagship.crawl_diff(sf).to_pandas()
+        # plan keys are URLs; diff keys are doc_ids (derived paths).
+        # The synthetic corpus derives doc_id = to_path(url), which for
+        # its page urls is "<host>/<file>" — rebuild the join key the
+        # same way the mirror does
+        from suckit_ray.urlkit import parse_url, to_path
+
+        plan = plan.assign(
+            doc_id=[to_path(parse_url(u), False) for u in plan["url"]]
+        ).set_index("doc_id")
+        by_status = dict(iter(diff.groupby("status")))
+        assert set(by_status) == {"added", "removed", "changed", "same"}
+        for did in by_status["same"]["doc_id"]:
+            assert plan.loc[did, "changes"] == 0, did
+            assert plan.loc[did, "intervals"] == 1, did
+        for did in by_status["changed"]["doc_id"]:
+            assert plan.loc[did, "changes"] == 1, did
+        for st in ("added", "removed"):
+            for did in by_status[st]["doc_id"]:
+                assert plan.loc[did, "intervals"] == 0, did
+        # determinism: a second build returns identical rows
+        again = flagship.crawl_revisit_plan(sf).to_pandas()
+        pd.testing.assert_frame_equal(
+            plan.reset_index()
+            .sort_values("url")[["url", "changes", "intervals", "rate_micro"]]
+            .reset_index(drop=True),
+            again.assign(
+                doc_id=[
+                    to_path(parse_url(u), False) for u in again["url"]
+                ]
+            )
+            .sort_values("url")[["url", "changes", "intervals", "rate_micro"]]
+            .reset_index(drop=True),
+        )
