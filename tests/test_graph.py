@@ -362,3 +362,32 @@ class TestComponents:
         ids = rd.from_pandas(pd.DataFrame({"a_id": [-5], "b_id": [3]}))
         with pt.raises(Exception, match="non-negative"):
             _cc_labels(ids).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestComponentsCutoverEquality:
+    def test_driver_and_propagation_routes_agree(self):
+        """The small-graph driver union-find cutover and the
+        zero-driver min-label propagation must produce the same size
+        histogram — pinned on the real flagship sf0.001 link graph
+        (multi-host, singletons, diameter > 1)."""
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import components_from_docs
+
+        docs = crawl_docs("/root/testdata/sf0.001")
+        fast = (
+            components_from_docs(docs)
+            .to_pandas()
+            .sort_values("size")
+            .reset_index(drop=True)
+        )
+        slow = (
+            components_from_docs(docs, cc_driver_limit=0)
+            .to_pandas()
+            .sort_values("size")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(fast, slow)
+        assert fast["n_components"].sum() >= 1
