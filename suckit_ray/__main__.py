@@ -106,6 +106,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warc-out", metavar="DIR",
                    help="also archive downloaded pages as gzipped WARC "
                         "segments in DIR")
+    p.add_argument("--revisit-history", action="append", default=[],
+                   metavar="DIR",
+                   help="adaptive revisit: prior --parquet-out dirs "
+                        "(oldest first, >= 2, each crawled with "
+                        "--delta-hashes); seeds become the change-rate "
+                        "due-list, prior hashes skip unchanged pages, "
+                        "and the fingerprint set carries forward "
+                        "complete. Combine with -d 0 to fetch ONLY the "
+                        "due-list")
+    p.add_argument("--revisit-budget", type=int, metavar="N",
+                   help="cap the revisit due-list to the top-N urls by "
+                        "estimated change rate (requires "
+                        "--revisit-history)")
     return p
 
 
@@ -165,7 +178,24 @@ def main(argv: list[str] | None = None) -> int:
                 logging_level="ERROR",
             )
 
+    revisit = bool(args.revisit_history)
+    if args.revisit_budget is not None and not revisit:
+        print("--revisit-budget requires --revisit-history", file=sys.stderr)
+        return 2
+    if revisit and len(args.revisit_history) < 2:
+        print("--revisit-history needs >= 2 snapshot dirs", file=sys.stderr)
+        return 2
+
     seeds = None
+    if revisit:
+        from suckit_ray.pipelines.revisit import plan_revisit
+
+        plan = plan_revisit(
+            args.revisit_history, budget=args.revisit_budget
+        )
+        seeds = plan["url"].tolist()
+        if args.recrawl_from is None:
+            args.recrawl_from = args.revisit_history[-1]
     if args.seeds_parquet:
         import pyarrow.parquet as pq
 
@@ -176,7 +206,10 @@ def main(argv: list[str] | None = None) -> int:
         corpus = SyntheticCorpus(n_hosts=8, n_docs=args.synthetic, fanout=4)
         store = SyntheticPageStore(corpus)
         config = CrawlConfig(**{**config.__dict__, "origin": corpus.page_url(0, 0)})
-        seeds = corpus.seeds()
+        if seeds is None:
+            # an explicit seed list (revisit due-list / --seeds-parquet)
+            # wins over the corpus's default per-host seeds
+            seeds = corpus.seeds()
     else:
         from suckit_ray.sources.pagestore import HttpPageStore
 
@@ -200,8 +233,10 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         collect=False,
         max_concurrency=args.jobs,
-        delta_hashes=args.delta_hashes,
+        delta_hashes=args.delta_hashes or revisit,
         recrawl_from=args.recrawl_from,
+        recrawl_seed=not revisit,
+        carry_prior_hashes=revisit,
     )
     summary = {
         "pages": res.metrics.get("pages", 0),

@@ -211,3 +211,72 @@ class TestFlagshipRevisitPlan:
             .sort_values("url")[["url", "changes", "intervals", "rate_micro"]]
             .reset_index(drop=True),
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRevisitCli:
+    def test_cli_budgeted_revisit(self, tmp_path):
+        """Full CLI loop: two delta-hash snapshot crawls of the
+        deterministic synthetic web, then a budgeted depth-0 revisit
+        driven by --revisit-history/--revisit-budget — fetches exactly
+        the budget, produces an empty delta (nothing changed), and
+        leaves a COMPLETE fingerprint set."""
+        import json
+        import subprocess
+        import sys
+
+        def run(extra):
+            proc = subprocess.run(
+                [
+                    sys.executable, "-m", "suckit_ray",
+                    "http://ignored.test/", "--synthetic", "60",
+                    "--num-cpus", "4", "--shards", "2", *extra,
+                ],
+                capture_output=True, text=True, timeout=300,
+                cwd="/root/repo",
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+
+        out1 = str(tmp_path / "r1")
+        out2 = str(tmp_path / "r2")
+        out3 = str(tmp_path / "r3")
+        s1 = run(["--parquet-out", out1, "--delta-hashes"])
+        s2 = run(["--parquet-out", out2, "--delta-hashes"])
+        assert s1["pages"] == s2["pages"] > 0
+        s3 = run(
+            [
+                "--parquet-out", out3, "-d", "0",
+                "--revisit-history", out1, "--revisit-history", out2,
+                "--revisit-budget", "5",
+            ]
+        )
+        assert s3["pages"] == 5
+        # complete fingerprint carry: every url of run2 is present
+        def n_hashes(out):
+            t = pq.read_table(
+                sorted(globmod.glob(out + "/hashes_parts/*.parquet"))
+            )
+            return t.num_rows
+        assert n_hashes(out3) == n_hashes(out2)
+        # nothing changed → empty docs delta (no docs parquet rows)
+        import pyarrow.dataset as pads
+        docs = sorted(globmod.glob(out3 + "/docs/**/*.parquet", recursive=True))
+        ndocs = (
+            sum(pq.read_metadata(p).num_rows for p in docs) if docs else 0
+        )
+        assert ndocs == 0
+
+    def test_cli_flag_validation(self):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "suckit_ray",
+                "http://x.test/", "--revisit-budget", "3",
+            ],
+            capture_output=True, text=True, timeout=60, cwd="/root/repo",
+        )
+        assert proc.returncode == 2
+        assert "revisit-history" in proc.stderr
