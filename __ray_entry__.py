@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_degrees": graph.crawl_degrees,
         "crawl_kcore": graph.crawl_kcore,
         "crawl_components": graph.crawl_components,
+        "crawl_scc": graph.crawl_scc,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,
@@ -3079,6 +3080,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT size, CAST(count(*) AS BIGINT) AS n_components
             FROM per_host GROUP BY size
+        """,
+        # strongly connected components of the DIRECTED link graph:
+        # the shared reach CTE regenerates the formulaic edges, a
+        # second recursive CTE takes the per-host transitive closure
+        # (bounded: pages² per host at test scale), mutual pairs give
+        # each page its min-partner SCC label, and the histogram
+        # groups label sizes — every crawled page's link targets are
+        # themselves crawled, so no membership filter is needed here
+        # (the engine applies one for generality)
+        "crawl_scc": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            tc(h, a, b) AS (
+              SELECT h, a, b FROM e
+              UNION
+              SELECT tc.h, tc.a, e2.b
+              FROM tc JOIN e e2 ON e2.h = tc.h AND e2.a = tc.b
+            ),
+            mutual AS (
+              SELECT t1.h, t1.a AS j, t1.b AS k
+              FROM tc t1
+              JOIN tc t2
+                ON t2.h = t1.h AND t2.a = t1.b AND t2.b = t1.a
+            ),
+            lab AS (
+              SELECT r.h, r.j,
+                     LEAST(r.j, COALESCE(MIN(m.k), r.j)) AS scc_id
+              FROM reach r
+              LEFT JOIN mutual m ON m.h = r.h AND m.j = r.j
+              GROUP BY r.h, r.j
+            ),
+            sz AS (
+              SELECT h, scc_id, count(*) AS size FROM lab GROUP BY 1, 2
+            )
+            SELECT CAST(size AS BIGINT) AS size,
+                   CAST(count(*) AS BIGINT) AS n_sccs
+            FROM sz GROUP BY size
         """,
         # 2D skyline (Pareto frontier): min price, max size, one
         # strict — the NOT EXISTS dominance shape; integer cents keep

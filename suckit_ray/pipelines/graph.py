@@ -1264,3 +1264,513 @@ def crawl_kcore(sf_dir: str, k: int = 2) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return kcore_from_docs(crawl_docs(sf_dir), k=k)
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (directed)
+# ---------------------------------------------------------------------------
+
+SCC_DRIVER_EDGE_LIMIT = 200_000  # same class as dedup.CC_DRIVER_PAIR_LIMIT
+
+
+def _scc_tarjan_sizes(a: np.ndarray, b: np.ndarray) -> list[int]:
+    """Iterative Tarjan over a small collected edge list — only ever
+    called under SCC_DRIVER_EDGE_LIMIT. Returns the SCC sizes of every
+    node appearing in an edge (explicit stack: no recursion limit)."""
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for x, y in zip(a.tolist(), b.tolist()):
+        adj.setdefault(x, []).append(y)
+        nodes.add(x)
+        nodes.add(y)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    sizes: list[int] = []
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, ())
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                n = 0
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    n += 1
+                    if w == v:
+                        break
+                sizes.append(n)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return sizes
+
+
+def _keep_edges_with_member(
+    edges: rd.Dataset, nodes: rd.Dataset, endpoint: str, B: int
+) -> rd.Dataset:
+    """Edges whose ``endpoint`` (\"a_id\"/\"b_id\") appears in
+    ``nodes`` (single column \"node\") — the distributed semi-join as
+    one tagged co-group on the endpoint's hash bucket."""
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df[endpoint].astype("int64"),
+                "a_id": df["a_id"].astype("int64"),
+                "b_id": df["b_id"].astype("int64"),
+                "is_node": np.zeros(len(df), dtype="int64"),
+                "bucket": (df[endpoint] % B).astype("int64"),
+            }
+        )
+
+    def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"].astype("int64"),
+                "a_id": np.full(len(df), -1, dtype="int64"),
+                "b_id": np.full(len(df), -1, dtype="int64"),
+                "is_node": np.ones(len(df), dtype="int64"),
+                "bucket": (df["node"] % B).astype("int64"),
+            }
+        )
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        members = set(g.loc[g["is_node"] == 1, "key"].tolist())
+        e = g[g["is_node"] == 0]
+        e = e[e["key"].isin(members)]
+        return pd.DataFrame(
+            {
+                "a_id": e["a_id"].astype("int64"),
+                "b_id": e["b_id"].astype("int64"),
+            }
+        )
+
+    return (
+        edges.map_batches(tag_edge, batch_format="pandas")
+        .union(nodes.map_batches(tag_node, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(keep, batch_format="pandas")
+    )
+
+
+def _dir_max_prop(
+    edges: rd.Dataset,
+    init: rd.Dataset,
+    B: int,
+    max_rounds: int,
+    what: str,
+) -> rd.Dataset:
+    """Directed max-propagation to fixpoint: val[b] ← max(val[b],
+    val[a]) along every edge a→b. ``init`` is (node, val) covering
+    EVERY node (isolated nodes keep their value). Two bucketed
+    exchanges per round (attach src vals, reduce at dst), one small
+    changed-count to the driver; raises on non-convergence rather
+    than returning a truncated fixpoint (the kcore convention).
+    Returns a materialized (node, val)."""
+    vals = init.materialize()
+    edges = edges.materialize()
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["is_self"] == 1][["key", "val"]]
+        e = g[g["is_self"] == 0][["key", "dst"]].merge(lab, on="key")
+        return pd.DataFrame(
+            {
+                "node": e["dst"].astype("int64"),
+                "val": e["val"].astype("int64"),
+                "is_self": np.zeros(len(e), dtype="int64"),
+            }
+        )
+
+    for rnd in range(max_rounds):
+
+        def tag_vals(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["node"].astype("int64"),
+                    "dst": np.full(len(df), -1, dtype="int64"),
+                    "val": df["val"].astype("int64"),
+                    "is_self": np.ones(len(df), dtype="int64"),
+                    "bucket": (df["node"] % B).astype("int64"),
+                }
+            )
+
+        def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["a_id"].astype("int64"),
+                    "dst": df["b_id"].astype("int64"),
+                    "val": np.full(len(df), -1, dtype="int64"),
+                    "is_self": np.zeros(len(df), dtype="int64"),
+                    "bucket": (df["a_id"] % B).astype("int64"),
+                }
+            )
+
+        msgs = (
+            vals.map_batches(tag_vals, batch_format="pandas")
+            .union(edges.map_batches(tag_edges, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(send, batch_format="pandas")
+        )
+
+        def tag_self(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"].astype("int64"),
+                    "val": df["val"].astype("int64"),
+                    "is_self": np.ones(len(df), dtype="int64"),
+                }
+            )
+
+        def reduce_max(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("node")["val"].max()
+            own = g[g["is_self"] == 1].set_index("node")["val"]
+            own = own.reindex(new.index)
+            chg = new > own
+            return pd.DataFrame(
+                {
+                    "node": new.index.astype("int64"),
+                    "val": new.to_numpy().astype("int64"),
+                    "chg": chg.to_numpy().astype("int64"),
+                }
+            )
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["bucket"] = (out["node"] % B).astype("int64")
+            return out
+
+        new_vals = (
+            msgs.union(vals.map_batches(tag_self, batch_format="pandas"))
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_max, batch_format="pandas")
+            .materialize()
+        )
+        changed = int(
+            new_vals.map_batches(
+                lambda df: pd.DataFrame({"c": [int(df["chg"].sum())]}),
+                batch_format="pandas",
+            )
+            .to_pandas()["c"]
+            .sum()
+        )
+        vals = new_vals.select_columns(["node", "val"]).materialize()
+        if changed == 0:
+            return vals
+    raise RuntimeError(
+        f"_dir_max_prop({what}) did not converge in {max_rounds} rounds "
+        "— refusing to return a truncated fixpoint"
+    )
+
+
+def scc_from_docs(
+    docs: rd.Dataset,
+    num_buckets: int | None = None,
+    scc_driver_limit: int | None = None,
+    max_rounds: int = 64,
+    max_phases: int = 16,
+) -> rd.Dataset:
+    """(size, n_sccs): STRONGLY-connected-component size histogram of
+    the crawl's directed link graph — the directed sibling of
+    ``components_from_docs`` (a page cluster where every page reaches
+    every other by following links FORWARD: the web's "core" vs its
+    tendrils, per the classic bow-tie structure). Nodes are crawled
+    HTML pages; edges keep only targets that are themselves crawled
+    pages (the pagerank phantom-node rule).
+
+    Small graphs (edge count ≤ ``scc_driver_limit``, default
+    SCC_DRIVER_EDGE_LIMIT) collect the bounded edge list and run an
+    iterative driver Tarjan. Larger graphs run distributed
+    FORWARD-BACKWARD COLORING (the Pregel-style SCC decomposition —
+    public literature: Orzan 2004 / FW-BW): per phase, (1) every
+    alive node's color = max node id that reaches it (directed max
+    propagation, O(diameter) rounds of two bucketed exchanges), (2)
+    nodes whose color equals their own id are roots, (3) a backward
+    propagation over SAME-COLOR edges marks the nodes that reach
+    their root — exactly the root's SCC — which are counted and
+    removed; repeat on the survivors. Real web graphs (one giant SCC
+    + shallow periphery) finish in a few phases; adversarial chains
+    exhaust ``max_phases`` and RAISE rather than return a partial
+    decomposition. Both routes are equality-pinned in
+    tests/test_graph.py."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    def to_ids(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.util.hash_pandas_object(df["src"], index=False)
+        b = pd.util.hash_pandas_object(df["dst"], index=False)
+        out = pd.DataFrame(
+            {
+                # >> 1: 63-bit non-negative ids (sentinel-safe, the
+                # components_from_docs convention)
+                "a_id": (a.to_numpy() >> np.uint64(1)).astype("int64"),
+                "b_id": (b.to_numpy() >> np.uint64(1)).astype("int64"),
+            }
+        )
+        return out[out["a_id"] != out["b_id"]].drop_duplicates()
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["is_html"].astype(bool), "doc_id"]
+        ids = (
+            pd.util.hash_pandas_object(
+                keep.map(posixpath.normpath), index=False
+            ).to_numpy()
+            >> np.uint64(1)
+        ).astype("int64")
+        return pd.DataFrame({"node": ids})
+
+    nodes = (
+        docs.select_columns(["doc_id", "is_html"])
+        .map_batches(node_rows, batch_format="pandas")
+        .materialize()
+    )
+    n_html = nodes.count()
+    raw_edges = _link_edges(docs).map_batches(to_ids, batch_format="pandas")
+    Bsemi = num_buckets or default_buckets()
+    # keep only page→page edges (src is a crawled page by construction)
+    edges = _keep_edges_with_member(
+        raw_edges, nodes, "b_id", Bsemi
+    ).materialize()
+    n_edges = edges.count()
+    limit = (
+        SCC_DRIVER_EDGE_LIMIT if scc_driver_limit is None else scc_driver_limit
+    )
+
+    if n_edges <= limit:
+        parts = list(edges.iter_batches(batch_format="pyarrow"))
+        if parts:
+            tbl = pa.concat_tables(parts)
+            df = tbl.to_pandas().drop_duplicates(["a_id", "b_id"])
+            a = df["a_id"].to_numpy()
+            b = df["b_id"].to_numpy()
+            sizes_list = _scc_tarjan_sizes(a, b)
+            n_edge_nodes = len(np.unique(np.concatenate([a, b])))
+        else:
+            sizes_list = []
+            n_edge_nodes = 0
+        sizes_list.extend([1] * (n_html - n_edge_nodes))
+        hist: dict[int, int] = {}
+        for s in sizes_list:
+            hist[s] = hist.get(s, 0) + 1
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "size": pa.array(sorted(hist), pa.int64()),
+                    "n_sccs": pa.array(
+                        [hist[s] for s in sorted(hist)], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    # distributed FW-BW coloring
+    # B scaled like the pagerank plan: iterative rounds pay per-block
+    # fixed costs every round, so small graphs get few buckets
+    B = num_buckets or max(
+        2, min(default_buckets(), n_edges // 10_000 + 1)
+    )
+    alive_nodes = nodes
+    alive_edges = edges
+    size_parts: list[rd.Dataset] = []
+    for _phase in range(max_phases):
+        if alive_nodes.count() == 0:
+            break
+        init = alive_nodes.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].astype("int64"),
+                    "val": df["node"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        colors = _dir_max_prop(
+            alive_edges, init, B, max_rounds, "scc colors"
+        )
+
+        # same-color edges, reversed (mark flows descendant → ancestor)
+        def tag_e_src(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["a_id"].astype("int64"),
+                    "a_id": df["a_id"].astype("int64"),
+                    "b_id": df["b_id"].astype("int64"),
+                    "val": np.full(len(df), -1, dtype="int64"),
+                    "bucket": (df["a_id"] % B).astype("int64"),
+                }
+            )
+
+        def tag_c(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["node"].astype("int64"),
+                    "a_id": np.full(len(df), -1, dtype="int64"),
+                    "b_id": np.full(len(df), -1, dtype="int64"),
+                    "val": df["val"].astype("int64"),
+                    "bucket": (df["node"] % B).astype("int64"),
+                }
+            )
+
+        def join_src_color(g: pd.DataFrame) -> pd.DataFrame:
+            c = g[g["a_id"] < 0][["key", "val"]].rename(
+                columns={"val": "ca"}
+            )
+            e = g[g["a_id"] >= 0][["key", "a_id", "b_id"]].merge(
+                c, on="key"
+            )
+            return pd.DataFrame(
+                {
+                    "a_id": e["a_id"].astype("int64"),
+                    "b_id": e["b_id"].astype("int64"),
+                    "ca": e["ca"].astype("int64"),
+                }
+            )
+
+        e_ca = (
+            alive_edges.map_batches(tag_e_src, batch_format="pandas")
+            .union(colors.map_batches(tag_c, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(join_src_color, batch_format="pandas")
+        )
+
+        def tag_e_dst(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["b_id"].astype("int64"),
+                    "a_id": df["a_id"].astype("int64"),
+                    "b_id": df["b_id"].astype("int64"),
+                    "val": df["ca"].astype("int64"),
+                    "bucket": (df["b_id"] % B).astype("int64"),
+                }
+            )
+
+        def join_dst_color(g: pd.DataFrame) -> pd.DataFrame:
+            c = g[g["a_id"] < 0][["key", "val"]].rename(
+                columns={"val": "cb"}
+            )
+            e = g[g["a_id"] >= 0][["key", "a_id", "b_id", "val"]].merge(
+                c, on="key"
+            )
+            e = e[e["val"] == e["cb"]]
+            # REVERSED for the backward pass: a_id ← b_id
+            return pd.DataFrame(
+                {
+                    "a_id": e["b_id"].astype("int64"),
+                    "b_id": e["a_id"].astype("int64"),
+                }
+            )
+
+        intra_rev = (
+            e_ca.map_batches(tag_e_dst, batch_format="pandas")
+            .union(colors.map_batches(tag_c, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(join_dst_color, batch_format="pandas")
+        )
+
+        mark_init = colors.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].astype("int64"),
+                    "val": (df["node"] == df["val"]).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        marks = _dir_max_prop(
+            intra_rev, mark_init, B, max_rounds, "scc marks"
+        )
+
+        # assigned this phase: marked nodes grouped by their color
+        def tag_m(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[df["val"] == 1]
+            return pd.DataFrame(
+                {
+                    "key": keep["node"].astype("int64"),
+                    "a_id": np.full(len(keep), -2, dtype="int64"),
+                    "b_id": np.full(len(keep), -2, dtype="int64"),
+                    "val": np.full(len(keep), -2, dtype="int64"),
+                    "bucket": (keep["node"] % B).astype("int64"),
+                }
+            )
+
+        def color_of_marked(g: pd.DataFrame) -> pd.DataFrame:
+            c = g[g["val"] >= 0][["key", "val"]]
+            m = g[g["val"] == -2][["key"]].merge(c, on="key")
+            return pd.DataFrame({"color": m["val"].astype("int64")})
+
+        phase_sizes = bucketed_groupby_agg(
+            marks.map_batches(tag_m, batch_format="pandas")
+            .union(colors.map_batches(tag_c, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(color_of_marked, batch_format="pandas"),
+            keys=["color"],
+            aggs={"size": ("color", "count")},
+            num_buckets=B,
+        ).select_columns(["size"]).materialize()
+        size_parts.append(phase_sizes)
+
+        # survivors: unmarked nodes; edges restricted to survivors
+        survivors = marks.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df.loc[df["val"] == 0, "node"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        alive_nodes = survivors
+        if alive_nodes.count() == 0:
+            break
+        alive_edges = _keep_edges_with_member(
+            _keep_edges_with_member(alive_edges, survivors, "a_id", B),
+            survivors,
+            "b_id",
+            B,
+        ).materialize()
+    else:
+        raise RuntimeError(
+            f"scc_from_docs did not decompose in {max_phases} phases — "
+            "refusing to return a partial histogram"
+        )
+
+    sizes = size_parts[0]
+    for p in size_parts[1:]:
+        sizes = sizes.union(p)
+    return bucketed_groupby_agg(
+        sizes,
+        keys=["size"],
+        aggs={"n_sccs": ("size", "count")},
+        num_buckets=B,
+    )
+
+
+def crawl_scc(sf_dir: str) -> rd.Dataset:
+    """queries() entry: SCC-size histogram of the flagship mirror's
+    directed link graph. Full SQL oracle: the shared reachability CTE
+    regenerates the directed edges, a transitive-closure CTE finds
+    mutually-reachable pairs, and the histogram groups per-host
+    min-partner labels."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return scc_from_docs(crawl_docs(sf_dir))

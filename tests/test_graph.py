@@ -391,3 +391,145 @@ class TestComponentsCutoverEquality:
 
         pd.testing.assert_frame_equal(fast, slow)
         assert fast["n_components"].sum() >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScc:
+    def _docs(self, rows):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "is_html": [True] * len(rows),
+                    "spans": [
+                        [
+                            {"kind": "link", "text": "", "media_ref": m, "offset": 0}
+                            for m in r[1]
+                        ]
+                        for r in rows
+                    ],
+                }
+            )
+        )
+
+    def test_hand_digraphs_driver_route(self):
+        from suckit_ray.pipelines.graph import scc_from_docs
+
+        cases = [
+            # 3-cycle with a tail: {a,b,c} + {d}
+            (
+                [
+                    ("h//a.html", ["b.html"]),
+                    ("h//b.html", ["c.html"]),
+                    ("h//c.html", ["a.html", "d.html"]),
+                    ("h//d.html", []),
+                ],
+                {1: 1, 3: 1},
+            ),
+            # DAG: all singletons
+            (
+                [
+                    ("h//a.html", ["b.html"]),
+                    ("h//b.html", ["c.html"]),
+                    ("h//c.html", []),
+                ],
+                {1: 3},
+            ),
+            # two 2-cycles bridged one-way
+            (
+                [
+                    ("h//a.html", ["b.html"]),
+                    ("h//b.html", ["a.html", "c.html"]),
+                    ("h//c.html", ["d.html"]),
+                    ("h//d.html", ["c.html"]),
+                ],
+                {2: 2},
+            ),
+        ]
+        for rows, exp in cases:
+            out = scc_from_docs(self._docs(rows)).to_pandas()
+            assert dict(zip(out["size"], out["n_sccs"])) == exp, rows
+
+    def test_distributed_route_equals_driver(self):
+        """Force the FW-BW coloring path (scc_driver_limit=0) on the
+        bridged-two-cycles digraph — multi-phase: the high-id cycle's
+        color floods the low one, so phase 1 resolves one SCC and
+        phase 2 the other."""
+        from suckit_ray.pipelines.graph import scc_from_docs
+
+        docs = self._docs(
+            [
+                ("h//a.html", ["b.html"]),
+                ("h//b.html", ["a.html", "c.html"]),
+                ("h//c.html", ["d.html"]),
+                ("h//d.html", ["c.html"]),
+                ("h//iso.html", []),
+            ]
+        )
+        slow = scc_from_docs(docs, scc_driver_limit=0).to_pandas()
+        assert dict(zip(slow["size"], slow["n_sccs"])) == {2: 2, 1: 1}
+
+    def test_vs_kosaraju_reference(self):
+        """Independent Kosaraju (two DFS passes — a different
+        algorithm from the engine's Tarjan) over the real sf0.001
+        flagship link graph."""
+        import posixpath
+        from collections import defaultdict
+
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import _link_edges, crawl_scc
+
+        docs = crawl_docs("/root/testdata/sf0.001")
+        ed = _link_edges(docs).to_pandas()
+        nodes = set()
+        docs_df = docs.to_pandas()
+        for did, is_html in zip(docs_df["doc_id"], docs_df["is_html"]):
+            if is_html:
+                nodes.add(posixpath.normpath(did))
+        fwd, rev = defaultdict(list), defaultdict(list)
+        for s, d in zip(ed["src"], ed["dst"]):
+            if s in nodes and d in nodes and s != d:
+                fwd[s].append(d)
+                rev[d].append(s)
+        order, seen = [], set()
+        for n in nodes:
+            if n in seen:
+                continue
+            stack = [(n, iter(fwd[n]))]
+            seen.add(n)
+            while stack:
+                v, it = stack[-1]
+                adv = False
+                for w in it:
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append((w, iter(fwd[w])))
+                        adv = True
+                        break
+                if not adv:
+                    order.append(v)
+                    stack.pop()
+        comp_sizes = []
+        assigned = set()
+        for n in reversed(order):
+            if n in assigned:
+                continue
+            size, stack = 0, [n]
+            assigned.add(n)
+            while stack:
+                v = stack.pop()
+                size += 1
+                for w in rev[v]:
+                    if w not in assigned:
+                        assigned.add(w)
+                        stack.append(w)
+            comp_sizes.append(size)
+        ref: dict[int, int] = {}
+        for s in comp_sizes:
+            ref[s] = ref.get(s, 0) + 1
+        out = crawl_scc("/root/testdata/sf0.001").to_pandas()
+        assert dict(zip(out["size"], out["n_sccs"])) == ref
