@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_7d_users": relops.events_trailing_7d_users,
         "docs_inverted_index": textops.docs_inverted_index,
         "customer_editdist_pairs": relops.customer_editdist_pairs,
+        "customer_entity_clusters": relops.customer_entity_clusters,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -3229,6 +3230,28 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        # entity resolution: connected components of the ed<=1 match
+        # graph, canonical = min custkey — the near-dup-closure CTE
+        # shape over levenshtein pairs
+        "customer_entity_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.c_custkey AS u, b.c_custkey AS v
+              FROM customer a JOIN customer b
+                ON a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ),
+            edges AS (
+              SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT c_custkey, c_custkey FROM customer
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+            )
+            SELECT CAST(id AS BIGINT) AS c_custkey,
+                   CAST(MIN(r) AS BIGINT) AS canon_key
+            FROM reach GROUP BY id
         """,
         # text-format round-trips: the oracle is the identity select —
         # the Ray side must return documents EXACTLY after the full

@@ -3972,3 +3972,77 @@ def customer_editdist_pairs(sf_dir: str) -> rd.Dataset:
         )
 
     return cand.groupby("pb").map_groups(verify, batch_format="pandas")
+
+
+def customer_entity_clusters(sf_dir: str) -> rd.Dataset:
+    """(c_custkey, canon_key): entity resolution end-to-end — the
+    ed≤1 name-similarity pairs become an undirected match graph whose
+    connected components are entities; canon_key = min custkey of the
+    component (singletons map to themselves). The blocking+verify+
+    cluster composition every record-linkage pipeline runs.
+
+    Scale shape: pairs come from the fully distributed
+    ``customer_editdist_pairs``; components use the shared cutover —
+    a bounded pair set union-finds on the driver
+    (dedup._cc_union_find), larger graphs run the zero-driver
+    min-label propagation (dedup._cc_labels) — and only the sparse
+    non-root map broadcasts for the assignment pass (the
+    near_dup_clusters shape)."""
+    import pyarrow as pa
+
+    import ray
+    from suckit_ray.pipelines.dedup import (
+        CC_DRIVER_PAIR_LIMIT,
+        _cc_labels,
+        _cc_union_find,
+    )
+
+    pairs = (
+        customer_editdist_pairs(sf_dir)
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "a_id": df["a_custkey"].astype("int64"),
+                    "b_id": df["b_custkey"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        comp: dict[int, int] = {}
+    elif n_pairs <= CC_DRIVER_PAIR_LIMIT:
+        comp = _cc_union_find(
+            pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+        )
+    else:
+        labels = _cc_labels(pairs)
+        comp = {}
+        for part in labels.iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            for n, l in zip(
+                part.column("node").to_pylist(),
+                part.column("label").to_pylist(),
+            ):
+                if n != l:
+                    comp[n] = l
+    comp_ref = ray.put(comp)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        comp_ = ray.get(comp_ref)
+        ids = df["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "c_custkey": ids,
+                "canon_key": pd.array(
+                    [comp_.get(int(i), int(i)) for i in ids], dtype="int64"
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(assign, batch_format="pandas")

@@ -317,3 +317,77 @@ class TestEditdistPairs:
             (3, 4, 1),
             # (5, 6) shares deletion variants but ed=2: verify kills it
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEntityClusters:
+    def test_transitive_chain_merges(self):
+        """ed("cust","cust12")=2, but the chain cust ~ cust1 ~ cust12
+        merges all three into one entity — clustering is transitive
+        over pairs, not pairwise-bounded."""
+        import os
+        import tempfile
+
+        from suckit_ray.pipelines import relops
+
+        with tempfile.TemporaryDirectory() as td:
+            pd.DataFrame(
+                {
+                    "c_custkey": [10, 11, 12, 99],
+                    "c_name": ["cust", "cust1", "cust12", "other"],
+                    "c_nationkey": [0] * 4,
+                    "c_acctbal": [0.0] * 4,
+                    "c_mktsegment": ["X"] * 4,
+                }
+            ).to_parquet(os.path.join(td, "customer.parquet"))
+            out = (
+                relops.customer_entity_clusters(td)
+                .to_pandas()
+                .set_index("c_custkey")["canon_key"]
+            )
+        assert out[10] == out[11] == out[12] == 10
+        assert out[99] == 99
+
+    def test_vs_independent_union_find(self):
+        """Union-find over brute-force DP pairs — shares neither the
+        blocking nor the cluster machinery with the engine."""
+        from suckit_ray.pipelines import relops
+
+        cust = pd.read_parquet(f"{SF}/customer.parquet")
+        names = dict(zip(cust["c_custkey"], cust["c_name"]))
+
+        def dp(a, b):
+            prev = list(range(len(b) + 1))
+            for i, x in enumerate(a, 1):
+                cur = [i]
+                for j, y in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (x != y))
+                    )
+                prev = cur
+            return prev[-1]
+
+        parent = {k: k for k in names}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        keys = sorted(names)
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if dp(names[keys[i]], names[keys[j]]) <= 1:
+                    ra, rb = find(keys[i]), find(keys[j])
+                    if ra != rb:
+                        lo, hi = min(ra, rb), max(ra, rb)
+                        parent[hi] = lo
+        ref = {k: find(k) for k in keys}
+        mine = (
+            relops.customer_entity_clusters(SF)
+            .to_pandas()
+            .set_index("c_custkey")["canon_key"]
+            .to_dict()
+        )
+        assert mine == ref
