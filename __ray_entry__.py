@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": textops.docs_inverted_index,
         "customer_editdist_pairs": relops.customer_editdist_pairs,
         "customer_entity_clusters": relops.customer_entity_clusters,
+        "events_value_winsorized": relops.events_value_winsorized,
         "events_props_hist": relops.events_props_hist,
         "customer_order_paths": relops.customer_order_paths,
         "q10_returned_revenue": relops.q10_returned_revenue,
@@ -3252,6 +3253,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS c_custkey,
                    CAST(MIN(r) AS BIGINT) AS canon_key
             FROM reach GROUP BY id
+        """,
+        # winsorized sum: values clipped to exact per-type
+        # quantile_disc [P5, P95] before summing — integer cents keep
+        # both the bounds and the clipped sum hash-exact
+        "events_value_winsorized": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            q AS (
+              SELECT event_type,
+                     CAST(quantile_disc(v, 0.05) AS BIGINT) AS lo,
+                     CAST(quantile_disc(v, 0.95) AS BIGINT) AS hi,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM c GROUP BY 1
+            )
+            SELECT q.event_type, q.n,
+                   q.lo AS p05_cents, q.hi AS p95_cents,
+                   CAST(SUM(LEAST(GREATEST(c.v, q.lo), q.hi)) AS BIGINT)
+                     AS sum_wins_c
+            FROM c JOIN q USING (event_type)
+            GROUP BY 1, 2, 3, 4
         """,
         # text-format round-trips: the oracle is the identity select —
         # the Ray side must return documents EXACTLY after the full

@@ -4046,3 +4046,76 @@ def customer_entity_clusters(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).map_batches(assign, batch_format="pandas")
+
+
+def events_value_winsorized(sf_dir: str) -> "pa.Table":
+    """(event_type, n, p05_cents, p95_cents, sum_wins_c): per-type
+    WINSORIZED sum — values clipped to the exact [P5, P95]
+    quantile_disc bounds before summing, the robust-statistics
+    pre-step that kills outlier influence without dropping rows.
+
+    Scale shape: ONE pass — the same two-phase (type, cent) histogram
+    the exact-quantile op builds also yields the winsorized sum
+    group-locally (clip the histogram's value column against the
+    walk's own bounds and dot it with the counts), so no second scan
+    of the events table and no bounds broadcast; the exchange carries
+    one row per distinct (type, cent) pair."""
+    import numpy as np
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_c": to_cents(df["value"]),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(cents, batch_format="pandas")
+    hist = bucketed_groupby_agg(
+        ds,
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    )
+
+    def type_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_c")
+        counts = g["n"].to_numpy()
+        values = g["value_c"].to_numpy()
+        cum = counts.cumsum()
+        n = int(cum[-1])
+        # 1-based rank ceil(q*n): the quantile_disc rule shared with
+        # events_value_quantiles
+        lo = int(values[np.searchsorted(cum, max(1, int(np.ceil(0.05 * n))))])
+        hi = int(values[np.searchsorted(cum, max(1, int(np.ceil(0.95 * n))))])
+        s = int((np.clip(values, lo, hi) * counts).sum())
+        return pd.DataFrame(
+            [(g["event_type"].iloc[0], n, lo, hi, s)],
+            columns=[
+                "event_type", "n", "p05_cents", "p95_cents", "sum_wins_c"
+            ],
+        )
+
+    out = (
+        hist.groupby("event_type")
+        .map_groups(type_wins, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n": pa.array([int(x) for x in out["n"]], pa.int64()),
+            "p05_cents": pa.array(
+                [int(x) for x in out["p05_cents"]], pa.int64()
+            ),
+            "p95_cents": pa.array(
+                [int(x) for x in out["p95_cents"]], pa.int64()
+            ),
+            "sum_wins_c": pa.array(
+                [int(x) for x in out["sum_wins_c"]], pa.int64()
+            ),
+        }
+    )

@@ -391,3 +391,62 @@ class TestEntityClusters:
             .to_dict()
         )
         assert mine == ref
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinsorized:
+    def test_vs_pandas_reference(self):
+        from suckit_ray.pipelines import relops
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        v = relops.to_cents(ev["value"])
+        rows = []
+        for t, g in v.groupby(ev["event_type"]):
+            s = np.sort(g.to_numpy())
+            n = len(s)
+            lo = int(s[max(1, int(np.ceil(0.05 * n))) - 1])
+            hi = int(s[max(1, int(np.ceil(0.95 * n))) - 1])
+            rows.append((t, n, lo, hi, int(np.clip(s, lo, hi).sum())))
+        ref = (
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "event_type", "n", "p05_cents", "p95_cents", "sum_wins_c"
+                ],
+            )
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        mine = relops.events_value_winsorized(SF).to_pandas()
+        pd.testing.assert_frame_equal(
+            mine.astype(str), ref.astype(str), check_dtype=False
+        )
+
+    def test_outlier_insensitivity(self):
+        """One enormous outlier moves the plain sum but barely the
+        winsorized sum — the property the operator exists for."""
+        import os
+        import tempfile
+
+        from suckit_ray.pipelines import relops
+
+        base = {
+            "event_id": range(100),
+            "ts": pd.to_datetime(["2024-01-01"] * 100),
+            "user_id": [1] * 100,
+            "event_type": ["x"] * 100,
+            "props": ["{}"] * 100,
+        }
+        with tempfile.TemporaryDirectory() as t1:
+            pd.DataFrame({**base, "value": [1.0] * 100}).to_parquet(
+                os.path.join(t1, "events.parquet")
+            )
+            plain = relops.events_value_winsorized(t1).to_pandas()
+        with tempfile.TemporaryDirectory() as t2:
+            pd.DataFrame(
+                {**base, "value": [1.0] * 99 + [1_000_000.0]}
+            ).to_parquet(os.path.join(t2, "events.parquet"))
+            spiked = relops.events_value_winsorized(t2).to_pandas()
+        # the spike is clipped down to P95 = 100 cents
+        assert int(plain["sum_wins_c"][0]) == 100 * 100
+        assert int(spiked["sum_wins_c"][0]) == 100 * 100
