@@ -1468,7 +1468,7 @@ def _dir_max_prop(
             .map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket")
             .map_groups(reduce_max, batch_format="pandas")
-            .materialize()
+            .materialize()  # the ONE barrier per round (CLAUDE.md rule)
         )
         changed = int(
             new_vals.map_batches(
@@ -1478,9 +1478,10 @@ def _dir_max_prop(
             .to_pandas()["c"]
             .sum()
         )
-        vals = new_vals.select_columns(["node", "val"]).materialize()
+        # lazy select over the materialized base — no second barrier
+        vals = new_vals.select_columns(["node", "val"])
         if changed == 0:
-            return vals
+            return vals.materialize()
     raise RuntimeError(
         f"_dir_max_prop({what}) did not converge in {max_rounds} rounds "
         "— refusing to return a truncated fixpoint"
