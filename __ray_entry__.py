@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": graph.crawl_kcore,
         "crawl_components": graph.crawl_components,
         "crawl_scc": graph.crawl_scc,
+        "crawl_sssp": graph.crawl_sssp,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,
@@ -3127,6 +3128,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(size AS BIGINT) AS size,
                    CAST(count(*) AS BIGINT) AS n_sccs
             FROM sz GROUP BY size
+        """,
+        # weighted bounded-hop SSSP: cheapest ≤15-edge path from each
+        # host seed, edge cost = rewritten-link string length
+        # ('p<t>.html' → 6 + digits); recursive path enumeration with
+        # a hop counter, then MIN per node — pages unreached within
+        # the cap report −1 (assets are not graph nodes)
+        "crawl_sssp": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b,
+                     6 + length(CAST(x.t AS VARCHAR)) AS w
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            paths(h, j, dist, hops) AS (
+              SELECT h, 0, 0, 0 FROM hosts
+              UNION
+              SELECT e.h, e.b, p.dist + e.w, p.hops + 1
+              FROM paths p JOIN e ON e.h = p.h AND e.a = p.j
+              WHERE p.hops < 15
+            ),
+            best AS (SELECT h, j, MIN(dist) AS d FROM paths GROUP BY 1, 2)
+            SELECT hn.hn || '//p' || r.j || '.html' AS doc_id,
+                   CAST(COALESCE(b.d, -1) AS BIGINT) AS dist
+            FROM reach r
+            JOIN hostname hn ON hn.h = r.h
+            LEFT JOIN best b ON b.h = r.h AND b.j = r.j
         """,
         # 2D skyline (Pareto frontier): min price, max size, one
         # strict — the NOT EXISTS dominance shape; integer cents keep

@@ -1775,3 +1775,253 @@ def crawl_scc(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return scc_from_docs(crawl_docs(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# weighted single-source shortest paths (bounded-hop Bellman–Ford)
+# ---------------------------------------------------------------------------
+
+SSSP_HOP_CAP = 15
+_SSSP_INF = 1 << 62
+
+
+def sssp_from_docs(
+    docs: rd.Dataset,
+    hop_cap: int = SSSP_HOP_CAP,
+    num_buckets: int | None = None,
+    driver_limit: int | None = None,
+) -> rd.Dataset:
+    """(doc_id, dist): minimum-cost path from the crawl seeds (wave-0
+    pages) to every crawled HTML page over the link graph, edge cost =
+    len(media_ref) (the rewritten relative-link string — a
+    deterministic, SQL-reproducible weight), restricted to paths of at
+    most ``hop_cap`` edges; unreachable-within-cap pages report −1.
+    The iterative RELAXATION shape (distributed Bellman–Ford): unlike
+    BFS (crawl_depths) a later round can LOWER an earlier round's
+    distance, so rounds run to the hop cap with an early exit when no
+    distance improves.
+
+    Scale shape: per round one src-bucket co-group ships dist+w
+    messages along edges and one dst-bucket co-group takes per-node
+    mins (the _cc_labels exchange pair, with weights); distances are
+    O(pages) small rows materialized between rounds; messages from
+    still-unreached nodes are suppressed, so early rounds move only
+    the expanding frontier."""
+    from suckit_ray.stages.agg import default_buckets
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["is_html"].astype(bool)]
+        return pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"],
+                "node": keep["doc_id"].map(posixpath.normpath),
+                "dist": np.where(
+                    keep["wave"].to_numpy() == 0, 0, _SSSP_INF
+                ).astype("int64"),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pd.DataFrame:
+        srcs, dsts, ws = [], [], []
+        for doc_id, is_html, spans in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("is_html").to_pylist(),
+            t.column("spans").to_pylist(),
+        ):
+            if not is_html:
+                continue
+            src = posixpath.normpath(doc_id)
+            for s in spans:
+                if s["kind"] == "link":
+                    dst = resolve_link(doc_id, s["media_ref"])
+                    if dst != src:
+                        srcs.append(src)
+                        dsts.append(dst)
+                        ws.append(len(s["media_ref"]))
+        return pd.DataFrame(
+            {
+                "src": pd.array(srcs, dtype="object"),
+                "dst": pd.array(dsts, dtype="object"),
+                "w": pd.array(ws, dtype="int64"),
+            }
+        ).drop_duplicates()
+
+    B = num_buckets or max(2, min(default_buckets(), 8))
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    dists = (
+        docs.select_columns(["doc_id", "is_html", "wave"])
+        .map_batches(node_rows, batch_format="pandas")
+        .materialize()
+    )
+    edges = (
+        docs.map_batches(edge_rows, batch_format="pyarrow")
+        .map_batches(
+            lambda df: df.assign(bucket=bucket_of(df["src"])),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    limit = SCC_DRIVER_EDGE_LIMIT if driver_limit is None else driver_limit
+    if edges.count() <= limit:
+        # small-graph cutover (the components/SCC pattern): a bounded
+        # edge list collects and K-round Bellman–Ford runs in numpy —
+        # the distributed rounds' materialize barriers cost ~7 s/round
+        # even on a 100-page graph (measured 213 s at sf0.001).
+        # Routes equality-pinned in tests/test_graph.py.
+        eparts = list(edges.iter_batches(batch_format="pandas"))
+        nparts = list(dists.iter_batches(batch_format="pandas"))
+        nd = (
+            pd.concat(nparts, ignore_index=True)
+            if nparts
+            else pd.DataFrame({"doc_id": [], "node": [], "dist": []})
+        )
+        ed = (
+            pd.concat(eparts, ignore_index=True)
+            if eparts
+            else pd.DataFrame({"src": [], "dst": [], "w": []})
+        )
+        idx = {n: i for i, n in enumerate(nd["node"])}
+        dist = nd["dist"].to_numpy().astype("int64").copy()
+        keep = [s in idx and d in idx for s, d in zip(ed["src"], ed["dst"])]
+        ed = ed[keep]
+        si = np.array([idx[s] for s in ed["src"]], dtype="int64")
+        di = np.array([idx[d] for d in ed["dst"]], dtype="int64")
+        w = ed["w"].to_numpy().astype("int64")
+        for _ in range(hop_cap):
+            cand = dist[si] + w
+            # suppress unreached sources (INF + w would wrap toward
+            # other nodes' real distances at extreme weights)
+            cand = np.where(dist[si] >= _SSSP_INF, _SSSP_INF, cand)
+            new = dist.copy()
+            np.minimum.at(new, di, cand)
+            if (new == dist).all():
+                break
+            dist = new
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": nd["doc_id"],
+                    "dist": np.where(dist >= _SSSP_INF, -1, dist).astype(
+                        "int64"
+                    ),
+                }
+            )
+        )
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["w"] < 0][["key", "dist"]]
+        lab = lab[lab["dist"] < _SSSP_INF]  # unreached: no messages
+        e = g[g["w"] >= 0][["key", "dst", "w"]].merge(lab, on="key")
+        return pd.DataFrame(
+            {
+                "node": e["dst"],
+                "doc_id": pd.array([""] * len(e), dtype="object"),
+                "dist": (e["dist"] + e["w"]).astype("int64"),
+                "is_self": np.zeros(len(e), dtype="int64"),
+            }
+        )
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["is_self"] == 1]
+        new = g.groupby("node")["dist"].min()
+        new = new.reindex(own["node"]).fillna(_SSSP_INF)
+        better = np.minimum(own["dist"].to_numpy(), new.to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": own["doc_id"],
+                "node": own["node"],
+                "dist": better.astype("int64"),
+                "chg": (better < own["dist"].to_numpy()).astype("int64"),
+            }
+        )
+
+    for _round in range(hop_cap):
+
+        def tag_d(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["node"],
+                    "dst": pd.array([""] * len(df), dtype="object"),
+                    "w": np.full(len(df), -1, dtype="int64"),
+                    "dist": df["dist"].astype("int64"),
+                    "bucket": bucket_of(df["node"]),
+                }
+            )
+
+        def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["src"],
+                    "dst": df["dst"],
+                    "w": df["w"].astype("int64"),
+                    "dist": np.full(len(df), -1, dtype="int64"),
+                    "bucket": df["bucket"].astype("int64"),
+                }
+            )
+
+        msgs = (
+            dists.map_batches(tag_d, batch_format="pandas")
+            .union(edges.map_batches(tag_e, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(send, batch_format="pandas")
+        )
+
+        def tag_self(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "doc_id": df["doc_id"],
+                    "dist": df["dist"].astype("int64"),
+                    "is_self": np.ones(len(df), dtype="int64"),
+                }
+            )
+
+        def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["bucket"] = bucket_of(out["node"])
+            return out
+
+        new_dists = (
+            msgs.union(dists.map_batches(tag_self, batch_format="pandas"))
+            .map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        changed = int(
+            new_dists.map_batches(
+                lambda df: pd.DataFrame({"c": [int(df["chg"].sum())]}),
+                batch_format="pandas",
+            )
+            .to_pandas()["c"]
+            .sum()
+        )
+        dists = new_dists.select_columns(["doc_id", "node", "dist"])
+        if changed == 0:
+            break
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["dist"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dist": np.where(d >= _SSSP_INF, -1, d).astype("int64"),
+            }
+        )
+
+    return dists.map_batches(finish, batch_format="pandas")
+
+
+def crawl_sssp(sf_dir: str) -> rd.Dataset:
+    """queries() entry: cheapest ≤15-hop link path from each host's
+    seed to every crawled page, edge cost = rewritten-link string
+    length. Full SQL oracle: bounded-hop recursive path enumeration
+    over the shared reach CTE with MIN-per-node."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return sssp_from_docs(crawl_docs(sf_dir))

@@ -533,3 +533,128 @@ class TestScc:
             ref[s] = ref.get(s, 0) + 1
         out = crawl_scc("/root/testdata/sf0.001").to_pandas()
         assert dict(zip(out["size"], out["n_sccs"])) == ref
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSssp:
+    def _docs(self, rows):
+        """rows: (doc_id, [(media_ref)...], wave)"""
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "is_html": [True] * len(rows),
+                    "wave": [r[2] for r in rows],
+                    "spans": [
+                        [
+                            {"kind": "link", "text": "", "media_ref": m, "offset": 0}
+                            for m in r[1]
+                        ]
+                        for r in rows
+                    ],
+                }
+            )
+        )
+
+    def test_cheaper_long_path_beats_fewer_hops(self):
+        """seed → loooong.html directly (cost 11) vs seed → a.html →
+        loooong.html (cost 6+11=17): direct wins. seed → b12345.html
+        (cost 11) vs via a (6+6=12): direct wins; but x.html is only
+        reachable via two short hops (6+6=12) vs one long direct link
+        of len 13 — the RELAXATION property: a later round lowers a
+        BFS-level distance."""
+        from suckit_ray.pipelines.graph import sssp_from_docs
+
+        docs = self._docs(
+            [
+                # media_refs: 'a.html' len 6, 'll-x.html' len 9,
+                # 'a-long-name.html' len 16
+                ("h//seed.html", ["a.html", "a-long-name.html"], 0),
+                ("h//a.html", ["a-long-name.html"], 1),
+                ("h//a-long-name.html", [], 1),
+            ]
+        )
+        out = (
+            sssp_from_docs(docs)
+            .to_pandas()
+            .set_index("doc_id")["dist"]
+        )
+        assert out["h//seed.html"] == 0
+        assert out["h//a.html"] == 6
+        # direct: 16; via a: 6 + 16 = 22 → direct wins
+        assert out["h//a-long-name.html"] == 16
+
+    def test_relaxation_lowers_via_two_hops(self):
+        from suckit_ray.pipelines.graph import sssp_from_docs
+
+        docs = self._docs(
+            [
+                # direct link to target spelled with a LONG relative
+                # ref (len 20) vs two hops 6 + 13 = 19
+                ("h//seed.html", ["a.html", "./../h/target00.html"], 0),
+                ("h//a.html", ["target00.html"], 1),
+                ("h//target00.html", [], 1),
+            ]
+        )
+        out = (
+            sssp_from_docs(docs).to_pandas().set_index("doc_id")["dist"]
+        )
+        assert out["h//target00.html"] == 19  # not 20
+
+    def test_unreachable_reports_minus_one_and_hop_cap(self):
+        from suckit_ray.pipelines.graph import sssp_from_docs
+
+        docs = self._docs(
+            [
+                ("h//seed.html", ["a.html"], 0),
+                ("h//a.html", [], 1),
+                ("h//island.html", [], 3),
+            ]
+        )
+        out = (
+            sssp_from_docs(docs).to_pandas().set_index("doc_id")["dist"]
+        )
+        assert out["h//island.html"] == -1
+        # hop cap: chain longer than the cap leaves the tail at -1
+        chain = [("h//p0.html", ["p1.html"], 0)] + [
+            (f"h//p{i}.html", [f"p{i+1}.html"], i) for i in range(1, 5)
+        ] + [("h//p5.html", [], 5)]
+        capped = (
+            sssp_from_docs(self._docs(chain), hop_cap=3)
+            .to_pandas()
+            .set_index("doc_id")["dist"]
+        )
+        assert capped["h//p3.html"] == 3 * 7  # 'pN.html' len 7
+        assert capped["h//p4.html"] == -1
+        assert capped["h//p5.html"] == -1
+
+    def test_distributed_route_equals_driver(self):
+        from suckit_ray.pipelines.graph import sssp_from_docs
+
+        docs = self._docs(
+            [
+                ("h//seed.html", ["a.html", "./../h/target00.html"], 0),
+                ("h//a.html", ["target00.html"], 1),
+                ("h//target00.html", ["a.html"], 1),
+                ("h//island.html", [], 3),
+            ]
+        )
+        fast = (
+            sssp_from_docs(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        slow = (
+            sssp_from_docs(docs, driver_limit=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(fast, slow)
