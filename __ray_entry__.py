@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_components": graph.crawl_components,
         "crawl_scc": graph.crawl_scc,
         "crawl_sssp": graph.crawl_sssp,
+        "crawl_cocitation": graph.crawl_cocitation,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,
@@ -2277,6 +2278,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT hn.hn AS host, t.n_triangles
             FROM tri t JOIN hostname hn ON hn.h = t.h
+        """,
+        # co-citation similarity of the same link graph: pairs of
+        # pages cited together by >= 2 common sources (directed
+        # simple-graph semantics, self-loops dropped)
+        "crawl_cocitation": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            edges AS (
+              SELECT DISTINCT r.h, r.j AS s, x.t AS t
+              FROM reach r
+              JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            coc AS (
+              SELECT e1.h, e1.t AS a, e2.t AS b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM edges e1
+              JOIN edges e2 ON e2.h = e1.h AND e2.s = e1.s
+                           AND e2.t > e1.t
+              GROUP BY 1, 2, 3
+              HAVING count(*) >= 2
+            )
+            SELECT hn.hn AS host, CAST(c.a AS BIGINT) AS a,
+                   CAST(c.b AS BIGINT) AS b, c.n_common
+            FROM coc c JOIN hostname hn ON hn.h = c.h
         """,
         # degree histogram of the same link graph: simple-graph
         # semantics (distinct neighbors, self-loops dropped)

@@ -2025,3 +2025,120 @@ def crawl_sssp(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return sssp_from_docs(crawl_docs(sf_dir))
+
+
+COCITATION_MIN_COMMON = 2
+
+
+def cocitation_from_docs(
+    docs: rd.Dataset, min_common: int = COCITATION_MIN_COMMON
+) -> rd.Dataset:
+    """(host, a, b, n_common): co-citation similarity of each host's
+    directed page-link graph — pairs of pages a<b cited together by
+    ≥ ``min_common`` common source pages (Small 1973, public; the
+    link-structure near-dup signal that needs no page content).
+
+    Plan — the wedge-emission vocabulary ``triangles_from_docs``
+    established, minus the closing probe AND minus its edge-dedup
+    exchange: a directed edge (s, t) originates only from page s's
+    single document row, so batch-local dedup already makes the edge
+    set globally distinct (triangles needed the exchange because its
+    undirected orientation collects each edge from both endpoints).
+    (1) extract distinct directed edges per batch (self-loops
+    dropped — a page citing itself co-cites nothing); (2) group by
+    source-hash bucket and emit each (host, source)'s distinct
+    out-neighbor pairs — O(outdeg²) per source, bounded by page size
+    at web scale (a source citing d pages emits d(d−1)/2 wedges; cap
+    or sample sources with pathological fanout the same way the
+    triangle plan orients by degree); (3) one bucketed count per
+    (host, a, b) pair, thresholded group-locally so the exchange's
+    output is only the qualifying pairs. Two exchanges total, no
+    driver state at any step."""
+    import re
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+    page_re = re.compile(r"/p(\d+)\.html$")
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        hosts, s_, t_ = [], [], []
+        for doc_id, host, is_html, spans in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("host").to_pylist(),
+            t.column("is_html").to_pylist(),
+            t.column("spans").to_pylist(),
+        ):
+            if not is_html:
+                continue
+            m = page_re.search(posixpath.normpath(doc_id))
+            if not m:
+                continue
+            j = int(m.group(1))
+            for s in spans:
+                if s["kind"] != "link":
+                    continue
+                tgt = resolve_link(doc_id, s["media_ref"])
+                mt = page_re.search(tgt)
+                if not mt:
+                    continue
+                if tgt.split("/", 1)[0] != host:
+                    continue
+                k = int(mt.group(1))
+                if k == j:
+                    continue
+                hosts.append(host)
+                s_.append(j)
+                t_.append(k)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "s": pa.array(s_, pa.int64()),
+                "t": pa.array(t_, pa.int64()),
+            }
+        )
+
+    def batch_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        # one page's spans arrive in one row, so in-page duplicate
+        # links (the fanout formula can collide) die here and the
+        # edge set is already globally distinct
+        out = df.drop_duplicates(["host", "s", "t"]).copy()
+        out["sb"] = (out["s"].astype("int64") % B).astype("int64")
+        return out
+
+    def cocite_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Distinct out-neighbor pairs per (host, s) — one vectorized
+        self-merge per bucket, same as the triangle wedge build."""
+        lhs = g[["host", "s", "t"]]
+        m = lhs.merge(lhs, on=["host", "s"], suffixes=("_x", "_y"))
+        m = m[m["t_x"] < m["t_y"]]
+        return pd.DataFrame(
+            {
+                "host": m["host"],
+                "a": m["t_x"].astype("int64"),
+                "b": m["t_y"].astype("int64"),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(edge_rows, batch_format="pyarrow")
+        .map_batches(batch_dedup, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(cocite_pairs, batch_format="pandas")
+    )
+    counted = bucketed_groupby_agg(
+        pairs, keys=["host", "a", "b"], aggs={"n_common": ("a", "count")}
+    )
+    return counted.map_batches(
+        lambda df: df[df["n_common"] >= min_common],
+        batch_format="pandas",
+    )
+
+
+def crawl_cocitation(sf_dir: str) -> rd.Dataset:
+    """queries() entry: co-cited page pairs (≥2 common citing pages)
+    of the flagship crawl's link graph. Full SQL oracle: edge
+    self-join on the shared reach CTE."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return cocitation_from_docs(crawl_docs(sf_dir))

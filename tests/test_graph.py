@@ -658,3 +658,90 @@ class TestSssp:
         import pandas as pd
 
         pd.testing.assert_frame_equal(fast, slow)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCocitation:
+    def test_matches_bruteforce_reference(self):
+        """Independent check on the real sf0.001 graph: nested-loop
+        co-citation counts from the raw edge list."""
+        import collections
+
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import (
+            _link_edges,
+            cocitation_from_docs,
+        )
+
+        docs = crawl_docs(SF)
+        got = cocitation_from_docs(docs).to_pandas()
+
+        import re
+
+        page_re = re.compile(r"/p(\d+)\.html$")
+        outadj = collections.defaultdict(set)
+        ed = _link_edges(docs).to_pandas()
+        for s, d in zip(ed["src"], ed["dst"]):
+            ms, md = page_re.search(s), page_re.search(d)
+            if not ms or not md:
+                continue
+            hs, hd = s.split("/", 1)[0], d.split("/", 1)[0]
+            if hs != hd or ms.group(1) == md.group(1):
+                continue
+            outadj[(hs, int(ms.group(1)))].add(int(md.group(1)))
+        cnt = collections.Counter()
+        for (h, _s), ts in outadj.items():
+            ts = sorted(ts)
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    cnt[(h, ts[i], ts[j])] += 1
+        want = {k: v for k, v in cnt.items() if v >= 2}
+        have = {
+            (h, int(a), int(b)): int(n)
+            for h, a, b, n in zip(
+                got["host"], got["a"], got["b"], got["n_common"]
+            )
+        }
+        assert have == want and len(want) > 0
+
+    def test_threshold_and_order_on_hand_graph(self):
+        """4 sources all citing {1,2}; one source also citing 3:
+        (1,2) has 4 common citers, (1,3)/(2,3) only 1 — thresholded
+        out. Pair output is always a<b."""
+        from suckit_ray.pipelines.graph import cocitation_from_docs
+
+        rows = []
+        for j, targets in [
+            (10, [1, 2]),
+            (11, [2, 1]),  # citation order must not matter
+            (12, [1, 2, 3]),
+            (13, [2, 1]),
+        ]:
+            spans = [
+                {
+                    "kind": "link",
+                    "text": "",
+                    "media_ref": f"p{t}.html",
+                    "offset": i,
+                }
+                for i, t in enumerate(targets)
+            ]
+            rows.append(
+                {
+                    "doc_id": f"h//p{j}.html",
+                    "host": "h",
+                    "is_html": True,
+                    "spans": spans,
+                }
+            )
+        import ray.data as rd
+
+        got = (
+            cocitation_from_docs(rd.from_items(rows))
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert got.to_dict("records") == [
+            {"host": "h", "a": 1, "b": 2, "n_common": 4}
+        ]
