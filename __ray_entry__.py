@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relops.top_customers,
         "events_distinct_users": relops.events_distinct_users,
         "events_distinct_users_hll": relops.events_distinct_users_hll,
+        "events_user_overlap": relops.events_user_overlap,
+        "events_user_overlap_theta": relops.events_user_overlap_theta,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
@@ -1763,6 +1765,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (1000000 * y.nat_rev) // y.tot_rev
                         END AS BIGINT) AS share_micro
             FROM yy LEFT JOIN y ON y.o_year = yy.o_year
+        """,
+        # exact distinct-user intersection per event-type pair a<b —
+        # the set-operation (audience-overlap) shape
+        "events_user_overlap": """
+            WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT x.event_type AS a, y.event_type AS b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM du x
+            JOIN du y ON y.user_id = x.user_id
+                     AND y.event_type > x.event_type
+            GROUP BY 1, 2
         """,
         # first-order Markov transition matrix over per-user event
         # streams; probabilities in integer micro-units (HUGEINT)
@@ -3354,6 +3367,8 @@ def oracle_sql() -> dict[str, str]:
         # SQL-derivable; pinned by a spans-vs-body cross-representation
         # equality test), embedding_dup_pairs_ivf, ann_ivf_topk,
         # ann_lsh_topk, events_distinct_users_hll, events_top_users_cms,
+        # events_user_overlap_theta (KMV set-intersection estimate;
+        # error-bound + exact-below-k pins vs events_user_overlap),
         # crawl_pagerank — quantizer-/sketch-/float-based operators
         # DuckDB can't recompute bit for bit. Each is verified another
         # way (tests/test_dedup_pins.py and friends): pinned rows

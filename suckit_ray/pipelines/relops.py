@@ -4119,3 +4119,135 @@ def events_value_winsorized(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+def events_user_overlap(sf_dir: str) -> pa.Table:
+    """(a, b, n_users): EXACT distinct-user intersection for every
+    event-type pair a<b — the set-operation shape (audience overlap /
+    cohort intersection). Plan: batch-local (event_type, user_id)
+    dedup, then ONE user-hash co-group — all of a user's types land
+    together, a vectorized self-merge emits the user's type pairs, and
+    the group reduces to its local pair counts, so the exchange
+    carries one row per distinct (type, user) and the driver merge is
+    bounded by |types|² (same contract as ``events_markov``)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["event_type", "user_id"]).copy()
+        out["ub"] = (out["user_id"].astype("int64") % B).astype("int64")
+        return out
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["event_type", "user_id"])
+        m = g.merge(g, on="user_id", suffixes=("_x", "_y"))
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        p = (
+            pd.DataFrame({"a": m["event_type_x"], "b": m["event_type_y"]})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        p["n_users"] = p["n_users"].astype("int64")
+        return p
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        .map_batches(dedup_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(pair_counts, batch_format="pandas")
+        .to_pandas()  # ≤ |types|² rows per bucket reach the driver
+    )
+    if not len(parts) or "a" not in parts.columns:
+        return pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+    agg = (
+        parts.groupby(["a", "b"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "a": pa.array(agg["a"], pa.string()),
+            "b": pa.array(agg["b"], pa.string()),
+            "n_users": pa.array(agg["n_users"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def events_user_overlap_theta(sf_dir: str, k: int | None = None) -> pa.Table:
+    """(a, b, n_users_est): KMV/theta-sketch estimate of the same
+    type-pair user intersections — the 100 TB set-ops path. Each batch
+    emits one ≤8 KB blob of k-minimum user-id hashes per type; the
+    groupby moves blobs, merge is union-truncate, and the PAIRING runs
+    on ≤|types| merged sketches driver-side (the only all-pairs step —
+    O(types²·k), corpus-independent). Rows-only operator; relative
+    error vs the exact intersection is pinned in tests (~1/√k when the
+    sketches truncate, exact below k)."""
+    import numpy as np
+
+    from suckit_ray.stages.sketch import (
+        KMV_K,
+        kmv_intersection_estimate,
+        kmv_merge,
+        kmv_partial,
+    )
+
+    kk = KMV_K if k is None else k
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        types, blobs = [], []
+        for et, g in df.groupby("event_type"):
+            types.append(et)
+            blobs.append(
+                kmv_partial(g["user_id"].to_numpy(np.uint64), k=kk).tobytes()
+            )
+        return pd.DataFrame({"event_type": types, "blob": blobs})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "blob": [kmv_merge(list(g["blob"]), k=kk).tobytes()],
+            }
+        )
+
+    sk = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # one row per event type
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    sketches = [
+        (et, np.frombuffer(b, dtype=np.uint64))
+        for et, b in zip(sk["event_type"], sk["blob"])
+    ]
+    a_, b_, est_ = [], [], []
+    for i in range(len(sketches)):
+        for j in range(i + 1, len(sketches)):
+            a_.append(sketches[i][0])
+            b_.append(sketches[j][0])
+            est_.append(
+                kmv_intersection_estimate(sketches[i][1], sketches[j][1], k=kk)
+            )
+    return pa.table(
+        {
+            "a": pa.array(a_, pa.string()),
+            "b": pa.array(b_, pa.string()),
+            "n_users_est": pa.array(est_, pa.int64()),
+        }
+    )

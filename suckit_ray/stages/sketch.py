@@ -229,3 +229,54 @@ class KLLSketch:
         s.n = n
         s.levels = levels
         return s
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al. 2016) —
+# mergeable distinct-count sketches that ALSO support set operations:
+# keep the k smallest splitmix64 hashes of the keys; the retained
+# minima are a uniform sample of the distinct-hash universe below a
+# per-sketch threshold, so intersections between sketches estimate
+# set overlaps — the capability HLL registers cannot provide.
+# A sketch with fewer than k entries is EXACT (nothing was truncated;
+# a merge of exact sketches below k stays exact, since any truncated
+# input would already carry k entries).
+# ---------------------------------------------------------------------------
+
+KMV_K = 1024
+_KMV_FULL = float(2**64)
+
+
+def kmv_partial(values: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """k smallest distinct hashes of integer keys, ascending uint64."""
+    if len(values) == 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.unique(_splitmix64(np.asarray(values, dtype=np.uint64)))
+    return h[:k]
+
+
+def kmv_merge(blobs: list[bytes], k: int = KMV_K) -> np.ndarray:
+    """Union-then-truncate merge — associative and order-insensitive."""
+    arrs = [np.frombuffer(b, dtype=np.uint64) for b in blobs]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs))[:k]
+
+
+def _kmv_theta(s: np.ndarray, k: int) -> float:
+    """Exclusive hash-space threshold below which ``s`` retains every
+    distinct hash: full range when exact, else just past the k-th
+    minimum (the largest retained value)."""
+    return _KMV_FULL if len(s) < k else float(s[k - 1]) + 1.0
+
+
+def kmv_intersection_estimate(
+    a: np.ndarray, b: np.ndarray, k: int = KMV_K
+) -> int:
+    """Estimated |A ∩ B|: count common retained hashes below the
+    SMALLER threshold, scale by the sampled fraction of hash space.
+    Exact (collisions aside) when both sketches are exact."""
+    theta = min(_kmv_theta(a, k), _kmv_theta(b, k))
+    common = np.intersect1d(a, b, assume_unique=True)
+    s = int((common.astype(np.float64) < theta).sum())
+    return int(round(s * (_KMV_FULL / theta)))

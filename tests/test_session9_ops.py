@@ -1,0 +1,129 @@
+"""Ninth-session operator pins: KMV/theta set-intersection sketches
+and the exact type-pair user-overlap they estimate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestKmvSketch:
+    def test_merge_associative_and_order_insensitive(self):
+        from suckit_ray.stages.sketch import kmv_merge, kmv_partial
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 1 << 40, size=5000, dtype=np.int64)
+        whole = kmv_partial(keys)
+        parts = [kmv_partial(keys[i::4]).tobytes() for i in range(4)]
+        assert np.array_equal(kmv_merge(parts), whole)
+        assert np.array_equal(kmv_merge(parts[::-1]), whole)
+
+    def test_exact_below_k(self):
+        from suckit_ray.stages.sketch import (
+            kmv_intersection_estimate,
+            kmv_partial,
+        )
+
+        a = kmv_partial(np.arange(0, 400))
+        b = kmv_partial(np.arange(250, 700))
+        assert kmv_intersection_estimate(a, b) == 150
+
+    def test_truncated_estimate_within_bound(self):
+        """Overlapping integer ranges well past k: relative error of
+        the theta intersection stays within ~4/√k of truth
+        (deterministic — splitmix64 is seedless)."""
+        from suckit_ray.stages.sketch import (
+            kmv_intersection_estimate,
+            kmv_partial,
+        )
+
+        k = 256
+        bound = 4.0 / np.sqrt(k)  # 0.25
+        for lo, n, true in [
+            (1500, 3000, 1500),
+            (2000, 7000, 1000),
+            (500, 3000, 2500),
+        ]:
+            a = kmv_partial(np.arange(0, 3000), k=k)
+            b = kmv_partial(np.arange(lo, lo + n), k=k)
+            est = kmv_intersection_estimate(a, b, k=k)
+            assert abs(est - true) / true <= bound, (lo, n, est)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserOverlap:
+    def test_exact_matches_pandas_reference(self):
+        from suckit_ray.pipelines.relops import events_user_overlap
+
+        got = events_user_overlap(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "user_id"]
+        ).to_pandas()
+        du = ev.drop_duplicates()
+        m = du.merge(du, on="user_id", suffixes=("_x", "_y"))
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        want = (
+            m.groupby(["event_type_x", "event_type_y"])
+            .size()
+            .to_dict()
+        )
+        have = {
+            (a, b): int(n)
+            for a, b, n in zip(got["a"], got["b"], got["n_users"])
+        }
+        assert have == want and len(want) == 10
+
+    def test_theta_exact_at_small_sf(self):
+        """sf0.001 has 15 users per type — far below k, so every
+        sketch is exact and the estimates EQUAL the exact overlap."""
+        from suckit_ray.pipelines.relops import (
+            events_user_overlap,
+            events_user_overlap_theta,
+        )
+
+        exact = events_user_overlap(SF).to_pandas()
+        est = events_user_overlap_theta(SF).to_pandas()
+        e = dict(zip(zip(exact["a"], exact["b"]), exact["n_users"]))
+        s = dict(zip(zip(est["a"], est["b"]), est["n_users_est"]))
+        assert {k: int(v) for k, v in e.items()} == {
+            k: int(v) for k, v in s.items()
+        }
+
+    def test_theta_error_bound_on_engineered_overlaps(self, tmp_path):
+        """5000-user types with controlled partial overlaps, k=256 —
+        the sketches truncate and the estimates must stay within
+        4/√k of the exact intersections (and the overlap structure
+        must be non-degenerate: three distinct truths)."""
+        from suckit_ray.pipelines.relops import (
+            events_user_overlap,
+            events_user_overlap_theta,
+        )
+
+        rows = []
+        for et, lo, n in [("A", 0, 5000), ("B", 3000, 5000), ("C", 4500, 5000)]:
+            rows.append(
+                pd.DataFrame({"event_type": et, "user_id": np.arange(lo, lo + n)})
+            )
+        df = pd.concat(rows, ignore_index=True)
+        # scatter rows so batches interleave types
+        df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        p = str(tmp_path / "events.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+
+        exact = events_user_overlap(str(tmp_path)).to_pandas()
+        e = dict(zip(zip(exact["a"], exact["b"]), exact["n_users"]))
+        assert e == {("A", "B"): 2000, ("A", "C"): 500, ("B", "C"): 3500}
+
+        k = 256
+        est = events_user_overlap_theta(str(tmp_path), k=k).to_pandas()
+        s = dict(zip(zip(est["a"], est["b"]), est["n_users_est"]))
+        bound = 4.0 / np.sqrt(k)
+        for key, true in e.items():
+            assert abs(int(s[key]) - int(true)) / int(true) <= bound, (
+                key,
+                s[key],
+                true,
+            )
