@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": relops.events_distinct_users_hll,
         "events_user_overlap": relops.events_user_overlap,
         "events_user_overlap_theta": relops.events_user_overlap_theta,
+        "events_regression": relops.events_regression,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
@@ -843,6 +844,8 @@ def _bpe_encode_oracle_sql(steps: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from suckit_ray.pipelines.relops import REGRESSION_ANCHOR_MIN
+
     d = {
         "url_to_path": f"""
             SELECT doc_id, {_URL_CASE} AS url,
@@ -1776,6 +1779,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN du y ON y.user_id = x.user_id
                      AND y.event_type > x.event_type
             GROUP BY 1, 2
+        """,
+        # per-type OLS regression of value-cents on minutes since the
+        # 2024-01-01 anchor, solved from integer sufficient statistics
+        # in HUGEINT; slope/intercept in nano units, // truncation
+        "events_regression": f"""
+            WITH m AS (
+              SELECT event_type,
+                     epoch_us(ts) // 60000000
+                       - {REGRESSION_ANCHOR_MIN} AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+            ),
+            s AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x*x) AS HUGEINT) AS sxx,
+                     CAST(sum(x*y) AS HUGEINT) AS sxy
+              FROM m GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sum_x,
+                   CAST(sy AS BIGINT) AS sum_y,
+                   CAST(((n*sxy - sx*sy) * CAST(1000000000 AS HUGEINT))
+                        // (n*sxx - sx*sx) AS BIGINT) AS slope_nano,
+                   CAST(((sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx)
+                         * CAST(1000000000 AS HUGEINT))
+                        // (n*(n*sxx - sx*sx)) AS BIGINT) AS intercept_nano
+            FROM s
         """,
         # first-order Markov transition matrix over per-user event
         # streams; probabilities in integer micro-units (HUGEINT)

@@ -4251,3 +4251,87 @@ def events_user_overlap_theta(sf_dir: str, k: int | None = None) -> pa.Table:
             "n_users_est": pa.array(est_, pa.int64()),
         }
     )
+
+
+# minute index of the 2024-01-01T00:00:00Z anchor: regression x-values
+# are whole minutes since this epoch, keeping every moment (x², x·y and
+# their sums) comfortably inside int64 partials at sf-scale row counts
+REGRESSION_ANCHOR_MIN = 1_704_067_200_000_000 // 60_000_000
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//`` —
+    from Python's flooring ``//`` (they differ on negative quotients)."""
+    q = num // den
+    if q < 0 and q * den != num:
+        q += 1
+    return q
+
+
+def events_regression(sf_dir: str) -> pa.Table:
+    """(event_type, n, sum_x, sum_y, slope_nano, intercept_nano):
+    per-type ordinary-least-squares fit of value (cents) against event
+    time (whole minutes since 2024-01-01) — the trend-estimation shape,
+    computed ENTIRELY from mergeable sufficient statistics: each batch
+    contributes per-type (n, Σx, Σy, Σx², Σxy) int64 partials that sum
+    associatively across any partitioning (the two-column extension of
+    ``part_type_price_stats``), so the only exchange carries five
+    integers per (batch, type) and the closed-form solve runs on
+    ≤|types| rows of exact Python ints. slope = Sxy/Sxx and intercept =
+    (Σy·Sxx − Sxy·Σx)/(n·Sxx) in nano units with division truncating
+    toward zero (DuckDB ``//`` on HUGEINT — the floor/trunc difference
+    bites on negative slopes). x is floored to minutes BEFORE the
+    anchor subtraction (epoch_us is nonnegative, so floor == trunc
+    there); a zero-x-variance group raises loudly on both sides."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 60_000_000
+            - REGRESSION_ANCHOR_MIN
+        )
+        y = to_cents(df["value"]).to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": 1,
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": x * x,
+                "sum_xy": x * y,
+            }
+        )
+
+    stats = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type"],
+        aggs={
+            "n": ("n", "sum"),
+            "sum_x": ("sum_x", "sum"),
+            "sum_y": ("sum_y", "sum"),
+            "sum_xx": ("sum_xx", "sum"),
+            "sum_xy": ("sum_xy", "sum"),
+        },
+    ).to_pandas()  # ≤ |types| rows
+    stats = stats.sort_values("event_type").reset_index(drop=True)
+    slopes, intercepts = [], []
+    for _, r in stats.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sum_x"]), int(r["sum_y"])
+        sxx, sxy = int(r["sum_xx"]), int(r["sum_xy"])
+        s_xy = n * sxy - sx * sy
+        s_xx = n * sxx - sx * sx
+        slopes.append(_trunc_div(s_xy * 10**9, s_xx))
+        intercepts.append(_trunc_div((sy * s_xx - s_xy * sx) * 10**9, n * s_xx))
+    return pa.table(
+        {
+            "event_type": pa.array(stats["event_type"], pa.string()),
+            "n": pa.array(stats["n"].astype("int64"), pa.int64()),
+            "sum_x": pa.array(stats["sum_x"].astype("int64"), pa.int64()),
+            "sum_y": pa.array(stats["sum_y"].astype("int64"), pa.int64()),
+            "slope_nano": pa.array(slopes, pa.int64()),
+            "intercept_nano": pa.array(intercepts, pa.int64()),
+        }
+    )

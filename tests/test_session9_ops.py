@@ -127,3 +127,65 @@ class TestUserOverlap:
                 s[key],
                 true,
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsRegression:
+    def test_matches_numpy_polyfit(self):
+        """Independent float check on real data: the integer nano
+        slope/intercept agree with numpy's least-squares fit."""
+        from suckit_ray.pipelines.relops import (
+            REGRESSION_ANCHOR_MIN,
+            events_regression,
+            to_cents,
+        )
+
+        got = events_regression(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "ts", "value"]
+        ).to_pandas()
+        ev["x"] = (
+            ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 60_000_000
+            - REGRESSION_ANCHOR_MIN
+        )
+        ev["y"] = to_cents(ev["value"])
+        for _, r in got.iterrows():
+            g = ev[ev["event_type"] == r["event_type"]]
+            slope, intercept = np.polyfit(g["x"], g["y"], 1)
+            assert abs(r["slope_nano"] / 1e9 - slope) < 1e-6
+            assert abs(r["intercept_nano"] / 1e9 - intercept) < 1e-3
+
+    def test_negative_slope_truncates_toward_zero(self, tmp_path):
+        """x=[0,1,3], y=[10,9,2] cents → slope = −39/14, whose nano
+        quotient differs between floor (−2785714286) and DuckDB's
+        truncation (−2785714285); one ts carries a +30 s offset to pin
+        the minute flooring. A second type guards group separation."""
+        from suckit_ray.pipelines.relops import (
+            REGRESSION_ANCHOR_MIN,
+            events_regression,
+        )
+
+        anchor_us = REGRESSION_ANCHOR_MIN * 60_000_000
+        rows = []
+        for x, y, extra in [(0, 0.10, 0), (1, 0.09, 30_000_000), (3, 0.02, 0)]:
+            rows.append(("neg", anchor_us + x * 60_000_000 + extra, y))
+        for x, y in [(0, 0.01), (1, 0.02), (2, 0.03)]:
+            rows.append(("pos", anchor_us + x * 60_000_000, y))
+        df = pd.DataFrame(rows, columns=["event_type", "ts_us", "value"])
+        df["ts"] = df["ts_us"].astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(
+                df[["event_type", "ts", "value"]], preserve_index=False
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        got = (
+            events_regression(str(tmp_path))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        assert got.loc["neg", "slope_nano"] == -2_785_714_285
+        assert got.loc["neg", "intercept_nano"] == 10_714_285_714
+        assert got.loc["pos", "slope_nano"] == 1_000_000_000
+        assert got.loc["pos", "intercept_nano"] == 1_000_000_000
