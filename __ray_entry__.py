@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
         "ann_lsh_topk": ann.lsh_topk,
+        "ann_pq_topk": ann.pq_topk,
         "embeddings_kmeans": ann.kmeans_assign,
         # relational / windowed
         "lineitem_agg": relops.lineitem_agg,
@@ -3400,7 +3401,9 @@ def oracle_sql() -> dict[str, str]:
         # crawl_text_extract (page text is not
         # SQL-derivable; pinned by a spans-vs-body cross-representation
         # equality test), embedding_dup_pairs_ivf, ann_ivf_topk,
-        # ann_lsh_topk, events_distinct_users_hll, events_top_users_cms,
+        # ann_lsh_topk, ann_pq_topk (product-quantization ADC scan with
+        # exact re-rank; recall-vs-brute + determinism pins),
+        # events_distinct_users_hll, events_top_users_cms,
         # events_user_overlap_theta (KMV set-intersection estimate;
         # error-bound + exact-below-k pins vs events_user_overlap),
         # crawl_pagerank — quantizer-/sketch-/float-based operators

@@ -470,3 +470,127 @@ def embeddings_pca(sf_dir: str) -> pa.Table:
             "pc1_micro": pa.array(out["pc1_micro"].tolist(), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al. 2011) — the compressed-index
+# alternative to IVF/LSH: vectors become M uint8 codes, queries scan
+# codes via per-subspace lookup tables (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8     # subspaces (dim 64 → 8 dims each)
+PQ_KS = 256  # codewords per subspace → one 8-byte code per vector
+PQ_RERANK = 4  # exact-rescore the ADC top 4·k candidates per batch
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m_sub: int = PQ_M, ks: int = PQ_KS, iters: int = 10
+) -> np.ndarray:
+    """(m_sub, ks, dim/m_sub) codebooks: deterministic euclidean
+    Lloyd's per subspace on the (normalized) sample."""
+    d = sample.shape[1]
+    assert d % m_sub == 0, "dim must split evenly into subspaces"
+    sub = d // m_sub
+    books = np.empty((m_sub, ks, sub), dtype=np.float64)
+    rng = np.random.RandomState(11)
+    for m in range(m_sub):
+        x = sample[:, m * sub : (m + 1) * sub]
+        idx = rng.choice(len(x), size=min(ks, len(x)), replace=False)
+        cent = x[np.sort(idx)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                pts = x[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        if len(cent) < ks:  # degenerate tiny sample: pad by repetition
+            cent = np.vstack([cent] * (ks // len(cent) + 1))[:ks]
+        books[m] = cent
+    return books
+
+
+def _pq_encode(m: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m_sub) uint8 codes: nearest codeword per subspace."""
+    n, d = m.shape
+    m_sub, _ks, sub = books.shape
+    codes = np.empty((n, m_sub), dtype=np.uint8)
+    for s in range(m_sub):
+        x = m[:, s * sub : (s + 1) * sub]
+        d2 = ((x[:, None, :] - books[s][None]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_topk(
+    sf_dir: str, k: int = TOPK, sample_size: int = 2048
+) -> pa.Table:
+    """Approximate top-k via PRODUCT QUANTIZATION: train per-subspace
+    codebooks on a bounded Dataset sample, then one distributed pass
+    encodes each batch to M uint8 codes and scores every query with
+    asymmetric distance computation — approx cos(q, x) = Σ_m
+    table[m, code_m] where table[m, j] = q_m · codeword_{m,j} — so the
+    per-vector work is M table lookups instead of a d-dim dot product
+    and the in-memory footprint of an INDEXED corpus is M bytes/vector
+    (64 B → 8 B here; at 10^10 vectors the codes table fits where raw
+    floats cannot — persist it once and reuse across query batches;
+    this one-shot query form fuses encode+scan in a single pass so the
+    corpus is never materialized). The ADC top ``PQ_RERANK·k`` per
+    batch are exact-rescored (the +R of IVFADC+R — cheap here because
+    the raw vectors are still in the batch; an index-resident scan
+    would fetch just those few raw vectors), so reported cos_pct are
+    EXACT and recall is lost only when a true neighbor's ADC rank
+    falls below the re-rank cut. Same output schema as
+    brute_force_topk; rows-only operator pinned by recall-vs-brute
+    and determinism tests."""
+    sample_df = _read_embeddings(sf_dir).limit(sample_size).to_pandas()
+    sample = _normalize(
+        np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    )
+    books = _train_pq_codebooks(sample)
+    qids, qm = _load_queries(sf_dir)
+    m_sub, ks, sub = books.shape
+    # (nq, m_sub, ks) ADC lookup tables — query subvector · codeword
+    tables = np.einsum(
+        "qms,mks->qmk", qm.reshape(len(qm), m_sub, sub), books
+    )
+    bcast = ray.put((books, qids, qm, tables))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        books_, qids_, qm_, tables_ = ray.get(bcast)
+        ids = df["vec_id"].to_numpy()
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        codes = _pq_encode(m, books_)
+        out = []
+        cols = np.arange(codes.shape[1])
+        for qi, qid in enumerate(qids_):
+            approx = tables_[qi][cols[None, :], codes].sum(axis=1)
+            mask = ids != qid
+            cand = np.flatnonzero(mask)
+            take = cand[np.argsort(-approx[cand])[: PQ_RERANK * TOPK]]
+            exact = np.floor((m[take] @ qm_[qi]) * 10000).astype(np.int64)
+            idx = np.lexsort((ids[take], -exact))[:TOPK]
+            for i in idx:
+                out.append((int(qid), int(ids[take][i]), int(exact[i])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_pct"])
+
+    parts = _read_embeddings(sf_dir).map_batches(
+        scan, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        best = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.cos_pct, r.neighbor_id)
+        )
+        for rank, r in enumerate(best, 1):
+            rows.append((int(qid), rank, int(r.neighbor_id), int(r.cos_pct)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cos_pct": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

@@ -189,3 +189,55 @@ class TestEventsRegression:
         assert got.loc["neg", "intercept_nano"] == 10_714_285_714
         assert got.loc["pos", "slope_nano"] == 1_000_000_000
         assert got.loc["pos", "intercept_nano"] == 1_000_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPqTopk:
+    def test_recall_vs_brute_force(self):
+        from suckit_ray.pipelines.ann import brute_force_topk, pq_topk
+
+        bf = brute_force_topk(SF).to_pandas()
+        got = pq_topk(SF).to_pandas()
+        recalls = []
+        for q in bf["query_id"].unique():
+            truth = set(bf[bf["query_id"] == q]["neighbor_id"])
+            approx = set(got[got["query_id"] == q]["neighbor_id"])
+            recalls.append(len(truth & approx) / len(truth))
+        assert np.mean(recalls) >= 0.85 and min(recalls) >= 0.6
+
+    def test_scores_exact_and_deterministic(self):
+        """Re-ranked cos_pct must EQUAL brute force's for every
+        neighbor PQ finds (the +R rescore is exact), and repeated
+        runs must be identical (seeded codebooks, order-free merge)."""
+        from suckit_ray.pipelines.ann import brute_force_topk, pq_topk
+
+        bf = brute_force_topk(SF).to_pandas()
+        got = pq_topk(SF).to_pandas()
+        truth = {
+            (q, n): p
+            for q, n, p in zip(bf["query_id"], bf["neighbor_id"], bf["cos_pct"])
+        }
+        for q, n, p in zip(got["query_id"], got["neighbor_id"], got["cos_pct"]):
+            if (q, n) in truth:
+                assert truth[(q, n)] == p
+        again = pq_topk(SF).to_pandas()
+        pd.testing.assert_frame_equal(got, again)
+
+    def test_codebook_roundtrip_reduces_error(self):
+        """Encoding then reconstructing from codewords must be closer
+        to the input than a zero reconstruction (codebooks learned
+        something), and codes use the full uint8 range domain."""
+        from suckit_ray.pipelines.ann import _pq_encode, _train_pq_codebooks
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(1500, 64))
+        x /= np.linalg.norm(x, axis=1)[:, None]
+        books = _train_pq_codebooks(x)
+        codes = _pq_encode(x, books)
+        m_sub, ks, sub = books.shape
+        recon = np.concatenate(
+            [books[s][codes[:, s]] for s in range(m_sub)], axis=1
+        )
+        err = np.linalg.norm(x - recon, axis=1).mean()
+        assert err < np.linalg.norm(x, axis=1).mean() * 0.9
+        assert codes.max() > 100  # ks=256 domain actually exercised
