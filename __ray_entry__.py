@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_overlap": relops.events_user_overlap,
         "events_user_overlap_theta": relops.events_user_overlap_theta,
         "events_regression": relops.events_regression,
+        "events_cusum": relops.events_cusum,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
@@ -1811,6 +1812,55 @@ def oracle_sql() -> dict[str, str]:
                          * CAST(1000000000 AS HUGEINT))
                         // (n*(n*sxx - sx*sx)) AS BIGINT) AS intercept_nano
             FROM s
+        """,
+        # one-sided upper CUSUM per type over gap-filled daily cent
+        # sums: the max(0, S+(x−k)) recursion closed to prefix-sum
+        # minus running-min (both window functions); k = total //
+        # n_days truncating
+        "events_cusum": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            c AS (
+              SELECT event_type, day, CAST(SUM(v) AS BIGINT) AS s
+              FROM e GROUP BY event_type, day
+            ),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+            days AS (
+              SELECT UNNEST(generate_series(lo, hi)) AS day FROM b
+            ),
+            types AS (SELECT DISTINCT event_type FROM e),
+            z AS (
+              SELECT t.event_type, d.day,
+                     CAST(COALESCE(c.s, 0) AS HUGEINT) AS x
+              FROM types t
+              CROSS JOIN days d
+              LEFT JOIN c ON c.event_type = t.event_type
+                         AND c.day = d.day
+            ),
+            k AS (
+              SELECT event_type,
+                     SUM(x) // CAST(COUNT(*) AS HUGEINT) AS kref
+              FROM z GROUP BY event_type
+            ),
+            p AS (
+              SELECT z.event_type, z.day,
+                     SUM(z.x - k.kref) OVER (
+                       PARTITION BY z.event_type ORDER BY z.day
+                       ROWS UNBOUNDED PRECEDING) AS pre
+              FROM z JOIN k USING (event_type)
+            )
+            SELECT event_type, CAST(day AS BIGINT) AS day,
+                   CAST(pre - LEAST(CAST(0 AS HUGEINT),
+                                    MIN(pre) OVER (
+                                      PARTITION BY event_type
+                                      ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING))
+                        AS BIGINT) AS cusum
+            FROM p
         """,
         # first-order Markov transition matrix over per-user event
         # streams; probabilities in integer micro-units (HUGEINT)

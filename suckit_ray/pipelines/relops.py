@@ -4335,3 +4335,93 @@ def events_regression(sf_dir: str) -> pa.Table:
             "intercept_nano": pa.array(intercepts, pa.int64()),
         }
     )
+
+
+def events_cusum(sf_dir: str) -> rd.Dataset:
+    """(event_type, day, cusum): one-sided upper CUSUM changepoint
+    statistic per type over the gap-filled daily value series — the
+    drift/mean-shift monitor a continuous-ingest pipeline runs over
+    its own volume metrics (Page 1954, public). The recursion
+    S_t = max(0, S_{t-1} + (x_t − k)) looks inherently sequential,
+    but with P_t = Σ_{i≤t}(x_i − k) it closes to
+    S_t = P_t − min(0, min_{j≤t} P_j) — a prefix sum and a running
+    min, both SQL-window-expressible AND one vectorized numpy pass
+    per group, which is what makes an exact oracle possible.
+
+    Plan: the ``events_daily_gapfill`` recipe verbatim — two-phase
+    (type, day) cent sums, O(blocks) global day bounds on the driver,
+    dense per-type series emitted inside ``map_groups`` — then the
+    closed form per group. Reference k per type = total // n_days
+    (DuckDB ``//`` truncates toward zero; ``_trunc_div`` mirrors it),
+    so everything is exact integers and the hash pins the whole
+    series. Per-group state is O(span days), the same bound gapfill
+    already accepts; at web scale the key widens to (type, year)."""
+    import ray
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))  # trunc like //
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "day": day.astype("int64"),
+                    "x": to_cents(df["value"]),
+                }
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .agg(x=("x", "sum"))
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x": ("x", "sum")},
+    ).materialize()  # feeds the bounds scan AND the per-type groups
+
+    bounds = daily.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [int(df["day"].min())], "hi": [int(df["day"].max())]}
+        )
+        if len(df)
+        else pd.DataFrame(
+            {"lo": pd.array([], dtype="int64"), "hi": pd.array([], dtype="int64")}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(bounds):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "cusum": pa.array([], pa.int64()),
+                }
+            )
+        )
+    span_ref = ray.put((int(bounds["lo"].min()), int(bounds["hi"].max())))
+
+    def cusum_group(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(span_ref)
+        days = np.arange(lo, hi + 1, dtype="int64")
+        xs = (
+            g.set_index("day")["x"].reindex(days).fillna(0).astype("int64").to_numpy()
+        )
+        k = _trunc_div(int(xs.sum()), len(days))
+        pre = np.cumsum(xs - k)  # int64: |daily cents| ≪ 2^63/span
+        runmin = np.minimum.accumulate(pre)
+        cusum = pre - np.minimum(runmin, 0)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "day": days,
+                "cusum": cusum.astype("int64"),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(cusum_group, batch_format="pandas")

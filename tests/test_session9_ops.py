@@ -241,3 +241,102 @@ class TestPqTopk:
         err = np.linalg.norm(x - recon, axis=1).mean()
         assert err < np.linalg.norm(x, axis=1).mean() * 0.9
         assert codes.max() > 100  # ks=256 domain actually exercised
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsCusum:
+    @staticmethod
+    def _recursion(daily: pd.DataFrame) -> pd.DataFrame:
+        """Independent reference: the literal S_t = max(0, S+(x−k))
+        recursion over the dense global-span grid — pins the engine's
+        closed-form (prefix sum − running min) rewrite."""
+        from suckit_ray.pipelines.relops import _trunc_div
+
+        lo, hi = int(daily["day"].min()), int(daily["day"].max())
+        days = list(range(lo, hi + 1))
+        out = []
+        for t, g in daily.groupby("event_type"):
+            xs = g.set_index("day")["x"].reindex(days).fillna(0).astype(int)
+            k = _trunc_div(int(xs.sum()), len(days))
+            s = 0
+            for d in days:
+                s = max(0, s + int(xs[d]) - k)
+                out.append((t, d, s))
+        return pd.DataFrame(out, columns=["event_type", "day", "cusum"])
+
+    def test_closed_form_equals_recursion_on_real_data(self):
+        from suckit_ray.pipelines.relops import US_PER_DAY, events_cusum, to_cents
+
+        got = (
+            events_cusum(SF)
+            .to_pandas()
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "ts", "value"]
+        ).to_pandas()
+        us = ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ev["day"] = us // US_PER_DAY  # sf data is post-epoch: floor == trunc
+        ev["x"] = to_cents(ev["value"])
+        daily = ev.groupby(["event_type", "day"], as_index=False).agg(x=("x", "sum"))
+        want = (
+            self._recursion(daily)
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["cusum"] >= 0).all()
+
+    def test_mean_shift_pre_epoch_and_gap(self, tmp_path):
+        """Engineered series: type 'a' holds 1.00/day for 4 days then
+        jumps to 5.00/day — CUSUM must sit at/near zero through the
+        quiet prefix and climb monotonically after the shift. One
+        event sits BEFORE the epoch with a nonzero remainder, pinning
+        the truncating day assignment (floor would shift it a day
+        earlier and move the whole grid); day 1 is a silent gap that
+        must still appear in the output."""
+        from suckit_ray.pipelines.relops import US_PER_DAY, events_cusum
+
+        rows = []
+        # pre-epoch event: us = -0.5 day → truncating day 0 - 1?  No:
+        # trunc(-0.5) = 0 ... make it unambiguous: -1.5 days → day -1.
+        rows.append(("a", -int(1.5 * US_PER_DAY), 1.00))
+        for d in [0, 2, 3]:  # day 1 is the gap
+            rows.append(("a", d * US_PER_DAY + 7, 1.00))
+        for d in [4, 5, 6]:
+            rows.append(("a", d * US_PER_DAY + 7, 5.00))
+        df = pd.DataFrame(rows, columns=["event_type", "us", "value"])
+        df["ts"] = df["us"].astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(
+                df[["event_type", "ts", "value"]], preserve_index=False
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        got = (
+            events_cusum(str(tmp_path))
+            .to_pandas()
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        # truncating division puts the -1.5-day event on day -1
+        assert got["day"].min() == -1
+        assert got["day"].max() == 6
+        assert len(got) == 8  # dense grid incl. the day-1 gap row
+        # independent recursion over the same engineered daily sums
+        us = df["us"].to_numpy()
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))
+        daily = pd.DataFrame(
+            {"event_type": "a", "day": day, "x": (df["value"] * 100).astype(int)}
+        ).groupby(["event_type", "day"], as_index=False).agg(x=("x", "sum"))
+        want = (
+            self._recursion(daily)
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        tail = got[got["day"] >= 4]["cusum"].to_numpy()
+        assert (np.diff(tail) > 0).all()  # climbs through the shift
+        assert got[got["day"] < 4]["cusum"].max() <= got["cusum"].iloc[-1] // 3
