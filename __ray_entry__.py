@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "docs_dedup_keep_best": dedup.docs_dedup_keep_best,
         "docs_incremental_dedup": dedup.docs_incremental_dedup,
@@ -1080,6 +1081,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a_id
             JOIN sizes sb ON sb.doc_id = b_id
             WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+        """,
+        # asymmetric containment |A∩B|/min(|A|,|B|) over the same
+        # 3-gram shingle sets; all-integer threshold and percentage
+        "ngram_containment_pairs": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 1)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     L[i] || ' ' || L[i + 1] || ' ' || L[i + 2] AS s
+              FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                   CAST((10000 * i) // LEAST(sa.n, sb.n) AS BIGINT) AS cont_pct
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE 100 * i >= 80 * LEAST(sa.n, sb.n)
         """,
         # connected components of the exact near-dup graph: min-label
         # propagation to a fixpoint via recursive CTE (UNION dedups the

@@ -390,6 +390,31 @@ def _ngram_pair_dataset(
     ultra-common shingles are missed). Off by default for oracle
     exactness.
     """
+    inter_ds = _ngram_intersection_dataset(sf_dir, max_shingle_docs)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        union = (df["na"] + df["nb"] - df["inter"]).clip(lower=1)
+        j = df["inter"] / union
+        keep = j >= threshold
+        return pd.DataFrame(
+            {
+                "a_id": df.loc[keep, "a_id"].astype("int64"),
+                "b_id": df.loc[keep, "b_id"].astype("int64"),
+                "jaccard_pct": np.floor(j[keep] * 10000).astype("int64"),
+            }
+        )
+
+    return inter_ds.map_batches(finish, batch_format="pandas")
+
+
+def _ngram_intersection_dataset(
+    sf_dir: str, max_shingle_docs: int | None = None
+) -> rd.Dataset:
+    """Per-pair exact shingle-set intersections with both set sizes:
+    (a_id, b_id, inter, na, nb) for every doc pair sharing ≥ 1
+    word-3-gram — the shared middle of every set-overlap similarity
+    (Jaccard, containment, overlap coefficient; each is arithmetic
+    over these three integers, applied in the consumer's own tasks)."""
 
     def explode(t: pa.Table) -> pa.Table:
         doc_ids, shingle_hash, sizes = [], [], []
@@ -433,7 +458,7 @@ def _ngram_pair_dataset(
         )
 
     pair_ds = ds.groupby("shb").map_groups(bucket_pairs, batch_format="pandas")
-    inter_ds = bucketed_groupby_agg(
+    return bucketed_groupby_agg(
         pair_ds,
         keys=["a_id", "b_id"],
         aggs={
@@ -443,19 +468,53 @@ def _ngram_pair_dataset(
         },
     )
 
+
+CONTAINMENT_PCT = 80  # keep pairs where the smaller set is ≥ 80% inside the larger
+
+
+def ngram_containment_pairs(
+    sf_dir: str, threshold_pct: int = CONTAINMENT_PCT
+) -> pa.Table:
+    """(a_id, b_id, cont_pct): pairs whose shingle-set CONTAINMENT
+    max(|A∩B|/|A|, |A∩B|/|B|) = |A∩B|/min(|A|,|B|) clears the
+    threshold — the asymmetric cousin of ``ngram_jaccard_pairs`` that
+    catches subset duplication (a document quoted whole inside a
+    larger one scores containment ≈ 1 while its Jaccard can sit far
+    below any dedup threshold; Broder's resemblance-vs-containment
+    distinction, SEQUENCES '97, public). Same distributed plan — the
+    shared ``_ngram_intersection_dataset`` shuffle — with the
+    containment arithmetic in the consuming tasks, ALL-INTEGER on
+    both sides (100·inter ≥ t·min and cont_pct = 10000·inter //
+    min), so no float boundary can disagree with the oracle."""
+    inter_ds = _ngram_intersection_dataset(sf_dir)
+
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        union = (df["na"] + df["nb"] - df["inter"]).clip(lower=1)
-        j = df["inter"] / union
-        keep = j >= threshold
+        mn = np.minimum(df["na"].to_numpy(), df["nb"].to_numpy())
+        mn = np.maximum(mn, 1)
+        inter = df["inter"].to_numpy()
+        keep = 100 * inter >= threshold_pct * mn
         return pd.DataFrame(
             {
                 "a_id": df.loc[keep, "a_id"].astype("int64"),
                 "b_id": df.loc[keep, "b_id"].astype("int64"),
-                "jaccard_pct": np.floor(j[keep] * 10000).astype("int64"),
+                "cont_pct": (10_000 * inter[keep]) // mn[keep],
             }
         )
 
-    return inter_ds.map_batches(finish, batch_format="pandas")
+    out = inter_ds.map_batches(finish, batch_format="pandas").to_pandas()
+    if "a_id" not in out.columns:  # zero pairs → column-less frame
+        out = pd.DataFrame({"a_id": [], "b_id": [], "cont_pct": []})
+    rows = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in zip(out["a_id"], out["b_id"], out["cont_pct"])
+    )
+    return pa.table(
+        {
+            "a_id": pa.array([r[0] for r in rows], pa.int64()),
+            "b_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cont_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
 
 
 def ngram_jaccard_pairs(
@@ -467,6 +526,8 @@ def ngram_jaccard_pairs(
     that docstring for the distributed plan. The thresholded pair set
     is sparse; only it reaches the driver."""
     out = _ngram_pair_dataset(sf_dir, threshold, max_shingle_docs).to_pandas()
+    if "a_id" not in out.columns:  # zero pairs → column-less frame
+        out = pd.DataFrame({"a_id": [], "b_id": [], "jaccard_pct": []})
     rows = sorted(
         (int(a), int(b), int(p))
         for a, b, p in zip(out["a_id"], out["b_id"], out["jaccard_pct"])

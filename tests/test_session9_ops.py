@@ -340,3 +340,58 @@ class TestEventsCusum:
         tail = got[got["day"] >= 4]["cusum"].to_numpy()
         assert (np.diff(tail) > 0).all()  # climbs through the shift
         assert got[got["day"] < 4]["cusum"].max() <= got["cusum"].iloc[-1] // 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContainmentPairs:
+    def test_subset_doc_caught_only_by_containment(self, tmp_path):
+        """Doc 2 is doc 1 quoted whole inside ~4× more text: its
+        shingle sets give containment 100% but Jaccard ≈ 0.26 — below
+        the 0.5 dedup threshold. Containment must report the pair
+        (cont_pct 10000) while the Jaccard query stays silent. An
+        unrelated doc 3 must pair with neither."""
+        from suckit_ray.pipelines.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        core = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(8))
+        filler = " ".join(f"filler{i} pad{i} text{i}" for i in range(30))
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [core, core + " " + filler, "zeta eta theta iota kappa"],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(docs, preserve_index=False),
+            str(tmp_path / "documents.parquet"),
+        )
+        cont = ngram_containment_pairs(str(tmp_path)).to_pandas()
+        jac = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
+        assert list(map(tuple, cont[["a_id", "b_id"]].to_numpy())) == [(1, 2)]
+        assert cont["cont_pct"].tolist() == [10_000]
+        assert len(jac) == 0
+
+    def test_all_integer_threshold_boundary(self, tmp_path):
+        """Pair engineered to sit EXACTLY at 80%: |A∩B| = 4 of A's 5
+        shingles (min side). 100·4 ≥ 80·5 must keep it; one shingle
+        fewer (60%) must drop it — pins the ≥ (not >) integer gate."""
+        from suckit_ray.pipelines.dedup import ngram_containment_pairs
+
+        # 7 tokens → 5 trigram shingles; doc 20 shares exactly 4 of
+        # them (same first 6 tokens, different last), doc 30 shares 3.
+        a = "t1 t2 t3 t4 t5 t6 t7"
+        b = "t1 t2 t3 t4 t5 t6 X " + " ".join(f"p{i} q{i} r{i}" for i in range(10))
+        c = "t1 t2 t3 t4 t5 Y Z " + " ".join(f"s{i} u{i} v{i}" for i in range(10))
+        docs = pd.DataFrame({"doc_id": [10, 20, 30], "text": [a, b, c]})
+        pq.write_table(
+            pa.Table.from_pandas(docs, preserve_index=False),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = ngram_containment_pairs(str(tmp_path)).to_pandas()
+        pairs = set(map(tuple, got[["a_id", "b_id"]].to_numpy()))
+        assert (10, 20) in pairs  # 4/5 = 80% — boundary kept
+        assert (10, 30) not in pairs  # 3/5 = 60% — dropped
+        row = got.set_index(["a_id", "b_id"]).loc[(10, 20)]
+        assert int(row["cont_pct"]) == 8_000
