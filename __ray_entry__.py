@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_overlap_theta": relops.events_user_overlap_theta,
         "events_regression": relops.events_regression,
         "events_cusum": relops.events_cusum,
+        "referential_audit": relops.referential_audit,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
@@ -1842,6 +1843,41 @@ def oracle_sql() -> dict[str, str]:
                          * CAST(1000000000 AS HUGEINT))
                         // (n*(n*sxx - sx*sx)) AS BIGINT) AS intercept_nano
             FROM s
+        """,
+        # seven-rule data-quality audit: bidirectional referential
+        # integrity plus row-level range checks; zero counts included
+        "referential_audit": """
+            SELECT rule, CAST(n AS BIGINT) AS n_violations FROM (
+              SELECT 'customers_without_orders' AS rule,
+                     (SELECT count(*) FROM customer c
+                      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_custkey = c.c_custkey)) AS n
+              UNION ALL
+              SELECT 'lineitem_discount_out_of_range',
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_discount < 0 OR l_discount > 0.5)
+              UNION ALL
+              SELECT 'lineitem_nonpositive_quantity',
+                     (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+              UNION ALL
+              SELECT 'lineitems_orphaned',
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey))
+              UNION ALL
+              SELECT 'orders_nonpositive_total',
+                     (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+              UNION ALL
+              SELECT 'orders_orphaned_customer',
+                     (SELECT count(*) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey))
+              UNION ALL
+              SELECT 'orders_without_lineitems',
+                     (SELECT count(*) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                        WHERE l.l_orderkey = o.o_orderkey))
+            )
         """,
         # one-sided upper CUSUM per type over gap-filled daily cent
         # sums: the max(0, S+(x−k)) recursion closed to prefix-sum

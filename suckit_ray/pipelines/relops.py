@@ -4425,3 +4425,154 @@ def events_cusum(sf_dir: str) -> rd.Dataset:
         )
 
     return daily.groupby("event_type").map_groups(cusum_group, batch_format="pandas")
+
+
+AUDIT_RULES = [
+    "customers_without_orders",
+    "lineitem_discount_out_of_range",
+    "lineitem_nonpositive_quantity",
+    "lineitems_orphaned",
+    "orders_nonpositive_total",
+    "orders_orphaned_customer",
+    "orders_without_lineitems",
+]
+
+
+def referential_audit(sf_dir: str) -> pa.Table:
+    """(rule, n_violations) over seven data-quality constraints — the
+    pre-ingest validation stage every pipeline runs before trusting a
+    snapshot: referential integrity in BOTH directions across
+    customer↔orders and orders↔lineitem, plus row-level range checks.
+    Zero counts are part of the contract (they prove the rule ran).
+
+    Plan: two tagged-union co-groups carry the four integrity rules —
+    each side pre-shrunk inside ``map_batches`` to per-key counts, so
+    the custkey exchange moves ~|customers|+|custkeys seen in orders|
+    rows and the orderkey exchange ~|orders|+|orderkeys seen in
+    lineitem| (never lineitems); presence/absence and violation
+    counting happen group-locally. The three scalar rules are
+    O(blocks) per-batch partial counts. Everything reduces to
+    (rule, partial) rows — ≤ buckets × rules reach the driver."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def cust_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {"key": k, "side": "c", "cnt": 1, "bucket": (k % B).astype("int64")}
+        )
+
+    def cust_of_orders(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(df["o_custkey"].astype("int64")).size()
+        k = g.index.to_numpy()
+        return pd.DataFrame(
+            {"key": k, "side": "o", "cnt": g.to_numpy(), "bucket": k % B}
+        )
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {"key": k, "side": "o", "cnt": 1, "bucket": (k % B).astype("int64")}
+        )
+
+    def order_of_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(df["l_orderkey"].astype("int64")).size()
+        k = g.index.to_numpy()
+        return pd.DataFrame(
+            {"key": k, "side": "l", "cnt": g.to_numpy(), "bucket": k % B}
+        )
+
+    def cust_rules(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.pivot_table(
+            index="key", columns="side", values="cnt", aggfunc="sum", fill_value=0
+        )
+        no_orders = int((per.get("o", pd.Series(0, index=per.index)) == 0).sum())
+        orphans = int(
+            per.loc[per.get("c", pd.Series(0, index=per.index)) == 0, "o"].sum()
+        ) if "o" in per else 0
+        return pd.DataFrame(
+            {
+                "rule": ["customers_without_orders", "orders_orphaned_customer"],
+                "n": [no_orders, orphans],
+            }
+        )
+
+    def order_rules(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.pivot_table(
+            index="key", columns="side", values="cnt", aggfunc="sum", fill_value=0
+        )
+        no_items = int((per.get("l", pd.Series(0, index=per.index)) == 0).sum())
+        orphans = int(
+            per.loc[per.get("o", pd.Series(0, index=per.index)) == 0, "l"].sum()
+        ) if "l" in per else 0
+        return pd.DataFrame(
+            {
+                "rule": ["orders_without_lineitems", "lineitems_orphaned"],
+                "n": [no_items, orphans],
+            }
+        )
+
+    def lineitem_scalars(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy()
+        d = df["l_discount"].to_numpy()
+        return pd.DataFrame(
+            {
+                "rule": [
+                    "lineitem_nonpositive_quantity",
+                    "lineitem_discount_out_of_range",
+                ],
+                "n": [int((q <= 0).sum()), int(((d < 0) | (d > 0.5)).sum())],
+            }
+        )
+
+    def order_scalars(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rule": ["orders_nonpositive_total"],
+                "n": [int((df["o_totalprice"].to_numpy() <= 0).sum())],
+            }
+        )
+
+    cust_union = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(cust_side, batch_format="pandas")
+        .union(
+            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+            .map_batches(cust_of_orders, batch_format="pandas")
+        )
+        .groupby("bucket")
+        .map_groups(cust_rules, batch_format="pandas")
+    )
+    order_union = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .map_batches(order_side, batch_format="pandas")
+        .union(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+            .map_batches(order_of_lineitem, batch_format="pandas")
+        )
+        .groupby("bucket")
+        .map_groups(order_rules, batch_format="pandas")
+    )
+    scalars = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+        )
+        .map_batches(lineitem_scalars, batch_format="pandas")
+        .union(
+            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+            .map_batches(order_scalars, batch_format="pandas")
+        )
+    )
+
+    parts = cust_union.union(order_union).union(scalars).to_pandas()
+    total = parts.groupby("rule", as_index=False)["n"].sum()
+    total = (
+        total.set_index("rule").reindex(AUDIT_RULES, fill_value=0).reset_index()
+    )  # every rule appears, even at zero violations / empty tables
+    return pa.table(
+        {
+            "rule": pa.array(total["rule"], pa.string()),
+            "n_violations": pa.array(total["n"].astype("int64"), pa.int64()),
+        }
+    )

@@ -395,3 +395,92 @@ class TestContainmentPairs:
         assert (10, 30) not in pairs  # 3/5 = 60% — dropped
         row = got.set_index(["a_id", "b_id"]).loc[(10, 20)]
         assert int(row["cont_pct"]) == 8_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReferentialAudit:
+    def test_engineered_violations_all_fire(self, tmp_path):
+        """One violation of each kind in a 4-customer micro-schema —
+        including the orphan directions the synthetic corpus never
+        exercises (its only natural violation is
+        orders_without_lineitems)."""
+        from suckit_ray.pipelines.relops import referential_audit
+
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                    "c_name": ["a", "b", "c"],
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        # order 10→cust1 (has items), 11→cust2 (NO items),
+        # 12→cust99 (orphan customer, has items); cust3 has no orders
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                    "o_custkey": pa.array([1, 2, 99], pa.int64()),
+                    "o_totalprice": pa.array([5.0, -2.0, 7.0], pa.float64()),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        # two lineitems on order 10 (one bad qty, one bad discount),
+        # one on orphan order 12, two on nonexistent order 77
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([10, 10, 12, 77, 77], pa.int64()),
+                    "l_quantity": pa.array([-1.0, 2.0, 3.0, 1.0, 1.0]),
+                    "l_discount": pa.array([0.1, 0.9, 0.0, 0.0, 0.0]),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        got = (
+            referential_audit(str(tmp_path))
+            .to_pandas()
+            .set_index("rule")["n_violations"]
+        )
+        assert got["customers_without_orders"] == 1  # cust 3
+        assert got["orders_orphaned_customer"] == 1  # order 12
+        assert got["orders_without_lineitems"] == 1  # order 11
+        assert got["lineitems_orphaned"] == 2  # both rows on order 77
+        assert got["lineitem_nonpositive_quantity"] == 1
+        assert got["lineitem_discount_out_of_range"] == 1
+        assert got["orders_nonpositive_total"] == 1
+
+    def test_all_rules_present_at_zero(self, tmp_path):
+        """A fully consistent micro-dataset must still emit all seven
+        rules, each at zero — silence is not a pass."""
+        from suckit_ray.pipelines.relops import AUDIT_RULES, referential_audit
+
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1], pa.int64()), "c_name": ["a"]}),
+            str(tmp_path / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10], pa.int64()),
+                    "o_custkey": pa.array([1], pa.int64()),
+                    "o_totalprice": pa.array([5.0], pa.float64()),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([10], pa.int64()),
+                    "l_quantity": pa.array([2.0]),
+                    "l_discount": pa.array([0.1]),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        got = referential_audit(str(tmp_path)).to_pandas()
+        assert got["rule"].tolist() == AUDIT_RULES
+        assert got["n_violations"].tolist() == [0] * 7
