@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_spans": _crawl_spans,
         "crawl_pagerank": graph.crawl_pagerank,
         "crawl_pagerank_exact": graph.crawl_pagerank_exact,
+        "crawl_trustrank": graph.crawl_trustrank,
         "crawl_hits": graph.crawl_hits,
         "crawl_triangles": graph.crawl_triangles,
         "crawl_degrees": graph.crawl_degrees,
@@ -784,6 +785,64 @@ def _pagerank_exact_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
     tail = f"""
             SELECT hn.hn || '/p' || r.j || '.html' AS doc_id,
                    CAST(r.r AS BIGINT) AS rank_pico
+            FROM r{iters} r JOIN hostname hn ON hn.h = r.h
+        """
+    return head + "".join(steps) + tail
+
+
+def _trustrank_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
+    """All-integer TrustRank (personalized PageRank) mirrored step by
+    step: identical arithmetic to ``_pagerank_exact_oracle_sql`` except
+    initial mass and the per-round teleport go only to the seed nodes
+    (page 0 of every host — the crawl seeds), divided by |seeds|; every
+    other node starts at 0 and receives teleport 0 (see
+    suckit_ray.pipelines.graph.trustrank_exact_from_docs)."""
+    head = rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            nodes AS MATERIALIZED (SELECT h, j FROM reach),
+            ns AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM hosts WHERE m > 0
+            ),
+            edges AS MATERIALIZED (
+              SELECT r.h AS h, r.j AS src, x.t AS dst
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+            ),
+            deg AS MATERIALIZED (
+              SELECT h, src, CAST(count(*) AS BIGINT) AS d
+              FROM edges GROUP BY h, src
+            ),
+            r0 AS (
+              SELECT h, j,
+                     CASE WHEN j = 0 THEN {scale} // (SELECT n FROM ns)
+                          ELSE 0 END AS r
+              FROM nodes
+            )"""
+    steps = []
+    for k in range(iters):
+        steps.append(
+            f""",
+            r{k + 1} AS MATERIALIZED (
+              SELECT n.h, n.j,
+                     CASE WHEN n.j = 0
+                          THEN (15 * {scale}) // (100 * ns.n)
+                          ELSE 0 END
+                       + COALESCE(m.s, 0) AS r
+              FROM nodes n CROSS JOIN ns
+              LEFT JOIN (
+                SELECT e.h, e.dst AS j,
+                       SUM((85 * rk.r) // (100 * dg.d)) AS s
+                FROM edges e
+                JOIN r{k} rk ON rk.h = e.h AND rk.j = e.src
+                JOIN deg dg ON dg.h = e.h AND dg.src = e.src
+                GROUP BY e.h, e.dst
+              ) m ON m.h = n.h AND m.j = n.j
+            )"""
+        )
+    tail = f"""
+            SELECT hn.hn || '/p' || r.j || '.html' AS doc_id,
+                   CAST(r.r AS BIGINT) AS trust_pico
             FROM r{iters} r JOIN hostname hn ON hn.h = r.h
         """
     return head + "".join(steps) + tail
@@ -2535,6 +2594,8 @@ def oracle_sql() -> dict[str, str]:
         # all-integer PageRank (10 unrolled steps; reduction-order
         # exact, so the distributed run hash-matches)
         "crawl_pagerank_exact": _pagerank_exact_oracle_sql(),
+        # personalized-teleport variant: seeds = page 0 of every host
+        "crawl_trustrank": _trustrank_oracle_sql(),
         # all-integer HITS (5 unrolled rounds, two halves each with a
         # global scalar renormalization)
         "crawl_hits": _hits_oracle_sql(),

@@ -83,6 +83,7 @@ def _pagerank_plan(
     iters: int,
     num_buckets: int | None,
     integer: bool,
+    seed_nodes: "frozenset[str] | None" = None,
 ) -> rd.Dataset:
     """The ONE power-iteration plan both PageRank variants run —
     (rank ∪ adjacency) co-group per round, O(pages) rank rows
@@ -108,7 +109,18 @@ def _pagerank_plan(
     B=4); a 10^8-edge graph gets the full cluster fan-out. Duplicate
     links and self-links carry multiplicity (the ``_link_edges``
     convention); links out of the crawled set and dangling mass fall
-    to the teleport term, same as ``reference_pagerank``."""
+    to the teleport term, same as ``reference_pagerank``.
+
+    ``seed_nodes`` switches to PERSONALIZED teleportation (TrustRank,
+    Gyöngyi/Garcia-Molina/Pedersen VLDB'04, public): initial mass and
+    the per-round teleport term go ONLY to the seed set (divided by
+    |seeds|), so rank measures proximity to trusted pages and leaked
+    mass (out-of-set links, per-edge floors) vanishes instead of
+    recirculating. The seed set is a trusted WHITELIST — small by
+    construction — so it broadcasts via ``ray.put`` and membership is
+    a vectorized ``isin`` in the reduce; every seed must be a crawled
+    node (the flagship's seeds always are). ``seed_nodes=None`` is the
+    uniform-teleport path, arithmetic untouched."""
     edges = _link_edges(docs).materialize()
     if num_buckets is None:
         from suckit_ray.stages.agg import default_buckets
@@ -169,23 +181,26 @@ def _pagerank_plan(
                 }
             )
         )
-    if integer:
-        init = PAGERANK_PICO // n_nodes
-        teleport = ((100 - d100) * PAGERANK_PICO) // (100 * n_nodes)
-    else:
-        init = 1.0 / n_nodes
-        teleport = (1.0 - damping) / n_nodes
+    import ray
 
-    ranks = (
-        nodes.map_batches(
-            lambda df: pd.DataFrame(
-                {"node": df["node"], "rank": np.full(len(df), init, dtype=rank_dtype)}
-            ),
-            batch_format="pandas",
-        )
-        .repartition(B)
-        .materialize()
-    )
+    n_base = len(seed_nodes) if seed_nodes is not None else n_nodes
+    if integer:
+        init = PAGERANK_PICO // n_base
+        teleport = ((100 - d100) * PAGERANK_PICO) // (100 * n_base)
+    else:
+        init = 1.0 / n_base
+        teleport = (1.0 - damping) / n_base
+    seeds_ref = ray.put(frozenset(seed_nodes)) if seed_nodes is not None else None
+
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.full(len(df), init, dtype=rank_dtype)
+        if seeds_ref is not None:
+            r = np.where(df["node"].isin(ray.get(seeds_ref)), r, 0).astype(rank_dtype)
+        return pd.DataFrame({"node": df["node"], "rank": r})
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pandas").repartition(
+        B
+    ).materialize()
 
     def as_rank_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -248,10 +263,16 @@ def _pagerank_plan(
         # without this filter a phantom rank row is invented for every
         # un-crawled link target and persists via its own self row
         s = s[s["is_node"] == 1]
-        if integer:
-            rank = (teleport + s["contrib"]).astype("int64")
+        if seeds_ref is not None:
+            tele = np.where(
+                s["node"].isin(ray.get(seeds_ref)), teleport, 0
+            ).astype(rank_dtype)
         else:
-            rank = (teleport + damping * s["contrib"]).astype("float64")
+            tele = teleport
+        if integer:
+            rank = (tele + s["contrib"]).astype("int64")
+        else:
+            rank = (tele + damping * s["contrib"]).astype("float64")
         return pd.DataFrame({"node": s["node"], "rank": rank})
 
     adj_rows = adj.map_batches(as_adj_rows, batch_format="pandas")
@@ -309,6 +330,72 @@ def pagerank_exact_from_docs(
         ),
         batch_format="pandas",
     )
+
+
+def trustrank_exact_from_docs(
+    docs: rd.Dataset,
+    seed_nodes: "frozenset[str]",
+    iters: int = PAGERANK_ITERS,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """ALL-INTEGER TrustRank: ``pagerank_exact_from_docs`` with the
+    teleport vector personalized to a trusted seed whitelist —
+    (doc_id, trust_pico) in 10^-12 units, bit-identical under any
+    reduction order (hash-oracle-able like the uniform variant). Pages
+    unreachable from any seed score exactly 0; spam farms far from
+    seeds score low regardless of their internal link mass — the
+    link-spam demotion the algorithm exists for."""
+    ranks = _pagerank_plan(
+        docs, PAGERANK_DAMPING, iters, num_buckets, integer=True,
+        seed_nodes=frozenset(seed_nodes),
+    )
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["node"], "trust_pico": df["rank"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def reference_trustrank(
+    docs_tbl: pa.Table,
+    seed_nodes: "frozenset[str]",
+    damping=PAGERANK_DAMPING,
+    iters=PAGERANK_ITERS,
+) -> dict:
+    """Single-machine float TrustRank on the same docs table — the
+    accuracy reference for tests (allclose, not hash)."""
+    pages = []
+    links: dict[str, list[str]] = {}
+    for doc_id, is_html, spans in zip(
+        docs_tbl.column("doc_id").to_pylist(),
+        docs_tbl.column("is_html").to_pylist(),
+        docs_tbl.column("spans").to_pylist(),
+    ):
+        if not is_html:
+            continue
+        src = posixpath.normpath(doc_id)
+        pages.append(src)
+        links[src] = [
+            resolve_link(doc_id, s["media_ref"]) for s in spans if s["kind"] == "link"
+        ]
+    idx = {p: i for i, p in enumerate(sorted(pages))}
+    n = len(idx)
+    ns = len(seed_nodes)
+    tele = np.zeros(n)
+    r = np.zeros(n)
+    for s in seed_nodes:
+        tele[idx[s]] = (1.0 - damping) / ns
+        r[idx[s]] = 1.0 / ns
+    for _ in range(iters):
+        nxt = tele.copy()
+        for src, dsts in links.items():
+            share = damping * r[idx[src]] / len(dsts)
+            for d in dsts:
+                if d in idx:
+                    nxt[idx[d]] += share
+        r = nxt
+    return {p: r[i] for p, i in idx.items()}
 
 
 def reference_pagerank(docs_tbl: pa.Table, damping=PAGERANK_DAMPING, iters=PAGERANK_ITERS) -> dict:
@@ -538,6 +625,27 @@ def crawl_pagerank_exact(sf_dir: str):
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return pagerank_exact_from_docs(crawl_docs(sf_dir))
+
+
+def crawl_seed_paths(sf_dir: str) -> frozenset:
+    """Normalized doc paths of the flagship crawl's seed URLs — the
+    natural trusted set for TrustRank (page 0 of every host)."""
+    from suckit_ray.pipelines.flagship import corpus_for
+    from suckit_ray.urlkit import parse_url, to_path
+
+    corpus = corpus_for(sf_dir)
+    return frozenset(
+        posixpath.normpath(to_path(parse_url(u), False)) for u in corpus.seeds()
+    )
+
+
+def crawl_trustrank(sf_dir: str):
+    """queries() entry: all-integer TrustRank of the flagship mirror
+    seeded at the crawl seeds — (doc_id, trust_pico), hash-compared
+    against the personalized-teleport unrolled CTE oracle."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return trustrank_exact_from_docs(crawl_docs(sf_dir), crawl_seed_paths(sf_dir))
 
 
 HITS_SCALE = 1_000_000_000  # integer hub/authority scale (10^-9 units)

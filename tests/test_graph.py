@@ -745,3 +745,82 @@ class TestCocitation:
         assert got.to_dict("records") == [
             {"host": "h", "a": 1, "b": 2, "n_common": 4}
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trustrank_tracks_float_reference():
+    """Integer TrustRank approximates the float personalized power
+    iteration on the real flagship graph (same floor-leak bound as the
+    uniform variant), and every page holds LESS trust than rank mass
+    outside the seeds' neighborhoods would imply — total trust ≤ 1."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+    from suckit_ray.pipelines.graph import (
+        PAGERANK_PICO,
+        crawl_seed_paths,
+        reference_trustrank,
+        trustrank_exact_from_docs,
+    )
+
+    docs = crawl_docs("/root/testdata/sf0.001")
+    seeds = crawl_seed_paths("/root/testdata/sf0.001")
+    got = trustrank_exact_from_docs(docs, seeds).to_pandas()
+    ref = reference_trustrank(
+        pa.Table.from_pandas(docs.to_pandas()), seeds
+    )
+    assert len(got) == len(ref)
+    for _, r in got.iterrows():
+        approx = r["trust_pico"] / PAGERANK_PICO
+        want = ref[r["doc_id"]]
+        assert abs(approx - want) <= 5e-6 + 1e-3 * want, (
+            r["doc_id"], approx, want)
+    assert got["trust_pico"].sum() <= PAGERANK_PICO
+    # seeds must hold strictly positive trust
+    g = dict(zip(got["doc_id"], got["trust_pico"]))
+    assert all(g[s] > 0 for s in seeds)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trustrank_zeroes_spam_cluster_unreachable_from_seeds():
+    """The defining property: a densely self-linked cluster with no
+    path from any seed gets trust EXACTLY 0 (integer arithmetic — no
+    float dust), while uniform PageRank rewards its internal mass."""
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import (
+        pagerank_exact_from_docs,
+        trustrank_exact_from_docs,
+    )
+
+    def page(doc_id, refs):
+        return {
+            "doc_id": doc_id,
+            "is_html": True,
+            "spans": [{"kind": "link", "text": "", "media_ref": r, "offset": 0}
+                      for r in refs],
+        }
+
+    tbl = pa.Table.from_pylist(
+        [
+            page("h.test/seed.html", ["good.html"]),
+            page("h.test/good.html", ["seed.html"]),
+            # spam farm: links only among itself
+            page("h.test/spam1.html", ["spam2.html"]),
+            page("h.test/spam2.html", ["spam1.html"]),
+        ]
+    )
+    seeds = frozenset({"h.test/seed.html"})
+    trust = (
+        trustrank_exact_from_docs(rd.from_arrow(tbl), seeds, num_buckets=2)
+        .to_pandas()
+        .set_index("doc_id")["trust_pico"]
+    )
+    assert trust["h.test/spam1.html"] == 0
+    assert trust["h.test/spam2.html"] == 0
+    assert trust["h.test/seed.html"] > 0
+    assert trust["h.test/good.html"] > 0
+    rank = (
+        pagerank_exact_from_docs(rd.from_arrow(tbl), num_buckets=2)
+        .to_pandas()
+        .set_index("doc_id")["rank_pico"]
+    )
+    assert rank["h.test/spam1.html"] > 0  # uniform PR pays the farm
