@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": graph.crawl_pagerank,
         "crawl_pagerank_exact": graph.crawl_pagerank_exact,
         "crawl_trustrank": graph.crawl_trustrank,
+        "crawl_anchor_text": graph.crawl_anchor_text,
         "crawl_hits": graph.crawl_hits,
         "crawl_triangles": graph.crawl_triangles,
         "crawl_degrees": graph.crawl_degrees,
@@ -2596,6 +2597,23 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pagerank_exact": _pagerank_exact_oracle_sql(),
         # personalized-teleport variant: seeds = page 0 of every host
         "crawl_trustrank": _trustrank_oracle_sql(),
+        # inbound anchor-text index: the synthetic corpus renders every
+        # anchor as 'link <raw candidate>', so the reach closure + the
+        # shared fanout VALUES regenerate (target, anchor, count)
+        "crawl_anchor_text": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            edges AS (
+              SELECT r.h AS h, x.t AS t
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+            )
+            SELECT hn.hn || '/p' || e.t || '.html' AS doc_id,
+                   'link p' || e.t || '.html' AS anchor,
+                   CAST(count(*) AS BIGINT) AS n_refs
+            FROM edges e JOIN hostname hn ON hn.h = e.h
+            GROUP BY 1, 2
+        """,
         # all-integer HITS (5 unrolled rounds, two halves each with a
         # global scalar renormalization)
         "crawl_hits": _hits_oracle_sql(),

@@ -2250,3 +2250,74 @@ def crawl_cocitation(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return cocitation_from_docs(crawl_docs(sf_dir))
+
+
+_ANCHOR_RE = None  # compiled lazily in workers (module import stays light)
+
+
+def anchor_text_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(doc_id, anchor, n_refs): the inbound anchor-text index — for
+    every link TARGET, the visible anchor strings pointing at it with
+    reference counts. The classic off-page relevance signal (anchor
+    text describes the target better than the target describes
+    itself); a search pipeline joins this against the page index.
+
+    The span layout makes this a pure table scan: the splice scanner
+    cuts a text span immediately AFTER each link span, so the anchor
+    is the ``">…</a>`` head of the FOLLOWING span — no re-parse of the
+    page, just a regex on span i+1. Multiplicity is preserved (a page
+    linking the same target twice with the same anchor counts twice,
+    matching the rendered tag count). One bucketed (target, anchor)
+    count aggregation; the shuffle carries one small row per link
+    span."""
+    import re
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    anchor_re = re.compile(r'\A"?>([^<]*)</a>', re.IGNORECASE)
+
+    def explode(t: pa.Table) -> pa.Table:
+        targets, anchors = [], []
+        for doc_id, is_html, spans in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("is_html").to_pylist(),
+            t.column("spans").to_pylist(),
+        ):
+            if not is_html:
+                continue
+            for i, s in enumerate(spans):
+                if s["kind"] != "link":
+                    continue
+                m = (
+                    anchor_re.match(spans[i + 1]["text"])
+                    if i + 1 < len(spans) and spans[i + 1]["kind"] == "text"
+                    else None
+                )
+                targets.append(resolve_link(doc_id, s["media_ref"]))
+                anchors.append(m.group(1) if m else "")
+        return pa.table(
+            {
+                "doc_id": pa.array(targets, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    rows = docs.map_batches(explode, batch_format="pyarrow")
+    return bucketed_groupby_agg(
+        rows.map_batches(
+            lambda df: df.assign(n_refs=np.ones(len(df), dtype="int64")),
+            batch_format="pandas",
+        ),
+        keys=["doc_id", "anchor"],
+        aggs={"n_refs": ("n_refs", "sum")},
+    )
+
+
+def crawl_anchor_text(sf_dir: str) -> rd.Dataset:
+    """queries() entry: inbound anchor-text index of the flagship
+    mirror, hash-compared against the closed-form oracle (the
+    synthetic corpus renders every anchor as 'link <raw candidate>',
+    so the reach CTE regenerates (target, anchor, count) exactly)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return anchor_text_from_docs(crawl_docs(sf_dir))

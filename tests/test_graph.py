@@ -824,3 +824,59 @@ def test_trustrank_zeroes_spam_cluster_unreachable_from_seeds():
         .set_index("doc_id")["rank_pico"]
     )
     assert rank["h.test/spam1.html"] > 0  # uniform PR pays the farm
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anchor_text_extraction_and_multiplicity():
+    """Hand-built span sequences: anchors come from the '\">…</a>' head
+    of the span FOLLOWING each link span; a page linking the same
+    target twice with the same text counts twice; a link span followed
+    by a non-matching span (stripped markup) yields the empty anchor
+    rather than being dropped."""
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import anchor_text_from_docs
+
+    def doc(doc_id, spans):
+        return {"doc_id": doc_id, "is_html": True, "spans": spans}
+
+    def link(ref):
+        return {"kind": "link", "text": "", "media_ref": ref, "offset": 0}
+
+    def text(t):
+        return {"kind": "text", "text": t, "media_ref": "", "offset": 0}
+
+    tbl = pa.Table.from_pylist(
+        [
+            doc(
+                "h.test/a.html",
+                [
+                    text('<a href="'),
+                    link("b.html"),
+                    text('">to B</a> <a href="'),
+                    link("b.html"),
+                    text('">to B</a></body>'),
+                ],
+            ),
+            doc(
+                "h.test/c.html",
+                [
+                    text('<a href="'),
+                    link("b.html"),
+                    text('">see b page</a>'),
+                    link("d.html"),  # link span with no following text span
+                ],
+            ),
+        ]
+    )
+    got = (
+        anchor_text_from_docs(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["doc_id", "anchor"])
+        .reset_index(drop=True)
+    )
+    rows = set(map(tuple, got[["doc_id", "anchor", "n_refs"]].to_numpy()))
+    assert ("h.test/b.html", "to B", 2) in rows
+    assert ("h.test/b.html", "see b page", 1) in rows
+    assert ("h.test/d.html", "", 1) in rows
+    assert len(rows) == 3
