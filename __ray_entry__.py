@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank_exact": graph.crawl_pagerank_exact,
         "crawl_trustrank": graph.crawl_trustrank,
         "crawl_anchor_text": graph.crawl_anchor_text,
+        "crawl_communities_lpa": graph.crawl_communities_lpa,
         "crawl_hits": graph.crawl_hits,
         "crawl_triangles": graph.crawl_triangles,
         "crawl_degrees": graph.crawl_degrees,
@@ -845,6 +846,60 @@ def _trustrank_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
             SELECT hn.hn || '/p' || r.j || '.html' AS doc_id,
                    CAST(r.r AS BIGINT) AS trust_pico
             FROM r{iters} r JOIN hostname hn ON hn.h = r.h
+        """
+    return head + "".join(steps) + tail
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Synchronous label propagation mirrored round by round: labels
+    start as each node's own id; every round a node adopts the most
+    frequent label among its UNDIRECTED multigraph neighbors
+    (ROW_NUMBER over per-(node,label) counts), ties to the
+    lexicographically smallest label STRING — the exact total order
+    the engine sorts by (within a host the full doc_id order reduces
+    to the 'p<j>.html' order used here); isolated nodes keep their
+    own label (see suckit_ray.pipelines.graph.lpa_communities_from_docs)."""
+    head = rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            nodes AS MATERIALIZED (SELECT h, j FROM reach),
+            edges AS MATERIALIZED (
+              SELECT r.h AS h, r.j AS src, x.t AS dst
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+            ),
+            sym AS MATERIALIZED (
+              SELECT h, src AS u, dst AS v FROM edges
+              UNION ALL
+              SELECT h, dst AS u, src AS v FROM edges
+            ),
+            l0 AS (SELECT h, j, j AS lab FROM nodes)"""
+    steps = []
+    for k in range(rounds):
+        steps.append(
+            f""",
+            l{k + 1} AS MATERIALIZED (
+              SELECT n.h, n.j, COALESCE(w.lab, lk.lab) AS lab
+              FROM nodes n
+              JOIN l{k} lk ON lk.h = n.h AND lk.j = n.j
+              LEFT JOIN (
+                SELECT h, v AS j, lab FROM (
+                  SELECT e.h, e.v, lx.lab,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY e.h, e.v
+                           ORDER BY count(*) DESC,
+                                    'p' || lx.lab || '.html') AS rk
+                  FROM sym e
+                  JOIN l{k} lx ON lx.h = e.h AND lx.j = e.u
+                  GROUP BY e.h, e.v, lx.lab
+                ) WHERE rk = 1
+              ) w ON w.h = n.h AND w.j = n.j
+            )"""
+        )
+    tail = f"""
+            SELECT hn.hn || '/p' || l.j || '.html' AS doc_id,
+                   hn.hn || '/p' || l.lab || '.html' AS community
+            FROM l{rounds} l JOIN hostname hn ON hn.h = l.h
         """
     return head + "".join(steps) + tail
 
@@ -2597,6 +2652,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pagerank_exact": _pagerank_exact_oracle_sql(),
         # personalized-teleport variant: seeds = page 0 of every host
         "crawl_trustrank": _trustrank_oracle_sql(),
+        # 4-round deterministic label propagation (mode + lexicographic tie)
+        "crawl_communities_lpa": _lpa_oracle_sql(),
         # inbound anchor-text index: the synthetic corpus renders every
         # anchor as 'link <raw candidate>', so the reach closure + the
         # shared fanout VALUES regenerate (target, anchor, count)

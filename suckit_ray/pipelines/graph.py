@@ -2321,3 +2321,151 @@ def crawl_anchor_text(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return anchor_text_from_docs(crawl_docs(sf_dir))
+
+
+LPA_ROUNDS = 4
+
+
+def lpa_communities_from_docs(
+    docs: rd.Dataset, rounds: int = LPA_ROUNDS, num_buckets: int | None = None
+) -> rd.Dataset:
+    """(doc_id, community): SYNCHRONOUS label propagation over the
+    undirected link multigraph (Raghavan/Albert/Kumara 2007, public),
+    made deterministic — and therefore hash-oracle-able — by a fixed
+    round count and a total tie order: each round every node adopts
+    the most frequent label among its neighbors, ties broken by the
+    LEXICOGRAPHICALLY SMALLEST label, isolated nodes keep their own.
+    Community detection proper (dense blocks), where the components /
+    near-dup machinery answers only reachability.
+
+    Plan shape = ``_pagerank_plan``: the symmetric edge list (both
+    directions of every link, multiplicity kept — parallel edges are
+    double votes) materializes once; per round one src-bucket co-group
+    attaches labels to out-edges and one dst-bucket co-group takes the
+    per-node mode. Label payloads are node-id strings, so the shuffle
+    carries (dst, label) pairs — same volume as a rank round."""
+    from suckit_ray.stages.agg import default_buckets
+
+    edges = _link_edges(docs).materialize()
+    if num_buckets is None:
+        num_buckets = max(2, min(default_buckets(), edges.count() // 10_000 + 1))
+    B = num_buckets
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    sym = (
+        edges.map_batches(
+            lambda df: pd.concat(
+                [
+                    pd.DataFrame({"u": df["src"], "v": df["dst"]}),
+                    pd.DataFrame({"u": df["dst"], "v": df["src"]}),
+                ],
+                ignore_index=True,
+            ).assign(bucket=lambda d: bucket_of(d["u"])),
+            batch_format="pandas",
+        )
+        .repartition(B)
+        .materialize()
+    )
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.field("is_html"))
+        return pa.table(
+            {
+                "node": pa.array(
+                    [posixpath.normpath(d) for d in keep.column("doc_id").to_pylist()],
+                    pa.string(),
+                )
+            }
+        )
+
+    labels = (
+        docs.map_batches(nodes_of, batch_format="pyarrow")
+        .map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "lab": df["node"]}),
+            batch_format="pandas",
+        )
+        .repartition(B)
+        .materialize()
+    )
+
+    def as_label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": df["node"],
+                "v": "",  # self marker
+                "lab": df["lab"],
+                "bucket": bucket_of(df["node"]),
+            }
+        )
+
+    def as_edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": df["u"],
+                "v": df["v"],
+                "lab": "",
+                "bucket": df["bucket"].astype("int64"),
+            }
+        )
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["v"] == ""][["u", "lab"]]
+        a = g[g["v"] != ""][["u", "v"]].merge(lab, on="u")
+        msgs = pd.DataFrame(
+            {"node": a["v"], "lab": a["lab"], "is_self": np.zeros(len(a), "int64")}
+        )
+        selfs = pd.DataFrame(
+            {"node": lab["u"], "lab": lab["lab"],
+             "is_self": np.ones(len(lab), "int64")}
+        )
+        return pd.concat([msgs, selfs], ignore_index=True)
+
+    def mode_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        present = set(g.loc[g["is_self"] == 1, "node"])
+        m = g[(g["is_self"] == 0) & g["node"].isin(present)]
+        counts = (
+            m.groupby(["node", "lab"], as_index=False)
+            .size()
+            .sort_values(["node", "size", "lab"], ascending=[True, False, True])
+        )
+        win = counts.drop_duplicates("node", keep="first")[["node", "lab"]]
+        keep = g[g["is_self"] == 1][["node", "lab"]].rename(columns={"lab": "own"})
+        out = keep.merge(win, on="node", how="left")
+        return pd.DataFrame(
+            {"node": out["node"], "lab": out["lab"].fillna(out["own"])}
+        )
+
+    edge_rows = sym.map_batches(as_edge_rows, batch_format="pandas")
+    for _ in range(rounds):
+        staged = labels.map_batches(as_label_rows, batch_format="pandas").union(
+            edge_rows
+        )
+        msgs = staged.groupby("bucket").map_groups(send, batch_format="pandas")
+        labels = (
+            msgs.map_batches(
+                lambda df: df.assign(bucket=bucket_of(df["node"])),
+                batch_format="pandas",
+            )
+            .groupby("bucket")
+            .map_groups(mode_reduce, batch_format="pandas")
+            .repartition(B)
+            .materialize()
+        )
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"], "community": df["lab"]}),
+        batch_format="pandas",
+    )
+
+
+def crawl_communities_lpa(sf_dir: str) -> rd.Dataset:
+    """queries() entry: 4-round deterministic LPA communities of the
+    flagship mirror — hash-compared against the unrolled mode-CTE
+    oracle (ROW_NUMBER over per-neighbor-label counts)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return lpa_communities_from_docs(crawl_docs(sf_dir))

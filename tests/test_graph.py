@@ -880,3 +880,67 @@ def test_anchor_text_extraction_and_multiplicity():
     assert ("h.test/b.html", "see b page", 1) in rows
     assert ("h.test/d.html", "", 1) in rows
     assert len(rows) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lpa_matches_independent_reference_and_keeps_islands():
+    """Exact equality against a literal pure-Python synchronous LPA
+    (Counter mode + lexicographic tie) on a hand multigraph with a
+    bridge, a vote tie, a parallel double edge, and an isolated node —
+    pins the symmetrization, multiplicity voting, tie order, and the
+    keep-own-label rule for message-less nodes."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import LPA_ROUNDS, lpa_communities_from_docs
+
+    def page(doc_id, refs):
+        return {
+            "doc_id": doc_id,
+            "is_html": True,
+            "spans": [{"kind": "link", "text": "", "media_ref": r, "offset": 0}
+                      for r in refs],
+        }
+
+    links = {
+        "h.test/a1.html": ["a2.html", "a3.html", "a2.html"],  # parallel edge
+        "h.test/a2.html": ["a3.html"],
+        "h.test/a3.html": ["b1.html"],
+        "h.test/b1.html": ["b2.html", "b3.html"],
+        "h.test/b2.html": ["b3.html"],
+        "h.test/b3.html": [],
+        "h.test/tie.html": ["a1.html", "b1.html"],
+        "h.test/island.html": [],
+    }
+    tbl = pa.Table.from_pylist([page(d, r) for d, r in links.items()])
+
+    # independent reference: literal synchronous rounds
+    nodes = list(links)
+    sym = []
+    for u, refs in links.items():
+        for r in refs:
+            v = "h.test/" + r
+            sym += [(u, v), (v, u)]
+    lab = {v: v for v in nodes}
+    for _ in range(LPA_ROUNDS):
+        inbox = {}
+        for u, v in sym:
+            inbox.setdefault(v, []).append(lab[u])
+        lab = {
+            v: (
+                sorted(Counter(inbox[v]).items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                if v in inbox
+                else lab[v]
+            )
+            for v in nodes
+        }
+
+    got = (
+        lpa_communities_from_docs(rd.from_arrow(tbl), num_buckets=2)
+        .to_pandas()
+        .set_index("doc_id")["community"]
+        .to_dict()
+    )
+    assert got == lab
+    assert got["h.test/island.html"] == "h.test/island.html"
