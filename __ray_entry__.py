@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.lsh_topk,
         "ann_pq_topk": ann.pq_topk,
         "embeddings_kmeans": ann.kmeans_assign,
+        "embeddings_drift": ann.embeddings_drift,
         # relational / windowed
         "lineitem_agg": relops.lineitem_agg,
         "revenue_by_nation": relops.revenue_by_nation,
@@ -2654,6 +2655,35 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trustrank": _trustrank_oracle_sql(),
         # 4-round deterministic label propagation (mode + lexicographic tie)
         "crawl_communities_lpa": _lpa_oracle_sql(),
+        # snapshot drift of embedding means: per-dim integer sums on
+        # the even/odd vec_id split; d2 = sum((sa*nb - sb*na)^2) exact
+        # in HUGEINT, scaled by 10^12 into BIGINT
+        "embeddings_drift": f"""
+            WITH q AS (
+              SELECT label, vec_id % 2 AS snap, i AS dim,
+                     CAST(floor(embedding[i] * 1000000) AS HUGEINT) AS qv
+              FROM embeddings,
+                   LATERAL unnest(generate_series(1, len(embedding))) t(i)
+            ),
+            s AS (
+              SELECT label, snap, dim, SUM(qv) AS s,
+                     CAST(count(*) AS HUGEINT) AS n
+              FROM q GROUP BY 1, 2, 3
+            ),
+            j AS (
+              SELECT a.label, a.dim, a.s AS sa, b.s AS sb,
+                     a.n AS na, b.n AS nb
+              FROM s a
+              JOIN s b ON b.label = a.label AND b.dim = a.dim
+                      AND a.snap = 0 AND b.snap = 1
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b,
+                   CAST(SUM((sa * nb - sb * na) * (sa * nb - sb * na))
+                        // 1000000000000 AS BIGINT) AS d2_scaled
+            FROM j GROUP BY label
+        """,
         # inbound anchor-text index: the synthetic corpus renders every
         # anchor as 'link <raw candidate>', so the reach closure + the
         # shared fanout VALUES regenerate (target, anchor, count)

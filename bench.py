@@ -262,6 +262,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_trailing_7d",
         "customer_rfm",
         "part_type_price_stats",
+        # ninth session: changepoint, containment, audit, trust,
+        # anchors, communities
+        "events_cusum",
+        "ngram_containment_pairs",
+        "referential_audit",
+        "crawl_trustrank",
+        "crawl_anchor_text",
+        "crawl_communities_lpa",
     ]
     qs = E.queries()
     out = {}

@@ -594,3 +594,79 @@ def pq_topk(
             "cos_pct": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+DRIFT_Q = 1_000_000  # per-component quantization: floor(x * 10^6)
+DRIFT_SCALE = 10**12  # output divisor keeping d2 in int64
+
+
+def embeddings_drift(sf_dir: str) -> pa.Table:
+    """(label, n_a, n_b, d2_scaled): embedding-distribution DRIFT
+    between two corpus snapshots (deterministic even/odd vec_id split,
+    the ``docs_incremental_dedup`` convention) — the monitor that
+    catches a silently retrained/regressed embedding model before its
+    vectors poison an ANN index. Per label, d2 compares the snapshot
+    MEAN vectors: with per-dim integer sums s_a, s_b (components
+    quantized floor(x·10^6)) and counts n_a, n_b,
+
+        d2_num = Σ_d (s_a[d]·n_b − s_b[d]·n_a)²
+
+    is the squared mean distance on the common denominator (n_a·n_b) —
+    EXACT integers end to end, so the hash can't drift (pun intended).
+
+    Plan: one pass; each batch pre-reduces to per-(label, snapshot)
+    integer sum VECTORS (one numpy floor+sum, no per-row loop) and
+    emits d+1 rows (dim 0 carries the count), a bucketed aggregation
+    merges partials, and the ≤ labels×snapshots×(d+1) result reaches
+    the driver where exact Python-int cross multiplication finishes.
+    Labels missing from either snapshot are dropped (no mean exists)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # group indices used positionally
+        labs, snaps, dims, vals = [], [], [], []
+        snap = (df["vec_id"].astype("int64") % 2).to_numpy()
+        lab = df["label"].astype("int64").to_numpy()
+        for (l, s), idx in pd.DataFrame({"l": lab, "s": snap}).groupby(["l", "s"]).groups.items():
+            m = np.stack(df["embedding"].to_numpy()[np.asarray(idx)]).astype(np.float64)
+            q = np.floor(m * DRIFT_Q).astype(np.int64)
+            sums = q.sum(axis=0)
+            d = sums.shape[0]
+            labs.extend([l] * (d + 1))
+            snaps.extend([s] * (d + 1))
+            dims.extend(range(0, d + 1))
+            vals.append(len(m))  # dim 0 = row count
+            vals.extend(sums.tolist())
+        return pd.DataFrame(
+            {"label": labs, "snap": snaps, "dim": dims, "s": vals}
+        )
+
+    agg = bucketed_groupby_agg(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["label", "snap", "dim"],
+        aggs={"s": ("s", "sum")},
+    ).to_pandas()  # ≤ labels × 2 × (d+1) rows
+
+    out_rows = []
+    for l, g in agg.groupby("label"):
+        a = g[g["snap"] == 0].set_index("dim")["s"]
+        b = g[g["snap"] == 1].set_index("dim")["s"]
+        if not len(a) or not len(b):
+            continue
+        na, nb = int(a[0]), int(b[0])
+        dims = sorted(d for d in a.index if d > 0)
+        d2 = sum(
+            (int(a[d]) * nb - int(b[d]) * na) ** 2 for d in dims
+        )
+        out_rows.append((int(l), na, nb, d2 // DRIFT_SCALE))
+    out_rows.sort()
+    return pa.table(
+        {
+            "label": pa.array([r[0] for r in out_rows], pa.int64()),
+            "n_a": pa.array([r[1] for r in out_rows], pa.int64()),
+            "n_b": pa.array([r[2] for r in out_rows], pa.int64()),
+            "d2_scaled": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )

@@ -484,3 +484,45 @@ class TestReferentialAudit:
         got = referential_audit(str(tmp_path)).to_pandas()
         assert got["rule"].tolist() == AUDIT_RULES
         assert got["n_violations"].tolist() == [0] * 7
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingsDrift:
+    def test_known_mean_shift_and_missing_snapshot_label(self, tmp_path):
+        """Label 0: snapshot means differ by exactly 1.0 in dims 1-2 of
+        4 (quantized 10^6 each), so d2_num = 2·(n_a·n_b·10^6)² with
+        n_a = n_b = 2. Label 1 exists only in snapshot A (odd ids
+        missing) and must be dropped. Label 2 is identical across
+        snapshots → d2 = 0."""
+        from suckit_ray.pipelines.ann import embeddings_drift
+
+        rows = []
+        # label 0: even (snap A) at [1,1,0,0], odd (snap B) at [2,2,0,0]
+        rows += [(0, 0, [1.0, 1.0, 0.0, 0.0]), (2, 0, [1.0, 1.0, 0.0, 0.0])]
+        rows += [(1, 0, [2.0, 2.0, 0.0, 0.0]), (3, 0, [2.0, 2.0, 0.0, 0.0])]
+        # label 1: only even ids
+        rows += [(4, 1, [5.0, 0.0, 0.0, 0.0]), (6, 1, [5.0, 0.0, 0.0, 0.0])]
+        # label 2: identical across the split
+        rows += [(8, 2, [0.5, 0.5, 0.5, 0.5]), (9, 2, [0.5, 0.5, 0.5, 0.5])]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([r[1] for r in rows], pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        got = embeddings_drift(str(tmp_path)).to_pandas().set_index("label")
+        assert list(got.index) == [0, 2]  # label 1 dropped
+        na, nb = 2, 2
+        # per shifted dim: (s_a·n_b − s_b·n_a) = (2·10^6·2 − 4·10^6·2) = −4·10^6... 
+        # computed literally below instead of in prose:
+        sa, sb = 2 * 10**6, 2 * (2 * 10**6)
+        d2 = 2 * (sa * nb - sb * na) ** 2
+        assert got.loc[0, "d2_scaled"] == d2 // 10**12
+        assert got.loc[0, "n_a"] == na and got.loc[0, "n_b"] == nb
+        assert got.loc[2, "d2_scaled"] == 0
