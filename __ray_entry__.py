@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": relops.events_regression,
         "events_cusum": relops.events_cusum,
         "referential_audit": relops.referential_audit,
+        "orders_yoy_growth": relops.orders_yoy_growth,
+        "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
@@ -1994,6 +1996,40 @@ def oracle_sql() -> dict[str, str]:
                       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                                         WHERE l.l_orderkey = o.o_orderkey))
             )
+        """,
+        # year-over-year monthly revenue growth; growth in 10^-6 with
+        # truncating division; months lacking a prior-year month omitted
+        "orders_yoy_growth": """
+            WITH m AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+                     CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT c.year, c.month,
+                   c.rev AS rev_cents,
+                   p.rev AS prev_rev_cents,
+                   CAST(((CAST(c.rev AS HUGEINT) - p.rev) * 1000000)
+                        // p.rev AS BIGINT) AS growth_micro
+            FROM m c JOIN m p ON p.year = c.year - 1 AND p.month = c.month
+            WHERE p.rev > 0
+        """,
+        # per-type top-k priciest parts INCLUDING ties (RANK <= k);
+        # ranked on cents so double rounding can't reorder
+        "part_price_topk_ties": """
+            SELECT p_type, p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+              SELECT p_type, p_partkey, p_retailprice,
+                     RANK() OVER (
+                       PARTITION BY p_type
+                       ORDER BY CAST(round(p_retailprice * 100) AS BIGINT)
+                                DESC) AS rnk
+              FROM part
+            )
+            WHERE rnk <= 5
         """,
         # one-sided upper CUSUM per type over gap-filled daily cent
         # sums: the max(0, S+(x−k)) recursion closed to prefix-sum

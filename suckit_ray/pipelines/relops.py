@@ -4576,3 +4576,109 @@ def referential_audit(sf_dir: str) -> pa.Table:
             "n_violations": pa.array(total["n"].astype("int64"), pa.int64()),
         }
     )
+
+
+def orders_yoy_growth(sf_dir: str) -> pa.Table:
+    """(year, month, rev_cents, prev_rev_cents, growth_micro):
+    year-over-year monthly revenue growth — the seasonality-aware
+    trend report (a month compares against the SAME month last year,
+    not the previous month). Months without a prior-year counterpart
+    are omitted. growth_micro = (rev − prev)·10^6 // prev with
+    division truncating toward zero (negative growth exists by
+    construction in any declining month — ``_trunc_div`` mirrors
+    DuckDB ``//``).
+
+    Plan: one two-phase (year, month) cent aggregation; the YoY join
+    runs on the O(months) driver rows (a 100-year corpus is 1,200
+    rows — never a distributed concern)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["o_orderdate"].to_numpy().astype("datetime64[M]")
+        y = ts.astype("datetime64[Y]").astype("int64") + 1970
+        m = ts.astype("int64") % 12 + 1
+        return (
+            pd.DataFrame({"year": y, "month": m, "rev": to_cents(df["o_totalprice"])})
+            .groupby(["year", "month"], as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+
+    monthly = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["year", "month"],
+        aggs={"rev": ("rev", "sum")},
+    ).to_pandas()  # O(months)
+
+    prev = monthly.rename(columns={"rev": "prev_rev"}).assign(
+        year=lambda d: d["year"] + 1
+    )
+    j = monthly.merge(prev, on=["year", "month"], how="inner")
+    j = j[j["prev_rev"] > 0].sort_values(["year", "month"])
+    growth = [
+        _trunc_div((int(r) - int(p)) * 10**6, int(p))
+        for r, p in zip(j["rev"], j["prev_rev"])
+    ]
+    return pa.table(
+        {
+            "year": pa.array(j["year"].astype("int64"), pa.int64()),
+            "month": pa.array(j["month"].astype("int64"), pa.int64()),
+            "rev_cents": pa.array(j["rev"].astype("int64"), pa.int64()),
+            "prev_rev_cents": pa.array(j["prev_rev"].astype("int64"), pa.int64()),
+            "growth_micro": pa.array(growth, pa.int64()),
+        }
+    )
+
+
+TOPK_TIES_K = 5
+
+
+def part_price_topk_ties(sf_dir: str, k: int = TOPK_TIES_K) -> rd.Dataset:
+    """(p_type, p_partkey, price_cents, rnk): per-type top-k priciest
+    parts INCLUDING ties — RANK() ≤ k, so the result widens wherever
+    the kth price repeats (the part table has 2 rows per distinct
+    price by construction). The ties-exact two-phase: a per-block
+    RANK ≤ k prefilter is a correct candidate superset (≥ k
+    strictly-greater rows in ONE block already force global rank > k),
+    and — because every row strictly greater than a survivor also
+    survives — the exact global rank is recomputable among candidates
+    alone. One tiny per-type co-group finishes. Ranking runs on CENTS
+    on both sides so no double-vs-cent ordering divergence exists. At
+    web scale a near-constant price column degenerates the candidate
+    bound (ties at the kth value all ship); that is inherent to
+    ties-inclusive semantics, not the plan."""
+
+    def block_filter(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "p_type": df["p_type"],
+                "p_partkey": df["p_partkey"].astype("int64"),
+                "price_cents": to_cents(df["p_retailprice"]),
+            }
+        )
+        r = p.groupby("p_type")["price_cents"].rank(method="min", ascending=False)
+        return p[r <= k]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["price_cents"].rank(method="min", ascending=False).astype("int64")
+        out = g.assign(rnk=r)
+        out = out[out["rnk"] <= k].sort_values(["rnk", "p_partkey"])
+        return pd.DataFrame(
+            {
+                "p_type": out["p_type"],
+                "p_partkey": out["p_partkey"].astype("int64"),
+                "price_cents": out["price_cents"].astype("int64"),
+                "rnk": out["rnk"],
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_type", "p_partkey", "p_retailprice"],
+        )
+        .map_batches(block_filter, batch_format="pandas")
+        .groupby("p_type")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -526,3 +526,59 @@ class TestEmbeddingsDrift:
         assert got.loc[0, "d2_scaled"] == d2 // 10**12
         assert got.loc[0, "n_a"] == na and got.loc[0, "n_b"] == nb
         assert got.loc[2, "d2_scaled"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestYoyAndTopkTies:
+    def test_yoy_negative_growth_truncates_toward_zero(self, tmp_path):
+        """2023-01 rev 300, 2024-01 rev 100 → growth −2000000/3 micro:
+        floor gives −666667, DuckDB truncation −666666 — pins the
+        division convention. 2024-03 has no 2023-03 and must vanish."""
+        from suckit_ray.pipelines.relops import orders_yoy_growth
+
+        rows = [
+            ("2023-01-15", 3.00),
+            ("2024-01-20", 1.00),
+            ("2023-02-01", 1.00),
+            ("2024-02-01", 3.00),
+            ("2024-03-01", 9.99),  # no prior-year month
+        ]
+        df = pd.DataFrame(rows, columns=["d", "o_totalprice"])
+        df["o_orderdate"] = df["d"].astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(
+                df[["o_orderdate", "o_totalprice"]], preserve_index=False
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = orders_yoy_growth(str(tmp_path)).to_pandas()
+        got = got.set_index(["year", "month"])
+        assert (2024, 3) not in got.index
+        assert got.loc[(2024, 1), "growth_micro"] == -666_666
+        assert got.loc[(2024, 2), "growth_micro"] == 2_000_000
+
+    def test_topk_ties_widen_the_result(self, tmp_path):
+        """Six parts of one type: prices 9,9,8,7,7,1 with k=5 → the
+        two 7s share rank 4 and 1 takes rank 6 (excluded), so exactly
+        5 rows with ranks [1,1,3,4,4] — RANK semantics, not
+        ROW_NUMBER and not DENSE_RANK."""
+        from suckit_ray.pipelines.relops import part_price_topk_ties
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                    "p_type": ["T"] * 6,
+                    "p_retailprice": pa.array([9.0, 9.0, 8.0, 7.0, 7.0, 1.0]),
+                }
+            ),
+            str(tmp_path / "part.parquet"),
+        )
+        got = (
+            part_price_topk_ties(str(tmp_path))
+            .to_pandas()
+            .sort_values("p_partkey")
+            .reset_index(drop=True)
+        )
+        assert got["p_partkey"].tolist() == [1, 2, 3, 4, 5]
+        assert got["rnk"].tolist() == [1, 1, 3, 4, 4]
