@@ -82,6 +82,14 @@ def _crawl_depths(sf_dir: str):
     return crawl_depths(sf_dir)
 
 
+def _crawl_media_dedup(sf_dir: str):
+    """Payload-digest dedup of downloaded assets — see
+    suckit_ray.pipelines.flagship.crawl_media_dedup."""
+    from suckit_ray.pipelines.flagship import crawl_media_dedup
+
+    return crawl_media_dedup(sf_dir)
+
+
 def _crawl_media_manifest(sf_dir: str):
     """Per-asset reference counts — see
     suckit_ray.pipelines.flagship.crawl_media_manifest."""
@@ -226,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _crawl_diff,
         "crawl_revisit_plan": flagship.crawl_revisit_plan,
         "crawl_media_manifest": _crawl_media_manifest,
+        "crawl_media_dedup": _crawl_media_dedup,
         "crawl_media_features": _crawl_media_features,
         "crawl_text_extract": flagship.crawl_text_extract,
         "crawl_pack_multimodal": flagship.crawl_pack_multimodal,
@@ -2817,6 +2826,25 @@ def oracle_sql() -> dict[str, str]:
         # per-asset reference counts: every reachable page embeds ONE
         # img span, (13j+7) % n_assets, so the manifest is a grouped
         # count over the closure
+        "crawl_media_dedup": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            assets AS (
+              -- raw mirror doc_ids keep the to_path root-file '//' quirk
+              SELECT DISTINCT hn.hn || '//img' || ((13*r.j+7) % ho.n_assets)
+                       || '.jpg' AS doc_id
+              FROM reach r
+              JOIN hostname hn ON hn.h = r.h
+              JOIN hosts ho ON ho.h = r.h
+            ),
+            agg AS (
+              SELECT min(doc_id) AS canonical, CAST(count(*) AS BIGINT) AS n
+              FROM assets
+            )
+            SELECT a.doc_id, agg.canonical AS canonical_id,
+                   agg.n AS n_copies
+            FROM assets a CROSS JOIN agg
+        """,
         "crawl_media_manifest": rf"""
             WITH RECURSIVE
             {_CRAWL_REACH_CTE}

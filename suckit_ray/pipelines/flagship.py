@@ -549,3 +549,71 @@ def crawl_revisit_plan(sf_dir: str) -> rd.Dataset:
     return revisit_stats(
         [_CRAWL_OUT_CACHE[sf_dir], _CRAWL_V2_CACHE[sf_dir]]
     )
+
+
+def crawl_media_dedup(sf_dir: str) -> rd.Dataset:
+    """(doc_id, canonical_id, n_copies): exact payload-level dedup of
+    the mirror's downloaded media assets — group by a content digest
+    of the stored bytes, canonical = smallest doc_id, every member
+    reported with its cluster's canonical and size. The binary-side
+    sibling of ``exact_dedup`` (which hashes text): at 100 TB the same
+    logo/tracking-pixel is stored once and aliased, and this table IS
+    the alias map.
+
+    Scale shape: one map over the streamed mirror computes
+    blake2b-16-hex digests straight off the Arrow binary buffer
+    (bodies never leave the task; only 2 short string columns
+    shuffle), then one digest-bucketed co-group emits members with
+    their group min + count. The synthetic corpus serves ONE shared
+    asset body by construction, so the oracle's closed form is the
+    full downloaded-asset set under a single canonical — the
+    engineered test covers digest discrimination between distinct
+    bodies."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def digest_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.invert(t.column("is_html").combine_chunks()))
+        ids = keep.column("doc_id").to_pylist()
+        digests = [
+            hashlib.blake2b(b, digest_size=16).hexdigest()
+            for b in keep.column("body").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["digest"], index=False).astype("uint64")
+        return df.assign(bucket=(h % B).astype("int64"))
+
+    def members(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("digest")["doc_id"].agg(["min", "size"])
+        j = g.merge(agg, left_on="digest", right_index=True)
+        return pd.DataFrame(
+            {
+                "doc_id": j["doc_id"],
+                "canonical_id": j["min"],
+                "n_copies": j["size"].astype("int64"),
+            }
+        )
+
+    return (
+        crawl_docs(sf_dir)
+        .map_batches(digest_rows, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(members, batch_format="pandas")
+    )

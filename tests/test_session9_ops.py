@@ -582,3 +582,45 @@ class TestYoyAndTopkTies:
         )
         assert got["p_partkey"].tolist() == [1, 2, 3, 4, 5]
         assert got["rnk"].tolist() == [1, 1, 3, 4, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMediaDedup:
+    def test_digest_discriminates_distinct_bodies(self):
+        """The synthetic corpus shares one asset body (single cluster —
+        covered by the oracle); here distinct bodies must NOT merge:
+        three assets, two identical, one different, plus an HTML row
+        that must be ignored."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines import flagship
+        from suckit_ray.pipelines.flagship import crawl_media_dedup
+
+        tbl = pa.table(
+            {
+                "doc_id": ["h.test//a.jpg", "h.test//b.jpg", "h.test//c.jpg",
+                            "h.test/p.html"],
+                "is_html": [False, False, False, True],
+                "body": [b"\xff\xd8same", b"\xff\xd8same", b"\xff\xd8other",
+                          b"<html>"],
+            }
+        )
+        orig = flagship.crawl_docs
+        flagship.crawl_docs = lambda sf: rd.from_arrow(tbl)
+        try:
+            got = (
+                crawl_media_dedup("ignored")
+                .to_pandas()
+                .sort_values("doc_id")
+                .set_index("doc_id")
+            )
+        finally:
+            flagship.crawl_docs = orig
+        assert list(got.index) == [
+            "h.test//a.jpg", "h.test//b.jpg", "h.test//c.jpg"
+        ]  # the HTML row is excluded
+        assert got.loc["h.test//a.jpg", "canonical_id"] == "h.test//a.jpg"
+        assert got.loc["h.test//b.jpg", "canonical_id"] == "h.test//a.jpg"
+        assert got.loc["h.test//b.jpg", "n_copies"] == 2
+        assert got.loc["h.test//c.jpg", "canonical_id"] == "h.test//c.jpg"
+        assert got.loc["h.test//c.jpg", "n_copies"] == 1
