@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum": relops.events_cusum,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
+        "customer_k_anonymity": relops.customer_k_anonymity,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2005,6 +2006,15 @@ def oracle_sql() -> dict[str, str]:
                       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                                         WHERE l.l_orderkey = o.o_orderkey))
             )
+        """,
+        # k-anonymity audit: quasi-identifier classes below k members
+        "customer_k_anonymity": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS group_size
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING count(*) < 10
         """,
         # year-over-year monthly revenue growth; growth in 10^-6 with
         # truncating division; months lacking a prior-year month omitted

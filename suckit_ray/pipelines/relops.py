@@ -4682,3 +4682,49 @@ def part_price_topk_ties(sf_dir: str, k: int = TOPK_TIES_K) -> rd.Dataset:
         .groupby("p_type")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+K_ANONYMITY = 10
+
+
+def customer_k_anonymity(sf_dir: str, k: int = K_ANONYMITY) -> rd.Dataset:
+    """(c_nationkey, c_mktsegment, group_size): quasi-identifier
+    combinations whose equivalence class is SMALLER than k — the
+    k-anonymity audit (Sweeney 2002, public) a pipeline runs before
+    releasing a table: any listed combination re-identifies members to
+    fewer than k candidates and must be suppressed or generalized.
+    Complements ``docs_redact_pii`` (which removes direct identifiers;
+    this catches identifying COMBINATIONS of innocent columns).
+
+    Plan: the standard two-phase count (per-batch partial sums, one
+    small bucketed exchange keyed on the quasi-identifier tuple), then
+    the < k filter in the same final tasks — identical scale shape to
+    ``docs_by_lang``."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.assign(n=1)
+            .groupby(["c_nationkey", "c_mktsegment"], as_index=False)["n"]
+            .sum()
+        )
+
+    agg = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["c_nationkey", "c_mktsegment"],
+        aggs={"n": ("n", "sum")},
+    )
+
+    def risky(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n"] < k]
+        return pd.DataFrame(
+            {
+                "c_nationkey": out["c_nationkey"].astype("int64"),
+                "c_mktsegment": out["c_mktsegment"],
+                "group_size": out["n"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(risky, batch_format="pandas")

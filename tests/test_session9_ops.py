@@ -624,3 +624,33 @@ class TestMediaDedup:
         assert got.loc["h.test//b.jpg", "n_copies"] == 2
         assert got.loc["h.test//c.jpg", "canonical_id"] == "h.test//c.jpg"
         assert got.loc["h.test//c.jpg", "n_copies"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKAnonymity:
+    def test_boundary_and_safe_groups(self, tmp_path):
+        """Class of exactly k−1 is risky; class of exactly k is safe —
+        pins the strict < k gate."""
+        from suckit_ray.pipelines.relops import customer_k_anonymity
+
+        rows = [(1, "A")] * 9 + [(2, "B")] * 10 + [(3, "C")] * 1
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array(range(len(rows)), pa.int64()),
+                    "c_nationkey": pa.array([r[0] for r in rows], pa.int32()),
+                    "c_mktsegment": [r[1] for r in rows],
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        got = (
+            customer_k_anonymity(str(tmp_path))
+            .to_pandas()
+            .sort_values("c_nationkey")
+            .reset_index(drop=True)
+        )
+        assert list(map(tuple, got.to_numpy())) == [
+            (1, "A", 9),
+            (3, "C", 1),
+        ]
