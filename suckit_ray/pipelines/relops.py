@@ -4445,127 +4445,113 @@ def referential_audit(sf_dir: str) -> pa.Table:
     customer↔orders and orders↔lineitem, plus row-level range checks.
     Zero counts are part of the contract (they prove the rule ran).
 
-    Plan: two tagged-union co-groups carry the four integrity rules —
-    each side pre-shrunk inside ``map_batches`` to per-key counts, so
-    the custkey exchange moves ~|customers|+|custkeys seen in orders|
-    rows and the orderkey exchange ~|orders|+|orderkeys seen in
-    lineitem| (never lineitems); presence/absence and violation
-    counting happen group-locally. The three scalar rules are
-    O(blocks) per-batch partial counts. Everything reduces to
-    (rule, partial) rows — ≤ buckets × rules reach the driver."""
+    Plan — each table read ONCE, ONE exchange: every source's
+    map_batches emits rows in a shared (key, side, cnt, bucket)
+    schema, pre-shrunk to per-key counts (the orderkey rows never
+    carry lineitems) with the scalar range rules folded in as
+    per-batch partial counts in their own key space. The bucket id
+    encodes the key space — custkey groups, orderkey groups, and
+    scalar partials ride ONE union through ONE groupby, and the group
+    fn dispatches on the space tag. ≤ (2·B + 3) groups × ≤ 2 rows
+    reach the driver. (First version read orders 3× / lineitem 2×
+    through two exchanges.)"""
     from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
+    # bucket layout: [0, B) custkey space · [B, 2B) orderkey space ·
+    # [2B, 2B+3) scalar rules
+    SC_QTY, SC_DISC, SC_TOTAL = 2 * B, 2 * B + 1, 2 * B + 2
 
-    def cust_side(df: pd.DataFrame) -> pd.DataFrame:
+    def from_customer(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].astype("int64")
         return pd.DataFrame(
             {"key": k, "side": "c", "cnt": 1, "bucket": (k % B).astype("int64")}
         )
 
-    def cust_of_orders(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(df["o_custkey"].astype("int64")).size()
-        k = g.index.to_numpy()
-        return pd.DataFrame(
-            {"key": k, "side": "o", "cnt": g.to_numpy(), "bucket": k % B}
+    def from_orders(df: pd.DataFrame) -> pd.DataFrame:
+        gc = df.groupby(df["o_custkey"].astype("int64")).size()
+        cust = pd.DataFrame(
+            {"key": gc.index.to_numpy(), "side": "o", "cnt": gc.to_numpy(),
+             "bucket": gc.index.to_numpy() % B}
         )
-
-    def order_side(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["o_orderkey"].astype("int64")
-        return pd.DataFrame(
-            {"key": k, "side": "o", "cnt": 1, "bucket": (k % B).astype("int64")}
+        ok = df["o_orderkey"].astype("int64")
+        orders = pd.DataFrame(
+            {"key": ok, "side": "o", "cnt": 1,
+             "bucket": B + (ok % B).to_numpy()}
         )
-
-    def order_of_lineitem(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(df["l_orderkey"].astype("int64")).size()
-        k = g.index.to_numpy()
-        return pd.DataFrame(
-            {"key": k, "side": "l", "cnt": g.to_numpy(), "bucket": k % B}
+        scalar = pd.DataFrame(
+            {"key": [0], "side": "s",
+             "cnt": [int((df["o_totalprice"].to_numpy() <= 0).sum())],
+             "bucket": [SC_TOTAL]}
         )
+        return pd.concat([cust, orders, scalar], ignore_index=True)
 
-    def cust_rules(g: pd.DataFrame) -> pd.DataFrame:
+    def from_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        gl = df.groupby(df["l_orderkey"].astype("int64")).size()
+        items = pd.DataFrame(
+            {"key": gl.index.to_numpy(), "side": "l", "cnt": gl.to_numpy(),
+             "bucket": B + gl.index.to_numpy() % B}
+        )
+        q = df["l_quantity"].to_numpy()
+        d = df["l_discount"].to_numpy()
+        scalar = pd.DataFrame(
+            {"key": [0, 0], "side": "s",
+             "cnt": [int((q <= 0).sum()), int(((d < 0) | (d > 0.5)).sum())],
+             "bucket": [SC_QTY, SC_DISC]}
+        )
+        return pd.concat([items, scalar], ignore_index=True)
+
+    def rules(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        if b >= 2 * B:  # scalar partial sums
+            rule = {
+                SC_QTY: "lineitem_nonpositive_quantity",
+                SC_DISC: "lineitem_discount_out_of_range",
+                SC_TOTAL: "orders_nonpositive_total",
+            }[b]
+            return pd.DataFrame({"rule": [rule], "n": [int(g["cnt"].sum())]})
         per = g.pivot_table(
             index="key", columns="side", values="cnt", aggfunc="sum", fill_value=0
         )
-        no_orders = int((per.get("o", pd.Series(0, index=per.index)) == 0).sum())
-        orphans = int(
-            per.loc[per.get("c", pd.Series(0, index=per.index)) == 0, "o"].sum()
-        ) if "o" in per else 0
-        return pd.DataFrame(
-            {
-                "rule": ["customers_without_orders", "orders_orphaned_customer"],
-                "n": [no_orders, orphans],
-            }
-        )
-
-    def order_rules(g: pd.DataFrame) -> pd.DataFrame:
-        per = g.pivot_table(
-            index="key", columns="side", values="cnt", aggfunc="sum", fill_value=0
-        )
-        no_items = int((per.get("l", pd.Series(0, index=per.index)) == 0).sum())
-        orphans = int(
-            per.loc[per.get("o", pd.Series(0, index=per.index)) == 0, "l"].sum()
-        ) if "l" in per else 0
+        zeros = pd.Series(0, index=per.index)
+        if b < B:  # custkey space: customer presence vs order counts
+            o = per["o"] if "o" in per else zeros
+            c = per["c"] if "c" in per else zeros
+            return pd.DataFrame(
+                {
+                    "rule": ["customers_without_orders", "orders_orphaned_customer"],
+                    "n": [int(((c > 0) & (o == 0)).sum()),
+                          int(o[c == 0].sum())],
+                }
+            )
+        o = per["o"] if "o" in per else zeros  # orderkey space
+        l = per["l"] if "l" in per else zeros
         return pd.DataFrame(
             {
                 "rule": ["orders_without_lineitems", "lineitems_orphaned"],
-                "n": [no_items, orphans],
+                "n": [int(((o > 0) & (l == 0)).sum()), int(l[o == 0].sum())],
             }
         )
 
-    def lineitem_scalars(df: pd.DataFrame) -> pd.DataFrame:
-        q = df["l_quantity"].to_numpy()
-        d = df["l_discount"].to_numpy()
-        return pd.DataFrame(
-            {
-                "rule": [
-                    "lineitem_nonpositive_quantity",
-                    "lineitem_discount_out_of_range",
-                ],
-                "n": [int((q <= 0).sum()), int(((d < 0) | (d > 0.5)).sum())],
-            }
-        )
-
-    def order_scalars(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "rule": ["orders_nonpositive_total"],
-                "n": [int((df["o_totalprice"].to_numpy() <= 0).sum())],
-            }
-        )
-
-    cust_union = (
+    parts = (
         rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-        .map_batches(cust_side, batch_format="pandas")
+        .map_batches(from_customer, batch_format="pandas")
         .union(
-            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-            .map_batches(cust_of_orders, batch_format="pandas")
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_totalprice"],
+            ).map_batches(from_orders, batch_format="pandas")
+        )
+        .union(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_quantity", "l_discount"],
+            ).map_batches(from_lineitem, batch_format="pandas")
         )
         .groupby("bucket")
-        .map_groups(cust_rules, batch_format="pandas")
+        .map_groups(rules, batch_format="pandas")
+        .to_pandas()
     )
-    order_union = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
-        .map_batches(order_side, batch_format="pandas")
-        .union(
-            rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-            .map_batches(order_of_lineitem, batch_format="pandas")
-        )
-        .groupby("bucket")
-        .map_groups(order_rules, batch_format="pandas")
-    )
-    scalars = (
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
-        )
-        .map_batches(lineitem_scalars, batch_format="pandas")
-        .union(
-            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
-            .map_batches(order_scalars, batch_format="pandas")
-        )
-    )
-
-    parts = cust_union.union(order_union).union(scalars).to_pandas()
     total = parts.groupby("rule", as_index=False)["n"].sum()
     total = (
         total.set_index("rule").reindex(AUDIT_RULES, fill_value=0).reset_index()

@@ -308,3 +308,179 @@ def media_pipeline(
         num_cpus=num_cpus,
     )
     return media
+
+
+# ---------------------------------------------------------------------------
+# audio — the one modality this container can process FOR REAL:
+# RIFF/WAV parses with the stdlib ``wave`` module, PCM becomes a numpy
+# array, and resampling is linear interpolation — no codec binaries,
+# no fake path needed for WAV. Non-WAV containers (mp3/ogg/flac) still
+# raise with the missing dependency named, same contract as the
+# image/video stages.
+# ---------------------------------------------------------------------------
+
+AUDIO_META_TYPE = pa.struct(
+    [
+        ("sample_rate", pa.int32()),
+        ("channels", pa.int32()),
+        ("sample_width", pa.int32()),
+        ("n_frames", pa.int64()),
+        ("duration_ms", pa.int64()),
+        ("format", pa.string()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+AUDIO_FEATURE_WINDOWS = 16
+
+
+def _parse_wav(data: bytes) -> tuple[dict, np.ndarray]:
+    """(meta, mono float64 samples in [-1, 1]) from RIFF/WAV bytes —
+    stdlib ``wave`` for the header/frames, numpy for the PCM view.
+    Raises NotImplementedError for non-WAV magic (mp3/ogg/flac need
+    ffmpeg) and ValueError for corrupt WAV."""
+    import wave
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "non-WAV audio needs ffmpeg/libsndfile in the worker "
+            "environment; this container decodes RIFF/WAV natively"
+        )
+    with wave.open(io.BytesIO(data)) as w:
+        rate, ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    meta = {
+        "sample_rate": rate,
+        "channels": ch,
+        "sample_width": width,
+        "n_frames": n,
+        "duration_ms": (n * 1000) // max(rate, 1),
+        "format": "wav",
+        "n_bytes": len(data),
+    }
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # unsigned 8-bit PCM
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return meta, x
+
+
+class DecodeAudio:
+    """Actor-pool stage: WAV header/PCM decode → ``audio_meta`` struct
+    column. REAL by default (stdlib wave); ``fake=True`` keeps the
+    hash-derived hermetic kernel for pipelines carrying non-WAV bytes."""
+
+    def __init__(self, input_col: str = "body", fake: bool = False):
+        self.input_col = input_col
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = []
+        for data in batch.column(self.input_col).to_pylist():
+            data = data or b""
+            if self.fake:
+                h = hashlib.blake2b(data, digest_size=8).digest()
+                rate = 8000 + (h[0] % 5) * 8000
+                n = len(data)
+                metas.append(
+                    {
+                        "sample_rate": rate,
+                        "channels": 1 + h[1] % 2,
+                        "sample_width": 2,
+                        "n_frames": n,
+                        "duration_ms": (n * 1000) // rate,
+                        "format": "fake",
+                        "n_bytes": len(data),
+                    }
+                )
+            else:
+                meta, _ = _parse_wav(data)
+                metas.append(meta)
+        return batch.append_column(
+            "audio_meta", pa.array(metas, AUDIO_META_TYPE)
+        )
+
+
+class ExtractAudioFeatures:
+    """Actor-pool stage: fixed-dim loudness profile — the mono signal
+    split into ``n_windows`` equal windows, RMS per window (float32
+    vector). Deterministic, honest samples-in features; swap the
+    method for an embedding model without touching the wiring."""
+
+    def __init__(
+        self,
+        input_col: str = "body",
+        n_windows: int = AUDIO_FEATURE_WINDOWS,
+        fake: bool = False,
+    ):
+        self.input_col = input_col
+        self.n_windows = n_windows
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for data in batch.column(self.input_col).to_pylist():
+            data = data or b""
+            if self.fake:
+                h = np.frombuffer(
+                    hashlib.blake2b(data, digest_size=self.n_windows * 8).digest(),
+                    dtype=np.uint64,
+                )
+                feats.append((h % 10_000).astype(np.float32) / 10_000.0)
+                continue
+            _, x = _parse_wav(data)
+            if not len(x):
+                feats.append(np.zeros(self.n_windows, dtype=np.float32))
+                continue
+            edges = np.linspace(0, len(x), self.n_windows + 1, dtype=np.int64)
+            rms = np.array(
+                [
+                    np.sqrt(np.mean(np.square(x[a:b]))) if b > a else 0.0
+                    for a, b in zip(edges[:-1], edges[1:])
+                ],
+                dtype=np.float32,
+            )
+            feats.append(rms)
+        return batch.append_column(
+            "audio_features",
+            pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+        )
+
+
+class ResampleAudio:
+    """Actor-pool stage: resample mono-downmixed PCM to ``rate`` Hz by
+    linear interpolation (pure numpy — deterministic, no audioop
+    deprecation risk) and re-encode as 16-bit mono WAV bytes in
+    ``resampled`` — the audio analogue of ``ResizeImage``."""
+
+    def __init__(self, rate: int = 16_000, input_col: str = "body"):
+        self.rate = rate
+        self.input_col = input_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import wave
+
+        out = []
+        for data in batch.column(self.input_col).to_pylist():
+            meta, x = _parse_wav(data or b"")
+            src_rate = meta["sample_rate"]
+            if len(x) and src_rate != self.rate:
+                n_out = max(1, int(round(len(x) * self.rate / src_rate)))
+                pos = np.linspace(0, len(x) - 1, n_out)
+                x = np.interp(pos, np.arange(len(x)), x)
+            pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(self.rate)
+                w.writeframes(pcm.tobytes())
+            out.append(buf.getvalue())
+        return batch.append_column("resampled", pa.array(out, pa.binary()))
