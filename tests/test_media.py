@@ -1,6 +1,7 @@
 """Multimodal stage plumbing: schema, actor-pool signature, fake-decode
 determinism, and the stubbed real path."""
 
+import numpy as np
 import pytest
 
 from suckit_ray.config import CrawlConfig
