@@ -2495,16 +2495,8 @@ def events_daily_gapfill(sf_dir: str) -> rd.Dataset:
         },
     ).materialize()  # feeds the bounds scan AND the gap-fill groups
 
-    bounds = counts.map_batches(
-        lambda df: pd.DataFrame(
-            {"lo": [int(df["day"].min())], "hi": [int(df["day"].max())]}
-        )
-        if len(df)
-        else pd.DataFrame({"lo": pd.array([], dtype="int64"),
-                           "hi": pd.array([], dtype="int64")}),
-        batch_format="pandas",
-    ).to_pandas()
-    if not len(bounds):
+    span = _global_day_span(counts)
+    if span is None:
         return rd.from_arrow(
             pa.table(
                 {
@@ -2515,8 +2507,7 @@ def events_daily_gapfill(sf_dir: str) -> rd.Dataset:
                 }
             )
         )
-    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
-    span_ref = ray.put((lo, hi))
+    span_ref = ray.put(span)
 
     def gap_fill(g: pd.DataFrame) -> pd.DataFrame:
         lo_, hi_ = ray.get(span_ref)
@@ -4337,6 +4328,26 @@ def events_regression(sf_dir: str) -> pa.Table:
     )
 
 
+def _global_day_span(daily: rd.Dataset) -> "tuple[int, int] | None":
+    """Global [min, max] day of a (…, day, …) dataset as two driver
+    ints — an O(blocks) partial-reduce scan (per-block min/max rows,
+    tiny driver fold). None on an empty dataset. The shared bounds
+    step of every dense-daily-grid operator (gapfill, CUSUM)."""
+    bounds = daily.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [int(df["day"].min())], "hi": [int(df["day"].max())]}
+        )
+        if len(df)
+        else pd.DataFrame(
+            {"lo": pd.array([], dtype="int64"), "hi": pd.array([], dtype="int64")}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(bounds):
+        return None
+    return int(bounds["lo"].min()), int(bounds["hi"].max())
+
+
 def events_cusum(sf_dir: str) -> rd.Dataset:
     """(event_type, day, cusum): one-sided upper CUSUM changepoint
     statistic per type over the gap-filled daily value series — the
@@ -4384,17 +4395,8 @@ def events_cusum(sf_dir: str) -> rd.Dataset:
         aggs={"x": ("x", "sum")},
     ).materialize()  # feeds the bounds scan AND the per-type groups
 
-    bounds = daily.map_batches(
-        lambda df: pd.DataFrame(
-            {"lo": [int(df["day"].min())], "hi": [int(df["day"].max())]}
-        )
-        if len(df)
-        else pd.DataFrame(
-            {"lo": pd.array([], dtype="int64"), "hi": pd.array([], dtype="int64")}
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    if not len(bounds):
+    span = _global_day_span(daily)
+    if span is None:
         return rd.from_arrow(
             pa.table(
                 {
@@ -4404,7 +4406,7 @@ def events_cusum(sf_dir: str) -> rd.Dataset:
                 }
             )
         )
-    span_ref = ray.put((int(bounds["lo"].min()), int(bounds["hi"].max())))
+    span_ref = ray.put(span)
 
     def cusum_group(g: pd.DataFrame) -> pd.DataFrame:
         lo, hi = ray.get(span_ref)

@@ -484,3 +484,32 @@ class ResampleAudio:
                 w.writeframes(pcm.tobytes())
             out.append(buf.getvalue())
         return batch.append_column("resampled", pa.array(out, pa.binary()))
+
+
+def audio_pipeline(
+    docs_ds,
+    *,
+    concurrency: int = 2,
+    batch_size: int = 32,
+    resample_rate: int | None = None,
+    num_cpus: float = 0.5,
+):
+    """Decode + feature-extract (and optionally resample) the audio
+    rows of a documents Dataset — the audio twin of
+    ``media_pipeline``, REAL end to end for WAV payloads (stdlib
+    decode). Same actor-pool wiring and the same fractional-CPU
+    headroom rationale (see ``media_pipeline``)."""
+    audio = docs_ds.filter(lambda row: not row["is_html"])
+    kw = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+    audio = audio.map_batches(DecodeAudio, **kw)
+    audio = audio.map_batches(ExtractAudioFeatures, **kw)
+    if resample_rate is not None:
+        audio = audio.map_batches(
+            ResampleAudio, fn_constructor_kwargs={"rate": resample_rate}, **kw
+        )
+    return audio

@@ -232,3 +232,29 @@ class TestAudioStagesReal:
 
         with pytest.raises(NotImplementedError, match="ffmpeg"):
             _parse_wav(b"ID3\x03mp3-ish-bytes")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_pipeline_wiring():
+    """End-to-end actor-pool wiring over a mixed docs table: HTML rows
+    filtered out, WAV rows gain meta + features + resampled columns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from suckit_ray.stages.media import audio_pipeline
+
+    wav = TestAudioStagesReal._wav()
+    tbl = pa.table(
+        {
+            "doc_id": ["p.html", "a.wav"],
+            "is_html": [True, False],
+            "body": [b"<html>", wav],
+        }
+    )
+    out = audio_pipeline(
+        rd.from_arrow(tbl), concurrency=1, batch_size=8, resample_rate=4000
+    ).to_pandas()
+    assert out["doc_id"].tolist() == ["a.wav"]
+    assert out.loc[0, "audio_meta"]["sample_rate"] == 8000
+    assert len(out.loc[0, "audio_features"]) == 16
+    assert out.loc[0, "resampled"][:4] == b"RIFF"
