@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
         "customer_k_anonymity": relops.customer_k_anonymity,
+        "table_stats": relops.table_stats,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2006,6 +2007,42 @@ def oracle_sql() -> dict[str, str]:
                       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                                         WHERE l.l_orderkey = o.o_orderkey))
             )
+        """,
+        # ANALYZE statistics: exact per-column cardinalities/NDV/nulls
+        "table_stats": """
+              SELECT 'customer' AS tbl, 'c_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct FROM customer
+              UNION ALL
+              SELECT 'customer' AS tbl, 'c_name' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(c_name) AS BIGINT) AS n_null, CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct FROM customer
+              UNION ALL
+              SELECT 'customer' AS tbl, 'c_nationkey' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(c_nationkey) AS BIGINT) AS n_null, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_distinct FROM customer
+              UNION ALL
+              SELECT 'customer' AS tbl, 'c_acctbal' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(c_acctbal) AS BIGINT) AS n_null, CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct FROM customer
+              UNION ALL
+              SELECT 'customer' AS tbl, 'c_mktsegment' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(c_mktsegment) AS BIGINT) AS n_null, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct FROM customer
+              UNION ALL
+              SELECT 'orders' AS tbl, 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+              UNION ALL
+              SELECT 'orders' AS tbl, 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+              UNION ALL
+              SELECT 'orders' AS tbl, 'o_orderstatus' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders
+              UNION ALL
+              SELECT 'orders' AS tbl, 'o_totalprice' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_null, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct FROM orders
+              UNION ALL
+              SELECT 'orders' AS tbl, 'o_orderdate' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderdate) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct FROM orders
+              UNION ALL
+              SELECT 'orders' AS tbl, 'o_orderpriority' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(o_orderpriority) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct FROM orders
+              UNION ALL
+              SELECT 'part' AS tbl, 'p_partkey' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(p_partkey) AS BIGINT) AS n_null, CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_distinct FROM part
+              UNION ALL
+              SELECT 'part' AS tbl, 'p_name' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(p_name) AS BIGINT) AS n_null, CAST(count(DISTINCT p_name) AS BIGINT) AS n_distinct FROM part
+              UNION ALL
+              SELECT 'part' AS tbl, 'p_brand' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(p_brand) AS BIGINT) AS n_null, CAST(count(DISTINCT p_brand) AS BIGINT) AS n_distinct FROM part
+              UNION ALL
+              SELECT 'part' AS tbl, 'p_type' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(p_type) AS BIGINT) AS n_null, CAST(count(DISTINCT p_type) AS BIGINT) AS n_distinct FROM part
+              UNION ALL
+              SELECT 'part' AS tbl, 'p_size' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(p_size) AS BIGINT) AS n_null, CAST(count(DISTINCT p_size) AS BIGINT) AS n_distinct FROM part
+              UNION ALL
+              SELECT 'part' AS tbl, 'p_retailprice' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(p_retailprice) AS BIGINT) AS n_null, CAST(count(DISTINCT p_retailprice) AS BIGINT) AS n_distinct FROM part
         """,
         # k-anonymity audit: quasi-identifier classes below k members
         "customer_k_anonymity": """

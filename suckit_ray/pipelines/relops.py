@@ -4716,3 +4716,154 @@ def customer_k_anonymity(sf_dir: str, k: int = K_ANONYMITY) -> rd.Dataset:
         )
 
     return agg.map_batches(risky, batch_format="pandas")
+
+
+STATS_TABLES = {
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+}
+
+
+def _stats_value_hash(s: pd.Series) -> np.ndarray:
+    """Deterministic 63-bit value hash for NDV counting — md5 over a
+    type-tagged canonical byte form (int64/timestamps as 8-byte LE,
+    floats as IEEE bits, strings as UTF-8), so equal SQL values hash
+    equal and distinct ones collide with probability ~n²/2^63."""
+    import hashlib
+
+    kind = s.dtype.kind
+    if kind == "M":
+        vals = s.to_numpy().astype("datetime64[us]").astype("int64")
+        payload = [v.tobytes() for v in vals]
+        tag = b"t"
+    elif kind in "iu":
+        payload = [np.int64(v).tobytes() for v in s.to_numpy()]
+        tag = b"i"
+    elif kind == "f":
+        payload = [np.float64(v).tobytes() for v in s.to_numpy()]
+        tag = b"f"
+    else:
+        payload = [str(v).encode() for v in s]
+        tag = b"s"
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(tag + p).digest()[:8], "big") & ((1 << 63) - 1)
+            for p in payload
+        ),
+        dtype=np.int64,
+        count=len(payload),
+    )
+
+
+def table_stats(sf_dir: str) -> pa.Table:
+    """(tbl, col, n_rows, n_null, n_distinct): the ANALYZE pass — the
+    optimizer/planner statistics (cardinalities, null fractions, exact
+    NDV) an engine gathers before planning joins, and the profile a
+    data pipeline publishes with every snapshot. Exact NDV (matching
+    SQL ``count(DISTINCT col)``), not a sketch — the HLL estimate
+    lives in ``events_distinct_users_hll``.
+
+    Plan — one read and ONE exchange per table, all tables sharing the
+    final exchange: each batch pre-shrinks every column to its
+    DISTINCT value hashes (the batch-local combiner that makes exact
+    distributed NDV affordable) plus an O(1) (rows, nulls) partial;
+    rows ride a (tbl, col, h, bucket) union where bucket encodes
+    (table, column, h%B), so per-group distinct counting is local.
+    NULLs are excluded from NDV (SQL semantics) and counted by the
+    scalar partial."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    names = sorted(
+        (t, c) for t, cols in STATS_TABLES.items() for c in cols
+    )
+    space = {tc: i for i, tc in enumerate(names)}
+
+    def make_partial(tbl: str):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for col in STATS_TABLES[tbl]:
+                s = df[col]
+                nn = s.dropna()
+                h = np.unique(_stats_value_hash(nn)) if len(nn) else np.array([], "int64")
+                base = space[(tbl, col)] * (B + 1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "h": h,
+                            "n_rows": 0,
+                            "n_null": 0,
+                            "bucket": base + 1 + (h % B),
+                        }
+                    )
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "h": [-1],
+                            "n_rows": [len(s)],
+                            "n_null": [int(s.isna().sum())],
+                            "bucket": [base],  # scalar partials slot
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        return partial
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        idx, off = divmod(b, B + 1)
+        tbl, col = names[idx]
+        if off == 0:  # scalar partials
+            return pd.DataFrame(
+                {
+                    "tbl": [tbl],
+                    "col": [col],
+                    "n_rows": [int(g["n_rows"].sum())],
+                    "n_null": [int(g["n_null"].sum())],
+                    "n_distinct": [0],
+                }
+            )
+        return pd.DataFrame(
+            {
+                "tbl": [tbl],
+                "col": [col],
+                "n_rows": [0],
+                "n_null": [0],
+                "n_distinct": [int(g["h"].nunique())],
+            }
+        )
+
+    ds = None
+    for tbl in sorted(STATS_TABLES):
+        part = rd.read_parquet(
+            f"{sf_dir}/{tbl}.parquet", columns=STATS_TABLES[tbl]
+        ).map_batches(make_partial(tbl), batch_format="pandas")
+        ds = part if ds is None else ds.union(part)
+
+    out = (
+        ds.groupby("bucket")
+        .map_groups(reduce_group, batch_format="pandas")
+        .to_pandas()
+        .groupby(["tbl", "col"], as_index=False)
+        .sum()
+        .sort_values(["tbl", "col"])
+    )
+    return pa.table(
+        {
+            "tbl": pa.array(out["tbl"], pa.string()),
+            "col": pa.array(out["col"], pa.string()),
+            "n_rows": pa.array(out["n_rows"].astype("int64"), pa.int64()),
+            "n_null": pa.array(out["n_null"].astype("int64"), pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"].astype("int64"), pa.int64()),
+        }
+    )

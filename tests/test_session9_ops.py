@@ -654,3 +654,41 @@ class TestKAnonymity:
             (1, "A", 9),
             (3, "C", 1),
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTableStats:
+    def test_nulls_excluded_from_ndv_and_counted(self, tmp_path):
+        """SQL count(DISTINCT) ignores NULLs; n_null counts them. Also
+        pins the float-vs-int value-hash separation (1 and 1.0 in
+        DIFFERENT columns don't interact) and duplicate collapse."""
+        from suckit_ray.pipelines import relops
+        from suckit_ray.pipelines.relops import table_stats
+
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 2, 3], pa.int64()),
+                    "c_name": pa.array(["x", None, "x", None], pa.string()),
+                    "c_nationkey": pa.array([7, 7, 7, 7], pa.int32()),
+                    "c_acctbal": pa.array([1.0, 1.0, None, 2.5], pa.float64()),
+                    "c_mktsegment": ["A", "B", "A", "B"],
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        orig = relops.STATS_TABLES
+        relops.STATS_TABLES = {"customer": orig["customer"]}
+        try:
+            got = (
+                table_stats(str(tmp_path))
+                .to_pandas()
+                .set_index("col")[["n_rows", "n_null", "n_distinct"]]
+            )
+        finally:
+            relops.STATS_TABLES = orig
+        assert got.loc["c_custkey"].tolist() == [4, 0, 3]
+        assert got.loc["c_name"].tolist() == [4, 2, 1]
+        assert got.loc["c_nationkey"].tolist() == [4, 0, 1]
+        assert got.loc["c_acctbal"].tolist() == [4, 1, 2]
+        assert got.loc["c_mktsegment"].tolist() == [4, 0, 2]
