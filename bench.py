@@ -270,6 +270,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_trustrank",
         "crawl_anchor_text",
         "crawl_communities_lpa",
+        "embeddings_drift",
+        "orders_yoy_growth",
+        "part_price_topk_ties",
+        "crawl_media_dedup",
+        "customer_k_anonymity",
+        "table_stats",
     ]
     qs = E.queries()
     out = {}
