@@ -217,3 +217,57 @@ def test_frontier_conservation_and_exactly_once(waves, opic, cap):
     assert set(released) == accepted
     # cash accounting: the hot set fully drains with the queue
     assert sh.url_cash == {}
+
+
+class TestCentsParityWithDuckdb:
+    """The money invariant every oracle leans on: ``to_cents`` must
+    equal DuckDB ``CAST(round(value * 100) AS BIGINT)`` bit-exactly —
+    half away from zero, including the doubles just below a half-cent
+    boundary where a naive floor(x+0.5) overshoots."""
+
+    def _duck(self, values):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE v AS SELECT * FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            [list(values)],
+        )
+        return [
+            r[0]
+            for r in con.execute(
+                "SELECT CAST(round(x * 100) AS BIGINT) FROM v"
+            ).fetchall()
+        ]
+
+    def test_adversarial_boundaries(self):
+        import pandas as pd
+
+        from suckit_ray.pipelines.relops import to_cents
+
+        vals = []
+        for k in range(-3, 4):
+            for eps in (0.005, 0.0049999999999999, 0.0050000000000001):
+                vals += [k + eps, k - eps]
+        vals += [0.0, -0.0, 0.125, -0.125, 2.675, -2.675, 1e12 + 0.005]
+        got = to_cents(pd.Series(vals)).tolist()
+        want = self._duck(vals)
+        assert got == want
+
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e9, max_value=1e9,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=50,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_random_doubles_agree(self, vals):
+        import pandas as pd
+
+        from suckit_ray.pipelines.relops import to_cents
+
+        got = to_cents(pd.Series(vals)).tolist()
+        assert got == self._duck(vals)
