@@ -4733,34 +4733,16 @@ STATS_TABLES = {
 
 
 def _stats_value_hash(s: pd.Series) -> np.ndarray:
-    """Deterministic 63-bit value hash for NDV counting — md5 over a
-    type-tagged canonical byte form (int64/timestamps as 8-byte LE,
-    floats as IEEE bits, strings as UTF-8), so equal SQL values hash
-    equal and distinct ones collide with probability ~n²/2^63."""
-    import hashlib
-
-    kind = s.dtype.kind
-    if kind == "M":
-        vals = s.to_numpy().astype("datetime64[us]").astype("int64")
-        payload = [v.tobytes() for v in vals]
-        tag = b"t"
-    elif kind in "iu":
-        payload = [np.int64(v).tobytes() for v in s.to_numpy()]
-        tag = b"i"
-    elif kind == "f":
-        payload = [np.float64(v).tobytes() for v in s.to_numpy()]
-        tag = b"f"
-    else:
-        payload = [str(v).encode() for v in s]
-        tag = b"s"
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(tag + p).digest()[:8], "big") & ((1 << 63) - 1)
-            for p in payload
-        ),
-        dtype=np.int64,
-        count=len(payload),
-    )
+    """Deterministic 63-bit value hash for NDV counting — vectorized
+    ``pd.util.hash_pandas_object`` (fixed default key, so hashes are
+    stable across processes/machines): equal values within a column
+    hash equal, distinct ones collide with probability ~n²/2^63.
+    Cross-COLUMN collisions don't exist structurally — every column
+    owns its own bucket key space in ``table_stats``. (First version
+    was a per-row Python md5 loop — the exact hot-path anti-pattern
+    this repo bans.)"""
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy().astype("uint64")
+    return (h & np.uint64((1 << 63) - 1)).astype("int64")
 
 
 def table_stats(sf_dir: str) -> pa.Table:
