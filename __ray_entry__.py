@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_yoy_growth": relops.orders_yoy_growth,
         "customer_k_anonymity": relops.customer_k_anonymity,
         "table_stats": relops.table_stats,
+        "events_value_mad": relops.events_value_mad,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2007,6 +2008,25 @@ def oracle_sql() -> dict[str, str]:
                       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                                         WHERE l.l_orderkey = o.o_orderkey))
             )
+        """,
+        # robust dispersion: exact discrete median + MAD per type
+        "events_value_mad": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            med AS (
+              SELECT event_type,
+                     CAST(quantile_disc(v, 0.5) AS BIGINT) AS m,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM c GROUP BY event_type
+            )
+            SELECT m.event_type, m.n, m.m AS median_cents,
+                   CAST(quantile_disc(abs(c.v - m.m), 0.5) AS BIGINT)
+                     AS mad_cents
+            FROM c JOIN med m USING (event_type)
+            GROUP BY m.event_type, m.n, m.m
         """,
         # ANALYZE statistics: exact per-column cardinalities/NDV/nulls
         "table_stats": """

@@ -4849,3 +4849,64 @@ def table_stats(sf_dir: str) -> pa.Table:
             "n_distinct": pa.array(out["n_distinct"].astype("int64"), pa.int64()),
         }
     )
+
+
+def events_value_mad(sf_dir: str) -> pa.Table:
+    """(event_type, n, median_cents, mad_cents): per-type median and
+    MEDIAN ABSOLUTE DEVIATION — the robust dispersion estimate
+    (breakdown point 50%, vs 0% for the σ the outliers query
+    prefilters with). Both medians are exact ``quantile_disc``
+    discrete quantiles on cents.
+
+    Scale shape: the winsorized op's ONE-pass trick goes further —
+    the same two-phase (type, cent) histogram yields the median AND
+    the deviation-multiset median group-locally (deviations are a
+    permutation of the histogram rows: |v − med| with the same
+    counts, re-sorted and re-walked), so the events table is scanned
+    once and nothing broadcasts."""
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "value_c": to_cents(df["value"])}
+        )
+
+    hist = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(cents, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    )
+
+    def type_mad(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_c")
+        counts = g["n"].to_numpy()
+        values = g["value_c"].to_numpy()
+        cum = counts.cumsum()
+        n = int(cum[-1])
+        rank = max(1, int(np.ceil(0.5 * n)))  # quantile_disc rule
+        med = int(values[np.searchsorted(cum, rank)])
+        dev = np.abs(values - med)
+        order = np.argsort(dev, kind="stable")
+        cum2 = counts[order].cumsum()
+        mad = int(dev[order][np.searchsorted(cum2, rank)])
+        return pd.DataFrame(
+            [(g["event_type"].iloc[0], n, med, mad)],
+            columns=["event_type", "n", "median_cents", "mad_cents"],
+        )
+
+    out = (
+        hist.groupby("event_type")
+        .map_groups(type_mad, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n": pa.array([int(x) for x in out["n"]], pa.int64()),
+            "median_cents": pa.array([int(x) for x in out["median_cents"]], pa.int64()),
+            "mad_cents": pa.array([int(x) for x in out["mad_cents"]], pa.int64()),
+        }
+    )

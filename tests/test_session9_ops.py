@@ -692,3 +692,33 @@ class TestTableStats:
         assert got.loc["c_nationkey"].tolist() == [4, 0, 1]
         assert got.loc["c_acctbal"].tolist() == [4, 1, 2]
         assert got.loc["c_mktsegment"].tolist() == [4, 0, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsValueMad:
+    def test_hand_values_and_outlier_insensitivity(self, tmp_path):
+        """[1,2,3,4,100] dollars → median 300 cents (quantile_disc
+        rank ceil(2.5)=3), deviations [200,100,0,100,9700] → MAD 100;
+        the 100-dollar outlier moves neither (σ would explode)."""
+        from suckit_ray.pipelines.relops import events_value_mad
+
+        df = pd.DataFrame(
+            {
+                "event_type": ["t"] * 5,
+                "value": [1.0, 2.0, 3.0, 4.0, 100.0],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(tmp_path / "events.parquet"),
+        )
+        got = events_value_mad(str(tmp_path)).to_pandas().iloc[0]
+        assert (got["n"], got["median_cents"], got["mad_cents"]) == (5, 300, 100)
+        # even-n discrete rule: [1,2,3,4] → rank ceil(2)=2 → median 200
+        df2 = df.iloc[:4]
+        pq.write_table(
+            pa.Table.from_pandas(df2, preserve_index=False),
+            str(tmp_path / "events.parquet"),
+        )
+        got2 = events_value_mad(str(tmp_path)).to_pandas().iloc[0]
+        assert (got2["median_cents"], got2["mad_cents"]) == (200, 100)
