@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_revisit_plan": flagship.crawl_revisit_plan,
         "crawl_media_manifest": _crawl_media_manifest,
         "crawl_media_dedup": _crawl_media_dedup,
+        # rows-only: content-defined chunk boundaries aren't
+        # SQL-expressible; pinned by a pure-Python reference + the CDC
+        # locality property (tests/test_session9_ops.py)
+        "crawl_chunk_dedup": dedup.crawl_chunk_dedup,
         "crawl_media_features": _crawl_media_features,
         "crawl_text_extract": flagship.crawl_text_extract,
         "crawl_pack_multimodal": flagship.crawl_pack_multimodal,

@@ -1466,3 +1466,164 @@ def docs_incremental_dedup(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(survivors, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (storage-layer dedup)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 16  # rolling-hash window (bytes)
+CDC_MASK_BITS = 8  # boundary when hash % 2^bits == 0 → ~256 B avg chunks
+CDC_MIN = 64
+CDC_MAX = 1024
+_CDC_MOD = (1 << 61) - 1  # Mersenne prime, same family as winnowing
+_CDC_BASE = 257
+
+
+def cdc_chunks(data: bytes, *, window: int = CDC_WINDOW,
+               mask_bits: int = CDC_MASK_BITS, cmin: int = CDC_MIN,
+               cmax: int = CDC_MAX) -> list[bytes]:
+    """Split bytes at CONTENT-DEFINED boundaries — a polynomial rolling
+    hash over a ``window``-byte sliding view cuts wherever the hash's
+    low ``mask_bits`` are zero (LBFS, Muthitacharoen et al. SOSP'01;
+    FastCDC refines the same idea — both public). Unlike fixed-size
+    blocks, an insertion shifts only the chunks it touches: boundaries
+    downstream re-align because they depend on local content, which is
+    what makes chunk-digest dedup robust to edits. ``cmin`` suppresses
+    boundaries too close to the previous cut; ``cmax`` force-splits
+    pathological boundary-free runs.
+
+    Vectorized: the hash lives in uint64 with natural mod-2^64
+    wraparound (gear-hash convention — only the low bits gate the
+    cut), so every window hash is ``window`` fused multiply-adds over
+    the whole array; min/max enforcement walks the sparse boundary
+    list, never the bytes."""
+    n = len(data)
+    if n == 0:
+        return []
+    if n <= window:
+        return [data]
+    x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    pows = np.array(
+        [pow(_CDC_BASE, window - 1 - j, 1 << 64) for j in range(window)],
+        dtype=np.uint64,
+    )
+    acc = np.zeros(n - window + 1, dtype=np.uint64)
+    for j in range(window):
+        acc += x[j : n - window + 1 + j] * pows[j]  # wraps mod 2^64
+    mask = np.uint64((1 << mask_bits) - 1)
+    cand = np.nonzero((acc & mask) == 0)[0]
+    cuts = []
+    prev = 0
+    for c in cand:
+        end = int(c) + window  # boundary AFTER the window
+        if end - prev < cmin or end >= n:
+            continue
+        cuts.append(end)
+        prev = end
+    final = []  # enforce cmax by force-splitting long gaps
+    prev = 0
+    for c in cuts + [n]:
+        while c - prev > cmax:
+            prev += cmax
+            final.append(prev)
+        if c < n:
+            final.append(c)
+        prev = c
+    out, prev = [], 0
+    for c in final + [n]:
+        if c > prev:
+            out.append(data[prev:c])
+            prev = c
+    return out
+
+
+def chunk_dedup_stats_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, n_chunks, n_unique_chunks, bytes_total, bytes_unique,
+    dup_byte_ratio_micro): per-host storage-dedup report over EVERY
+    stored body (pages and assets) under content-defined chunking —
+    what a 100 TB mirror saves by storing chunk digests once. The
+    synthetic corpus shares one asset body per host and near-identical
+    page templates, so the ratio is meaningful by construction.
+
+    Scale shape: chunking + digesting runs inside the map task (bytes
+    never shuffle); the exchange carries one (host, digest, size, n)
+    row per distinct chunk per batch (the batch-local combiner), into
+    one digest-bucketed co-group computing per-host unique/total
+    tallies; a final tiny host aggregation sums bucket partials and
+    derives the integer micro ratio."""
+    import hashlib
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        hosts, digests, sizes = [], [], []
+        for host, body in zip(
+            t.column("host").to_pylist(), t.column("body").to_pylist()
+        ):
+            for ch in cdc_chunks(body or b""):
+                hosts.append(host)
+                digests.append(
+                    int.from_bytes(
+                        hashlib.blake2b(ch, digest_size=8).digest(), "big"
+                    )
+                    >> 1  # 63-bit
+                )
+                sizes.append(len(ch))
+        df = pd.DataFrame(
+            {"host": hosts, "digest": digests, "sz": sizes, "n": 1}
+        )
+        p = df.groupby(["host", "digest", "sz"], as_index=False)["n"].sum()
+        p["bucket"] = (p["digest"].to_numpy() % B).astype("int64")
+        return p
+
+    def bucket_tally(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["host", "digest", "sz"], as_index=False)["n"].sum()
+        out = (
+            per.assign(bytes_occ=per["sz"] * per["n"])
+            .groupby("host", as_index=False)
+            .agg(
+                n_chunks=("n", "sum"),
+                n_unique_chunks=("digest", "size"),
+                bytes_total=("bytes_occ", "sum"),
+                bytes_unique=("sz", "sum"),
+            )
+        )
+        return out
+
+    tall = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_tally, batch_format="pandas")
+    )
+    agg = bucketed_groupby_agg(
+        tall,
+        keys=["host"],
+        aggs={
+            "n_chunks": ("n_chunks", "sum"),
+            "n_unique_chunks": ("n_unique_chunks", "sum"),
+            "bytes_total": ("bytes_total", "sum"),
+            "bytes_unique": ("bytes_unique", "sum"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        bt = df["bytes_total"].to_numpy()
+        bu = df["bytes_unique"].to_numpy()
+        ratio = ((bt - bu) * 1_000_000 // np.maximum(bt, 1)).astype("int64")
+        return df.assign(dup_byte_ratio_micro=ratio)
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def crawl_chunk_dedup(sf_dir: str) -> rd.Dataset:
+    """queries() entry (rows-only: CDC boundaries aren't
+    SQL-expressible): per-host content-defined-chunk storage-dedup
+    stats of the flagship mirror. Pinned by a pure-Python chunker
+    reference, the identical-bodies invariant, and the CDC locality
+    property (a one-byte edit re-chunks O(1) chunks)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return chunk_dedup_stats_from_docs(crawl_docs(sf_dir))

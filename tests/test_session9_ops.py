@@ -722,3 +722,92 @@ class TestEventsValueMad:
         )
         got2 = events_value_mad(str(tmp_path)).to_pandas().iloc[0]
         assert (got2["median_cents"], got2["mad_cents"]) == (200, 100)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkDedup:
+    def test_reference_chunker_equality_and_locality(self):
+        """The vectorized uint64 chunker equals a literal per-byte
+        Horner reference (same base/window/masks), reassembles
+        losslessly, and has the CDC property: a one-byte edit and a
+        3-byte insertion each disturb O(1) chunks."""
+        import random
+
+        from suckit_ray.pipelines.dedup import (
+            CDC_MASK_BITS,
+            CDC_MAX,
+            CDC_MIN,
+            CDC_WINDOW,
+            _CDC_BASE,
+            cdc_chunks,
+        )
+
+        def reference(data):
+            n, w = len(data), CDC_WINDOW
+            if n == 0:
+                return []
+            if n <= w:
+                return [data]
+            cuts, prev = [], 0
+            mask = (1 << CDC_MASK_BITS) - 1
+            for i in range(n - w + 1):
+                h = 0
+                for b in data[i : i + w]:
+                    h = (h * _CDC_BASE + b) % (1 << 64)
+                end = i + w
+                if (h & mask) == 0 and end < n and end - prev >= CDC_MIN:
+                    cuts.append(end)
+                    prev = end
+            final, prev = [], 0
+            for c in cuts + [n]:
+                while c - prev > CDC_MAX:
+                    prev += CDC_MAX
+                    final.append(prev)
+                if c < n:
+                    final.append(c)
+                prev = c
+            out, prev = [], 0
+            for c in final + [n]:
+                if c > prev:
+                    out.append(data[prev:c])
+                    prev = c
+            return out
+
+        random.seed(11)
+        data = bytes(random.randrange(256) for _ in range(8000))
+        ch = cdc_chunks(data)
+        assert ch == reference(data)
+        assert b"".join(ch) == data
+        assert all(len(c) <= 1024 for c in ch)
+        edited = data[:4000] + bytes([data[4000] ^ 1]) + data[4001:]
+        assert len(set(cdc_chunks(edited)) - set(ch)) <= 2
+        inserted = data[:4000] + b"ins" + data[4000:]
+        assert len(set(cdc_chunks(inserted)) - set(ch)) <= 2
+
+    def test_stats_on_engineered_hosts(self):
+        """Two hosts: host a stores the same body twice (dup ratio
+        ~50%), host b stores two unrelated bodies (ratio ~0)."""
+        import random
+
+        import ray.data as rd
+
+        from suckit_ray.pipelines.dedup import chunk_dedup_stats_from_docs
+
+        random.seed(3)
+        body1 = bytes(random.randrange(256) for _ in range(5000))
+        body2 = bytes(random.randrange(256) for _ in range(5000))
+        tbl = pa.table(
+            {
+                "host": ["a", "a", "b", "b"],
+                "body": [body1, body1, body1, body2],
+            }
+        )
+        got = (
+            chunk_dedup_stats_from_docs(rd.from_arrow(tbl))
+            .to_pandas()
+            .set_index("host")
+        )
+        assert got.loc["a", "dup_byte_ratio_micro"] == 500_000
+        assert got.loc["a", "bytes_total"] == 2 * got.loc["a", "bytes_unique"]
+        assert got.loc["b", "dup_byte_ratio_micro"] < 20_000
+        assert got.loc["b", "n_unique_chunks"] <= got.loc["b", "n_chunks"]
