@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible; pinned by a pure-Python reference + the CDC
         # locality property (tests/test_session9_ops.py)
         "crawl_chunk_dedup": dedup.crawl_chunk_dedup,
+        "crawl_delta_bytes": dedup.crawl_delta_bytes,
         "crawl_media_features": _crawl_media_features,
         "crawl_text_extract": flagship.crawl_text_extract,
         "crawl_pack_multimodal": flagship.crawl_pack_multimodal,

@@ -276,6 +276,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_media_dedup",
         "customer_k_anonymity",
         "table_stats",
+        "events_value_mad",
+        "crawl_chunk_dedup",
     ]
     qs = E.queries()
     out = {}

@@ -1627,3 +1627,108 @@ def crawl_chunk_dedup(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return chunk_dedup_stats_from_docs(crawl_docs(sf_dir))
+
+
+def crawl_delta_bytes(sf_dir: str) -> rd.Dataset:
+    """(host, docs_both, bytes_v2, bytes_new, delta_ratio_micro):
+    incremental-transfer sizing between the flagship mirror and the v2
+    recrawl — for every doc present in BOTH versions, the v2 bytes NOT
+    already stored as v1 chunks (by content-defined chunk digest) are
+    what a delta archive actually ships. ``crawl_diff`` says WHICH
+    pages changed; this says how MANY BYTES changed — the rsync-style
+    question, and the reason CDC beats whole-page digests: an edited
+    page re-ships only its touched chunks.
+
+    Scale shape: both mirrors stream; each side's map task chunks its
+    bodies locally and emits (doc_id-hash-bucketed) per-doc chunk
+    digest+size rows — bytes never shuffle. One doc-bucketed co-group
+    subtracts v1's digest set from v2's per doc and pre-aggregates to
+    per-host partials; a final tiny host aggregation derives the
+    integer micro ratio. Rows-only (CDC boundaries aren't
+    SQL-expressible); pinned by identical-version zero-delta and an
+    edit-locality test."""
+    import hashlib
+
+    from suckit_ray.pipelines.flagship import crawl_docs, crawl_docs_v2
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def make_explode(side: str):
+        def explode(t: pa.Table) -> pd.DataFrame:
+            docs, hosts, digests, sizes = [], [], [], []
+            for doc_id, host, body in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("host").to_pylist(),
+                t.column("body").to_pylist(),
+            ):
+                for ch in cdc_chunks(body or b""):
+                    docs.append(doc_id)
+                    hosts.append(host)
+                    digests.append(
+                        int.from_bytes(
+                            hashlib.blake2b(ch, digest_size=8).digest(), "big"
+                        )
+                        >> 1
+                    )
+                    sizes.append(len(ch))
+            df = pd.DataFrame(
+                {"doc_id": docs, "host": hosts, "digest": digests,
+                 "sz": sizes, "side": side}
+            )
+            h = pd.util.hash_pandas_object(df["doc_id"], index=False).astype(
+                "uint64"
+            )
+            return df.assign(bucket=(h % B).astype("int64"))
+
+        return explode
+
+    both = (
+        crawl_docs(sf_dir)
+        .map_batches(make_explode("a"), batch_format="pyarrow")
+        .union(
+            crawl_docs_v2(sf_dir).map_batches(
+                make_explode("b"), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def per_doc_delta(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, d in g.groupby("doc_id"):
+            a = d[d["side"] == "a"]
+            b = d[d["side"] == "b"]
+            if not len(a) or not len(b):
+                continue  # added/removed docs are crawl_diff's domain
+            have = set(a["digest"])
+            new_mask = ~b["digest"].isin(have)
+            rows.append(
+                (
+                    d["host"].iloc[0],
+                    1,
+                    int(b["sz"].sum()),
+                    int(b.loc[new_mask, "sz"].sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["host", "docs_both", "bytes_v2", "bytes_new"]
+        )
+
+    agg = bucketed_groupby_agg(
+        both.groupby("bucket").map_groups(per_doc_delta, batch_format="pandas"),
+        keys=["host"],
+        aggs={
+            "docs_both": ("docs_both", "sum"),
+            "bytes_v2": ("bytes_v2", "sum"),
+            "bytes_new": ("bytes_new", "sum"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ratio = (
+            df["bytes_new"].to_numpy() * 1_000_000
+            // np.maximum(df["bytes_v2"].to_numpy(), 1)
+        ).astype("int64")
+        return df.assign(delta_ratio_micro=ratio)
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -811,3 +811,46 @@ class TestChunkDedup:
         assert got.loc["a", "bytes_total"] == 2 * got.loc["a", "bytes_unique"]
         assert got.loc["b", "dup_byte_ratio_micro"] < 20_000
         assert got.loc["b", "n_unique_chunks"] <= got.loc["b", "n_chunks"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeltaBytes:
+    def test_identical_zero_and_edit_locality(self):
+        """v1==v2 → bytes_new 0; a small mid-page edit ships only the
+        touched chunks (delta ≪ page size); an added page is excluded
+        (crawl_diff's domain)."""
+        import random
+
+        import ray.data as rd
+
+        from suckit_ray.pipelines import flagship
+        from suckit_ray.pipelines.dedup import crawl_delta_bytes
+
+        random.seed(5)
+        body = bytes(random.randrange(256) for _ in range(8000))
+        edited = body[:4000] + bytes([body[4000] ^ 1]) + body[4001:]
+
+        def docs(bodies):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": [f"h.test/p{i}.html" for i in range(len(bodies))],
+                        "host": ["h.test"] * len(bodies),
+                        "body": bodies,
+                    }
+                )
+            )
+
+        orig1, orig2 = flagship.crawl_docs, flagship.crawl_docs_v2
+        flagship.crawl_docs = lambda sf: docs([body, body])
+        flagship.crawl_docs_v2 = lambda sf: docs([body, edited, b"new page"])
+        try:
+            got = crawl_delta_bytes("ignored").to_pandas().iloc[0]
+        finally:
+            flagship.crawl_docs, flagship.crawl_docs_v2 = orig1, orig2
+        assert got["docs_both"] == 2  # the added page is excluded
+        assert got["bytes_v2"] == 8000 + 8000  # one-byte REPLACE keeps length
+        # unchanged doc ships nothing; the edited doc ships only the
+        # chunks covering the flipped byte
+        assert 0 < got["bytes_new"] <= 2 * 1024
+        assert got["delta_ratio_micro"] < 150_000
