@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_k_anonymity": relops.customer_k_anonymity,
         "table_stats": relops.table_stats,
         "events_value_mad": relops.events_value_mad,
+        "orders_pareto": relops.orders_pareto,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2013,6 +2014,37 @@ def oracle_sql() -> dict[str, str]:
                       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                                         WHERE l.l_orderkey = o.o_orderkey))
             )
+        """,
+        # revenue concentration: first rank covering 80%, top-20% share
+        "orders_pareto": """
+            WITH r AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM orders GROUP BY o_custkey
+            ),
+            t AS (
+              SELECT CAST(SUM(rev) AS HUGEINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM r
+            ),
+            c AS (
+              SELECT rev,
+                     SUM(CAST(rev AS HUGEINT))
+                       OVER (ORDER BY rev DESC, o_custkey) AS cum,
+                     ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn
+              FROM r
+            )
+            SELECT t.n AS n_customers,
+                   CAST((SELECT min(rn) FROM c, t
+                         WHERE 5 * cum >= 4 * tot) AS BIGINT)
+                     AS n_top_for_80pct,
+                   CAST(((SELECT cum FROM c, t
+                          WHERE rn = GREATEST(1, CAST(ceil(0.2 * t.n)
+                                                      AS BIGINT)))
+                         * 1000000) // t.tot AS BIGINT)
+                     AS top20_share_micro
+            FROM t
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

@@ -4910,3 +4910,112 @@ def events_value_mad(sf_dir: str) -> pa.Table:
             "mad_cents": pa.array([int(x) for x in out["mad_cents"]], pa.int64()),
         }
     )
+
+
+def orders_pareto(sf_dir: str) -> pa.Table:
+    """(n_customers, n_top_for_80pct, top20_share_micro): revenue
+    concentration — how many top customers cover 80% of revenue, and
+    what share the top 20% of customers hold (the 80/20 report). All
+    comparisons exact integers (5·cum ≥ 4·total; share in micro by
+    floor division), ordered by (revenue DESC, custkey) so ties are
+    deterministic.
+
+    Plan: the O(customers) revenue table comes from one custkey
+    co-group; the descending cumulative scan uses the shared
+    range-partition recipe (sample-trained splits on the negated
+    revenue → per-bucket (count, sum) partials → O(buckets) driver
+    exclusive prefixes → bucket-LOCAL sorted scans), so no global sort
+    ever materializes and each bucket emits at most two scalar
+    answers. Same machinery class as ``events_peak_concurrency``."""
+    import ray
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    rev = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "cust": df["o_custkey"].astype("int64"),
+                    "rev": to_cents(df["o_totalprice"]),
+                }
+            )
+            .groupby("cust", as_index=False)
+            .agg(rev=("rev", "sum")),
+            batch_format="pandas",
+        ),
+        keys=["cust"],
+        aggs={"rev": ("rev", "sum")},
+    ).map_batches(
+        lambda df: df.assign(negrev=-df["rev"].to_numpy()), batch_format="pandas"
+    )
+
+    splits = _train_rank_splits(rev, 32, id_col="cust", value_col="negrev")
+    if splits is None:
+        return pa.table(
+            {
+                "n_customers": pa.array([0], pa.int64()),
+                "n_top_for_80pct": pa.array([0], pa.int64()),
+                "top20_share_micro": pa.array([0], pa.int64()),
+            }
+        )
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        return df.assign(
+            bucket=np.searchsorted(sp, df["negrev"].to_numpy(), side="right").astype(
+                "int64"
+            )
+        )
+
+    bucketed = rev.map_batches(bucketize, batch_format="pandas").materialize()
+    parts = (
+        bucketed.map_batches(
+            lambda df: df.groupby("bucket", as_index=False).agg(
+                n=("cust", "size"), s=("rev", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("bucket")
+        .sum()
+        .sort_index()
+    )
+    total = int(parts["s"].sum())
+    n_cust = int(parts["n"].sum())
+    base_n = (parts["n"].cumsum() - parts["n"]).to_dict()  # exclusive prefixes
+    base_s = (parts["s"].cumsum() - parts["s"]).to_dict()
+    k20 = max(1, int(np.ceil(0.2 * n_cust)))
+    bases_ref = ray.put((base_n, base_s, total, k20))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        bn, bs, tot, k = ray.get(bases_ref)
+        b = int(g["bucket"].iloc[0])
+        g = g.sort_values(["negrev", "cust"], kind="mergesort")
+        cum = int(bs.get(b, 0)) + g["rev"].cumsum().to_numpy()
+        rank = int(bn.get(b, 0)) + np.arange(1, len(g) + 1)
+        out = []
+        hit = np.nonzero(5 * cum >= 4 * tot)[0]
+        if len(hit):  # first qualifying rank in this bucket
+            out.append(("n80", int(rank[hit[0]])))
+        pos = np.nonzero(rank == k)[0]
+        if len(pos):  # the k20-th customer's cumulative revenue
+            out.append(("cum20", int(cum[pos[0]])))
+        return pd.DataFrame(out, columns=["kind", "val"])
+
+    found = (
+        bucketed.groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    n80 = int(found.loc[found["kind"] == "n80", "val"].min())
+    cum20 = int(found.loc[found["kind"] == "cum20", "val"].iloc[0])
+    return pa.table(
+        {
+            "n_customers": pa.array([n_cust], pa.int64()),
+            "n_top_for_80pct": pa.array([n80], pa.int64()),
+            "top20_share_micro": pa.array([cum20 * 1_000_000 // total], pa.int64()),
+        }
+    )

@@ -854,3 +854,27 @@ class TestDeltaBytes:
         # chunks covering the flipped byte
         assert 0 < got["bytes_new"] <= 2 * 1024
         assert got["delta_ratio_micro"] < 150_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOrdersPareto:
+    def test_hand_distribution(self, tmp_path):
+        """Revenues [50,30,10,5,5] (one order each): total 100, 80%
+        needs ranks 1-2 (50+30=80 → 5·80 ≥ 4·100 at rank 2); top 20%
+        = ceil(1) = 1 customer holding 50% = 500000 micro."""
+        from suckit_ray.pipelines.relops import orders_pareto
+
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(5), pa.int64()),
+                    "o_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "o_totalprice": pa.array([50.0, 30.0, 10.0, 5.0, 5.0]),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = orders_pareto(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_customers"] == 5
+        assert got["n_top_for_80pct"] == 2
+        assert got["top20_share_micro"] == 500_000
