@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_stats": relops.table_stats,
         "events_value_mad": relops.events_value_mad,
         "orders_pareto": relops.orders_pareto,
+        "events_value_entropy": relops.events_value_entropy,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2014,6 +2015,29 @@ def oracle_sql() -> dict[str, str]:
                       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                                         WHERE l.l_orderkey = o.o_orderkey))
             )
+        """,
+        # per-type Shannon entropy in floor-ln micronats (dsir idiom)
+        "events_value_entropy": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            h AS (
+              SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+              FROM c GROUP BY event_type, v
+            ),
+            t AS (
+              SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_distinct
+              FROM h GROUP BY event_type
+            )
+            SELECT t.event_type, t.n, t.n_distinct,
+                   CAST(SUM(h.c * CAST(floor(1000000 * ln(
+                          CAST(t.n AS DOUBLE) / h.c)) AS BIGINT))
+                        // t.n AS BIGINT) AS entropy_micronats
+            FROM h JOIN t USING (event_type)
+            GROUP BY t.event_type, t.n, t.n_distinct
         """,
         # revenue concentration: first rank covering 80%, top-20% share
         "orders_pareto": """

@@ -5019,3 +5019,58 @@ def orders_pareto(sf_dir: str) -> pa.Table:
             "top20_share_micro": pa.array([cum20 * 1_000_000 // total], pa.int64()),
         }
     )
+
+
+def events_value_entropy(sf_dir: str) -> pa.Table:
+    """(event_type, n, n_distinct, entropy_micronats): Shannon entropy
+    of each type's value distribution — the dispersion/anomaly profile
+    a monitoring pipeline tracks per metric (a collapsing distribution
+    is a broken producer). From the exact (type, cent) histogram:
+    H = Σ (c/n)·ln(n/c), carried as the order-free integer
+    Σ c·floor(10^6·ln(n/c)) then // n — the ``docs_dsir_weights``
+    micronat idiom, which is what lets a float-log quantity hash-match
+    SQL (both sides floor the SAME double ln before any summation).
+
+    Scale shape: the one-exchange histogram every quantile op shares;
+    entropy closes group-locally."""
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "value_c": to_cents(df["value"])}
+        )
+
+    hist = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(cents, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    )
+
+    def type_entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["n"].to_numpy().astype("int64")
+        n = int(c.sum())
+        terms = np.floor(1e6 * np.log(n / c.astype("float64"))).astype("int64")
+        numer = int((c * terms).sum())
+        return pd.DataFrame(
+            [(g["event_type"].iloc[0], n, len(c), numer // n)],
+            columns=["event_type", "n", "n_distinct", "entropy_micronats"],
+        )
+
+    out = (
+        hist.groupby("event_type")
+        .map_groups(type_entropy, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n": pa.array([int(x) for x in out["n"]], pa.int64()),
+            "n_distinct": pa.array([int(x) for x in out["n_distinct"]], pa.int64()),
+            "entropy_micronats": pa.array(
+                [int(x) for x in out["entropy_micronats"]], pa.int64()
+            ),
+        }
+    )

@@ -878,3 +878,34 @@ class TestOrdersPareto:
         assert got["n_customers"] == 5
         assert got["n_top_for_80pct"] == 2
         assert got["top20_share_micro"] == 500_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsValueEntropy:
+    def test_uniform_constant_and_float_reference(self, tmp_path):
+        """A constant column has entropy 0; four equiprobable values
+        give ~ln 4; the micronat integer tracks the float formula
+        within the per-term floor error (< 1 micronat per row)."""
+        import math
+
+        from suckit_ray.pipelines.relops import events_value_entropy
+
+        df = pd.DataFrame(
+            {
+                "event_type": ["const"] * 4 + ["uni"] * 4,
+                "value": [7.0] * 4 + [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(tmp_path / "events.parquet"),
+        )
+        got = (
+            events_value_entropy(str(tmp_path))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        assert got.loc["const", "entropy_micronats"] == 0
+        assert got.loc["const", "n_distinct"] == 1
+        want = 1e6 * math.log(4)
+        assert abs(got.loc["uni", "entropy_micronats"] - want) <= 1
