@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": relops.events_value_mad,
         "orders_pareto": relops.orders_pareto,
         "events_value_entropy": relops.events_value_entropy,
+        "lineitem_frequent_pairs": relops.lineitem_frequent_pairs,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2069,6 +2070,34 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000) // t.tot AS BIGINT)
                      AS top20_share_micro
             FROM t
+        """,
+        # market-basket frequent pairs: support >= 2 + integer lift
+        "lineitem_frequent_pairs": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            t AS (
+              SELECT CAST(count(DISTINCT o) AS HUGEINT) AS n_orders
+              FROM items
+            ),
+            ic AS (
+              SELECT p, CAST(count(*) AS HUGEINT) AS c
+              FROM items GROUP BY p
+            ),
+            pc AS (
+              SELECT a.p AS part_a, b.p AS part_b,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p
+              HAVING count(*) >= 2
+            )
+            SELECT pc.part_a, pc.part_b, pc.support,
+                   CAST((1000000 * t.n_orders * pc.support)
+                        // (ia.c * ib.c) AS BIGINT) AS lift_micro
+            FROM pc
+            CROSS JOIN t
+            JOIN ic ia ON ia.p = pc.part_a
+            JOIN ic ib ON ib.p = pc.part_b
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

@@ -5074,3 +5074,121 @@ def events_value_entropy(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+FREQUENT_PAIR_MINSUP = 2
+
+
+def lineitem_frequent_pairs(
+    sf_dir: str, minsup: int = FREQUENT_PAIR_MINSUP
+) -> rd.Dataset:
+    """Market-basket frequent-pair mining (the A-priori second pass,
+    Agrawal & Srikant 1994): every part pair co-occurring in >= minsup
+    orders, with its support count and lift in integer micro-units —
+    lift_micro = floor(10^6 · N_orders · c(A,B) / (c(A)·c(B))), the
+    association-strength signal a recommender / co-purchase report
+    reads off the basket table.
+
+    Plan: ONE orderkey-hash co-group brings each basket's rows
+    together (dedup of repeated parts inside an order happens there,
+    where the rows already are) and emits three partial-count row
+    kinds through one shared (part_a, part_b) key space — pair
+    partials, per-part basket partials tagged ``part_b = -1``, and a
+    per-group basket-count row tagged ``(-2, -2)`` (the
+    referential_audit "bucket id encodes the key space" idiom). Pair
+    fan-out is bounded by the basket size (TPC-H baskets are <= 7
+    items, so <= 21 pair rows per order; a retail-scale basket cap
+    would ride the same group pass). ONE bucketed sum finishes all
+    three; item counts are an O(parts) bounded-dimension broadcast
+    (the q17 per-part idiom), and lift closes over the already-sparse
+    thresholded pairs in exact Python ints (oracle: HUGEINT)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        return pd.DataFrame(
+            {
+                "orderkey": out["l_orderkey"].astype("int64"),
+                "partkey": out["l_partkey"].astype("int64"),
+                "bucket": (out["l_orderkey"] % B).astype("int64"),
+            }
+        )
+
+    def basket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["orderkey", "partkey"])
+        # pair partials: vectorized self-merge per basket (a < b)
+        m = g.merge(g, on="orderkey", suffixes=("_a", "_b"))
+        m = m[m["partkey_a"] < m["partkey_b"]]
+        pairs = (
+            m.groupby(["partkey_a", "partkey_b"], as_index=False)
+            .size()
+            .rename(
+                columns={
+                    "partkey_a": "part_a",
+                    "partkey_b": "part_b",
+                    "size": "n",
+                }
+            )
+        )
+        # per-part basket partials (part_b = -1) for c(A), c(B)
+        items = (
+            g.groupby("partkey", as_index=False)
+            .size()
+            .rename(columns={"partkey": "part_a", "size": "n"})
+        )
+        items["part_b"] = -1
+        # one basket-count row (-2, -2) per group for N_orders
+        tot = pd.DataFrame(
+            {"part_a": [-2], "part_b": [-2], "n": [g["orderkey"].nunique()]}
+        )
+        out = pd.concat(
+            [pairs, items[["part_a", "part_b", "n"]], tot], ignore_index=True
+        )
+        out["n"] = out["n"].astype("int64")
+        return out[["part_a", "part_b", "n"]]
+
+    counts = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(basket_partials, batch_format="pandas"),
+        keys=["part_a", "part_b"],
+        aggs={"support": ("n", "sum")},
+    ).materialize()  # two consumers: the sentinel collect + the pair pass
+
+    def sentinels_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["part_b"] < 0]
+
+    side = counts.map_batches(
+        sentinels_only, batch_format="pandas"
+    ).to_pandas()  # O(parts) + 1 rows — a bounded dimension, q17-style
+    n_orders = int(side.loc[side["part_a"] == -2, "support"].sum())
+    item_counts = dict(
+        zip(
+            side.loc[side["part_a"] >= 0, "part_a"].astype("int64"),
+            side.loc[side["part_a"] >= 0, "support"].astype("int64"),
+        )
+    )
+
+    def close_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["part_b"] >= 0) & (df["support"] >= minsup)]
+        # exact integer lift over the sparse thresholded result only
+        lift = [
+            (1_000_000 * n_orders * int(s))
+            // (item_counts[int(a)] * item_counts[int(b)])
+            for a, b, s in zip(df["part_a"], df["part_b"], df["support"])
+        ]
+        return pd.DataFrame(
+            {
+                "part_a": df["part_a"].astype("int64").to_numpy(),
+                "part_b": df["part_b"].astype("int64").to_numpy(),
+                "support": df["support"].astype("int64").to_numpy(),
+                "lift_micro": pd.array(lift, dtype="int64"),
+            }
+        )
+
+    return counts.map_batches(close_pairs, batch_format="pandas")
