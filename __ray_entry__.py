@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto": relops.orders_pareto,
         "events_value_entropy": relops.events_value_entropy,
         "lineitem_frequent_pairs": relops.lineitem_frequent_pairs,
+        "events_mutual_information": relops.events_mutual_information,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2098,6 +2099,33 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN t
             JOIN ic ia ON ia.p = pc.part_a
             JOIN ic ib ON ib.p = pc.part_b
+        """,
+        # MI(event_type, day-of-week) in floor-ln micronats
+        "events_mutual_information": """
+            WITH e AS (
+              SELECT event_type AS x,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7
+                       AS y
+              FROM events
+            ),
+            c AS (
+              SELECT x, y, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY x, y
+            ),
+            mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS cx FROM c GROUP BY x),
+            my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS cy FROM c GROUP BY y),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM c)
+            SELECT t.n,
+                   (SELECT count(*) FROM mx) AS n_types,
+                   (SELECT count(*) FROM my) AS n_days,
+                   CAST(SUM(c.n * CAST(floor(1000000 * ln(
+                          CAST(t.n AS DOUBLE) * c.n / (mx.cx * my.cy)))
+                          AS BIGINT)) // t.n AS BIGINT) AS mi_micronats
+            FROM c
+            JOIN mx USING (x)
+            JOIN my USING (y)
+            CROSS JOIN t
+            GROUP BY t.n
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

@@ -5192,3 +5192,53 @@ def lineitem_frequent_pairs(
         )
 
     return counts.map_batches(close_pairs, batch_format="pandas")
+
+
+def events_mutual_information(sf_dir: str) -> pa.Table:
+    """One-row (n, n_types, n_days, mi_micronats): mutual information
+    between event type and day-of-week — the categorical-dependence /
+    feature-selection check (MI ~ 0 says the type mix is stationary
+    across the week; a spike says a producer is time-skewed). MI =
+    Σ (c_xy/N)·ln(N·c_xy/(c_x·c_y)), carried as the order-free integer
+    Σ c_xy·floor(10^6·ln(·)) then trunc-divided by N (the dsir/entropy
+    micronat idiom; final division mirrors DuckDB's truncating ``//``
+    since floor terms can sum negative).
+
+    Scale shape: batch-local (type, dow) partial counts through one
+    bucketed sum — the contingency table is bounded by the category
+    domain (|types|×7), so marginals and the closing sum are an
+    O(domain) driver fold, never an O(rows) structure."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        dow = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        ) % 7
+        return pd.DataFrame({"x": df["event_type"], "y": dow.astype("int64")})
+
+    cont = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        ).map_batches(prep, batch_format="pandas"),
+        keys=["x", "y"],
+        aggs={"n": ("x", "count")},
+    ).to_pandas()  # ≤ |types|·7 rows — bounded by the category domain
+
+    n = int(cont["n"].sum())
+    cx = cont.groupby("x")["n"].sum()
+    cy = cont.groupby("y")["n"].sum()
+    cxy = cont["n"].to_numpy().astype("int64")
+    mx = cx.loc[cont["x"]].to_numpy().astype("int64")
+    my = cy.loc[cont["y"]].to_numpy().astype("int64")
+    terms = np.floor(
+        1e6 * np.log(np.float64(n) * cxy / (mx * my))
+    ).astype("int64")
+    numer = int((cxy * terms).sum())
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "n_types": pa.array([len(cx)], pa.int64()),
+            "n_days": pa.array([len(cy)], pa.int64()),
+            "mi_micronats": pa.array([_trunc_div(numer, n)], pa.int64()),
+        }
+    )

@@ -73,3 +73,71 @@ class TestFrequentPairs:
         assert (row["part_a"], row["part_b"], row["support"]) == (10, 20, 3)
         # lift = N*c(A,B)/(c(A)c(B)) = 3*3/(3*3) = 1.0 exactly
         assert row["lift_micro"] == 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMutualInformation:
+    def test_matches_dict_counted_reference(self):
+        import math
+
+        from suckit_ray.pipelines.relops import events_mutual_information
+
+        got = events_mutual_information(SF).to_pandas().iloc[0]
+
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet", columns=["event_type", "ts"]
+        )
+        y = (
+            ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        ) % 7
+        from collections import Counter
+
+        cxy = Counter(zip(ev["event_type"], y))
+        cx = Counter(ev["event_type"])
+        cy = Counter(y)
+        n = len(ev)
+        numer = sum(
+            c * math.floor(1e6 * math.log(float(n) * c / (cx[a] * cy[b])))
+            for (a, b), c in cxy.items()
+        )
+        # trunc-division parity with DuckDB //
+        want = numer // n if numer >= 0 else -((-numer) // n)
+        assert int(got["n"]) == n
+        assert int(got["mi_micronats"]) == want
+
+    def _mi_of(self, types, days, tmp_path):
+        from suckit_ray.pipelines.relops import events_mutual_information
+
+        n = len(types)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [d * 86_400_000_000 for d in days], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        return int(
+            events_mutual_information(str(tmp_path))
+            .to_pandas()
+            .iloc[0]["mi_micronats"]
+        )
+
+    def test_independent_table_is_zero(self, tmp_path):
+        """Perfectly independent type × day counts: every term's ln
+        argument is exactly 1.0, so MI is exactly 0."""
+        types = ["a", "a", "b", "b"]
+        days = [0, 1, 0, 1]
+        assert self._mi_of(types, days, tmp_path) == 0
+
+    def test_fully_dependent_is_ln2(self, tmp_path):
+        """Type determines day with two equal classes: MI = ln 2."""
+        types = ["a", "a", "b", "b"]
+        days = [0, 0, 1, 1]
+        assert self._mi_of(types, days, tmp_path) == 693_147
