@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scc": graph.crawl_scc,
         "crawl_sssp": graph.crawl_sssp,
         "crawl_cocitation": graph.crawl_cocitation,
+        "crawl_link_jaccard": graph.crawl_link_jaccard,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
         "crawl_diff": _crawl_diff,
@@ -2816,6 +2817,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT hn.hn AS host, CAST(c.a AS BIGINT) AS a,
                    CAST(c.b AS BIGINT) AS b, c.n_common
             FROM coc c JOIN hostname hn ON hn.h = c.h
+        """,
+        # out-link-set Jaccard >= 1/3 source pairs, all-integer gate
+        "crawl_link_jaccard": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            edges AS (
+              SELECT DISTINCT r.h, r.j AS s, x.t AS t
+              FROM reach r
+              JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            deg AS (
+              SELECT h, s, CAST(count(*) AS BIGINT) AS d
+              FROM edges GROUP BY 1, 2
+            ),
+            i AS (
+              SELECT e1.h, e1.s AS a, e2.s AS b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM edges e1
+              JOIN edges e2 ON e2.h = e1.h AND e2.t = e1.t
+                           AND e2.s > e1.s
+              GROUP BY 1, 2, 3
+            )
+            SELECT hn.hn AS host, CAST(i.a AS BIGINT) AS a,
+                   CAST(i.b AS BIGINT) AS b, i.n_common,
+                   CAST((1000000 * i.n_common)
+                        // (da.d + db.d - i.n_common) AS BIGINT)
+                     AS jaccard_micro
+            FROM i
+            JOIN deg da ON da.h = i.h AND da.s = i.a
+            JOIN deg db ON db.h = i.h AND db.s = i.b
+            JOIN hostname hn ON hn.h = i.h
+            WHERE 3 * i.n_common >= (da.d + db.d - i.n_common)
         """,
         # degree histogram of the same link graph: simple-graph
         # semantics (distinct neighbors, self-loops dropped)

@@ -2138,35 +2138,15 @@ def crawl_sssp(sf_dir: str) -> rd.Dataset:
 COCITATION_MIN_COMMON = 2
 
 
-def cocitation_from_docs(
-    docs: rd.Dataset, min_common: int = COCITATION_MIN_COMMON
-) -> rd.Dataset:
-    """(host, a, b, n_common): co-citation similarity of each host's
-    directed page-link graph — pairs of pages a<b cited together by
-    ≥ ``min_common`` common source pages (Small 1973, public; the
-    link-structure near-dup signal that needs no page content).
-
-    Plan — the wedge-emission vocabulary ``triangles_from_docs``
-    established, minus the closing probe AND minus its edge-dedup
-    exchange: a directed edge (s, t) originates only from page s's
-    single document row, so batch-local dedup already makes the edge
-    set globally distinct (triangles needed the exchange because its
-    undirected orientation collects each edge from both endpoints).
-    (1) extract distinct directed edges per batch (self-loops
-    dropped — a page citing itself co-cites nothing); (2) group by
-    source-hash bucket and emit each (host, source)'s distinct
-    out-neighbor pairs — O(outdeg²) per source, bounded by page size
-    at web scale (a source citing d pages emits d(d−1)/2 wedges; cap
-    or sample sources with pathological fanout the same way the
-    triangle plan orients by degree); (3) one bucketed count per
-    (host, a, b) pair, thresholded group-locally so the exchange's
-    output is only the qualifying pairs. Two exchanges total, no
-    driver state at any step."""
+def _host_page_edges(docs: rd.Dataset) -> rd.Dataset:
+    """Distinct same-host directed page edges (host, s, t) with
+    integer page ids — the shared front end of the link-similarity
+    family (cocitation, link-Jaccard). Self-loops dropped; one page's
+    spans arrive in one row, so batch-local dedup already makes the
+    edge set globally distinct (a directed edge originates only from
+    its source page's document row)."""
     import re
 
-    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
-
-    B = default_buckets()
     page_re = re.compile(r"/p(\d+)\.html$")
 
     def edge_rows(t: pa.Table) -> pa.Table:
@@ -2207,10 +2187,43 @@ def cocitation_from_docs(
         )
 
     def batch_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        # one page's spans arrive in one row, so in-page duplicate
-        # links (the fanout formula can collide) die here and the
-        # edge set is already globally distinct
-        out = df.drop_duplicates(["host", "s", "t"]).copy()
+        return df.drop_duplicates(["host", "s", "t"])
+
+    return docs.map_batches(edge_rows, batch_format="pyarrow").map_batches(
+        batch_dedup, batch_format="pandas"
+    )
+
+
+def cocitation_from_docs(
+    docs: rd.Dataset, min_common: int = COCITATION_MIN_COMMON
+) -> rd.Dataset:
+    """(host, a, b, n_common): co-citation similarity of each host's
+    directed page-link graph — pairs of pages a<b cited together by
+    ≥ ``min_common`` common source pages (Small 1973, public; the
+    link-structure near-dup signal that needs no page content).
+
+    Plan — the wedge-emission vocabulary ``triangles_from_docs``
+    established, minus the closing probe AND minus its edge-dedup
+    exchange: a directed edge (s, t) originates only from page s's
+    single document row, so batch-local dedup already makes the edge
+    set globally distinct (triangles needed the exchange because its
+    undirected orientation collects each edge from both endpoints).
+    (1) extract distinct directed edges per batch (self-loops
+    dropped — a page citing itself co-cites nothing); (2) group by
+    source-hash bucket and emit each (host, source)'s distinct
+    out-neighbor pairs — O(outdeg²) per source, bounded by page size
+    at web scale (a source citing d pages emits d(d−1)/2 wedges; cap
+    or sample sources with pathological fanout the same way the
+    triangle plan orients by degree); (3) one bucketed count per
+    (host, a, b) pair, thresholded group-locally so the exchange's
+    output is only the qualifying pairs. Two exchanges total, no
+    driver state at any step."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def add_sb(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
         out["sb"] = (out["s"].astype("int64") % B).astype("int64")
         return out
 
@@ -2229,8 +2242,8 @@ def cocitation_from_docs(
         )
 
     pairs = (
-        docs.map_batches(edge_rows, batch_format="pyarrow")
-        .map_batches(batch_dedup, batch_format="pandas")
+        _host_page_edges(docs)
+        .map_batches(add_sb, batch_format="pandas")
         .groupby("sb")
         .map_groups(cocite_pairs, batch_format="pandas")
     )
@@ -2250,6 +2263,116 @@ def crawl_cocitation(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return cocitation_from_docs(crawl_docs(sf_dir))
+
+
+LINK_JACCARD_NUM, LINK_JACCARD_DEN = 1, 3  # keep pairs with J >= 1/3
+
+
+def link_jaccard_from_docs(
+    docs: rd.Dataset,
+    num: int = LINK_JACCARD_NUM,
+    den: int = LINK_JACCARD_DEN,
+) -> rd.Dataset:
+    """(host, a, b, n_common, jaccard_micro): page pairs whose
+    OUT-link sets overlap with Jaccard >= num/den — the structural
+    near-dup signal over link sets rather than content (template
+    pages, mirrored sections, and nav boilerplate cluster here even
+    when their text differs). Co-citation pairs TARGETS by shared
+    source; this pairs SOURCES by shared target and normalizes by the
+    exact union size, gated all-integer (den·|∩| >= num·(dA+dB−|∩|))
+    so both engines select the identical set.
+
+    Plan — three bounded exchanges, no driver state: (1) a source-hash
+    co-group attaches each page's exact out-degree to its edge rows
+    (the degree rides the row, the q17 attach idiom — never an
+    O(pages) broadcast); (2) a target-hash co-group self-merges each
+    target's in-neighbors into source pairs, partial-counted
+    group-locally (O(indeg²) per target — at web scale cap or orient
+    pathological in-fanout exactly like the triangle plan); (3) one
+    bucketed sum per (host, a, b) with the constant degrees riding as
+    min, then the threshold + micro-ratio close group-locally so only
+    qualifying pairs leave the final stage."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def add_sb(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["sb"] = (out["s"].astype("int64") % B).astype("int64")
+        return out
+
+    def attach_degree(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["host", "s", "t"]].copy()
+        out["d"] = (
+            out.groupby(["host", "s"])["t"].transform("size").astype("int64")
+        )
+        out["tb"] = (out["t"].astype("int64") % B).astype("int64")
+        return out
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[["host", "s", "t", "d"]]
+        m = lhs.merge(lhs, on=["host", "t"], suffixes=("_x", "_y"))
+        m = m[m["s_x"] < m["s_y"]]
+        p = (
+            m.groupby(
+                ["host", "s_x", "s_y", "d_x", "d_y"], as_index=False
+            ).size()
+        )
+        return pd.DataFrame(
+            {
+                "host": p["host"],
+                "a": p["s_x"].astype("int64"),
+                "b": p["s_y"].astype("int64"),
+                "da": p["d_x"].astype("int64"),
+                "db": p["d_y"].astype("int64"),
+                "n": p["size"].astype("int64"),
+            }
+        )
+
+    pairs = (
+        _host_page_edges(docs)
+        .map_batches(add_sb, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(attach_degree, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(pair_partials, batch_format="pandas")
+    )
+    counted = bucketed_groupby_agg(
+        pairs,
+        keys=["host", "a", "b"],
+        aggs={
+            "n_common": ("n", "sum"),
+            "da": ("da", "min"),
+            "db": ("db", "min"),
+        },
+    )
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        union = df["da"] + df["db"] - df["n_common"]
+        keep = den * df["n_common"] >= num * union
+        df, union = df[keep], union[keep]
+        return pd.DataFrame(
+            {
+                "host": df["host"],
+                "a": df["a"].astype("int64"),
+                "b": df["b"].astype("int64"),
+                "n_common": df["n_common"].astype("int64"),
+                "jaccard_micro": (
+                    (1_000_000 * df["n_common"]) // union
+                ).astype("int64"),
+            }
+        )
+
+    return counted.map_batches(close, batch_format="pandas")
+
+
+def crawl_link_jaccard(sf_dir: str) -> rd.Dataset:
+    """queries() entry: out-link-set Jaccard >= 1/3 page pairs of the
+    flagship crawl's link graph. Full SQL oracle: degree + target
+    self-join on the shared reach CTE."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return link_jaccard_from_docs(crawl_docs(sf_dir))
 
 
 _ANCHOR_RE = None  # compiled lazily in workers (module import stays light)

@@ -141,3 +141,49 @@ class TestMutualInformation:
         types = ["a", "a", "b", "b"]
         days = [0, 0, 1, 1]
         assert self._mi_of(types, days, tmp_path) == 693_147
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinkJaccard:
+    def test_matches_bruteforce_sets(self):
+        """Brute-force all-pairs set Jaccard per host over the same
+        extracted edge table must equal the 3-exchange plan."""
+        from itertools import combinations
+
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import (
+            _host_page_edges,
+            link_jaccard_from_docs,
+        )
+
+        docs = crawl_docs(SF).materialize()
+        got = (
+            link_jaccard_from_docs(docs)
+            .to_pandas()
+            .sort_values(["host", "a", "b"])
+            .reset_index(drop=True)
+        )
+
+        edges = _host_page_edges(docs).to_pandas()
+        outs = {}
+        for host, s, t in edges.itertuples(index=False):
+            outs.setdefault(host, {}).setdefault(int(s), set()).add(int(t))
+        rows = []
+        for host, by_src in outs.items():
+            for a, b in combinations(sorted(by_src), 2):
+                inter = len(by_src[a] & by_src[b])
+                union = len(by_src[a] | by_src[b])
+                if inter and 3 * inter >= union:
+                    rows.append(
+                        (host, a, b, inter, (1_000_000 * inter) // union)
+                    )
+        ref = (
+            pd.DataFrame(
+                rows,
+                columns=["host", "a", "b", "n_common", "jaccard_micro"],
+            )
+            .sort_values(["host", "a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref)
+        assert len(ref) > 0
