@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_classify": textops.docs_nb_classify,
         "docs_dsir_weights": textops.docs_dsir_weights,
         "docs_nfc_normalize": textops.docs_nfc_normalize,
+        "docs_readability": textops.docs_readability,
         "docs_weighted_sample": textops.docs_weighted_sample,
         "docs_stratum_sample": textops.docs_stratum_sample,
         "docs_pmi_topk": textops.docs_pmi_topk,
@@ -1702,6 +1703,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, nfc_normalize(text) AS text_nfc,
                    CAST(nfc_normalize(text) <> text AS BIGINT) AS changed
             FROM documents
+        """,
+        # Flesch reading-ease as one exact trunc-division (// is
+        # truncating in DuckDB; the engine mirrors it)
+        "docs_readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     greatest(1, len(regexp_extract_all(lower(text),
+                       '[a-z]+'))) AS w,
+                     len(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS raw_w,
+                     greatest(1, len(regexp_extract_all(text,
+                       '[.!?]+'))) AS s,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS vruns,
+                     len(regexp_extract_all(lower(text),
+                       '[a-z]*[aeiouy][a-z]*')) AS vwords
+              FROM documents
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS words,
+                   CAST(s AS BIGINT) AS sentences,
+                   CAST(vruns + raw_w - vwords AS BIGINT) AS syllables,
+                   CAST((206835000 * s * w - 1015000 * w * w
+                         - 84600000 * (vruns + raw_w - vwords) * s)
+                        // (s * w) AS BIGINT) AS flesch_micro
+            FROM c
         """,
         # A-ES weighted sampling: top-20 by floor(−ln(u)·1e9/w) with
         # u md5-derived from doc_id, w = token count + 1

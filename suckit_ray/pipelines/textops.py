@@ -3039,3 +3039,55 @@ def docs_inverted_index(sf_dir: str) -> rd.Dataset:
         return out[["term", "df", "postings"]]
 
     return ds.groupby("tb").map_groups(build, batch_format="pandas")
+
+
+def docs_readability(sf_dir: str) -> rd.Dataset:
+    """(doc_id, words, sentences, syllables, flesch_micro): Flesch
+    reading-ease (Flesch 1948, public) as an EXACT integer —
+    score = 206.835 − 1.015·(W/S) − 84.6·(Sy/W) carried as the single
+    trunc-division (206835000·S·W − 1015000·W² − 84600000·Sy·S) over
+    (S·W), so the float never exists in either engine (negative
+    scores make the division truncating, DuckDB ``//`` semantics).
+    The readability gate a curation pipeline applies next to the
+    Gopher/CCNet quality signals.
+
+    Counting rules (regex-count parity with RE2 verified): words =
+    maximal [a-z]+ runs of the lowercased text; sentences =
+    max(1, [.!?]+ runs); syllables = vowel-group runs plus one for
+    each word with no vowel (Σ max(1, vowel_groups(word)) without a
+    per-word loop: a [a-z]*[aeiouy][a-z]* match consumes exactly the
+    words that contain a vowel). W guards at 1 the same way S does.
+    Embarrassingly parallel — one vectorized pandas pass, no
+    shuffle."""
+    import numpy as np
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        w = np.maximum(
+            1, low.str.count(r"[a-z]+").to_numpy().astype("int64")
+        )
+        s = np.maximum(
+            1, df["text"].str.count(r"[.!?]+").to_numpy().astype("int64")
+        )
+        vruns = low.str.count(r"[aeiouy]+").to_numpy().astype("int64")
+        vwords = (
+            low.str.count(r"[a-z]*[aeiouy][a-z]*").to_numpy().astype("int64")
+        )
+        raw_w = low.str.count(r"[a-z]+").to_numpy().astype("int64")
+        syl = vruns + (raw_w - vwords)
+        num = 206_835_000 * s * w - 1_015_000 * w * w - 84_600_000 * syl * s
+        den = s * w
+        micro = np.where(num >= 0, num // den, -((-num) // den))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "words": w,
+                "sentences": s,
+                "syllables": syl,
+                "flesch_micro": micro.astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

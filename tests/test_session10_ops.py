@@ -187,3 +187,78 @@ class TestLinkJaccard:
         )
         pd.testing.assert_frame_equal(got, ref)
         assert len(ref) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadability:
+    def _run(self, texts, tmp_path):
+        from suckit_ray.pipelines.textops import docs_readability
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        return (
+            docs_readability(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_hand_counts(self, tmp_path):
+        got = self._run(
+            ["The cat sat. It ran!", "xyz crwth", ""], tmp_path
+        )
+        # doc 0: words 6 ("the cat sat it ran" -> 5? no: the,cat,sat,it,ran = 5)
+        r0 = got.iloc[0]
+        assert (r0["words"], r0["sentences"]) == (5, 2)
+        # syllables: the(1) cat(1) sat(1) it(1) ran(1) = 5
+        assert r0["syllables"] == 5
+        # score = 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
+        assert r0["flesch_micro"] == 119_697_500
+        # doc 1: two no-vowel words -> 1 syllable each; crwth has no
+        # aeiouy... (w is not a vowel here); "xyz" has y: 1 vowel run
+        r1 = got.iloc[1]
+        assert (r1["words"], r1["sentences"], r1["syllables"]) == (2, 1, 2)
+        # doc 2 (empty): guards words=1, sentences=1, syllables=0
+        r2 = got.iloc[2]
+        assert (r2["words"], r2["sentences"], r2["syllables"]) == (1, 1, 0)
+        assert r2["flesch_micro"] == 205_820_000
+
+    def test_negative_score_truncates_like_duckdb(self, tmp_path):
+        """A pathological polysyllabic one-word text drives the score
+        negative; division must truncate toward zero (DuckDB //), not
+        floor."""
+        import duckdb
+
+        text = "aaa eee iii ooo uuu aaa eee iii ooo uuu."
+        got = self._run([text], tmp_path).iloc[0]
+        con = duckdb.connect()
+        want = con.execute(
+            """
+            WITH c AS (
+              SELECT greatest(1, len(regexp_extract_all(lower($1),
+                       '[a-z]+'))) AS w,
+                     len(regexp_extract_all(lower($1), '[a-z]+')) AS rw,
+                     greatest(1, len(regexp_extract_all($1, '[.!?]+')))
+                       AS s,
+                     len(regexp_extract_all(lower($1), '[aeiouy]+'))
+                       AS vr,
+                     len(regexp_extract_all(lower($1),
+                       '[a-z]*[aeiouy][a-z]*')) AS vw
+            )
+            SELECT CAST((206835000*s*w - 1015000*w*w
+                         - 84600000*(vr+rw-vw)*s) // (s*w) AS BIGINT)
+            FROM c
+            """,
+            [text],
+        ).fetchone()[0]
+        assert int(got["flesch_micro"]) == int(want)
