@@ -9,12 +9,15 @@ Two kernel paths per stage (round 3, VERDICT r2 item 8):
   bytes themselves, so the Ray-side plumbing — schema, actor-pool
   signature (setup in ``__init__`` once per actor), batch sizing for
   large binary payloads, output layout — is fully testable anywhere.
-- ``fake=False``: the REAL kernel, loaded once per actor in
-  ``__init__`` — PIL for image decode/resize/features, the ``ffmpeg``
-  binary (or PyAV) for video frame sampling. Raises
-  ``NotImplementedError`` with the missing dependency named when the
-  environment lacks the codec, so the stage self-documents what it
-  needs. Tests for this path skip unless the codec imports.
+- ``fake=False``: the REAL kernel. netpbm images (P5/P6) and RIFF/WAV
+  audio decode NATIVELY (ASCII header + raw raster / stdlib ``wave``
+  — no codec library), so those families run honestly in this
+  container; foreign formats route to PIL (images, imported lazily
+  once per actor) or the ``ffmpeg`` binary (video/compressed audio)
+  and raise ``NotImplementedError`` with the missing dependency named
+  when the environment lacks it, so the stage self-documents what it
+  needs. PIL/ffmpeg tests skip unless the codec imports; the native
+  paths are tested unconditionally.
 
 Usage shape (the 100 TB story): media rows are wide (MBs of bytes), so
 these stages run with SMALL ``batch_size`` (tens of rows) and
@@ -50,9 +53,117 @@ def _import_pil(what: str):
         return Image
     except ImportError as e:
         raise NotImplementedError(
-            f"{what} needs PIL (pillow) in the worker environment; "
+            f"{what} needs PIL (pillow) in the worker environment for "
+            "non-netpbm formats; netpbm (P5/P6) decodes natively, or "
             "construct with fake=True for the deterministic fake kernel"
         ) from e
+
+
+# ----- native netpbm (P5 gray / P6 rgb, binary, maxval <= 255) -----
+# This container ships no image codecs, but netpbm needs none: the
+# header is ASCII tokens and the raster is a raw byte grid numpy can
+# view zero-copy — so the image family gets an HONEST real path (the
+# same move the audio stages made with stdlib RIFF/WAV). Foreign
+# formats (jpeg/png/...) still route to PIL when importable and raise
+# NotImplementedError naming the dependency when not.
+
+_NETPBM_WS = b" \t\r\n"
+
+
+def _is_netpbm(data: bytes) -> bool:
+    return data[:2] in (b"P5", b"P6")
+
+
+def _netpbm_header(data: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, maxval, channels, raster_offset) — tokenizer
+    skips whitespace and ``#`` comments per the netpbm spec; exactly
+    ONE whitespace byte separates maxval from the raster."""
+    if not _is_netpbm(data):
+        raise NotImplementedError("not a netpbm (P5/P6) payload")
+    channels = 1 if data[:2] == b"P5" else 3
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(data):
+            c = data[pos : pos + 1]
+            if c in _NETPBM_WS:
+                pos += 1
+            elif c == b"#":
+                nl = data.find(b"\n", pos)
+                pos = len(data) if nl < 0 else nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and data[pos : pos + 1] not in _NETPBM_WS:
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        toks.append(int(data[start:pos]))
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm (maxval > 255) unsupported")
+    return w, h, maxval, channels, pos + 1
+
+
+def _parse_netpbm(data: bytes) -> tuple[dict, np.ndarray]:
+    """Metadata dict + (h, w, channels) uint8 array view."""
+    w, h, maxval, ch, off = _netpbm_header(data)
+    n = w * h * ch
+    if len(data) - off < n:
+        raise ValueError("truncated netpbm raster")
+    arr = np.frombuffer(data, np.uint8, count=n, offset=off).reshape(h, w, ch)
+    meta = {
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "format": "pgm" if ch == 1 else "ppm",
+        "n_bytes": len(data),
+    }
+    return meta, arr
+
+
+def _encode_netpbm(arr: np.ndarray) -> bytes:
+    """(h, w, channels) uint8 array → binary P5/P6 bytes."""
+    h, w, ch = arr.shape
+    magic = b"P5" if ch == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _netpbm_gray(arr: np.ndarray) -> np.ndarray:
+    """(h, w) float32 luminance — mean over channels (deterministic,
+    codec-free; a P5 raster is already gray)."""
+    return arr.astype(np.float32).mean(axis=2)
+
+
+def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
+    """Exact 8×8 area-mean pooling of an (h, w) float array via the
+    integral image — the classic perceptual-feature grid without any
+    resampling library."""
+    h, w = gray.shape
+    integ = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integ[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    ys = np.maximum(ys, np.arange(9))  # guard h < 8: non-empty blocks
+    xs = np.maximum(xs, np.arange(9))
+    ys = np.minimum(ys, h)
+    xs = np.minimum(xs, w)
+    out = np.empty((8, 8), dtype=np.float32)
+    for i in range(8):
+        for j in range(8):
+            y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
+            area = max(1, (y1 - y0) * (x1 - x0))
+            out[i, j] = (
+                integ[y1, x1] - integ[y0, x1] - integ[y1, x0] + integ[y0, x0]
+            ) / area
+    return out
+
+
+def _netpbm_resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample of an (h, w, c) grid."""
+    h, w, _ = arr.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return arr[rows][:, cols]
 
 
 def _fake_decode(data: bytes) -> dict:
@@ -79,15 +190,30 @@ def _fake_features(data: bytes) -> np.ndarray:
 class DecodeImage:
     """Actor-pool stage: binary column → media metadata struct column.
 
-    ``fake=False`` loads PIL ONCE per actor and reads real
-    (width, height, channels, format) from the image header."""
+    ``fake=False`` decodes netpbm (P5/P6) NATIVELY (header tokens +
+    raw raster — no codec library) and routes other formats to PIL,
+    imported lazily on first foreign payload so a netpbm-only corpus
+    runs real anywhere; a jpeg in a PIL-less environment raises
+    NotImplementedError naming the dependency (the DecodeAudio
+    convention)."""
 
     def __init__(self, input_col: str = "body", fake: bool = True):
         self.input_col = input_col
         self.fake = fake
-        self._Image = None if fake else _import_pil("DecodeImage")
+        self._Image = None  # lazy: netpbm never needs it
 
     def _real_decode(self, data: bytes) -> dict:
+        if _is_netpbm(data):
+            w, h, _maxval, ch, _off = _netpbm_header(data)
+            return {
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "format": "pgm" if ch == 1 else "ppm",
+                "n_bytes": len(data),
+            }
+        if self._Image is None:
+            self._Image = _import_pil("DecodeImage")
         img = self._Image.open(io.BytesIO(data))
         return {
             "width": img.width,
@@ -117,11 +243,17 @@ class ExtractImageFeatures:
         self.input_col = input_col
         self.fake = fake
         self._dim = FEATURE_DIM
-        self._Image = None if fake else _import_pil("ExtractImageFeatures")
+        self._Image = None  # lazy: netpbm never needs it
 
     def _real_features(self, data: bytes) -> np.ndarray:
-        img = self._Image.open(io.BytesIO(data)).convert("L").resize((8, 8))
-        v = np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM)
+        if _is_netpbm(data):
+            _meta, arr = _parse_netpbm(data)
+            v = _block_mean_8x8(_netpbm_gray(arr)).reshape(FEATURE_DIM)
+        else:
+            if self._Image is None:
+                self._Image = _import_pil("ExtractImageFeatures")
+            img = self._Image.open(io.BytesIO(data)).convert("L").resize((8, 8))
+            v = np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM)
         n = float(np.linalg.norm(v))
         return v / n if n else v
 
@@ -146,7 +278,22 @@ class ResizeImage:
         self.width = width
         self.height = height
         self.fake = fake
-        self._Image = None if fake else _import_pil("ResizeImage")
+        self._Image = None  # lazy: netpbm never needs it
+
+    def _real_resize(self, data: bytes) -> bytes:
+        if _is_netpbm(data):
+            _meta, arr = _parse_netpbm(data)
+            return _encode_netpbm(
+                _netpbm_resize_nearest(arr, self.width, self.height)
+            )
+        if self._Image is None:
+            self._Image = _import_pil("ResizeImage")
+        img = self._Image.open(io.BytesIO(data))
+        fmt = img.format or "PNG"
+        img = img.resize((self.width, self.height))
+        buf = io.BytesIO()
+        img.save(buf, format=fmt)
+        return buf.getvalue()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas = batch.column("media_meta").to_pylist()
@@ -161,12 +308,7 @@ class ResizeImage:
             )
         bodies = []
         for data, m in zip(batch.column("body").to_pylist(), metas):
-            img = self._Image.open(io.BytesIO(data or b""))
-            fmt = img.format or "PNG"
-            img = img.resize((self.width, self.height))
-            buf = io.BytesIO()
-            img.save(buf, format=fmt)
-            raw = buf.getvalue()
+            raw = self._real_resize(data or b"")
             m.update(width=self.width, height=self.height, n_bytes=len(raw))
             bodies.append(raw)
         out = batch.set_column(

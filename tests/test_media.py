@@ -26,15 +26,98 @@ def _has_pil() -> bool:
 
 
 @pytest.mark.skipif(_has_pil(), reason="PIL present: real path active")
-def test_real_codec_paths_raise_without_codecs():
-    """Without PIL the real kernels must fail loudly at actor setup,
-    naming the missing dependency."""
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
-    with pytest.raises(NotImplementedError):
-        ExtractImageFeatures(fake=False)
-    with pytest.raises(NotImplementedError):
-        ResizeImage(2, 2, fake=False)
+def test_foreign_formats_raise_without_codecs():
+    """Without PIL the real kernels run netpbm natively but must fail
+    loudly on a FOREIGN format (jpeg magic), naming the dependency —
+    the DecodeAudio convention (non-WAV names ffmpeg)."""
+    import pyarrow as pa
+
+    jpeg = pa.table(
+        {"body": pa.array([b"\xff\xd8\xff\xe0 not really"], pa.binary())}
+    )
+    with pytest.raises(NotImplementedError, match="PIL"):
+        DecodeImage(fake=False)(jpeg)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        ExtractImageFeatures(fake=False)(jpeg)
+    meta_jpeg = DecodeImage(fake=True)(jpeg)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        ResizeImage(2, 2, fake=False)(meta_jpeg)
+
+
+class TestNetpbmNative:
+    """The image family's honest real path in this codec-free
+    container: P5/P6 parse natively (ASCII header + raw raster)."""
+
+    @staticmethod
+    def _ppm(w, h, value=None):
+        arr = np.zeros((h, w, 3), np.uint8)
+        if value is None:
+            arr[..., 0] = np.arange(w, dtype=np.uint8)[None, :]
+            arr[..., 1] = np.arange(h, dtype=np.uint8)[:, None]
+            arr[..., 2] = 7
+        else:
+            arr[:] = value
+        return b"P6\n# a comment\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+    def test_decode_real_metadata(self):
+        import pyarrow as pa
+
+        batch = pa.table(
+            {
+                "body": pa.array(
+                    [
+                        self._ppm(20, 10),
+                        b"P5\n4 2\n255\n" + bytes(8),
+                    ],
+                    pa.binary(),
+                )
+            }
+        )
+        metas = DecodeImage(fake=False)(batch).column("media_meta").to_pylist()
+        assert (metas[0]["width"], metas[0]["height"]) == (20, 10)
+        assert (metas[0]["channels"], metas[0]["format"]) == (3, "ppm")
+        assert (metas[1]["width"], metas[1]["height"]) == (4, 2)
+        assert (metas[1]["channels"], metas[1]["format"]) == (1, "pgm")
+
+    def test_features_track_brightness(self):
+        import pyarrow as pa
+
+        batch = pa.table(
+            {
+                "body": pa.array(
+                    [self._ppm(16, 16, 10), self._ppm(16, 16, 200)],
+                    pa.binary(),
+                )
+            }
+        )
+        feats = (
+            ExtractImageFeatures(fake=False)(batch)
+            .column("features")
+            .to_pylist()
+        )
+        # normalized uniform images give identical direction vectors,
+        # each entry 1/8 — the kernel read real pixels, not bytes-hash
+        assert np.allclose(feats[0], 1 / 8)
+        assert np.allclose(feats[1], 1 / 8)
+        assert len(feats[0]) == FEATURE_DIM
+
+    def test_resize_roundtrips_through_decoder(self):
+        import pyarrow as pa
+
+        body = self._ppm(20, 10)
+        batch = pa.table({"body": pa.array([body], pa.binary())})
+        dec = DecodeImage(fake=False)(batch)
+        rez = ResizeImage(8, 4, fake=False)(dec)
+        out = rez.column("body").to_pylist()[0]
+        meta2 = rez.column("media_meta").to_pylist()[0]
+        assert (meta2["width"], meta2["height"], meta2["channels"]) == (8, 4, 3)
+        # nearest-neighbor keeps exact source pixel values
+        from suckit_ray.stages.media import _parse_netpbm
+
+        _m, arr = _parse_netpbm(out)
+        _m0, src = _parse_netpbm(body)
+        assert arr[0, 0, 2] == 7 and set(arr[..., 2].flat) == {7}
+        assert set(np.unique(arr[..., 0])).issubset(set(np.unique(src[..., 0])))
 
 
 @pytest.mark.skipif(not _has_pil(), reason="needs PIL")
