@@ -278,6 +278,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "table_stats",
         "events_value_mad",
         "crawl_chunk_dedup",
+        "orders_pareto",
+        "events_value_entropy",
+        # tenth session: itemsets, dependence, link similarity,
+        # readability
+        "lineitem_frequent_pairs",
+        "events_mutual_information",
+        "crawl_link_jaccard",
+        "docs_readability",
     ]
     qs = E.queries()
     out = {}
