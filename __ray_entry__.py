@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_entropy": relops.events_value_entropy,
         "lineitem_frequent_pairs": relops.lineitem_frequent_pairs,
         "events_mutual_information": relops.events_mutual_information,
+        "events_ab_test": relops.events_ab_test,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2153,6 +2154,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN my USING (y)
             CROSS JOIN t
             GROUP BY t.n
+        """,
+        # 2x2 A/B chi-square, exact integer (HUGEINT: (ad-bc)^2
+        # overflows BIGINT), zero denominator -> 0
+        "events_ab_test": """
+            WITH u AS (
+              SELECT user_id, user_id % 2 AS arm,
+                     CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) >= 14
+                          THEN 1 ELSE 0 END AS conv
+              FROM events GROUP BY user_id
+            ),
+            cells AS (
+              SELECT
+                CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0
+                         END) AS HUGEINT) AS a,
+                CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0
+                         END) AS HUGEINT) AS b,
+                CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0
+                         END) AS HUGEINT) AS c,
+                CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0
+                         END) AS HUGEINT) AS d
+              FROM u
+            )
+            SELECT CAST(a + b AS BIGINT) AS users_a,
+                   CAST(a AS BIGINT) AS conv_a,
+                   CAST(c + d AS BIGINT) AS users_b,
+                   CAST(c AS BIGINT) AS conv_b,
+                   CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN 0
+                        ELSE CAST((1000000 * (a+b+c+d)
+                                   * (a*d - b*c) * (a*d - b*c))
+                                  // ((a+b)*(c+d)*(a+c)*(b+d))
+                                  AS BIGINT)
+                   END AS chi2_micro
+            FROM cells
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

@@ -5242,3 +5242,76 @@ def events_mutual_information(sf_dir: str) -> pa.Table:
             "mi_micronats": pa.array([_trunc_div(numer, n)], pa.int64()),
         }
     )
+
+
+def events_ab_test(sf_dir: str) -> pa.Table:
+    """One-row A/B experiment readout: users split into deterministic
+    arms by user_id parity, conversion = HEAVY BUYER (>= 14 'purchase'
+    events — the >=1 definition is degenerate on this corpus: every
+    user purchases), and the Pearson chi-square statistic of the 2×2
+    table carried EXACTLY — chi2 = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    as one trunc-division in unbounded Python ints (oracle: HUGEINT;
+    (ad−bc)² alone overflows int64 at ~50k users/cell). chi2_micro >=
+    3.841e6 rejects independence at p < 0.05 (1 dof).
+
+    Plan: batches pre-shrink to per-user purchase-count partials, ONE
+    user-hash co-group sums each user's count and counts its local
+    (arm, conv) cells — the exchange carries two small ints per
+    (user, batch), the driver folds O(buckets·4) cell partials."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    HEAVY = 14
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype("int64"),
+                    "purch": (df["event_type"] == "purchase").astype(
+                        "int64"
+                    ),
+                }
+            )
+            .groupby("user_id", as_index=False)["purch"]
+            .sum()
+        )
+        out["bucket"] = (out["user_id"] % B).astype("int64")
+        return out
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False)["purch"].sum()
+        u["arm"] = (u["user_id"] % 2).astype("int64")
+        u["conv"] = (u["purch"] >= HEAVY).astype("int64")
+        c = u.groupby(["arm", "conv"], as_index=False).size()
+        c["n"] = c["size"].astype("int64")
+        return c[["arm", "conv", "n"]]
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(cells, batch_format="pandas")
+        .to_pandas()  # O(buckets·4) cell partials
+    )
+    tot = parts.groupby(["arm", "conv"])["n"].sum()
+    a = int(tot.get((0, 1), 0))  # arm A converted
+    b = int(tot.get((0, 0), 0))  # arm A not
+    c = int(tot.get((1, 1), 0))  # arm B converted
+    d = int(tot.get((1, 0), 0))  # arm B not
+    n = a + b + c + d
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = (
+        _trunc_div(1_000_000 * n * (a * d - b * c) ** 2, den) if den else 0
+    )
+    return pa.table(
+        {
+            "users_a": pa.array([a + b], pa.int64()),
+            "conv_a": pa.array([a], pa.int64()),
+            "users_b": pa.array([c + d], pa.int64()),
+            "conv_b": pa.array([c], pa.int64()),
+            "chi2_micro": pa.array([chi2], pa.int64()),
+        }
+    )

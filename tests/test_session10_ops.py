@@ -262,3 +262,57 @@ class TestReadability:
             [text],
         ).fetchone()[0]
         assert int(got["flesch_micro"]) == int(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAbTest:
+    def test_matches_scipy_free_reference(self):
+        """Exact integer chi2 equals the float formula to float
+        precision, and cells match a pandas reference."""
+        from suckit_ray.pipelines.relops import events_ab_test
+
+        got = events_ab_test(SF).to_pandas().iloc[0]
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "event_type"]
+        )
+        u = (
+            ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+            .groupby("user_id")["p"]
+            .sum()
+            .ge(14)
+            .astype(int)
+        )
+        arm = u.index % 2
+        a = int(((arm == 0) & (u == 1)).sum())
+        b = int(((arm == 0) & (u == 0)).sum())
+        c = int(((arm == 1) & (u == 1)).sum())
+        d = int(((arm == 1) & (u == 0)).sum())
+        assert (got["users_a"], got["conv_a"]) == (a + b, a)
+        assert (got["users_b"], got["conv_b"]) == (c + d, c)
+        # both conversion classes occur: the statistic is exercised
+        assert 0 < a + c < a + b + c + d
+        n = a + b + c + d
+        chi2_f = (
+            n * (a * d - b * c) ** 2
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        )
+        assert abs(got["chi2_micro"] / 1e6 - chi2_f) < 1e-5
+
+    def test_degenerate_arm_yields_zero(self, tmp_path):
+        """All users in one arm: denominator 0 -> chi2 defined as 0."""
+        from suckit_ray.pipelines.relops import events_ab_test
+
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([0, 1], pa.timestamp("us")),
+                "user_id": pa.array([2, 4], pa.int64()),  # both arm 0
+                "event_type": pa.array(["purchase", "view"], pa.string()),
+                "value": pa.array([1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}"] * 2, pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = events_ab_test(str(tmp_path)).to_pandas().iloc[0]
+        assert got["chi2_micro"] == 0
+        assert (got["users_a"], got["users_b"]) == (2, 0)
