@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": textops.docs_dsir_weights,
         "docs_nfc_normalize": textops.docs_nfc_normalize,
         "docs_readability": textops.docs_readability,
+        "docs_compression_ratio": textops.docs_compression_ratio,
         "docs_weighted_sample": textops.docs_weighted_sample,
         "docs_stratum_sample": textops.docs_stratum_sample,
         "docs_pmi_topk": textops.docs_pmi_topk,

@@ -3091,3 +3091,43 @@ def docs_readability(sf_dir: str) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def docs_compression_ratio(sf_dir: str) -> rd.Dataset:
+    """(doc_id, raw_bytes, zlib_bytes, ratio_micro): per-doc
+    deflate compression ratio — the classic repetition/boilerplate
+    quality signal (RefinedWeb / MassiveText-style filters drop docs
+    whose text compresses too well: templated spam sits near
+    ratio_micro ~ 100000, natural prose near ~ 400000+). zlib level 6
+    output is fully determined by the DEFLATE spec + zlib's canonical
+    implementation, so the signal is reproducible across runs and
+    nodes; no SQL engine exposes deflate, so this is a rows-only
+    query pinned against an independent per-doc reference in tests.
+
+    Scale shape: embarrassingly parallel (one C-speed zlib call per
+    doc inside map_batches, no shuffle); bytes never leave their
+    batch."""
+    import zlib
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in df["text"]]
+        comp = [len(zlib.compress(b, 6)) for b in raw]
+        rawlen = pd.array([len(b) for b in raw], dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "raw_bytes": rawlen,
+                "zlib_bytes": pd.array(comp, dtype="int64"),
+                "ratio_micro": pd.array(
+                    [
+                        (1_000_000 * c) // r if r else 1_000_000
+                        for c, r in zip(comp, rawlen)
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

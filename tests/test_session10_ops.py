@@ -316,3 +316,55 @@ class TestAbTest:
         got = events_ab_test(str(tmp_path)).to_pandas().iloc[0]
         assert got["chi2_micro"] == 0
         assert (got["users_a"], got["users_b"]) == (2, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompressionRatio:
+    def test_matches_independent_reference(self):
+        import zlib
+
+        from suckit_ray.pipelines.textops import docs_compression_ratio
+
+        got = (
+            docs_compression_ratio(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = pd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).sort_values("doc_id")
+        for row, (_, doc) in zip(got.itertuples(index=False), docs.iterrows()):
+            b = doc["text"].encode("utf-8")
+            assert row.raw_bytes == len(b)
+            assert row.zlib_bytes == len(zlib.compress(b, 6))
+            assert row.ratio_micro == (1_000_000 * row.zlib_bytes) // max(
+                1, len(b)
+            )
+
+    def test_repetitive_text_compresses_harder(self, tmp_path):
+        from suckit_ray.pipelines.textops import docs_compression_ratio
+
+        texts = ["spam " * 400, "", None]
+        texts[2] = (
+            "the quick brown fox jumps over the lazy dog while a "
+            "zephyr quivers beyond jagged peaks and foxes examine "
+            "quartz formations in dazzling light near withered oaks"
+        )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["t"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        got = (
+            docs_compression_ratio(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert got.loc[0, "ratio_micro"] < got.loc[2, "ratio_micro"]
+        assert got.loc[1, "ratio_micro"] == 1_000_000  # empty guard
