@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pack_multimodal": flagship.crawl_pack_multimodal,
         # WARC archive source+sink round-trip
         "warc_roundtrip": warcops.warc_roundtrip,
+        "warc_cdx": warcops.warc_cdx,
         # text analysis
         "token_count": textops.token_count,
         "bpe_token_count": textops.bpe_token_count,

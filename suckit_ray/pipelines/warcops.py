@@ -63,3 +63,37 @@ def warc_roundtrip(sf_dir: str, output_dir: str | None = None) -> rd.Dataset:
         )
 
     return back.map_batches(summarize, batch_format="pyarrow")
+
+
+def warc_cdx(sf_dir: str, output_dir: str | None = None) -> rd.Dataset:
+    """CDX index of the documents archive: write the same deterministic
+    WARC segments ``warc_roundtrip`` proves, then ``build_cdx`` them —
+    one row per record with (urlkey, record_type, status, mime,
+    digest, segment, offset, length). Rows-only (segment names and
+    offsets depend on block partitioning, which Ray may vary run to
+    run); the random-access contract — every index row resolves via
+    ``fetch_cdx_record`` to the exact archived body — is pinned in
+    tests/test_warc_cdx.py."""
+    import os
+
+    if output_dir is None:
+        scratch = os.environ.get("GRAFT_SCRATCH_DIR")
+        output_dir = tempfile.mkdtemp(
+            prefix="suckit_warc_cdx_", dir=scratch or None
+        )
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"http://warc.test/doc/{i}" for i in ids]),
+                "status": pa.array([200] * len(ids), pa.int32()),
+                "data_type": pa.array(["text/plain; charset=utf-8"] * len(ids)),
+                "body": pa.array([x.encode("utf-8") for x in texts], pa.binary()),
+            }
+        )
+
+    warc.write_warc(docs.map_batches(to_docs, batch_format="pyarrow"), output_dir)
+    return warc.build_cdx(output_dir)

@@ -207,13 +207,15 @@ def write_warc(docs: rd.Dataset, output_dir: str, **cols) -> int:
 # ---------------------------------------------------------------------------
 
 def _iter_warc_records(data: bytes):
-    """Tolerant WARC record scanner shared by ``parse_warc_bytes`` and
-    ``count_warc_types`` — ONE home for the framing rules (gzip sniff,
-    seek to the next ``WARC/`` magic, malformed Content-Length
-    handling). Yields (fields, block) per record; ``block`` is None
-    when the header's Content-Length is unparseable (the scanner then
-    resumes at the next magic — a foreign record never truncates the
-    rest of the file)."""
+    """Tolerant WARC record scanner shared by ``parse_warc_bytes``,
+    ``count_warc_types`` and ``build_cdx`` — ONE home for the framing
+    rules (gzip sniff, seek to the next ``WARC/`` magic, malformed
+    Content-Length handling). Yields (fields, block, start, end) per
+    record, where [start, end) spans header+block in the UNCOMPRESSED
+    stream (the CDX offset/length unit); ``block`` is None when the
+    header's Content-Length is unparseable (the scanner then resumes
+    at the next magic — a foreign record never truncates the rest of
+    the file)."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     pos = 0
@@ -232,12 +234,13 @@ def _iter_warc_records(data: bytes):
         try:
             length = int(fields.get("content-length", "0"))
         except ValueError:  # malformed foreign header: skip past it
+            yield fields, None, pos, head_end + 4
             pos = head_end + 4
-            yield fields, None
             continue
         # the next find() absorbs trailing CRLFs/padding
-        yield fields, data[head_end + 4 : head_end + 4 + length]
-        pos = head_end + 4 + length
+        end = head_end + 4 + length
+        yield fields, data[head_end + 4 : end], pos, end
+        pos = end
 
 
 def parse_warc_bytes(
@@ -253,7 +256,7 @@ def parse_warc_bytes(
     foreign record doesn't silently truncate the rest of a Common
     Crawl-style archive — it just skips to the next record boundary."""
     out = []
-    for fields, block in _iter_warc_records(data):
+    for fields, block, _start, _end in _iter_warc_records(data):
         if block is None or fields.get("warc-type") != "response":
             continue
         url = fields.get("warc-target-uri", "")
@@ -501,7 +504,116 @@ def count_warc_types(paths: str | list[str]) -> dict[str, int]:
     for p in _resolve_warc_paths(paths):
         with open(p, "rb") as f:
             data = f.read()
-        for fields, _block in _iter_warc_records(data):
+        for fields, _block, _start, _end in _iter_warc_records(data):
             t = fields.get("warc-type", "unknown")
             counts[t] = counts.get(t, 0) + 1
     return counts
+
+
+# ---------------------------------------------------------------------------
+# CDX index + random access
+# ---------------------------------------------------------------------------
+
+CDX_SCHEMA = pa.schema(
+    [
+        ("urlkey", pa.string()),
+        ("url", pa.string()),
+        ("record_type", pa.string()),
+        ("status", pa.int32()),
+        ("mime", pa.string()),
+        ("digest", pa.string()),
+        ("segment", pa.string()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+    ]
+)
+
+
+def _http_status_mime(block: bytes) -> tuple[int, str | None]:
+    http_end = block.find(b"\r\n\r\n")
+    if http_end < 0:
+        return 0, None
+    head = block[:http_end].decode("utf-8", errors="replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else 0
+    mime = None
+    for hl in lines[1:]:
+        k, _, v = hl.partition(":")
+        if k.strip().lower() == "content-type":
+            mime = v.strip()
+            break
+    return status, mime
+
+
+def build_cdx(paths: str | list[str]) -> "rd.Dataset":
+    """CDX(J)-style index of a WARC archive as a Dataset — one row per
+    record: (urlkey, url, record_type, status, mime, digest, segment,
+    offset, length), where [offset, offset+length) spans header+block
+    in the UNCOMPRESSED stream of its segment (our segments are
+    whole-file gzip, so random access = gunzip the segment + slice —
+    ``fetch_cdx_record``). The standard web-archive lookup table: a
+    replay/dedup service resolves a URL to its record without
+    scanning archives. urlkey is the lowercased target URI (full SURT
+    canonicalization would slot in here). Digest: the record's
+    declared WARC-Payload-Digest (revisits) or blake2b63 of the HTTP
+    payload (responses) — the SAME fingerprint the delta-recrawl skip
+    decision uses.
+
+    One parse task per segment file; index rows stream as Arrow
+    blocks, never visiting the driver."""
+    files = rd.read_binary_files(_resolve_warc_paths(paths), include_paths=True)
+
+    def index(batch: pa.Table) -> pa.Table:
+        from suckit_ray.stages.html_stage import body_hash
+
+        cols: dict[str, list] = {k: [] for k in CDX_SCHEMA.names}
+        for path, data in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            seg = os.path.basename(path)
+            for fields, block, start, end in _iter_warc_records(data):
+                if block is None:
+                    continue
+                rtype = fields.get("warc-type", "unknown")
+                url = fields.get("warc-target-uri", "")
+                digest = fields.get("warc-payload-digest")
+                status, mime = (0, None)
+                if rtype == "response":
+                    status, mime = _http_status_mime(block)
+                    if digest is None:
+                        http_end = block.find(b"\r\n\r\n")
+                        payload = block[http_end + 4 :] if http_end >= 0 else b""
+                        digest = f"blake2b63:{body_hash(payload)}"
+                cols["urlkey"].append(url.lower())
+                cols["url"].append(url)
+                cols["record_type"].append(rtype)
+                cols["status"].append(status)
+                cols["mime"].append(mime)
+                cols["digest"].append(digest or "")
+                cols["segment"].append(seg)
+                cols["offset"].append(start)
+                cols["length"].append(end - start)
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in CDX_SCHEMA],
+            schema=CDX_SCHEMA,
+        )
+
+    return files.map_batches(index, batch_format="pyarrow", batch_size=4)
+
+
+def fetch_cdx_record(
+    archive_dir: str, segment: str, offset: int, length: int
+) -> tuple[dict, bytes | None]:
+    """Random access via a CDX row: gunzip ONE segment, slice
+    [offset, offset+length), parse the single record — (fields,
+    block). The replay-service read path; never scans other
+    segments."""
+    with open(os.path.join(archive_dir, segment), "rb") as f:
+        data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    sl = data[offset : offset + length]
+    for fields, block, _s, _e in _iter_warc_records(sl):
+        return fields, block
+    raise ValueError(f"no WARC record at {segment}:{offset}+{length}")
