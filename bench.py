@@ -286,6 +286,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_mutual_information",
         "crawl_link_jaccard",
         "docs_readability",
+        "events_ab_test",
+        "docs_compression_ratio",
+        "warc_cdx",
     ]
     qs = E.queries()
     out = {}

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="canonical URL dedup keys: drop fragments and "
                         "tracking params, sort query pairs "
                         "(rebuild-only)")
+    p.add_argument("--honor-nofollow", action="store_true",
+                   help="do not enqueue rel=nofollow links or links "
+                        "from meta-robots-nofollow pages; they are "
+                        "still rewritten in the mirror (rebuild-only)")
     p.add_argument("--opic", action="store_true",
                    help="adaptive frontier scheduling: release "
                         "highest-cash (most-linked-to) URLs first "
@@ -154,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         host_url_budget=args.host_url_budget,
         max_page_bytes=args.max_page_size,
         canonicalize_urls=args.canonicalize,
+        honor_nofollow=args.honor_nofollow,
         opic=args.opic,
         priority_patterns=tuple(args.priority),
         seen_filter=args.seen_filter,

@@ -59,6 +59,14 @@ class CrawlConfig:
     # stays the first-discovered original. Off by default (parity:
     # the reference dedups raw fragment-inclusive strings).
     canonicalize_urls: bool = False
+    # rebuild-only: honor rel="nofollow" link annotations and
+    # <meta name="robots" content="nofollow"> page directives —
+    # flagged links are still REWRITTEN in the mirror (the reference
+    # rewrites every visit-passing candidate; real crawlers render
+    # the anchor too) but are never enqueued, so link-spam paths do
+    # not spend crawl budget. Off by default (parity: the reference
+    # follows everything).
+    honor_nofollow: bool = False
     # rebuild-only: OPIC adaptive frontier scheduling (Abiteboul/
     # Preda/Cobena, "Adaptive On-Line Page Importance Computation",
     # WWW 2003). Seeds start with cash 1.0; each fetched page's cash

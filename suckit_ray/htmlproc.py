@@ -56,6 +56,39 @@ class AttrRef:
     end: int
     value: str
     attr: str       # "src" | "href"
+    nofollow: bool = False  # tag carries rel~="nofollow" (href only)
+
+
+# page-level <meta name="robots" content="...nofollow..."> — attribute
+# order varies, so match the tag then read its content attr
+_META_TAG_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
+_META_NAME_ROBOTS_RE = re.compile(
+    r"""\bname\s*=\s*["']?robots["'\s>]""", re.IGNORECASE
+)
+_META_CONTENT_RE = re.compile(
+    r"""\bcontent\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*))""", re.IGNORECASE
+)
+_REL_SPLIT_RE = re.compile(r"[\s,]+")
+
+
+def page_meta_nofollow(text: str) -> bool:
+    """True when the page declares <meta name=robots> with a nofollow
+    token — the page-level form of rel=nofollow (robots exclusion
+    protocol, public). Lightweight scan used only under
+    ``honor_nofollow``; a meta tag inside a comment/rawtext block
+    counts, which errs toward not crawling (the safe direction)."""
+    for m in _META_TAG_RE.finditer(text):
+        tag = m.group(0)
+        if not _META_NAME_ROBOTS_RE.search(tag):
+            continue
+        c = _META_CONTENT_RE.search(tag)
+        if not c:
+            continue
+        content = c.group(2) or c.group(3) or c.group(4) or ""
+        toks = {t.lower() for t in _REL_SPLIT_RE.split(content) if t}
+        if "nofollow" in toks or "none" in toks:
+            return True
+    return False
 
 
 def scan_link_attributes(text: str) -> list[AttrRef]:
@@ -98,8 +131,12 @@ def scan_link_attributes(text: str) -> list[AttrRef]:
         tag_end = i  # index of '>' (or n)
         tag_body = text[m.end() : tag_end]
         found: dict[str, AttrRef] = {}
+        rel_value: str | None = None
         for am in _ATTR_RE.finditer(tag_body):
             name = am.group(1).lower()
+            if name == "rel" and rel_value is None and am.group(2) is not None:
+                rel_value = am.group(3) or am.group(4) or am.group(5) or ""
+                continue
             if name not in ("src", "href") or name in found or am.group(2) is None:
                 continue
             if am.group(3) is not None:
@@ -113,6 +150,17 @@ def scan_link_attributes(text: str) -> list[AttrRef]:
                 value = am.group(5)
             found[name] = AttrRef(
                 start=m.end() + vstart, end=m.end() + vend, value=value, attr=name
+            )
+        if (
+            "href" in found
+            and rel_value
+            and "nofollow"
+            in {t.lower() for t in _REL_SPLIT_RE.split(rel_value) if t}
+        ):
+            f = found["href"]
+            found["href"] = AttrRef(
+                start=f.start, end=f.end, value=f.value, attr=f.attr,
+                nofollow=True,
             )
         for name in ("src", "href"):
             if name in found:
@@ -135,6 +183,7 @@ class Outlink:
     path: str               # to_path(joined, with_fragment=False) — the doc_id
     is_external: bool
     host: str
+    nofollow: bool = False  # honor_nofollow: rewrite but never enqueue
 
 
 @dataclass
@@ -153,6 +202,7 @@ def process_html(
     http_charset: str | None,
     include_visit: re.Pattern,
     exclude_visit: re.Pattern,
+    honor_nofollow: bool = False,
 ) -> HtmlResult:
     """Full HTML handling for one page — the rebuild of
     reference src/scraper.rs:145-228 (handle_html):
@@ -177,6 +227,9 @@ def process_html(
     text = textkit.decode_body(raw, codec if convert else "utf-8")
 
     refs = scan_link_attributes(text)
+    # page-level meta robots nofollow poisons every href candidate;
+    # rewriting is unaffected (the mirror still renders the anchors)
+    page_nofollow = honor_nofollow and page_meta_nofollow(text)
 
     pieces: list[str] = []
     spans: list[dict] = []
@@ -220,6 +273,9 @@ def process_html(
                 path=path_no_frag,
                 is_external=external,
                 host=joined.host or "",
+                nofollow=honor_nofollow
+                and ref.attr == "href"
+                and (ref.nofollow or page_nofollow),
             )
         )
         kept.append((ref, rewritten))

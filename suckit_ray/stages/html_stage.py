@@ -126,6 +126,7 @@ def make_process_fn(
     num_shards = len(shard_handles)
     route_by_host = cfg.politeness_on  # politeness requires host co-location
     canonicalize = cfg.canonicalize_urls
+    honor_nofollow = cfg.honor_nofollow
     if canonicalize:
         from suckit_ray.urlkit import canonical_url as _canon
 
@@ -203,7 +204,8 @@ def make_process_fn(
 
             if err is None and is_html:
                 res = htmlproc.process_html(
-                    parsed, doc_id, body, charset, include_visit, exclude_visit
+                    parsed, doc_id, body, charset, include_visit,
+                    exclude_visit, honor_nofollow=honor_nofollow,
                 )
                 body_out = res.body
                 spans = res.spans
@@ -213,6 +215,11 @@ def make_process_fn(
                     err = "; ".join(res.errors)
                 row_cands = []
                 for o in res.outlinks:
+                    # nofollow candidates are rewritten in the mirror
+                    # but never enqueued; like robots-dropped links
+                    # they get no OPIC cash share
+                    if o.nofollow:
+                        continue
                     if robots is not None:
                         ok, delay_ms = robots.allows_and_delay_ms(o.url)
                         if not ok:
