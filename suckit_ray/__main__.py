@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="do not enqueue rel=nofollow links or links "
                         "from meta-robots-nofollow pages; they are "
                         "still rewritten in the mirror (rebuild-only)")
+    p.add_argument("--follow-meta-refresh", action="store_true",
+                   help="enqueue <meta http-equiv=refresh> redirect "
+                        "targets through the normal visit/depth gates "
+                        "(rebuild-only)")
     p.add_argument("--opic", action="store_true",
                    help="adaptive frontier scheduling: release "
                         "highest-cash (most-linked-to) URLs first "
@@ -159,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
         max_page_bytes=args.max_page_size,
         canonicalize_urls=args.canonicalize,
         honor_nofollow=args.honor_nofollow,
+        follow_meta_refresh=args.follow_meta_refresh,
         opic=args.opic,
         priority_patterns=tuple(args.priority),
         seen_filter=args.seen_filter,

@@ -67,6 +67,13 @@ class CrawlConfig:
     # not spend crawl budget. Off by default (parity: the reference
     # follows everything).
     honor_nofollow: bool = False
+    # rebuild-only: follow <meta http-equiv=refresh content="N;url=…">
+    # client-side redirects — the target enters the frontier through
+    # the same visit/depth gates as markup links; the content
+    # attribute is not rewritten (no src/href to splice). Off by
+    # default (parity: the reference's [src],[href] selector never
+    # sees it).
+    follow_meta_refresh: bool = False
     # rebuild-only: OPIC adaptive frontier scheduling (Abiteboul/
     # Preda/Cobena, "Adaptive On-Line Page Importance Computation",
     # WWW 2003). Seeds start with cash 1.0; each fetched page's cash

@@ -71,6 +71,40 @@ _META_CONTENT_RE = re.compile(
 _REL_SPLIT_RE = re.compile(r"[\s,]+")
 
 
+_META_HTTP_EQUIV_REFRESH_RE = re.compile(
+    r"""\bhttp-equiv\s*=\s*["']?refresh["'\s>]""", re.IGNORECASE
+)
+_REFRESH_URL_RE = re.compile(
+    r"""^\s*\d*[\d.]*\s*(?:;|,)\s*url\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*))""",
+    re.IGNORECASE,
+)
+
+
+def meta_refresh_targets(text: str) -> list[str]:
+    """URLs declared by <meta http-equiv=refresh content="N; url=...">
+    — the client-side redirect real sites use instead of HTTP 3xx.
+    Used only under ``follow_meta_refresh``: targets become frontier
+    candidates (subject to the same visit/depth gates as markup
+    links); the content attribute itself is NOT rewritten (there is no
+    src/href to splice — the mirror keeps the original directive, as
+    the reference's DOM walk would)."""
+    out: list[str] = []
+    for m in _META_TAG_RE.finditer(text):
+        tag = m.group(0)
+        if not _META_HTTP_EQUIV_REFRESH_RE.search(tag):
+            continue
+        c = _META_CONTENT_RE.search(tag)
+        if not c:
+            continue
+        content = c.group(2) or c.group(3) or c.group(4) or ""
+        u = _REFRESH_URL_RE.match(content)
+        if u:
+            target = u.group(2) or u.group(3) or u.group(4) or ""
+            if target:
+                out.append(target)
+    return out
+
+
 def page_meta_nofollow(text: str) -> bool:
     """True when the page declares <meta name=robots> with a nofollow
     token — the page-level form of rel=nofollow (robots exclusion
@@ -203,6 +237,7 @@ def process_html(
     include_visit: re.Pattern,
     exclude_visit: re.Pattern,
     honor_nofollow: bool = False,
+    follow_meta_refresh: bool = False,
 ) -> HtmlResult:
     """Full HTML handling for one page — the rebuild of
     reference src/scraper.rs:145-228 (handle_html):
@@ -280,6 +315,34 @@ def process_html(
         )
         kept.append((ref, rewritten))
         ordinal += 1
+
+    if follow_meta_refresh:
+        # client-side redirects become candidates through the SAME
+        # visit/normalize/join pipeline as markup links; no span, no
+        # rewrite (nothing to splice), ordinals continue after markup
+        for target in meta_refresh_targets(text):
+            if not urlkit.should_visit(target, include_visit, exclude_visit):
+                continue
+            normalized = urlkit.normalize_url(target)
+            try:
+                joined = urlkit.join_url(page_url, normalized)
+            except urlkit.UrlParseError as e:
+                errors.append(f"join failed for {target!r}: {e}")
+                continue
+            outlinks.append(
+                Outlink(
+                    ordinal=ordinal,
+                    raw=target,
+                    url=joined.as_str(),
+                    path=urlkit.to_path(joined, with_fragment=False),
+                    is_external=urlkit.is_on_another_domain(
+                        target, page_url
+                    ),
+                    host=joined.host or "",
+                    nofollow=honor_nofollow and page_nofollow,
+                )
+            )
+            ordinal += 1
 
     for ref, rewritten in sorted(kept, key=lambda kr: kr[0].start):
         emit_text(text[prev : ref.start])

@@ -127,6 +127,7 @@ def make_process_fn(
     route_by_host = cfg.politeness_on  # politeness requires host co-location
     canonicalize = cfg.canonicalize_urls
     honor_nofollow = cfg.honor_nofollow
+    follow_meta_refresh = cfg.follow_meta_refresh
     if canonicalize:
         from suckit_ray.urlkit import canonical_url as _canon
 
@@ -206,6 +207,7 @@ def make_process_fn(
                 res = htmlproc.process_html(
                     parsed, doc_id, body, charset, include_visit,
                     exclude_visit, honor_nofollow=honor_nofollow,
+                    follow_meta_refresh=follow_meta_refresh,
                 )
                 body_out = res.body
                 spans = res.spans

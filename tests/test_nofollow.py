@@ -130,3 +130,75 @@ class TestNofollowCrawl:
         _res, ids = self._crawl(tmp_path, "off")
         assert "nf.test//spam.html" in ids
         assert "nf.test//hidden.html" in ids
+
+
+class TestMetaRefreshParse:
+    def test_extracts_targets(self):
+        from suckit_ray.htmlproc import meta_refresh_targets
+
+        assert meta_refresh_targets(
+            '<meta http-equiv="refresh" content="5; url=next.html">'
+        ) == ["next.html"]
+        assert meta_refresh_targets(
+            "<meta content='0;URL=\"/abs/path\"' http-equiv=REFRESH>"
+        ) == ["/abs/path"]
+        assert meta_refresh_targets(
+            '<meta http-equiv="refresh" content="30">'
+        ) == []  # reload, no redirect
+        assert meta_refresh_targets(
+            '<meta name="refresh" content="5; url=x.html">'
+        ) == []  # name= is not http-equiv=
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMetaRefreshCrawl:
+    def _store(self):
+        from suckit_ray.sources.pagestore import PageRecord, TablePageStore
+
+        H = "http://mr.test"
+        pages = [
+            PageRecord(
+                url=f"{H}/",
+                body=(
+                    '<meta http-equiv="refresh" content="0; url=moved.html">'
+                    '<a href="normal.html">n</a>'
+                ).encode(),
+                content_type="text/html",
+            ),
+            PageRecord(
+                url=f"{H}/moved.html",
+                body=b"<p>landed</p>",
+                content_type="text/html",
+            ),
+            PageRecord(
+                url=f"{H}/normal.html",
+                body=b"<p>n</p>",
+                content_type="text/html",
+            ),
+        ]
+        return TablePageStore.from_records(pages)
+
+    def _ids(self, tmp_path, sub, **cfg_kw):
+        from suckit_ray.config import CrawlConfig
+        from suckit_ray.pipelines.crawl import crawl
+
+        res = crawl(
+            CrawlConfig(
+                origin="http://mr.test/", output=str(tmp_path / sub), **cfg_kw
+            ),
+            self._store(),
+            num_shards=2,
+        )
+        docs = res.docs
+        tbl = docs if hasattr(docs, "num_rows") else docs.to_arrow()
+        return set(tbl.column("doc_id").to_pylist())
+
+    def test_follow_meta_refresh_reaches_target(self, tmp_path):
+        ids = self._ids(tmp_path, "on", follow_meta_refresh=True)
+        assert "mr.test//moved.html" in ids
+        assert "mr.test//normal.html" in ids
+
+    def test_default_ignores_meta_refresh(self, tmp_path):
+        ids = self._ids(tmp_path, "off")
+        assert "mr.test//moved.html" not in ids
+        assert "mr.test//normal.html" in ids
