@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_frequent_pairs": relops.lineitem_frequent_pairs,
         "events_mutual_information": relops.events_mutual_information,
         "events_ab_test": relops.events_ab_test,
+        "events_user_paths": relops.events_user_paths,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2190,6 +2191,31 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS chi2_micro
             FROM cells
+        """,
+        # top-20 user journeys: first 8 types per (user, day) joined
+        # with '>', counted, (n DESC, path ASC) deterministic cut
+        "events_user_paths": """
+            WITH e AS (
+              SELECT user_id, event_type, ts, event_id,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       AS day,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id,
+                         (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            p AS (
+              SELECT user_id, day,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM e WHERE rn <= 8 GROUP BY user_id, day
+            ),
+            c AS (
+              SELECT path, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY path
+            )
+            SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

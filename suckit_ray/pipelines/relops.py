@@ -5315,3 +5315,80 @@ def events_ab_test(sf_dir: str) -> pa.Table:
             "chi2_micro": pa.array([chi2], pa.int64()),
         }
     )
+
+
+USER_PATHS_K = 20
+USER_PATHS_MAXLEN = 8
+
+
+def events_user_paths(
+    sf_dir: str, k: int = USER_PATHS_K, maxlen: int = USER_PATHS_MAXLEN
+) -> pa.Table:
+    """(path, n): the top-k most frequent user JOURNEYS — each
+    (user, day)'s first ``maxlen`` event types in (ts, event_id) order
+    joined with '>' — the path-analysis readout behind funnel design
+    ("what do users actually do?"). The cap bounds the string per
+    session deterministically (mirrored as ROW_NUMBER <= maxlen in the
+    oracle), the scale guard a power-user day needs.
+
+    Plan: ONE user-hash co-group (a user's rows co-locate; day split,
+    sort, head-cap and join happen group-locally), one bucketed count
+    per path, then per-block top-k — each path's group is complete
+    inside its bucket, so a block's local top-k is a superset of its
+    contribution to the global top-k and the driver merges <= k·blocks
+    rows. Order (n DESC, path ASC) makes the cut deterministic."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": (ts_us // 86_400_000_000).astype("int64"),
+                "ts_us": ts_us,
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "bucket": (df["user_id"] % B).astype("int64"),
+            }
+        )
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day", "ts_us", "event_id"], kind="mergesort")
+        g = g.groupby(["user_id", "day"], as_index=False).head(maxlen)
+        p = g.groupby(["user_id", "day"], as_index=False).agg(
+            path=("event_type", lambda s: ">".join(s))
+        )
+        return p[["path"]]
+
+    counted = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(paths, batch_format="pandas"),
+        keys=["path"],
+        aggs={"n": ("path", "count")},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "path"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    merged = (
+        counted.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()  # <= k rows per block reach the driver
+        .sort_values(["n", "path"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "path": pa.array(merged["path"].tolist(), pa.string()),
+            "n": pa.array([int(x) for x in merged["n"]], pa.int64()),
+        }
+    )

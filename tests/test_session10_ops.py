@@ -368,3 +368,59 @@ class TestCompressionRatio:
         )
         assert got.loc[0, "ratio_micro"] < got.loc[2, "ratio_micro"]
         assert got.loc[1, "ratio_micro"] == 1_000_000  # empty guard
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserPaths:
+    def test_matches_pandas_reference(self):
+        from suckit_ray.pipelines.relops import events_user_paths
+
+        got = events_user_paths(SF).to_pandas()
+
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        ev["day"] = (
+            ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        ev = ev.sort_values(["user_id", "day", "ts", "event_id"])
+        capped = ev.groupby(["user_id", "day"]).head(8)
+        paths = capped.groupby(["user_id", "day"])["event_type"].agg(
+            ">".join
+        )
+        ref = (
+            paths.value_counts()
+            .rename_axis("path")
+            .reset_index(name="n")
+            .sort_values(["n", "path"], ascending=[False, True])
+            .head(20)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.assign(n=got["n"].astype("int64")),
+            ref.assign(n=ref["n"].astype("int64")),
+        )
+
+    def test_cap_and_order(self, tmp_path):
+        """10 events in one user-day: path keeps the FIRST 8 in
+        (ts, event_id) order, including the event_id tie-break."""
+        from suckit_ray.pipelines.relops import events_user_paths
+
+        types = list("abcdefghij")
+        tbl = pa.table(
+            {
+                "event_id": pa.array([9, 8, 7, 6, 5, 4, 3, 2, 1, 0], pa.int64()),
+                "ts": pa.array([0] * 10, pa.timestamp("us")),
+                "user_id": pa.array([1] * 10, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array([1.0] * 10, pa.float64()),
+                "props": pa.array(["{}"] * 10, pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = events_user_paths(str(tmp_path)).to_pandas()
+        # equal ts: event_id ascending wins -> j,i,h,g,f,e,d,c
+        assert got.iloc[0]["path"] == "j>i>h>g>f>e>d>c"
+        assert got.iloc[0]["n"] == 1
