@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mutual_information": relops.events_mutual_information,
         "events_ab_test": relops.events_ab_test,
         "events_user_paths": relops.events_user_paths,
+        "events_ewma": relops.events_ewma,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2216,6 +2217,35 @@ def oracle_sql() -> dict[str, str]:
               FROM p GROUP BY path
             )
             SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
+        """,
+        # integer alpha=1/2 EWMA: genuinely sequential fold (the floor
+        # per step has no prefix identity) replayed by a recursive CTE
+        "events_ewma": """
+            WITH RECURSIVE d AS (
+              SELECT event_type,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       AS day,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            dr AS (
+              SELECT event_type, day, x,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS rn
+              FROM d
+            ),
+            r(event_type, rn, day, x, e) AS (
+              SELECT event_type, rn, day, x, x FROM dr WHERE rn = 1
+              UNION ALL
+              SELECT dr.event_type, dr.rn, dr.day, dr.x,
+                     (dr.x + r.e) // 2
+              FROM r JOIN dr ON dr.event_type = r.event_type
+                            AND dr.rn = r.rn + 1
+            )
+            SELECT event_type, day, x AS x_cents,
+                   CAST(e AS BIGINT) AS ewma_cents
+            FROM r
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

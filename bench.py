@@ -289,6 +289,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_ab_test",
         "docs_compression_ratio",
         "warc_cdx",
+        "events_user_paths",
     ]
     qs = E.queries()
     out = {}

@@ -5392,3 +5392,72 @@ def events_user_paths(
             "n": pa.array([int(x) for x in merged["n"]], pa.int64()),
         }
     )
+
+
+def events_ewma(sf_dir: str) -> rd.Dataset:
+    """(event_type, day, x_cents, ewma_cents): integer α=1/2
+    exponentially-weighted moving average over each type's daily cent
+    sums — e_0 = x_0, e_t = (x_t + e_{t−1}) // 2 — the smoothed
+    monitoring series. Unlike every other scan in the repo (prefix
+    sums, running max, CUSUM — all closable to order-free forms), the
+    FLOOR inside each step makes this fold genuinely sequential: no
+    prefix identity exists, so the honest plan is a per-KEY ordered
+    replay. That is exactly the one shape where per-group sequential
+    work is scale-correct: the series length is bounded by the
+    CALENDAR (days observed), not the corpus, and each type's days
+    co-locate in one group.
+
+    Plan: the two-phase (type, day) cent-sum every windowed query
+    uses, then ONE type-hash co-group runs the bounded ordered fold.
+    Division truncates like DuckDB ``//`` (sums here are positive, so
+    floor == trunc; _trunc_div keeps it honest for negative
+    corpora)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // 86_400_000_000
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": day.astype("int64"),
+                "cents": to_cents(df["value"]),
+            }
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x_cents": ("cents", "sum")},
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, grp in g.groupby("event_type"):
+            grp = grp.sort_values("day", kind="mergesort")
+            e = 0
+            es = []
+            for i, x in enumerate(grp["x_cents"].astype("int64")):
+                e = int(x) if i == 0 else _trunc_div(int(x) + e, 2)
+                es.append(e)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "day": grp["day"].astype("int64").to_numpy(),
+                        "x_cents": grp["x_cents"].astype("int64").to_numpy(),
+                        "ewma_cents": pd.array(es, dtype="int64"),
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                columns=["event_type", "day", "x_cents", "ewma_cents"]
+            )
+        )
+
+    return daily.groupby("event_type").map_groups(fold, batch_format="pandas")

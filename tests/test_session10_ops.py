@@ -424,3 +424,62 @@ class TestUserPaths:
         # equal ts: event_id ascending wins -> j,i,h,g,f,e,d,c
         assert got.iloc[0]["path"] == "j>i>h>g>f>e>d>c"
         assert got.iloc[0]["n"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEwma:
+    def test_matches_sequential_reference(self):
+        from suckit_ray.pipelines.relops import events_ewma, to_cents
+
+        got = (
+            events_ewma(SF)
+            .to_pandas()
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+        ev["day"] = (
+            ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        ev["c"] = to_cents(ev["value"])
+        daily = (
+            ev.groupby(["event_type", "day"], as_index=False)["c"]
+            .sum()
+            .sort_values(["event_type", "day"])
+        )
+        rows = []
+        for etype, grp in daily.groupby("event_type"):
+            e = 0
+            for i, (_, r) in enumerate(grp.iterrows()):
+                x = int(r["c"])
+                e = x if i == 0 else (x + e) // 2  # positive: floor==trunc
+                rows.append((etype, int(r["day"]), x, e))
+        ref = pd.DataFrame(
+            rows, columns=["event_type", "day", "x_cents", "ewma_cents"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_flat_series_converges_to_level(self, tmp_path):
+        """Constant daily sums: EWMA equals the level from day 0 — and
+        the floor never drifts it."""
+        from suckit_ray.pipelines.relops import events_ewma
+
+        days = list(range(10))
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(10), pa.int64()),
+                "ts": pa.array(
+                    [d * 86_400_000_000 for d in days], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1] * 10, pa.int64()),
+                "event_type": pa.array(["a"] * 10, pa.string()),
+                "value": pa.array([5.0] * 10, pa.float64()),
+                "props": pa.array(["{}"] * 10, pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = events_ewma(str(tmp_path)).to_pandas()
+        assert (got["ewma_cents"] == 500).all()
