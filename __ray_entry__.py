@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nfc_normalize": textops.docs_nfc_normalize,
         "docs_readability": textops.docs_readability,
         "docs_compression_ratio": textops.docs_compression_ratio,
+        "docs_rake_topk": textops.docs_rake_topk,
         "docs_weighted_sample": textops.docs_weighted_sample,
         "docs_stratum_sample": textops.docs_stratum_sample,
         "docs_pmi_topk": textops.docs_pmi_topk,
@@ -1733,6 +1734,59 @@ def oracle_sql() -> dict[str, str]:
                          - 84600000 * (vruns + raw_w - vwords) * s)
                         // (s * w) AS BIGINT) AS flesch_micro
             FROM c
+        """,
+        # RAKE keyphrases: deg/freq word scores quantized to micro
+        # before the phrase sum; stopwords-only boundary rule
+        "docs_rake_topk": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS L
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, i, L[i] AS w,
+                     (L[i] IN ('the', 'a', 'of', 'and', 'in')) AS stop
+              FROM (SELECT doc_id, L, UNNEST(range(1, len(L) + 1)) AS i
+                    FROM d)
+            ),
+            nw AS (
+              SELECT doc_id, i, w,
+                     CAST(i AS BIGINT)
+                       - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY i) AS grp
+              FROM w WHERE NOT stop
+            ),
+            ph AS (
+              SELECT doc_id, grp,
+                     string_agg(w, ' ' ORDER BY i) AS phrase,
+                     CAST(count(*) AS BIGINT) AS plen
+              FROM nw GROUP BY doc_id, grp
+            ),
+            pw AS (
+              SELECT nw.doc_id, nw.grp, nw.w, ph.phrase, ph.plen
+              FROM nw JOIN ph USING (doc_id, grp)
+            ),
+            ws AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(SUM(plen) AS BIGINT) AS deg
+              FROM pw GROUP BY w
+            ),
+            wsc AS (
+              SELECT w, CAST((1000000 * deg) // freq AS BIGINT) AS score
+              FROM ws
+            ),
+            occ AS (
+              SELECT pw.doc_id, pw.grp, pw.phrase,
+                     CAST(SUM(wsc.score) AS BIGINT) AS s
+              FROM pw JOIN wsc USING (w) GROUP BY 1, 2, 3
+            ),
+            agg AS (
+              SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+                     CAST(min(s) AS BIGINT) AS score_micro
+              FROM occ GROUP BY phrase
+            )
+            SELECT phrase, n_occ, score_micro
+            FROM agg ORDER BY score_micro DESC, phrase LIMIT 20
         """,
         # A-ES weighted sampling: top-20 by floor(−ln(u)·1e9/w) with
         # u md5-derived from doc_id, w = token count + 1

@@ -290,6 +290,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_compression_ratio",
         "warc_cdx",
         "events_user_paths",
+        "events_ewma",
     ]
     qs = E.queries()
     out = {}

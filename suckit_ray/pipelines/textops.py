@@ -3131,3 +3131,124 @@ def docs_compression_ratio(sf_dir: str) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+RAKE_TOPK = 20
+
+
+def docs_rake_topk(sf_dir: str, k: int = RAKE_TOPK) -> "pa.Table":
+    """(phrase, n_occ, score_micro): corpus top-k RAKE keyphrases
+    (Rose et al. 2010, public) — candidate phrases are maximal runs of
+    non-stopword words, word score = degree/frequency over phrase
+    co-occurrence, phrase score = Σ word scores. Scores are integers:
+    each word's score quantizes to (10^6·deg)//freq BEFORE the phrase
+    sum (the lm_score micronat idiom), so the ranking is bit-exact in
+    both engines. Boundary rule (documented simplification vs classic
+    RAKE): only stopwords break phrases — words are [a-z]+ runs, so
+    punctuation already never joins two words into one token.
+
+    Plan — zero driver model state, the count-and-attach shape: (1)
+    phrase extraction is batch-local (a doc's text lives in one row;
+    per-doc work bounded by doc length, the gopher precedent), each
+    phrase occurrence emitting its word rows keyed by a unique
+    (doc, phrase-index) id; (2) ONE word-hash co-group computes
+    freq/deg where each word's rows already co-locate and attaches the
+    word score to every row — a broadcast word table would be
+    O(vocab); (3) one bucketed sum per occurrence, one per-phrase
+    aggregate, per-block top-k so the driver merges ≤ k·blocks rows
+    with the deterministic (score DESC, phrase ASC) cut."""
+    import re as _re
+
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+    stop = set(STOPWORDS)
+    word_re = _re.compile(r"[a-z]+")
+
+    def phrase_word_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ws, occs, phrases, plens = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            words = word_re.findall((text or "").lower())
+            cur: list[str] = []
+            pi = 0
+            base = int(doc_id) << 20
+            for w in words + [None]:  # sentinel flushes the tail run
+                if w is None or w in stop:
+                    if cur:
+                        phrase = " ".join(cur)
+                        for pw in cur:
+                            ws.append(pw)
+                            occs.append(base + pi)
+                            phrases.append(phrase)
+                            plens.append(len(cur))
+                        pi += 1
+                        cur = []
+                else:
+                    cur.append(w)
+        out = pd.DataFrame(
+            {
+                "w": pd.array(ws, dtype="string"),
+                "occ": pd.array(occs, dtype="int64"),
+                "phrase": pd.array(phrases, dtype="string"),
+                "plen": pd.array(plens, dtype="int64"),
+            }
+        )
+        out["wb"] = (
+            pd.util.hash_pandas_object(out["w"], index=False).to_numpy()
+            % B
+        ).astype("int64")
+        return out
+
+    def attach_word_scores(g: pd.DataFrame) -> pd.DataFrame:
+        stats = g.groupby("w").agg(
+            freq=("w", "size"), deg=("plen", "sum")
+        )
+        score = (1_000_000 * stats["deg"]) // stats["freq"]
+        out = pd.DataFrame(
+            {
+                "occ": g["occ"].astype("int64"),
+                "phrase": g["phrase"],
+                "wscore": score.loc[g["w"]].to_numpy().astype("int64"),
+            }
+        )
+        return out
+
+    occ_scores = bucketed_groupby_agg(
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(phrase_word_rows, batch_format="pandas")
+        .groupby("wb")
+        .map_groups(attach_word_scores, batch_format="pandas"),
+        keys=["occ", "phrase"],
+        aggs={"s": ("wscore", "sum")},
+    )
+    per_phrase = bucketed_groupby_agg(
+        occ_scores,
+        keys=["phrase"],
+        aggs={"n_occ": ("occ", "count"), "score_micro": ("s", "min")},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["score_micro", "phrase"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    merged = (
+        per_phrase.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()  # <= k rows per block reach the driver
+        .sort_values(
+            ["score_micro", "phrase"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "phrase": pa.array(merged["phrase"].tolist(), pa.string()),
+            "n_occ": pa.array([int(x) for x in merged["n_occ"]], pa.int64()),
+            "score_micro": pa.array(
+                [int(x) for x in merged["score_micro"]], pa.int64()
+            ),
+        }
+    )

@@ -483,3 +483,63 @@ class TestEwma:
         pq.write_table(tbl, tmp_path / "events.parquet")
         got = events_ewma(str(tmp_path)).to_pandas()
         assert (got["ewma_cents"] == 500).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRake:
+    def test_hand_example(self, tmp_path):
+        """Two docs, classic RAKE arithmetic by hand."""
+        from suckit_ray.pipelines.textops import docs_rake_topk
+
+        texts = [
+            "deep learning of deep models",
+            "the deep models win",
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["t"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        got = docs_rake_topk(str(tmp_path)).to_pandas()
+        # phrases: "deep learning" (of breaks), "deep models" x2
+        #          ("the" breaks), "win"... wait: doc1 = "deep models win"
+        # words doc0: deep learning | deep models ; doc1: deep models win
+        # freq: deep=3 learning=1 models=2 win=1
+        # deg: deep: 2+2+3=7, learning: 2, models: 2+3=5, win: 3
+        ws = {
+            "deep": (1_000_000 * 7) // 3,
+            "learning": 2_000_000,
+            "models": (1_000_000 * 5) // 2,
+            "win": 3_000_000,
+        }
+        by_phrase = dict(zip(got["phrase"], got["score_micro"]))
+        assert by_phrase["deep learning"] == ws["deep"] + ws["learning"]
+        assert by_phrase["deep models win"] == (
+            ws["deep"] + ws["models"] + ws["win"]
+        )
+        assert by_phrase["deep models"] == ws["deep"] + ws["models"]
+        n_occ = dict(zip(got["phrase"], got["n_occ"]))
+        assert n_occ["deep models"] == 1
+        assert n_occ["deep models win"] == 1
+
+    def test_all_stopword_doc_contributes_nothing(self, tmp_path):
+        from suckit_ray.pipelines.textops import docs_rake_topk
+
+        texts = ["the of and in a", "alpha beta"]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["t"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        got = docs_rake_topk(str(tmp_path)).to_pandas()
+        assert list(got["phrase"]) == ["alpha beta"]
