@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # identity oracles — any quoting/escaping/dtype defect in the
         # distributed JSONL/CSV write+read breaks the hash
         "docs_jsonl_roundtrip": formats.docs_jsonl_roundtrip,
+        "docs_webdataset_roundtrip": formats.docs_webdataset_roundtrip,
         "docs_csv_roundtrip": formats.docs_csv_roundtrip,
         # compaction: bin-pack the per-wave small files, then pass the
         # SAME recursive-CTE mirror oracle over the compacted tree
@@ -4135,6 +4136,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_csv_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # WebDataset tar-shard round-trip: same identity-oracle idiom
+        "docs_webdataset_roundtrip": """
+            SELECT doc_id, text, lang FROM documents
         """,
         # no oracle (rows-only): crawl_revisit_plan (change rates
         # derive from delta-recrawl fingerprint artifacts; pinned by

@@ -291,6 +291,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "warc_cdx",
         "events_user_paths",
         "events_ewma",
+        "docs_rake_topk",
     ]
     qs = E.queries()
     out = {}

@@ -543,3 +543,48 @@ class TestRake:
         pq.write_table(tbl, tmp_path / "documents.parquet")
         got = docs_rake_topk(str(tmp_path)).to_pandas()
         assert list(got["phrase"]) == ["alpha beta"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWebdataset:
+    def test_binary_and_unicode_members_roundtrip(self, tmp_path):
+        import ray.data as rd
+
+        from suckit_ray.sources.wds import (
+            read_webdataset,
+            write_webdataset,
+        )
+
+        rows = [
+            {"key": "s0", "text": "héllo\nwörld \"quoted\"", "img": b"\x00\xff\x10JPEGish"},
+            {"key": "s1", "text": "", "img": b""},
+            {"key": "s2", "text": "plain", "img": None},  # missing member
+        ]
+        ds = rd.from_items(rows)
+        n = write_webdataset(
+            ds, str(tmp_path), key_col="key",
+            ext_cols={"txt": "text", "img": "img"},
+        )
+        assert n == 3
+        back = read_webdataset(str(tmp_path)).to_pandas()
+        got = {
+            (r["key"], r["ext"]): r["data"] for _, r in back.iterrows()
+        }
+        assert got[("s0", "txt")].decode() == rows[0]["text"]
+        assert got[("s0", "img")] == rows[0]["img"]
+        assert got[("s1", "img")] == b""
+        assert ("s2", "img") not in got  # None member skipped
+        assert got[("s2", "txt")] == b"plain"
+
+    def test_shards_deterministic_and_idempotent(self, tmp_path):
+        import ray.data as rd
+
+        from suckit_ray.sources.wds import write_webdataset
+
+        rows = [{"key": f"k{i}", "text": f"t{i}"} for i in range(10)]
+        write_webdataset(rd.from_items(rows), str(tmp_path))
+        import os
+
+        first = sorted(os.listdir(str(tmp_path)))
+        write_webdataset(rd.from_items(rows), str(tmp_path))
+        assert sorted(os.listdir(str(tmp_path))) == first  # content-hash names
