@@ -292,6 +292,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_user_paths",
         "events_ewma",
         "docs_rake_topk",
+        "docs_webdataset_roundtrip",
     ]
     qs = E.queries()
     out = {}

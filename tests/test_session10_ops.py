@@ -588,3 +588,45 @@ class TestWebdataset:
         first = sorted(os.listdir(str(tmp_path)))
         write_webdataset(rd.from_items(rows), str(tmp_path))
         assert sorted(os.listdir(str(tmp_path))) == first  # content-hash names
+
+    def test_wds_to_real_image_stages_end_to_end(self, tmp_path):
+        """The multimodal story composed: netpbm images in WebDataset
+        shards -> streamed members -> actor-pool decode + features on
+        the NATIVE real path (no codec library)."""
+        import ray.data as rd
+
+        from suckit_ray.sources.wds import (
+            read_webdataset,
+            write_webdataset,
+        )
+        from suckit_ray.stages.media import DecodeImage, ExtractImageFeatures
+
+        def ppm(w, h, v):
+            body = bytes([v]) * (w * h * 3)
+            return b"P6\n%d %d\n255\n" % (w, h) + body
+
+        rows = [
+            {"key": f"img{i}", "img": ppm(8 + i, 4 + i, 30 * i)}
+            for i in range(4)
+        ]
+        write_webdataset(
+            rd.from_items(rows), str(tmp_path), key_col="key",
+            ext_cols={"ppm": "img"},
+        )
+        samples = read_webdataset(str(tmp_path)).rename_columns(
+            {"data": "body"}
+        )
+        out = samples.map_batches(
+            DecodeImage(fake=False), batch_size=2, batch_format="pyarrow"
+        ).map_batches(
+            ExtractImageFeatures(fake=False), batch_size=2,
+            batch_format="pyarrow",
+        )
+        got = out.to_pandas().set_index("key")
+        for i in range(4):
+            m = got.loc[f"img{i}", "media_meta"]
+            assert (m["width"], m["height"], m["format"]) == (
+                8 + i, 4 + i, "ppm",
+            )
+            feats = got.loc[f"img{i}", "features"]
+            assert len(feats) == 64
