@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.lsh_topk,
         "ann_pq_topk": ann.pq_topk,
         "embeddings_kmeans": ann.kmeans_assign,
+        "embeddings_logreg": ann.embeddings_logreg,
         "embeddings_drift": ann.embeddings_drift,
         # relational / windowed
         "lineitem_agg": relops.lineitem_agg,
@@ -4157,7 +4158,12 @@ def oracle_sql() -> dict[str, str]:
         # way (tests/test_dedup_pins.py and friends): pinned rows
         # (ivf_topk), global brute-force recall≥0.7 + precision 1.0
         # (embedding ivf, lsh_topk), error-bound asserts (HLL, CMS),
-        # numpy-reference allclose (pagerank).
+        # numpy-reference allclose (pagerank). Tenth session:
+        # docs_compression_ratio (deflate is not SQL; independent
+        # zlib reference pin), warc_cdx (offsets depend on block
+        # partitioning; random-access byte-equality pin),
+        # embeddings_logreg (float GD; numpy-reference allclose +
+        # above-majority accuracy pins).
     }
     # the compacted mirror must satisfy the EXACT same recursive-CTE
     # reachability oracle as the uncompacted one — compaction proven

@@ -293,6 +293,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_ewma",
         "docs_rake_topk",
         "docs_webdataset_roundtrip",
+        "embeddings_logreg",
     ]
     qs = E.queries()
     out = {}

@@ -28,8 +28,9 @@ TOPK = 10
 N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
 
 
-def _read_embeddings(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+def _read_embeddings(sf_dir: str, with_label: bool = False) -> rd.Dataset:
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -668,5 +669,90 @@ def embeddings_drift(sf_dir: str) -> pa.Table:
             "n_a": pa.array([r[1] for r in out_rows], pa.int64()),
             "n_b": pa.array([r[2] for r in out_rows], pa.int64()),
             "d2_scaled": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+def _logreg_weights(
+    ds, iters: int = 15, eta: float = 0.5
+) -> "np.ndarray":
+    """Full-batch GD weights for P(label odd | embedding) — w starts
+    at 0 (deterministic, no RNG); per step the (d+1)-float gradient
+    partials (bias folded in) come back keyed by each batch's min
+    vec_id and reduce IN SORTED KEY ORDER, the kmeans determinism
+    rule: float summation order — and therefore the trained model —
+    is fixed for a given block layout."""
+    import ray
+
+    first = ds.limit(1).to_pandas()
+    dim = len(first["embedding"].iloc[0])
+    w = np.zeros(dim + 1, dtype=np.float64)
+    n_total = ds.count()
+
+    for _ in range(iters):
+        w_ref = ray.put(w)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            ww = ray.get(w_ref)
+            X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            X = np.hstack([X, np.ones((len(X), 1))])
+            y = (df["label"].to_numpy().astype(np.int64) % 2).astype(
+                np.float64
+            )
+            p = 1.0 / (1.0 + np.exp(-(X @ ww)))
+            g = X.T @ (p - y)
+            return pd.DataFrame(
+                [{"key": int(df["vec_id"].min()), "g": g.tobytes()}]
+            )
+
+        parts = (
+            ds.map_batches(partial, batch_format="pandas")
+            .to_pandas()
+            .sort_values("key")
+        )
+        g = np.zeros(dim + 1, dtype=np.float64)
+        for blob in parts["g"]:
+            g += np.frombuffer(blob, dtype=np.float64)
+        w = w - eta * g / n_total
+    return w
+
+
+def embeddings_logreg(sf_dir: str, iters: int = 15, eta: float = 0.5) -> pa.Table:
+    """One-row (n, n_correct, accuracy_micro): distributed FULL-BATCH
+    gradient-descent logistic regression predicting label parity from
+    the embedding — the gradient-aggregation iterative-ML shape
+    (kmeans' EM loop reduces per-cluster moments; GD reduces ONE dense
+    gradient): per step the exchange is (d+1) floats per batch, never
+    vectors, and the driver folds partials in sorted key order so the
+    model is deterministic for a fixed block layout. Rows-only (float
+    training is not SQL); pinned against a single-process numpy GD
+    reference (allclose weights) plus an above-majority accuracy
+    invariant in tests."""
+    import ray
+
+    ds = _read_embeddings(sf_dir, with_label=True)
+    w = _logreg_weights(ds, iters=iters, eta=eta)
+    w_ref = ray.put(w)
+
+    def correct(df: pd.DataFrame) -> pd.DataFrame:
+        ww = ray.get(w_ref)
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        X = np.hstack([X, np.ones((len(X), 1))])
+        y = df["label"].to_numpy().astype(np.int64) % 2
+        pred = (X @ ww > 0).astype(np.int64)
+        return pd.DataFrame(
+            [{"n": len(df), "n_correct": int((pred == y).sum())}]
+        )
+
+    parts = ds.map_batches(correct, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    n_correct = int(parts["n_correct"].sum())
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "n_correct": pa.array([n_correct], pa.int64()),
+            "accuracy_micro": pa.array(
+                [(1_000_000 * n_correct) // max(1, n)], pa.int64()
+            ),
         }
     )

@@ -630,3 +630,32 @@ class TestWebdataset:
             )
             feats = got.loc[f"img{i}", "features"]
             assert len(feats) == 64
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLogreg:
+    def test_weights_match_numpy_reference(self):
+        from suckit_ray.pipelines.ann import _logreg_weights, _read_embeddings
+
+        ds = _read_embeddings(SF, with_label=True)
+        got = _logreg_weights(ds, iters=15, eta=0.5)
+
+        df = pd.read_parquet(f"{SF}/embeddings.parquet")
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        X = np.hstack([X, np.ones((len(X), 1))])
+        y = (df["label"].to_numpy().astype(np.int64) % 2).astype(np.float64)
+        w = np.zeros(X.shape[1])
+        for _ in range(15):
+            p = 1.0 / (1.0 + np.exp(-(X @ w)))
+            w = w - 0.5 * (X.T @ (p - y)) / len(X)
+        assert np.allclose(got, w, atol=1e-8)
+
+    def test_accuracy_above_majority(self):
+        from suckit_ray.pipelines.ann import embeddings_logreg
+
+        got = embeddings_logreg(SF).to_pandas().iloc[0]
+        df = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label"])
+        y = df["label"].to_numpy() % 2
+        majority = max((y == 1).mean(), (y == 0).mean())
+        assert got["n"] == len(y)
+        assert got["accuracy_micro"] / 1e6 >= majority
