@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_test": relops.events_ab_test,
         "events_user_paths": relops.events_user_paths,
         "events_ewma": relops.events_ewma,
+        "events_attribution": relops.events_attribution,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2302,6 +2303,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day, x AS x_cents,
                    CAST(e AS BIGINT) AS ewma_cents
             FROM r
+        """,
+        # last-touch attribution: latest prior click within 7 days
+        "events_attribution": """
+            WITH w AS (
+              SELECT user_id, ts, event_id, event_type,
+                     MAX(CASE WHEN event_type = 'click' THEN ts END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_click
+              FROM events
+            ),
+            p AS (
+              SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       AS day,
+                     CASE WHEN last_click IS NOT NULL
+                           AND epoch_us(ts) - epoch_us(last_click)
+                               <= 7 * 86400000000
+                          THEN 1 ELSE 0 END AS attr
+              FROM w WHERE event_type = 'purchase'
+            )
+            SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(attr) AS BIGINT) AS n_attributed
+            FROM p GROUP BY day
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

@@ -294,6 +294,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_rake_topk",
         "docs_webdataset_roundtrip",
         "embeddings_logreg",
+        "events_attribution",
     ]
     qs = E.queries()
     out = {}

@@ -5461,3 +5461,82 @@ def events_ewma(sf_dir: str) -> rd.Dataset:
         )
 
     return daily.groupby("event_type").map_groups(fold, batch_format="pandas")
+
+
+ATTRIBUTION_WINDOW_US = 7 * 86_400_000_000
+
+
+def events_attribution(sf_dir: str) -> rd.Dataset:
+    """(day, n_purchases, n_attributed): LAST-TOUCH attribution — a
+    purchase counts as attributed when the same user's most recent
+    prior 'click' (strictly before in (ts, event_id) order) happened
+    within a 7-day window. The marketing-analytics shape that
+    completes funnel/retention/markov/paths: per-row state from a
+    different row TYPE in the same ordered stream.
+
+    Plan: ONE user-hash co-group — inside it the running
+    last-click timestamp is a grouped cummax of click-masked
+    timestamps shifted by one (both C-speed pandas grouped kernels,
+    exactly the oracle's MAX ... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING frame) — then per-day partials and one bucketed sum.
+    Integer microsecond arithmetic end to end."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": ts_us,
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "bucket": (df["user_id"] % B).astype("int64"),
+            }
+        )
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        click_ts = g["ts_us"].where(g["event_type"] == "click")
+        # cummax leaves NaN at non-click rows — grouped ffill turns it
+        # into the running last-click, shift(1) makes it strictly prior
+        by_user = lambda s: s.groupby(g["user_id"])  # noqa: E731
+        last_click = by_user(
+            by_user(click_ts).cummax().groupby(g["user_id"]).ffill()
+        ).shift(1)
+        purch = g["event_type"] == "purchase"
+        attr = (
+            purch
+            & last_click.notna()
+            & (g["ts_us"] - last_click <= ATTRIBUTION_WINDOW_US)
+        )
+        out = pd.DataFrame(
+            {
+                "day": (g.loc[purch, "ts_us"] // 86_400_000_000).astype(
+                    "int64"
+                ),
+                "attr": attr[purch].astype("int64"),
+            }
+        )
+        p = out.groupby("day", as_index=False).agg(
+            n_purchases=("attr", "size"), n_attributed=("attr", "sum")
+        )
+        p["n_purchases"] = p["n_purchases"].astype("int64")
+        p["n_attributed"] = p["n_attributed"].astype("int64")
+        return p
+
+    return bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(attribute, batch_format="pandas"),
+        keys=["day"],
+        aggs={
+            "n_purchases": ("n_purchases", "sum"),
+            "n_attributed": ("n_attributed", "sum"),
+        },
+    )

@@ -659,3 +659,50 @@ class TestLogreg:
         majority = max((y == 1).mean(), (y == 0).mean())
         assert got["n"] == len(y)
         assert got["accuracy_micro"] / 1e6 >= majority
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAttribution:
+    def test_window_edges(self, tmp_path):
+        """Click exactly 7d before attributes; 7d+1us does not; a
+        click AFTER the purchase never does; same-instant click with
+        smaller event_id is 'prior' by the tie-break."""
+        from suckit_ray.pipelines.relops import events_attribution
+
+        D = 86_400_000_000
+        rows = [
+            # user 1: click at t0, purchase at exactly t0+7d -> attributed
+            (1, 0, 1, "click"),
+            (2, 7 * D, 1, "purchase"),
+            # user 2: click at t0, purchase at 7d+1us -> NOT attributed
+            (3, 0, 2, "click"),
+            (4, 7 * D + 1, 2, "purchase"),
+            # user 3: purchase BEFORE its only click -> not attributed
+            (5, 0, 3, "purchase"),
+            (6, 1, 3, "click"),
+            # user 4: click and purchase same instant, click id smaller
+            (7, 9 * D, 4, "click"),
+            (8, 9 * D, 4, "purchase"),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = (
+            events_attribution(str(tmp_path))
+            .to_pandas()
+            .set_index("day")
+            .sort_index()
+        )
+        assert got.loc[7, "n_attributed"] == 1  # exactly 7d: in
+        assert got.loc[0, "n_attributed"] == 0  # purchase-before-click
+        assert got.loc[9, "n_attributed"] == 1  # same instant, prior id
+        assert int(got["n_purchases"].sum()) == 4
+        assert int(got["n_attributed"].sum()) == 2
