@@ -3173,6 +3173,9 @@ def docs_rake_topk(sf_dir: str, k: int = RAKE_TOPK) -> "pa.Table":
             words = word_re.findall((text or "").lower())
             cur: list[str] = []
             pi = 0
+            # occurrence id: doc_id in the high bits, phrase index low
+            # (20 bits ≈ 1M phrases/doc — beyond any real page; ids
+            # stay < 2^63 for doc_id < 2^43)
             base = int(doc_id) << 20
             for w in words + [None]:  # sentinel flushes the tail run
                 if w is None or w in stop:
