@@ -114,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warc-out", metavar="DIR",
                    help="also archive downloaded pages as gzipped WARC "
                         "segments in DIR")
+    p.add_argument("--warc-cdx", metavar="DIR",
+                   help="with --warc-out: also build the CDX index of "
+                        "the archive as parquet in DIR")
     p.add_argument("--revisit-history", action="append", default=[],
                    metavar="DIR",
                    help="adaptive revisit: prior --parquet-out dirs "
@@ -239,6 +242,7 @@ def main(argv: list[str] | None = None) -> int:
         mirror_dir=args.output,
         output_dir=args.parquet_out,
         warc_dir=args.warc_out,
+        warc_cdx_dir=args.warc_cdx,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         collect=False,

@@ -89,6 +89,7 @@ def crawl(
     mirror_dir: str | None = None,
     output_dir: str | None = None,
     warc_dir: str | None = None,
+    warc_cdx_dir: str | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     collect: bool | None = None,
@@ -567,6 +568,14 @@ def crawl(
         from suckit_ray.sinks import write_ledger
 
         write_ledger(ledger, output_dir or mirror_dir)
+
+    if warc_cdx_dir is not None and warc_dir is not None and not cfg.dry_run:
+        # archive + index in one run: the CDX build is its own
+        # distributed pass over the finished segments (one task per
+        # file), written as parquet next to them
+        from suckit_ray.sources.warc import build_cdx
+
+        build_cdx(warc_dir).write_parquet(warc_cdx_dir)
 
     docs = None
     if collect:

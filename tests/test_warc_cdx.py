@@ -105,3 +105,31 @@ class TestCdx:
         assert len(idx) == 500  # one record per document
         assert (idx["record_type"] == "response").all()
         assert (idx["length"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_writes_archive_plus_cdx(tmp_path):
+    """--warc-out + --warc-cdx in one run: every crawled page gets an
+    archive record AND an index row that resolves to its exact body."""
+    import pandas as pd
+
+    from suckit_ray.config import CrawlConfig
+    from suckit_ray.pipelines.crawl import crawl
+    from suckit_ray.sources.pagestore import fixture_pages
+
+    wdir, cdir = str(tmp_path / "warc"), str(tmp_path / "cdx")
+    res = crawl(
+        CrawlConfig(origin="http://site.test/", output=str(tmp_path / "m")),
+        fixture_pages(),
+        num_shards=2,
+        warc_dir=wdir,
+        warc_cdx_dir=cdir,
+    )
+    idx = pd.read_parquet(cdir)
+    assert len(idx) == res.metrics["pages"]
+    row = idx[idx["url"] == "http://site.test/"].iloc[0]
+    fields, block = fetch_cdx_record(
+        wdir, row["segment"], int(row["offset"]), int(row["length"])
+    )
+    assert fields["warc-target-uri"] == "http://site.test/"
+    assert b"\r\n\r\n" in block and len(block) > 0
