@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": relops.events_user_paths,
         "events_ewma": relops.events_ewma,
         "events_attribution": relops.events_attribution,
+        "events_spearman": relops.events_spearman,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2327,6 +2328,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
                    CAST(SUM(attr) AS BIGINT) AS n_attributed
             FROM p GROUP BY day
+        """,
+        # Spearman rank correlation (ROW_NUMBER ranks, integer rho)
+        "events_spearman": """
+            WITH u AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS sum_c
+              FROM events GROUP BY user_id
+            ),
+            r AS (
+              SELECT user_id,
+                     ROW_NUMBER() OVER (ORDER BY n_ev, user_id) AS rx,
+                     ROW_NUMBER() OVER (ORDER BY sum_c, user_id) AS ry
+              FROM u
+            ),
+            s AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(rx - ry AS HUGEINT) * (rx - ry))
+                          AS HUGEINT) AS d2
+              FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CASE WHEN n <= 1 THEN 0
+                        ELSE CAST((1000000 * (n * (n * n - 1) - 6 * d2))
+                                  // (n * (n * n - 1)) AS BIGINT)
+                   END AS rho_micro
+            FROM s
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

@@ -295,6 +295,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_webdataset_roundtrip",
         "embeddings_logreg",
         "events_attribution",
+        "events_spearman",
     ]
     qs = E.queries()
     out = {}

@@ -5540,3 +5540,135 @@ def events_attribution(sf_dir: str) -> rd.Dataset:
             "n_attributed": ("n_attributed", "sum"),
         },
     )
+
+
+def _rank_assign(
+    ds: rd.Dataset, value_col: str, id_col: str
+) -> rd.Dataset:
+    """(id, rank): exact ROW_NUMBER() OVER (ORDER BY value, id) for a
+    Dataset of unique ids — ``_ntile_assign`` minus the tile fold:
+    range partition on value, per-bucket counts → exclusive prefix
+    bases, in-bucket stable sort adds the offset. Never a global sort
+    materialization."""
+    import numpy as np
+    import ray
+
+    from suckit_ray.stages.agg import bucket_prefix_bases, default_buckets
+
+    B = default_buckets()
+    splits = _train_rank_splits(ds, B, id_col=id_col, value_col=value_col)
+    if splits is None:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    id_col: pd.array([], dtype="int64"),
+                    "rank": pd.array([], dtype="int64"),
+                }
+            )
+        )
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        out = df[[id_col, value_col]].copy()
+        out["bucket"] = np.searchsorted(
+            sp, df[value_col].to_numpy(), side="right"
+        ).astype("int64")
+        return out
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()
+    bases_ref = bucket_prefix_bases(bucketed, "bucket")
+
+    def to_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bases_ref).get(int(g["bucket"].iloc[0]), 0)
+        g = g.sort_values([value_col, id_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "rank": (base + np.arange(1, len(g) + 1)).astype("int64"),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(
+        to_ranks, batch_format="pandas"
+    )
+
+
+def events_spearman(sf_dir: str) -> pa.Table:
+    """One-row (n_users, rho_micro): Spearman rank correlation between
+    each user's event COUNT and total VALUE — the monotone-dependence
+    check (Pearson on ranks; robust to the value distribution's
+    shape). Ranks are ROW_NUMBER over (metric, user_id) — the
+    deterministic tie-break sidesteps fractional tie-averaging, and
+    rho = 1 − 6Σd²/(n(n²−1)) becomes ONE trunc-division in unbounded
+    Python ints (oracle: HUGEINT — Σd² alone passes int64 near 2M
+    users).
+
+    Plan: one user-hash co-group builds the O(users) aggregate, two
+    ``_rank_assign`` passes (range partition + prefix bases — never a
+    global sort materialization), one user co-group zips the ranks
+    and folds per-bucket Σd² partials as decimal strings (exact past
+    int64), the driver sums O(buckets) ints."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "user": df["user_id"].astype("int64"),
+                    "c": to_cents(df["value"]),
+                }
+            )
+            .groupby("user", as_index=False)
+            .agg(n_ev=("c", "size"), sum_c=("c", "sum"))
+        )
+
+    agg = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["user"],
+        aggs={"n_ev": ("n_ev", "sum"), "sum_c": ("sum_c", "sum")},
+    ).materialize()  # two rank passes consume it
+
+    rx = _rank_assign(agg, "n_ev", id_col="user")
+    ry = _rank_assign(agg, "sum_c", id_col="user")
+
+    def tag(rank_ds: rd.Dataset, which: int) -> rd.Dataset:
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user": df["user"].astype("int64"),
+                    "which": np.full(len(df), which, dtype="int64"),
+                    "rank": df["rank"].astype("int64"),
+                    "ub": (df["user"].astype("int64") % B).astype("int64"),
+                }
+            )
+
+        return rank_ds.map_batches(f, batch_format="pandas")
+
+    def d2_partial(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot(index="user", columns="which", values="rank")
+        d = w[0].to_numpy().astype(object) - w[1].to_numpy().astype(object)
+        s = sum(int(x) * int(x) for x in d)  # exact past int64
+        return pd.DataFrame({"n": [len(w)], "d2": [str(s)]})
+
+    parts = (
+        tag(rx, 0)
+        .union(tag(ry, 1))
+        .groupby("ub")
+        .map_groups(d2_partial, batch_format="pandas")
+        .to_pandas()  # O(buckets) rows
+    )
+    n = int(parts["n"].sum()) if len(parts) else 0
+    d2 = sum(int(x) for x in parts["d2"]) if len(parts) else 0
+    den = n * (n * n - 1)
+    rho = _trunc_div(1_000_000 * (den - 6 * d2), den) if den else 0
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "rho_micro": pa.array([rho], pa.int64()),
+        }
+    )

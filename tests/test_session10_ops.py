@@ -706,3 +706,75 @@ class TestAttribution:
         assert got.loc[9, "n_attributed"] == 1  # same instant, prior id
         assert int(got["n_purchases"].sum()) == 4
         assert int(got["n_attributed"].sum()) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpearman:
+    def test_matches_scipy_free_reference(self):
+        from suckit_ray.pipelines.relops import events_spearman, to_cents
+
+        got = events_spearman(SF).to_pandas().iloc[0]
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "value"]
+        )
+        ev["c"] = to_cents(ev["value"])
+        u = ev.groupby("user_id").agg(n_ev=("c", "size"), sum_c=("c", "sum"))
+        u = u.reset_index()
+        rx = (
+            u.sort_values(["n_ev", "user_id"])
+            .assign(r=range(1, len(u) + 1))
+            .set_index("user_id")["r"]
+        )
+        ry = (
+            u.sort_values(["sum_c", "user_id"])
+            .assign(r=range(1, len(u) + 1))
+            .set_index("user_id")["r"]
+        )
+        d2 = int(((rx - ry) ** 2).sum())
+        n = len(u)
+        den = n * (n * n - 1)
+        num = 1_000_000 * (den - 6 * d2)
+        want = num // den if num >= 0 else -((-num) // den)
+        assert got["n_users"] == n
+        assert got["rho_micro"] == want
+
+    def test_perfect_and_inverse_correlation(self, tmp_path):
+        from suckit_ray.pipelines.relops import events_spearman
+
+        # users 1..5: count and value perfectly aligned -> rho = 1
+        rows = []
+        eid = 0
+        for uid in range(1, 6):
+            for _ in range(uid):
+                rows.append((eid, 0, uid, "view", float(uid)))
+                eid += 1
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = events_spearman(str(tmp_path)).to_pandas().iloc[0]
+        assert got["rho_micro"] == 1_000_000
+
+        # per-event value (10-uid)/uid makes each user's TOTAL value
+        # 10-uid — strictly decreasing in event count -> rho = -1
+        tbl2 = tbl.set_column(
+            4,
+            "value",
+            pa.array(
+                [(10.0 - r[2]) / r[2] for r in rows], pa.float64()
+            ),
+        )
+        import shutil
+
+        shutil.rmtree(tmp_path / "inv", ignore_errors=True)
+        (tmp_path / "inv").mkdir()
+        pq.write_table(tbl2, tmp_path / "inv" / "events.parquet")
+        got2 = events_spearman(str(tmp_path / "inv")).to_pandas().iloc[0]
+        assert got2["rho_micro"] == -1_000_000
