@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": relops.events_ewma,
         "events_attribution": relops.events_attribution,
         "events_spearman": relops.events_spearman,
+        "events_value_median_cont": relops.events_value_median_cont,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2355,6 +2356,19 @@ def oracle_sql() -> dict[str, str]:
                                   // (n * (n * n - 1)) AS BIGINT)
                    END AS rho_micro
             FROM s
+        """,
+        # interpolated median, exact in half-cents (2*quantile_cont
+        # is exactly representable: cents < 2^52, /2 is a power of 2)
+        "events_value_median_cont": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(2 * quantile_cont(v, 0.5) AS BIGINT)
+                     AS median_halfcents
+            FROM c GROUP BY event_type
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

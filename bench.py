@@ -296,6 +296,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_logreg",
         "events_attribution",
         "events_spearman",
+        "events_value_median_cont",
     ]
     qs = E.queries()
     out = {}

@@ -5672,3 +5672,63 @@ def events_spearman(sf_dir: str) -> pa.Table:
             "rho_micro": pa.array([rho], pa.int64()),
         }
     )
+
+
+def events_value_median_cont(sf_dir: str) -> pa.Table:
+    """(event_type, n, median_halfcents): per-type INTERPOLATED median
+    (SQL PERCENTILE_CONT(0.5) / quantile_cont) carried exactly — the
+    midpoint of the two middle cents is an integer in HALF-cent units
+    (2·quantile_cont is exactly representable: cent sums sit far below
+    2^53, and /2 is a power-of-two float division), so the
+    interpolation rank rule gets its own oracle next to the
+    quantile_disc family.
+
+    Scale shape: the shared one-exchange (type, cent) histogram;
+    the rank walk closes group-locally."""
+    import numpy as np
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "value_c": to_cents(df["value"])}
+        )
+
+    hist = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(cents, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    )
+
+    def type_median(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_c")
+        counts = g["n"].to_numpy().astype("int64")
+        values = g["value_c"].to_numpy().astype("int64")
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        if n % 2 == 1:
+            lo = hi = int(values[np.searchsorted(cum, (n + 1) // 2)])
+        else:
+            lo = int(values[np.searchsorted(cum, n // 2)])
+            hi = int(values[np.searchsorted(cum, n // 2 + 1)])
+        return pd.DataFrame(
+            [(g["event_type"].iloc[0], n, lo + hi)],
+            columns=["event_type", "n", "median_halfcents"],
+        )
+
+    out = (
+        hist.groupby("event_type")
+        .map_groups(type_median, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n": pa.array([int(x) for x in out["n"]], pa.int64()),
+            "median_halfcents": pa.array(
+                [int(x) for x in out["median_halfcents"]], pa.int64()
+            ),
+        }
+    )

@@ -778,3 +778,25 @@ class TestSpearman:
         pq.write_table(tbl2, tmp_path / "inv" / "events.parquet")
         got2 = events_spearman(str(tmp_path / "inv")).to_pandas().iloc[0]
         assert got2["rho_micro"] == -1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMedianCont:
+    def test_even_n_interpolates(self, tmp_path):
+        from suckit_ray.pipelines.relops import events_value_median_cont
+
+        vals = [1.0, 2.0, 4.0, 10.0]  # median_cont = 3.0 -> 600 halfcents
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array([0] * 4, pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(["a"] * 4, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = events_value_median_cont(str(tmp_path)).to_pandas().iloc[0]
+        assert got["median_halfcents"] == 600
+        assert got["n"] == 4
