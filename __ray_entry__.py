@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": relops.events_attribution,
         "events_spearman": relops.events_spearman,
         "events_value_median_cont": relops.events_value_median_cont,
+        "events_bursts": relops.events_bursts,
         "part_price_topk_ties": relops.part_price_topk_ties,
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
@@ -2369,6 +2370,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * quantile_cont(v, 0.5) AS BIGINT)
                      AS median_halfcents
             FROM c GROUP BY event_type
+        """,
+        # 2-state integer min-plus Viterbi (Kleinberg bursts): the
+        # forward recursive CTE accumulates the backpointer string,
+        # a second recursive CTE walks it backwards — full DP in SQL
+        "events_bursts": """
+            WITH RECURSIVE cnt AS (
+              SELECT event_type,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       AS day,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT min(day) AS lo, max(day) AS hi FROM cnt
+            ),
+            grid AS (
+              SELECT t.event_type, d.day,
+                     CAST(d.day - s.lo + 1 AS BIGINT) AS rn,
+                     COALESCE(c.x, 0) AS x
+              FROM (SELECT DISTINCT event_type FROM cnt) t
+              CROSS JOIN span s
+              CROSS JOIN LATERAL (
+                SELECT UNNEST(range(s.lo, s.hi + 1)) AS day) d
+              LEFT JOIN cnt c ON c.event_type = t.event_type
+                             AND c.day = d.day
+            ),
+            par AS (
+              SELECT event_type,
+                     CAST(floor(1000000 * (CAST(SUM(x) AS DOUBLE)
+                                           / count(*))) AS BIGINT) AS a0,
+                     CAST(floor(1000000 * ln(CAST(SUM(x) AS DOUBLE)
+                                             / count(*))) AS BIGINT)
+                       AS b0,
+                     CAST(floor(1000000 * (2 * CAST(SUM(x) AS DOUBLE)
+                                           / count(*))) AS BIGINT) AS a1,
+                     CAST(floor(1000000 * ln(2 * CAST(SUM(x) AS DOUBLE)
+                                             / count(*))) AS BIGINT)
+                       AS b1,
+                     CAST(max(rn) AS BIGINT) AS t_max
+              FROM grid GROUP BY event_type
+            ),
+            f(event_type, rn, c0, c1, bps) AS (
+              SELECT g.event_type, g.rn,
+                     p.a0 - g.x * p.b0,
+                     1000000 + p.a1 - g.x * p.b1,
+                     ''
+              FROM grid g JOIN par p USING (event_type)
+              WHERE g.rn = 1
+              UNION ALL
+              SELECT g.event_type, g.rn,
+                     (p.a0 - g.x * p.b0) + LEAST(f.c0, f.c1),
+                     (p.a1 - g.x * p.b1)
+                       + LEAST(f.c0 + 1000000, f.c1),
+                     f.bps
+                       || (CASE WHEN f.c0 <= f.c1
+                                THEN '0' ELSE '1' END)
+                       || (CASE WHEN f.c0 + 1000000 <= f.c1
+                                THEN '0' ELSE '1' END)
+              FROM f
+              JOIN grid g ON g.event_type = f.event_type
+                         AND g.rn = f.rn + 1
+              JOIN par p ON p.event_type = f.event_type
+            ),
+            last AS (
+              SELECT f.event_type, f.rn, f.c0, f.c1, f.bps
+              FROM f JOIN par p ON p.event_type = f.event_type
+                               AND p.t_max = f.rn
+            ),
+            b(event_type, rn, s) AS (
+              SELECT event_type, rn,
+                     CASE WHEN c0 <= c1 THEN 0 ELSE 1 END
+              FROM last
+              UNION ALL
+              SELECT b.event_type, b.rn - 1,
+                     CAST(substr(l.bps, CAST(2 * (b.rn - 2) + 1 + b.s
+                                             AS BIGINT), 1) AS INT)
+              FROM b JOIN last l ON l.event_type = b.event_type
+              WHERE b.rn > 1
+            ),
+            sp2 AS (SELECT lo FROM span)
+            SELECT g.event_type, g.day, g.x,
+                   CAST(b.s AS BIGINT) AS burst
+            FROM b
+            JOIN grid g ON g.event_type = b.event_type AND g.rn = b.rn
         """,
         # robust dispersion: exact discrete median + MAD per type
         "events_value_mad": """

@@ -5732,3 +5732,115 @@ def events_value_median_cont(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+BURST_GAMMA_MICRO = 1_000_000  # 0->1 transition cost (ln-space micronats)
+
+
+def events_bursts(sf_dir: str) -> rd.Dataset:
+    """(event_type, day, x, burst): Kleinberg-style burst detection
+    (Kleinberg KDD'02, public — the 2-state batch automaton) over each
+    type's gap-filled daily event counts: state 0 emits at the base
+    rate λ₀ = total/ndays, state 1 at λ₁ = 2λ₀, entering the burst
+    state costs γ. The optimal state path is a MIN-PLUS VITTERBI —
+    the dynamic-programming shape nothing else in the repo exercises
+    (scans close to prefix forms; EWMA is a fold; this needs argmin
+    BACKTRACE through stored decisions).
+
+    Exactness: Poisson negative log-likelihoods lose their
+    state-independent ln(x!) term, so per-day costs are the integers
+    A_s − x·B_s with A_s = floor(10⁶·λ_s), B_s = floor(10⁶·ln λ_s) —
+    both floors of the SAME double expression in both engines — and
+    the whole DP is integer min-plus with ties preferring state 0.
+    The oracle replays the forward pass in a recursive CTE that
+    accumulates the backpointer string, then a second recursive CTE
+    walks the string backwards — the full Viterbi in SQL.
+
+    Scale shape: the gapfill/CUSUM recipe — two-phase daily counts,
+    O(blocks) day bounds, per-type series bounded by the CALENDAR;
+    the per-group DP loop is O(span days), the honestly-sequential
+    class events_ewma established."""
+    import math
+
+    import ray
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))  # trunc like //
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "day": day})
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "x"})
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x": ("x", "sum")},
+    ).materialize()  # feeds the bounds scan AND the per-type groups
+
+    span = _global_day_span(daily)
+    if span is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "burst": pa.array([], pa.int64()),
+                }
+            )
+        )
+    span_ref = ray.put(span)
+
+    def viterbi_group(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(span_ref)
+        days = np.arange(lo, hi + 1, dtype="int64")
+        xs = (
+            g.set_index("day")["x"]
+            .reindex(days)
+            .fillna(0)
+            .astype("int64")
+            .to_numpy()
+        )
+        n = len(days)
+        total = int(xs.sum())
+        lam0 = float(total) / n  # CAST(total AS DOUBLE)/ndays, verbatim
+        lam1 = 2.0 * lam0
+        A0, B0 = math.floor(1e6 * lam0), math.floor(1e6 * math.log(lam0))
+        A1, B1 = math.floor(1e6 * lam1), math.floor(1e6 * math.log(lam1))
+        G = BURST_GAMMA_MICRO
+        c0 = A0 - int(xs[0]) * B0
+        c1 = G + A1 - int(xs[0]) * B1
+        bps: list[tuple[int, int]] = []
+        for t in range(1, n):
+            bp0 = 0 if c0 <= c1 else 1
+            bp1 = 0 if c0 + G <= c1 else 1
+            n0 = (A0 - int(xs[t]) * B0) + min(c0, c1)
+            n1 = (A1 - int(xs[t]) * B1) + min(c0 + G, c1)
+            bps.append((bp0, bp1))
+            c0, c1 = n0, n1
+        s = 0 if c0 <= c1 else 1
+        states = [s]
+        for t in range(n - 1, 0, -1):
+            s = bps[t - 1][s]
+            states.append(s)
+        states.reverse()
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "day": days,
+                "x": xs,
+                "burst": pd.array(states, dtype="int64"),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(
+        viterbi_group, batch_format="pandas"
+    )

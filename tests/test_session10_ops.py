@@ -800,3 +800,71 @@ class TestMedianCont:
         got = events_value_median_cont(str(tmp_path)).to_pandas().iloc[0]
         assert got["median_halfcents"] == 600
         assert got["n"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBursts:
+    def _run(self, counts_by_day, tmp_path):
+        from suckit_ray.pipelines.relops import events_bursts
+
+        rows = []
+        eid = 0
+        for day, c in enumerate(counts_by_day):
+            for _ in range(c):
+                rows.append((eid, day * 86_400_000_000))
+                eid += 1
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["a"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        return (
+            events_bursts(str(tmp_path))
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+
+    @staticmethod
+    def _brute(xs, gamma=1_000_000):
+        """Enumerate ALL 2^n state paths; lexicographically-smallest
+        path among cost ties (state 0 preferred earlier) — matches the
+        DP's tie rule."""
+        import itertools
+        import math
+
+        n = len(xs)
+        total = sum(xs)
+        lam0 = float(total) / n
+        A0, B0 = math.floor(1e6 * lam0), math.floor(1e6 * math.log(lam0))
+        A1, B1 = (
+            math.floor(1e6 * 2 * lam0),
+            math.floor(1e6 * math.log(2 * lam0)),
+        )
+        best, best_path = None, None
+        for path in itertools.product([0, 1], repeat=n):
+            c, prev = 0, 0
+            for s, x in zip(path, xs):
+                if prev == 0 and s == 1:
+                    c += gamma
+                c += (A1 - x * B1) if s else (A0 - x * B0)
+                prev = s
+            if best is None or c < best or (c == best and path < best_path):
+                best, best_path = c, path
+        return list(best_path)
+
+    def test_matches_bruteforce_all_paths(self, tmp_path):
+        xs = [2, 1, 2, 9, 11, 8, 1, 2, 0, 2, 1, 12]
+        got = self._run(xs, tmp_path)
+        assert list(got["burst"]) == self._brute(xs)
+        assert got["burst"].sum() > 0  # the burst window is detected
+
+    def test_flat_series_never_bursts(self, tmp_path):
+        got = self._run([3] * 10, tmp_path)
+        assert got["burst"].sum() == 0
