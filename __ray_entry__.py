@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": textops.docs_stratified_sample,
         "docs_domain_mix": textops.docs_domain_mix,
         "docs_bm25_topk": textops.docs_bm25_topk,
+        "docs_hybrid_rrf": textops.docs_hybrid_rrf,
         "docs_bpe_pairs": textops.docs_bpe_pairs,
         "docs_bpe_train": textops.docs_bpe_train,
         "docs_bpe_encode": textops.docs_bpe_encode,
@@ -1552,6 +1553,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.source, c.n_toks, c.cum_toks
             FROM cum c JOIN b ON c.source = b.source
             WHERE c.cum_toks - c.n_toks < b.budget
+        """,
+        # hybrid similar-document search: Reciprocal Rank Fusion of a
+        # dense cosine leg and a lexical shingle-Jaccard leg — both
+        # rankings are ROW_NUMBER windows over the proven quantized
+        # scores; the fusion sum is pure integer division
+        "docs_hybrid_rrf": r"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, L, UNNEST(range(1, len(L) - 1)) AS i FROM docs2
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     L[i] || ' ' || L[i + 1] || ' ' || L[i + 2] AS s
+              FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            lexinter AS (
+              SELECT a.doc_id AS qid, d.doc_id AS doc_id, count(*) AS i
+              FROM sh a JOIN sh d ON a.s = d.s AND d.doc_id <> a.doc_id
+              WHERE a.doc_id < 5
+              GROUP BY 1, 2
+            ),
+            lex AS (
+              SELECT qid, li.doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY (10000 * i) // (sq.n + sd.n - i) DESC,
+                                li.doc_id ASC) AS rnk
+              FROM lexinter li
+              JOIN sizes sq ON sq.doc_id = li.qid
+              JOIN sizes sd ON sd.doc_id = li.doc_id
+            ),
+            dq AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 5
+            ),
+            dense AS (
+              SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST(floor(list_cosine_similarity(
+                                  q.e, CAST(c.embedding AS DOUBLE[])) * 10000)
+                                AS BIGINT) DESC,
+                                c.vec_id ASC) AS rnk
+              FROM dq q JOIN embeddings c ON c.vec_id <> q.vec_id
+            ),
+            fused AS (
+              SELECT qid, doc_id,
+                     CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_score
+              FROM (
+                SELECT qid, doc_id, rnk FROM lex   WHERE rnk <= 20
+                UNION ALL
+                SELECT qid, doc_id, rnk FROM dense WHERE rnk <= 20
+              )
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+              FROM fused
+            )
+            SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+                   CAST(doc_id AS BIGINT) AS doc_id, rrf_score
+            FROM ranked WHERE rnk <= 10
         """,
         # BM25 top-k for the static query workload: k1=6/5, b=3/4
         # folded into one all-integer expression (multiply through by

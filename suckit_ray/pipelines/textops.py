@@ -3255,3 +3255,152 @@ def docs_rake_topk(sf_dir: str, k: int = RAKE_TOPK) -> "pa.Table":
             ),
         }
     )
+
+
+# --- hybrid retrieval (docs_hybrid_rrf) -----------------------------
+RRF_K = 60                    # the standard RRF damping constant
+RRF_SCALE = 1_000_000_000     # integer contribution = SCALE // (K + rank)
+HYBRID_N_QUERIES = 5          # doc_id/vec_id < 5 are the anchor documents
+HYBRID_LIST_K = 20            # per-leg candidate list depth
+HYBRID_TOPK = 10
+
+
+def docs_hybrid_rrf(
+    sf_dir: str,
+    n_queries: int = HYBRID_N_QUERIES,
+    list_k: int = HYBRID_LIST_K,
+    k: int = HYBRID_TOPK,
+) -> pa.Table:
+    """(qid, rnk, doc_id, rrf_score): hybrid similar-document search —
+    for each anchor document (doc_id < n_queries, whose embedding is
+    the matching vec_id row) rank the corpus by Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher SIGIR'09, public) of two top-``list_k``
+    candidate lists: a DENSE leg (embedding cosine, the ann_topk
+    contract: cos_pct = floor(cos*10000), ties to smaller id) and a
+    LEXICAL leg (word-3-gram shingle Jaccard, the ngram_jaccard_pairs
+    contract: jaccard_pct = (10000*inter)//union). The fusion is pure
+    integer — each list-membership contributes RRF_SCALE//(RRF_K+rank)
+    — so the SQL oracle replays it bit-exactly with two ROW_NUMBER
+    windows and an integer-division sum. The curation use: "find more
+    documents like these trusted seeds", where the dense leg catches
+    paraphrase and the lexical leg catches verbatim reuse.
+
+    Scale shape: a fixed anchor workload means ZERO shuffles — both
+    legs broadcast O(n_queries) state once (``ray.put``: the anchor
+    shingle sets / the normalized anchor matrix) and stream the corpus
+    through one map_batches each, with per-block partial top-``list_k``
+    bounding the driver merge to ≤ n_queries·list_k rows per block
+    (the top_customers idiom). Self-matches are excluded; anchors may
+    appear in each other's lists."""
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from suckit_ray.pipelines.ann import _normalize
+    from suckit_ray.pipelines.dedup import _word_shingles
+
+    # anchor state: predicate-pushdown point reads, broadcast once
+    at = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", n_queries)],
+    )
+    anchor_sh = {
+        int(d): frozenset(_word_shingles(t))
+        for d, t in zip(
+            at.column("doc_id").to_pylist(), at.column("text").to_pylist()
+        )
+    }
+    et = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    ids = np.array(et.column("vec_id").to_pylist())
+    order = np.argsort(ids)
+    qm = _normalize(
+        np.stack(
+            [np.array(e, dtype=np.float64) for e in et.column("embedding").to_pylist()]
+        )[order]
+    )
+    qids = ids[order]
+    sh_ref = ray.put(anchor_sh)
+    qm_ref = ray.put((qids, qm))
+
+    def lex_partial(df: pd.DataFrame) -> pd.DataFrame:
+        anc = ray.get(sh_ref)
+        rows = []
+        for d, txt in zip(df["doc_id"], df["text"]):
+            s = set(_word_shingles(txt))
+            n = len(s)
+            for qid, qs in anc.items():
+                if int(d) == qid:
+                    continue
+                i = len(s & qs)
+                if i:
+                    rows.append((qid, int(d), (10000 * i) // (n + len(qs) - i)))
+        out = pd.DataFrame(rows, columns=["qid", "doc_id", "pct"]).astype("int64")
+        return (
+            out.sort_values(
+                ["qid", "pct", "doc_id"], ascending=[True, False, True]
+            )
+            .groupby("qid")
+            .head(list_k)
+        )
+
+    def dense_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_ = ray.get(qm_ref)
+        ids_ = df["vec_id"].to_numpy()
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        pct = np.floor((qm_ @ m.T) * 10000).astype(np.int64)
+        rows = []
+        for qi, qid in enumerate(qids_):
+            mask = ids_ != qid
+            cand, cp = ids_[mask], pct[qi][mask]
+            idx = np.lexsort((cand, -cp))[:list_k]
+            rows.extend((int(qid), int(cand[i]), int(cp[i])) for i in idx)
+        return pd.DataFrame(rows, columns=["qid", "doc_id", "pct"]).astype("int64")
+
+    lex = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(lex_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    dense = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(dense_partial, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+
+    scores: dict[tuple[int, int], int] = {}
+    for leg in (lex, dense):
+        if leg.empty:
+            continue
+        for qid, g in leg.groupby("qid"):
+            best = heapq.nsmallest(
+                list_k,
+                g.itertuples(index=False),
+                key=lambda r: (-r.pct, r.doc_id),
+            )
+            for rank, r in enumerate(best, 1):
+                key = (int(qid), int(r.doc_id))
+                scores[key] = scores.get(key, 0) + RRF_SCALE // (RRF_K + rank)
+
+    rows = []
+    by_qid: dict[int, list[tuple[int, int]]] = {}
+    for (qid, d), s in scores.items():
+        by_qid.setdefault(qid, []).append((-s, d))
+    for qid in sorted(by_qid):
+        for rnk, (neg_s, d) in enumerate(sorted(by_qid[qid])[:k], 1):
+            rows.append((qid, rnk, d, -neg_s))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "rnk": pa.array([r[1] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "rrf_score": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
