@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": textops.winnow_fingerprint,
         "quality_score": textops.quality_score,
         "gopher_repetition": textops.gopher_repetition,
+        "docs_gopher_filter": textops.docs_gopher_filter,
         "training_corpus": textops.training_corpus,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
@@ -1140,6 +1141,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lens l USING (doc_id)
             LEFT JOIN topw tw USING (doc_id)
             LEFT JOIN topb tb USING (doc_id)
+        """,
+        # full Gopher rule set (Rae et al. 2021 Table A1): every count
+        # is the SAME non-overlapping regex both engines run, every
+        # threshold an integer cross-multiplied inequality
+        "docs_gopher_filter": r"""
+            WITH c AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS total_len,
+                CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha,
+                CAST(len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.'))
+                   + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym,
+                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS BIGINT) AS n_bullet,
+                CAST(len(regexp_extract_all(text, '(?m)(?:\.\.\.|…)[ \t]*$')) AS BIGINT) AS n_ell_end,
+                CAST(CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_stop_types
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_words, n_lines, n_stop_types,
+                (n_words >= 50 AND n_words <= 100000) AS r_words,
+                (3 * n_words <= total_len AND total_len <= 10 * n_words) AS r_mean_len,
+                (10 * n_sym <= n_words) AS r_symbol,
+                (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+                (10 * n_ell_end <= 3 * n_lines) AS r_ellipsis,
+                (5 * n_alpha >= 4 * n_words) AS r_alpha,
+                (n_stop_types >= 2) AS r_stop
+              FROM c)
+            SELECT doc_id, n_words, n_lines, n_stop_types,
+                   r_words, r_mean_len, r_symbol, r_bullet, r_ellipsis,
+                   r_alpha, r_stop,
+                   (r_words AND r_mean_len AND r_symbol AND r_bullet
+                    AND r_ellipsis AND r_alpha AND r_stop) AS keep
+            FROM r
         """,
         "lang_id": f"""
             WITH s AS (SELECT doc_id, {_LANG_SCORES} FROM documents)

@@ -297,6 +297,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_attribution",
         "events_spearman",
         "events_value_median_cont",
+        # eleventh session
+        "events_bursts",
+        "docs_hybrid_rrf",
+        "docs_gopher_filter",
     ]
     qs = E.queries()
     out = {}

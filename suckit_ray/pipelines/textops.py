@@ -3404,3 +3404,101 @@ def docs_hybrid_rrf(
             "rrf_score": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+# Gopher document-quality rule set (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", Table A1
+# — public). Every count is a non-overlapping regex match count with
+# RE2/`re` parity, and every threshold is an integer cross-multiplied
+# inequality, so the DuckDB oracle hash-matches bit for bit.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def docs_gopher_filter(sf_dir: str) -> rd.Dataset:
+    """The full Gopher quality filter as per-doc rule flags plus the
+    conjunction — the gate a training-data pipeline applies right
+    after crawling, before dedup:
+
+    - ``r_words``     50 ≤ n_words ≤ 100,000 (whitespace tokens)
+    - ``r_mean_len``  3 ≤ mean word length ≤ 10, exact as
+                      ``3·n ≤ Σlen ≤ 10·n`` (no float ever exists)
+    - ``r_symbol``    (#, ``...``, ``…``) ≤ 0.1 per word:
+                      ``10·n_sym ≤ n_words``
+    - ``r_bullet``    ≤ 90% of lines start with a bullet (-, *, •):
+                      ``10·n_bullet ≤ 9·n_lines``
+    - ``r_ellipsis``  ≤ 30% of lines end with an ellipsis:
+                      ``10·n_ell_end ≤ 3·n_lines``
+    - ``r_alpha``     ≥ 80% of words contain a letter:
+                      ``5·n_alpha ≥ 4·n_words``
+    - ``r_stop``      ≥ 2 distinct words from the 8-word stop list
+    - ``keep``        AND of all seven
+
+    Embarrassingly parallel: one vectorized pandas pass of regex
+    counts per batch (every rule is a ``str.count``), no shuffle, no
+    per-row Python loop — the shape that holds at 100 TB. The sf
+    corpus is single-line word soup, so the line rules and the stop
+    rule are exercised by engineered adversarial docs in
+    ``tests/test_textops.py`` as well as the SQL oracle."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"]
+        low = t.str.lower()
+        n_words = t.str.count(r"\S+").to_numpy().astype("int64")
+        total_len = t.str.count(r"\S").to_numpy().astype("int64")
+        n_alpha = (
+            t.str.count(r"\S*[A-Za-z]\S*").to_numpy().astype("int64")
+        )
+        n_sym = (
+            t.str.count("#")
+            + t.str.count(r"\.\.\.")
+            + t.str.count("…")
+        ).to_numpy().astype("int64")
+        n_lines = (t.str.count("\n") + 1).to_numpy().astype("int64")
+        n_bullet = (
+            t.str.count(r"(?m)^[ \t]*[-*•]").to_numpy().astype("int64")
+        )
+        n_ell_end = (
+            t.str.count(r"(?m)(?:\.\.\.|…)[ \t]*$")
+            .to_numpy()
+            .astype("int64")
+        )
+        n_stop = sum(
+            low.str.count(rf"\b{w}\b").gt(0).astype("int64")
+            for w in GOPHER_STOPWORDS
+        ).to_numpy()
+
+        r_words = (n_words >= 50) & (n_words <= 100_000)
+        r_mean_len = (3 * n_words <= total_len) & (
+            total_len <= 10 * n_words
+        )
+        r_symbol = 10 * n_sym <= n_words
+        r_bullet = 10 * n_bullet <= 9 * n_lines
+        r_ellipsis = 10 * n_ell_end <= 3 * n_lines
+        r_alpha = 5 * n_alpha >= 4 * n_words
+        r_stop = n_stop >= 2
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": n_words,
+                "n_lines": n_lines,
+                "n_stop_types": n_stop.astype("int64"),
+                "r_words": r_words,
+                "r_mean_len": r_mean_len,
+                "r_symbol": r_symbol,
+                "r_bullet": r_bullet,
+                "r_ellipsis": r_ellipsis,
+                "r_alpha": r_alpha,
+                "r_stop": r_stop,
+                "keep": r_words
+                & r_mean_len
+                & r_symbol
+                & r_bullet
+                & r_ellipsis
+                & r_alpha
+                & r_stop,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

@@ -90,3 +90,112 @@ class TestHybridRRF:
             ties = g[g["rrf_score"].duplicated(keep=False)]
             for _, tg in ties.groupby("rrf_score"):
                 assert tg.sort_values("rnk")["doc_id"].is_monotonic_increasing
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGopherFilter:
+    """Engineered adversarial corpus: the sf word-soup is single-line
+    and nearly stopword-free, so each rule gets a doc that fails it
+    (and only it) here, cross-checked against the DuckDB oracle SQL
+    run on the SAME parquet — full engine-vs-engine parity on inputs
+    the driver corpus never exercises."""
+
+    DOCS = [
+        # 0: clean doc — every rule passes
+        "the cat sat with all of them and that was fine . " * 6,
+        # 1: too short (10 words)
+        "the cat sat with all of them and that was",
+        # 2: words too long (mean > 10)
+        "the of " + " ".join(["extraordinarily"] * 58),
+        # 3: symbol-heavy (11 hashes in 60 words)
+        "the of " + "# " * 11 + "word " * 47,
+        # 4: bullet-heavy (10/10 lines start with a bullet; the "-"
+        # token itself is the only non-alpha word, 60/70 ≥ 80%)
+        "\n".join(["- the item of note list here"] * 10),
+        # 5: ellipsis-heavy (5/10 lines end with ...)
+        "\n".join(
+            ("the line of text %d trails off..." if i % 2 else "the line of text %d stays") % i
+            for i in range(10)
+        ),
+        # 6: non-alpha words (21/60 pure digits)
+        "the of " + "12345 " * 21 + "word " * 37,
+        # 7: no stopwords at all
+        "word " * 60,
+        # 8: empty text
+        "",
+        # 9: unicode ellipsis line-ends + trailing tabs
+        "\n".join(
+            ("the line of text %d …\t" if i < 4 else "the line of text %d") % i
+            for i in range(10)
+        ),
+    ]
+
+    EXPECT_FAIL = {
+        1: "r_words",
+        2: "r_mean_len",
+        3: "r_symbol",
+        4: "r_bullet",
+        5: "r_ellipsis",
+        6: "r_alpha",
+        7: "r_stop",
+    }
+
+    @pytest.fixture(scope="class")
+    def corpus_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("gopher")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(self.DOCS)), pa.int64()),
+                    "text": pa.array(self.DOCS, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def _ray_df(self, corpus_dir):
+        from suckit_ray.pipelines.textops import docs_gopher_filter
+
+        return (
+            docs_gopher_filter(corpus_dir)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_rule_flags(self, corpus_dir):
+        df = self._ray_df(corpus_dir).set_index("doc_id")
+        rules = [
+            "r_words", "r_mean_len", "r_symbol", "r_bullet",
+            "r_ellipsis", "r_alpha", "r_stop",
+        ]
+        assert bool(df.loc[0, "keep"])
+        for doc, bad_rule in self.EXPECT_FAIL.items():
+            for r in rules:
+                assert bool(df.loc[doc, r]) == (r != bad_rule), (doc, r)
+            assert not bool(df.loc[doc, "keep"])
+        # empty text: fails word count, passes the vacuous rules
+        assert not bool(df.loc[8, "r_words"])
+        assert bool(df.loc[8, "r_mean_len"]) and bool(df.loc[8, "r_symbol"])
+        # unicode-ellipsis ends (4/10 > 30%) counted like '...'
+        assert not bool(df.loc[9, "r_ellipsis"])
+
+    def test_oracle_parity_on_engineered_docs(self, corpus_dir):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sql = entry.oracle_sql()["docs_gopher_filter"]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{corpus_dir}/documents.parquet'"
+        )
+        want = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        got = self._ray_df(corpus_dir)
+        pd.testing.assert_frame_equal(
+            got.astype({c: "bool" for c in want.columns if c.startswith("r_") or c == "keep"}),
+            want.astype(got.dtypes.to_dict()),
+            check_dtype=False,
+        )
