@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.lsh_topk,
         "ann_pq_topk": ann.pq_topk,
         "embeddings_kmeans": ann.kmeans_assign,
+        "embeddings_dbscan": ann.embeddings_dbscan,
         "embeddings_logreg": ann.embeddings_logreg,
         "embeddings_drift": ann.embeddings_drift,
         # relational / windowed
@@ -1348,6 +1349,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.40
+        """,
+        # DBSCAN with cosine>=eps neighbors; deterministic border rule
+        # (min-rooted core neighbor); core = >= min_pts OTHER points
+        "embeddings_dbscan": """
+            WITH RECURSIVE e AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.30
+            ),
+            sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+            core AS (SELECT u FROM deg WHERE d >= 3),
+            ce AS (
+              SELECT s.u, s.v FROM sym s
+              JOIN core c1 ON c1.u = s.u JOIN core c2 ON c2.u = s.v
+            ),
+            reach(id, r) AS (
+              SELECT u, u FROM core
+              UNION
+              SELECT ce.v, reach.r FROM reach JOIN ce ON ce.u = reach.id
+            ),
+            comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+            border AS (
+              SELECT s.u AS id, min(comp.root) AS root
+              FROM sym s
+              JOIN core c ON c.u = s.v
+              JOIN comp ON comp.id = s.v
+              WHERE s.u NOT IN (SELECT u FROM core)
+              GROUP BY s.u
+            )
+            SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+                   (comp.root IS NOT NULL) AS is_core,
+                   CAST(COALESCE(comp.root, border.root, -1) AS BIGINT) AS cluster
+            FROM embeddings v
+            LEFT JOIN comp ON comp.id = v.vec_id
+            LEFT JOIN border ON border.id = v.vec_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id < 10),

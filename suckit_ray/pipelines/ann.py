@@ -756,3 +756,222 @@ def embeddings_logreg(sf_dir: str, iters: int = 15, eta: float = 0.5) -> pa.Tabl
             ),
         }
     )
+
+
+def embeddings_dbscan(
+    sf_dir: str,
+    eps: float = 0.30,
+    min_pts: int = 3,
+    num_buckets: int = 8,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """DBSCAN (Ester et al. 1996, KDD — public) over the embedding
+    table with ``cosine ≥ eps`` as the neighbor predicate. Returns
+    ``(vec_id, is_core, cluster)`` where ``cluster`` is the minimum
+    core vec_id of the density-connected component (−1 = noise).
+    Deterministic variant: a border point joins the cluster of its
+    MINIMUM-rooted core neighbor (classic DBSCAN leaves border
+    assignment scan-order-dependent; pinning it to min makes the
+    result hash-stable and SQL-expressible).
+
+    Convention: a point is core when it has ≥ ``min_pts`` OTHER
+    points within eps (the ε-ball minus itself) — mirrored exactly by
+    the oracle.
+
+    Distributed plan (no driver state beyond scalars):
+    1. **edges** — exact all-pairs ε-neighbors via a bucket-pair
+       cross join: each row replicates to the B unordered bucket
+       pairs containing ``vec_id % B``, one groupby, one matmul per
+       pair-group. Replication factor B; at real scale you bound B
+       ~ √tasks or swap this stage for metric blocking
+       (``embedding_dup_pairs_ivf`` cells) and accept approximate
+       recall — the rest of the plan is edge-source-agnostic.
+       Materialized ONCE (multi-consumer feeding sort-based groupbys).
+    2. **degree** → core flags via the two-phase bucketed count.
+    3. **core components** — ``dedup._cc_labels`` min-label
+       propagation over the core-core subgraph (the r2-verdict
+       distributed CC), singleton cores filled by a left join.
+    4. **border attach** — one-core-end edges emit
+       (non-core end, root of core end); groupby-min.
+    5. **assemble** — two left joins against the full vec_id column,
+       noise fills −1.
+    """
+    from suckit_ray.pipelines.dedup import _cc_labels
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    if num_partitions is None:
+        num_partitions = max(
+            2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        )
+    B = num_buckets
+
+    ds = _read_embeddings(sf_dir)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        b = ids % B
+        embs = df["embedding"].to_numpy()
+        pairs, idx = [], []
+        for p in range(B):
+            lo = np.minimum(b, p)
+            hi = np.maximum(b, p)
+            pairs.append(lo * B + hi)
+            idx.append(np.arange(len(ids)))
+        pair = np.concatenate(pairs)
+        take = np.concatenate(idx)
+        return pd.DataFrame(
+            {
+                "pair": pair,
+                "bkt": b[take],
+                "vec_id": ids[take],
+                "embedding": embs[take],
+            }
+        )
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        bkt = g["bkt"].to_numpy()[order]
+        m = _normalize(np.stack(g["embedding"].to_numpy()[order]).astype(np.float64))
+        i, j = divmod(int(g["pair"].iloc[0]), B)
+        if i == j:
+            cos = m @ m.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = cos[ii, jj] >= eps
+            a, c = ids[ii[keep]], ids[jj[keep]]
+        else:
+            li, lj = bkt == i, bkt == j
+            cos = m[li] @ m[lj].T
+            ai, bj = np.nonzero(cos >= eps)
+            a = np.minimum(ids[li][ai], ids[lj][bj])
+            c = np.maximum(ids[li][ai], ids[lj][bj])
+        return pd.DataFrame({"a_id": a.astype(np.int64), "b_id": c.astype(np.int64)})
+
+    edges = (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(cross, batch_format="pandas")
+        .materialize()
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.concatenate([df["a_id"].to_numpy(), df["b_id"].to_numpy()])}
+        )
+
+    deg = bucketed_groupby_agg(
+        edges.map_batches(explode, batch_format="pandas"),
+        ["node"],
+        {"deg": ("node", "count")},
+    )
+    flags = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"], "core": (df["deg"] >= min_pts)}
+        ),
+        batch_format="pandas",
+    ).materialize()  # three consumers (two edge joins + cores): one barrier
+
+    # tag both edge endpoints with core flags (two key-shuffled joins)
+    e1 = edges.join(
+        flags, "inner", num_partitions, on=("a_id",), right_on=("node",)
+    ).map_batches(
+        lambda df: df.rename(columns={"core": "core_a"})[
+            ["a_id", "b_id", "core_a"]
+        ],
+        batch_format="pandas",
+    )
+    e2 = e1.join(
+        flags, "inner", num_partitions, on=("b_id",), right_on=("node",)
+    ).map_batches(
+        lambda df: df.rename(columns={"core": "core_b"})[
+            ["a_id", "b_id", "core_a", "core_b"]
+        ],
+        batch_format="pandas",
+    ).materialize()
+
+    ce = e2.map_batches(
+        lambda df: df[df["core_a"] & df["core_b"]][["a_id", "b_id"]],
+        batch_format="pandas",
+    )
+    cc = _cc_labels(ce)  # (node, label) over cores WITH a core neighbor
+
+    cores = flags.map_batches(
+        lambda df: df[df["core"]][["node"]], batch_format="pandas"
+    )
+    core_labels = cores.join(
+        cc.map_batches(
+            lambda df: df.rename(columns={"node": "cnode"}),
+            batch_format="pandas",
+        ),
+        "left_outer",
+        num_partitions,
+        on=("node",),
+        right_on=("cnode",),
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": df["node"],
+                "label": df["label"]
+                .fillna(df["node"])
+                .astype("int64"),  # singleton core = own cluster
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    # border candidates: non-core end of a mixed edge → root of core end
+    def mixed(df: pd.DataFrame) -> pd.DataFrame:
+        ab = df[df["core_a"] & ~df["core_b"]]
+        ba = df[df["core_b"] & ~df["core_a"]]
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(
+                    [ab["b_id"].to_numpy(), ba["a_id"].to_numpy()]
+                ).astype(np.int64),
+                "c": np.concatenate(
+                    [ab["a_id"].to_numpy(), ba["b_id"].to_numpy()]
+                ).astype(np.int64),
+            }
+        )
+
+    border = bucketed_groupby_agg(
+        e2.map_batches(mixed, batch_format="pandas").join(
+            core_labels.map_batches(
+                lambda df: df.rename(columns={"node": "cnode", "label": "croot"}),
+                batch_format="pandas",
+            ),
+            "inner",
+            num_partitions,
+            on=("c",),
+            right_on=("cnode",),
+        ),
+        ["u"],
+        {"broot": ("croot", "min")},
+    )
+
+    out = (
+        ds.map_batches(
+            lambda df: df[["vec_id"]], batch_format="pandas"
+        )
+        .join(core_labels, "left_outer", num_partitions, on=("vec_id",), right_on=("node",))
+        .join(border, "left_outer", num_partitions, on=("vec_id",), right_on=("u",))
+    )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        is_core = df["label"].notna()
+        cluster = (
+            df["label"]
+            .fillna(df["broot"])
+            .fillna(-1)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "is_core": is_core,
+                "cluster": cluster,
+            }
+        )
+
+    return out.map_batches(assemble, batch_format="pandas")

@@ -199,3 +199,94 @@ class TestGopherFilter:
             want.astype(got.dtypes.to_dict()),
             check_dtype=False,
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDBSCAN:
+    """Pinned against an independent pure-numpy DBSCAN (same
+    deterministic min-root border rule), not the engine's own plan."""
+
+    @staticmethod
+    def _reference(sf_dir, eps=0.30, min_pts=3):
+        emb = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        ids = emb["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        cos = m @ m.T
+        np.fill_diagonal(cos, -2.0)
+        adj = cos >= eps
+        deg = adj.sum(1)
+        core = deg >= min_pts
+        # union-find over core-core edges
+        parent = {int(i): int(i) for i in ids[core]}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ci = np.nonzero(core)[0]
+        for a in ci:
+            for b in ci:
+                if b > a and adj[a, b]:
+                    ra, rb = find(int(ids[a])), find(int(ids[b]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        root = {x: find(x) for x in parent}
+        # min-label roots: find() after full pass gives component rep;
+        # make it the component MIN explicitly
+        comp_min = {}
+        for x, r in root.items():
+            comp_min[r] = min(comp_min.get(r, x), x)
+        root = {x: comp_min[r] for x, r in root.items()}
+        out = {}
+        for k, i in enumerate(ids):
+            if core[k]:
+                out[int(i)] = (True, root[int(i)])
+            else:
+                cn = [int(ids[j]) for j in np.nonzero(adj[k])[0] if core[j]]
+                out[int(i)] = (
+                    (False, min(root[c] for c in cn)) if cn else (False, -1)
+                )
+        return out
+
+    def _check(self, eps, min_pts):
+        from suckit_ray.pipelines.ann import embeddings_dbscan
+
+        got = (
+            embeddings_dbscan(SF, eps=eps, min_pts=min_pts)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        want = self._reference(SF, eps=eps, min_pts=min_pts)
+        assert len(got) == len(want)
+        for r in got.itertuples():
+            w_core, w_cluster = want[int(r.vec_id)]
+            assert bool(r.is_core) == w_core, r.vec_id
+            assert int(r.cluster) == w_cluster, r.vec_id
+        return got
+
+    def test_matches_reference_default(self):
+        # eps=0.30 percolates into one giant cluster — still exact
+        got = self._check(0.30, 3)
+        assert (got.cluster == -1).any()
+        core_ids = set(got[got.is_core]["vec_id"])
+        clusters = got[got.cluster >= 0]["cluster"].unique()
+        assert all(int(c) in core_ids for c in clusters)
+
+    def test_matches_reference_sparse_regime(self):
+        # eps=0.35: few cores → multiple clusters, borders, and noise
+        got = self._check(0.35, 3)
+        clusters = got[got.cluster >= 0]["cluster"].unique()
+        assert len(clusters) > 1
+        assert (got.cluster == -1).any()
+        # borders exist: clustered but not core
+        assert ((got.cluster >= 0) & ~got.is_core).any()
