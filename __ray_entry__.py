@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": graph.crawl_kcore,
         "crawl_components": graph.crawl_components,
         "crawl_scc": graph.crawl_scc,
+        "crawl_bowtie": graph.crawl_bowtie,
         "crawl_sssp": graph.crawl_sssp,
         "crawl_cocitation": graph.crawl_cocitation,
         "crawl_link_jaccard": graph.crawl_link_jaccard,
@@ -4214,6 +4215,107 @@ def oracle_sql() -> dict[str, str]:
         # groups label sizes — every crawled page's link targets are
         # themselves crawled, so no membership filter is needed here
         # (the engine applies one for generality)
+        # Broder bow-tie per host: largest SCC + four reach sets over
+        # the same closure the SCC oracle uses
+        "crawl_bowtie": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            tc(h, a, b) AS (
+              SELECT h, a, b FROM e
+              UNION
+              SELECT tc.h, tc.a, e2.b
+              FROM tc JOIN e e2 ON e2.h = tc.h AND e2.a = tc.b
+            ),
+            mutual AS (
+              SELECT t1.h, t1.a AS j, t1.b AS k
+              FROM tc t1
+              JOIN tc t2
+                ON t2.h = t1.h AND t2.a = t1.b AND t2.b = t1.a
+            ),
+            lab AS (
+              SELECT r.h, r.j,
+                     LEAST(r.j, COALESCE(MIN(m.k), r.j)) AS scc_id
+              FROM reach r
+              LEFT JOIN mutual m ON m.h = r.h AND m.j = r.j
+              GROUP BY r.h, r.j
+            ),
+            sz AS (
+              SELECT h, scc_id, count(*) AS size FROM lab GROUP BY 1, 2
+            ),
+            core_pick AS (
+              SELECT h, scc_id FROM sz
+              QUALIFY row_number() OVER (
+                PARTITION BY h ORDER BY size DESC, scc_id ASC) = 1
+            ),
+            coreset AS (
+              SELECT l.h, l.j FROM lab l
+              JOIN core_pick c ON c.h = l.h AND c.scc_id = l.scc_id
+            ),
+            -- DISTINCT wrappers: inside WITH RECURSIVE, DuckDB's
+            -- non-recursive CTE UNIONs do not deduplicate
+            fwd AS (
+              SELECT DISTINCT h, j FROM (
+                SELECT h, j FROM coreset
+                UNION ALL
+                SELECT tc.h, tc.b FROM tc
+                JOIN coreset c ON c.h = tc.h AND c.j = tc.a
+              )
+            ),
+            bwd AS (
+              SELECT DISTINCT h, j FROM (
+                SELECT h, j FROM coreset
+                UNION ALL
+                SELECT tc.h, tc.a FROM tc
+                JOIN coreset c ON c.h = tc.h AND c.j = tc.b
+              )
+            ),
+            inset AS (
+              SELECT b2.h, b2.j FROM bwd b2
+              WHERE NOT EXISTS (
+                SELECT 1 FROM fwd f WHERE f.h = b2.h AND f.j = b2.j)
+            ),
+            outset AS (
+              SELECT f2.h, f2.j FROM fwd f2
+              WHERE NOT EXISTS (
+                SELECT 1 FROM bwd b3 WHERE b3.h = f2.h AND b3.j = f2.j)
+            ),
+            fromin AS (
+              SELECT DISTINCT tc.h, tc.b AS j FROM tc
+              JOIN inset i ON i.h = tc.h AND i.j = tc.a
+            ),
+            toout AS (
+              SELECT DISTINCT tc.h, tc.a AS j FROM tc
+              JOIN outset o ON o.h = tc.h AND o.j = tc.b
+            ),
+            cls AS (
+              SELECT r.h, r.j,
+                CASE
+                  WHEN f.j IS NOT NULL AND bw.j IS NOT NULL THEN 'CORE'
+                  WHEN bw.j IS NOT NULL THEN 'IN'
+                  WHEN f.j IS NOT NULL THEN 'OUT'
+                  WHEN fi.j IS NOT NULL AND t_o.j IS NOT NULL THEN 'TUBE'
+                  WHEN fi.j IS NOT NULL THEN 'TENDRIL_IN'
+                  WHEN t_o.j IS NOT NULL THEN 'TENDRIL_OUT'
+                  ELSE 'DISC'
+                END AS cls
+              FROM reach r
+              LEFT JOIN fwd f ON f.h = r.h AND f.j = r.j
+              LEFT JOIN bwd bw ON bw.h = r.h AND bw.j = r.j
+              LEFT JOIN fromin fi ON fi.h = r.h AND fi.j = r.j
+              LEFT JOIN toout t_o ON t_o.h = r.h AND t_o.j = r.j
+            )
+            SELECT hn.hn AS host, cls, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM cls JOIN hostname hn ON hn.h = cls.h
+            GROUP BY 1, 2
+        """,
         "crawl_scc": rf"""
             WITH RECURSIVE
             {_CRAWL_REACH_CTE},

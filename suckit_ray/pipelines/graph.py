@@ -2592,3 +2592,162 @@ def crawl_communities_lpa(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return lpa_communities_from_docs(crawl_docs(sf_dir))
+
+
+def bowtie_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, cls, n_nodes): the Broder et al. 2000 ("Graph structure
+    in the web", WWW — public) bow-tie decomposition of each host's
+    directed page-link graph around its LARGEST strongly-connected
+    component (ties on size break toward the smaller min-member id,
+    the ``crawl_scc`` scc_id convention):
+
+    - ``CORE``         the largest SCC
+    - ``IN``           reaches CORE, not in it
+    - ``OUT``          reachable from CORE, not in it
+    - ``TUBE``         reachable from IN and reaches OUT, avoiding CORE
+    - ``TENDRIL_IN``   reachable from IN only
+    - ``TENDRIL_OUT``  reaches OUT only
+    - ``DISC``         none of the above
+
+    The crawl's link graph is host-partitioned by construction (links
+    never cross hosts), so the natural plan is ONE groupby(host) with
+    per-group boolean-matrix transitive closure (repeated squaring,
+    O(log diameter) matmuls) — exactly the oracle's closure CTE, so
+    every set is exact. Per-group work is O(m³ log m) in host page
+    count: bounded for politeness-capped crawls; a giant host would
+    swap this group kernel for the distributed reach machinery
+    (``_dir_max_prop`` seeds, the ``crawl_sssp`` pattern) at the cost
+    of more rounds — the surrounding plan is unchanged."""
+    import re
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        nodes = np.unique(
+            np.concatenate([g["j"].to_numpy(), g["s"].to_numpy(), g["t"].to_numpy()])
+        )
+        nodes = nodes[nodes >= 0]
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        m = len(nodes)
+        A = np.zeros((m, m), dtype=bool)
+        e = g[g["s"] >= 0]
+        if len(e):
+            A[
+                [idx[int(x)] for x in e["s"]],
+                [idx[int(x)] for x in e["t"]],
+            ] = True
+        # transitive closure by repeated squaring (no reflexive seed:
+        # R[i,j] = path of length >= 1, matching the SQL tc CTE)
+        R = A.copy()
+        while True:
+            R2 = R | (R @ R)
+            if (R2 == R).all():
+                break
+            R = R2
+        mutual = R & R.T
+        # scc_id(j) = min(j, min mutual partner) — crawl_scc's lab CTE
+        scc_id = nodes.copy()
+        for i in range(m):
+            p = np.nonzero(mutual[i])[0]
+            if len(p):
+                scc_id[i] = min(scc_id[i], nodes[p].min())
+        sizes: dict[int, int] = {}
+        for sid in scc_id:
+            sizes[int(sid)] = sizes.get(int(sid), 0) + 1
+        core_id = min(sizes, key=lambda s: (-sizes[s], s))
+        core = scc_id == core_id
+        f = core | (R[core].any(axis=0) if core.any() else np.zeros(m, bool))
+        b = core | (R[:, core].any(axis=1) if core.any() else np.zeros(m, bool))
+        in_ = b & ~f
+        out = f & ~b
+        rest = ~(f | b)
+        from_in = R[in_].any(axis=0) if in_.any() else np.zeros(m, bool)
+        to_out = R[:, out].any(axis=1) if out.any() else np.zeros(m, bool)
+        cls = np.where(
+            f & b,
+            "CORE",
+            np.where(
+                in_,
+                "IN",
+                np.where(
+                    out,
+                    "OUT",
+                    np.where(
+                        rest & from_in & to_out,
+                        "TUBE",
+                        np.where(
+                            rest & from_in,
+                            "TENDRIL_IN",
+                            np.where(rest & to_out, "TENDRIL_OUT", "DISC"),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        u, c = np.unique(cls, return_counts=True)
+        return pd.DataFrame(
+            {
+                "host": [host] * len(u),
+                "cls": u,
+                "n_nodes": c.astype("int64"),
+            }
+        )
+
+    page_re = re.compile(r"/p(\d+)\.html$")
+
+    def node_rows(t: pa.Table) -> pd.DataFrame:
+        hosts, js = [], []
+        for doc_id, host, is_html in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("host").to_pylist(),
+            t.column("is_html").to_pylist(),
+        ):
+            if not is_html:
+                continue
+            m = page_re.search(posixpath.normpath(doc_id))
+            if not m:
+                continue
+            hosts.append(host)
+            js.append(int(m.group(1)))
+        n = len(hosts)
+        # pandas block: the edge leg is pandas and a mixed-format
+        # union breaks the downstream groupby's group slicing
+        return pd.DataFrame(
+            {
+                "host": pd.array(hosts, dtype="object"),
+                "j": pd.array(js, dtype="int64"),
+                "s": pd.array([-1] * n, dtype="int64"),
+                "t": pd.array([-1] * n, dtype="int64"),
+            }
+        )
+
+    # isolated crawled pages must classify too: union node rows
+    # (j, -1, -1) with edge rows (-1, s, t) into one host co-group
+    staged = (
+        docs.select_columns(["doc_id", "host", "is_html"])
+        .map_batches(
+            node_rows, batch_format="pyarrow", batch_size=None
+        )
+        .union(
+            _host_page_edges(docs).map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "host": df["host"],
+                        "j": np.full(len(df), -1, dtype="int64"),
+                        "s": df["s"].astype("int64"),
+                        "t": df["t"].astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+    )
+    return staged.groupby("host").map_groups(classify, batch_format="pandas")
+
+
+def crawl_bowtie(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-host bow-tie class histogram of the
+    flagship crawl. Full SQL oracle: closure + largest-SCC + four
+    reachability sets over the shared reach CTE."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return bowtie_from_docs(crawl_docs(sf_dir))

@@ -944,3 +944,73 @@ def test_lpa_matches_independent_reference_and_keeps_islands():
     )
     assert got == lab
     assert got["h.test/island.html"] == "h.test/island.html"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bowtie_engineered_all_classes():
+    """Hand-built host exercising every Broder class (the flagship's
+    synthetic hosts are fully strongly connected, so all-CORE there);
+    second host checks per-host isolation."""
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import bowtie_from_docs
+
+    def page(host, j, targets):
+        return {
+            "doc_id": f"{host}//p{j}.html",
+            "host": host,
+            "is_html": True,
+            "spans": [
+                {
+                    "kind": "link",
+                    "text": "",
+                    "media_ref": f"p{t}.html",
+                    "offset": i,
+                }
+                for i, t in enumerate(targets)
+            ],
+        }
+
+    # CORE {0,1}; IN {2,3}; OUT {4,5}; TUBE {6,7}; TENDRIL_IN {8};
+    # TENDRIL_OUT {9}; DISC {10,11,12 (isolated)}
+    h_edges = {
+        0: [1],
+        1: [0, 4],
+        2: [0, 6, 8],
+        3: [2],
+        4: [5],
+        5: [],
+        6: [7],
+        7: [4],
+        8: [],
+        9: [4],
+        10: [11],
+        11: [],
+        12: [],
+    }
+    rows = [page("h", j, ts) for j, ts in h_edges.items()]
+    # host g: pure 3-cycle — all CORE
+    rows += [page("g", j, [(j + 1) % 3]) for j in range(3)]
+
+    import pandas as pd
+
+    got = (
+        bowtie_from_docs(rd.from_items(rows).repartition(3))
+        .to_pandas()
+        .sort_values(["host", "cls"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [
+            ("g", "CORE", 3),
+            ("h", "CORE", 2),
+            ("h", "DISC", 3),
+            ("h", "IN", 2),
+            ("h", "OUT", 2),
+            ("h", "TENDRIL_IN", 1),
+            ("h", "TENDRIL_OUT", 1),
+            ("h", "TUBE", 2),
+        ],
+        columns=["host", "cls", "n_nodes"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
