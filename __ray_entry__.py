@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_test": relops.events_ab_test,
         "events_user_paths": relops.events_user_paths,
         "events_ewma": relops.events_ewma,
+        "events_holt": relops.events_holt,
+        "events_benford": relops.events_benford,
         "events_attribution": relops.events_attribution,
         "events_spearman": relops.events_spearman,
         "events_value_median_cont": relops.events_value_median_cont,
@@ -2457,6 +2459,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day, x AS x_cents,
                    CAST(e AS BIGINT) AS ewma_cents
             FROM r
+        """,
+        # Holt linear-trend smoothing: two coupled truncating
+        # recursions (level, trend); trend goes negative, so // is
+        # DuckDB's toward-zero division on both sides
+        "events_holt": """
+            WITH RECURSIVE d AS (
+              SELECT event_type,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       AS day,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            dr AS (
+              SELECT event_type, day, x,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS rn
+              FROM d
+            ),
+            r(event_type, rn, day, x, l, b) AS (
+              SELECT event_type, rn, day, x, x, CAST(0 AS BIGINT)
+              FROM dr WHERE rn = 1
+              UNION ALL
+              SELECT dr.event_type, dr.rn, dr.day, dr.x,
+                     (dr.x + (r.l + r.b)) // 2,
+                     (((dr.x + (r.l + r.b)) // 2) - r.l + r.b) // 2
+              FROM r JOIN dr ON dr.event_type = r.event_type
+                            AND dr.rn = r.rn + 1
+            )
+            SELECT event_type, day, x AS x_cents,
+                   CAST(l AS BIGINT) AS level_c,
+                   CAST(b AS BIGINT) AS trend_c,
+                   CAST(l + b AS BIGINT) AS forecast_c
+            FROM r
+        """,
+        # Benford first-digit audit: the SAME nano constants as the
+        # engine's _BENFORD_NANO; zero-obs digits still contribute
+        "events_benford": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+              WHERE CAST(round(value * 100) AS BIGINT) > 0
+            ),
+            obs AS (
+              SELECT event_type,
+                     CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                     CAST(count(*) AS BIGINT) AS n_obs
+              FROM c GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n
+              FROM obs GROUP BY 1
+            ),
+            p(digit, p_nano) AS (VALUES
+              (1, 301029995), (2, 176091259), (3, 124938736),
+              (4, 96910013), (5, 79181246), (6, 66946789),
+              (7, 57991946), (8, 51152522), (9, 45757490)),
+            f AS (
+              SELECT t.event_type, p.digit,
+                     COALESCE(o.n_obs, 0) AS n_obs, t.n, p.p_nano
+              FROM tot t CROSS JOIN p
+              LEFT JOIN obs o ON o.event_type = t.event_type
+                             AND o.digit = p.digit
+            ),
+            terms AS (
+              SELECT event_type, CAST(digit AS BIGINT) AS digit,
+                     CAST(n_obs AS BIGINT) AS n_obs,
+                     CAST(((CAST(n_obs AS HUGEINT) * 1000000000
+                            - CAST(n AS HUGEINT) * p_nano)
+                           * (CAST(n_obs AS HUGEINT) * 1000000000
+                              - CAST(n AS HUGEINT) * p_nano)
+                           * 1000000)
+                          // (CAST(n AS HUGEINT) * p_nano * 1000000000)
+                          AS BIGINT) AS term_micro
+              FROM f
+            )
+            SELECT event_type, digit, n_obs, term_micro,
+                   CAST(SUM(term_micro) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS chi2_micro
+            FROM terms
         """,
         # last-touch attribution: latest prior click within 7 days
         "events_attribution": """

@@ -301,6 +301,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_bursts",
         "docs_hybrid_rrf",
         "docs_gopher_filter",
+        "embeddings_dbscan",
+        "crawl_bowtie",
+        # twelfth session
+        "events_holt",
+        "events_benford",
     ]
     qs = E.queries()
     out = {}

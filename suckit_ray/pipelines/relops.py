@@ -5463,6 +5463,196 @@ def events_ewma(sf_dir: str) -> rd.Dataset:
     return daily.groupby("event_type").map_groups(fold, batch_format="pandas")
 
 
+def events_holt(sf_dir: str) -> rd.Dataset:
+    """(event_type, day, x_cents, level_c, trend_c, forecast_c):
+    integer Holt LINEAR-TREND smoothing (α=β=1/2) over each type's
+    daily cent sums — the trend-aware sibling of ``events_ewma``:
+
+        l_1 = x_1,  b_1 = 0
+        l_t = (x_t + (l_{t-1} + b_{t-1})) / 2      (truncating)
+        b_t = ((l_t − l_{t-1}) + b_{t-1}) / 2      (truncating)
+        forecast_c = l_t + b_t   (the one-step-ahead forecast)
+
+    Holt 1957 / Winters 1960 (public). Like EWMA, the truncation
+    inside each step has no prefix-closed identity, so the honest
+    plan is the bounded per-KEY ordered replay: series length is
+    calendar-bounded (days observed), each type's days co-locate in
+    one group, and the shuffle carries only (type, day, cents). The
+    trend term goes NEGATIVE on declining series, so every division
+    is ``_trunc_div`` — DuckDB's toward-zero ``//``, not Python's
+    flooring one (they differ on negative quotients)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": (us // 86_400_000_000).astype("int64"),
+                "cents": to_cents(df["value"]),
+            }
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x_cents": ("cents", "sum")},
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, grp in g.groupby("event_type"):
+            grp = grp.sort_values("day", kind="mergesort")
+            lev = trend = 0
+            levs, trends = [], []
+            for i, x in enumerate(grp["x_cents"].astype("int64")):
+                x = int(x)
+                if i == 0:
+                    lev, trend = x, 0
+                else:
+                    prev = lev
+                    lev = _trunc_div(x + (lev + trend), 2)
+                    trend = _trunc_div((lev - prev) + trend, 2)
+                levs.append(lev)
+                trends.append(trend)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "day": grp["day"].astype("int64").to_numpy(),
+                        "x_cents": grp["x_cents"].astype("int64").to_numpy(),
+                        "level_c": pd.array(levs, dtype="int64"),
+                        "trend_c": pd.array(trends, dtype="int64"),
+                        "forecast_c": pd.array(
+                            [a + b for a, b in zip(levs, trends)],
+                            dtype="int64",
+                        ),
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                columns=[
+                    "event_type",
+                    "day",
+                    "x_cents",
+                    "level_c",
+                    "trend_c",
+                    "forecast_c",
+                ]
+            )
+        )
+
+    return daily.groupby("event_type").map_groups(fold, batch_format="pandas")
+
+
+# floor(log10(1 + 1/d) * 1e9) for d = 1..9 — Benford's law (Newcomb
+# 1881 / Benford 1938, public) first-digit probabilities in exact
+# nano units, verified against 40-digit Decimal ln; the SAME literals
+# are inlined in the SQL oracle so no float log appears on either side
+_BENFORD_NANO = {
+    1: 301_029_995,
+    2: 176_091_259,
+    3: 124_938_736,
+    4: 96_910_013,
+    5: 79_181_246,
+    6: 66_946_789,
+    7: 57_991_946,
+    8: 51_152_522,
+    9: 45_757_490,
+}
+
+
+def events_benford(sf_dir: str) -> rd.Dataset:
+    """(event_type, digit, n_obs, term_micro, chi2_micro): Benford
+    first-significant-digit audit of each type's cent values — the
+    fraud/data-quality screen: observed digit histogram vs the Benford
+    expectation, per-digit chi-square contribution and the per-type
+    chi-square statistic, ALL in exact integer arithmetic:
+
+        term = ((n_obs·1e9 − n·P_nano)² · 1e6) / (n·P_nano·1e9)
+
+    truncated per digit then summed (numerator is a square, so floor
+    == trunc and DuckDB ``//`` agrees). Digits with zero observations
+    still contribute (0 − nP)² — the 9-digit support is materialized
+    per type. The engine folds in unbounded Python ints; the oracle's
+    HUGEINT holds to ~4e11 events per type, far past test scale.
+
+    Plan: one vectorized first-digit partial per batch, one bucketed
+    (type, digit) count — at most 9·|types| rows leave the exchange —
+    then a per-type group computes the constants fold."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = to_cents(df["value"])
+        m = c > 0
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"][m],
+                "digit": c[m].astype(str).str[0].astype("int64"),
+            }
+        )
+
+    obs = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "digit"],
+        aggs={"n_obs": ("digit", "count")},
+    )
+
+    def chi2(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, grp in g.groupby("event_type"):
+            have = dict(
+                zip(grp["digit"].astype("int64"), grp["n_obs"].astype("int64"))
+            )
+            n = int(sum(have.values()))
+            terms = {}
+            for d, p in _BENFORD_NANO.items():
+                o = int(have.get(d, 0))
+                num = (o * 10**9 - n * p) ** 2 * 10**6
+                terms[d] = num // (n * p * 10**9) if n else 0
+            tot = sum(terms.values())
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "digit": pd.array(sorted(terms), dtype="int64"),
+                        "n_obs": pd.array(
+                            [int(have.get(d, 0)) for d in sorted(terms)],
+                            dtype="int64",
+                        ),
+                        "term_micro": pd.array(
+                            [terms[d] for d in sorted(terms)], dtype="int64"
+                        ),
+                        "chi2_micro": pd.array(
+                            [tot] * len(terms), dtype="int64"
+                        ),
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                columns=[
+                    "event_type",
+                    "digit",
+                    "n_obs",
+                    "term_micro",
+                    "chi2_micro",
+                ]
+            )
+        )
+
+    return obs.groupby("event_type").map_groups(chi2, batch_format="pandas")
+
+
 ATTRIBUTION_WINDOW_US = 7 * 86_400_000_000
 
 

@@ -1,0 +1,138 @@
+"""Twelfth-session operator pins: Holt linear-trend smoothing,
+Benford first-digit audit, per-host closeness centrality,
+resource-allocation link prediction, exact k-NN graph."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(tmp_path, days, values, etype="a"):
+    n = len(days)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [d * 86_400_000_000 for d in days], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array([etype] * n, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHolt:
+    def test_linear_ramp_tracks_trend(self, tmp_path):
+        """x_t = 100 + 200t cents: Holt's forecast converges onto the
+        ramp (level ≈ x, trend ≈ 200) — replay the recursion literally
+        and assert frame equality plus the convergence property."""
+        from suckit_ray.pipelines.relops import events_holt
+
+        days = list(range(12))
+        _write_events(tmp_path, days, [1.0 + 2.0 * d for d in days])
+        got = (
+            events_holt(str(tmp_path))
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+
+        def tdiv(a, b):
+            q = a // b
+            if q < 0 and q * b != a:
+                q += 1
+            return q
+
+        lev = trend = 0
+        for i, d in enumerate(days):
+            x = 100 + 200 * d
+            if i == 0:
+                lev, trend = x, 0
+            else:
+                prev = lev
+                lev = tdiv(x + lev + trend, 2)
+                trend = tdiv((lev - prev) + trend, 2)
+            row = got.iloc[i]
+            assert (row["x_cents"], row["level_c"], row["trend_c"]) == (
+                x,
+                lev,
+                trend,
+            )
+            assert row["forecast_c"] == lev + trend
+        # converged: by the end the trend sits near the true slope
+        # (truncation in both recursions biases it a few cents low)
+        assert abs(got.iloc[-1]["trend_c"] - 200) <= 5
+
+    def test_declining_series_negative_trend_truncates(self, tmp_path):
+        """A falling series drives trend negative — the division must
+        truncate toward zero (DuckDB //), not floor: engineered so a
+        negative odd numerator appears in the trend recursion."""
+        from suckit_ray.pipelines.relops import events_holt
+
+        days = [0, 1, 2]
+        # x = 1000, 3, 3 cents: l1=501 (trunc of 1003/2), trend1 =
+        # trunc((501-1000)+0)/2 = trunc(-499/2) = -249 (floor is -250)
+        _write_events(tmp_path, days, [10.0, 0.03, 0.03])
+        got = (
+            events_holt(str(tmp_path))
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        assert got.iloc[1]["level_c"] == 501
+        assert got.iloc[1]["trend_c"] == -249  # -250 would mean floor
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBenford:
+    def test_hand_counts_and_zero_digits(self, tmp_path):
+        """All observations start with digit 1 (n=4): the other eight
+        digits still contribute (0 − nP)² — exact terms by hand."""
+        from suckit_ray.pipelines.relops import _BENFORD_NANO, events_benford
+
+        _write_events(tmp_path, [0, 1, 2, 3], [1.0, 1.5, 0.1, 1999.99])
+        got = (
+            events_benford(str(tmp_path))
+            .to_pandas()
+            .sort_values("digit")
+            .reset_index(drop=True)
+        )
+        assert list(got["digit"]) == list(range(1, 10))
+        assert list(got["n_obs"]) == [4] + [0] * 8
+        n = 4
+        terms = {}
+        for d, p in _BENFORD_NANO.items():
+            o = 4 if d == 1 else 0
+            terms[d] = ((o * 10**9 - n * p) ** 2 * 10**6) // (
+                n * p * 10**9
+            )
+        assert list(got["term_micro"]) == [terms[d] for d in range(1, 10)]
+        assert (got["chi2_micro"] == sum(terms.values())).all()
+
+    def test_nonpositive_cents_excluded(self, tmp_path):
+        """value rounding to 0 cents is not a significant digit."""
+        from suckit_ray.pipelines.relops import events_benford
+
+        _write_events(tmp_path, [0, 1], [0.001, 2.0])
+        got = events_benford(str(tmp_path)).to_pandas()
+        assert got["n_obs"].sum() == 1
+
+    def test_benford_distributed_corpus_small_chi2(self, tmp_path):
+        """A corpus whose digits follow Benford closely: chi2 far
+        below the all-ones corpus' (sanity of the statistic)."""
+        from suckit_ray.pipelines.relops import _BENFORD_NANO, events_benford
+
+        vals = []
+        for d, p in _BENFORD_NANO.items():
+            vals += [float(d)] * max(1, round(p / 1e9 * 100))
+        _write_events(tmp_path, list(range(len(vals))), vals)
+        got = events_benford(str(tmp_path)).to_pandas()
+        assert got["chi2_micro"].iloc[0] < 5_000_000  # chi2 < 5.0
