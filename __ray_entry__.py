@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_components": graph.crawl_components,
         "crawl_scc": graph.crawl_scc,
         "crawl_bowtie": graph.crawl_bowtie,
+        "crawl_closeness": graph.crawl_closeness,
+        "crawl_resource_allocation": graph.crawl_resource_allocation,
         "crawl_sssp": graph.crawl_sssp,
         "crawl_cocitation": graph.crawl_cocitation,
         "crawl_link_jaccard": graph.crawl_link_jaccard,
@@ -4299,6 +4301,96 @@ def oracle_sql() -> dict[str, str]:
         # groups label sizes — every crawled page's link targets are
         # themselves crawled, so no membership filter is needed here
         # (the engine applies one for generality)
+        # resource-allocation link prediction: undirected degree +
+        # wedge self-join, integer 1e9 // deg(z) terms, existing
+        # edges excluded
+        "crawl_resource_allocation": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            und AS (
+              SELECT DISTINCT h, a, b FROM (
+                SELECT h, a, b FROM e
+                UNION ALL SELECT h, b, a FROM e
+              )
+            ),
+            deg AS (SELECT h, a AS z, count(*) AS d FROM und GROUP BY 1, 2),
+            wedge AS (
+              SELECT u1.h, u1.a AS z, u1.b AS x, u2.b AS y
+              FROM und u1
+              JOIN und u2 ON u2.h = u1.h AND u2.a = u1.a
+                          AND u1.b < u2.b
+            ),
+            scored AS (
+              SELECT w.h, w.x AS a, w.y AS b,
+                     CAST(count(*) AS BIGINT) AS n_common,
+                     CAST(SUM(1000000000 // d.d) AS BIGINT) AS ra_nano
+              FROM wedge w JOIN deg d ON d.h = w.h AND d.z = w.z
+              GROUP BY 1, 2, 3
+            )
+            SELECT hn.hn AS host, CAST(s.a AS BIGINT) AS a,
+                   CAST(s.b AS BIGINT) AS b, s.n_common, s.ra_nano
+            FROM scored s JOIN hostname hn ON hn.h = s.h
+            WHERE s.n_common >= 2
+              AND NOT EXISTS (SELECT 1 FROM und u
+                              WHERE u.h = s.h AND u.a = s.a
+                                AND u.b = s.b)
+        """,
+        # directed closeness centrality: bounded-depth recursive BFS
+        # (UNION dedups (h,s,n,d) rows; d < host size caps cycles),
+        # min distance per (host, src, node), Wasserman-Faust ppm
+        "crawl_closeness": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            bfs(h, s, n, d) AS (
+              SELECT h, a, b, 1 FROM e
+              UNION
+              SELECT b2.h, b2.s, e2.b, b2.d + 1
+              FROM bfs b2
+              JOIN hosts ho ON ho.h = b2.h
+              JOIN e e2 ON e2.h = b2.h AND e2.a = b2.n
+              WHERE b2.d < ho.m
+            ),
+            mind AS (
+              SELECT h, s, n, MIN(d) AS d FROM bfs
+              WHERE s <> n GROUP BY 1, 2, 3
+            ),
+            agg AS (
+              SELECT h, s, CAST(count(*) AS BIGINT) AS n_reach,
+                     CAST(SUM(d) AS BIGINT) AS dist_sum
+              FROM mind GROUP BY 1, 2
+            ),
+            msz AS (SELECT h, count(*) AS mh FROM reach GROUP BY h)
+            SELECT hn.hn AS host, CAST(r.j AS BIGINT) AS page,
+                   CAST(COALESCE(a.n_reach, 0) AS BIGINT) AS n_reach,
+                   CAST(COALESCE(a.dist_sum, 0) AS BIGINT) AS dist_sum,
+                   CAST(CASE WHEN COALESCE(a.dist_sum, 0) > 0
+                              AND ms.mh > 1
+                        THEN (CAST(a.n_reach AS HUGEINT) * a.n_reach
+                              * 1000000)
+                             // (CAST(a.dist_sum AS HUGEINT)
+                                 * (ms.mh - 1))
+                        ELSE 0 END AS BIGINT) AS closeness_ppm
+            FROM reach r
+            JOIN msz ms ON ms.h = r.h
+            JOIN hostname hn ON hn.h = r.h
+            LEFT JOIN agg a ON a.h = r.h AND a.s = r.j
+        """,
         # Broder bow-tie per host: largest SCC + four reach sets over
         # the same closure the SCC oracle uses
         "crawl_bowtie": rf"""

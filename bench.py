@@ -306,6 +306,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # twelfth session
         "events_holt",
         "events_benford",
+        "crawl_closeness",
+        "crawl_resource_allocation",
     ]
     qs = E.queries()
     out = {}

@@ -2375,6 +2375,125 @@ def crawl_link_jaccard(sf_dir: str) -> rd.Dataset:
     return link_jaccard_from_docs(crawl_docs(sf_dir))
 
 
+RA_MIN_COMMON = 2
+
+
+def resource_allocation_from_docs(
+    docs: rd.Dataset, min_common: int = RA_MIN_COMMON
+) -> rd.Dataset:
+    """(host, a, b, n_common, ra_nano): resource-allocation link
+    prediction over each host's UNDIRECTED page graph (Zhou, Lü &
+    Zhang 2009, public) — for non-adjacent pairs a<b sharing
+    ≥ ``min_common`` neighbors, the RA index Σ_z 1/deg(z) over common
+    neighbors z, carried exactly as Σ 1e9 // deg(z) (deg(z) ≥ 2 for
+    any common neighbor, so every term is a positive integer). The
+    pairs RA ranks highest are the edges most likely missing — the
+    recrawl-seeding / related-pages signal.
+
+    Plan — TWO exchanges, no driver state:
+    (1) directed edges emitted BOTH ways into a center-hash co-group:
+        all rows for neighbor-center z land in one group, so the
+        within-group (host, z, x) dedup IS the global undirected
+        dedup (no separate exchange), deg(z) is the group slice size,
+        and the wedge emit attaches w = 1e9 // deg(z) to each of the
+        O(deg²) neighbor pairs — the cocitation wedge shape with a
+        weight column;
+    (2) one bucketed (host, a, b) sum where normalized edge MARKER
+        rows ride the SAME exchange as sum-of-indicator columns —
+        n_common = Σ is_wedge, ra_nano = Σ w, edge_flag = Σ is_edge —
+        and the group-local filter keeps non-adjacent pairs only (RA
+        scores candidate links, not existing ones). The tagged-union
+        trick referential_audit established: anti-join for free.
+
+    The edge dataset feeds both legs, so it carries the plan's one
+    materialize() barrier (three int/string columns, O(links) —
+    object-store-spillable at scale; without it each sort-groupby
+    pass re-executes the lazy crawl)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+    edges = _host_page_edges(docs).materialize()
+
+    def both_ways(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "host": pd.concat([df["host"], df["host"]], ignore_index=True),
+                "z": pd.concat([df["s"], df["t"]], ignore_index=True).astype(
+                    "int64"
+                ),
+                "x": pd.concat([df["t"], df["s"]], ignore_index=True).astype(
+                    "int64"
+                ),
+            }
+        )
+        out["zb"] = (out["z"] % B).astype("int64")
+        return out
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["host", "z", "x"])
+        deg = g.groupby(["host", "z"])["x"].transform("size")
+        gw = g.assign(w=(1_000_000_000 // deg).astype("int64"))
+        m = gw.merge(gw[["host", "z", "x"]], on=["host", "z"])
+        m = m[m["x_x"] < m["x_y"]]
+        return pd.DataFrame(
+            {
+                "host": m["host"],
+                "a": m["x_x"].astype("int64"),
+                "b": m["x_y"].astype("int64"),
+                "w": m["w"].astype("int64"),
+                "is_w": np.ones(len(m), dtype="int64"),
+                "is_edge": np.zeros(len(m), dtype="int64"),
+            }
+        )
+
+    def edge_markers(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(df["s"].to_numpy(), df["t"].to_numpy())
+        b = np.maximum(df["s"].to_numpy(), df["t"].to_numpy())
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "host": df["host"],
+                "a": a.astype("int64"),
+                "b": b.astype("int64"),
+                "w": np.zeros(n, dtype="int64"),
+                "is_w": np.zeros(n, dtype="int64"),
+                "is_edge": np.ones(n, dtype="int64"),
+            }
+        )
+
+    staged = (
+        edges.map_batches(both_ways, batch_format="pandas")
+        .groupby("zb")
+        .map_groups(wedges, batch_format="pandas")
+        .union(edges.map_batches(edge_markers, batch_format="pandas"))
+    )
+    agg = bucketed_groupby_agg(
+        staged,
+        keys=["host", "a", "b"],
+        aggs={
+            "n_common": ("is_w", "sum"),
+            "ra_nano": ("w", "sum"),
+            "edge_flag": ("is_edge", "sum"),
+        },
+    )
+    return agg.map_batches(
+        lambda df: df[
+            (df["edge_flag"] == 0) & (df["n_common"] >= min_common)
+        ][["host", "a", "b", "n_common", "ra_nano"]],
+        batch_format="pandas",
+    )
+
+
+def crawl_resource_allocation(sf_dir: str) -> rd.Dataset:
+    """queries() entry: RA link-prediction scores for non-adjacent
+    same-host page pairs of the flagship crawl. Full SQL oracle:
+    undirected degree + wedge self-join + NOT EXISTS adjacency filter
+    over the shared reach CTE."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return resource_allocation_from_docs(crawl_docs(sf_dir))
+
+
 _ANCHOR_RE = None  # compiled lazily in workers (module import stays light)
 
 
@@ -2618,7 +2737,6 @@ def bowtie_from_docs(docs: rd.Dataset) -> rd.Dataset:
     swap this group kernel for the distributed reach machinery
     (``_dir_max_prop`` seeds, the ``crawl_sssp`` pattern) at the cost
     of more rounds — the surrounding plan is unchanged."""
-    import re
 
     def classify(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
@@ -2692,6 +2810,21 @@ def bowtie_from_docs(docs: rd.Dataset) -> rd.Dataset:
             }
         )
 
+    return (
+        _host_graph_staged(docs)
+        .groupby("host")
+        .map_groups(classify, batch_format="pandas")
+    )
+
+
+def _host_graph_staged(docs: rd.Dataset) -> rd.Dataset:
+    """Per-host node + edge rows staged into one unionable layout for
+    a host co-group: node rows (host, j, -1, -1) for every crawled
+    page, edge rows (host, -1, s, t) from the distinct directed link
+    graph — isolated crawled pages survive into the group. Shared by
+    the whole-graph-per-host kernels (bowtie, closeness)."""
+    import re
+
     page_re = re.compile(r"/p(\d+)\.html$")
 
     def node_rows(t: pa.Table) -> pd.DataFrame:
@@ -2720,13 +2853,9 @@ def bowtie_from_docs(docs: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    # isolated crawled pages must classify too: union node rows
-    # (j, -1, -1) with edge rows (-1, s, t) into one host co-group
-    staged = (
+    return (
         docs.select_columns(["doc_id", "host", "is_html"])
-        .map_batches(
-            node_rows, batch_format="pyarrow", batch_size=None
-        )
+        .map_batches(node_rows, batch_format="pyarrow", batch_size=None)
         .union(
             _host_page_edges(docs).map_batches(
                 lambda df: pd.DataFrame(
@@ -2741,7 +2870,87 @@ def bowtie_from_docs(docs: rd.Dataset) -> rd.Dataset:
             )
         )
     )
-    return staged.groupby("host").map_groups(classify, batch_format="pandas")
+
+
+def closeness_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, page, n_reach, dist_sum, closeness_ppm): DIRECTED
+    closeness centrality of every crawled page within its host's
+    link graph — n_reach/dist_sum over BFS shortest distances to the
+    other reachable pages (self excluded even under cycles), and the
+    Wasserman–Faust disconnected-graph normalization in exact ppm:
+
+        closeness_ppm = (n_reach² · 1e6) / (dist_sum · (m_host − 1))
+
+    truncated (numerator non-negative, so floor == trunc == DuckDB
+    ``//``); isolated pages score 0. Bavelas 1950 / Wasserman–Faust
+    1994 (public).
+
+    Plan: the bow-tie plan's host co-group, but the group kernel is
+    LEVEL-SYNCHRONOUS matrix BFS (R_{k+1} = R_k ∨ R_k·A, new entries
+    get distance k+1 — O(diameter) boolean matmuls) instead of the
+    closure's repeated squaring, because distances, not reachability,
+    are the output. Per-group work is O(m³·diam/64) bit-ops in host
+    page count — bounded for politeness-capped crawls; a giant host
+    swaps in the crawl_sssp message rounds, plan unchanged."""
+
+    def distances(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        m = len(nodes)
+        A = np.zeros((m, m), dtype=bool)
+        e = g[g["s"] >= 0]
+        if len(e):
+            A[
+                [idx[int(x)] for x in e["s"]],
+                [idx[int(x)] for x in e["t"]],
+            ] = True
+        R = A.copy()
+        D = np.where(A, 1, 0).astype(np.int64)
+        d = 1
+        while True:
+            new = (R @ A) & ~R
+            if not new.any():
+                break
+            d += 1
+            D[new] = d
+            R |= new
+        off = ~np.eye(m, dtype=bool)
+        n_reach = (R & off).sum(axis=1).astype(np.int64)
+        dist_sum = np.where(R & off, D, 0).sum(axis=1).astype(np.int64)
+        # exact ppm in Python ints: reach²·1e6 outgrows int64 on
+        # million-page hosts
+        ppm = [
+            (int(r) * int(r) * 1_000_000) // (int(s) * (m - 1))
+            if s > 0 and m > 1
+            else 0
+            for r, s in zip(n_reach, dist_sum)
+        ]
+        return pd.DataFrame(
+            {
+                "host": [host] * m,
+                "page": nodes.astype("int64"),
+                "n_reach": n_reach,
+                "dist_sum": dist_sum,
+                "closeness_ppm": pd.array(ppm, dtype="int64"),
+            }
+        )
+
+    return (
+        _host_graph_staged(docs)
+        .groupby("host")
+        .map_groups(distances, batch_format="pandas")
+    )
+
+
+def crawl_closeness(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-page directed closeness centrality of the
+    flagship crawl. Full SQL oracle: bounded-depth recursive BFS CTE
+    (min distance per (host, src, node)) over the shared reach CTE's
+    regenerated edges."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return closeness_from_docs(crawl_docs(sf_dir))
 
 
 def crawl_bowtie(sf_dir: str) -> rd.Dataset:

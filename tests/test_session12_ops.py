@@ -136,3 +136,113 @@ class TestBenford:
         _write_events(tmp_path, list(range(len(vals))), vals)
         got = events_benford(str(tmp_path)).to_pandas()
         assert got["chi2_micro"].iloc[0] < 5_000_000  # chi2 < 5.0
+
+
+def _page(host, j, targets):
+    return {
+        "doc_id": f"{host}//p{j}.html",
+        "host": host,
+        "is_html": True,
+        "spans": [
+            {"kind": "link", "text": "", "media_ref": f"p{t}.html", "offset": i}
+            for i, t in enumerate(targets)
+        ],
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCloseness:
+    def test_path_cycle_and_isolated(self):
+        """Path host (exact hand distances, isolated page scores 0)
+        and a 3-cycle host (self excluded even though reachable)."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import closeness_from_docs
+
+        rows = [
+            _page("h", 0, [1]),
+            _page("h", 1, [2]),
+            _page("h", 2, [3]),
+            _page("h", 3, []),
+            _page("h", 4, []),  # isolated
+        ]
+        rows += [_page("g", j, [(j + 1) % 3]) for j in range(3)]
+        got = (
+            closeness_from_docs(rd.from_items(rows).repartition(3))
+            .to_pandas()
+            .set_index(["host", "page"])
+            .sort_index()
+        )
+        # host h (m=5): 0 reaches {1,2,3} at d 1,2,3
+        assert tuple(got.loc[("h", 0)]) == (3, 6, (9 * 10**6) // (6 * 4))
+        assert tuple(got.loc[("h", 1)]) == (2, 3, (4 * 10**6) // (3 * 4))
+        assert tuple(got.loc[("h", 2)]) == (1, 1, (1 * 10**6) // (1 * 4))
+        assert tuple(got.loc[("h", 3)]) == (0, 0, 0)
+        assert tuple(got.loc[("h", 4)]) == (0, 0, 0)
+        # host g 3-cycle: each reaches the 2 OTHERS (d=1,2); the
+        # length-3 cycle back to self does NOT count
+        for j in range(3):
+            assert tuple(got.loc[("g", j)]) == (2, 3, (4 * 10**6) // (3 * 2))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResourceAllocation:
+    def test_star_with_one_edge_closed(self):
+        """Star 0—{1,2,3} plus edge 1→2: pair (1,2) has a common
+        neighbor but IS an edge → dropped; (1,3) and (2,3) score
+        1e9 // deg(0) = 1e9 // 3."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import resource_allocation_from_docs
+
+        rows = [
+            _page("h", 0, [1, 2, 3]),
+            _page("h", 1, [2]),
+            _page("h", 2, []),
+            _page("h", 3, []),
+        ]
+        got = (
+            resource_allocation_from_docs(
+                rd.from_items(rows).repartition(2), min_common=1
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert [tuple(r) for r in got[["a", "b", "n_common", "ra_nano"]].to_numpy()] == [
+            (1, 3, 1, 333_333_333),
+            (2, 3, 1, 333_333_333),
+        ]
+
+    def test_shared_hub_degree_weights(self):
+        """Two hubs of different degree: RA distinguishes them where
+        a common-neighbor count cannot. z=0 (deg 4) and z=5 (deg 2)
+        both connect 1 and 2 → ra = 1e9//4 + 1e9//2."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import resource_allocation_from_docs
+
+        rows = [
+            _page("h", 0, [1, 2, 3, 4]),
+            _page("h", 5, [1, 2]),
+            _page("h", 1, []),
+            _page("h", 2, []),
+            _page("h", 3, []),
+            _page("h", 4, []),
+        ]
+        got = (
+            resource_allocation_from_docs(
+                rd.from_items(rows).repartition(2), min_common=2
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        # (1,2) via hubs {0 (deg 4), 5 (deg 2)}; (0,5) via leaves
+        # {1, 2} (deg 2 each) — the non-adjacent hub pair scores too
+        assert [
+            tuple(r) for r in got[["a", "b", "n_common", "ra_nano"]].to_numpy()
+        ] == [
+            (0, 5, 2, 10**9 // 2 + 10**9 // 2),
+            (1, 2, 2, 10**9 // 4 + 10**9 // 2),
+        ]
