@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann.pq_topk,
         "embeddings_kmeans": ann.kmeans_assign,
         "embeddings_dbscan": ann.embeddings_dbscan,
+        "embeddings_knn_graph": ann.embeddings_knn_graph,
         "embeddings_logreg": ann.embeddings_logreg,
         "embeddings_drift": ann.embeddings_drift,
         # relational / windowed
@@ -1354,6 +1355,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.40
+        """,
+        # exact k-NN graph: every vector's top-5 cosine neighbors on
+        # the shared floor(cos*1e4) quantization, id-ascending ties
+        "embeddings_knn_graph": """
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     CAST(floor(list_cosine_similarity(a.e, b.e)
+                                * 10000) AS BIGINT) AS cos_pct
+              FROM c a JOIN c b ON b.vec_id <> a.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY cos_pct DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS BIGINT) AS rank,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   cos_pct
+            FROM ranked WHERE rank <= 5
         """,
         # DBSCAN with cosine>=eps neighbors; deterministic border rule
         # (min-rooted core neighbor); core = >= min_pts OTHER points

@@ -308,6 +308,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_benford",
         "crawl_closeness",
         "crawl_resource_allocation",
+        "embeddings_knn_graph",
     ]
     qs = E.queries()
     out = {}

@@ -758,6 +758,118 @@ def embeddings_logreg(sf_dir: str, iters: int = 15, eta: float = 0.5) -> pa.Tabl
     )
 
 
+def embeddings_knn_graph(
+    sf_dir: str, k: int = 5, num_buckets: int = 8
+) -> rd.Dataset:
+    """(vec_id, rank, neighbor_id, cos_pct): the exact k-NN graph of
+    the embedding table under cosine — every vector's top-k nearest
+    OTHER vectors, rank 1..k by (cos_pct DESC, neighbor_id ASC) on
+    the floor(cos·10⁴) quantization the whole ANN family pins. The
+    k-NN graph is the substrate of graph-ANN indexes (NN-Descent,
+    Dong et al. 2011, WWW — public) and of semantic-dedup clustering.
+
+    Distributed plan — the DBSCAN bucket-pair cross join, but with a
+    per-group top-k PRUNE instead of a threshold: within each of the
+    B(B+1)/2 pair-groups every vector keeps only its k best
+    candidates, which is a proven candidate superset (a vector meets
+    each other vector in exactly one pair-group, and any global top-k
+    neighbor is within that group's top-k a fortiori), so the second
+    exchange carries ≤ k·B rows per vector, NOT O(n) — then one
+    vector-hash co-group takes the global top-k. Replication factor
+    B; at real scale bound B ~ √tasks or swap stage 1 for IVF cells
+    and accept approximate recall, as dbscan documents."""
+    B = num_buckets
+    ds = _read_embeddings(sf_dir)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        b = ids % B
+        embs = df["embedding"].to_numpy()
+        pairs, idx = [], []
+        for p in range(B):
+            lo = np.minimum(b, p)
+            hi = np.maximum(b, p)
+            pairs.append(lo * B + hi)
+            idx.append(np.arange(len(ids)))
+        pair = np.concatenate(pairs)
+        take = np.concatenate(idx)
+        return pd.DataFrame(
+            {
+                "pair": pair,
+                "bkt": b[take],
+                "vec_id": ids[take],
+                "embedding": embs[take],
+            }
+        )
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["vec_id", "cos_pct", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("vec_id")
+            .head(k)
+        )
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        bkt = g["bkt"].to_numpy()[order]
+        m = _normalize(
+            np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        )
+        i, j = divmod(int(g["pair"].iloc[0]), B)
+        if i == j:
+            cos = m @ m.T
+            pct = np.floor(cos * 10_000).astype(np.int64)
+            n = len(ids)
+            off = ~np.eye(n, dtype=bool)
+            vi, ni = np.nonzero(off)
+            df = pd.DataFrame(
+                {
+                    "vec_id": ids[vi],
+                    "neighbor_id": ids[ni],
+                    "cos_pct": pct[vi, ni],
+                }
+            )
+        else:
+            li, lj = bkt == i, bkt == j
+            cos = m[li] @ m[lj].T
+            pct = np.floor(cos * 10_000).astype(np.int64)
+            vi, ni = np.nonzero(np.ones_like(cos, dtype=bool))
+            df = pd.DataFrame(
+                {
+                    "vec_id": np.concatenate([ids[li][vi], ids[lj][ni]]),
+                    "neighbor_id": np.concatenate([ids[lj][ni], ids[li][vi]]),
+                    "cos_pct": np.concatenate([pct[vi, ni], pct[vi, ni]]),
+                }
+            )
+        return _topk(df)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # candidates meet a vector once per pair-group — dedup is
+        # structural (no (vec, neighbor) repeats), straight to rank
+        t = _topk(g)
+        t = t.assign(rank=t.groupby("vec_id").cumcount() + 1)
+        return t[["vec_id", "rank", "neighbor_id", "cos_pct"]].astype(
+            {"vec_id": "int64", "rank": "int64", "neighbor_id": "int64"}
+        )
+
+    cand = (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(cross, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(vb=(df["vec_id"] % B).astype("int64")),
+            batch_format="pandas",
+        )
+    )
+    return cand.groupby("vb").map_groups(final_topk, batch_format="pandas")
+
+
 def embeddings_dbscan(
     sf_dir: str,
     eps: float = 0.30,

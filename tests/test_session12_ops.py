@@ -246,3 +246,73 @@ class TestResourceAllocation:
             (0, 5, 2, 10**9 // 2 + 10**9 // 2),
             (1, 2, 2, 10**9 // 4 + 10**9 // 2),
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnGraph:
+    def _brute(self, ids, m, k):
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        mm = m / n[:, None]
+        pct = np.floor(mm @ mm.T * 10_000).astype(np.int64)
+        rows = []
+        for i, v in enumerate(ids):
+            cand = sorted(
+                ((int(pct[i, j]), int(ids[j])) for j in range(len(ids)) if j != i),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            rows += [(v, r + 1, nb, c) for r, (c, nb) in enumerate(cand)]
+        return sorted(rows)
+
+    def test_matches_brute_force_many_buckets(self):
+        """num_buckets > sqrt(n) stresses the per-group prune: the
+        union of per-pair-group top-k must still contain the global
+        top-k (candidate-superset property)."""
+        from suckit_ray.pipelines.ann import embeddings_knn_graph
+
+        got = (
+            embeddings_knn_graph(SF, k=3, num_buckets=11)
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+        )
+        emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+        ids = emb["vec_id"].to_numpy().astype(np.int64)
+        m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        want = self._brute(ids, m, 3)
+        assert [tuple(map(int, r)) for r in got.to_numpy()] == want
+
+    def test_tiny_corpus_fewer_than_k(self):
+        """n − 1 < k: every vector lists all others, ranks dense."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.ann import embeddings_knn_graph  # noqa: F401
+        from suckit_ray.pipelines import ann
+
+        # drive through the internal entry on a 3-row table
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                    pa.list_(pa.float64()),
+                ),
+                "label": pa.array([0, 0, 0], pa.int64()),
+            }
+        )
+        pq_.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+        got = (
+            ann.embeddings_knn_graph(d, k=5, num_buckets=4)
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == 6  # 3 vectors x 2 others
+        # vec 0: cos(0,2)=0.7071 -> 7071, cos(0,1)=0 -> rank order 2,1
+        v0 = got[got["vec_id"] == 0]
+        assert list(v0["neighbor_id"]) == [2, 1]
+        assert list(v0["cos_pct"]) == [7071, 0]
