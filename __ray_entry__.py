@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scc": graph.crawl_scc,
         "crawl_bowtie": graph.crawl_bowtie,
         "crawl_closeness": graph.crawl_closeness,
+        "crawl_distance_stats": graph.crawl_distance_stats,
+        "crawl_betweenness": graph.crawl_betweenness,
         "crawl_resource_allocation": graph.crawl_resource_allocation,
         "crawl_sssp": graph.crawl_sssp,
         "crawl_cocitation": graph.crawl_cocitation,
@@ -314,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": relops.events_ewma,
         "events_holt": relops.events_holt,
         "events_benford": relops.events_benford,
+        "orders_open_backlog": relops.orders_open_backlog,
         "events_attribution": relops.events_attribution,
         "events_spearman": relops.events_spearman,
         "events_value_median_cont": relops.events_value_median_cont,
@@ -2522,6 +2525,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l + b AS BIGINT) AS forecast_c
             FROM r
         """,
+        # open-order backlog: interval sweep over [orderdate,
+        # max(l_shipdate)] inclusive, running sum at delta days
+        "orders_open_backlog": """
+            WITH ship AS (
+              SELECT l_orderkey AS okey,
+                     MAX(CAST(epoch_us(l_shipdate) AS BIGINT)
+                         // 86400000000) AS close_day
+              FROM lineitem GROUP BY 1
+            ),
+            op AS (
+              SELECT o_orderkey AS okey,
+                     CAST(epoch_us(o_orderdate) AS BIGINT)
+                       // 86400000000 AS open_day
+              FROM orders
+            ),
+            iv AS (
+              SELECT op.okey, op.open_day, s.close_day
+              FROM op JOIN ship s USING (okey)
+            ),
+            delta AS (
+              SELECT open_day AS day, 1 AS d FROM iv
+              UNION ALL
+              SELECT close_day + 1, -1 FROM iv
+            ),
+            byday AS (
+              SELECT day, CAST(SUM(d) AS BIGINT) AS d
+              FROM delta GROUP BY day
+            )
+            SELECT day,
+                   CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS n_open
+            FROM byday
+        """,
         # Benford first-digit audit: the SAME nano constants as the
         # engine's _BENFORD_NANO; zero-obs digits still contribute
         "events_benford": """
@@ -4368,6 +4403,121 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM und u
                               WHERE u.h = s.h AND u.a = s.a
                                 AND u.b = s.b)
+        """,
+        # betweenness via full shortest-path enumeration: the mind
+        # join inside the recursion admits exactly the BFS-DAG steps
+        # (a prefix of a shortest path is shortest), interior nodes
+        # unnest from the via string, per-ordered-pair floored terms
+        "crawl_betweenness": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            bfs(h, s, n, d) AS (
+              SELECT h, a, b, 1 FROM e
+              UNION
+              SELECT b2.h, b2.s, e2.b, b2.d + 1
+              FROM bfs b2
+              JOIN hosts ho ON ho.h = b2.h
+              JOIN e e2 ON e2.h = b2.h AND e2.a = b2.n
+              WHERE b2.d < ho.m
+            ),
+            mind AS (
+              SELECT h, s, n, MIN(d) AS d FROM bfs
+              WHERE s <> n GROUP BY 1, 2, 3
+            ),
+            sp(h, s, t, d, via) AS (
+              SELECT h, a, b, 1, '' FROM e
+              UNION ALL
+              SELECT p.h, p.s, e2.b, p.d + 1,
+                     p.via || ',' || CAST(p.t AS VARCHAR)
+              FROM sp p
+              JOIN e e2 ON e2.h = p.h AND e2.a = p.t
+              JOIN mind md ON md.h = p.h AND md.s = p.s
+                          AND md.n = e2.b AND md.d = p.d + 1
+            ),
+            sig AS (
+              SELECT h, s, t, count(*) AS sigma FROM sp
+              GROUP BY 1, 2, 3
+            ),
+            through AS (
+              SELECT p.h, p.s, p.t,
+                     CAST(u.x AS BIGINT) AS v, count(*) AS sv
+              FROM sp p, UNNEST(string_split(p.via, ',')) AS u(x)
+              WHERE u.x <> ''
+              GROUP BY 1, 2, 3, 4
+            ),
+            bc AS (
+              SELECT t2.h, t2.v,
+                     CAST(SUM((CAST(t2.sv AS HUGEINT) * 1000000)
+                              // g.sigma) AS BIGINT) AS bc_micro
+              FROM through t2
+              JOIN sig g ON g.h = t2.h AND g.s = t2.s AND g.t = t2.t
+              GROUP BY 1, 2
+            )
+            SELECT hn.hn AS host, CAST(r.j AS BIGINT) AS page,
+                   CAST(COALESCE(bc.bc_micro, 0) AS BIGINT) AS bc_micro
+            FROM reach r
+            LEFT JOIN bc ON bc.h = r.h AND bc.v = r.j
+            JOIN hostname hn ON hn.h = r.h
+        """,
+        # per-host distance distribution: BFS min distances rolled
+        # into integer cumulative rank rules (lower median, 90%
+        # effective diameter, true diameter)
+        "crawl_distance_stats": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            bfs(h, s, n, d) AS (
+              SELECT h, a, b, 1 FROM e
+              UNION
+              SELECT b2.h, b2.s, e2.b, b2.d + 1
+              FROM bfs b2
+              JOIN hosts ho ON ho.h = b2.h
+              JOIN e e2 ON e2.h = b2.h AND e2.a = b2.n
+              WHERE b2.d < ho.m
+            ),
+            mind AS (
+              SELECT h, s, n, MIN(d) AS d FROM bfs
+              WHERE s <> n GROUP BY 1, 2, 3
+            ),
+            hist AS (SELECT h, d, count(*) AS c FROM mind GROUP BY 1, 2),
+            cum AS (
+              SELECT h, d,
+                     SUM(c) OVER (PARTITION BY h ORDER BY d) AS cm,
+                     SUM(c) OVER (PARTITION BY h) AS np
+              FROM hist
+            ),
+            st AS (
+              SELECT h,
+                     MIN(CASE WHEN 2 * cm >= np THEN d END) AS med,
+                     MIN(CASE WHEN 10 * cm >= 9 * np THEN d END) AS eff,
+                     MAX(d) AS diam, MAX(np) AS np
+              FROM cum GROUP BY h
+            ),
+            msz AS (SELECT h, count(*) AS mh FROM reach GROUP BY h)
+            SELECT hn.hn AS host, CAST(ms.mh AS BIGINT) AS n_pages,
+                   CAST(COALESCE(st.np, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(st.med, 0) AS BIGINT) AS median_dist,
+                   CAST(COALESCE(st.eff, 0) AS BIGINT)
+                     AS eff_diameter_90,
+                   CAST(COALESCE(st.diam, 0) AS BIGINT) AS diameter
+            FROM msz ms
+            LEFT JOIN st ON st.h = ms.h
+            JOIN hostname hn ON hn.h = ms.h
         """,
         # directed closeness centrality: bounded-depth recursive BFS
         # (UNION dedups (h,s,n,d) rows; d < host size caps cycles),

@@ -302,13 +302,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_hybrid_rrf",
         "docs_gopher_filter",
         "embeddings_dbscan",
-        "crawl_bowtie",
         # twelfth session
         "events_holt",
         "events_benford",
-        "crawl_closeness",
         "crawl_resource_allocation",
         "embeddings_knn_graph",
+        "orders_open_backlog",
+        # crawl_bowtie / crawl_closeness / crawl_distance_stats /
+        # crawl_betweenness are NOT registered: their exact per-host
+        # whole-graph kernels are O(m³) and sf0.1 hosts are ~20k
+        # pages (one 20k bool matmul alone measures >100 s here);
+        # the documented scale paths are the distributed reach /
+        # sssp message rounds and pivot-sampled Brandes
     ]
     qs = E.queries()
     out = {}

@@ -2943,6 +2943,177 @@ def closeness_from_docs(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def distance_stats_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, n_pages, n_pairs, median_dist, eff_diameter_90,
+    diameter): each host's directed shortest-path distance
+    distribution — over all ordered reachable pairs (s ≠ t):
+    the median distance (lower median: smallest d with 2·cum ≥ n),
+    the 90%-effective diameter (smallest d with 10·cum ≥ 9·n — the
+    integer form of the web-graph metric of Leskovec, Kleinberg &
+    Faloutsos 2005, public), and the true diameter (max). All-integer
+    rank rules, no interpolation, so the oracle mirrors them exactly.
+
+    Plan: the closeness kernel's level-synchronous matrix BFS in the
+    same host co-group, reduced to a distance HISTOGRAM per host —
+    six small integer columns leave each group."""
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        m = len(nodes)
+        A = np.zeros((m, m), dtype=bool)
+        e = g[g["s"] >= 0]
+        if len(e):
+            A[
+                [idx[int(x)] for x in e["s"]],
+                [idx[int(x)] for x in e["t"]],
+            ] = True
+        R = A.copy()
+        D = np.where(A, 1, 0).astype(np.int64)
+        d = 1
+        while True:
+            new = (R @ A) & ~R
+            if not new.any():
+                break
+            d += 1
+            D[new] = d
+            R |= new
+        off = ~np.eye(m, dtype=bool)
+        dists = D[R & off]
+        n_pairs = int(dists.size)
+        if n_pairs:
+            counts = np.bincount(dists)
+            cum = np.cumsum(counts)
+            median = int(np.searchsorted(cum * 2, n_pairs, side="left"))
+            eff90 = int(np.searchsorted(cum * 10, 9 * n_pairs, side="left"))
+            diam = int(dists.max())
+        else:
+            median = eff90 = diam = 0
+        return pd.DataFrame(
+            {
+                "host": [host],
+                "n_pages": pd.array([m], dtype="int64"),
+                "n_pairs": pd.array([n_pairs], dtype="int64"),
+                "median_dist": pd.array([median], dtype="int64"),
+                "eff_diameter_90": pd.array([eff90], dtype="int64"),
+                "diameter": pd.array([diam], dtype="int64"),
+            }
+        )
+
+    return (
+        _host_graph_staged(docs)
+        .groupby("host")
+        .map_groups(stats, batch_format="pandas")
+    )
+
+
+def betweenness_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, page, bc_micro): exact directed shortest-path
+    betweenness centrality per host, in the per-pair-floored integer
+    form
+
+        bc_micro(v) = Σ_{s≠v≠t} (σ_st(v) · 1e6) // σ_st
+
+    (σ = shortest-path counts; flooring per ORDERED pair keeps both
+    sides in integers — the convention that makes betweenness
+    SQL-oracle-able via full shortest-path enumeration, tractable
+    because the flagship hosts' path counts are small). Freeman 1977
+    / Brandes 2001 (public).
+
+    Plan: the host co-group again; inside it, level-synchronous
+    all-sources BFS gives the distance matrix D and the path-count
+    matrix S (σ at level d = masked S @ A — one int matmul per
+    level), then the counting lemma σ_st(v) = σ_sv·σ_vt gated on
+    D[s,v]+D[v,t] = D[s,t] turns the accumulation into one outer
+    product + mask per node. O(m³) per host like the closure kernels;
+    int64 σ products bound test-scale hosts — a giant host swaps in
+    pivot-sampled Brandes (Brandes & Pich 2007, public) with float
+    accumulators, same co-group."""
+
+    def betweenness(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        m = len(nodes)
+        A = np.zeros((m, m), dtype=bool)
+        e = g[g["s"] >= 0]
+        if len(e):
+            A[
+                [idx[int(x)] for x in e["s"]],
+                [idx[int(x)] for x in e["t"]],
+            ] = True
+        # distances (length >= 1), then self-distance 0 / unreachable INF
+        R = A.copy()
+        D = np.where(A, 1, 0).astype(np.int64)
+        d = 1
+        while True:
+            new = (R @ A) & ~R
+            if not new.any():
+                break
+            d += 1
+            D[new] = d
+            R |= new
+        maxd = d
+        INF = np.int64(m + 1)
+        D2 = np.where(R, D, INF)
+        np.fill_diagonal(D2, 0)
+        # path counts: sigma[s,s]=1; level d entries = (level d-1
+        # slice of S) @ A
+        S = np.zeros((m, m), dtype=np.int64)
+        np.fill_diagonal(S, 1)
+        Aint = A.astype(np.int64)
+        for lvl in range(1, maxd + 1):
+            contrib = (np.where(D2 == lvl - 1, S, 0)) @ Aint
+            sel = D2 == lvl
+            S[sel] = contrib[sel]
+        bc = np.zeros(m, dtype=np.int64)
+        finite = D2 <= m
+        for vi in range(m):
+            dv = D2[:, vi][:, None] + D2[vi, :][None, :]
+            valid = (dv == D2) & finite & (D2 > 0)
+            valid[:, vi] = False
+            valid[vi, :] = False
+            if not valid.any():
+                continue
+            through = np.multiply.outer(S[:, vi], S[vi, :])
+            bc[vi] = np.floor_divide(
+                through[valid] * 1_000_000, S[valid]
+            ).sum()
+        return pd.DataFrame(
+            {
+                "host": [host] * m,
+                "page": nodes.astype("int64"),
+                "bc_micro": bc,
+            }
+        )
+
+    return (
+        _host_graph_staged(docs)
+        .groupby("host")
+        .map_groups(betweenness, batch_format="pandas")
+    )
+
+
+def crawl_betweenness(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-page betweenness centrality of the
+    flagship crawl. Full SQL oracle: shortest-path ENUMERATION (the
+    BFS-level join prunes every non-shortest prefix), interior-node
+    unnest, per-pair floored micro terms."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return betweenness_from_docs(crawl_docs(sf_dir))
+
+
+def crawl_distance_stats(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-host distance-distribution statistics of
+    the flagship crawl. Full SQL oracle: the bounded BFS CTE's min
+    distances rolled into cumulative rank rules."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return distance_stats_from_docs(crawl_docs(sf_dir))
+
+
 def crawl_closeness(sf_dir: str) -> rd.Dataset:
     """queries() entry: per-page directed closeness centrality of the
     flagship crawl. Full SQL oracle: bounded-depth recursive BFS CTE

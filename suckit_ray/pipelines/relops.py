@@ -5550,6 +5550,110 @@ def events_holt(sf_dir: str) -> rd.Dataset:
     return daily.groupby("event_type").map_groups(fold, batch_format="pandas")
 
 
+def orders_open_backlog(sf_dir: str) -> rd.Dataset:
+    """(day, n_open): the daily open-order backlog — orders counted
+    from their order day through the day their LAST lineitem ships
+    (inclusive), evaluated at every day where the count changes. The
+    interval-sweep shape (+1 at open, −1 past close, running sum) the
+    peak-concurrency query uses, lifted from timestamps to the order
+    lifecycle across TWO tables.
+
+    Plan: batch-local partial MAX of ship-day per order (combiner —
+    the exchange carries one row per (batch, order), not per
+    lineitem), one orderkey-hash co-group joins the order-date leg
+    and finishes the max, emits the two delta rows per order; one
+    bucketed per-day sum; then the global running total is a
+    CALENDAR-BOUNDED ordered fold in a single group (the
+    ewma/CUSUM argument: days, not orders, bound the series)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+    DAY_US = 86_400_000_000
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["o_orderdate"].to_numpy().astype("datetime64[us]").astype("int64")
+            // DAY_US
+        )
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].astype("int64"),
+                "day": day.astype("int64"),
+                "is_open": np.ones(len(df), dtype="int64"),
+                "bucket": (df["o_orderkey"] % B).astype("int64"),
+            }
+        )
+
+    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["l_shipdate"].to_numpy().astype("datetime64[us]").astype("int64")
+            // DAY_US
+        )
+        p = (
+            pd.DataFrame(
+                {"okey": df["l_orderkey"].astype("int64"), "day": day}
+            )
+            .groupby("okey", as_index=False)["day"]
+            .max()
+        )
+        p["is_open"] = np.int64(0)
+        p["bucket"] = (p["okey"] % B).astype("int64")
+        return p
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pandas")
+    ships = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(ship_partial, batch_format="pandas")
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        close = (
+            g[g["is_open"] == 0].groupby("okey", as_index=False)["day"].max()
+        ).rename(columns={"day": "close_day"})
+        iv = g[g["is_open"] == 1][["okey", "day"]].merge(close, on="okey")
+        return pd.DataFrame(
+            {
+                "day": np.concatenate(
+                    [iv["day"].to_numpy(), iv["close_day"].to_numpy() + 1]
+                ).astype("int64"),
+                "d": np.concatenate(
+                    [
+                        np.ones(len(iv), dtype="int64"),
+                        -np.ones(len(iv), dtype="int64"),
+                    ]
+                ),
+            }
+        )
+
+    byday = bucketed_groupby_agg(
+        orders.union(ships).groupby("bucket").map_groups(
+            deltas, batch_format="pandas"
+        ),
+        keys=["day"],
+        aggs={"d": ("d", "sum")},
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "day": g["day"].astype("int64"),
+                "n_open": g["d"].cumsum().astype("int64"),
+            }
+        )
+
+    return (
+        byday.map_batches(
+            lambda df: df.assign(one=np.int64(0)), batch_format="pandas"
+        )
+        .groupby("one")
+        .map_groups(
+            lambda g: running(g.drop(columns=["one"])), batch_format="pandas"
+        )
+    )
+
+
 # floor(log10(1 + 1/d) * 1e9) for d = 1..9 — Benford's law (Newcomb
 # 1881 / Benford 1938, public) first-digit probabilities in exact
 # nano units, verified against 40-digit Decimal ln; the SAME literals

@@ -249,6 +249,124 @@ class TestResourceAllocation:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestBetweenness:
+    def test_path_and_diamond(self):
+        """Path 0→1→2: bc(1) = 1e6 (the one (0,2) pair). Diamond
+        0→{1,2}→3: σ_03 = 2, each middle node carries one path →
+        (1·1e6)//2 each — the per-pair floor is visible."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import betweenness_from_docs
+
+        rows = [
+            _page("p", 0, [1]),
+            _page("p", 1, [2]),
+            _page("p", 2, []),
+            _page("d", 0, [1, 2]),
+            _page("d", 1, [3]),
+            _page("d", 2, [3]),
+            _page("d", 3, []),
+        ]
+        got = (
+            betweenness_from_docs(rd.from_items(rows).repartition(3))
+            .to_pandas()
+            .set_index(["host", "page"])["bc_micro"]
+            .to_dict()
+        )
+        assert got == {
+            ("p", 0): 0,
+            ("p", 1): 1_000_000,
+            ("p", 2): 0,
+            ("d", 0): 0,
+            ("d", 1): 500_000,
+            ("d", 2): 500_000,
+            ("d", 3): 0,
+        }
+
+    def test_cycle_symmetry(self):
+        """Directed 4-cycle: node v is interior to the 3 ordered
+        pairs whose unique shortest path crosses it (for v=1:
+        (0,2), (0,3), (3,2)) → bc = 3e6 each, by symmetry."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import betweenness_from_docs
+
+        rows = [_page("c", j, [(j + 1) % 4]) for j in range(4)]
+        got = betweenness_from_docs(rd.from_items(rows)).to_pandas()
+        assert (got["bc_micro"] == 3_000_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistanceStats:
+    def test_path_host_hand_values(self):
+        """Path 0→1→2→3: 6 ordered pairs at distances 1,1,1,2,2,3 —
+        median (2·cum ≥ 6) = 1, eff90 (10·cum ≥ 54) = 3, diameter 3."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import distance_stats_from_docs
+
+        rows = [_page("h", j, [j + 1] if j < 3 else []) for j in range(4)]
+        got = distance_stats_from_docs(rd.from_items(rows)).to_pandas()
+        r = got.iloc[0]
+        assert (
+            r["n_pages"],
+            r["n_pairs"],
+            r["median_dist"],
+            r["eff_diameter_90"],
+            r["diameter"],
+        ) == (4, 6, 1, 3, 3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOpenBacklog:
+    def test_hand_intervals(self, tmp_path):
+        """Two orders: A open days [0,2] (ships d2), B open [1,1] —
+        running count at delta days 0,1,2,3."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from suckit_ray.pipelines.relops import orders_open_backlog
+
+        DAY = 86_400_000_000
+        pq_.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2], pa.int64()),
+                    "o_custkey": pa.array([1, 1], pa.int64()),
+                    "o_orderstatus": pa.array(["O", "O"], pa.string()),
+                    "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+                    "o_orderdate": pa.array([0, DAY], pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1", "1"], pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq_.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                    "l_shipdate": pa.array(
+                        [DAY, 2 * DAY, DAY], pa.timestamp("us")
+                    ),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        got = (
+            orders_open_backlog(str(tmp_path))
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        assert [tuple(r) for r in got.to_numpy()] == [
+            (0, 1),
+            (1, 2),
+            (2, 1),
+            (3, 0),
+        ]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKnnGraph:
     def _brute(self, ids, m, k):
         n = np.linalg.norm(m, axis=1)
