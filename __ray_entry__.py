@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_closeness": graph.crawl_closeness,
         "crawl_distance_stats": graph.crawl_distance_stats,
         "crawl_betweenness": graph.crawl_betweenness,
+        "crawl_neighborhood_est": graph.crawl_neighborhood_est,
         "crawl_resource_allocation": graph.crawl_resource_allocation,
         "crawl_sssp": graph.crawl_sssp,
         "crawl_cocitation": graph.crawl_cocitation,

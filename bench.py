@@ -308,6 +308,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_resource_allocation",
         "embeddings_knn_graph",
         "orders_open_backlog",
+        "crawl_neighborhood_est",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness are NOT registered: their exact per-host
         # whole-graph kernels are O(m³) and sf0.1 hosts are ~20k

@@ -74,6 +74,205 @@ def _link_edges(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(edges, batch_format="pyarrow")
 
 
+HB_P = 8  # HyperBall register exponent: 2^8 regs, SE ≈ 6.5%
+HB_M = 1 << HB_P
+
+
+def _ball_init(node_ids: "pd.Series") -> np.ndarray:
+    """(n, 256) uint8 register arrays, each an HLL of {node}: top-8
+    hash bits pick the register, rho = leading-zero rank of the
+    32-bit suffix (w < 2^32 keeps float64 log2 exact — the
+    stages.sketch precondition at this p)."""
+    from suckit_ray.stages.sketch import _splitmix64
+
+    h = _splitmix64(
+        pd.util.hash_pandas_object(node_ids, index=False).to_numpy()
+    )
+    idx = (h >> np.uint64(64 - HB_P)).astype(np.int64)
+    w = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    bits = np.zeros(len(w), dtype=np.int64)
+    nz = w > 0
+    bits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    rho = (32 - bits + 1).astype(np.uint8)
+    regs = np.zeros((len(w), HB_M), dtype=np.uint8)
+    regs[np.arange(len(w)), idx] = rho
+    return regs
+
+
+def _ball_est(regs: np.ndarray) -> np.ndarray:
+    """Standard HLL estimate per row with linear-counting small-range
+    correction, floored to int64."""
+    m = HB_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    v = (regs == 0).sum(axis=1)
+    small = (e <= 2.5 * m) & (v > 0)
+    with np.errstate(divide="ignore"):
+        e[small] = m * np.log(m / v[small])
+    return np.floor(e).astype(np.int64)
+
+
+def neighborhood_from_docs(
+    docs: rd.Dataset, radius: int = 4, num_buckets: int | None = None
+) -> rd.Dataset:
+    """(node, ball_est): estimated number of crawled pages reachable
+    from each page within ≤ ``radius`` hops — the neighborhood
+    function N(v, r) via HyperBall (Boldi & Vigna 2013, public;
+    HyperANF lineage): each node carries a 256-register HLL of its
+    ball, and one round of elementwise-max propagation along edges
+    grows the radius by one. THIS is the scale path the exact
+    closure kernels (closeness / distance_stats / betweenness)
+    document: per-round cost is O(edges) messages of 256 BYTES, no
+    m×m matrix anywhere, duplicate edges are free (max is
+    idempotent), and the estimate's SE is ≈ 1.04/√256 ≈ 6.5%.
+
+    Plan: the `_pagerank_plan` round shape with reversed orientation
+    (a node pulls its OUT-neighbors' registers, so the send co-group
+    keys edges by dst) and blob-valued state: send = (regs ∪ adj)
+    dst-bucket co-group emitting (src, reg[dst]) messages; reduce =
+    node-bucket max-merge via one sort + np.maximum.reduceat; ONE
+    materialize per round on the multi-consumer reg dataset. Ball
+    membership is over CRAWLED nodes (un-crawled link targets have no
+    registers), the components/pagerank convention. Rows-only
+    correctness (HLL is not SQL-expressible); determinism and
+    error-bound pins live in tests."""
+    edges = _link_edges(docs).materialize()
+    if num_buckets is None:
+        from suckit_ray.stages.agg import default_buckets
+
+        num_buckets = max(2, min(default_buckets(), edges.count() // 10_000 + 1))
+    B = num_buckets
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    adj = (
+        edges.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "key": df["dst"],
+                    "other": df["src"],
+                    "blob": [b""] * len(df),
+                    "is_reg": np.zeros(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["dst"]),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .repartition(B)
+        .materialize()
+    )
+
+    def nodes_of(t: pa.Table) -> pd.DataFrame:
+        keep = [
+            posixpath.normpath(d)
+            for d, h in zip(
+                t.column("doc_id").to_pylist(), t.column("is_html").to_pylist()
+            )
+            if h
+        ]
+        return pd.DataFrame({"node": pd.array(keep, dtype="object")})
+
+    def init_regs(df: pd.DataFrame) -> pd.DataFrame:
+        regs = _ball_init(df["node"])
+        return pd.DataFrame(
+            {
+                "node": df["node"],
+                "blob": [r.tobytes() for r in regs],
+            }
+        )
+
+    regs = (
+        docs.map_batches(nodes_of, batch_format="pyarrow")
+        .map_batches(init_regs, batch_format="pandas")
+        .repartition(B)
+        .materialize()
+    )
+
+    def as_reg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"],
+                "other": df["node"],
+                "blob": df["blob"],
+                "is_reg": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(df["node"]),
+            }
+        )
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["is_reg"] == 1][["key", "blob"]]
+        e = g[g["is_reg"] == 0][["key", "other"]].merge(lab, on="key")
+        # messages carry reg[dst] to src; reg rows pass through so
+        # every node survives the reduce with its own registers
+        return pd.concat(
+            [
+                pd.DataFrame({"node": e["other"], "blob": e["blob"]}),
+                pd.DataFrame({"node": lab["key"], "blob": lab["blob"],
+                              "own": np.ones(len(lab), dtype="int64")}),
+            ],
+            ignore_index=True,
+        ).fillna({"own": 0})
+
+    def reduce_max(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("node", kind="mergesort")
+        # only keys with an own-register row are crawled nodes
+        own_nodes = set(g.loc[g["own"] == 1, "node"])
+        g = g[g["node"].isin(own_nodes)]
+        if not len(g):
+            return pd.DataFrame({"node": [], "blob": []})
+        stack = np.frombuffer(
+            b"".join(g["blob"].tolist()), dtype=np.uint8
+        ).reshape(len(g), HB_M)
+        nodes_arr = g["node"].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, nodes_arr[1:] != nodes_arr[:-1]]
+        )
+        merged = np.maximum.reduceat(stack, starts, axis=0)
+        return pd.DataFrame(
+            {
+                "node": nodes_arr[starts],
+                "blob": [r.tobytes() for r in merged],
+            }
+        )
+
+    for _ in range(radius):
+        staged = regs.map_batches(as_reg_rows, batch_format="pandas").union(adj)
+        msgs = staged.groupby("bucket").map_groups(send, batch_format="pandas")
+        regs = (
+            msgs.map_batches(
+                lambda df: df.assign(bucket=bucket_of(df["node"])),
+                batch_format="pandas",
+            )
+            .groupby("bucket")
+            .map_groups(reduce_max, batch_format="pandas")
+            .repartition(B)
+            .materialize()
+        )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"node": [], "ball_est": []})
+        stack = np.frombuffer(
+            b"".join(df["blob"].tolist()), dtype=np.uint8
+        ).reshape(len(df), HB_M)
+        return pd.DataFrame(
+            {"node": df["node"], "ball_est": _ball_est(stack)}
+        )
+
+    return regs.map_batches(estimate, batch_format="pandas")
+
+
+def crawl_neighborhood_est(sf_dir: str) -> rd.Dataset:
+    """queries() entry: HyperBall ≤4-hop neighborhood-size estimates
+    for every crawled page. Rows-only (sketch); error-bound and
+    determinism pins in tests/test_session12_ops.py."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return neighborhood_from_docs(crawl_docs(sf_dir))
+
+
 PAGERANK_PICO = 1_000_000_000_000  # integer rank scale (10^-12 units)
 
 

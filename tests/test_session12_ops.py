@@ -297,6 +297,106 @@ class TestBetweenness:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestNeighborhoodHll:
+    def test_small_graph_near_exact(self):
+        """Path + star: tiny true balls — linear counting recovers
+        them within ±1 and the run is deterministic."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import neighborhood_from_docs
+
+        rows = [_page("h", j, [j + 1] if j < 5 else []) for j in range(6)]
+        rows += [_page("s", 0, [1, 2, 3, 4, 5])] + [
+            _page("s", j, []) for j in range(1, 6)
+        ]
+        got = (
+            neighborhood_from_docs(rd.from_items(rows), radius=4)
+            .to_pandas()
+            .set_index("node")["ball_est"]
+            .to_dict()
+        )
+        got2 = (
+            neighborhood_from_docs(rd.from_items(rows), radius=4)
+            .to_pandas()
+            .set_index("node")["ball_est"]
+            .to_dict()
+        )
+        assert got == got2  # deterministic
+        # true ≤4-hop ball sizes (incl. self): path 0..5 -> 5,5,4,3,2,1
+        true = {
+            "h.test/p0.html": 5,
+            "h.test/p1.html": 5,
+            "h.test/p2.html": 4,
+            "h.test/p3.html": 3,
+            "h.test/p4.html": 2,
+            "h.test/p5.html": 1,
+            "s.test/p0.html": 6,
+        }
+        for j in range(1, 6):
+            true[f"s.test/p{j}.html"] = 1
+        # compare by (host, page index) — independent of doc_id form
+        by_host = {}
+        for k, v in got.items():
+            h2, p = k.rsplit("/p", 1)
+            by_host[(h2.rstrip("/"), int(p.split(".")[0]))] = v
+        want = {
+            ("h", 0): 5,
+            ("h", 1): 5,
+            ("h", 2): 4,
+            ("h", 3): 3,
+            ("h", 4): 2,
+            ("h", 5): 1,
+            ("s", 0): 6,
+            ("s", 1): 1,
+            ("s", 2): 1,
+            ("s", 3): 1,
+            ("s", 4): 1,
+            ("s", 5): 1,
+        }
+        for key, tv in want.items():
+            assert abs(by_host[key] - tv) <= 1, (key, by_host[key], tv)
+
+    def test_flagship_error_bound(self):
+        """sf0.001: mean relative error vs the EXACT ≤4-hop ball
+        (closure BFS on the formulaic per-host graph) within 3×SE."""
+        from collections import deque
+
+        from suckit_ray.pipelines.graph import crawl_neighborhood_est
+
+        got = crawl_neighborhood_est(SF).to_pandas()
+        # exact balls: 8 hosts, m pages each, links j->(2j+1,2j+2,
+        # 5j+3,5j+10) mod m
+        n_docs = 500
+        sizes = [n_docs // 8 + (1 if h < n_docs % 8 else 0) for h in range(8)]
+        exact = {}
+        for h, m in enumerate(sizes):
+            adj = [
+                sorted({(2 * j + 1) % m, (2 * j + 2) % m,
+                        (5 * j + 3) % m, (5 * j + 10) % m} - {j})
+                for j in range(m)
+            ]
+            for s in range(m):
+                dist = {s: 0}
+                q = deque([s])
+                while q:
+                    u = q.popleft()
+                    if dist[u] == 4:
+                        continue
+                    for v in adj[u]:
+                        if v not in dist:
+                            dist[v] = dist[u] + 1
+                            q.append(v)
+                exact[(f"host{h:04d}.test", s)] = len(dist)
+        rel = []
+        for _, r in got.iterrows():
+            hpart, p = r["node"].rsplit("/p", 1)
+            key = (hpart.split("/")[0], int(p.split(".")[0]))
+            rel.append(abs(r["ball_est"] - exact[key]) / exact[key])
+        assert len(rel) == 500
+        assert float(np.mean(rel)) < 0.20  # 3x the 6.5% SE
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDistanceStats:
     def test_path_host_hand_values(self):
         """Path 0→1→2→3: 6 ordered pairs at distances 1,1,1,2,2,3 —
