@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_distance_stats": graph.crawl_distance_stats,
         "crawl_betweenness": graph.crawl_betweenness,
         "crawl_neighborhood_est": graph.crawl_neighborhood_est,
+        "crawl_simrank": graph.crawl_simrank,
         "crawl_resource_allocation": graph.crawl_resource_allocation,
         "crawl_sssp": graph.crawl_sssp,
         "crawl_cocitation": graph.crawl_cocitation,
@@ -628,6 +629,35 @@ def _sig_cte(sfx: str) -> str:
 # unsuffixed instance shared by crawl_mirror / crawl_spans /
 # crawl_hoststats / crawl_media_manifest
 _CRAWL_REACH_CTE = _reach_cte("", "(SELECT count(*) FROM documents)")
+
+
+def _simrank_step(out: str, prev: str | None) -> str:
+    """One unrolled SimRank iteration as a CTE: s_{k+1}(a,b) over the
+    in-edge cross join, with s_k(i,j) read from ``prev`` (iteration 1
+    reads the implicit s₀ = 1e6·[i=j]). Emits BOTH orderings so the
+    next step's lookup is direct; every division floors like the
+    engine's integer kernel."""
+    sval = (
+        "CASE WHEN ea.a = eb.a THEN 1000000 ELSE 0 END"
+        if prev is None
+        else "CASE WHEN ea.a = eb.a THEN 1000000 ELSE COALESCE(p.s, 0) END"
+    )
+    joinprev = (
+        ""
+        if prev is None
+        else f"LEFT JOIN {prev} p ON p.h = ea.h AND p.a = ea.a AND p.b = eb.a"
+    )
+    return f"""{out} AS (
+              SELECT ea.h, ea.b AS a, eb.b AS b,
+                     (4 * SUM({sval}))
+                       // (5 * ia.indeg * ib.indeg) AS s
+              FROM e ea
+              JOIN e eb ON eb.h = ea.h AND ea.b <> eb.b
+              {joinprev}
+              JOIN ind ia ON ia.h = ea.h AND ia.node = ea.b
+              JOIN ind ib ON ib.h = ea.h AND ib.node = eb.b
+              GROUP BY ea.h, ea.b, eb.b, ia.indeg, ib.indeg
+            )"""
 
 
 _NEAR_DUP_CTES = r"""
@@ -4404,6 +4434,31 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM und u
                               WHERE u.h = s.h AND u.a = s.a
                                 AND u.b = s.b)
+        """,
+        # SimRank: 3 unrolled integer iterations over the in-edge
+        # cross join; diagonal 1e6 implicit in the CASE, pairs with
+        # empty in-sets never join in
+        "crawl_simrank": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            ind AS (SELECT h, b AS node, count(*) AS indeg
+                    FROM e GROUP BY 1, 2),
+            {_simrank_step("s1", None)},
+            {_simrank_step("s2", "s1")},
+            {_simrank_step("s3", "s2")}
+            SELECT hn.hn AS host, CAST(s3.a AS BIGINT) AS a,
+                   CAST(s3.b AS BIGINT) AS b,
+                   CAST(s3.s AS BIGINT) AS sim_micro
+            FROM s3 JOIN hostname hn ON hn.h = s3.h
+            WHERE s3.a < s3.b AND s3.s > 0
         """,
         # betweenness via full shortest-path enumeration: the mind
         # join inside the recursion admits exactly the BFS-DAG steps

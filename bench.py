@@ -310,7 +310,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_open_backlog",
         "crawl_neighborhood_est",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
-        # crawl_betweenness are NOT registered: their exact per-host
+        # crawl_betweenness / crawl_simrank are NOT registered: their
+        # exact per-host
         # whole-graph kernels are O(m³) and sf0.1 hosts are ~20k
         # pages (one 20k bool matmul alone measures >100 s here);
         # the documented scale paths are the distributed reach /

@@ -3207,6 +3207,81 @@ def distance_stats_from_docs(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+SIMRANK_ITERS = 3
+SIMRANK_MICRO = 1_000_000
+
+
+def simrank_from_docs(
+    docs: rd.Dataset, iters: int = SIMRANK_ITERS
+) -> rd.Dataset:
+    """(host, a, b, sim_micro): SimRank structural similarity (Jeh &
+    Widom 2002, KDD — public) of same-host page pairs after ``iters``
+    iterations with C = 0.8, carried in exact integer micro units:
+
+        s₀ = 1e6·[a=b]
+        s_{k+1}(a,b) = (4 · Σ_{i∈I(a), j∈I(b)} s_k(i,j))
+                        // (5 · |I(a)|·|I(b)|)      (a ≠ b)
+
+    with s(a,a) pinned to 1e6 and pairs with an empty in-set scoring
+    0 — every division floors, so the k-step unrolled-CTE oracle
+    matches bit for bit. Output: pairs a < b with positive score
+    (SimRank is symmetric).
+
+    Plan: host co-group; inside it the update is two integer matmuls
+    (Pᵀ S P over the in-adjacency) per iteration. O(m³)-class like
+    the closure kernels, so it is bench-gated the same way; the scale
+    path is the random-surfer-pair Monte Carlo estimator (Jeh-Widom
+    §5), which drops into the same co-group."""
+
+    def simrank(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        m = len(nodes)
+        A = np.zeros((m, m), dtype=np.int64)
+        e = g[g["s"] >= 0]
+        if len(e):
+            A[
+                [idx[int(x)] for x in e["s"]],
+                [idx[int(x)] for x in e["t"]],
+            ] = 1
+        ind = A.sum(axis=0)
+        denom = 5 * np.multiply.outer(ind, ind)
+        nz = denom > 0
+        S = np.zeros((m, m), dtype=np.int64)
+        np.fill_diagonal(S, SIMRANK_MICRO)
+        for _ in range(iters):
+            T = A.T @ S @ A
+            S2 = np.zeros_like(S)
+            S2[nz] = (4 * T[nz]) // denom[nz]
+            np.fill_diagonal(S2, SIMRANK_MICRO)
+            S = S2
+        ai, bi = np.nonzero(np.triu(S, k=1))
+        return pd.DataFrame(
+            {
+                "host": [host] * len(ai),
+                "a": nodes[ai].astype("int64"),
+                "b": nodes[bi].astype("int64"),
+                "sim_micro": S[ai, bi],
+            }
+        )
+
+    return (
+        _host_graph_staged(docs)
+        .groupby("host")
+        .map_groups(simrank, batch_format="pandas")
+    )
+
+
+def crawl_simrank(sf_dir: str) -> rd.Dataset:
+    """queries() entry: 3-iteration integer SimRank pairs of the
+    flagship crawl. Full SQL oracle: the iteration unrolled as
+    chained aggregation-join CTEs over the in-edge sets."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return simrank_from_docs(crawl_docs(sf_dir))
+
+
 def betweenness_from_docs(docs: rd.Dataset) -> rd.Dataset:
     """(host, page, bc_micro): exact directed shortest-path
     betweenness centrality per host, in the per-pair-floored integer

@@ -297,6 +297,35 @@ class TestBetweenness:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSimrank:
+    def test_hand_arithmetic(self):
+        """Sibling pair under one parent: s = (4·1e6)//5 = 800000 at
+        every iteration. Unbalanced in-sets: I(2)={0,1}, I(3)={0} →
+        s = (4·1e6)//(5·2·1) = 400000 (parent 0 has no in-links, so
+        deeper terms stay 0). Pairs with empty in-sets never appear."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import simrank_from_docs
+
+        rows = [
+            _page("h", 0, [1, 2]),
+            _page("h", 1, []),
+            _page("h", 2, []),
+            _page("g", 0, [2, 3]),
+            _page("g", 1, [2]),
+            _page("g", 2, []),
+            _page("g", 3, []),
+        ]
+        got = (
+            simrank_from_docs(rd.from_items(rows).repartition(2))
+            .to_pandas()
+            .set_index(["host", "a", "b"])["sim_micro"]
+            .to_dict()
+        )
+        assert got == {("h", 1, 2): 800_000, ("g", 2, 3): 400_000}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestNeighborhoodHll:
     def test_small_graph_near_exact(self):
         """Path + star: tiny true balls — linear counting recovers
