@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": ann.kmeans_assign,
         "embeddings_dbscan": ann.embeddings_dbscan,
         "embeddings_knn_graph": ann.embeddings_knn_graph,
+        "embeddings_hard_negatives": ann.embeddings_hard_negatives,
         "embeddings_logreg": ann.embeddings_logreg,
         "embeddings_drift": ann.embeddings_drift,
         # relational / windowed
@@ -319,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt": relops.events_holt,
         "events_benford": relops.events_benford,
         "orders_open_backlog": relops.orders_open_backlog,
+        "orders_fulfillment_latency": relops.orders_fulfillment_latency,
         "events_attribution": relops.events_attribution,
         "events_spearman": relops.events_spearman,
         "events_value_median_cont": relops.events_value_median_cont,
@@ -1389,6 +1391,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.40
+        """,
+        # triplet mining: hardest same-label positive + hardest
+        # other-label negative per anchor, margin-violation flag
+        "embeddings_hard_negatives": """
+            WITH c AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT a.vec_id, a.label AS la, b.vec_id AS cand,
+                     b.label AS lb,
+                     CAST(floor(list_cosine_similarity(a.e, b.e)
+                                * 10000) AS BIGINT) AS cos_pct
+              FROM c a JOIN c b ON b.vec_id <> a.vec_id
+            ),
+            pos AS (
+              SELECT vec_id, cand AS pos_id, cos_pct AS pos_cos
+              FROM scored WHERE la = lb
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY cos_pct DESC, cand ASC) = 1
+            ),
+            neg AS (
+              SELECT vec_id, cand AS neg_id, cos_pct AS neg_cos
+              FROM scored WHERE la <> lb
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY cos_pct DESC, cand ASC) = 1
+            )
+            SELECT CAST(p.vec_id AS BIGINT) AS vec_id,
+                   CAST(p.pos_id AS BIGINT) AS pos_id, p.pos_cos,
+                   CAST(n.neg_id AS BIGINT) AS neg_id, n.neg_cos,
+                   CAST(CASE WHEN n.neg_cos + 500 > p.pos_cos
+                        THEN 1 ELSE 0 END AS BIGINT) AS violation
+            FROM pos p JOIN neg n USING (vec_id)
         """,
         # exact k-NN graph: every vector's top-5 cosine neighbors on
         # the shared floor(cos*1e4) quantization, id-ascending ties
@@ -2587,6 +2624,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT day,
                    CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS n_open
             FROM byday
+        """,
+        # fulfillment latency percentiles: integer rank rules over
+        # the per-priority latency histogram
+        "orders_fulfillment_latency": """
+            WITH ship AS (
+              SELECT l_orderkey AS okey,
+                     MAX(CAST(epoch_us(l_shipdate) AS BIGINT)
+                         // 86400000000) AS close_day
+              FROM lineitem GROUP BY 1
+            ),
+            lat AS (
+              SELECT o.o_orderpriority AS priority,
+                     s.close_day
+                       - (CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                          // 86400000000) AS lat
+              FROM orders o JOIN ship s ON s.okey = o.o_orderkey
+            ),
+            hist AS (
+              SELECT priority, lat, count(*) AS c
+              FROM lat GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT priority, lat,
+                     SUM(c) OVER (PARTITION BY priority
+                                  ORDER BY lat) AS cm,
+                     SUM(c) OVER (PARTITION BY priority) AS n
+              FROM hist
+            )
+            SELECT priority,
+                   CAST(MAX(n) AS BIGINT) AS n_orders,
+                   CAST(MIN(CASE WHEN 2 * cm >= n THEN lat END)
+                        AS BIGINT) AS p50_days,
+                   CAST(MIN(CASE WHEN 10 * cm >= 9 * n THEN lat END)
+                        AS BIGINT) AS p90_days,
+                   CAST(MAX(lat) AS BIGINT) AS max_days
+            FROM cum GROUP BY priority
         """,
         # Benford first-digit audit: the SAME nano constants as the
         # engine's _BENFORD_NANO; zero-obs digits still contribute

@@ -309,6 +309,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_knn_graph",
         "orders_open_backlog",
         "crawl_neighborhood_est",
+        "orders_fulfillment_latency",
+        "embeddings_hard_negatives",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -870,6 +870,137 @@ def embeddings_knn_graph(
     return cand.groupby("vb").map_groups(final_topk, batch_format="pandas")
 
 
+TRIPLET_MARGIN_PCT = 500  # 0.05 cosine in the shared cos_pct units
+
+
+def embeddings_hard_negatives(
+    sf_dir: str, margin_pct: int = TRIPLET_MARGIN_PCT, num_buckets: int = 8
+) -> rd.Dataset:
+    """(vec_id, pos_id, pos_cos, neg_id, neg_cos, violation): triplet
+    mining for metric learning (Schroff et al. 2015, FaceNet — public
+    batch-hard variant): for every anchor, its hardest POSITIVE (the
+    most-similar same-label vector — the easiest positive is
+    uninformative, but convention here picks max-cos same-label as
+    the canonical pairing) and hardest NEGATIVE (most-similar
+    OTHER-label vector), both on the shared floor(cos·10⁴)
+    quantization with id-ascending ties; ``violation`` = 1 when the
+    negative is within ``margin_pct`` of the positive — the triplets
+    a trainer would actually mine. Anchors lacking a same-label or
+    other-label counterpart drop out (inner join, both sides).
+
+    Distributed plan: the knn-graph bucket-pair cross join, pruned
+    per pair-group to ONE best candidate per (anchor, same-label?)
+    — the exchange carries ≤ 2·B rows per anchor — then one
+    anchor-hash co-group picks global bests and pivots the pair."""
+    B = num_buckets
+    ds = _read_embeddings(sf_dir, with_label=True)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        b = ids % B
+        embs = df["embedding"].to_numpy()
+        labs = df["label"].to_numpy().astype(np.int64)
+        pairs, idx = [], []
+        for p in range(B):
+            lo = np.minimum(b, p)
+            hi = np.maximum(b, p)
+            pairs.append(lo * B + hi)
+            idx.append(np.arange(len(ids)))
+        pair = np.concatenate(pairs)
+        take = np.concatenate(idx)
+        return pd.DataFrame(
+            {
+                "pair": pair,
+                "bkt": b[take],
+                "vec_id": ids[take],
+                "label": labs[take],
+                "embedding": embs[take],
+            }
+        )
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["vec_id", "same", "cos_pct", "cand"],
+                ascending=[True, True, False, True],
+                kind="mergesort",
+            )
+            .groupby(["vec_id", "same"])
+            .head(1)
+        )
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        bkt = g["bkt"].to_numpy()[order]
+        labs = g["label"].to_numpy()[order]
+        m = _normalize(
+            np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        )
+        i, j = divmod(int(g["pair"].iloc[0]), B)
+        if i == j:
+            cos = m @ m.T
+            pct = np.floor(cos * 10_000).astype(np.int64)
+            n = len(ids)
+            vi, ni = np.nonzero(~np.eye(n, dtype=bool))
+            df = pd.DataFrame(
+                {
+                    "vec_id": ids[vi],
+                    "cand": ids[ni],
+                    "cos_pct": pct[vi, ni],
+                    "same": (labs[vi] == labs[ni]).astype(np.int64),
+                }
+            )
+        else:
+            li, lj = bkt == i, bkt == j
+            cos = m[li] @ m[lj].T
+            pct = np.floor(cos * 10_000).astype(np.int64)
+            vi, ni = np.nonzero(np.ones_like(cos, dtype=bool))
+            same = (labs[li][vi] == labs[lj][ni]).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "vec_id": np.concatenate([ids[li][vi], ids[lj][ni]]),
+                    "cand": np.concatenate([ids[lj][ni], ids[li][vi]]),
+                    "cos_pct": np.concatenate([pct[vi, ni], pct[vi, ni]]),
+                    "same": np.concatenate([same, same]),
+                }
+            )
+        return _best(df)
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        b = _best(g)
+        pos = b[b["same"] == 1].set_index("vec_id")
+        neg = b[b["same"] == 0].set_index("vec_id")
+        both = pos.index.intersection(neg.index)
+        pos, neg = pos.loc[both], neg.loc[both]
+        return pd.DataFrame(
+            {
+                "vec_id": both.to_numpy().astype("int64"),
+                "pos_id": pos["cand"].to_numpy().astype("int64"),
+                "pos_cos": pos["cos_pct"].to_numpy().astype("int64"),
+                "neg_id": neg["cand"].to_numpy().astype("int64"),
+                "neg_cos": neg["cos_pct"].to_numpy().astype("int64"),
+                "violation": (
+                    neg["cos_pct"].to_numpy() + margin_pct
+                    > pos["cos_pct"].to_numpy()
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(cross, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(vb=(df["vec_id"] % B).astype("int64")),
+            batch_format="pandas",
+        )
+        .groupby("vb")
+        .map_groups(pivot, batch_format="pandas")
+    )
+
+
 def embeddings_dbscan(
     sf_dir: str,
     eps: float = 0.30,

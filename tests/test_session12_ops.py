@@ -297,6 +297,48 @@ class TestBetweenness:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestHardNegatives:
+    def test_hand_triplets(self, tmp_path):
+        """Four 2-d vectors, two labels: bests and the margin flag by
+        hand; a label-singleton anchor drops out (no positive)."""
+        import os
+
+        from suckit_ray.pipelines import ann
+
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "embedding": pa.array(
+                    [
+                        [1.0, 0.0],        # L0
+                        [1.0, 0.1],        # L0: pos of 0 (cos~0.995)
+                        [1.0, 0.05],       # L1: hard neg of 0 (cos~0.9988)
+                        [0.0, 1.0],        # L1
+                        [-1.0, 0.0],       # L2 singleton -> dropped
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+                "label": pa.array([0, 0, 1, 1, 2], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(tmp_path, "embeddings.parquet"))
+        got = (
+            ann.embeddings_hard_negatives(str(tmp_path), num_buckets=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["vec_id"]) == [0, 1, 2, 3]  # 4 dropped
+        r0 = got.iloc[0]
+        assert (r0["pos_id"], r0["neg_id"]) == (1, 2)
+        # neg (0.9988) beats pos (0.9950) -> violation even at margin 0
+        assert r0["neg_cos"] > r0["pos_cos"] and r0["violation"] == 1
+        r3 = got.iloc[3]  # vec 3: pos=2 (cos~0.05), neg: best of L0/L2
+        assert r3["pos_id"] == 2
+        assert r3["violation"] == 1  # neg cos ~0.0999 > pos cos + margin
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSimrank:
     def test_hand_arithmetic(self):
         """Sibling pair under one parent: s = (4·1e6)//5 = 800000 at
