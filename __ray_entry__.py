@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_betweenness": graph.crawl_betweenness,
         "crawl_neighborhood_est": graph.crawl_neighborhood_est,
         "crawl_simrank": graph.crawl_simrank,
+        "crawl_walk_corpus": graph.crawl_walk_corpus,
         "crawl_resource_allocation": graph.crawl_resource_allocation,
         "crawl_sssp": graph.crawl_sssp,
         "crawl_cocitation": graph.crawl_cocitation,

@@ -311,6 +311,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_neighborhood_est",
         "orders_fulfillment_latency",
         "embeddings_hard_negatives",
+        "crawl_walk_corpus",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

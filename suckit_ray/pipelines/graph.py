@@ -3207,6 +3207,189 @@ def distance_stats_from_docs(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+WALKS_PER_NODE = 2
+WALK_LEN = 4
+
+
+def walk_corpus_from_docs(
+    docs: rd.Dataset,
+    walks_per_node: int = WALKS_PER_NODE,
+    walk_len: int = WALK_LEN,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """(anchor, walk_idx, path, n_steps): a DETERMINISTIC random-walk
+    corpus over the crawl link graph — ``walks_per_node`` walks of up
+    to ``walk_len`` edges from every page, the training input of
+    DeepWalk / node2vec-style graph embeddings (Perozzi et al. 2014,
+    public). Determinism: the walk RNG is a splitmix64 chain seeded
+    from (node hash ⊕ walk index); each step picks
+    out-neighbors-sorted-by-id[state mod outdeg] — so the corpus is
+    reproducible run to run and machine to machine, which is what
+    makes a SAMPLED operator testable (equality pins, edge-validity
+    pins) without an oracle.
+
+    Distributed plan: walk frontier rows live in the bucket of their
+    CURRENT node; each of the ``walk_len`` rounds is ONE co-group of
+    (frontier ∪ adjacency) where the step is a vectorized merge on
+    (node, state mod outdeg) against the rank-numbered neighbor
+    list — no per-walk Python loop; walks at dead ends ride through
+    unchanged. O(walks) rows shuffle per round, one materialize per
+    round (the iterative-plan rule)."""
+    from suckit_ray.stages.sketch import _splitmix64
+
+    edges = _link_edges(docs).materialize()
+    if num_buckets is None:
+        from suckit_ray.stages.agg import default_buckets
+
+        num_buckets = max(2, min(default_buckets(), edges.count() // 10_000 + 1))
+    B = num_buckets
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    adj = (
+        edges.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "key": df["src"],
+                    "nbr": df["dst"],
+                    "is_adj": np.ones(len(df), dtype="int64"),
+                    "anchor": "",
+                    "walk_idx": np.zeros(len(df), dtype="int64"),
+                    "state": np.zeros(len(df), dtype="int64"),
+                    "path": "",
+                    "n_steps": np.zeros(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["src"]),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .repartition(B)
+        .materialize()
+    )
+
+    def nodes_of(t: pa.Table) -> pd.DataFrame:
+        keep = [
+            posixpath.normpath(d)
+            for d, h in zip(
+                t.column("doc_id").to_pylist(), t.column("is_html").to_pylist()
+            )
+            if h
+        ]
+        return pd.DataFrame({"node": pd.array(keep, dtype="object")})
+
+    def init_walks(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["node"], index=False).to_numpy()
+        outs = []
+        for w in range(walks_per_node):
+            seed = _splitmix64(h ^ np.uint64(w + 1))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": df["node"],
+                        "nbr": "",
+                        "is_adj": np.zeros(len(df), dtype="int64"),
+                        "anchor": df["node"],
+                        "walk_idx": np.full(len(df), w, dtype="int64"),
+                        "state": seed.view(np.int64),
+                        "path": df["node"],
+                        "n_steps": np.zeros(len(df), dtype="int64"),
+                    }
+                )
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out["bucket"] = bucket_of(out["key"])
+        return out
+
+    walks = (
+        docs.map_batches(nodes_of, batch_format="pyarrow")
+        .map_batches(init_walks, batch_format="pandas")
+        .repartition(B)
+        .materialize()
+    )
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["is_adj"] == 1][["key", "nbr"]].sort_values(
+            ["key", "nbr"], kind="mergesort"
+        )
+        a = a.assign(
+            rank=a.groupby("key").cumcount().astype("int64"),
+            deg=a.groupby("key")["nbr"].transform("size").astype("int64"),
+        )
+        w = g[g["is_adj"] == 0].drop(columns=["bucket"])
+        deg_map = a.drop_duplicates("key").set_index("key")["deg"]
+        wdeg = w["key"].map(deg_map).fillna(0).astype("int64")
+        state_u = w["state"].to_numpy().view(np.uint64)
+        rank = np.zeros(len(w), dtype="int64")
+        live = wdeg.to_numpy() > 0
+        rank[live] = (
+            state_u[live] % wdeg.to_numpy()[live].astype(np.uint64)
+        ).astype("int64")
+        # vectorized advance: merge live walks onto (key, rank) →
+        # next node; dead-end walks pass through unchanged
+        wl = w[live].assign(rank=rank[live])
+        adv = wl.merge(
+            a[["key", "rank", "nbr"]].rename(columns={"nbr": "nxt"}),
+            on=["key", "rank"],
+        )
+        from suckit_ray.stages.sketch import _splitmix64 as smx
+
+        new_state = smx(adv["state"].to_numpy().view(np.uint64)).view(np.int64)
+        moved = pd.DataFrame(
+            {
+                "key": adv["nxt"],
+                "nbr": "",
+                "is_adj": np.zeros(len(adv), dtype="int64"),
+                "anchor": adv["anchor"],
+                "walk_idx": adv["walk_idx"].astype("int64"),
+                "state": new_state,
+                "path": adv["path"] + ">" + adv["nxt"],
+                "n_steps": adv["n_steps"].astype("int64") + 1,
+            }
+        )
+        stuck = w[~live][
+            [
+                "key",
+                "nbr",
+                "is_adj",
+                "anchor",
+                "walk_idx",
+                "state",
+                "path",
+                "n_steps",
+            ]
+        ]
+        return pd.concat([moved, stuck], ignore_index=True)
+
+    for _ in range(walk_len):
+        staged = walks.union(adj)
+        walks = (
+            staged.groupby("bucket")
+            .map_groups(step, batch_format="pandas")
+            .map_batches(
+                lambda df: df.assign(bucket=bucket_of(df["key"])),
+                batch_format="pandas",
+            )
+            .repartition(B)
+            .materialize()
+        )
+
+    return walks.map_batches(
+        lambda df: df[["anchor", "walk_idx", "path", "n_steps"]],
+        batch_format="pandas",
+    )
+
+
+def crawl_walk_corpus(sf_dir: str) -> rd.Dataset:
+    """queries() entry: deterministic random-walk training corpus of
+    the flagship crawl. Rows-only (sampled operator); determinism and
+    edge-validity pins in tests/test_session12_ops.py."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return walk_corpus_from_docs(crawl_docs(sf_dir))
+
+
 SIMRANK_ITERS = 3
 SIMRANK_MICRO = 1_000_000
 

@@ -297,6 +297,70 @@ class TestBetweenness:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWalkCorpus:
+    def test_deterministic_valid_walks(self):
+        """Flagship sf0.001: 2 walks per page, every consecutive pair
+        a real edge, full length (the formulaic graph has no dead
+        ends), and bit-identical across runs."""
+        from suckit_ray.pipelines.graph import crawl_walk_corpus
+
+        got = (
+            crawl_walk_corpus(SF)
+            .to_pandas()
+            .sort_values(["anchor", "walk_idx"])
+            .reset_index(drop=True)
+        )
+        got2 = (
+            crawl_walk_corpus(SF)
+            .to_pandas()
+            .sort_values(["anchor", "walk_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, got2)
+        assert len(got) == 1000  # 500 pages x 2 walks
+        assert (got["n_steps"] == 4).all()
+        # edge validity against the formulaic link set
+        n_docs = 500
+        sizes = [n_docs // 8 + (1 if h < n_docs % 8 else 0) for h in range(8)]
+        ok = 0
+        for _, r in got.iterrows():
+            hops = r["path"].split(">")
+            assert len(hops) == 5
+            host = hops[0].split("/")[0]
+            h = int(host[4:8])
+            m = sizes[h]
+            for x, y in zip(hops, hops[1:]):
+                j = int(x.rsplit("/p", 1)[1].split(".")[0])
+                k = int(y.rsplit("/p", 1)[1].split(".")[0])
+                assert k in {
+                    (2 * j + 1) % m,
+                    (2 * j + 2) % m,
+                    (5 * j + 3) % m,
+                    (5 * j + 10) % m,
+                }
+                ok += 1
+        assert ok == 4000
+
+    def test_dead_end_stops(self):
+        """Walks from a sink stay length 0; others stop at the sink."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import walk_corpus_from_docs
+
+        rows = [_page("h", 0, [1]), _page("h", 1, [])]
+        got = walk_corpus_from_docs(
+            rd.from_items(rows), walks_per_node=2, walk_len=3
+        ).to_pandas()
+        assert len(got) == 4
+        by = got.set_index(["anchor", "walk_idx"])
+        assert (by.loc[("h/p1.html",)]["n_steps"] == 0).all()
+        assert (by.loc[("h/p0.html",)]["n_steps"] == 1).all()
+        assert (
+            by.loc[("h/p0.html",)]["path"] == "h/p0.html>h/p1.html"
+        ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestHardNegatives:
     def test_hand_triplets(self, tmp_path):
         """Four 2-d vectors, two labels: bests and the margin flag by
