@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": relops.events_user_paths,
         "events_ewma": relops.events_ewma,
         "events_holt": relops.events_holt,
+        "events_acf": relops.events_acf,
         "events_benford": relops.events_benford,
         "orders_open_backlog": relops.orders_open_backlog,
         "orders_fulfillment_latency": relops.orders_fulfillment_latency,
@@ -2593,6 +2594,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b AS BIGINT) AS trend_c,
                    CAST(l + b AS BIGINT) AS forecast_c
             FROM r
+        """,
+        # autocorrelation of gap-filled daily counts: signed SQUARED
+        # Pearson in micro units (sign(num)·num²·1e6 // (denx·deny) —
+        # the square makes floor == trunc, so `//` agrees on both
+        # sides); HUGEINT holds to ~1e9 events/day × 1e3 days
+        "events_acf": """
+            WITH e AS (
+              SELECT event_type,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       AS day
+              FROM events
+            ),
+            c AS (
+              SELECT event_type, day, CAST(count(*) AS HUGEINT) AS n
+              FROM e GROUP BY 1, 2
+            ),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+            days AS (
+              SELECT UNNEST(generate_series(lo, hi)) AS day FROM b
+            ),
+            types AS (SELECT DISTINCT event_type FROM e),
+            filled AS (
+              SELECT t.event_type, d.day,
+                     COALESCE(c.n, CAST(0 AS HUGEINT)) AS n
+              FROM types t CROSS JOIN days d
+              LEFT JOIN c ON c.event_type = t.event_type
+                         AND c.day = d.day
+            ),
+            lags AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+            pairs AS (
+              SELECT f1.event_type, l.lag, f1.n AS x, f2.n AS y
+              FROM filled f1
+              CROSS JOIN lags l
+              JOIN filled f2 ON f2.event_type = f1.event_type
+                            AND f2.day = f1.day + l.lag
+            ),
+            s AS (
+              SELECT event_type, lag,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM pairs GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(CASE
+                     WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                       THEN 0
+                     ELSE (CASE WHEN n * sxy - sx * sy < 0
+                                THEN -1 ELSE 1 END)
+                          * (((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                              * 1000000)
+                             // ((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy)))
+                   END AS BIGINT) AS acf2_micro
+            FROM s
         """,
         # open-order backlog: interval sweep over [orderdate,
         # max(l_shipdate)] inclusive, running sum at delta days

@@ -312,6 +312,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_fulfillment_latency",
         "embeddings_hard_negatives",
         "crawl_walk_corpus",
+        # thirteenth session
+        "events_acf",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -6244,3 +6244,109 @@ def events_bursts(sf_dir: str) -> rd.Dataset:
     return daily.groupby("event_type").map_groups(
         viterbi_group, batch_format="pandas"
     )
+
+
+ACF_MAX_LAG = 7  # lags 1..7 — one week of daily autocorrelation
+
+
+def events_acf(sf_dir: str) -> rd.Dataset:
+    """(event_type, lag, n_days, acf2_micro): the autocorrelation
+    function of each type's GAP-FILLED daily event counts at lags
+    1..7 — the seasonality probe (a weekly cycle shows as a lag-7
+    peak) every forecasting stage (ewma/holt/bursts) sits on top of.
+
+    Exactness: Pearson r needs a square root, which no integer
+    algebra reproduces — so the reported statistic is the SIGNED
+    SQUARED correlation in micro units,
+
+        acf2_micro = sign(num) · (num² · 1e6) // (denx · deny)
+        num  = n·Σxy − Σx·Σy
+        denx = n·Σx² − (Σx)²,  deny = n·Σy² − (Σy)²
+
+    (x = counts[:-lag], y = counts[lag:]): the numerator square makes
+    floor == trunc, so Python `//` and DuckDB `//` agree, and the
+    whole closed form is exact in unbounded Python ints / HUGEINT
+    (the oracle holds to ~1e9 events/day × 1e3 days; the engine is
+    unbounded). Constant or too-short series → 0. The same
+    sign·square trick events_regression/spearman use.
+
+    Plan: the gapfill two-phase (type, day) count; the global day
+    span broadcast; each type's series folds group-locally (the
+    calendar-bounded-series argument of ewma/holt/bursts — days, not
+    events, bound the group)."""
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))
+        return (
+            pd.DataFrame(
+                {"event_type": df["event_type"], "day": day.astype("int64")}
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .agg(n=("day", "size"))
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"n": ("n", "sum")},
+    ).materialize()  # feeds the bounds scan AND the per-type groups
+
+    span = _global_day_span(daily)
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "lag": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "acf2_micro": pa.array([], pa.int64()),
+        }
+    )
+    if span is None:
+        return rd.from_arrow(empty)
+    span_ref = ray.put(span)
+
+    def acf_group(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(span_ref)
+        days = np.arange(lo, hi + 1, dtype="int64")
+        x = (
+            g.set_index("day")["n"]
+            .reindex(days)
+            .fillna(0)
+            .astype("int64")
+            .to_numpy()
+        )
+        T = len(x)
+        lags, ns, vals = [], [], []
+        for k in range(1, ACF_MAX_LAG + 1):
+            n = T - k
+            if n < 1:
+                continue  # no pairs exist — the oracle emits no row
+            a, b = x[:n], x[k:]
+            sx, sy = int(a.sum()), int(b.sum())
+            sxy = int((a * b).sum())
+            sxx = int((a * a).sum())
+            syy = int((b * b).sum())
+            num = n * sxy - sx * sy
+            den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            r2 = 0 if den == 0 else (
+                (-1 if num < 0 else 1) * ((num * num * 1_000_000) // den)
+            )
+            lags.append(k)
+            ns.append(n)
+            vals.append(r2)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "lag": pd.array(lags, dtype="int64"),
+                "n_days": pd.array(ns, dtype="int64"),
+                "acf2_micro": pd.array(vals, dtype="int64"),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(
+        acf_group, batch_format="pandas"
+    )
