@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_simrank": graph.crawl_simrank,
         "crawl_walk_corpus": graph.crawl_walk_corpus,
         "crawl_resource_allocation": graph.crawl_resource_allocation,
+        "crawl_assortativity": graph.crawl_assortativity,
         "crawl_sssp": graph.crawl_sssp,
         "crawl_cocitation": graph.crawl_cocitation,
         "crawl_link_jaccard": graph.crawl_link_jaccard,
@@ -4566,6 +4567,56 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM und u
                               WHERE u.h = s.h AND u.a = s.a
                                 AND u.b = s.b)
+        """,
+        # degree assortativity: across directed edges, signed SQUARED
+        # Pearson between src out-degree and dst in-degree, micro
+        # units — the events_acf closed form in HUGEINT
+        "crawl_assortativity": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS s, x.t AS t
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            odeg AS (
+              SELECT h, s, CAST(count(*) AS HUGEINT) AS d
+              FROM e GROUP BY 1, 2
+            ),
+            ideg AS (
+              SELECT h, t, CAST(count(*) AS HUGEINT) AS d
+              FROM e GROUP BY 1, 2
+            ),
+            xy AS (
+              SELECT e.h, o.d AS x, i.d AS y
+              FROM e
+              JOIN odeg o ON o.h = e.h AND o.s = e.s
+              JOIN ideg i ON i.h = e.h AND i.t = e.t
+            ),
+            st AS (
+              SELECT h, CAST(count(*) AS HUGEINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM xy GROUP BY 1
+            )
+            SELECT hn.hn AS host,
+                   CAST(st.n AS BIGINT) AS n_edges,
+                   CAST(CASE
+                     WHEN (st.n * st.sxx - st.sx * st.sx)
+                          * (st.n * st.syy - st.sy * st.sy) = 0
+                       THEN 0
+                     ELSE (CASE WHEN st.n * st.sxy - st.sx * st.sy < 0
+                                THEN -1 ELSE 1 END)
+                          * (((st.n * st.sxy - st.sx * st.sy)
+                              * (st.n * st.sxy - st.sx * st.sy)
+                              * 1000000)
+                             // ((st.n * st.sxx - st.sx * st.sx)
+                                 * (st.n * st.syy - st.sy * st.sy)))
+                   END AS BIGINT) AS assort2_micro
+            FROM st JOIN hostname hn ON hn.h = st.h
         """,
         # SimRank: 3 unrolled integer iterations over the in-edge
         # cross join; diagonal 1e6 implicit in the CASE, pairs with

@@ -314,6 +314,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_walk_corpus",
         # thirteenth session
         "events_acf",
+        "crawl_assortativity",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

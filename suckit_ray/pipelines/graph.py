@@ -3588,3 +3588,125 @@ def crawl_bowtie(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return bowtie_from_docs(crawl_docs(sf_dir))
+
+
+def assortativity_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, n_edges, assort2_micro): per-host directed degree
+    assortativity of the link graph — the Pearson correlation, ACROSS
+    directed edges, between the source's OUT-degree and the target's
+    IN-degree (Newman 2002/2003, public; the out-in convention, no
+    excess-degree correction — documented so the oracle can mirror it
+    literally). Positive = hubs cite hubs (core-periphery webs score
+    negative). Reported as the SIGNED SQUARED correlation in micro
+    units (the events_acf/spearman/regression trick: the square
+    avoids the irrational √, floor == trunc on the non-negative
+    numerator, Python `//` ≡ DuckDB `//`).
+
+    Plan — degrees attach where the edges already are, no degree
+    table broadcast: (1) one s-hash co-group counts outdeg(host, s)
+    group-locally (every edge of a source co-locates) and attaches x;
+    (2) one t-hash co-group counts indeg(host, t) the same way and
+    folds per-host sufficient-statistic PARTIALS (n, Σx, Σy, Σxy,
+    Σx², Σy²) — the exchange after it carries O(buckets·hosts) rows,
+    never edges; (3) one tiny bucketed sum per host, closed form in
+    unbounded Python ints. Partials ride int64: Σxy per bucket holds
+    to ~3e9 edges × deg 1e3 (overflow would need a host whose hot
+    pages exceed ~10^6 degree at 10^9 edges per bucket — re-quantize
+    to HUGEINT-style string partials the spearman way if a real web
+    graph gets there)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+    edges = _host_page_edges(docs).materialize()  # feeds two groupby passes
+
+    def add_sb(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["sb"] = (out["s"].astype("int64") % B).astype("int64")
+        return out
+
+    def attach_out(g: pd.DataFrame) -> pd.DataFrame:
+        x = g.groupby(["host", "s"])["t"].transform("size").astype("int64")
+        return pd.DataFrame(
+            {
+                "host": g["host"],
+                "t": g["t"].astype("int64"),
+                "x": x,
+                "tb": (g["t"].astype("int64") % B).astype("int64"),
+            }
+        )
+
+    def fold_in(g: pd.DataFrame) -> pd.DataFrame:
+        y = g.groupby(["host", "t"])["x"].transform("size").astype("int64")
+        d = pd.DataFrame(
+            {
+                "host": g["host"],
+                "x": g["x"].astype("int64"),
+                "y": y,
+            }
+        )
+        d["xy"] = d["x"] * d["y"]
+        d["xx"] = d["x"] * d["x"]
+        d["yy"] = d["y"] * d["y"]
+        return (
+            d.groupby("host", as_index=False)
+            .agg(
+                n=("x", "size"),
+                sx=("x", "sum"),
+                sy=("y", "sum"),
+                sxy=("xy", "sum"),
+                sxx=("xx", "sum"),
+                syy=("yy", "sum"),
+            )
+        )
+
+    partials = (
+        edges.map_batches(add_sb, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(attach_out, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(fold_in, batch_format="pandas")
+    )
+    sums = bucketed_groupby_agg(
+        partials,
+        keys=["host"],
+        aggs={
+            "n": ("n", "sum"),
+            "sx": ("sx", "sum"),
+            "sy": ("sy", "sum"),
+            "sxy": ("sxy", "sum"),
+            "sxx": ("sxx", "sum"),
+            "syy": ("syy", "sum"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        hosts, ns, vals = [], [], []
+        for _, r in df.iterrows():
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+            num = n * sxy - sx * sy
+            den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            r2 = 0 if den == 0 else (
+                (-1 if num < 0 else 1) * ((num * num * 1_000_000) // den)
+            )
+            hosts.append(r["host"])
+            ns.append(n)
+            vals.append(r2)
+        return pd.DataFrame(
+            {
+                "host": pd.array(hosts, dtype="object"),
+                "n_edges": pd.array(ns, dtype="int64"),
+                "assort2_micro": pd.array(vals, dtype="int64"),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+def crawl_assortativity(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-host directed out-in degree assortativity
+    of the flagship crawl's link graph. Full SQL oracle: edges +
+    degree joins + HUGEINT closed form over the shared reach CTE."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return assortativity_from_docs(crawl_docs(sf_dir))

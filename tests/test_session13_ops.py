@@ -122,3 +122,77 @@ class TestAcf:
         # 5 types × 7 lags, |signed r²| ≤ 1e6 by construction
         assert len(got) == 35
         assert got["acf2_micro"].abs().max() <= 1_000_000
+
+
+def _page(host, j, targets):
+    return {
+        "doc_id": f"{host}//p{j}.html",
+        "host": host,
+        "is_html": True,
+        "spans": [
+            {"kind": "link", "text": "", "media_ref": f"p{t}.html", "offset": i}
+            for i, t in enumerate(targets)
+        ],
+    }
+
+
+def _assort_reference(edges):
+    """Literal out-in assortativity replay in Python ints."""
+    from collections import Counter
+
+    odeg = Counter(s for s, _ in edges)
+    ideg = Counter(t for _, t in edges)
+    xs = [odeg[s] for s, _ in edges]
+    ys = [ideg[t] for _, t in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r2 = (
+        0
+        if den == 0
+        else (-1 if num < 0 else 1) * ((num * num * 1_000_000) // den)
+    )
+    return n, r2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAssortativity:
+    def test_star_is_disassortative_and_matches_reference(self):
+        """Hub star + tail chain: hub (high outdeg) cites leaves
+        (indeg 1) ⇒ negative correlation; exact equality vs the
+        Python replay. A 4-cycle host is perfectly regular ⇒ den==0
+        guard yields 0."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import assortativity_from_docs
+
+        # hub 0 (outdeg 3) cites indeg-1 leaves; leaves 2,3 (outdeg 1)
+        # cite the indeg-2 hub — perfect anti-correlation (r² = −1e6)
+        star = [(0, 1), (0, 2), (0, 3), (2, 0), (3, 0)]
+        rows = [
+            _page("h", 0, [1, 2, 3]),
+            _page("h", 2, [0]),
+            _page("h", 3, [0]),
+            _page("h", 1, []),
+        ]
+        rows += [_page("g", j, [(j + 1) % 4]) for j in range(4)]
+        got = (
+            assortativity_from_docs(rd.from_items(rows).repartition(3))
+            .to_pandas()
+            .set_index("host")
+        )
+        n, r2 = _assort_reference(star)
+        assert tuple(got.loc["h"]) == (n, r2)
+        assert r2 < 0  # hubs cite leaves: disassortative
+        assert tuple(got.loc["g"]) == (4, 0)  # regular graph: den == 0
+
+    def test_sf_corpus_bounded(self):
+        from suckit_ray.pipelines.graph import crawl_assortativity
+
+        got = crawl_assortativity(SF).to_pandas()
+        assert len(got) == 8
+        assert got["assort2_micro"].abs().max() <= 1_000_000
