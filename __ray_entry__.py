@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # identity oracles — any quoting/escaping/dtype defect in the
         # distributed JSONL/CSV write+read breaks the hash
         "docs_jsonl_roundtrip": formats.docs_jsonl_roundtrip,
+        "docs_arrow_roundtrip": formats.docs_arrow_roundtrip,
         "docs_webdataset_roundtrip": formats.docs_webdataset_roundtrip,
         "docs_csv_roundtrip": formats.docs_csv_roundtrip,
         # compaction: bin-pack the per-wave small files, then pass the
@@ -5131,6 +5132,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "docs_csv_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "docs_arrow_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # WebDataset tar-shard round-trip: same identity-oracle idiom

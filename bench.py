@@ -315,6 +315,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # thirteenth session
         "events_acf",
         "crawl_assortativity",
+        "docs_arrow_roundtrip",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -136,3 +136,92 @@ def docs_webdataset_roundtrip(sf_dir: str) -> rd.Dataset:
         .groupby("kb")
         .map_groups(zip_sample, batch_format="pandas")
     )
+
+
+def write_arrow_ipc(ds: rd.Dataset, output_dir: str) -> int:
+    """Distributed Arrow IPC (Feather V2) sink: each map task writes
+    its block as ONE ``.arrow`` file in the standard IPC *file*
+    format, named after the content hash (idempotent re-runs — the
+    WARC-segment/WebDataset-shard convention) via tmp+rename.
+    Returns total row count. IPC is the zero-parse interchange
+    format: a reader mmaps the file and gets Arrow arrays back with
+    no decode step, which is why it's the natural spill/cache format
+    between Ray Data jobs. Content naming means two byte-identical
+    BLOCKS collapse to one file (the WARC-segment dedup convention;
+    impossible for keyed tables like documents, acceptable for
+    re-run idempotence everywhere else)."""
+    import hashlib
+    import io
+
+    import pyarrow as pa
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64())})
+        buf = io.BytesIO()
+        with pa.ipc.new_file(buf, t.schema) as w:
+            w.write_table(t)
+        raw = buf.getvalue()
+        name = f"block-{hashlib.blake2b(raw, digest_size=8).hexdigest()}.arrow"
+        path = os.path.join(output_dir, name)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, path)
+        return pa.table(
+            {
+                "file": pa.array([name], pa.string()),
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    seg = ds.map_batches(write_block, batch_format="pyarrow")
+    total = 0
+    for b in seg.iter_batches(batch_format="pyarrow"):
+        total += sum(b.column("n_rows").to_pylist())
+    return total
+
+
+def read_arrow_ipc(paths: str | list[str]) -> rd.Dataset:
+    """Streaming Arrow IPC source: one parse task per file batch —
+    ``pa.ipc.open_file`` over the raw bytes, record batches
+    re-emitted as Arrow blocks. Bytes never visit the driver."""
+    import io
+
+    import pyarrow as pa
+
+    if isinstance(paths, str) and os.path.isdir(paths):
+        paths = sorted(
+            os.path.join(paths, n)
+            for n in os.listdir(paths)
+            if n.endswith(".arrow")
+        )
+    files = rd.read_binary_files(paths, include_paths=False)
+
+    def parse(batch: pa.Table) -> "list[pa.Table]":
+        out = []
+        for raw in batch.column("bytes").to_pylist():
+            with pa.ipc.open_file(io.BytesIO(raw)) as r:
+                out.append(r.read_all())
+        return out
+
+    # flat_map-style: one output table per input file keeps blocks
+    # aligned with the writer's block structure
+    def parse_concat(batch: pa.Table) -> pa.Table:
+        tables = parse(batch)
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return files.map_batches(parse_concat, batch_format="pyarrow", batch_size=2)
+
+
+def docs_arrow_roundtrip(sf_dir: str) -> rd.Dataset:
+    """queries() entry: documents → Arrow IPC files → back. Oracle:
+    identity SELECT over documents — any framing, schema, encoding or
+    block-reassembly defect breaks the value hash."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+    out = _scratch("suckit_arrow_rt_")
+    write_arrow_ipc(docs, out)
+    return read_arrow_ipc(out).select_columns(DOC_COLS)

@@ -65,3 +65,41 @@ def test_roundtrip_is_distributed_multiblock(tmp_path):
     back = formats.roundtrip_jsonl(ds, out)
     assert len(os.listdir(out)) > 1
     _assert_roundtrip(back)
+
+
+def test_arrow_ipc_roundtrip_hostile_content(tmp_path):
+    out = str(tmp_path / "a")
+    ds = rd.from_pandas(NASTY)
+    n = formats.write_arrow_ipc(ds, out)
+    assert n == len(NASTY)
+    _assert_roundtrip(formats.read_arrow_ipc(out))
+
+
+def test_arrow_ipc_roundtrip_multiblock_and_binary(tmp_path):
+    # several blocks → several .arrow files, reassembled completely;
+    # binary columns pass through IPC untouched (no text escaping
+    # layer exists to get wrong — the format's whole point)
+    import os
+
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "payload": pa.array(
+                [b"\x00\xff", b"", b"\n\r", "日本".encode(), b"a" * 100, b"q"],
+                pa.binary(),
+            ),
+        }
+    )
+    out = str(tmp_path / "b")
+    n = formats.write_arrow_ipc(rd.from_arrow(tbl).repartition(3), out)
+    assert n == 6
+    assert len(os.listdir(out)) > 1
+    got = (
+        formats.read_arrow_ipc(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["payload"]) == tbl.column("payload").to_pylist()
