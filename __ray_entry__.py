@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": relops.events_ewma,
         "events_holt": relops.events_holt,
         "events_acf": relops.events_acf,
+        "events_ks_test": relops.events_ks_test,
         "events_benford": relops.events_benford,
         "orders_open_backlog": relops.orders_open_backlog,
         "orders_fulfillment_latency": relops.orders_fulfillment_latency,
@@ -2653,6 +2654,45 @@ def oracle_sql() -> dict[str, str]:
                                  * (n * syy - sy * sy)))
                    END AS BIGINT) AS acf2_micro
             FROM s
+        """,
+        # two-sample KS: cross-multiplied ECDFs over the merged value
+        # grid — max of integers, one final floored division
+        "events_ks_test": """
+            WITH c AS (
+              SELECT event_type AS t,
+                     CAST(round(value * 100) AS BIGINT) AS v,
+                     CAST(count(*) AS HUGEINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            ty AS (SELECT DISTINCT t FROM c),
+            pairs AS (
+              SELECT a.t AS ta, b.t AS tb
+              FROM ty a JOIN ty b ON b.t > a.t
+            ),
+            grid AS (
+              SELECT DISTINCT p.ta, p.tb, c.v
+              FROM pairs p JOIN c ON c.t = p.ta OR c.t = p.tb
+            ),
+            s AS (
+              SELECT g.ta, g.tb, g.v,
+                     SUM(COALESCE(ca.n, 0)) OVER w AS cuma,
+                     SUM(COALESCE(cb.n, 0)) OVER w AS cumb
+              FROM grid g
+              LEFT JOIN c ca ON ca.t = g.ta AND ca.v = g.v
+              LEFT JOIN c cb ON cb.t = g.tb AND cb.v = g.v
+              WINDOW w AS (PARTITION BY g.ta, g.tb ORDER BY g.v)
+            ),
+            tot AS (SELECT t, SUM(n) AS nt FROM c GROUP BY 1)
+            SELECT s.ta AS type_a, s.tb AS type_b,
+                   CAST(na.nt AS BIGINT) AS n_a,
+                   CAST(nb.nt AS BIGINT) AS n_b,
+                   CAST((1000000 * MAX(ABS(nb.nt * s.cuma
+                                           - na.nt * s.cumb)))
+                        // (na.nt * nb.nt) AS BIGINT) AS ks_micro
+            FROM s
+            JOIN tot na ON na.t = s.ta
+            JOIN tot nb ON nb.t = s.tb
+            GROUP BY s.ta, s.tb, na.nt, nb.nt
         """,
         # open-order backlog: interval sweep over [orderdate,
         # max(l_shipdate)] inclusive, running sum at delta days

@@ -6350,3 +6350,125 @@ def events_acf(sf_dir: str) -> rd.Dataset:
     return daily.groupby("event_type").map_groups(
         acf_group, batch_format="pandas"
     )
+
+
+def events_ks_test(sf_dir: str) -> rd.Dataset:
+    """(type_a, type_b, n_a, n_b, ks_micro): the two-sample
+    Kolmogorov–Smirnov statistic between every PAIR of event types'
+    cent-value distributions — the distribution-drift monitor a
+    training-data pipeline runs between snapshots/sources before
+    mixing them. Carried exactly: on the merged value grid,
+
+        ks_num   = max_v |n_b·cum_a(v) − n_a·cum_b(v)|
+        ks_micro = (1e6 · ks_num) // (n_a · n_b)
+
+    — cross-multiplying the two ECDFs clears both denominators, so
+    the max runs over integers and the single final division is the
+    only floor (int64 holds to ~3e9 events per pair at micro scale;
+    the oracle's HUGEINT far beyond).
+
+    Plan: the ONE (type, cent) histogram exchange the whole
+    quantile/MAD/winsorize family shares; the tiny distinct-type set
+    (O(types), the mutual-information idiom) broadcasts; each
+    histogram row replicates to its type's pairs (|types|−1 copies of
+    a HISTOGRAM row, never an event row); one pair-bucketed co-group
+    pivots the merged grid and takes the max in one vectorized
+    cumsum pass."""
+    import ray
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "value_c": to_cents(df["value"])}
+        )
+
+    hist = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(cents, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    ).materialize()  # feeds the type scan AND the pair groups
+
+    types = sorted(
+        r["event_type"]
+        for r in bucketed_groupby_agg(
+            hist.map_batches(
+                lambda df: df[["event_type"]], batch_format="pandas"
+            ),
+            keys=["event_type"],
+            aggs={"n": ("event_type", "count")},
+        ).iter_rows()
+    )
+    empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "ks_micro": pa.array([], pa.int64()),
+        }
+    )
+    if len(types) < 2:
+        return rd.from_arrow(empty)
+    types_ref = ray.put(types)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(types_ref)
+        outs = []
+        for u in ts:
+            m = df[df["event_type"] != u]
+            if not len(m):
+                continue
+            t = m["event_type"].to_numpy()
+            first = t < u
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "type_a": np.where(first, t, u),
+                        "type_b": np.where(first, u, t),
+                        "value_c": m["value_c"].astype("int64"),
+                        "na": np.where(first, m["n"].astype("int64"), 0),
+                        "nb": np.where(first, 0, m["n"].astype("int64")),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "type_a": pd.array([], dtype="object"),
+                    "type_b": pd.array([], dtype="object"),
+                    "value_c": pd.array([], dtype="int64"),
+                    "na": pd.array([], dtype="int64"),
+                    "nb": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def ks_group(g: pd.DataFrame) -> pd.DataFrame:
+        ta, tb = g["type_a"].iloc[0], g["type_b"].iloc[0]
+        h = (
+            g.groupby("value_c", as_index=False)
+            .agg(na=("na", "sum"), nb=("nb", "sum"))
+            .sort_values("value_c")
+        )
+        cuma = h["na"].to_numpy().astype("int64").cumsum()
+        cumb = h["nb"].to_numpy().astype("int64").cumsum()
+        n_a, n_b = int(cuma[-1]), int(cumb[-1])
+        ks_num = int(np.abs(n_b * cuma - n_a * cumb).max())
+        return pd.DataFrame(
+            {
+                "type_a": [ta],
+                "type_b": [tb],
+                "n_a": pd.array([n_a], dtype="int64"),
+                "n_b": pd.array([n_b], dtype="int64"),
+                "ks_micro": pd.array(
+                    [(1_000_000 * ks_num) // (n_a * n_b)], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        hist.map_batches(replicate, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .map_groups(ks_group, batch_format="pandas")
+    )
