@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": relops.events_value_mad,
         "orders_pareto": relops.orders_pareto,
         "events_value_entropy": relops.events_value_entropy,
+        "events_gini": relops.events_gini,
+        "events_seasonality": relops.events_seasonality,
+        "customer_hhi": relops.customer_hhi,
         "lineitem_frequent_pairs": relops.lineitem_frequent_pairs,
         "events_mutual_information": relops.events_mutual_information,
         "events_ab_test": relops.events_ab_test,
@@ -2389,6 +2392,107 @@ def oracle_sql() -> dict[str, str]:
                         // t.n AS BIGINT) AS entropy_micronats
             FROM h JOIN t USING (event_type)
             GROUP BY t.event_type, t.n, t.n_distinct
+        """,
+        # Gini over the (type, cent) histogram: tie-run closed form,
+        # HUGEINT weighted position sum, one floored micro division
+        "events_gini": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v,
+                     CAST(count(*) AS HUGEINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT event_type, v, n,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY v)
+                       - n AS prior
+              FROM c
+            ),
+            a AS (
+              SELECT event_type,
+                     SUM(n) AS nn,
+                     SUM(v * n) AS tot,
+                     SUM(v * (n * prior + n * (n + 1) // 2)) AS wsum
+              FROM s GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(nn AS BIGINT) AS n,
+                   CAST(tot AS BIGINT) AS total_c,
+                   CAST(CASE WHEN tot = 0 THEN 0
+                        ELSE (1000000 * (2 * wsum - (nn + 1) * tot))
+                             // (nn * tot) END AS BIGINT) AS gini_micro
+            FROM a
+        """,
+        # ISO-weekday profile + uniformity chi-square with cleared
+        # denominators: sum of (7*o_d - n)^2 over ALL 7 days, // (7n)
+        "events_seasonality": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(isodow(ts) AS BIGINT) AS dow
+              FROM events
+            ),
+            p AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS c1,
+                     SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS c2,
+                     SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS c3,
+                     SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS c4,
+                     SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS c5,
+                     SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS c6,
+                     SUM(CASE WHEN dow = 7 THEN 1 ELSE 0 END) AS c7
+              FROM d GROUP BY 1
+            ),
+            q AS (
+              SELECT event_type, n, c1, c2, c3, c4, c5, c6, c7,
+                     7 * CAST(c1 AS HUGEINT) - n AS d1,
+                     7 * CAST(c2 AS HUGEINT) - n AS d2,
+                     7 * CAST(c3 AS HUGEINT) - n AS d3,
+                     7 * CAST(c4 AS HUGEINT) - n AS d4,
+                     7 * CAST(c5 AS HUGEINT) - n AS d5,
+                     7 * CAST(c6 AS HUGEINT) - n AS d6,
+                     7 * CAST(c7 AS HUGEINT) - n AS d7
+              FROM p
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(c1 AS BIGINT) AS cnt_d1,
+                   CAST(c2 AS BIGINT) AS cnt_d2,
+                   CAST(c3 AS BIGINT) AS cnt_d3,
+                   CAST(c4 AS BIGINT) AS cnt_d4,
+                   CAST(c5 AS BIGINT) AS cnt_d5,
+                   CAST(c6 AS BIGINT) AS cnt_d6,
+                   CAST(c7 AS BIGINT) AS cnt_d7,
+                   CAST(CASE WHEN n = 0 THEN 0 ELSE (1000000 * (
+                          d1*d1 + d2*d2 + d3*d3 + d4*d4
+                        + d5*d5 + d6*d6 + d7*d7))
+                        // (7 * n) END AS BIGINT) AS chi2_uniform_micro
+            FROM q
+        """,
+        # per-nation HHI: HUGEINT sum of squared customer cent totals
+        # over squared nation total, customers with >= 1 order
+        "customer_hhi": """
+            WITH x AS (
+              SELECT c.c_nationkey AS nk,
+                     CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                          AS HUGEINT) AS cents
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_nationkey, o.o_custkey
+            ),
+            a AS (
+              SELECT nk,
+                     count(*) AS n_customers,
+                     SUM(cents) AS tot,
+                     SUM(cents * cents) AS sq
+              FROM x GROUP BY 1
+            )
+            SELECT n.n_name,
+                   CAST(a.n_customers AS BIGINT) AS n_customers,
+                   CAST(a.tot AS BIGINT) AS total_c,
+                   CAST(CASE WHEN a.tot = 0 THEN 0
+                        ELSE (1000000 * a.sq) // (a.tot * a.tot)
+                        END AS BIGINT) AS hhi_micro
+            FROM a JOIN nation n ON n.n_nationkey = a.nk
         """,
         # revenue concentration: first rank covering 80%, top-20% share
         "orders_pareto": """

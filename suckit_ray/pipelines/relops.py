@@ -6472,3 +6472,262 @@ def events_ks_test(sf_dir: str) -> rd.Dataset:
         .groupby(["type_a", "type_b"])
         .map_groups(ks_group, batch_format="pandas")
     )
+
+
+def events_gini(sf_dir: str) -> pa.Table:
+    """(event_type, n, total_c, gini_micro): Gini coefficient of each
+    event type's cent-value distribution — the inequality/concentration
+    audit a data pipeline runs per metric (a metric whose mass collapses
+    onto a few events is a skew hazard for any per-key shuffle). From
+    the exact (type, cent) histogram, with values sorted ascending and
+    1-indexed positions, the classic
+
+        G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+
+    is carried exactly: within a run of c tied values starting after
+    cumulative count s, Σ i·x over the run is v·(c·s + c(c+1)/2) —
+    order within ties cancels, so the statistic is well defined on the
+    histogram. One final floored division to micro units mirrors
+    DuckDB ``//`` (python ints in the fold; the oracle uses HUGEINT).
+
+    Scale shape: the ONE (type, cent) histogram exchange the whole
+    quantile/entropy/MAD family shares; the per-type fold is
+    O(distinct cents), never O(events)."""
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "value_c": to_cents(df["value"])}
+        )
+
+    hist = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(cents, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    )
+
+    def type_gini(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_c")
+        v = [int(x) for x in g["value_c"]]
+        c = [int(x) for x in g["n"]]
+        n = sum(c)
+        tot = sum(vi * ci for vi, ci in zip(v, c))
+        s = 0
+        wsum = 0
+        for vi, ci in zip(v, c):
+            wsum += vi * (ci * s + ci * (ci + 1) // 2)
+            s += ci
+        gini = (
+            (1_000_000 * (2 * wsum - (n + 1) * tot)) // (n * tot) if tot else 0
+        )
+        return pd.DataFrame(
+            [(g["event_type"].iloc[0], n, tot, gini)],
+            columns=["event_type", "n", "total_c", "gini_micro"],
+        )
+
+    out = (
+        hist.groupby("event_type")
+        .map_groups(type_gini, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n": pa.array([int(x) for x in out["n"]], pa.int64()),
+            "total_c": pa.array([int(x) for x in out["total_c"]], pa.int64()),
+            "gini_micro": pa.array(
+                [int(x) for x in out["gini_micro"]], pa.int64()
+            ),
+        }
+    )
+
+
+def events_seasonality(sf_dir: str) -> pa.Table:
+    """(event_type, n, cnt_d1..cnt_d7, chi2_uniform_micro): the ISO-
+    weekday seasonality profile per event type plus Pearson's
+    chi-square against a uniform weekday law — the day-of-week
+    periodicity audit run before treating a stream as stationary.
+    With o_d the count on isodow d (zero-observation days INCLUDED)
+    and e = n/7, the statistic
+
+        chi2 = Σ_d (o_d − e)²/e  =  Σ_d (7·o_d − n)² / (7·n)
+
+    is cleared to integers by cross-multiplying, so the sum runs over
+    exact squares and the single floored division to micro units is
+    the only rounding (mirrors DuckDB ``//``; HUGEINT oracle).
+
+    Scale shape: per-batch partial (type, isodow) counts collapse the
+    exchange to ≤ 7·|types| rows per block — the mutual-information
+    contingency idiom; the fold is driver-free via one tiny groupby."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "isodow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+                }
+            )
+            .groupby(["event_type", "isodow"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return p
+
+    cnt = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "isodow"],
+        aggs={"n": ("n", "sum")},
+    )
+
+    def type_profile(g: pd.DataFrame) -> pd.DataFrame:
+        o = [0] * 7
+        for d, c in zip(g["isodow"], g["n"]):
+            o[int(d) - 1] = int(c)
+        n = sum(o)
+        chi_num = sum((7 * od - n) ** 2 for od in o)
+        row = {
+            "event_type": g["event_type"].iloc[0],
+            "n": n,
+            **{f"cnt_d{d}": o[d - 1] for d in range(1, 8)},
+            "chi2_uniform_micro": (1_000_000 * chi_num) // (7 * n) if n else 0,
+        }
+        return pd.DataFrame([row])
+
+    out = (
+        cnt.groupby("event_type")
+        .map_groups(type_profile, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    cols = {"event_type": pa.array(out["event_type"].tolist(), pa.string())}
+    for c in ["n", *[f"cnt_d{d}" for d in range(1, 8)], "chi2_uniform_micro"]:
+        cols[c] = pa.array([int(x) for x in out[c]], pa.int64())
+    return pa.table(cols)
+
+
+def customer_hhi(sf_dir: str) -> pa.Table:
+    """(n_name, n_customers, total_c, hhi_micro): Herfindahl–Hirschman
+    revenue-concentration index per nation over customers with at
+    least one order — the market-concentration audit (HHI → 1e6/n for
+    a perfectly even market, → 1e6 for a monopoly). With x_i the
+    integer-cent order total of customer i and T = Σx,
+
+        HHI_micro = floor(1e6 · Σ x_i² / T²)
+
+    carried in python ints (Σx² overflows int64 at scale; the oracle
+    uses HUGEINT) with ONE final floored division mirroring ``//``.
+
+    Plan: per-batch partial custkey totals feed the custkey-hash
+    bucketed co-group that ALSO receives the customer table's
+    (custkey, nationkey) rows — the shuffle-join-free idiom q13 uses,
+    exact because o_custkey is a foreign key; each bucket emits
+    per-nation partial (Σx², Σx, count) triples as decimal STRINGS so
+    the tiny per-nation merge stays exact; the 25-row nation name map
+    attaches driver-side."""
+    import pyarrow.parquet as pq_
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def order_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            pd.DataFrame(
+                {
+                    "custkey": df["o_custkey"].astype("int64"),
+                    "cents": to_cents(df["o_totalprice"]),
+                }
+            )
+            .groupby("custkey", as_index=False)["cents"]
+            .sum()
+        )
+        p["nationkey"] = np.int64(-1)
+        p["bucket"] = (p["custkey"] % B).astype("int64")
+        return p[["bucket", "custkey", "cents", "nationkey"]]
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "custkey": df["c_custkey"].astype("int64"),
+                "cents": np.zeros(len(df), dtype="int64"),
+                "nationkey": df["c_nationkey"].astype("int64"),
+            }
+        )
+        p["bucket"] = (p["custkey"] % B).astype("int64")
+        return p[["bucket", "custkey", "cents", "nationkey"]]
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("custkey").agg(
+            cents=("cents", "sum"), nationkey=("nationkey", "max")
+        )
+        per = per[per["cents"] > 0]
+        rows = []
+        for nk, sub in per.groupby("nationkey"):
+            xs = [int(x) for x in sub["cents"]]
+            rows.append(
+                (
+                    int(nk),
+                    str(sum(x * x for x in xs)),
+                    str(sum(xs)),
+                    len(xs),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["nationkey", "sq_str", "tot_str", "n_cust"]
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(order_partial, batch_format="pandas")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_partial, batch_format="pandas")
+
+    parts = (
+        orders.union(cust)
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()
+    )
+
+    names = {
+        int(k): str(v)
+        for k, v in zip(
+            *(
+                pq_.read_table(
+                    f"{sf_dir}/nation.parquet",
+                    columns=["n_nationkey", "n_name"],
+                )
+                .to_pydict()
+                .values()
+            )
+        )
+    }
+    rows = []
+    for nk, sub in parts.groupby("nationkey"):
+        sq = sum(int(s) for s in sub["sq_str"])
+        tot = sum(int(s) for s in sub["tot_str"])
+        rows.append(
+            (
+                names[int(nk)],
+                int(sub["n_cust"].sum()),
+                tot,
+                (1_000_000 * sq) // (tot * tot) if tot else 0,
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "n_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_customers": pa.array([r[1] for r in rows], pa.int64()),
+            "total_c": pa.array([r[2] for r in rows], pa.int64()),
+            "hhi_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

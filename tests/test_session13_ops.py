@@ -1,5 +1,5 @@
-"""Thirteenth-session operator pins: daily-count autocorrelation,
-link-graph degree assortativity, Arrow IPC round-trip."""
+"""Thirteenth-session operator pins: Gini concentration, weekday
+seasonality chi-square, per-nation HHI, two-sample KS drift."""
 
 import numpy as np
 import pandas as pd
@@ -10,189 +10,230 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 
-def _write_count_events(tmp_path, day_counts):
-    """events.parquet where day i carries day_counts[i] rows (count
-    series == day_counts; value irrelevant to the ACF)."""
-    days = [d for d, c in enumerate(day_counts) for _ in range(c)]
-    n = len(days)
+def _write_events(tmp_path, rows):
+    """rows: list of (day:int, etype:str, value:float)."""
     tbl = pa.table(
         {
-            "event_id": pa.array(range(n), pa.int64()),
+            "event_id": pa.array(range(len(rows)), pa.int64()),
             "ts": pa.array(
-                [d * 86_400_000_000 for d in days], pa.timestamp("us")
+                [d * 86_400_000_000 for d, _, _ in rows], pa.timestamp("us")
             ),
-            "user_id": pa.array([1] * n, pa.int64()),
-            "event_type": pa.array(["a"] * n, pa.string()),
-            "value": pa.array([1.0] * n, pa.float64()),
-            "props": pa.array(["{}"] * n, pa.string()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([t for _, t, _ in rows], pa.string()),
+            "value": pa.array([v for _, _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
         }
     )
     pq.write_table(tbl, tmp_path / "events.parquet")
 
 
-def _acf_reference(x, max_lag=7):
-    """Literal replay of the documented closed form in Python ints."""
-    out = {}
-    T = len(x)
-    for k in range(1, max_lag + 1):
-        n = T - k
-        if n < 1:
-            continue
-        a, b = x[:n], x[k:]
-        sx, sy = sum(a), sum(b)
-        sxy = sum(p * q for p, q in zip(a, b))
-        sxx = sum(p * p for p in a)
-        syy = sum(q * q for q in b)
-        num = n * sxy - sx * sy
-        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
-        out[k] = (
-            0
-            if den == 0
-            else (-1 if num < 0 else 1) * ((num * num * 1_000_000) // den)
-        )
-    return out
-
-
 @pytest.mark.usefixtures("ray_session")
-class TestAcf:
-    def test_alternating_series_matches_reference(self, tmp_path):
-        """Period-2 series: strong NEGATIVE lag-1, strong POSITIVE
-        lag-2 autocorrelation; exact equality vs the Python replay."""
-        from suckit_ray.pipelines.relops import events_acf
+class TestGini:
+    def test_equal_values_gini_zero(self, tmp_path):
+        _write_events(tmp_path, [(d, "eq", 3.5) for d in range(8)])
+        from suckit_ray.pipelines.relops import events_gini
 
-        counts = [9, 1, 9, 1, 9, 1, 9, 1, 9, 1, 9, 1]
-        _write_count_events(tmp_path, counts)
-        got = (
-            events_acf(str(tmp_path))
-            .to_pandas()
-            .set_index("lag")["acf2_micro"]
-            .to_dict()
+        got = events_gini(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["gini_micro"] == 0
+        assert got.iloc[0]["n"] == 8
+        assert got.iloc[0]["total_c"] == 8 * 350
+
+    def test_monopoly_approaches_one(self, tmp_path):
+        # 9 near-zero cents + one holding the mass: G = (n-1)/n - eps
+        rows = [(d, "mono", 0.01) for d in range(9)] + [(9, "mono", 999.91)]
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_gini
+
+        got = events_gini(str(tmp_path)).to_pandas().iloc[0]
+        # exact closed form: sorted cents [1]*9 + [99991]
+        v = [1] * 9 + [99991]
+        n, tot = 10, sum(v)
+        wsum = sum((i + 1) * x for i, x in enumerate(v))
+        expect = (1_000_000 * (2 * wsum - (n + 1) * tot)) // (n * tot)
+        assert got["gini_micro"] == expect
+        assert got["gini_micro"] > 890_000  # dominated by the monopolist
+
+    def test_matches_python_replay_random(self, tmp_path):
+        rng = np.random.RandomState(13)
+        vals = (rng.randint(1, 5000, size=200) / 100.0).tolist()
+        _write_events(
+            tmp_path,
+            [(i % 30, "a" if i % 3 else "b", v) for i, v in enumerate(vals)],
         )
-        ref = _acf_reference(counts)
-        assert got == ref
-        assert got[1] < 0 < got[2]
-        assert got[2] > 900_000  # near-perfect period-2 signal
+        from suckit_ray.pipelines.relops import events_gini, to_cents
 
-    def test_gap_days_count_as_zero(self, tmp_path):
-        """Days with NO events must enter the series as zeros: events
-        only on even days ⇒ the filled series alternates c,0,c,0,…
-        and lag-2 correlation is strong positive."""
-        from suckit_ray.pipelines.relops import events_acf
-
-        # write rows on even days only; gapfill makes odd days zero
-        days = [d for d in range(0, 12, 2) for _ in range(5)]
-        n = len(days)
-        tbl = pa.table(
+        got = (
+            events_gini(str(tmp_path))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        df = pd.DataFrame(
             {
-                "event_id": pa.array(range(n), pa.int64()),
-                "ts": pa.array(
-                    [d * 86_400_000_000 for d in days], pa.timestamp("us")
-                ),
-                "user_id": pa.array([1] * n, pa.int64()),
-                "event_type": pa.array(["a"] * n, pa.string()),
-                "value": pa.array([1.0] * n, pa.float64()),
-                "props": pa.array(["{}"] * n, pa.string()),
+                "t": ["a" if i % 3 else "b" for i in range(len(vals))],
+                "c": to_cents(pd.Series(vals)),
             }
         )
-        pq.write_table(tbl, tmp_path / "events.parquet")
-        got = (
-            events_acf(str(tmp_path))
-            .to_pandas()
-            .set_index("lag")["acf2_micro"]
-            .to_dict()
-        )
-        filled = [5, 0, 5, 0, 5, 0, 5, 0, 5, 0, 5]
-        assert got == _acf_reference(filled)
-        assert got[2] == 1_000_000  # perfectly periodic ⇒ r² = 1
-
-    def test_constant_series_is_zero(self, tmp_path):
-        """A constant series has zero variance at every lag ⇒ the
-        den==0 guard yields 0 everywhere."""
-        from suckit_ray.pipelines.relops import events_acf
-
-        _write_count_events(tmp_path, [3] * 10)
-        got = events_acf(str(tmp_path)).to_pandas()
-        assert set(got["lag"]) == set(range(1, 8))
-        assert (got["acf2_micro"] == 0).all()
-
-    def test_sf_corpus_runs_and_is_bounded(self):
-        from suckit_ray.pipelines.relops import events_acf
-
-        got = events_acf(SF).to_pandas()
-        # 5 types × 7 lags, |signed r²| ≤ 1e6 by construction
-        assert len(got) == 35
-        assert got["acf2_micro"].abs().max() <= 1_000_000
-
-
-def _page(host, j, targets):
-    return {
-        "doc_id": f"{host}//p{j}.html",
-        "host": host,
-        "is_html": True,
-        "spans": [
-            {"kind": "link", "text": "", "media_ref": f"p{t}.html", "offset": i}
-            for i, t in enumerate(targets)
-        ],
-    }
-
-
-def _assort_reference(edges):
-    """Literal out-in assortativity replay in Python ints."""
-    from collections import Counter
-
-    odeg = Counter(s for s, _ in edges)
-    ideg = Counter(t for _, t in edges)
-    xs = [odeg[s] for s, _ in edges]
-    ys = [ideg[t] for _, t in edges]
-    n = len(edges)
-    sx, sy = sum(xs), sum(ys)
-    sxy = sum(a * b for a, b in zip(xs, ys))
-    sxx = sum(a * a for a in xs)
-    syy = sum(b * b for b in ys)
-    num = n * sxy - sx * sy
-    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
-    r2 = (
-        0
-        if den == 0
-        else (-1 if num < 0 else 1) * ((num * num * 1_000_000) // den)
-    )
-    return n, r2
+        for t, sub in df.groupby("t"):
+            v = sorted(int(x) for x in sub["c"])
+            n, tot = len(v), sum(v)
+            wsum = sum((i + 1) * x for i, x in enumerate(v))
+            expect = (1_000_000 * (2 * wsum - (n + 1) * tot)) // (n * tot)
+            assert got.loc[t, "gini_micro"] == expect
+            assert got.loc[t, "n"] == n
 
 
 @pytest.mark.usefixtures("ray_session")
-class TestAssortativity:
-    def test_star_is_disassortative_and_matches_reference(self):
-        """Hub star + tail chain: hub (high outdeg) cites leaves
-        (indeg 1) ⇒ negative correlation; exact equality vs the
-        Python replay. A 4-cycle host is perfectly regular ⇒ den==0
-        guard yields 0."""
-        import ray.data as rd
+class TestSeasonality:
+    def test_all_mondays_closed_form(self, tmp_path):
+        # day 4 = 1970-01-05 is a Monday (isodow 1)
+        days = [4 + 7 * k for k in range(6)]
+        _write_events(tmp_path, [(d, "m", 1.0) for d in days])
+        from suckit_ray.pipelines.relops import events_seasonality
 
-        from suckit_ray.pipelines.graph import assortativity_from_docs
+        got = events_seasonality(str(tmp_path)).to_pandas().iloc[0]
+        n = len(days)
+        assert got["cnt_d1"] == n
+        assert all(got[f"cnt_d{d}"] == 0 for d in range(2, 8))
+        # chi2 = (1e6 * (36n^2 + 6n^2)) // (7n) = 6e6 * n
+        assert got["chi2_uniform_micro"] == 6_000_000 * n
 
-        # hub 0 (outdeg 3) cites indeg-1 leaves; leaves 2,3 (outdeg 1)
-        # cite the indeg-2 hub — perfect anti-correlation (r² = −1e6)
-        star = [(0, 1), (0, 2), (0, 3), (2, 0), (3, 0)]
-        rows = [
-            _page("h", 0, [1, 2, 3]),
-            _page("h", 2, [0]),
-            _page("h", 3, [0]),
-            _page("h", 1, []),
-        ]
-        rows += [_page("g", j, [(j + 1) % 4]) for j in range(4)]
-        got = (
-            assortativity_from_docs(rd.from_items(rows).repartition(3))
-            .to_pandas()
-            .set_index("host")
+    def test_uniform_week_is_zero(self, tmp_path):
+        _write_events(
+            tmp_path, [(d, "u", 1.0) for d in range(14)]
+        )  # two full weeks, every weekday twice
+        from suckit_ray.pipelines.relops import events_seasonality
+
+        got = events_seasonality(str(tmp_path)).to_pandas().iloc[0]
+        assert got["chi2_uniform_micro"] == 0
+        assert all(got[f"cnt_d{d}"] == 2 for d in range(1, 8))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCustomerHHI:
+    def _write(self, tmp_path, cust_nation, order_cents):
+        """cust_nation: {custkey: nationkey}; order_cents: list of
+        (custkey, cents)."""
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array(
+                        list(cust_nation), pa.int64()
+                    ),
+                    "c_nationkey": pa.array(
+                        [cust_nation[k] for k in cust_nation], pa.int64()
+                    ),
+                }
+            ),
+            tmp_path / "customer.parquet",
         )
-        n, r2 = _assort_reference(star)
-        assert tuple(got.loc["h"]) == (n, r2)
-        assert r2 < 0  # hubs cite leaves: disassortative
-        assert tuple(got.loc["g"]) == (4, 0)  # regular graph: den == 0
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array(
+                        [c for c, _ in order_cents], pa.int64()
+                    ),
+                    "o_totalprice": pa.array(
+                        [c / 100.0 for _, c in order_cents], pa.float64()
+                    ),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1], pa.int64()),
+                    "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
 
-    def test_sf_corpus_bounded(self):
-        from suckit_ray.pipelines.graph import crawl_assortativity
+    def test_monopoly_and_duopoly(self, tmp_path):
+        self._write(
+            tmp_path,
+            {1: 0, 2: 1, 3: 1, 4: 1},
+            [(1, 5000), (2, 700), (3, 700), (2, 0)],
+        )
+        from suckit_ray.pipelines.relops import customer_hhi
 
-        got = crawl_assortativity(SF).to_pandas()
-        assert len(got) == 8
-        assert got["assort2_micro"].abs().max() <= 1_000_000
+        got = customer_hhi(str(tmp_path)).to_pandas().set_index("n_name")
+        assert got.loc["ALPHA", "hhi_micro"] == 1_000_000  # monopoly
+        assert got.loc["ALPHA", "n_customers"] == 1
+        # two equal customers: HHI = 1/2; customer 4 never ordered
+        assert got.loc["BETA", "hhi_micro"] == 500_000
+        assert got.loc["BETA", "n_customers"] == 2
+        assert got.loc["BETA", "total_c"] == 1400
+
+    def test_matches_python_replay(self, tmp_path):
+        rng = np.random.RandomState(7)
+        cust = {k: int(k % 2) for k in range(1, 40)}
+        orders = [
+            (int(rng.randint(1, 40)), int(rng.randint(100, 10_000)))
+            for _ in range(300)
+        ]
+        self._write(tmp_path, cust, orders)
+        from suckit_ray.pipelines.relops import customer_hhi
+
+        got = customer_hhi(str(tmp_path)).to_pandas().set_index("n_name")
+        tot = {}
+        for c, cents in orders:
+            tot[c] = tot.get(c, 0) + cents
+        for nk, name in [(0, "ALPHA"), (1, "BETA")]:
+            xs = [v for c, v in tot.items() if cust[c] == nk and v > 0]
+            T = sum(xs)
+            expect = (1_000_000 * sum(x * x for x in xs)) // (T * T)
+            assert got.loc[name, "hhi_micro"] == expect
+            assert got.loc[name, "n_customers"] == len(xs)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKSTest:
+    def test_disjoint_supports_ks_one(self, tmp_path):
+        rows = [(d, "a", 1.0) for d in range(5)] + [
+            (d, "b", 2.0) for d in range(7)
+        ]
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_ks_test
+
+        got = events_ks_test(str(tmp_path)).to_pandas().iloc[0]
+        assert (got["type_a"], got["type_b"]) == ("a", "b")
+        assert (got["n_a"], got["n_b"]) == (5, 7)
+        assert got["ks_micro"] == 1_000_000
+
+    def test_identical_distributions_ks_zero(self, tmp_path):
+        rows = [(d, t, float(1 + d % 3)) for d in range(12) for t in "ab"]
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_ks_test
+
+        got = events_ks_test(str(tmp_path)).to_pandas().iloc[0]
+        assert got["ks_micro"] == 0
+
+    def test_matches_scipy_style_replay(self, tmp_path):
+        rng = np.random.RandomState(99)
+        rows = []
+        for i in range(150):
+            rows.append((i % 20, "a", float(rng.randint(1, 50)) / 10))
+        for i in range(100):
+            rows.append((i % 20, "b", float(rng.randint(20, 70)) / 10))
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_ks_test, to_cents
+
+        got = events_ks_test(str(tmp_path)).to_pandas().iloc[0]
+        a = np.sort(
+            to_cents(pd.Series([v for _, t, v in rows if t == "a"]))
+        )
+        b = np.sort(
+            to_cents(pd.Series([v for _, t, v in rows if t == "b"]))
+        )
+        grid = np.unique(np.concatenate([a, b]))
+        cum_a = np.searchsorted(a, grid, side="right")
+        cum_b = np.searchsorted(b, grid, side="right")
+        ks_num = int(
+            np.abs(
+                len(b) * cum_a.astype(object) - len(a) * cum_b.astype(object)
+            ).max()
+        )
+        expect = (1_000_000 * ks_num) // (len(a) * len(b))
+        assert got["ks_micro"] == expect
+        assert (got["n_a"], got["n_b"]) == (len(a), len(b))
