@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonality": relops.events_seasonality,
         "customer_hhi": relops.customer_hhi,
         "lineitem_frequent_pairs": relops.lineitem_frequent_pairs,
+        "lineitem_assoc_rules": relops.lineitem_assoc_rules,
+        "orders_cohort_retention": relops.orders_cohort_retention,
+        "events_theilsen": relops.events_theilsen,
         "events_mutual_information": relops.events_mutual_information,
         "events_ab_test": relops.events_ab_test,
         "events_user_paths": relops.events_user_paths,
@@ -2552,6 +2555,96 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN t
             JOIN ic ia ON ia.p = pc.part_a
             JOIN ic ib ON ib.p = pc.part_b
+        """,
+        # directed A-priori rules: both orientations of each frequent
+        # pair; confidence over the antecedent count, symmetric lift
+        "lineitem_assoc_rules": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            t AS (
+              SELECT CAST(count(DISTINCT o) AS HUGEINT) AS n_orders
+              FROM items
+            ),
+            ic AS (
+              SELECT p, CAST(count(*) AS HUGEINT) AS c
+              FROM items GROUP BY p
+            ),
+            pc AS (
+              SELECT a.p AS pa, b.p AS pb,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p
+              HAVING count(*) >= 2
+            ),
+            r AS (
+              SELECT pa AS antecedent, pb AS consequent, support FROM pc
+              UNION ALL
+              SELECT pb AS antecedent, pa AS consequent, support FROM pc
+            )
+            SELECT r.antecedent, r.consequent, r.support,
+                   CAST((1000000 * r.support) // ia.c AS BIGINT)
+                     AS conf_micro,
+                   CAST((1000000 * t.n_orders * r.support)
+                        // (ia.c * ib.c) AS BIGINT) AS lift_micro
+            FROM r
+            CROSS JOIN t
+            JOIN ic ia ON ia.p = r.antecedent
+            JOIN ic ib ON ib.p = r.consequent
+        """,
+        # cohort triangle: first-order month x month offset, distinct
+        # active customers (offset-0 row = cohort size)
+        "orders_cohort_retention": """
+            WITH m AS (
+              SELECT DISTINCT o_custkey AS c,
+                     CAST(year(o_orderdate) * 12
+                          + (month(o_orderdate) - 1) AS BIGINT) AS mi
+              FROM orders
+            ),
+            f AS (SELECT c, min(mi) AS fmi FROM m GROUP BY c)
+            SELECT printf('%d-%02d', f.fmi // 12, f.fmi % 12 + 1)
+                     AS cohort_month,
+                   CAST(m.mi - f.fmi AS BIGINT) AS month_offset,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM m JOIN f ON f.c = m.c
+            GROUP BY 1, 2
+        """,
+        # Theil-Sen: lower median of per-pair truncated micro slopes
+        # over the daily cent sums (DuckDB // truncates toward zero)
+        "events_theilsen": """
+            WITH d AS (
+              SELECT event_type,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       AS day,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT a.event_type,
+                     (1000000 * CAST(b.y - a.y AS HUGEINT))
+                       // (b.day - a.day) AS s
+              FROM d a
+              JOIN d b ON b.event_type = a.event_type AND b.day > a.day
+            ),
+            r AS (
+              SELECT event_type, s,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY s) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS k
+              FROM p
+            ),
+            nd AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+              FROM d GROUP BY 1
+            )
+            SELECT nd.event_type, nd.n_days,
+                   CAST(COALESCE(max(r.k), 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(max(CASE WHEN r.rn = (r.k + 1) // 2
+                                     THEN r.s END), 0) AS BIGINT)
+                     AS slope_micro
+            FROM nd LEFT JOIN r ON r.event_type = nd.event_type
+            GROUP BY nd.event_type, nd.n_days
         """,
         # MI(event_type, day-of-week) in floor-ln micronats
         "events_mutual_information": """

@@ -5079,29 +5079,13 @@ def events_value_entropy(sf_dir: str) -> pa.Table:
 FREQUENT_PAIR_MINSUP = 2
 
 
-def lineitem_frequent_pairs(
-    sf_dir: str, minsup: int = FREQUENT_PAIR_MINSUP
-) -> rd.Dataset:
-    """Market-basket frequent-pair mining (the A-priori second pass,
-    Agrawal & Srikant 1994): every part pair co-occurring in >= minsup
-    orders, with its support count and lift in integer micro-units —
-    lift_micro = floor(10^6 · N_orders · c(A,B) / (c(A)·c(B))), the
-    association-strength signal a recommender / co-purchase report
-    reads off the basket table.
-
-    Plan: ONE orderkey-hash co-group brings each basket's rows
-    together (dedup of repeated parts inside an order happens there,
-    where the rows already are) and emits three partial-count row
-    kinds through one shared (part_a, part_b) key space — pair
-    partials, per-part basket partials tagged ``part_b = -1``, and a
-    per-group basket-count row tagged ``(-2, -2)`` (the
-    referential_audit "bucket id encodes the key space" idiom). Pair
-    fan-out is bounded by the basket size (TPC-H baskets are <= 7
-    items, so <= 21 pair rows per order; a retail-scale basket cap
-    would ride the same group pass). ONE bucketed sum finishes all
-    three; item counts are an O(parts) bounded-dimension broadcast
-    (the q17 per-part idiom), and lift closes over the already-sparse
-    thresholded pairs in exact Python ints (oracle: HUGEINT)."""
+def _basket_counts(sf_dir: str) -> tuple[rd.Dataset, int, dict[int, int]]:
+    """Shared A-priori count pass for the market-basket family
+    (``lineitem_frequent_pairs`` / ``lineitem_assoc_rules``): returns
+    the materialized (part_a, part_b, support) count Dataset — with
+    per-part sentinels at ``part_b = -1`` and the basket total at
+    ``(-2, -2)`` — plus the driver-side N_orders scalar and the
+    O(parts) bounded-dimension item-count map (the q17 idiom)."""
     from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
@@ -5173,6 +5157,33 @@ def lineitem_frequent_pairs(
             side.loc[side["part_a"] >= 0, "support"].astype("int64"),
         )
     )
+    return counts, n_orders, item_counts
+
+
+def lineitem_frequent_pairs(
+    sf_dir: str, minsup: int = FREQUENT_PAIR_MINSUP
+) -> rd.Dataset:
+    """Market-basket frequent-pair mining (the A-priori second pass,
+    Agrawal & Srikant 1994): every part pair co-occurring in >= minsup
+    orders, with its support count and lift in integer micro-units —
+    lift_micro = floor(10^6 · N_orders · c(A,B) / (c(A)·c(B))), the
+    association-strength signal a recommender / co-purchase report
+    reads off the basket table.
+
+    Plan: ONE orderkey-hash co-group brings each basket's rows
+    together (dedup of repeated parts inside an order happens there,
+    where the rows already are) and emits three partial-count row
+    kinds through one shared (part_a, part_b) key space — pair
+    partials, per-part basket partials tagged ``part_b = -1``, and a
+    per-group basket-count row tagged ``(-2, -2)`` (the
+    referential_audit "bucket id encodes the key space" idiom). Pair
+    fan-out is bounded by the basket size (TPC-H baskets are <= 7
+    items, so <= 21 pair rows per order; a retail-scale basket cap
+    would ride the same group pass). ONE bucketed sum finishes all
+    three; item counts are an O(parts) bounded-dimension broadcast
+    (the q17 per-part idiom), and lift closes over the already-sparse
+    thresholded pairs in exact Python ints (oracle: HUGEINT)."""
+    counts, n_orders, item_counts = _basket_counts(sf_dir)
 
     def close_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["part_b"] >= 0) & (df["support"] >= minsup)]
@@ -6730,4 +6741,208 @@ def customer_hhi(sf_dir: str) -> pa.Table:
             "total_c": pa.array([r[2] for r in rows], pa.int64()),
             "hhi_micro": pa.array([r[3] for r in rows], pa.int64()),
         }
+    )
+
+
+def lineitem_assoc_rules(
+    sf_dir: str, minsup: int = FREQUENT_PAIR_MINSUP
+) -> rd.Dataset:
+    """(antecedent, consequent, support, conf_micro, lift_micro):
+    directed association rules over the frequent pairs — the A-priori
+    rule-generation pass (Agrawal & Srikant 1994): each qualifying
+    unordered pair {A,B} emits BOTH A→B and B→A with
+
+        conf_micro = floor(10^6 · c(A,B) / c(antecedent))
+        lift_micro = floor(10^6 · N_orders · c(A,B) / (c(A)·c(B)))
+
+    (lift is direction-symmetric; confidence is not — that asymmetry
+    is the whole point of the rule form). Exact python-int closes over
+    the sparse thresholded pairs only; oracle in HUGEINT.
+
+    Plan: shares ``_basket_counts``'s single orderkey co-group +
+    bucketed sum with ``lineitem_frequent_pairs``; the rule close is
+    a per-batch map over already-thresholded pairs."""
+    counts, n_orders, item_counts = _basket_counts(sf_dir)
+
+    def close_rules(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["part_b"] >= 0) & (df["support"] >= minsup)]
+        rows = []
+        for a, b, s in zip(df["part_a"], df["part_b"], df["support"]):
+            a, b, s = int(a), int(b), int(s)
+            lift = (1_000_000 * n_orders * s) // (
+                item_counts[a] * item_counts[b]
+            )
+            for ant, con in ((a, b), (b, a)):
+                rows.append(
+                    (ant, con, s, (1_000_000 * s) // item_counts[ant], lift)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "antecedent",
+                "consequent",
+                "support",
+                "conf_micro",
+                "lift_micro",
+            ],
+        ).astype("int64")
+
+    return counts.map_batches(close_rules, batch_format="pandas")
+
+
+def orders_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """(cohort_month, month_offset, n_customers): the classic cohort
+    retention triangle — customers grouped by their FIRST order month,
+    counted in every later month they ordered again (offset 0 row =
+    cohort size). The churn/stickiness readout every growth dashboard
+    opens with; counts are exact integers so the frame hash-matches
+    SQL directly.
+
+    Plan: per-batch partial dedup to (custkey, month) rows, then ONE
+    custkey-hash co-group per customer computes its first month and
+    month offsets group-locally ((year·12+month) arithmetic — no
+    calendar library), emitting (cohort_month, offset) partials; one
+    bucketed sum finishes. The exchange carries at most one row per
+    (custkey, active month) — already-aggregated, never event rows."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["o_orderdate"]
+        out = pd.DataFrame(
+            {
+                "custkey": df["o_custkey"].astype("int64"),
+                "moidx": (ts.dt.year * 12 + (ts.dt.month - 1)).astype(
+                    "int64"
+                ),
+            }
+        ).drop_duplicates()
+        out["bucket"] = (out["custkey"] % B).astype("int64")
+        return out
+
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["custkey", "moidx"])
+        first = g.groupby("custkey")["moidx"].transform("min")
+        cohort = first.to_numpy().astype("int64")
+        off = (g["moidx"].to_numpy().astype("int64") - cohort).astype(
+            "int64"
+        )
+        out = (
+            pd.DataFrame({"cohort_moidx": cohort, "month_offset": off})
+            .groupby(["cohort_moidx", "month_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_customer, batch_format="pandas"),
+        keys=["cohort_moidx", "month_offset"],
+        aggs={"n_customers": ("n", "sum")},
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        mi = df["cohort_moidx"].to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "cohort_month": [
+                    f"{y}-{m:02d}" for y, m in zip(mi // 12, mi % 12 + 1)
+                ],
+                "month_offset": df["month_offset"].astype("int64").to_numpy(),
+                "n_customers": df["n_customers"].astype("int64").to_numpy(),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+def events_theilsen(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_days, n_pairs, slope_micro): the Theil–Sen
+    robust trend estimator over each type's daily cent sums — the
+    outlier-immune alternative to ``events_regression``'s OLS slope
+    (breakdown point 29%; Theil 1950 / Sen 1968, public). Defined
+    here EXACTLY as the lower median of the per-pair truncated micro
+    slopes:
+
+        s_ij = trunc(10^6 · (y_j − y_i) / (day_j − day_i)),  i < j
+        slope_micro = the rank-⌈k/2⌉ order statistic of {s_ij}
+
+    — each pairwise division truncates toward zero exactly as DuckDB
+    ``//`` does (slopes go negative on declining series), and the
+    lower-median rank rule keeps the result an integer, so the frame
+    hash-matches SQL.
+
+    Plan: the daily (type, day, cents) sums are the one shared
+    exchange of the ewma/holt/acf family; the O(d²) pair sweep runs
+    group-locally per type over CALENDAR-BOUNDED series (d days —
+    ~10³ days even at decade scale → ≤5·10⁵ pairs, vectorized
+    int64 numpy), never over events."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": (us // 86_400_000_000).astype("int64"),
+                "cents": to_cents(df["value"]),
+            }
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x_cents": ("cents", "sum")},
+    )
+
+    def ts_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, grp in g.groupby("event_type"):
+            grp = grp.sort_values("day", kind="mergesort")
+            d = grp["day"].to_numpy().astype("int64")
+            y = grp["x_cents"].to_numpy().astype("int64")
+            i, j = np.triu_indices(len(d), k=1)
+            if len(i) == 0:
+                out.append(
+                    pd.DataFrame(
+                        [(etype, len(d), 0, 0)],
+                        columns=[
+                            "event_type",
+                            "n_days",
+                            "n_pairs",
+                            "slope_micro",
+                        ],
+                    )
+                )
+                continue
+            num = 1_000_000 * (y[j] - y[i])
+            den = d[j] - d[i]
+            q = num // den
+            # numpy // floors; DuckDB // truncates toward zero
+            q[(q < 0) & (q * den != num)] += 1
+            q.sort()
+            med = int(q[(len(q) - 1) // 2])
+            out.append(
+                pd.DataFrame(
+                    [(etype, len(d), len(q), med)],
+                    columns=[
+                        "event_type",
+                        "n_days",
+                        "n_pairs",
+                        "slope_micro",
+                    ],
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return daily.groupby("event_type").map_groups(
+        ts_group, batch_format="pandas"
     )

@@ -237,3 +237,147 @@ class TestKSTest:
         expect = (1_000_000 * ks_num) // (len(a) * len(b))
         assert got["ks_micro"] == expect
         assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAssocRules:
+    def _write_lineitem(self, tmp_path, baskets):
+        """baskets: {orderkey: [partkeys]}."""
+        ok, pk = [], []
+        for o, parts in baskets.items():
+            for p in parts:
+                ok.append(o)
+                pk.append(p)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_confidence_is_directional(self, tmp_path):
+        # A appears in 4 baskets, B in 2; {A,B} co-occur in 2.
+        self._write_lineitem(
+            tmp_path,
+            {1: [10, 20], 2: [10, 20], 3: [10], 4: [10], 5: [99]},
+        )
+        from suckit_ray.pipelines.relops import lineitem_assoc_rules
+
+        got = (
+            lineitem_assoc_rules(str(tmp_path))
+            .to_pandas()
+            .set_index(["antecedent", "consequent"])
+        )
+        assert got.loc[(10, 20), "conf_micro"] == 500_000  # 2/4
+        assert got.loc[(20, 10), "conf_micro"] == 1_000_000  # 2/2
+        # lift symmetric: 1e6 * 5 * 2 // (4 * 2)
+        assert got.loc[(10, 20), "lift_micro"] == 1_250_000
+        assert got.loc[(20, 10), "lift_micro"] == 1_250_000
+        assert len(got) == 2
+
+    def test_rules_superset_of_pairs(self, tmp_path):
+        rng = np.random.RandomState(3)
+        baskets = {
+            o: list({int(rng.randint(1, 12)) for _ in range(4)})
+            for o in range(40)
+        }
+        self._write_lineitem(tmp_path, baskets)
+        from suckit_ray.pipelines.relops import (
+            lineitem_assoc_rules,
+            lineitem_frequent_pairs,
+        )
+
+        pairs = lineitem_frequent_pairs(str(tmp_path)).to_pandas()
+        rules = lineitem_assoc_rules(str(tmp_path)).to_pandas()
+        assert len(rules) == 2 * len(pairs)
+        merged = rules.merge(
+            pairs,
+            left_on=["antecedent", "consequent"],
+            right_on=["part_a", "part_b"],
+            how="inner",
+        )
+        assert len(merged) == len(pairs)
+        assert (merged["support_x"] == merged["support_y"]).all()
+        assert (merged["lift_micro_x"] == merged["lift_micro_y"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCohortRetention:
+    def test_triangle_counts(self, tmp_path):
+        # cust 1: Jan+Feb 1995; cust 2: Jan only; cust 3: Feb+Apr.
+        rows = [
+            (1, "1995-01-05"),
+            (1, "1995-01-20"),  # same month, dedup
+            (1, "1995-02-01"),
+            (2, "1995-01-09"),
+            (3, "1995-02-14"),
+            (3, "1995-04-30"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([c for c, _ in rows], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [np.datetime64(d, "us") for _, d in rows],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        from suckit_ray.pipelines.relops import orders_cohort_retention
+
+        got = (
+            orders_cohort_retention(str(tmp_path))
+            .to_pandas()
+            .set_index(["cohort_month", "month_offset"])["n_customers"]
+        )
+        assert got[("1995-01", 0)] == 2
+        assert got[("1995-01", 1)] == 1
+        assert got[("1995-02", 0)] == 1
+        assert got[("1995-02", 2)] == 1
+        assert len(got) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTheilSen:
+    def test_exact_ramp_slope(self, tmp_path):
+        # y = 100 + 250t cents/day: every pairwise slope is 250 cents
+        _write_events(
+            tmp_path, [(d, "r", 1.0 + 2.5 * d) for d in range(10)]
+        )
+        from suckit_ray.pipelines.relops import events_theilsen
+
+        got = events_theilsen(str(tmp_path)).to_pandas().iloc[0]
+        assert got["slope_micro"] == 250_000_000
+        assert got["n_days"] == 10
+        assert got["n_pairs"] == 45
+
+    def test_outlier_immunity_and_negative_trunc(self, tmp_path):
+        # declining ramp with one wild outlier: the median slope stays
+        # on the ramp; negative slopes exercise trunc-vs-floor
+        rows = [(d, "n", 50.0 - 0.33 * d) for d in range(15)]
+        rows[7] = (7, "n", 5000.0)
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_theilsen, to_cents
+
+        got = events_theilsen(str(tmp_path)).to_pandas().iloc[0]
+        y = [int(x) for x in to_cents(pd.Series([v for _, _, v in rows]))]
+
+        def tdiv(a, b):
+            q = a // b
+            if q < 0 and q * b != a:
+                q += 1
+            return q
+
+        slopes = sorted(
+            tdiv(1_000_000 * (y[j] - y[i]), j - i)
+            for i in range(15)
+            for j in range(i + 1, 15)
+        )
+        expect = slopes[(len(slopes) - 1) // 2]
+        assert got["slope_micro"] == expect
+        assert -34_000_000 < got["slope_micro"] < -32_000_000
