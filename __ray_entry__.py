@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "gopher_repetition": textops.gopher_repetition,
         "docs_gopher_filter": textops.docs_gopher_filter,
+        "docs_c4_filter": textops.docs_c4_filter,
         "training_corpus": textops.training_corpus,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
@@ -1199,6 +1200,49 @@ def oracle_sql() -> dict[str, str]:
         # full Gopher rule set (Rae et al. 2021 Table A1): every count
         # is the SAME non-overlapping regex both engines run, every
         # threshold an integer cross-multiplied inequality
+        # C4 line+page cleaning: kept lines re-joined in doc order
+        # must match byte-for-byte (string_agg ORDER BY line index)
+        "docs_c4_filter": r"""
+            WITH l AS (
+              SELECT doc_id,
+                     generate_subscripts(ls, 1) AS idx,
+                     unnest(ls) AS line
+              FROM (SELECT doc_id,
+                           string_split(COALESCE(text, ''), chr(10)) AS ls
+                    FROM documents)
+            ),
+            k AS (
+              SELECT doc_id, idx, line FROM l
+              WHERE regexp_matches(
+                      rtrim(line, ' ' || chr(9) || chr(13)),
+                      '[.!?"”]$')
+                AND len(regexp_extract_all(line, '\S+')) >= 3
+                AND NOT contains(lower(line), 'javascript')
+            ),
+            kt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS kept_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM k GROUP BY doc_id
+            ),
+            pg AS (
+              SELECT d.doc_id,
+                     CAST(len(string_split(COALESCE(d.text, ''), chr(10)))
+                          AS BIGINT) AS n_lines,
+                     COALESCE(kt.n_kept, 0) AS n_kept,
+                     COALESCE(kt.kept_text, '') AS kept_text,
+                     CAST(len(regexp_extract_all(
+                            COALESCE(kt.kept_text, ''), '[.!?]+'))
+                          AS BIGINT) AS n_sentences,
+                     contains(lower(COALESCE(d.text, '')), 'lorem ipsum')
+                       AS lorem,
+                     contains(COALESCE(d.text, ''), '{') AS brace
+              FROM documents d LEFT JOIN kt ON kt.doc_id = d.doc_id
+            )
+            SELECT doc_id, n_lines, n_kept, n_sentences, kept_text,
+                   (n_sentences >= 5 AND NOT lorem AND NOT brace) AS keep
+            FROM pg
+        """,
         "docs_gopher_filter": r"""
             WITH c AS (
               SELECT doc_id,

@@ -3502,3 +3502,76 @@ def docs_gopher_filter(sf_dir: str) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def docs_c4_filter(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_lines, n_kept, n_sentences, kept_text, keep): the C4
+    line-and-page cleaning pass (Raffel et al. 2020, §2.2 — public)
+    that sits beside ``docs_gopher_filter`` in the pre-dedup gate:
+
+    line KEPT iff  - it ends (after stripping trailing space/tab/CR)
+                     in terminal punctuation ``. ! ?`` or a closing
+                     quote ``" ”``
+                   - it has ≥ 3 whitespace-delimited words
+                   - it does not contain "javascript" (lowercased)
+    page KEPT iff  - kept_text has ≥ 5 sentences (runs of ``[.!?]+``)
+                   - the RAW page contains no "lorem ipsum" (lowercased)
+                   - the RAW page contains no ``{``
+
+    ``kept_text`` is the kept lines re-joined by newline in document
+    order — the value a downstream tokenizer actually consumes, so it
+    rides in the frame and the SQL oracle must reproduce it
+    byte-for-byte (string_agg ORDER BY line index).
+
+    Embarrassingly parallel: one explode-split pass per batch, all
+    predicates vectorized ``.str`` kernels, the per-doc regroup stays
+    inside the batch — zero shuffle, the shape that holds at 100 TB.
+    The sf corpus is single-line word soup (everything drops), so an
+    engineered adversarial corpus in tests exercises every rule."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        ex = pd.DataFrame(
+            {"doc_id": df["doc_id"], "line": t.str.split("\n")}
+        ).explode("line")
+        ln = ex["line"].fillna("")
+        term = ln.str.rstrip(" \t\r").str.contains(r'[.!?"”]$', regex=True)
+        words3 = ln.str.count(r"\S+") >= 3
+        nojs = ~ln.str.lower().str.contains("javascript", regex=False)
+        ex["keep_line"] = (term & words3 & nojs).to_numpy()
+        kl = ex[ex["keep_line"]]
+        kept = (
+            kl.groupby("doc_id")["line"]
+            .agg("\n".join)
+            .rename("kept_text")
+            .reset_index()
+        )
+        n_kept = kl.groupby("doc_id").size().rename("n_kept").reset_index()
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_lines": (t.str.count("\n") + 1).astype("int64").to_numpy(),
+            }
+        )
+        out = out.merge(kept, on="doc_id", how="left").merge(
+            n_kept, on="doc_id", how="left"
+        )
+        out["kept_text"] = out["kept_text"].fillna("")
+        out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+        out["n_sentences"] = (
+            out["kept_text"].str.count(r"[.!?]+").astype("int64")
+        )
+        lorem = t.str.lower().str.contains("lorem ipsum", regex=False)
+        brace = t.str.contains("{", regex=False)
+        out["keep"] = (
+            (out["n_sentences"].to_numpy() >= 5)
+            & ~lorem.to_numpy()
+            & ~brace.to_numpy()
+        )
+        return out[
+            ["doc_id", "n_lines", "n_kept", "n_sentences", "kept_text", "keep"]
+        ]
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

@@ -381,3 +381,90 @@ class TestTheilSen:
         expect = slopes[(len(slopes) - 1) // 2]
         assert got["slope_micro"] == expect
         assert -34_000_000 < got["slope_micro"] < -32_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestC4Filter:
+    DOCS = [
+        # 0: clean page, 6 sentences across kept lines -> keep
+        "The quick brown fox jumps. It runs far! Does it rest? Yes.\n"
+        "Another fine line with words. And one more here.",
+        # 1: terminal-punct rule: middle line dropped (no terminal)
+        "First sentence is here. Second one too! A third? A 4th. A 5th.\n"
+        "this line has no terminal punctuation\n"
+        'He said "stop there."',
+        # 2: <3 words per line: dropped lines
+        "Hi.\nNo!\nThis line has enough words. One. Two. Three. Four!",
+        # 3: javascript line dropped
+        "Please enable JavaScript to continue.\n"
+        "Real content sentence one. Two. Three. Four. Five. Six.",
+        # 4: lorem ipsum page -> drop whole page
+        "Lorem ipsum dolor sit amet. Real text. More. And. More. Yes.",
+        # 5: curly brace page -> drop
+        "function() { return 1; } Fine sentences. One. Two. Three. Four.",
+        # 6: fewer than 5 sentences after cleaning -> drop
+        "Only two sentences here. That is all!",
+        # 7: trailing whitespace before terminal still kept
+        "Ends with spaces after period.   \nSecond line counts too! "
+        "Third. Fourth? Fifth. Sixth.",
+        # 8: unicode closing quote terminal
+        "She replied “fine then.” More words follow. One. Two. Three. Four?",
+    ]
+
+    def _write(self, tmp_path):
+        n = len(self.DOCS)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(self.DOCS, pa.string()),
+                    "lang": pa.array(["en"] * n, pa.string()),
+                    "source": pa.array(["t"] * n, pa.string()),
+                    "n_chars": pa.array(
+                        [len(d) for d in self.DOCS], pa.int64()
+                    ),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+
+    def test_rules_and_oracle_parity(self, tmp_path):
+        import duckdb
+
+        import __ray_entry__
+        from suckit_ray.pipelines.textops import docs_c4_filter
+
+        self._write(tmp_path)
+        got = (
+            docs_c4_filter(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # rule-by-rule expectations
+        g = got.set_index("doc_id")
+        assert bool(g.loc[0, "keep"]) and g.loc[0, "n_kept"] == 2
+        assert g.loc[1, "n_kept"] == 2  # middle line dropped
+        assert g.loc[2, "n_kept"] == 1  # two short lines dropped
+        assert g.loc[3, "n_kept"] == 1  # javascript line dropped
+        assert not bool(g.loc[4, "keep"])  # lorem ipsum
+        assert not bool(g.loc[5, "keep"])  # curly brace
+        assert not bool(g.loc[6, "keep"])  # < 5 sentences
+        assert bool(g.loc[7, "keep"])  # trailing-space terminal kept
+        assert g.loc[7, "n_kept"] == 2
+        assert bool(g.loc[8, "keep"])  # unicode closing quote
+        assert "\n" not in g.loc[3, "kept_text"]
+        # byte-for-byte oracle parity on the adversarial corpus
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        odf = (
+            con.execute(__ray_entry__.oracle_sql()["docs_c4_filter"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in ["n_lines", "n_kept", "n_sentences", "kept_text", "keep"]:
+            assert (got[c].values == odf[c].values).all(), c
