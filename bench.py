@@ -316,6 +316,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_acf",
         "crawl_assortativity",
         "docs_arrow_roundtrip",
+        "events_ks_test",
+        "events_gini",
+        "events_seasonality",
+        "customer_hhi",
+        "lineitem_assoc_rules",
+        "orders_cohort_retention",
+        "events_theilsen",
+        "docs_c4_filter",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host
