@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_communities_lpa": graph.crawl_communities_lpa,
         "crawl_hits": graph.crawl_hits,
         "crawl_triangles": graph.crawl_triangles,
+        "crawl_clustering_coeff": graph.crawl_clustering_coeff,
         "crawl_degrees": graph.crawl_degrees,
         "crawl_kcore": graph.crawl_kcore,
         "crawl_components": graph.crawl_components,
@@ -3860,6 +3861,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT hn.hn AS host, t.n_triangles
             FROM tri t JOIN hostname hn ON hn.h = t.h
+        """,
+        # per-page local clustering coefficient over the undirected
+        # link graph: lcc = floor(1e6 * 2*tri(v) / (deg*(deg-1)))
+        "crawl_clustering_coeff": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            edges AS (
+              SELECT DISTINCT r.h,
+                     LEAST(r.j, x.t) AS a, GREATEST(r.j, x.t) AS b
+              FROM reach r
+              JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            und AS (
+              SELECT h, a AS v, b AS w FROM edges
+              UNION ALL
+              SELECT h, b AS v, a AS w FROM edges
+            ),
+            deg AS (
+              SELECT h, v, CAST(count(*) AS BIGINT) AS deg
+              FROM und GROUP BY 1, 2
+            ),
+            tri AS (
+              SELECT u1.h, u1.v, CAST(count(*) AS BIGINT) AS tri
+              FROM und u1
+              JOIN und u2 ON u2.h = u1.h AND u2.v = u1.v
+                         AND u2.w > u1.w
+              JOIN edges e ON e.h = u1.h AND e.a = u1.w AND e.b = u2.w
+              GROUP BY 1, 2
+            )
+            SELECT hn.hn AS host, CAST(d.v AS BIGINT) AS page, d.deg,
+                   COALESCE(t.tri, 0) AS tri,
+                   CAST((2000000 * COALESCE(t.tri, 0))
+                        // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_micro
+            FROM deg d
+            LEFT JOIN tri t ON t.h = d.h AND t.v = d.v
+            JOIN hostname hn ON hn.h = d.h
+            WHERE d.deg >= 2
         """,
         # co-citation similarity of the same link graph: pairs of
         # pages cited together by >= 2 common sources (directed

@@ -817,6 +817,220 @@ def crawl_triangles(sf_dir: str) -> rd.Dataset:
     return triangles_from_docs(crawl_docs(sf_dir))
 
 
+def lcc_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, page, deg, tri, lcc_micro): per-PAGE local clustering
+    coefficient of each host's undirected link graph — Watts &
+    Strogatz 1998 (public), lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    for deg(v) ≥ 2, floored to integer micro units so both engines
+    agree bit-for-bit.
+
+    Node-level sibling of ``triangles_from_docs``: the wedge build
+    here keeps the CENTER vertex on every wedge row, because a closed
+    wedge (v; a, b) credits the triangle to v (each triangle is
+    counted once per corner — exactly the per-vertex incidence lcc
+    needs, unlike compact-forward's once-per-triangle orientation).
+    Wedge volume is O(deg²) per vertex — the inherent lcc bound (its
+    numerator IS the number of adjacent neighbor pairs); at web scale
+    cap or sample pathological-fanout hubs the way the triangle plan
+    orients by degree.
+
+    Scale shape, four bounded exchanges and no driver state:
+    (1) orient + hash-dedup the undirected edge set; (2) per-vertex
+    wedge emission from a center-bucketed co-group over the full
+    adjacency; (3) a tagged-union co-group on the closing-edge key
+    counts matches per center; (4) degrees and triangle counts meet
+    in one vertex-bucketed co-group that computes the floored ratio
+    group-locally. Rows are 4 small int/string columns throughout —
+    page text never moves."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "host": df["host"],
+                "a": np.minimum(df["s"], df["t"]).astype("int64"),
+                "b": np.maximum(df["s"], df["t"]).astype("int64"),
+            }
+        ).drop_duplicates(["host", "a", "b"])
+        out["eb"] = ((out["a"] * 1_000_003 + out["b"]) % B).astype("int64")
+        return out
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["host", "a", "b"])[["host", "a", "b"]]
+
+    edges = (
+        _host_page_edges(docs)
+        .map_batches(orient, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(bucket_dedup, batch_format="pandas")
+        .materialize()  # feeds degrees, wedge build, and the probe side
+    )
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame(
+            {"host": df["host"], "v": df["a"], "w": df["b"]}
+        )
+        rev = pd.DataFrame(
+            {"host": df["host"], "v": df["b"], "w": df["a"]}
+        )
+        out = pd.concat([fwd, rev], ignore_index=True)
+        out["vb"] = (out["v"].astype("int64") % B).astype("int64")
+        return out
+
+    und = edges.map_batches(undirect, batch_format="pandas")
+
+    def centered_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[["host", "v", "w"]]
+        m = lhs.merge(lhs, on=["host", "v"], suffixes=("_x", "_y"))
+        m = m[m["w_x"] < m["w_y"]]
+        return pd.DataFrame(
+            {
+                "host": m["host"],
+                "a": m["w_x"].astype("int64"),
+                "b": m["w_y"].astype("int64"),
+                "center": m["v"].astype("int64"),
+                "side": pd.Series(1, index=m.index, dtype="int64"),
+            }
+        )
+
+    wedge_rows = und.groupby("vb").map_groups(
+        centered_wedges, batch_format="pandas"
+    )
+
+    def edge_side(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["host", "a", "b"]].copy()
+        out["center"] = np.int64(-1)
+        out["side"] = pd.Series(0, index=out.index, dtype="int64")
+        return out
+
+    def key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["kb"] = (
+            (out["a"].astype("int64") * 1_000_003 + out["b"]) % B
+        ).astype("int64")
+        return out
+
+    def close_per_center(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        w = g[g["side"] == 1]
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame(
+                {
+                    "host": pd.array([], dtype="str"),
+                    "v": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        closed = w.merge(e[["host", "a", "b"]], on=["host", "a", "b"])
+        if len(closed) == 0:
+            return pd.DataFrame(
+                {
+                    "host": pd.array([], dtype="str"),
+                    "v": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        out = closed.groupby(["host", "center"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "host": out["host"],
+                "v": out["center"].astype("int64"),
+                "n": out["size"].astype("int64"),
+            }
+        )
+
+    tri = (
+        wedge_rows.union(edges.map_batches(edge_side, batch_format="pandas"))
+        .map_batches(key_bucket, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(close_per_center, batch_format="pandas")
+    )
+
+    # degrees and triangle counts meet per vertex: tag, bucket, fold
+    def deg_side(df: pd.DataFrame) -> pd.DataFrame:
+        und_ = pd.concat(
+            [
+                pd.DataFrame({"host": df["host"], "v": df["a"]}),
+                pd.DataFrame({"host": df["host"], "v": df["b"]}),
+            ],
+            ignore_index=True,
+        )
+        out = und_.groupby(["host", "v"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "host": out["host"],
+                "v": out["v"].astype("int64"),
+                "n": out["size"].astype("int64"),
+                "side": pd.Series(0, index=out.index, dtype="int64"),
+            }
+        )
+
+    def tri_side(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["side"] = pd.Series(1, index=out.index, dtype="int64")
+        return out[["host", "v", "n", "side"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        deg = (
+            g[g["side"] == 0]
+            .groupby(["host", "v"], as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "deg"})
+        )
+        tr = (
+            g[g["side"] == 1]
+            .groupby(["host", "v"], as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "tri"})
+        )
+        m = deg.merge(tr, on=["host", "v"], how="left")
+        m["tri"] = m["tri"].fillna(0).astype("int64")
+        m = m[m["deg"] >= 2]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "host": pd.array([], dtype="str"),
+                    "page": pd.array([], dtype="int64"),
+                    "deg": pd.array([], dtype="int64"),
+                    "tri": pd.array([], dtype="int64"),
+                    "lcc_micro": pd.array([], dtype="int64"),
+                }
+            )
+        deg_ = m["deg"].astype("int64")
+        return pd.DataFrame(
+            {
+                "host": m["host"],
+                "page": m["v"].astype("int64"),
+                "deg": deg_,
+                "tri": m["tri"],
+                "lcc_micro": (2_000_000 * m["tri"]) // (deg_ * (deg_ - 1)),
+            }
+        )
+
+    def v_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["fb"] = (out["v"].astype("int64") % B).astype("int64")
+        return out
+
+    return (
+        edges.map_batches(deg_side, batch_format="pandas")
+        .union(tri.map_batches(tri_side, batch_format="pandas"))
+        .map_batches(v_bucket, batch_format="pandas")
+        .groupby("fb")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def crawl_clustering_coeff(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-page local clustering coefficients of the
+    flagship crawl's link graph (pages with degree ≥ 2)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return lcc_from_docs(crawl_docs(sf_dir))
+
+
 def crawl_pagerank_exact(sf_dir: str):
     """queries() entry: the all-integer PageRank of the flagship
     mirror — (doc_id, rank_pico), hash-compared against a 10-step

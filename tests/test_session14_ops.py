@@ -1,0 +1,134 @@
+"""Fourteenth-session operator pins: local clustering coefficient,
+functional-dependency audit, Welch t², offline changepoint, seasonal
+Holt-Winters, Z-order layout."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _page(host, j, link_targets):
+    spans = []
+    for t in link_targets:
+        spans.append(
+            {"kind": "link", "text": "", "media_ref": t, "offset": len(spans)}
+        )
+    return {
+        "doc_id": f"{host}//p{j}.html",
+        "host": host,
+        "is_html": True,
+        "spans": spans,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusteringCoeff:
+    def test_triangle_plus_pendant(self):
+        """K3 with a pendant at vertex 0: deg(0)=3 tri(0)=1 lcc=1/3;
+        vertices 1,2: deg 2, tri 1, lcc=1; vertex 3: deg 1 (dropped)."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import lcc_from_docs
+
+        rows = [
+            _page("hosta.test", 0, ["p1.html", "p2.html", "p3.html"]),
+            _page("hosta.test", 1, ["p2.html"]),
+            _page("hosta.test", 2, []),
+            _page("hosta.test", 3, []),
+        ]
+        got = (
+            lcc_from_docs(rd.from_arrow(pa.Table.from_pylist(rows)))
+            .to_pandas()
+            .sort_values("page")
+            .reset_index(drop=True)
+        )
+        assert list(got["page"]) == [0, 1, 2]
+        assert list(got["deg"]) == [3, 2, 2]
+        assert list(got["tri"]) == [1, 1, 1]
+        assert list(got["lcc_micro"]) == [
+            2_000_000 * 1 // 6,
+            1_000_000,
+            1_000_000,
+        ]
+
+    def test_cross_host_links_do_not_count(self):
+        """The cross-host guard from _host_page_edges carries through:
+        a foreign p2 link must not close the 0-1-2 triangle."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import lcc_from_docs
+
+        rows = [
+            _page("hosta.test", 0, ["p1.html", "../hostb.test/p2.html"]),
+            _page("hosta.test", 1, ["p2.html"]),
+            _page("hosta.test", 2, []),
+            _page("hostb.test", 2, []),
+        ]
+        got = lcc_from_docs(
+            rd.from_arrow(pa.Table.from_pylist(rows))
+        ).to_pandas()
+        # only vertex 1 has deg 2 (edges 0-1, 1-2); no triangles anywhere
+        assert (got["tri"] == 0).all()
+        assert (got["lcc_micro"] == 0).all()
+
+    def test_matches_brute_force_on_flagship(self):
+        """Per-vertex brute force over the real sf0.001 link graph."""
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import lcc_from_docs
+
+        docs = crawl_docs(SF).materialize()
+        got = (
+            lcc_from_docs(docs)
+            .to_pandas()
+            .sort_values(["host", "page"])
+            .reset_index(drop=True)
+        )
+
+        # independent adjacency build straight off the span rows
+        import posixpath
+        import re
+
+        from suckit_ray.pipelines.graph import resolve_link
+
+        page_re = re.compile(r"/p(\d+)\.html$")
+        adj: dict = {}
+        for row in docs.iter_rows():
+            if not row["is_html"]:
+                continue
+            m = page_re.search(posixpath.normpath(row["doc_id"]))
+            if not m:
+                continue
+            j, host = int(m.group(1)), row["host"]
+            for s in row["spans"]:
+                if s["kind"] != "link":
+                    continue
+                tgt = resolve_link(row["doc_id"], s["media_ref"])
+                mt = page_re.search(tgt)
+                if not mt or tgt.split("/", 1)[0] != host:
+                    continue
+                k = int(mt.group(1))
+                if k != j:
+                    adj.setdefault((host, j), set()).add(k)
+                    adj.setdefault((host, k), set()).add(j)
+
+        want = []
+        for (host, v), nb in adj.items():
+            if len(nb) < 2:
+                continue
+            tri = sum(
+                1
+                for a in nb
+                for b in nb
+                if a < b and b in adj.get((host, a), set())
+            )
+            d = len(nb)
+            want.append((host, v, d, tri, 2_000_000 * tri // (d * (d - 1))))
+        want.sort()
+        assert (
+            list(map(tuple, got.itertuples(index=False, name=None))) == want
+        )
+        assert sum(w[3] for w in want) > 0  # graph has closed wedges
