@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_yoy_growth": relops.orders_yoy_growth,
         "customer_k_anonymity": relops.customer_k_anonymity,
         "table_stats": relops.table_stats,
+        "table_fds": relops.table_fds,
         "events_value_mad": relops.events_value_mad,
         "orders_pareto": relops.orders_pareto,
         "events_value_entropy": relops.events_value_entropy,
@@ -3220,6 +3221,65 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY m.event_type, m.n, m.m
         """,
         # ANALYZE statistics: exact per-column cardinalities/NDV/nulls
+        # functional-dependency audit: exact distinct(A) vs distinct(A,B)
+        "table_fds": """
+            WITH f AS (
+              SELECT 'customer' AS tbl, 'c_custkey' AS det, 'c_nationkey' AS dep,
+                (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer)) AS n_det,
+                (SELECT count(*) FROM (SELECT DISTINCT c_custkey, c_nationkey FROM customer)) AS n_pairs
+              UNION ALL
+              SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+                (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer)),
+                (SELECT count(*) FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer))
+              UNION ALL
+              SELECT 'documents', 'doc_id', 'lang',
+                (SELECT count(*) FROM (SELECT DISTINCT doc_id FROM documents)),
+                (SELECT count(*) FROM (SELECT DISTINCT doc_id, lang FROM documents))
+              UNION ALL
+              SELECT 'documents', 'lang', 'source',
+                (SELECT count(*) FROM (SELECT DISTINCT lang FROM documents)),
+                (SELECT count(*) FROM (SELECT DISTINCT lang, source FROM documents))
+              UNION ALL
+              SELECT 'events', 'event_id', 'user_id',
+                (SELECT count(*) FROM (SELECT DISTINCT event_id FROM events)),
+                (SELECT count(*) FROM (SELECT DISTINCT event_id, user_id FROM events))
+              UNION ALL
+              SELECT 'events', 'user_id', 'event_type',
+                (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events)),
+                (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events))
+              UNION ALL
+              SELECT 'lineitem', 'l_orderkey', 'l_partkey',
+                (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)),
+                (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+              UNION ALL
+              SELECT 'lineitem', 'l_orderkey,l_linenumber', 'l_partkey',
+                (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+                (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey FROM lineitem))
+              UNION ALL
+              SELECT 'orders', 'o_custkey', 'o_orderpriority',
+                (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders)),
+                (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders))
+              UNION ALL
+              SELECT 'orders', 'o_orderkey', 'o_custkey',
+                (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders)),
+                (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders))
+              UNION ALL
+              SELECT 'part', 'p_brand', 'p_type',
+                (SELECT count(*) FROM (SELECT DISTINCT p_brand FROM part)),
+                (SELECT count(*) FROM (SELECT DISTINCT p_brand, p_type FROM part))
+              UNION ALL
+              SELECT 'part', 'p_partkey', 'p_brand',
+                (SELECT count(*) FROM (SELECT DISTINCT p_partkey FROM part)),
+                (SELECT count(*) FROM (SELECT DISTINCT p_partkey, p_brand FROM part))
+            )
+            SELECT tbl, det, dep,
+                   CAST(n_det AS BIGINT) AS n_det,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n_pairs - n_det AS BIGINT) AS n_violations,
+                   CAST(CASE WHEN n_pairs = n_det THEN 1 ELSE 0 END
+                        AS BIGINT) AS holds
+            FROM f
+        """,
         "table_stats": """
               SELECT 'customer' AS tbl, 'c_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct FROM customer
               UNION ALL

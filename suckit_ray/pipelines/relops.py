@@ -4851,6 +4851,136 @@ def table_stats(sf_dir: str) -> pa.Table:
     )
 
 
+# functional-dependency candidates for table_fds: (table, determinant
+# columns, dependent column). Mix of by-construction keys (PKs — the
+# FD holds) and plausible-but-false dependencies (the violation
+# counts are the interesting profiling output).
+FD_CANDIDATES: list[tuple[str, tuple[str, ...], str]] = [
+    ("customer", ("c_custkey",), "c_nationkey"),
+    ("customer", ("c_nationkey",), "c_mktsegment"),
+    ("documents", ("doc_id",), "lang"),
+    ("documents", ("lang",), "source"),
+    ("events", ("event_id",), "user_id"),
+    ("events", ("user_id",), "event_type"),
+    ("lineitem", ("l_orderkey",), "l_partkey"),
+    ("lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+    ("orders", ("o_custkey",), "o_orderpriority"),
+    ("orders", ("o_orderkey",), "o_custkey"),
+    ("part", ("p_brand",), "p_type"),
+    ("part", ("p_partkey",), "p_brand"),
+]
+
+
+def _fd_row_hash(df: pd.DataFrame) -> np.ndarray:
+    """63-bit row hash over one or more columns — the composite-key
+    sibling of ``_stats_value_hash`` (same fixed-key
+    ``hash_pandas_object``, which combines a DataFrame's columns into
+    one per-row hash)."""
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy().astype("uint64")
+    return (h & np.uint64((1 << 63) - 1)).astype("int64")
+
+
+def table_fds(sf_dir: str) -> pa.Table:
+    """(tbl, det, dep, n_det, n_pairs, n_violations, holds): the
+    functional-dependency audit over ``FD_CANDIDATES`` — does
+    determinant A fix dependent B? ``n_det`` = exact distinct A,
+    ``n_pairs`` = exact distinct (A, B); the FD holds iff they are
+    equal, and ``n_violations`` = n_pairs − n_det counts the extra
+    (A, B) combinations (the data-profiling / schema-discovery pass:
+    key validation before ingest, FD mining for normalization).
+
+    Plan — the ``table_stats`` shared-exchange idiom extended to row
+    hashes: ONE read per table evaluates all of its candidates in one
+    ``map_batches`` (each batch pre-shrinks to its distinct
+    (h(A), h(A,B)) pairs — the batch-local combiner), and all tables
+    share ONE exchange whose bucket encodes (candidate, h(A) % B), so
+    every occurrence of a determinant value co-locates and both
+    distinct counts are exact group-locally. The driver folds
+    O(candidates × B) partial rows. NULLs don't occur in the audited
+    columns; a NULL-bearing determinant would hash like any value
+    (pandas semantics), documented rather than SQL-mimicked."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    by_table: dict[str, list[tuple[int, tuple[str, ...], str]]] = {}
+    for i, (tbl, det, dep) in enumerate(FD_CANDIDATES):
+        by_table.setdefault(tbl, []).append((i, det, dep))
+
+    def make_partial(tbl: str):
+        cands = by_table[tbl]
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for idx, det, dep in cands:
+                ha = _fd_row_hash(df[list(det)])
+                hab = _fd_row_hash(df[list(det) + [dep]])
+                sub = pd.DataFrame({"ha": ha, "hab": hab}).drop_duplicates()
+                sub["bucket"] = (idx * B + (sub["ha"] % B)).astype("int64")
+                frames.append(sub[["bucket", "ha", "hab"]])
+            return pd.concat(frames, ignore_index=True)
+
+        return partial
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        idx = int(g["bucket"].iloc[0]) // B
+        # hab embeds the determinant, so distinct hab == distinct pairs
+        return pd.DataFrame(
+            {
+                "fd": [idx],
+                "n_det": [int(g["ha"].nunique())],
+                "n_pairs": [int(g["hab"].nunique())],
+            }
+        )
+
+    ds = None
+    for tbl in sorted(by_table):
+        cols = sorted(
+            {c for _, det, dep in by_table[tbl] for c in (*det, dep)}
+        )
+        part = rd.read_parquet(
+            f"{sf_dir}/{tbl}.parquet", columns=cols
+        ).map_batches(make_partial(tbl), batch_format="pandas")
+        ds = part if ds is None else ds.union(part)
+
+    parts = (
+        ds.groupby("bucket")
+        .map_groups(reduce_group, batch_format="pandas")
+        .to_pandas()
+        .groupby("fd", as_index=False)
+        .sum()
+    )
+
+    rows = []
+    for i, (tbl, det, dep) in enumerate(FD_CANDIDATES):
+        sub = parts[parts["fd"] == i]
+        n_det = int(sub["n_det"].sum())
+        n_pairs = int(sub["n_pairs"].sum())
+        rows.append(
+            (
+                tbl,
+                ",".join(det),
+                dep,
+                n_det,
+                n_pairs,
+                n_pairs - n_det,
+                1 if n_pairs == n_det else 0,
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "tbl": pa.array([r[0] for r in rows], pa.string()),
+            "det": pa.array([r[1] for r in rows], pa.string()),
+            "dep": pa.array([r[2] for r in rows], pa.string()),
+            "n_det": pa.array([r[3] for r in rows], pa.int64()),
+            "n_pairs": pa.array([r[4] for r in rows], pa.int64()),
+            "n_violations": pa.array([r[5] for r in rows], pa.int64()),
+            "holds": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )
+
+
 def events_value_mad(sf_dir: str) -> pa.Table:
     """(event_type, n, median_cents, mad_cents): per-type median and
     MEDIAN ABSOLUTE DEVIATION — the robust dispersion estimate

@@ -132,3 +132,75 @@ class TestClusteringCoeff:
             list(map(tuple, got.itertuples(index=False, name=None))) == want
         )
         assert sum(w[3] for w in want) > 0  # graph has closed wedges
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTableFds:
+    def test_engineered_holds_and_violations(self, tmp_path):
+        """Micro-tables where every candidate's verdict is known by
+        construction, including the composite determinant."""
+        import shutil
+
+        for t in [
+            "customer",
+            "documents",
+            "events",
+            "part",
+        ]:
+            shutil.copy(f"{SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+        # orders: o_orderkey PK holds; custkey 7 has TWO priorities
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_custkey": pa.array([7, 7, 8], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * 3),
+                    "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+                    "o_orderdate": pa.array(["1995-01-01"] * 3),
+                    "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "2-HIGH"]),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        # lineitem: (orderkey, linenumber) PK holds; orderkey alone
+        # maps to two parts -> exactly one violation row
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                    "l_linenumber": pa.array([1, 2, 1], pa.int64()),
+                    "l_partkey": pa.array([10, 11, 10], pa.int64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        from suckit_ray.pipelines.relops import table_fds
+
+        got = table_fds(str(tmp_path)).to_pandas()
+        g = got.set_index(["tbl", "det", "dep"])
+
+        row = g.loc[("orders", "o_orderkey", "o_custkey")]
+        assert (row["n_det"], row["n_pairs"], row["holds"]) == (3, 3, 1)
+        row = g.loc[("orders", "o_custkey", "o_orderpriority")]
+        assert (row["n_det"], row["n_pairs"], row["n_violations"]) == (2, 3, 1)
+        row = g.loc[("lineitem", "l_orderkey,l_linenumber", "l_partkey")]
+        assert (row["n_det"], row["n_pairs"], row["holds"]) == (3, 3, 1)
+        row = g.loc[("lineitem", "l_orderkey", "l_partkey")]
+        assert (row["n_det"], row["n_pairs"], row["holds"]) == (2, 3, 0)
+
+    def test_matches_pandas_reference_on_sf(self):
+        """Every candidate's counts equal a pandas drop_duplicates
+        replay over the real sf0.001 tables."""
+        from suckit_ray.pipelines.relops import FD_CANDIDATES, table_fds
+
+        got = table_fds(SF).to_pandas().set_index(["tbl", "det", "dep"])
+        for tbl, det, dep in FD_CANDIDATES:
+            df = pq.read_table(
+                f"{SF}/{tbl}.parquet", columns=sorted({*det, dep})
+            ).to_pandas()
+            n_det = len(df[list(det)].drop_duplicates())
+            n_pairs = len(df[list(det) + [dep]].drop_duplicates())
+            row = got.loc[(tbl, ",".join(det), dep)]
+            assert (row["n_det"], row["n_pairs"]) == (n_det, n_pairs)
+            assert row["n_violations"] == n_pairs - n_det
+            assert row["holds"] == int(n_pairs == n_det)
