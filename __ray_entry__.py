@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt": relops.events_holt,
         "events_acf": relops.events_acf,
         "events_ks_test": relops.events_ks_test,
+        "events_welch_t": relops.events_welch_t,
         "events_benford": relops.events_benford,
         "orders_open_backlog": relops.orders_open_backlog,
         "orders_fulfillment_latency": relops.orders_fulfillment_latency,
@@ -2900,6 +2901,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # two-sample KS: cross-multiplied ECDFs over the merged value
         # grid — max of integers, one final floored division
+        # Welch two-sample t^2 between type pairs, exact integer algebra
+        "events_welch_t": """
+            WITH s AS (
+              SELECT event_type AS t,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS HUGEINT) AS s1,
+                     SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS s2
+              FROM events GROUP BY 1
+            )
+            SELECT a.t AS type_a, b.t AS type_b,
+                   CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+                   CAST(CASE WHEN ((a.n*a.s2 - a.s1*a.s1)*b.n*b.n*(b.n-1)
+                                 + (b.n*b.s2 - b.s1*b.s1)*a.n*a.n*(a.n-1)) = 0
+                        THEN -1
+                        ELSE (1000000
+                              * (a.s1*b.n - b.s1*a.n) * (a.s1*b.n - b.s1*a.n)
+                              * (a.n-1) * (b.n-1))
+                             // ((a.n*a.s2 - a.s1*a.s1)*b.n*b.n*(b.n-1)
+                               + (b.n*b.s2 - b.s1*b.s1)*a.n*a.n*(a.n-1))
+                        END AS BIGINT) AS t2_micro
+            FROM s a JOIN s b ON a.t < b.t
+        """,
         "events_ks_test": """
             WITH c AS (
               SELECT event_type AS t,

@@ -4851,6 +4851,99 @@ def table_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def events_welch_t(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, n_a, n_b, t2_micro): Welch's two-sample t²
+    statistic between every pair of event types' cent-value
+    distributions — the mean-shift drift monitor that complements the
+    KS shape test (Welch 1947, public). Carried EXACTLY: with
+    per-type sufficient statistics (n, S1=Σx, S2=Σx²),
+
+        t² = (m_a − m_b)² / (v_a/n_a + v_b/n_b),   m = S1/n,
+        v = (n·S2 − S1²) / (n·(n−1))
+
+    clears every denominator by cross-multiplication into one integer
+    quotient:
+
+        D = S1a·n_b − S1b·n_a
+        X = (n_a·S2a − S1a²)·n_b²·(n_b−1) + (n_b·S2b − S1b²)·n_a²·(n_a−1)
+        t2_micro = (1e6 · D² · (n_a−1)·(n_b−1)) // X
+
+    so the single final floor is the only rounding in either engine
+    (zero pooled variance → −1 sentinel). Python ints carry the
+    engine side at any scale; the oracle's HUGEINT holds through
+    sf0.01's magnitudes (documented bound: D²·1e6·n² < 1.7e38).
+
+    Scale shape: per-batch partial (n, S1, S2) triples per type — S2
+    rides as a decimal STRING so the merge stays exact past int64
+    (the customer_hhi idiom) — one tiny per-type co-group folds them,
+    and the O(types²) pairing is driver arithmetic over O(types)
+    rows. ONE pass over events, no broadcast, no histogram."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = to_cents(df["value"])
+        g = pd.DataFrame({"event_type": df["event_type"], "c": c}).groupby(
+            "event_type"
+        )["c"]
+        rows = []
+        for t, s in g:
+            xs = s.to_numpy().astype(object)  # python ints: exact squares
+            rows.append((t, len(s), int(s.sum()), str(sum(x * x for x in xs))))
+        return pd.DataFrame(rows, columns=["event_type", "n", "s1", "sq_str"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                (
+                    g["event_type"].iloc[0],
+                    int(g["n"].sum()),
+                    int(g["s1"].sum()),
+                    str(sum(int(s) for s in g["sq_str"])),
+                )
+            ],
+            columns=["event_type", "n", "s1", "sq_str"],
+        )
+
+    stats = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for i in range(len(stats)):
+        for j in range(i + 1, len(stats)):
+            ta, na, s1a, sqa = stats.iloc[i]
+            tb, nb, s1b, sqb = stats.iloc[j]
+            na, nb = int(na), int(nb)
+            s1a, s1b = int(s1a), int(s1b)
+            s2a, s2b = int(sqa), int(sqb)
+            d = s1a * nb - s1b * na
+            x = (na * s2a - s1a * s1a) * nb * nb * (nb - 1) + (
+                nb * s2b - s1b * s1b
+            ) * na * na * (na - 1)
+            t2 = (
+                -1
+                if x == 0
+                else (1_000_000 * d * d * (na - 1) * (nb - 1)) // x
+            )
+            rows.append((ta, tb, na, nb, t2))
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "t2_micro": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 # functional-dependency candidates for table_fds: (table, determinant
 # columns, dependent column). Mix of by-construction keys (PKs — the
 # FD holds) and plausible-but-false dependencies (the violation

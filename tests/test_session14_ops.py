@@ -204,3 +204,78 @@ class TestTableFds:
             assert (row["n_det"], row["n_pairs"]) == (n_det, n_pairs)
             assert row["n_violations"] == n_pairs - n_det
             assert row["holds"] == int(n_pairs == n_det)
+
+
+def _write_typed_events(tmp_path, groups):
+    """groups: dict type -> list of float values (one event per value,
+    sequential days)."""
+    rows = [(t, v) for t, vs in groups.items() for v in vs]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [i * 3_600_000_000 for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([t for t, _ in rows], pa.string()),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWelchT:
+    def test_hand_case_exact(self, tmp_path):
+        """a = [1, 2, 3] dollars, b = [5, 6, 7, 8]: hand-derivable
+        integers all the way through."""
+        _write_typed_events(
+            tmp_path, {"a": [1.0, 2.0, 3.0], "b": [5.0, 6.0, 7.0, 8.0]}
+        )
+        from suckit_ray.pipelines.relops import events_welch_t
+
+        got = events_welch_t(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        # cents: a = [100,200,300] n=3 S1=600 S2=140000
+        # b = [500,600,700,800]    n=4 S1=2600 S2=1740000
+        d = 600 * 4 - 2600 * 3
+        x = (3 * 140000 - 600 * 600) * 16 * 3 + (
+            4 * 1740000 - 2600 * 2600
+        ) * 9 * 2
+        want = (1_000_000 * d * d * 2 * 3) // x
+        assert (row["n_a"], row["n_b"]) == (3, 4)
+        assert row["t2_micro"] == want
+        # float cross-check: t^2 = (m1-m2)^2/(v1/n1+v2/n2)
+        va = np.var([100, 200, 300], ddof=1)
+        vb = np.var([500, 600, 700, 800], ddof=1)
+        t2 = (200 - 650) ** 2 / (va / 3 + vb / 4)
+        assert abs(row["t2_micro"] / 1e6 - t2) < 1e-3
+
+    def test_zero_variance_sentinel(self, tmp_path):
+        _write_typed_events(tmp_path, {"a": [2.0, 2.0], "b": [3.0, 3.0]})
+        from suckit_ray.pipelines.relops import events_welch_t
+
+        got = events_welch_t(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["t2_micro"] == -1
+
+    def test_matches_float_welch_on_sf(self):
+        """Every pair on the real sf0.001 table matches a numpy float
+        Welch replay to within flooring error."""
+        from suckit_ray.pipelines.relops import events_welch_t
+
+        got = events_welch_t(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        ev["c"] = np.round(ev["value"] * 100).astype("int64")
+        assert len(got) == 10  # C(5,2)
+        for _, row in got.iterrows():
+            a = ev.loc[ev["event_type"] == row["type_a"], "c"].to_numpy()
+            b = ev.loc[ev["event_type"] == row["type_b"], "c"].to_numpy()
+            t2 = (a.mean() - b.mean()) ** 2 / (
+                a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+            )
+            assert abs(row["t2_micro"] / 1e6 - t2) < 1e-2
