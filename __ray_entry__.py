@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_overlap_theta": relops.events_user_overlap_theta,
         "events_regression": relops.events_regression,
         "events_cusum": relops.events_cusum,
+        "events_changepoint": relops.events_changepoint,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
         "customer_k_anonymity": relops.customer_k_anonymity,
@@ -3387,6 +3388,61 @@ def oracle_sql() -> dict[str, str]:
         # sums: the max(0, S+(x−k)) recursion closed to prefix-sum
         # minus running-min (both window functions); k = total //
         # n_days truncating
+        # offline single changepoint: binary segmentation's first
+        # split, argmax of the exact between-segment SSE gain
+        "events_changepoint": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            c AS (
+              SELECT event_type, day, CAST(SUM(v) AS BIGINT) AS s
+              FROM e GROUP BY event_type, day
+            ),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+            days AS (
+              SELECT UNNEST(generate_series(lo, hi)) AS day FROM b
+            ),
+            types AS (SELECT DISTINCT event_type FROM e),
+            z AS (
+              SELECT t.event_type, d.day,
+                     CAST(COALESCE(c.s, 0) AS HUGEINT) AS x
+              FROM types t
+              CROSS JOIN days d
+              LEFT JOIN c ON c.event_type = t.event_type
+                         AND c.day = d.day
+            ),
+            p AS (
+              SELECT event_type, day,
+                     SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS pre,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS t,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type)
+                          AS HUGEINT) AS n,
+                     SUM(x) OVER (PARTITION BY event_type) AS tot
+              FROM z
+            ),
+            g AS (
+              SELECT event_type, day, t, n, pre, tot,
+                     (1000000 * (n*pre - t*tot) * (n*pre - t*tot))
+                       // (t * (n - t) * n) AS gain
+              FROM p WHERE t < n
+            ),
+            r AS (
+              SELECT event_type, day, gain, pre, t, n, tot,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY gain DESC, t) AS rn
+              FROM g
+            )
+            SELECT event_type, CAST(day AS BIGINT) AS split_day,
+                   CAST(gain AS BIGINT) AS gain_micro,
+                   CAST(pre // t AS BIGINT) AS mean_left_c,
+                   CAST((tot - pre) // (n - t) AS BIGINT) AS mean_right_c
+            FROM r WHERE rn = 1
+        """,
         "events_cusum": """
             WITH e AS (
               SELECT event_type,

@@ -4429,6 +4429,104 @@ def events_cusum(sf_dir: str) -> rd.Dataset:
     return daily.groupby("event_type").map_groups(cusum_group, batch_format="pandas")
 
 
+def events_changepoint(sf_dir: str) -> rd.Dataset:
+    """(event_type, split_day, gain_micro, mean_left_c, mean_right_c):
+    OFFLINE single-changepoint detection per type over the gap-filled
+    daily cent sums — binary segmentation's first split (Scott &
+    Knott 1974, public), the retrospective sibling of the CUSUM
+    monitor (which tracks drift online). The split at prefix length t
+    maximizes the between-segment SSE reduction, which closes to the
+    exact rational
+
+        gain(t) = (n·P_t − t·P_n)² / (t·(n−t)·n)
+
+    over prefix sums P — so the argmax runs on floored micro-unit
+    integer keys identical in both engines (ORDER BY gain DESC, t:
+    first-best-t wins ties of the FLOORED key, deterministically,
+    even where the exact rationals differ past the floor).
+
+    Plan: the CUSUM recipe verbatim (two-phase (type, day) cent sums,
+    O(blocks) day bounds, dense series per group) + an O(span)
+    python-int scan per type — exact squares past int64, bounded by
+    the calendar, not the corpus. Types vanish when the global span
+    has < 2 days (no valid split), mirroring the oracle's t < n."""
+    import ray
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "day": us // US_PER_DAY,
+                    "x": to_cents(df["value"]),
+                }
+            )
+            .groupby(["event_type", "day"], as_index=False)["x"]
+            .sum()
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x": ("x", "sum")},
+    ).materialize()  # feeds the bounds scan AND the per-type groups
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "split_day": pa.array([], pa.int64()),
+            "gain_micro": pa.array([], pa.int64()),
+            "mean_left_c": pa.array([], pa.int64()),
+            "mean_right_c": pa.array([], pa.int64()),
+        }
+    )
+    span = _global_day_span(daily)
+    if span is None or span[0] == span[1]:
+        return rd.from_arrow(empty)
+    span_ref = ray.put(span)
+
+    def cp_group(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(span_ref)
+        days = np.arange(lo, hi + 1, dtype="int64")
+        xs = (
+            g.set_index("day")["x"]
+            .reindex(days)
+            .fillna(0)
+            .astype("int64")
+            .to_numpy()
+        )
+        n = len(days)
+        tot = int(xs.sum())
+        best = None
+        pre = 0
+        for t in range(1, n):
+            pre += int(xs[t - 1])
+            gain = (1_000_000 * (n * pre - t * tot) ** 2) // (
+                t * (n - t) * n
+            )
+            if best is None or gain > best[0]:
+                best = (gain, t, pre)
+        gain, t, pre = best
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "split_day": [int(days[t - 1])],
+                "gain_micro": [gain],
+                "mean_left_c": [pre // t],
+                "mean_right_c": [(tot - pre) // (n - t)],
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(
+        cp_group, batch_format="pandas"
+    )
+
+
 AUDIT_RULES = [
     "customers_without_orders",
     "lineitem_discount_out_of_range",

@@ -206,6 +206,23 @@ class TestTableFds:
             assert row["holds"] == int(n_pairs == n_det)
 
 
+def _write_events(tmp_path, rows):
+    """rows: list of (day:int, etype:str, value:float)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [d * 86_400_000_000 for d, _, _ in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([t for _, t, _ in rows], pa.string()),
+            "value": pa.array([v for _, _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+
 def _write_typed_events(tmp_path, groups):
     """groups: dict type -> list of float values (one event per value,
     sequential days)."""
@@ -279,3 +296,54 @@ class TestWelchT:
                 a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
             )
             assert abs(row["t2_micro"] / 1e6 - t2) < 1e-2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChangepoint:
+    def test_detects_engineered_mean_shift(self, tmp_path):
+        """10 days at $1 then 10 days at $9: the split must land on
+        the boundary (last day of the low regime) with the segment
+        means exact."""
+        rows = [(d, "shift", 1.0) for d in range(10)] + [
+            (d, "shift", 9.0) for d in range(10, 20)
+        ]
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_changepoint
+
+        got = events_changepoint(str(tmp_path)).to_pandas().iloc[0]
+        assert got["split_day"] == 9
+        assert got["mean_left_c"] == 100
+        assert got["mean_right_c"] == 900
+        # exact gain at t=10, n=20: (20*1000 - 10*10000)^2 * 1e6
+        #   // (10*10*20)
+        want = (1_000_000 * (20 * 1000 - 10 * 10000) ** 2) // (10 * 10 * 20)
+        assert got["gain_micro"] == want
+
+    def test_matches_python_argmax_replay(self, tmp_path):
+        """Random series: the floored-key argmax replayed literally."""
+        rng = np.random.RandomState(14)
+        vals = (rng.randint(0, 2000, size=60) / 100.0).tolist()
+        _write_events(tmp_path, [(d, "r", v) for d, v in enumerate(vals)])
+        from suckit_ray.pipelines.relops import events_changepoint
+
+        got = events_changepoint(str(tmp_path)).to_pandas().iloc[0]
+        xs = [int(round(v * 100)) for v in vals]
+        n, tot = len(xs), sum(xs)
+        best = None
+        pre = 0
+        for t in range(1, n):
+            pre += xs[t - 1]
+            gain = (1_000_000 * (n * pre - t * tot) ** 2) // (t * (n - t) * n)
+            if best is None or gain > best[0]:
+                best = (gain, t, pre)
+        gain, t, pre = best
+        assert got["split_day"] == t - 1
+        assert got["gain_micro"] == gain
+        assert got["mean_left_c"] == pre // t
+        assert got["mean_right_c"] == (tot - pre) // (n - t)
+
+    def test_single_day_span_yields_empty(self, tmp_path):
+        _write_events(tmp_path, [(5, "a", 1.0), (5, "b", 2.0)])
+        from suckit_ray.pipelines.relops import events_changepoint
+
+        assert events_changepoint(str(tmp_path)).count() == 0
