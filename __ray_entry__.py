@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": relops.events_user_paths,
         "events_ewma": relops.events_ewma,
         "events_holt": relops.events_holt,
+        "events_holtwinters": relops.events_holtwinters,
         "events_acf": relops.events_acf,
         "events_ks_test": relops.events_ks_test,
         "events_welch_t": relops.events_welch_t,
@@ -2812,6 +2813,60 @@ def oracle_sql() -> dict[str, str]:
         # Holt linear-trend smoothing: two coupled truncating
         # recursions (level, trend); trend goes negative, so // is
         # DuckDB's toward-zero division on both sides
+        # additive Holt-Winters (weekly season m=7) over the
+        # gap-filled daily grid; the recursive CTE carries the seven
+        # seasonal slots as columns and rotates them each step
+        "events_holtwinters": """
+            WITH RECURSIVE e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            c AS (
+              SELECT event_type, day, CAST(SUM(v) AS BIGINT) AS s
+              FROM e GROUP BY event_type, day
+            ),
+            bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+            days AS (
+              SELECT UNNEST(generate_series(lo, hi)) AS day FROM bnd
+            ),
+            types AS (SELECT DISTINCT event_type FROM e),
+            z AS (
+              SELECT t.event_type, d.day,
+                     CAST(COALESCE(c.s, 0) AS BIGINT) AS x,
+                     ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                        ORDER BY d.day) AS rn
+              FROM types t
+              CROSS JOIN days d
+              LEFT JOIN c ON c.event_type = t.event_type
+                         AND c.day = d.day
+            ),
+            r(event_type, rn, day, x, l, b,
+              s1, s2, s3, s4, s5, s6, s7) AS (
+              SELECT event_type, rn, day, x, x, CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT)
+              FROM z WHERE rn = 1
+              UNION ALL
+              SELECT z.event_type, z.rn, z.day, z.x,
+                     (z.x - r.s1 + r.l + r.b) // 2,
+                     (((z.x - r.s1 + r.l + r.b) // 2) - r.l + r.b) // 2,
+                     r.s2, r.s3, r.s4, r.s5, r.s6, r.s7,
+                     (z.x - ((z.x - r.s1 + r.l + r.b) // 2) + r.s1) // 2
+              FROM r JOIN z ON z.event_type = r.event_type
+                           AND z.rn = r.rn + 1
+            )
+            SELECT event_type, CAST(day AS BIGINT) AS day,
+                   x AS x_cents,
+                   CAST(l AS BIGINT) AS level_c,
+                   CAST(b AS BIGINT) AS trend_c,
+                   CAST(s7 AS BIGINT) AS season_c,
+                   CAST(l + b + s1 AS BIGINT) AS forecast_c
+            FROM r
+        """,
         "events_holt": """
             WITH RECURSIVE d AS (
               SELECT event_type,

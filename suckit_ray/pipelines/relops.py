@@ -5882,6 +5882,119 @@ def events_holt(sf_dir: str) -> rd.Dataset:
     return daily.groupby("event_type").map_groups(fold, batch_format="pandas")
 
 
+def events_holtwinters(sf_dir: str) -> rd.Dataset:
+    """(event_type, day, x_cents, level_c, trend_c, season_c,
+    forecast_c): additive HOLT-WINTERS smoothing (α=β=γ=1/2, weekly
+    season m=7) over each type's GAP-FILLED daily cent sums — the
+    seasonal member of the EWMA → Holt ladder (Winters 1960, public).
+    The state is (level, trend, rotating 7-slot seasonal queue); per
+    step with s = queue head (the seasonal for this day):
+
+        l' = (x − s + l + b) / 2          (truncating)
+        b' = (l' − l + b) / 2             (truncating)
+        s' = (x − l' + s) / 2             (truncating; re-enqueued)
+        forecast = l' + b' + next head    (one-step-ahead)
+
+    init: l₁ = x₁, b₁ = 0, queue all-zero. Like EWMA/Holt, the
+    truncation has no prefix identity, so the honest plan is the
+    calendar-bounded per-type ordered replay over the dense series
+    (the CUSUM gap-fill recipe — seasonality needs CONSECUTIVE
+    calendar days, unlike Holt's observed-day fold); the oracle is a
+    recursive CTE carrying the seven seasonal slots as columns and
+    rotating them each step. Divisions go negative on declining
+    series → ``_trunc_div`` / DuckDB ``//`` toward-zero parity."""
+    import ray
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "day": us // US_PER_DAY,
+                    "x": to_cents(df["value"]),
+                }
+            )
+            .groupby(["event_type", "day"], as_index=False)["x"]
+            .sum()
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x": ("x", "sum")},
+    ).materialize()
+
+    cols = [
+        "event_type",
+        "day",
+        "x_cents",
+        "level_c",
+        "trend_c",
+        "season_c",
+        "forecast_c",
+    ]
+    span = _global_day_span(daily)
+    if span is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in cols[1:]
+                    },
+                }
+            )
+        )
+    span_ref = ray.put(span)
+
+    def hw_group(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(span_ref)
+        days = np.arange(lo, hi + 1, dtype="int64")
+        xs = (
+            g.set_index("day")["x"]
+            .reindex(days)
+            .fillna(0)
+            .astype("int64")
+            .to_numpy()
+        )
+        lev = trend = 0
+        queue = [0] * 7
+        out = []
+        for i, x in enumerate(xs):
+            x = int(x)
+            s = queue.pop(0)
+            if i == 0:
+                lev, trend = x, 0
+            else:
+                prev = lev
+                lev = _trunc_div(x - s + lev + trend, 2)
+                trend = _trunc_div(lev - prev + trend, 2)
+            snew = _trunc_div(x - lev + s, 2)
+            queue.append(snew)
+            out.append((x, lev, trend, snew, lev + trend + queue[0]))
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "day": days,
+                "x_cents": pd.array([o[0] for o in out], dtype="int64"),
+                "level_c": pd.array([o[1] for o in out], dtype="int64"),
+                "trend_c": pd.array([o[2] for o in out], dtype="int64"),
+                "season_c": pd.array([o[3] for o in out], dtype="int64"),
+                "forecast_c": pd.array([o[4] for o in out], dtype="int64"),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(
+        hw_group, batch_format="pandas"
+    )
+
+
 def orders_open_backlog(sf_dir: str) -> rd.Dataset:
     """(day, n_open): the daily open-order backlog — orders counted
     from their order day through the day their LAST lineitem ships

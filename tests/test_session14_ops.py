@@ -347,3 +347,83 @@ class TestChangepoint:
         from suckit_ray.pipelines.relops import events_changepoint
 
         assert events_changepoint(str(tmp_path)).count() == 0
+
+
+def _hw_replay(xs):
+    """Literal python Holt-Winters replay (alpha=beta=gamma=1/2, m=7,
+    truncating divisions)."""
+
+    def td(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    lev = trend = 0
+    queue = [0] * 7
+    out = []
+    for i, x in enumerate(xs):
+        s = queue.pop(0)
+        if i == 0:
+            lev, trend = x, 0
+        else:
+            prev = lev
+            lev = td(x - s + lev + trend, 2)
+            trend = td(lev - prev + trend, 2)
+        snew = td(x - lev + s, 2)
+        queue.append(snew)
+        out.append((x, lev, trend, snew, lev + trend + queue[0]))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHoltWinters:
+    def test_matches_python_replay_seasonal(self, tmp_path):
+        """Four weekly cycles of a strong day-of-week pattern plus a
+        declining drift (negative trend exercises the truncating
+        division)."""
+        pattern = [50.0, 1.0, 1.0, 1.0, 1.0, 1.0, 30.0]
+        rows = []
+        for d in range(28):
+            rows.append((d, "hw", pattern[d % 7] * (1 - d * 0.02)))
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_holtwinters
+
+        got = (
+            events_holtwinters(str(tmp_path))
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        xs = [int(round(pattern[d % 7] * (1 - d * 0.02) * 100)) for d in range(28)]
+        want = _hw_replay(xs)
+        assert list(got["x_cents"]) == [w[0] for w in want]
+        assert list(got["level_c"]) == [w[1] for w in want]
+        assert list(got["trend_c"]) == [w[2] for w in want]
+        assert list(got["season_c"]) == [w[3] for w in want]
+        assert list(got["forecast_c"]) == [w[4] for w in want]
+        # after 3 cycles, the seasonal state must carry most of the
+        # spike: the day-21 spike's seasonal exceeds the flat days'
+        s21 = got.loc[got["day"] == 21, "season_c"].iloc[0]
+        s22 = got.loc[got["day"] == 22, "season_c"].iloc[0]
+        assert s21 > s22 + 500
+
+    def test_gapfill_and_random_replay(self, tmp_path):
+        """Sparse random days: missing days enter the recursion as
+        zeros exactly like the oracle's dense grid."""
+        rng = np.random.RandomState(41)
+        days = sorted(rng.choice(40, size=17, replace=False).tolist())
+        rows = [(d, "g", float(rng.randint(1, 900)) / 10) for d in days]
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_holtwinters
+
+        got = (
+            events_holtwinters(str(tmp_path))
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        lo, hi = min(days), max(days)
+        by_day = {d: int(round(v * 100)) for (d, _, v) in rows}
+        xs = [by_day.get(d, 0) for d in range(lo, hi + 1)]
+        want = _hw_replay(xs)
+        assert list(got["day"]) == list(range(lo, hi + 1))
+        assert list(got["forecast_c"]) == [w[4] for w in want]
