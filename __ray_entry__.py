@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_compression_ratio": textops.docs_compression_ratio,
         "docs_rake_topk": textops.docs_rake_topk,
         "docs_weighted_sample": textops.docs_weighted_sample,
+        "docs_zorder_layout": textops.docs_zorder_layout,
         "docs_stratum_sample": textops.docs_stratum_sample,
         "docs_pmi_topk": textops.docs_pmi_topk,
         "q3_shipping_priority": relops.q3_shipping_priority,
@@ -2108,6 +2109,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # A-ES weighted sampling: top-20 by floor(−ln(u)·1e9/w) with
         # u md5-derived from doc_id, w = token count + 1
+        # Z-order layout zone map: 4+4-bit Morton interleave, top 4
+        # bits = partition; per-partition min/max bounds per dimension
+        "docs_zorder_layout": """
+            WITH z AS (
+              SELECT LEAST(15, n_chars // 40) AS d1,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::INT
+                       AS d2
+              FROM documents
+            ),
+            k AS (
+              SELECT d1, d2,
+                     ((d1 & 1) + (d2 & 1)*2 + (d1 & 2)*2 + (d2 & 2)*4
+                    + (d1 & 4)*4 + (d2 & 4)*8 + (d1 & 8)*8 + (d2 & 8)*16)
+                       AS zkey
+              FROM z
+            )
+            SELECT CAST(zkey // 16 AS BIGINT) AS part,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(d1) AS BIGINT) AS d1_min,
+                   CAST(max(d1) AS BIGINT) AS d1_max,
+                   CAST(min(d2) AS BIGINT) AS d2_min,
+                   CAST(max(d2) AS BIGINT) AS d2_max,
+                   CAST(min(zkey) AS BIGINT) AS z_min,
+                   CAST(max(zkey) AS BIGINT) AS z_max
+            FROM k GROUP BY 1
+        """,
         "docs_weighted_sample": r"""
             WITH w AS (
               SELECT doc_id,

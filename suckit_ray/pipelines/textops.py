@@ -1354,6 +1354,80 @@ def docs_tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> rd.Dataset:
 SHUFFLE_SEED = 42  # mirrored in the oracle SQL
 
 
+def docs_zorder_layout(sf_dir: str) -> rd.Dataset:
+    """(part, n_docs, d1_min, d1_max, d2_min, d2_max, z_min, z_max):
+    Z-ORDER (Morton-curve) data-skipping layout of the corpus over two
+    dimensions — d1 = length bucket ``min(15, n_chars // 40)``, d2 =
+    4 md5 bits of the doc id (standing in for any second clustering
+    dimension) — bit-interleaved into an 8-bit zkey whose top 4 bits
+    are the partition. The point of the curve: every partition covers
+    a 4×4 QUADRANT of the (d1, d2) grid, so its min/max zone-map
+    bounds are tight in BOTH dimensions and a range predicate on
+    either one prunes ~¾ of the partitions — the multi-dimensional
+    layout pass (Delta/Iceberg ``OPTIMIZE ZORDER BY``) a 100 TB corpus
+    runs before handing files to query engines. The per-partition
+    (count, per-dim min/max, zkey span) rows ARE the zone map.
+
+    Scale shape: one embarrassingly-parallel map computes keys
+    (vectorized bit ops; the md5-per-doc-id loop is the
+    ``docs_global_shuffle`` idiom — id strings are tiny), then ONE
+    two-phase aggregation whose exchange carries ≤ 16 zone-map rows
+    per batch. Rewriting the files themselves is
+    ``sinks.compact_parquet`` composed with this key — the layout
+    STATS are the verifiable part."""
+    import hashlib
+
+    import numpy as np
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def zmap(df: pd.DataFrame) -> pd.DataFrame:
+        d1 = np.minimum(15, df["n_chars"].astype("int64") // 40)
+        d2 = np.fromiter(
+            (
+                int(hashlib.md5(str(int(d)).encode()).hexdigest()[0], 16)
+                for d in df["doc_id"]
+            ),
+            dtype="int64",
+            count=len(df),
+        )
+        zkey = (
+            (d1 & 1)
+            + (d2 & 1) * 2
+            + (d1 & 2) * 2
+            + (d2 & 2) * 4
+            + (d1 & 4) * 4
+            + (d2 & 4) * 8
+            + (d1 & 8) * 8
+            + (d2 & 8) * 16
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "part": zkey // 16,
+                "d1": d1.astype("int64"),
+                "d2": d2,
+                "zkey": zkey,
+            }
+        )
+
+    keyed = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(zmap, batch_format="pandas")
+    return bucketed_groupby_agg(
+        keyed,
+        keys=["part"],
+        aggs={
+            "n_docs": ("zkey", "count"),
+            "d1_min": ("d1", "min"),
+            "d1_max": ("d1", "max"),
+            "d2_min": ("d2", "min"),
+            "d2_max": ("d2", "max"),
+            "z_min": ("zkey", "min"),
+            "z_max": ("zkey", "max"),
+        },
+    )
+
+
 def docs_global_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> rd.Dataset:
     """(doc_id, key, pos): a DETERMINISTIC seeded global shuffle —
     every doc gets the position it holds under ``ORDER BY

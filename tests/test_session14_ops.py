@@ -427,3 +427,81 @@ class TestHoltWinters:
         want = _hw_replay(xs)
         assert list(got["day"]) == list(range(lo, hi + 1))
         assert list(got["forecast_c"]) == [w[4] for w in want]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZorderLayout:
+    def test_quadrant_locality_invariant(self):
+        """THE data-skipping property: every partition's zone map
+        spans at most a 4x4 quadrant of the (d1, d2) grid, so a
+        range predicate on either dimension prunes partitions."""
+        from suckit_ray.pipelines.textops import docs_zorder_layout
+
+        got = docs_zorder_layout(SF).to_pandas()
+        assert got["n_docs"].sum() == 500
+        for _, r in got.iterrows():
+            assert r["d1_max"] - r["d1_min"] <= 3
+            assert r["d2_max"] - r["d2_min"] <= 3
+            # zkey span stays inside the partition's 16-key block
+            assert r["z_min"] // 16 == r["part"]
+            assert r["z_max"] // 16 == r["part"]
+            # and the quadrant is the one the partition id encodes:
+            # top 4 bits = (d2b3, d1b3, d2b2, d1b2)
+            p = int(r["part"])
+            d1_hi = ((p >> 0) & 1) * 4 + ((p >> 2) & 1) * 8
+            d2_hi = ((p >> 1) & 1) * 4 + ((p >> 3) & 1) * 8
+            assert d1_hi <= r["d1_min"] and r["d1_max"] < d1_hi + 4
+            assert d2_hi <= r["d2_min"] and r["d2_max"] < d2_hi + 4
+
+    def test_matches_python_interleave(self):
+        """Zone map equals a literal per-doc Morton replay."""
+        import hashlib
+
+        from suckit_ray.pipelines.textops import docs_zorder_layout
+
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pandas()
+
+        def interleave(d1, d2):
+            z = 0
+            for i in range(4):
+                z |= ((d1 >> i) & 1) << (2 * i)
+                z |= ((d2 >> i) & 1) << (2 * i + 1)
+            return z
+
+        zone: dict = {}
+        for _, row in docs.iterrows():
+            d1 = min(15, int(row["n_chars"]) // 40)
+            d2 = int(
+                hashlib.md5(str(int(row["doc_id"])).encode()).hexdigest()[0],
+                16,
+            )
+            zk = interleave(d1, d2)
+            p = zk // 16
+            cur = zone.setdefault(
+                p, [0, 99, -1, 99, -1, 999, -1]
+            )  # n, d1mn, d1mx, d2mn, d2mx, zmn, zmx
+            cur[0] += 1
+            cur[1], cur[2] = min(cur[1], d1), max(cur[2], d1)
+            cur[3], cur[4] = min(cur[3], d2), max(cur[4], d2)
+            cur[5], cur[6] = min(cur[5], zk), max(cur[6], zk)
+
+        got = (
+            docs_zorder_layout(SF)
+            .to_pandas()
+            .sort_values("part")
+            .reset_index(drop=True)
+        )
+        assert list(got["part"]) == sorted(zone)
+        for _, r in got.iterrows():
+            n, d1mn, d1mx, d2mn, d2mx, zmn, zmx = zone[int(r["part"])]
+            assert (
+                r["n_docs"],
+                r["d1_min"],
+                r["d1_max"],
+                r["d2_min"],
+                r["d2_max"],
+                r["z_min"],
+                r["z_max"],
+            ) == (n, d1mn, d1mx, d2mn, d2mx, zmn, zmx)
