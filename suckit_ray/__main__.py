@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adaptive frontier scheduling: release "
                         "highest-cash (most-linked-to) URLs first "
                         "(OPIC, WWW'03; rebuild-only)")
+    p.add_argument("--conditional-get", action="store_true",
+                   help="on delta recrawls (--recrawl-from), present "
+                        "the prior body fingerprint as a validator so "
+                        "unchanged pages answer 304 without a body "
+                        "(rebuild-only)")
     p.add_argument("--max-page-size", type=int, metavar="BYTES",
                    help="skip responses larger than BYTES (soft skip, "
                         "recorded in the ledger; rebuild-only)")
@@ -165,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
         host_url_budget=args.host_url_budget,
         max_page_bytes=args.max_page_size,
         canonicalize_urls=args.canonicalize,
+        conditional_get=args.conditional_get,
         honor_nofollow=args.honor_nofollow,
         follow_meta_refresh=args.follow_meta_refresh,
         opic=args.opic,

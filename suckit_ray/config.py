@@ -83,6 +83,19 @@ class CrawlConfig:
     # the crawled set is identical (crawl_mirror stays green either
     # way). Off by default (parity: the reference is strict FIFO).
     opic: bool = False
+    # rebuild-only: conditional revalidation on delta recrawls. When a
+    # frontier entry carries a prior-run body fingerprint AND the page
+    # store supports it (``supports_conditional``), the fetch presents
+    # the fingerprint as a validator (the If-None-Match handshake with
+    # the digest as ETag) and an unchanged page answers 304 WITH NO
+    # BODY — at a 95%-unchanged web-scale recrawl the body bytes that
+    # never leave the store are the dominant transfer saving. The
+    # crawl result is IDENTICAL to an unconditional delta recrawl
+    # (unchanged pages already skip parse/docs); ledger rows for
+    # revalidated pages record status 304 and the content-type-less
+    # response's default is_html. Off by default (parity; and a
+    # conditional fetch never fires without recrawl_from anyway).
+    conditional_get: bool = False
     # rebuild-only: drop responses larger than this many bytes (soft
     # skip with a ledger error — no body stored, no links extracted).
     # None = unbounded (parity). The per-page memory guard at scale.

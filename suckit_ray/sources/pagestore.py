@@ -48,20 +48,52 @@ class PageRecord:
 _401_BODY = b"Invalid auth"
 
 
+def _body_digest63(body: bytes) -> int:
+    """The delta-recrawl content fingerprint — MUST equal
+    ``stages.html_stage.body_hash`` (one digest contract across the
+    skip decision, the WARC revisit record, and conditional
+    revalidation); imported lazily to keep sources/ free of a stages/
+    dependency at module import time."""
+    from suckit_ray.stages.html_stage import body_hash
+
+    return body_hash(body)
+
+
 @dataclass
 class TablePageStore:
     """Dict-backed store; auth checked like the reference fixture server
-    (tests/fixtures/mod.rs:28-32: exact basic credentials match)."""
+    (tests/fixtures/mod.rs:28-32: exact basic credentials match).
+
+    Supports CONDITIONAL revalidation (``if_digest``): when the caller
+    presents the prior run's body fingerprint and the current content
+    still matches, the store answers 304 with NO body — the
+    If-None-Match/ETag handshake with the fingerprint as the
+    validator. Digests are memoized per record (a recrawl revalidates
+    every unchanged page once per wave batch)."""
 
     pages: dict[str, PageRecord] = field(default_factory=dict)
     auth_user: str = "username"
     auth_password: str = "password"
+    supports_conditional: bool = True
 
     @classmethod
     def from_records(cls, records: list[PageRecord], **kw) -> "TablePageStore":
         return cls(pages={r.url: r for r in records}, **kw)
 
-    def fetch(self, url: str, auth: tuple[str, str | None] | None) -> PageResponse:
+    def _digest_of(self, rec: PageRecord) -> int:
+        cache = self.__dict__.setdefault("_digest_cache", {})
+        d = cache.get(rec.url)
+        if d is None:
+            d = _body_digest63(rec.body)
+            cache[rec.url] = d
+        return d
+
+    def fetch(
+        self,
+        url: str,
+        auth: tuple[str, str | None] | None,
+        if_digest: int | None = None,
+    ) -> PageResponse:
         rec = self.pages.get(url)
         if rec is None:
             return PageResponse(404, None, None, b"")
@@ -75,6 +107,12 @@ class TablePageStore:
             if not ok:
                 # tiny_http Response::from_string defaults to text/plain
                 return PageResponse(401, "text/plain; charset=utf8", None, _401_BODY)
+        if (
+            if_digest is not None
+            and rec.status == 200
+            and self._digest_of(rec) == if_digest
+        ):
+            return PageResponse(304, None, None, b"")
         return PageResponse(rec.status, rec.content_type, rec.content_disposition, rec.body)
 
 
@@ -281,23 +319,79 @@ _ASSET_BODY = b"\xff\xd8\xff\xe0synthetic-jpeg-bytes" + bytes(64) + b"\xff\xd9"
 @dataclass(frozen=True)
 class SyntheticPageStore:
     """On-demand store over a ``SyntheticCorpus`` — page bytes are a pure
-    function of the URL; nothing is precomputed or held in memory."""
+    function of the URL; nothing is precomputed or held in memory.
+    Conditional revalidation renders the page and compares fingerprints
+    (a real server would compare validators without re-reading the
+    body; here rendering IS the read — the 304 still saves the body's
+    trip through the batch/object store)."""
 
     corpus: SyntheticCorpus
+    supports_conditional: bool = True
 
-    def fetch(self, url: str, auth) -> PageResponse:
+    def fetch(self, url: str, auth, if_digest: int | None = None) -> PageResponse:
         c = self.corpus
         try:
             hostpart, _, rest = url.partition("://")[2].partition("/")
             h = int(hostpart[4:8])
             if rest.startswith("img"):
+                if if_digest is not None and _body_digest63(_ASSET_BODY) == if_digest:
+                    return PageResponse(304, None, None, b"")
                 return PageResponse(200, "image/jpeg", None, _ASSET_BODY)
             j = int(rest[1 : rest.index(".")])
             if h >= c.n_hosts or j >= c.docs_per_host(h):
                 return PageResponse(404, None, None, b"")
-            return PageResponse(200, "text/html; charset=utf-8", None, c.render_page(h, j))
+            body = c.render_page(h, j)
+            if if_digest is not None and _body_digest63(body) == if_digest:
+                return PageResponse(304, None, None, b"")
+            return PageResponse(200, "text/html; charset=utf-8", None, body)
         except (ValueError, IndexError):
             return PageResponse(404, None, None, b"")
+
+
+class CountingPageStore(TablePageStore):
+    """TablePageStore tallying full-body responses vs 304
+    revalidations — test support (lives here so Ray workers can
+    deserialize it; a test-module class hangs worker imports)."""
+
+    def __init__(self, records: list[PageRecord]):
+        super().__init__(pages={r.url: r for r in records})
+        self.full_bodies = 0
+        self.not_modified = 0
+
+    def fetch(self, url, auth, if_digest: int | None = None) -> PageResponse:
+        resp = super().fetch(url, auth, if_digest=if_digest)
+        if resp.status == 304:
+            self.not_modified += 1
+        elif resp.status == 200 and resp.body:
+            self.full_bodies += 1
+        return resp
+
+
+class ValidatorOnlyPageStore(TablePageStore):
+    """Poisons every UNCONDITIONAL fetch with altered bytes — test
+    support for conditional revalidation: a recrawl that fails to
+    present validators sees every page 'changed', so a zero docs
+    delta PROVES the 304 handshake fired for each page (worker-side
+    behavior verified without cross-process counters)."""
+
+    def __init__(self, records: list[PageRecord]):
+        super().__init__(pages={r.url: r for r in records})
+
+    def fetch(self, url, auth, if_digest: int | None = None) -> PageResponse:
+        if if_digest is None:
+            rec = self.pages.get(url)
+            if (
+                rec is not None
+                and rec.location is None
+                and not rec.requires_auth
+            ):
+                return PageResponse(
+                    200,
+                    rec.content_type,
+                    rec.content_disposition,
+                    rec.body + b"<!--poisoned-->",
+                )
+        return super().fetch(url, auth, if_digest=if_digest)
 
 
 class HttpPageStore:

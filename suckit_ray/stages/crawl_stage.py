@@ -113,11 +113,28 @@ def make_crawl_fn(
             # the naive wiring hashed unchanged bodies three times)
             from suckit_ray.stages.html_stage import body_hash
 
+            # a 304 (conditional revalidation) PROVES the content still
+            # matches the presented fingerprint — the digest is the
+            # prev_hash by definition (no body arrived to hash)
+            prevs = (
+                fetched.column("prev_hash").to_pylist()
+                if "prev_hash" in fetched.schema.names
+                else None
+            )
+            sts = fetched.column("status").to_pylist()
             digs = [
-                0 if err is not None else body_hash(b or b"")
-                for err, b in zip(
-                    fetched.column("fetch_error").to_pylist(),
-                    fetched.column("body").to_pylist(),
+                0
+                if err is not None
+                else (
+                    int(prevs[i])
+                    if (prevs is not None and sts[i] == 304 and prevs[i])
+                    else body_hash(b or b"")
+                )
+                for i, (err, b) in enumerate(
+                    zip(
+                        fetched.column("fetch_error").to_pylist(),
+                        fetched.column("body").to_pylist(),
+                    )
                 )
             ]
             fetched = fetched.append_column(

@@ -67,12 +67,26 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
     tries = config.tries
     continue_on_error = config.continue_on_error
     max_page_bytes = config.max_page_bytes
+    conditional = config.conditional_get
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
         store = _get_store(store_ref)
         auth_map = _get_auth_map(config)
 
         urls = batch.column("url").to_pylist()
+        # conditional revalidation (delta recrawl): present the prior
+        # run's fingerprint as a validator so unchanged pages answer
+        # 304 with no body. First hop only — a redirect target is a
+        # different resource than the fingerprinted original.
+        prevs = (
+            batch.column("prev_hash").to_pylist()
+            if (
+                conditional
+                and "prev_hash" in batch.schema.names
+                and getattr(store, "supports_conditional", False)
+            )
+            else None
+        )
         if hasattr(store, "prefetch"):
             # sharded lookup stores (ShardedWarcPageStore) resolve the
             # whole batch in one RPC per shard instead of one per URL
@@ -80,7 +94,7 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
         status, data_types, charsets = [], [], []
         filenames, is_htmls, bodies, errors = [], [], [], []
 
-        for url in urls:
+        for row_i, url in enumerate(urls):
             # the fragment never goes on the wire (reqwest strips it);
             # the frontier key keeps it (reference fragment quirk, A1)
             request_url = url.split("#", 1)[0]
@@ -95,7 +109,12 @@ def make_fetch_fn(store_ref, config: CrawlConfig):
             for _ in range(max(1, tries)):
                 try:
                     hop_url, hop_auth = request_url, auth
-                    resp = store.fetch(hop_url, hop_auth)
+                    if prevs is not None and prevs[row_i]:
+                        resp = store.fetch(
+                            hop_url, hop_auth, if_digest=int(prevs[row_i])
+                        )
+                    else:
+                        resp = store.fetch(hop_url, hop_auth)
                     # follow redirects transparently, like the
                     # reference's reqwest client (default policy, up to
                     # 10 hops); the mirror path stays keyed on the

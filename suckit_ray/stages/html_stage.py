@@ -169,11 +169,21 @@ def make_process_fn(
                 # with the WARC revisit decision); standalone callers
                 # hash here.
                 pre = cols.get("body_digest")
-                bh = (
-                    int(pre[i])
-                    if pre is not None
-                    else (body_hash(body) if err is None else 0)
-                )
+                if pre is not None:
+                    bh = int(pre[i])
+                elif err is not None:
+                    bh = 0
+                elif (
+                    status == 304
+                    and prev_hashes is not None
+                    and prev_hashes[i]
+                ):
+                    # conditional revalidation answered without a body:
+                    # the digest IS the validated prior fingerprint
+                    # (standalone-stage path; the fused stage precomputes)
+                    bh = int(prev_hashes[i])
+                else:
+                    bh = body_hash(body)
                 hash_by_shard[
                     shard_of_url(url, host, num_shards, route_by_host)
                 ].append((url, bh, cols["depth"][i], cols["ext_depth"][i]))
