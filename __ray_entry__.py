@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": relops.events_regression,
         "events_cusum": relops.events_cusum,
         "events_changepoint": relops.events_changepoint,
+        "events_kendall_tau": relops.events_kendall_tau,
+        "events_seq_support": relops.events_seq_support,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
         "customer_k_anonymity": relops.customer_k_anonymity,
@@ -3470,6 +3472,75 @@ def oracle_sql() -> dict[str, str]:
         # sums: the max(0, S+(x−k)) recursion closed to prefix-sum
         # minus running-min (both window functions); k = total //
         # n_days truncating
+        # length-2 sequence support: users with an a-event strictly
+        # before some b-event (per-user min/max extrema comparison)
+        "events_seq_support": """
+            WITH m AS (
+              SELECT user_id, event_type,
+                     min(ts) AS mn, max(ts) AS mx
+              FROM events GROUP BY 1, 2
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM m a JOIN m b ON b.user_id = a.user_id
+                             AND b.event_type <> a.event_type
+                             AND a.mn < b.mx
+            GROUP BY 1, 2
+        """,
+        # Kendall tau-b (signed squared, micro) between daily count
+        # and daily cent sum over the gap-filled grid
+        "events_kendall_tau": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            c AS (
+              SELECT event_type, day,
+                     CAST(count(*) AS BIGINT) AS x,
+                     CAST(SUM(v) AS BIGINT) AS y
+              FROM e GROUP BY event_type, day
+            ),
+            bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+            days AS (
+              SELECT UNNEST(generate_series(lo, hi)) AS day FROM bnd
+            ),
+            types AS (SELECT DISTINCT event_type FROM e),
+            z AS (
+              SELECT t.event_type, d.day,
+                     CAST(COALESCE(c.x, 0) AS HUGEINT) AS x,
+                     CAST(COALESCE(c.y, 0) AS HUGEINT) AS y
+              FROM types t
+              CROSS JOIN days d
+              LEFT JOIN c ON c.event_type = t.event_type
+                         AND c.day = d.day
+            ),
+            p AS (
+              SELECT a.event_type,
+                     SUM(CASE WHEN (a.x-b.x)*(a.y-b.y) > 0
+                         THEN 1 ELSE 0 END) AS conc,
+                     SUM(CASE WHEN (a.x-b.x)*(a.y-b.y) < 0
+                         THEN 1 ELSE 0 END) AS disc,
+                     SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS tx,
+                     SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty,
+                     CAST(count(*) AS HUGEINT) AS n0
+              FROM z a JOIN z b ON b.event_type = a.event_type
+                               AND b.day > a.day
+              GROUP BY 1
+            ),
+            nd AS (SELECT count(*) AS n_days FROM days)
+            SELECT p.event_type,
+                   CAST(nd.n_days AS BIGINT) AS n_days,
+                   CAST(conc AS BIGINT) AS concordant,
+                   CAST(disc AS BIGINT) AS discordant,
+                   CAST(CASE WHEN (n0-tx)*(n0-ty) = 0 THEN 0
+                        ELSE (CASE WHEN conc >= disc THEN 1 ELSE -1 END)
+                             * ((CAST(conc-disc AS HUGEINT)*(conc-disc)
+                                 * 1000000) // ((n0-tx)*(n0-ty)))
+                        END AS BIGINT) AS tau2_micro
+            FROM p CROSS JOIN nd
+        """,
         # offline single changepoint: binary segmentation's first
         # split, argmax of the exact between-segment SSE gain
         "events_changepoint": """

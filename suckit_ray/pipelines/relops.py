@@ -4429,6 +4429,212 @@ def events_cusum(sf_dir: str) -> rd.Dataset:
     return daily.groupby("event_type").map_groups(cusum_group, batch_format="pandas")
 
 
+def events_seq_support(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, n_users): SEQUENCE support — for every ordered
+    type pair, the number of users with at least one ``type_a`` event
+    STRICTLY BEFORE some ``type_b`` event (min_ts(a) < max_ts(b) per
+    user) — sequential-pattern mining's length-2 support count
+    (Agrawal & Srikant 1995, public): the funnel family's
+    order-sensitive sibling of ``events_user_overlap`` (which counts
+    co-occurrence regardless of order; the gap between the two
+    measures directionality).
+
+    Plan: per-batch combiner shrinks to per-(user, type) min/max
+    timestamps (two int64s per pair — mergeable extrema, the
+    sufficient statistic for EVERY ordered comparison); ONE user-hash
+    co-group merges them and evaluates all O(types²) pairs where the
+    user's rows already are, emitting bounded per-batch pair partials;
+    a driver fold sums O(types²) rows. No broadcast, nothing
+    O(users) leaves the co-group."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        p = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype("int64"),
+                    "event_type": df["event_type"],
+                    "mn": us,
+                    "mx": us,
+                }
+            )
+            .groupby(["user_id", "event_type"], as_index=False)
+            .agg(mn=("mn", "min"), mx=("mx", "max"))
+        )
+        p["bucket"] = (p["user_id"] % B).astype("int64")
+        return p
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max")
+        )
+        rows: dict[tuple[str, str], int] = {}
+        for _, sub in m.groupby("user_id"):
+            ts = list(
+                zip(sub["event_type"], sub["mn"].astype("int64"),
+                    sub["mx"].astype("int64"))
+            )
+            for ta, mna, _ in ts:
+                for tb, _, mxb in ts:
+                    if ta != tb and mna < mxb:
+                        rows[(ta, tb)] = rows.get((ta, tb), 0) + 1
+        return pd.DataFrame(
+            [(a, b, n) for (a, b), n in rows.items()],
+            columns=["type_a", "type_b", "n_users"],
+        )
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["type_a", "type_b"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+        if len(parts)
+        else pd.DataFrame(columns=["type_a", "type_b", "n_users"])
+    )
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"].tolist(), pa.string()),
+            "type_b": pa.array(out["type_b"].tolist(), pa.string()),
+            "n_users": pa.array(
+                out["n_users"].astype("int64") if len(out) else [],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def events_kendall_tau(sf_dir: str) -> pa.Table:
+    """(event_type, n_days, concordant, discordant, tau2_micro):
+    Kendall's τ-b rank concordance between each type's daily event
+    COUNT and daily cent SUM over the gap-filled day grid — the
+    nonparametric does-volume-track-value dependence audit (Kendall
+    1938, public; the pair-counting sibling of events_spearman's
+    rank-covariance). τ-b needs √((n0−t_x)(n0−t_y)), so the reported
+    statistic is the SIGNED SQUARED τ in micro units (the
+    acf/spearman idiom — floor == trunc on the squared numerator):
+
+        tau2_micro = sign(C−D) · ((C−D)² · 1e6) // ((n0−tx)·(n0−ty))
+
+    with C/D the concordant/discordant pair counts, n0 = n(n−1)/2,
+    and tx/ty the tied-pair counts per variable. Zero denominator
+    (a constant series) → 0.
+
+    Plan: ONE two-phase (type, day) aggregation carries both metrics;
+    the per-type pair scan is O(span²) bounded by the CALENDAR, not
+    the corpus (the theilsen precedent), vectorized as numpy
+    sign-outer-products. The oracle replays the same pairs with a
+    day < day self-join."""
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))  # trunc like //
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "day": day.astype("int64"),
+                    "x": np.ones(len(df), dtype="int64"),
+                    "y": to_cents(df["value"]),
+                }
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .agg(x=("x", "sum"), y=("y", "sum"))
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x": ("x", "sum"), "y": ("y", "sum")},
+    ).materialize()
+
+    empty_cols = {
+        "event_type": pa.array([], pa.string()),
+        "n_days": pa.array([], pa.int64()),
+        "concordant": pa.array([], pa.int64()),
+        "discordant": pa.array([], pa.int64()),
+        "tau2_micro": pa.array([], pa.int64()),
+    }
+    span = _global_day_span(daily)
+    # a single-day span has no pairs — the oracle's day<day join is
+    # empty, so the engine must be too
+    if span is None or span[0] == span[1]:
+        return pa.table(empty_cols)
+    span_ref = ray.put(span)
+
+    def tau_group(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(span_ref)
+        days = np.arange(lo, hi + 1, dtype="int64")
+        gi = g.set_index("day")
+        xs = gi["x"].reindex(days).fillna(0).astype("int64").to_numpy()
+        ys = gi["y"].reindex(days).fillna(0).astype("int64").to_numpy()
+        n = len(days)
+        iu = np.triu_indices(n, k=1)
+        sx = np.sign(np.subtract.outer(xs, xs))[iu]
+        sy = np.sign(np.subtract.outer(ys, ys))[iu]
+        prod = sx * sy
+        conc = int((prod > 0).sum())
+        disc = int((prod < 0).sum())
+        n0 = n * (n - 1) // 2
+        tx = int((sx == 0).sum())
+        ty = int((sy == 0).sum())
+        den = (n0 - tx) * (n0 - ty)
+        d = conc - disc
+        tau2 = (
+            0
+            if den == 0
+            else (1 if d >= 0 else -1) * ((d * d * 1_000_000) // den)
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_days": [n],
+                "concordant": [conc],
+                "discordant": [disc],
+                "tau2_micro": [tau2],
+            }
+        )
+
+    out = (
+        daily.groupby("event_type")
+        .map_groups(tau_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "n_days": pa.array(out["n_days"].astype("int64"), pa.int64()),
+            "concordant": pa.array(
+                out["concordant"].astype("int64"), pa.int64()
+            ),
+            "discordant": pa.array(
+                out["discordant"].astype("int64"), pa.int64()
+            ),
+            "tau2_micro": pa.array(
+                out["tau2_micro"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
 def events_changepoint(sf_dir: str) -> rd.Dataset:
     """(event_type, split_day, gain_micro, mean_left_c, mean_right_c):
     OFFLINE single-changepoint detection per type over the gap-filled
@@ -4456,11 +4662,13 @@ def events_changepoint(sf_dir: str) -> rd.Dataset:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))  # trunc like //
         return (
             pd.DataFrame(
                 {
                     "event_type": df["event_type"],
-                    "day": us // US_PER_DAY,
+                    "day": day.astype("int64"),
                     "x": to_cents(df["value"]),
                 }
             )
@@ -5909,11 +6117,13 @@ def events_holtwinters(sf_dir: str) -> rd.Dataset:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // US_PER_DAY
+        day = day + ((us < 0) & (day * US_PER_DAY != us))  # trunc like //
         return (
             pd.DataFrame(
                 {
                     "event_type": df["event_type"],
-                    "day": us // US_PER_DAY,
+                    "day": day.astype("int64"),
                     "x": to_cents(df["value"]),
                 }
             )

@@ -505,3 +505,142 @@ class TestZorderLayout:
                 r["z_min"],
                 r["z_max"],
             ) == (n, d1mn, d1mx, d2mn, d2mx, zmn, zmx)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKendallTau:
+    def test_perfect_concordance(self, tmp_path):
+        """Counts and values both strictly increasing by day: tau = 1
+        exactly (signed square = 1e6). Build k+1 events on day k with
+        value k+1 dollars each: count = k+1, sum = (k+1)^2 dollars."""
+        rows = []
+        for d in range(6):
+            for _ in range(d + 1):
+                rows.append((d, "up", float(d + 1)))
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_kendall_tau
+
+        got = events_kendall_tau(str(tmp_path)).to_pandas().iloc[0]
+        n = 6
+        n0 = n * (n - 1) // 2
+        assert got["concordant"] == n0
+        assert got["discordant"] == 0
+        assert got["tau2_micro"] == 1_000_000
+
+    def test_matches_python_pair_replay(self, tmp_path):
+        rng = np.random.RandomState(7)
+        rows = []
+        for d in range(25):
+            for _ in range(int(rng.randint(0, 5))):
+                rows.append((d, "r", float(rng.randint(1, 500)) / 10))
+        # guarantee both endpoints exist so the span is fixed
+        rows.append((0, "r", 1.0))
+        rows.append((24, "r", 1.0))
+        _write_events(tmp_path, rows)
+        from suckit_ray.pipelines.relops import events_kendall_tau
+
+        got = events_kendall_tau(str(tmp_path)).to_pandas().iloc[0]
+        xs = [0] * 25
+        ys = [0] * 25
+        for d, _, v in rows:
+            xs[d] += 1
+            ys[d] += int(round(v * 100))
+        conc = disc = tx = ty = 0
+        n0 = 0
+        for i in range(25):
+            for j in range(i + 1, 25):
+                n0 += 1
+                dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+                if dx * dy > 0:
+                    conc += 1
+                elif dx * dy < 0:
+                    disc += 1
+                if dx == 0:
+                    tx += 1
+                if dy == 0:
+                    ty += 1
+        den = (n0 - tx) * (n0 - ty)
+        d_ = conc - disc
+        want = (
+            0
+            if den == 0
+            else (1 if d_ >= 0 else -1) * ((d_ * d_ * 1_000_000) // den)
+        )
+        assert (got["concordant"], got["discordant"]) == (conc, disc)
+        assert got["tau2_micro"] == want
+
+    def test_constant_series_zero(self, tmp_path):
+        _write_events(tmp_path, [(d, "c", 5.0) for d in range(8)])
+        from suckit_ray.pipelines.relops import events_kendall_tau
+
+        got = events_kendall_tau(str(tmp_path)).to_pandas().iloc[0]
+        assert got["tau2_micro"] == 0  # all pairs tied on both axes
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSeqSupport:
+    def _write_user_events(self, tmp_path, rows):
+        """rows: (user, ts_us, etype)."""
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([t for _, t, _ in rows], pa.timestamp("us")),
+                "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+                "event_type": pa.array([e for _, _, e in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+
+    def test_order_sensitivity(self, tmp_path):
+        """user 1: a then b (a->b counts, b->a not); user 2: b then a
+        (both directions? b->a counts; a's min > b's max so a->b not);
+        user 3: a and b at the SAME instant (strictly-before: neither)."""
+        self._write_user_events(
+            tmp_path,
+            [
+                (1, 100, "a"),
+                (1, 200, "b"),
+                (2, 300, "b"),
+                (2, 400, "a"),
+                (3, 500, "a"),
+                (3, 500, "b"),
+            ],
+        )
+        from suckit_ray.pipelines.relops import events_seq_support
+
+        got = events_seq_support(str(tmp_path)).to_pandas()
+        d = {
+            (r["type_a"], r["type_b"]): r["n_users"]
+            for _, r in got.iterrows()
+        }
+        assert d == {("a", "b"): 1, ("b", "a"): 1}
+
+    def test_matches_pandas_reference_on_sf(self):
+        from suckit_ray.pipelines.relops import events_seq_support
+
+        got = events_seq_support(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"]
+        ).to_pandas()
+        m = ev.groupby(["user_id", "event_type"])["ts"].agg(["min", "max"])
+        want: dict = {}
+        for uid, sub in m.groupby(level=0):
+            items = [
+                (t, row["min"], row["max"])
+                for (_, t), row in sub.iterrows()
+            ]
+            for ta, mna, _ in items:
+                for tb, _, mxb in items:
+                    if ta != tb and mna < mxb:
+                        want[(ta, tb)] = want.get((ta, tb), 0) + 1
+        gotd = {
+            (r["type_a"], r["type_b"]): r["n_users"]
+            for _, r in got.iterrows()
+        }
+        assert gotd == want
+        # directionality exists: overlap counts both ways, sequence
+        # support needn't be symmetric in general, but every pair must
+        # be bounded by the co-occurrence count
+        assert all(v > 0 for v in gotd.values())
