@@ -324,6 +324,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_cohort_retention",
         "events_theilsen",
         "docs_c4_filter",
+        # fourteenth session
+        "crawl_clustering_coeff",
+        "table_fds",
+        "events_welch_t",
+        "events_changepoint",
+        "events_holtwinters",
+        "docs_zorder_layout",
+        "events_kendall_tau",
+        "events_seq_support",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host
