@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": relops.events_changepoint,
         "events_kendall_tau": relops.events_kendall_tau,
         "events_seq_support": relops.events_seq_support,
+        "lineitem_group_regression": relops.lineitem_group_regression,
+        "orders_abc_class": relops.orders_abc_class,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
         "customer_k_anonymity": relops.customer_k_anonymity,
@@ -3486,6 +3488,66 @@ def oracle_sql() -> dict[str, str]:
                              AND b.event_type <> a.event_type
                              AND a.mn < b.mx
             GROUP BY 1, 2
+        """,
+        # grouped OLS: price cents on discount percent units, exact
+        # integer cross-products, trunc division (sign-after-floor)
+        "lineitem_group_regression": """
+            WITH p AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_discount * 100) AS HUGEINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM p GROUP BY 1, 2
+            ),
+            f AS (
+              SELECT l_returnflag, l_linestatus, n,
+                     n * sxy - sx * sy AS num_s,
+                     sy * sxx - sx * sxy AS num_i,
+                     n * sxx - sx * sx AS den
+              FROM s
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN den = 0 THEN 0
+                        ELSE (CASE WHEN num_s >= 0 THEN 1 ELSE -1 END)
+                             * ((abs(num_s) * 1000000) // den)
+                        END AS BIGINT) AS slope_micro,
+                   CAST(CASE WHEN den = 0 THEN 0
+                        ELSE (CASE WHEN num_i >= 0 THEN 1 ELSE -1 END)
+                             * (abs(num_i) // den)
+                        END AS BIGINT) AS intercept_c
+            FROM f
+        """,
+        # ABC classification: per-customer revenue, cumulative share
+        # thresholds compared as exact integers (100·cum vs 80/95·tot)
+        "orders_abc_class": """
+            WITH r AS (
+              SELECT o_custkey AS custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS revenue_c
+              FROM orders GROUP BY 1
+            ),
+            t AS (SELECT CAST(SUM(revenue_c) AS HUGEINT) AS tot FROM r),
+            c AS (
+              SELECT custkey, revenue_c,
+                     ROW_NUMBER()
+                       OVER (ORDER BY revenue_c DESC, custkey) AS rn,
+                     SUM(CAST(revenue_c AS HUGEINT))
+                       OVER (ORDER BY revenue_c DESC, custkey) AS cum
+              FROM r
+            )
+            SELECT custkey, revenue_c, CAST(rn AS BIGINT) AS rn,
+                   CAST(cum AS BIGINT) AS cum_c,
+                   CASE WHEN 100 * cum <= 80 * tot THEN 'A'
+                        WHEN 100 * cum <= 95 * tot THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c CROSS JOIN t
         """,
         # Kendall tau-b (signed squared, micro) between daily count
         # and daily cent sum over the gap-filled grid

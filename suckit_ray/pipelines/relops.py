@@ -7590,3 +7590,204 @@ def events_theilsen(sf_dir: str) -> rd.Dataset:
     return daily.groupby("event_type").map_groups(
         ts_group, batch_format="pandas"
     )
+
+
+def lineitem_group_regression(sf_dir: str) -> pa.Table:
+    """(l_returnflag, l_linestatus, n, slope_micro, intercept_c):
+    per-group ordinary-least-squares fit of extended price (cents, y)
+    on discount (percent units, x) — the grouped-regression shape a
+    pipeline runs to audit pricing linearity per segment (the GROUPED
+    sibling of ``events_regression``'s single global fit). Exact in
+    both engines: the closed forms
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    are carried as integer cross-products; the single division per
+    statistic is floored on |num| with the sign applied after (the
+    acf/spearman idiom — matches DuckDB's truncating ``//``), scaled
+    micro for the slope and plain cents for the intercept. Degenerate
+    groups (constant x) report 0/0.
+
+    Plan: ONE two-phase (flag, status) aggregation carries all five
+    sufficient statistics as int64 partials (x ≤ 10 keeps Σxy far
+    from overflow at any SF); the ≤ R×S closed-form evaluations run
+    driver-side on Python ints, so n·Σxy never touches int64."""
+    agg = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_discount",
+                "l_extendedprice",
+            ],
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "l_returnflag": df["l_returnflag"],
+                    "l_linestatus": df["l_linestatus"],
+                    "n": np.ones(len(df), dtype="int64"),
+                    "sx": to_cents(df["l_discount"]),
+                    "sy": to_cents(df["l_extendedprice"]),
+                    "sxy": to_cents(df["l_discount"])
+                    * to_cents(df["l_extendedprice"]),
+                    "sxx": to_cents(df["l_discount"]) ** 2,
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum(),
+            batch_format="pandas",
+        ),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n": ("n", "sum"),
+            "sx": ("sx", "sum"),
+            "sy": ("sy", "sum"),
+            "sxy": ("sxy", "sum"),
+            "sxx": ("sxx", "sum"),
+        },
+    )
+
+    rows = sorted(
+        agg.iter_rows(),
+        key=lambda r: (r["l_returnflag"], r["l_linestatus"]),
+    )
+    flags, stats, ns, slopes, inters = [], [], [], [], []
+    for r in rows:
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
+        den = n * sxx - sx * sx
+        num_s = n * sxy - sx * sy
+        num_i = sy * sxx - sx * sxy
+        slope = (
+            0
+            if den == 0
+            else (1 if num_s >= 0 else -1) * ((abs(num_s) * 1_000_000) // den)
+        )
+        inter = (
+            0
+            if den == 0
+            else (1 if num_i >= 0 else -1) * (abs(num_i) // den)
+        )
+        flags.append(r["l_returnflag"])
+        stats.append(r["l_linestatus"])
+        ns.append(n)
+        slopes.append(slope)
+        inters.append(inter)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "l_linestatus": pa.array(stats, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "slope_micro": pa.array(slopes, pa.int64()),
+            "intercept_c": pa.array(inters, pa.int64()),
+        }
+    )
+
+
+def orders_abc_class(sf_dir: str) -> rd.Dataset:
+    """(custkey, revenue_c, rn, cum_c, abc_class): ABC inventory-style
+    classification of customers by revenue — class A while the
+    running revenue share (ordered revenue DESC, custkey ASC) stays
+    ≤ 80%, B through 95%, C beyond; the per-entity assignment the
+    80/20 REPORT (``orders_pareto``) summarizes. Thresholds compare
+    exact integers (100·cum ≤ 80·total / ≤ 95·total) — no share is
+    ever materialized as a float.
+
+    Plan — the shared range-partition recipe (``orders_pareto`` /
+    ``events_value_rank``): per-custkey revenue from one bucketed
+    co-group; sample-trained splits on the NEGATED revenue range-
+    partition the customers; per-bucket (count, sum) partials give
+    O(buckets) driver exclusive prefixes; each bucket then labels its
+    rows with one local sorted cumsum on top of its bases. No global
+    sort materializes and the output stays a Dataset — rows never
+    converge on the driver. Equal revenues always land in one bucket
+    (split points are values), so the (rev DESC, custkey) tie order
+    is globally exact."""
+    import ray
+
+    rev = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "cust": df["o_custkey"].astype("int64"),
+                    "rev": to_cents(df["o_totalprice"]),
+                }
+            )
+            .groupby("cust", as_index=False)
+            .agg(rev=("rev", "sum")),
+            batch_format="pandas",
+        ),
+        keys=["cust"],
+        aggs={"rev": ("rev", "sum")},
+    ).map_batches(
+        lambda df: df.assign(negrev=-df["rev"].to_numpy()),
+        batch_format="pandas",
+    )
+
+    empty = pa.table(
+        {
+            "custkey": pa.array([], pa.int64()),
+            "revenue_c": pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64()),
+            "cum_c": pa.array([], pa.int64()),
+            "abc_class": pa.array([], pa.string()),
+        }
+    )
+    splits = _train_rank_splits(rev, 32, id_col="cust", value_col="negrev")
+    if splits is None:
+        return rd.from_arrow(empty)
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        return df.assign(
+            bucket=np.searchsorted(
+                sp, df["negrev"].to_numpy(), side="right"
+            ).astype("int64")
+        )
+
+    bucketed = rev.map_batches(bucketize, batch_format="pandas").materialize()
+    parts = (
+        bucketed.map_batches(
+            lambda df: df.groupby("bucket", as_index=False).agg(
+                n=("cust", "size"), s=("rev", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("bucket")
+        .sum()
+        .sort_index()
+    )
+    total = int(parts["s"].sum())
+    base_n = (parts["n"].cumsum() - parts["n"]).to_dict()  # exclusive
+    base_s = (parts["s"].cumsum() - parts["s"]).to_dict()
+    bases_ref = ray.put((base_n, base_s, total))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        bn, bs, tot = ray.get(bases_ref)
+        b = int(g["bucket"].iloc[0])
+        g = g.sort_values(["negrev", "cust"], kind="mergesort")
+        n = len(g)
+        rn = int(bn[b]) + np.arange(1, n + 1, dtype="int64")
+        # int64 cumsum: total cents ~2e13 at SF1; the oracle's HUGEINT
+        # and a Python-int fold cover the scales beyond
+        cum = int(bs[b]) + g["rev"].to_numpy().cumsum()
+        cls = np.where(
+            100 * cum <= 80 * tot, "A", np.where(100 * cum <= 95 * tot, "B", "C")
+        )
+        return pd.DataFrame(
+            {
+                "custkey": g["cust"].to_numpy(),
+                "revenue_c": g["rev"].to_numpy(),
+                "rn": rn,
+                "cum_c": cum.astype("int64"),
+                "abc_class": cls,
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
