@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seq_support": relops.events_seq_support,
         "lineitem_group_regression": relops.lineitem_group_regression,
         "orders_abc_class": relops.orders_abc_class,
+        "events_scd2": relops.events_scd2,
+        "events_bootstrap_ci": relops.events_bootstrap_ci,
+        "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
         "customer_k_anonymity": relops.customer_k_anonymity,
@@ -3549,6 +3552,118 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'C' END AS abc_class
             FROM c CROSS JOIN t
         """,
+        # SCD Type 2: consecutive equal event_type values per user
+        # collapse into validity intervals; open record valid_to = -1
+        "events_scd2": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+              FROM events
+            ),
+            o AS (
+              SELECT user_id, event_type, us, event_id,
+                     CASE WHEN LAG(event_type) OVER w
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS is_start
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY us, event_id)
+            ),
+            isl AS (
+              SELECT user_id, event_type, us,
+                     SUM(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS ver
+              FROM o
+            ),
+            runs AS (
+              SELECT user_id, CAST(ver AS BIGINT) AS version,
+                     MIN(event_type) AS event_type,
+                     MIN(us) AS valid_from_us
+              FROM isl GROUP BY user_id, ver
+            )
+            SELECT user_id, version, event_type, valid_from_us,
+                   COALESCE(LEAD(valid_from_us)
+                              OVER (PARTITION BY user_id
+                                    ORDER BY version), -1)
+                     AS valid_to_us
+            FROM runs
+        """,
+        # deterministic bootstrap: resample b redraws n observed daily
+        # cent totals picking index md5h60('b:j') % n; mean truncates
+        "events_bootstrap_ci": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS t
+              FROM events GROUP BY 1
+            ),
+            idx AS (
+              SELECT t, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i
+              FROM daily
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM idx),
+            -- draw slot j reuses idx.i (already exactly 0..n-1);
+            -- generate_series can't take a subquery bound in DuckDB
+            draws AS (
+              SELECT b.b AS b,
+                     ('0x' || substr(md5(b.b || ':' || j.i), 1, 15))
+                       ::BIGINT % nn.n AS pick
+              FROM generate_series(1, 200) b(b)
+              CROSS JOIN nn
+              CROSS JOIN (SELECT i FROM idx) j
+            )
+            SELECT CAST(d.b AS BIGINT) AS b,
+                   CAST(SUM(CAST(i.t AS HUGEINT))
+                        // (SELECT n FROM nn) AS BIGINT) AS mean_c
+            FROM draws d JOIN idx i ON i.i = d.pick
+            GROUP BY d.b
+        """,
+        # simplified silhouette against trunc-div integer label
+        # centroids; sil = sign(b-a)·(10^6·|b-a|)//max(a,b)
+        "embeddings_silhouette": """
+            WITH q AS (
+              -- CAST to DOUBLE first: FLOAT * INT stays float32 in
+              -- DuckDB and floor() then disagrees with numpy's
+              -- float64 path on ~0.4% of components
+              SELECT vec_id, label, i AS dim,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS qv
+              FROM embeddings,
+                   LATERAL unnest(generate_series(1, len(embedding)))
+                     t(i)
+            ),
+            s AS (
+              SELECT label, dim, SUM(CAST(qv AS HUGEINT)) AS sv,
+                     CAST(COUNT(*) AS HUGEINT) AS n
+              FROM q GROUP BY 1, 2
+            ),
+            c AS (SELECT label, dim, sv // n AS cv FROM s),
+            d2 AS (
+              SELECT q.vec_id, q.label AS own, c.label AS other,
+                     SUM((CAST(q.qv AS HUGEINT) - c.cv)
+                         * (CAST(q.qv AS HUGEINT) - c.cv)) AS d2
+              FROM q JOIN c ON c.dim = q.dim
+              GROUP BY 1, 2, 3
+            ),
+            a AS (
+              SELECT vec_id, own, d2 AS a FROM d2 WHERE own = other
+            ),
+            b AS (
+              SELECT vec_id, other, d2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, other) AS rn
+              FROM d2 WHERE own <> other
+            )
+            SELECT a.vec_id,
+                   CAST(a.own AS BIGINT) AS label,
+                   CAST(b.other AS BIGINT) AS best_other,
+                   CAST(CASE WHEN GREATEST(a.a, b.d2) = 0 THEN 0
+                        ELSE (CASE WHEN b.d2 >= a.a THEN 1 ELSE -1 END)
+                             * ((1000000 * abs(b.d2 - a.a))
+                                // GREATEST(a.a, b.d2))
+                        END AS BIGINT) AS sil_micro
+            FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
         # Kendall tau-b (signed squared, micro) between daily count
         # and daily cent sum over the gap-filled grid
         "events_kendall_tau": """
@@ -4396,8 +4511,11 @@ def oracle_sql() -> dict[str, str]:
         # in HUGEINT, scaled by 10^12 into BIGINT
         "embeddings_drift": f"""
             WITH q AS (
+              -- CAST to DOUBLE first (FLOAT * INT stays float32 and
+              -- floor() then drifts off numpy's float64 quantization)
               SELECT label, vec_id % 2 AS snap, i AS dim,
-                     CAST(floor(embedding[i] * 1000000) AS HUGEINT) AS qv
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS HUGEINT) AS qv
               FROM embeddings,
                    LATERAL unnest(generate_series(1, len(embedding))) t(i)
             ),

@@ -333,6 +333,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_zorder_layout",
         "events_kendall_tau",
         "events_seq_support",
+        # fifteenth session
+        "lineitem_group_regression",
+        "orders_abc_class",
+        "events_scd2",
+        "events_bootstrap_ci",
+        "embeddings_silhouette",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -1218,3 +1218,119 @@ def embeddings_dbscan(
         )
 
     return out.map_batches(assemble, batch_format="pandas")
+
+
+def embeddings_silhouette(sf_dir: str) -> rd.Dataset:
+    """(vec_id, label, best_other, sil_micro): a SILHOUETTE cluster-
+    quality audit of the label partition (Rousseeuw 1987, public) in
+    the simplified per-centroid form — for each vector, a = squared
+    distance to its OWN label centroid, b = min squared distance to
+    any OTHER label centroid (best_other = that label, ties to the
+    smaller label), and
+
+        sil_micro = sign(b − a) · (10^6 · |b − a|) // max(a, b)
+
+    (0 when max = 0). Positive ⇒ the vector sits closer to its own
+    centroid than any other — the per-point form of the drift
+    monitor's per-label aggregate, and the audit run before trusting
+    label-blocked dedup or a label-partitioned ANN index.
+
+    Exactness: components quantize floor(x·10^6) (the drift idiom) and
+    centroids are TRUNC-DIV integer vectors s[d] // n (toward zero —
+    DuckDB ``//``; embeddings go negative), so every distance is a
+    plain int64 and both engines rank identically. The 10^6 scaling of
+    the final division exceeds int64 mid-product, so it runs as the
+    exact two-step split q·10³ + (r·10³)//m with every intermediate
+    < 2^63.
+
+    Plan: pass 1 reuses the drift-style per-(label, dim) integer sums
+    (one bucketed aggregation, O(labels·(d+1)) rows to the driver);
+    the tiny centroid matrix rides the closure into pass 2, one
+    vectorized map_batches over the corpus — no shuffle touches
+    vectors."""
+    from suckit_ray.pipelines.relops import _trunc_div
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        labs, dims, vals = [], [], []
+        lab = df["label"].astype("int64").to_numpy()
+        for l, idx in pd.DataFrame({"l": lab}).groupby("l").groups.items():
+            m = np.stack(
+                df["embedding"].to_numpy()[np.asarray(idx)]
+            ).astype(np.float64)
+            q = np.floor(m * DRIFT_Q).astype(np.int64)
+            s = q.sum(axis=0)
+            d = s.shape[0]
+            labs.extend([int(l)] * (d + 1))
+            dims.extend(range(0, d + 1))
+            vals.append(len(m))  # dim 0 = row count
+            vals.extend(s.tolist())
+        return pd.DataFrame({"label": labs, "dim": dims, "s": vals})
+
+    agg = bucketed_groupby_agg(
+        _read_embeddings(sf_dir, with_label=True).map_batches(
+            sums, batch_format="pandas"
+        ),
+        keys=["label", "dim"],
+        aggs={"s": ("s", "sum")},
+    ).to_pandas()  # O(labels × (d+1))
+
+    labels = sorted(int(l) for l in agg["label"].unique())
+    cent = {}
+    for l in labels:
+        g = agg[agg["label"] == l].set_index("dim")["s"]
+        n = int(g[0])
+        dims = sorted(d for d in g.index if d > 0)
+        cent[l] = np.array(
+            [_trunc_div(int(g[d]), n) for d in dims], dtype="int64"
+        )
+    lab_arr = np.array(labels, dtype="int64")
+    C = (
+        np.stack([cent[l] for l in labels])
+        if labels
+        else np.zeros((0, 0), dtype="int64")
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or len(lab_arr) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64"),
+                    "best_other": pd.Series([], dtype="int64"),
+                    "sil_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(m * DRIFT_Q).astype(np.int64)
+        own = df["label"].astype("int64").to_numpy()
+        # dists: rows × labels, all-int64 (≤ d · (2·10^6·2)^2 « 2^63)
+        diff = q[:, None, :] - C[None, :, :]
+        dists = (diff * diff).sum(axis=2)
+        own_col = np.searchsorted(lab_arr, own)
+        a = dists[np.arange(len(q)), own_col]
+        masked = dists.copy()
+        masked[np.arange(len(q)), own_col] = np.iinfo(np.int64).max
+        best_col = masked.argmin(axis=1)  # argmin ties → lowest label
+        b = masked[np.arange(len(q)), best_col]
+        dgap = np.abs(b - a)
+        mx = np.maximum(a, b)
+        safe = np.where(mx == 0, 1, mx)
+        # exact (10^6·dgap)//mx without overflow: split 10^6 = 10^3·10^3
+        x1 = dgap * 1_000
+        q1, r1 = x1 // safe, x1 % safe
+        mag = q1 * 1_000 + (r1 * 1_000) // safe
+        sil = np.where(mx == 0, 0, np.sign(b - a) * mag)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64").to_numpy(),
+                "label": own,
+                "best_other": lab_arr[best_col],
+                "sil_micro": sil.astype("int64"),
+            }
+        )
+
+    return _read_embeddings(sf_dir, with_label=True).map_batches(
+        score, batch_format="pandas"
+    )

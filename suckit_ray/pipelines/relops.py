@@ -7791,3 +7791,154 @@ def orders_abc_class(sf_dir: str) -> rd.Dataset:
         )
 
     return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+def events_scd2(sf_dir: str) -> rd.Dataset:
+    """(user_id, version, event_type, valid_from_us, valid_to_us): a
+    Slowly-Changing-Dimension TYPE 2 build from the event log — each
+    user's event_type stream, ordered by (ts, event_id), collapses
+    consecutive equal values into validity intervals [valid_from,
+    valid_to) with the open (current) record carrying valid_to = -1.
+    This is the dimension-table maintenance pass a warehouse runs over
+    a CDC feed: ``events_latest_state`` keeps only the last record;
+    SCD2 keeps the full history as non-overlapping intervals.
+
+    Shape: gaps-and-islands (change-flag cumsum) chained into a LEAD —
+    both evaluated GROUP-LOCALLY inside one user-hash co-group, fully
+    vectorized (shift-compare island starts, cumsum versions, shift(-1)
+    interval ends). ONE shuffle carrying four small columns; nothing
+    per-user reaches the driver."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "us": us,
+                "event_id": df["event_id"].astype("int64"),
+                "bucket": (df["user_id"].astype("int64") % B),
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "version": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="str"),
+                    "valid_from_us": pd.Series([], dtype="int64"),
+                    "valid_to_us": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(
+            ["user_id", "us", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        start = new_user.copy()
+        start[1:] |= et[1:] != et[:-1]
+        # version = per-user running count of island starts
+        gstart = start.astype("int64").cumsum()
+        base = np.maximum.accumulate(
+            np.where(new_user, gstart - 1, 0)
+        )  # gstart value just before each user's first island
+        ver = gstart - base
+        runs = g.loc[start, ["user_id", "event_type", "us"]].copy()
+        runs["version"] = ver[start]
+        vf = runs["us"].to_numpy()
+        ru = runs["user_id"].to_numpy()
+        vt = np.full(len(runs), -1, dtype="int64")
+        if len(runs) > 1:
+            same = ru[:-1] == ru[1:]
+            vt[:-1] = np.where(same, vf[1:], -1)
+        return pd.DataFrame(
+            {
+                "user_id": runs["user_id"].astype("int64").to_numpy(),
+                "version": runs["version"].astype("int64").to_numpy(),
+                "event_type": runs["event_type"].to_numpy(),
+                "valid_from_us": vf,
+                "valid_to_us": vt,
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+BOOTSTRAP_B = 200
+
+
+def events_bootstrap_ci(sf_dir: str) -> pa.Table:
+    """(b, mean_c): the DETERMINISTIC bootstrap distribution of the
+    mean daily revenue — resample b (1..200) redraws n days (with
+    replacement) from the n observed daily cent totals, picking index
+    md5h60(f"{{b}}:{{j}}") % n for draw j, and reports the resampled
+    mean in cents (truncating division, DuckDB ``//``). Empirical
+    quantiles of this 200-row table ARE the bootstrap confidence
+    interval (Efron 1979, public) — md5-derived draws make both
+    engines sample identically, the ``docs_global_shuffle`` /
+    ``docs_weighted_sample`` seeded-randomness trick applied to
+    statistical inference.
+
+    Plan: the daily totals come from one two-phase (day) aggregation;
+    the resampling then runs on the O(days) calendar-bounded vector
+    driver-side (the acf/theilsen/holt precedent — B·n index hashes
+    over ≤ a few hundred days, never over events)."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "day": (us // 86_400_000_000).astype("int64"),
+                "cents": to_cents(df["value"]),
+            }
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        keys=["day"],
+        aggs={"t": ("cents", "sum")},
+    ).to_pandas()  # O(days) — calendar-bounded
+
+    if not len(daily):
+        return pa.table(
+            {"b": pa.array([], pa.int64()), "mean_c": pa.array([], pa.int64())}
+        )
+    daily = daily.sort_values("day", kind="mergesort")
+    t = daily["t"].to_numpy().astype("int64")
+    n = len(t)
+    bs, means = [], []
+    for b in range(1, BOOTSTRAP_B + 1):
+        picks = np.array(
+            [
+                int(hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:15], 16) % n
+                for j in range(n)
+            ],
+            dtype="int64",
+        )
+        s = int(t[picks].sum())
+        means.append(_trunc_div(s, n))
+        bs.append(b)
+    return pa.table(
+        {
+            "b": pa.array(bs, pa.int64()),
+            "mean_c": pa.array(means, pa.int64()),
+        }
+    )

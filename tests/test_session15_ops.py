@@ -187,3 +187,240 @@ class TestAbcClass:
         # every class present and monotone A..C in rank order
         s = "".join(got["abc_class"])
         assert s == "".join(sorted(s))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScd2:
+    def test_engineered_history(self, tmp_path):
+        """User 1: A,A,B,A — three islands; user 2: single open C."""
+        rows = [
+            (0, "A", 1.0),
+            (1, "A", 1.0),
+            (2, "B", 1.0),
+            (3, "A", 1.0),
+            (5, "C", 1.0),
+        ]
+        _write_events(tmp_path, rows, users=[1, 1, 1, 1, 2])
+        from suckit_ray.pipelines.relops import events_scd2
+
+        got = (
+            events_scd2(str(tmp_path))
+            .to_pandas()
+            .sort_values(["user_id", "version"])
+            .reset_index(drop=True)
+        )
+        D = 86_400_000_000
+        exp = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2],
+                "version": [1, 2, 3, 1],
+                "event_type": ["A", "B", "A", "C"],
+                "valid_from_us": [0, 2 * D, 3 * D, 5 * D],
+                "valid_to_us": [2 * D, 3 * D, -1, -1],
+            }
+        )
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes), exp)
+
+    def test_same_ts_tiebreak_on_event_id(self, tmp_path):
+        """Two events at the SAME timestamp: event_id orders them, so
+        the type at the higher event_id starts the later island."""
+        rows = [(0, "A", 1.0), (0, "B", 1.0)]
+        _write_events(tmp_path, rows, users=[1, 1])
+        from suckit_ray.pipelines.relops import events_scd2
+
+        got = (
+            events_scd2(str(tmp_path))
+            .to_pandas()
+            .sort_values("version")
+            .reset_index(drop=True)
+        )
+        assert list(got["event_type"]) == ["A", "B"]
+        assert list(got["valid_to_us"]) == [0, -1]
+
+    def test_intervals_partition_user_history_on_sf(self):
+        """On the real table: per user, intervals abut exactly (each
+        valid_to equals the next valid_from), versions are 1..k, and
+        exactly one open record exists per user."""
+        from suckit_ray.pipelines.relops import events_scd2
+
+        got = events_scd2(SF).to_pandas()
+        for uid, g in got.groupby("user_id"):
+            g = g.sort_values("version").reset_index(drop=True)
+            assert list(g["version"]) == list(range(1, len(g) + 1))
+            assert (g["valid_to_us"].iloc[-1]) == -1
+            assert (g["valid_to_us"].iloc[:-1] >= 0).all()
+            assert (
+                g["valid_to_us"].iloc[:-1].to_numpy()
+                == g["valid_from_us"].iloc[1:].to_numpy()
+            ).all()
+            # consecutive records always change type (islands maximal)
+            et = g["event_type"].to_numpy()
+            assert (et[1:] != et[:-1]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBootstrapCi:
+    def test_matches_pure_python_replay(self):
+        import hashlib
+
+        import duckdb
+
+        from suckit_ray.pipelines.relops import (
+            BOOTSTRAP_B,
+            events_bootstrap_ci,
+        )
+
+        got = events_bootstrap_ci(SF).to_pandas().set_index("b")["mean_c"]
+        daily = (
+            duckdb.sql(
+                f"""
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       SUM(CAST(round(value * 100) AS BIGINT)) AS t
+                FROM read_parquet('{SF}/events.parquet')
+                GROUP BY 1 ORDER BY 1
+                """
+            )
+            .df()["t"]
+            .astype("int64")
+            .tolist()
+        )
+        n = len(daily)
+        for b in (1, 7, BOOTSTRAP_B):
+            s = sum(
+                daily[
+                    int(
+                        hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % n
+                ]
+                for j in range(n)
+            )
+            assert int(got[b]) == s // n  # positive sums: floor==trunc
+
+    def test_ci_brackets_point_estimate(self):
+        """The empirical 5–95% band of the bootstrap means contains
+        the full-sample mean (it must, for an unskewed resample)."""
+        import duckdb
+
+        from suckit_ray.pipelines.relops import events_bootstrap_ci
+
+        means = sorted(events_bootstrap_ci(SF).to_pandas()["mean_c"])
+        point = int(
+            duckdb.sql(
+                f"""
+                WITH d AS (
+                  SELECT epoch_us(ts) // 86400000000 AS day,
+                         SUM(CAST(round(value * 100) AS BIGINT)) AS t
+                  FROM read_parquet('{SF}/events.parquet') GROUP BY 1
+                )
+                SELECT SUM(t) // COUNT(*) FROM d
+                """
+            ).fetchone()[0]
+        )
+        lo = means[(5 * (len(means) - 1)) // 100]
+        hi = means[(95 * (len(means) - 1)) // 100]
+        assert lo <= point <= hi
+        assert lo < hi  # non-degenerate distribution
+
+    def test_empty_table(self, tmp_path):
+        _write_events(tmp_path, [])
+        from suckit_ray.pipelines.relops import events_bootstrap_ci
+
+        got = events_bootstrap_ci(str(tmp_path))
+        assert got.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSilhouette:
+    def test_matches_numpy_reference(self):
+        from suckit_ray.pipelines.ann import embeddings_silhouette
+
+        got = (
+            embeddings_silhouette(SF)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        tb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        m = np.stack(tb["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(m * 1_000_000).astype(np.int64)
+        lab = tb["label"].astype("int64").to_numpy()
+        labels = sorted(set(lab.tolist()))
+
+        def tdiv(a, b):
+            r = a // b
+            if r < 0 and r * b != a:
+                r += 1
+            return r
+
+        C = np.stack(
+            [
+                np.array(
+                    [
+                        tdiv(int(s), int((lab == l).sum()))
+                        for s in q[lab == l].sum(axis=0)
+                    ]
+                )
+                for l in labels
+            ]
+        )
+        tb = tb.sort_values("vec_id").reset_index(drop=True)
+        order = np.argsort(
+            pq.read_table(f"{SF}/embeddings.parquet")
+            .to_pandas()["vec_id"]
+            .to_numpy()
+        )
+        q, lab = q[order], lab[order]
+        for i in range(0, len(q), 97):  # sampled rows, exact replay
+            d = ((q[i][None, :] - C) ** 2).sum(axis=1)
+            own_i = labels.index(int(lab[i]))
+            a = int(d[own_i])
+            b, bo = min(
+                (int(d[j]), labels[j])
+                for j in range(len(labels))
+                if j != own_i
+            )
+            mx = max(a, b)
+            sil = (
+                0
+                if mx == 0
+                else (1 if b >= a else -1) * ((10**6 * abs(b - a)) // mx)
+            )
+            row = got.iloc[i]
+            assert int(row["label"]) == int(lab[i])
+            assert int(row["best_other"]) == bo
+            assert int(row["sil_micro"]) == sil
+
+    def test_separated_clusters_score_positive(self, tmp_path):
+        """Two tight, well-separated clusters: every silhouette is
+        strongly positive; a point planted AT the other centroid
+        scores negative."""
+        vecs = (
+            [[1.0, 0.0, 0.0]] * 4
+            + [[0.9, 0.1, 0.0]] * 4
+            + [[0.0, 1.0, 0.0]] * 8
+            + [[0.0, 1.0, 0.0]]  # label-0 traitor at cluster 1's mean
+        )
+        labs = [0] * 8 + [1] * 8 + [0]
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    vecs, pa.list_(pa.float32())
+                ),
+                "label": pa.array(labs, pa.int32()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "embeddings.parquet")
+        from suckit_ray.pipelines.ann import embeddings_silhouette
+
+        got = (
+            embeddings_silhouette(str(tmp_path))
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert (got["sil_micro"].iloc[:16] > 0).all()
+        assert int(got["sil_micro"].iloc[16]) < 0
+        assert int(got["best_other"].iloc[16]) == 1
