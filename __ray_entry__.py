@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_abc_class": relops.orders_abc_class,
         "events_scd2": relops.events_scd2,
         "events_bootstrap_ci": relops.events_bootstrap_ci,
+        "events_mannwhitney": relops.events_mannwhitney,
+        "events_km_survival": relops.events_km_survival,
+        "events_haar": relops.events_haar,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -3663,6 +3666,142 @@ def oracle_sql() -> dict[str, str]:
                                 // GREATEST(a.a, b.d2))
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
+        # Mann-Whitney U with exact tie handling: doubled average rank
+        # R2 = 2·cum − c + 1 keeps every statistic integer
+        "events_mannwhitney": """
+            WITH c AS (
+              SELECT event_type AS t,
+                     CAST(round(value * 100) AS BIGINT) AS v,
+                     CAST(count(*) AS HUGEINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            ty AS (SELECT DISTINCT t FROM c),
+            pairs AS (
+              SELECT a.t AS ta, b.t AS tb
+              FROM ty a JOIN ty b ON b.t > a.t
+            ),
+            grid AS (
+              SELECT DISTINCT p.ta, p.tb, c.v
+              FROM pairs p JOIN c ON c.t = p.ta OR c.t = p.tb
+            ),
+            s AS (
+              SELECT g.ta, g.tb, g.v,
+                     COALESCE(ca.n, 0) AS nav,
+                     COALESCE(cb.n, 0) AS nbv,
+                     SUM(COALESCE(ca.n, 0) + COALESCE(cb.n, 0))
+                       OVER w AS cumt
+              FROM grid g
+              LEFT JOIN c ca ON ca.t = g.ta AND ca.v = g.v
+              LEFT JOIN c cb ON cb.t = g.tb AND cb.v = g.v
+              WINDOW w AS (PARTITION BY g.ta, g.tb ORDER BY g.v)
+            ),
+            r AS (
+              SELECT ta, tb,
+                     SUM(nav * (2 * cumt - (nav + nbv) + 1)) AS s2a
+              FROM s GROUP BY 1, 2
+            ),
+            tot AS (SELECT t, SUM(n) AS nt FROM c GROUP BY 1)
+            SELECT r.ta AS type_a, r.tb AS type_b,
+                   CAST(na.nt AS BIGINT) AS n_a,
+                   CAST(nb.nt AS BIGINT) AS n_b,
+                   CAST(r.s2a - na.nt * (na.nt + 1) AS BIGINT) AS u2_a,
+                   CAST(2 * na.nt * nb.nt
+                        - (r.s2a - na.nt * (na.nt + 1))
+                        AS BIGINT) AS u2_b
+            FROM r
+            JOIN tot na ON na.t = r.ta
+            JOIN tot nb ON nb.t = r.tb
+        """,
+        # Kaplan-Meier time-to-first-purchase, right-censored at a
+        # 3-day horizon: per-step integer floor has no prefix form,
+        # so the oracle replays the recursion
+        "events_km_survival": """
+            WITH RECURSIVE d AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts) // 86400000000) AS f,
+                     MIN(CASE WHEN event_type = 'purchase'
+                         THEN epoch_us(ts) // 86400000000 END) AS p
+              FROM events GROUP BY 1
+            ),
+            u AS (
+              SELECT LEAST(COALESCE(p - f, 4611686018427387904), 3)
+                       AS t,
+                     CASE WHEN p - f <= 3 THEN 1 ELSE 0 END AS ev
+              FROM d
+            ),
+            ev_times AS (
+              SELECT t, CAST(COUNT(*) AS HUGEINT) AS d_events,
+                     ROW_NUMBER() OVER (ORDER BY t) AS k
+              FROM u WHERE ev = 1 GROUP BY t
+            ),
+            risk AS (
+              SELECT e.t, e.k, e.d_events,
+                     (SELECT CAST(COUNT(*) AS HUGEINT) FROM u
+                      WHERE u.t >= e.t) AS n_risk
+              FROM ev_times e
+            ),
+            km AS (
+              SELECT CAST(0 AS BIGINT) AS k,
+                     CAST(1000000 AS HUGEINT) AS s
+              UNION ALL
+              SELECT r.k,
+                     km.s * (r.n_risk - r.d_events) // r.n_risk
+              FROM km JOIN risk r ON r.k = km.k + 1
+            )
+            SELECT CAST(r.t AS BIGINT) AS t_days,
+                   CAST(r.n_risk AS BIGINT) AS n_risk,
+                   CAST(r.d_events AS BIGINT) AS d_events,
+                   CAST(km.s AS BIGINT) AS s_micro
+            FROM risk r JOIN km ON km.k = r.k
+        """,
+        # 3-level unnormalized integer Haar over the gap-filled daily
+        # grid, zero-padded to a multiple of 8 (lossless, no division;
+        # generate_series takes no subquery bound, so a constant
+        # 131072-day ceiling is filtered down to the padded span)
+        "events_haar": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS t
+              FROM events GROUP BY 1
+            ),
+            b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            n AS (
+              SELECT ((hi - lo + 1 + 7) // 8) * 8 AS padded FROM b
+            ),
+            grid AS (
+              SELECT gs.i AS i, COALESCE(d.t, 0) AS x
+              FROM generate_series(0, 131071) gs(i)
+              CROSS JOIN n
+              LEFT JOIN daily d
+                ON d.day = (SELECT lo FROM b) + gs.i
+              WHERE gs.i < n.padded
+            ),
+            l1 AS (
+              SELECT i // 2 AS i, SUM(x) AS a,
+                     SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS d
+              FROM grid GROUP BY 1
+            ),
+            l2 AS (
+              SELECT i // 2 AS i, SUM(a) AS a,
+                     SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS d
+              FROM l1 GROUP BY 1
+            ),
+            l3 AS (
+              SELECT i // 2 AS i, SUM(a) AS a,
+                     SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS d
+              FROM l2 GROUP BY 1
+            )
+            SELECT CAST(1 AS BIGINT) AS lvl, CAST(i AS BIGINT) AS i,
+                   CAST(a AS BIGINT) AS approx_c,
+                   CAST(d AS BIGINT) AS detail_c
+            FROM l1
+            UNION ALL
+            SELECT 2, CAST(i AS BIGINT), CAST(a AS BIGINT),
+                   CAST(d AS BIGINT) FROM l2
+            UNION ALL
+            SELECT 3, CAST(i AS BIGINT), CAST(a AS BIGINT),
+                   CAST(d AS BIGINT) FROM l3
         """,
         # Kendall tau-b (signed squared, micro) between daily count
         # and daily cent sum over the gap-filled grid

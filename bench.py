@@ -339,6 +339,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_scd2",
         "events_bootstrap_ci",
         "embeddings_silhouette",
+        "events_mannwhitney",
+        "events_km_survival",
+        "events_haar",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

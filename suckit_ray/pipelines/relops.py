@@ -7942,3 +7942,306 @@ def events_bootstrap_ci(sf_dir: str) -> pa.Table:
             "mean_c": pa.array(means, pa.int64()),
         }
     )
+
+
+def events_mannwhitney(sf_dir: str) -> rd.Dataset:
+    """(type_a, type_b, n_a, n_b, u2_a, u2_b): the Mann-Whitney U
+    rank-sum statistic between every pair of event types' cent-value
+    distributions (Mann & Whitney 1947, public) — the nonparametric
+    drift test that catches location shifts the KS max-gap statistic
+    is less sensitive to. Ties carried EXACTLY via average ranks in
+    HALF units: on the merged value grid with per-value counts c_v,
+    the doubled average rank is R2_v = 2·cum_v − c_v + 1 (an integer),
+    so the doubled rank-sum S2_a = Σ na_v·R2_v and
+
+        u2_a = S2_a − n_a·(n_a + 1),   u2_b = 2·n_a·n_b − u2_a
+
+    are exact int64 end to end (no halves ever materialize; int64
+    holds to ~10^9 events per pair, the ks_test bound).
+
+    Plan: IDENTICAL wiring to ``events_ks_test`` — the shared
+    (type, cent) histogram exchange, O(types) broadcast, histogram
+    rows replicated per pair, one pair co-group doing a vectorized
+    cumsum — only the group fold differs."""
+    import ray
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "value_c": to_cents(df["value"])}
+        )
+
+    hist = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(cents, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    ).materialize()  # feeds the type scan AND the pair groups
+
+    types = sorted(
+        r["event_type"]
+        for r in bucketed_groupby_agg(
+            hist.map_batches(
+                lambda df: df[["event_type"]], batch_format="pandas"
+            ),
+            keys=["event_type"],
+            aggs={"n": ("event_type", "count")},
+        ).iter_rows()
+    )
+    empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "u2_a": pa.array([], pa.int64()),
+            "u2_b": pa.array([], pa.int64()),
+        }
+    )
+    if len(types) < 2:
+        return rd.from_arrow(empty)
+    types_ref = ray.put(types)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(types_ref)
+        outs = []
+        for u in ts:
+            m = df[df["event_type"] != u]
+            if not len(m):
+                continue
+            t = m["event_type"].to_numpy()
+            first = t < u
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "type_a": np.where(first, t, u),
+                        "type_b": np.where(first, u, t),
+                        "value_c": m["value_c"].astype("int64"),
+                        "na": np.where(first, m["n"].astype("int64"), 0),
+                        "nb": np.where(first, 0, m["n"].astype("int64")),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "type_a": pd.array([], dtype="object"),
+                    "type_b": pd.array([], dtype="object"),
+                    "value_c": pd.array([], dtype="int64"),
+                    "na": pd.array([], dtype="int64"),
+                    "nb": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def mw_group(g: pd.DataFrame) -> pd.DataFrame:
+        ta, tb = g["type_a"].iloc[0], g["type_b"].iloc[0]
+        h = (
+            g.groupby("value_c", as_index=False)
+            .agg(na=("na", "sum"), nb=("nb", "sum"))
+            .sort_values("value_c")
+        )
+        na = h["na"].to_numpy().astype("int64")
+        nb = h["nb"].to_numpy().astype("int64")
+        c = na + nb
+        cum = c.cumsum()
+        r2 = 2 * cum - c + 1  # doubled average rank, exact integer
+        n_a, n_b = int(na.sum()), int(nb.sum())
+        s2a = int((na * r2).sum())
+        u2_a = s2a - n_a * (n_a + 1)
+        u2_b = 2 * n_a * n_b - u2_a
+        return pd.DataFrame(
+            {
+                "type_a": [ta],
+                "type_b": [tb],
+                "n_a": pd.array([n_a], dtype="int64"),
+                "n_b": pd.array([n_b], dtype="int64"),
+                "u2_a": pd.array([u2_a], dtype="int64"),
+                "u2_b": pd.array([u2_b], dtype="int64"),
+            }
+        )
+
+    return (
+        hist.map_batches(replicate, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .map_groups(mw_group, batch_format="pandas")
+    )
+
+
+KM_HORIZON_DAYS = 3
+_KM_NEVER = 1 << 62  # min-mergeable "no purchase yet" sentinel
+
+
+def events_km_survival(sf_dir: str) -> pa.Table:
+    """(t_days, n_risk, d_events, s_micro): the Kaplan-Meier survival
+    curve for TIME TO FIRST PURCHASE (Kaplan & Meier 1958, public) —
+    per user, t = first-purchase day − first-event day, right-CENSORED
+    at a fixed ``KM_HORIZON_DAYS`` observation horizon (users who
+    convert later, or never, are censored at the horizon: the textbook
+    incomplete-observation setup). The estimator is the per-step
+    integer recursion
+
+        S_0 = 10^6;  S_i = (S_{i−1} · (n_i − d_i)) // n_i
+
+    over ascending distinct conversion times t_i with n_i = users
+    whose (event-or-censor) time ≥ t_i — censored users count while
+    at risk, the deaths-before-censorings tie rule. The per-step floor
+    has no closed prefix form, so like ``events_ewma`` the honest plan
+    is an ordered replay over the BOUNDED distinct-time axis, and the
+    oracle is a recursive CTE.
+
+    Plan: one user-hash co-group shrinks events to per-user (first
+    day, first purchase day) pairs — both are min-mergeable, with a
+    large sentinel standing in for "never purchased" so batch partials
+    stay a plain min; a (t, event) histogram aggregation bounds what
+    the driver folds to O(horizon) rows."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = us // 86_400_000_000
+        p = np.where(
+            df["event_type"].to_numpy() == "purchase", day, _KM_NEVER
+        )
+        return (
+            pd.DataFrame(
+                {"user_id": df["user_id"].astype("int64"), "f": day, "p": p}
+            )
+            .groupby("user_id", as_index=False)
+            .agg(f=("f", "min"), p=("p", "min"))
+        )
+
+    users = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["user_id"],
+        aggs={"f": ("f", "min"), "p": ("p", "min")},
+    )
+
+    def lifetimes(df: pd.DataFrame) -> pd.DataFrame:
+        raw = (df["p"] - df["f"]).astype("int64")
+        ev = (raw <= KM_HORIZON_DAYS).astype("int64")
+        t = np.minimum(raw.to_numpy(), KM_HORIZON_DAYS)
+        return (
+            pd.DataFrame({"t": t, "ev": ev, "n": 1})
+            .groupby(["t", "ev"], as_index=False)["n"]
+            .sum()
+        )
+
+    hist = (
+        bucketed_groupby_agg(
+            users.map_batches(lifetimes, batch_format="pandas"),
+            keys=["t", "ev"],
+            aggs={"n": ("n", "sum")},
+        )
+        .to_pandas()  # O(horizon) rows
+        .sort_values("t")
+    )
+    cols = {
+        "t_days": pa.array([], pa.int64()),
+        "n_risk": pa.array([], pa.int64()),
+        "d_events": pa.array([], pa.int64()),
+        "s_micro": pa.array([], pa.int64()),
+    }
+    if not len(hist):
+        return pa.table(cols)
+    # at-risk at t = users with event-or-censor time >= t,
+    # deaths at t = conversions at exactly t
+    all_t = hist.groupby("t", as_index=False)["n"].sum()
+    tv = all_t["t"].to_numpy()
+    suffix = all_t["n"].to_numpy()[::-1].cumsum()[::-1]
+    deaths = (
+        hist[hist["ev"] == 1].set_index("t")["n"].astype("int64").to_dict()
+    )
+    s = 1_000_000
+    rows = []
+    for t, at_risk in zip(tv.tolist(), suffix.tolist()):
+        d = deaths.get(int(t), 0)
+        if d == 0:
+            continue  # KM steps only at event (conversion) times
+        s = (s * (int(at_risk) - d)) // int(at_risk)
+        rows.append((int(t), int(at_risk), d, s))
+    return pa.table(
+        {
+            "t_days": pa.array([r[0] for r in rows], pa.int64()),
+            "n_risk": pa.array([r[1] for r in rows], pa.int64()),
+            "d_events": pa.array([r[2] for r in rows], pa.int64()),
+            "s_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+HAAR_LEVELS = 3
+
+
+def events_haar(sf_dir: str) -> pa.Table:
+    """(lvl, i, approx_c, detail_c): a 3-level UNNORMALIZED integer
+    Haar wavelet decomposition of the gap-filled global daily cent
+    sums (Haar 1910, public) — the multi-resolution view a
+    forecasting/compression pass takes of a traffic series: level-k
+    coefficients summarize 2^k-day windows, approx = pairwise sums,
+    detail = pairwise differences (lossless over the integers, so NO
+    division/floor enters and the transform is bit-exact in any
+    engine; the orthonormal 1/√2 scaling is a display concern).
+
+    The series pads with zeros to a multiple of 2^levels, missing
+    calendar days count 0 (the ``events_daily_gapfill`` convention,
+    via the shared ``_global_day_span`` scan). Level k emits
+    ceil(n/2^k) rows: approx_c[i] = a_{k−1}[2i] + a_{k−1}[2i+1],
+    detail_c[i] = a_{k−1}[2i] − a_{k−1}[2i+1].
+
+    Plan: one two-phase (day) aggregation; the transform itself runs
+    on the O(span) calendar-bounded vector driver-side (the
+    acf/theilsen/bootstrap precedent)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "day": (us // 86_400_000_000).astype("int64"),
+                "cents": to_cents(df["value"]),
+            }
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        keys=["day"],
+        aggs={"t": ("cents", "sum")},
+    )
+    span = _global_day_span(daily)
+    cols = {
+        "lvl": pa.array([], pa.int64()),
+        "i": pa.array([], pa.int64()),
+        "approx_c": pa.array([], pa.int64()),
+        "detail_c": pa.array([], pa.int64()),
+    }
+    if span is None:
+        return pa.table(cols)
+    lo, hi = span
+    d = daily.to_pandas()  # O(span) — calendar-bounded
+    n = hi - lo + 1
+    block = 1 << HAAR_LEVELS
+    padded = ((n + block - 1) // block) * block
+    x = np.zeros(padded, dtype="int64")
+    x[d["day"].to_numpy() - lo] = d["t"].to_numpy().astype("int64")
+
+    lvls, idxs, apx, det = [], [], [], []
+    a = x
+    for lvl in range(1, HAAR_LEVELS + 1):
+        e, o = a[0::2], a[1::2]
+        a, dd = e + o, e - o
+        lvls.extend([lvl] * len(a))
+        idxs.extend(range(len(a)))
+        apx.extend(a.tolist())
+        det.extend(dd.tolist())
+    return pa.table(
+        {
+            "lvl": pa.array(lvls, pa.int64()),
+            "i": pa.array(idxs, pa.int64()),
+            "approx_c": pa.array(apx, pa.int64()),
+            "detail_c": pa.array(det, pa.int64()),
+        }
+    )

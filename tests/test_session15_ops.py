@@ -424,3 +424,150 @@ class TestSilhouette:
         assert (got["sil_micro"].iloc[:16] > 0).all()
         assert int(got["sil_micro"].iloc[16]) < 0
         assert int(got["best_other"].iloc[16]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMannWhitney:
+    def test_matches_pandas_average_ranks(self):
+        """Replay U with pandas rank(method='average') on the real
+        table — doubled to compare against the integer u2."""
+        import duckdb
+
+        from suckit_ray.pipelines.relops import events_mannwhitney
+
+        got = events_mannwhitney(SF).to_pandas()
+        ev = duckdb.sql(
+            f"""SELECT event_type, CAST(round(value*100) AS BIGINT) v
+                FROM read_parquet('{SF}/events.parquet')"""
+        ).df()
+        for _, row in got.iterrows():
+            a = ev[ev["event_type"] == row["type_a"]]["v"]
+            b = ev[ev["event_type"] == row["type_b"]]["v"]
+            merged = pd.concat([a, b], ignore_index=True)
+            ranks = merged.rank(method="average")
+            ra = float(ranks.iloc[: len(a)].sum())
+            u_a = ra - len(a) * (len(a) + 1) / 2
+            assert int(row["n_a"]) == len(a)
+            assert int(row["n_b"]) == len(b)
+            assert int(row["u2_a"]) == int(round(2 * u_a))
+            assert int(row["u2_a"]) + int(row["u2_b"]) == 2 * len(a) * len(b)
+
+    def test_disjoint_distributions_hit_extremes(self, tmp_path):
+        """All of A below all of B → U_a = 0, U_b = n_a·n_b."""
+        rows = [(0, "A", 1.0)] * 3 + [(0, "B", 9.0)] * 4
+        _write_events(tmp_path, rows, users=list(range(7)))
+        from suckit_ray.pipelines.relops import events_mannwhitney
+
+        got = events_mannwhitney(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        assert int(got["u2_a"].iloc[0]) == 0
+        assert int(got["u2_b"].iloc[0]) == 2 * 3 * 4
+
+    def test_all_ties_split_evenly(self, tmp_path):
+        """Identical values: U_a = U_b = n_a·n_b/2 (doubled: n_a·n_b)."""
+        rows = [(0, "A", 5.0)] * 2 + [(0, "B", 5.0)] * 3
+        _write_events(tmp_path, rows, users=list(range(5)))
+        from suckit_ray.pipelines.relops import events_mannwhitney
+
+        got = events_mannwhitney(str(tmp_path)).to_pandas()
+        assert int(got["u2_a"].iloc[0]) == 2 * 3
+        assert int(got["u2_b"].iloc[0]) == 2 * 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmSurvival:
+    def test_engineered_curve(self, tmp_path):
+        """5 users: conversions at t=0 (×2), t=1, t=3; one censored
+        (purchase at t=5 > horizon 3 → censored at 3, never an event).
+        S(0)=10^6·3/5, S(1)=·2/3, S(3)=·1/2 with per-step floors."""
+        rows = [
+            # user 0: first evt day 0, purchase day 0 -> t=0
+            (0, "view", 1.0), (0, "purchase", 1.0),
+            # user 1: t=0
+            (2, "purchase", 1.0),
+            # user 2: first day 1, purchase day 2 -> t=1
+            (1, "view", 1.0), (2, "purchase", 1.0),
+            # user 3: first day 0, purchase day 3 -> t=3
+            (0, "click", 1.0), (3, "purchase", 1.0),
+            # user 4: first day 0, purchase day 5 -> censored at 3
+            (0, "view", 1.0), (5, "purchase", 1.0),
+        ]
+        users = [0, 0, 1, 2, 2, 3, 3, 4, 4]
+        _write_events(tmp_path, rows, users=users)
+        from suckit_ray.pipelines.relops import events_km_survival
+
+        got = events_km_survival(str(tmp_path)).to_pandas()
+        s1 = (1_000_000 * 3) // 5          # t=0: n=5, d=2
+        s2 = (s1 * 2) // 3                 # t=1: n=3, d=1
+        s3 = (s2 * 1) // 2                 # t=3: n=2, d=1 (censored
+        exp = pd.DataFrame(                #      user still at risk)
+            {
+                "t_days": [0, 1, 3],
+                "n_risk": [5, 3, 2],
+                "d_events": [2, 1, 1],
+                "s_micro": [s1, s2, s3],
+            }
+        )
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes), exp)
+
+    def test_monotone_and_bounded_on_sf(self):
+        from suckit_ray.pipelines.relops import events_km_survival
+
+        got = events_km_survival(SF).to_pandas()
+        assert len(got) >= 1
+        s = got["s_micro"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+        assert (s >= 0).all() and (s <= 1_000_000).all()
+        assert (np.diff(got["t_days"].to_numpy()) > 0).all()
+        # at-risk counts strictly decrease across steps
+        assert (np.diff(got["n_risk"].to_numpy()) < 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHaar:
+    def test_perfect_reconstruction(self):
+        """Invert the unnormalized transform level by level and
+        recover the gap-filled zero-padded daily series exactly."""
+        import duckdb
+
+        from suckit_ray.pipelines.relops import events_haar
+
+        got = events_haar(SF).to_pandas()
+        daily = duckdb.sql(
+            f"""SELECT epoch_us(ts)//86400000000 AS day,
+                       SUM(CAST(round(value*100) AS BIGINT)) AS t
+                FROM read_parquet('{SF}/events.parquet')
+                GROUP BY 1 ORDER BY 1"""
+        ).df()
+        lo, hi = int(daily["day"].min()), int(daily["day"].max())
+        n = hi - lo + 1
+        padded = ((n + 7) // 8) * 8
+        x = np.zeros(padded, dtype="int64")
+        x[daily["day"].to_numpy() - lo] = daily["t"].to_numpy()
+        # top-down inversion: e = (a+d)/2, o = (a-d)/2 (always even)
+        a = got[got["lvl"] == 3].sort_values("i")["approx_c"].to_numpy()
+        for lvl in (3, 2, 1):
+            d = got[got["lvl"] == lvl].sort_values("i")["detail_c"].to_numpy()
+            assert ((a + d) % 2 == 0).all()
+            e, o = (a + d) // 2, (a - d) // 2
+            a = np.empty(2 * len(e), dtype="int64")
+            a[0::2], a[1::2] = e, o
+        assert (a == x).all()
+
+    def test_level_sizes_and_total_energy(self):
+        from suckit_ray.pipelines.relops import events_haar
+
+        got = events_haar(SF).to_pandas()
+        n1 = (got["lvl"] == 1).sum()
+        assert (got["lvl"] == 2).sum() == n1 // 2
+        assert (got["lvl"] == 3).sum() == n1 // 4
+        # level-3 approx sums = grand total of the series
+        import duckdb
+
+        tot = int(
+            duckdb.sql(
+                f"""SELECT SUM(CAST(round(value*100) AS BIGINT))
+                    FROM read_parquet('{SF}/events.parquet')"""
+            ).fetchone()[0]
+        )
+        assert int(got[got["lvl"] == 3]["approx_c"].sum()) == tot
