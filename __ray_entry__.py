@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney": relops.events_mannwhitney,
         "events_km_survival": relops.events_km_survival,
         "events_haar": relops.events_haar,
+        "docs_vocab_growth": textops.docs_vocab_growth,
+        "crawl_motifs": graph.crawl_motifs,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -4291,6 +4293,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rank AS BIGINT) AS rank, term, n_docs
             FROM ranked WHERE rank <= 50
         """,
+        # Heaps-law vocabulary growth: decile of a term's first
+        # occurrence (dense doc_ids; identical formula both engines)
+        "docs_vocab_growth": r"""
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            terms AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(lower(text), '\s+'))
+                       AS term
+              FROM documents
+            ),
+            firsts AS (
+              SELECT term, MIN(doc_id) AS fd
+              FROM terms WHERE term <> '' GROUP BY term
+            ),
+            dec AS (
+              SELECT (fd * 10) // (SELECT n FROM nn) AS decile,
+                     CAST(COUNT(*) AS BIGINT) AS new_terms
+              FROM firsts GROUP BY 1
+            )
+            SELECT CAST(g.d AS BIGINT) AS decile,
+                   COALESCE(dec.new_terms, 0) AS new_terms,
+                   CAST(SUM(COALESCE(dec.new_terms, 0))
+                          OVER (ORDER BY g.d) AS BIGINT) AS vocab_cum
+            FROM generate_series(0, 9) g(d)
+            LEFT JOIN dec ON dec.decile = g.d
+        """,
         # PII redaction: the injection expression below derives the
         # SAME deterministic PII-bearing input as the Ray kernel (the
         # synthetic corpus has no PII), so the regexes / application
@@ -4471,6 +4499,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT hn.hn AS host, t.n_triangles
             FROM tri t JOIN hostname hn ON hn.h = t.h
+        """,
+        # directed triad motifs: feed-forward (a→b,b→c,a→c) counted
+        # once per middle vertex; 3-cycles seen once per rotation,
+        # so the raw match count divides by 3. Self-loops are absent,
+        # so the a≠c guard is implied by the closing edge's existence.
+        "crawl_motifs": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            dedges AS (
+              SELECT DISTINCT r.h, r.j AS s, x.t AS t
+              FROM reach r
+              JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+              WHERE r.j <> x.t
+            ),
+            ffl AS (
+              SELECT e1.h, CAST(count(*) AS BIGINT) AS n
+              FROM dedges e1
+              JOIN dedges e2 ON e2.h = e1.h AND e2.s = e1.t
+                            AND e2.t <> e1.s
+              JOIN dedges e3 ON e3.h = e1.h AND e3.s = e1.s
+                            AND e3.t = e2.t
+              GROUP BY e1.h
+            ),
+            cyc AS (
+              SELECT e1.h, CAST(count(*) // 3 AS BIGINT) AS n
+              FROM dedges e1
+              JOIN dedges e2 ON e2.h = e1.h AND e2.s = e1.t
+                            AND e2.t <> e1.s
+              JOIN dedges e3 ON e3.h = e1.h AND e3.s = e2.t
+                            AND e3.t = e1.s
+              GROUP BY e1.h
+            )
+            SELECT hn.hn AS host,
+                   COALESCE(f.n, 0) AS ffl,
+                   COALESCE(c.n, 0) AS cycles
+            FROM ffl f
+            FULL OUTER JOIN cyc c ON c.h = f.h
+            JOIN hostname hn ON hn.h = COALESCE(f.h, c.h)
         """,
         # per-page local clustering coefficient over the undirected
         # link graph: lcc = floor(1e6 * 2*tri(v) / (deg*(deg-1)))

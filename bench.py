@@ -342,6 +342,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_mannwhitney",
         "events_km_survival",
         "events_haar",
+        "docs_vocab_growth",
+        "crawl_motifs",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

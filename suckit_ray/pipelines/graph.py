@@ -3924,3 +3924,165 @@ def crawl_assortativity(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return assortativity_from_docs(crawl_docs(sf_dir))
+
+
+def motifs_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, ffl, cycles): per-host DIRECTED triad motif census of
+    the link graph — feed-forward loops (a→b, b→c, a→c: the
+    hierarchy/shortcut pattern) vs 3-cycles (a→b, b→c, c→a: the
+    feedback pattern), the Milo et al. 2002 network-motif distinction
+    that tells a hub-and-spoke site apart from a ring even when their
+    undirected triangle counts agree.
+
+    Counting rule: pattern EMBEDDINGS on distinct ordered vertex
+    triples. An FFL instance is identified by its middle vertex, so
+    wedge-per-middle counts it exactly once; a 3-cycle is seen once
+    per rotation (every vertex is a middle), so the match count is
+    divided by 3 — exact, since the closure join sees each rotation
+    exactly once. Triples carrying both patterns (mutual edges) count
+    in both, the standard motif-census convention.
+
+    Scale shape (the ``lcc_from_docs`` vocabulary, direction kept):
+    (1) the shared distinct directed edge set; (2) wedges a→v→c from
+    one middle-bucketed co-group over in/out adjacency — O(in·out)
+    per vertex, the inherent bound (cap hub fanout at web scale the
+    way the triangle plan orients by degree); (3) one tagged-union
+    co-group on the closing-edge key, wedge multiplicities
+    pre-aggregated so the probe moves one row per distinct (edge key,
+    pattern); (4) a tiny per-host sum. Four bounded exchanges of
+    small int/string columns, no driver graph state."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    edges = _host_page_edges(docs).materialize()  # distinct by
+    # construction (one source page per doc row); feeds the wedge
+    # build AND the closure probe
+
+    def to_middle(df: pd.DataFrame) -> pd.DataFrame:
+        inn = pd.DataFrame(
+            {"host": df["host"], "v": df["t"], "u": df["s"],
+             "dir": np.zeros(len(df), dtype="int64")}
+        )
+        out = pd.DataFrame(
+            {"host": df["host"], "v": df["s"], "u": df["t"],
+             "dir": np.ones(len(df), dtype="int64")}
+        )
+        m = pd.concat([inn, out], ignore_index=True)
+        m["vb"] = (m["v"].astype("int64") % B).astype("int64")
+        return m
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        inn = g[g["dir"] == 0][["host", "v", "u"]]
+        out = g[g["dir"] == 1][["host", "v", "u"]]
+        m = inn.merge(out, on=["host", "v"], suffixes=("_a", "_c"))
+        m = m[m["u_a"] != m["u_c"]]  # distinct triple: a ≠ c
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "host": pd.Series([], dtype="object"),
+                    "x": pd.Series([], dtype="int64"),
+                    "y": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        a = m["u_a"].astype("int64").to_numpy()
+        c = m["u_c"].astype("int64").to_numpy()
+        # ffl probes edge a→c (kind 1); cycle probes edge c→a (kind 2)
+        probe = pd.DataFrame(
+            {
+                "host": pd.concat([m["host"], m["host"]], ignore_index=True),
+                "x": np.concatenate([a, c]),
+                "y": np.concatenate([c, a]),
+                "kind": np.repeat(np.array([1, 2], dtype="int64"), len(m)),
+                "cnt": np.ones(2 * len(m), dtype="int64"),
+            }
+        )
+        return probe.groupby(
+            ["host", "x", "y", "kind"], as_index=False
+        )["cnt"].sum()
+
+    wedge_rows = (
+        edges.map_batches(to_middle, batch_format="pandas")
+        .groupby("vb")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def edge_probe(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": df["host"],
+                "x": df["s"].astype("int64"),
+                "y": df["t"].astype("int64"),
+                "kind": np.zeros(len(df), dtype="int64"),
+                "cnt": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    def key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["kb"] = (
+            (df["x"].astype("int64") * 1_000_003 + df["y"].astype("int64"))
+            % B
+        ).astype("int64")
+        return df
+
+    tagged = (
+        wedge_rows.map_batches(key_bucket, batch_format="pandas")
+        .union(
+            edges.map_batches(edge_probe, batch_format="pandas").map_batches(
+                key_bucket, batch_format="pandas"
+            )
+        )
+    )
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["host", "x", "y"]]
+        w = g[g["kind"] > 0]
+        m = w.merge(e, on=["host", "x", "y"])
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "host": pd.Series([], dtype="object"),
+                    "kind": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        return m.groupby(["host", "kind"], as_index=False)["cnt"].sum()
+
+    matched = bucketed_groupby_agg(
+        tagged.groupby("kb").map_groups(close_count, batch_format="pandas"),
+        keys=["host", "kind"],
+        aggs={"cnt": ("cnt", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            df.pivot_table(
+                index="host", columns="kind", values="cnt",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=[1, 2], fill_value=0)
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "host": p["host"],
+                "ffl": p[1].astype("int64"),
+                # every 3-cycle matched once per rotation
+                "cycles": (p[2] // 3).astype("int64"),
+            }
+        )
+
+    return matched.groupby("host").map_groups(
+        lambda g: finish(g), batch_format="pandas"
+    )
+
+
+def crawl_motifs(sf_dir: str) -> rd.Dataset:
+    """queries() entry: directed triad motif census (feed-forward vs
+    cycle counts) per host of the flagship crawl's link graph."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return motifs_from_docs(crawl_docs(sf_dir))

@@ -3649,3 +3649,88 @@ def docs_c4_filter(sf_dir: str) -> rd.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def docs_vocab_growth(sf_dir: str) -> "pa.Table":
+    """(decile, new_terms, vocab_cum): Heaps-law vocabulary growth —
+    the corpus in doc_id order is cut into ten equal deciles, and each
+    reports how many distinct (lowercased whitespace) terms FIRST
+    appear there plus the cumulative vocabulary size so far (Heaps
+    1978, public): the curve a tokenizer-budget or dedup-sizing pass
+    reads to know whether vocabulary is saturating. doc_ids are dense
+    0..n−1 in the test tables, so decile(term) = (min_doc·10) // n;
+    both engines apply the same formula, so the pin is exact either
+    way.
+
+    Plan: per batch each doc dissolves into its DISTINCT terms with
+    the batch-min doc_id (one row per (batch, term) moves, never per
+    occurrence — the ``docs_top_terms`` shuffle bound); ONE term-hash
+    bucketed groupby takes the global min; a second tiny aggregation
+    reduces to ≤10 decile counts; the driver cumsums 10 ints. The
+    corpus-scale axis (terms) never reaches the driver."""
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    n = _read_documents(sf_dir, ["doc_id"]).count()
+    cols = {
+        "decile": pa.array([], pa.int64()),
+        "new_terms": pa.array([], pa.int64()),
+        "vocab_cum": pa.array([], pa.int64()),
+    }
+    if n == 0:
+        return pa.table(cols)
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        firsts: dict[str, int] = {}
+        for doc_id, text in zip(df["doc_id"].astype("int64"), df["text"]):
+            d = int(doc_id)
+            for t in set(text.lower().split()):
+                prev = firsts.get(t)
+                if prev is None or d < prev:
+                    firsts[t] = d
+        return pd.DataFrame(
+            {
+                "term": list(firsts.keys()),
+                "fd": pd.array(list(firsts.values()), dtype="int64"),
+            }
+        )
+
+    first = bucketed_groupby_agg(
+        _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            first_seen, batch_format="pandas"
+        ),
+        keys=["term"],
+        aggs={"fd": ("fd", "min")},
+    )
+
+    def to_decile(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "decile": (df["fd"].astype("int64") * 10) // n,
+                "cnt": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    dec = (
+        bucketed_groupby_agg(
+            first.map_batches(to_decile, batch_format="pandas"),
+            keys=["decile"],
+            aggs={"new_terms": ("cnt", "sum")},
+        )
+        .to_pandas()  # ≤ 10 rows
+        .set_index("decile")["new_terms"]
+    )
+    import numpy as np
+
+    new = [int(dec.get(d, 0)) for d in range(10)]
+    cum = np.cumsum(new)
+    return pa.table(
+        {
+            "decile": pa.array(range(10), pa.int64()),
+            "new_terms": pa.array(new, pa.int64()),
+            "vocab_cum": pa.array(cum.tolist(), pa.int64()),
+        }
+    )

@@ -571,3 +571,174 @@ class TestHaar:
             ).fetchone()[0]
         )
         assert int(got[got["lvl"] == 3]["approx_c"].sum()) == tot
+
+
+def _page(host, j, link_targets):
+    spans = [
+        {"kind": "link", "text": "", "media_ref": t, "offset": k}
+        for k, t in enumerate(link_targets)
+    ]
+    return {
+        "doc_id": f"{host}//p{j}.html",
+        "host": host,
+        "is_html": True,
+        "spans": spans,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMotifs:
+    def test_pure_cycle(self):
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import motifs_from_docs
+
+        rows = [
+            _page("hosta.test", 0, ["p1.html"]),
+            _page("hosta.test", 1, ["p2.html"]),
+            _page("hosta.test", 2, ["p0.html"]),
+        ]
+        got = motifs_from_docs(
+            rd.from_arrow(pa.Table.from_pylist(rows))
+        ).to_pandas()
+        assert len(got) == 1
+        assert int(got["ffl"].iloc[0]) == 0
+        assert int(got["cycles"].iloc[0]) == 1
+
+    def test_pure_feed_forward(self):
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import motifs_from_docs
+
+        rows = [
+            _page("hosta.test", 0, ["p1.html", "p2.html"]),
+            _page("hosta.test", 1, ["p2.html"]),
+            _page("hosta.test", 2, []),
+        ]
+        got = motifs_from_docs(
+            rd.from_arrow(pa.Table.from_pylist(rows))
+        ).to_pandas()
+        assert len(got) == 1
+        assert int(got["ffl"].iloc[0]) == 1
+        assert int(got["cycles"].iloc[0]) == 0
+
+    def test_bidirectional_k3_counts_embeddings(self):
+        """Complete mutual K3: every ordered triple is an FFL (6) and
+        both orientations are cycles (2) — the embedding convention."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import motifs_from_docs
+
+        rows = [
+            _page("hosta.test", 0, ["p1.html", "p2.html"]),
+            _page("hosta.test", 1, ["p0.html", "p2.html"]),
+            _page("hosta.test", 2, ["p0.html", "p1.html"]),
+        ]
+        got = motifs_from_docs(
+            rd.from_arrow(pa.Table.from_pylist(rows))
+        ).to_pandas()
+        assert int(got["ffl"].iloc[0]) == 6
+        assert int(got["cycles"].iloc[0]) == 2
+
+    def test_matches_brute_force_on_flagship(self):
+        import posixpath
+        import re
+
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import motifs_from_docs, resolve_link
+
+        docs = crawl_docs(SF).materialize()
+        got = (
+            motifs_from_docs(docs)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        page_re = re.compile(r"/p(\d+)\.html$")
+        edges: dict = {}
+        for row in docs.iter_rows():
+            if not row["is_html"]:
+                continue
+            m = page_re.search(posixpath.normpath(row["doc_id"]))
+            if not m:
+                continue
+            j, host = int(m.group(1)), row["host"]
+            for s in row["spans"]:
+                if s["kind"] != "link":
+                    continue
+                tgt = resolve_link(row["doc_id"], s["media_ref"])
+                mt = page_re.search(tgt)
+                if not mt or tgt.split("/", 1)[0] != host:
+                    continue
+                k = int(mt.group(1))
+                if k != j:
+                    edges.setdefault(host, set()).add((j, k))
+        ref = {}
+        for host, es in edges.items():
+            out: dict = {}
+            for a, b in es:
+                out.setdefault(a, set()).add(b)
+            ffl = cyc = 0
+            for a, b in es:
+                for c in out.get(b, ()):
+                    if c == a:
+                        continue
+                    if (a, c) in es:
+                        ffl += 1
+                    if (c, a) in es:
+                        cyc += 1
+            if ffl or cyc:
+                ref[host] = (ffl, cyc // 3)
+        assert {
+            r["host"]: (int(r["ffl"]), int(r["cycles"]))
+            for _, r in got.iterrows()
+        } == ref
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVocabGrowth:
+    def test_engineered_deciles(self, tmp_path):
+        """10 docs, one per decile: doc 0 brings {common, t0}; every
+        later doc brings exactly one new term."""
+        n = 10
+        texts = [f"common t{d}" for d in range(n)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        from suckit_ray.pipelines.textops import docs_vocab_growth
+
+        got = docs_vocab_growth(str(tmp_path)).to_pandas()
+        assert list(got["decile"]) == list(range(10))
+        assert list(got["new_terms"]) == [2] + [1] * 9
+        assert list(got["vocab_cum"]) == [2 + i for i in range(10)]
+
+    def test_matches_pandas_replay_on_sf(self):
+        from suckit_ray.pipelines.textops import docs_vocab_growth
+
+        got = docs_vocab_growth(SF).to_pandas()
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        n = len(docs)
+        firsts: dict = {}
+        for doc_id, text in zip(
+            docs["doc_id"].astype("int64"), docs["text"]
+        ):
+            for t in set(text.lower().split()):
+                if t not in firsts or doc_id < firsts[t]:
+                    firsts[t] = int(doc_id)
+        import collections
+
+        per = collections.Counter((fd * 10) // n for fd in firsts.values())
+        assert list(got["new_terms"]) == [per.get(d, 0) for d in range(10)]
+        assert int(got["vocab_cum"].iloc[-1]) == len(firsts)
+        # growth curve is monotone, concave-ish head: first decile is
+        # the largest single contributor on a shared-vocab corpus
+        assert int(got["new_terms"].iloc[0]) == got["new_terms"].max()
