@@ -321,6 +321,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_haar": relops.events_haar,
         "docs_vocab_growth": textops.docs_vocab_growth,
         "crawl_motifs": graph.crawl_motifs,
+        "events_ohlc": relops.events_ohlc,
+        "events_dispersion": relops.events_dispersion,
+        "docs_simpson_diversity": textops.docs_simpson_diversity,
+        "crawl_reciprocity": graph.crawl_reciprocity,
+        "docs_zipf_slope": textops.docs_zipf_slope,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -3669,6 +3674,128 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
         """,
+        # OHLC candlestick rollup: open/close picked by the full
+        # (us, event_id) ordering key via ROW_NUMBER both directions
+        "events_ohlc": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            w AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                        ORDER BY us, event_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                        ORDER BY us DESC,
+                                                 event_id DESC) AS rl
+              FROM e
+            )
+            SELECT event_type, CAST(day AS BIGINT) AS day,
+                   CAST(MAX(CASE WHEN rf = 1 THEN v END) AS BIGINT)
+                     AS open_c,
+                   CAST(MAX(v) AS BIGINT) AS high_c,
+                   CAST(MIN(v) AS BIGINT) AS low_c,
+                   CAST(MAX(CASE WHEN rl = 1 THEN v END) AS BIGINT)
+                     AS close_c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY 1, 2
+        """,
+        # Fisher dispersion index of daily counts over the gap-filled
+        # span: vmr = (1e6·(n·Σc² − S²)) // (n·S), zero days add 0
+        "events_dispersion": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            b AS (SELECT MAX(day) - MIN(day) + 1 AS n FROM e),
+            d AS (
+              SELECT event_type, day,
+                     CAST(COUNT(*) AS HUGEINT) AS c
+              FROM e GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT event_type, SUM(c) AS s, SUM(c * c) AS s2
+              FROM d GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST((SELECT n FROM b) AS BIGINT) AS n_days,
+                   CAST(s AS BIGINT) AS sum_c,
+                   CAST(s2 AS BIGINT) AS sum_sq,
+                   CAST((1000000 * ((SELECT n FROM b) * s2 - s * s))
+                        // ((SELECT n FROM b) * s) AS BIGINT)
+                     AS vmr_micro
+            FROM s
+        """,
+        # Zipf rank-frequency OLS over the top-200 terms; both logs
+        # quantized floor(ln·1e6) before the integer closed form
+        "docs_zipf_slope": r"""
+            WITH terms AS (
+              SELECT UNNEST(regexp_split_to_array(lower(text), '\s+'))
+                       AS term
+              FROM documents
+            ),
+            cnt AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM terms WHERE term <> '' GROUP BY term
+            ),
+            top AS (
+              SELECT term, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, term ASC)
+                       AS r
+              FROM cnt QUALIFY r <= 200
+            ),
+            q AS (
+              SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000)
+                          AS HUGEINT) AS x,
+                     CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000)
+                          AS HUGEINT) AS y
+              FROM top
+            ),
+            s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              FROM q
+            ),
+            f AS (
+              SELECT k, k * sxy - sx * sy AS num_s,
+                     sy * sxx - sx * sxy AS num_i,
+                     k * sxx - sx * sx AS den
+              FROM s
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   (SELECT CAST(SUM(n) AS BIGINT) FROM top) AS n,
+                   CAST((CASE WHEN num_s >= 0 THEN 1 ELSE -1 END)
+                        * ((abs(num_s) * 1000000) // den)
+                        AS BIGINT) AS slope_micro,
+                   CAST((CASE WHEN num_i >= 0 THEN 1 ELSE -1 END)
+                        * (abs(num_i) // den)
+                        AS BIGINT) AS intercept_micro
+            FROM f
+        """,
+        # Simpson's diversity of the lang mix per source, exact
+        # without-replacement pair probability
+        "docs_simpson_diversity": """
+            WITH c AS (
+              SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT source, SUM(n) AS nn,
+                     SUM(n * (n - 1)) AS same
+              FROM c GROUP BY 1
+            )
+            SELECT source, CAST(nn AS BIGINT) AS n_docs,
+                   CAST(CASE WHEN nn <= 1 THEN 0
+                        ELSE (1000000 * (nn * (nn - 1) - same))
+                             // (nn * (nn - 1)) END AS BIGINT)
+                     AS d_micro
+            FROM s
+        """,
         # Mann-Whitney U with exact tie handling: doubled average rank
         # R2 = 2·cum − c + 1 keeps every statistic integer
         "events_mannwhitney": """
@@ -4538,6 +4665,31 @@ def oracle_sql() -> dict[str, str]:
             FROM ffl f
             FULL OUTER JOIN cyc c ON c.h = f.h
             JOIN hostname hn ON hn.h = COALESCE(f.h, c.h)
+        """,
+        # directed-edge reciprocity per host: share of edges whose
+        # reverse exists
+        "crawl_reciprocity": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            dedges AS (
+              SELECT DISTINCT r.h, r.j AS s, x.t AS t
+              FROM reach r
+              JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+              WHERE r.j <> x.t
+            ),
+            m AS (
+              SELECT d.h, CAST(COUNT(*) AS BIGINT) AS n_edges,
+                     CAST(SUM(CASE WHEN EXISTS (
+                       SELECT 1 FROM dedges r
+                       WHERE r.h = d.h AND r.s = d.t AND r.t = d.s)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+              FROM dedges d GROUP BY d.h
+            )
+            SELECT hn.hn AS host, m.n_edges, m.n_mutual,
+                   CAST((1000000 * m.n_mutual) // m.n_edges
+                        AS BIGINT) AS recip_micro
+            FROM m JOIN hostname hn ON hn.h = m.h
         """,
         # per-page local clustering coefficient over the undirected
         # link graph: lcc = floor(1e6 * 2*tri(v) / (deg*(deg-1)))

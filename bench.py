@@ -344,6 +344,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_haar",
         "docs_vocab_growth",
         "crawl_motifs",
+        "events_ohlc",
+        "events_dispersion",
+        "docs_simpson_diversity",
+        "crawl_reciprocity",
+        "docs_zipf_slope",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -1097,6 +1097,20 @@ def embeddings_dbscan(
         .map_groups(cross, batch_format="pandas")
         .materialize()
     )
+    if edges.count() == 0:
+        # no ε-ball contains a second point: everything is noise.
+        # (Also dodges the all-empty-side Dataset.join ArrowInvalid —
+        # see the guard comment below.)
+        return ds.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"].astype("int64"),
+                    "is_core": np.zeros(len(df), dtype=bool),
+                    "cluster": np.full(len(df), -1, dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1141,27 +1155,44 @@ def embeddings_dbscan(
 
     cores = flags.map_batches(
         lambda df: df[df["core"]][["node"]], batch_format="pandas"
-    )
-    core_labels = cores.join(
-        cc.map_batches(
-            lambda df: df.rename(columns={"node": "cnode"}),
-            batch_format="pandas",
-        ),
-        "left_outer",
-        num_partitions,
-        on=("node",),
-        right_on=("cnode",),
-    ).map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "node": df["node"],
-                "label": df["label"]
-                .fillna(df["node"])
-                .astype("int64"),  # singleton core = own cluster
-            }
-        ),
-        batch_format="pandas",
     ).materialize()
+    # Ray's hash-shuffle Dataset.join raises ArrowInvalid when either
+    # side is ALL-empty (the shuffled empty pandas blocks lose their
+    # schema, so the key FieldRef can't bind) — every join below that
+    # can legitimately see an empty side is guarded by a cheap count
+    # on an already-small/materialized dataset. Empty partitions of a
+    # NON-empty dataset are fine (verified).
+    if cores.count() == 0 or cc.count() == 0:
+        core_labels = cores.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "label": df["node"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+    else:
+        core_labels = cores.join(
+            cc.map_batches(
+                lambda df: df.rename(columns={"node": "cnode"}),
+                batch_format="pandas",
+            ),
+            "left_outer",
+            num_partitions,
+            on=("node",),
+            right_on=("cnode",),
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "label": df["label"]
+                    .fillna(df["node"])
+                    .astype("int64"),  # singleton core = own cluster
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
 
     # border candidates: non-core end of a mixed edge → root of core end
     def mixed(df: pd.DataFrame) -> pd.DataFrame:
@@ -1178,28 +1209,49 @@ def embeddings_dbscan(
             }
         )
 
-    border = bucketed_groupby_agg(
-        e2.map_batches(mixed, batch_format="pandas").join(
-            core_labels.map_batches(
-                lambda df: df.rename(columns={"node": "cnode", "label": "croot"}),
-                batch_format="pandas",
+    mixed_ds = e2.map_batches(mixed, batch_format="pandas").materialize()
+    border = (
+        None  # no mixed edges (all-core graphs, e.g. dense corpora)
+        if mixed_ds.count() == 0 or core_labels.count() == 0
+        else bucketed_groupby_agg(
+            mixed_ds.join(
+                core_labels.map_batches(
+                    lambda df: df.rename(
+                        columns={"node": "cnode", "label": "croot"}
+                    ),
+                    batch_format="pandas",
+                ),
+                "inner",
+                num_partitions,
+                on=("c",),
+                right_on=("cnode",),
             ),
-            "inner",
-            num_partitions,
-            on=("c",),
-            right_on=("cnode",),
-        ),
-        ["u"],
-        {"broot": ("croot", "min")},
+            ["u"],
+            {"broot": ("croot", "min")},
+        )
     )
 
-    out = (
-        ds.map_batches(
-            lambda df: df[["vec_id"]], batch_format="pandas"
-        )
-        .join(core_labels, "left_outer", num_partitions, on=("vec_id",), right_on=("node",))
-        .join(border, "left_outer", num_partitions, on=("vec_id",), right_on=("u",))
+    out = ds.map_batches(
+        lambda df: df[["vec_id"]], batch_format="pandas"
     )
+    if core_labels.count() == 0:
+        out = out.map_batches(
+            lambda df: df.assign(label=np.nan), batch_format="pandas"
+        )
+    else:
+        out = out.join(
+            core_labels, "left_outer", num_partitions,
+            on=("vec_id",), right_on=("node",),
+        )
+    if border is None:
+        out = out.map_batches(
+            lambda df: df.assign(broot=np.nan), batch_format="pandas"
+        )
+    else:
+        out = out.join(
+            border, "left_outer", num_partitions,
+            on=("vec_id",), right_on=("u",),
+        )
 
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
         is_core = df["label"].notna()

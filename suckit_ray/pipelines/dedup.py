@@ -1247,6 +1247,18 @@ def _verify_shuffled(
     store."""
     import ray
 
+    if uniq.count() == 0:
+        # an all-empty join side loses its schema through the hash
+        # shuffle and ArrowInvalid's out of pyarrow's FieldRef bind
+        # (same guard as embeddings_dbscan); no candidates = no pairs
+        return pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+
     if num_partitions is None:
         # each hash-join partition is an aggregator ACTOR, and the two
         # joins run back to back: partition count is an actor-setup

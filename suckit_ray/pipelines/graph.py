@@ -4086,3 +4086,78 @@ def crawl_motifs(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return motifs_from_docs(crawl_docs(sf_dir))
+
+
+def reciprocity_from_docs(docs: rd.Dataset) -> rd.Dataset:
+    """(host, n_edges, n_mutual, recip_micro): edge reciprocity of
+    each host's directed link graph — the share of directed edges
+    whose reverse also exists (Garlaschelli & Loffredo 2004, public),
+    recip_micro = (10^6 · n_mutual) // n_edges. The direction-level
+    audit that separates a strict hierarchy (0) from a fully mutual
+    web (10^6); complements ``motifs_from_docs``' triad census.
+
+    Plan: each distinct directed edge emits one row keyed by its
+    UNDIRECTED pair with a direction flag; one pair-bucketed co-group
+    marks both edges of a 2-cycle mutual group-locally; a tiny
+    per-host sum finishes. Two bounded exchanges of small columns."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(df["s"], df["t"]).astype("int64")
+        b = np.maximum(df["s"], df["t"]).astype("int64")
+        out = pd.DataFrame(
+            {
+                "host": df["host"],
+                "a": a,
+                "b": b,
+                "fwd": (df["s"] == a).astype("int64"),
+            }
+        )
+        out["kb"] = ((a * 1_000_003 + b) % B).astype("int64")
+        return out
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["host", "a", "b"], as_index=False).agg(
+            n=("fwd", "count"), f=("fwd", "sum")
+        )
+        # n directed edges on the pair (1 or 2); both mutual iff n=2
+        return pd.DataFrame(
+            {
+                "host": m["host"],
+                "n_edges": m["n"].astype("int64"),
+                "n_mutual": np.where(m["n"] == 2, 2, 0),
+            }
+        )
+
+    agg = bucketed_groupby_agg(
+        _host_page_edges(docs)
+        .map_batches(key_rows, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(mark, batch_format="pandas"),
+        keys=["host"],
+        aggs={"n_edges": ("n_edges", "sum"), "n_mutual": ("n_mutual", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ne = df["n_edges"].astype("int64")
+        nm = df["n_mutual"].astype("int64")
+        return pd.DataFrame(
+            {
+                "host": df["host"],
+                "n_edges": ne,
+                "n_mutual": nm,
+                "recip_micro": (1_000_000 * nm) // ne,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def crawl_reciprocity(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-host directed-edge reciprocity of the
+    flagship crawl's link graph."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return reciprocity_from_docs(crawl_docs(sf_dir))

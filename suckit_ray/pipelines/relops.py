@@ -8245,3 +8245,169 @@ def events_haar(sf_dir: str) -> pa.Table:
             "detail_c": pa.array(det, pa.int64()),
         }
     )
+
+
+def events_ohlc(sf_dir: str) -> rd.Dataset:
+    """(event_type, day, open_c, high_c, low_c, close_c, n): the
+    OHLC candlestick rollup — per (type, day), the first value by
+    (ts, event_id), the extremes, and the last — the market-data
+    window aggregate whose combiner must carry the full ordering key
+    with each endpoint (the windowed sibling of
+    ``events_first_last``).
+
+    Plan: each batch pre-reduces to one row per (type, day) carrying
+    (open key, open, close key, close, hi, lo, n) — all mergeable —
+    and ONE bucketed co-group folds partials group-locally via a
+    vectorized sort (first/last rows win on the carried keys). The
+    shuffle moves one 9-column row per (batch, type, day)."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": (us // 86_400_000_000).astype("int64"),
+                "us": us,
+                "event_id": df["event_id"].astype("int64"),
+                "v": to_cents(df["value"]),
+            }
+        ).sort_values(["event_type", "day", "us", "event_id"], kind="mergesort")
+        g = d.groupby(["event_type", "day"], as_index=False).agg(
+            ok_us=("us", "first"),
+            ok_id=("event_id", "first"),
+            open_c=("v", "first"),
+            ck_us=("us", "last"),
+            ck_id=("event_id", "last"),
+            close_c=("v", "last"),
+            high_c=("v", "max"),
+            low_c=("v", "min"),
+            n=("v", "count"),
+        )
+        g["bucket"] = (
+            pd.util.hash_pandas_object(
+                g["event_type"].astype("str") + ":" + g["day"].astype("str"),
+                index=False,
+            ).astype("int64")
+            % B
+        )
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            g.sort_values(
+                ["event_type", "day", "ok_us", "ok_id"], kind="mergesort"
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .agg(open_c=("open_c", "first"))
+        )
+        last = (
+            g.sort_values(
+                ["event_type", "day", "ck_us", "ck_id"], kind="mergesort"
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .agg(close_c=("close_c", "last"))
+        )
+        ext = g.groupby(["event_type", "day"], as_index=False).agg(
+            high_c=("high_c", "max"), low_c=("low_c", "min"), n=("n", "sum")
+        )
+        out = first.merge(last, on=["event_type", "day"]).merge(
+            ext, on=["event_type", "day"]
+        )
+        return out[
+            [
+                "event_type",
+                "day",
+                "open_c",
+                "high_c",
+                "low_c",
+                "close_c",
+                "n",
+            ]
+        ].astype(
+            {
+                "day": "int64",
+                "open_c": "int64",
+                "high_c": "int64",
+                "low_c": "int64",
+                "close_c": "int64",
+                "n": "int64",
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "event_id", "value"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def events_dispersion(sf_dir: str) -> pa.Table:
+    """(event_type, n_days, sum_c, sum_sq, vmr_micro): the Poisson
+    overdispersion audit — per type, the variance-to-mean ratio (Fisher
+    dispersion index) of DAILY EVENT COUNTS over the gap-filled global
+    calendar span (missing days count 0, the gapfill convention; a
+    Poisson process has VMR 1, clumped traffic > 1). Exact integers by
+    cross-multiplication:
+
+        vmr_micro = (10^6 · (n·Σc² − S²)) // (n · S),   S = Σc
+
+    (population variance over mean; S > 0 whenever the type exists).
+
+    Plan: one two-phase (type, day) count aggregation; the shared
+    ``_global_day_span`` scan supplies n; per-type Σc/Σc² fold over
+    O(types × observed days) rows driver-side (zero days contribute
+    nothing to either sum)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": (us // 86_400_000_000).astype("int64"),
+                "c": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"c": ("c", "sum")},
+    )
+    span = _global_day_span(daily)
+    cols = {
+        "event_type": pa.array([], pa.string()),
+        "n_days": pa.array([], pa.int64()),
+        "sum_c": pa.array([], pa.int64()),
+        "sum_sq": pa.array([], pa.int64()),
+        "vmr_micro": pa.array([], pa.int64()),
+    }
+    if span is None:
+        return pa.table(cols)
+    n = span[1] - span[0] + 1
+    d = daily.to_pandas()  # O(types × observed days)
+    rows = []
+    for t, g in d.groupby("event_type"):
+        c = g["c"].to_numpy().astype("int64")
+        s, s2 = int(c.sum()), int((c * c).sum())
+        vmr = (1_000_000 * (n * s2 - s * s)) // (n * s)
+        rows.append((t, n, s, s2, vmr))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_days": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_c": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_sq": pa.array([r[3] for r in rows], pa.int64()),
+            "vmr_micro": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )

@@ -3734,3 +3734,155 @@ def docs_vocab_growth(sf_dir: str) -> "pa.Table":
             "vocab_cum": pa.array(cum.tolist(), pa.int64()),
         }
     )
+
+
+def docs_simpson_diversity(sf_dir: str) -> "pa.Table":
+    """(source, n_docs, d_micro): Simpson's diversity index of the
+    LANGUAGE mix within each source (Simpson 1949, public) — the
+    probability two draws without replacement differ in lang,
+
+        d_micro = (10^6 · (N(N−1) − Σ_i n_i(n_i−1))) // (N(N−1))
+
+    — the balance audit a mixture builder runs per source before
+    trusting ``docs_domain_mix`` weights (0 = monolingual,
+    → 10^6 = evenly mixed). Exact integers throughout; sources with
+    N ≤ 1 report 0 (no pair exists).
+
+    Plan: one two-phase (source, lang) count aggregation; the
+    O(sources × langs) result folds driver-side."""
+    import numpy as np
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    counts = bucketed_groupby_agg(
+        _read_documents(sf_dir, ["source", "lang"]).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "lang": df["lang"],
+                    "c": np.ones(len(df), dtype="int64"),
+                }
+            )
+            .groupby(["source", "lang"], as_index=False)["c"]
+            .sum(),
+            batch_format="pandas",
+        ),
+        keys=["source", "lang"],
+        aggs={"c": ("c", "sum")},
+    ).to_pandas()  # O(sources × langs)
+
+    rows = []
+    for s, g in counts.groupby("source"):
+        ni = g["c"].to_numpy().astype("int64")
+        n = int(ni.sum())
+        if n <= 1:
+            rows.append((s, n, 0))
+            continue
+        den = n * (n - 1)
+        num = den - int((ni * (ni - 1)).sum())
+        rows.append((s, n, (1_000_000 * num) // den))
+    rows.sort()
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "d_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+ZIPF_TOP_K = 200
+
+
+def docs_zipf_slope(sf_dir: str) -> "pa.Table":
+    """(k, n, slope_micro, intercept_micro): the Zipf's-law fit of the
+    corpus's rank-frequency curve (Zipf 1949, public) — an OLS of
+    y = ln(freq) on x = ln(rank) over the top-``ZIPF_TOP_K`` terms by
+    total OCCURRENCE count (rank ties broken term-asc), the corpus-
+    health law a tokenizer/dedup pass checks (natural text slopes
+    ≈ −1; templated or duplicated corpora flatten or step). Both logs
+    are quantized floor(ln·1e6) micronats BEFORE the closed-form
+    solve (the ``docs_lm_score`` idiom, via libm ``math.log`` which
+    tracks DuckDB's ``ln``), and the slope/intercept divisions floor
+    on |num| with the sign applied after (the
+    ``lineitem_group_regression`` idiom) — exact integers end to end.
+
+    Plan: occurrence counts from one term-hash aggregation (per-batch
+    Counter partials — one row per (batch, term) moves); per-block
+    top-k + a ≤ k·blocks driver merge bounds what leaves the
+    aggregation (the ``docs_top_terms`` shape); the 2×2 solve runs on
+    ≤ k rows of Python ints."""
+    import math
+
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def occ_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(text.lower().split())
+        return pd.DataFrame(
+            {
+                "term": list(c.keys()),
+                "n": pd.array(list(c.values()), dtype="int64"),
+            }
+        )
+
+    agg = bucketed_groupby_agg(
+        _read_documents(sf_dir, ["text"]).map_batches(
+            occ_counts, batch_format="pandas"
+        ),
+        keys=["term"],
+        aggs={"n": ("n", "sum")},
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "term"], ascending=[False, True]
+        ).head(ZIPF_TOP_K)
+
+    top = (
+        agg.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "term"], ascending=[False, True])
+        .head(ZIPF_TOP_K)
+        .reset_index(drop=True)
+    )
+    cols = {
+        "k": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "slope_micro": pa.array([], pa.int64()),
+        "intercept_micro": pa.array([], pa.int64()),
+    }
+    if len(top) < 2:
+        return pa.table(cols)
+    xs = [
+        math.floor(math.log(r + 1) * 1_000_000) for r in range(len(top))
+    ]
+    ys = [
+        math.floor(math.log(int(v)) * 1_000_000)
+        for v in top["n"]
+    ]
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = k * sxx - sx * sx
+    num_s = k * sxy - sx * sy
+    num_i = sy * sxx - sx * sxy
+    slope = (1 if num_s >= 0 else -1) * (
+        (abs(num_s) * 1_000_000) // den
+    )
+    inter = (1 if num_i >= 0 else -1) * (abs(num_i) // den)
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([int(top["n"].sum())], pa.int64()),
+            "slope_micro": pa.array([slope], pa.int64()),
+            "intercept_micro": pa.array([inter], pa.int64()),
+        }
+    )

@@ -742,3 +742,292 @@ class TestVocabGrowth:
         # growth curve is monotone, concave-ish head: first decile is
         # the largest single contributor on a shared-vocab corpus
         assert int(got["new_terms"].iloc[0]) == got["new_terms"].max()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOhlc:
+    def test_engineered_candle(self, tmp_path):
+        """One day, one type: open/close picked by (ts, event_id)
+        order, including a same-timestamp tie at the close."""
+        rows = [
+            (0, "A", 5.0),   # event_id 0: open
+            (0, "A", 9.0),   # high
+            (0, "A", 1.0),   # low
+            (0, "A", 7.0),   # event_id 3: same ts as 2 -> close
+        ]
+        _write_events(tmp_path, rows, users=[1, 2, 3, 4])
+        from suckit_ray.pipelines.relops import events_ohlc
+
+        got = events_ohlc(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (
+            int(r["open_c"]),
+            int(r["high_c"]),
+            int(r["low_c"]),
+            int(r["close_c"]),
+            int(r["n"]),
+        ) == (500, 900, 100, 700, 4)
+
+    def test_matches_pandas_replay_on_sf(self):
+        from suckit_ray.pipelines.relops import events_ohlc, to_cents
+
+        got = (
+            events_ohlc(SF)
+            .to_pandas()
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        us = ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ev = pd.DataFrame(
+            {
+                "event_type": ev["event_type"],
+                "day": us // 86_400_000_000,
+                "us": us,
+                "event_id": ev["event_id"],
+                "v": to_cents(ev["value"]),
+            }
+        ).sort_values(["event_type", "day", "us", "event_id"])
+        ref = (
+            ev.groupby(["event_type", "day"], as_index=False)
+            .agg(
+                open_c=("v", "first"),
+                high_c=("v", "max"),
+                low_c=("v", "min"),
+                close_c=("v", "last"),
+                n=("v", "count"),
+            )
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref.astype(got.dtypes))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDispersion:
+    def test_constant_daily_counts_give_zero(self, tmp_path):
+        """Same count every day -> variance 0 -> VMR 0."""
+        rows = [(d, "A", 1.0) for d in range(5) for _ in range(3)]
+        _write_events(tmp_path, rows, users=list(range(15)))
+        from suckit_ray.pipelines.relops import events_dispersion
+
+        got = events_dispersion(str(tmp_path)).to_pandas()
+        assert int(got["vmr_micro"].iloc[0]) == 0
+
+    def test_gap_days_count_zero(self, tmp_path):
+        """Type B fires once in a 5-day span: counts (1,0,0,0,0) ->
+        mean 1/5, var 4/25, VMR = 4/5 exactly 800000."""
+        rows = [(0, "A", 1.0), (4, "A", 1.0), (0, "B", 1.0)]
+        _write_events(tmp_path, rows, users=[1, 2, 3])
+        from suckit_ray.pipelines.relops import events_dispersion
+
+        got = events_dispersion(str(tmp_path)).to_pandas()
+        b = got[got["event_type"] == "B"].iloc[0]
+        assert int(b["n_days"]) == 5
+        assert int(b["vmr_micro"]) == 800_000
+
+    def test_nonnegative_on_sf(self):
+        from suckit_ray.pipelines.relops import events_dispersion
+
+        got = events_dispersion(SF).to_pandas()
+        assert len(got) == 5
+        assert (got["vmr_micro"] >= 0).all()
+        # cross-check one type against numpy on the dense grid
+        r = got.iloc[0]
+        n, s, s2 = int(r["n_days"]), int(r["sum_c"]), int(r["sum_sq"])
+        assert int(r["vmr_micro"]) == (1_000_000 * (n * s2 - s * s)) // (
+            n * s
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimpsonDiversity:
+    def test_engineered_mixes(self, tmp_path):
+        """Source m: monolingual -> 0. Source e: 2+2 split of 4 ->
+        1 - (2·1+2·1)/(4·3) = 2/3."""
+        langs = ["en", "en", "en", "en", "de", "de"]
+        srcs = ["m", "m", "e", "e", "e", "e"]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(["x"] * 6, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array([1] * 6, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        from suckit_ray.pipelines.textops import docs_simpson_diversity
+
+        got = (
+            docs_simpson_diversity(str(tmp_path))
+            .to_pandas()
+            .set_index("source")
+        )
+        assert int(got.loc["m", "d_micro"]) == 0
+        assert int(got.loc["e", "d_micro"]) == (1_000_000 * 8) // 12
+
+    def test_bounds_on_sf(self):
+        from suckit_ray.pipelines.textops import docs_simpson_diversity
+
+        got = docs_simpson_diversity(SF).to_pandas()
+        assert len(got) >= 1
+        assert (got["d_micro"] >= 0).all()
+        assert (got["d_micro"] < 1_000_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReciprocity:
+    def test_engineered_mutual_and_oneway(self):
+        """Edges 0↔1 (mutual) and 0→2 (one-way): 2 of 3 edges
+        mutual -> recip 2/3."""
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import reciprocity_from_docs
+
+        rows = [
+            _page("hosta.test", 0, ["p1.html", "p2.html"]),
+            _page("hosta.test", 1, ["p0.html"]),
+            _page("hosta.test", 2, []),
+        ]
+        got = reciprocity_from_docs(
+            rd.from_arrow(pa.Table.from_pylist(rows))
+        ).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (int(r["n_edges"]), int(r["n_mutual"])) == (3, 2)
+        assert int(r["recip_micro"]) == (1_000_000 * 2) // 3
+
+    def test_matches_brute_force_on_flagship(self):
+        import posixpath
+        import re
+
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import (
+            reciprocity_from_docs,
+            resolve_link,
+        )
+
+        docs = crawl_docs(SF).materialize()
+        got = (
+            reciprocity_from_docs(docs)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        page_re = re.compile(r"/p(\d+)\.html$")
+        edges: dict = {}
+        for row in docs.iter_rows():
+            if not row["is_html"]:
+                continue
+            m = page_re.search(posixpath.normpath(row["doc_id"]))
+            if not m:
+                continue
+            j, host = int(m.group(1)), row["host"]
+            for s in row["spans"]:
+                if s["kind"] != "link":
+                    continue
+                tgt = resolve_link(row["doc_id"], s["media_ref"])
+                mt = page_re.search(tgt)
+                if not mt or tgt.split("/", 1)[0] != host:
+                    continue
+                k = int(mt.group(1))
+                if k != j:
+                    edges.setdefault(host, set()).add((j, k))
+        for _, r in got.iterrows():
+            es = edges[r["host"]]
+            mut = sum(1 for a, b in es if (b, a) in es)
+            assert int(r["n_edges"]) == len(es)
+            assert int(r["n_mutual"]) == mut
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZipfSlope:
+    def test_matches_float_ols_replay(self):
+        """The integer closed form tracks a float OLS over the same
+        quantized points to within 2 micro (one floor each side)."""
+        import math
+
+        from suckit_ray.pipelines.textops import ZIPF_TOP_K, docs_zipf_slope
+
+        got = docs_zipf_slope(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in docs["text"]:
+            c.update(t.lower().split())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_K]
+        # the sf0.001 word-soup vocabulary is smaller than the cap
+        assert int(got["k"].iloc[0]) == min(ZIPF_TOP_K, len(top))
+        xs = np.array(
+            [math.floor(math.log(r + 1) * 1e6) for r in range(len(top))]
+        )
+        ys = np.array([math.floor(math.log(n) * 1e6) for _, n in top])
+        slope_f, inter_f = np.polyfit(xs.astype(float), ys.astype(float), 1)
+        assert abs(int(got["slope_micro"].iloc[0]) - slope_f * 1e6) <= 2e6
+        assert abs(int(got["intercept_micro"].iloc[0]) - inter_f) <= 2
+        # natural-ish text: slope strictly negative
+        assert int(got["slope_micro"].iloc[0]) < 0
+
+    def test_exact_geometric_counts(self, tmp_path):
+        """Counts 8,4,2,1 over ranks 1..4: the exact integer solve on
+        hand-quantized points — replayed literally."""
+        import math
+
+        texts = (
+            ["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]
+        )  # one term per doc
+        n = len(texts)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        from suckit_ray.pipelines.textops import docs_zipf_slope
+
+        got = docs_zipf_slope(str(tmp_path)).to_pandas()
+        xs = [math.floor(math.log(r) * 1e6) for r in (1, 2, 3, 4)]
+        ys = [math.floor(math.log(v) * 1e6) for v in (8, 4, 2, 1)]
+        k = 4
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = k * sxx - sx * sx
+        num_s = k * sxy - sx * sy
+        exp = (1 if num_s >= 0 else -1) * ((abs(num_s) * 10**6) // den)
+        assert int(got["slope_micro"].iloc[0]) == exp
+        assert int(got["k"].iloc[0]) == 4
+        assert int(got["n"].iloc[0]) == 15
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDbscanAllCore:
+    def test_all_core_no_borders_regression(self):
+        """eps loose enough that EVERY point is core: the border
+        candidate set is EMPTY, which used to crash Ray's hash-shuffle
+        Dataset.join (an all-empty side loses its schema and the key
+        FieldRef can't bind) — the exact shape embeddings_dbscan hits
+        at sf0.1. The guarded plan must return all-core, no-noise."""
+        from suckit_ray.pipelines.ann import embeddings_dbscan
+
+        got = embeddings_dbscan(SF, eps=0.05, min_pts=2).to_pandas()
+        assert len(got) == 500
+        assert got["is_core"].all()
+        assert (got["cluster"] >= 0).all()
+
+    def test_empty_edge_set_is_all_noise(self):
+        """eps so tight no pair qualifies: the edge set itself is
+        empty (the other all-empty-join shape) — everything noise."""
+        from suckit_ray.pipelines.ann import embeddings_dbscan
+
+        got = embeddings_dbscan(SF, eps=0.9999, min_pts=2).to_pandas()
+        assert len(got) == 500
+        assert (~got["is_core"]).all()
+        assert (got["cluster"] == -1).all()
