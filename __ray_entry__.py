@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simpson_diversity": textops.docs_simpson_diversity,
         "crawl_reciprocity": graph.crawl_reciprocity,
         "docs_zipf_slope": textops.docs_zipf_slope,
+        "events_forecast_eval": relops.events_forecast_eval,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -3673,6 +3674,57 @@ def oracle_sql() -> dict[str, str]:
                                 // GREATEST(a.a, b.d2))
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
+        # walk-forward Holt backtest: the holt recursive CTE extended
+        # with LAG'd forecast errors vs the naive last-value baseline
+        "events_forecast_eval": """
+            WITH RECURSIVE d AS (
+              SELECT event_type,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       AS day,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            dr AS (
+              SELECT event_type, day, x,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS rn
+              FROM d
+            ),
+            r(event_type, rn, day, x, l, b) AS (
+              SELECT event_type, rn, day, x, x, CAST(0 AS BIGINT)
+              FROM dr WHERE rn = 1
+              UNION ALL
+              SELECT dr.event_type, dr.rn, dr.day, dr.x,
+                     (dr.x + (r.l + r.b)) // 2,
+                     (((dr.x + (r.l + r.b)) // 2) - r.l + r.b) // 2
+              FROM r JOIN dr ON dr.event_type = r.event_type
+                            AND dr.rn = r.rn + 1
+            ),
+            e AS (
+              SELECT event_type, rn, x,
+                     LAG(l + b) OVER w AS f_prev,
+                     LAG(x) OVER w AS x_prev
+              FROM r WINDOW w AS (PARTITION BY event_type
+                                  ORDER BY rn)
+            ),
+            s AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_eval,
+                     CAST(SUM(ABS(x - f_prev)) AS HUGEINT)
+                       AS sum_abs_err,
+                     CAST(SUM(ABS(x - x_prev)) AS HUGEINT)
+                       AS sum_abs_naive
+              FROM e WHERE rn > 1 GROUP BY 1
+            )
+            SELECT event_type, n_eval,
+                   CAST(sum_abs_err AS BIGINT) AS sum_abs_err,
+                   CAST(sum_abs_naive AS BIGINT) AS sum_abs_naive,
+                   CAST(sum_abs_err // n_eval AS BIGINT) AS mae_c,
+                   CAST((1000000 * sum_abs_err) // sum_abs_naive
+                        AS BIGINT) AS mase_micro
+            FROM s WHERE sum_abs_naive > 0
         """,
         # OHLC candlestick rollup: open/close picked by the full
         # (us, event_id) ordering key via ROW_NUMBER both directions

@@ -349,6 +349,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_simpson_diversity",
         "crawl_reciprocity",
         "docs_zipf_slope",
+        "events_forecast_eval",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -8411,3 +8411,111 @@ def events_dispersion(sf_dir: str) -> pa.Table:
             "vmr_micro": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
+
+
+def events_forecast_eval(sf_dir: str) -> pa.Table:
+    """(event_type, n_eval, sum_abs_err, sum_abs_naive, mae_c,
+    mase_micro): a walk-forward BACKTEST of the ``events_holt``
+    forecaster — at every observed day after the first, the one-step-
+    ahead Holt forecast (level + trend through the PREVIOUS observed
+    day) is scored against the actual daily cent sum, and compared to
+    the naive last-value forecast:
+
+        mae_c      = Σ|x_t − f_{t-1}|  //  n_eval
+        mase_micro = (10^6 · Σ|x_t − f_{t-1}|) // Σ|x_t − x_{t-1}|
+
+    (the Mean-Absolute-Scaled-Error shape, Hyndman & Koehler 2006,
+    public — < 10^6 means the model beats naive persistence). Types
+    with fewer than two observed days, or a zero naive denominator,
+    are dropped. Runs the SAME integer recursion as ``events_holt``
+    (every division ``_trunc_div``), so the whole audit is exact in
+    both engines and the oracle just extends the holt recursive CTE
+    with a LAG and two sums.
+
+    Plan: identical wiring to ``events_holt`` — one two-phase
+    (type, day) aggregation, bounded per-type ordered replay."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": (us // 86_400_000_000).astype("int64"),
+                "cents": to_cents(df["value"]),
+            }
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"x_cents": ("cents", "sum")},
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, grp in g.groupby("event_type"):
+            grp = grp.sort_values("day", kind="mergesort")
+            xs = [int(v) for v in grp["x_cents"]]
+            if len(xs) < 2:
+                continue
+            lev = trend = 0
+            s_err = s_naive = 0
+            for i, x in enumerate(xs):
+                if i == 0:
+                    lev, trend = x, 0
+                    continue
+                s_err += abs(x - (lev + trend))
+                s_naive += abs(x - xs[i - 1])
+                prev = lev
+                lev = _trunc_div(x + (lev + trend), 2)
+                trend = _trunc_div((lev - prev) + trend, 2)
+            if s_naive == 0:
+                continue
+            n_eval = len(xs) - 1
+            rows.append(
+                (
+                    etype,
+                    n_eval,
+                    s_err,
+                    s_naive,
+                    s_err // n_eval,
+                    (1_000_000 * s_err) // s_naive,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type",
+                "n_eval",
+                "sum_abs_err",
+                "sum_abs_naive",
+                "mae_c",
+                "mase_micro",
+            ],
+        )
+
+    out = (
+        daily.groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_eval": pa.array(out["n_eval"].astype("int64"), pa.int64()),
+            "sum_abs_err": pa.array(
+                out["sum_abs_err"].astype("int64"), pa.int64()
+            ),
+            "sum_abs_naive": pa.array(
+                out["sum_abs_naive"].astype("int64"), pa.int64()
+            ),
+            "mae_c": pa.array(out["mae_c"].astype("int64"), pa.int64()),
+            "mase_micro": pa.array(
+                out["mase_micro"].astype("int64"), pa.int64()
+            ),
+        }
+    )

@@ -1031,3 +1031,50 @@ class TestDbscanAllCore:
         assert len(got) == 500
         assert (~got["is_core"]).all()
         assert (got["cluster"] == -1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestForecastEval:
+    def test_replays_holt_recursion(self):
+        """Cross-check against events_holt's own output: the summed
+        |x_t − LAG(forecast)| must equal the eval's sum_abs_err."""
+        from suckit_ray.pipelines.relops import (
+            events_forecast_eval,
+            events_holt,
+        )
+
+        ev = events_forecast_eval(SF).to_pandas().set_index("event_type")
+        holt = events_holt(SF).to_pandas()
+        for etype, g in holt.groupby("event_type"):
+            g = g.sort_values("day").reset_index(drop=True)
+            err = (
+                (g["x_cents"].iloc[1:].to_numpy()
+                 - g["forecast_c"].iloc[:-1].to_numpy())
+            )
+            naive = np.diff(g["x_cents"].to_numpy())
+            r = ev.loc[etype]
+            assert int(r["sum_abs_err"]) == int(np.abs(err).sum())
+            assert int(r["sum_abs_naive"]) == int(np.abs(naive).sum())
+            assert int(r["n_eval"]) == len(g) - 1
+            assert int(r["mase_micro"]) == (
+                10**6 * int(np.abs(err).sum())
+            ) // int(np.abs(naive).sum())
+
+    def test_perfect_linear_series_beats_naive(self, tmp_path):
+        """On x_t = 100·t the Holt trend converges and the model error
+        drops below naive persistence (constant 100/day error)."""
+        rows = [(d, "A", float(d)) for d in range(1, 30)]
+        _write_events(tmp_path, rows, users=list(range(29)))
+        from suckit_ray.pipelines.relops import events_forecast_eval
+
+        got = events_forecast_eval(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        assert int(got["mase_micro"].iloc[0]) < 1_000_000
+
+    def test_single_day_type_dropped(self, tmp_path):
+        rows = [(0, "A", 1.0), (1, "A", 2.0), (0, "B", 1.0)]
+        _write_events(tmp_path, rows, users=[1, 2, 3])
+        from suckit_ray.pipelines.relops import events_forecast_eval
+
+        got = events_forecast_eval(str(tmp_path)).to_pandas()
+        assert list(got["event_type"]) == ["A"]
