@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_reciprocity": graph.crawl_reciprocity,
         "docs_zipf_slope": textops.docs_zipf_slope,
         "events_forecast_eval": relops.events_forecast_eval,
+        "events_absorption": relops.events_absorption,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -3674,6 +3675,73 @@ def oracle_sql() -> dict[str, str]:
                                 // GREATEST(a.a, b.d2))
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
+        # absorbing-Markov conversion probability within 4 steps:
+        # every lookup of the target pins 10^6 (absorbing), one floor
+        # per (step, state); dst-only states stay 0
+        "events_absorption": """
+            WITH s0 AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS dst
+              FROM events
+            ),
+            p AS (
+              SELECT src, dst, CAST(count(*) AS HUGEINT) AS n_pair
+              FROM s0 WHERE dst IS NOT NULL GROUP BY src, dst
+            ),
+            t AS (SELECT src, SUM(n_pair) AS tot FROM p GROUP BY src),
+            q1 AS (
+              SELECT p.src AS s,
+                     SUM(p.n_pair * (CASE WHEN p.dst = 'purchase'
+                         THEN 1000000 ELSE 0 END)) // t.tot AS q
+              FROM p JOIN t USING (src)
+              WHERE p.src <> 'purchase'
+              GROUP BY p.src, t.tot
+            ),
+            q2 AS (
+              SELECT p.src AS s,
+                     SUM(p.n_pair * (CASE WHEN p.dst = 'purchase'
+                         THEN 1000000 ELSE COALESCE(l.q, 0) END))
+                       // t.tot AS q
+              FROM p JOIN t USING (src)
+              LEFT JOIN q1 l ON l.s = p.dst
+              WHERE p.src <> 'purchase'
+              GROUP BY p.src, t.tot
+            ),
+            q3 AS (
+              SELECT p.src AS s,
+                     SUM(p.n_pair * (CASE WHEN p.dst = 'purchase'
+                         THEN 1000000 ELSE COALESCE(l.q, 0) END))
+                       // t.tot AS q
+              FROM p JOIN t USING (src)
+              LEFT JOIN q2 l ON l.s = p.dst
+              WHERE p.src <> 'purchase'
+              GROUP BY p.src, t.tot
+            ),
+            q4 AS (
+              SELECT p.src AS s,
+                     SUM(p.n_pair * (CASE WHEN p.dst = 'purchase'
+                         THEN 1000000 ELSE COALESCE(l.q, 0) END))
+                       // t.tot AS q
+              FROM p JOIN t USING (src)
+              LEFT JOIN q3 l ON l.s = p.dst
+              WHERE p.src <> 'purchase'
+              GROUP BY p.src, t.tot
+            ),
+            states AS (
+              SELECT DISTINCT src AS s FROM p
+              UNION SELECT DISTINCT dst FROM p
+            )
+            SELECT st.s AS event_type,
+                   CAST(COALESCE(t.tot, 0) AS BIGINT) AS n_out,
+                   CAST(CASE WHEN st.s = 'purchase' THEN 1000000
+                        ELSE COALESCE(q4.q, 0) END AS BIGINT)
+                     AS p4_micro
+            FROM states st
+            LEFT JOIN t ON t.src = st.s
+            LEFT JOIN q4 ON q4.s = st.s
         """,
         # walk-forward Holt backtest: the holt recursive CTE extended
         # with LAG'd forecast errors vs the naive last-value baseline

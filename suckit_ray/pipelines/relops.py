@@ -8519,3 +8519,77 @@ def events_forecast_eval(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+ABSORB_TARGET = "purchase"
+ABSORB_STEPS = 4
+
+
+def events_absorption(sf_dir: str) -> pa.Table:
+    """(event_type, n_out, p4_micro): absorbing-Markov conversion
+    analysis — the probability of reaching the absorbing
+    ``ABSORB_TARGET`` state within ``ABSORB_STEPS`` transitions when
+    starting from each event type, under the empirical first-order
+    chain (the attribution-modeling primitive behind Markov
+    removal-effect credit; Kemeny & Snell 1960, public). The target
+    absorbs: its observed outgoing transitions are ignored and its
+    value pins at 10^6. Exact integers: per step and state,
+
+        q_t(s) = (Σ_d c(s,d) · q_{t-1}(d)) // n(s)
+
+    with q(target) ≡ 10^6 at every LOOKUP — one floor per
+    (step, state), mirrored by four chained CTE steps in the oracle.
+    States seen only as destinations (never a source) stay 0.
+
+    Plan: the transition counts are ``events_markov``'s verified
+    co-group output (≤ |types|² rows); the K-step recursion runs on
+    that tiny matrix driver-side."""
+    counts = events_markov(sf_dir).to_pandas()
+    cols = {
+        "event_type": pa.array([], pa.string()),
+        "n_out": pa.array([], pa.int64()),
+        "p4_micro": pa.array([], pa.int64()),
+    }
+    if not len(counts):
+        return pa.table(cols)
+    c: dict[tuple[str, str], int] = {
+        (r["src"], r["dst"]): int(r["n_pair"])
+        for _, r in counts.iterrows()
+    }
+    states = sorted(
+        set(counts["src"]).union(counts["dst"])
+    )
+    n_out = {
+        s: sum(v for (a, _), v in c.items() if a == s) for s in states
+    }
+
+    def lookup(q: dict[str, int], s: str) -> int:
+        return 1_000_000 if s == ABSORB_TARGET else q.get(s, 0)
+
+    q: dict[str, int] = {}
+    for _ in range(ABSORB_STEPS):
+        q = {
+            s: sum(
+                c.get((s, d), 0) * lookup(q, d) for d in states
+            )
+            // n_out[s]
+            for s in states
+            if s != ABSORB_TARGET and n_out[s] > 0
+        }
+    return pa.table(
+        {
+            "event_type": pa.array(states, pa.string()),
+            "n_out": pa.array(
+                [n_out[s] for s in states], pa.int64()
+            ),
+            "p4_micro": pa.array(
+                [
+                    1_000_000
+                    if s == ABSORB_TARGET
+                    else q.get(s, 0)
+                    for s in states
+                ],
+                pa.int64(),
+            ),
+        }
+    )

@@ -1078,3 +1078,47 @@ class TestForecastEval:
 
         got = events_forecast_eval(str(tmp_path)).to_pandas()
         assert list(got["event_type"]) == ["A"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAbsorption:
+    def test_engineered_chain(self, tmp_path):
+        """view -> click -> purchase deterministic chain per user:
+        q(click)=10^6 (1 step), q(view)=10^6 (2 steps), purchase
+        pinned; the dst-only dead end stays 0."""
+        rows = []
+        users = []
+        for u in range(3):
+            rows += [(0, "view", 1.0), (1, "click", 1.0),
+                     (2, "purchase", 1.0)]
+            users += [u, u, u]
+        # one user ends on a dead-end type (dst-only, never a src)
+        rows += [(0, "view", 1.0), (1, "dead", 1.0)]
+        users += [9, 9]
+        _write_events(tmp_path, rows, users=users)
+        from suckit_ray.pipelines.relops import events_absorption
+
+        got = (
+            events_absorption(str(tmp_path))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        assert int(got.loc["purchase", "p4_micro"]) == 1_000_000
+        assert int(got.loc["click", "p4_micro"]) == 1_000_000
+        # view: 3/4 of transitions go to click(→purchase), 1/4 to dead
+        assert int(got.loc["view", "p4_micro"]) == (
+            3 * 1_000_000
+        ) // 4
+        assert int(got.loc["dead", "p4_micro"]) == 0
+        assert int(got.loc["dead", "n_out"]) == 0
+
+    def test_probability_bounds_and_monotone_on_sf(self):
+        """0 ≤ p ≤ 10^6 everywhere; with every type reaching purchase
+        in the dense sf log, all sources score > 0."""
+        from suckit_ray.pipelines.relops import events_absorption
+
+        got = events_absorption(SF).to_pandas()
+        assert (got["p4_micro"] >= 0).all()
+        assert (got["p4_micro"] <= 1_000_000).all()
+        src = got[got["n_out"] > 0]
+        assert (src["p4_micro"] > 0).all()
