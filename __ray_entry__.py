@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_slope": textops.docs_zipf_slope,
         "events_forecast_eval": relops.events_forecast_eval,
         "events_absorption": relops.events_absorption,
+        "lineitem_price_index": relops.lineitem_price_index,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -3675,6 +3676,41 @@ def oracle_sql() -> dict[str, str]:
                                 // GREATEST(a.a, b.d2))
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
+        # Laspeyres/Paasche vs the base ship year over the matched
+        # basket; unit prices trunc-div quantized BEFORE weighting
+        "lineitem_price_index": """
+            WITH l AS (
+              SELECT year(l_shipdate) AS year, l_partkey AS part,
+                     CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       AS ep,
+                     CAST(round(l_quantity) AS BIGINT) AS q
+              FROM lineitem
+            ),
+            py AS (
+              SELECT year, part, SUM(ep) AS ep, SUM(q) AS q
+              FROM l GROUP BY 1, 2
+            ),
+            u AS (SELECT year, part, ep // q AS u, q FROM py),
+            m AS (
+              SELECT u.year, CAST(COUNT(*) AS BIGINT) AS np,
+                     SUM(u.u * b.q0) AS ln,
+                     SUM(b.u0 * b.q0) AS ld,
+                     SUM(u.u * u.q) AS pn,
+                     SUM(b.u0 * u.q) AS pdn
+              FROM u
+              JOIN (SELECT part, u AS u0, q AS q0 FROM u
+                    WHERE year = (SELECT MIN(year) FROM u)) b
+                USING (part)
+              WHERE u.year <> (SELECT MIN(year) FROM u)
+              GROUP BY u.year
+            )
+            SELECT CAST(year AS BIGINT) AS year, np AS n_parts,
+                   CAST((1000000 * ln) // ld AS BIGINT)
+                     AS lasp_micro,
+                   CAST((1000000 * pn) // pdn AS BIGINT)
+                     AS paasche_micro
+            FROM m WHERE ld > 0 AND pdn > 0
         """,
         # absorbing-Markov conversion probability within 4 steps:
         # every lookup of the target pins 10^6 (absorbing), one floor

@@ -351,6 +351,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_zipf_slope",
         "events_forecast_eval",
         "events_absorption",
+        "lineitem_price_index",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

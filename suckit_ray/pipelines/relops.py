@@ -8593,3 +8593,144 @@ def events_absorption(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def lineitem_price_index(sf_dir: str) -> pa.Table:
+    """(year, n_parts, lasp_micro, paasche_micro): Laspeyres and
+    Paasche price indices of each ship year against the BASE (first)
+    year over the matched part basket (index-number theory, public) —
+    the inflation audit run over transaction logs:
+
+        lasp    = Σ_p u_t(p)·q_0(p)  /  Σ_p u_0(p)·q_0(p)
+        paasche = Σ_p u_t(p)·q_t(p)  /  Σ_p u_0(p)·q_t(p)
+
+    with unit prices u_y(p) = Σ extprice_c // Σ qty (TRUNC-DIV cents —
+    quantized identically in both engines BEFORE any weighting, the
+    silhouette-centroid idiom), quantities half-away-rounded, and each
+    ratio floored to micro. A part enters year t's basket only if
+    present in BOTH year t and the base year (matched basket — no
+    imputation).
+
+    Plan: one two-phase (year, part) aggregation → ONE part-hash
+    co-group pairs every (part, year) with its part's base row
+    group-locally and emits per-year integer partials → a tiny year
+    aggregation; the driver sees O(years) rows. The base year is an
+    O(blocks) min-reduce, not a driver scan."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        yr = (
+            df["l_shipdate"].to_numpy().astype("datetime64[Y]").astype("int64")
+            + 1970
+        )
+        return pd.DataFrame(
+            {
+                "year": yr,
+                "part": df["l_partkey"].astype("int64"),
+                "ep": to_cents(df["l_extendedprice"]),
+                "q": round_half_away(df["l_quantity"]),
+            }
+        )
+
+    py = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_partkey", "l_extendedprice", "l_quantity"],
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["year", "part"],
+        aggs={"ep": ("ep", "sum"), "q": ("q", "sum")},
+    ).materialize()  # feeds the base-year reduce AND the co-group
+
+    bounds = py.map_batches(
+        lambda df: pd.DataFrame({"lo": [int(df["year"].min())]})
+        if len(df)
+        else pd.DataFrame({"lo": pd.array([], dtype="int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    cols = {
+        "year": pa.array([], pa.int64()),
+        "n_parts": pa.array([], pa.int64()),
+        "lasp_micro": pa.array([], pa.int64()),
+        "paasche_micro": pa.array([], pa.int64()),
+    }
+    if not len(bounds):
+        return pa.table(cols)
+    base = int(bounds["lo"].min())
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        # unit price quantized FIRST (trunc — all values nonnegative)
+        g["u"] = (
+            g["ep"].astype("int64") // g["q"].astype("int64")
+        ).astype("int64")
+        b = g[g["year"] == base][["part", "u", "q"]].rename(
+            columns={"u": "u0", "q": "q0"}
+        )
+        m = g[g["year"] != base].merge(b, on="part")
+        out = []
+        if len(m):
+            m["ln"] = m["u"] * m["q0"]
+            m["ld"] = m["u0"] * m["q0"]
+            m["pn"] = m["u"] * m["q"]
+            m["pd_"] = m["u0"] * m["q"]
+            m["np"] = 1
+            out.append(
+                m.groupby("year", as_index=False)[
+                    ["ln", "ld", "pn", "pd_", "np"]
+                ].sum()
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "year": pd.Series([], dtype="int64"),
+                    "ln": pd.Series([], dtype="int64"),
+                    "ld": pd.Series([], dtype="int64"),
+                    "pn": pd.Series([], dtype="int64"),
+                    "pd_": pd.Series([], dtype="int64"),
+                    "np": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True).astype("int64")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = (df["part"].astype("int64") % B).astype("int64")
+        return df
+
+    agg = bucketed_groupby_agg(
+        py.map_batches(bucketize, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(pair_partials, batch_format="pandas"),
+        keys=["year"],
+        aggs={
+            "ln": ("ln", "sum"),
+            "ld": ("ld", "sum"),
+            "pn": ("pn", "sum"),
+            "pd_": ("pd_", "sum"),
+            "np": ("np", "sum"),
+        },
+    ).to_pandas()  # O(years)
+
+    agg = agg[(agg["ld"] > 0) & (agg["pd_"] > 0)].sort_values("year")
+    return pa.table(
+        {
+            "year": pa.array(agg["year"].astype("int64"), pa.int64()),
+            "n_parts": pa.array(agg["np"].astype("int64"), pa.int64()),
+            "lasp_micro": pa.array(
+                [
+                    (1_000_000 * int(n)) // int(d)
+                    for n, d in zip(agg["ln"], agg["ld"])
+                ],
+                pa.int64(),
+            ),
+            "paasche_micro": pa.array(
+                [
+                    (1_000_000 * int(n)) // int(d)
+                    for n, d in zip(agg["pn"], agg["pd_"])
+                ],
+                pa.int64(),
+            ),
+        }
+    )

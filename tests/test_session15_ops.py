@@ -1122,3 +1122,111 @@ class TestAbsorption:
         assert (got["p4_micro"] <= 1_000_000).all()
         src = got[got["n_out"] > 0]
         assert (src["p4_micro"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPriceIndex:
+    def _write_lineitem(self, tmp_path, rows):
+        """rows: (year, partkey, qty, extendedprice)."""
+        import datetime
+
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+                "l_linenumber": pa.array([1] * len(rows), pa.int32()),
+                "l_quantity": pa.array(
+                    [float(r[2]) for r in rows], pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    [float(r[3]) for r in rows], pa.float64()
+                ),
+                "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+                "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+                "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+                "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+                "l_shipdate": pa.array(
+                    [
+                        datetime.datetime(r[0], 6, 15)
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "lineitem.parquet")
+
+    def test_uniform_doubling(self, tmp_path):
+        """Every unit price doubles year 2024→2025, same basket:
+        both indices read exactly 2.0 (2e6 micro)."""
+        rows = [
+            (2024, 1, 2, 10.0),  # unit 500c
+            (2024, 2, 4, 40.0),  # unit 1000c
+            (2025, 1, 3, 30.0),  # unit 1000c
+            (2025, 2, 1, 20.0),  # unit 2000c
+        ]
+        self._write_lineitem(tmp_path, rows)
+        from suckit_ray.pipelines.relops import lineitem_price_index
+
+        got = lineitem_price_index(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert int(r["year"]) == 2025
+        assert int(r["n_parts"]) == 2
+        assert int(r["lasp_micro"]) == 2_000_000
+        assert int(r["paasche_micro"]) == 2_000_000
+
+    def test_unmatched_part_excluded(self, tmp_path):
+        """A part sold only in 2025 is not in the matched basket."""
+        rows = [
+            (2024, 1, 1, 10.0),
+            (2025, 1, 1, 10.0),
+            (2025, 99, 1, 999.0),  # new product: excluded
+        ]
+        self._write_lineitem(tmp_path, rows)
+        from suckit_ray.pipelines.relops import lineitem_price_index
+
+        got = lineitem_price_index(str(tmp_path)).to_pandas()
+        assert int(got["n_parts"].iloc[0]) == 1
+        assert int(got["lasp_micro"].iloc[0]) == 1_000_000
+
+    def test_matches_pandas_replay_on_sf(self):
+        from suckit_ray.pipelines.relops import (
+            lineitem_price_index,
+            round_half_away,
+            to_cents,
+        )
+
+        got = lineitem_price_index(SF).to_pandas()
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=[
+                "l_shipdate",
+                "l_partkey",
+                "l_extendedprice",
+                "l_quantity",
+            ],
+        ).to_pandas()
+        df = pd.DataFrame(
+            {
+                "year": li["l_shipdate"].dt.year,
+                "part": li["l_partkey"],
+                "ep": to_cents(li["l_extendedprice"]),
+                "q": round_half_away(li["l_quantity"]),
+            }
+        )
+        py = df.groupby(["year", "part"], as_index=False).sum()
+        py["u"] = py["ep"] // py["q"]
+        base = int(py["year"].min())
+        b = py[py["year"] == base].set_index("part")[["u", "q"]]
+        for _, r in got.iterrows():
+            yr = int(r["year"])
+            m = py[py["year"] == yr].merge(
+                b, left_on="part", right_index=True,
+                suffixes=("", "0"),
+            )
+            ln = int((m["u"] * m["q0"]).sum())
+            ld = int((m["u0"] * m["q0"]).sum())
+            assert int(r["n_parts"]) == len(m)
+            assert int(r["lasp_micro"]) == (1_000_000 * ln) // ld
