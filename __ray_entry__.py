@@ -3931,7 +3931,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CASE WHEN num_i >= 0 THEN 1 ELSE -1 END)
                         * (abs(num_i) // den)
                         AS BIGINT) AS intercept_micro
-            FROM f
+            FROM f WHERE k >= 2  -- engine returns empty below 2 terms
         """,
         # Simpson's diversity of the lang mix per source, exact
         # without-replacement pair probability

@@ -4076,7 +4076,7 @@ def motifs_from_docs(docs: rd.Dataset) -> rd.Dataset:
         )
 
     return matched.groupby("host").map_groups(
-        lambda g: finish(g), batch_format="pandas"
+        finish, batch_format="pandas"
     )
 
 
@@ -4120,7 +4120,7 @@ def reciprocity_from_docs(docs: rd.Dataset) -> rd.Dataset:
 
     def mark(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby(["host", "a", "b"], as_index=False).agg(
-            n=("fwd", "count"), f=("fwd", "sum")
+            n=("fwd", "count")
         )
         # n directed edges on the pair (1 or 2); both mutual iff n=2
         return pd.DataFrame(

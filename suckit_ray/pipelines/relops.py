@@ -8225,6 +8225,14 @@ def events_haar(sf_dir: str) -> pa.Table:
     n = hi - lo + 1
     block = 1 << HAAR_LEVELS
     padded = ((n + block - 1) // block) * block
+    if padded > 131072:
+        # the oracle's constant generate_series grid tops out here
+        # (generate_series takes no subquery bound); ~359 years of
+        # days — fail loudly rather than silently diverge
+        raise ValueError(
+            f"events_haar: padded day span {padded} exceeds the "
+            "131072-day oracle grid"
+        )
     x = np.zeros(padded, dtype="int64")
     x[d["day"].to_numpy() - lo] = d["t"].to_numpy().astype("int64")
 

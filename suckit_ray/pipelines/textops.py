@@ -3673,13 +3673,16 @@ def docs_vocab_growth(sf_dir: str) -> "pa.Table":
     from suckit_ray.stages.agg import bucketed_groupby_agg
 
     n = _read_documents(sf_dir, ["doc_id"]).count()
-    cols = {
-        "decile": pa.array([], pa.int64()),
-        "new_terms": pa.array([], pa.int64()),
-        "vocab_cum": pa.array([], pa.int64()),
-    }
     if n == 0:
-        return pa.table(cols)
+        # the oracle's generate_series grid still emits ten zero rows
+        z = [0] * 10
+        return pa.table(
+            {
+                "decile": pa.array(range(10), pa.int64()),
+                "new_terms": pa.array(z, pa.int64()),
+                "vocab_cum": pa.array(z, pa.int64()),
+            }
+        )
 
     def first_seen(df: pd.DataFrame) -> pd.DataFrame:
         firsts: dict[str, int] = {}
