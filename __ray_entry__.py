@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_forecast_eval": relops.events_forecast_eval,
         "events_absorption": relops.events_absorption,
         "lineitem_price_index": relops.lineitem_price_index,
+        "events_lorenz": relops.events_lorenz,
+        "docs_keyness_llr": textops.docs_keyness_llr,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -789,6 +791,17 @@ def _fanout_values(r: str, ho: str) -> str:
     return (
         f"(VALUES ((2*{r}.j+1) % {ho}.m), ((2*{r}.j+2) % {ho}.m), "
         f"((5*{r}.j+3) % {ho}.m), ((5*{r}.j+10) % {ho}.m))"
+    )
+
+
+def _xlx(e: str) -> str:
+    """floor(x·ln(x)·10^6) as BIGINT with the x<=0 → 0 limit — the
+    entropy-term quantizer of the docs_keyness_llr oracle (must
+    mirror relops/textops' math.floor(x*math.log(x)*1e6))."""
+    return (
+        f"(CASE WHEN ({e}) <= 0 THEN 0 ELSE "
+        f"CAST(floor(({e}) * ln(CAST(({e}) AS DOUBLE)) * 1000000) "
+        f"AS BIGINT) END)"
     )
 
 
@@ -3677,6 +3690,39 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
         """,
+        # Lorenz curve of per-user totals: NTILE(10) ascending by
+        # (total, user_id), cumulative exact shares in micro
+        "events_lorenz": """
+            WITH u AS (
+              SELECT user_id,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS t
+              FROM events GROUP BY 1
+            ),
+            nt AS (
+              SELECT user_id, t,
+                     NTILE(10) OVER (ORDER BY t, user_id) AS decile
+              FROM u
+            ),
+            p AS (
+              SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(t) AS HUGEINT) AS v
+              FROM nt GROUP BY 1
+            ),
+            c AS (
+              SELECT decile,
+                     SUM(n) OVER (ORDER BY decile) AS ncum,
+                     SUM(v) OVER (ORDER BY decile) AS vcum,
+                     (SELECT SUM(v) FROM p) AS tot
+              FROM p
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(ncum AS BIGINT) AS n_users_cum,
+                   CAST(vcum AS BIGINT) AS value_cum_c,
+                   CAST(CASE WHEN tot = 0 THEN 0
+                        ELSE (1000000 * vcum) // tot END AS BIGINT)
+                     AS share_micro
+            FROM c
+        """,
         # Laspeyres/Paasche vs the base ship year over the matched
         # basket; unit prices trunc-div quantized BEFORE weighting
         "lineitem_price_index": """
@@ -3885,6 +3931,60 @@ def oracle_sql() -> dict[str, str]:
                         // ((SELECT n FROM b) * s) AS BIGINT)
                      AS vmr_micro
             FROM s
+        """,
+        # Dunning G² keyness: per lang, top-10 of the 50 most
+        # frequent terms; every x·ln x entropy term quantized via
+        # the shared _xlx expression (x<=0 → 0)
+        "docs_keyness_llr": rf"""
+            WITH terms AS (
+              SELECT lang,
+                     UNNEST(regexp_split_to_array(lower(text), '\s+'))
+                       AS term
+              FROM documents
+            ),
+            lt AS (
+              SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM terms WHERE term <> '' GROUP BY 1, 2
+            ),
+            pool AS (
+              SELECT term, SUM(n) AS tn,
+                     ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, term)
+                       AS pr
+              FROM lt GROUP BY term QUALIFY pr <= 50
+            ),
+            lgt AS (SELECT lang, SUM(n) AS lt_tot FROM lt GROUP BY 1),
+            nn AS (SELECT SUM(n) AS n FROM lt),
+            cells AS (
+              SELECT g.lang, p.term,
+                     COALESCE(x.n, 0) AS a,
+                     p.tn - COALESCE(x.n, 0) AS b,
+                     g.lt_tot - COALESCE(x.n, 0) AS c,
+                     (SELECT n FROM nn) - g.lt_tot
+                       - (p.tn - COALESCE(x.n, 0)) AS d,
+                     (SELECT n FROM nn) AS nt
+              FROM lgt g CROSS JOIN pool p
+              LEFT JOIN lt x ON x.lang = g.lang AND x.term = p.term
+            ),
+            g2 AS (
+              SELECT lang, term, a, b,
+                     2 * ({_xlx("a")} + {_xlx("b")} + {_xlx("c")}
+                          + {_xlx("d")} + {_xlx("nt")}
+                          - {_xlx("a + b")} - {_xlx("c + d")}
+                          - {_xlx("a + c")} - {_xlx("b + d")})
+                       AS g2_micro
+              FROM cells
+            ),
+            ranked AS (
+              SELECT lang, term, a, b, g2_micro,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY g2_micro DESC,
+                                                 term ASC) AS rank
+              FROM g2
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, term,
+                   CAST(a AS BIGINT) AS n_in,
+                   CAST(b AS BIGINT) AS n_out, g2_micro
+            FROM ranked WHERE rank <= 10
         """,
         # Zipf rank-frequency OLS over the top-200 terms; both logs
         # quantized floor(ln·1e6) before the integer closed form

@@ -352,6 +352,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_forecast_eval",
         "events_absorption",
         "lineitem_price_index",
+        "events_lorenz",
+        "docs_keyness_llr",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -8742,3 +8742,119 @@ def lineitem_price_index(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def events_lorenz(sf_dir: str) -> pa.Table:
+    """(decile, n_users_cum, value_cum_c, share_micro): the Lorenz
+    concentration curve of per-user value totals — users NTILE(10)'d
+    ascending by (total, user_id), each decile reporting the
+    cumulative user count, cumulative cent total, and exact cumulative
+    share floor(10^6·cum/total) — the curve whose area the
+    ``events_gini`` scalar summarizes (Lorenz 1905, public), read by
+    capacity planners to see *where* the concentration lives.
+
+    Plan: per-user totals from one user-hash aggregation (O(users)
+    stays distributed); decile assignment via the shared
+    ``_ntile_assign`` distributed-sort recipe (sample-trained range
+    partition + per-bucket prefix bases — DuckDB's NTILE remainder
+    rule exactly); one tiny (decile) aggregation and a 10-row driver
+    cumsum finish."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    totals = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype("int64"),
+                    "t": to_cents(df["value"]),
+                }
+            )
+            .groupby("user_id", as_index=False)["t"]
+            .sum(),
+            batch_format="pandas",
+        ),
+        keys=["user_id"],
+        aggs={"t": ("t", "sum")},
+    ).materialize()  # feeds the count, the ntile pass, and the join
+
+    n_users = totals.count()
+    cols = {
+        "decile": pa.array([], pa.int64()),
+        "n_users_cum": pa.array([], pa.int64()),
+        "value_cum_c": pa.array([], pa.int64()),
+        "share_micro": pa.array([], pa.int64()),
+    }
+    if n_users == 0:
+        return pa.table(cols)
+
+    tiles = _ntile_assign(totals, "t", n_users, 10, id_col="user_id")
+
+    # tiles back to totals WITHOUT Dataset.join (its hash shuffle
+    # chokes on the schema-less empty blocks tiny bucket groups emit;
+    # the tagged-union co-group is the repo's standard shape anyway)
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+
+    def tag_tot(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "decile": np.full(len(df), -1, dtype="int64"),
+                "t": df["t"].astype("int64"),
+                "ub": (df["user_id"].astype("int64") % B),
+            }
+        )
+
+    def tag_tile(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "decile": df["tile"].astype("int64"),
+                "t": np.zeros(len(df), dtype="int64"),
+                "ub": (df["user_id"].astype("int64") % B),
+            }
+        )
+
+    def zip_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False).agg(
+            decile=("decile", "max"), t=("t", "sum")
+        )
+        out = m.groupby("decile", as_index=False).agg(
+            n=("user_id", "count"), v=("t", "sum")
+        )
+        return out.astype("int64")
+
+    per_tile = (
+        bucketed_groupby_agg(
+            totals.map_batches(tag_tot, batch_format="pandas")
+            .union(tiles.map_batches(tag_tile, batch_format="pandas"))
+            .groupby("ub")
+            .map_groups(zip_fold, batch_format="pandas"),
+            keys=["decile"],
+            aggs={"n": ("n", "sum"), "v": ("v", "sum")},
+        )
+        .to_pandas()  # ≤ 10 rows
+        .sort_values("decile")
+    )
+    total = int(per_tile["v"].sum())
+    ncum = per_tile["n"].astype("int64").cumsum()
+    vcum = per_tile["v"].astype("int64").cumsum()
+    return pa.table(
+        {
+            "decile": pa.array(
+                per_tile["decile"].astype("int64"), pa.int64()
+            ),
+            "n_users_cum": pa.array(ncum, pa.int64()),
+            "value_cum_c": pa.array(vcum, pa.int64()),
+            "share_micro": pa.array(
+                [
+                    (1_000_000 * int(v)) // total if total else 0
+                    for v in vcum
+                ],
+                pa.int64(),
+            ),
+        }
+    )

@@ -3889,3 +3889,151 @@ def docs_zipf_slope(sf_dir: str) -> "pa.Table":
             "intercept_micro": pa.array([inter], pa.int64()),
         }
     )
+
+
+KEYNESS_POOL_K = 50  # candidate terms: top-K by corpus occurrences
+KEYNESS_TOP = 10  # emitted per lang
+
+
+def docs_keyness_llr(sf_dir: str) -> "pa.Table":
+    """(lang, rank, term, n_in, n_out, g2_micro): corpus KEYNESS — for
+    each lang, the top-10 of the 50 globally-most-frequent terms by
+    Dunning's log-likelihood ratio G² against the rest of the corpus
+    (Dunning 1993, public), the statistic corpus linguists and
+    quality-slicing pipelines use to ask "which words characterize
+    THIS slice". With the 2×2 occurrence table (a = term in lang,
+    b = term elsewhere, c/d = other tokens) G² expands to a signed sum
+    of x·ln(x) entropy terms over INTEGER counts only:
+
+        G² = 2·[Σ_cell x ln x + N ln N − Σ_margin x ln x]
+
+    Each x·ln(x) quantizes floor(x·ln(x)·10^6) (libm ``math.log``, the
+    ``docs_lm_score`` idiom — tracks DuckDB ``ln``; x = 0 contributes
+    0), so ranking and hash are exact in both engines.
+
+    Plan: one (lang, term) occurrence aggregation (per-batch Counter
+    partials); the 50-term candidate pool via per-block top-k + a tiny
+    driver merge (the ``docs_top_terms`` bound); per-lang totals are
+    O(langs); the ≤ langs×50 G² evaluations run on Python ints."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def occ(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for lang, text in zip(df["lang"], df["text"]):
+            c: Counter = Counter(text.lower().split())
+            rows.extend((lang, t, n) for t, n in c.items())
+        out = pd.DataFrame(rows, columns=["lang", "term", "n"])
+        return (
+            out.groupby(["lang", "term"], as_index=False)["n"].sum()
+            if len(out)
+            else pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "term": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    lt = bucketed_groupby_agg(
+        _read_documents(sf_dir, ["lang", "text"]).map_batches(
+            occ, batch_format="pandas"
+        ),
+        keys=["lang", "term"],
+        aggs={"n": ("n", "sum")},
+    ).materialize()  # feeds the pool, the lang totals, and the filter
+
+    pool = (
+        bucketed_groupby_agg(
+            lt.map_batches(
+                lambda df: df[["term", "n"]], batch_format="pandas"
+            ),
+            keys=["term"],
+            aggs={"n": ("n", "sum")},
+        )
+        .map_batches(
+            lambda df: df.sort_values(
+                ["n", "term"], ascending=[False, True]
+            ).head(KEYNESS_POOL_K),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(["n", "term"], ascending=[False, True])
+        .head(KEYNESS_POOL_K)
+    )
+    cols = {
+        "lang": pa.array([], pa.string()),
+        "rank": pa.array([], pa.int64()),
+        "term": pa.array([], pa.string()),
+        "n_in": pa.array([], pa.int64()),
+        "n_out": pa.array([], pa.int64()),
+        "g2_micro": pa.array([], pa.int64()),
+    }
+    if not len(pool):
+        return pa.table(cols)
+    term_tot = {t: int(n) for t, n in zip(pool["term"], pool["n"])}
+
+    lang_tot = (
+        bucketed_groupby_agg(
+            lt.map_batches(
+                lambda df: df[["lang", "n"]], batch_format="pandas"
+            ),
+            keys=["lang"],
+            aggs={"n": ("n", "sum")},
+        ).to_pandas()
+    )
+    L = {l: int(n) for l, n in zip(lang_tot["lang"], lang_tot["n"])}
+    N = sum(L.values())
+
+    pool_terms = set(term_tot)
+    in_counts = (
+        lt.map_batches(
+            lambda df: df[df["term"].isin(pool_terms)],
+            batch_format="pandas",
+        ).to_pandas()  # ≤ langs × 50 rows
+    )
+    a_of = {
+        (l, t): int(n)
+        for l, t, n in zip(
+            in_counts["lang"], in_counts["term"], in_counts["n"]
+        )
+    }
+
+    def xlx(x: int) -> int:
+        return 0 if x <= 0 else math.floor(x * math.log(x) * 1_000_000)
+
+    rows = []
+    for lang in sorted(L):
+        scored = []
+        for term in pool_terms:
+            a = a_of.get((lang, term), 0)
+            b = term_tot[term] - a
+            c = L[lang] - a
+            d = N - L[lang] - b
+            g2 = 2 * (
+                xlx(a) + xlx(b) + xlx(c) + xlx(d) + xlx(N)
+                - xlx(a + b) - xlx(c + d) - xlx(a + c) - xlx(b + d)
+            )
+            scored.append((-g2, term, a, b))
+        scored.sort()
+        for r, (ng2, term, a, b) in enumerate(
+            scored[:KEYNESS_TOP], start=1
+        ):
+            rows.append((lang, r, term, a, b, -ng2))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "term": pa.array([r[2] for r in rows], pa.string()),
+            "n_in": pa.array([r[3] for r in rows], pa.int64()),
+            "n_out": pa.array([r[4] for r in rows], pa.int64()),
+            "g2_micro": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )

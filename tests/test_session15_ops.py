@@ -1230,3 +1230,117 @@ class TestPriceIndex:
             ld = int((m["u0"] * m["q0"]).sum())
             assert int(r["n_parts"]) == len(m)
             assert int(r["lasp_micro"]) == (1_000_000 * ln) // ld
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLorenz:
+    def test_matches_pandas_replay(self):
+        from suckit_ray.pipelines.relops import events_lorenz, to_cents
+
+        got = events_lorenz(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "value"]
+        ).to_pandas()
+        ev["t"] = to_cents(ev["value"])
+        u = (
+            ev.groupby("user_id", as_index=False)["t"]
+            .sum()
+            .sort_values(["t", "user_id"])
+            .reset_index(drop=True)
+        )
+        n, k = len(u), 10
+        sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+        total = int(u["t"].sum())
+        pos = ncum = vcum = 0
+        for d, sz in enumerate(sizes, start=1):
+            ncum += sz
+            vcum += int(u["t"].iloc[pos:pos + sz].sum())
+            pos += sz
+            row = got[got["decile"] == d].iloc[0]
+            assert int(row["n_users_cum"]) == ncum
+            assert int(row["value_cum_c"]) == vcum
+            assert int(row["share_micro"]) == (1_000_000 * vcum) // total
+        # curve properties: monotone, convex-ish end at 10^6
+        assert int(got["share_micro"].iloc[-1]) == 1_000_000
+        assert (np.diff(got["share_micro"].to_numpy()) > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKeyness:
+    def test_matches_python_replay(self):
+        import math
+        from collections import Counter
+
+        from suckit_ray.pipelines.textops import (
+            KEYNESS_POOL_K,
+            KEYNESS_TOP,
+            docs_keyness_llr,
+        )
+
+        got = docs_keyness_llr(SF).to_pandas()
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["lang", "text"]
+        ).to_pandas()
+        lt: Counter = Counter()
+        for lang, text in zip(docs["lang"], docs["text"]):
+            for t, n in Counter(text.lower().split()).items():
+                lt[(lang, t)] += n
+        term_tot: Counter = Counter()
+        lang_tot: Counter = Counter()
+        for (lang, t), n in lt.items():
+            term_tot[t] += n
+            lang_tot[lang] += n
+        pool = sorted(term_tot.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KEYNESS_POOL_K
+        ]
+        N = sum(lang_tot.values())
+
+        def xlx(x):
+            return 0 if x <= 0 else math.floor(x * math.log(x) * 1e6)
+
+        for lang in lang_tot:
+            scored = []
+            for term, tn in pool:
+                a = lt.get((lang, term), 0)
+                b, c = tn - a, lang_tot[lang] - a
+                d = N - lang_tot[lang] - b
+                g2 = 2 * (
+                    xlx(a) + xlx(b) + xlx(c) + xlx(d) + xlx(N)
+                    - xlx(a + b) - xlx(c + d) - xlx(a + c) - xlx(b + d)
+                )
+                scored.append((-g2, term, a, b))
+            scored.sort()
+            sub = got[got["lang"] == lang].sort_values("rank")
+            assert len(sub) == KEYNESS_TOP
+            for row, (ng2, term, a, b) in zip(
+                sub.itertuples(), scored[:KEYNESS_TOP]
+            ):
+                assert row.term == term
+                assert int(row.g2_micro) == -ng2
+                assert int(row.n_in) == a
+
+    def test_exclusive_term_tops_its_lang(self, tmp_path):
+        """A term occurring ONLY in lang X (and frequently) must rank
+        first for X — the defining keyness behavior."""
+        texts = (
+            ["shared words here xonly xonly xonly"] * 5
+            + ["shared words here common text"] * 5
+        )
+        langs = ["xx"] * 5 + ["yy"] * 5
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(["s"] * 10, pa.string()),
+                "n_chars": pa.array([1] * 10, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        from suckit_ray.pipelines.textops import docs_keyness_llr
+
+        got = docs_keyness_llr(str(tmp_path)).to_pandas()
+        xx1 = got[(got["lang"] == "xx") & (got["rank"] == 1)].iloc[0]
+        assert xx1["term"] == "xonly"
+        assert int(xx1["n_out"]) == 0
+        assert int(xx1["g2_micro"]) > 0
