@@ -1344,3 +1344,98 @@ class TestKeyness:
         assert xx1["term"] == "xonly"
         assert int(xx1["n_out"]) == 0
         assert int(xx1["g2_micro"]) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStatProperties:
+    """Hypothesis property pins for the session's statistics — random
+    engineered event tables, engine vs brute-force invariants."""
+
+    def test_mannwhitney_complement_and_bruteforce(self, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from suckit_ray.pipelines.relops import events_mannwhitney
+
+        @given(
+            a=st.lists(
+                st.integers(min_value=0, max_value=6),
+                min_size=1, max_size=12,
+            ),
+            b=st.lists(
+                st.integers(min_value=0, max_value=6),
+                min_size=1, max_size=12,
+            ),
+        )
+        @settings(max_examples=12, deadline=None)
+        def check(a, b):
+            import shutil
+            import uuid
+
+            d = tmp_path / uuid.uuid4().hex
+            d.mkdir()
+            rows = [(0, "A", float(v)) for v in a] + [
+                (0, "B", float(v)) for v in b
+            ]
+            _write_events(d, rows, users=list(range(len(rows))))
+            got = events_mannwhitney(str(d)).to_pandas().iloc[0]
+            # brute force with half-rank ties, doubled
+            u2a = 0
+            for x in a:
+                for y in b:
+                    u2a += 2 if x > y else (1 if x == y else 0)
+            assert int(got["u2_a"]) == u2a
+            assert int(got["u2_a"]) + int(got["u2_b"]) == 2 * len(a) * len(b)
+            shutil.rmtree(d)
+
+        check()
+
+    def test_scd2_partition_property(self, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from suckit_ray.pipelines.relops import events_scd2
+
+        @given(
+            stream=st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=2),   # user
+                    st.integers(min_value=0, max_value=3),   # day
+                    st.sampled_from(["A", "B", "C"]),
+                ),
+                min_size=1, max_size=20,
+            )
+        )
+        @settings(max_examples=12, deadline=None)
+        def check(stream):
+            import shutil
+            import uuid
+
+            d = tmp_path / uuid.uuid4().hex
+            d.mkdir()
+            rows = [(day, et, 1.0) for _, day, et in stream]
+            users = [u for u, _, _ in stream]
+            _write_events(d, rows, users=users)
+            got = events_scd2(str(d)).to_pandas()
+            # reference replay: order by (us, event_id) per user,
+            # collapse runs
+            ref = {}
+            order = sorted(
+                range(len(stream)),
+                key=lambda i: (stream[i][0], stream[i][1], i),
+            )
+            for i in order:
+                u, day, et = stream[i]
+                ref.setdefault(u, [])
+                if not ref[u] or ref[u][-1][0] != et:
+                    ref[u].append([et, day * 86_400_000_000])
+            for u, g in got.groupby("user_id"):
+                g = g.sort_values("version")
+                exp = ref[int(u)]
+                assert list(g["event_type"]) == [e[0] for e in exp]
+                assert list(g["valid_from_us"]) == [e[1] for e in exp]
+                assert int(g["valid_to_us"].iloc[-1]) == -1
+            assert set(got["user_id"]) == set(ref)
+            shutil.rmtree(d)
+
+        check()
