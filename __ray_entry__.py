@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_index": relops.lineitem_price_index,
         "events_lorenz": relops.events_lorenz,
         "docs_keyness_llr": textops.docs_keyness_llr,
+        "orders_latency_anova": relops.orders_latency_anova,
+        "ann_mmr_topk": ann.mmr_topk,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -3689,6 +3691,58 @@ def oracle_sql() -> dict[str, str]:
                                 // GREATEST(a.a, b.d2))
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
+        # quantized one-way ANOVA of fulfillment latency across
+        # priorities: trunc-div integer group means, exact integer
+        # SSB'/SSW', one floored F in micro
+        "orders_latency_anova": """
+            WITH ship AS (
+              SELECT l_orderkey AS okey,
+                     MAX(CAST(epoch_us(l_shipdate) AS BIGINT)
+                         // 86400000000) AS close_day
+              FROM lineitem GROUP BY 1
+            ),
+            lat AS (
+              SELECT o.o_orderpriority AS priority,
+                     s.close_day
+                       - (CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                          // 86400000000) AS lat
+              FROM orders o JOIN ship s ON s.okey = o.o_orderkey
+            ),
+            g AS (
+              SELECT priority,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(lat) AS HUGEINT) AS s1,
+                     CAST(SUM(lat * lat) AS HUGEINT) AS s2
+              FROM lat GROUP BY 1
+            ),
+            t AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+                     SUM(n) AS n, SUM(s1) AS s FROM g
+            ),
+            q AS (
+              SELECT g.n AS ng, g.s1 AS sg, g.s2 AS qg,
+                     g.s1 // g.n AS mg,
+                     (SELECT s FROM t) // (SELECT n FROM t) AS m
+              FROM g
+            ),
+            f AS (
+              SELECT SUM(ng * (mg - m) * (mg - m)) AS ssb,
+                     SUM(qg - 2 * mg * sg + ng * mg * mg) AS ssw
+              FROM q
+            )
+            SELECT CAST((SELECT k FROM t) AS BIGINT) AS k_groups,
+                   CAST((SELECT n FROM t) AS BIGINT) AS n_total,
+                   CAST(ssb AS BIGINT) AS ssb_q,
+                   CAST(ssw AS BIGINT) AS ssw_q,
+                   CAST(CASE WHEN (SELECT k FROM t) < 2 OR ssw = 0
+                        THEN 0
+                        ELSE (1000000 * ssb
+                              * ((SELECT n FROM t)
+                                 - (SELECT k FROM t)))
+                             // (ssw * ((SELECT k FROM t) - 1))
+                        END AS BIGINT) AS f_micro
+            FROM f
         """,
         # Lorenz curve of per-user totals: NTILE(10) ascending by
         # (total, user_id), cumulative exact shares in micro

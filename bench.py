@@ -354,6 +354,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "lineitem_price_index",
         "events_lorenz",
         "docs_keyness_llr",
+        "orders_latency_anova",
+        "ann_mmr_topk",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -1386,3 +1386,94 @@ def embeddings_silhouette(sf_dir: str) -> rd.Dataset:
     return _read_embeddings(sf_dir, with_label=True).map_batches(
         score, batch_format="pandas"
     )
+
+
+MMR_POOL = 50
+MMR_K = 10
+MMR_LAMBDA10 = 7  # λ = 0.7 folded into integer tenths
+
+
+def mmr_topk(sf_dir: str, k: int = MMR_K, pool: int = MMR_POOL) -> pa.Table:
+    """(query_id, rank, neighbor_id, mmr_pct10): Maximal Marginal
+    Relevance retrieval (Carbonell & Goldstein 1998, public) — for
+    each query, ``brute_force_topk``'s exact top-``pool`` candidates
+    are re-ranked greedily by
+
+        mmr = λ·rel − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    with λ = 0.7 folded into integer TENTHS of cos_pct units
+    (mmr_pct10 = 7·rel_pct − 3·maxsim_pct — exact ints, ties broken
+    neighbor-asc), selecting k = 10. The diversification pass a
+    retrieval stack runs so near-duplicate hits don't crowd out
+    coverage — the consumer of the dedup family's output, and the
+    reason ``embedding_dup_pairs`` matters to search quality.
+
+    Plan: candidate generation is the verified distributed top-k
+    (broadcast queries, one matmul per batch); only the ≤ Q·pool
+    winning ids come back, their vectors fetched by ONE broadcast
+    id-set filter pass; the greedy k×pool² re-rank is driver-side on
+    a (Q·pool)-row problem by construction. Rows-only (a 10-step
+    greedy has no tractable SQL form); pinned by a pure-python replay
+    and a planted-duplicate diversification test."""
+    cand = brute_force_topk(sf_dir, k=pool).to_pandas()
+    cols = {
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "mmr_pct10": pa.array([], pa.int64()),
+    }
+    if not len(cand):
+        return pa.table(cols)
+
+    need = sorted(set(cand["neighbor_id"]))
+    need_ref = ray.put(set(need))
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(need_ref)
+        return df[df["vec_id"].isin(want)]
+
+    vecs = (
+        _read_embeddings(sf_dir)
+        .map_batches(fetch, batch_format="pandas")
+        .to_pandas()  # ≤ Q·pool rows by construction
+    )
+    vm = _normalize(
+        np.stack(vecs["embedding"].to_numpy()).astype(np.float64)
+    )
+    vid_row = {int(v): i for i, v in enumerate(vecs["vec_id"])}
+
+    rows = []
+    for qid, g in cand.groupby("query_id"):
+        g = g.sort_values("rank")
+        ids = [int(v) for v in g["neighbor_id"]]
+        rel = {int(v): int(p) for v, p in zip(g["neighbor_id"], g["cos_pct"])}
+        sub = vm[[vid_row[v] for v in ids]]
+        sim = np.floor((sub @ sub.T) * 10000).astype(np.int64)
+        pos = {v: i for i, v in enumerate(ids)}
+        selected: list[int] = []
+        remaining = set(ids)
+        while remaining and len(selected) < k:
+            best = None
+            for v in sorted(remaining):
+                ms = (
+                    max(int(sim[pos[v], pos[s]]) for s in selected)
+                    if selected
+                    else 0
+                )
+                score = MMR_LAMBDA10 * rel[v] - (10 - MMR_LAMBDA10) * ms
+                if best is None or score > best[0]:
+                    best = (score, v)
+            selected.append(best[1])
+            remaining.discard(best[1])
+            rows.append(
+                (int(qid), len(selected), int(best[1]), int(best[0]))
+            )
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "mmr_pct10": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

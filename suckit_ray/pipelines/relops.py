@@ -8858,3 +8858,131 @@ def events_lorenz(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def orders_latency_anova(sf_dir: str) -> pa.Table:
+    """(k_groups, n_total, ssb_q, ssw_q, f_micro): one-way ANOVA of
+    order-fulfillment latency (days, the ``orders_fulfillment_latency``
+    definition) ACROSS the five order priorities — the k-sample
+    location test completing the 2-sample Welch t² family. To stay
+    bit-exact in both engines the group means are QUANTIZED to
+    trunc-div integers first (the silhouette-centroid idiom):
+
+        m_g = S_g // n_g,  m = S // n          (trunc toward zero)
+        SSB' = Σ_g n_g·(m_g − m)²
+        SSW' = Σ_g (Q_g − 2·m_g·S_g + n_g·m_g²)   (Q_g = Σ x²)
+        f_micro = (10^6 · SSB' · (n−k)) // (SSW' · (k−1))
+
+    — a deterministic integer variant of Fisher's F (the decision
+    ordering is preserved; the sub-day quantization error is
+    irrelevant at day granularity). Degenerate inputs (k < 2 or
+    SSW' = 0) report f_micro = 0.
+
+    Plan: the fulfillment-latency orderkey co-group emits per-batch
+    (priority, n, S, Q) partials; one tiny aggregation and an
+    O(k) driver solve on Python ints."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+    DAY_US = 86_400_000_000
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["o_orderdate"].to_numpy().astype("datetime64[us]").astype("int64")
+            // DAY_US
+        )
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].astype("int64"),
+                "day": day.astype("int64"),
+                "priority": df["o_orderpriority"],
+                "is_open": np.ones(len(df), dtype="int64"),
+                "bucket": (df["o_orderkey"] % B).astype("int64"),
+            }
+        )
+
+    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["l_shipdate"].to_numpy().astype("datetime64[us]").astype("int64")
+            // DAY_US
+        )
+        p = (
+            pd.DataFrame(
+                {"okey": df["l_orderkey"].astype("int64"), "day": day}
+            )
+            .groupby("okey", as_index=False)["day"]
+            .max()
+        )
+        p["priority"] = ""
+        p["is_open"] = np.int64(0)
+        p["bucket"] = (p["okey"] % B).astype("int64")
+        return p[["okey", "day", "priority", "is_open", "bucket"]]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pandas")
+    ships = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(ship_partial, batch_format="pandas")
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        close = (
+            g[g["is_open"] == 0].groupby("okey", as_index=False)["day"].max()
+        ).rename(columns={"day": "close_day"})
+        iv = g[g["is_open"] == 1][["okey", "day", "priority"]].merge(
+            close, on="okey"
+        )
+        lat = (iv["close_day"] - iv["day"]).astype("int64")
+        p = pd.DataFrame(
+            {
+                "priority": iv["priority"],
+                "n": np.ones(len(iv), dtype="int64"),
+                "s1": lat,
+                "s2": lat * lat,
+            }
+        )
+        return p.groupby("priority", as_index=False).sum()
+
+    agg = (
+        bucketed_groupby_agg(
+            orders.union(ships)
+            .groupby("bucket")
+            .map_groups(stats, batch_format="pandas"),
+            keys=["priority"],
+            aggs={"n": ("n", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
+        ).to_pandas()  # O(priorities)
+    )
+    cols = {
+        "k_groups": pa.array([], pa.int64()),
+        "n_total": pa.array([], pa.int64()),
+        "ssb_q": pa.array([], pa.int64()),
+        "ssw_q": pa.array([], pa.int64()),
+        "f_micro": pa.array([], pa.int64()),
+    }
+    if not len(agg):
+        return pa.table(cols)
+    k = len(agg)
+    n = int(agg["n"].sum())
+    S = int(agg["s1"].sum())
+    m = _trunc_div(S, n)
+    ssb = ssw = 0
+    for _, r in agg.iterrows():
+        ng, sg, qg = int(r["n"]), int(r["s1"]), int(r["s2"])
+        mg = _trunc_div(sg, ng)
+        ssb += ng * (mg - m) ** 2
+        ssw += qg - 2 * mg * sg + ng * mg * mg
+    f = (
+        0
+        if k < 2 or ssw == 0
+        else (1_000_000 * ssb * (n - k)) // (ssw * (k - 1))
+    )
+    return pa.table(
+        {
+            "k_groups": pa.array([k], pa.int64()),
+            "n_total": pa.array([n], pa.int64()),
+            "ssb_q": pa.array([ssb], pa.int64()),
+            "ssw_q": pa.array([ssw], pa.int64()),
+            "f_micro": pa.array([f], pa.int64()),
+        }
+    )

@@ -1439,3 +1439,159 @@ class TestStatProperties:
             shutil.rmtree(d)
 
         check()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnova:
+    def test_identical_groups_give_zero_f(self, tmp_path):
+        """Same latency distribution in every priority: SSB'=0."""
+        import datetime
+
+        n = 12
+        tbl_o = pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array([1.0] * n, pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime.datetime(2024, 1, 1)] * n, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM"] * 4, pa.string()
+                ),
+            }
+        )
+        pq.write_table(tbl_o, tmp_path / "orders.parquet")
+        # every order ships exactly 5 days later
+        tbl_l = pa.table(
+            {
+                "l_orderkey": pa.array(range(n), pa.int64()),
+                "l_shipdate": pa.array(
+                    [datetime.datetime(2024, 1, 6)] * n, pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl_l, tmp_path / "lineitem.parquet")
+        from suckit_ray.pipelines.relops import orders_latency_anova
+
+        got = orders_latency_anova(str(tmp_path)).to_pandas()
+        assert int(got["ssb_q"].iloc[0]) == 0
+        assert int(got["f_micro"].iloc[0]) == 0
+
+    def test_matches_sufficient_stats_replay_on_sf(self):
+        import duckdb
+
+        from suckit_ray.pipelines.relops import (
+            _trunc_div,
+            orders_latency_anova,
+        )
+
+        got = orders_latency_anova(SF).to_pandas().iloc[0]
+        g = duckdb.sql(
+            f"""
+            WITH ship AS (
+              SELECT l_orderkey AS okey,
+                     MAX(epoch_us(l_shipdate) // 86400000000) AS cd
+              FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1
+            )
+            SELECT o.o_orderpriority AS pr,
+                   COUNT(*) AS n, SUM(s.cd - epoch_us(o.o_orderdate)
+                     // 86400000000) AS s1,
+                   SUM((s.cd - epoch_us(o.o_orderdate) // 86400000000)
+                       * (s.cd - epoch_us(o.o_orderdate)
+                          // 86400000000)) AS s2
+            FROM read_parquet('{SF}/orders.parquet') o
+            JOIN ship s ON s.okey = o.o_orderkey GROUP BY 1
+            """
+        ).df()
+        k, n = len(g), int(g["n"].sum())
+        S = int(g["s1"].sum())
+        m = _trunc_div(S, n)
+        ssb = ssw = 0
+        for _, r in g.iterrows():
+            ng, sg, qg = int(r["n"]), int(r["s1"]), int(r["s2"])
+            mg = _trunc_div(sg, ng)
+            ssb += ng * (mg - m) ** 2
+            ssw += qg - 2 * mg * sg + ng * mg * mg
+        assert int(got["k_groups"]) == k
+        assert int(got["ssb_q"]) == ssb
+        assert int(got["ssw_q"]) == ssw
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMmr:
+    def test_matches_python_replay_on_sf(self):
+        from suckit_ray.pipelines.ann import (
+            MMR_LAMBDA10,
+            _normalize,
+            brute_force_topk,
+            mmr_topk,
+        )
+
+        got = mmr_topk(SF).to_pandas()
+        cand = brute_force_topk(SF, k=50).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        vm = _normalize(
+            np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        )
+        row = {int(v): i for i, v in enumerate(emb["vec_id"])}
+        for qid, g in cand.groupby("query_id"):
+            g = g.sort_values("rank")
+            ids = [int(v) for v in g["neighbor_id"]]
+            rel = {
+                int(v): int(p)
+                for v, p in zip(g["neighbor_id"], g["cos_pct"])
+            }
+            sub = vm[[row[v] for v in ids]]
+            sim = np.floor((sub @ sub.T) * 10000).astype(np.int64)
+            pos = {v: i for i, v in enumerate(ids)}
+            sel, rem = [], set(ids)
+            while rem and len(sel) < 10:
+                best = None
+                for v in sorted(rem):
+                    ms = (
+                        max(int(sim[pos[v], pos[s]]) for s in sel)
+                        if sel
+                        else 0
+                    )
+                    sc = MMR_LAMBDA10 * rel[v] - (10 - MMR_LAMBDA10) * ms
+                    if best is None or sc > best[0]:
+                        best = (sc, v)
+                sel.append(best[1])
+                rem.discard(best[1])
+            sub_got = got[got["query_id"] == qid].sort_values("rank")
+            assert list(sub_got["neighbor_id"]) == sel
+
+    def test_planted_duplicate_is_demoted(self, tmp_path):
+        """Vectors 1 and 2 are identical near-perfect matches; 3 is a
+        diverse moderate match. Plain top-3 ranks (1,2,3); MMR must
+        pick the diverse 3 before the duplicate 2."""
+        # rel(1)=rel(2)=0.90 but mutually identical (sim 1.0);
+        # rel(3)=0.85 with sim(3,1)≈0.54: MMR scores
+        # 7·9000−3·10000=33000 for the duplicate vs
+        # 7·8500−3·5360≈43420 for the diverse hit
+        vecs = [
+            [1.0, 0.0, 0.0],            # 0: the query
+            [0.9, 0.43589, 0.0],        # 1: best match
+            [0.9, 0.43589, 0.0],        # 2: its duplicate
+            [0.85, -0.52678, 0.0],      # 3: diverse, decent
+            [0.0, 1.0, 0.0],            # 4: irrelevant
+        ]
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(5), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 5, pa.int32()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "embeddings.parquet")
+        from suckit_ray.pipelines.ann import mmr_topk
+
+        got = (
+            mmr_topk(str(tmp_path), k=3, pool=4)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+        )
+        q0 = got[got["query_id"] == 0]
+        assert list(q0["neighbor_id"])[:3] == [1, 3, 2]
