@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                         " cuckoo supports URL retirement for recrawls")
     p.add_argument("--seeds-parquet", metavar="FILE",
                    help="parquet file with a url column: the seed list")
+    p.add_argument("--wds-out", metavar="DIR",
+                   help="after the crawl, export the --parquet-out docs "
+                        "as WebDataset tar shards (training-loader "
+                        "interchange; requires --parquet-out)")
     p.add_argument("--parquet-out", metavar="DIR",
                    help="also stream per-wave span-document parquet "
                         "partitions (+ per-shard ledger) to DIR")
@@ -258,6 +262,14 @@ def main(argv: list[str] | None = None) -> int:
         recrawl_seed=not revisit,
         carry_prior_hashes=revisit,
     )
+    wds_samples = None
+    if args.wds_out:
+        if not args.parquet_out:
+            raise SystemExit("--wds-out requires --parquet-out")
+        from suckit_ray.sources.wds import export_docs_webdataset
+
+        wds_samples = export_docs_webdataset(args.parquet_out, args.wds_out)
+
     summary = {
         "pages": res.metrics.get("pages", 0),
         "urls_seen": res.metrics.get("seen_urls", 0),
@@ -265,6 +277,8 @@ def main(argv: list[str] | None = None) -> int:
         "wall_sec": round(res.wall_sec, 2),
         "output": args.output,
     }
+    if wds_samples is not None:
+        summary["wds_samples"] = wds_samples
     print(json.dumps(summary))
     ray.shutdown()
     return 0

@@ -138,3 +138,66 @@ def read_webdataset(paths: str | list[str]) -> rd.Dataset:
         )
 
     return files.map_batches(untar, batch_format="pyarrow", batch_size=2)
+
+
+def export_docs_webdataset(parquet_root: str, out_dir: str) -> int:
+    """Stream a crawl's per-wave parquet docs (``output_dir/docs/
+    wave-*``, the ``--parquet-out`` layout) into WebDataset tar
+    shards: one sample per downloaded page, key =
+    blake2s(doc_id)[:16] (tar-safe, collision-negligible), members
+    ``bin`` (the mirrored body bytes — links already rewritten) and
+    ``json`` (doc_id, url, data_type, charset, wave). This is the
+    crawl → training-loader bridge: the mirror becomes a sequential-
+    streaming corpus without any driver materialization (each wave
+    file maps to shard-writing tasks; returns the total sample
+    count). CLI: ``--wds-out DIR`` (requires ``--parquet-out``)."""
+    import glob
+    import json as _json
+
+    paths = sorted(
+        glob.glob(os.path.join(parquet_root, "docs", "wave-*", "*.parquet"))
+    )
+    if not paths:
+        return 0
+    ds = rd.read_parquet(paths)
+
+    def to_samples(t: pa.Table) -> pa.Table:
+        keys, bins, metas = [], [], []
+        for doc_id, body, url, dt, cs, wave in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("body").to_pylist(),
+            t.column("url").to_pylist(),
+            t.column("data_type").to_pylist(),
+            t.column("charset").to_pylist(),
+            t.column("wave").to_pylist(),
+        ):
+            keys.append(
+                hashlib.blake2s(doc_id.encode("utf-8")).hexdigest()[:16]
+            )
+            bins.append(body or b"")
+            metas.append(
+                _json.dumps(
+                    {
+                        "doc_id": doc_id,
+                        "url": url,
+                        "data_type": dt,
+                        "charset": cs,
+                        "wave": wave,
+                    },
+                    sort_keys=True,
+                )
+            )
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "bin": pa.array(bins, pa.binary()),
+                "json": pa.array(metas, pa.string()),
+            }
+        )
+
+    return write_webdataset(
+        ds.map_batches(to_samples, batch_format="pyarrow"),
+        out_dir,
+        key_col="key",
+        ext_cols={"bin": "bin", "json": "json"},
+    )
