@@ -201,6 +201,10 @@ def main(argv: list[str] | None = None) -> int:
                 logging_level="ERROR",
             )
 
+    if args.wds_out and not args.parquet_out:
+        print("--wds-out requires --parquet-out", file=sys.stderr)
+        return 2
+
     revisit = bool(args.revisit_history)
     if args.revisit_budget is not None and not revisit:
         print("--revisit-budget requires --revisit-history", file=sys.stderr)
@@ -264,8 +268,6 @@ def main(argv: list[str] | None = None) -> int:
     )
     wds_samples = None
     if args.wds_out:
-        if not args.parquet_out:
-            raise SystemExit("--wds-out requires --parquet-out")
         from suckit_ray.sources.wds import export_docs_webdataset
 
         wds_samples = export_docs_webdataset(args.parquet_out, args.wds_out)

@@ -6309,20 +6309,14 @@ def orders_open_backlog(sf_dir: str) -> rd.Dataset:
     )
 
 
-def orders_fulfillment_latency(sf_dir: str) -> rd.Dataset:
-    """(priority, n_orders, p50_days, p90_days, max_days): order
-    fulfillment latency — days from order date to the LAST lineitem
-    ship date — summarized per order priority with the repo's integer
-    rank rules (p50: smallest v with 2·cum ≥ n; p90: smallest v with
-    10·cum ≥ 9·n — no interpolation, so the oracle mirrors exactly).
-
-    Plan: the backlog query's orderkey co-group (order-date leg +
-    batch-local partial ship-max leg) emits one (priority, latency)
-    row per order; one bucketed (priority, latency) HISTOGRAM
-    exchange; the per-priority rank walk runs over the tiny histogram
-    group — the one-pass histogram shape the quantile/MAD family
-    established."""
-    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+def _order_latencies(sf_dir: str) -> rd.Dataset:
+    """(priority, lat): one row per order — fulfillment latency in
+    days (order date → LAST lineitem ship day) with its priority, via
+    the backlog-style orderkey co-group (order-date leg + batch-local
+    partial ship-max leg). Shared producer of
+    ``orders_fulfillment_latency`` and ``orders_latency_anova`` so the
+    day arithmetic and the co-group live in ONE place."""
+    from suckit_ray.stages.agg import default_buckets
 
     B = default_buckets()
     DAY_US = 86_400_000_000
@@ -6381,13 +6375,34 @@ def orders_fulfillment_latency(sf_dir: str) -> rd.Dataset:
             }
         )
 
+    return (
+        orders.union(ships)
+        .groupby("bucket")
+        .map_groups(latencies, batch_format="pandas")
+    )
+
+
+def orders_fulfillment_latency(sf_dir: str) -> rd.Dataset:
+    """(priority, n_orders, p50_days, p90_days, max_days): order
+    fulfillment latency — days from order date to the LAST lineitem
+    ship date — summarized per order priority with the repo's integer
+    rank rules (p50: smallest v with 2·cum ≥ n; p90: smallest v with
+    10·cum ≥ 9·n — no interpolation, so the oracle mirrors exactly).
+
+    Plan: the backlog query's orderkey co-group (order-date leg +
+    batch-local partial ship-max leg) emits one (priority, latency)
+    row per order; one bucketed (priority, latency) HISTOGRAM
+    exchange; the per-priority rank walk runs over the tiny histogram
+    group — the one-pass histogram shape the quantile/MAD family
+    established."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
     hist = bucketed_groupby_agg(
-        orders.union(ships).groupby("bucket").map_groups(
-            latencies, batch_format="pandas"
-        ),
+        _order_latencies(sf_dir),
         keys=["priority", "lat"],
         aggs={"c": ("lat", "count")},
     )
+
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -8881,78 +8896,27 @@ def orders_latency_anova(sf_dir: str) -> pa.Table:
     Plan: the fulfillment-latency orderkey co-group emits per-batch
     (priority, n, S, Q) partials; one tiny aggregation and an
     O(k) driver solve on Python ints."""
-    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+    from suckit_ray.stages.agg import bucketed_groupby_agg
 
-    B = default_buckets()
-    DAY_US = 86_400_000_000
-
-    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
-        day = (
-            df["o_orderdate"].to_numpy().astype("datetime64[us]").astype("int64")
-            // DAY_US
-        )
-        return pd.DataFrame(
-            {
-                "okey": df["o_orderkey"].astype("int64"),
-                "day": day.astype("int64"),
-                "priority": df["o_orderpriority"],
-                "is_open": np.ones(len(df), dtype="int64"),
-                "bucket": (df["o_orderkey"] % B).astype("int64"),
-            }
-        )
-
-    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
-        day = (
-            df["l_shipdate"].to_numpy().astype("datetime64[us]").astype("int64")
-            // DAY_US
-        )
-        p = (
-            pd.DataFrame(
-                {"okey": df["l_orderkey"].astype("int64"), "day": day}
-            )
-            .groupby("okey", as_index=False)["day"]
-            .max()
-        )
-        p["priority"] = ""
-        p["is_open"] = np.int64(0)
-        p["bucket"] = (p["okey"] % B).astype("int64")
-        return p[["okey", "day", "priority", "is_open", "bucket"]]
-
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(order_rows, batch_format="pandas")
-    ships = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
-    ).map_batches(ship_partial, batch_format="pandas")
-
-    def stats(g: pd.DataFrame) -> pd.DataFrame:
-        close = (
-            g[g["is_open"] == 0].groupby("okey", as_index=False)["day"].max()
-        ).rename(columns={"day": "close_day"})
-        iv = g[g["is_open"] == 1][["okey", "day", "priority"]].merge(
-            close, on="okey"
-        )
-        lat = (iv["close_day"] - iv["day"]).astype("int64")
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        lat = df["lat"].astype("int64")
         p = pd.DataFrame(
             {
-                "priority": iv["priority"],
-                "n": np.ones(len(iv), dtype="int64"),
+                "priority": df["priority"],
+                "n": np.ones(len(df), dtype="int64"),
                 "s1": lat,
                 "s2": lat * lat,
             }
         )
         return p.groupby("priority", as_index=False).sum()
 
-    agg = (
-        bucketed_groupby_agg(
-            orders.union(ships)
-            .groupby("bucket")
-            .map_groups(stats, batch_format="pandas"),
-            keys=["priority"],
-            aggs={"n": ("n", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
-        ).to_pandas()  # O(priorities)
-    )
+    agg = bucketed_groupby_agg(
+        _order_latencies(sf_dir).map_batches(
+            stats, batch_format="pandas"
+        ),
+        keys=["priority"],
+        aggs={"n": ("n", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
+    ).to_pandas()  # O(priorities)
     cols = {
         "k_groups": pa.array([], pa.int64()),
         "n_total": pa.array([], pa.int64()),

@@ -153,6 +153,13 @@ def export_docs_webdataset(parquet_root: str, out_dir: str) -> int:
     count). CLI: ``--wds-out DIR`` (requires ``--parquet-out``)."""
     import glob
     import json as _json
+    import shutil
+
+    # fresh output: shards are content-hash named and only ever ADDED,
+    # so re-exporting into a stale dir would mix runs (duplicate keys,
+    # stale bodies) — same idempotent-re-run rule as the per-wave
+    # parquet's _fresh_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     paths = sorted(
         glob.glob(os.path.join(parquet_root, "docs", "wave-*", "*.parquet"))
