@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keyness_llr": textops.docs_keyness_llr,
         "orders_latency_anova": relops.orders_latency_anova,
         "ann_mmr_topk": ann.mmr_topk,
+        "events_value_mode": relops.events_value_mode,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -3691,6 +3692,24 @@ def oracle_sql() -> dict[str, str]:
                                 // GREATEST(a.a, b.d2))
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
+        # exact mode per type from the (type, cent) histogram;
+        # ties to the smallest value (SQL mode() is tie-undefined)
+        "events_value_mode": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT event_type, v, n,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, v ASC) AS rn
+              FROM h
+            )
+            SELECT event_type, v AS mode_c, n AS n_mode
+            FROM r WHERE rn = 1
         """,
         # quantized one-way ANOVA of fulfillment latency across
         # priorities: trunc-div integer group means, exact integer

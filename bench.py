@@ -356,6 +356,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_keyness_llr",
         "orders_latency_anova",
         "ann_mmr_topk",
+        "events_value_mode",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

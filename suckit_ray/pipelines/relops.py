@@ -8950,3 +8950,53 @@ def orders_latency_anova(sf_dir: str) -> pa.Table:
             "f_micro": pa.array([f], pa.int64()),
         }
     )
+
+
+def events_value_mode(sf_dir: str) -> pa.Table:
+    """(event_type, mode_c, n_mode): the exact MODE of each type's
+    cent values — most frequent value, ties to the SMALLEST value (an
+    explicit rule, since SQL ``mode()`` leaves ties undefined) —
+    completing the location-statistics family (mean / median / MAD /
+    winsorized / quantiles / mode) on the same one-pass (type, cent)
+    histogram exchange."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "value_c": to_cents(df["value"])}
+        )
+
+    hist = bucketed_groupby_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(cents, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        aggs={"n": ("value_c", "count")},
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, grp in g.groupby("event_type"):
+            grp = grp.sort_values(
+                ["n", "value_c"], ascending=[False, True], kind="mergesort"
+            )
+            out.append(
+                (t, int(grp["value_c"].iloc[0]), int(grp["n"].iloc[0]))
+            )
+        return pd.DataFrame(
+            out, columns=["event_type", "mode_c", "n_mode"]
+        ).astype({"mode_c": "int64", "n_mode": "int64"})
+
+    res = (
+        hist.groupby("event_type")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(res["event_type"], pa.string()),
+            "mode_c": pa.array(res["mode_c"].astype("int64"), pa.int64()),
+            "n_mode": pa.array(res["n_mode"].astype("int64"), pa.int64()),
+        }
+    )

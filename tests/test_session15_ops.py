@@ -1652,3 +1652,31 @@ class TestWdsExport:
         meta = json.loads(bytes(sub["json"]).decode("utf-8"))
         assert meta["url"] == doc["url"]
         assert meta["doc_id"] == doc["doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValueMode:
+    def test_tie_goes_to_smallest_value(self, tmp_path):
+        rows = [(0, "A", 2.0), (0, "A", 2.0), (0, "A", 1.0), (0, "A", 1.0)]
+        _write_events(tmp_path, rows, users=[1, 2, 3, 4])
+        from suckit_ray.pipelines.relops import events_value_mode
+
+        got = events_value_mode(str(tmp_path)).to_pandas()
+        assert int(got["mode_c"].iloc[0]) == 100
+        assert int(got["n_mode"].iloc[0]) == 2
+
+    def test_matches_counter_on_sf(self):
+        from collections import Counter
+
+        from suckit_ray.pipelines.relops import events_value_mode, to_cents
+
+        got = events_value_mode(SF).to_pandas().set_index("event_type")
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        ev["c"] = to_cents(ev["value"])
+        for t, g in ev.groupby("event_type"):
+            cnt = Counter(g["c"])
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert int(got.loc[t, "mode_c"]) == best[0]
+            assert int(got.loc[t, "n_mode"]) == best[1]
