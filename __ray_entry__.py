@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_latency_anova": relops.orders_latency_anova,
         "ann_mmr_topk": ann.mmr_topk,
         "events_value_mode": relops.events_value_mode,
+        "docs_langid_confusion": textops.docs_langid_confusion,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
         "orders_yoy_growth": relops.orders_yoy_growth,
@@ -1335,6 +1336,29 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'zh'
               END AS pred_lang
             FROM s
+        """,
+        # confusion matrix of the heuristic lang_id vs true labels;
+        # prediction CTE shared with the lang_id oracle's scores
+        "docs_langid_confusion": f"""
+            WITH s AS (
+              SELECT doc_id, lang, {_LANG_SCORES} FROM documents
+            ),
+            p AS (
+              SELECT lang AS actual_lang,
+                CASE
+                  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                       AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh
+                       THEN 'es'
+                  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh'
+                END AS pred_lang
+              FROM s
+            )
+            SELECT actual_lang, pred_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
         """,
         "fingerprint": r"""
             SELECT doc_id,

@@ -4037,3 +4037,66 @@ def docs_keyness_llr(sf_dir: str) -> "pa.Table":
             "g2_micro": pa.array([r[5] for r in rows], pa.int64()),
         }
     )
+
+
+def docs_langid_confusion(sf_dir: str) -> "pa.Table":
+    """(actual_lang, pred_lang, n): the CONFUSION MATRIX of the
+    heuristic ``lang_id`` classifier against the corpus's true lang
+    labels — the eval harness a pipeline runs before trusting a
+    cheap classifier as a filter gate (per-class precision/recall
+    fall straight out of the matrix rows/columns). Prediction logic
+    is ``lang_id``'s verified marker-count argmax, re-applied in the
+    SAME batch that already holds the true label, so the whole query
+    is one map + one tiny (actual, pred) aggregation — no join, no
+    second corpus pass.
+
+    Zero cells are omitted (the oracle's GROUP BY shape)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        scores = {
+            lang: low.str.count(_alt(LANG_MARKERS[lang])).astype("int64")
+            for lang in LANG_ORDER
+        }
+        sc = pd.DataFrame(scores)
+        best = sc.max(axis=1)
+        pred = pd.Series("en", index=df.index)
+        assigned = pd.Series(False, index=df.index)
+        for lang in LANG_ORDER:
+            hit = (~assigned) & (sc[lang] == best)
+            pred[hit] = lang
+            assigned |= hit
+        return (
+            pd.DataFrame(
+                {
+                    "actual_lang": df["lang"],
+                    "pred_lang": pred,
+                    "n": np.ones(len(df), dtype="int64"),
+                }
+            )
+            .groupby(["actual_lang", "pred_lang"], as_index=False)["n"]
+            .sum()
+        )
+
+    res = (
+        bucketed_groupby_agg(
+            _read_documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+                f, batch_format="pandas"
+            ),
+            keys=["actual_lang", "pred_lang"],
+            aggs={"n": ("n", "sum")},
+        )
+        .to_pandas()  # ≤ langs² rows
+        .sort_values(["actual_lang", "pred_lang"])
+    )
+    return pa.table(
+        {
+            "actual_lang": pa.array(res["actual_lang"], pa.string()),
+            "pred_lang": pa.array(res["pred_lang"], pa.string()),
+            "n": pa.array(res["n"].astype("int64"), pa.int64()),
+        }
+    )

@@ -1680,3 +1680,33 @@ class TestValueMode:
             best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
             assert int(got.loc[t, "mode_c"]) == best[0]
             assert int(got.loc[t, "n_mode"]) == best[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLangidConfusion:
+    def test_matches_langid_composition(self):
+        """The matrix must equal lang_id's output joined to the true
+        labels — pins the shared prediction logic."""
+        from suckit_ray.pipelines.textops import (
+            docs_langid_confusion,
+            lang_id,
+        )
+
+        got = docs_langid_confusion(SF).to_pandas()
+        preds = lang_id(SF).to_pandas()
+        actual = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        ref = (
+            preds.merge(actual, on="doc_id")
+            .groupby(["lang", "pred_lang"], as_index=False)
+            .size()
+            .rename(columns={"lang": "actual_lang", "size": "n"})
+            .sort_values(["actual_lang", "pred_lang"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), ref.astype(got.dtypes)
+        )
+        # matrix totals = corpus size
+        assert int(got["n"].sum()) == len(actual)
