@@ -203,15 +203,9 @@ class DecodeImage:
         self._Image = None  # lazy: netpbm never needs it
 
     def _real_decode(self, data: bytes) -> dict:
-        if _is_netpbm(data):
-            w, h, _maxval, ch, _off = _netpbm_header(data)
-            return {
-                "width": w,
-                "height": h,
-                "channels": ch,
-                "format": "pgm" if ch == 1 else "ppm",
-                "n_bytes": len(data),
-            }
+        meta = _image_meta_native(data)
+        if meta is not None:
+            return meta
         if self._Image is None:
             self._Image = _import_pil("DecodeImage")
         img = self._Image.open(io.BytesIO(data))
@@ -246,8 +240,9 @@ class ExtractImageFeatures:
         self._Image = None  # lazy: netpbm never needs it
 
     def _real_features(self, data: bytes) -> np.ndarray:
-        if _is_netpbm(data):
-            _meta, arr = _parse_netpbm(data)
+        parsed = _parse_image_native(data)
+        if parsed is not None:
+            _meta, arr = parsed
             v = _block_mean_8x8(_netpbm_gray(arr)).reshape(FEATURE_DIM)
         else:
             if self._Image is None:
@@ -281,11 +276,15 @@ class ResizeImage:
         self._Image = None  # lazy: netpbm never needs it
 
     def _real_resize(self, data: bytes) -> bytes:
-        if _is_netpbm(data):
-            _meta, arr = _parse_netpbm(data)
-            return _encode_netpbm(
-                _netpbm_resize_nearest(arr, self.width, self.height)
-            )
+        parsed = _parse_image_native(data)
+        if parsed is not None:
+            meta, arr = parsed
+            resized = _netpbm_resize_nearest(arr, self.width, self.height)
+            if meta["format"] == "bmp":
+                return _encode_bmp(resized)
+            if meta["format"] == "png":
+                return _encode_png(resized)
+            return _encode_netpbm(resized)
         if self._Image is None:
             self._Image = _import_pil("ResizeImage")
         img = self._Image.open(io.BytesIO(data))
@@ -655,3 +654,268 @@ def audio_pipeline(
             ResampleAudio, fn_constructor_kwargs={"rate": resample_rate}, **kw
         )
     return audio
+
+
+# ----- native BMP (BITMAPINFOHEADER, uncompressed 24/32-bit) -----
+# Like netpbm, classic Windows bitmaps need no codec: fixed headers +
+# a raw (bottom-up, BGR, 4-byte-row-padded) raster. 24-bit BI_RGB
+# covers what uncompressed tooling actually emits; anything else
+# (palettes, RLE) raises toward the PIL path.
+
+
+def _is_bmp(data: bytes) -> bool:
+    return data[:2] == b"BM"
+
+
+def _parse_bmp(data: bytes) -> "tuple[dict, np.ndarray]":
+    import struct
+
+    if not _is_bmp(data) or len(data) < 54:
+        raise NotImplementedError("not an uncompressed BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant unsupported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp} unsupported natively"
+        )
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    ch_in = bpp // 8
+    stride = ((w * ch_in + 3) // 4) * 4
+    need = off + stride * h
+    if len(data) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * ch_in].reshape(h, w, ch_in)
+    if bottom_up:
+        rows = rows[::-1]
+    # BGR(A) → RGB(A)
+    if ch_in == 3:
+        arr = rows[:, :, ::-1]
+    else:
+        arr = np.concatenate([rows[:, :, 2::-1], rows[:, :, 3:4]], axis=2)
+    meta = {
+        "width": w,
+        "height": h,
+        "channels": ch_in,
+        "format": "bmp",
+        "n_bytes": len(data),
+    }
+    return meta, np.ascontiguousarray(arr)
+
+
+def _encode_bmp(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit bottom-up BI_RGB bytes."""
+    import struct
+
+    h, w, ch = arr.shape
+    if ch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif ch == 4:
+        arr = arr[:, :, :3]
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    body = raster.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+# ----- native PNG (zlib is stdlib; 8-bit, non-interlaced) -----
+# PNG's only codec dependency is DEFLATE, which this container has.
+# Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+α),
+# 6 (RGBA) at bit depth 8, filters 0-4 per the spec. Interlaced or
+# 16-bit payloads raise toward the PIL path. The per-row unfilter
+# loop is sequential by construction (Sub/Paeth depend on the left
+# RECONSTRUCTED pixel); fine for the decode stage's small batches.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _is_png(data: bytes) -> bool:
+    return data[:8] == _PNG_MAGIC
+
+
+def _png_chunks(data: bytes):
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        yield typ, chunk
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IEND":
+            break
+
+
+def _parse_png(data: bytes) -> "tuple[dict, np.ndarray]":
+    import struct
+    import zlib
+
+    if not _is_png(data):
+        raise NotImplementedError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = []
+    for typ, chunk in _png_chunks(data):
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} unsupported natively"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None or (ctype == 3 and plte is None):
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — vectorizable
+            rec = (line + prior) & 0xFF
+        elif f in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            pr = prior.astype(np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0  # left (reconstructed)
+                b = pr[x]  # up
+                c = pr[x - ch] if x >= ch else 0  # up-left
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (
+                        b if pb_ <= pc_ else c
+                    )
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        out[y] = rec.astype(np.uint8)
+        prior = out[y]
+    arr = out.reshape(h, w, ch)
+    if ctype == 3:
+        arr = plte[arr[:, :, 0]]
+        ch = 3
+    meta = {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(ch),
+        "format": "png",
+        "n_bytes": len(data),
+    }
+    return meta, np.ascontiguousarray(arr)
+
+
+def _encode_png(arr: "np.ndarray") -> bytes:
+    """(h, w, {1,2,3,4}) uint8 → non-interlaced 8-bit PNG (filter 0
+    rows; correct CRCs; single IDAT)."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scan = np.zeros((h, w * ch + 1), dtype=np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * ch)
+    idat = zlib.compress(scan.tobytes(), 9)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_image_native(data: bytes) -> "tuple[dict, np.ndarray] | None":
+    """(meta, uint8 raster) for formats this container decodes with
+    NO codec libraries — netpbm, uncompressed BMP, 8-bit PNG — else
+    None (caller falls through to PIL). The single dispatch shared by
+    the three image stages."""
+    if _is_netpbm(data):
+        return _parse_netpbm(data)
+    if _is_bmp(data):
+        return _parse_bmp(data)
+    if _is_png(data):
+        return _parse_png(data)
+    return None
+
+
+def _image_meta_native(data: bytes) -> "dict | None":
+    """Header-only metadata for the native formats (no raster
+    inflate — the decode stage doesn't need pixels)."""
+    import struct
+
+    if _is_netpbm(data):
+        w, h, _maxval, ch, _off = _netpbm_header(data)
+        return {
+            "width": w,
+            "height": h,
+            "channels": ch,
+            "format": "pgm" if ch == 1 else "ppm",
+            "n_bytes": len(data),
+        }
+    if _is_bmp(data) and len(data) >= 54:
+        w, h_signed = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        comp = struct.unpack_from("<I", data, 30)[0]
+        if comp == 0 and bpp in (24, 32):
+            return {
+                "width": w,
+                "height": abs(h_signed),
+                "channels": bpp // 8,
+                "format": "bmp",
+                "n_bytes": len(data),
+            }
+        return None  # exotic BMP: let PIL try
+    if _is_png(data):
+        for typ, chunk in _png_chunks(data):
+            if typ == b"IHDR" and len(chunk) == 13:
+                w, h, depth, ctype = struct.unpack(">IIBB", chunk[:10])
+                ch = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(ctype)
+                if depth == 8 and ch is not None:
+                    return {
+                        "width": int(w),
+                        "height": int(h),
+                        "channels": ch,
+                        "format": "png",
+                        "n_bytes": len(data),
+                    }
+            break
+        return None
+    return None
