@@ -9,10 +9,11 @@ Two kernel paths per stage (round 3, VERDICT r2 item 8):
   bytes themselves, so the Ray-side plumbing — schema, actor-pool
   signature (setup in ``__init__`` once per actor), batch sizing for
   large binary payloads, output layout — is fully testable anywhere.
-- ``fake=False``: the REAL kernel. netpbm images (P5/P6) and RIFF/WAV
-  audio decode NATIVELY (ASCII header + raw raster / stdlib ``wave``
-  — no codec library), so those families run honestly in this
-  container; foreign formats route to PIL (images, imported lazily
+- ``fake=False``: the REAL kernel. netpbm images (P5/P6),
+  uncompressed BMP, 8-bit non-interlaced PNG (DEFLATE via stdlib
+  ``zlib``; filters 0-4, palette included) and RIFF/WAV audio decode
+  NATIVELY — no codec library — so those families run honestly in
+  this container; foreign formats route to PIL (images, imported lazily
   once per actor) or the ``ffmpeg`` binary (video/compressed audio)
   and raise ``NotImplementedError`` with the missing dependency named
   when the environment lacks it, so the stage self-documents what it
