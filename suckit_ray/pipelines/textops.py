@@ -88,26 +88,34 @@ def quality_score(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _predict_lang(text: "pd.Series") -> "pd.Series":
+    """Marker-count argmax with the LANG_ORDER first-wins tie-break —
+    the ONE prediction kernel shared by ``lang_id`` and
+    ``docs_langid_confusion`` (and mirrored by the SQL score CTE)."""
+    low = text.str.lower()
+    scores = {
+        lang: low.str.count(_alt(LANG_MARKERS[lang])).astype("int64")
+        for lang in LANG_ORDER
+    }
+    sc = pd.DataFrame(scores)
+    best = sc.max(axis=1)
+    pred = pd.Series("en", index=text.index)
+    assigned = pd.Series(False, index=text.index)
+    for lang in LANG_ORDER:
+        hit = (~assigned) & (sc[lang] == best)
+        pred[hit] = lang
+        assigned |= hit
+    return pred
+
+
 def lang_id(sf_dir: str) -> rd.Dataset:
     """doc_id, pred_lang — deterministic marker-count argmax (first-wins
-    tie-break in LANG_ORDER)."""
+    tie-break in LANG_ORDER) via the shared ``_predict_lang`` kernel."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        low = df["text"].str.lower()
-        scores = {
-            lang: low.str.count(_alt(LANG_MARKERS[lang])).astype("int64")
-            for lang in LANG_ORDER
-        }
-        sc = pd.DataFrame(scores)
-        best = sc.max(axis=1)
-        pred = pd.Series("en", index=df.index)
-        # first language in LANG_ORDER reaching the max wins
-        assigned = pd.Series(False, index=df.index)
-        for lang in LANG_ORDER:
-            hit = (~assigned) & (sc[lang] == best)
-            pred[hit] = lang
-            assigned |= hit
-        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": pred})
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "pred_lang": _predict_lang(df["text"])}
+        )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
@@ -4057,24 +4065,11 @@ def docs_langid_confusion(sf_dir: str) -> "pa.Table":
     from suckit_ray.stages.agg import bucketed_groupby_agg
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        low = df["text"].str.lower()
-        scores = {
-            lang: low.str.count(_alt(LANG_MARKERS[lang])).astype("int64")
-            for lang in LANG_ORDER
-        }
-        sc = pd.DataFrame(scores)
-        best = sc.max(axis=1)
-        pred = pd.Series("en", index=df.index)
-        assigned = pd.Series(False, index=df.index)
-        for lang in LANG_ORDER:
-            hit = (~assigned) & (sc[lang] == best)
-            pred[hit] = lang
-            assigned |= hit
         return (
             pd.DataFrame(
                 {
                     "actual_lang": df["lang"],
-                    "pred_lang": pred,
+                    "pred_lang": _predict_lang(df["text"]),
                     "n": np.ones(len(df), dtype="int64"),
                 }
             )

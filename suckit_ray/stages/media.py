@@ -130,8 +130,14 @@ def _encode_netpbm(arr: np.ndarray) -> bytes:
 
 
 def _netpbm_gray(arr: np.ndarray) -> np.ndarray:
-    """(h, w) float32 luminance — mean over channels (deterministic,
-    codec-free; a P5 raster is already gray)."""
+    """(h, w) float32 luminance — mean over COLOR channels
+    (deterministic, codec-free; a P5 raster is already gray). 2- and
+    4-channel rasters (gray+alpha / RGBA / 32-bit BMP) drop the
+    trailing alpha plane first — averaging alpha in would let
+    transparency dominate the features."""
+    ch = arr.shape[2]
+    if ch in (2, 4):
+        arr = arr[:, :, : ch - 1]
     return arr.astype(np.float32).mean(axis=2)
 
 
@@ -711,23 +717,33 @@ def _parse_bmp(data: bytes) -> "tuple[dict, np.ndarray]":
 
 
 def _encode_bmp(arr: "np.ndarray") -> bytes:
-    """(h, w, 3) uint8 RGB → 24-bit bottom-up BI_RGB bytes."""
+    """(h, w, {1,3,4}) uint8 → bottom-up BI_RGB bytes: 24-bit for
+    gray/RGB, 32-bit BGRA for 4-channel input (alpha PRESERVED so
+    resize round-trips keep media_meta.channels truthful)."""
     import struct
 
     h, w, ch = arr.shape
     if ch == 1:
         arr = np.repeat(arr, 3, axis=2)
-    elif ch == 4:
-        arr = arr[:, :, :3]
-    stride = ((w * 3 + 3) // 4) * 4
-    raster = np.zeros((h, stride), dtype=np.uint8)
-    raster[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+        ch = 3
+    if ch == 4:
+        bgra = np.concatenate(
+            [arr[:, :, 2::-1], arr[:, :, 3:4]], axis=2
+        )
+        stride = w * 4  # 32-bit rows are 4-byte aligned already
+        raster = bgra[::-1].reshape(h, stride)
+        bpp = 32
+    else:
+        stride = ((w * 3 + 3) // 4) * 4
+        raster = np.zeros((h, stride), dtype=np.uint8)
+        raster[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+        bpp = 24
     body = raster.tobytes()
     off = 14 + 40
     header = (
         b"BM"
         + struct.pack("<IHHI", off + len(body), 0, 0, off)
-        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body),
                       2835, 2835, 0, 0)
     )
     return header + body
@@ -802,16 +818,19 @@ def _parse_png(data: bytes) -> "tuple[dict, np.ndarray]":
             rec = line
         elif f == 2:  # Up — vectorizable
             rec = (line + prior) & 0xFF
-        elif f in (1, 3, 4):
+        elif f == 1:  # Sub — a per-channel prefix sum mod 256
+            rec = (
+                line.reshape(-1, ch).astype(np.int64).cumsum(axis=0)
+                & 0xFF
+            ).reshape(stride)
+        elif f in (3, 4):
             rec = np.zeros(stride, dtype=np.int32)
             pr = prior.astype(np.int32)
             for x in range(stride):
                 a = rec[x - ch] if x >= ch else 0  # left (reconstructed)
                 b = pr[x]  # up
                 c = pr[x - ch] if x >= ch else 0  # up-left
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) >> 1
                 else:  # Paeth
                     p = a + b - c
@@ -866,14 +885,20 @@ def _encode_png(arr: "np.ndarray") -> bytes:
 def _parse_image_native(data: bytes) -> "tuple[dict, np.ndarray] | None":
     """(meta, uint8 raster) for formats this container decodes with
     NO codec libraries — netpbm, uncompressed BMP, 8-bit PNG — else
-    None (caller falls through to PIL). The single dispatch shared by
-    the three image stages."""
-    if _is_netpbm(data):
-        return _parse_netpbm(data)
-    if _is_bmp(data):
-        return _parse_bmp(data)
-    if _is_png(data):
-        return _parse_png(data)
+    None (caller falls through to PIL). Variants a native parser
+    rejects (interlaced/16-bit PNG, RLE/palette/core-header BMP)
+    ALSO return None so the PIL fallback stays reachable; only a
+    payload no path can handle surfaces an error from the caller.
+    The single dispatch shared by the three image stages."""
+    try:
+        if _is_netpbm(data):
+            return _parse_netpbm(data)
+        if _is_bmp(data):
+            return _parse_bmp(data)
+        if _is_png(data):
+            return _parse_png(data)
+    except NotImplementedError:
+        return None
     return None
 
 
@@ -892,10 +917,13 @@ def _image_meta_native(data: bytes) -> "dict | None":
             "n_bytes": len(data),
         }
     if _is_bmp(data) and len(data) >= 54:
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        if hdr_size < 40:
+            return None  # core-header BMP: fields sit elsewhere; PIL
         w, h_signed = struct.unpack_from("<ii", data, 18)
         bpp = struct.unpack_from("<H", data, 28)[0]
         comp = struct.unpack_from("<I", data, 30)[0]
-        if comp == 0 and bpp in (24, 32):
+        if comp == 0 and bpp in (24, 32) and w > 0:
             return {
                 "width": w,
                 "height": abs(h_signed),

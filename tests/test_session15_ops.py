@@ -1881,3 +1881,56 @@ class TestNativeImageCodecs:
         out = ResizeImage(4, 4, fake=False)._real_resize(data)
         meta, arr = _parse_png(out)
         assert (meta["width"], meta["height"], meta["channels"]) == (4, 4, 1)
+
+
+class TestNativeCodecReviewFixes:
+    def test_unsupported_variants_fall_through_to_none(self):
+        """Interlaced PNG and core-header BMP must return None from
+        the native dispatch (PIL fallback reachable), not raise."""
+        import struct
+        import zlib
+
+        from suckit_ray.stages.media import (
+            _image_meta_native,
+            _parse_image_native,
+        )
+
+        def chunk(typ, payload):
+            crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+            return (struct.pack(">I", len(payload)) + typ + payload
+                    + struct.pack(">I", crc))
+
+        interlaced = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        assert _parse_image_native(interlaced) is None
+
+        core_bmp = (
+            b"BM" + struct.pack("<IHHI", 26 + 12, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 2, 2, 1, 24) + b"\x00" * 24
+        )
+        assert _parse_image_native(core_bmp) is None
+        assert _image_meta_native(core_bmp) is None
+
+    def test_alpha_excluded_from_luminance(self):
+        from suckit_ray.stages.media import _netpbm_gray
+
+        ga = np.zeros((2, 2, 2), dtype=np.uint8)
+        ga[:, :, 0] = 100   # gray
+        ga[:, :, 1] = 255   # alpha
+        assert (_netpbm_gray(ga) == 100.0).all()
+        rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+        rgba[:, :, 3] = 255  # transparent black
+        assert (_netpbm_gray(rgba) == 0.0).all()
+
+    def test_32bit_bmp_alpha_roundtrip(self):
+        from suckit_ray.stages.media import _encode_bmp, _parse_bmp
+
+        rgba = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
+        data = _encode_bmp(rgba)
+        meta, back = _parse_bmp(data)
+        assert meta["channels"] == 4
+        assert (back == rgba).all()
