@@ -105,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
                         " cuckoo supports URL retirement for recrawls")
     p.add_argument("--seeds-parquet", metavar="FILE",
                    help="parquet file with a url column: the seed list")
+    p.add_argument("--compact-out", metavar="DIR",
+                   help="after the crawl, bin-pack the --parquet-out "
+                        "per-wave docs into ~target-size parquet files "
+                        "at DIR (sinks.compact_parquet; requires "
+                        "--parquet-out)")
+    p.add_argument("--compact-target-mb", type=int, default=256,
+                   metavar="MB", help="compaction target file size")
     p.add_argument("--wds-out", metavar="DIR",
                    help="after the crawl, export the --parquet-out docs "
                         "as WebDataset tar shards (training-loader "
@@ -204,6 +211,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.wds_out and not args.parquet_out:
         print("--wds-out requires --parquet-out", file=sys.stderr)
         return 2
+    if args.compact_out and not args.parquet_out:
+        print("--compact-out requires --parquet-out", file=sys.stderr)
+        return 2
 
     revisit = bool(args.revisit_history)
     if args.revisit_budget is not None and not revisit:
@@ -266,6 +276,18 @@ def main(argv: list[str] | None = None) -> int:
         recrawl_seed=not revisit,
         carry_prior_hashes=revisit,
     )
+    compact_manifest = None
+    if args.compact_out:
+        import os as _os
+
+        from suckit_ray.sinks import compact_parquet
+
+        compact_manifest = compact_parquet(
+            _os.path.join(args.parquet_out, "docs"),
+            args.compact_out,
+            target_bytes=args.compact_target_mb * 1024 * 1024,
+        )
+
     wds_samples = None
     if args.wds_out:
         from suckit_ray.sources.wds import export_docs_webdataset
@@ -281,6 +303,9 @@ def main(argv: list[str] | None = None) -> int:
     }
     if wds_samples is not None:
         summary["wds_samples"] = wds_samples
+    if compact_manifest is not None:
+        summary["compact_out_files"] = compact_manifest["out_files"]
+        summary["compact_rows"] = compact_manifest["n_rows"]
     print(json.dumps(summary))
     ray.shutdown()
     return 0

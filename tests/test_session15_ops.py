@@ -1934,3 +1934,41 @@ class TestNativeCodecReviewFixes:
         meta, back = _parse_bmp(data)
         assert meta["channels"] == 4
         assert (back == rgba).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompactCli:
+    def test_crawl_then_compact_flag_path(self, tmp_path):
+        """The --compact-out composition: crawl with per-wave parquet,
+        compact, and verify lossless row counts + fewer files."""
+        import glob
+
+        import ray.data
+
+        from suckit_ray.config import CrawlConfig
+        from suckit_ray.pipelines.crawl import crawl
+        from suckit_ray.sinks import compact_parquet
+        from suckit_ray.sources.pagestore import (
+            SyntheticCorpus,
+            SyntheticPageStore,
+        )
+
+        corpus = SyntheticCorpus(n_hosts=2, n_docs=60, fanout=3)
+        pq_out = str(tmp_path / "pq")
+        crawl(
+            CrawlConfig(origin=corpus.page_url(0, 0)),
+            SyntheticPageStore(corpus),
+            seeds=corpus.seeds(),
+            num_shards=2,
+            output_dir=pq_out,
+            collect=False,
+        )
+        src_files = glob.glob(f"{pq_out}/docs/wave-*/*.parquet")
+        n_rows = ray.data.read_parquet(sorted(src_files)).count()
+        out = str(tmp_path / "compacted")
+        manifest = compact_parquet(
+            f"{pq_out}/docs", out, target_bytes=64 * 1024 * 1024
+        )
+        assert manifest["n_rows"] == n_rows
+        assert manifest["out_files"] <= len(src_files)
+        assert ray.data.read_parquet(out).count() == n_rows
