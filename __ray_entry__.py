@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_latency_anova": relops.orders_latency_anova,
         "ann_mmr_topk": ann.mmr_topk,
         "events_value_mode": relops.events_value_mode,
+        "events_runs_test": relops.events_runs_test,
         "docs_langid_confusion": textops.docs_langid_confusion,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
@@ -3716,6 +3717,52 @@ def oracle_sql() -> dict[str, str]:
                                 // GREATEST(a.a, b.d2))
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
+        # Wald-Wolfowitz runs test over gap-filled daily changes;
+        # zero-change days excluded, expected runs in exact micro
+        "events_runs_test": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS t
+              FROM events GROUP BY 1
+            ),
+            b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            grid AS (
+              SELECT gs.i AS i, COALESCE(d.t, 0) AS x
+              FROM generate_series(0, 131071) gs(i)
+              CROSS JOIN b
+              LEFT JOIN daily d ON d.day = b.lo + gs.i
+              WHERE gs.i <= b.hi - b.lo
+            ),
+            ch AS (
+              SELECT i, x - LAG(x) OVER (ORDER BY i) AS dv FROM grid
+            ),
+            s AS (
+              SELECT CASE WHEN dv > 0 THEN 1 ELSE -1 END AS sgn,
+                     ROW_NUMBER() OVER (ORDER BY i) AS rn
+              FROM ch WHERE dv IS NOT NULL AND dv <> 0
+            ),
+            r AS (
+              SELECT COUNT(*) AS n_runs FROM (
+                SELECT sgn, LAG(sgn) OVER (ORDER BY rn) AS prev
+                FROM s) q
+              WHERE prev IS NULL OR prev <> sgn
+            ),
+            agg AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS np,
+                     CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS nm
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n_moves,
+                   CAST(np AS BIGINT) AS n_plus,
+                   CAST(nm AS BIGINT) AS n_minus,
+                   CAST((SELECT n_runs FROM r) AS BIGINT) AS n_runs,
+                   CAST((1000000 * (n + 2 * np * nm)) // n AS BIGINT)
+                     AS expected_micro
+            FROM agg WHERE n > 0
         """,
         # exact mode per type from the (type, cent) histogram;
         # ties to the smallest value (SQL mode() is tie-undefined)

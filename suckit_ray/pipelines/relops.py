@@ -9000,3 +9000,75 @@ def events_value_mode(sf_dir: str) -> pa.Table:
             "n_mode": pa.array(res["n_mode"].astype("int64"), pa.int64()),
         }
     )
+
+
+def events_runs_test(sf_dir: str) -> pa.Table:
+    """(n_moves, n_plus, n_minus, n_runs, expected_micro): the
+    Wald-Wolfowitz RUNS test for randomness of the daily revenue
+    direction (Wald & Wolfowitz 1940, public) — consecutive same-sign
+    daily changes form runs; far fewer runs than expected means
+    trending, far more means oscillation. Zero-change days are
+    EXCLUDED (the standard treatment); with n = n_plus + n_minus
+    moves the expected run count under randomness is
+
+        E[R] = 1 + 2·n_plus·n_minus / n
+        expected_micro = (10^6 · (n + 2·n_plus·n_minus)) // n
+
+    — exact integers end to end (the observed n_runs is a plain
+    count; the comparison against E[R] is the caller's inference).
+
+    Plan: one two-phase (day) cent-sum aggregation; signs, runs and
+    counts fold over the O(span) calendar-bounded day vector
+    driver-side (the acf/bootstrap precedent). The gap-filled grid
+    supplies zero days so a missing day contributes a CHANGE, exactly
+    as the SQL window over the dense grid sees it."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "day": (us // 86_400_000_000).astype("int64"),
+                "cents": to_cents(df["value"]),
+            }
+        )
+
+    daily = bucketed_groupby_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        keys=["day"],
+        aggs={"t": ("cents", "sum")},
+    )
+    span = _global_day_span(daily)
+    cols = {
+        "n_moves": pa.array([], pa.int64()),
+        "n_plus": pa.array([], pa.int64()),
+        "n_minus": pa.array([], pa.int64()),
+        "n_runs": pa.array([], pa.int64()),
+        "expected_micro": pa.array([], pa.int64()),
+    }
+    if span is None:
+        return pa.table(cols)
+    lo, hi = span
+    d = daily.to_pandas()  # O(span)
+    x = np.zeros(hi - lo + 1, dtype="int64")
+    x[d["day"].to_numpy() - lo] = d["t"].to_numpy().astype("int64")
+    diff = np.diff(x)
+    sign = np.sign(diff)
+    sign = sign[sign != 0]
+    n_plus = int((sign > 0).sum())
+    n_minus = int((sign < 0).sum())
+    n = n_plus + n_minus
+    if n == 0:
+        return pa.table(cols)
+    n_runs = 1 + int((sign[1:] != sign[:-1]).sum())
+    expected = (1_000_000 * (n + 2 * n_plus * n_minus)) // n
+    return pa.table(
+        {
+            "n_moves": pa.array([n], pa.int64()),
+            "n_plus": pa.array([n_plus], pa.int64()),
+            "n_minus": pa.array([n_minus], pa.int64()),
+            "n_runs": pa.array([n_runs], pa.int64()),
+            "expected_micro": pa.array([expected], pa.int64()),
+        }
+    )

@@ -1972,3 +1972,38 @@ class TestCompactCli:
         assert manifest["n_rows"] == n_rows
         assert manifest["out_files"] <= len(src_files)
         assert ray.data.read_parquet(out).count() == n_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRunsTest:
+    def test_engineered_alternation_and_trend(self, tmp_path):
+        """Zigzag series = max runs; monotone series = 1 run."""
+        from suckit_ray.pipelines.relops import events_runs_test
+
+        zig = [(d, "A", float(10 if d % 2 else 20)) for d in range(8)]
+        _write_events(tmp_path / "z" if False else tmp_path, zig,
+                      users=list(range(8)))
+        got = events_runs_test(str(tmp_path)).to_pandas().iloc[0]
+        assert int(got["n_moves"]) == 7
+        assert int(got["n_runs"]) == 7  # every move flips sign
+
+    def test_monotone_single_run(self, tmp_path):
+        from suckit_ray.pipelines.relops import events_runs_test
+
+        up = [(d, "A", float(d + 1)) for d in range(6)]
+        _write_events(tmp_path, up, users=list(range(6)))
+        got = events_runs_test(str(tmp_path)).to_pandas().iloc[0]
+        assert int(got["n_runs"]) == 1
+        assert int(got["n_minus"]) == 0
+        # E[R] with nm=0 is exactly 1
+        assert int(got["expected_micro"]) == 1_000_000
+
+    def test_zero_changes_excluded(self, tmp_path):
+        """A flat middle day contributes no move."""
+        from suckit_ray.pipelines.relops import events_runs_test
+
+        rows = [(0, "A", 1.0), (1, "A", 1.0), (2, "A", 5.0)]
+        _write_events(tmp_path, rows, users=[1, 2, 3])
+        got = events_runs_test(str(tmp_path)).to_pandas().iloc[0]
+        assert int(got["n_moves"]) == 1  # day0->1 flat, day1->2 up
+        assert int(got["n_plus"]) == 1
