@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_mmr_topk": ann.mmr_topk,
         "events_value_mode": relops.events_value_mode,
         "events_runs_test": relops.events_runs_test,
+        "events_mann_kendall": relops.events_mann_kendall,
         "docs_langid_confusion": textops.docs_langid_confusion,
         "embeddings_silhouette": ann.embeddings_silhouette,
         "referential_audit": relops.referential_audit,
@@ -3717,6 +3718,29 @@ def oracle_sql() -> dict[str, str]:
                                 // GREATEST(a.a, b.d2))
                         END AS BIGINT) AS sil_micro
             FROM a JOIN b ON b.vec_id = a.vec_id AND b.rn = 1
+        """,
+        # Mann-Kendall S over observed daily sums: exact signed
+        # pair counts via a day<day self-join
+        "events_mann_kendall": """
+            WITH d AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS t
+              FROM events GROUP BY 1
+            ),
+            p AS (
+              SELECT CASE WHEN b.t > a.t THEN 1
+                          WHEN b.t < a.t THEN -1 ELSE 0 END AS sgn
+              FROM d a JOIN d b ON b.day > a.day
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+                   CAST(COALESCE(SUM(sgn), 0) AS BIGINT) AS s_stat,
+                   CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_neg,
+                   CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tie
+            FROM p
         """,
         # Wald-Wolfowitz runs test over gap-filled daily changes;
         # zero-change days excluded, expected runs in exact micro

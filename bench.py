@@ -359,6 +359,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_mode",
         "docs_langid_confusion",
         "events_runs_test",
+        "events_mann_kendall",
         # crawl_bowtie / crawl_closeness / crawl_distance_stats /
         # crawl_betweenness / crawl_simrank are NOT registered: their
         # exact per-host

@@ -9072,3 +9072,61 @@ def events_runs_test(sf_dir: str) -> pa.Table:
             "expected_micro": pa.array([expected], pa.int64()),
         }
     )
+
+
+def events_mann_kendall(sf_dir: str) -> pa.Table:
+    """(n_days, s_stat, n_pos, n_neg, n_tie): the Mann-Kendall trend
+    TEST statistic over the observed daily cent sums (Mann 1945 /
+    Kendall 1975, public) — S = Σ_{i<j} sign(x_j − x_i), the
+    nonparametric monotone-trend detector whose slope-estimating
+    sibling is ``events_theilsen`` (the pair a monitoring stack runs
+    together: is there a trend, and how steep). Exact integers: S and
+    the concordant/discordant/tie pair counts are plain sums over the
+    O(days²) calendar-bounded pair set.
+
+    Plan: one two-phase (day) aggregation; the pair fold runs on the
+    O(days) driver vector (the theilsen precedent — pairs are bounded
+    by the calendar, never the corpus)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "day": (us // 86_400_000_000).astype("int64"),
+                "cents": to_cents(df["value"]),
+            }
+        )
+
+    daily = (
+        bucketed_groupby_agg(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["ts", "value"]
+            ).map_batches(partial, batch_format="pandas"),
+            keys=["day"],
+            aggs={"t": ("cents", "sum")},
+        )
+        .to_pandas()  # O(days)
+        .sort_values("day")
+    )
+    cols = {
+        "n_days": pa.array([], pa.int64()),
+        "s_stat": pa.array([], pa.int64()),
+        "n_pos": pa.array([], pa.int64()),
+        "n_neg": pa.array([], pa.int64()),
+        "n_tie": pa.array([], pa.int64()),
+    }
+    if not len(daily):
+        return pa.table(cols)
+    x = daily["t"].to_numpy().astype("int64")
+    i, j = np.triu_indices(len(x), k=1)
+    d = np.sign(x[j] - x[i])
+    return pa.table(
+        {
+            "n_days": pa.array([len(x)], pa.int64()),
+            "s_stat": pa.array([int(d.sum())], pa.int64()),
+            "n_pos": pa.array([int((d > 0).sum())], pa.int64()),
+            "n_neg": pa.array([int((d < 0).sum())], pa.int64()),
+            "n_tie": pa.array([int((d == 0).sum())], pa.int64()),
+        }
+    )

@@ -2007,3 +2007,26 @@ class TestRunsTest:
         got = events_runs_test(str(tmp_path)).to_pandas().iloc[0]
         assert int(got["n_moves"]) == 1  # day0->1 flat, day1->2 up
         assert int(got["n_plus"]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMannKendall:
+    def test_monotone_series_hits_max_s(self, tmp_path):
+        from suckit_ray.pipelines.relops import events_mann_kendall
+
+        rows = [(d, "A", float(d + 1)) for d in range(6)]
+        _write_events(tmp_path, rows, users=list(range(6)))
+        got = events_mann_kendall(str(tmp_path)).to_pandas().iloc[0]
+        assert int(got["s_stat"]) == 15  # C(6,2), all concordant
+        assert int(got["n_neg"]) == 0 and int(got["n_tie"]) == 0
+
+    def test_pair_identity_on_sf(self):
+        from suckit_ray.pipelines.relops import events_mann_kendall
+
+        got = events_mann_kendall(SF).to_pandas().iloc[0]
+        n = int(got["n_days"])
+        assert (
+            int(got["n_pos"]) + int(got["n_neg"]) + int(got["n_tie"])
+            == n * (n - 1) // 2
+        )
+        assert int(got["s_stat"]) == int(got["n_pos"]) - int(got["n_neg"])
