@@ -1001,12 +1001,26 @@ def embeddings_hard_negatives(
     )
 
 
+# Above this many candidate cosines (n·(n−1)/2) the exact all-pairs
+# ε-edge stage is a scale-killer — O(n²·d) flops and a B× replication
+# of the embedding table over the wire — so embeddings_dbscan routes
+# its edge source through IVF-cell metric blocking instead (the same
+# auto-cutover idiom as dedup.BROADCAST_PAIR_LIMIT /
+# CC_DRIVER_PAIR_LIMIT). 500k cosines ≈ 1000 rows: tiny oracle corpora
+# stay exact, anything bench-sized and up exercises the scale path.
+DBSCAN_EXACT_PAIR_LIMIT = 500_000
+
+
 def embeddings_dbscan(
     sf_dir: str,
     eps: float = 0.30,
     min_pts: int = 3,
     num_buckets: int = 8,
     num_partitions: int | None = None,
+    exact_pair_limit: int = DBSCAN_EXACT_PAIR_LIMIT,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
 ) -> rd.Dataset:
     """DBSCAN (Ester et al. 1996, KDD — public) over the embedding
     table with ``cosine ≥ eps`` as the neighbor predicate. Returns
@@ -1022,13 +1036,27 @@ def embeddings_dbscan(
     the oracle.
 
     Distributed plan (no driver state beyond scalars):
-    1. **edges** — exact all-pairs ε-neighbors via a bucket-pair
-       cross join: each row replicates to the B unordered bucket
-       pairs containing ``vec_id % B``, one groupby, one matmul per
-       pair-group. Replication factor B; at real scale you bound B
-       ~ √tasks or swap this stage for metric blocking
-       (``embedding_dup_pairs_ivf`` cells) and accept approximate
-       recall — the rest of the plan is edge-source-agnostic.
+    1. **edges** — ε-neighbor pairs, auto-routed by corpus size:
+       - n·(n−1)/2 ≤ ``exact_pair_limit``: exact all-pairs via a
+         bucket-pair cross join — each row replicates to the B
+         unordered bucket pairs containing ``vec_id % B``, one
+         groupby, one matmul per pair-group (replication factor B,
+         O(n²) total work).
+       - above the limit: **IVF-cell metric blocking** — a coarse
+         quantizer trains on a bounded Dataset sample
+         (``limit(sample_size)``), every vector fans out to its
+         ``nprobe`` nearest cells, and the cosine matmul + exact
+         ε-verify runs per cell. Replication factor nprobe (< B),
+         per-group work O((n·nprobe/k)²·d) — each candidate pair is
+         verified with the exact cosine, so precision is 1.0; recall
+         vs the exact route is approximate (pinned in tests; with
+         ``nprobe == n_clusters`` the route is exhaustive and
+         label-identical to the exact path, the forced-cutover
+         equality test). A pair sharing several probe cells is
+         emitted ONLY from the minimum common cell (each row carries
+         its sorted probe list into the group), so no post-shuffle
+         distinct is needed.
+       The rest of the plan is edge-source-agnostic.
        Materialized ONCE (multi-consumer feeding sort-based groupbys).
     2. **degree** → core flags via the two-phase bucketed count.
     3. **core components** — ``dedup._cc_labels`` min-label
@@ -1091,12 +1119,87 @@ def embeddings_dbscan(
             c = np.maximum(ids[li][ai], ids[lj][bj])
         return pd.DataFrame({"a_id": a.astype(np.int64), "b_id": c.astype(np.int64)})
 
-    edges = (
-        ds.map_batches(replicate, batch_format="pandas")
-        .groupby("pair")
-        .map_groups(cross, batch_format="pandas")
-        .materialize()
-    )
+    def ivf_edges() -> rd.Dataset:
+        # scale path: sample-trained coarse quantizer, multi-probe
+        # cell fan-out, per-cell matmul + exact ε-verify. Every row
+        # carries its sorted probe list (nprobe int64 columns) so a
+        # pair sharing several cells emits only from the MIN common
+        # cell — exact dedup with zero extra shuffle.
+        sample_df = ds.limit(sample_size).to_pandas()
+        cent = _train_centroids(
+            _normalize(
+                np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+            ),
+            n_clusters,
+        )
+        cent_ref = ray.put(cent)
+        k_eff = min(nprobe, len(cent))
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            cent_ = ray.get(cent_ref)
+            m = _normalize(
+                np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            )
+            top = np.argsort(-(m @ cent_.T), axis=1)[:, :k_eff]
+            top = np.sort(top, axis=1).astype(np.int64)  # sorted probe list
+            idx = np.repeat(np.arange(len(df)), k_eff)
+            out = {
+                "cell": top.reshape(-1),
+                "vec_id": df["vec_id"].to_numpy().astype(np.int64)[idx],
+                "embedding": df["embedding"].to_numpy()[idx],
+            }
+            for p in range(k_eff):
+                out[f"p{p}"] = np.repeat(top[:, p], k_eff)
+            return pd.DataFrame(out)
+
+        def cell_edges(g: pd.DataFrame) -> pd.DataFrame:
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = _normalize(
+                np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+            )
+            probes = np.stack(
+                [g[f"p{p}"].to_numpy()[order] for p in range(k_eff)], axis=1
+            )
+            cos = m @ m.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = cos[ii, jj] >= eps
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                # min common probe cell of each kept pair (k_eff² combos,
+                # vectorized); emit only where it equals THIS cell.
+                pa_, pb_ = probes[ii], probes[jj]
+                eq = pa_[:, :, None] == pb_[:, None, :]
+                vals = np.where(
+                    eq, pa_[:, :, None], np.iinfo(np.int64).max
+                )
+                mincell = vals.min(axis=(1, 2))
+                first = mincell == int(g["cell"].iloc[0])
+                ii, jj = ii[first], jj[first]
+            return pd.DataFrame(
+                {
+                    "a_id": ids[ii].astype(np.int64),
+                    "b_id": ids[jj].astype(np.int64),
+                }
+            )
+
+        return (
+            ds.map_batches(assign, batch_format="pandas")
+            .groupby("cell")
+            .map_groups(cell_edges, batch_format="pandas")
+        )
+
+    n_rows = ds.count()  # parquet metadata count: no data scan
+    if n_rows * (n_rows - 1) // 2 <= exact_pair_limit:
+        edge_src = (
+            ds.map_batches(replicate, batch_format="pandas")
+            .groupby("pair")
+            .map_groups(cross, batch_format="pandas")
+        )
+    else:
+        edge_src = ivf_edges()
+    edges = edge_src.materialize()
     if edges.count() == 0:
         # no ε-ball contains a second point: everything is noise.
         # (Also dodges the all-empty-side Dataset.join ArrowInvalid —
