@@ -3126,7 +3126,97 @@ def crawl_communities_lpa(sf_dir: str) -> rd.Dataset:
     return lpa_communities_from_docs(crawl_docs(sf_dir))
 
 
-def bowtie_from_docs(docs: rd.Dataset) -> rd.Dataset:
+# ---------------------------------------------------------------------------
+# per-host dense-kernel scale routing (VERDICT r3 item 2)
+# ---------------------------------------------------------------------------
+# The whole-graph-per-host kernels (bowtie closure, closeness /
+# distance-stats matrix BFS, betweenness counting, simrank matmuls) do
+# O(m²)–O(m³) work INSIDE one host's co-group: exact and oracle-green
+# at politeness-capped crawl scale, intractable on a 10^7-page host.
+# Above this per-host node bound each kernel routes to its scale
+# variant instead of silently grinding:
+#   bowtie        → sparse EXACT (Kosaraju SCC + four frontier BFS,
+#                   O(m+e) — same answer, no closure matrix)
+#   closeness     → pivot-sampled farness (Eppstein & Wang 2004,
+#                   public: K pivots give additive error O(Δ·√(log m/K))
+#                   on dist_sum whp; exact when K ≥ m)
+#   distance_stats→ pivot-sampled distance histogram (same pivots;
+#                   diameter becomes a lower bound — documented)
+#   betweenness   → pivot-sampled Brandes (Brandes & Pich 2007,
+#                   public: unbiased (m−1)/K-scaled dependency sums;
+#                   float accumulators, floored to micro at the end)
+#   simrank       → Jeh–Widom §5 Monte-Carlo reverse-walk meeting
+#                   estimator over the top-GRAPH_PIVOTS in-degree
+#                   pair space (bounded output for giant hosts)
+# Every kernel takes ``exact_node_limit`` so tests force the scale
+# route on small graphs and pin it against the exact route.
+HOST_EXACT_NODE_LIMIT = 1500
+GRAPH_PIVOTS = 64
+
+
+def _group_arrays(
+    g: pd.DataFrame,
+) -> tuple[np.ndarray, dict[int, int], np.ndarray, np.ndarray]:
+    """(nodes, idx, s_idx, t_idx) of a _host_graph_staged group:
+    sorted node ids, id→dense index, and edge endpoint index arrays."""
+    nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    e = g[g["s"] >= 0]
+    s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
+    t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
+    return nodes, idx, s_idx, t_idx
+
+
+def _csr(m: int, s_idx: np.ndarray, t_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """CSR adjacency (indptr, nbrs) with neighbor lists sorted by id —
+    numpy only, O(e log e)."""
+    order = np.lexsort((t_idx, s_idx))
+    s_sorted, t_sorted = s_idx[order], t_idx[order]
+    indptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(indptr, s_sorted + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, t_sorted
+
+
+def _bfs_csr(indptr: np.ndarray, nbrs: np.ndarray, src: int, m: int) -> np.ndarray:
+    """Distances (length ≥ 1 semantics like the matrix kernels: the
+    source itself is 0) from ``src`` over a CSR graph; −1 unreachable.
+    Sparse frontier expansion — O(m+e) per call."""
+    dist = np.full(m, -1, dtype=np.int64)
+    dist[src] = 0
+    frontier = np.array([src], dtype=np.int64)
+    d = 0
+    while len(frontier):
+        d += 1
+        # gather all neighbor slices of the frontier, vectorized
+        starts, ends = indptr[frontier], indptr[frontier + 1]
+        total = int((ends - starts).sum())
+        if not total:
+            break
+        out = np.concatenate(
+            [nbrs[a:b] for a, b in zip(starts, ends)]
+        )
+        out = np.unique(out)
+        out = out[dist[out] < 0]
+        dist[out] = d
+        frontier = out
+    return dist
+
+
+def _pick_pivots(m: int, k: int, salt: int = 0) -> np.ndarray:
+    """K deterministic pivot indices: splitmix64-hash order over the
+    dense index space — uniform-ish, reproducible, machine-independent."""
+    from suckit_ray.stages.sketch import _splitmix64
+
+    if k >= m:
+        return np.arange(m, dtype=np.int64)
+    h = _splitmix64(np.arange(m, dtype=np.uint64) + np.uint64(salt * 2654435761 + 1))
+    return np.sort(np.argsort(h)[:k].astype(np.int64))
+
+
+def bowtie_from_docs(
+    docs: rd.Dataset, exact_node_limit: int = HOST_EXACT_NODE_LIMIT
+) -> rd.Dataset:
     """(host, cls, n_nodes): the Broder et al. 2000 ("Graph structure
     in the web", WWW — public) bow-tie decomposition of each host's
     directed page-link graph around its LARGEST strongly-connected
@@ -3146,10 +3236,116 @@ def bowtie_from_docs(docs: rd.Dataset) -> rd.Dataset:
     per-group boolean-matrix transitive closure (repeated squaring,
     O(log diameter) matmuls) — exactly the oracle's closure CTE, so
     every set is exact. Per-group work is O(m³ log m) in host page
-    count: bounded for politeness-capped crawls; a giant host would
-    swap this group kernel for the distributed reach machinery
-    (``_dir_max_prop`` seeds, the ``crawl_sssp`` pattern) at the cost
-    of more rounds — the surrounding plan is unchanged."""
+    count: bounded for politeness-capped crawls; above
+    ``exact_node_limit`` nodes the group kernel routes to the SPARSE
+    EXACT decomposition — iterative Kosaraju SCC + four multi-source
+    frontier BFS reach sets, O(m+e), SAME answer (equality-pinned in
+    tests) — so a giant host degrades in constant factor, not in
+    complexity class."""
+
+    def classify_sparse(
+        host, nodes, m: int, s_idx: np.ndarray, t_idx: np.ndarray
+    ) -> pd.DataFrame:
+        fwd_ptr, fwd_nbr = _csr(m, s_idx, t_idx)
+        rev_ptr, rev_nbr = _csr(m, t_idx, s_idx)
+        # iterative Kosaraju: forward DFS finish order, then reverse
+        # DFS in reverse finish order assigns components
+        visited = np.zeros(m, dtype=bool)
+        finish: list[int] = []
+        for start in range(m):
+            if visited[start]:
+                continue
+            stack = [(start, int(fwd_ptr[start]))]
+            visited[start] = True
+            while stack:
+                u, ptr = stack[-1]
+                if ptr < fwd_ptr[u + 1]:
+                    stack[-1] = (u, ptr + 1)
+                    v = int(fwd_nbr[ptr])
+                    if not visited[v]:
+                        visited[v] = True
+                        stack.append((v, int(fwd_ptr[v])))
+                else:
+                    finish.append(u)
+                    stack.pop()
+        comp = np.full(m, -1, dtype=np.int64)
+        for u in reversed(finish):
+            if comp[u] >= 0:
+                continue
+            stack2 = [u]
+            comp[u] = u
+            while stack2:
+                x = stack2.pop()
+                for v in rev_nbr[rev_ptr[x]: rev_ptr[x + 1]]:
+                    v = int(v)
+                    if comp[v] < 0:
+                        comp[v] = u
+                        stack2.append(v)
+        # scc_id = min node id in the component (the crawl_scc rule)
+        scc_id = np.empty(m, dtype=np.int64)
+        for cid in np.unique(comp):
+            members = comp == cid
+            scc_id[members] = nodes[members].min()
+        sizes: dict[int, int] = {}
+        for sid in scc_id:
+            sizes[int(sid)] = sizes.get(int(sid), 0) + 1
+        core_id = min(sizes, key=lambda s: (-sizes[s], s))
+        core = scc_id == core_id
+
+        def reach(ptr, nbr, seeds: np.ndarray) -> np.ndarray:
+            reached = np.zeros(m, dtype=bool)
+            frontier = seeds
+            while len(frontier):
+                starts, ends = ptr[frontier], ptr[frontier + 1]
+                if not int((ends - starts).sum()):
+                    break
+                out = np.unique(
+                    np.concatenate(
+                        [nbr[a:b] for a, b in zip(starts, ends)]
+                    )
+                )
+                out = out[~reached[out]]
+                reached[out] = True
+                frontier = out
+            return reached
+
+        core_seeds = np.nonzero(core)[0].astype(np.int64)
+        f = core | reach(fwd_ptr, fwd_nbr, core_seeds)
+        b = core | reach(rev_ptr, rev_nbr, core_seeds)
+        in_ = b & ~f
+        out = f & ~b
+        rest = ~(f | b)
+        from_in = reach(fwd_ptr, fwd_nbr, np.nonzero(in_)[0].astype(np.int64))
+        to_out = reach(rev_ptr, rev_nbr, np.nonzero(out)[0].astype(np.int64))
+        cls = np.where(
+            f & b,
+            "CORE",
+            np.where(
+                in_,
+                "IN",
+                np.where(
+                    out,
+                    "OUT",
+                    np.where(
+                        rest & from_in & to_out,
+                        "TUBE",
+                        np.where(
+                            rest & from_in,
+                            "TENDRIL_IN",
+                            np.where(rest & to_out, "TENDRIL_OUT", "DISC"),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        u, c = np.unique(cls, return_counts=True)
+        return pd.DataFrame(
+            {
+                "host": [host] * len(u),
+                "cls": u,
+                "n_nodes": c.astype("int64"),
+            }
+        )
 
     def classify(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
@@ -3159,8 +3355,12 @@ def bowtie_from_docs(docs: rd.Dataset) -> rd.Dataset:
         nodes = nodes[nodes >= 0]
         idx = {int(n): i for i, n in enumerate(nodes)}
         m = len(nodes)
-        A = np.zeros((m, m), dtype=bool)
         e = g[g["s"] >= 0]
+        if m > exact_node_limit:
+            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
+            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
+            return classify_sparse(host, nodes, m, s_idx, t_idx)
+        A = np.zeros((m, m), dtype=bool)
         if len(e):
             A[
                 [idx[int(x)] for x in e["s"]],
@@ -3285,7 +3485,11 @@ def _host_graph_staged(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
-def closeness_from_docs(docs: rd.Dataset) -> rd.Dataset:
+def closeness_from_docs(
+    docs: rd.Dataset,
+    exact_node_limit: int = HOST_EXACT_NODE_LIMIT,
+    pivots: int = GRAPH_PIVOTS,
+) -> rd.Dataset:
     """(host, page, n_reach, dist_sum, closeness_ppm): DIRECTED
     closeness centrality of every crawled page within its host's
     link graph — n_reach/dist_sum over BFS shortest distances to the
@@ -3303,16 +3507,58 @@ def closeness_from_docs(docs: rd.Dataset) -> rd.Dataset:
     get distance k+1 — O(diameter) boolean matmuls) instead of the
     closure's repeated squaring, because distances, not reachability,
     are the output. Per-group work is O(m³·diam/64) bit-ops in host
-    page count — bounded for politeness-capped crawls; a giant host
-    swaps in the crawl_sssp message rounds, plan unchanged."""
+    page count — bounded for politeness-capped crawls; above
+    ``exact_node_limit`` nodes the kernel routes to PIVOT-SAMPLED
+    farness (Eppstein & Wang 2004, public): K reverse-BFS passes from
+    deterministic pivot targets, n_reach/dist_sum scaled by
+    (m−1)/|pivots∖{v}| then floored — additive error O(Δ·√(log m/K))
+    on dist_sum whp, EXACT when K ≥ m (the equality pin)."""
+
+    def sampled(host, nodes, m, s_idx, t_idx) -> pd.DataFrame:
+        rev_ptr, rev_nbr = _csr(m, t_idx, s_idx)
+        piv = _pick_pivots(m, pivots, salt=1)
+        is_piv = np.zeros(m, dtype=bool)
+        is_piv[piv] = True
+        cnt = np.zeros(m, dtype=np.int64)
+        sumd = np.zeros(m, dtype=np.int64)
+        for t in piv:
+            dist = _bfs_csr(rev_ptr, rev_nbr, int(t), m)
+            ok = dist > 0  # v reaches t (self excluded: dist 0)
+            cnt[ok] += 1
+            sumd[ok] += dist[ok]
+        k_v = np.where(is_piv, len(piv) - 1, len(piv))
+        n_reach = np.zeros(m, dtype=np.int64)
+        dist_sum = np.zeros(m, dtype=np.int64)
+        pos = k_v > 0
+        n_reach[pos] = (cnt[pos] * (m - 1)) // k_v[pos]
+        dist_sum[pos] = (sumd[pos] * (m - 1)) // k_v[pos]
+        ppm = [
+            (int(r) * int(r) * 1_000_000) // (int(s) * (m - 1))
+            if s > 0 and m > 1
+            else 0
+            for r, s in zip(n_reach, dist_sum)
+        ]
+        return pd.DataFrame(
+            {
+                "host": [host] * m,
+                "page": nodes.astype("int64"),
+                "n_reach": n_reach,
+                "dist_sum": dist_sum,
+                "closeness_ppm": pd.array(ppm, dtype="int64"),
+            }
+        )
 
     def distances(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
         nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
         idx = {int(n): i for i, n in enumerate(nodes)}
         m = len(nodes)
-        A = np.zeros((m, m), dtype=bool)
         e = g[g["s"] >= 0]
+        if m > exact_node_limit:
+            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
+            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
+            return sampled(host, nodes, m, s_idx, t_idx)
+        A = np.zeros((m, m), dtype=bool)
         if len(e):
             A[
                 [idx[int(x)] for x in e["s"]],
@@ -3356,7 +3602,11 @@ def closeness_from_docs(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
-def distance_stats_from_docs(docs: rd.Dataset) -> rd.Dataset:
+def distance_stats_from_docs(
+    docs: rd.Dataset,
+    exact_node_limit: int = HOST_EXACT_NODE_LIMIT,
+    pivots: int = GRAPH_PIVOTS,
+) -> rd.Dataset:
     """(host, n_pages, n_pairs, median_dist, eff_diameter_90,
     diameter): each host's directed shortest-path distance
     distribution — over all ordered reachable pairs (s ≠ t):
@@ -3368,15 +3618,56 @@ def distance_stats_from_docs(docs: rd.Dataset) -> rd.Dataset:
 
     Plan: the closeness kernel's level-synchronous matrix BFS in the
     same host co-group, reduced to a distance HISTOGRAM per host —
-    six small integer columns leave each group."""
+    six small integer columns leave each group. Above
+    ``exact_node_limit`` nodes: PIVOT-SAMPLED histogram — K forward
+    BFS passes from deterministic pivot sources; median/eff90/diameter
+    come from the sampled distribution (the rank rules are
+    scale-invariant in the histogram, so uniform source sampling
+    leaves them consistent; the diameter degrades to a LOWER BOUND),
+    n_pairs is the (m/K)-scaled estimate. EXACT when K ≥ m."""
+
+    def sampled(host, nodes, m, s_idx, t_idx) -> pd.DataFrame:
+        fwd_ptr, fwd_nbr = _csr(m, s_idx, t_idx)
+        piv = _pick_pivots(m, pivots, salt=2)
+        hist: list[np.ndarray] = []
+        for s in piv:
+            dist = _bfs_csr(fwd_ptr, fwd_nbr, int(s), m)
+            hist.append(dist[dist > 0])
+        dists = (
+            np.concatenate(hist) if hist else np.array([], dtype=np.int64)
+        )
+        observed = int(dists.size)
+        n_pairs = (observed * m) // len(piv) if len(piv) else 0
+        if observed:
+            counts = np.bincount(dists)
+            cum = np.cumsum(counts)
+            median = int(np.searchsorted(cum * 2, observed, side="left"))
+            eff90 = int(np.searchsorted(cum * 10, 9 * observed, side="left"))
+            diam = int(dists.max())
+        else:
+            median = eff90 = diam = 0
+        return pd.DataFrame(
+            {
+                "host": [host],
+                "n_pages": pd.array([m], dtype="int64"),
+                "n_pairs": pd.array([n_pairs], dtype="int64"),
+                "median_dist": pd.array([median], dtype="int64"),
+                "eff_diameter_90": pd.array([eff90], dtype="int64"),
+                "diameter": pd.array([diam], dtype="int64"),
+            }
+        )
 
     def stats(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
         nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
         idx = {int(n): i for i, n in enumerate(nodes)}
         m = len(nodes)
-        A = np.zeros((m, m), dtype=bool)
         e = g[g["s"] >= 0]
+        if m > exact_node_limit:
+            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
+            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
+            return sampled(host, nodes, m, s_idx, t_idx)
+        A = np.zeros((m, m), dtype=bool)
         if len(e):
             A[
                 [idx[int(x)] for x in e["s"]],
@@ -3609,7 +3900,11 @@ SIMRANK_MICRO = 1_000_000
 
 
 def simrank_from_docs(
-    docs: rd.Dataset, iters: int = SIMRANK_ITERS
+    docs: rd.Dataset,
+    iters: int = SIMRANK_ITERS,
+    exact_node_limit: int = HOST_EXACT_NODE_LIMIT,
+    pivots: int = GRAPH_PIVOTS,
+    mc_walks: int = 24,
 ) -> rd.Dataset:
     """(host, a, b, sim_micro): SimRank structural similarity (Jeh &
     Widom 2002, KDD — public) of same-host page pairs after ``iters``
@@ -3626,17 +3921,89 @@ def simrank_from_docs(
 
     Plan: host co-group; inside it the update is two integer matmuls
     (Pᵀ S P over the in-adjacency) per iteration. O(m³)-class like
-    the closure kernels, so it is bench-gated the same way; the scale
-    path is the random-surfer-pair Monte Carlo estimator (Jeh-Widom
-    §5), which drops into the same co-group."""
+    the closure kernels, so it is bench-gated the same way; above
+    ``exact_node_limit`` nodes the kernel routes to the Jeh–Widom §5
+    Monte-Carlo estimator — s(a,b) = E[C^τ], τ = first meeting step
+    of two coupled REVERSE random walks, truncated at ``iters`` —
+    over the BOUNDED pair space of the host's top-``pivots``
+    in-degree pages (ties to the smaller id; SimRank of a 10^7-page
+    host is itself O(m²) output, so the scale route must restrict
+    the pair space — documented behavioral difference). splitmix64
+    walk chains keep the sample deterministic; ±C/√W standard error
+    per pair, sanity-pinned against the exact kernel in tests."""
+
+    def simrank_mc(host, nodes, m, s_idx, t_idx) -> pd.DataFrame:
+        from suckit_ray.stages.sketch import _splitmix64
+
+        rev_ptr, rev_nbr = _csr(m, t_idx, s_idx)
+        indeg = (rev_ptr[1:] - rev_ptr[:-1]).astype(np.int64)
+        k = min(pivots, m)
+        # top-k by (indeg desc, id asc): lexsort on (-indeg, index)
+        top = np.lexsort((np.arange(m), -indeg))[:k].astype(np.int64)
+        top = np.sort(top)
+        ai, bi = np.triu_indices(k, k=1)
+        pa_ = np.repeat(top[ai], mc_walks)
+        pb_ = np.repeat(top[bi], mc_walks)
+        widx = np.tile(np.arange(mc_walks, dtype=np.uint64), len(ai))
+        state = _splitmix64(
+            pa_.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ pb_.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            ^ widx
+        )
+        x, y = pa_.copy(), pb_.copy()
+        alive = np.ones(len(x), dtype=bool)
+        contrib = np.zeros(len(x), dtype=np.float64)
+        c_pow = 1.0
+        for _ in range(iters):
+            c_pow *= 0.8
+            live = alive & (indeg[x] > 0) & (indeg[y] > 0)
+            alive = live
+            if not live.any():
+                break
+            state = _splitmix64(state + np.uint64(1))
+            nx = rev_nbr[
+                rev_ptr[x[live]]
+                + (state[live] % indeg[x[live]].astype(np.uint64)).astype(
+                    np.int64
+                )
+            ]
+            state = _splitmix64(state + np.uint64(2))
+            ny = rev_nbr[
+                rev_ptr[y[live]]
+                + (state[live] % indeg[y[live]].astype(np.uint64)).astype(
+                    np.int64
+                )
+            ]
+            x = x.copy()
+            y = y.copy()
+            x[live], y[live] = nx, ny
+            met = live.copy()
+            met[live] = nx == ny
+            contrib[met] = c_pow
+            alive = alive & ~met
+        sim = contrib.reshape(len(ai), mc_walks).mean(axis=1)
+        sim_micro = np.floor(sim * SIMRANK_MICRO).astype(np.int64)
+        keep = sim_micro > 0
+        return pd.DataFrame(
+            {
+                "host": [host] * int(keep.sum()),
+                "a": nodes[top[ai[keep]]].astype("int64"),
+                "b": nodes[top[bi[keep]]].astype("int64"),
+                "sim_micro": sim_micro[keep],
+            }
+        )
 
     def simrank(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
         nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
         idx = {int(n): i for i, n in enumerate(nodes)}
         m = len(nodes)
-        A = np.zeros((m, m), dtype=np.int64)
         e = g[g["s"] >= 0]
+        if m > exact_node_limit:
+            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
+            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
+            return simrank_mc(host, nodes, m, s_idx, t_idx)
+        A = np.zeros((m, m), dtype=np.int64)
         if len(e):
             A[
                 [idx[int(x)] for x in e["s"]],
@@ -3679,7 +4046,11 @@ def crawl_simrank(sf_dir: str) -> rd.Dataset:
     return simrank_from_docs(crawl_docs(sf_dir))
 
 
-def betweenness_from_docs(docs: rd.Dataset) -> rd.Dataset:
+def betweenness_from_docs(
+    docs: rd.Dataset,
+    exact_node_limit: int = HOST_EXACT_NODE_LIMIT,
+    pivots: int = GRAPH_PIVOTS,
+) -> rd.Dataset:
     """(host, page, bc_micro): exact directed shortest-path
     betweenness centrality per host, in the per-pair-floored integer
     form
@@ -3698,17 +4069,82 @@ def betweenness_from_docs(docs: rd.Dataset) -> rd.Dataset:
     level), then the counting lemma σ_st(v) = σ_sv·σ_vt gated on
     D[s,v]+D[v,t] = D[s,t] turns the accumulation into one outer
     product + mask per node. O(m³) per host like the closure kernels;
-    int64 σ products bound test-scale hosts — a giant host swaps in
-    pivot-sampled Brandes (Brandes & Pich 2007, public) with float
-    accumulators, same co-group."""
+    int64 σ products bound test-scale hosts — above
+    ``exact_node_limit`` nodes the kernel routes to PIVOT-SAMPLED
+    Brandes (Brandes & Pich 2007, public): K deterministic pivot
+    sources, one BFS + dependency accumulation each (O(K·(m+e))),
+    bc ≈ (m/K)·Σ_pivots δ_s(v) with float accumulators floored to
+    micro at the end. Unbiased over uniform pivots; with K ≥ m it
+    reduces to full Brandes, whose only divergence from the exact
+    kernel is the per-ordered-pair flooring (|Δ| < #pairs micro,
+    the documented bound pinned in tests)."""
+
+    def sampled(host, nodes, m, s_idx, t_idx) -> pd.DataFrame:
+        fwd_ptr, fwd_nbr = _csr(m, s_idx, t_idx)
+        piv = _pick_pivots(m, pivots, salt=3)
+        bc = np.zeros(m, dtype=np.float64)
+        for src in piv:
+            dist = np.full(m, -1, dtype=np.int64)
+            sigma = np.zeros(m, dtype=np.float64)
+            dist[src] = 0
+            sigma[src] = 1.0
+            levels: list[np.ndarray] = [np.array([src], dtype=np.int64)]
+            frontier = levels[0]
+            d = 0
+            while len(frontier):
+                d += 1
+                starts, ends = fwd_ptr[frontier], fwd_ptr[frontier + 1]
+                reps = ends - starts
+                if not int(reps.sum()):
+                    break
+                srcs = np.repeat(frontier, reps)
+                dsts = np.concatenate(
+                    [fwd_nbr[a:b] for a, b in zip(starts, ends)]
+                )
+                newnodes = np.unique(dsts[dist[dsts] == -1])
+                dist[newnodes] = d
+                sel = dist[dsts] == d
+                np.add.at(sigma, dsts[sel], sigma[srcs[sel]])
+                frontier = newnodes
+                if len(newnodes):
+                    levels.append(newnodes)
+            # dependency accumulation over the shortest-path DAG edges
+            dag = dist[t_idx] == dist[s_idx] + 1
+            dag &= dist[s_idx] >= 0
+            ds_, dt_ = s_idx[dag], t_idx[dag]
+            delta = np.zeros(m, dtype=np.float64)
+            for lvl in reversed(levels[1:]):
+                lvl_d = dist[lvl[0]]
+                sel = dist[dt_] == lvl_d
+                np.add.at(
+                    delta,
+                    ds_[sel],
+                    (sigma[ds_[sel]] / sigma[dt_[sel]])
+                    * (1.0 + delta[dt_[sel]]),
+                )
+            delta[src] = 0.0
+            bc += delta
+        scale = m / len(piv) if len(piv) else 0.0
+        bc_micro = np.floor(bc * scale * 1_000_000).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "host": [host] * m,
+                "page": nodes.astype("int64"),
+                "bc_micro": bc_micro,
+            }
+        )
 
     def betweenness(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
         nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
         idx = {int(n): i for i, n in enumerate(nodes)}
         m = len(nodes)
-        A = np.zeros((m, m), dtype=bool)
         e = g[g["s"] >= 0]
+        if m > exact_node_limit:
+            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
+            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
+            return sampled(host, nodes, m, s_idx, t_idx)
+        A = np.zeros((m, m), dtype=bool)
         if len(e):
             A[
                 [idx[int(x)] for x in e["s"]],

@@ -61,3 +61,203 @@ class TestDbscanIvfCutover:
         # the sf0.1 bench corpus (2000 rows) must take the scale path
         n = 2000
         assert n * (n - 1) // 2 > DBSCAN_EXACT_PAIR_LIMIT
+
+
+def _page(host, j, targets):
+    return {
+        "doc_id": f"{host}//p{j}.html",
+        "host": host,
+        "is_html": True,
+        "spans": [
+            {"kind": "link", "text": "", "media_ref": f"p{t}.html", "offset": i}
+            for i, t in enumerate(targets)
+        ],
+    }
+
+
+def _skewed_host_rows(m: int, host: str = "big"):
+    """Deterministic dense-ish host: chain + hub fan-out + skip links.
+    Has cycles (back edges every 11) so SCC / bow-tie is non-trivial."""
+    targets = {j: [] for j in range(m)}
+    for j in range(m - 1):
+        targets[j].append(j + 1)
+    for j in range(0, m, 7):
+        targets[0].append(j) if j else None
+    for j in range(m - 3):
+        if j % 5 == 0:
+            targets[j].append(j + 3)
+    for j in range(11, m, 11):
+        targets[j].append(j - 11)  # back edges → cycles
+    return [_page(host, j, sorted(set(t for t in targets[j] if t != j)))
+            for j in range(m)]
+
+
+def _bowtie_rich_rows(host="bt"):
+    """All seven bow-tie classes: CORE 3-cycle {10,11,12}, IN 1,
+    OUT 20, TUBE 30, TENDRIL_IN 40, TENDRIL_OUT 50, DISC 60/61."""
+    edges = {
+        1: [10, 30, 40],
+        10: [11],
+        11: [12],
+        12: [10, 20],
+        30: [20],
+        50: [20],
+        60: [61],
+    }
+    nodes = {1, 10, 11, 12, 20, 30, 40, 50, 60, 61}
+    return [_page(host, j, edges.get(j, [])) for j in sorted(nodes)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHostKernelScaleRoutes:
+    """VERDICT r3 item 2: per-host O(m²)–O(m³) kernels route to
+    sparse/sampled variants above HOST_EXACT_NODE_LIMIT. Pins:
+    bow-tie sparse route is EXACT-equal; closeness/distance-stats/
+    betweenness sampled routes reduce to the exact answer when the
+    pivot set covers every node (betweenness within the documented
+    per-pair-floor bound); the MC simrank route respects structure;
+    and a skewed host completes via the scale route while small
+    hosts in the same dataset stay exact."""
+
+    def _docs(self, rows):
+        import ray.data as rd
+
+        return rd.from_items(rows).repartition(3)
+
+    def test_bowtie_sparse_route_exact_equal(self):
+        from suckit_ray.pipelines.graph import bowtie_from_docs
+
+        rows = _bowtie_rich_rows() + _skewed_host_rows(60, "big")
+        key = ["host", "cls"]
+        dense = (
+            bowtie_from_docs(self._docs(rows), exact_node_limit=10**9)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        sparse = (
+            bowtie_from_docs(self._docs(rows), exact_node_limit=1)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        assert set(dense[dense.host == "bt"]["cls"]) == {
+            "CORE", "IN", "OUT", "TUBE", "TENDRIL_IN", "TENDRIL_OUT", "DISC"
+        }
+        pd.testing.assert_frame_equal(dense, sparse)
+
+    def test_closeness_full_pivots_equals_exact(self):
+        from suckit_ray.pipelines.graph import closeness_from_docs
+
+        rows = _skewed_host_rows(60, "big") + [
+            _page("sm", 0, [1]), _page("sm", 1, []),
+        ]
+        key = ["host", "page"]
+        exact = (
+            closeness_from_docs(self._docs(rows), exact_node_limit=10**9)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        sampled = (
+            closeness_from_docs(
+                self._docs(rows), exact_node_limit=1, pivots=100
+            )
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(exact, sampled)
+
+    def test_distance_stats_full_pivots_equals_exact(self):
+        from suckit_ray.pipelines.graph import distance_stats_from_docs
+
+        rows = _skewed_host_rows(60, "big")
+        exact = (
+            distance_stats_from_docs(self._docs(rows), exact_node_limit=10**9)
+            .to_pandas().reset_index(drop=True)
+        )
+        sampled = (
+            distance_stats_from_docs(
+                self._docs(rows), exact_node_limit=1, pivots=100
+            )
+            .to_pandas().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(exact, sampled)
+
+    def test_betweenness_full_pivots_within_floor_bound(self):
+        from suckit_ray.pipelines.graph import betweenness_from_docs
+
+        rows = _skewed_host_rows(60, "big")
+        key = ["host", "page"]
+        exact = (
+            betweenness_from_docs(self._docs(rows), exact_node_limit=10**9)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        sampled = (
+            betweenness_from_docs(
+                self._docs(rows), exact_node_limit=1, pivots=100
+            )
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        m = 60
+        # full-pivot Brandes differs from the per-ordered-pair-floored
+        # exact kernel by < 1 micro per pair: |Δ| bounded by m²
+        diff = (exact["bc_micro"] - sampled["bc_micro"]).abs()
+        assert (diff <= m * m).all(), diff.max()
+        # and ranks agree at the top
+        assert (
+            exact.nlargest(5, "bc_micro")["page"].tolist()
+            == sampled.nlargest(5, "bc_micro")["page"].tolist()
+        )
+
+    def test_simrank_mc_route_structure(self):
+        from suckit_ray.pipelines.graph import simrank_from_docs
+
+        # 0 and 1 share the identical in-neighborhood {2,3}; 8/9 have
+        # no in-edges at all (never meet anything)
+        rows = [
+            _page("h", 2, [0, 1]),
+            _page("h", 3, [0, 1]),
+            _page("h", 0, []),
+            _page("h", 1, []),
+            _page("h", 8, []),
+            _page("h", 9, []),
+        ]
+        got = (
+            simrank_from_docs(self._docs(rows), exact_node_limit=1)
+            .to_pandas()
+        )
+        twin = got[(got.a == 0) & (got.b == 1)]
+        assert len(twin) == 1 and twin["sim_micro"].iloc[0] > 0
+        # sources with no in-edges can never meet: absent from output
+        assert not ((got.a.isin([8, 9])) | (got.b.isin([8, 9]))).any()
+        # exact kernel agrees 0–1 is the top non-diagonal pair
+        exact = (
+            simrank_from_docs(self._docs(rows), exact_node_limit=10**9)
+            .to_pandas()
+        )
+        top = exact.nlargest(1, "sim_micro")
+        assert (int(top["a"].iloc[0]), int(top["b"].iloc[0])) == (0, 1)
+
+    def test_skewed_host_completes_sampled_small_stays_exact(self):
+        from suckit_ray.pipelines.graph import (
+            betweenness_from_docs,
+            closeness_from_docs,
+        )
+
+        rows = _skewed_host_rows(300, "big") + [
+            _page("sm", 0, [1]),
+            _page("sm", 1, [2]),
+            _page("sm", 2, []),
+        ]
+        got = (
+            closeness_from_docs(
+                self._docs(rows), exact_node_limit=100, pivots=32
+            )
+            .to_pandas().set_index(["host", "page"]).sort_index()
+        )
+        assert len(got.loc["big"]) == 300
+        # the small host rode the EXACT kernel: hand values
+        assert tuple(got.loc[("sm", 0)]) == (2, 3, (4 * 10**6) // (3 * 2))
+        assert tuple(got.loc[("sm", 1)]) == (1, 1, (1 * 10**6) // (1 * 2))
+        bc = (
+            betweenness_from_docs(
+                self._docs(rows), exact_node_limit=100, pivots=32
+            )
+            .to_pandas().set_index(["host", "page"])["bc_micro"]
+        )
+        assert len(bc.loc["big"]) == 300
+        assert bc.loc[("sm", 1)] == 1_000_000  # exact path value
