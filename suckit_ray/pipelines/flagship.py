@@ -8,9 +8,10 @@ crawl_spans, crawl_pagerank, entry()) shares one crawl."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import ray.data as rd
+
+from suckit_ray.pipelines.formats import _scratch
 
 _CRAWL_OUT_CACHE: dict[str, str] = {}  # sf_dir → flagship output dir
 
@@ -42,7 +43,7 @@ def crawl_docs(sf_dir: str) -> rd.Dataset:
 
     if sf_dir not in _CRAWL_OUT_CACHE:
         corpus = corpus_for(sf_dir)
-        out = tempfile.mkdtemp(prefix="suckit_flagship_")
+        out = _scratch("suckit_flagship_")
         crawl(
             CrawlConfig(origin=corpus.page_url(0, 0)),
             SyntheticPageStore(corpus),
@@ -137,7 +138,7 @@ def crawl_docs_v2(sf_dir: str) -> rd.Dataset:
 
     if sf_dir not in _CRAWL_V2_CACHE:
         corpus = corpus_for_v2(sf_dir)
-        out = tempfile.mkdtemp(prefix="suckit_flagship_v2_")
+        out = _scratch("suckit_flagship_v2_")
         crawl(
             CrawlConfig(origin=corpus.page_url(0, 0)),
             SyntheticPageStore(corpus),
@@ -526,7 +527,7 @@ def crawl_docs_compacted(sf_dir: str) -> rd.Dataset:
         from suckit_ray.sinks import compact_parquet
 
         src = os.path.join(_CRAWL_OUT_CACHE[sf_dir], "docs")
-        out = os.path.join(tempfile.mkdtemp(prefix="suckit_compact_"), "docs")
+        out = os.path.join(_scratch("suckit_compact_"), "docs")
         compact_parquet(src, out, target_bytes=64 * 1024 * 1024)
         _CRAWL_OUT_CACHE[key] = out
     return rd.read_parquet(_CRAWL_OUT_CACHE[key])

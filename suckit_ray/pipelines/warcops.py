@@ -3,11 +3,12 @@ against the documents table (SQL-oracle-checkable)."""
 
 from __future__ import annotations
 
-import tempfile
 
 import pyarrow as pa
 
 import ray.data as rd
+
+from suckit_ray.pipelines.formats import _scratch
 from suckit_ray.sources import warc
 
 
@@ -24,14 +25,8 @@ def warc_roundtrip(sf_dir: str, output_dir: str | None = None) -> rd.Dataset:
     MUST be shared storage visible to every node AND the driver (NFS,
     object-store mount). Default: ``$GRAFT_SCRATCH_DIR`` if set, else a
     driver-local mkdtemp — correct only single-node (ADVICE r2)."""
-    import os
-
     if output_dir is None:
-        scratch = os.environ.get("GRAFT_SCRATCH_DIR")
-        if scratch:
-            output_dir = tempfile.mkdtemp(prefix="suckit_warc_rt_", dir=scratch)
-        else:
-            output_dir = tempfile.mkdtemp(prefix="suckit_warc_rt_")
+        output_dir = _scratch("suckit_warc_rt_")
     out = output_dir
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -74,13 +69,8 @@ def warc_cdx(sf_dir: str, output_dir: str | None = None) -> rd.Dataset:
     run); the random-access contract — every index row resolves via
     ``fetch_cdx_record`` to the exact archived body — is pinned in
     tests/test_warc_cdx.py."""
-    import os
-
     if output_dir is None:
-        scratch = os.environ.get("GRAFT_SCRATCH_DIR")
-        output_dir = tempfile.mkdtemp(
-            prefix="suckit_warc_cdx_", dir=scratch or None
-        )
+        output_dir = _scratch("suckit_warc_cdx_")
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_docs(t: pa.Table) -> pa.Table:

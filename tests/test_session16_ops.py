@@ -109,6 +109,31 @@ def _bowtie_rich_rows(host="bt"):
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestFlagshipScratchDir:
+    """VERDICT r3 item 3: the flagship crawl's streamed per-wave
+    parquet goes through the shared ``_scratch`` helper, so setting
+    GRAFT_SCRATCH_DIR (shared storage on a multi-node cluster) moves
+    the distributed writes off the driver-local tempdir."""
+
+    def test_flagship_output_lands_in_scratch_dir(self, tmp_path, monkeypatch):
+        import suckit_ray.pipelines.flagship as fl
+
+        monkeypatch.setenv("GRAFT_SCRATCH_DIR", str(tmp_path))
+        # force a fresh crawl for this sf_dir, restore the memo after
+        saved = dict(fl._CRAWL_OUT_CACHE)
+        fl._CRAWL_OUT_CACHE.clear()
+        try:
+            docs = fl.crawl_docs("/root/testdata/sf0.001")
+            n = docs.count()
+            out = fl._CRAWL_OUT_CACHE["/root/testdata/sf0.001"]
+            assert out.startswith(str(tmp_path)), out
+            assert n > 0
+        finally:
+            fl._CRAWL_OUT_CACHE.clear()
+            fl._CRAWL_OUT_CACHE.update(saved)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestHostKernelScaleRoutes:
     """VERDICT r3 item 2: per-host O(m²)–O(m³) kernels route to
     sparse/sampled variants above HOST_EXACT_NODE_LIMIT. Pins:
