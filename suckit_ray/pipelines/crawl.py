@@ -94,6 +94,7 @@ def crawl(
     resume: bool = False,
     collect: bool | None = None,
     max_waves: int | None = None,
+    max_wall_sec: float | None = None,
     max_wave_entries: int | None = None,
     spill_threshold: int = 2_000_000,
     pending_mem_limit: int = 500_000,
@@ -354,6 +355,11 @@ def crawl(
         if n_entries == 0:
             break
         if max_waves is not None and wave - start_wave >= max_waves:
+            break
+        # opt-in wall-clock budget (rebuild-only: the pages-in-T-seconds
+        # protocol of the reference's tests/benchmark.py). Checked at
+        # wave boundaries so every counted page is fully processed.
+        if max_wall_sec is not None and time.perf_counter() - t0 >= max_wall_sec:
             break
 
         # politeness floor between waves (budget-equivalence: with
