@@ -107,6 +107,30 @@ def write_lance(docs: pa.Table, output_dir: str, mode: str = "append"):
     return lance.write_dataset(docs, output_dir, mode=mode)
 
 
+def read_lance(path: str):
+    """Read a Lance table of interleaved documents back as a streaming
+    ``ray.data.Dataset`` — the read half of the BASELINE.json
+    input_hint. Prefers Ray Data's native ``read_lance`` (per-fragment
+    read tasks, streaming) when this Ray build ships it; otherwise
+    falls back to ``lance.dataset(...).to_table()`` via
+    ``from_arrow`` (bounded inputs only — the native reader is the
+    scale path). Same feature gate + documented parquet substitution
+    as ``write_lance``."""
+    try:
+        import lance
+    except ImportError as e:
+        raise NotImplementedError(
+            "the 'lance' package is not installed in this environment; "
+            "read the per-wave parquet partitions with "
+            "ray.data.read_parquet instead (identical schema)"
+        ) from e
+    import ray.data as rd
+
+    if hasattr(rd, "read_lance"):
+        return rd.read_lance(path)
+    return rd.from_arrow(lance.dataset(path).to_table())
+
+
 def compact_parquet(
     src_dir: str,
     out_dir: str,

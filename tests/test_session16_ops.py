@@ -108,6 +108,109 @@ def _bowtie_rich_rows(host="bt"):
     return [_page(host, j, edges.get(j, [])) for j in sorted(nodes)]
 
 
+def _lance_installed() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TestLanceReadiness:
+    """VERDICT r3 item 5: the Lance gate stays warm. The round-trip
+    test lights up the moment the package exists (the PIL pattern —
+    skipped in this sandbox); the mock test exercises the gate
+    plumbing (args, mode, read fallback) without the package."""
+
+    def _docs(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": ["site.test//a.html", "site.test//b.html"],
+                "spans": [
+                    [{"kind": "text", "text": "hi", "media_ref": "", "offset": 0}],
+                    [
+                        {"kind": "text", "text": "x", "media_ref": "", "offset": 0},
+                        {
+                            "kind": "media",
+                            "text": "",
+                            "media_ref": "img.png",
+                            "offset": 1,
+                        },
+                    ],
+                ],
+            }
+        )
+
+    @pytest.mark.skipif(
+        not _lance_installed(), reason="lance not installed in this sandbox"
+    )
+    @pytest.mark.usefixtures("ray_session")
+    def test_lance_roundtrip_when_importable(self, tmp_path):
+        from suckit_ray.sinks import read_lance, write_lance
+
+        docs = self._docs()
+        write_lance(docs, str(tmp_path / "tbl"), mode="overwrite")
+        back = read_lance(str(tmp_path / "tbl"))
+        got = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert [len(s) for s in got["spans"]] == [len(s) for s in want["spans"]]
+
+    def test_gate_plumbing_via_mock(self, monkeypatch, tmp_path):
+        import sys
+        import types
+
+        import pyarrow as pa
+
+        calls = {}
+        fake = types.ModuleType("lance")
+
+        def write_dataset(tbl, path, mode="append"):
+            calls["write"] = (tbl, path, mode)
+            return "ok"
+
+        class _FakeDs:
+            def __init__(self, tbl):
+                self._tbl = tbl
+
+            def to_table(self):
+                return self._tbl
+
+        def dataset(path):
+            calls["read"] = path
+            return _FakeDs(calls["write"][0])
+
+        fake.write_dataset = write_dataset
+        fake.dataset = dataset
+        monkeypatch.setitem(sys.modules, "lance", fake)
+
+        from suckit_ray.sinks import read_lance, write_lance
+
+        docs = self._docs()
+        assert write_lance(docs, str(tmp_path / "t"), mode="overwrite") == "ok"
+        assert calls["write"] == (docs, str(tmp_path / "t"), "overwrite")
+        # read path: force the non-native fallback so the mock serves
+        import ray.data as rd
+
+        monkeypatch.delattr(rd, "read_lance", raising=False)
+        back = read_lance(str(tmp_path / "t"))
+        assert calls["read"] == str(tmp_path / "t")
+        assert back.count() == 2
+
+    def test_gate_raises_cleanly_without_package(self, monkeypatch):
+        if _lance_installed():
+            pytest.skip("lance present: gate never fires")
+        import pyarrow as pa
+
+        from suckit_ray.sinks import read_lance
+
+        with pytest.raises(NotImplementedError):
+            read_lance("/tmp/nowhere")
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestFlagshipScratchDir:
     """VERDICT r3 item 3: the flagship crawl's streamed per-wave
