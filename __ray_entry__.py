@@ -6720,12 +6720,159 @@ def oracle_sql() -> dict[str, str]:
         "docs_webdataset_roundtrip": """
             SELECT doc_id, text, lang FROM documents
         """,
-        # no oracle (rows-only): crawl_revisit_plan (change rates
-        # derive from delta-recrawl fingerprint artifacts; pinned by
-        # the crawl_diff status cross-check in tests/test_revisit.py),
-        # crawl_text_extract (page text is not
-        # SQL-derivable; pinned by a spans-vs-body cross-representation
-        # equality test), embedding_dup_pairs_ivf, ann_ivf_topk,
+        # the EXTRACTED TRAINING TEXT of every crawled page: the
+        # synthetic renderer's visible text (title + 3 filler
+        # paragraphs + 4 anchor texts, tag-stripped,
+        # whitespace-collapsed) regenerated string-for-string from the
+        # reach closure — any splice/ordering/rewrite defect in the
+        # crawl OR the extractor breaks the hash (sixteenth session;
+        # the spans-vs-body cross-representation pin remains in tests)
+        "crawl_text_extract": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            t AS (
+              SELECT hn.hn || '//p' || r.j || '.html' AS doc_id,
+                     'h' || r.h || ' p' || r.j
+                     || ' host ' || r.h || ' doc ' || r.j
+                     || ' paragraph 0 — deterministic filler text '
+                     || ((r.j * 2654435761) % 100000)
+                     || ' host ' || r.h || ' doc ' || r.j
+                     || ' paragraph 1 — deterministic filler text '
+                     || ((r.j * 2654435761 + 1) % 100000)
+                     || ' host ' || r.h || ' doc ' || r.j
+                     || ' paragraph 2 — deterministic filler text '
+                     || ((r.j * 2654435761 + 2) % 100000)
+                     || ' link p' || ((2*r.j+1) % ho.m)
+                     || '.html link p' || ((2*r.j+2) % ho.m)
+                     || '.html link p' || ((5*r.j+3) % ho.m)
+                     || '.html link p' || ((5*r.j+10) % ho.m) || '.html'
+                       AS text
+              FROM reach r
+              JOIN hostname hn ON hn.h = r.h
+              JOIN hosts ho ON ho.h = r.h
+            )
+            SELECT doc_id, CAST(6 AS BIGINT) AS n_text_spans,
+                   CAST(length(text) AS BIGINT) AS n_chars, text
+            FROM t
+        """,
+        # adaptive-revisit change rates over the v1→v2 recrawl pair:
+        # the crawl_diff closures extended with the Laplace-smoothed
+        # rate arithmetic — a page's body changes iff its link-target
+        # sequence (the sig CTE) moves under the grown m; asset bodies
+        # are constant so assets never change; host-7 / new-page urls
+        # have no adjacent snapshot pair (sixteenth session)
+        "crawl_revisit_plan": rf"""
+            WITH RECURSIVE
+            {_reach_cte('_a', '(SELECT count(*) FROM documents)')},
+            {_reach_cte('_b', '(SELECT count(*) FROM documents) + (SELECT count(*) FROM documents) // 4', n_hosts=7)},
+            {_sig_cte('_a')},
+            {_sig_cte('_b')},
+            pages AS (
+              SELECT coalesce(a.url, b.url) AS url,
+                     CASE WHEN a.url IS NOT NULL AND b.url IS NOT NULL
+                          THEN 1 ELSE 0 END AS intervals,
+                     CASE WHEN a.url IS NOT NULL AND b.url IS NOT NULL
+                               AND a.sig <> b.sig
+                          THEN 1 ELSE 0 END AS changes
+              FROM (SELECT 'http://' || replace(doc_id, '//', '/') AS url,
+                           sig FROM sig_a) a
+              FULL OUTER JOIN
+                   (SELECT 'http://' || replace(doc_id, '//', '/') AS url,
+                           sig FROM sig_b) b
+              ON a.url = b.url
+            ),
+            assets_a AS (
+              SELECT DISTINCT 'http://' || hn.hn || '/img'
+                       || ((13*r.j+7) % ho.n_assets) || '.jpg' AS url
+              FROM reach_a r
+              JOIN hostname_a hn ON hn.h = r.h
+              JOIN hosts_a ho ON ho.h = r.h
+            ),
+            assets_b AS (
+              SELECT DISTINCT 'http://' || hn.hn || '/img'
+                       || ((13*r.j+7) % ho.n_assets) || '.jpg' AS url
+              FROM reach_b r
+              JOIN hostname_b hn ON hn.h = r.h
+              JOIN hosts_b ho ON ho.h = r.h
+            ),
+            assets AS (
+              SELECT coalesce(a.url, b.url) AS url,
+                     CASE WHEN a.url IS NOT NULL AND b.url IS NOT NULL
+                          THEN 1 ELSE 0 END AS intervals,
+                     0 AS changes
+              FROM assets_a a FULL OUTER JOIN assets_b b ON a.url = b.url
+            ),
+            everything AS (
+              SELECT * FROM pages UNION ALL SELECT * FROM assets
+            )
+            SELECT url, CAST(changes AS BIGINT) AS changes,
+                   CAST(intervals AS BIGINT) AS intervals,
+                   CAST((changes + 1) * 1000000 // (intervals + 2)
+                        AS BIGINT) AS rate_micro
+            FROM everything
+        """,
+        # per-asset media features: every downloaded asset shares the
+        # ONE synthetic body, so the feature row is a closed-form
+        # constant per doc_id — the 90-byte pseudo-JPEG's deterministic
+        # fake-decode raster (88×95×3) and its feature fingerprint.
+        # Pins that the actor-pool decode stage is byte-deterministic
+        # and covers exactly the downloaded-asset set
+        "crawl_media_features": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE}
+            SELECT DISTINCT hn.hn || '//img' || ((13*r.j+7) % ho.n_assets)
+                     || '.jpg' AS doc_id,
+                   CAST(88 AS BIGINT) AS width,
+                   CAST(95 AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   'jpeg' AS format,
+                   CAST(90 AS BIGINT) AS n_bytes,
+                   CAST(854535263615573671 AS BIGINT) AS feat_fp
+            FROM reach r
+            JOIN hostname hn ON hn.h = r.h
+            JOIN hosts ho ON ho.h = r.h
+        """,
+        # multimodal sequence packing: the md5('pack:'+doc_id) epoch
+        # order and the per-modality token pricing are both
+        # SQL-replayable — page cost is the CONSTANT 63 (43 visible
+        # words + 16 media + 4 anchor tokens: the synthetic text's
+        # word count is j-invariant) and asset cost 16, so the whole
+        # distributed bucket-prefix scan reduces to one window
+        # cumulative sum (sixteenth session)
+        "crawl_pack_multimodal": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            docs AS (
+              SELECT hn.hn || '//p' || r.j || '.html' AS doc_id, 63 AS n
+              FROM reach r JOIN hostname hn ON hn.h = r.h
+              UNION ALL
+              SELECT DISTINCT hn.hn || '//img'
+                       || ((13*r.j+7) % ho.n_assets) || '.jpg', 16
+              FROM reach r
+              JOIN hostname hn ON hn.h = r.h
+              JOIN hosts ho ON ho.h = r.h
+            ),
+            keyed AS (
+              SELECT doc_id, n,
+                     ('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT
+                       AS hkey
+              FROM docs
+            ),
+            packed AS (
+              SELECT doc_id, n,
+                     COALESCE(SUM(n) OVER (
+                       ORDER BY hkey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS off
+              FROM keyed
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(off AS BIGINT) AS start_off,
+                   CAST(off // 64 AS BIGINT) AS first_seq,
+                   CAST((off + n - 1) // 64 AS BIGINT) AS last_seq
+            FROM packed
+        """,
+        # no oracle (rows-only): embedding_dup_pairs_ivf, ann_ivf_topk,
         # ann_lsh_topk, ann_pq_topk (product-quantization ADC scan with
         # exact re-rank; recall-vs-brute + determinism pins),
         # events_distinct_users_hll, events_top_users_cms,

@@ -300,8 +300,12 @@ def crawl_media_features(sf_dir: str) -> rd.Dataset:
     ``media_pipeline(docs, fake=False)`` (tests/test_media.py covers
     that path, skipping unless the codec imports).
 
-    Rows-only correctness (media decode is not SQL-expressible); the
-    determinism and row-count invariants are pinned in tests."""
+    Full SQL oracle (sixteenth session): the synthetic corpus serves
+    ONE shared asset body, so the oracle emits the closed-form
+    constant feature row (88×95×3 fake-decode raster, 90 bytes,
+    fixed feat_fp) for exactly the downloaded-asset set — pinning
+    byte-determinism of the actor-pool decode stage. The engineered
+    multi-body determinism invariants remain pinned in tests."""
     import hashlib
 
     import pyarrow as pa
@@ -345,11 +349,12 @@ def crawl_text_extract(sf_dir: str) -> rd.Dataset:
     documents-table operator (dedup / quality / LM scoring run
     downstream of exactly this output at corpus scale).
 
-    Rows-only correctness (page text is not SQL-derivable), pinned by
-    a cross-representation test: the visible text reassembled from the
-    SPANS must equal the visible text of the independently stored
-    original BODY bytes — links were rewritten in the spans but tags
-    are stripped, so any splice/ordering defect breaks the equality.
+    Full SQL oracle (sixteenth session): the synthetic renderer's
+    visible text is regenerated string-for-string from the reach
+    closure, so any splice/ordering/rewrite defect breaks the hash.
+    The spans-vs-body cross-representation pin remains in tests: the
+    visible text reassembled from the SPANS must equal the visible
+    text of the independently stored original BODY bytes.
     One map_batches over the streamed mirror; no shuffle."""
     import re
 
@@ -405,9 +410,10 @@ def crawl_pack_multimodal(sf_dir: str, seq_len: int = PACK_MM_SEQ_LEN) -> rd.Dat
     balanced by construction (no sampling pass); per-bucket token
     totals → one O(buckets) driver prefix → one range-bucketed
     co-group assigns offsets. Span text never shuffles — the exchange
-    carries (doc_id, n_tokens, hkey, kb). Rows-only correctness (page
-    text is not SQL-derivable); pinned by a pandas reference scan and
-    abutting-offset invariants in tests/test_round3b_ops.py."""
+    carries (doc_id, n_tokens, hkey, kb). Full SQL oracle (sixteenth
+    session): the md5 epoch order and constant per-modality pricing
+    replay as one window cumulative sum; the pandas reference scan and
+    abutting-offset invariants remain in tests/test_round3b_ops.py."""
     import hashlib
     import re
 
@@ -538,8 +544,10 @@ def crawl_revisit_plan(sf_dir: str) -> rd.Dataset:
     change-rate table over the flagship mirror and its v2 recrawl —
     ``pipelines.revisit.revisit_stats`` fed by the two runs' delta
     fingerprints (both flagship crawls record ``hashes_parts``).
-    Rows-only (change rates derive from crawl artifacts, not the
-    parquet tables); pinned in tests/test_revisit.py by cross-checking
+    Full SQL oracle (sixteenth session): the crawl_diff closures
+    extended with the Laplace rate arithmetic — a page's body moves
+    iff its link-target sequence moves under the grown m. Also pinned
+    in tests/test_revisit.py by cross-checking
     against ``crawl_diff`` statuses — a 'same' page must show 0
     changes, a 'changed' page exactly 1, and single-snapshot pages
     (added/removed) 0 intervals."""
