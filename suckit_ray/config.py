@@ -129,7 +129,11 @@ class CrawlConfig:
     # rebuild-only (north_rule "bloom/cuckoo URL-seen"): frozen-tier
     # pre-screen of the seen set. "bloom" (default, vectorized
     # append-only build) or "cuckoo" (delete-capable: incremental
-    # recrawls can retire dead URLs via FrontierShard.retire_seen)
+    # recrawls can retire dead URLs via FrontierShard.retire_seen).
+    # Delta recrawls (crawl(recrawl_from=...)) auto-upgrade the bloom
+    # default to cuckoo so removed-then-restored pages are refetched
+    # on rediscovery without a flag (r3 verdict item 7); fresh crawls
+    # keep bloom (reference parity: dead urls stay seen).
     seen_filter: str = "bloom"
 
     def resolved(self) -> "CrawlConfig":

@@ -498,6 +498,36 @@ class FlakyPageStore:
 
 
 @dataclass
+class RestorablePageStore:
+    """Chaos wrapper for the retire-and-rediscover path: urls in
+    ``dead_until_flag`` answer 404 until ``flag_path`` exists on the
+    (shared) filesystem; serving ``touch_flag_on`` creates that flag.
+    Wave ordering makes the restoration deterministic without shared
+    in-process state: put the flag-toucher deeper in the link chain
+    than the dead url's first fetch, and re-link the dead url deeper
+    still — the 404, the restoration, and the refetch then land in
+    strictly increasing waves. Library-defined so Ray workers can
+    deserialize it (see FlakyPageStore note)."""
+
+    inner: TablePageStore
+    dead_until_flag: tuple[str, ...] = ()
+    touch_flag_on: str = ""
+    flag_path: str = ""
+    supports_conditional: bool = True
+
+    def fetch(self, url: str, auth, if_digest: int | None = None) -> PageResponse:
+        import os
+
+        if url in self.dead_until_flag and not os.path.exists(self.flag_path):
+            return PageResponse(404, None, None, b"")
+        resp = self.inner.fetch(url, auth, if_digest=if_digest)
+        if url == self.touch_flag_on and self.flag_path:
+            with open(self.flag_path, "w") as f:
+                f.write("restored")
+        return resp
+
+
+@dataclass
 class DeadHostPageStore:
     """Chaos wrapper: every fetch to ``dead_hosts`` raises a transport
     error (exercises the per-host circuit breaker). Library-defined so

@@ -126,6 +126,12 @@ def make_process_fn(
     num_shards = len(shard_handles)
     route_by_host = cfg.politeness_on  # politeness requires host co-location
     canonicalize = cfg.canonicalize_urls
+    # delta recrawls on the delete-capable cuckoo seen set retire
+    # previously-alive urls that error this run (the crawl_diff
+    # status='removed' set): the shard unlearns them, so a later
+    # rediscovery refetches instead of being first-wins blocked.
+    # Bloom runs never retire (append-only; reference parity).
+    retire_removed = delta_hashes and cfg.seen_filter == "cuckoo"
     honor_nofollow = cfg.honor_nofollow
     follow_meta_refresh = cfg.follow_meta_refresh
     if canonicalize:
@@ -147,6 +153,7 @@ def make_process_fn(
         cand_by_shard: dict[int, list[tuple]] = defaultdict(list)
         ledger_by_shard: dict[int, list[tuple]] = defaultdict(list)
         hash_by_shard: dict[int, list[tuple]] = defaultdict(list)
+        retire_by_shard: dict[int, list[str]] = defaultdict(list)
         host_delays: dict[str, int] = {}  # robots Crawl-delay, ms
         prev_hashes = cols.get("prev_hash")  # wave column (delta recrawl)
         cashes = cols.get("cash")  # wave column (OPIC; all-0.0 when off)
@@ -187,6 +194,17 @@ def make_process_fn(
                 hash_by_shard[
                     shard_of_url(url, host, num_shards, route_by_host)
                 ].append((url, bh, cols["depth"][i], cols["ext_depth"][i]))
+                if (
+                    retire_removed
+                    and prev_hashes is not None
+                    and prev_hashes[i]
+                    and (err is not None or status == 0 or status >= 400)
+                ):
+                    # previously alive, dead this run (transport error
+                    # or HTTP 4xx/5xx): unlearn
+                    retire_by_shard[
+                        shard_of_url(url, host, num_shards, route_by_host)
+                    ].append(url)
                 if err is None and prev_hashes is not None and prev_hashes[i] == bh:
                     # unchanged since the prior run: ledger only — no
                     # parse, no doc row, no candidates (the recrawl's
@@ -314,6 +332,8 @@ def make_process_fn(
                     rows_to_table(hrows, HASH_SCHEMA)
                 )
             )
+        for sid, rurls in retire_by_shard.items():
+            acks.append(shard_handles[sid].retire_seen.remote(rurls))
         if host_delays:
             # Crawl-delay directives go to EVERY shard (max-merged,
             # idempotent): without politeness host-routing a host's

@@ -1018,8 +1018,13 @@ class FrontierShard:
         retirement of crawl_diff status='removed' pages). Needs
         ``seen_filter='cuckoo'`` once the set has frozen runs — the
         default bloom pre-screen cannot delete. Caller routes each URL
-        to its owner shard (same shard key as candidates)."""
-        return self.seen.retire_batch(urls)
+        to its owner shard (same shard key as candidates); the
+        canonical-key mapping the insert used is applied here, so
+        callers pass raw urls."""
+        keys = [
+            canonical_url(u) if self.canonicalize else u for u in urls
+        ]
+        return self.seen.retire_batch(keys)
 
     def get_counters(self) -> dict:
         return dict(self.counters)

@@ -108,6 +108,111 @@ def _bowtie_rich_rows(host="bt"):
     return [_page(host, j, edges.get(j, [])) for j in sorted(nodes)]
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestRetireRemovedRecrawl:
+    """VERDICT r3 item 7: delta recrawls default to the delete-capable
+    cuckoo seen set and RETIRE previously-alive urls that die this run
+    (crawl_diff status='removed'), so a removed-then-restored page is
+    refetched when rediscovered — e2e over a restorable store whose
+    wave ordering makes the 404, the restoration, and the refetch land
+    in strictly increasing waves."""
+
+    def _page(self, url, body, links=()):
+        from suckit_ray.sources.pagestore import PageRecord
+
+        html = "".join(f'<a href="{l}">l</a>' for l in links)
+        return PageRecord(
+            url=url,
+            body=(f"<html><body>{body}{html}</body></html>").encode(),
+            content_type="text/html; charset=utf-8",
+        )
+
+    def test_removed_then_restored_page_refetched(self, tmp_path):
+        from suckit_ray.config import CrawlConfig
+        from suckit_ray.pipelines.crawl import crawl
+        from suckit_ray.sources.pagestore import (
+            RestorablePageStore,
+            TablePageStore,
+        )
+
+        H = "http://site.test"
+        v1 = TablePageStore.from_records(
+            [
+                self._page(f"{H}/index.html", "v1 index", ["a.html", "x.html"]),
+                self._page(f"{H}/a.html", "steady"),
+                self._page(f"{H}/x.html", "x version 1"),
+            ]
+        )
+        out1 = str(tmp_path / "out1")
+        crawl(
+            CrawlConfig(origin=f"{H}/index.html"),
+            v1,
+            num_shards=2,
+            output_dir=out1,
+            delta_hashes=True,
+            collect=False,
+        )
+
+        # v2 web: index changed (re-parses), x dead until z2 is served,
+        # then restored WITH NEW CONTENT; z3 re-links x two waves after
+        # x's 404
+        v2_inner = TablePageStore.from_records(
+            [
+                self._page(
+                    f"{H}/index.html", "v2 index",
+                    ["a.html", "x.html", "z1.html"],
+                ),
+                self._page(f"{H}/a.html", "steady"),
+                self._page(f"{H}/x.html", "x RESTORED v2"),
+                self._page(f"{H}/z1.html", "new", ["z2.html"]),
+                self._page(f"{H}/z2.html", "new", ["z3.html"]),
+                self._page(f"{H}/z3.html", "new", ["x.html"]),
+            ]
+        )
+        flag = str(tmp_path / "restored.flag")
+        v2 = RestorablePageStore(
+            inner=v2_inner,
+            dead_until_flag=(f"{H}/x.html",),
+            touch_flag_on=f"{H}/z2.html",
+            flag_path=flag,
+        )
+        out2 = str(tmp_path / "out2")
+        res = crawl(
+            CrawlConfig(origin=f"{H}/index.html"),
+            v2,
+            num_shards=2,
+            output_dir=out2,
+            recrawl_from=out1,
+            delta_hashes=True,
+            collect=False,
+        )
+        assert res.metrics["pages"] > 0
+
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        docs = pd.concat(
+            [
+                pq.read_table(p).to_pandas()
+                for p in sorted(_glob.glob(f"{out2}/docs/*/*.parquet"))
+            ],
+            ignore_index=True,
+        )
+        x = docs[docs["doc_id"] == "site.test//x.html"]
+        # the dead fetch AND the post-restoration refetch both landed
+        statuses = sorted(x["status"].tolist())
+        assert 200 in statuses, statuses
+        assert 404 in statuses, statuses
+        ok = x[x["status"] == 200]
+        assert len(ok) == 1
+        assert b"x RESTORED v2" in ok["body"].iloc[0]
+        # the refetch happened strictly after the 404 (later wave)
+        assert int(ok["wave"].iloc[0]) > int(
+            x[x["status"] == 404]["wave"].iloc[0]
+        )
+
+
 def _lance_installed() -> bool:
     try:
         import lance  # noqa: F401
