@@ -882,6 +882,326 @@ def _encode_png(arr: "np.ndarray") -> bytes:
     )
 
 
+# ----- native baseline JPEG (SOF0 sequential DCT, Huffman) -----
+# ITU-T T.81 / ISO 10918-1 (public spec). Scope: 8-bit baseline
+# sequential Huffman, 1 (grayscale) or 3 (YCbCr) components, any
+# sampling factors ≤ 2, restart markers. Progressive (SOF2),
+# arithmetic coding, 12-bit, CMYK raise NotImplementedError so the
+# PIL fallback stays reachable. Per-symbol Huffman decoding is an
+# inherently sequential bit stream — the python loop here is the
+# honest cost (bounded per image; the stage parallelism is across
+# images in the actor pool, not within one).
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    # orthonormal 8-point DCT-II basis: row k of C is the k-th basis
+    # vector; spatial block = C.T @ F @ C
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    C[0, :] *= 1 / np.sqrt(2)
+    return C
+
+
+def _is_jpeg(data: bytes) -> bool:
+    return data[:2] == b"\xff\xd8"
+
+
+def _jpeg_segments(data: bytes):
+    """Yield (marker, payload, next_pos) for the header segments up to
+    and including SOS (whose next_pos points at the entropy data)."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: bare
+            pos += 2
+            continue
+        length = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        payload = data[pos + 4 : pos + 2 + length]
+        pos = pos + 2 + length
+        yield marker, payload, pos
+        if marker == 0xDA:  # SOS: entropy data follows
+            return
+
+
+class _JpegHuff:
+    """Canonical Huffman table in the spec's DECODE form (F.2.2.3)."""
+
+    def __init__(self, counts: bytes, values: bytes):
+        self.mincode = np.zeros(17, dtype=np.int64)
+        self.maxcode = np.full(17, -1, dtype=np.int64)
+        self.valptr = np.zeros(17, dtype=np.int64)
+        self.values = np.frombuffer(values, np.uint8)
+        code, k = 0, 0
+        for ln in range(1, 17):
+            cnt = counts[ln - 1]
+            if cnt:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += cnt
+                k += cnt
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+def _jpeg_entropy_bits(data: bytes, start: int) -> "tuple[np.ndarray, np.ndarray]":
+    """(bits, restart_starts): the de-stuffed entropy-coded bytes of
+    the single scan as an unpacked bit array, plus the bit offsets at
+    which restart intervals begin (offset 0 included)."""
+    out = bytearray()
+    starts = [0]
+    pos, n = start, len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            out.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:  # byte stuffing
+            out.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: byte-aligned interval break
+            starts.append(len(out) * 8)
+            pos += 2
+        else:  # EOI or next marker: scan over
+            break
+    bits = np.unpackbits(np.frombuffer(bytes(out), np.uint8))
+    return bits, np.array(starts, dtype=np.int64)
+
+
+_JPEG_SOF_MARKERS = (
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+    0xCD, 0xCE, 0xCF,
+)
+
+
+def _jpeg_meta(data: bytes) -> "dict | None":
+    """Header-only (width, height, channels) from any SOFn segment —
+    including variants the native DECODER declines (progressive,
+    arithmetic): dimensions are frame-header facts, not entropy."""
+    try:
+        for marker, payload, _ in _jpeg_segments(data):
+            if marker in _JPEG_SOF_MARKERS and len(payload) >= 6:
+                h = int.from_bytes(payload[1:3], "big")
+                w = int.from_bytes(payload[3:5], "big")
+                return {
+                    "width": w,
+                    "height": h,
+                    "channels": payload[5],
+                    "format": "jpeg",
+                    "n_bytes": len(data),
+                }
+    except NotImplementedError:
+        return None
+    return None
+
+
+def _parse_jpeg(data: bytes) -> "tuple[dict, np.ndarray]":
+    if not _is_jpeg(data):
+        raise NotImplementedError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _JpegHuff] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    entropy_at = None
+    for marker, payload, nxt in _jpeg_segments(data):
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                prec, tid = payload[p] >> 4, payload[p] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                qt[tid] = np.frombuffer(
+                    payload[p + 1 : p + 65], np.uint8
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+            prec = payload[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            ncomp = payload[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"JPEG {ncomp}-component")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/arith)")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                counts = payload[p + 1 : p + 17]
+                nvals = sum(counts)
+                huff[(tc, th)] = _JpegHuff(
+                    counts, payload[p + 17 : p + 17 + nvals]
+                )
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
+                sel[cid] = (tabs >> 4, tabs & 0xF)
+            scan = sel
+            entropy_at = nxt
+    if sof is None or scan is None or entropy_at is None:
+        raise NotImplementedError("JPEG missing SOF0/SOS")
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise NotImplementedError("JPEG DNL (deferred height) unsupported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    bits, starts = _jpeg_entropy_bits(data, entropy_at)
+    nbits = len(bits)
+
+    # decode: sequential Huffman over the bit array. State: position.
+    pos = 0
+
+    def read_bit() -> int:
+        nonlocal pos
+        if pos >= nbits:
+            raise NotImplementedError("JPEG entropy data truncated")
+        b = int(bits[pos])
+        pos += 1
+        return b
+
+    def receive(n: int) -> int:
+        nonlocal pos
+        if n == 0:
+            return 0
+        if pos + n > nbits:
+            raise NotImplementedError("JPEG entropy data truncated")
+        v = 0
+        for b in bits[pos : pos + n]:
+            v = (v << 1) | int(b)
+        pos += n
+        return v
+
+    def decode_sym(tbl: _JpegHuff) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | read_bit()
+            if code <= tbl.maxcode[ln]:
+                return int(
+                    tbl.values[tbl.valptr[ln] + code - tbl.mincode[ln]]
+                )
+        raise NotImplementedError("invalid JPEG Huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    # coefficient blocks per component, in MCU raster order
+    blocks: list[list[np.ndarray]] = [[] for _ in comps]
+    pred = [0] * len(comps)
+    interval_mcus = restart_interval or (mcux * mcuy)
+    seg = 0
+    for mcu in range(mcux * mcuy):
+        if mcu % interval_mcus == 0 and mcu:
+            seg += 1
+            if seg >= len(starts):
+                raise NotImplementedError("JPEG missing restart marker")
+            pos = int(starts[seg])
+            pred = [0] * len(comps)
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            dc_t, ac_t = scan[cid]
+            dct = huff.get((0, dc_t))
+            act = huff.get((1, ac_t))
+            q = qt.get(tq)
+            if dct is None or act is None or q is None:
+                raise NotImplementedError("JPEG table reference missing")
+            for _ in range(hs * vs):
+                coef = np.zeros(64, dtype=np.int64)
+                t = decode_sym(dct)
+                pred[ci] += extend(receive(t), t)
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = decode_sym(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise NotImplementedError("JPEG AC index overflow")
+                    coef[k] = extend(receive(s), s)
+                    k += 1
+                deq = np.zeros(64, dtype=np.int64)
+                deq[_JPEG_ZIGZAG] = coef * q[np.arange(64)]
+                blocks[ci].append(deq.reshape(8, 8))
+
+    # batch IDCT per component, assemble plane, upsample, stack
+    C = _jpeg_idct_matrix()
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        F = np.stack(blocks[ci]).astype(np.float64)
+        spatial = np.einsum("ij,njk,kl->nil", C.T, F, C) + 128.0
+        bw, bh = mcux * hs, mcuy * vs  # blocks across / down
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(vs):
+                    for bx in range(hs):
+                        plane[
+                            (my * vs + by) * 8 : (my * vs + by) * 8 + 8,
+                            (mx * hs + bx) * 8 : (mx * hs + bx) * 8 + 8,
+                        ] = spatial[i]
+                        i += 1
+        # upsample to full resolution by replication, crop
+        plane = np.repeat(
+            np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+        )[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        raster = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[
+            :, :, None
+        ]
+        meta = {
+            "width": w, "height": h, "channels": 1,
+            "format": "jpeg", "n_bytes": len(data),
+        }
+        return meta, raster
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    raster = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+    meta = {
+        "width": w, "height": h, "channels": 3,
+        "format": "jpeg", "n_bytes": len(data),
+    }
+    return meta, raster
+
+
 def _parse_image_native(data: bytes) -> "tuple[dict, np.ndarray] | None":
     """(meta, uint8 raster) for formats this container decodes with
     NO codec libraries — netpbm, uncompressed BMP, 8-bit PNG — else
@@ -897,6 +1217,8 @@ def _parse_image_native(data: bytes) -> "tuple[dict, np.ndarray] | None":
             return _parse_bmp(data)
         if _is_png(data):
             return _parse_png(data)
+        if _is_jpeg(data):
+            return _parse_jpeg(data)
     except NotImplementedError:
         return None
     return None
@@ -947,4 +1269,6 @@ def _image_meta_native(data: bytes) -> "dict | None":
                     }
             break
         return None
+    if _is_jpeg(data):
+        return _jpeg_meta(data)
     return None
