@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scc": graph.crawl_scc,
         "crawl_bowtie": graph.crawl_bowtie,
         "crawl_closeness": graph.crawl_closeness,
+        "crawl_harmonic": graph.crawl_harmonic,
         "crawl_distance_stats": graph.crawl_distance_stats,
         "crawl_betweenness": graph.crawl_betweenness,
         "crawl_neighborhood_est": graph.crawl_neighborhood_est,
@@ -287,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": lambda sf: dedup.semantic_dedup(sf, eps=0.40),
         # similarity search
         "ann_topk": ann.brute_force_topk,
+        "ann_range_search": ann.range_search,
         "ann_ivf_topk": ann.ivf_topk,
         "ann_lsh_topk": ann.lsh_topk,
         "ann_pq_topk": ann.pq_topk,
@@ -436,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_pivot": relops.orders_priority_pivot,
         "orders_priority_unpivot": relops.orders_priority_unpivot,
         "docs_train_test_split": textops.docs_train_test_split,
+        "docs_curriculum_order": textops.docs_curriculum_order,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
@@ -1611,6 +1614,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings v
             LEFT JOIN comp ON comp.id = v.vec_id
             LEFT JOIN border ON border.id = v.vec_id
+        """,
+        "ann_range_search": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
+            SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+                   CAST(c.vec_id AS BIGINT) AS neighbor_id,
+                   CAST(floor(list_cosine_similarity(q.e, c.e) * 10000) AS BIGINT) AS cos_pct
+            FROM q JOIN c ON c.vec_id <> q.vec_id
+            WHERE floor(list_cosine_similarity(q.e, c.e) * 10000) >= 3000
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id < 10),
@@ -4952,6 +4964,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tfidf_micro AS BIGINT) AS tfidf_micro
             FROM ranked WHERE rank <= 3
         """,
+        "docs_curriculum_order": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS stage,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS position
+            FROM documents
+        """,
         "docs_by_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -6341,6 +6361,43 @@ def oracle_sql() -> dict[str, str]:
         # directed closeness centrality: bounded-depth recursive BFS
         # (UNION dedups (h,s,n,d) rows; d < host size caps cycles),
         # min distance per (host, src, node), Wasserman-Faust ppm
+        "crawl_harmonic": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e AS (
+              SELECT DISTINCT r.h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL (VALUES
+                ((2*r.j+1) % ho.m), ((2*r.j+2) % ho.m),
+                ((5*r.j+3) % ho.m), ((5*r.j+10) % ho.m)) AS x(t)
+              WHERE r.j <> x.t
+            ),
+            bfs(h, s, n, d) AS (
+              SELECT h, a, b, 1 FROM e
+              UNION
+              SELECT b2.h, b2.s, e2.b, b2.d + 1
+              FROM bfs b2
+              JOIN hosts ho ON ho.h = b2.h
+              JOIN e e2 ON e2.h = b2.h AND e2.a = b2.n
+              WHERE b2.d < ho.m
+            ),
+            mind AS (
+              SELECT h, s, n, MIN(d) AS d FROM bfs
+              WHERE s <> n GROUP BY 1, 2, 3
+            ),
+            agg AS (
+              SELECT h, s, CAST(count(*) AS BIGINT) AS n_reach,
+                     CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micro
+              FROM mind GROUP BY 1, 2
+            )
+            SELECT hn.hn AS host, CAST(r.j AS BIGINT) AS page,
+                   CAST(COALESCE(a.n_reach, 0) AS BIGINT) AS n_reach,
+                   CAST(COALESCE(a.harmonic_micro, 0) AS BIGINT)
+                     AS harmonic_micro
+            FROM reach r
+            JOIN hostname hn ON hn.h = r.h
+            LEFT JOIN agg a ON a.h = r.h AND a.s = r.j
+        """,
         "crawl_closeness": rf"""
             WITH RECURSIVE
             {_CRAWL_REACH_CTE},

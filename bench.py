@@ -369,6 +369,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_distance_stats",
         "crawl_betweenness",
         "crawl_simrank",
+        "crawl_harmonic",
+        "ann_range_search",
+        "docs_curriculum_order",
     ]
     qs = E.queries()
     out = {}

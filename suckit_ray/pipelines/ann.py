@@ -103,6 +103,58 @@ def brute_force_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
     )
 
 
+def range_search(sf_dir: str, radius_pct: int = 3000) -> pa.Table:
+    """(query_id, neighbor_id, cos_pct): ALL neighbors with
+    ``floor(cos·10⁴) ≥ radius_pct`` per query vector (self excluded) —
+    the ε-RANGE sibling of ``brute_force_topk``, the primitive behind
+    radius-bounded dedup candidate generation and recall evaluation
+    (where top-k truncates, range search answers "everything this
+    close").
+
+    Scale shape: identical to the brute top-k pass — queries broadcast
+    once (``ray.put``), one matmul per batch, and ONLY rows inside the
+    radius leave the task, so the driver collect is bounded by the
+    radius (pick radius so the result is O(queries·expected
+    neighbors); at 100 TB route through the IVF cells like
+    ``embedding_dup_pairs_ivf`` instead of a full scan). Full SQL
+    oracle: the same scored cross join with a WHERE."""
+    qids, qm = _load_queries(sf_dir)
+    q_ref = ray.put((qids, qm))
+
+    def in_radius(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_ = ray.get(q_ref)
+        ids = df["vec_id"].to_numpy()
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        pct = np.floor((qm_ @ m.T) * 10000).astype(np.int64)
+        qi, ci = np.nonzero(pct >= radius_pct)
+        keep = ids[ci] != qids_[qi]  # self excluded
+        return pd.DataFrame(
+            {
+                "query_id": qids_[qi[keep]].astype(np.int64),
+                "neighbor_id": ids[ci[keep]].astype(np.int64),
+                "cos_pct": pct[qi[keep], ci[keep]],
+            }
+        )
+
+    parts = (
+        _read_embeddings(sf_dir)
+        .map_batches(in_radius, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    rows = (
+        sorted(zip(parts["query_id"], parts["neighbor_id"], parts["cos_pct"]))
+        if len(parts)
+        else []  # all-empty pandas blocks can lose their columns
+    )
+    return pa.table(
+        {
+            "query_id": pa.array([int(r[0]) for r in rows], pa.int64()),
+            "neighbor_id": pa.array([int(r[1]) for r in rows], pa.int64()),
+            "cos_pct": pa.array([int(r[2]) for r in rows], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (coarse-quantized) variant — the 100 TB shape
 # ---------------------------------------------------------------------------

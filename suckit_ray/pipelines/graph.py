@@ -3602,6 +3602,111 @@ def closeness_from_docs(
     )
 
 
+def harmonic_from_docs(
+    docs: rd.Dataset,
+    exact_node_limit: int = HOST_EXACT_NODE_LIMIT,
+    pivots: int = GRAPH_PIVOTS,
+) -> rd.Dataset:
+    """(host, page, n_reach, harmonic_micro): DIRECTED harmonic
+    centrality of every crawled page within its host's link graph —
+
+        harmonic_micro(v) = Σ_{t reachable, t≠v} 10⁶ // d(v,t)
+
+    (per-term integer floor, so the bounded-BFS SQL oracle matches bit
+    for bit). Harmonic centrality is the disconnected-graph-robust
+    closeness variant (Boldi & Vigna, "Axioms for centrality", 2014 —
+    public): unreachable pairs contribute 0 instead of poisoning a
+    reciprocal-of-sum, so no Wasserman–Faust correction is needed.
+
+    Plan: the closeness kernel's host co-group and level-synchronous
+    matrix BFS, with the reduction swapped. Above ``exact_node_limit``
+    nodes: the same pivot-sampled route (Eppstein–Wang over reverse
+    BFS targets), sums scaled by (m−1)/|pivots∖{v}| then floored —
+    EXACT when K ≥ m (the equality pin)."""
+
+    def sampled(host, nodes, m, s_idx, t_idx) -> pd.DataFrame:
+        rev_ptr, rev_nbr = _csr(m, t_idx, s_idx)
+        piv = _pick_pivots(m, pivots, salt=4)
+        is_piv = np.zeros(m, dtype=bool)
+        is_piv[piv] = True
+        cnt = np.zeros(m, dtype=np.int64)
+        hsum = np.zeros(m, dtype=np.int64)
+        for t in piv:
+            dist = _bfs_csr(rev_ptr, rev_nbr, int(t), m)
+            ok = dist > 0
+            cnt[ok] += 1
+            hsum[ok] += 1_000_000 // dist[ok]
+        k_v = np.where(is_piv, len(piv) - 1, len(piv))
+        n_reach = np.zeros(m, dtype=np.int64)
+        harm = np.zeros(m, dtype=np.int64)
+        pos = k_v > 0
+        n_reach[pos] = (cnt[pos] * (m - 1)) // k_v[pos]
+        harm[pos] = (hsum[pos] * (m - 1)) // k_v[pos]
+        return pd.DataFrame(
+            {
+                "host": [host] * m,
+                "page": nodes.astype("int64"),
+                "n_reach": n_reach,
+                "harmonic_micro": harm,
+            }
+        )
+
+    def harmonic(g: pd.DataFrame) -> pd.DataFrame:
+        host = g["host"].iloc[0]
+        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        m = len(nodes)
+        e = g[g["s"] >= 0]
+        if m > exact_node_limit:
+            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
+            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
+            return sampled(host, nodes, m, s_idx, t_idx)
+        A = np.zeros((m, m), dtype=bool)
+        if len(e):
+            A[
+                [idx[int(x)] for x in e["s"]],
+                [idx[int(x)] for x in e["t"]],
+            ] = True
+        R = A.copy()
+        D = np.where(A, 1, 0).astype(np.int64)
+        d = 1
+        while True:
+            new = (R @ A) & ~R
+            if not new.any():
+                break
+            d += 1
+            D[new] = d
+            R |= new
+        off = ~np.eye(m, dtype=bool)
+        pairs = R & off
+        n_reach = pairs.sum(axis=1).astype(np.int64)
+        terms = np.where(pairs, 1_000_000 // np.maximum(D, 1), 0)
+        harm = terms.sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "host": [host] * m,
+                "page": nodes.astype("int64"),
+                "n_reach": n_reach,
+                "harmonic_micro": harm,
+            }
+        )
+
+    return (
+        _host_graph_staged(docs)
+        .groupby("host")
+        .map_groups(harmonic, batch_format="pandas")
+    )
+
+
+def crawl_harmonic(sf_dir: str) -> rd.Dataset:
+    """queries() entry: per-page harmonic centrality of the flagship
+    crawl. Full SQL oracle: the closeness BFS CTE with the reduction
+    swapped to SUM(1e6 // d)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return harmonic_from_docs(crawl_docs(sf_dir))
+
+
 def distance_stats_from_docs(
     docs: rd.Dataset,
     exact_node_limit: int = HOST_EXACT_NODE_LIMIT,

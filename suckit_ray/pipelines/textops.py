@@ -4095,3 +4095,98 @@ def docs_langid_confusion(sf_dir: str) -> "pa.Table":
             "n": pa.array(res["n"].astype("int64"), pa.int64()),
         }
     )
+
+
+def docs_curriculum_order(sf_dir: str, stages: int = 4) -> "rd.Dataset":
+    """(doc_id, n_chars, stage, position): length-based CURRICULUM
+    ordering of the training corpus (Bengio et al., "Curriculum
+    Learning", ICML 2009 — public): short documents first, so
+    position = ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) and
+    stage = NTILE(stages) in the same order (SQL's
+    first-tiles-get-the-remainder rule). A dataloader consumes the
+    stages in order; ties break by doc_id so both engines rank
+    identically.
+
+    Plan: the distributed SCAN/RANK recipe (events_value_rank /
+    customer_rfm): sample-trained RANGE partition on n_chars (hash-min
+    per-block sample — order-independent), per-bucket counts → one
+    O(buckets) exclusive prefix on the driver, then each bucket
+    sorts locally and converts global rank to tile. No global sort
+    materialization; text never moves — only (doc_id, n_chars)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from suckit_ray.stages.agg import bucket_prefix_bases, default_buckets
+
+    B = default_buckets()
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                for d in df["doc_id"]
+            ]
+        )
+        idx = np.argsort(h, kind="stable")[:64]
+        return pd.DataFrame({"v": df["n_chars"].to_numpy()[idx]})
+
+    s = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    if len(s) == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="object"),
+                    "n_chars": pd.array([], dtype="int64"),
+                    "stage": pd.array([], dtype="int64"),
+                    "position": pd.array([], dtype="int64"),
+                }
+            )
+        )
+    qs = np.linspace(0.0, 1.0, B + 1)[1:-1]
+    splits = np.unique(np.quantile(s["v"].to_numpy(), qs, method="lower"))
+    splits_ref = ray.put(splits)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(splits_ref)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["n_chars"].astype("int64"),
+                "bucket": np.searchsorted(
+                    sp, df["n_chars"].to_numpy(), side="right"
+                ).astype("int64"),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()
+    bases_ref = bucket_prefix_bases(bucketed, "bucket")
+    q, r = divmod(n_rows, stages)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bases_ref).get(int(g["bucket"].iloc[0]), 0)
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        rank = base + np.arange(1, len(g) + 1)
+        cut = r * (q + 1)
+        stage = np.where(
+            rank <= cut,
+            (rank - 1) // (q + 1) + 1,
+            r + (rank - 1 - cut) // max(q, 1) + 1,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_chars": g["n_chars"],
+                "stage": stage.astype("int64"),
+                "position": rank.astype("int64"),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")

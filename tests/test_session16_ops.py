@@ -494,3 +494,101 @@ class TestHostKernelScaleRoutes:
         )
         assert len(bc.loc["big"]) == 300
         assert bc.loc[("sm", 1)] == 1_000_000  # exact path value
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSixteenthSessionQueries:
+    """New operator pins beyond their SQL oracles."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_range_search_empty_radius_is_robust(self):
+        # a radius above the corpus max cosine → zero rows, and the
+        # all-empty-blocks path must not lose the schema
+        from suckit_ray.pipelines.ann import range_search
+
+        t = range_search(self.SF, radius_pct=9999)
+        assert t.num_rows == 0
+        assert t.column_names == ["query_id", "neighbor_id", "cos_pct"]
+
+    def test_range_search_subsumes_topk_hits(self):
+        # every top-k hit with cos_pct >= radius must appear in the
+        # range result with the same score
+        from suckit_ray.pipelines.ann import brute_force_topk, range_search
+
+        topk = brute_force_topk(self.SF).to_pandas()
+        rng = range_search(self.SF, radius_pct=2000).to_pandas()
+        have = {
+            (int(q), int(n)): int(c)
+            for q, n, c in zip(
+                rng["query_id"], rng["neighbor_id"], rng["cos_pct"]
+            )
+        }
+        hits = topk[topk["cos_pct"] >= 2000]
+        assert len(hits) > 0
+        for r in hits.itertuples():
+            assert have.get((int(r.query_id), int(r.neighbor_id))) == int(
+                r.cos_pct
+            )
+
+    def test_harmonic_sampled_route_equals_exact_with_full_pivots(self):
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import harmonic_from_docs
+
+        rows = _skewed_host_rows(60, "big")
+        key = ["host", "page"]
+        exact = (
+            harmonic_from_docs(
+                rd.from_items(rows).repartition(3), exact_node_limit=10**9
+            )
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        sampled = (
+            harmonic_from_docs(
+                rd.from_items(rows).repartition(3),
+                exact_node_limit=1,
+                pivots=100,
+            )
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(exact, sampled)
+
+    def test_harmonic_hand_values(self):
+        import ray.data as rd
+
+        from suckit_ray.pipelines.graph import harmonic_from_docs
+
+        # path 0→1→2: harmonic(0) = 1e6 + 1e6//2; isolated page = 0
+        rows = [
+            _page("h", 0, [1]),
+            _page("h", 1, [2]),
+            _page("h", 2, []),
+            _page("h", 3, []),
+        ]
+        got = (
+            harmonic_from_docs(rd.from_items(rows))
+            .to_pandas().set_index("page")["harmonic_micro"].to_dict()
+        )
+        assert got == {0: 1_500_000, 1: 1_000_000, 2: 0, 3: 0}
+
+    def test_curriculum_ntile_remainder_rule(self):
+        from suckit_ray.pipelines.textops import docs_curriculum_order
+
+        got = (
+            docs_curriculum_order(self.SF)
+            .to_pandas()
+            .sort_values("position")
+            .reset_index(drop=True)
+        )
+        n = len(got)
+        assert list(got["position"]) == list(range(1, n + 1))
+        # n_chars non-decreasing along the curriculum
+        assert (np.diff(got["n_chars"].to_numpy()) >= 0)[
+            got["n_chars"].to_numpy()[:-1]
+            != got["n_chars"].to_numpy()[1:]
+        ].all() or (np.diff(got["n_chars"].to_numpy()) >= 0).all()
+        # SQL NTILE remainder rule: first n%4 stages hold one extra
+        q, r = divmod(n, 4)
+        sizes = got.groupby("stage").size()
+        assert sizes.tolist() == [q + 1] * r + [q] * (4 - r)
