@@ -99,10 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frontier release precedence (rebuild-only): "
                         "URLs matching the first --priority regex "
                         "release before the second, etc.; repeatable")
-    p.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
-                   default="bloom",
+    p.add_argument("--seen-filter", choices=["auto", "bloom", "cuckoo"],
+                   default="auto",
                    help="frozen-tier seen-set pre-screen (rebuild-only):"
-                        " cuckoo supports URL retirement for recrawls")
+                        " auto = bloom for fresh crawls, cuckoo for delta"
+                        " recrawls (retirement); explicit values pin it")
     p.add_argument("--seeds-parquet", metavar="FILE",
                    help="parquet file with a url column: the seed list")
     p.add_argument("--compact-out", metavar="DIR",

@@ -127,14 +127,15 @@ class CrawlConfig:
     # equality matters.
     priority_patterns: tuple[str, ...] = field(default_factory=tuple)
     # rebuild-only (north_rule "bloom/cuckoo URL-seen"): frozen-tier
-    # pre-screen of the seen set. "bloom" (default, vectorized
-    # append-only build) or "cuckoo" (delete-capable: incremental
-    # recrawls can retire dead URLs via FrontierShard.retire_seen).
-    # Delta recrawls (crawl(recrawl_from=...)) auto-upgrade the bloom
-    # default to cuckoo so removed-then-restored pages are refetched
-    # on rediscovery without a flag (r3 verdict item 7); fresh crawls
-    # keep bloom (reference parity: dead urls stay seen).
-    seen_filter: str = "bloom"
+    # pre-screen of the seen set. "auto" (default) resolves to bloom
+    # for fresh crawls (reference parity: dead urls stay seen,
+    # vectorized append-only build) and to the delete-capable cuckoo
+    # for delta recrawls (crawl(recrawl_from=...)), so
+    # removed-then-restored pages are refetched on rediscovery
+    # without a flag (r3 verdict item 7). Explicit "bloom" / "cuckoo"
+    # pin the choice either way — an explicitly requested bloom is
+    # never silently upgraded (review finding).
+    seen_filter: str = "auto"
 
     def resolved(self) -> "CrawlConfig":
         """Apply --visit-filter-is-download-filter aliasing

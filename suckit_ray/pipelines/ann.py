@@ -141,16 +141,20 @@ def range_search(sf_dir: str, radius_pct: int = 3000) -> pa.Table:
         .map_batches(in_radius, batch_format="pandas", batch_size=4096)
         .to_pandas()
     )
-    rows = (
-        sorted(zip(parts["query_id"], parts["neighbor_id"], parts["cos_pct"]))
-        if len(parts)
-        else []  # all-empty pandas blocks can lose their columns
-    )
+    if len(parts) == 0:  # all-empty pandas blocks can lose their columns
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos_pct": pa.array([], pa.int64()),
+            }
+        )
+    out = parts.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
     return pa.table(
         {
-            "query_id": pa.array([int(r[0]) for r in rows], pa.int64()),
-            "neighbor_id": pa.array([int(r[1]) for r in rows], pa.int64()),
-            "cos_pct": pa.array([int(r[2]) for r in rows], pa.int64()),
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "neighbor_id": pa.array(out["neighbor_id"].astype("int64")),
+            "cos_pct": pa.array(out["cos_pct"].astype("int64")),
         }
     )
 

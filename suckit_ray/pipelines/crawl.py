@@ -137,17 +137,21 @@ def crawl(
     seeds but must leave a complete fingerprint set behind."""
     t0 = time.perf_counter()
     cfg = config.resolved()
-    if recrawl_from is not None and cfg.seen_filter == "bloom":
+    if cfg.seen_filter == "auto":
         # delta recrawls default to the delete-capable cuckoo
-        # pre-screen: a previously-alive url that errors this run
+        # pre-screen: a previously-alive url that 404s/410s this run
         # (crawl_diff status='removed') is retired from its shard's
         # seen set, so a later rediscovery — the page restored and
         # re-linked from a changed page — refetches it instead of
-        # being first-wins blocked. Fresh crawls keep bloom
-        # (reference parity: dead urls stay seen).
+        # being first-wins blocked. Fresh crawls resolve to bloom
+        # (reference parity: dead urls stay seen); an EXPLICIT
+        # seen_filter is honored as given.
         from dataclasses import replace as _replace
 
-        cfg = _replace(cfg, seen_filter="cuckoo")
+        cfg = _replace(
+            cfg,
+            seen_filter="cuckoo" if recrawl_from is not None else "bloom",
+        )
     if collect is None:
         collect = output_dir is None
     # delta recrawl: ``recrawl_from`` points at a prior run's

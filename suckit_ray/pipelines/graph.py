@@ -3281,15 +3281,16 @@ def bowtie_from_docs(
                     if comp[v] < 0:
                         comp[v] = u
                         stack2.append(v)
-        # scc_id = min node id in the component (the crawl_scc rule)
-        scc_id = np.empty(m, dtype=np.int64)
-        for cid in np.unique(comp):
-            members = comp == cid
-            scc_id[members] = nodes[members].min()
-        sizes: dict[int, int] = {}
-        for sid in scc_id:
-            sizes[int(sid)] = sizes.get(int(sid), 0) + 1
-        core_id = min(sizes, key=lambda s: (-sizes[s], s))
+        # scc_id = min node id in the component (the crawl_scc rule).
+        # Vectorized (review finding: a per-component full scan is
+        # O(m·#SCCs) — quadratic on mostly-acyclic hosts where nearly
+        # every page is its own singleton SCC)
+        uniq, inv = np.unique(comp, return_inverse=True)
+        minid = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(minid, inv, nodes)
+        scc_id = minid[inv]
+        counts = np.bincount(inv)
+        core_id = minid[np.lexsort((minid, -counts))[0]]  # size desc, id asc
         core = scc_id == core_id
 
         def reach(ptr, nbr, seeds: np.ndarray) -> np.ndarray:
@@ -3550,20 +3551,12 @@ def closeness_from_docs(
 
     def distances(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
-        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
-        idx = {int(n): i for i, n in enumerate(nodes)}
+        nodes, idx, s_idx, t_idx = _group_arrays(g)
         m = len(nodes)
-        e = g[g["s"] >= 0]
         if m > exact_node_limit:
-            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
-            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
             return sampled(host, nodes, m, s_idx, t_idx)
         A = np.zeros((m, m), dtype=bool)
-        if len(e):
-            A[
-                [idx[int(x)] for x in e["s"]],
-                [idx[int(x)] for x in e["t"]],
-            ] = True
+        A[s_idx, t_idx] = True
         R = A.copy()
         D = np.where(A, 1, 0).astype(np.int64)
         d = 1
@@ -3653,20 +3646,12 @@ def harmonic_from_docs(
 
     def harmonic(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
-        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
-        idx = {int(n): i for i, n in enumerate(nodes)}
+        nodes, idx, s_idx, t_idx = _group_arrays(g)
         m = len(nodes)
-        e = g[g["s"] >= 0]
         if m > exact_node_limit:
-            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
-            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
             return sampled(host, nodes, m, s_idx, t_idx)
         A = np.zeros((m, m), dtype=bool)
-        if len(e):
-            A[
-                [idx[int(x)] for x in e["s"]],
-                [idx[int(x)] for x in e["t"]],
-            ] = True
+        A[s_idx, t_idx] = True
         R = A.copy()
         D = np.where(A, 1, 0).astype(np.int64)
         d = 1
@@ -3764,20 +3749,12 @@ def distance_stats_from_docs(
 
     def stats(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
-        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
-        idx = {int(n): i for i, n in enumerate(nodes)}
+        nodes, idx, s_idx, t_idx = _group_arrays(g)
         m = len(nodes)
-        e = g[g["s"] >= 0]
         if m > exact_node_limit:
-            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
-            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
             return sampled(host, nodes, m, s_idx, t_idx)
         A = np.zeros((m, m), dtype=bool)
-        if len(e):
-            A[
-                [idx[int(x)] for x in e["s"]],
-                [idx[int(x)] for x in e["t"]],
-            ] = True
+        A[s_idx, t_idx] = True
         R = A.copy()
         D = np.where(A, 1, 0).astype(np.int64)
         d = 1
@@ -4100,20 +4077,12 @@ def simrank_from_docs(
 
     def simrank(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
-        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
-        idx = {int(n): i for i, n in enumerate(nodes)}
+        nodes, idx, s_idx, t_idx = _group_arrays(g)
         m = len(nodes)
-        e = g[g["s"] >= 0]
         if m > exact_node_limit:
-            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
-            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
             return simrank_mc(host, nodes, m, s_idx, t_idx)
         A = np.zeros((m, m), dtype=np.int64)
-        if len(e):
-            A[
-                [idx[int(x)] for x in e["s"]],
-                [idx[int(x)] for x in e["t"]],
-            ] = 1
+        A[s_idx, t_idx] = 1
         ind = A.sum(axis=0)
         denom = 5 * np.multiply.outer(ind, ind)
         nz = denom > 0
@@ -4241,20 +4210,12 @@ def betweenness_from_docs(
 
     def betweenness(g: pd.DataFrame) -> pd.DataFrame:
         host = g["host"].iloc[0]
-        nodes = np.sort(g.loc[g["s"] < 0, "j"].unique())
-        idx = {int(n): i for i, n in enumerate(nodes)}
+        nodes, idx, s_idx, t_idx = _group_arrays(g)
         m = len(nodes)
-        e = g[g["s"] >= 0]
         if m > exact_node_limit:
-            s_idx = np.array([idx[int(x)] for x in e["s"]], dtype=np.int64)
-            t_idx = np.array([idx[int(x)] for x in e["t"]], dtype=np.int64)
             return sampled(host, nodes, m, s_idx, t_idx)
         A = np.zeros((m, m), dtype=bool)
-        if len(e):
-            A[
-                [idx[int(x)] for x in e["s"]],
-                [idx[int(x)] for x in e["t"]],
-            ] = True
+        A[s_idx, t_idx] = True
         # distances (length >= 1), then self-distance 0 / unreachable INF
         R = A.copy()
         D = np.where(A, 1, 0).astype(np.int64)

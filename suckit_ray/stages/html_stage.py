@@ -198,10 +198,14 @@ def make_process_fn(
                     retire_removed
                     and prev_hashes is not None
                     and prev_hashes[i]
-                    and (err is not None or status == 0 or status >= 400)
+                    and status in (404, 410)
                 ):
-                    # previously alive, dead this run (transport error
-                    # or HTTP 4xx/5xx): unlearn
+                    # previously alive, deliberately GONE this run —
+                    # the crawl_diff status='removed' semantics.
+                    # Transient failures (transport errors, 5xx,
+                    # status 0) do NOT retire: a flaky-but-present
+                    # page must not be refetched per rediscovery
+                    # (review finding: duplicate doc rows per wave)
                     retire_by_shard[
                         shard_of_url(url, host, num_shards, route_by_host)
                     ].append(url)

@@ -284,7 +284,11 @@ class ResizeImage:
 
     def _real_resize(self, data: bytes) -> bytes:
         parsed = _parse_image_native(data)
-        if parsed is not None:
+        # formats with a native ENCODER resize natively; a natively
+        # DECODABLE format without one (jpeg) must not be silently
+        # re-encoded as another container under its own extension —
+        # it rides the PIL path, which re-encodes in-format
+        if parsed is not None and parsed[0]["format"] != "jpeg":
             meta, arr = parsed
             resized = _netpbm_resize_nearest(arr, self.width, self.height)
             if meta["format"] == "bmp":
@@ -1010,6 +1014,20 @@ def _jpeg_meta(data: bytes) -> "dict | None":
 
 
 def _parse_jpeg(data: bytes) -> "tuple[dict, np.ndarray]":
+    """Hostile-web wrapper: ANY defect in a crawled JPEG (corrupt
+    header fields, zero sampling factors, truncated tables) declines
+    as NotImplementedError so ``_parse_image_native``'s PIL
+    fallthrough stays reachable — a crawler stage must never crash an
+    actor on one malformed byte stream."""
+    try:
+        return _parse_jpeg_inner(data)
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        raise NotImplementedError(f"JPEG parse failed: {e!r}") from e
+
+
+def _parse_jpeg_inner(data: bytes) -> "tuple[dict, np.ndarray]":
     if not _is_jpeg(data):
         raise NotImplementedError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -1073,6 +1091,16 @@ def _parse_jpeg(data: bytes) -> "tuple[dict, np.ndarray]":
         raise NotImplementedError("JPEG DNL (deferred height) unsupported")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hs_, vs_, _tq in comps:
+        # zero factors are corrupt; non-divisible ones (legal per
+        # T.81, e.g. 3-of-4) would mis-assemble under the replication
+        # upsampler — decline both toward PIL
+        if not (1 <= hs_ <= 4 and 1 <= vs_ <= 4):
+            raise NotImplementedError(f"JPEG sampling {hs_}x{vs_}")
+        if hmax % hs_ or vmax % vs_:
+            raise NotImplementedError(
+                f"JPEG non-divisible sampling {hs_}x{vs_} of {hmax}x{vmax}"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     bits, starts = _jpeg_entropy_bits(data, entropy_at)
