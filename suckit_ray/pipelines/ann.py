@@ -1077,6 +1077,7 @@ def embeddings_dbscan(
     n_clusters: int = 16,
     nprobe: int = 4,
     sample_size: int = 2048,
+    driver_edge_limit: int | None = None,
 ) -> rd.Dataset:
     """DBSCAN (Ester et al. 1996, KDD — public) over the embedding
     table with ``cosine ≥ eps`` as the neighbor predicate. Returns
@@ -1256,7 +1257,8 @@ def embeddings_dbscan(
     else:
         edge_src = ivf_edges()
     edges = edge_src.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         # no ε-ball contains a second point: everything is noise.
         # (Also dodges the all-empty-side Dataset.join ArrowInvalid —
         # see the guard comment below.)
@@ -1270,6 +1272,72 @@ def embeddings_dbscan(
             ),
             batch_format="pandas",
         )
+    from suckit_ray.pipelines.dedup import CC_DRIVER_PAIR_LIMIT
+
+    if driver_edge_limit is None:
+        driver_edge_limit = CC_DRIVER_PAIR_LIMIT
+    if n_edges <= driver_edge_limit:
+        # small-graph assembly cutover (the CC_DRIVER_PAIR_LIMIT
+        # idiom): the whole downstream — degree count, core flags,
+        # core-core components, border attach, two assembly joins —
+        # is a function of the BOUNDED ε-edge set plus the vec_id
+        # column, so below the same limit the distributed route's
+        # ~8 shuffles collapse into one driver pass (union-find over
+        # ≤ limit edges + numpy). Both routes equality-pinned in
+        # tests; at 10^10 docs the edge set blows the limit and the
+        # distributed path below runs unchanged.
+        ep = edges.to_pandas()
+        a = ep["a_id"].to_numpy().astype(np.int64)
+        b = ep["b_id"].to_numpy().astype(np.int64)
+        deg_ids, deg_cnt = np.unique(
+            np.concatenate([a, b]), return_counts=True
+        )
+        core_set = set(deg_ids[deg_cnt >= min_pts].tolist())
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for u, v in zip(a.tolist(), b.tolist()):
+            if u in core_set and v in core_set:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # min-label union keeps cluster = min core vec_id
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        root = {c: find(c) for c in core_set}
+        border: dict[int, int] = {}
+        for u, v in zip(a.tolist(), b.tolist()):
+            uc, vc = u in core_set, v in core_set
+            if uc and not vc:
+                r = root[u]
+                border[v] = min(border.get(v, r), r)
+            elif vc and not uc:
+                r = root[v]
+                border[u] = min(border.get(u, r), r)
+        core_ref = ray.put((core_set, root, border))
+
+        def assemble_small(df: pd.DataFrame) -> pd.DataFrame:
+            cs, rt, bd = ray.get(core_ref)
+            ids = df["vec_id"].to_numpy().astype(np.int64)
+            is_core = np.array([int(i) in cs for i in ids], dtype=bool)
+            cluster = np.array(
+                [
+                    rt[int(i)]
+                    if int(i) in cs
+                    else bd.get(int(i), -1)
+                    for i in ids
+                ],
+                dtype=np.int64,
+            )
+            return pd.DataFrame(
+                {"vec_id": ids, "is_core": is_core, "cluster": cluster}
+            )
+
+        return ds.map_batches(assemble_small, batch_format="pandas")
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

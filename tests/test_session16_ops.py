@@ -592,3 +592,33 @@ class TestSixteenthSessionQueries:
         q, r = divmod(n, 4)
         sizes = got.groupby("stage").size()
         assert sizes.tolist() == [q + 1] * r + [q] * (4 - r)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDbscanDriverAssemblyCutover:
+    """Small-graph assembly cutover (the CC_DRIVER_PAIR_LIMIT idiom
+    applied to dbscan's downstream): below the edge bound the
+    degree/core/CC/border assembly runs as one driver pass — pinned
+    label-identical to the distributed join/co-group route."""
+
+    def _run(self, limit, **kw):
+        from suckit_ray.pipelines.ann import embeddings_dbscan
+
+        return (
+            embeddings_dbscan(SF, driver_edge_limit=limit, **kw)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    def test_driver_route_equals_distributed(self):
+        driver = self._run(limit=None)       # default: driver assembly
+        dist = self._run(limit=0)            # forced distributed route
+        pd.testing.assert_frame_equal(driver, dist)
+
+    def test_driver_route_equals_distributed_sparse_regime(self):
+        # multiple clusters + borders + noise (the eps=0.35 regime of
+        # the session-11 reference pins)
+        driver = self._run(limit=None, eps=0.35)
+        dist = self._run(limit=0, eps=0.35)
+        pd.testing.assert_frame_equal(driver, dist)
