@@ -283,6 +283,7 @@ def _pagerank_plan(
     num_buckets: int | None,
     integer: bool,
     seed_nodes: "frozenset[str] | None" = None,
+    driver_edge_limit: int | None = None,
 ) -> rd.Dataset:
     """The ONE power-iteration plan both PageRank variants run —
     (rank ∪ adjacency) co-group per round, O(pages) rank rows
@@ -389,6 +390,57 @@ def _pagerank_plan(
     else:
         init = 1.0 / n_base
         teleport = (1.0 - damping) / n_base
+    if driver_edge_limit is None:
+        from suckit_ray.pipelines.dedup import CC_DRIVER_PAIR_LIMIT
+
+        driver_edge_limit = CC_DRIVER_PAIR_LIMIT
+    if (
+        integer
+        and edges.count() <= driver_edge_limit
+        and n_nodes <= driver_edge_limit
+    ):
+        # small-graph cutover (the CC_DRIVER_PAIR_LIMIT idiom),
+        # INTEGER kernels only: the quantized iteration is
+        # reduction-order-free, so numpy matvecs on the driver are
+        # bit-identical to the distributed co-groups
+        # (equality-pinned). The float kernel stays distributed —
+        # its sums are order-sensitive, so collapsing them would
+        # CHANGE the result. Above the limit the message-passing
+        # rounds below run unchanged (the 10^10-page path).
+        ep = edges.to_pandas()
+        nd = nodes.to_pandas()["node"].to_numpy()
+        idxmap = {x: i for i, x in enumerate(nd)}
+        n = len(nd)
+        src = ep["src"].map(idxmap)
+        dst = ep["dst"].map(idxmap)
+        sm = src.notna()  # src is a crawled page by construction
+        si_all = src[sm].to_numpy().astype(np.int64)
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, si_all, 1)  # out-multiplicity incl. ext links
+        ok = sm & dst.notna()
+        si = src[ok].to_numpy().astype(np.int64)
+        di = dst[ok].to_numpy().astype(np.int64)
+        if seed_nodes is not None:
+            seed_mask = np.isin(nd, list(seed_nodes))
+            rank = np.where(seed_mask, init, 0).astype(np.int64)
+            tele_vec = np.where(seed_mask, teleport, 0).astype(np.int64)
+        else:
+            rank = np.full(n, init, dtype=np.int64)
+            tele_vec = np.full(n, teleport, dtype=np.int64)
+        for _ in range(iters):
+            contrib = (d100 * rank[si]) // (100 * deg[si])
+            c = np.zeros(n, dtype=np.int64)
+            np.add.at(c, di, contrib)
+            rank = tele_vec + c
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nd.tolist(), pa.string()),
+                    "rank": pa.array(rank, pa.int64()),
+                }
+            )
+        )
+
     seeds_ref = ray.put(frozenset(seed_nodes)) if seed_nodes is not None else None
 
     def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
@@ -515,13 +567,15 @@ def pagerank_from_docs(
 def pagerank_exact_from_docs(
     docs: rd.Dataset, iters: int = PAGERANK_ITERS,
     num_buckets: int | None = None,
+    driver_edge_limit: int | None = None,
 ) -> rd.Dataset:
     """ALL-INTEGER power iteration — the hash-oracle-able PageRank,
     (doc_id, rank_pico) in 10^-12 units. Bit-identical under any
     reduction order, so the 10-step unrolled CTE oracle hash-matches
     a distributed run; see ``_pagerank_plan``."""
     ranks = _pagerank_plan(
-        docs, PAGERANK_DAMPING, iters, num_buckets, integer=True
+        docs, PAGERANK_DAMPING, iters, num_buckets, integer=True,
+        driver_edge_limit=driver_edge_limit,
     )
     return ranks.map_batches(
         lambda df: pd.DataFrame(
@@ -536,6 +590,7 @@ def trustrank_exact_from_docs(
     seed_nodes: "frozenset[str]",
     iters: int = PAGERANK_ITERS,
     num_buckets: int | None = None,
+    driver_edge_limit: int | None = None,
 ) -> rd.Dataset:
     """ALL-INTEGER TrustRank: ``pagerank_exact_from_docs`` with the
     teleport vector personalized to a trusted seed whitelist —
@@ -547,6 +602,7 @@ def trustrank_exact_from_docs(
     ranks = _pagerank_plan(
         docs, PAGERANK_DAMPING, iters, num_buckets, integer=True,
         seed_nodes=frozenset(seed_nodes),
+        driver_edge_limit=driver_edge_limit,
     )
     return ranks.map_batches(
         lambda df: pd.DataFrame(
@@ -1068,6 +1124,7 @@ HITS_ITERS = 5
 def hits_from_docs(
     docs: rd.Dataset, iters: int = HITS_ITERS,
     num_buckets: int | None = None,
+    driver_edge_limit: int | None = None,
 ) -> rd.Dataset:
     """(doc_id, hub_nano, auth_nano): Kleinberg's HITS in all-integer
     arithmetic — the second hash-oracle-able iterative graph op. Each
@@ -1128,6 +1185,50 @@ def hits_from_docs(
             )
         )
     init = S // n_nodes
+
+    if driver_edge_limit is None:
+        from suckit_ray.pipelines.dedup import CC_DRIVER_PAIR_LIMIT
+
+        driver_edge_limit = CC_DRIVER_PAIR_LIMIT
+    if edges.count() <= driver_edge_limit and n_nodes <= driver_edge_limit:
+        # small-graph cutover (the CC_DRIVER_PAIR_LIMIT idiom): the
+        # whole iteration is a function of the BOUNDED edge set, so
+        # below the limit the ~4 shuffles × 2·iters half-rounds
+        # collapse into numpy matvecs on the driver — bit-identical
+        # (integer sums are order-free and the divisor is one global
+        # scalar; equality-pinned against the distributed route).
+        # Above the limit the message-passing plan below runs
+        # unchanged — that IS the 10^10-page path.
+        ep = edges.to_pandas()
+        nd = nodes.to_pandas()["node"].to_numpy()
+        idxmap = {n: i for i, n in enumerate(nd)}
+        src = ep["src"].map(idxmap)
+        dst = ep["dst"].map(idxmap)
+        ok = src.notna() & dst.notna()  # member-member edges only
+        si = src[ok].to_numpy().astype(np.int64)
+        di = dst[ok].to_numpy().astype(np.int64)
+        n = len(nd)
+        hub = np.full(n, init, dtype=np.int64)
+        hd_ = 1
+        auth, ad_ = np.full(n, init, dtype=np.int64), 1
+        for _ in range(iters):
+            hs = hub // hd_
+            contrib = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib, di, hs[si])
+            auth, ad_ = contrib, max(int(contrib.sum()) // S, 1)
+            as_ = auth // ad_
+            contrib2 = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib2, si, as_[di])
+            hub, hd_ = contrib2, max(int(contrib2.sum()) // S, 1)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nd.tolist(), pa.string()),
+                    "hub_nano": pa.array(hub // hd_, pa.int64()),
+                    "auth_nano": pa.array(auth // ad_, pa.int64()),
+                }
+            )
+        )
 
     # adjacency bucketed by the side whose score the half-round reads
     adj_by_src = (

@@ -622,3 +622,66 @@ class TestDbscanDriverAssemblyCutover:
         driver = self._run(limit=None, eps=0.35)
         dist = self._run(limit=0, eps=0.35)
         pd.testing.assert_frame_equal(driver, dist)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHitsDriverCutover:
+    """HITS small-graph cutover: numpy driver matvecs bit-identical to
+    the distributed message-passing route (integer sums + one global
+    scalar divisor are reduction-order-free)."""
+
+    def test_driver_route_equals_distributed(self):
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import hits_from_docs
+
+        docs = crawl_docs("/root/testdata/sf0.001")
+        key = "doc_id"
+        driver = (
+            hits_from_docs(docs)  # default: driver route (tiny graph)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        dist = (
+            hits_from_docs(docs, driver_edge_limit=0)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(driver, dist)
+        assert (driver["hub_nano"] > 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPagerankDriverCutover:
+    """Integer pagerank/trustrank small-graph cutover equality: the
+    quantized iteration is reduction-order-free, so the driver numpy
+    matvec route must be bit-identical to the distributed co-groups.
+    The float kernel never cuts over (order-sensitive sums)."""
+
+    def test_pagerank_exact_driver_equals_distributed(self):
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import pagerank_exact_from_docs
+
+        docs = crawl_docs("/root/testdata/sf0.001")
+        driver = (
+            pagerank_exact_from_docs(docs)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        dist = (
+            pagerank_exact_from_docs(docs, driver_edge_limit=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(driver, dist)
+
+    def test_trustrank_driver_equals_distributed(self):
+        from suckit_ray.pipelines.flagship import crawl_docs
+        from suckit_ray.pipelines.graph import trustrank_exact_from_docs
+
+        docs = crawl_docs("/root/testdata/sf0.001")
+        seeds = frozenset({"host0000.test//p0.html", "host0001.test//p0.html"})
+        driver = (
+            trustrank_exact_from_docs(docs, seeds)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        dist = (
+            trustrank_exact_from_docs(docs, seeds, driver_edge_limit=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(driver, dist)
