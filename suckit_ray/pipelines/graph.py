@@ -1747,7 +1747,8 @@ def components_from_docs(
 
     # materialized ONCE: consumed by _cc_labels AND the singleton
     # branch, whose groupby's sampling pass would otherwise re-run
-    # the span-explode link extraction (the CLAUDE.md lazy-input trap)
+    # the span-explode link extraction (the lazy-input re-execution
+    # trap: sort-groupby boundary sampling re-runs a lazy upstream)
     ids = (
         _link_edges(docs)
         .map_batches(to_ids, batch_format="pandas")
@@ -2090,7 +2091,7 @@ def _dir_max_prop(
             .map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket")
             .map_groups(reduce_max, batch_format="pandas")
-            .materialize()  # the ONE barrier per round (CLAUDE.md rule)
+            .materialize()  # the ONE barrier per iterative round
         )
         changed = int(
             new_vals.map_batches(
