@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep_best": dedup.docs_dedup_keep_best,
         "docs_incremental_dedup": dedup.docs_incremental_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "minhash_calibration": dedup.minhash_calibration,
         "minhash_lsh_pairs_shuffled": dedup.minhash_lsh_pairs_shuffled,
         "simhash": dedup.simhash,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
@@ -441,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curriculum_order": textops.docs_curriculum_order,
         "quality_dedup_overlap": textops.quality_dedup_overlap,
         "docs_decontaminate": textops.docs_decontaminate,
+        "docs_semantic_decontaminate": textops.docs_semantic_decontaminate,
         "docs_dup_ngram_fraction": textops.docs_dup_ngram_fraction,
         "docs_dup_spans": textops.docs_dup_spans,
         "docs_segment_dedup": textops.docs_segment_dedup,
@@ -589,6 +591,79 @@ def _minhash_oracle_sql() -> str:
             JOIN sizes sa ON sa.doc_id = a_id
             JOIN sizes sb ON sb.doc_id = b_id
             WHERE 1.0 * i / (sa.n + sb.n - i) >= 0.5
+        """
+
+
+
+def _minhash_calibration_oracle_sql() -> str:
+    """The minhash replay CTEs (see ``_minhash_oracle_sql``) extended
+    with a per-pair signature-component equality count — no Jaccard
+    threshold, LEFT JOIN restores zero-intersection candidates."""
+    from suckit_ray.pipelines import dedup
+
+    perms = ", ".join(
+        f"({j}, {int(a)}, {int(b)})"
+        for j, (a, b) in enumerate(zip(dedup._PERM_A, dedup._PERM_B))
+    )
+    p = dedup.MINHASH_PRIME
+    rpb = dedup.NUM_PERM // dedup.LSH_BANDS
+    return rf"""
+            WITH {_SHINGLE_CTE},
+            shh AS (
+              SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h
+              FROM sh
+            ),
+            perms(j, a, b) AS (VALUES {perms}),
+            mh AS (
+              SELECT doc_id, j, min((a * h + b) % {p}) AS v
+              FROM shh CROSS JOIN perms GROUP BY doc_id, j
+            ),
+            bh AS (
+              SELECT doc_id, j // {rpb} AS band_id,
+                     ('0x' || substr(md5(array_to_string(list(v ORDER BY j), '|')), 1, 15))::BIGINT
+                       AS band_hash
+              FROM mh GROUP BY doc_id, j // {rpb}
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              FROM bh x
+              JOIN bh y ON x.band_id = y.band_id
+                       AND x.band_hash = y.band_hash
+                       AND x.doc_id < y.doc_id
+            ),
+            eq AS (
+              SELECT c.a_id, c.b_id,
+                     count(*) FILTER (WHERE x.v = y.v) AS eqc
+              FROM cand c
+              JOIN mh x ON x.doc_id = c.a_id
+              JOIN mh y ON y.doc_id = c.b_id AND y.j = x.j
+              GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a_id, c.b_id, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.a_id
+              JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT e.a_id, e.b_id,
+                     (10000 * e.eqc) // {dedup.NUM_PERM} AS est_pct,
+                     CASE WHEN sa.n + sb.n - COALESCE(i.i, 0) = 0 THEN 0
+                          ELSE CAST(floor(10000.0 * COALESCE(i.i, 0)
+                               / (sa.n + sb.n - COALESCE(i.i, 0))) AS BIGINT)
+                     END AS jaccard_pct
+              FROM eq e
+              JOIN sizes sa ON sa.doc_id = e.a_id
+              JOIN sizes sb ON sb.doc_id = e.b_id
+              LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+            )
+            SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                   CAST(est_pct AS BIGINT) AS est_pct,
+                   CAST(jaccard_pct AS BIGINT) AS jaccard_pct,
+                   CAST(abs(est_pct - jaccard_pct) AS BIGINT) AS abs_err
+            FROM scored
         """
 
 
@@ -1614,6 +1689,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings v
             LEFT JOIN comp ON comp.id = v.vec_id
             LEFT JOIN border ON border.id = v.vec_id
+        """,
+        "docs_semantic_decontaminate": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id < 10),
+                 t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id >= 10)
+            SELECT CAST(t.vec_id AS BIGINT) AS doc_id,
+                   MAX(CAST(floor(list_cosine_similarity(q.e, t.e) * 10000) AS BIGINT)) AS max_test_cos_pct,
+                   (MAX(CAST(floor(list_cosine_similarity(q.e, t.e) * 10000) AS BIGINT)) >= 3000) AS contaminated
+            FROM t CROSS JOIN q GROUP BY t.vec_id
         """,
         "ann_range_search": """
             WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id < 10),
@@ -5268,6 +5351,7 @@ def oracle_sql() -> dict[str, str]:
         # hashing (dedup._md5h60) and gained FULL bit-exact SQL
         # oracles — banding, band hashes and bit votes included.
         "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "minhash_calibration": _minhash_calibration_oracle_sql(),
         "minhash_lsh_pairs_shuffled": _minhash_oracle_sql(),
         "simhash": _SIMHASH_SIG_SQL,
         "simhash_dup_pairs": f"""

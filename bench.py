@@ -378,6 +378,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_harmonic",
         "ann_range_search",
         "docs_curriculum_order",
+        "docs_semantic_decontaminate",
+        "minhash_calibration",
     ]
     qs = E.queries()
     out = {}

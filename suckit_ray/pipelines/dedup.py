@@ -1222,6 +1222,106 @@ def semantic_dedup(
     )
 
 
+def minhash_calibration(sf_dir: str) -> pa.Table:
+    """(a_id, b_id, est_pct, jaccard_pct, abs_err): ESTIMATOR
+    CALIBRATION of the minhash sketch — for EVERY LSH candidate pair
+    (no similarity threshold), the minhash estimate
+    ``est_pct = (10⁴ · equal-signature-components) // NUM_PERM``
+    against the exact shingle Jaccard ``floor(10⁴·J)`` and their
+    absolute error. Broder's estimator is unbiased with std
+    ≈ √(J(1−J)/NUM_PERM) ≈ 6 pct-points at 64 permutations — this
+    audit is how a pipeline validates its permutation count before
+    trusting banding at corpus scale, and any drift (broken
+    permutation table, band mis-slicing) shows up as bias here long
+    before it corrupts the dedup output.
+
+    Scale shape: identical to the broadcast verify of
+    ``minhash_lsh_pairs`` — candidate ids and their (signature,
+    shingle-set) maps are O(candidates), computed distributed and
+    broadcast once; the per-pair comparison runs in tasks. Full SQL
+    oracle: the minhash replay CTEs extended with a per-pair
+    component-equality count."""
+    import ray
+
+    cands = _band_candidates(sf_dir)
+    need = set()
+    for part in cands.select_columns(["a_id", "b_id"]).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        need.update(part.column("a_id").to_pylist())
+        need.update(part.column("b_id").to_pylist())
+    need = frozenset(int(d) for d in need)
+    empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "est_pct": pa.array([], pa.int64()),
+            "jaccard_pct": pa.array([], pa.int64()),
+            "abs_err": pa.array([], pa.int64()),
+        }
+    )
+    if not need:
+        return empty
+    need_ref = ray.put(need)
+
+    def cand_info(df: pd.DataFrame) -> pd.DataFrame:
+        need_ = ray.get(need_ref)
+        sub = df[df["doc_id"].isin(need_)]
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"],
+                "sig": [
+                    _minhash_signature(t).tolist() for t in sub["text"]
+                ],
+                "shingles": [
+                    sorted(set(_word_shingles(t))) for t in sub["text"]
+                ],
+            }
+        )
+
+    parts = _read_documents(
+        sf_dir, ["doc_id", "text"], blocks=_cpu_blocks()
+    ).map_batches(cand_info, batch_format="pandas")
+    info = {}
+    for part in parts.iter_batches(batch_size=None, batch_format="pandas"):
+        for d, sg, sh in zip(part["doc_id"], part["sig"], part["shingles"]):
+            info[int(d)] = (np.array(sg, dtype=np.int64), frozenset(sh))
+    info_ref = ray.put(info)
+
+    def compare(df: pd.DataFrame) -> pd.DataFrame:
+        info_ = ray.get(info_ref)
+        rows = []
+        for a, b in zip(df["a_id"], df["b_id"]):
+            sga, sha = info_[int(a)]
+            sgb, shb = info_[int(b)]
+            est = (10000 * int((sga == sgb).sum())) // NUM_PERM
+            inter = len(sha & shb)
+            union = len(sha) + len(shb) - inter
+            j = inter / union if union else 0.0
+            jp = int(np.floor(j * 10000))
+            rows.append((int(a), int(b), est, jp, abs(est - jp)))
+        return pd.DataFrame(
+            rows, columns=["a_id", "b_id", "est_pct", "jaccard_pct", "abs_err"]
+        )
+
+    out = cands.map_batches(compare, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return empty
+    rows = sorted(
+        {tuple(int(x) for x in r) for r in out.to_numpy()}
+    )  # multi-band collisions: one row per pair
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "a_id": pa.array(cols[0], pa.int64()),
+            "b_id": pa.array(cols[1], pa.int64()),
+            "est_pct": pa.array(cols[2], pa.int64()),
+            "jaccard_pct": pa.array(cols[3], pa.int64()),
+            "abs_err": pa.array(cols[4], pa.int64()),
+        }
+    )
+
+
 def minhash_lsh_pairs_shuffled(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
     """Key-shuffled verify variant of ``minhash_lsh_pairs`` — ZERO
     driver state; the path ``minhash_lsh_pairs`` auto-routes to when

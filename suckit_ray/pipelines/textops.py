@@ -4190,3 +4190,65 @@ def docs_curriculum_order(sf_dir: str, stages: int = 4) -> "rd.Dataset":
         )
 
     return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+def docs_semantic_decontaminate(
+    sf_dir: str, threshold_pct: int = 3000
+) -> "rd.Dataset":
+    """(doc_id, max_test_cos_pct, contaminated): EMBEDDING-based
+    benchmark decontamination — the semantic sibling of
+    ``docs_decontaminate`` (which matches exact n-grams): training
+    documents are scored by their maximum cosine similarity to the
+    HELD-OUT test embeddings (vec_id < ann.N_QUERIES, the corpus's
+    query rows), and ``contaminated`` flags everything at or above
+    ``threshold_pct`` (units: floor(cos·10⁴)). Paraphrased test
+    leakage that shares no 8-gram still lands near its source in
+    embedding space — the reason modern LM data pipelines run both
+    filters (e.g. the GPT-3/PaLM decontamination appendices describe
+    the n-gram half; embedding-similarity dedup à la SemDeDup covers
+    the rest).
+
+    Scale shape: the test matrix broadcasts once (``ray.put``), one
+    matmul per batch, three small columns leave each task — a single
+    streaming pass, no shuffle (the brute_force_topk shape). Full SQL
+    oracle: MAX over the cross join (floor is monotone, so
+    max-of-floor ≡ floor-of-max pairwise quantization agrees)."""
+    import numpy as np
+
+    import ray
+
+    from suckit_ray.pipelines.ann import (
+        N_QUERIES,
+        _load_queries,
+        _normalize,
+        _read_embeddings,
+    )
+
+    _qids, qm = _load_queries(sf_dir)
+    q_ref = ray.put(qm)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qm_ = ray.get(q_ref)
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        keep = ids >= N_QUERIES  # training split only
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "max_test_cos_pct": pd.array([], dtype="int64"),
+                    "contaminated": pd.array([], dtype="bool"),
+                }
+            )
+        m = _normalize(
+            np.stack(df["embedding"].to_numpy()[keep]).astype(np.float64)
+        )
+        pct = np.floor((qm_ @ m.T) * 10000).astype(np.int64).max(axis=0)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "max_test_cos_pct": pct,
+                "contaminated": pct >= threshold_pct,
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(score, batch_format="pandas")

@@ -685,3 +685,52 @@ class TestPagerankDriverCutover:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(driver, dist)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCalibrationAndSemanticDecontam:
+    def test_minhash_calibration_error_bound(self):
+        """Broder estimator std ≈ √(J(1−J)/64) ≤ ~6.3 pct-points —
+        the mean |err| over candidate pairs stays well inside a few
+        sigma, and est/exact agree exactly where J = 1."""
+        from suckit_ray.pipelines.dedup import minhash_calibration
+
+        t = minhash_calibration(SF).to_pandas()
+        assert len(t) > 0
+        assert (t["abs_err"] == (t["est_pct"] - t["jaccard_pct"]).abs()).all()
+        assert t["abs_err"].mean() <= 1500, t["abs_err"].mean()
+        exact_dups = t[t["jaccard_pct"] == 10000]
+        assert (exact_dups["est_pct"] == 10000).all()
+
+    def test_calibration_covers_lsh_pairs(self):
+        """Every thresholded minhash pair appears in the calibration
+        table with the same exact jaccard."""
+        from suckit_ray.pipelines.dedup import (
+            minhash_calibration,
+            minhash_lsh_pairs,
+        )
+
+        cal = minhash_calibration(SF).to_pandas()
+        have = {
+            (int(a), int(b)): int(j)
+            for a, b, j in zip(cal["a_id"], cal["b_id"], cal["jaccard_pct"])
+        }
+        final = minhash_lsh_pairs(SF).to_pandas()
+        assert len(final) > 0
+        for r in final.itertuples():
+            assert have[(int(r.a_id), int(r.b_id))] == int(r.jaccard_pct)
+
+    def test_semantic_decontaminate_consistency(self):
+        """Scores agree with ann_range_search on the shared radius:
+        a doc is contaminated iff some test vector ranges to it."""
+        from suckit_ray.pipelines.ann import range_search
+        from suckit_ray.pipelines.textops import docs_semantic_decontaminate
+
+        dec = docs_semantic_decontaminate(SF).to_pandas()
+        rng = range_search(SF, radius_pct=3000).to_pandas()
+        ranged = set(int(n) for n in rng["neighbor_id"] if n >= 10)
+        flagged = set(
+            int(d) for d in dec[dec["contaminated"]]["doc_id"]
+        )
+        assert flagged == ranged
+        assert len(dec) == 490  # training split only (vec_id >= 10)
