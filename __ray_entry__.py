@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textops.token_count,
         "bpe_token_count": textops.bpe_token_count,
         "winnow_fingerprint": textops.winnow_fingerprint,
+        "docs_winnow_overlap_pairs": textops.winnow_overlap_pairs,
         "quality_score": textops.quality_score,
         "gopher_repetition": textops.gopher_repetition,
         "docs_gopher_filter": textops.docs_gopher_filter,
@@ -1450,6 +1451,48 @@ def oracle_sql() -> dict[str, str]:
         # 255·257^7 ≈ 1.9e19 overflows BIGINT), window W=16 sliding
         # min, distinct fingerprints per doc. ord(substr) == utf-8 byte
         # because the corpus is ASCII (asserted in tests).
+        # MOSS shared-fingerprint pairs: the winnow replay CTE + a
+        # max-df boilerplate guard + self-join (mirrors the engine's
+        # per-fp pairing exactly)
+        "docs_winnow_overlap_pairs": """
+            WITH pos AS (
+              SELECT doc_id, len(text) - 7 AS g, text,
+                     UNNEST(range(1, len(text) - 6)) AS i
+              FROM documents WHERE len(text) >= 8
+            ),
+            h AS (
+              SELECT doc_id, g, i,
+                CAST((
+                  CAST(ord(substr(text, CAST(i + 0 AS INT), 1)) AS HUGEINT) * 74051159531521793
+                + CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) AS HUGEINT) * 288136807515649
+                + CAST(ord(substr(text, CAST(i + 2 AS INT), 1)) AS HUGEINT) * 1121154893057
+                + CAST(ord(substr(text, CAST(i + 3 AS INT), 1)) AS HUGEINT) * 4362470401
+                + CAST(ord(substr(text, CAST(i + 4 AS INT), 1)) AS HUGEINT) * 16974593
+                + CAST(ord(substr(text, CAST(i + 5 AS INT), 1)) AS HUGEINT) * 66049
+                + CAST(ord(substr(text, CAST(i + 6 AS INT), 1)) AS HUGEINT) * 257
+                + CAST(ord(substr(text, CAST(i + 7 AS INT), 1)) AS HUGEINT)
+                ) % 2305843009213693951 AS BIGINT) AS hv
+              FROM pos
+            ),
+            w AS (
+              SELECT doc_id, g, i,
+                     min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+              FROM h
+            ),
+            f AS (SELECT doc_id, g, wmin FROM w WHERE i <= greatest(1, g - 15)),
+            fps AS (SELECT DISTINCT doc_id, wmin FROM f),
+            okfp AS (
+              SELECT wmin FROM fps GROUP BY wmin HAVING count(*) <= 50
+            ),
+            kept AS (SELECT fps.* FROM fps JOIN okfp USING (wmin))
+            SELECT CAST(x.doc_id AS BIGINT) AS a_id,
+                   CAST(y.doc_id AS BIGINT) AS b_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept x
+            JOIN kept y ON y.wmin = x.wmin AND y.doc_id > x.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
         "winnow_fingerprint": """
             WITH pos AS (
               SELECT doc_id, len(text) - 7 AS g, text,

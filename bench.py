@@ -380,6 +380,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_curriculum_order",
         "docs_semantic_decontaminate",
         "minhash_calibration",
+        "docs_winnow_overlap_pairs",
     ]
     qs = E.queries()
     out = {}

@@ -4252,3 +4252,120 @@ def docs_semantic_decontaminate(
         )
 
     return _read_embeddings(sf_dir).map_batches(score, batch_format="pandas")
+
+
+WINNOW_MIN_SHARED = 2   # pair reported at >= this many shared fps
+WINNOW_MAX_DF = 50      # boilerplate guard: fps in more docs are dropped
+
+
+def winnow_overlap_pairs(
+    sf_dir: str,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_df: int = WINNOW_MAX_DF,
+) -> "pa.Table":
+    """(a_id, b_id, n_shared): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — the MOSS detection step
+    (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD 2003, public) on top of
+    ``winnow_fingerprint``'s per-doc sets: where minhash estimates
+    WHOLE-document resemblance, shared winnow fingerprints localize
+    COPIED PASSAGES (the guarantee: any shared run of ≥ k+w−1 chars
+    yields a shared fingerprint). Fingerprints present in more than
+    ``max_df`` documents are dropped before pairing — the standard
+    boilerplate guard, mirrored by the oracle, which also bounds the
+    per-fingerprint pair fan-out at scale (≤ max_df²/2 pairs per fp).
+
+    Plan: one pass emits (fp, doc_id) rows; one fp-hash co-group
+    pairs docs per surviving fingerprint; one pair-keyed bucketed
+    aggregation sums shared counts; only thresholded pairs reach the
+    driver. Full SQL oracle: the winnow replay CTE + self-join."""
+    import numpy as np
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def fp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = [t.encode("utf-8") for t in df["text"]]
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        flat = np.frombuffer(b"".join(texts), dtype=np.uint8)
+        H = (
+            _rolling_hashes(flat)
+            if len(flat) >= WINNOW_K
+            else np.zeros(0, np.uint64)
+        )
+        starts = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            starts[1:] = np.cumsum(lens)[:-1]
+        out_doc, out_fp = [], []
+        ids = df["doc_id"].to_numpy()
+        for d in range(len(texts)):
+            g = lens[d] - WINNOW_K + 1
+            if g <= 0:
+                continue
+            h = H[starts[d] : starts[d] + g]
+            if g <= WINNOW_W:
+                fps = np.array([h.min()])
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+                fps = np.unique(sw.min(axis=1))
+            out_doc.extend([int(ids[d])] * len(fps))
+            out_fp.extend(fps.astype(np.int64).tolist())
+        fp = np.array(out_fp, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(out_doc, dtype="int64"),
+                "fp": fp,
+                "fb": (fp % B).astype("int64") if len(fp) else fp,
+            }
+        )
+
+    def pair_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("fp")["doc_id"].transform("size")
+        g = g[sizes <= max_df]
+        m = g.merge(g, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+            .size()
+            .rename(
+                columns={"doc_id_x": "a_id", "doc_id_y": "b_id", "size": "n"}
+            )
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(fp_rows, batch_format="pandas")
+        .groupby("fb")
+        .map_groups(pair_per_fp, batch_format="pandas")
+    )
+    summed = bucketed_groupby_agg(
+        partials, ["a_id", "b_id"], {"n_shared": ("n", "sum")}
+    )
+    out = (
+        summed.map_batches(
+            lambda df: df[df["n_shared"] >= min_shared],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    import pyarrow as pa
+
+    if len(out) == 0:
+        return pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "a_id": pa.array(out["a_id"].astype("int64")),
+            "b_id": pa.array(out["b_id"].astype("int64")),
+            "n_shared": pa.array(out["n_shared"].astype("int64")),
+        }
+    )

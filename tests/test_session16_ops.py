@@ -734,3 +734,55 @@ class TestCalibrationAndSemanticDecontam:
         )
         assert flagged == ranged
         assert len(dec) == 490  # training split only (vec_id >= 10)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinnowOverlapPairs:
+    def test_copied_passage_detected(self, tmp_path):
+        """The MOSS guarantee end-to-end on an ENGINEERED corpus: an
+        exact duplicate shares its full fingerprint set; a doc with a
+        long copied passage shares >= 1 fingerprint; unrelated docs
+        share nothing."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from suckit_ray.pipelines.textops import (
+            winnow_fingerprint,
+            winnow_overlap_pairs,
+        )
+
+        passage = "the quick brown fox jumps over the lazy dog " * 4
+        docs = [
+            (0, "alpha beta gamma delta " * 10 + passage),
+            (1, "alpha beta gamma delta " * 10 + passage),  # exact dup of 0
+            (2, "completely different words here entirely " * 8 + passage),
+            (3, "zzz yyy xxx www vvv uuu ttt sss rrr qqq " * 9),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        sf = str(tmp_path)
+        pairs = winnow_overlap_pairs(sf, min_shared=1).to_pandas()
+        have = {
+            (int(a), int(b)): int(n)
+            for a, b, n in zip(pairs["a_id"], pairs["b_id"], pairs["n_shared"])
+        }
+        fps = winnow_fingerprint(sf).to_pandas().set_index("doc_id")["n_fps"]
+        assert have[(0, 1)] == int(fps.loc[0])  # identical text
+        assert have.get((0, 2), 0) >= 1         # shared passage
+        assert have.get((1, 2), 0) == have.get((0, 2), 0)
+        assert (0, 3) not in have and (1, 3) not in have and (2, 3) not in have
+
+    def test_corpus_pairs_nonempty_and_symmetric_free(self):
+        from suckit_ray.pipelines.textops import winnow_overlap_pairs
+
+        t = winnow_overlap_pairs(SF).to_pandas()
+        assert len(t) > 0
+        assert (t["a_id"] < t["b_id"]).all()
+        assert (t["n_shared"] >= 2).all()
