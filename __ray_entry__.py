@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "gopher_repetition": textops.gopher_repetition,
         "docs_gopher_filter": textops.docs_gopher_filter,
+        "docs_quality_report": textops.docs_quality_report,
         "docs_c4_filter": textops.docs_c4_filter,
         "training_corpus": textops.training_corpus,
         "lang_id": textops.lang_id,
@@ -7078,4 +7079,20 @@ def oracle_sql() -> dict[str, str]:
     # reachability oracle as the uncompacted one — compaction proven
     # lossless by the strongest oracle in the suite
     d["crawl_mirror_compacted"] = d["crawl_mirror"]
+    # quality-gate stack: the three gate oracles composed as scoped
+    # subqueries — any drift in ANY gate breaks this hash too
+    d["docs_quality_report"] = f"""
+        SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+               g.keep AS gopher_keep,
+               c.keep AS c4_keep,
+               (r.flesch_micro >= 50000000) AS readable,
+               (g.keep AND c.keep AND r.flesch_micro >= 50000000) AS keep,
+               CAST((CASE WHEN g.keep THEN 0 ELSE 1 END)
+                  + (CASE WHEN c.keep THEN 0 ELSE 1 END)
+                  + (CASE WHEN r.flesch_micro >= 50000000 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_fail
+        FROM ({d['docs_gopher_filter']}) g
+        JOIN ({d['docs_c4_filter']}) c ON c.doc_id = g.doc_id
+        JOIN ({d['docs_readability']}) r ON r.doc_id = g.doc_id
+    """
     return d

@@ -381,6 +381,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_semantic_decontaminate",
         "minhash_calibration",
         "docs_winnow_overlap_pairs",
+        "docs_quality_report",
     ]
     qs = E.queries()
     out = {}

@@ -4369,3 +4369,69 @@ def winnow_overlap_pairs(
             "n_shared": pa.array(out["n_shared"].astype("int64")),
         }
     )
+
+
+READABLE_MIN_MICRO = 50_000_000  # Flesch >= 50.0
+
+
+def docs_quality_report(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, gopher_keep, c4_keep, readable, keep, n_fail): the
+    STACKED quality-gate audit — Gopher Table-A1, the C4 line rules,
+    and a Flesch readability floor (≥ 50.0 in micro units) joined
+    into one per-document failure profile. This is the table a
+    curation pipeline actually consumes: ``keep`` is the conjunction,
+    ``n_fail`` drives triage (docs failing ONE gate get re-reviewed
+    before docs failing all three), and per-gate columns attribute
+    the loss. NB on web-unlike corpora strict gates can reject
+    everything — exactly what the report exists to reveal before a
+    training run silently trains on nothing.
+
+    Plan: the three existing gate pipelines run as-is (each a
+    shuffle-free pass) and meet in two doc_id-keyed joins — audit
+    tables are O(corpus) rows of booleans, the cheapest join in the
+    repo. Full SQL oracle: the three gate oracles composed as
+    subqueries (no CTE-name collisions — each WITH is scoped)."""
+    gf = docs_gopher_filter(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "gopher_keep": df["keep"].astype(bool)}
+        ),
+        batch_format="pandas",
+    )
+    cf = docs_c4_filter(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"c_doc": df["doc_id"].astype("int64"),
+             "c4_keep": df["keep"].astype(bool)}
+        ),
+        batch_format="pandas",
+    )
+    rf = docs_readability(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"r_doc": df["doc_id"].astype("int64"),
+             "readable": df["flesch_micro"] >= READABLE_MIN_MICRO}
+        ),
+        batch_format="pandas",
+    )
+    joined = gf.join(cf, "inner", 4, on=("doc_id",), right_on=("c_doc",)).join(
+        rf, "inner", 4, on=("doc_id",), right_on=("r_doc",)
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["gopher_keep"].astype(bool)
+        c = df["c4_keep"].astype(bool)
+        r = df["readable"].astype(bool)
+        n_fail = (
+            (~g).astype("int64") + (~c).astype("int64") + (~r).astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "gopher_keep": g,
+                "c4_keep": c,
+                "readable": r,
+                "keep": g & c & r,
+                "n_fail": n_fail,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

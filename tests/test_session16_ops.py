@@ -786,3 +786,25 @@ class TestWinnowOverlapPairs:
         assert len(t) > 0
         assert (t["a_id"] < t["b_id"]).all()
         assert (t["n_shared"] >= 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualityReport:
+    def test_gate_conjunction_and_failure_counts(self):
+        from suckit_ray.pipelines.textops import docs_quality_report
+
+        t = docs_quality_report(SF).to_pandas()
+        assert len(t) == 500
+        assert (
+            t["keep"] == (t["gopher_keep"] & t["c4_keep"] & t["readable"])
+        ).all()
+        expect = (
+            (~t["gopher_keep"]).astype(int)
+            + (~t["c4_keep"]).astype(int)
+            + (~t["readable"]).astype(int)
+        )
+        assert (t["n_fail"] == expect).all()
+        # the strict gates reject this synthetic corpus wholesale —
+        # the report reveals it (the documented purpose); readability
+        # still splits, so n_fail varies
+        assert t["n_fail"].nunique() >= 2
