@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_link_jaccard": graph.crawl_link_jaccard,
         "crawl_hoststats": _crawl_hoststats,
         "crawl_depths": _crawl_depths,
+        "crawl_wave_skew": flagship.crawl_wave_skew,
         "crawl_diff": _crawl_diff,
         "crawl_revisit_plan": flagship.crawl_revisit_plan,
         "crawl_media_manifest": _crawl_media_manifest,
@@ -385,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": relops.events_retention,
         "events_outliers": relops.events_outliers,
         "events_funnel": relops.events_funnel,
+        "events_funnel_windowed": relops.events_funnel_windowed,
         "docs_by_lang": textops.docs_by_lang,
         "docs_top_terms": textops.docs_top_terms,
         "docs_stratified_sample": textops.docs_stratified_sample,
@@ -5495,6 +5497,59 @@ def oracle_sql() -> dict[str, str]:
         # seed; an asset lands one wave after the first page that
         # references it — hash-equality pins the frontier's wave
         # SCHEDULING, not just the crawl set.
+        # frontier scheduling-skew audit: the depth closure grouped
+        # per wave with per-host counts (pages + their assets)
+        "crawl_wave_skew": rf"""
+            WITH RECURSIVE
+            params AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     8 AS n_hosts, 16 AS n_assets
+            ),
+            hosts AS (
+              SELECT UNNEST(range(0, n_hosts)) AS h,
+                     n_docs // n_hosts
+                       + CASE WHEN UNNEST(range(0, n_hosts)) < n_docs % n_hosts
+                              THEN 1 ELSE 0 END AS m,
+                     n_hosts, n_assets
+              FROM params
+            ),
+            reachd(h, j, d) AS (
+              SELECT h, 0, 0 FROM hosts
+              UNION
+              SELECT e.h, e.t, e.d
+              FROM (
+                SELECT r.h AS h, x.t AS t, r.d + 1 AS d
+                FROM reachd r
+                JOIN hosts ho ON ho.h = r.h
+                CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+                WHERE r.d < ho.m
+              ) e
+            ),
+            pdep AS (
+              SELECT h, j, CAST(MIN(d) AS BIGINT) AS depth
+              FROM reachd GROUP BY h, j
+            ),
+            adep AS (
+              SELECT p.h, (13*p.j+7) % ho.n_assets AS a,
+                     CAST(MIN(p.depth) + 1 AS BIGINT) AS depth
+              FROM pdep p JOIN hosts ho ON ho.h = p.h
+              GROUP BY p.h, (13*p.j+7) % ho.n_assets
+            ),
+            alldocs AS (
+              SELECT h, depth FROM pdep
+              UNION ALL
+              SELECT h, depth FROM adep
+            ),
+            per_host AS (
+              SELECT depth, h, count(*) AS n FROM alldocs GROUP BY 1, 2
+            )
+            SELECT CAST(depth AS BIGINT) AS depth,
+                   CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_hosts,
+                   CAST((10000 * MAX(n)) // SUM(n) AS BIGINT)
+                     AS top_share_pct
+            FROM per_host GROUP BY depth
+        """,
         "crawl_depths": rf"""
             WITH RECURSIVE
             params AS (
@@ -5597,6 +5652,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ordered funnel: stage k needs a step-k event STRICTLY after
         # the first qualifying step-(k-1) event
+        # windowed funnel: the funnel CTE chain with a per-step
+        # 7-day conversion bound in exact epoch microseconds
+        "events_funnel_windowed": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t
+                AND epoch_us(e.ts) <= epoch_us(v.t) + 604800000000 GROUP BY 1
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t
+                AND epoch_us(e.ts) <= epoch_us(c.t) + 604800000000 GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             WHEN v.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v ON v.user_id = u.user_id
+            LEFT JOIN c ON c.user_id = u.user_id
+            LEFT JOIN p ON p.user_id = u.user_id
+        """,
         "events_funnel": """
             WITH v AS (
               SELECT user_id, min(ts) AS t FROM events

@@ -382,6 +382,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "minhash_calibration",
         "docs_winnow_overlap_pairs",
         "docs_quality_report",
+        "crawl_wave_skew",
+        "events_funnel_windowed",
     ]
     qs = E.queries()
     out = {}

@@ -626,3 +626,55 @@ def crawl_media_dedup(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(members, batch_format="pandas")
     )
+
+
+def crawl_wave_skew(sf_dir: str) -> rd.Dataset:
+    """(depth, n_docs, n_hosts, top_share_pct): the frontier
+    SCHEDULING-SKEW audit — per BFS wave, how many documents were
+    fetched, how many hosts were active, and the hottest host's share
+    in integer pct-of-10⁴. This is the table that tells an operator
+    whether per-host caps / politeness budgets are needed BEFORE a
+    hot host serializes a wave (a wave whose top_share approaches
+    10⁴ is bottlenecked on one host's politeness budget at scale).
+
+    Plan: one pass over the streamed mirror emits per-(wave, host)
+    partial counts (a combiner — rows per batch ≤ waves×hosts); one
+    bucketed aggregation; the per-wave rollup groups O(waves×hosts)
+    tiny rows. Full SQL oracle: the crawl_depths closure grouped per
+    depth."""
+    import numpy as np
+    import pandas as pd
+
+    from suckit_ray.stages.agg import bucketed_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["wave", "host"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        out["wave"] = out["wave"].astype("int64")
+        return out
+
+    per_host = bucketed_groupby_agg(
+        crawl_docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["wave", "host"],
+        {"n": ("n", "sum")},
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy().astype(np.int64)
+        total = int(n.sum())
+        return pd.DataFrame(
+            {
+                "depth": pd.array([int(g["wave"].iloc[0])], dtype="int64"),
+                "n_docs": pd.array([total], dtype="int64"),
+                "n_hosts": pd.array([len(g)], dtype="int64"),
+                "top_share_pct": pd.array(
+                    [(10000 * int(n.max())) // total], dtype="int64"
+                ),
+            }
+        )
+
+    return per_host.groupby("wave").map_groups(rollup, batch_format="pandas")

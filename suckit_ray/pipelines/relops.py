@@ -9130,3 +9130,56 @@ def events_mann_kendall(sf_dir: str) -> pa.Table:
             "n_tie": pa.array([int((d == 0).sum())], pa.int64()),
         }
     )
+
+
+FUNNEL_WINDOW_US = 7 * 86_400_000_000  # 7-day per-step conversion window
+
+
+def events_funnel_windowed(
+    sf_dir: str, window_us: int = FUNNEL_WINDOW_US
+) -> rd.Dataset:
+    """(user_id, stage): the ordered funnel with a per-step CONVERSION
+    WINDOW — step k counts only when it lands strictly after the
+    previous step's gate timestamp AND within ``window_us`` of it
+    (product-analytics funnels are almost always windowed: a purchase
+    months after the click is a new journey, not a conversion). The
+    gate for the next step is the earliest QUALIFYING event, exactly
+    like the unwindowed ``events_funnel`` — same plan, one extra
+    vectorized comparison per step; oracle = the funnel CTE chain
+    with the window bound added to each step's join."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(df["user_id"] % B).astype("int64"))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].unique()
+        prev = None
+        stage = pd.Series(0, index=users, dtype="int64")
+        w = np.timedelta64(window_us, "us")
+        for i, step in enumerate(FUNNEL_STEPS, start=1):
+            ev = g[g["event_type"] == step]
+            if prev is not None:
+                gate = ev["user_id"].map(prev)
+                ev = ev[
+                    gate.notna()
+                    & (ev["ts"] > gate)
+                    & (ev["ts"] <= gate + w)
+                ]
+            cur = ev.groupby("user_id")["ts"].min()
+            stage.loc[stage.index.isin(cur.index)] = i
+            prev = cur
+        return pd.DataFrame(
+            {"user_id": stage.index.astype("int64"), "stage": stage.to_numpy()}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )

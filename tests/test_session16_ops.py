@@ -808,3 +808,61 @@ class TestQualityReport:
         # the report reveals it (the documented purpose); readability
         # still splits, so n_fail varies
         assert t["n_fail"].nunique() >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWaveSkewAndWindowedFunnel:
+    def test_wave_skew_consistent_with_depths(self):
+        from suckit_ray.pipelines.flagship import crawl_depths, crawl_wave_skew
+
+        skew = (
+            crawl_wave_skew(SF).to_pandas().set_index("depth").sort_index()
+        )
+        depths = crawl_depths(SF).to_pandas()
+        per_wave = depths.groupby("depth").size()
+        assert skew["n_docs"].to_dict() == per_wave.to_dict()
+        assert (skew["top_share_pct"] <= 10000).all()
+        assert (skew["n_hosts"] >= 1).all()
+
+    def test_windowed_funnel_never_exceeds_plain(self, tmp_path):
+        """Tightening the window can only DEMOTE stages; an engineered
+        user whose purchase is outside the 7-day window proves the
+        bound binds."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from suckit_ray.pipelines.relops import (
+            events_funnel,
+            events_funnel_windowed,
+        )
+
+        plain = (
+            events_funnel(SF).to_pandas().set_index("user_id")["stage"]
+        )
+        win = (
+            events_funnel_windowed(SF)
+            .to_pandas().set_index("user_id")["stage"]
+        )
+        assert (win.loc[plain.index] <= plain).all()
+        # engineered: view day 0, click day 1 (in window), purchase
+        # day 30 (outside) -> stage 2 windowed, 3 plain
+        day = 86_400_000_000
+        tbl = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [0, 1 * day, 30 * day], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "event_type": pa.array(
+                    ["view", "click", "purchase"], pa.string()
+                ),
+                "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        p = events_funnel(str(tmp_path)).to_pandas()
+        w = events_funnel_windowed(str(tmp_path)).to_pandas()
+        assert int(p["stage"].iloc[0]) == 3
+        assert int(w["stage"].iloc[0]) == 2
