@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_topk": textops.docs_pmi_topk,
         "q3_shipping_priority": relops.q3_shipping_priority,
         "orders_unshipped": relops.orders_unshipped,
+        "orders_rapid_reorder": relops.orders_rapid_reorder,
         "q17_small_qty_revenue": relops.q17_small_qty_revenue,
         "q13_order_histogram": relops.q13_order_histogram,
         "q8_market_share": relops.q8_market_share,
@@ -5680,6 +5681,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN v ON v.user_id = u.user_id
             LEFT JOIN c ON c.user_id = u.user_id
             LEFT JOIN p ON p.user_id = u.user_id
+        """,
+        # rapid repeat orders: the literal same-customer self-join
+        # with a whole-day window (dates have no time component)
+        "orders_rapid_reorder": """
+            SELECT CAST(a.o_custkey AS BIGINT) AS o_custkey,
+                   CAST(a.o_orderkey AS BIGINT) AS first_key,
+                   CAST(b.o_orderkey AS BIGINT) AS second_key,
+                   CAST(abs(datediff('day', b.o_orderdate, a.o_orderdate))
+                        AS BIGINT) AS gap_days
+            FROM orders a
+            JOIN orders b ON b.o_custkey = a.o_custkey
+                         AND a.o_orderkey < b.o_orderkey
+            WHERE abs(datediff('day', b.o_orderdate, a.o_orderdate)) <= 7
         """,
         "events_funnel": """
             WITH v AS (

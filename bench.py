@@ -384,6 +384,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_quality_report",
         "crawl_wave_skew",
         "events_funnel_windowed",
+        "orders_rapid_reorder",
     ]
     qs = E.queries()
     out = {}

@@ -9183,3 +9183,68 @@ def events_funnel_windowed(
         .groupby("bucket")
         .map_groups(funnel, batch_format="pandas")
     )
+
+
+RAPID_REORDER_DAYS = 7
+
+
+def orders_rapid_reorder(
+    sf_dir: str, window_days: int = RAPID_REORDER_DAYS
+) -> rd.Dataset:
+    """(o_custkey, first_key, second_key, gap_days): pairs of orders
+    from the SAME customer placed within ``window_days`` of each
+    other — the rapid-repeat shape behind duplicate-submission
+    detection, split-order reconciliation and velocity-based fraud
+    flags. Pairs are unordered (first_key < second_key by orderkey);
+    gap_days is the absolute date difference in whole days (dates
+    carry no time component, so integer day arithmetic is exact on
+    both engines).
+
+    Scale shape: one custkey-hash co-group — every customer's orders
+    co-locate, the within-group pairing is a vectorized self-merge
+    bounded by per-customer order count (TPC-H ≤ ~41; a real
+    power-law customer would ride the same per-key cap as the other
+    per-entity pair ops), and only qualifying pairs leave the group.
+    Full SQL oracle: the literal self-join."""
+    from suckit_ray.stages.agg import default_buckets
+
+    B = default_buckets()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].astype("int64"),
+                "cust": df["o_custkey"].astype("int64"),
+                "day": (
+                    df["o_orderdate"]
+                    .to_numpy()
+                    .astype("datetime64[D]")
+                    .astype("int64")
+                ),
+                "bucket": (df["o_custkey"].astype("int64") % B),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="cust")
+        m = m[m["key_x"] < m["key_y"]]
+        gap = (m["day_x"] - m["day_y"]).abs()
+        m = m[gap <= window_days]
+        return pd.DataFrame(
+            {
+                "o_custkey": m["cust"].astype("int64"),
+                "first_key": m["key_x"].astype("int64"),
+                "second_key": m["key_y"].astype("int64"),
+                "gap_days": (m["day_x"] - m["day_y"]).abs().astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
