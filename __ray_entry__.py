@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.lsh_topk,
         "ann_pq_topk": ann.pq_topk,
         "embeddings_kmeans": ann.kmeans_assign,
+        "embeddings_norm_stats": ann.embeddings_norm_stats,
         "embeddings_dbscan": ann.embeddings_dbscan,
         "embeddings_knn_graph": ann.embeddings_knn_graph,
         "embeddings_hard_negatives": ann.embeddings_hard_negatives,
@@ -1736,6 +1737,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings v
             LEFT JOIN comp ON comp.id = v.vec_id
             LEFT JOIN border ON border.id = v.vec_id
+        """,
+        "embeddings_norm_stats": """
+            WITH q AS (
+              SELECT label,
+                     (SELECT SUM(CAST(floor(CAST(u.x AS DOUBLE) * 1000)
+                                      AS BIGINT)
+                                 * CAST(floor(CAST(u.x AS DOUBLE) * 1000)
+                                        AS BIGINT))
+                      FROM UNNEST(embedding) AS u(x)) AS n2
+              FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(min(n2) AS BIGINT) AS min_norm2_q,
+                   CAST(max(n2) AS BIGINT) AS max_norm2_q,
+                   CAST(sum(n2) AS BIGINT) AS sum_norm2_q
+            FROM q GROUP BY label
         """,
         "docs_semantic_decontaminate": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id < 10),

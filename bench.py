@@ -385,6 +385,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_wave_skew",
         "events_funnel_windowed",
         "orders_rapid_reorder",
+        "embeddings_norm_stats",
     ]
     qs = E.queries()
     out = {}

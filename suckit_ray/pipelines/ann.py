@@ -1704,3 +1704,50 @@ def mmr_topk(sf_dir: str, k: int = MMR_K, pool: int = MMR_POOL) -> pa.Table:
             "mmr_pct10": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def embeddings_norm_stats(sf_dir: str) -> pa.Table:
+    """(label, n_vecs, min_norm2_q, max_norm2_q, sum_norm2_q): the
+    embedding-hygiene audit — per label, the count and the
+    min/max/sum of the QUANTIZED squared norm
+
+        norm2_q = Σ_d floor(x_d · 10³)²   (int64, exact)
+
+    run before trusting any cosine-based stage: dead vectors
+    (norm ≈ 0) silently match everything after normalization, and
+    exploding norms flag an upstream encoder fault. Per-component
+    quantization BEFORE summation sidesteps float reduction-order
+    drift entirely (the micronat idiom), so the SQL oracle matches
+    bit for bit; components CAST to DOUBLE before scaling (the
+    float32-promotion gotcha).
+
+    Scale shape: one streaming pass, per-batch partials per label,
+    O(labels) rows to the driver — no shuffle."""
+    parts = _read_embeddings(sf_dir, with_label=True).map_batches(
+        lambda df: _norm_partial(df), batch_format="pandas"
+    ).to_pandas()
+    agg = parts.groupby("label", as_index=False).agg(
+        n_vecs=("n", "sum"),
+        min_norm2_q=("mn", "min"),
+        max_norm2_q=("mx", "max"),
+        sum_norm2_q=("sm", "sum"),
+    ).sort_values("label")
+    return pa.table(
+        {
+            "label": pa.array(agg["label"].astype("int64")),
+            "n_vecs": pa.array(agg["n_vecs"].astype("int64")),
+            "min_norm2_q": pa.array(agg["min_norm2_q"].astype("int64")),
+            "max_norm2_q": pa.array(agg["max_norm2_q"].astype("int64")),
+            "sum_norm2_q": pa.array(agg["sum_norm2_q"].astype("int64")),
+        }
+    )
+
+
+def _norm_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(m * 1000.0).astype(np.int64)
+    n2 = (q * q).sum(axis=1)
+    out = pd.DataFrame({"label": df["label"].astype("int64"), "n2": n2})
+    return out.groupby("label", as_index=False).agg(
+        n=("n2", "size"), mn=("n2", "min"), mx=("n2", "max"), sm=("n2", "sum")
+    )
