@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_arrow_roundtrip": formats.docs_arrow_roundtrip,
         "docs_webdataset_roundtrip": formats.docs_webdataset_roundtrip,
         "docs_csv_roundtrip": formats.docs_csv_roundtrip,
+        "docs_tfrecord_roundtrip": formats.docs_tfrecord_roundtrip,
         # compaction: bin-pack the per-wave small files, then pass the
         # SAME recursive-CTE mirror oracle over the compacted tree
         "crawl_mirror_compacted": _crawl_mirror_compacted,
@@ -7011,6 +7012,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "docs_csv_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # TFRecord framing round-trip: same identity-oracle idiom
+        "docs_tfrecord_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "docs_arrow_roundtrip": """

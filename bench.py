@@ -386,6 +386,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_funnel_windowed",
         "orders_rapid_reorder",
         "embeddings_norm_stats",
+        "docs_tfrecord_roundtrip",
     ]
     qs = E.queries()
     out = {}

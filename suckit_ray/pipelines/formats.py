@@ -225,3 +225,139 @@ def docs_arrow_roundtrip(sf_dir: str) -> rd.Dataset:
     out = _scratch("suckit_arrow_rt_")
     write_arrow_ipc(docs, out)
     return read_arrow_ipc(out).select_columns(DOC_COLS)
+
+
+# ----- TFRecord framing (TensorFlow's public record format) -----
+# Each record: uint64-LE payload length, uint32-LE masked crc32c of
+# those 8 length bytes, payload, uint32-LE masked crc32c of the
+# payload; mask(c) = ((c >> 15 | c << 17) + 0xa282ead8) mod 2^32.
+# The de-facto training-shard format of the TF data stack — proving
+# the round-trip means any framing/CRC/length defect breaks the
+# identity hash. Payload here is the row as sorted-key UTF-8 JSON
+# (tf.train.Example protobuf is a payload CONVENTION, not part of
+# the framing; protobuf is not in this image).
+
+import numpy as np
+
+
+def _crc32c_table() -> "np.ndarray":
+    poly = np.uint32(0x82F63B78)
+    tbl = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        c = np.uint32(i)
+        for _ in range(8):
+            c = (c >> np.uint32(1)) ^ (poly if c & np.uint32(1) else np.uint32(0))
+        tbl[i] = c
+    return tbl
+
+
+_CRC32C_TBL = _crc32c_table()
+
+
+def _crc32c_many(blobs: "list[bytes]") -> "np.ndarray":
+    """Castagnoli CRCs of many byte strings, vectorized ACROSS records
+    (CRC is serial per byte, so the loop runs over positions — ~payload
+    length iterations of O(records) numpy work, not records×bytes
+    Python steps). A native crc32c drops in at real scale."""
+    n = len(blobs)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    arr = np.zeros((n, maxlen), dtype=np.uint8)
+    for r, b in enumerate(blobs):
+        arr[r, : len(b)] = np.frombuffer(b, np.uint8)
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    for i in range(maxlen):
+        active = lens > i
+        c = crc[active]
+        crc[active] = (c >> np.uint32(8)) ^ _CRC32C_TBL[
+            (c ^ arr[active, i]) & np.uint32(0xFF)
+        ]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def _tfrecord_mask(crc: "np.ndarray") -> "np.ndarray":
+    c = crc.astype(np.uint32)
+    return (
+        ((c >> np.uint32(15)) | (c << np.uint32(17)))
+        + np.uint32(0xA282EAD8)
+    ).astype(np.uint32)
+
+
+def write_tfrecord_blocks(ds: rd.Dataset, out_dir: str) -> None:
+    """One .tfrecord file per block, written by distributed tasks
+    (shared-scratch contract like every other sink here); rows are
+    framed as sorted-key JSON payloads."""
+    import json as _json
+
+    import pyarrow as pa
+
+    def write_block(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        if not rows:
+            return pa.table({"path": pa.array([], pa.string())})
+        payloads = [
+            _json.dumps(r, sort_keys=True, ensure_ascii=False).encode()
+            for r in rows
+        ]
+        lens = [len(p).to_bytes(8, "little") for p in payloads]
+        lcrc = _tfrecord_mask(_crc32c_many(lens))
+        pcrc = _tfrecord_mask(_crc32c_many(payloads))
+        buf = bytearray()
+        for ln, lc, p, pc in zip(lens, lcrc, payloads, pcrc):
+            buf += ln
+            buf += int(lc).to_bytes(4, "little")
+            buf += p
+            buf += int(pc).to_bytes(4, "little")
+        lo = min(r["doc_id"] for r in rows)
+        path = os.path.join(out_dir, f"part-{int(lo):08d}.tfrecord")
+        with open(path, "wb") as f:
+            f.write(bytes(buf))
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    os.makedirs(out_dir, exist_ok=True)
+    # count() drives execution; paths themselves are not needed
+    ds.map_batches(write_block, batch_format="pyarrow", batch_size=None).count()
+
+
+def read_tfrecord(out_dir: str) -> rd.Dataset:
+    """Streaming read-back: one parse task per shard; BOTH CRCs are
+    verified per record — a flipped byte raises instead of yielding a
+    corrupt row (pinned in tests)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    def parse(t: pa.Table) -> pa.Table:
+        rows = []
+        for blob in t.column("bytes").to_pylist():
+            pos, n = 0, len(blob)
+            while pos < n:
+                ln_b = blob[pos : pos + 8]
+                ln = int.from_bytes(ln_b, "little")
+                lc = int.from_bytes(blob[pos + 8 : pos + 12], "little")
+                p = blob[pos + 12 : pos + 12 + ln]
+                pc = int.from_bytes(
+                    blob[pos + 12 + ln : pos + 16 + ln], "little"
+                )
+                want_lc = int(_tfrecord_mask(_crc32c_many([ln_b]))[0])
+                want_pc = int(_tfrecord_mask(_crc32c_many([p]))[0])
+                if lc != want_lc or pc != want_pc:
+                    raise ValueError(
+                        f"TFRecord CRC mismatch at offset {pos}"
+                    )
+                rows.append(_json.loads(p.decode()))
+                pos += 16 + ln
+        return pa.Table.from_pylist(rows)
+
+    return rd.read_binary_files(out_dir).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+def docs_tfrecord_roundtrip(sf_dir: str) -> rd.Dataset:
+    """queries() entry: documents → TFRecord shards → back. Oracle:
+    identity SELECT — framing, CRC or JSON defects break the hash."""
+    out = _scratch("suckit_tfrecord_rt_")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+    write_tfrecord_blocks(docs, out)
+    return read_tfrecord(out).select_columns(DOC_COLS)

@@ -866,3 +866,48 @@ class TestWaveSkewAndWindowedFunnel:
         w = events_funnel_windowed(str(tmp_path)).to_pandas()
         assert int(p["stage"].iloc[0]) == 3
         assert int(w["stage"].iloc[0]) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfrecordRoundtrip:
+    def test_crc32c_check_vector(self):
+        """The standard Castagnoli check value — a self-consistent
+        WRONG CRC would round-trip fine, so pin the public vector."""
+        from suckit_ray.pipelines.formats import _crc32c_many
+
+        assert int(_crc32c_many([b"123456789"])[0]) == 0xE3069283
+        assert int(_crc32c_many([b""])[0]) == 0
+
+    def test_roundtrip_and_corruption_detection(self, tmp_path):
+        import glob as _glob
+
+        import ray.data as rd
+
+        from suckit_ray.pipelines.formats import (
+            read_tfrecord,
+            write_tfrecord_blocks,
+        )
+
+        docs = rd.from_items(
+            [
+                {"doc_id": i, "text": f"doc {i} body text", "lang": "en"}
+                for i in range(20)
+            ]
+        ).repartition(3)
+        out = str(tmp_path / "tfr")
+        write_tfrecord_blocks(docs, out)
+        back = (
+            read_tfrecord(out)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert back["doc_id"].tolist() == list(range(20))
+        assert back["text"].iloc[5] == "doc 5 body text"
+        # flip one payload byte: the reader must refuse, not emit junk
+        path = sorted(_glob.glob(f"{out}/*.tfrecord"))[0]
+        blob = bytearray(open(path, "rb").read())
+        blob[20] ^= 0xFF
+        open(path, "wb").write(bytes(blob))
+        with pytest.raises(Exception, match="CRC mismatch"):
+            read_tfrecord(out).to_pandas()
