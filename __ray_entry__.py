@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": textops.docs_dsir_weights,
         "docs_nfc_normalize": textops.docs_nfc_normalize,
         "docs_readability": textops.docs_readability,
+        "docs_token_entropy": textops.docs_token_entropy,
         "docs_compression_ratio": textops.docs_compression_ratio,
         "docs_rake_topk": textops.docs_rake_topk,
         "docs_weighted_sample": textops.docs_weighted_sample,
@@ -2253,6 +2254,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Flesch reading-ease as one exact trunc-division (// is
         # truncating in DuckDB; the engine mirrors it)
+        # per-doc token-distribution entropy in exact micronats (the
+        # shared _xlx quantizer; x<=0 and c=1 terms are 0)
+        "docs_token_entropy": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents),
+            cnt AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            per AS (
+              SELECT doc_id, SUM(c) AS n, count(*) AS types,
+                     SUM({_xlx('c')}) AS s
+              FROM cnt GROUP BY 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(types AS BIGINT) AS n_types,
+                   CAST(({_xlx('n')} - s) // n AS BIGINT) AS ent_micro
+            FROM per
+        """,
         "docs_readability": """
             WITH c AS (
               SELECT doc_id,

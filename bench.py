@@ -387,6 +387,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_rapid_reorder",
         "embeddings_norm_stats",
         "docs_tfrecord_roundtrip",
+        "docs_token_entropy",
     ]
     qs = E.queries()
     out = {}

@@ -4435,3 +4435,59 @@ def docs_quality_report(sf_dir: str) -> "rd.Dataset":
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def docs_token_entropy(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_tokens, n_types, ent_micro): per-document Shannon
+    entropy of the TOKEN distribution in exact integer micronats —
+    the gibberish/boilerplate detector that complements
+    ``docs_compression_ratio`` (deflate measures STRING redundancy;
+    token entropy measures VOCABULARY concentration — a page
+    repeating one word to game length checks scores near 0 here while
+    still compressing unremarkably at small sizes).
+
+        H = ln N − (1/N)·Σ_t c_t·ln c_t
+        ent_micro = (xlx(N) − Σ_t xlx(c_t)) // N,
+        xlx(x) = floor(x·ln x·10⁶)
+
+    — every term an int64 and the division a floor, so the oracle
+    (which spells the same xlx quantizer) matches bit for bit; the
+    lm_score/keyness micronat idiom. Token-less documents are
+    omitted (no distribution to score), mirroring the oracle's inner
+    unnest. One map_batches pass; nothing shuffles."""
+    import math
+
+    import numpy as np
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, ns, types_, ents = [], [], [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            toks = t.split()
+            if not toks:
+                continue
+            n = len(toks)
+            counts: dict[str, int] = {}
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+            s = sum(
+                math.floor(c * math.log(c) * 1_000_000)
+                for c in counts.values()
+                if c > 1
+            )
+            top = math.floor(n * math.log(n) * 1_000_000) if n > 1 else 0
+            doc_ids.append(int(d))
+            ns.append(n)
+            types_.append(len(counts))
+            ents.append((top - s) // n)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "n_tokens": pd.array(ns, dtype="int64"),
+                "n_types": pd.array(types_, dtype="int64"),
+                "ent_micro": pd.array(ents, dtype="int64"),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(ent, batch_format="pandas")

@@ -911,3 +911,36 @@ class TestTfrecordRoundtrip:
         open(path, "wb").write(bytes(blob))
         with pytest.raises(Exception, match="CRC mismatch"):
             read_tfrecord(out).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenEntropy:
+    def test_degenerate_and_uniform_extremes(self, tmp_path):
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from suckit_ray.pipelines.textops import docs_token_entropy
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(
+                        ["spam spam spam spam", "a b c d", ""], pa.string()
+                    ),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        t = (
+            docs_token_entropy(str(tmp_path))
+            .to_pandas().set_index("doc_id")
+        )
+        assert 2 not in t.index  # token-less doc omitted
+        assert t.loc[0, "ent_micro"] == 0  # one repeated word
+        # uniform over 4 types: H = ln 4
+        want = math.floor(4 * math.log(4) * 1_000_000) // 4
+        assert t.loc[1, "ent_micro"] == want
+        assert t.loc[1, "n_types"] == 4
