@@ -594,7 +594,7 @@ def _minhash_oracle_sql() -> str:
               GROUP BY 1, 2
             )
             SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
-                   CAST(floor(10000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_pct
+                   CAST((10000 * i) // (sa.n + sb.n - i) AS BIGINT) AS jaccard_pct
             FROM inter
             JOIN sizes sa ON sa.doc_id = a_id
             JOIN sizes sb ON sb.doc_id = b_id
@@ -659,8 +659,8 @@ def _minhash_calibration_oracle_sql() -> str:
               SELECT e.a_id, e.b_id,
                      (10000 * e.eqc) // {dedup.NUM_PERM} AS est_pct,
                      CASE WHEN sa.n + sb.n - COALESCE(i.i, 0) = 0 THEN 0
-                          ELSE CAST(floor(10000.0 * COALESCE(i.i, 0)
-                               / (sa.n + sb.n - COALESCE(i.i, 0))) AS BIGINT)
+                          ELSE CAST((10000 * COALESCE(i.i, 0))
+                               // (sa.n + sb.n - COALESCE(i.i, 0)) AS BIGINT)
                      END AS jaccard_pct
               FROM eq e
               JOIN sizes sa ON sa.doc_id = e.a_id
@@ -1568,7 +1568,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
-                   CAST(floor(10000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_pct
+                   CAST((10000 * i) // (sa.n + sb.n - i) AS BIGINT) AS jaccard_pct
             FROM inter
             JOIN sizes sa ON sa.doc_id = a_id
             JOIN sizes sb ON sb.doc_id = b_id

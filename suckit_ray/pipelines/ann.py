@@ -1318,23 +1318,25 @@ def embeddings_dbscan(
             elif vc and not uc:
                 r = root[v]
                 border[u] = min(border.get(u, r), r)
-        core_ref = ray.put((core_set, root, border))
+        core_ref = ray.put((root, border))
 
         def assemble_small(df: pd.DataFrame) -> pd.DataFrame:
-            cs, rt, bd = ray.get(core_ref)
-            ids = df["vec_id"].to_numpy().astype(np.int64)
-            is_core = np.array([int(i) in cs for i in ids], dtype=bool)
-            cluster = np.array(
-                [
-                    rt[int(i)]
-                    if int(i) in cs
-                    else bd.get(int(i), -1)
-                    for i in ids
-                ],
-                dtype=np.int64,
+            # vectorized map lookups — the edge LIMIT bounds the maps,
+            # not the corpus, so a per-row Python loop here would be
+            # O(corpus) interpreter work (review r4 finding)
+            rt, bd = ray.get(core_ref)
+            ids = pd.Series(df["vec_id"].to_numpy().astype(np.int64))
+            root_s = ids.map(rt)  # NaN for non-core
+            is_core = root_s.notna()
+            cluster = (
+                root_s.fillna(ids.map(bd)).fillna(-1).astype("int64")
             )
             return pd.DataFrame(
-                {"vec_id": ids, "is_core": is_core, "cluster": cluster}
+                {
+                    "vec_id": ids.to_numpy(),
+                    "is_core": is_core.to_numpy(),
+                    "cluster": cluster.to_numpy(),
+                }
             )
 
         return ds.map_batches(assemble_small, batch_format="pandas")

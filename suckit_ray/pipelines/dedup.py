@@ -336,7 +336,11 @@ def minhash_lsh_pairs(
             if j >= JACCARD_THRESHOLD:
                 a_ids.append(int(a))
                 b_ids.append(int(b))
-                jpcts.append(int(np.floor(j * 10000)))
+                # exact integer quantization: floor(j*1e4) in float
+                # can land one below (10000*i)//u on ratios like
+                # 57/100 (review r4 finding) — both engines now
+                # spell the integer division
+                jpcts.append((10000 * inter) // union if union else 0)
         return pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "jaccard_pct": jpcts})
 
     out = uniq.map_batches(verify, batch_format="pandas").to_pandas()
@@ -400,7 +404,10 @@ def _ngram_pair_dataset(
             {
                 "a_id": df.loc[keep, "a_id"].astype("int64"),
                 "b_id": df.loc[keep, "b_id"].astype("int64"),
-                "jaccard_pct": np.floor(j[keep] * 10000).astype("int64"),
+                # integer quantization (see the verify-path note)
+                "jaccard_pct": (
+                    (10000 * df.loc[keep, "inter"]) // union[keep]
+                ).astype("int64"),
             }
         )
 
@@ -1297,8 +1304,7 @@ def minhash_calibration(sf_dir: str) -> pa.Table:
             est = (10000 * int((sga == sgb).sum())) // NUM_PERM
             inter = len(sha & shb)
             union = len(sha) + len(shb) - inter
-            j = inter / union if union else 0.0
-            jp = int(np.floor(j * 10000))
+            jp = (10000 * inter) // union if union else 0
             rows.append((int(a), int(b), est, jp, abs(est - jp)))
         return pd.DataFrame(
             rows, columns=["a_id", "b_id", "est_pct", "jaccard_pct", "abs_err"]
@@ -1398,7 +1404,11 @@ def _verify_shuffled(
             if j >= JACCARD_THRESHOLD:
                 a_ids.append(int(a))
                 b_ids.append(int(b))
-                jpcts.append(int(np.floor(j * 10000)))
+                # exact integer quantization: floor(j*1e4) in float
+                # can land one below (10000*i)//u on ratios like
+                # 57/100 (review r4 finding) — both engines now
+                # spell the integer division
+                jpcts.append((10000 * inter) // union if union else 0)
         return pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "jaccard_pct": jpcts})
 
     out = joined.map_batches(verify, batch_format="pandas").to_pandas()

@@ -328,26 +328,44 @@ def read_tfrecord(out_dir: str) -> rd.Dataset:
     import pyarrow as pa
 
     def parse(t: pa.Table) -> pa.Table:
-        rows = []
+        # split the framing first, then verify ALL records' CRCs in
+        # two batched _crc32c_many calls — the vectorization is
+        # across records, so per-record singleton calls would degrade
+        # to O(total_bytes) numpy dispatches (review r4 finding)
+        len_bs, payloads, got_lc, got_pc, offs = [], [], [], [], []
         for blob in t.column("bytes").to_pylist():
             pos, n = 0, len(blob)
             while pos < n:
                 ln_b = blob[pos : pos + 8]
                 ln = int.from_bytes(ln_b, "little")
-                lc = int.from_bytes(blob[pos + 8 : pos + 12], "little")
-                p = blob[pos + 12 : pos + 12 + ln]
-                pc = int.from_bytes(
-                    blob[pos + 12 + ln : pos + 16 + ln], "little"
+                len_bs.append(ln_b)
+                got_lc.append(
+                    int.from_bytes(blob[pos + 8 : pos + 12], "little")
                 )
-                want_lc = int(_tfrecord_mask(_crc32c_many([ln_b]))[0])
-                want_pc = int(_tfrecord_mask(_crc32c_many([p]))[0])
-                if lc != want_lc or pc != want_pc:
-                    raise ValueError(
-                        f"TFRecord CRC mismatch at offset {pos}"
+                payloads.append(blob[pos + 12 : pos + 12 + ln])
+                got_pc.append(
+                    int.from_bytes(
+                        blob[pos + 12 + ln : pos + 16 + ln], "little"
                     )
-                rows.append(_json.loads(p.decode()))
+                )
+                offs.append(pos)
                 pos += 16 + ln
-        return pa.Table.from_pylist(rows)
+        if not payloads:
+            return pa.table({})
+        want_lc = _tfrecord_mask(_crc32c_many(len_bs))
+        want_pc = _tfrecord_mask(_crc32c_many(payloads))
+        import numpy as _np
+
+        bad = (want_lc != _np.array(got_lc, dtype=_np.uint32)) | (
+            want_pc != _np.array(got_pc, dtype=_np.uint32)
+        )
+        if bad.any():
+            raise ValueError(
+                f"TFRecord CRC mismatch at offset {offs[int(bad.argmax())]}"
+            )
+        return pa.Table.from_pylist(
+            [_json.loads(p.decode()) for p in payloads]
+        )
 
     return rd.read_binary_files(out_dir).map_batches(
         parse, batch_format="pyarrow"

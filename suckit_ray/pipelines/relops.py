@@ -673,7 +673,7 @@ def events_top_k_per_user(sf_dir: str, k: int = TOPK_PER_USER) -> rd.Dataset:
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def events_funnel(sf_dir: str) -> rd.Dataset:
+def events_funnel(sf_dir: str, window_us: int | None = None) -> rd.Dataset:
     """(user_id, stage): how far each user progressed through the
     ordered view → click → purchase funnel — stage 1 requires a view,
     stage 2 a click STRICTLY AFTER that first view, stage 3 a purchase
@@ -695,6 +695,8 @@ def events_funnel(sf_dir: str) -> rd.Dataset:
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(bucket=(df["user_id"] % B).astype("int64"))
 
+    w = np.timedelta64(window_us, "us") if window_us is not None else None
+
     def funnel(g: pd.DataFrame) -> pd.DataFrame:
         users = g["user_id"].unique()
         prev = None  # per-user gate timestamp from the previous step
@@ -703,7 +705,10 @@ def events_funnel(sf_dir: str) -> rd.Dataset:
             ev = g[g["event_type"] == step]
             if prev is not None:
                 gate = ev["user_id"].map(prev)
-                ev = ev[gate.notna() & (ev["ts"] > gate)]
+                ok = gate.notna() & (ev["ts"] > gate)
+                if w is not None:  # per-step conversion window
+                    ok &= ev["ts"] <= gate + w
+                ev = ev[ok]
             cur = ev.groupby("user_id")["ts"].min()
             stage.loc[stage.index.isin(cur.index)] = i
             prev = cur
@@ -9142,47 +9147,12 @@ def events_funnel_windowed(
     WINDOW — step k counts only when it lands strictly after the
     previous step's gate timestamp AND within ``window_us`` of it
     (product-analytics funnels are almost always windowed: a purchase
-    months after the click is a new journey, not a conversion). The
-    gate for the next step is the earliest QUALIFYING event, exactly
-    like the unwindowed ``events_funnel`` — same plan, one extra
-    vectorized comparison per step; oracle = the funnel CTE chain
-    with the window bound added to each step's join."""
-    from suckit_ray.stages.agg import default_buckets
-
-    B = default_buckets()
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
-    )
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(bucket=(df["user_id"] % B).astype("int64"))
-
-    def funnel(g: pd.DataFrame) -> pd.DataFrame:
-        users = g["user_id"].unique()
-        prev = None
-        stage = pd.Series(0, index=users, dtype="int64")
-        w = np.timedelta64(window_us, "us")
-        for i, step in enumerate(FUNNEL_STEPS, start=1):
-            ev = g[g["event_type"] == step]
-            if prev is not None:
-                gate = ev["user_id"].map(prev)
-                ev = ev[
-                    gate.notna()
-                    & (ev["ts"] > gate)
-                    & (ev["ts"] <= gate + w)
-                ]
-            cur = ev.groupby("user_id")["ts"].min()
-            stage.loc[stage.index.isin(cur.index)] = i
-            prev = cur
-        return pd.DataFrame(
-            {"user_id": stage.index.astype("int64"), "stage": stage.to_numpy()}
-        )
-
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(funnel, batch_format="pandas")
-    )
+    months after the click is a new journey, not a conversion). A
+    thin wrapper over ``events_funnel`` — one implementation, one
+    extra vectorized comparison per step (review r4: the duplicated
+    body was a divergence hazard); oracle = the funnel CTE chain with
+    the window bound added to each step's join."""
+    return events_funnel(sf_dir, window_us=window_us)
 
 
 RAPID_REORDER_DAYS = 7
@@ -9233,13 +9203,14 @@ def orders_rapid_reorder(
         m = g.merge(g, on="cust")
         m = m[m["key_x"] < m["key_y"]]
         gap = (m["day_x"] - m["day_y"]).abs()
-        m = m[gap <= window_days]
+        keep = gap <= window_days
+        m, gap = m[keep], gap[keep]
         return pd.DataFrame(
             {
                 "o_custkey": m["cust"].astype("int64"),
                 "first_key": m["key_x"].astype("int64"),
                 "second_key": m["key_y"].astype("int64"),
-                "gap_days": (m["day_x"] - m["day_y"]).abs().astype("int64"),
+                "gap_days": gap.astype("int64"),
             }
         )
 

@@ -4412,8 +4412,11 @@ def docs_quality_report(sf_dir: str) -> "rd.Dataset":
         ),
         batch_format="pandas",
     )
-    joined = gf.join(cf, "inner", 4, on=("doc_id",), right_on=("c_doc",)).join(
-        rf, "inner", 4, on=("doc_id",), right_on=("r_doc",)
+    from suckit_ray.stages.agg import default_buckets
+
+    P = max(2, default_buckets() // 4)  # cluster-scaled join fan-out
+    joined = gf.join(cf, "inner", P, on=("doc_id",), right_on=("c_doc",)).join(
+        rf, "inner", P, on=("doc_id",), right_on=("r_doc",)
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -944,3 +944,36 @@ class TestTokenEntropy:
         want = math.floor(4 * math.log(4) * 1_000_000) // 4
         assert t.loc[1, "ent_micro"] == want
         assert t.loc[1, "n_types"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJaccardIntegerQuantization:
+    def test_57_over_100_lands_on_5700(self, tmp_path):
+        """Review-pass regression: floor((57/100)·10⁴) in float64 is
+        5699 (0.57 is not representable), while the oracle's
+        (10⁴·57)//100 is 5700 — both sides now spell the integer
+        division. Engineered pair: doc B = prefix of doc A, giving
+        exactly 57 shared / 100 union 3-gram shingles."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from suckit_ray.pipelines.dedup import ngram_jaccard_pairs
+
+        assert int(np.floor((57 / 100) * 10000)) == 5699  # the trap
+        toks = [f"w{i}" for i in range(102)]  # 100 shingles
+        a = " ".join(toks)
+        b = " ".join(toks[:59])  # 57 shingles, all shared
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array([a, b], pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        t = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
+        row = t[(t.a_id == 0) & (t.b_id == 1)]
+        assert len(row) == 1
+        assert int(row["jaccard_pct"].iloc[0]) == 5700
