@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "docs_ngram_novelty": dedup.docs_ngram_novelty,
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "docs_dedup_keep_best": dedup.docs_dedup_keep_best,
@@ -298,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann.pq_topk,
         "embeddings_kmeans": ann.kmeans_assign,
         "embeddings_norm_stats": ann.embeddings_norm_stats,
+        "ann_knn_classify": ann.ann_knn_classify,
         "embeddings_dbscan": ann.embeddings_dbscan,
         "embeddings_knn_graph": ann.embeddings_knn_graph,
         "embeddings_hard_negatives": ann.embeddings_hard_negatives,
@@ -1545,6 +1547,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
+        # per-doc novelty contribution in doc_id order: shingle first
+        # occurrences via min(doc_id), exact integer pct
+        "docs_ngram_novelty": rf"""
+            WITH {_SHINGLE_CTE},
+            firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+            per AS (
+              SELECT sh.doc_id, count(*) AS n_shingles,
+                     SUM(CASE WHEN f.first_doc = sh.doc_id
+                              THEN 1 ELSE 0 END) AS n_novel
+              FROM sh JOIN firsts f USING (s) GROUP BY 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(n_novel AS BIGINT) AS n_novel,
+                   CAST((10000 * n_novel) // n_shingles AS BIGINT)
+                     AS novelty_pct
+            FROM per
+        """,
         "ngram_jaccard_pairs": r"""
             -- assumes every document has >= 3 tokens (true for this corpus);
             -- 1-based list indexing, lateral generate_series per doc
@@ -1739,6 +1758,34 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings v
             LEFT JOIN comp ON comp.id = v.vec_id
             LEFT JOIN border ON border.id = v.vec_id
+        """,
+        # leave-one-out kNN classification: scored cross join,
+        # ROW_NUMBER <= 5 by (cos_pct desc, vec_id asc), majority
+        # label with count-desc/label-asc tie rule
+        "ann_knn_classify": """
+            WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                              CAST(embedding AS DOUBLE[]) e FROM embeddings),
+            scored AS (
+              SELECT a.vec_id, b.label AS nlabel,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY CAST(floor(list_cosine_similarity(a.e, b.e)
+                                           * 10000) AS BIGINT) DESC,
+                                b.vec_id ASC) AS rnk
+              FROM v a JOIN v b ON b.vec_id <> a.vec_id),
+            votes AS (
+              SELECT vec_id, nlabel, count(*) AS c
+              FROM scored WHERE rnk <= 5 GROUP BY 1, 2),
+            pred AS (
+              SELECT vec_id, nlabel AS predicted,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c DESC, nlabel ASC) AS pr
+              FROM votes)
+            SELECT CAST(v.vec_id AS BIGINT) AS vec_id, v.label,
+                   CAST(p.predicted AS BIGINT) AS predicted,
+                   (p.predicted = v.label) AS correct
+            FROM v JOIN pred p ON p.vec_id = v.vec_id AND p.pr = 1
         """,
         "embeddings_norm_stats": """
             WITH q AS (

@@ -388,6 +388,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_norm_stats",
         "docs_tfrecord_roundtrip",
         "docs_token_entropy",
+        "ann_knn_classify",
+        "docs_ngram_novelty",
     ]
     qs = E.queries()
     out = {}

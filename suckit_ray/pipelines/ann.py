@@ -1753,3 +1753,78 @@ def _norm_partial(df: "pd.DataFrame") -> "pd.DataFrame":
     return out.groupby("label", as_index=False).agg(
         n=("n2", "size"), mn=("n2", "min"), mx=("n2", "max"), sm=("n2", "sum")
     )
+
+
+KNN_CLASSIFY_K = 5
+
+
+def ann_knn_classify(sf_dir: str, k: int = KNN_CLASSIFY_K) -> pa.Table:
+    """(vec_id, label, predicted, correct): k-NN label prediction of
+    every vector from its k nearest OTHER vectors by cosine
+    (neighbors ranked (cos_pct desc, vec_id asc); majority label,
+    ties to the SMALLEST label — deterministic, SQL-expressible), the
+    leave-one-out classifier-evaluation harness run before trusting a
+    label column for blocking or stratified sampling.
+
+    Scale shape at test size: per-batch matmul against the corpus
+    (the brute shape); at 10^10 rows the neighbor source swaps to the
+    IVF cells exactly like ``embeddings_knn_graph``'s documented
+    path. Full SQL oracle: scored cross join + ROW_NUMBER ≤ k + the
+    count-desc/label-asc mode rule."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.array(t.column("label").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids, labels = ids[order], labels[order]
+    m = _normalize(
+        np.stack(
+            [np.array(e, dtype=np.float64) for e in t.column("embedding").to_pylist()]
+        )[order]
+    )
+    corpus_ref = ray.put((ids, labels, m))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ids_, labels_, m_ = ray.get(corpus_ref)
+        q_ids = df["vec_id"].to_numpy().astype(np.int64)
+        q = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        pct = np.floor((q @ m_.T) * 10000).astype(np.int64)
+        preds = np.empty(len(q_ids), dtype=np.int64)
+        for r, qid in enumerate(q_ids):
+            mask = ids_ != qid
+            cand_pct = pct[r][mask]
+            cand_ids = ids_[mask]
+            cand_lab = labels_[mask]
+            top = np.lexsort((cand_ids, -cand_pct))[:k]
+            lab = cand_lab[top]
+            uniq, cnt = np.unique(lab, return_counts=True)
+            preds[r] = int(uniq[np.lexsort((uniq, -cnt))[0]])
+        own = df["label"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": q_ids,
+                "label": own,
+                "predicted": preds,
+                "correct": preds == own,
+            }
+        )
+
+    out = (
+        _read_embeddings(sf_dir, with_label=True)
+        .map_batches(classify, batch_format="pandas", batch_size=2048)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+            "label": pa.array(out["label"].astype("int64")),
+            "predicted": pa.array(out["predicted"].astype("int64")),
+            "correct": pa.array(out["correct"].astype(bool)),
+        }
+    )

@@ -1854,3 +1854,74 @@ def crawl_delta_bytes(sf_dir: str) -> rd.Dataset:
         return df.assign(delta_ratio_micro=ratio)
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def docs_ngram_novelty(sf_dir: str) -> pa.Table:
+    """(doc_id, n_shingles, n_novel, novelty_pct): each document's
+    NOVELTY CONTRIBUTION in doc_id order — of its distinct word
+    3-shingles, how many appear in NO smaller-id document
+    (novelty_pct = (10⁴·n_novel) // n_shingles, exact integers). The
+    per-document form of the dedup family's corpus view: near-dup
+    copies score ≈ 0, and cumulative novelty is the Heaps-style
+    "what does each source actually ADD" curve a curation pipeline
+    ranks sources by before paying to keep them.
+
+    Plan: distinct (shingle, doc_id) rows → ONE shingle-keyed
+    co-group computes each shingle's min doc_id AND attaches the
+    verdict to every member in place (the count-and-attach idiom —
+    no driver vocabulary); per-doc totals via the bucketed
+    aggregation. Shingles exchange as their strings, so the oracle's
+    string keys match exactly (no hash-collision caveat)."""
+    from suckit_ray.stages.agg import bucketed_groupby_agg, default_buckets
+
+    B = default_buckets()
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        docs, shs = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            for s in set(_word_shingles(t)):
+                docs.append(int(d))
+                shs.append(s)
+        out = pd.DataFrame(
+            {"doc_id": pd.array(docs, dtype="int64"), "s": shs}
+        )
+        out["sb"] = (
+            pd.util.hash_pandas_object(out["s"], index=False).astype("uint64")
+            % B
+        ).astype("int64")
+        return out
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("s")["doc_id"].transform("min")
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "novel": (g["doc_id"] == first).astype("int64"),
+                "one": np.ones(len(g), dtype="int64"),
+            }
+        )
+        return out.groupby("doc_id", as_index=False).agg(
+            n_novel=("novel", "sum"), n_shingles=("one", "sum")
+        )
+
+    per_doc = bucketed_groupby_agg(
+        _read_documents(sf_dir, ["doc_id", "text"], blocks=_cpu_blocks())
+        .map_batches(shingle_rows, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(attach, batch_format="pandas"),
+        ["doc_id"],
+        {"n_novel": ("n_novel", "sum"), "n_shingles": ("n_shingles", "sum")},
+    )
+    out = per_doc.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "n_shingles": pa.array(out["n_shingles"].astype("int64")),
+            "n_novel": pa.array(out["n_novel"].astype("int64")),
+            "novelty_pct": pa.array(
+                (
+                    (10000 * out["n_novel"]) // out["n_shingles"].clip(lower=1)
+                ).astype("int64")
+            ),
+        }
+    )

@@ -977,3 +977,45 @@ class TestJaccardIntegerQuantization:
         row = t[(t.a_id == 0) & (t.b_id == 1)]
         assert len(row) == 1
         assert int(row["jaccard_pct"].iloc[0]) == 5700
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnClassifyAndNovelty:
+    def test_knn_beats_majority_baseline(self):
+        from suckit_ray.pipelines.ann import ann_knn_classify
+
+        t = ann_knn_classify(SF).to_pandas()
+        assert len(t) == 500
+        acc = t["correct"].mean()
+        maj = t["label"].value_counts(normalize=True).iloc[0]
+        # labeled clusters are embedding-separable on this corpus
+        assert acc > maj, (acc, maj)
+
+    def test_novelty_duplicate_scores_zero(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from suckit_ray.pipelines.dedup import docs_ngram_novelty
+
+        a = " ".join(f"w{i}" for i in range(20))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(
+                        [a, a, "entirely novel words " + " ".join(
+                            f"x{i}" for i in range(10)
+                        )],
+                        pa.string(),
+                    ),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        t = (
+            docs_ngram_novelty(str(tmp_path))
+            .to_pandas().set_index("doc_id")
+        )
+        assert t.loc[0, "novelty_pct"] == 10000  # first copy owns all
+        assert t.loc[1, "novelty_pct"] == 0      # exact dup adds nothing
+        assert t.loc[2, "novelty_pct"] == 10000
