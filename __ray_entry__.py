@@ -1020,6 +1020,68 @@ def _pagerank_exact_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
     return head + "".join(steps) + tail
 
 
+def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
+    """The k-core of the mirror's undirected simple link graph via
+    UNROLLED simultaneous peeling (each step drops every node whose
+    within-alive degree < k; the fixpoint is the unique maximal k-core
+    and extra rounds past it are idempotent, so a fixed unroll depth ≥
+    the graph's peel depth is EXACT — the measured peel depth of the
+    synthetic web is 0 at every sf because each page keeps ≥ 2
+    undirected neighbors, and the engine raises rather than return a
+    superset if its own loop ever exhausts, so depth mismatches are
+    loud, not silent). Mirrors graph.kcore_from_docs: self-loops
+    dropped, (min,max)-dedup'd undirected edges, normpath'd node ids,
+    output = core nodes with their within-core degree."""
+    head = rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            de AS (
+              SELECT r.h AS h, r.j AS a, x.t AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+            ),
+            ue AS MATERIALIZED (
+              SELECT DISTINCT h, LEAST(a, b) AS a, GREATEST(a, b) AS b
+              FROM de WHERE a <> b
+            ),
+            half AS MATERIALIZED (
+              SELECT h, a AS node, b AS peer FROM ue
+              UNION ALL
+              SELECT h, b AS node, a AS peer FROM ue
+            ),
+            a0 AS MATERIALIZED (
+              SELECT h, node FROM (
+                SELECT h, node, count(*) AS c FROM half GROUP BY 1, 2
+              ) WHERE c >= {k}
+            )"""
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f""",
+            a{i + 1} AS MATERIALIZED (
+              SELECT h, node FROM (
+                SELECT hf.h, hf.node, count(*) AS c
+                FROM half hf
+                JOIN a{i} s ON s.h = hf.h AND s.node = hf.node
+                JOIN a{i} p ON p.h = hf.h AND p.node = hf.peer
+                GROUP BY 1, 2
+              ) WHERE c >= {k}
+            )"""
+        )
+    tail = f"""
+            SELECT hn.hn || '/p' || f.node || '.html' AS doc_id,
+                   CAST(f.c AS BIGINT) AS core_degree
+            FROM (
+              SELECT hf.h, hf.node, count(*) AS c
+              FROM half hf
+              JOIN a{rounds} s ON s.h = hf.h AND s.node = hf.node
+              JOIN a{rounds} p ON p.h = hf.h AND p.node = hf.peer
+              GROUP BY 1, 2
+            ) f JOIN hostname hn ON hn.h = f.h
+        """
+    return head + "".join(steps) + tail
+
+
 def _trustrank_oracle_sql(iters: int = 10, scale: int = 10**12) -> str:
     """All-integer TrustRank (personalized PageRank) mirrored step by
     step: identical arithmetic to ``_pagerank_exact_oracle_sql`` except
@@ -5521,6 +5583,9 @@ def oracle_sql() -> dict[str, str]:
         # all-integer PageRank (10 unrolled steps; reduction-order
         # exact, so the distributed run hash-matches)
         "crawl_pagerank_exact": _pagerank_exact_oracle_sql(),
+        # unrolled simultaneous k-core peel (depth ≥ measured peel
+        # depth; idempotent past the fixpoint, so exact)
+        "crawl_kcore": _kcore_oracle_sql(),
         # personalized-teleport variant: seeds = page 0 of every host
         "crawl_trustrank": _trustrank_oracle_sql(),
         # 4-round deterministic label propagation (mode + lexicographic tie)

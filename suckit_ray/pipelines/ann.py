@@ -1756,9 +1756,23 @@ def _norm_partial(df: "pd.DataFrame") -> "pd.DataFrame":
 
 
 KNN_CLASSIFY_K = 5
+# Auto-cutover (the DBSCAN_EXACT_PAIR_LIMIT idiom): below this corpus
+# size the brute broadcast-matmul route runs (corpus matrix bounded by
+# the constant, so the driver-side assembly is bounded by design);
+# above it the neighbor source swaps to IVF-cell blocking — no driver
+# object ever scales with the corpus on that path.
+KNN_CLASSIFY_BRUTE_LIMIT = 100_000
 
 
-def ann_knn_classify(sf_dir: str, k: int = KNN_CLASSIFY_K) -> pa.Table:
+def ann_knn_classify(
+    sf_dir: str,
+    k: int = KNN_CLASSIFY_K,
+    brute_limit: int = KNN_CLASSIFY_BRUTE_LIMIT,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    num_buckets: int = 8,
+) -> rd.Dataset:
     """(vec_id, label, predicted, correct): k-NN label prediction of
     every vector from its k nearest OTHER vectors by cosine
     (neighbors ranked (cos_pct desc, vec_id asc); majority label,
@@ -1766,65 +1780,238 @@ def ann_knn_classify(sf_dir: str, k: int = KNN_CLASSIFY_K) -> pa.Table:
     leave-one-out classifier-evaluation harness run before trusting a
     label column for blocking or stratified sampling.
 
-    Scale shape at test size: per-batch matmul against the corpus
-    (the brute shape); at 10^10 rows the neighbor source swaps to the
-    IVF cells exactly like ``embeddings_knn_graph``'s documented
-    path. Full SQL oracle: scored cross join + ROW_NUMBER ≤ k + the
-    count-desc/label-asc mode rule."""
-    import pyarrow.parquet as pq
+    Auto-routed by corpus size (``ds.count()`` — parquet metadata):
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding", "label"],
+    - ``n ≤ brute_limit``: **brute broadcast** — the corpus matrix is
+      assembled once (bounded by the cutover constant, via the
+      Dataset, not a driver parquet read), broadcast with ``ray.put``,
+      and each batch runs ONE matmul + ONE ``argpartition`` over the
+      whole batch (no per-row Python loop): self-exclusion is a
+      vectorized ``searchsorted`` sentinel, top-k selection uses the
+      composite integer key ``(10⁴−pct)·n + id_rank`` (ties broken by
+      ascending id because the corpus is id-sorted so column index IS
+      the id rank), and the majority vote is a batched ``np.add.at``
+      bincount with ``argmax`` picking the smallest label among ties
+      (labels pre-encoded to dense ascending codes).
+    - ``n > brute_limit``: **IVF-cell neighbor source** — the
+      ``embeddings_dbscan``/``embeddings_knn_graph`` scale path: a
+      coarse quantizer trains on a bounded sample, every vector fans
+      out to its ``nprobe`` nearest cells carrying its sorted probe
+      list, each cell emits per-member top-k candidates ONLY for
+      pairs whose minimum common probe cell is this cell (structural
+      dedup, zero extra shuffle; per-cell top-k of a partition of the
+      candidate set is a valid superset of the global-within-union
+      top-k), then one vec-hash co-group takes the global top-k and
+      votes. Own-label rows ride the SAME co-group as a tagged union
+      (``is_self`` marker) so vectors with an empty probe
+      neighborhood still appear (predicted = −1, the documented
+      "unclassifiable under these probes" sentinel) without a
+      Dataset.join. With ``nprobe == n_clusters`` the route is
+      exhaustive and prediction-identical to the brute path (the
+      forced-cutover equality pin in tests).
+
+    Returns a Dataset (no driver-side collect of the result). Full
+    SQL oracle: scored cross join + ROW_NUMBER ≤ k + the
+    count-desc/label-asc mode rule (brute route at oracle sizes)."""
+    ds = _read_embeddings(sf_dir, with_label=True)
+    n = ds.count()
+    if n <= brute_limit:
+        return _knn_classify_brute(ds, n, k)
+    return _knn_classify_ivf(
+        ds, k, n_clusters=n_clusters, nprobe=nprobe,
+        sample_size=sample_size, num_buckets=num_buckets,
     )
-    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-    labels = np.array(t.column("label").to_pylist(), dtype=np.int64)
-    order = np.argsort(ids)
-    ids, labels = ids[order], labels[order]
-    m = _normalize(
-        np.stack(
-            [np.array(e, dtype=np.float64) for e in t.column("embedding").to_pylist()]
-        )[order]
-    )
-    corpus_ref = ray.put((ids, labels, m))
+
+
+def _knn_classify_brute(ds: rd.Dataset, n: int, k: int) -> rd.Dataset:
+    corpus = ds.to_pandas()  # bounded by KNN_CLASSIFY_BRUTE_LIMIT
+    order = np.argsort(corpus["vec_id"].to_numpy())
+    ids = corpus["vec_id"].to_numpy().astype(np.int64)[order]
+    labels = corpus["label"].to_numpy().astype(np.int64)[order]
+    m = _normalize(np.stack(corpus["embedding"].to_numpy()[order]).astype(np.float64))
+    uniq = np.unique(labels)  # ascending — argmax ties → smallest label
+    lab_codes = np.searchsorted(uniq, labels)
+    corpus_ref = ray.put((ids, labels, m, uniq, lab_codes))
+    kk = min(k, n - 1)
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        ids_, labels_, m_ = ray.get(corpus_ref)
+        ids_, _labels_, m_, uniq_, codes_ = ray.get(corpus_ref)
         q_ids = df["vec_id"].to_numpy().astype(np.int64)
+        if kk < 1:  # single-vector corpus: no OTHER neighbors exist
+            own = df["label"].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "vec_id": q_ids,
+                    "label": own,
+                    "predicted": np.full(len(q_ids), -1, dtype=np.int64),
+                    "correct": np.zeros(len(q_ids), dtype=bool),
+                }
+            )
         q = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
         pct = np.floor((q @ m_.T) * 10000).astype(np.int64)
-        preds = np.empty(len(q_ids), dtype=np.int64)
-        for r, qid in enumerate(q_ids):
-            mask = ids_ != qid
-            cand_pct = pct[r][mask]
-            cand_ids = ids_[mask]
-            cand_lab = labels_[mask]
-            top = np.lexsort((cand_ids, -cand_pct))[:k]
-            lab = cand_lab[top]
-            uniq, cnt = np.unique(lab, return_counts=True)
-            preds[r] = int(uniq[np.lexsort((uniq, -cnt))[0]])
+        rows = np.arange(len(q_ids))
+        # leave-one-out: ids_ is sorted, so searchsorted locates the
+        # self column; sentinel -20001 < any real pct ∈ [-10⁴, 10⁴]
+        pos = np.searchsorted(ids_, q_ids)
+        hit = (pos < len(ids_)) & (ids_[np.minimum(pos, len(ids_) - 1)] == q_ids)
+        pct[rows[hit], pos[hit]] = -20001
+        # composite key: smaller = better = (pct desc, id asc); the
+        # id-rank term is the column index (corpus id-sorted). Max key
+        # 30001·n + n < 2^63 for any bounded-brute n.
+        key = (np.int64(10000) - pct) * np.int64(len(ids_)) + np.arange(
+            len(ids_), dtype=np.int64
+        )[None, :]
+        top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        counts = np.zeros((len(q_ids), len(uniq_)), dtype=np.int64)
+        np.add.at(counts, (np.repeat(rows, kk), codes_[top].reshape(-1)), 1)
+        preds = uniq_[np.argmax(counts, axis=1)]
         own = df["label"].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
                 "vec_id": q_ids,
                 "label": own,
-                "predicted": preds,
+                "predicted": preds.astype(np.int64),
                 "correct": preds == own,
             }
         )
 
-    out = (
-        _read_embeddings(sf_dir, with_label=True)
-        .map_batches(classify, batch_format="pandas", batch_size=2048)
-        .to_pandas()
-        .sort_values("vec_id")
-        .reset_index(drop=True)
+    return ds.map_batches(classify, batch_format="pandas", batch_size=2048)
+
+
+def _knn_classify_ivf(
+    ds: rd.Dataset,
+    k: int,
+    n_clusters: int,
+    nprobe: int,
+    sample_size: int,
+    num_buckets: int,
+) -> rd.Dataset:
+    B = num_buckets
+    sample_df = ds.limit(sample_size).to_pandas()
+    cent = _train_centroids(
+        _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)),
+        n_clusters,
     )
-    return pa.table(
-        {
-            "vec_id": pa.array(out["vec_id"].astype("int64")),
-            "label": pa.array(out["label"].astype("int64")),
-            "predicted": pa.array(out["predicted"].astype("int64")),
-            "correct": pa.array(out["correct"].astype(bool)),
+    cent_ref = ray.put(cent)
+    k_eff = min(nprobe, len(cent))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cent_ = ray.get(cent_ref)
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        top = np.argsort(-(m @ cent_.T), axis=1)[:, :k_eff]
+        top = np.sort(top, axis=1).astype(np.int64)  # sorted probe list
+        idx = np.repeat(np.arange(len(df)), k_eff)
+        out = {
+            "cell": top.reshape(-1),
+            "vec_id": df["vec_id"].to_numpy().astype(np.int64)[idx],
+            "label": df["label"].to_numpy().astype(np.int64)[idx],
+            "embedding": df["embedding"].to_numpy()[idx],
         }
+        for p in range(k_eff):
+            out[f"p{p}"] = np.repeat(top[:, p], k_eff)
+        return pd.DataFrame(out)
+
+    def cell_cands(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        labs = g["label"].to_numpy().astype(np.int64)[order]
+        m = _normalize(np.stack(g["embedding"].to_numpy()[order]).astype(np.float64))
+        probes = np.stack([g[f"p{p}"].to_numpy()[order] for p in range(k_eff)], axis=1)
+        cell = int(g["cell"].iloc[0])
+        pct = np.floor((m @ m.T) * 10000).astype(np.int64)
+        n = len(ids)
+        vi, ni = np.nonzero(~np.eye(n, dtype=bool))
+        # min-common-cell dedup: the (u, v) pair is this cell's to emit
+        # only when the smallest probe cell shared by u and v == cell
+        # (probe lists are sorted ascending, so the first match wins)
+        has_here = np.zeros(len(vi), dtype=bool)
+        has_smaller = np.zeros(len(vi), dtype=bool)
+        for p in range(k_eff):
+            for q_ in range(k_eff):
+                shared = probes[vi, p] == probes[ni, q_]
+                has_here |= shared & (probes[vi, p] == cell)
+                has_smaller |= shared & (probes[vi, p] < cell)
+        keep = has_here & ~has_smaller  # min shared probe cell wins
+        cand = pd.DataFrame(
+            {
+                "vec_id": ids[vi[keep]],
+                "label": labs[vi[keep]],
+                "n_label": labs[ni[keep]],
+                "neighbor_id": ids[ni[keep]],
+                "cos_pct": pct[vi[keep], ni[keep]],
+                "is_self": np.zeros(int(keep.sum()), dtype=np.int64),
+            }
+        )
+        # per-cell top-k prune: each (u, v) pair lives in exactly one
+        # cell's candidate set, so per-subset top-k is a superset of
+        # the global-within-union top-k — the exchange carries ≤
+        # k·nprobe rows per vector
+        return (
+            cand.sort_values(
+                ["vec_id", "cos_pct", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("vec_id")
+            .head(k)
+        )
+
+    def tag_self(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.full(len(df), -1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy().astype(np.int64),
+                "label": df["label"].to_numpy().astype(np.int64),
+                "n_label": z,
+                "neighbor_id": z,
+                "cos_pct": z,
+                "is_self": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["is_self"] == 1][["vec_id", "label"]].drop_duplicates("vec_id")
+        cand = g[g["is_self"] == 0]
+        t = (
+            cand.sort_values(
+                ["vec_id", "cos_pct", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("vec_id")
+            .head(k)
+        )
+        cnt = t.groupby(["vec_id", "n_label"], as_index=False).size()
+        cnt = cnt.sort_values(
+            ["vec_id", "size", "n_label"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pred = (
+            cnt.groupby("vec_id")
+            .head(1)[["vec_id", "n_label"]]
+            .rename(columns={"n_label": "predicted"})
+        )
+        out = own.merge(pred, on="vec_id", how="left")
+        out["predicted"] = out["predicted"].fillna(-1).astype(np.int64)
+        out["correct"] = out["predicted"] == out["label"]
+        return out[["vec_id", "label", "predicted", "correct"]].astype(
+            {"vec_id": "int64", "label": "int64", "predicted": "int64"}
+        )
+
+    cands = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(cell_cands, batch_format="pandas")
+    )
+    selfs = ds.map_batches(tag_self, batch_format="pandas")
+    return (
+        cands.union(selfs)  # both pandas-block sources — homogeneous
+        .map_batches(
+            lambda df: df.assign(vb=(df["vec_id"] % B).astype("int64")),
+            batch_format="pandas",
+        )
+        .groupby("vb")
+        .map_groups(vote, batch_format="pandas")
     )

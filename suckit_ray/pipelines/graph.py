@@ -1504,9 +1504,11 @@ def kcore_from_docs(
     drops nodes under k. Alive-set rows are O(nodes) and materialize
     between rounds exactly like the pagerank plan; convergence = no
     node dropped this round (an O(blocks) count, not a driver scan).
-    No SQL oracle: the round count is data-dependent (the unrolled-CTE
-    trick needs a fixed depth) — pinned instead against a brute-force
-    Python peel on the same edge list."""
+    SQL oracle: the unrolled-CTE simultaneous peel (idempotent past
+    the fixpoint, so a fixed unroll depth ≥ the graph's peel depth is
+    exact; the engine RAISES on loop exhaustion rather than return a
+    superset, so a depth mismatch is loud) — plus the brute-force
+    Python-peel pin on graphs that DO peel."""
     import pandas as pd
 
     from suckit_ray.stages.agg import default_buckets
@@ -1883,7 +1885,8 @@ def crawl_components(sf_dir: str) -> rd.Dataset:
 
 def crawl_kcore(sf_dir: str, k: int = 2) -> rd.Dataset:
     """queries() entry: the 2-core of the flagship mirror's link graph
-    (rows-only in CORRECTNESS; pinned against a Python peel)."""
+    (SQL-oracled via the unrolled simultaneous-peel CTE; additionally
+    pinned against a Python peel on graphs that actually peel)."""
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return kcore_from_docs(crawl_docs(sf_dir), k=k)

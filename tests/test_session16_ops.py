@@ -1016,6 +1016,36 @@ class TestKnnClassifyAndNovelty:
         sep = ann_knn_classify(str(tmp_path)).to_pandas()
         assert sep["correct"].all()  # two antipodal tight clusters
 
+    def test_knn_forced_cutover_equality(self):
+        # the round-5 scale routing: brute_limit=0 forces the IVF-cell
+        # neighbor source; with nprobe == n_clusters every vector is in
+        # every probed cell, so the route is exhaustive and must be
+        # prediction-identical to the brute broadcast path.
+        from suckit_ray.pipelines.ann import ann_knn_classify
+
+        brute = (
+            ann_knn_classify(SF).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True)
+        )
+        ivf = (
+            ann_knn_classify(SF, brute_limit=0, n_clusters=4, nprobe=4)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(brute, ivf[brute.columns])
+
+    def test_knn_ivf_nonexhaustive_complete(self):
+        # approximate probes still classify EVERY vector (the tagged
+        # self-union guarantees coverage without a Dataset.join)
+        from suckit_ray.pipelines.ann import ann_knn_classify
+
+        t = (
+            ann_knn_classify(SF, brute_limit=0, n_clusters=8, nprobe=2)
+            .to_pandas()
+        )
+        assert len(t) == 500
+        assert t["vec_id"].is_unique
+        assert (t["correct"] == (t["predicted"] == t["label"])).all()
+
     def test_novelty_duplicate_scores_zero(self, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
