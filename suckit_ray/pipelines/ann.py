@@ -349,7 +349,7 @@ def lsh_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
 
 def kmeans_assign(
     sf_dir: str, n_clusters: int = 8, iters: int = 5
-) -> pa.Table:
+) -> rd.Dataset:
     """(vec_id, cluster): DISTRIBUTED Lloyd's k-means over the whole
     embedding table — the iterative-ML loop shape (centroids broadcast
     per iteration, per-batch partial sums reduced to k×d on the
@@ -427,14 +427,10 @@ def kmeans_assign(
             }
         )
 
-    out = ds.map_batches(final_assign, batch_format="pandas").to_pandas()
-    out = out.sort_values("vec_id").reset_index(drop=True)
-    return pa.table(
-        {
-            "vec_id": pa.array(out["vec_id"].tolist(), pa.int64()),
-            "cluster": pa.array(out["cluster"].tolist(), pa.int64()),
-        }
-    )
+    # per-vector assignment streams out as a Dataset — the iterative
+    # fold above only ever collected k×d partials, and the final
+    # O(corpus) rows never land on the driver
+    return ds.map_batches(final_assign, batch_format="pandas")
 
 
 def embeddings_pca(sf_dir: str) -> pa.Table:

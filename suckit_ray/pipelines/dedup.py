@@ -1856,9 +1856,9 @@ def crawl_delta_bytes(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pandas")
 
 
-def docs_ngram_novelty(sf_dir: str) -> pa.Table:
+def docs_ngram_novelty(sf_dir: str) -> rd.Dataset:
     """(doc_id, n_shingles, n_novel, novelty_pct): each document's
-    NOVELTY CONTRIBUTION in doc_id order — of its distinct word
+    NOVELTY CONTRIBUTION (one row per doc) — of its distinct word
     3-shingles, how many appear in NO smaller-id document
     (novelty_pct = (10⁴·n_novel) // n_shingles, exact integers). The
     per-document form of the dedup family's corpus view: near-dup
@@ -1912,16 +1912,18 @@ def docs_ngram_novelty(sf_dir: str) -> pa.Table:
         ["doc_id"],
         {"n_novel": ("n_novel", "sum"), "n_shingles": ("n_shingles", "sum")},
     )
-    out = per_doc.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    return pa.table(
-        {
-            "doc_id": pa.array(out["doc_id"].astype("int64")),
-            "n_shingles": pa.array(out["n_shingles"].astype("int64")),
-            "n_novel": pa.array(out["n_novel"].astype("int64")),
-            "novelty_pct": pa.array(
-                (
-                    (10000 * out["n_novel"]) // out["n_shingles"].clip(lower=1)
-                ).astype("int64")
-            ),
-        }
-    )
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_shingles": df["n_shingles"].astype("int64"),
+                "n_novel": df["n_novel"].astype("int64"),
+                "novelty_pct": (
+                    (10000 * df["n_novel"]) // df["n_shingles"].clip(lower=1)
+                ).astype("int64"),
+            }
+        )
+
+    # Dataset return (no O(corpus) driver collect); consumers needing
+    # doc_id order sort the Dataset — the harness sorts before hashing
+    return per_doc.map_batches(finish, batch_format="pandas")

@@ -473,7 +473,7 @@ def events_top_users_cms(sf_dir: str, k: int = TOP_USERS_K) -> pa.Table:
     )
 
 
-def events_asof_join(sf_dir: str) -> "pa.Table":
+def events_asof_join(sf_dir: str) -> "rd.Dataset":
     """AS-OF JOIN (an operator Ray Data lacks natively): every
     'purchase' event matched to the same user's most recent 'click' at
     or before it. Composition: filter both sides in one scan → bucket
@@ -508,8 +508,16 @@ def events_asof_join(sf_dir: str) -> "pa.Table":
         )
         right["click_ts_us"] = right["ts_us"]
         if len(left) == 0:
+            # typed empty block: an object-dtype empty frame would
+            # degrade the union'd Dataset schema
             return pd.DataFrame(
-                columns=["event_id", "user_id", "ts_us", "click_event_id", "click_ts_us"]
+                {
+                    c: pd.array([], dtype="int64")
+                    for c in [
+                        "event_id", "user_id", "ts_us",
+                        "click_event_id", "click_ts_us",
+                    ]
+                }
             )
         m = pd.merge_asof(
             left[["event_id", "user_id", "ts_us"]],
@@ -522,32 +530,22 @@ def events_asof_join(sf_dir: str) -> "pa.Table":
         m["click_ts_us"] = m["click_ts_us"].fillna(-1).astype("int64")
         return m[["event_id", "user_id", "ts_us", "click_event_id", "click_ts_us"]]
 
-    out = (
+    # per-purchase rows stream out as a Dataset — O(events) results
+    # never land on the driver
+    return (
         rd.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
         )
         .map_batches(prep, batch_format="pandas")
         .groupby("bucket")
         .map_groups(asof, batch_format="pandas")
-        .to_pandas()
-        .sort_values("event_id")
-        .reset_index(drop=True)
-    )
-    return pa.table(
-        {
-            "event_id": pa.array(out["event_id"].tolist(), pa.int64()),
-            "user_id": pa.array(out["user_id"].tolist(), pa.int64()),
-            "ts_us": pa.array(out["ts_us"].tolist(), pa.int64()),
-            "click_event_id": pa.array(out["click_event_id"].tolist(), pa.int64()),
-            "click_ts_us": pa.array(out["click_ts_us"].tolist(), pa.int64()),
-        }
     )
 
 
 RANGE_JOIN_WINDOW_US = 3600 * 1_000_000  # 1 hour
 
 
-def events_range_join(sf_dir: str) -> "pa.Table":
+def events_range_join(sf_dir: str) -> "rd.Dataset":
     """RANGE JOIN: for every 'purchase' event, how many of the same
     user's 'click' events fall in the hour AFTER it
     (ts in (purchase_ts, purchase_ts + 1h]). Same bucketed-by-user
@@ -594,27 +592,23 @@ def events_range_join(sf_dir: str) -> "pa.Table":
                 )
             )
         if not out:
-            return pd.DataFrame(columns=["event_id", "user_id", "ts_us", "n_clicks_1h"])
+            return pd.DataFrame(
+                {
+                    c: pd.array([], dtype="int64")
+                    for c in ["event_id", "user_id", "ts_us", "n_clicks_1h"]
+                }
+            )
         return pd.concat(out, ignore_index=True)
 
-    out = (
+    # per-purchase rows stream out as a Dataset — O(events) results
+    # never land on the driver
+    return (
         rd.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
         )
         .map_batches(prep, batch_format="pandas")
         .groupby("bucket")
         .map_groups(count_in_range, batch_format="pandas")
-        .to_pandas()
-        .sort_values("event_id")
-        .reset_index(drop=True)
-    )
-    return pa.table(
-        {
-            "event_id": pa.array(out["event_id"].tolist(), pa.int64()),
-            "user_id": pa.array(out["user_id"].tolist(), pa.int64()),
-            "ts_us": pa.array(out["ts_us"].tolist(), pa.int64()),
-            "n_clicks_1h": pa.array(out["n_clicks_1h"].tolist(), pa.int64()),
-        }
     )
 
 

@@ -4140,13 +4140,18 @@ def docs_curriculum_order(sf_dir: str, stages: int = 4) -> "rd.Dataset":
 
     s = ds.map_batches(sample, batch_format="pandas").to_pandas()
     if len(s) == 0:
-        return rd.from_pandas(
-            pd.DataFrame(
+        # typed ARROW empty block: int64 doc_id matches the parquet
+        # column type, and an Arrow block keeps its schema through the
+        # Dataset round-trip where an empty pandas block loses it
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.table(
                 {
-                    "doc_id": pd.array([], dtype="object"),
-                    "n_chars": pd.array([], dtype="int64"),
-                    "stage": pd.array([], dtype="int64"),
-                    "position": pd.array([], dtype="int64"),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "stage": pa.array([], pa.int64()),
+                    "position": pa.array([], pa.int64()),
                 }
             )
         )
@@ -4262,7 +4267,7 @@ def winnow_overlap_pairs(
     sf_dir: str,
     min_shared: int = WINNOW_MIN_SHARED,
     max_df: int = WINNOW_MAX_DF,
-) -> "pa.Table":
+) -> "rd.Dataset":
     """(a_id, b_id, n_shared): document pairs sharing at least
     ``min_shared`` winnowing fingerprints — the MOSS detection step
     (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
@@ -4344,31 +4349,19 @@ def winnow_overlap_pairs(
     summed = bucketed_groupby_agg(
         partials, ["a_id", "b_id"], {"n_shared": ("n", "sum")}
     )
-    out = (
-        summed.map_batches(
-            lambda df: df[df["n_shared"] >= min_shared],
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
-    import pyarrow as pa
-
-    if len(out) == 0:
-        return pa.table(
+    # pair rows stream out as a Dataset (a template-heavy corpus can
+    # make this super-linear in docs — never land it on the driver)
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["n_shared"] >= min_shared]
+        return pd.DataFrame(
             {
-                "a_id": pa.array([], pa.int64()),
-                "b_id": pa.array([], pa.int64()),
-                "n_shared": pa.array([], pa.int64()),
+                "a_id": keep["a_id"].astype("int64"),
+                "b_id": keep["b_id"].astype("int64"),
+                "n_shared": keep["n_shared"].astype("int64"),
             }
         )
-    out = out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
-    return pa.table(
-        {
-            "a_id": pa.array(out["a_id"].astype("int64")),
-            "b_id": pa.array(out["b_id"].astype("int64")),
-            "n_shared": pa.array(out["n_shared"].astype("int64")),
-        }
-    )
+
+    return summed.map_batches(finish, batch_format="pandas")
 
 
 READABLE_MIN_MICRO = 50_000_000  # Flesch >= 50.0

@@ -283,7 +283,10 @@ class ResizeImage:
         self._Image = None  # lazy: netpbm never needs it
 
     def _real_resize(self, data: bytes) -> bytes:
-        parsed = _parse_image_native(data)
+        # JPEG rides the PIL path regardless (no native encoder), so
+        # skip the native decode entirely — the pure-Python Huffman
+        # loop would fully decode a raster we'd then throw away
+        parsed = None if _is_jpeg(data) else _parse_image_native(data)
         # formats with a native ENCODER resize natively; a natively
         # DECODABLE format without one (jpeg) must not be silently
         # re-encoded as another container under its own extension —
@@ -1101,6 +1104,14 @@ def _parse_jpeg_inner(data: bytes) -> "tuple[dict, np.ndarray]":
             raise NotImplementedError(
                 f"JPEG non-divisible sampling {hs_}x{vs_} of {hmax}x{vmax}"
             )
+    if len(comps) == 1 and (comps[0][1], comps[0][2]) != (1, 1):
+        # T.81 A.2: a one-component scan is NON-interleaved (MCU = one
+        # block); this decoder's MCU loop is interleaved-only, so a
+        # grayscale JPEG declaring sampling factors >1 would assemble
+        # a scrambled raster — decline toward the PIL fallthrough
+        raise NotImplementedError(
+            f"JPEG single-component sampling {comps[0][1]}x{comps[0][2]}"
+        )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     bits, starts = _jpeg_entropy_bits(data, entropy_at)

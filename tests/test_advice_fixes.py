@@ -271,3 +271,34 @@ class TestHttpPageStoreSession:
             for h in opener.handlers
             if isinstance(h, urllib.request.HTTPSHandler)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curriculum_order_empty_corpus_schema(tmp_path):
+    """Round-5 advice fix: the empty-corpus branch must emit doc_id as
+    int64 (the parquet column type), not object — a schema-consistent
+    empty result."""
+    import pyarrow.parquet as pq
+
+    from suckit_ray.pipelines.textops import docs_curriculum_order
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    ds = docs_curriculum_order(str(tmp_path))
+    assert ds.count() == 0
+    # Ray's to_pandas() drops the schema of a fully-empty dataset, so
+    # pin the BLOCK schema (what a union/consumer would see)
+    sch = ds.schema()
+    types = dict(zip(sch.names, [str(t) for t in sch.types]))
+    assert types["doc_id"] == "int64"
+    assert types["stage"] == "int64"

@@ -225,8 +225,8 @@ def test_kmeans_assign_matches_numpy_reference():
 
     from suckit_ray.pipelines import ann
 
-    got = ann.kmeans_assign(SF, n_clusters=8, iters=5)
-    g = dict(zip(got.column("vec_id").to_pylist(), got.column("cluster").to_pylist()))
+    got = ann.kmeans_assign(SF, n_clusters=8, iters=5).to_pandas()
+    g = dict(zip(got["vec_id"].tolist(), got["cluster"].tolist()))
 
     emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
     X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
