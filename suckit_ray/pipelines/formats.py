@@ -13,7 +13,7 @@ embedded newlines, quotes, commas, tabs and empty strings through the
 same helpers.
 
 Scratch placement follows warcops: distributed writes land in
-``$GRAFT_SCRATCH_DIR`` when set (multi-node: must be shared storage
+``$SUCKIT_SCRATCH_DIR`` when set (multi-node: must be shared storage
 visible to all nodes and the driver), else a driver-local mkdtemp —
 correct only single-node.
 """
@@ -29,7 +29,7 @@ DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def _scratch(prefix: str) -> str:
-    scratch = os.environ.get("GRAFT_SCRATCH_DIR")
+    scratch = os.environ.get("SUCKIT_SCRATCH_DIR")
     if scratch:
         return tempfile.mkdtemp(prefix=prefix, dir=scratch)
     return tempfile.mkdtemp(prefix=prefix)

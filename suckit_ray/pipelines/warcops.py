@@ -23,7 +23,7 @@ def warc_roundtrip(sf_dir: str, output_dir: str | None = None) -> rd.Dataset:
     ``output_dir``: where the archive segments land. The write runs in
     distributed ``map_batches`` tasks, so on a multi-node cluster this
     MUST be shared storage visible to every node AND the driver (NFS,
-    object-store mount). Default: ``$GRAFT_SCRATCH_DIR`` if set, else a
+    object-store mount). Default: ``$SUCKIT_SCRATCH_DIR`` if set, else a
     driver-local mkdtemp — correct only single-node (ADVICE r2)."""
     if output_dir is None:
         output_dir = _scratch("suckit_warc_rt_")

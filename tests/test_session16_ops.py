@@ -320,13 +320,13 @@ class TestLanceReadiness:
 class TestFlagshipScratchDir:
     """VERDICT r3 item 3: the flagship crawl's streamed per-wave
     parquet goes through the shared ``_scratch`` helper, so setting
-    GRAFT_SCRATCH_DIR (shared storage on a multi-node cluster) moves
+    SUCKIT_SCRATCH_DIR (shared storage on a multi-node cluster) moves
     the distributed writes off the driver-local tempdir."""
 
     def test_flagship_output_lands_in_scratch_dir(self, tmp_path, monkeypatch):
         import suckit_ray.pipelines.flagship as fl
 
-        monkeypatch.setenv("GRAFT_SCRATCH_DIR", str(tmp_path))
+        monkeypatch.setenv("SUCKIT_SCRATCH_DIR", str(tmp_path))
         # force a fresh crawl for this sf_dir, restore the memo after
         saved = dict(fl._CRAWL_OUT_CACHE)
         fl._CRAWL_OUT_CACHE.clear()
