@@ -283,15 +283,20 @@ class ResizeImage:
         self._Image = None  # lazy: netpbm never needs it
 
     def _real_resize(self, data: bytes) -> bytes:
-        # JPEG rides the PIL path regardless (no native encoder), so
-        # skip the native decode entirely — the pure-Python Huffman
-        # loop would fully decode a raster we'd then throw away
-        parsed = None if _is_jpeg(data) else _parse_image_native(data)
+        # JPEG/GIF ride the PIL path regardless (no native encoder),
+        # so skip the native decode entirely — the pure-Python entropy
+        # loops would fully decode a raster we'd then throw away
+        parsed = (
+            None
+            if _is_jpeg(data) or _is_gif(data)
+            else _parse_image_native(data)
+        )
         # formats with a native ENCODER resize natively; a natively
-        # DECODABLE format without one (jpeg) must not be silently
-        # re-encoded as another container under its own extension —
-        # it rides the PIL path, which re-encodes in-format
-        if parsed is not None and parsed[0]["format"] != "jpeg":
+        # DECODABLE format without one (jpeg, gif) must not be
+        # silently re-encoded as another container under its own
+        # extension — they ride the PIL path, which re-encodes
+        # in-format
+        if parsed is not None and parsed[0]["format"] not in ("jpeg", "gif"):
             meta, arr = parsed
             resized = _netpbm_resize_nearest(arr, self.width, self.height)
             if meta["format"] == "bmp":
@@ -1241,6 +1246,179 @@ def _parse_jpeg_inner(data: bytes) -> "tuple[dict, np.ndarray]":
     return meta, raster
 
 
+def _is_gif(data: bytes) -> bool:
+    return data[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw(stream: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """GIF-variant LZW decode (Welch 1984, IEEE Computer; GIF89a spec
+    appendix F, CompuServe 1990 — both public): LSB-first variable
+    code width starting at min_code_size+1, widening when the table
+    fills 2^width, capped at 12 bits; CLEAR resets the table, EOI
+    ends the stream. Returns exactly ``expected`` palette indices;
+    any defect declines as NotImplementedError."""
+    if not (2 <= min_code_size <= 8):
+        raise NotImplementedError(f"GIF LZW root size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    singles = [bytes([i]) for i in range(clear)]
+
+    def fresh() -> list:
+        return singles + [b"", b""]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    out = np.empty(expected, dtype=np.uint8)
+    n_out = 0
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    i = 0
+    while n_out < expected:
+        while nbits < code_size:
+            if i >= len(stream):
+                raise NotImplementedError("GIF truncated LZW stream")
+            acc |= stream[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = fresh()
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise NotImplementedError("GIF first code not a literal")
+            seq = table[code]
+        elif code < len(table):
+            seq = table[code]
+            if len(table) < 4096:
+                table.append(prev + seq[:1])
+        elif code == len(table) and len(table) < 4096:
+            seq = prev + prev[:1]
+            table.append(seq)
+        else:
+            raise NotImplementedError("GIF LZW code out of range")
+        take = min(len(seq), expected - n_out)
+        out[n_out : n_out + take] = np.frombuffer(seq[:take], np.uint8)
+        n_out += take
+        prev = seq
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if n_out < expected:
+        raise NotImplementedError("GIF LZW underrun")
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _parse_gif(data: bytes) -> "tuple[dict, np.ndarray]":
+    """Native single-frame GIF decode — header + color table + LZW
+    (GIF89a spec, CompuServe 1990; public). Scope: one full-canvas
+    image, opaque (no transparency), optional interlace (the
+    8/8/4/2-row four-pass order is de-interlaced here). Animated
+    GIFs (a second image descriptor), transparent frames,
+    partial-canvas frames and every malformed payload decline as
+    NotImplementedError — the same PIL-fallthrough contract as
+    ``_parse_jpeg``. Closes the ubiquitous-web-format set after the
+    baseline JPEG decoder."""
+    try:
+        return _parse_gif_inner(data)
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        raise NotImplementedError(f"GIF parse failed: {e!r}") from e
+
+
+def _parse_gif_inner(data: bytes) -> "tuple[dict, np.ndarray]":
+    import struct
+
+    if not _is_gif(data) or len(data) < 13:
+        raise NotImplementedError("not a GIF")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if w == 0 or h == 0:
+        raise NotImplementedError("GIF zero dimension")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise NotImplementedError("GIF truncated global color table")
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    raster = None
+    while pos < len(data):
+        blk = data[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label + sub-blocks
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                if data[pos + 1] & 0x01:  # transparent-color flag
+                    raise NotImplementedError("GIF transparency")
+            while True:
+                sz = data[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+            continue
+        if blk == 0x2C:  # image descriptor
+            if raster is not None:
+                raise NotImplementedError("animated GIF (multiple frames)")
+            left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise NotImplementedError("GIF partial-canvas frame")
+            ct = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                if pos + 3 * n > len(data):
+                    raise NotImplementedError("GIF truncated local color table")
+                ct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise NotImplementedError("GIF image without color table")
+            mcs = data[pos]
+            pos += 1
+            chunks = []
+            while True:
+                sz = data[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                chunks.append(data[pos : pos + sz])
+                pos += sz
+            idx = _gif_lzw(b"".join(chunks), mcs, fw * fh).reshape(fh, fw)
+            if idx.max(initial=0) >= len(ct):
+                raise NotImplementedError("GIF palette index out of range")
+            if fpacked & 0x40:  # interlaced: 8/8/4/2 four-pass order
+                order = np.concatenate(
+                    [np.arange(st, fh, step) for st, step in _GIF_INTERLACE_PASSES]
+                )
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            raster = ct[idx]
+            continue
+        raise NotImplementedError(f"GIF unknown block 0x{blk:02x}")
+    if raster is None:
+        raise NotImplementedError("GIF with no image data")
+    meta = {
+        "width": int(w), "height": int(h), "channels": 3,
+        "format": "gif", "n_bytes": len(data),
+    }
+    return meta, raster
+
+
 def _parse_image_native(data: bytes) -> "tuple[dict, np.ndarray] | None":
     """(meta, uint8 raster) for formats this container decodes with
     NO codec libraries — netpbm, uncompressed BMP, 8-bit PNG — else
@@ -1258,6 +1436,8 @@ def _parse_image_native(data: bytes) -> "tuple[dict, np.ndarray] | None":
             return _parse_png(data)
         if _is_jpeg(data):
             return _parse_jpeg(data)
+        if _is_gif(data):
+            return _parse_gif(data)
     except NotImplementedError:
         return None
     return None
@@ -1310,4 +1490,15 @@ def _image_meta_native(data: bytes) -> "dict | None":
         return None
     if _is_jpeg(data):
         return _jpeg_meta(data)
+    if _is_gif(data) and len(data) >= 13:
+        w, h = struct.unpack_from("<HH", data, 6)
+        if w and h:
+            return {
+                "width": int(w),
+                "height": int(h),
+                "channels": 3,
+                "format": "gif",
+                "n_bytes": len(data),
+            }
+        return None
     return None
