@@ -1129,7 +1129,7 @@ def semantic_dedup(
     n_clusters: int = 8,
     eps: float = 0.95,
     sample_size: int = 2048,
-) -> pa.Table:
+) -> rd.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over the embedding table — cluster with spherical
     k-means, then within each cluster greedily drop every vector whose
@@ -1211,21 +1211,23 @@ def semantic_dedup(
             }
         )
 
-    out = (
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "cluster": df["cluster"].astype("int64"),
+                "kept": df["kept"].astype(bool),
+                "rep_id": df["rep_id"].astype("int64"),
+            }
+        )
+
+    # per-vector keep decisions stream out as a Dataset — O(corpus)
+    # rows never land on the driver (round-5 collect audit)
+    return (
         ds.map_batches(assign, batch_format="pandas")
         .groupby("cluster")
         .map_groups(prune, batch_format="pandas")
-        .to_pandas()
-        .sort_values("vec_id")
-        .reset_index(drop=True)
-    )
-    return pa.table(
-        {
-            "vec_id": pa.array(out["vec_id"].astype("int64")),
-            "cluster": pa.array(out["cluster"].astype("int64")),
-            "kept": pa.array(out["kept"].astype(bool)),
-            "rep_id": pa.array(out["rep_id"].astype("int64")),
-        }
+        .map_batches(finish, batch_format="pandas")
     )
 
 
