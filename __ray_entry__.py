@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_clustering_coeff": graph.crawl_clustering_coeff,
         "crawl_degrees": graph.crawl_degrees,
         "crawl_kcore": graph.crawl_kcore,
+        "crawl_ktruss": graph.crawl_ktruss,
         "crawl_components": graph.crawl_components,
         "crawl_scc": graph.crawl_scc,
         "crawl_bowtie": graph.crawl_bowtie,
@@ -1078,6 +1079,70 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
               JOIN a{rounds} p ON p.h = hf.h AND p.node = hf.peer
               GROUP BY 1, 2
             ) f JOIN hostname hn ON hn.h = f.h
+        """
+    return head + "".join(steps) + tail
+
+
+def _ktruss_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    """The k-truss via UNROLLED edge peeling: per step, keep every
+    edge in ≥ k−2 triangles of the current subgraph (triangles
+    enumerated once from their smallest vertex: e1=(u,v), e2=(u,w)
+    w>v, closing edge (v,w)). Idempotent past the fixpoint like the
+    kcore peel (measured peel depth of the synthetic web: 1 at every
+    sf; the engine raises on loop exhaustion, keeping any depth
+    mismatch loud). The peel runs on integer-canonical per-host
+    pairs — the unordered edge set is order-independent — and the
+    OUTPUT pair re-canonicalizes on the rendered doc_id strings to
+    match the engine's lexicographic (src < dst)."""
+    thresh = k - 2
+
+    def tri_sup(i: int) -> str:
+        return f""",
+            tri{i} AS (
+              SELECT e1.h, e1.a AS u, e1.b AS v, e2.b AS w
+              FROM e{i} e1
+              JOIN e{i} e2 ON e2.h = e1.h AND e2.a = e1.a
+                          AND e2.b > e1.b
+              JOIN e{i} e3 ON e3.h = e1.h AND e3.a = e1.b
+                          AND e3.b = e2.b
+            ),
+            sup{i} AS MATERIALIZED (
+              SELECT h, a, b, CAST(count(*) AS BIGINT) AS s FROM (
+                SELECT h, u AS a, v AS b FROM tri{i}
+                UNION ALL SELECT h, u AS a, w AS b FROM tri{i}
+                UNION ALL SELECT h, v AS a, w AS b FROM tri{i}
+              ) GROUP BY 1, 2, 3
+            )"""
+
+    head = rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            e0 AS MATERIALIZED (
+              SELECT DISTINCT r.h, LEAST(r.j, x.t) AS a,
+                     GREATEST(r.j, x.t) AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+              WHERE r.j <> x.t
+            )"""
+    steps = []
+    for i in range(rounds):
+        steps.append(tri_sup(i))
+        steps.append(
+            f""",
+            e{i + 1} AS MATERIALIZED (
+              SELECT h, a, b FROM sup{i} WHERE s >= {thresh}
+            )"""
+        )
+    steps.append(tri_sup(rounds))
+    tail = f"""
+            SELECT LEAST(hn.hn || '/p' || f.a || '.html',
+                         hn.hn || '/p' || f.b || '.html') AS src,
+                   GREATEST(hn.hn || '/p' || f.a || '.html',
+                            hn.hn || '/p' || f.b || '.html') AS dst,
+                   f.s AS support
+            FROM sup{rounds} f
+            JOIN hostname hn ON hn.h = f.h
+            WHERE f.s >= {thresh}
         """
     return head + "".join(steps) + tail
 
@@ -5586,6 +5651,8 @@ def oracle_sql() -> dict[str, str]:
         # unrolled simultaneous k-core peel (depth ≥ measured peel
         # depth; idempotent past the fixpoint, so exact)
         "crawl_kcore": _kcore_oracle_sql(),
+        # unrolled triangle-support edge peel (same idempotency)
+        "crawl_ktruss": _ktruss_oracle_sql(),
         # personalized-teleport variant: seeds = page 0 of every host
         "crawl_trustrank": _trustrank_oracle_sql(),
         # 4-round deterministic label propagation (mode + lexicographic tie)

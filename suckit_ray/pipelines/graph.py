@@ -1700,6 +1700,228 @@ def kcore_from_docs(
     return alive.map_batches(finish, batch_format="pandas")
 
 
+def ktruss_from_docs(
+    docs: rd.Dataset, k: int = 3, max_rounds: int = 30,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """(src, dst, support): the k-TRUSS of the link graph (Cohen 2008,
+    "Trusses: cohesive subgraphs for social network analysis" — NSA
+    tech report, public) — the maximal subgraph where every edge sits
+    in ≥ k−2 triangles, the EDGE analogue of the k-core (a k-truss is
+    a stronger cohesion certificate: its edges survive pairwise, not
+    just by degree). ``support`` = the edge's triangle count WITHIN
+    the final truss. Deterministic integer edge-peeling, so it joins
+    the kcore/pagerank family of SQL-oracle-able iterations.
+
+    Distributed plan — the ``kcore_from_docs`` round structure on
+    EDGES: per round (1) node-keyed co-group turns each node's
+    neighbor list into oriented wedges (u; v, w) with u < v < w
+    lexicographically, so every triangle is generated from its
+    SMALLEST vertex exactly once — the degree-orientation trick
+    without a second exchange (doc_id strings compare identically in
+    pandas and DuckDB: ASCII); (2) the wedges co-group against the
+    edge set keyed by their CLOSING pair (v, w) (tagged union, no
+    Dataset.join), matches are triangles and emit one +1 contribution
+    to each of their three edges; (3) an edge-keyed count keeps edges
+    with support ≥ k−2 (edges with NO triangle get no contribution
+    row and fall out structurally). Converged when no edge dropped —
+    the just-computed supports of the surviving round ARE the
+    within-truss supports, so the fixpoint round's output is final.
+    One ``materialize()`` per round on the multi-consumer edge set
+    (the iterative-groupby rule). Wedge enumeration is the standard
+    triangle-counting cost, O(Σ deg(v)²) per round — bounded-fanout
+    webs keep it linear; a hub-heavy graph pays the same price any
+    exact truss must.
+
+    The engine RAISES on loop exhaustion rather than return a
+    superset — the same loud-depth contract as kcore, which is what
+    makes the unrolled-CTE oracle exact."""
+    import pandas as pd
+
+    from suckit_ray.stages.agg import default_buckets
+
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (support threshold k-2 >= 1)")
+    thresh = k - 2
+
+    def und(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    B = num_buckets or default_buckets()
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    def ebucket(df: pd.DataFrame) -> pd.Series:
+        return bucket_of(df["a"].astype(str) + "\x00" + df["b"].astype(str))
+
+    # exact edge dedup once up front (triangle counts must not see a
+    # multi-edge): one edge-keyed co-group
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    edges = (
+        _link_edges(docs)
+        .map_batches(und, batch_format="pyarrow")
+        .map_batches(
+            lambda df: df.assign(bucket=ebucket(df)), batch_format="pandas"
+        )
+        .groupby("bucket")
+        .map_groups(dedup_group, batch_format="pandas")
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def half_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        )
+        out["bucket"] = bucket_of(out["node"])
+        return out
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        us, vs, ws = [], [], []
+        for u, grp in g.groupby("node"):
+            nbrs = sorted(p for p in grp["peer"] if p > u)
+            for i in range(len(nbrs)):
+                for j in range(i + 1, len(nbrs)):
+                    us.append(u)
+                    vs.append(nbrs[i])
+                    ws.append(nbrs[j])
+        out = pd.DataFrame({"u": us, "v": vs, "w": ws})
+        out["bucket"] = (
+            bucket_of(out["v"].astype(str) + "\x00" + out["w"].astype(str))
+            if len(out)
+            else pd.Series([], dtype="int64")
+        )
+        return out[["bucket", "u", "v", "w"]]
+
+    def close_triangles(g: pd.DataFrame) -> pd.DataFrame:
+        present = set(
+            zip(g.loc[g["u"] == "", "v"], g.loc[g["u"] == "", "w"])
+        )
+        cand = g[g["u"] != ""]
+        ok = [
+            (u, v, w)
+            for u, v, w in zip(cand["u"], cand["v"], cand["w"])
+            if (v, w) in present
+        ]
+        if not ok:
+            return pd.DataFrame(
+                {
+                    "a": pd.array([], dtype="str"),
+                    "b": pd.array([], dtype="str"),
+                }
+            )
+        tri = pd.DataFrame(ok, columns=["u", "v", "w"])
+        return pd.DataFrame(
+            {
+                "a": pd.concat([tri["u"], tri["v"], tri["u"]], ignore_index=True),
+                "b": pd.concat([tri["v"], tri["w"], tri["w"]], ignore_index=True),
+            }
+        )
+
+    def count_support(g: pd.DataFrame) -> pd.DataFrame:
+        sup = g.groupby(["a", "b"], as_index=False).agg(support=("a", "size"))
+        return sup[sup["support"] >= thresh]
+
+    result = None
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            result = edges.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "a": pd.array([], dtype="str"),
+                        "b": pd.array([], dtype="str"),
+                        "support": pd.array([], dtype="int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            break
+        wedge_ds = (
+            edges.map_batches(half_rows, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(wedges, batch_format="pandas")
+        )
+        markers = edges.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "bucket": ebucket(df),
+                    "u": "",
+                    "v": df["a"],
+                    "w": df["b"],
+                }
+            ),
+            batch_format="pandas",
+        )
+        surv = (
+            wedge_ds.union(markers)
+            .groupby("bucket")
+            .map_groups(close_triangles, batch_format="pandas")
+            .map_batches(
+                lambda df: df.assign(bucket=ebucket(df)),
+                batch_format="pandas",
+            )
+            .groupby("bucket")
+            .map_groups(count_support, batch_format="pandas")
+            .materialize()
+        )
+        n_new = surv.count()
+        if n_new == n_edges:
+            result = surv
+            break
+        edges = surv.map_batches(
+            lambda df: df[["a", "b"]], batch_format="pandas"
+        ).materialize()
+        n_edges = n_new
+    if result is None:
+        raise RuntimeError(
+            f"k-truss peeling did not converge within max_rounds="
+            f"{max_rounds} ({n_edges} edges still alive); raise max_rounds"
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if "support" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "src": pd.array([], dtype="str"),
+                    "dst": pd.array([], dtype="str"),
+                    "support": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "src": df["a"],
+                "dst": df["b"],
+                "support": df["support"].astype("int64"),
+            }
+        )
+
+    return result.map_batches(finish, batch_format="pandas")
+
+
+def crawl_ktruss(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """queries() entry: the 3-truss of the flagship mirror's link
+    graph (SQL-oracled via the unrolled triangle-support peel CTE;
+    pinned against a brute Python peel on graphs that peel harder)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return ktruss_from_docs(crawl_docs(sf_dir), k=k)
+
+
 def components_from_docs(
     docs: rd.Dataset,
     num_buckets: int | None = None,

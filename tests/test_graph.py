@@ -1014,3 +1014,112 @@ def test_bowtie_engineered_all_classes():
         columns=["host", "cls", "n_nodes"],
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _truss_brute(pairs, k):
+    """Brute sequential edge peel + within-truss supports."""
+    from collections import defaultdict
+
+    E = set(pairs)
+    while True:
+        adj = defaultdict(set)
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        drop = {(a, b) for a, b in E if len(adj[a] & adj[b]) < k - 2}
+        if not drop:
+            break
+        E -= drop
+    adj = defaultdict(set)
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    return sorted((a, b, len(adj[a] & adj[b])) for a, b in E)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("k", [3, 4])
+def test_ktruss_matches_python_peel(k):
+    """k=3 keeps the triangle-bearing subgraph (1 peel round on the
+    synthetic web); k=4 peels nearly everything (multi-round
+    cascade)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+    from suckit_ray.pipelines.graph import _link_edges, ktruss_from_docs
+
+    got = (
+        ktruss_from_docs(crawl_docs(SF), k=k)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    ed = _link_edges(crawl_docs(SF)).to_pandas()
+    pairs = {
+        (min(s, d), max(s, d))
+        for s, d in zip(ed["src"], ed["dst"])
+        if s != d
+    }
+    ref = _truss_brute(pairs, k)
+    got_rows = sorted(
+        zip(got["src"], got["dst"], got["support"].astype(int))
+    )
+    assert got_rows == ref
+    if k == 3:
+        assert 0 < len(ref) < len(pairs)  # non-trivial truss
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ktruss_strip_cascade_and_cap_raises():
+    """A triangle strip's boundary edges sit in one triangle each, so
+    the 4-truss peels from both ends inward — the data-dependent
+    multi-round case; an insufficient max_rounds must RAISE."""
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import ktruss_from_docs
+
+    n = 10  # strip: vertices 0..9, triangle (i, i+1, i+2) per i
+    adj = {i: [] for i in range(n)}
+    for i in range(n - 1):
+        adj[i].append(i + 1)
+    for i in range(n - 2):
+        adj[i].append(i + 2)
+    rows = [
+        {
+            "doc_id": f"h.test/p{i}.html",
+            "is_html": True,
+            "spans": [
+                {
+                    "kind": "link",
+                    "text": "",
+                    "media_ref": f"p{t}.html",
+                    "offset": o,
+                }
+                for o, t in enumerate(adj[i])
+            ],
+        }
+        for i in range(n)
+    ]
+    docs = rd.from_items(rows).repartition(2)
+    out = ktruss_from_docs(docs, k=4).to_pandas()
+    # strip supports: every edge touches at most 2 triangles; the ends
+    # peel first and the cascade empties the 4-truss entirely
+    pairs = {
+        (f"h.test/p{min(i, t)}.html", f"h.test/p{max(i, t)}.html")
+        for i in adj
+        for t in adj[i]
+    }
+    ref = _truss_brute(pairs, 4)
+    # Ray drops the schema of a fully-empty Dataset in to_pandas()
+    got_rows = (
+        sorted(zip(out["src"], out["dst"], out["support"].astype(int)))
+        if len(out)
+        else []
+    )
+    assert got_rows == ref == []  # the cascade empties the 4-truss
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ktruss_from_docs(
+            rd.from_items(rows).repartition(2), k=4, max_rounds=1
+        ).to_pandas()
+
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss_from_docs(rd.from_items(rows), k=2)
