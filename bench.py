@@ -231,6 +231,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_triangles",
         "crawl_degrees",
         "crawl_kcore",
+        "crawl_ktruss",
         "warc_roundtrip",
         "training_corpus",
         # TPC-H batches two + three (all 22 shapes now covered)

