@@ -1766,7 +1766,13 @@ def ktruss_from_docs(
         return (h % B).astype("int64")
 
     def ebucket(df: pd.DataFrame) -> pd.Series:
-        return bucket_of(df["a"].astype(str) + "\x00" + df["b"].astype(str))
+        # two-COLUMN hash, not a NUL-joined string: hash_pandas_object
+        # is also NUL-truncating (it would hash only the first
+        # endpoint — co-location still correct but needlessly skewed)
+        h = pd.util.hash_pandas_object(
+            df[["a", "b"]], index=False
+        ).astype("uint64")
+        return (h % B).astype("int64")
 
     # no exact-dedup pre-pass: a cross-batch duplicate edge is
     # harmless — the wedge stage reduces each node's half-rows to a
