@@ -50,6 +50,7 @@ def main() -> int:
         ("crawl_betweenness", graph.crawl_betweenness),
         ("embeddings_dbscan", ann.embeddings_dbscan),
         ("crawl_hits", graph.crawl_hits),
+        ("crawl_ktruss", graph.crawl_ktruss),
     ]
     results: dict[str, dict[str, float]] = {}
     for tag, sf in (("small", sf_small), ("big", sf_big)):
