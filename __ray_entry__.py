@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann.pq_topk,
         "embeddings_kmeans": ann.kmeans_assign,
         "embeddings_norm_stats": ann.embeddings_norm_stats,
+        "embeddings_sq8": ann.embeddings_sq8,
         "ann_knn_classify": ann.ann_knn_classify,
         "embeddings_dbscan": ann.embeddings_dbscan,
         "embeddings_knn_graph": ann.embeddings_knn_graph,
@@ -1929,6 +1930,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n2) AS BIGINT) AS max_norm2_q,
                    CAST(sum(n2) AS BIGINT) AS sum_norm2_q
             FROM q GROUP BY label
+        """,
+        # SQ8 scalar quantization digest: global per-dim (min, max)
+        # ranges, midpoint dequant, per-component integer error floors
+        # (floor-before-square, so SUM is reduction-order-exact); both
+        # engines evaluate the same float64 expression tree
+        "embeddings_sq8": """
+            WITH q AS (
+              SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings,
+                   LATERAL unnest(generate_series(1, len(embedding))) t(i)
+            ),
+            s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM q GROUP BY dim),
+            c AS (
+              SELECT q.vec_id, q.x, s.mn, s.mx,
+                     CASE WHEN s.mx > s.mn
+                          THEN LEAST(GREATEST(CAST(floor(
+                                 (q.x - s.mn) / (s.mx - s.mn) * 256.0)
+                               AS BIGINT), 0), 255)
+                          ELSE 0 END AS code
+              FROM q JOIN s USING (dim)
+            ),
+            d AS (
+              SELECT vec_id, code, x,
+                     CASE WHEN mx > mn
+                          THEN mn + (code + 0.5) * (mx - mn) / 256.0
+                          ELSE mn END AS deq
+              FROM c
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(SUM(code) AS BIGINT) AS code_sum,
+                   CAST(MIN(code) AS BIGINT) AS code_min,
+                   CAST(MAX(code) AS BIGINT) AS code_max,
+                   CAST(SUM(CAST(floor((x - deq) * 1000.0) AS BIGINT)
+                            * CAST(floor((x - deq) * 1000.0) AS BIGINT))
+                        AS BIGINT) AS err_q
+            FROM d GROUP BY vec_id
         """,
         "docs_semantic_decontaminate": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id < 10),

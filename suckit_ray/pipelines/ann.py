@@ -2011,3 +2011,75 @@ def _knn_classify_ivf(
         .groupby("vb")
         .map_groups(vote, batch_format="pandas")
     )
+
+
+def embeddings_sq8(sf_dir: str) -> rd.Dataset:
+    """(vec_id, code_sum, code_min, code_max, err_q): SQ8 scalar
+    quantization of the embedding table — each dimension linearly
+    mapped to uint8 against its GLOBAL per-dim (min, max) range (the
+    classic scalar-quantizer index compression, e.g. Faiss
+    ScalarQuantizer QT_8bit — public; 4× smaller than float32 with
+    near-lossless recall for IVF rerank pipelines). Completes the
+    index-compression family next to IVF (coarse cells), LSH
+    (hyperplane buckets) and PQ (subspace codebooks).
+
+    Per vector: the code digest (sum/min/max over its 8-bit codes)
+    and ``err_q`` = Σ_d floor((x_d − dequant_d)·10³)² — the
+    reconstruction-error audit in EXACT integers (per-component
+    quantization BEFORE squaring, the micronat idiom, so the SQL
+    oracle matches bit for bit; components CAST to DOUBLE before any
+    arithmetic — the float32-promotion gotcha).
+
+    Scale shape: pass 1 reduces per-batch per-dim (min, max)
+    partials — 2·d floats per batch, an O(d) driver fold, never
+    O(corpus) — broadcast once via ``ray.put``; pass 2 is one
+    vectorized encode per batch streaming out as a Dataset. Constant
+    dims (max == min) code to 0 with dequant == min, both engines.
+
+    Quantizer: code = clip(floor((x − mn)/(mx − mn) · 256), 0, 255);
+    dequant = mn + (code + 0.5)·(mx − mn)/256 — reconstruction at
+    the cell midpoint. Both engines evaluate the identical float64
+    expression tree, so floors agree exactly."""
+    ds = _read_embeddings(sf_dir)
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(m.shape[1], dtype=np.int64),
+                "mn": m.min(axis=0),
+                "mx": m.max(axis=0),
+            }
+        )
+
+    parts = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    stats = parts.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = stats["mn"].to_numpy()
+    mx = stats["mx"].to_numpy()
+    import ray
+
+    stats_ref = ray.put((mn, mx))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        mn_, mx_ = ray.get(stats_ref)
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        rng = mx_ - mn_
+        safe = np.where(rng > 0, rng, 1.0)
+        code = np.clip(
+            np.floor((x - mn_) / safe * 256.0), 0, 255
+        ).astype(np.int64)
+        code = np.where(rng > 0, code, 0)
+        deq = mn_ + (code + 0.5) * (mx_ - mn_) / 256.0
+        deq = np.where(rng > 0, deq, mn_)
+        qd = np.floor((x - deq) * 1000.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "code_sum": code.sum(axis=1),
+                "code_min": code.min(axis=1),
+                "code_max": code.max(axis=1),
+                "err_q": (qd * qd).sum(axis=1),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pandas")

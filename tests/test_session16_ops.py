@@ -1074,3 +1074,45 @@ class TestKnnClassifyAndNovelty:
         assert t.loc[0, "novelty_pct"] == 10000  # first copy owns all
         assert t.loc[1, "novelty_pct"] == 0      # exact dup adds nothing
         assert t.loc[2, "novelty_pct"] == 10000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSq8:
+    def test_hand_built_codes(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from suckit_ray.pipelines.ann import embeddings_sq8
+
+        # dim0 spans [0, 1] -> codes floor(x*256) clamped; dim1 is
+        # CONSTANT -> codes 0, dequant == value, zero error
+        vecs = [[0.0, 7.0], [0.5, 7.0], [1.0, 7.0]]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        t = (
+            embeddings_sq8(str(tmp_path))
+            .to_pandas().set_index("vec_id").sort_index()
+        )
+        # codes: x=0 -> 0; x=0.5 -> 128; x=1.0 -> 256 -> clamp 255
+        assert t.loc[0, "code_sum"] == 0
+        assert t.loc[1, "code_sum"] == 128
+        assert t.loc[2, "code_sum"] == 255
+        assert (t["code_min"] == 0).all()  # constant dim codes 0
+        # midpoint dequant error <= half a cell = 1/512 of the range,
+        # so each quantized component floor((x-deq)*1e3) is in
+        # [-2, 1] and err_q stays tiny; constant dim contributes 0
+        assert (t["err_q"] <= 8).all()
+
+    def test_matches_oracle_shape(self):
+        from suckit_ray.pipelines.ann import embeddings_sq8
+
+        t = embeddings_sq8(SF).to_pandas()
+        assert len(t) == 500
+        assert t["code_max"].max() <= 255 and t["code_min"].min() >= 0
