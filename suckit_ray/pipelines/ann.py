@@ -2052,8 +2052,22 @@ def embeddings_sq8(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    parts = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
-    stats = parts.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+    # distributed dim-fold: the per-batch partials are O(batches·d)
+    # rows — reduce them to one row per dim IN TASKS so the driver
+    # only ever sees O(d) rows (at 10^10 vectors the raw partials
+    # would themselves be driver-breaking)
+    stats = (
+        ds.map_batches(mm_partial, batch_format="pandas")
+        .groupby("dim")
+        .map_groups(
+            lambda g: g.groupby("dim", as_index=False).agg(
+                mn=("mn", "min"), mx=("mx", "max")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
     mn = stats["mn"].to_numpy()
     mx = stats["mx"].to_numpy()
     import ray
