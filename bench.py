@@ -387,6 +387,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_funnel_windowed",
         "orders_rapid_reorder",
         "embeddings_norm_stats",
+        "embeddings_sq8",
         "docs_tfrecord_roundtrip",
         "docs_token_entropy",
         "ann_knn_classify",
