@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_degrees": graph.crawl_degrees,
         "crawl_kcore": graph.crawl_kcore,
         "crawl_ktruss": graph.crawl_ktruss,
+        "crawl_richclub": graph.crawl_richclub,
         "crawl_components": graph.crawl_components,
         "crawl_scc": graph.crawl_scc,
         "crawl_bowtie": graph.crawl_bowtie,
@@ -5690,6 +5691,51 @@ def oracle_sql() -> dict[str, str]:
         "crawl_kcore": _kcore_oracle_sql(),
         # unrolled triangle-support edge peel (same idempotency)
         "crawl_ktruss": _ktruss_oracle_sql(),
+        # rich-club: suffix counts over the degree / min-endpoint-
+        # degree histograms; integer-ratio quantization both engines
+        "crawl_richclub": rf"""
+            WITH RECURSIVE
+            {_CRAWL_REACH_CTE},
+            ue AS MATERIALIZED (
+              SELECT DISTINCT r.h, LEAST(r.j, x.t) AS a,
+                     GREATEST(r.j, x.t) AS b
+              FROM reach r JOIN hosts ho ON ho.h = r.h
+              CROSS JOIN LATERAL {_fanout_values("r", "ho")} AS x(t)
+              WHERE r.j <> x.t
+            ),
+            half AS (
+              SELECT h, a AS node, b AS peer FROM ue
+              UNION ALL SELECT h, b AS node, a AS peer FROM ue
+            ),
+            deg AS MATERIALIZED (
+              SELECT h, node, CAST(count(*) AS BIGINT) AS d
+              FROM half GROUP BY 1, 2
+            ),
+            em AS MATERIALIZED (
+              SELECT LEAST(da.d, db.d) AS m
+              FROM ue
+              JOIN deg da ON da.h = ue.h AND da.node = ue.a
+              JOIN deg db ON db.h = ue.h AND db.node = ue.b
+            ),
+            ks AS (
+              SELECT UNNEST(range(0, (SELECT max(d) FROM deg))) AS k
+            )
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(nk.n AS BIGINT) AS n_nodes,
+                   CAST(COALESCE(ek.n, 0) AS BIGINT) AS n_edges,
+                   CAST((10000 * 2 * COALESCE(ek.n, 0))
+                        // (nk.n * (nk.n - 1)) AS BIGINT) AS phi_pct
+            FROM ks
+            JOIN (
+              SELECT ks.k AS k, count(*) AS n FROM ks, deg
+              WHERE deg.d > ks.k GROUP BY 1
+            ) nk ON nk.k = ks.k
+            LEFT JOIN (
+              SELECT ks.k AS k, count(*) AS n FROM ks, em
+              WHERE em.m > ks.k GROUP BY 1
+            ) ek ON ek.k = ks.k
+            WHERE nk.n >= 2
+        """,
         # personalized-teleport variant: seeds = page 0 of every host
         "crawl_trustrank": _trustrank_oracle_sql(),
         # 4-round deterministic label propagation (mode + lexicographic tie)

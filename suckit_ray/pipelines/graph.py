@@ -4977,3 +4977,151 @@ def crawl_reciprocity(sf_dir: str) -> rd.Dataset:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return reciprocity_from_docs(crawl_docs(sf_dir))
+
+
+def richclub_from_docs(
+    docs: rd.Dataset, num_buckets: int | None = None
+) -> pa.Table:
+    """(k, n_nodes, n_edges, phi_pct): the RICH-CLUB coefficient of
+    the undirected simple link graph (Zhou & Mondragón 2004, IEEE
+    Comm. Lett. — public): for every degree threshold k,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = nodes with degree > k
+    and E_k = edges with BOTH endpoints of degree > k — "do the
+    hubs link to each other more than chance?", the connectivity
+    audit run before trusting hub-based crawl prioritization.
+    ``phi_pct`` = (10⁴·2·E_k) // (N_k·(N_k−1)) — the integer-ratio
+    quantization spelled identically in the oracle (repo invariant).
+    Rows for k = 0..max_degree−1 where N_k ≥ 2.
+
+    Scale shape — two co-groups, histogram-sized driver fold:
+    (1) node co-group: each node's distinct-peer set gives its
+    degree; emit (edge, endpoint_degree) half-rows PLUS one tagged
+    node-row per node; (2) edge co-group: pair the two halves,
+    m = min(deg_a, deg_b), and fold BOTH tallies group-locally into
+    (tag, val, cnt) histogram partials — E_k and N_k are then suffix
+    sums over two ≤max_degree-row histograms, so the driver never
+    sees a node or an edge, only O(max_degree) partial rows."""
+    import pandas as pd
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def und(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    def half_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        )
+        out["bucket"] = bucket_of(out["node"])
+        return out
+
+    def deg_attach(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for node, grp in g.groupby("node"):
+            peers = set(grp["peer"])
+            d = len(peers)
+            rows.append((node, "", d))  # tagged node-row
+            for p in peers:
+                a, b = (node, p) if node < p else (p, node)
+                rows.append((a, b, d))
+        df = pd.DataFrame(rows, columns=["a", "b", "deg"])
+        # two-COLUMN hash (hash_pandas_object is NUL-truncating on
+        # joined strings — see CLAUDE.md)
+        h = pd.util.hash_pandas_object(
+            df[["a", "b"]], index=False
+        ).astype("uint64")
+        df["bucket"] = (h % B).astype("int64")
+        return df
+
+    def edge_min(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g[g["b"] == ""]
+        edges = g[g["b"] != ""]
+        parts = []
+        if len(nodes):
+            h = nodes.groupby("deg", as_index=False).agg(cnt=("deg", "size"))
+            h["tag"] = "node"
+            parts.append(h.rename(columns={"deg": "val"}))
+        if len(edges):
+            m = edges.groupby(["a", "b"], as_index=False).agg(
+                val=("deg", "min")
+            )
+            h = m.groupby("val", as_index=False).agg(cnt=("val", "size"))
+            h["tag"] = "edge"
+            parts.append(h)
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "tag": pd.array([], dtype="str"),
+                    "val": pd.array([], dtype="int64"),
+                    "cnt": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)[["tag", "val", "cnt"]]
+
+    parts = (
+        _link_edges(docs)
+        .map_batches(und, batch_format="pyarrow")
+        .map_batches(half_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(deg_attach, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(edge_min, batch_format="pandas")
+        .to_pandas()  # O(max_degree) histogram partials
+    )
+    import numpy as np
+
+    folded = parts.groupby(["tag", "val"], as_index=False)["cnt"].sum()
+    dh = folded[folded["tag"] == "node"].set_index("val")["cnt"]
+    eh = folded[folded["tag"] == "edge"].set_index("val")["cnt"]
+    if not len(dh):
+        return pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "n_nodes": pa.array([], pa.int64()),
+                "n_edges": pa.array([], pa.int64()),
+                "phi_pct": pa.array([], pa.int64()),
+            }
+        )
+    max_deg = int(dh.index.max())
+    ks, nn, ne, phi = [], [], [], []
+    for k in range(max_deg):
+        n_k = int(dh[dh.index > k].sum())
+        if n_k < 2:
+            continue
+        e_k = int(eh[eh.index > k].sum()) if len(eh) else 0
+        ks.append(k)
+        nn.append(n_k)
+        ne.append(e_k)
+        phi.append((10000 * 2 * e_k) // (n_k * (n_k - 1)))
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_nodes": pa.array(nn, pa.int64()),
+            "n_edges": pa.array(ne, pa.int64()),
+            "phi_pct": pa.array(phi, pa.int64()),
+        }
+    )
+
+
+def crawl_richclub(sf_dir: str) -> pa.Table:
+    """queries() entry: rich-club audit of the flagship link graph."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return richclub_from_docs(crawl_docs(sf_dir))

@@ -1123,3 +1123,45 @@ def test_ktruss_strip_cascade_and_cap_raises():
 
     with pytest.raises(ValueError, match="k >= 3"):
         ktruss_from_docs(rd.from_items(rows), k=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_richclub_hand_graph():
+    """4-clique + pendant: φ(0)=7000 (7 edges / 5 nodes), φ(1)=φ(2)=
+    10000 (the clique is a perfect club once the pendant drops),
+    k=3 row dropped (N_3 = 1 < 2)."""
+    import ray.data as rd
+
+    from suckit_ray.pipelines.graph import richclub_from_docs
+
+    adj = {
+        "a": ["b", "c", "d", "e"],
+        "b": ["c", "d"],
+        "c": ["d"],
+    }
+    rows = [
+        {
+            "doc_id": f"h.test/p{n}.html",
+            "is_html": True,
+            "spans": [
+                {
+                    "kind": "link",
+                    "text": "",
+                    "media_ref": f"p{t}.html",
+                    "offset": o,
+                }
+                for o, t in enumerate(adj.get(n, []))
+            ],
+        }
+        for n in ["a", "b", "c", "d", "e"]
+    ]
+    t = richclub_from_docs(rd.from_items(rows).repartition(2)).to_pandas()
+    got = {
+        int(r.k): (int(r.n_nodes), int(r.n_edges), int(r.phi_pct))
+        for r in t.itertuples()
+    }
+    assert got == {
+        0: (5, 7, 7000),
+        1: (4, 6, 10000),
+        2: (4, 6, 10000),
+    }
