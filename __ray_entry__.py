@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": relops.events_value_quantiles,
         "events_asof_join": relops.events_asof_join,
         "events_range_join": relops.events_range_join,
+        "events_rate_limit": relops.events_rate_limit,
         "events_top_users": relops.events_top_users,
         "events_top_users_cms": relops.events_top_users_cms,
         "events_top_k_per_user": relops.events_top_k_per_user,
@@ -2170,6 +2171,30 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts_us > p.ts_us
              AND c.ts_us <= p.ts_us + 3600000000
             GROUP BY p.event_id, p.user_id, p.ts_us
+        """,
+        # sliding-window rate-limiter audit: trailing 24 h count per
+        # event; integer µs make RANGE W-1 PRECEDING the exact
+        # half-open (ts-W, ts] bound
+        "events_rate_limit": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS ts_us
+              FROM events
+            ),
+            w AS (
+              SELECT event_id, user_id, ts_us,
+                     CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN 86399999999 PRECEDING
+                             AND CURRENT ROW
+                     ) AS BIGINT) AS n_in_window
+              FROM e
+            )
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   ts_us, n_in_window,
+                   (n_in_window > 6) AS violation
+            FROM w
         """,
         "events_top_users": """
             WITH agg AS (

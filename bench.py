@@ -200,6 +200,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q13_order_histogram",
         "q8_market_share",
         "events_markov",
+        "events_rate_limit",
         "docs_pmi_topk",
         "q22_global_sales_opportunity",
         "lineitem_rollup",

@@ -612,6 +612,88 @@ def events_range_join(sf_dir: str) -> "rd.Dataset":
     )
 
 
+RATE_WINDOW_US = 86_400 * 1_000_000  # 24 h sliding window
+RATE_LIMIT = 6  # max events allowed inside any window
+
+
+def events_rate_limit(
+    sf_dir: str,
+    window_us: int = RATE_WINDOW_US,
+    limit: int = RATE_LIMIT,
+) -> "rd.Dataset":
+    """(event_id, user_id, ts_us, n_in_window, violation): the
+    sliding-window RATE-LIMITER audit — for every event, how many of
+    the same user's events (itself included) fall in the trailing
+    window ``(ts − W, ts]``, and whether that exceeds ``limit`` (the
+    abuse/scraper-detection pass any ingestion pipeline runs; the
+    same kernel is a crawler's own politeness self-audit). Exact
+    integers throughout (µs timestamps), so the SQL window oracle
+    (``RANGE BETWEEN W−1 PRECEDING AND CURRENT ROW`` — integer µs
+    make the half-open bound exact) hashes bit for bit; equal
+    timestamps are peers in both engines (``searchsorted
+    side='right'`` ≡ RANGE's tie semantics).
+
+    Scale shape: the range-join bucketed-by-user co-group — one
+    scan, one user-hash exchange, two vectorized ``searchsorted``
+    passes per user over its sorted timestamps, O(events) output
+    streaming out as a Dataset."""
+    import numpy as np
+
+    from suckit_ray.stages.agg import default_buckets
+
+    n_buckets = default_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "bucket": (df["user_id"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def count_window(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, ug in g.groupby("user_id"):
+            ts_sorted = np.sort(ug["ts_us"].to_numpy())
+            ts = ug["ts_us"].to_numpy()
+            hi = np.searchsorted(ts_sorted, ts, side="right")
+            lo = np.searchsorted(ts_sorted, ts - window_us, side="right")
+            n = (hi - lo).astype("int64")
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": ug["event_id"].to_numpy(),
+                        "user_id": ug["user_id"].to_numpy(),
+                        "ts_us": ts,
+                        "n_in_window": n,
+                        "violation": n > limit,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "ts_us": pd.array([], dtype="int64"),
+                    "n_in_window": pd.array([], dtype="int64"),
+                    "violation": pd.array([], dtype="bool"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+        )
+        .map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_window, batch_format="pandas")
+    )
+
+
 TOPK_PER_USER = 3
 
 

@@ -1116,3 +1116,43 @@ class TestSq8:
         t = embeddings_sq8(SF).to_pandas()
         assert len(t) == 500
         assert t["code_max"].max() <= 255 and t["code_min"].min() >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRateLimit:
+    def test_burst_flags_and_counts(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from suckit_ray.pipelines.relops import events_rate_limit
+
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        hour = np.timedelta64(3600_000_000, "us")
+        rows = []
+        # user 1: 8 events inside one hour — events 7..8 exceed limit 6
+        for i in range(8):
+            rows.append((i, 1, base + np.timedelta64(i, "m")))
+        # user 2: one event per 48 h — never more than 1 in window
+        for i in range(3):
+            rows.append((100 + i, 2, base + 48 * hour * i))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[2].astype("datetime64[us]").item() for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        t = (
+            events_rate_limit(str(tmp_path))
+            .to_pandas().set_index("event_id").sort_index()
+        )
+        assert t.loc[0:7, "n_in_window"].tolist() == list(range(1, 9))
+        assert t.loc[0:7, "violation"].tolist() == [False] * 6 + [True] * 2
+        assert (t.loc[100:, "n_in_window"] == 1).all()
+        assert not t.loc[100:, "violation"].any()
