@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": graph.crawl_kcore,
         "crawl_ktruss": graph.crawl_ktruss,
         "crawl_richclub": graph.crawl_richclub,
+        "crawl_modularity": graph.crawl_modularity,
         "crawl_components": graph.crawl_components,
         "crawl_scc": graph.crawl_scc,
         "crawl_bowtie": graph.crawl_bowtie,
@@ -1260,6 +1261,67 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
             FROM l{rounds} l JOIN hostname hn ON hn.h = l.h
         """
     return head + "".join(steps) + tail
+
+
+def _modularity_oracle_sql(rounds: int = 4) -> str:
+    """Newman modularity of the LPA communities over the undirected
+    SIMPLE link graph: per community c, the quantized term
+    (10⁶·e_c)//m − (10⁶·d_c²)//(4m²) — the integer-ratio spelling on
+    both engines (repo invariant), HUGEINT through the squares. The
+    label CTEs are the exact `_lpa_oracle_sql` unroll; the edge set
+    here is SIMPLE (LEAST/GREATEST DISTINCT) because degrees and e_c
+    count relationships, not link multiplicity — LPA's vote keeps
+    using the multigraph, matching the engine's definitions."""
+    lpa = _lpa_oracle_sql(rounds)
+    head, _, _tail = lpa.rpartition("SELECT hn.hn")
+    return (
+        head
+        + f""",
+            ue AS MATERIALIZED (
+              SELECT DISTINCT h, LEAST(src, dst) AS a,
+                     GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst
+            ),
+            half AS (
+              SELECT h, a AS node FROM ue
+              UNION ALL SELECT h, b AS node FROM ue
+            ),
+            dg AS (
+              SELECT h, node, CAST(count(*) AS BIGINT) AS d
+              FROM half GROUP BY 1, 2
+            ),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ue),
+            dc AS (
+              SELECT l.h, l.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(SUM(COALESCE(dg.d, 0)) AS BIGINT) AS d_tot
+              FROM l{rounds} l
+              LEFT JOIN dg ON dg.h = l.h AND dg.node = l.j
+              GROUP BY 1, 2
+            ),
+            ec AS (
+              SELECT la.h, la.lab, CAST(count(*) AS BIGINT) AS e_in
+              FROM ue
+              JOIN l{rounds} la ON la.h = ue.h AND la.j = ue.a
+              JOIN l{rounds} lb ON lb.h = ue.h AND lb.j = ue.b
+              WHERE la.lab = lb.lab
+              GROUP BY 1, 2
+            )
+            SELECT hn.hn || '/p' || dc.lab || '.html' AS community,
+                   dc.n_nodes,
+                   CAST(COALESCE(ec.e_in, 0) AS BIGINT) AS e_in,
+                   dc.d_tot,
+                   CAST((1000000 * CAST(COALESCE(ec.e_in, 0) AS HUGEINT))
+                          // (SELECT m FROM mm)
+                        - (1000000 * CAST(dc.d_tot AS HUGEINT)
+                                   * CAST(dc.d_tot AS HUGEINT))
+                          // (4 * CAST((SELECT m FROM mm) AS HUGEINT)
+                                * CAST((SELECT m FROM mm) AS HUGEINT))
+                        AS BIGINT) AS term_micro
+            FROM dc
+            LEFT JOIN ec ON ec.h = dc.h AND ec.lab = dc.lab
+            JOIN hostname hn ON hn.h = dc.h
+        """
+    )
 
 
 def _bpe_ctes(steps: int = 5) -> str:
@@ -5765,6 +5827,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trustrank": _trustrank_oracle_sql(),
         # 4-round deterministic label propagation (mode + lexicographic tie)
         "crawl_communities_lpa": _lpa_oracle_sql(),
+        # Newman modularity of those communities (quantized per-community terms)
+        "crawl_modularity": _modularity_oracle_sql(),
         # snapshot drift of embedding means: per-dim integer sums on
         # the even/odd vec_id split; d2 = sum((sa*nb - sb*na)^2) exact
         # in HUGEINT, scaled by 10^12 into BIGINT

@@ -233,6 +233,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crawl_degrees",
         "crawl_kcore",
         "crawl_ktruss",
+        "crawl_richclub",
+        "crawl_modularity",
         "warc_roundtrip",
         "training_corpus",
         # TPC-H batches two + three (all 22 shapes now covered)

@@ -5125,3 +5125,213 @@ def crawl_richclub(sf_dir: str) -> pa.Table:
     from suckit_ray.pipelines.flagship import crawl_docs
 
     return richclub_from_docs(crawl_docs(sf_dir))
+
+
+def modularity_from_docs(
+    docs: rd.Dataset, rounds: int = LPA_ROUNDS, num_buckets: int | None = None
+) -> pa.Table:
+    """(community, n_nodes, e_in, d_tot, term_micro): Newman
+    MODULARITY audit of the LPA communities (Newman & Girvan 2004,
+    Phys. Rev. E — public) over the undirected SIMPLE link graph —
+    "are the detected communities denser than chance?", the quality
+    gate run before trusting community labels for sharding or
+    sampling. Per community c: e_in = intra-community edges, d_tot =
+    summed member degrees, and the quantized Newman term
+
+        term_micro = (10⁶·e_in)//m − (10⁶·d_tot²)//(4·m²)
+
+    (integer-ratio spelling on BOTH engines — repo invariant; Python
+    ints in the driver fold, so no overflow at any scale). Σ terms =
+    Q·10⁶ up to the per-community floors. Degrees/e_in use the simple
+    graph (relationships, not link multiplicity); the LPA vote itself
+    stays multigraph — the same split the oracle spells.
+
+    Scale shape: labels ride the SAME node co-group as the edge
+    half-rows (tagged union — one exchange attaches each node's
+    degree AND community and emits per-community node partials plus
+    per-edge endpoint-community halves); one edge co-group counts
+    intra edges and the exact global edge total group-locally. The
+    driver folds O(communities + groups) partial rows, never nodes
+    or edges."""
+    import pandas as pd
+
+    from suckit_ray.stages.agg import default_buckets
+
+    B = num_buckets or default_buckets()
+
+    labels = lpa_communities_from_docs(docs, rounds=rounds)
+
+    def und(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_of(col: pd.Series) -> pd.Series:
+        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+        return (h % B).astype("int64")
+
+    def half_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
+                "comm": "",
+            }
+        )
+        out["bucket"] = bucket_of(out["node"])
+        return out
+
+    def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": df["doc_id"].astype(str),
+                "peer": "",
+                "comm": df["community"].astype(str),
+            }
+        )
+        out["bucket"] = bucket_of(out["node"])
+        return out
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # per node: community from its label row, degree from its
+        # distinct peers; emit community node-partials + edge halves
+        rows = []
+        for node, grp in g.groupby("node"):
+            comm_rows = grp.loc[grp["peer"] == "", "comm"]
+            if not len(comm_rows):
+                continue  # edge endpoint outside the labeled set
+            comm = comm_rows.iloc[0]
+            peers = {p for p in grp["peer"] if p != ""}
+            rows.append(("node", comm, "", "", len(peers)))
+            for p in peers:
+                a, b = (node, p) if node < p else (p, node)
+                rows.append(("half", comm, a, b, 1))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "tag": pd.array([], dtype="str"),
+                    "comm": pd.array([], dtype="str"),
+                    "ea": pd.array([], dtype="str"),
+                    "eb": pd.array([], dtype="str"),
+                    "val": pd.array([], dtype="int64"),
+                    "bucket": pd.array([], dtype="int64"),
+                }
+            )
+        import numpy as np
+
+        df = pd.DataFrame(rows, columns=["tag", "comm", "ea", "eb", "val"])
+        # node partials route by community, halves by EDGE — the two
+        # halves of an edge carry different communities, so the hash
+        # key must blank the comm for halves (and the edge for nodes)
+        # or intra-edges would never co-locate. The edge is TWO
+        # columns end to end — a NUL-joined string truncates in every
+        # pandas hashtable path (groupby/nunique/hash_pandas_object),
+        # which silently merged all edges sharing an endpoint when
+        # this first used one joined column (the CLAUDE.md hazard,
+        # hit twice in one session).
+        df["k1"] = np.where(df["tag"] == "node", df["comm"], "")
+        df["bucket"] = (
+            pd.util.hash_pandas_object(
+                df[["tag", "k1", "ea", "eb"]], index=False
+            ).astype("uint64") % B
+        ).astype("int64")
+        return df[["tag", "comm", "ea", "eb", "val", "bucket"]]
+
+    def fold_group(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        nodes = g[g["tag"] == "node"]
+        if len(nodes):
+            agg = nodes.groupby("comm", as_index=False).agg(
+                n_nodes=("val", "size"), d_tot=("val", "sum")
+            )
+            agg["tag"] = "comm"
+            agg["e_in"] = 0
+            parts.append(agg[["tag", "comm", "n_nodes", "d_tot", "e_in"]])
+        halves = g[g["tag"] == "half"]
+        if len(halves):
+            m_part = len(halves.drop_duplicates(["ea", "eb"]))
+            intra = (
+                halves.groupby(["ea", "eb"])
+                .filter(lambda eg: len(eg) >= 2 and eg["comm"].nunique() == 1)
+                .drop_duplicates(["ea", "eb"])
+            )
+            rows = [("m", "", 0, 0, int(m_part))]
+            if len(intra):
+                ec = intra.groupby("comm", as_index=False).agg(
+                    e_in=("comm", "size")
+                )
+                for r in ec.itertuples():
+                    rows.append(("ec", r.comm, 0, 0, int(r.e_in)))
+            parts.append(
+                pd.DataFrame(
+                    rows, columns=["tag", "comm", "n_nodes", "d_tot", "e_in"]
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "tag": pd.array([], dtype="str"),
+                    "comm": pd.array([], dtype="str"),
+                    "n_nodes": pd.array([], dtype="int64"),
+                    "d_tot": pd.array([], dtype="int64"),
+                    "e_in": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    parts = (
+        _link_edges(docs)
+        .map_batches(und, batch_format="pyarrow")
+        .map_batches(half_rows, batch_format="pandas")
+        .union(labels.map_batches(label_rows, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_group, batch_format="pandas")
+        .to_pandas()  # O(communities + groups) partial rows
+    )
+    m = int(parts.loc[parts["tag"] == "m", "e_in"].sum())
+    comm = (
+        parts[parts["tag"] == "comm"]
+        .groupby("comm", as_index=False)
+        .agg(n_nodes=("n_nodes", "sum"), d_tot=("d_tot", "sum"))
+    )
+    ec = (
+        parts[parts["tag"] == "ec"]
+        .groupby("comm", as_index=False)
+        .agg(e_in=("e_in", "sum"))
+    )
+    out = comm.merge(ec, on="comm", how="left")
+    out["e_in"] = out["e_in"].fillna(0).astype("int64")
+    out = out.sort_values("comm").reset_index(drop=True)
+    terms = [
+        (10**6 * int(r.e_in)) // m
+        - (10**6 * int(r.d_tot) * int(r.d_tot)) // (4 * m * m)
+        if m
+        else 0
+        for r in out.itertuples()
+    ]
+    return pa.table(
+        {
+            "community": pa.array(out["comm"].tolist(), pa.string()),
+            "n_nodes": pa.array(out["n_nodes"].astype("int64")),
+            "e_in": pa.array(out["e_in"].astype("int64")),
+            "d_tot": pa.array(out["d_tot"].astype("int64")),
+            "term_micro": pa.array(terms, pa.int64()),
+        }
+    )
+
+
+def crawl_modularity(sf_dir: str) -> pa.Table:
+    """queries() entry: Newman-modularity audit of the flagship LPA
+    communities (SQL-oracled: the LPA label CTEs + the quantized
+    Newman term)."""
+    from suckit_ray.pipelines.flagship import crawl_docs
+
+    return modularity_from_docs(crawl_docs(sf_dir))

@@ -1165,3 +1165,62 @@ def test_richclub_hand_graph():
         1: (4, 6, 10000),
         2: (4, 6, 10000),
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_modularity_matches_python_brute():
+    """Per-community (n_nodes, d_tot, e_in, term) vs a brute dict
+    computation over the same simple edge list and the engine's own
+    LPA labels — verifies the tagged-union aggregation pipeline end
+    to end (incl. the two-column edge keys; a NUL-joined key silently
+    merges edges sharing an endpoint — the CLAUDE.md hazard)."""
+    from collections import defaultdict
+
+    from suckit_ray.pipelines.flagship import crawl_docs
+    from suckit_ray.pipelines.graph import (
+        _link_edges,
+        lpa_communities_from_docs,
+        modularity_from_docs,
+    )
+
+    docs = crawl_docs(SF)
+    got = modularity_from_docs(docs).to_pandas().set_index("community")
+
+    ed = _link_edges(crawl_docs(SF)).to_pandas()
+    pairs = {
+        (min(s, d), max(s, d))
+        for s, d in zip(ed["src"], ed["dst"])
+        if s != d
+    }
+    lab = dict(
+        zip(
+            *(
+                lambda df: (df["doc_id"], df["community"])
+            )(lpa_communities_from_docs(crawl_docs(SF)).to_pandas())
+        )
+    )
+    m = len(pairs)
+    deg = defaultdict(int)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    n_nodes, d_tot, e_in = (
+        defaultdict(int), defaultdict(int), defaultdict(int),
+    )
+    for n, c in lab.items():
+        n_nodes[c] += 1
+        d_tot[c] += deg[n]
+    for a, b in pairs:
+        if lab[a] == lab[b]:
+            e_in[lab[a]] += 1
+    assert set(got.index) == set(n_nodes)
+    for c in n_nodes:
+        assert int(got.loc[c, "n_nodes"]) == n_nodes[c], c
+        assert int(got.loc[c, "d_tot"]) == d_tot[c], c
+        assert int(got.loc[c, "e_in"]) == e_in[c], c
+        want = (10**6 * e_in[c]) // m - (
+            10**6 * d_tot[c] * d_tot[c]
+        ) // (4 * m * m)
+        assert int(got.loc[c, "term_micro"]) == want, c
+    # the synthetic web's LPA partition is denser than chance
+    assert got["term_micro"].sum() > 0
