@@ -1224,3 +1224,108 @@ def test_modularity_matches_python_brute():
         assert int(got.loc[c, "term_micro"]) == want, c
     # the synthetic web's LPA partition is denser than chance
     assert got["term_micro"].sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_ktruss_random_graphs_match_brute(seed):
+    """Seeded random multigraphs (duplicate links, self-loops,
+    isolated nodes) vs the brute sequential peel — the structural
+    edge cases the synthetic web never exercises."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    n = 24
+    adj = {i: [] for i in range(n)}
+    for _ in range(70):
+        a, b = int(rng.randint(n)), int(rng.randint(n))
+        adj[a].append(b)  # may be a self-loop or a repeat
+    rows = [
+        {
+            "doc_id": f"h.test/p{i:02d}.html",
+            "is_html": True,
+            "spans": [
+                {
+                    "kind": "link",
+                    "text": "",
+                    "media_ref": f"p{t:02d}.html",
+                    "offset": o,
+                }
+                for o, t in enumerate(adj[i])
+            ],
+        }
+        for i in range(n)
+    ]
+    docs = rd.from_items(rows).repartition(3)
+    out = ktruss_from_docs_cached(docs)
+    pairs = {
+        (f"h.test/p{min(a, b):02d}.html", f"h.test/p{max(a, b):02d}.html")
+        for a in adj
+        for b in adj[a]
+        if a != b
+    }
+    ref = _truss_brute(pairs, 3)
+    got = (
+        sorted(zip(out["src"], out["dst"], out["support"].astype(int)))
+        if len(out)
+        else []
+    )
+    assert got == ref
+
+
+def ktruss_from_docs_cached(docs):
+    from suckit_ray.pipelines.graph import ktruss_from_docs
+
+    return ktruss_from_docs(docs, k=3).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [7, 19])
+def test_richclub_random_graphs_match_brute(seed):
+    import ray.data as rd
+    from collections import defaultdict
+
+    from suckit_ray.pipelines.graph import richclub_from_docs
+
+    rng = np.random.RandomState(seed)
+    n = 20
+    adj = {i: [] for i in range(n)}
+    for _ in range(50):
+        a, b = int(rng.randint(n)), int(rng.randint(n))
+        adj[a].append(b)
+    rows = [
+        {
+            "doc_id": f"h.test/p{i:02d}.html",
+            "is_html": True,
+            "spans": [
+                {
+                    "kind": "link",
+                    "text": "",
+                    "media_ref": f"p{t:02d}.html",
+                    "offset": o,
+                }
+                for o, t in enumerate(adj[i])
+            ],
+        }
+        for i in range(n)
+    ]
+    t = richclub_from_docs(rd.from_items(rows).repartition(3)).to_pandas()
+    pairs = {
+        (min(a, b), max(a, b)) for a in adj for b in adj[a] if a != b
+    }
+    deg = defaultdict(int)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    got = {
+        int(r.k): (int(r.n_nodes), int(r.n_edges), int(r.phi_pct))
+        for r in t.itertuples()
+    }
+    want = {}
+    for k in range(max(deg.values())):
+        nk = sum(1 for d in deg.values() if d > k)
+        if nk < 2:
+            continue
+        ek = sum(1 for a, b in pairs if deg[a] > k and deg[b] > k)
+        want[k] = (nk, ek, (10000 * 2 * ek) // (nk * (nk - 1)))
+    assert got == want
