@@ -1329,3 +1329,76 @@ def test_richclub_random_graphs_match_brute(seed):
         ek = sum(1 for a, b in pairs if deg[a] > k and deg[b] > k)
         want[k] = (nk, ek, (10000 * 2 * ek) // (nk * (nk - 1)))
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_modularity_random_graph_matches_brute():
+    import ray.data as rd
+    from collections import defaultdict
+
+    from suckit_ray.pipelines.graph import (
+        lpa_communities_from_docs,
+        modularity_from_docs,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 18
+    adj = {i: [] for i in range(n)}
+    for _ in range(44):
+        a, b = int(rng.randint(n)), int(rng.randint(n))
+        adj[a].append(b)
+    rows = [
+        {
+            "doc_id": f"h.test/p{i:02d}.html",
+            "is_html": True,
+            "spans": [
+                {
+                    "kind": "link",
+                    "text": "",
+                    "media_ref": f"p{t:02d}.html",
+                    "offset": o,
+                }
+                for o, t in enumerate(adj[i])
+            ],
+        }
+        for i in range(n)
+    ]
+    docs = rd.from_items(rows).repartition(3)
+    got = modularity_from_docs(docs).to_pandas().set_index("community")
+    lab = dict(
+        zip(
+            *(lambda df: (df["doc_id"], df["community"]))(
+                lpa_communities_from_docs(
+                    rd.from_items(rows).repartition(3)
+                ).to_pandas()
+            )
+        )
+    )
+    pairs = {
+        (
+            f"h.test/p{min(a, b):02d}.html",
+            f"h.test/p{max(a, b):02d}.html",
+        )
+        for a in adj
+        for b in adj[a]
+        if a != b
+    }
+    m = len(pairs)
+    deg = defaultdict(int)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    nn, dt, ei = defaultdict(int), defaultdict(int), defaultdict(int)
+    for node, c in lab.items():
+        nn[c] += 1
+        dt[c] += deg[node]
+    for a, b in pairs:
+        if lab[a] == lab[b]:
+            ei[lab[a]] += 1
+    assert set(got.index) == set(nn)
+    for c in nn:
+        assert int(got.loc[c, "n_nodes"]) == nn[c]
+        assert int(got.loc[c, "d_tot"]) == dt[c]
+        assert int(got.loc[c, "e_in"]) == ei[c]
+        want = (10**6 * ei[c]) // m - (10**6 * dt[c] * dt[c]) // (4 * m * m)
+        assert int(got.loc[c, "term_micro"]) == want
