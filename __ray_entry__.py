@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": ann.kmeans_assign,
         "embeddings_norm_stats": ann.embeddings_norm_stats,
         "embeddings_sq8": ann.embeddings_sq8,
+        "ann_recall_report": ann.ann_recall_report,
         "ann_knn_classify": ann.ann_knn_classify,
         "embeddings_dbscan": ann.embeddings_dbscan,
         "embeddings_knn_graph": ann.embeddings_knn_graph,

@@ -2097,3 +2097,60 @@ def embeddings_sq8(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def ann_recall_report(sf_dir: str, k: int = TOPK) -> pa.Table:
+    """(method, k, mean_recall_pct): the index-evaluation harness —
+    recall@k of every approximate index family (IVF, sign-LSH, PQ)
+    against the exact brute-force neighbors on the SAME query set,
+    floor-quantized to basis points. The report a production ANN user
+    runs after (re)training an index and before routing traffic to
+    it; here it also guards the quantizer/probe defaults (tests pin
+    the measured band per method).
+
+    Rows-only correctness (index training is float k-means /
+    hyperplane sampling — not SQL-expressible); every component query
+    is itself pinned or oracled: brute_force_topk has a full SQL
+    oracle, the index methods have recall/replay pins. Driver cost is
+    O(N_QUERIES·k) per method — the per-corpus work is each method's
+    own documented distributed plan."""
+    brute = brute_force_topk(sf_dir, k=k)
+    b_sets: dict[int, set[int]] = {}
+    for q, n in zip(
+        brute.column("query_id").to_pylist(),
+        brute.column("neighbor_id").to_pylist(),
+    ):
+        b_sets.setdefault(int(q), set()).add(int(n))
+    methods = [
+        ("ivf", ivf_topk),
+        ("lsh", lsh_topk),
+        ("pq", pq_topk),
+    ]
+    names, ks, recalls = [], [], []
+    for name, fn in methods:
+        t = fn(sf_dir, k=k)
+        a_sets: dict[int, set[int]] = {}
+        for q, n in zip(
+            t.column("query_id").to_pylist(),
+            t.column("neighbor_id").to_pylist(),
+        ):
+            a_sets.setdefault(int(q), set()).add(int(n))
+        # mean over queries of |approx ∩ brute| / |brute|, floored to
+        # basis points AFTER the mean (integer arithmetic: sum of
+        # per-query integer ratios would lose less information than
+        # one global ratio of sums — use Σ|∩| / Σ|brute|, the
+        # microaveraged recall, a single integer division)
+        inter = sum(
+            len(a_sets.get(q, set()) & s) for q, s in b_sets.items()
+        )
+        total = sum(len(s) for s in b_sets.values())
+        names.append(name)
+        ks.append(k)
+        recalls.append((10000 * inter) // total if total else 0)
+    return pa.table(
+        {
+            "method": pa.array(names, pa.string()),
+            "k": pa.array(ks, pa.int64()),
+            "mean_recall_pct": pa.array(recalls, pa.int64()),
+        }
+    )

@@ -1156,3 +1156,22 @@ class TestRateLimit:
         assert t.loc[0:7, "violation"].tolist() == [False] * 6 + [True] * 2
         assert (t.loc[100:, "n_in_window"] == 1).all()
         assert not t.loc[100:, "violation"].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_recall_report_bands():
+    """The recall report must reproduce the per-method pinned bands
+    (deterministic seeded training): brute ∩ is microaveraged and
+    basis-point floored, so the values are stable integers."""
+    from suckit_ray.pipelines.ann import ann_recall_report
+
+    t = ann_recall_report(SF).to_pandas().set_index("method")
+    assert set(t.index) == {"ivf", "lsh", "pq"}
+    assert (t["k"] == 10).all()
+    # measured on this corpus: ivf 0.64 (nprobe=4/16), lsh 0.83,
+    # pq 0.98 (+exact rescore) — pin generous floors so quantizer
+    # regressions surface without over-pinning float k-means
+    assert int(t.loc["ivf", "mean_recall_pct"]) >= 5000
+    assert int(t.loc["lsh", "mean_recall_pct"]) >= 7000
+    assert int(t.loc["pq", "mean_recall_pct"]) >= 9000
+    assert (t["mean_recall_pct"] <= 10000).all()
