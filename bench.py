@@ -391,6 +391,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_rapid_reorder",
         "embeddings_norm_stats",
         "embeddings_sq8",
+        "ann_recall_report",
         "docs_tfrecord_roundtrip",
         "docs_token_entropy",
         "ann_knn_classify",
