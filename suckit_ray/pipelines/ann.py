@@ -1814,7 +1814,7 @@ def ann_knn_classify(
     if n <= brute_limit:
         return _knn_classify_brute(ds, n, k)
     return _knn_classify_ivf(
-        ds, k, n_clusters=n_clusters, nprobe=nprobe,
+        ds, n, k, n_clusters=n_clusters, nprobe=nprobe,
         sample_size=sample_size, num_buckets=num_buckets,
     )
 
@@ -1874,8 +1874,14 @@ def _knn_classify_brute(ds: rd.Dataset, n: int, k: int) -> rd.Dataset:
     return ds.map_batches(classify, batch_format="pandas", batch_size=2048)
 
 
+KNN_IVF_TARGET_CELL = 2048  # expected members per probed cell (the
+# per-cell pct matrix is target² int64 ≈ 34 MB — sized to worker heap)
+KNN_IVF_SAMPLE_CAP = 65_536  # driver-bounded quantizer training set
+
+
 def _knn_classify_ivf(
     ds: rd.Dataset,
+    n: int,
     k: int,
     n_clusters: int,
     nprobe: int,
@@ -1883,6 +1889,18 @@ def _knn_classify_ivf(
     num_buckets: int,
 ) -> rd.Dataset:
     B = num_buckets
+    # cell count SCALES with the corpus so per-cell work stays
+    # O(target_cell²·d) — a fixed n_clusters right above the brute
+    # cutover would make each cell ~n·nprobe/16 members and the
+    # per-cell matmul worse than the brute path it replaced (round-5
+    # review). The quantizer trains on a driver-bounded sample
+    # (capped at KNN_IVF_SAMPLE_CAP → ≤ that many cells, bounding
+    # cells up to n·nprobe ≈ 2.7e8); past that swap the sample-
+    # trained quantizer for the distributed Lloyd's loop
+    # (kmeans_assign's iteration — k×d broadcast per round), which
+    # this routing is agnostic to.
+    n_clusters = max(n_clusters, (n * nprobe) // KNN_IVF_TARGET_CELL + 1)
+    sample_size = max(sample_size, min(4 * n_clusters, KNN_IVF_SAMPLE_CAP))
     sample_df = ds.limit(sample_size).to_pandas()
     cent = _train_centroids(
         _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)),

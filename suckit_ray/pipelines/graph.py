@@ -74,6 +74,50 @@ def _link_edges(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(edges, batch_format="pyarrow")
 
 
+def _und_simple(t: pa.Table) -> pa.Table:
+    """Directed link edges → undirected SIMPLE pairs: self-loops
+    dropped, (min, max)-canonicalized, batch-local dedup (exact dedup,
+    where a consumer needs it, happens inside its keyed co-groups).
+    Shared by kcore / ktruss / richclub / modularity — one place to
+    fix canonicalization, not four (round-5 review)."""
+    import numpy as np
+    import pandas as pd
+
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    dst = t.column("dst").to_numpy(zero_copy_only=False)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _hash_bucket(col: "pd.Series", B: int) -> "pd.Series":
+    """Deterministic node-hash bucket. Single-COLUMN hashing only —
+    hash_pandas_object truncates strings at an embedded NUL, so
+    composite keys must hash a multi-column frame, never a joined
+    string (CLAUDE.md hazard)."""
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
+    return (h % B).astype("int64")
+
+
+def _edge_half_rows(df: "pd.DataFrame", B: int) -> "pd.DataFrame":
+    """(node, peer, bucket) half-rows of an undirected pair frame —
+    each edge visits both endpoint buckets."""
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+            "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
+        }
+    )
+    out["bucket"] = _hash_bucket(out["node"], B)
+    return out
+
+
 HB_P = 8  # HyperBall register exponent: 2^8 regs, SE ≈ 6.5%
 HB_M = 1 << HB_P
 
@@ -1513,24 +1557,14 @@ def kcore_from_docs(
 
     from suckit_ray.stages.agg import default_buckets
 
-    def und(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        dst = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = src != dst
-        a = np.minimum(src[keep], dst[keep])
-        b = np.maximum(src[keep], dst[keep])
-        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
     def bucket_of(col: pd.Series) -> pd.Series:
-        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
-        return (h % B).astype("int64")
+        return _hash_bucket(col, B)
 
     # batch-local pre-dedup; exact dedup happens inside the first
     # co-group of every round (all of a node's half-rows co-locate)
-    edges = _link_edges(docs).map_batches(und, batch_format="pyarrow").materialize()
+    edges = _link_edges(docs).map_batches(
+        _und_simple, batch_format="pyarrow"
+    ).materialize()
     if num_buckets is None:
         # iterative pipelines pay per-BLOCK fixed costs EVERY round —
         # scale buckets to the graph like _pagerank_plan (a tiny graph
@@ -1538,17 +1572,9 @@ def kcore_from_docs(
         num_buckets = max(2, min(default_buckets(), edges.count() // 10_000 + 1))
     B = num_buckets
 
-    def half_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
-                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
-            }
-        )
-        out["bucket"] = bucket_of(out["node"])
-        return out
-
-    halves = edges.map_batches(half_rows, batch_format="pandas").materialize()
+    halves = edges.map_batches(
+        lambda df: _edge_half_rows(df, B), batch_format="pandas"
+    ).materialize()
 
     # round 0 shortcut: with EVERYONE alive the liveness check is a
     # no-op, so the initial degrees come from one direct co-group (the
@@ -1742,18 +1768,9 @@ def ktruss_from_docs(
         raise ValueError("k-truss needs k >= 3 (support threshold k-2 >= 1)")
     thresh = k - 2
 
-    def und(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        dst = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = src != dst
-        a = np.minimum(src[keep], dst[keep])
-        b = np.maximum(src[keep], dst[keep])
-        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    raw = _link_edges(docs).map_batches(und, batch_format="pyarrow").materialize()
+    raw = _link_edges(docs).map_batches(
+        _und_simple, batch_format="pyarrow"
+    ).materialize()
     if num_buckets is None:
         # iterative rounds pay per-BLOCK fixed costs every round —
         # scale buckets to the graph like kcore/_pagerank_plan
@@ -1762,8 +1779,7 @@ def ktruss_from_docs(
     B = num_buckets
 
     def bucket_of(col: pd.Series) -> pd.Series:
-        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
-        return (h % B).astype("int64")
+        return _hash_bucket(col, B)
 
     def ebucket(df: pd.DataFrame) -> pd.Series:
         # two-COLUMN hash, not a NUL-joined string: hash_pandas_object
@@ -1783,16 +1799,6 @@ def ktruss_from_docs(
     # trigger before round 1 — which a peel never does anyway.
     edges = raw
     n_edges = edges.count()
-
-    def half_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
-                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
-            }
-        )
-        out["bucket"] = bucket_of(out["node"])
-        return out
 
     def nbr_rows(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -1859,7 +1865,9 @@ def ktruss_from_docs(
             )
             break
         surv = (
-            edges.map_batches(half_rows, batch_format="pandas")
+            edges.map_batches(
+                lambda df: _edge_half_rows(df, B), batch_format="pandas"
+            )
             .groupby("bucket")
             .map_groups(nbr_rows, batch_format="pandas")
             .groupby("bucket")
@@ -1867,7 +1875,9 @@ def ktruss_from_docs(
             .materialize()
         )
         n_new = surv.count()
-        if n_new == n_edges:
+        if n_new == n_edges or n_new == 0:
+            # n_new == 0 is a fully determined fixpoint too (the
+            # empty truss) — don't demand one more confirming round
             result = surv
             break
         edges = surv.map_batches(
@@ -5007,31 +5017,6 @@ def richclub_from_docs(
 
     B = num_buckets or default_buckets()
 
-    def und(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        dst = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = src != dst
-        a = np.minimum(src[keep], dst[keep])
-        b = np.maximum(src[keep], dst[keep])
-        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def bucket_of(col: pd.Series) -> pd.Series:
-        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
-        return (h % B).astype("int64")
-
-    def half_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
-                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
-            }
-        )
-        out["bucket"] = bucket_of(out["node"])
-        return out
-
     def deg_attach(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for node, grp in g.groupby("node"):
@@ -5076,9 +5061,15 @@ def richclub_from_docs(
         return pd.concat(parts, ignore_index=True)[["tag", "val", "cnt"]]
 
     parts = (
+        # materialize before the sort-groupby: a lazy input re-executes
+        # the doc scan + edge extraction per boundary-sampling pass
+        # (CLAUDE.md gotcha; round-5 review)
         _link_edges(docs)
-        .map_batches(und, batch_format="pyarrow")
-        .map_batches(half_rows, batch_format="pandas")
+        .map_batches(_und_simple, batch_format="pyarrow")
+        .map_batches(
+            lambda df: _edge_half_rows(df, B), batch_format="pandas"
+        )
+        .materialize()
         .groupby("bucket")
         .map_groups(deg_attach, batch_format="pandas")
         .groupby("bucket")
@@ -5100,12 +5091,30 @@ def richclub_from_docs(
             }
         )
     max_deg = int(dh.index.max())
+    # linear suffix sums over the sorted histograms (one cumsum each,
+    # not an O(max_degree × distinct_degrees) filter loop — round-5
+    # review): suffix[k] = Σ cnt over vals > k
+    dh_s = dh.sort_index()
+    eh_s = eh.sort_index() if len(eh) else eh
+    dvals = dh_s.index.to_numpy()
+    dcum = dh_s.to_numpy()[::-1].cumsum()[::-1]  # Σ cnt for vals >= dvals[i]
+    evals = eh_s.index.to_numpy() if len(eh) else np.array([], dtype=np.int64)
+    ecum = (
+        eh_s.to_numpy()[::-1].cumsum()[::-1]
+        if len(eh)
+        else np.array([], dtype=np.int64)
+    )
+
+    def suffix(vals: np.ndarray, cum: np.ndarray, k: int) -> int:
+        i = np.searchsorted(vals, k, side="right")
+        return int(cum[i]) if i < len(vals) else 0
+
     ks, nn, ne, phi = [], [], [], []
     for k in range(max_deg):
-        n_k = int(dh[dh.index > k].sum())
+        n_k = suffix(dvals, dcum, k)
         if n_k < 2:
             continue
-        e_k = int(eh[eh.index > k].sum()) if len(eh) else 0
+        e_k = suffix(evals, ecum, k)
         ks.append(k)
         nn.append(n_k)
         ne.append(e_k)
@@ -5161,30 +5170,9 @@ def modularity_from_docs(
 
     labels = lpa_communities_from_docs(docs, rounds=rounds)
 
-    def und(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        dst = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = src != dst
-        a = np.minimum(src[keep], dst[keep])
-        b = np.maximum(src[keep], dst[keep])
-        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def bucket_of(col: pd.Series) -> pd.Series:
-        h = pd.util.hash_pandas_object(col, index=False).astype("uint64")
-        return (h % B).astype("int64")
-
     def half_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
-                "peer": pd.concat([df["b"], df["a"]], ignore_index=True),
-                "comm": "",
-            }
-        )
-        out["bucket"] = bucket_of(out["node"])
+        out = _edge_half_rows(df, B)
+        out["comm"] = ""
         return out
 
     def label_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -5195,7 +5183,7 @@ def modularity_from_docs(
                 "comm": df["community"].astype(str),
             }
         )
-        out["bucket"] = bucket_of(out["node"])
+        out["bucket"] = _hash_bucket(out["node"], B)
         return out
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
@@ -5286,10 +5274,13 @@ def modularity_from_docs(
         return pd.concat(parts, ignore_index=True)
 
     parts = (
+        # materialize the tagged union before the sort-groupby (lazy
+        # inputs re-execute per boundary-sampling pass — CLAUDE.md)
         _link_edges(docs)
-        .map_batches(und, batch_format="pyarrow")
+        .map_batches(_und_simple, batch_format="pyarrow")
         .map_batches(half_rows, batch_format="pandas")
         .union(labels.map_batches(label_rows, batch_format="pandas"))
+        .materialize()
         .groupby("bucket")
         .map_groups(attach, batch_format="pandas")
         .groupby("bucket")

@@ -1250,6 +1250,72 @@ def _is_gif(data: bytes) -> bool:
     return data[:6] in (b"GIF87a", b"GIF89a")
 
 
+def _gif_in_native_scope(data: bytes) -> bool:
+    """Cheap block walk (NO LZW inflate): True iff this GIF is inside
+    the native decoder's scope — exactly one opaque full-canvas frame
+    with a color table. Header-only metadata must use the SAME gate
+    as the raster path, or meta would claim channels=3 for GIFs the
+    decoder declines to PIL (round-5 review finding)."""
+    import struct
+
+    try:
+        if not _is_gif(data) or len(data) < 13:
+            return False
+        w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+        if w == 0 or h == 0:
+            return False
+        pos = 13
+        has_gct = bool(packed & 0x80)
+        if has_gct:
+            pos += 3 * (2 << (packed & 0x07))
+        frames = 0
+        while pos < len(data):
+            blk = data[pos]
+            pos += 1
+            if blk == 0x3B:
+                break
+            if blk == 0x21:
+                label = data[pos]
+                pos += 1
+                if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                    if data[pos + 1] & 0x01:
+                        return False  # transparency
+                while True:
+                    sz = data[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+                continue
+            if blk == 0x2C:
+                frames += 1
+                if frames > 1:
+                    return False  # animated
+                left, top, fw, fh, fpacked = struct.unpack_from(
+                    "<HHHHB", data, pos
+                )
+                pos += 9
+                if (left, top, fw, fh) != (0, 0, w, h):
+                    return False  # partial canvas
+                has_lct = bool(fpacked & 0x80)
+                if has_lct:
+                    pos += 3 * (2 << (fpacked & 0x07))
+                elif not has_gct:
+                    return False  # no color table anywhere
+                pos += 1  # LZW min code size
+                while True:  # skip data sub-blocks without inflating
+                    sz = data[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+                continue
+            return False  # unknown block
+        return frames == 1
+    except (IndexError, struct.error):
+        return False
+
+
 def _gif_lzw(stream: bytes, min_code_size: int, expected: int) -> np.ndarray:
     """GIF-variant LZW decode (Welch 1984, IEEE Computer; GIF89a spec
     appendix F, CompuServe 1990 — both public): LSB-first variable
@@ -1491,14 +1557,17 @@ def _image_meta_native(data: bytes) -> "dict | None":
     if _is_jpeg(data):
         return _jpeg_meta(data)
     if _is_gif(data) and len(data) >= 13:
+        # same scope gate as the raster path: out-of-scope GIFs
+        # (animated / transparent / partial-canvas) go to PIL so
+        # meta never disagrees with what a consumer decodes
+        if not _gif_in_native_scope(data):
+            return None
         w, h = struct.unpack_from("<HH", data, 6)
-        if w and h:
-            return {
-                "width": int(w),
-                "height": int(h),
-                "channels": 3,
-                "format": "gif",
-                "n_bytes": len(data),
-            }
-        return None
+        return {
+            "width": int(w),
+            "height": int(h),
+            "channels": 3,
+            "format": "gif",
+            "n_bytes": len(data),
+        }
     return None

@@ -188,3 +188,31 @@ class TestNativeGif:
         meta, raster = _parse_gif(buf.getvalue())
         assert (meta["width"], meta["height"]) == (16, 16)
         assert (raster == pal[arr]).all()
+
+
+class TestGifMetaScope:
+    def test_meta_declines_out_of_scope(self):
+        # header meta must use the SAME scope gate as the raster path
+        from suckit_ray.stages.media import _image_meta_native
+
+        gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # transparent
+        assert _image_meta_native(_gif(2, 2, CODES_0110, extensions=gce)) is None
+        frame2 = (
+            b"\x2c" + (0).to_bytes(2, "little") * 2
+            + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+            + b"\x00\x02" + _subblocks(_pack_lsb(CODES_0110))
+        )
+        assert (
+            _image_meta_native(_gif(2, 2, CODES_0110, extra_frames=frame2))
+            is None
+        )
+        assert (
+            _image_meta_native(
+                _gif(4, 4, CODES_0110, descriptor=(0, 0, 2, 2))
+            )
+            is None
+        )
+        assert _image_meta_native(_gif(2, 2, CODES_0110, gct=False)) is None
+        # in-scope still returns native meta
+        m = _image_meta_native(_gif(2, 2, CODES_0110))
+        assert m and m["channels"] == 3 and m["format"] == "gif"
