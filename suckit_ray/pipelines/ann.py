@@ -1177,13 +1177,21 @@ def embeddings_dbscan(
         # cell fan-out, per-cell matmul + exact ε-verify. Every row
         # carries its sorted probe list (nprobe int64 columns) so a
         # pair sharing several cells emits only from the MIN common
-        # cell — exact dedup with zero extra shuffle.
-        sample_df = ds.limit(sample_size).to_pandas()
+        # cell — exact dedup with zero extra shuffle. The cell count
+        # SCALES with the corpus (the knn-classify review rule:
+        # fixed cells right above the cutover would make per-cell
+        # work worse than the exact route it replaced); the sample
+        # cap documents the distributed-Lloyd's swap point.
+        k_cells = max(
+            n_clusters, (n_rows * nprobe) // KNN_IVF_TARGET_CELL + 1
+        )
+        eff_sample = max(sample_size, min(4 * k_cells, KNN_IVF_SAMPLE_CAP))
+        sample_df = ds.limit(eff_sample).to_pandas()
         cent = _train_centroids(
             _normalize(
                 np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
             ),
-            n_clusters,
+            k_cells,
         )
         cent_ref = ray.put(cent)
         k_eff = min(nprobe, len(cent))

@@ -1062,9 +1062,19 @@ def embedding_dup_pairs_ivf(
     in tests. Returns (a_id, b_id, cos_pct)."""
     import ray
 
-    from suckit_ray.pipelines.ann import _normalize, _train_centroids
+    from suckit_ray.pipelines.ann import (
+        KNN_IVF_SAMPLE_CAP,
+        KNN_IVF_TARGET_CELL,
+        _normalize,
+        _train_centroids,
+    )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # cell count scales with the corpus (the knn-classify review
+    # rule) — per-cell all-pairs work stays O(target_cell²·d)
+    n = ds.count()
+    n_clusters = max(n_clusters, (n * nprobe) // KNN_IVF_TARGET_CELL + 1)
+    sample_size = max(sample_size, min(4 * n_clusters, KNN_IVF_SAMPLE_CAP))
     sample_df = ds.limit(sample_size).to_pandas()
     cent = _train_centroids(
         _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)),
@@ -1157,12 +1167,20 @@ def semantic_dedup(
     import ray
 
     from suckit_ray.pipelines.ann import (
+        KNN_IVF_SAMPLE_CAP,
+        KNN_IVF_TARGET_CELL,
         _normalize,
         _read_embeddings,
         _train_centroids,
     )
 
     ds = _read_embeddings(sf_dir)
+    # cluster count scales with the corpus so the per-cluster greedy
+    # prune stays O(target_cell²) — SemDeDup's own recipe (~50k
+    # clusters for LAION); single-assignment here, so nprobe = 1
+    n = ds.count()
+    n_clusters = max(n_clusters, n // KNN_IVF_TARGET_CELL + 1)
+    sample_size = max(sample_size, min(4 * n_clusters, KNN_IVF_SAMPLE_CAP))
     sample_df = ds.limit(sample_size).to_pandas()
     cent = _train_centroids(
         _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)),
